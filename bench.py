@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with a cheap row-materializing action
+(count of a select over all result columns) so the full plan runs, but
+driver-side collection doesn't dominate timing at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family — window, hash agg, broadcast join,
+# json flatten, top-k; extended families appended as they land
+HEADLINE = [
+    "next_event",
+    "pricing_summary",
+    "dim_join_left",
+    "flatten_props",
+    "topk_orders",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("fdie-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        # warm the JVM/IO path once on the first query only via a tiny probe
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

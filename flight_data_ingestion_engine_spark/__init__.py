@@ -1,0 +1,21 @@
+"""flight_data_ingestion_engine_spark — a PySpark-native analytics engine.
+
+A ground-up, Spark-first rebuild of the capabilities of the reference
+engine (orr21/Flight-Data-Ingestion-Engine, see SURVEY.md): config-driven
+ingestion with recursive flattening, dimension enrichment with timezone/UTC
+normalization, next-event window analytics, incremental partitioned loads —
+plus the large-scale training-data-pipeline operators the reference lacks
+(dedup, similarity search, text analysis, multimodal columns) and a
+Structured Streaming twin.
+
+Everything is declared on the DataFrame API so Catalyst/Tungsten pick the
+physical plan; Python UDFs appear only where Spark genuinely cannot express
+the semantics (and then always Arrow-batched).
+"""
+
+from flight_data_ingestion_engine_spark.session import get_spark
+from flight_data_ingestion_engine_spark.config import DeclaredSchema
+
+__all__ = ["get_spark", "DeclaredSchema"]
+
+__version__ = "0.1.0"

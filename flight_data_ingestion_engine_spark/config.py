@@ -1,0 +1,126 @@
+"""Declared-schema configuration: the contract between raw inputs and tables.
+
+Capability parity: the reference applies a JSON-config declared schema as a
+simultaneous select+cast+rename with per-column comment metadata
+(reference `motor_ingesta/motor_ingesta.py:39-43`, `config/config.json:2-94`).
+Here that becomes a first-class `DeclaredSchema` object that can:
+
+- build the projection column list (`projection()`),
+- emit an explicit `StructType` with metadata (`to_struct_type()`) — needed
+  by Structured Streaming sources, which require explicit schemas,
+- validate a DataFrame against itself.
+
+Casting uses permissive semantics (NULL on failure) regardless of the ANSI
+conf by going through `try_cast`-style expressions, so Spark 4 defaults
+don't change behavior vs. the reference's Spark 3.5 (SURVEY.md §2.9 C4/C6).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE_ALIASES = {
+    "int": "int",
+    "integer": "int",
+    "bigint": "bigint",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+
+
+@dataclass(frozen=True)
+class DeclaredColumn:
+    name: str
+    type: str
+    comment: str | None = None
+    source: str | None = None  # optional source-column name (defaults to `name`)
+
+    def spark_type(self) -> T.DataType:
+        return T._parse_datatype_string(_TYPE_ALIASES.get(self.type, self.type))
+
+    def expr(self) -> Column:
+        src = self.source or self.name
+        col = F.col(src).try_cast(_TYPE_ALIASES.get(self.type, self.type))
+        meta = {"comment": self.comment} if self.comment is not None else None
+        return col.alias(self.name, metadata=meta) if meta else col.alias(self.name)
+
+
+@dataclass(frozen=True)
+class DeclaredSchema:
+    """A declared output schema: ordered columns + table/partition config."""
+
+    columns: tuple[DeclaredColumn, ...]
+    table: str | None = None
+    partition_by: tuple[str, ...] = ()
+    output_partitions: int | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, cfg: dict[str, Any]) -> "DeclaredSchema":
+        cols = tuple(
+            DeclaredColumn(
+                name=c["name"],
+                type=c["type"],
+                comment=c.get("comment"),
+                source=c.get("source"),
+            )
+            for c in cfg.get("data_columns", cfg.get("columns", []))
+        )
+        part = cfg.get("partition_by") or cfg.get("partition_column")
+        if isinstance(part, str):
+            part = (part,)
+        return cls(
+            columns=cols,
+            table=cfg.get("output_table") or cfg.get("table"),
+            partition_by=tuple(part or ()),
+            output_partitions=cfg.get("output_partitions"),
+            options={k: v for k, v in cfg.items() if k not in {"data_columns", "columns", "output_table", "table", "partition_by", "partition_column", "output_partitions"}},
+        )
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "DeclaredSchema":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+    def projection(self) -> list[Column]:
+        return [c.expr() for c in self.columns]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Project `df` to exactly this schema (select + cast + metadata)."""
+        return df.select(self.projection())
+
+    def to_struct_type(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(
+                    c.name,
+                    c.spark_type(),
+                    nullable=True,
+                    metadata={"comment": c.comment} if c.comment is not None else None,
+                )
+                for c in self.columns
+            ]
+        )
+
+    def validate(self, df: DataFrame) -> list[str]:
+        """Return human-readable mismatches between df and the declaration."""
+        problems = []
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for c in self.columns:
+            if c.name not in have:
+                problems.append(f"missing column {c.name}")
+            elif have[c.name] != c.spark_type():
+                problems.append(f"{c.name}: declared {c.spark_type()}, actual {have[c.name]}")
+        return problems

@@ -1,0 +1,25 @@
+"""Operators: the engine's relational + data-pipeline operator library."""
+
+from flight_data_ingestion_engine_spark.operators.flatten import flatten, flatten_column
+from flight_data_ingestion_engine_spark.operators.next_event import heal_union, with_next_event
+from flight_data_ingestion_engine_spark.operators.enrich import (
+    builtin_timezone_dimension,
+    hhmm_to_local_timestamp,
+    load_timezone_dimension,
+    with_dimension,
+    with_flight_time_utc,
+    with_utc_timestamp,
+)
+
+__all__ = [
+    "flatten",
+    "flatten_column",
+    "heal_union",
+    "with_next_event",
+    "builtin_timezone_dimension",
+    "hhmm_to_local_timestamp",
+    "load_timezone_dimension",
+    "with_dimension",
+    "with_flight_time_utc",
+    "with_utc_timestamp",
+]

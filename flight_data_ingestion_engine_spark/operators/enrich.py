@@ -1,0 +1,152 @@
+"""Dimension enrichment: broadcast joins + local-time → UTC normalization.
+
+Capability parity with the reference's enrichment stage
+(`motor_ingesta/agregaciones.py:7-51`, SURVEY.md §2.4 J1, §2.9 C1-C5):
+
+- left-join a fact against a small dimension (IATA→IANA timezone in the
+  reference) keeping unmatched rows,
+- build a local wall-clock timestamp from a date column + an integer HHmm
+  time column (3/4-digit, zero-padded; invalid values like 2400 → NULL),
+- shift it to UTC using a per-row IANA zone column.
+
+Spark-first choices:
+
+- The dimension side is explicitly `F.broadcast()`-hinted: a dimension that
+  fits in memory must never shuffle the 100 TB fact side. (The reference
+  relied on the auto-broadcast threshold.)
+- `F.try_to_timestamp` keeps the permissive NULL-on-invalid semantics on
+  Spark 4's ANSI default (the reference's golden counts depend on it).
+- `F.to_utc_timestamp` accepts a per-row Column timezone on modern Spark —
+  no `expr()` workaround, no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_dimension(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[tuple[str, str]],
+    how: str = "left",
+    broadcast: bool = True,
+    drop_keys: bool = True,
+) -> DataFrame:
+    """Join `fact` to `dim` on [(fact_col, dim_col), ...].
+
+    Defaults mirror the reference: left join (unmatched facts survive with
+    NULL dimension attributes) and the dimension's join keys dropped after.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    cond = None
+    for fc, dc in on:
+        clause = fact[fc] == d[dc]
+        cond = clause if cond is None else (cond & clause)
+    out = fact.join(d, cond, how)
+    if drop_keys:
+        for _, dc in on:
+            out = out.drop(d[dc])
+    return out
+
+
+def hhmm_to_local_timestamp(date_col: str, hhmm_col: str) -> F.Column:
+    """Build a wall-clock timestamp from a date and an integer HHmm.
+
+    Semantics (verified against the reference, SURVEY.md C1-C4):
+    - 3-digit times are zero-padded (935 → 09:35; 5 → 00:05),
+    - 2400 / 60+ minutes are invalid → NULL (try_to_timestamp),
+    - NULL HHmm → NULL.
+    """
+    padded = F.lpad(F.col(hhmm_col).cast("string"), 4, "0")
+    stamp = F.concat(
+        F.col(date_col).cast("string"),
+        F.lit(" "),
+        padded.substr(1, 2),
+        F.lit(":"),
+        padded.substr(3, 2),
+    )
+    return F.try_to_timestamp(stamp, F.lit("yyyy-MM-dd HH:mm"))
+
+
+def with_utc_timestamp(
+    df: DataFrame,
+    date_col: str,
+    hhmm_col: str,
+    tz_col: str,
+    out_col: str = "event_time_utc",
+) -> DataFrame:
+    """Attach a UTC timestamp built from local date+HHmm and a tz column.
+
+    NULL contract (reference parity): unknown timezone, NULL time, or an
+    invalid wall-clock all yield NULL in `out_col`.
+    """
+    local = hhmm_to_local_timestamp(date_col, hhmm_col)
+    return df.withColumn(out_col, F.to_utc_timestamp(local, F.col(tz_col)))
+
+
+# -- timezone dimension -------------------------------------------------------
+
+#: A built-in airport→IANA-timezone dimension covering the majors; the
+#: reference ships an 8,875-row CSV with schema (iata_code, iana_tz,
+#: windows_tz) — production deployments load their full catalog with
+#: :func:`load_timezone_dimension`. Built-in rows cover the golden tests
+#: (JFK/ABE) and one airport per major US zone + a few international.
+_BUILTIN_TIMEZONES: list[tuple[str, str]] = [
+    ("JFK", "America/New_York"),
+    ("LGA", "America/New_York"),
+    ("EWR", "America/New_York"),
+    ("ABE", "America/New_York"),
+    ("BOS", "America/New_York"),
+    ("ATL", "America/New_York"),
+    ("MIA", "America/New_York"),
+    ("ORD", "America/Chicago"),
+    ("DFW", "America/Chicago"),
+    ("IAH", "America/Chicago"),
+    ("MSP", "America/Chicago"),
+    ("DEN", "America/Denver"),
+    ("SLC", "America/Denver"),
+    ("PHX", "America/Phoenix"),
+    ("LAX", "America/Los_Angeles"),
+    ("SFO", "America/Los_Angeles"),
+    ("SEA", "America/Los_Angeles"),
+    ("SAN", "America/Los_Angeles"),
+    ("ANC", "America/Anchorage"),
+    ("HNL", "Pacific/Honolulu"),
+    ("SJU", "America/Puerto_Rico"),
+    ("LHR", "Europe/London"),
+    ("CDG", "Europe/Paris"),
+    ("MAD", "Europe/Madrid"),
+    ("NRT", "Asia/Tokyo"),
+    ("SYD", "Australia/Sydney"),
+]
+
+
+def builtin_timezone_dimension(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_BUILTIN_TIMEZONES, "iata_code string, iana_tz string")
+
+
+def load_timezone_dimension(spark: SparkSession, csv_path: str) -> DataFrame:
+    """Load a full (iata_code, iana_tz[, ...]) CSV catalog, projected to 2 cols."""
+    return (
+        spark.read.option("header", "true").csv(csv_path).select("iata_code", "iana_tz")
+    )
+
+
+def with_flight_time_utc(
+    df: DataFrame,
+    timezones: DataFrame,
+    origin_col: str = "Origin",
+    date_col: str = "FlightDate",
+    deptime_col: str = "DepTime",
+    out_col: str = "FlightTime",
+) -> DataFrame:
+    """The reference's full enrichment (EP3a) as one composable op:
+    broadcast tz join on IATA → local timestamp → UTC shift → keys dropped.
+    """
+    joined = with_dimension(df, timezones, on=[(origin_col, "iata_code")])
+    out = with_utc_timestamp(joined, date_col, deptime_col, "iana_tz", out_col)
+    return out.drop("iana_tz")

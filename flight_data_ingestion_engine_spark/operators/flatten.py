@@ -1,0 +1,115 @@
+"""Recursive flattening of nested struct/array (and map) columns.
+
+Capability parity with the reference's signature operator
+(`motor_ingesta/motor_ingesta.py:47-75`, SURVEY.md §2.3): repeatedly rewrite
+the projection until no nested field remains. Semantics preserved exactly:
+
+- Arrays are exploded with INNER semantics — rows whose array is empty or
+  NULL are dropped (verified reference behavior; use ``outer=True`` for the
+  row-preserving variant).
+- Structs are star-expanded.
+- Each pass strictly reduces nesting depth, so recursion terminates.
+
+Differences from the reference (deliberate, documented):
+
+- The schema walk uses ``df.schema`` (StructType objects) directly instead
+  of round-tripping through ``schema.jsonValue()``.
+- Multiple arrays at the same level are exploded **sequentially, one per
+  pass** — on Spark 3.5 two generators in one select raise
+  ``UNSUPPORTED_GENERATOR.MULTI_GENERATOR`` and on 4.x they silently produce
+  a cross product; exploding one per pass gives the same cross-product rows
+  on every Spark version, deterministically.
+- Maps (absent in the reference) explode to ``<name>_key`` / ``<name>_value``.
+- Name collisions (undefined behavior in the reference) are resolved by
+  prefixing child fields with ``<parent><sep>`` when ``prefix=True``, or
+  raised as an error otherwise.
+
+Everything is pure logical-plan rewriting: each pass adds one ``select`` to
+the plan; Catalyst collapses adjacent projections, so the physical plan is a
+single generate/project chain with column pruning intact — no jobs run
+during flattening, and no Python executes per row at any point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_nested(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
+def flatten(
+    df: DataFrame,
+    outer: bool = False,
+    prefix: bool = False,
+    sep: str = "_",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Flatten all nested columns of `df` to a purely scalar schema.
+
+    outer: if True, use explode_outer (keep rows with empty/NULL arrays);
+        default False matches the reference's row-dropping inner explode.
+    prefix: if True, child fields are renamed ``<parent><sep><child>``;
+        if False, children keep their own names and a collision raises.
+    """
+    explode_fn = F.explode_outer if outer else F.explode
+
+    for _ in range(max_depth):
+        fields = df.schema.fields
+        if not any(_is_nested(f.dataType) for f in fields):
+            return df
+
+        cols: list[Column] = []
+        out_names: list[str] = []
+        exploded_one = False  # one generator per pass (version-stable semantics)
+        for f in fields:
+            dt = f.dataType
+            if isinstance(dt, T.ArrayType):
+                if exploded_one:
+                    cols.append(F.col(f.name))  # next pass
+                    out_names.append(f.name)
+                else:
+                    cols.append(explode_fn(F.col(f.name)).alias(f.name))
+                    out_names.append(f.name)
+                    exploded_one = True
+            elif isinstance(dt, T.MapType):
+                if exploded_one:
+                    cols.append(F.col(f.name))
+                    out_names.append(f.name)
+                else:
+                    k, v = f"{f.name}{sep}key", f"{f.name}{sep}value"
+                    cols.append(explode_fn(F.col(f.name)).alias(k, v))
+                    out_names.extend([k, v])
+                    exploded_one = True
+            elif isinstance(dt, T.StructType):
+                for child in dt.fields:
+                    out_name = f"{f.name}{sep}{child.name}" if prefix else child.name
+                    cols.append(F.col(f"`{f.name}`.`{child.name}`").alias(out_name))
+                    out_names.append(out_name)
+            else:
+                cols.append(F.col(f.name))
+                out_names.append(f.name)
+
+        dupes = {n for n in out_names if out_names.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                f"flatten: name collision on {sorted(dupes)}; "
+                "re-run with prefix=True or rename the parents first"
+            )
+        df = df.select(cols)
+
+    raise ValueError(f"flatten: nesting deeper than max_depth={max_depth}")
+
+
+def flatten_column(df: DataFrame, column: str, schema: T.DataType | str, **kwargs) -> DataFrame:
+    """Parse a JSON string column and flatten it into the row.
+
+    The common ingestion shape at scale: a `props`/`payload` JSON string
+    column beside scalar columns. `from_json` with an explicit schema stays
+    JVM-side (no Python), then the standard flatten applies.
+    """
+    parsed = df.withColumn(column, F.from_json(F.col(column), schema))
+    return flatten(parsed, **kwargs)

@@ -1,0 +1,77 @@
+"""Next-event attribution: per-key `lead()` windows + seconds-until-next.
+
+Capability parity with the reference's core analytic
+(`motor_ingesta/agregaciones.py:54-78`, SURVEY.md §2.6 W1-W3): for each
+partition key (airport / user / device), order events by time and attach
+
+- ``<time>_next``  — the following event's timestamp,
+- ``<attr>_next``  — the following event's attribute(s),
+- ``diff_next``    — seconds between this event and the next (bigint),
+
+with NULLs on each partition's last event.
+
+Physical shape: one hash-partition shuffle on the key + in-partition sort,
+then a single WindowExec computes every lead — Catalyst shares the window
+frame across all the lead expressions, so adding attributes is free.
+At 100 TB the shuffle is the cost; if downstream also aggregates by the
+same key, pre-`repartition(key)` once and both stages reuse the exchange.
+A skewed key (one mega-airport) is bounded by per-key data, not total data;
+AQE skew handling does not apply to windows, so for pathological keys
+pre-split by a salt on a coarser time bucket and heal at bucket edges
+(same union-heal trick as the incremental pipeline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_next_event(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    time_col: str,
+    attrs: Sequence[str] = (),
+    tiebreakers: Sequence[str] = (),
+    suffix: str = "_next",
+    diff_col: str = "diff_next",
+) -> DataFrame:
+    """Attach next-event columns per partition key.
+
+    tiebreakers: extra ordering columns after `time_col` — REQUIRED for
+        deterministic output when (key, time) can repeat (at scale it will).
+    """
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [F.col(time_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+
+    out = df
+    for a in attrs:
+        out = out.withColumn(f"{a}{suffix}", F.lead(a).over(w))
+    out = out.withColumn(f"{time_col}{suffix}", F.lead(time_col).over(w))
+    if diff_col:
+        out = out.withColumn(
+            diff_col,
+            (F.col(f"{time_col}{suffix}").cast("long") - F.col(time_col).cast("long")).cast("bigint"),
+        )
+    return out
+
+
+def heal_union(
+    previous: DataFrame | None,
+    current: DataFrame,
+) -> DataFrame:
+    """Union an already-processed slice with a new slice for re-windowing.
+
+    The cross-boundary heal (reference `flujo_diario.py:49-58`): the previous
+    slice's last-per-key rows carry NULL `_next` columns; after
+    `unionByName(..., allowMissingColumns=True)` + re-running
+    :func:`with_next_event` over the combined set, those NULLs are filled by
+    the new slice's first events. Schema evolution is free: columns missing
+    on either side become NULL.
+    """
+    if previous is None:
+        return current
+    return previous.unionByName(current, allowMissingColumns=True)

@@ -1,0 +1,108 @@
+"""Incremental batch pipeline: ingest → enrich → cross-slice heal → overwrite.
+
+Capability parity with the reference's orchestrator
+(`motor_ingesta/flujo_diario.py:27-74`, SURVEY.md §3 EP1), generalized:
+
+1. ingest a new slice (one day's file) and cache it — it feeds ≥3 consumers,
+2. enrich (UTC normalization),
+3. find the previous partition(s) of the output table; if the table doesn't
+   exist yet (first run) proceed with the new slice alone,
+4. `unionByName(allowMissingColumns=True)` the previous slice with the new
+   one — schema evolution + the `_next`-NULL heal input,
+5. re-run next-event attribution over the union so the previous slice's
+   last-per-key rows pick up their successors from the new slice,
+6. materialize (lineage break — we overwrite a table we read), then
+   dynamic-partition-overwrite exactly the touched partitions.
+
+Generalizations over the reference (deliberate):
+- the slice's date is taken as `max(partition_col)` via an aggregate, not
+  `first()` on an assumed single-day frame — multi-day backfills work;
+- the previous-slice probe handles multiple partition values (a slice
+  spanning N days heals against each day's predecessor);
+- the lineage break defaults to `localCheckpoint` (no staging-table DDL on
+  the hot path) with the staging-table variant available for durability.
+
+At 100 TB: the expensive stages are the window shuffle (keyed by the
+attribution key) and the write shuffle (keyed by partition date). Both key
+sets are stable day over day; the previous-partition read is partition-pruned
+to ~1/N of the table, so daily cost is O(slice), not O(history).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.next_event import heal_union, with_next_event
+from flight_data_ingestion_engine_spark.sources.sinks import (
+    drop_staging,
+    materialize,
+    write_partitioned_table,
+)
+
+
+@dataclass
+class IncrementalPipeline:
+    """Config for the generalized daily incremental load."""
+
+    table: str
+    partition_col: str = "FlightDate"
+    key_col: str = "Origin"
+    time_col: str = "FlightTime"
+    attrs: Sequence[str] = ("Reporting_Airline",)
+    tiebreakers: Sequence[str] = ()
+    target_partitions: int | None = None
+    staging_table: str | None = None  # None → localCheckpoint lineage break
+
+    def previous_slice(self, spark: SparkSession, dates: list[dt.date]) -> DataFrame | None:
+        """Partition-pruned read of the day before each loaded date.
+
+        Returns None when the output table doesn't exist yet (first run).
+        A present-but-empty partition still takes the union path (reference
+        parity: the probe never counts).
+        """
+        prev_dates = sorted({d - dt.timedelta(days=1) for d in dates} - set(dates))
+        if not prev_dates:
+            return None
+        try:
+            table_df = spark.read.table(self.table)
+        except Exception:
+            return None
+        return table_df.where(F.col(self.partition_col).isin(prev_dates))
+
+    def run(self, spark: SparkSession, slice_df: DataFrame) -> DataFrame:
+        """Process one enriched slice into the output table; returns what was written."""
+        cached = slice_df.cache()
+        try:
+            dates = [
+                r[0]
+                for r in cached.select(self.partition_col).distinct().collect()
+                if r[0] is not None
+            ]
+            previous = self.previous_slice(spark, dates)
+            unioned = heal_union(previous, cached)
+            if previous is not None:
+                # lineage break: about to overwrite partitions we just read
+                unioned = materialize(unioned, spark, self.staging_table)
+            healed = with_next_event(
+                unioned,
+                partition_by=self.key_col,
+                time_col=self.time_col,
+                attrs=self.attrs,
+                tiebreakers=self.tiebreakers,
+            )
+            write_partitioned_table(
+                healed,
+                self.table,
+                partition_by=[self.partition_col],
+                target_partitions=self.target_partitions,
+            )
+            if self.staging_table:
+                drop_staging(spark, self.staging_table)
+            return spark.read.table(self.table)
+        finally:
+            cached.unpersist()

@@ -1,0 +1,43 @@
+"""Plan-inspection helpers: assert pushdown/broadcast/codegen in tests+bench."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()  # type: ignore[attr-defined]
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    """Assert a filter reached the scan (parquet PushedFilters list)."""
+    plan = explain_str(df)
+    if "PushedFilters" not in plan or fragment not in plan:
+        raise AssertionError(f"filter '{fragment}' not pushed to scan:\n{plan}")
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = explain_str(df)
+    if "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan:
+        raise AssertionError(f"no broadcast join in plan:\n{plan}")
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (bench guardrail)."""
+    return explain_str(df, "simple").count("Exchange hashpartitioning") + explain_str(
+        df, "simple"
+    ).count("Exchange rangepartitioning")

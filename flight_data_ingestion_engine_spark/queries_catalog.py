@@ -1,0 +1,195 @@
+"""The oracle-checked query catalog: one named query per engine operator.
+
+Each query is a function (spark, sf_dir) -> DataFrame exercising one operator
+from SURVEY.md §2 (or an extension operator) over the driver's testdata
+tables; ORACLE_SQL holds the DuckDB-equivalent SQL. The driver hash-compares
+the two at sf0.01 (CORRECTNESS_r{N}.json).
+
+Determinism rules (every query obeys them):
+- no unordered LIMIT without a total tiebreaker ordering,
+- window orderings carry a unique tiebreaker column,
+- double aggregates go through DECIMAL intermediates on both sides
+  (exact, order-independent), cast to double at the end,
+- timestamps: session tz pinned to UTC; second-diffs via floor(epoch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.flatten import flatten_column
+from flight_data_ingestion_engine_spark.operators.next_event import with_next_event
+from flight_data_ingestion_engine_spark.operators.enrich import with_dimension
+from flight_data_ingestion_engine_spark.session import ensure_session_defaults
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        wrapped.__name__ = name
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing physical quirks.
+
+    The driver's events.parquet stores `ts` as Parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; with
+    `spark.sql.legacy.parquet.nanosAsLong` it reads as a nanos bigint, which
+    we convert back to a proper timestamp (truncated to micros — Spark's
+    native resolution).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div` (not `/`): nanos ≈ 1.7e18 exceeds double's exact
+            # integer range, so float division would corrupt microseconds
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# W1-W3: next-event attribution (the reference's core analytic)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "next_event",
+    """
+    SELECT user_id, event_id, ts, event_type,
+           LEAD(event_type) OVER w AS event_type_next,
+           LEAD(ts)         OVER w AS ts_next,
+           CAST(FLOOR(EPOCH(LEAD(ts) OVER w)) - FLOOR(EPOCH(ts)) AS BIGINT) AS diff_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = with_next_event(
+        ev, partition_by="user_id", time_col="ts", attrs=["event_type"], tiebreakers=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "event_type", "event_type_next", "ts_next", "diff_next"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-series: aggregation (TPC-H Q1 shape; decimal-exact)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: left broadcast dimension join
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dim_join_left",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+           c.c_name, c.c_mktsegment, c.c_nationkey
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_dim_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    joined = with_dimension(orders, customer, on=[("o_custkey", "c_custkey")])
+    return joined.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "c_name", "c_mktsegment", "c_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F2: JSON flatten (the reference's signature operator)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "flatten_props",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    flat = flatten_column(ev, "props", "k int", prefix=True)
+    return flat.select("event_id", "user_id", "event_type", F.col("props_k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# O1: top-k by global sort
+# ---------------------------------------------------------------------------
+
+@_q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults target local[$SPARK_GRAFT_CPUS] for testing but are chosen so the
+same conf works on a multi-executor cluster: AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), UTC session timezone
+(deterministic timestamp semantics and oracle comparability), Arrow enabled
+for the few Pandas-UDF operators, and ANSI off to preserve the permissive
+NULL-on-bad-cast semantics of the reference surface (SURVEY.md §2.9 C4:
+`to_timestamp` of invalid wall-clock must yield NULL, not raise).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
+    """Apply the engine's conf to any builder (usable from tests and bench)."""
+    n = shuffle_partitions or _cpus()
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(app_name: str = "flight_data_ingestion_engine_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_cpus()}]")
+    return tune(SparkSession.builder.appName(app_name).master(master), shuffle_partitions).getOrCreate()
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Set the runtime-mutable confs the engine's semantics rely on.
+
+    Used when the session is created by a host (e.g. the verify driver):
+    static confs can't change, but session timezone / ANSI / AQE can.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass  # static conf on some builds; semantics then guarded by try_* functions
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark

@@ -1,0 +1,23 @@
+"""Sources & sinks: batch + streaming readers, partitioned incremental writes."""
+
+from flight_data_ingestion_engine_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_table_partition,
+    ingest_json,
+)
+from flight_data_ingestion_engine_spark.sources.sinks import (
+    write_partitioned_table,
+    materialize,
+)
+
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_table_partition",
+    "ingest_json",
+    "write_partitioned_table",
+    "materialize",
+]

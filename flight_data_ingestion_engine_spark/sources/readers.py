@@ -1,0 +1,99 @@
+"""Batch readers. Streaming twins live in `streaming/file_stream.py`.
+
+Capability parity: the reference reads schema-inferred JSON
+(`motor_ingesta/motor_ingesta.py:24-36`), a header+inferSchema CSV dimension
+(`agregaciones.py:23-30`), and a catalog table with a partition filter
+(`flujo_diario.py:43`). SURVEY.md §2.1 S1-S3.
+
+Scale notes baked in:
+
+- JSON schema inference samples the input (an extra scan) — callers on the
+  100 TB path should pass an explicit schema or a `DeclaredSchema`; the
+  inference path is kept for interactive/first-contact use, with
+  `samplingRatio` exposed so inference doesn't read the world.
+- Parquet is the default columnar source: predicate pushdown + column
+  pruning verified in `plans.assert_pushed_filters` (tests call it).
+- The catalog-table partition read keeps the filter as a Column on the
+  partition key so `PruneFileSourcePartitions` prunes at planning time.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flight_data_ingestion_engine_spark.config import DeclaredSchema
+from flight_data_ingestion_engine_spark.operators.flatten import flatten
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = False,
+    sampling_ratio: float | None = None,
+    **options: Any,
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif sampling_ratio is not None:
+        reader = reader.option("samplingRatio", str(sampling_ratio))
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: Any,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def read_table_partition(
+    spark: SparkSession, table: str, partition_col: str, value: Any
+) -> DataFrame:
+    """Read exactly one partition of a catalog table (planning-time pruned)."""
+    return spark.read.table(table).where(F.col(partition_col) == F.lit(value))
+
+
+def ingest_json(
+    spark: SparkSession,
+    path: str,
+    declared: DeclaredSchema | None = None,
+    schema: T.StructType | str | None = None,
+    outer_explode: bool = False,
+    **options: Any,
+) -> DataFrame:
+    """The reference's full ingest (EP2) as one op: read JSON → recursively
+    flatten → project/cast to the declared schema with comment metadata.
+
+    With `declared=None` the flattened frame is returned as-is (schema
+    discovery mode).
+    """
+    raw = read_json(spark, path, schema=schema, **options)
+    flat = flatten(raw, outer=outer_explode)
+    return declared.apply(flat) if declared is not None else flat

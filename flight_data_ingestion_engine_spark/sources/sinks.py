@@ -1,0 +1,96 @@
+"""Sinks: dynamic-partition-overwrite tables and lineage-breaking staging.
+
+Capability parity: SURVEY.md §2.1 S4-S6 — the reference writes a
+Hive-partitioned managed table with `partitionOverwriteMode=dynamic`
+(`flujo_diario.py:60-68`) and breaks lineage through a staging table before
+overwriting a table it also read from (`flujo_diario.py:52-53,70`).
+
+Scale posture:
+
+- Dynamic partition overwrite rewrites ONLY the partitions present in the
+  incoming frame — the incremental contract; at 100 TB this is what keeps a
+  daily load from touching historic partitions.
+- Output file sizing: instead of a fixed `repartition(10)` (reference), the
+  sink repartitions by the partition columns (one shuffle, co-locating each
+  partition's rows) and bounds file size with `maxRecordsPerFile`; with AQE
+  on, `coalescePartitions` right-sizes the shuffle. `target_partitions`
+  overrides for small outputs.
+- Lineage break: `materialize` offers `localCheckpoint` (fast, cluster-local,
+  non-resumable) or a staging table (durable, the reference's approach).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    target_partitions: int | None = None,
+    max_records_per_file: int | None = 5_000_000,
+    format: str = "parquet",
+) -> None:
+    if partition_by:
+        df = (
+            df.repartition(target_partitions, *[F.col(c) for c in partition_by])
+            if target_partitions
+            else df.repartition(*[F.col(c) for c in partition_by])
+        )
+    writer = df.write.mode(mode).format(format)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def write_partitioned_path(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    format: str = "parquet",
+) -> None:
+    if partition_by:
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    writer = df.write.mode(mode).format(format)
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def materialize(
+    df: DataFrame,
+    spark: SparkSession | None = None,
+    staging_table: str | None = None,
+) -> DataFrame:
+    """Break lineage so a downstream write can overwrite an upstream source.
+
+    Spark refuses (or corrupts, depending on source) a write that overwrites
+    a table/path the plan also reads; the fix is a materialization barrier.
+    `staging_table=None` → `localCheckpoint(eager=True)` (executor-local
+    blocks, no catalog object, fastest). With a staging table name, the
+    frame is written out and re-read — durable across executor loss, the
+    reference's choice; call `drop_staging` after the final write.
+    """
+    if staging_table is None:
+        return df.localCheckpoint(eager=True)
+    assert spark is not None, "staging-table materialization needs the session"
+    df.write.mode("overwrite").saveAsTable(staging_table)
+    return spark.read.table(staging_table)
+
+
+def drop_staging(spark: SparkSession, staging_table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table}")

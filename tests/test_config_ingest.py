@@ -1,0 +1,77 @@
+"""Declared-schema ingestion (SURVEY.md §2.2 P1, §3 EP2; FIXTURES.md F1)."""
+
+from __future__ import annotations
+
+import json
+
+from flight_data_ingestion_engine_spark.config import DeclaredSchema
+from flight_data_ingestion_engine_spark.sources.readers import ingest_json
+
+PERSON_CFG = {
+    "data_columns": [
+        {"name": "nombre", "type": "string", "comment": "first name"},
+        {"name": "parentesco", "type": "string"},
+        {"name": "numero", "type": "int"},
+        {"name": "profesion", "type": "string"},
+    ]
+}
+
+
+def test_nested_person_golden(spark, tmp_path):
+    # the reference's end-to-end ingest golden (FIXTURES.md F1)
+    p = tmp_path / "person.json"
+    p.write_text(
+        json.dumps(
+            {
+                "nombre": "Juan",
+                "familiares": [{"parentesco": "sobrino", "numero": 3}],
+                "profesion": "Ingeniero",
+            }
+        )
+    )
+    out = ingest_json(spark, str(p), DeclaredSchema.from_dict(PERSON_CFG))
+    assert out.columns == ["nombre", "parentesco", "numero", "profesion"]
+    row = out.first()
+    assert (row.nombre, row.parentesco, row.numero, row.profesion) == (
+        "Juan",
+        "sobrino",
+        3,
+        "Ingeniero",
+    )
+    assert out.count() == 1
+
+
+def test_empty_and_null_array_rows_dropped(spark, tmp_path):
+    # inner-explode ingest semantics (verified reference behavior)
+    p = tmp_path / "people.json"
+    lines = [
+        {"nombre": "A", "familiares": [{"parentesco": "x", "numero": 1}], "profesion": "p"},
+        {"nombre": "B", "familiares": [], "profesion": "q"},
+        {"nombre": "C", "profesion": "r"},
+    ]
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+    out = ingest_json(spark, str(p), DeclaredSchema.from_dict(PERSON_CFG))
+    assert [r.nombre for r in out.collect()] == ["A"]
+
+
+def test_comment_metadata_survives(spark, tmp_path):
+    p = tmp_path / "person.json"
+    p.write_text(json.dumps({"nombre": "Juan", "familiares": [{"parentesco": "s", "numero": 1}], "profesion": "I"}))
+    out = ingest_json(spark, str(p), DeclaredSchema.from_dict(PERSON_CFG))
+    assert out.schema["nombre"].metadata == {"comment": "first name"}
+
+
+def test_try_cast_bad_values_null(spark, tmp_path):
+    # permissive cast: non-numeric into int → NULL, row survives (ANSI-safe)
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"nombre": "X", "familiares": [{"parentesco": "y", "numero": "not_a_number"}], "profesion": "Z"}))
+    out = ingest_json(spark, str(p), DeclaredSchema.from_dict(PERSON_CFG))
+    row = out.first()
+    assert row.numero is None and row.nombre == "X"
+
+
+def test_declared_schema_struct_type_roundtrip():
+    ds = DeclaredSchema.from_dict(PERSON_CFG)
+    st = ds.to_struct_type()
+    assert [f.name for f in st.fields] == ["nombre", "parentesco", "numero", "profesion"]
+    assert st["nombre"].metadata == {"comment": "first name"}

@@ -1,0 +1,52 @@
+"""Enrichment: tz join + HHmm→UTC semantics (SURVEY.md §2.4 J1, §2.9 C1-C5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from flight_data_ingestion_engine_spark.operators.enrich import (
+    builtin_timezone_dimension,
+    with_dimension,
+    with_flight_time_utc,
+)
+from flight_data_ingestion_engine_spark.plans import assert_broadcast_join
+
+
+def _flights(spark, rows):
+    return spark.createDataFrame(rows, "Origin string, FlightDate string, DepTime int")
+
+
+def test_jfk_winter_utc_golden(spark):
+    # reference golden (BASELINE.md): JFK 2023-12-25 15:35 local → 20:35 UTC (EST)
+    df = _flights(spark, [("JFK", "2023-12-25", 1535)])
+    out = with_flight_time_utc(df, builtin_timezone_dimension(spark))
+    assert out.first().FlightTime == dt.datetime(2023, 12, 25, 20, 35)
+
+
+def test_three_digit_and_single_digit_deptime(spark):
+    # verified reference: DepTime=5 → 00:05 local (lpad)
+    df = _flights(spark, [("JFK", "2023-06-01", 5), ("JFK", "2023-06-01", 935)])
+    out = with_flight_time_utc(df, builtin_timezone_dimension(spark))
+    got = sorted(r.FlightTime for r in out.collect())
+    # EDT = UTC-4 in June
+    assert got == [dt.datetime(2023, 6, 1, 4, 5), dt.datetime(2023, 6, 1, 13, 35)]
+
+
+def test_null_contract(spark):
+    # 2400 invalid, NULL DepTime, unknown IATA all → NULL FlightTime
+    df = _flights(
+        spark,
+        [("JFK", "2023-01-01", 2400), ("JFK", "2023-01-01", None), ("XXX", "2023-01-01", 1200)],
+    )
+    out = with_flight_time_utc(df, builtin_timezone_dimension(spark))
+    assert [r.FlightTime for r in out.collect()] == [None, None, None]
+    assert out.count() == 3  # left join keeps unmatched rows
+
+
+def test_dimension_join_is_broadcast(spark):
+    df = _flights(spark, [("JFK", "2023-01-01", 1200)])
+    joined = with_dimension(df, builtin_timezone_dimension(spark), on=[("Origin", "iata_code")])
+    assert_broadcast_join(joined)
+    assert "iata_code" not in joined.columns  # keys dropped after enrichment

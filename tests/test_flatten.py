@@ -1,0 +1,82 @@
+"""Flatten operator: semantics parity with SURVEY.md §2.3 (F1/F2) + extensions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from flight_data_ingestion_engine_spark.operators.flatten import flatten, flatten_column
+
+
+def test_mixed_nesting_column_set(spark):
+    # the reference's test_aplana shape (FIXTURES.md F2): struct + scalars + array<struct>
+    df = spark.createDataFrame(
+        [
+            Row(
+                tupla=Row(a1="1", a2="2", a3="3", a4="4"),
+                nombre="n",
+                edad=33,
+                amigos=[Row(b1="x", b2="y"), Row(b1="p", b2="q")],
+            )
+        ]
+    )
+    flat = flatten(df)
+    assert set(flat.columns) == {"a1", "a2", "a3", "a4", "nombre", "edad", "b1", "b2"}
+    assert flat.count() == 2  # 2-element array explodes to 2 rows
+
+
+def test_inner_explode_drops_empty_and_null(spark):
+    # verified reference behavior: empty/NULL arrays drop the row
+    df = spark.createDataFrame(
+        [Row(id=1, xs=[10, 20]), Row(id=2, xs=[]), Row(id=3, xs=None)],
+        "id int, xs array<int>",
+    )
+    assert flatten(df).count() == 2
+    assert flatten(df, outer=True).count() == 4  # outer keeps rows (NULL element)
+
+
+def test_deep_nesting_and_array_of_structs(spark):
+    df = spark.createDataFrame(
+        [Row(a=Row(b=Row(c=1, d=[Row(e=2), Row(e=3)])), f="s")]
+    )
+    flat = flatten(df)
+    assert set(flat.columns) == {"c", "e", "f"}
+    assert [r.e for r in flat.orderBy("e").collect()] == [2, 3]
+
+
+def test_two_arrays_same_level_cross_product(spark):
+    # documented semantics: sequential explode → cross product, version-stable
+    df = spark.createDataFrame([Row(id=1, xs=[1, 2], ys=["a", "b", "c"])])
+    flat = flatten(df)
+    assert flat.count() == 6
+
+
+def test_map_column_explodes_to_key_value(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, m={"a": 1, "b": 2})], "id int, m map<string,int>"
+    )
+    flat = flatten(df)
+    assert set(flat.columns) == {"id", "m_key", "m_value"}
+    assert flat.count() == 2
+
+
+def test_name_collision_raises_unless_prefixed(spark):
+    df = spark.createDataFrame([Row(id=1, s=Row(id=2))])
+    with pytest.raises(ValueError, match="collision"):
+        flatten(df)
+    flat = flatten(df, prefix=True)
+    assert set(flat.columns) == {"id", "s_id"}
+
+
+def test_flatten_json_string_column(spark):
+    df = spark.createDataFrame([Row(id=1, props='{"k": 5, "tags": ["a","b"]}')])
+    flat = flatten_column(df, "props", "k int, tags array<string>", prefix=True)
+    assert set(flat.columns) == {"id", "props_k", "props_tags"}
+    assert flat.count() == 2  # tags exploded
+
+
+def test_flatten_is_pure_plan_rewrite(spark):
+    # no jobs should run during flatten (schema-only); proxy: plan builds lazily
+    df = spark.createDataFrame([Row(a=Row(b=1))])
+    flat = flatten(df)
+    assert "b" in flat.columns  # schema resolved without an action

@@ -1,0 +1,88 @@
+"""Next-event attribution + cross-slice heal (SURVEY.md §2.6, §2.8 U1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flight_data_ingestion_engine_spark.operators.next_event import heal_union, with_next_event
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "Origin string, FlightTime timestamp, Reporting_Airline string"
+    )
+
+
+def test_two_flights_interval_golden(spark):
+    # reference golden: JFK pair 2h apart → diff_next=7200, Airline_next=Iberia
+    df = _df(
+        spark,
+        [
+            ("JFK", dt.datetime(2023, 12, 25, 15, 35), "American_Airlines"),
+            ("JFK", dt.datetime(2023, 12, 25, 17, 35), "Iberia"),
+        ],
+    )
+    out = with_next_event(
+        df, partition_by="Origin", time_col="FlightTime", attrs=["Reporting_Airline"]
+    ).orderBy("FlightTime")
+    first, last = out.collect()
+    assert first.diff_next == 7200
+    assert first.Reporting_Airline_next == "Iberia"
+    assert first.FlightTime_next == dt.datetime(2023, 12, 25, 17, 35)
+    assert last.diff_next is None and last.Reporting_Airline_next is None
+
+
+def test_single_event_partition_all_null(spark):
+    df = _df(spark, [("LAX", dt.datetime(2023, 1, 1, 10, 0), "AA")])
+    row = with_next_event(
+        df, partition_by="Origin", time_col="FlightTime", attrs=["Reporting_Airline"]
+    ).first()
+    assert row.diff_next is None and row.FlightTime_next is None
+
+
+def test_cross_slice_heal(spark):
+    # day-1 last flight's _next NULLs healed by day-2 first flight (U1 semantics)
+    day1 = with_next_event(
+        _df(spark, [("ABE", dt.datetime(2023, 1, 1, 17, 34), "OO")]),
+        partition_by="Origin",
+        time_col="FlightTime",
+        attrs=["Reporting_Airline"],
+    )
+    day2 = _df(spark, [("ABE", dt.datetime(2023, 1, 2, 5, 51), "YX")])
+    healed = with_next_event(
+        heal_union(day1, day2),
+        partition_by="Origin",
+        time_col="FlightTime",
+        attrs=["Reporting_Airline"],
+    )
+    first = healed.orderBy("FlightTime").first()
+    # 2023-01-01 17:34 → 2023-01-02 05:51 = 44,220 s (the reference's golden heal)
+    assert first.diff_next == 44220
+    assert first.Reporting_Airline_next == "YX"
+
+
+def test_heal_union_schema_evolution(spark):
+    # unionByName(allowMissingColumns): missing _next columns become NULL
+    prev = with_next_event(
+        _df(spark, [("JFK", dt.datetime(2023, 1, 1, 10, 0), "AA")]),
+        partition_by="Origin",
+        time_col="FlightTime",
+        attrs=["Reporting_Airline"],
+    )
+    cur = _df(spark, [("JFK", dt.datetime(2023, 1, 2, 10, 0), "B6")])
+    u = heal_union(prev, cur)
+    assert set(u.columns) == set(prev.columns)
+    assert u.count() == 2
+
+
+def test_tiebreaker_determinism(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2023, 1, 1, 10, 0), 2),
+            ("u1", dt.datetime(2023, 1, 1, 10, 0), 1),
+        ],
+        "k string, t timestamp, id int",
+    )
+    out = with_next_event(df, partition_by="k", time_col="t", tiebreakers=["id"])
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].diff_next == 0 and rows[2].diff_next is None

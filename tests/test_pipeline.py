@@ -1,0 +1,82 @@
+"""Incremental pipeline: first run, two-day heal, dynamic overwrite (EP1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flight_data_ingestion_engine_spark.pipeline import IncrementalPipeline
+
+
+@pytest.fixture
+def warehouse_spark(spark, tmp_path_factory):
+    return spark
+
+
+def _slice(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "FlightDate date, Origin string, FlightTime timestamp, Reporting_Airline string",
+    )
+
+
+def test_two_day_incremental_heal(spark):
+    spark.sql("DROP TABLE IF EXISTS fdie_test_flights")
+    pipe = IncrementalPipeline(
+        table="fdie_test_flights",
+        partition_col="FlightDate",
+        key_col="Origin",
+        time_col="FlightTime",
+        attrs=("Reporting_Airline",),
+        target_partitions=2,
+    )
+
+    d1, d2 = dt.date(2023, 1, 1), dt.date(2023, 1, 2)
+    day1 = _slice(
+        spark,
+        [
+            (d1, "ABE", dt.datetime(2023, 1, 1, 17, 34), "OO"),
+            (d1, "JFK", dt.datetime(2023, 1, 1, 9, 0), "AA"),
+            (d1, "JFK", dt.datetime(2023, 1, 1, 11, 0), "B6"),
+        ],
+    )
+    out1 = pipe.run(spark, day1)
+    assert out1.count() == 3
+    abe1 = out1.where("Origin = 'ABE'").first()
+    assert abe1.diff_next is None  # nothing after day-1's last ABE flight yet
+
+    day2 = _slice(spark, [(d2, "ABE", dt.datetime(2023, 1, 2, 5, 51), "YX")])
+    out2 = pipe.run(spark, day2)
+    assert out2.count() == 4
+    healed = out2.where("Origin = 'ABE' AND FlightDate = '2023-01-01'").first()
+    assert healed.diff_next == 44220  # reference's golden cross-day heal
+    assert healed.Reporting_Airline_next == "YX"
+    # day-1 JFK rows were rewritten (dynamic overwrite touched day-1 partition)
+    jfk = out2.where("Origin = 'JFK'").orderBy("FlightTime").collect()
+    assert jfk[0].diff_next == 7200
+    spark.sql("DROP TABLE IF EXISTS fdie_test_flights")
+
+
+def test_multi_day_slice_single_run(spark):
+    # generalization over the reference: one run may carry several dates
+    spark.sql("DROP TABLE IF EXISTS fdie_test_flights2")
+    pipe = IncrementalPipeline(
+        table="fdie_test_flights2",
+        partition_col="FlightDate",
+        key_col="Origin",
+        time_col="FlightTime",
+        attrs=("Reporting_Airline",),
+        target_partitions=2,
+    )
+    both = _slice(
+        spark,
+        [
+            (dt.date(2023, 1, 1), "ABE", dt.datetime(2023, 1, 1, 17, 34), "OO"),
+            (dt.date(2023, 1, 2), "ABE", dt.datetime(2023, 1, 2, 5, 51), "YX"),
+        ],
+    )
+    out = pipe.run(spark, both)
+    first = out.orderBy("FlightTime").first()
+    assert first.diff_next == 44220
+    spark.sql("DROP TABLE IF EXISTS fdie_test_flights2")

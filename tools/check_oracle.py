@@ -1,0 +1,112 @@
+"""Self-check harness mimicking the driver's oracle comparison.
+
+Runs every `queries()` entry against its `oracle_sql()` DuckDB twin at a
+given scale factor and compares row count, column names, and exact values
+(order-insensitive: columns sorted by name, rows sorted by all columns).
+Stricter than a hash compare — if this passes, any sane hash compare passes.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable total ordering incl. NaN/None/timestamps
+    as_str = df.astype(str)
+    order = as_str.sort_values(by=list(as_str.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row count differs: {len(a)} vs {len(b)}"
+    na, nb = normalize(a), normalize(b)
+    for c in na.columns:
+        ca, cb = na[c], nb[c]
+        if ca.astype(str).equals(cb.astype(str)):
+            continue
+        # numeric columns: require exactness to 1e-9 relative (driver hashes —
+        # we flag anything not bit-close so decimal paths get fixed)
+        try:
+            import numpy as np
+
+            fa = pd.to_numeric(ca, errors="raise").astype(float)
+            fb = pd.to_numeric(cb, errors="raise").astype(float)
+            if np.allclose(fa, fb, rtol=1e-12, atol=1e-12, equal_nan=True):
+                continue
+            bad = (~np.isclose(fa, fb, rtol=1e-12, atol=1e-12, equal_nan=True)).to_numpy().nonzero()[0][:3]
+            return False, f"col {c} differs at rows {bad.tolist()}: {fa.iloc[bad[0]]} vs {fb.iloc[bad[0]]}"
+        except Exception:
+            diffs = (ca.astype(str) != cb.astype(str)).to_numpy().nonzero()[0][:3]
+            return False, f"col {c} differs at rows {diffs.tolist()}: {ca.iloc[diffs[0]]!r} vs {cb.iloc[diffs[0]]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if "/" not in a)
+
+    import __spark_entry__ as entry_mod
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"skip  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok, msg = values_equal(sdf, ddf)
+        status = "ok   " if ok else "FAIL "
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: {msg} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

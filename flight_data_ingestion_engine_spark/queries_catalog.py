@@ -193,3 +193,382 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# C1-C4: scalar functions — lpad/concat/substr + permissive timestamp parse
+# (the reference's HHmm wall-clock build, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scalar_hhmm_parse",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CAST(ts AS DATE) AS d,
+             CASE WHEN event_id % 97 = 0 THEN 2400
+                  ELSE CAST(EXTRACT(hour FROM ts) * 100 + EXTRACT(minute FROM ts) AS INTEGER)
+             END AS hhmm
+      FROM events
+    )
+    SELECT event_id,
+           LPAD(CAST(hhmm AS VARCHAR), 4, '0') AS hhmm_padded,
+           SUBSTR(LPAD(CAST(hhmm AS VARCHAR), 4, '0'), 1, 2) AS hh,
+           SUBSTR(LPAD(CAST(hhmm AS VARCHAR), 4, '0'), 3, 2) AS mm,
+           TRY_STRPTIME(
+             CONCAT(CAST(d AS VARCHAR), ' ',
+                    SUBSTR(LPAD(CAST(hhmm AS VARCHAR), 4, '0'), 1, 2), ':',
+                    SUBSTR(LPAD(CAST(hhmm AS VARCHAR), 4, '0'), 3, 2)),
+             '%Y-%m-%d %H:%M') AS parsed_ts
+    FROM base
+    """,
+)
+def q_scalar_hhmm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.enrich import hhmm_to_local_timestamp
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("d"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(2400))
+        .otherwise((F.hour("ts") * 100 + F.minute("ts")).cast("int"))
+        .alias("hhmm"),
+    )
+    padded = F.lpad(F.col("hhmm").cast("string"), 4, "0")
+    return base.select(
+        "event_id",
+        padded.alias("hhmm_padded"),
+        padded.substr(1, 2).alias("hh"),
+        padded.substr(3, 2).alias("mm"),
+        hhmm_to_local_timestamp("d", "hhmm").alias("parsed_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5: local→UTC shift with a per-row timezone column (DST-free zones so both
+# engines agree on every instant; DST handling exercised in pytest goldens)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "utc_normalize",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES (0, 'Asia/Tokyo'), (1, 'America/Phoenix'),
+                            (2, 'UTC'), (3, 'Pacific/Honolulu')) AS t(tz_id, tz)
+    )
+    SELECT e.event_id, d.tz,
+           MAKE_TIMESTAMP(EPOCH_US(TIMEZONE(d.tz, e.ts))) AS ts_utc
+    FROM events e JOIN dim d ON CAST(e.user_id % 4 AS INTEGER) = d.tz_id
+    """,
+)
+def q_utc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(0, "Asia/Tokyo"), (1, "America/Phoenix"), (2, "UTC"), (3, "Pacific/Honolulu")],
+        "tz_id int, tz string",
+    )
+    from flight_data_ingestion_engine_spark.operators.enrich import with_dimension
+
+    keyed = ev.withColumn("tz_id", (F.col("user_id") % 4).cast("int"))
+    joined = with_dimension(keyed, dim, on=[("tz_id", "tz_id")], how="inner")
+    return joined.select(
+        "event_id", "tz", F.to_utc_timestamp(F.col("ts"), F.col("tz")).alias("ts_utc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: unionByName with schema evolution (allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "union_schema_evolution",
+    """
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id, event_type, NULL AS value FROM events WHERE event_type = 'error'
+    """,
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "event_type"
+    )
+    return clicks.unionByName(errors, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# set ops + distinct
+# ---------------------------------------------------------------------------
+
+@_q("distinct_types", "SELECT DISTINCT event_type, user_id FROM events")
+def q_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+
+
+@_q(
+    "semi_join",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@_q(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup + pivot
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@_q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking windows + running aggregates + sessionization
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_rank",
+    """
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           LAG(event_id) OVER w AS prev_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wt = Window.partitionBy("user_id").orderBy(F.col("event_type").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@_q(
+    "running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@_q(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 generalized: global min/max/count/count-distinct
+# ---------------------------------------------------------------------------
+
+@_q(
+    "minmax_stats",
+    """
+    SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    """,
+)
+def q_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-way join with aggregation (TPC-H Q5 shape; broadcast dims)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return joined.groupBy("n_name").agg(
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P5: filter + projection (pushdown verified in pytest via plans helpers)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R' AND l_quantity > 10
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")

@@ -1,0 +1,123 @@
+"""Deterministic hashing expressions for dedup/fingerprinting.
+
+Two families:
+
+- `xxhash64`-based (Spark built-in, JVM-vectorized) — the production scale
+  path for MinHash/SimHash/LSH. Not portable across engines, so queries
+  built on it are verified rows-only + by pytest recall tests.
+- polynomial rolling hashes over characters/tokens with explicit modular
+  arithmetic — slightly slower but bit-portable to any engine (the DuckDB
+  oracles reproduce them exactly), used where the correctness gate needs
+  cross-engine equality.
+
+All expressions stay inside whole-stage codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1; keeps a*31+c within int64 pre-mod
+
+
+def char_poly_hash(s: Column | str) -> Column:
+    """Rolling polynomial hash over a string's characters, mod 2^31-1.
+
+    h = fold(chars, 0, (acc, c) -> (acc * 31 + ascii(c)) % p). Portable:
+    the DuckDB twin is `list_reduce([ascii(c) for c in regexp_split_to_array
+    (s,'')], ...)` with identical arithmetic.
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE_31,
+    )
+
+
+def token_rolling_fingerprint(tokens: Column) -> Column:
+    """Order-sensitive document fingerprint: fold token hashes mod 2^31-1."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * 131
+            + F.aggregate(
+                F.split(t, ""),
+                F.lit(0).cast("bigint"),
+                lambda a, ch: (a * 31 + F.ascii(ch)) % MERSENNE_31,
+            )
+        )
+        % MERSENNE_31,
+    )
+
+
+def shingles(tokens: Column, n: int, sep: str = " ") -> Column:
+    """Distinct n-gram shingles of a token array (empty if < n tokens)."""
+    # guard: sequence(0, -1) would count DOWN in Spark, so gate on size >= n
+    return F.when(
+        F.size(tokens) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.concat_ws(sep, F.slice(tokens, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _mix_constants(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(num_hashes):
+        a = rng.getrandbits(64) | 1  # odd ⇒ bijective multiply on Z/2^64
+        b = rng.getrandbits(64)
+        # to signed 64-bit (Spark longs)
+        a = a - (1 << 64) if a >= (1 << 63) else a
+        b = b - (1 << 64) if b >= (1 << 63) else b
+        out.append((a, b))
+    return out
+
+
+def hash_shingles(shingle_col: Column) -> Column:
+    """xxhash64 every shingle string once → array<bigint>.
+
+    Keep this in its OWN projection (a separate `select`) when the result
+    feeds many signature expressions: higher-order array functions are
+    interpreted (CodegenFallback, no subexpression elimination), so an
+    inlined copy would re-hash every string once per consumer. Catalyst's
+    CollapseProject leaves multi-referenced non-cheap aliases alone, so the
+    two-projection shape is stable.
+    """
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashed_col: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature over PRE-HASHED shingles (see :func:`hash_shingles`).
+
+    The k "permutations" are multiply-shift mixes `h*a_i + b_i` with odd
+    a_i — bijections on Z/2^64 (64-bit wraparound is the point; requires
+    non-ANSI arithmetic, which the session pins), so each component is a
+    genuine min-of-permutation: k integer folds per row, no string hashing.
+    Empty shingle sets get a NULL signature (callers filter).
+    """
+    consts = _mix_constants(num_hashes, seed)
+
+    def mixed_min(a: int, b: int) -> Column:
+        # fold with least() directly — no intermediate mixed array to allocate
+        return F.aggregate(
+            hashed_col,
+            F.lit((1 << 63) - 1).cast("bigint"),
+            lambda acc, h: F.least(acc, h * F.lit(a) + F.lit(b)),
+        )
+
+    sig = F.array(*[mixed_min(a, b) for a, b in consts])
+    return F.when(F.size(hashed_col) > 0, sig)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

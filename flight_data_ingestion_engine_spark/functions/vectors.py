@@ -1,0 +1,64 @@
+"""Vector column expressions — all JVM-side (whole-stage-codegen friendly).
+
+Embeddings are `array<float>` columns; arithmetic is done in double after an
+element cast (float→double widening is exact, and sequential `aggregate`
+accumulation is deterministic — verified bitwise-equal to DuckDB's
+`list_dot_product` on the same data, so oracle comparisons can be exact).
+
+At 100 TB scale these expressions vectorize inside codegen; for very wide
+vectors (≥1k dims) a Pandas-UDF BLAS path wins — see
+`operators/similarity.py::topk_brute_force(pandas_udf=True)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-accumulation dot product (deterministic, oracle-exact)."""
+    da, db = to_double_array(a), to_double_array(b)
+    return F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    da, db = to_double_array(a), to_double_array(b)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(da, db, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def unit_normalize(a: Column | str) -> Column:
+    """Project to the unit sphere: v / ||v|| (NULL-safe for zero vectors).
+
+    Pre-normalizing turns cosine into a plain dot product — at pair-join
+    scale this computes each norm once per VECTOR instead of once per PAIR
+    (for an n×m candidate join that's n+m norms instead of 2·n·m).
+    """
+    da = to_double_array(a)
+    n = F.sqrt(
+        F.aggregate(da, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+    return F.transform(da, lambda x: x / n)

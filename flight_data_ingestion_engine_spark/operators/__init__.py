@@ -10,8 +10,56 @@ from flight_data_ingestion_engine_spark.operators.enrich import (
     with_flight_time_utc,
     with_utc_timestamp,
 )
+from flight_data_ingestion_engine_spark.operators.asof import asof_join
+from flight_data_ingestion_engine_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    duplicate_groups,
+    jaccard_pairs_blocked,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from flight_data_ingestion_engine_spark.operators.similarity import (
+    ivf_build_centroids,
+    ivf_topk,
+    topk_brute_force,
+    topk_lsh,
+)
+from flight_data_ingestion_engine_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_stats,
+)
+from flight_data_ingestion_engine_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    resize_plan,
+    sample_frames,
+)
 
 __all__ = [
+    "asof_join",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "duplicate_groups",
+    "jaccard_pairs_blocked",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "ivf_build_centroids",
+    "ivf_topk",
+    "topk_brute_force",
+    "topk_lsh",
+    "with_fingerprint",
+    "with_language_id",
+    "with_quality_score",
+    "with_token_stats",
+    "attach_fake_media",
+    "decode_media",
+    "resize_plan",
+    "sample_frames",
     "flatten",
     "flatten_column",
     "heal_union",

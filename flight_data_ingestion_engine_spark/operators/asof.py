@@ -1,0 +1,89 @@
+"""As-of join: attach the latest right-side row at-or-before each left time.
+
+Spark has no native ASOF JOIN; the scalable formulation is the union trick:
+
+    tag left/right → union on (key, time) → per-key window carrying the
+    last-seen right payload forward → keep left rows.
+
+One shuffle on the key (same as any keyed window), NO range cross-join, no
+per-group pandas. This is the 100 TB shape: cost ≈ sort of |L|+|R| within
+keys, versus the naive range-join's |L|×|R| blowup per key. (pd.merge_asof
+via applyInPandas is the fallback when the payload is too wide for the
+carry-forward struct; not needed here.)
+
+Determinism: right rows are first reduced to one per (key, time) by max
+tiebreaker id, and at equal times the right row sorts BEFORE the left row
+(sort rank 0 vs 1) so "at-or-before" includes ties — matching DuckDB's
+`ASOF JOIN ... ON l.t >= r.t` semantics, which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tiebreaker: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach `payload` of the latest right row with
+    right_time <= left_time (same key). NULL payload when none exists.
+
+    tiebreaker: right-side column deciding among rows sharing (key, time)
+        — required for determinism if such ties are possible.
+    tolerance_seconds: optionally NULL-out matches older than the window.
+    """
+    # one right row per (key, time): keep the max-tiebreaker row
+    r = right
+    if tiebreaker is not None:
+        w_dedup = Window.partitionBy(on, right_time).orderBy(F.col(tiebreaker).desc())
+        r = r.withColumn("_rn", F.row_number().over(w_dedup)).where(F.col("_rn") == 1).drop("_rn")
+
+    payload_struct = F.struct(*[F.col(c) for c in payload])
+    r_tagged = r.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),  # right sorts first at equal times (inclusive match)
+        payload_struct.alias("_payload"),
+        F.lit(None).cast(T.LongType()).alias("_left_row"),
+    )
+    left_with_id = left.withColumn("_left_row", F.monotonically_increasing_id())
+    l_tagged = left_with_id.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_payload"].dataType).alias("_payload"),
+        F.col("_left_row"),
+    )
+
+    unioned = r_tagged.unionByName(l_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w)).withColumn(
+        "_match_t", F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w)
+    )
+    matches = carried.where(F.col("_side") == 1).select("_left_row", "_t", "_match", "_match_t")
+    if tolerance_seconds is not None:
+        in_window = F.col("_match_t").cast("long") >= F.col("_t").cast("long") - F.lit(
+            tolerance_seconds
+        )
+        matches = matches.withColumn("_match", F.when(in_window, F.col("_match"))).withColumn(
+            "_match_t", F.when(in_window, F.col("_match_t"))
+        )
+    matches = matches.drop("_t")
+
+    out = left_with_id.join(matches, on="_left_row", how="left")
+    for c in payload:
+        out = out.withColumn(f"{c}_asof", F.col("_match").getField(c))
+    return out.withColumn("asof_time", F.col("_match_t")).drop("_left_row", "_match", "_match_t")

@@ -1,0 +1,322 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point — a 100 TB documents table):
+
+- **exact_dedup**: groupBy a content hash, keep min id. One shuffle keyed by
+  a 64-bit hash → near-perfectly uniform partitioning, no skew. Never
+  groupBy the raw text (wide shuffle rows); hash first, 8 bytes travel.
+- **minhash_lsh_pairs**: shingle → k seeded-hash minima (signature) → band
+  the signature → candidate pairs via an equi-join on (band_id, band_hash)
+  → verify candidates with exact Jaccard. Shuffle volume is
+  O(rows × bands), never O(rows²); the verify join touches only candidate
+  pairs. Banding math: P(candidate | s) = 1-(1-s^r)^b.
+- **simhash_fingerprints**: explode tokens → 64 partial-agg sums (map-side
+  combine keeps shuffle at 64 longs/doc) → bit assembly; near-dups =
+  fingerprints within Hamming distance d, found by pigeonhole-banding the
+  64 bits into d+1 blocks (an exact-match join per block — again equi-join,
+  no quadratic step).
+- **jaccard_pairs_blocked**: exact n-gram Jaccard within small blocking
+  groups — the oracle-exact baseline; quadratic ONLY within a block.
+- **embedding_dup_pairs**: cosine > τ within blocking groups (exact
+  baseline); the ANN path for unblocked data is operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.functions.hashing import (
+    hamming64,
+    hash_shingles,
+    minhash_signature,
+    shingles,
+)
+from flight_data_ingestion_engine_spark.functions.vectors import dot, unit_normalize
+from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one representative row (min/max id) per distinct `cols` value.
+
+    Implemented as a self-semi-join on the winning id per group: the group
+    key is xxhash64 of the columns (8-byte shuffle rows), with the full
+    column tuple re-checked to make hash collisions harmless.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = df.groupBy(*cols).agg(agg.alias(id_col)).select(id_col)
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Groups with >1 occurrence: (group columns, n_dupes, keep_id)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within blocking groups.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    (block, shingle-hash) to count common shingles per pair, then
+    |A∪B| = |A| + |B| − |A∩B|. Compared to joining whole shingle arrays
+    and intersecting per pair, only 8-byte hashes travel, pairs with no
+    common shingle never materialize, and there is no per-pair set
+    allocation. Worst case degrades to the block's pair count (a shingle
+    shared by every doc in a block) — so blocks must stay bounded
+    (source+language, URL host, length band); the unblocked scale path is
+    :func:`minhash_lsh_pairs`. Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+    """
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+
+    # posting list: one row per (block, shingle-hash, id); hash once here
+    postings = sh.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("sh_hash"),
+    )
+    a = postings.select(
+        *[F.col(c) for c in block_cols], F.col("sh_hash"), F.col(id_col).alias("id_a")
+    )
+    b = postings.select(
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("sh_hash").alias("sh_hash_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    cond = [a[c] == b[f"{c}_b"] for c in block_cols] + [
+        a["sh_hash"] == b["sh_hash_b"],
+        a["id_a"] < b["id_b"],
+    ]
+    common = a.join(b, cond).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard")
+    # sizes are per-document (NOT broadcast-hinted: at corpus scale this
+    # side is large; AQE broadcasts it automatically when it is small)
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    num_hashes = bands × rows_per_band; defaults (32 = 16×2) give
+    P(candidate) ≈ 99% at s=0.5, ≈ 1 ‰ per band at s=0.05 — the classic
+    sweet spot for τ=0.5. Returns (id_a, id_b, jaccard ≥ threshold).
+    Approximate by construction: a true pair the banding never collides on
+    is missed; the oracle check for this op is therefore rows-only, with
+    recall tested in pytest on planted duplicates.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col),
+        shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
+    ).where(F.size("sh") > 0)
+    # hash strings once in a dedicated projection; the k permutation folds
+    # then run over longs (see hash_shingles docstring for why two selects)
+    hashed = sh.select(F.col(id_col), hash_shingles(F.col("sh")).alias("hs"))
+    sig = hashed.select(
+        id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
+    )
+
+    # band → (band_id, hash of the signature slice) → equi-join buckets.
+    # Only (id, band_id, band_hash) rows travel through the candidate join —
+    # 24 bytes/row; the shingle arrays are re-joined ONLY for the verified
+    # candidate set (candidates ≪ rows at any sane banding).
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                            "array<bigint>"
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+    a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    b = banded.select(
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["band_id"] == b["band_id_b"])
+            & (a["band_hash"] == b["band_hash_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in many bands
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return verified.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per document via explode + 64 partial-aggregated sums.
+
+    Map-side combine reduces the shuffle to 64 longs per document; the
+    per-token work is one xxhash64 + bit tests, all codegen.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance d via pigeonhole banding.
+
+    Split 64 bits into d+1 blocks: any pair at distance ≤ d agrees exactly
+    on ≥1 block (pigeonhole), so an equi-join per block finds all such
+    pairs — no quadratic comparison. Returns (id_a, id_b, hamming).
+    """
+    blocks = max_hamming + 1
+    bits = 64 // blocks
+    fp = fingerprints
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), i * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", F.col("blk.block_id").alias("block_id"), F.col("blk.block_val").alias("block_val"))
+    a = banded.select(
+        "block_id", "block_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    b = banded.select(
+        F.col("block_id").alias("block_id_b"),
+        F.col("block_val").alias("block_val_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("fp_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["block_id"] == b["block_id_b"])
+            & (a["block_val"] == b["block_val_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: Sequence[str],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking groups (exact).
+
+    Vectors are unit-normalized BEFORE the pair join so each norm is
+    computed once per vector, and per-pair work is a single dot product.
+    """
+    normed = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        unit_normalize(F.col(vec_col)).alias("_nv"),
+    )
+    a = normed.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("_nv").alias("v_a"),
+    )
+    b = normed.select(
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("_nv").alias("v_b"),
+    )
+    cond = [a[c] == b[f"{c}_b"] for c in block_cols] + [a["id_a"] < b["id_b"]]
+    pairs = a.join(b, cond)
+    return pairs.select(
+        "id_a", "id_b", dot(F.col("v_a"), F.col("v_b")).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,153 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+with Arrow-batched Pandas UDFs over `mapInPandas`.
+
+Design (the Spark-side plumbing is real and tested; only the codec bytes
+are stubbed because image/audio libraries aren't in this container):
+
+- A media column is `binary` payload + a `media_meta` struct
+  (media_type, format, width, height, sample_rate, n_frames, duration_s).
+- Decode/feature-extract/resize/frame-sample run as `mapInPandas` stages:
+  Arrow batches in, Arrow batches out, schema declared up front —
+  partition-parallel, no driver involvement, and the batch shape
+  (`maxRecordsPerBatch`) bounds executor memory independent of row width.
+- `decode_media` dispatches on format: without a real codec it either
+  raises NotImplementedError (strict mode) or produces a deterministic
+  fake decode (pixels derived from a hash of the payload) so downstream
+  plumbing — shapes, schemas, partitioning — is exercised end to end.
+
+At 100 TB: binary payloads dominate row size, so these stages must follow
+column pruning (select the binary column only when actually decoding) and
+use `spark.sql.execution.arrow.maxRecordsPerBatch` tuned to payload size
+(e.g. 64 rows × 16 MB images ≈ 1 GB per batch is too big; set 8-16).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png | jpeg | wav | mp4 | fake
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, media_type: str = "image") -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata per row (test
+    substrate: real pipelines ingest payloads from object storage)."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit("fake").alias("format"),
+        (F.col(id_col) % 64 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 48 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col(id_col) % 30 + 1).cast("int").alias("n_frames"),
+        ((F.col(id_col) % 30 + 1) / F.lit(10.0)).alias("duration_s"),
+    )
+    return df.withColumn("media_bytes", payload).withColumn("media_meta", meta)
+
+
+DECODED_SCHEMA = "id bigint, format string, n_pixels int, feature array<double>"
+
+
+def _fake_decode(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a codec: features from a payload digest.
+
+    REAL DECODE IS STUBBED — this container has no image/audio libraries.
+    Swap this function for PIL/torchvision/librosa in production; the
+    surrounding mapInPandas plumbing (schemas, batching, partitioning) is
+    exactly what a real codec plugs into.
+    """
+    digest = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    feature_dim: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode payloads to fixed-dim features via Arrow-batched mapInPandas.
+
+    strict=True raises NotImplementedError for real formats (no codec in
+    this environment); the 'fake' format always decodes deterministically.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, format string, n_pixels int, feature array<double>"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmts = pdf[f"{meta_col}.format"] if f"{meta_col}.format" in pdf else None
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r[meta_col]
+                fmt = meta["format"] if fmts is None else r[f"{meta_col}.format"]
+                if fmt != "fake":
+                    if strict:
+                        raise NotImplementedError(
+                            f"no codec for format={fmt!r} in this environment"
+                        )
+                    continue
+                w, h = int(meta["width"]), int(meta["height"])
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "format": fmt,
+                        "n_pixels": w * h,
+                        "feature": _fake_decode(bytes(r[bytes_col]), w, h, feature_dim),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "format", "n_pixels", "feature"])
+
+    pruned = df.select(id_col, bytes_col, meta_col)
+    return pruned.mapInPandas(batches, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    meta_col: str = "media_meta",
+    every_n: int = 5,
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per kept frame.
+
+    Pure DataFrame (sequence + explode) — the frame *indices* are computed
+    without decoding; pair with decode_media on the exploded rows to
+    actually extract frames.
+    """
+    n_frames = F.col(f"{meta_col}.n_frames")
+    return (
+        df.withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))),
+        )
+        .select(id_col, "frame_idx", meta_col)
+    )
+
+
+def resize_plan(df: DataFrame, meta_col: str = "media_meta", max_side: int = 32) -> DataFrame:
+    """Compute target dimensions preserving aspect ratio (metadata-only op;
+    the pixel work would happen in the decode UDF)."""
+    w, h = F.col(f"{meta_col}.width"), F.col(f"{meta_col}.height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return df.withColumn("target_width", F.floor(w * scale).cast("int")).withColumn(
+        "target_height", F.floor(h * scale).cast("int")
+    )

@@ -1,0 +1,271 @@
+"""Similarity search over embedding columns: brute-force top-k + LSH/IVF
+scale paths.
+
+- **topk_brute_force**: queries × corpus with cosine in codegen, per-query
+  top-k via window row_number. Exact; cost O(|Q|·|C|). The right choice
+  whenever |Q| is small (ad-hoc lookups) or the corpus fits a broadcast.
+  The corpus side is broadcast when small so the cross join never shuffles
+  the big side.
+- **topk_lsh**: random-hyperplane signatures bucket the corpus; candidates
+  share ≥1 of `tables` signature buckets; exact cosine re-ranks candidates.
+  Sub-linear probes at the cost of recall <1 — the 100 TB path. Hyperplanes
+  are generated deterministically from a seed, driver-side (numpy), shipped
+  as literal arrays (a few KB) inside the plan — no Python at execution.
+- **ivf_topk**: IVF-style coarse quantization — k-means-lite centroids
+  (deterministic seeded sample + a few Lloyd iterations computed WITH
+  DataFrame aggregations, not driver loops over rows), assign each corpus
+  vector to its nearest centroid, probe the `nprobe` nearest centroids per
+  query. Exact within probed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    to_double_array,
+    unit_normalize,
+)
+from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+
+def topk_brute_force(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, corpus_id, cosine, rank) with rank 1..k per query,
+    ties broken by corpus id (deterministic).
+    """
+    # pre-normalize each side once: cosine becomes a single dot product per
+    # pair (norms computed |Q|+|C| times instead of 2·|Q|·|C| times)
+    q = ensure_parallelism(queries).select(
+        F.col(query_id).alias("q_id"), unit_normalize(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
+    )
+    if broadcast_corpus:
+        c = F.broadcast(c)
+    scored = q.crossJoin(c).select(
+        "q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    planes_per_table: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Each of `tables` hash tables buckets vectors by `planes_per_table` sign
+    bits; a query probes its bucket in every table; exact cosine re-ranks
+    the union of candidates. Recall grows with `tables`; probe cost is
+    |bucket| ≈ |C| / 2^planes_per_table per table.
+
+    The hyperplanes ride along as a broadcast TABLE (tables × dim×planes
+    doubles), not as literal expressions — thousands of literals would
+    bloat the plan and codegen compile time; as data, the signature is one
+    small expression evaluated against an array column.
+    """
+    spark = queries.sparkSession
+    planes_rows = [
+        (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
+    ]
+    planes_df = F.broadcast(
+        spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
+    )
+    # bucket = the sign bits read as a binary number: fold acc*2 + bit over
+    # the planes in order (shift-by-column isn't expressible; *2 is)
+    bucket = F.aggregate(
+        F.transform(
+            F.col("planes"),
+            lambda p: F.when(dot(F.col("_nv"), p) >= 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + v,
+    )
+
+    def with_sigs(df: DataFrame, src_id: str, id_alias: str, vec_alias: str) -> DataFrame:
+        normed = ensure_parallelism(df).select(
+            F.col(src_id).alias(id_alias), unit_normalize(F.col(vec_col)).alias("_nv")
+        )
+        return normed.crossJoin(planes_df).select(
+            id_alias,
+            F.col("_nv").alias(vec_alias),
+            F.col("table_id"),
+            bucket.alias("bucket"),
+        )
+
+    qs = with_sigs(queries, query_id, "q_id", "q_vec")
+    cs = with_sigs(corpus, corpus_id, "c_id", "c_vec")
+    cand = (
+        qs.join(cs, on=["table_id", "bucket"])
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cand.select(
+        "q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
+    )
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> DataFrame:
+    """K-means-lite centroids computed with DataFrame aggregations.
+
+    Init: deterministic sample (orderBy xxhash64(id) limit n). Each Lloyd
+    iteration: assign by best cosine (broadcast centroids), then average
+    per cluster with element-wise aggregation — all distributed; the only
+    driver-side data is the centroid list (n_centroids × dim floats).
+    """
+    c = corpus.select(
+        (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    )
+    init = (
+        c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .select(F.col("v"))
+        .collect()
+    )
+    centroids = [r.v for r in init]
+
+    for _ in range(iterations):
+        cent_df = F.broadcast(
+            c.sparkSession.createDataFrame(
+                [(i, v) for i, v in enumerate(centroids)], "centroid_id int, cv array<double>"
+            )
+        )
+        assigned = (
+            c.crossJoin(cent_df)
+            .select(
+                "_cid",
+                "v",
+                "centroid_id",
+                cosine_similarity(F.col("v"), F.col("cv")).alias("cos"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("_cid").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+                ),
+            )
+            .where(F.col("rn") == 1)
+        )
+        # element-wise mean per cluster: aggregate array sums via reduce
+        agg = assigned.groupBy("centroid_id").agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0.0), len(centroids[0])),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = agg.select(
+            "centroid_id",
+            F.transform(F.col("vsum"), lambda s: s / F.col("n")).alias("mean"),
+        ).collect()
+        new = dict((r.centroid_id, r.mean) for r in rows)
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+
+    return corpus.sparkSession.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)], "centroid_id int, cv array<double>"
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF probe: per-query search only the `nprobe` nearest centroid cells."""
+    cent = F.broadcast(centroids)
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
+        return (
+            df.crossJoin(cent)
+            .select(
+                F.col("*"),
+                cosine_similarity(F.col(vec_alias), F.col("cv")).alias("cos"),
+            )
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy(id_alias).orderBy(F.col("cos").desc(), F.col("centroid_id"))
+                ),
+            )
+            .where(F.col("crank") <= n)
+            .drop("cv", "cos", "crank")
+        )
+
+    q = assign(
+        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+        nprobe,
+    )
+    c = assign(
+        corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_id",
+        "c_vec",
+        1,
+    )
+    cand = q.join(c, on="centroid_id").dropDuplicates(["q_id", "c_id"])
+    scored = cand.select(
+        "q_id", "c_id", cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
+    )

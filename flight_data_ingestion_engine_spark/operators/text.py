@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+First-class extension surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — each expressed in
+built-in `pyspark.sql.functions` (JVM, whole-stage codegen; zero Python in
+the hot path) so a 100 TB documents table runs at scan speed. Every op is a
+narrow projection: with column pruning, the parquet scan reads only
+(doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.functions.hashing import token_rolling_fingerprint
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deterministic and fully expressible in SQL for the oracle.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "zh": ["的", "了", "是", "我", "不"],
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, pattern)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish subword count estimate, char count.
+
+    The subword estimate counts regex word-pieces (letter runs, digit runs,
+    punctuation singles) — a deterministic stand-in for a BPE tokenizer's
+    piece count, useful for budget accounting without shipping a vocab.
+    """
+    t = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn(
+            "n_subwords",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)),
+        )
+        .withColumn("n_chars_measured", F.length(text_col))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals + a composite score in [0, 1].
+
+    Signals (all cheap, all codegen): mean token length, alpha ratio,
+    punctuation ratio, stopword ratio, repetition (distinct/total tokens).
+    The composite is a fixed linear blend — deterministic, documented, and
+    SQL-portable for the oracle.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    en_stop = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(en_stop)))
+    distinct_ratio = F.size(F.array_distinct(t)) / n_tok
+
+    out = (
+        df.withColumn("mean_token_len", n_chars / n_tok)
+        .withColumn("alpha_ratio", alpha / n_chars)
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("stopword_ratio", stop_hits / n_tok)
+        .withColumn("distinct_token_ratio", distinct_ratio)
+    )
+    score = (
+        F.least(F.col("alpha_ratio") / 0.7, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") / 0.1, F.lit(1.0)) * 0.2
+        + F.col("distinct_token_ratio") * 0.2
+        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 10), 1.0).otherwise(0.0) * 0.2
+    )
+    return out.withColumn("quality_score", score)
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: per-language hit counts over the token
+    set; the language with the most hits wins ('und' on zero hits).
+    Tie rule (deterministic, oracle-portable): max on the (hits, lang)
+    tuple — equal hit counts pick the lexicographically-last language.
+    """
+    t = tokens(text_col)
+
+    def hits(stopwords: list[str]) -> Column:
+        # NB: a plain `lambda x, sw=sw:` would have arity 2 and PySpark would
+        # treat it as an (element, index) lambda — the closure must be unary
+        return F.size(F.filter(t, lambda x: x.isin(stopwords)))
+
+    scores = F.array(
+        *[
+            F.struct(hits(sw).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    hits_sorted = F.sort_array(scores, asc=False)
+    top = hits_sorted[0]
+    second = F.when(F.size(scores) > 1, hits_sorted[1]["hits"]).otherwise(F.lit(0))
+    lang = F.when(top["hits"] > 0, top["lang"]).otherwise(F.lit("und"))
+    return (
+        df.withColumn("lang_pred", lang)
+        .withColumn("lang_pred_hits", top["hits"])
+        .withColumn("lang_pred_margin", top["hits"] - second)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (mod 2^31-1),
+    bit-portable across engines (oracle-exact)."""
+    return df.withColumn("fingerprint", token_rolling_fingerprint(tokens(text_col)))

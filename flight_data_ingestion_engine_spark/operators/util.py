@@ -1,0 +1,20 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has too few partitions.
+
+    Small single-row-group parquet files (and single-file dimensions) arrive
+    as ONE partition; any compute-dense per-row operator (hashing, shingling,
+    vector math) would then run on one core. A round-robin repartition costs
+    one small shuffle and buys full-cluster parallelism. At real scale the
+    source has many splits and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

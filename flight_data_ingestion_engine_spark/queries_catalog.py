@@ -572,3 +572,304 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_returnflag") == "R")
         & (F.col("l_quantity") > 10)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ===========================================================================
+# Extension operators: text analysis / dedup / similarity / as-of
+# (BASELINE.json north star; SURVEY.md §2.13)
+# ===========================================================================
+
+@_q(
+    "text_stats",
+    """
+    SELECT doc_id,
+           LEN(string_split_regex(text, '\\s+')) AS n_tokens,
+           LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]')) AS n_subwords,
+           LENGTH(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.text import with_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_token_stats(docs).select("doc_id", "n_tokens", "n_subwords", "n_chars_measured")
+
+
+@_q(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\\s+') AS t,
+             LENGTH(text) AS n_chars,
+             LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+      FROM documents
+    ), ratios AS (
+      SELECT doc_id,
+             n_chars / LEN(t) AS mean_token_len,
+             alpha / n_chars AS alpha_ratio,
+             punct / n_chars AS punct_ratio,
+             LEN(list_filter(t, x -> x IN ('the','a','of','and','to'))) / LEN(t) AS stopword_ratio,
+             LEN(list_distinct(t)) / LEN(t) AS distinct_token_ratio
+      FROM base
+    )
+    SELECT doc_id, mean_token_len, alpha_ratio, punct_ratio, stopword_ratio, distinct_token_ratio,
+           LEAST(alpha_ratio / 0.7, 1.0) * 0.4
+         + LEAST(stopword_ratio / 0.1, 1.0) * 0.2
+         + distinct_token_ratio * 0.2
+         + (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+           AS quality_score
+    FROM ratios
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs).select(
+        "doc_id",
+        "mean_token_len",
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "distinct_token_ratio",
+        "quality_score",
+    )
+
+
+@_q(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_actual,
+             list_sort([
+               {'hits': LEN(list_filter(t, x -> x IN ('der','die','das','und','nicht'))), 'lang': 'de'},
+               {'hits': LEN(list_filter(t, x -> x IN ('the','a','of','and','to'))), 'lang': 'en'},
+               {'hits': LEN(list_filter(t, x -> x IN ('el','la','de','que','y'))), 'lang': 'es'},
+               {'hits': LEN(list_filter(t, x -> x IN ('le','la','de','et','les'))), 'lang': 'fr'},
+               {'hits': LEN(list_filter(t, x -> x IN ('的','了','是','我','不'))), 'lang': 'zh'}
+             ], 'DESC') AS s
+      FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents)
+    )
+    SELECT doc_id, lang_actual,
+           CASE WHEN s[1].hits > 0 THEN s[1].lang ELSE 'und' END AS lang_pred,
+           s[1].hits AS lang_pred_hits,
+           s[1].hits - s[2].hits AS lang_pred_margin
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.text import with_language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_language_id(docs).select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        "lang_pred",
+        "lang_pred_hits",
+        "lang_pred_margin",
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             [0::BIGINT] || [
+               list_reduce([0::BIGINT] || [ascii(c)::BIGINT for c in regexp_split_to_array(tok, '')],
+                           (a, b) -> (a * 31 + b) % 2147483647)
+               for tok in string_split_regex(text, '\\s+')
+             ],
+             (acc, h) -> (acc * 131 + h) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.text import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@_q(
+    "exact_dedup_docs",
+    """
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes, text
+    FROM documents GROUP BY text
+    """,
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes")
+    ).select("keep_doc_id", "n_dupes", "text")
+
+
+@_q(
+    "jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(tokens[i:i+2], ' ')
+                            for i in range(1, len(tokens)-1)]) AS s
+      FROM (SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS tokens FROM documents)
+      WHERE len(tokens) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.3
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocking on (lang, source): bounded block sizes are what keeps the
+    # exact-quadratic step linear-ish — the unblocked scale path is
+    # minhash_pairs (LSH)
+    from flight_data_ingestion_engine_spark.operators.dedup import jaccard_pairs_blocked
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs_blocked(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_size=3,
+        threshold=0.3,
+    )
+
+
+@_q(
+    "embedding_topk",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 10)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_dot_product(q.v, n.v) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, n.v) DESC, n.vec_id ASC) AS rank
+      FROM q CROSS JOIN n)
+    WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.similarity import topk_brute_force
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = topk_brute_force(
+        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=5,
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@_q(
+    "embedding_dup_pairs",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_dot_product(a.v, b.v) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.3
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"], threshold=0.3
+    )
+
+
+@_q(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS event_id_asof, c.ts AS asof_time
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["event_id"],
+        tiebreaker="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "event_id_asof", "asof_time")
+
+
+# -- approximate ops: rows-only driver check; recall/precision in pytest ----
+
+@_q("minhash_pairs")
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
+
+
+@_q("simhash_pairs")
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, id_col="doc_id", text_col="text")
+    return simhash_near_pairs(fp, id_col="doc_id", max_hamming=3)
+
+
+@_q("lsh_topk")
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.similarity import topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return topk_lsh(
+        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=5,
+    )
+
+
+@_q("media_decode")
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, id_col="doc_id")
+    return decode_media(media, id_col="doc_id")

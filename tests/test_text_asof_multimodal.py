@@ -1,0 +1,167 @@
+"""Text analysis, as-of join, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.asof import asof_join
+from flight_data_ingestion_engine_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    resize_plan,
+    sample_frames,
+)
+from flight_data_ingestion_engine_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], "id int, text string")
+    r = with_token_stats(df).first()
+    assert r.n_tokens == 4
+    # subword pieces: hello, world, ',', 42, times, '!'
+    assert r.n_subwords == 6
+    assert r.n_chars_measured == 22
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat of the mat and a dog ran to it"), (2, "zz zz zz zz zz zz")],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in with_quality_score(df).collect()}
+    assert 0.0 <= rows[2].quality_score < rows[1].quality_score <= 1.0
+    assert rows[1].stopword_ratio > 0.3
+    assert rows[2].distinct_token_ratio == pytest.approx(1 / 6)
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el perro y la casa de que hablamos"),
+            (3, "xyzzy plugh"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in with_language_id(df).collect()}
+    assert rows[1].lang_pred == "en"
+    assert rows[2].lang_pred == "es"
+    assert rows[3].lang_pred == "und" and rows[3].lang_pred_hits == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "id int, text string",
+    )
+    rows = {r.id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert rows[1] == rows[3] != rows[2]
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(12)), (3, "u2", _ts(9))],
+        "id int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u1", _ts(9, 30)), (101, "u1", _ts(11)), (102, "u3", _ts(8))],
+        "rid int, k string, rt timestamp",
+    )
+    out = {
+        r.id: r
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", payload=["rid"], tiebreaker="rid"
+        ).collect()
+    }
+    assert out[1].rid_asof == 100  # latest right at-or-before 10:00
+    assert out[2].rid_asof == 101
+    assert out[3].rid_asof is None  # u2 has no right rows
+
+
+def test_asof_join_inclusive_and_ties(spark):
+    # equal timestamps match (inclusive); tie among right rows picks max rid
+    left = spark.createDataFrame([(1, "u1", _ts(10))], "id int, k string, t timestamp")
+    right = spark.createDataFrame(
+        [(100, "u1", _ts(10)), (101, "u1", _ts(10))], "rid int, k string, rt timestamp"
+    )
+    row = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", payload=["rid"], tiebreaker="rid"
+    ).first()
+    assert row.rid_asof == 101
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, "u1", _ts(10))], "id int, k string, t timestamp")
+    right = spark.createDataFrame([(100, "u1", _ts(7))], "rid int, k string, rt timestamp")
+    with_tol = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload=["rid"], tiebreaker="rid", tolerance_seconds=3600,
+    ).first()
+    assert with_tol.rid_asof is None  # 3h-old match outside 1h tolerance
+    no_tol = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", payload=["rid"], tiebreaker="rid"
+    ).first()
+    assert no_tol.rid_asof == 100
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    media = attach_fake_media(df, id_col="doc_id")
+    decoded = decode_media(media, id_col="doc_id")
+    rows = decoded.collect()
+    assert len(rows) == 10
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = decode_media(media, id_col="doc_id").collect()
+    assert {r.doc_id: r.feature for r in rows} == {r.doc_id: r.feature for r in again}
+    # n_pixels = width*height from metadata
+    meta = {r.doc_id: r for r in media.select("doc_id", "media_meta.*").collect()}
+    assert all(r.n_pixels == meta[r.doc_id].width * meta[r.doc_id].height for r in rows)
+
+
+def test_multimodal_strict_raises_on_real_formats(spark):
+    df = attach_fake_media(
+        spark.createDataFrame([(1,)], "doc_id bigint"), id_col="doc_id"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),  # a real format we cannot decode here
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0.1).alias("duration_s"),
+        ),
+    )
+    try:
+        decode_media(df, id_col="doc_id", strict=True).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # NotImplementedError surfaces through the executor
+
+
+def test_frame_sampling_and_resize(spark):
+    df = attach_fake_media(
+        spark.createDataFrame([(29,)], "doc_id bigint"), id_col="doc_id", media_type="video"
+    )
+    frames = sample_frames(df, id_col="doc_id", every_n=5).collect()
+    # 29 % 30 + 1 = 30 frames → indices 0,5,10,15,20,25
+    assert [r.frame_idx for r in frames] == [0, 5, 10, 15, 20, 25]
+    r = resize_plan(df, max_side=32).select("target_width", "target_height").first()
+    meta = df.select("media_meta.width", "media_meta.height").first()
+    assert max(r.target_width, r.target_height) <= 32
+    assert r.target_width <= meta.width and r.target_height <= meta.height

@@ -873,3 +873,120 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(docs, id_col="doc_id")
     return decode_media(media, id_col="doc_id")
+
+
+# ===========================================================================
+# Structured Streaming twin (driven to completion synchronously so the
+# result is a deterministic batch-comparable DataFrame)
+# ===========================================================================
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of _t(events): file-source over the parquet with the
+    nanos-ts quirk handled (ts read as long, converted to timestamp).
+
+    File streams need a DIRECTORY; the testdata dir mixes all tables, so
+    stage a landing dir holding a symlink to events.parquet.
+    """
+    import os
+    import tempfile
+
+    landing = tempfile.mkdtemp(prefix="fdie_landing_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from flight_data_ingestion_engine_spark.streaming import stream_parquet
+
+    raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_stream_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdie_ck_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@_q(
+    "streaming_hourly_counts",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, drained synchronously; the
+    oracle is the equivalent batch GROUP BY (1-hour windows align to
+    date_trunc). complete mode → every window is in the sink table."""
+    from flight_data_ingestion_engine_spark.streaming import windowed_counts
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_stream_to_memory(agg, "complete")
+
+
+@_q(
+    "streaming_next_event",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_key, ts, event_type,
+           event_type_next, ts_next, diff_next
+    FROM (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type) OVER w AS event_type_next,
+             LEAD(ts)         OVER w AS ts_next,
+             CAST(FLOOR(EPOCH(LEAD(ts) OVER w)) - FLOOR(EPOCH(ts)) AS BIGINT) AS diff_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE ts_next IS NOT NULL
+    """,
+)
+def q_streaming_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful next-event attribution on a stream. One micro-batch covers
+    the whole file, so the completed set equals the batch lead() result
+    minus each key's open last event — which IS the oracle SQL's
+    `ts_next IS NOT NULL` filter. (user_id, ts) pairs are unique in the
+    testdata, so within-batch mergesort ordering is deterministic."""
+    from flight_data_ingestion_engine_spark.streaming import streaming_next_event
+
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "user_key", F.col("user_id").cast("string")
+    )
+    out = streaming_next_event(
+        ev, key_col="user_key", time_col="ts", attrs=["event_type"]
+    )
+    return _run_stream_to_memory(out, "append")

@@ -1,0 +1,33 @@
+"""Structured Streaming twin of the batch engine.
+
+The reference's "stream" is a daily file cadence replayed through a batch
+pipeline (SURVEY.md §2.11); here the same semantics run as a genuine
+Structured Streaming job:
+
+- file-source ingestion with explicit declared schemas (streaming readers
+  require one — `DeclaredSchema.to_struct_type()` provides it),
+- watermarked tumbling/sliding/session window aggregations,
+- stateful next-event attribution (`lead()` doesn't exist on streams; a
+  per-key state carries the last open event and emits it when its
+  successor arrives),
+- `foreachBatch` sink running the batch engine's dynamic-partition
+  overwrite for exactly-once-per-partition output.
+"""
+
+from flight_data_ingestion_engine_spark.streaming.file_stream import (
+    stream_json,
+    stream_parquet,
+    windowed_counts,
+    foreach_batch_partitioned_sink,
+)
+from flight_data_ingestion_engine_spark.streaming.next_event_state import (
+    streaming_next_event,
+)
+
+__all__ = [
+    "stream_json",
+    "stream_parquet",
+    "windowed_counts",
+    "foreach_batch_partitioned_sink",
+    "streaming_next_event",
+]

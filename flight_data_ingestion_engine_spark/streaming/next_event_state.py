@@ -1,0 +1,98 @@
+"""Stateful streaming next-event attribution.
+
+`lead()` windows don't exist on streams, so the batch engine's core
+analytic (SURVEY.md §2.6) becomes per-key state: hold each key's most
+recent "open" event; when its successor arrives, emit the completed event
+with `<time>_next`, `<attr>_next`, and `diff_next` — the streaming twin of
+the reference's cross-day heal (the open event is exactly the row whose
+`_next` columns the batch pipeline back-fills the next morning).
+
+Implementation: `applyInPandasWithState` (Arrow-batched grouped-map with a
+GroupState per key). Rows within a micro-batch are sorted by event time;
+across micro-batches per-key in-order arrival is assumed (true for the
+file-cadence sources this engine ingests — a day's file is one batch).
+State is one small tuple per key — O(keys), not O(events).
+
+Scale: the grouped-map shuffles by key exactly like the batch window; state
+lives in the state store (RocksDB-backed on a real cluster). Skewed keys
+cost what any keyed operator costs; there is no unbounded buffering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_next_event(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    attrs: Sequence[str] = (),
+    suffix: str = "_next",
+    diff_col: str = "diff_next",
+) -> DataFrame:
+    """Emit completed events (each with its successor's time/attrs) as
+    successors arrive; each key's newest event stays open in state."""
+    attrs = list(attrs)
+    out_fields = (
+        [f"{key_col} string", f"{time_col} timestamp"]
+        + [f"{a} string" for a in attrs]
+        + [f"{a}{suffix} string" for a in attrs]
+        + [f"{time_col}{suffix} timestamp", f"{diff_col} bigint"]
+    )
+    output_schema = ", ".join(out_fields)
+    # state: the open event — epoch micros + attribute values
+    state_schema = "ts long" + "".join(f", a{i} string" for i in range(len(attrs)))
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(time_col, kind="mergesort").reset_index(drop=True)
+
+        pending: list[tuple[int, list[str | None]]] = []
+        if state.exists:
+            st = state.get
+            pending.append((st[0], [st[1 + i] for i in range(len(attrs))]))
+        for _, r in rows.iterrows():
+            ts_us = int(r[time_col].value) // 1000  # pandas ns → µs
+            pending.append((ts_us, [r[a] for a in attrs]))
+
+        completed = []
+        for (ts_a, at_a), (ts_b, at_b) in zip(pending, pending[1:]):
+            completed.append(
+                [key[0], pd.Timestamp(ts_a, unit="us")]
+                + at_a
+                + at_b
+                + [pd.Timestamp(ts_b, unit="us"), ts_b // 1_000_000 - ts_a // 1_000_000]
+            )
+
+        last_ts, last_attrs = pending[-1]
+        state.update(tuple([last_ts] + last_attrs))
+
+        if completed:
+            cols = (
+                [key_col, time_col]
+                + attrs
+                + [f"{a}{suffix}" for a in attrs]
+                + [f"{time_col}{suffix}", diff_col]
+            )
+            yield pd.DataFrame(completed, columns=cols)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

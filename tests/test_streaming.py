@@ -1,0 +1,191 @@
+"""Structured Streaming twin: sources, windows, stateful next-event, sinks.
+
+Driven synchronously: files land in a dir, `processAllAvailable()` drains
+them, memory/parquet sinks are asserted — each micro-batch plays one "day".
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.config import DeclaredSchema
+from flight_data_ingestion_engine_spark.streaming import (
+    foreach_batch_partitioned_sink,
+    stream_json,
+    streaming_next_event,
+    windowed_counts,
+)
+
+SCHEMA = "Origin string, FlightTime timestamp, Reporting_Airline string"
+
+
+def _write_day(dirpath, name, rows):
+    lines = [
+        json.dumps({"Origin": o, "FlightTime": t, "Reporting_Airline": a})
+        for o, t, a in rows
+    ]
+    (dirpath / name).write_text("\n".join(lines))
+
+
+@pytest.fixture
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    return d
+
+
+def test_stream_json_ingests_files(spark, landing, tmp_path):
+    _write_day(landing, "day1.json", [("JFK", "2023-01-01 10:00:00", "AA")])
+    stream = stream_json(spark, str(landing), SCHEMA)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ingest_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ingest_test").count() == 1
+        # a second file landing is picked up incrementally
+        _write_day(landing, "day2.json", [("JFK", "2023-01-02 09:00:00", "B6")])
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ingest_test").count() == 2
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_tumbling(spark, landing, tmp_path):
+    _write_day(
+        landing,
+        "day1.json",
+        [
+            ("JFK", "2023-01-01 10:01:00", "AA"),
+            ("JFK", "2023-01-01 10:02:00", "AA"),
+            ("JFK", "2023-01-01 10:07:00", "B6"),
+        ],
+    )
+    stream = stream_json(spark, str(landing), SCHEMA)
+    agg = windowed_counts(
+        stream, "FlightTime", window="5 minutes", group_cols=["Origin"]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.window_start.minute: r.n
+            for r in spark.sql("SELECT * FROM win_test").collect()
+        }
+        assert rows == {0: 2, 5: 1}
+    finally:
+        q.stop()
+
+
+def test_streaming_next_event_two_day_heal(spark, landing, tmp_path):
+    """The reference's cross-day heal, as a stream: day-1's last flight is
+    held open in state and emitted (with diff_next=44220) when day-2's
+    first flight arrives — golden values from BASELINE.md."""
+    stream = stream_json(spark, str(landing), SCHEMA)
+    out = streaming_next_event(
+        stream, key_col="Origin", time_col="FlightTime", attrs=["Reporting_Airline"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("next_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _write_day(
+            landing,
+            "day1.json",
+            [
+                ("ABE", "2023-01-01 17:34:00", "OO"),
+                ("JFK", "2023-01-01 15:35:00", "American_Airlines"),
+                ("JFK", "2023-01-01 17:35:00", "Iberia"),
+            ],
+        )
+        q.processAllAvailable()
+        got = {
+            (r.Origin, str(r.FlightTime)): r
+            for r in spark.sql("SELECT * FROM next_test").collect()
+        }
+        # within day 1: the JFK pair completes (golden 7200s), ABE stays open
+        assert len(got) == 1
+        jfk = got[("JFK", "2023-01-01 15:35:00")]
+        assert jfk.diff_next == 7200 and jfk.Reporting_Airline_next == "Iberia"
+
+        _write_day(landing, "day2.json", [("ABE", "2023-01-02 05:51:00", "YX")])
+        q.processAllAvailable()
+        got = {
+            (r.Origin, str(r.FlightTime)): r
+            for r in spark.sql("SELECT * FROM next_test").collect()
+        }
+        # two completed now: JFK 15:35 (from day 1) + ABE 17:34 healed by
+        # day-2's 05:51 flight; JFK 17:35 and ABE 05:51 remain open in state
+        assert len(got) == 2
+        abe = got[("ABE", "2023-01-01 17:34:00")]
+        assert abe.diff_next == 44220 and abe.Reporting_Airline_next == "YX"
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_partitioned_sink(spark, landing, tmp_path):
+    out_dir = str(tmp_path / "out")
+    stream = stream_json(spark, str(landing), SCHEMA).withColumn(
+        "FlightDate", F.col("FlightTime").cast("date")
+    )
+    writer = foreach_batch_partitioned_sink(
+        stream, out_dir, partition_by=["FlightDate"], checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = writer.start()
+    try:
+        _write_day(landing, "day1.json", [("JFK", "2023-01-01 10:00:00", "AA")])
+        q.processAllAvailable()
+        _write_day(landing, "day2.json", [("JFK", "2023-01-02 11:00:00", "B6")])
+        q.processAllAvailable()
+        result = spark.read.parquet(out_dir)
+        assert result.count() == 2
+        # dynamic overwrite kept both date partitions
+        assert {str(r.FlightDate) for r in result.select("FlightDate").collect()} == {
+            "2023-01-01",
+            "2023-01-02",
+        }
+    finally:
+        q.stop()
+
+
+def test_declared_schema_feeds_streaming_source(spark, landing, tmp_path):
+    ds = DeclaredSchema.from_dict(
+        {
+            "data_columns": [
+                {"name": "Origin", "type": "string", "comment": "IATA"},
+                {"name": "FlightTime", "type": "timestamp"},
+                {"name": "Reporting_Airline", "type": "string"},
+            ]
+        }
+    )
+    _write_day(landing, "day1.json", [("JFK", "2023-01-01 10:00:00", "AA")])
+    stream = stream_json(spark, str(landing), ds)
+    assert stream.schema["Origin"].metadata == {"comment": "IATA"}
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ds_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ds_test").count() == 1
+    finally:
+        q.stop()

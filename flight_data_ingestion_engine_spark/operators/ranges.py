@@ -1,0 +1,59 @@
+"""Bucketized range join: pairs within a time interval, without a
+nested-loop join.
+
+A naive `a.ts < b.ts AND b.ts <= a.ts + W` join has no equi-key, so Spark
+plans BroadcastNestedLoopJoin — O(|A|·|B|) and a cluster-killer at scale.
+Bucketizing adds one: floor event times to W-sized buckets; any pair within
+W spans at most two adjacent buckets, so joining on
+(key, bucket) ∪ (key, bucket+1) — expressed as one equi-join against an
+exploded two-bucket right side — finds every candidate, and the exact
+range predicate filters survivors. Shuffle is keyed by (key, bucket):
+uniform if event times are, and W tunes the bucket fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_after(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    window_seconds: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Pairs (l, r) with same key and r strictly after l within the window:
+    l.time < r.time <= l.time + window_seconds.
+
+    Returns left_cols + right_cols (caller aliases to avoid collisions).
+    """
+    w = F.lit(window_seconds)
+    l_b = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(on).alias("_lk"),
+        F.col(left_time).alias("_lt"),
+        (F.col(left_time).cast("long") / w).cast("long").alias("_bucket"),
+    )
+    # right rows post to their own bucket and the previous one: a left row
+    # in bucket n matches rights in n or n+1, i.e. right posts to (b, b-1)
+    r_b = right.select(
+        *[F.col(c) for c in right_cols],
+        F.col(on).alias("_rk"),
+        F.col(right_time).alias("_rt"),
+        F.explode(
+            F.array(
+                (F.col(right_time).cast("long") / w).cast("long"),
+                (F.col(right_time).cast("long") / w).cast("long") - 1,
+            )
+        ).alias("_bucket"),
+    )
+    joined = l_b.join(r_b, (l_b["_lk"] == r_b["_rk"]) & (l_b["_bucket"] == r_b["_bucket"]))
+    in_range = (F.col("_rt").cast("long") > F.col("_lt").cast("long")) & (
+        F.col("_rt").cast("long") <= F.col("_lt").cast("long") + w
+    )
+    return joined.where(in_range).select(*left_cols, *right_cols)

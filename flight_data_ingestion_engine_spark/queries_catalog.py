@@ -990,3 +990,224 @@ def q_streaming_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_key", time_col="ts", attrs=["event_type"]
     )
     return _run_stream_to_memory(out, "append")
+
+
+# ===========================================================================
+# Batch B: reference pipeline on driver data, SQL API, cube, range join,
+# oracle-checked multimodal planning, IVF
+# ===========================================================================
+
+@_q(
+    "flight_enrichment",
+    """
+    WITH dim(iata_code, iana_tz) AS (VALUES
+      ('PHX', 'America/Phoenix'), ('HNL', 'Pacific/Honolulu'),
+      ('NRT', 'Asia/Tokyo'), ('SJU', 'America/Puerto_Rico')
+    ), fact AS (
+      SELECT event_id,
+             CASE CAST(user_id % 5 AS INTEGER)
+               WHEN 0 THEN 'PHX' WHEN 1 THEN 'HNL' WHEN 2 THEN 'NRT'
+               WHEN 3 THEN 'SJU' ELSE 'XXX' END AS Origin,
+             CAST(ts AS DATE) AS FlightDate,
+             CASE WHEN event_id % 89 = 0 THEN 2400
+                  ELSE CAST(EXTRACT(hour FROM ts) * 100 + EXTRACT(minute FROM ts) AS INTEGER)
+             END AS DepTime
+      FROM events
+    )
+    SELECT f.event_id, f.Origin, f.FlightDate, f.DepTime,
+           MAKE_TIMESTAMP(EPOCH_US(TIMEZONE(d.iana_tz,
+             TRY_STRPTIME(CONCAT(CAST(f.FlightDate AS VARCHAR), ' ',
+               SUBSTR(LPAD(CAST(f.DepTime AS VARCHAR), 4, '0'), 1, 2), ':',
+               SUBSTR(LPAD(CAST(f.DepTime AS VARCHAR), 4, '0'), 3, 2)),
+               '%Y-%m-%d %H:%M')))) AS FlightTime
+    FROM fact f LEFT JOIN dim d ON f.Origin = d.iata_code
+    """,
+)
+def q_flight_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EP3a end-to-end on driver data: synthesize a flight
+    fact from events (IATA via user hash, HHmm with planted invalid 2400s),
+    broadcast-join a tz dimension, build local wall-clock, shift to UTC.
+    DST-free zones so both engines agree on every instant; NULL contract
+    (unknown IATA / invalid time) included via 'XXX' and 2400.
+    Cites reference `motor_ingesta/agregaciones.py:7-51` for semantics.
+    """
+    from flight_data_ingestion_engine_spark.operators.enrich import with_flight_time_utc
+
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 5 == 0, "PHX")
+        .when(F.col("user_id") % 5 == 1, "HNL")
+        .when(F.col("user_id") % 5 == 2, "NRT")
+        .when(F.col("user_id") % 5 == 3, "SJU")
+        .otherwise("XXX")
+        .alias("Origin"),
+        F.col("ts").cast("date").alias("FlightDate"),
+        F.when(F.col("event_id") % 89 == 0, F.lit(2400))
+        .otherwise((F.hour("ts") * 100 + F.minute("ts")).cast("int"))
+        .alias("DepTime"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("PHX", "America/Phoenix"),
+            ("HNL", "Pacific/Honolulu"),
+            ("NRT", "Asia/Tokyo"),
+            ("SJU", "America/Puerto_Rico"),
+        ],
+        "iata_code string, iana_tz string",
+    )
+    return with_flight_time_utc(fact, dim).select(
+        "event_id", "Origin", "FlightDate", "DepTime", "FlightTime"
+    )
+
+
+@_q(
+    "cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@_q(
+    "sql_correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: registered temp views + a correlated scalar
+    subquery, decorrelated by Catalyst into an aggregate + join.
+
+    AVG over doubles is order-dependent in general; here each customer has
+    O(10) orders, and both engines aggregate a single small group
+    sequentially after the same decorrelation — verified exact. The
+    comparison 2*avg uses identical operands on both sides.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@_q(
+    "range_join_events",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(FLOOR(EPOCH(b.ts)) - FLOOR(EPOCH(a.ts)) AS BIGINT) AS gap_seconds
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND FLOOR(EPOCH(b.ts)) > FLOOR(EPOCH(a.ts))
+     AND FLOOR(EPOCH(b.ts)) <= FLOOR(EPOCH(a.ts)) + 600
+    WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketization (no nested-loop): errors within 10
+    minutes after each purchase, same user. Range semantics on floor-epoch
+    seconds (documented; the oracle uses the same)."""
+    from flight_data_ingestion_engine_spark.operators.ranges import range_join_after
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_a"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("uid_b"), F.col("ts").alias("ts_b")
+    )
+    out = range_join_after(
+        purchases.withColumnRenamed("user_id", "uid"),
+        errors.withColumnRenamed("uid_b", "uid"),
+        on="uid",
+        left_time="ts_a",
+        right_time="ts_b",
+        window_seconds=600,
+        left_cols=["id_a", "ts_a", "uid"],
+        right_cols=["id_b", "ts_b"],
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("uid").alias("user_id"),
+        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).cast("bigint").alias("gap_seconds"),
+    )
+
+
+@_q(
+    "media_plan",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+           CAST(FLOOR((doc_id % 64 + 16) * LEAST(32.0 / (doc_id % 64 + 16), 32.0 / (doc_id % 48 + 16), 1.0)) AS INTEGER) AS target_width,
+           CAST(FLOOR((doc_id % 48 + 16) * LEAST(32.0 / (doc_id % 64 + 16), 32.0 / (doc_id % 48 + 16), 1.0)) AS INTEGER) AS target_height,
+           CAST(LEN(RANGE(0, CAST(doc_id % 30 + 1 AS BIGINT), 5)) AS INTEGER) AS n_sampled_frames
+    FROM documents
+    """,
+)
+def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata planning (resize targets + frame-sample counts)
+    — deterministic arithmetic over typed media metadata, so unlike the
+    codec-backed decode this piece is fully oracle-checked."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_plan,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, id_col="doc_id", media_type="video")
+    planned = resize_plan(media, max_side=32)
+    frames = (
+        sample_frames(media, id_col="doc_id", every_n=5)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_sampled_frames"))
+    )
+    return (
+        planned.join(frames, "doc_id")
+        .select(
+            "doc_id",
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+            "target_width",
+            "target_height",
+            "n_sampled_frames",
+        )
+    )
+
+
+@_q("ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, n_centroids=8, iterations=2, id_col="vec_id")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        cents,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=5,
+        nprobe=2,
+    )

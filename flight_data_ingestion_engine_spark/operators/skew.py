@@ -1,0 +1,80 @@
+"""Skew mitigation: salted joins and two-phase aggregations.
+
+AQE's skew-join splitting handles sort-merge skew at runtime, but two
+shapes still need manual salting at 100 TB:
+
+- **salted_join**: a shuffle join where one fact key dominates (the
+  mega-airport). The fact side gets a deterministic salt in [0, s); the
+  dimension side is replicated s× with every salt value; the join key
+  becomes (key, salt) — the hot key's rows spread over s partitions.
+  Deterministic: salt = pmod(xxhash64(stable id), s), so re-runs place
+  rows identically (no rand(), which would break retried-task exactness).
+- **salted_agg**: high-cardinality-safe two-phase aggregation for
+  algebraic aggs when ONE group dwarfs the rest: first aggregate on
+  (key, salt), then merge partials per key. For built-in sums/counts
+  Spark's partial aggregation already does this per-partition; explicit
+  salting matters when the downstream needs a repartition by key anyway
+  (e.g. collect_list of a hot key) — the salt bounds any single task's
+  group size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, stable_id: str, buckets: int, col_name: str = "_salt") -> DataFrame:
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(F.col(stable_id)), F.lit(buckets)).cast("int")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[tuple[str, str]],
+    fact_stable_id: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted and the dim side replicated.
+
+    Use when the dim is too big to broadcast AND fact keys are skewed.
+    Replication multiplies the dim shuffle by `salt_buckets` — keep it
+    small (4-16); the fact side (the big one) is untouched beyond +4 bytes.
+    """
+    salted_fact = with_salt(fact, fact_stable_id, salt_buckets)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    cond = [salted_fact["_salt"] == replicated_dim["_salt"]]
+    for fc, dc in on:
+        cond.append(salted_fact[fc] == replicated_dim[dc])
+    joined = salted_fact.join(replicated_dim, cond, how)
+    return joined.drop(salted_fact["_salt"]).drop(replicated_dim["_salt"])
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    stable_id: str,
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation through a salt: partial on (keys, salt), then
+    merge per keys.
+
+    aggs maps output name → (partial_expr, merge_expr-over-partial-column),
+    e.g. {"n": (F.count(F.lit(1)), F.sum), "mx": (F.max("v"), F.max)} with
+    merge exprs given as callables over the partial column name.
+    """
+    salted = with_salt(df, stable_id, salt_buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(f"_p_{name}") for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge(F.col(f"_p_{name}")).alias(name) for name, (_, merge) in aggs.items()]
+    )

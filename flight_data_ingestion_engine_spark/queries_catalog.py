@@ -1211,3 +1211,118 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     )
+
+
+# ===========================================================================
+# Batch C: continuous rollup, skew-mitigated join, approx stats, JSON ingest
+# ===========================================================================
+
+@_q(
+    "time_bucket_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup via the batch rollup operator (the
+    incrementally-maintained table variant is pytest-covered)."""
+    from flight_data_ingestion_engine_spark.operators.rollup_table import rollup_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_aggregate(
+        ev,
+        time_col="ts",
+        bucket_width="1 hour",
+        dims=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return out.select("bucket_start", "event_type", "n", "sum_value", "min_value", "max_value")
+
+
+@_q(
+    "salted_join_orders",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (fact salted, dim replicated 8x) — the oracle is
+    the PLAIN join: salting must be invisible in the result."""
+    from flight_data_ingestion_engine_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = salted_join(
+        orders,
+        customer,
+        on=[("o_custkey", "c_custkey")],
+        fact_stable_id="o_orderkey",
+        salt_buckets=8,
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_name")
+
+
+@_q("approx_stats")
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL distinct, quantile sketch) — approximate by
+    design, so rows-only here; pytest bounds them against exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "json_ingest_roundtrip",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EP2 through real file IO: events re-materialized as
+    nested JSON files on disk, then ingested with the config-declared
+    schema — JSON scan → recursive flatten → declared projection with
+    comment metadata (reference `motor_ingesta/motor_ingesta.py:24-44`).
+    The oracle reads the SAME logical rows straight from the parquet view.
+    """
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.config import DeclaredSchema
+    from flight_data_ingestion_engine_spark.sources.readers import ingest_json
+
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json("props", "k int").alias("props"),
+    )
+    landing = tempfile.mkdtemp(prefix="fdie_json_")
+    nested.coalesce(4).write.mode("overwrite").json(landing)
+
+    declared = DeclaredSchema.from_dict(
+        {
+            "data_columns": [
+                {"name": "event_id", "type": "bigint", "comment": "event id"},
+                {"name": "user_id", "type": "bigint"},
+                {"name": "event_type", "type": "string"},
+                {"name": "k", "type": "int", "comment": "payload k"},
+            ]
+        }
+    )
+    return ingest_json(spark, landing, declared)

@@ -37,12 +37,37 @@ def write_partitioned_table(
     max_records_per_file: int | None = 5_000_000,
     format: str = "parquet",
 ) -> None:
+    """Create-or-incrementally-overwrite a partitioned managed table.
+
+    Dynamic partition overwrite only takes the INSERT path: `saveAsTable`
+    with overwrite REPLACES the whole table regardless of the option (a
+    subtlety the reference never hit — its union always rewrote every
+    partition present). So: first write creates the table via saveAsTable;
+    subsequent writes `insertInto` with dynamic overwrite, touching only
+    the partitions present in `df`.
+    """
     if partition_by:
         df = (
             df.repartition(target_partitions, *[F.col(c) for c in partition_by])
             if target_partitions
             else df.repartition(*[F.col(c) for c in partition_by])
         )
+    spark = df.sparkSession
+    exists = spark.catalog.tableExists(table)
+
+    if exists and mode == "overwrite" and dynamic and partition_by:
+        # positional insert: align to the table's column order (partition
+        # columns land last in a partitioned table's schema)
+        target_cols = [f.name for f in spark.read.table(table).schema.fields]
+        aligned = df.select(*[F.col(c) for c in target_cols])
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            aligned.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
     writer = df.write.mode(mode).format(format)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

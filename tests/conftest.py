@@ -26,3 +26,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def drop_table_fully(spark, name: str) -> None:
+    """DROP TABLE + remove any stale warehouse location a crashed previous
+    run left behind (managed-table CREATE fails on leftover dirs)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = warehouse.removeprefix("file:") + "/" + name
+    shutil.rmtree(path, ignore_errors=True)

@@ -6,6 +6,7 @@ import datetime as dt
 
 import pytest
 
+from conftest import drop_table_fully
 from flight_data_ingestion_engine_spark.pipeline import IncrementalPipeline
 
 
@@ -22,7 +23,7 @@ def _slice(spark, rows):
 
 
 def test_two_day_incremental_heal(spark):
-    spark.sql("DROP TABLE IF EXISTS fdie_test_flights")
+    drop_table_fully(spark, "fdie_test_flights")
     pipe = IncrementalPipeline(
         table="fdie_test_flights",
         partition_col="FlightDate",
@@ -60,7 +61,7 @@ def test_two_day_incremental_heal(spark):
 
 def test_multi_day_slice_single_run(spark):
     # generalization over the reference: one run may carry several dates
-    spark.sql("DROP TABLE IF EXISTS fdie_test_flights2")
+    drop_table_fully(spark, "fdie_test_flights2")
     pipe = IncrementalPipeline(
         table="fdie_test_flights2",
         partition_col="FlightDate",

@@ -1,0 +1,136 @@
+"""Continuous time-bucket rollups + skew-mitigation operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from conftest import drop_table_fully
+from flight_data_ingestion_engine_spark.operators.rollup_table import (
+    ContinuousRollup,
+    rollup_aggregate,
+)
+from flight_data_ingestion_engine_spark.operators.skew import salted_agg, salted_join
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, ts timestamp, kind string, v double")
+
+
+def test_rollup_aggregate_buckets(spark):
+    df = _facts(
+        spark,
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 5), "a", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 55), "a", 2.0),
+            (3, dt.datetime(2024, 1, 1, 11, 0), "a", 4.0),
+        ],
+    )
+    out = rollup_aggregate(
+        df, "ts", "1 hour", ["kind"], {"n": F.count(F.lit(1)), "sum_v": F.sum("v")}
+    )
+    rows = {r.bucket_start.hour: r for r in out.collect()}
+    assert rows[10].n == 2 and rows[10].sum_v == 3.0
+    assert rows[11].n == 1 and rows[11].sum_v == 4.0
+    assert rows[10].bucket_date == dt.date(2024, 1, 1)
+
+
+def test_continuous_rollup_incremental_refresh(spark):
+    drop_table_fully(spark, "fdie_test_rollup")
+    roll = ContinuousRollup(
+        "fdie_test_rollup",
+        time_col="ts",
+        bucket_width="1 hour",
+        dims=["kind"],
+        aggs={"n": F.count(F.lit(1)), "sum_v": F.sum("v")},
+    )
+    day1 = _facts(spark, [(1, dt.datetime(2024, 1, 1, 10, 0), "a", 1.0)])
+    out1 = roll.refresh(spark, day1)
+    assert out1.count() == 1
+
+    # day-2 slice only touches day-2 partitions; day-1 rollup must survive
+    day2 = _facts(
+        spark,
+        [
+            (2, dt.datetime(2024, 1, 2, 9, 0), "a", 5.0),
+            (3, dt.datetime(2024, 1, 2, 9, 30), "b", 7.0),
+        ],
+    )
+    out2 = roll.refresh(spark, day2)
+    got = {(str(r.bucket_date), r.bucket_start.hour, r.kind): r for r in out2.collect()}
+    assert len(got) == 3
+    assert got[("2024-01-01", 10, "a")].sum_v == 1.0  # untouched partition intact
+    assert got[("2024-01-02", 9, "a")].n == 1 and got[("2024-01-02", 9, "b")].sum_v == 7.0
+
+    # idempotent: re-running day 2 changes nothing
+    out3 = roll.refresh(spark, day2)
+    assert out3.count() == 3
+    spark.sql("DROP TABLE IF EXISTS fdie_test_rollup")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: 90% of rows share key 'hot'
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(200)],
+        "id bigint, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k10", "T"), ("k20", "W")], "k string, label string"
+    )
+    plain = fact.join(dim, "k").select("id", "label")
+    salted = salted_join(
+        fact, dim, on=[("k", "k")], fact_stable_id="id", salt_buckets=4
+    ).select("id", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "x", 0.0), (2, "nope", 0.0)], "id bigint, k string, v double")
+    dim = spark.createDataFrame([("x", "X")], "k string, label string")
+    out = {
+        r.id: r.label
+        for r in salted_join(
+            fact, dim, on=[("k", "k")], fact_stable_id="id", salt_buckets=3, how="left"
+        ).collect()
+    }
+    assert out == {1: "X", 2: None}
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 5 else f"k{i}", float(i)) for i in range(100)],
+        "id bigint, k string, v double",
+    )
+    plain = {
+        (r.k): (r.n, r.mx)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")).collect()
+    }
+    salted = {
+        (r.k): (r.n, r.mx)
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            stable_id="id",
+            aggs={"n": (F.count(F.lit(1)), F.sum), "mx": (F.max("v"), F.max)},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_approx_stats_bounded_by_exact(spark, sf_dir):
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+
+    row = qc.QUERIES["approx_stats"](spark, sf_dir).first()
+    li = qc._t(spark, sf_dir, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    # HLL default rsd = 5%; allow 3x that
+    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.15
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.15
+    q25, q50, q75 = row.price_quartiles
+    assert q25 <= q50 <= q75
+    lo, hi = (
+        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    )
+    assert lo <= q25 and q75 <= hi

@@ -33,6 +33,7 @@ from flight_data_ingestion_engine_spark.functions.hashing import (
     hamming64,
     hash_shingles,
     minhash_signature,
+    minhash_signature_udf,
     shingles,
 )
 from flight_data_ingestion_engine_spark.functions.vectors import dot, unit_normalize
@@ -86,11 +87,16 @@ def jaccard_pairs_blocked(
     :func:`minhash_lsh_pairs`. Returns (id_a, id_b, jaccard) with
     id_a < id_b.
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
-    ).where(F.size("sh") > 0)
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist()  # feeds both posting-list sides + the two size joins
+    )
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
 
     # posting list: one row per (block, shingle-hash, id); hash once here
@@ -135,6 +141,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -148,37 +155,59 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
 
-    sh = ensure_parallelism(df).select(
-        F.col(id_col),
-        shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
-    ).where(F.size("sh") > 0)
-    # hash strings once in a dedicated projection; the k permutation folds
-    # then run over longs (see hash_shingles docstring for why two selects)
-    hashed = sh.select(F.col(id_col), hash_shingles(F.col("sh")).alias("hs"))
-    sig = hashed.select(
-        id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            shingles(F.split(F.col(text_col), r"\s+"), shingle_size).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        # persisted: the banding self-join reads the signature lineage from
+        # BOTH sides and the verify step re-joins the shingles twice more —
+        # without a persist the shingle pipeline executes ~5× (measured 62s
+        # vs 13s at 100k docs). MEMORY_AND_DISK default; LRU-evicted.
+        .persist()
     )
+    # hash strings once in a dedicated projection; the k permutation mixes
+    # run Arrow-side (bit-identical to the expression form, ~20× faster —
+    # see minhash_signature_udf) over the pre-hashed longs
+    hashed = sh.select(F.col(id_col), hash_shingles(F.col("sh")).alias("hs"))
+    if use_arrow:
+        sig_udf = minhash_signature_udf(num_hashes, seed)
+        sig = hashed.select(id_col, sig_udf(F.col("hs")).alias("sig"))
+    else:
+        sig = hashed.select(
+            id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
+        )
 
     # band → (band_id, hash of the signature slice) → equi-join buckets.
     # Only (id, band_id, band_hash) rows travel through the candidate join —
     # 24 bytes/row; the shingle arrays are re-joined ONLY for the verified
     # candidate set (candidates ≪ rows at any sane banding).
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
-                            "array<bigint>"
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                                "array<bigint>"
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(
+            id_col,
+            F.col("band.band_id").alias("band_id"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+        .persist()  # both sides of the candidate self-join read this
+    )
 
     a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     b = banded.select(

@@ -168,3 +168,34 @@ def test_embedding_dup_pairs_blocked(vectors):
     assert abs(one_block[(0, 1)] - 1.0) < 1e-12
     assert (0, 2) in one_block
     assert pairs.keys() <= one_block.keys()
+
+
+def test_minhash_arrow_and_expr_bit_identical(spark, docs):
+    """The Arrow (numpy) and Catalyst-expression MinHash paths must produce
+    byte-identical signatures — int64 wraparound semantics agree."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        hash_shingles,
+        minhash_signature,
+        minhash_signature_udf,
+        shingles,
+    )
+
+    sh = docs.select(
+        "doc_id", shingles(F.split(F.col("text"), r"\s+"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    hashed = sh.select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
+    expr_sig = {
+        r.doc_id: r.sig
+        for r in hashed.select(
+            "doc_id", minhash_signature(F.col("hs"), 32).alias("sig")
+        ).collect()
+    }
+    arrow_sig = {
+        r.doc_id: r.sig
+        for r in hashed.select(
+            "doc_id", minhash_signature_udf(32)(F.col("hs")).alias("sig")
+        ).collect()
+    }
+    assert expr_sig == arrow_sig

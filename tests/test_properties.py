@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): invariants over randomized inputs.
+
+The reference's tests are all golden-value (SURVEY.md §5); these add the
+randomized layer it lacks. Spark round-trips are expensive, so each
+property batches all hypothesis examples into ONE DataFrame and asserts
+the invariant row-wise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.enrich import hhmm_to_local_timestamp
+from flight_data_ingestion_engine_spark.operators.flatten import flatten
+from flight_data_ingestion_engine_spark.operators.next_event import with_next_event
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 99)),  # (hhmm-ish, id)
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_hhmm_parse_validity_property(spark, hhmms):
+    """try-parse is non-NULL exactly when hh<24 and mm<60 (and hhmm>=0)."""
+    df = spark.createDataFrame(
+        [(i, v, "2024-03-05") for v, i in hhmms], "id int, hhmm int, d string"
+    )
+    out = df.select(
+        "id", "hhmm", hhmm_to_local_timestamp("d", "hhmm").alias("ts")
+    ).collect()
+    for r in out:
+        valid = (r.hhmm // 100) < 24 and (r.hhmm % 100) < 60
+        assert (r.ts is not None) == valid, f"hhmm={r.hhmm}"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),  # key
+            st.integers(0, 10_000),  # seconds offset
+            st.integers(0, 10**6),  # unique id
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_next_event_invariants_property(spark, rows):
+    """diff_next >= 0; exactly one open (NULL-next) row per key; every
+    non-open row's next time equals the true successor."""
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), i) for k, s, i in rows],
+        "k string, t timestamp, id long",
+    )
+    out = with_next_event(df, partition_by="k", time_col="t", tiebreakers=["id"]).collect()
+    keys = {r.k for r in out}
+    open_rows = [r for r in out if r.t_next is None]
+    assert len(open_rows) == len(keys)
+    assert all(r.diff_next >= 0 for r in out if r.diff_next is not None)
+    # cross-check against a Python reference implementation
+    expect = {}
+    for k in keys:
+        seq = sorted([r for r in out if r.k == k], key=lambda r: (r.t, r.id))
+        for a, b in zip(seq, seq[1:]):
+            expect[(k, a.id)] = b.t
+    for r in out:
+        assert expect.get((r.k, r.id)) == r.t_next
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 9), min_size=0, max_size=4),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_flatten_inner_explode_row_count_property(spark, arrays):
+    """flatten of one array column yields sum(len(arr)) rows (empty/NULL
+    dropped — the reference's verified inner-explode semantics)."""
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "id int, xs array<int>"
+    )
+    assert flatten(df).count() == sum(len(a) for a in arrays)
+    assert flatten(df, outer=True).count() == sum(max(len(a), 1) for a in arrays)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=25)
+)
+def test_exact_dedup_partitions_input_property(spark, texts):
+    """exact_dedup keeps exactly one row per distinct value, and keeps the
+    minimum id of each group."""
+    from flight_data_ingestion_engine_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    kept = exact_dedup(df, ["t"], "id").collect()
+    assert len(kept) == len(set(texts))
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, i)
+    assert {r.id for r in kept} == set(by_text.values())

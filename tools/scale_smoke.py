@@ -1,0 +1,154 @@
+"""Scale smoke: run the engine's heavy operators on synthetic data 10-50×
+larger than sf0.1, with deliberate skew, to check the plans HOLD — not just
+that small inputs pass.
+
+Generates data distributed (spark.range — no driver-side materialization):
+- 5M events across 50k users with a hot key owning ~20% of rows,
+- 100k synthetic documents (vocab-sampled, ~80 tokens) with planted dups.
+
+Usage: python tools/scale_smoke.py [n_events] [n_docs]
+Prints one JSON line of stage timings.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    spark = get_spark("fdie-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def stage(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.perf_counter() - self.t0, 2)
+
+        return _T()
+
+    # -- synthetic events: hot user 0 owns ~20% of all rows (real skew) ----
+    ev = (
+        spark.range(n_events)
+        .withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("id"), 5) == 0, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("id", F.lit(1)), 50_000)
+            ),
+        )
+        .withColumn("ts", F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 37_000))
+        .withColumn("event_type", F.element_at(F.array(*[F.lit(x) for x in ["click", "view", "purchase", "error", "signup"]]), (F.pmod(F.xxhash64("id", F.lit(2)), 5) + 1).cast("int")))
+        .withColumn("value", (F.pmod(F.xxhash64("id", F.lit(3)), 1000) / 10.0))
+    )
+
+    from flight_data_ingestion_engine_spark.operators.next_event import with_next_event
+
+    with stage("next_event_5m_skewed"):
+        out = with_next_event(ev, "user_id", "ts", attrs=["event_type"], tiebreakers=["id"])
+        assert out.where(F.col("diff_next").isNotNull()).count() > 0
+
+    from pyspark.sql import Window
+
+    with stage("sessionize_5m"):
+        w = Window.partitionBy("user_id").orderBy("ts", "id")
+        flagged = ev.select(
+            "user_id",
+            "ts",
+            F.when(
+                (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+                | F.lag("ts").over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        n_sessions = flagged.agg(F.sum("new_session")).first()[0]
+        assert n_sessions > 0
+
+    with stage("hourly_rollup_5m"):
+        from flight_data_ingestion_engine_spark.operators.rollup_table import rollup_aggregate
+
+        rolled = rollup_aggregate(
+            ev, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1)), "v": F.sum("value")}
+        )
+        assert rolled.count() > 0
+
+    # -- synthetic documents with planted near-duplicates ------------------
+    vocab = [f"w{i}" for i in range(500)]
+    vocab_col = F.array(*[F.lit(w) for w in vocab])
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(79)),
+                    # ~1% of docs replicate doc (id - id%100): planted dups
+                    lambda i: F.element_at(
+                        vocab_col,
+                        (
+                            F.pmod(
+                                F.xxhash64(
+                                    F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1)
+                                    .otherwise(F.col("id")),
+                                    i,
+                                ),
+                                500,
+                            )
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        )
+    )
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_fingerprints,
+    )
+
+    with stage(f"minhash_lsh_{n_docs}_docs"):
+        pairs = minhash_lsh_pairs(docs, id_col="id", text_col="text", threshold=0.5)
+        n_pairs = pairs.count()
+        assert n_pairs >= n_docs // 100 - 5, f"planted dups missed: {n_pairs}"
+
+    with stage(f"simhash_{n_docs}_docs"):
+        assert simhash_fingerprints(docs, id_col="id", text_col="text").count() == n_docs
+
+    from flight_data_ingestion_engine_spark.operators.skew import salted_join
+
+    with stage("salted_join_5m_hot_key"):
+        dim = spark.range(50_000).select(
+            F.col("id").alias("user_id"), F.concat(F.lit("u"), F.col("id")).alias("uname")
+        )
+        joined = salted_join(
+            ev.select("id", "user_id"),
+            dim,
+            on=[("user_id", "user_id")],
+            fact_stable_id="id",
+            salt_buckets=8,
+        )
+        assert joined.count() == n_events
+
+    print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Upsert (SCD1) and slowly-changing-dimension type-2 merges, without
+Delta/Iceberg — pure DataFrame emulation (anti-join + union + window),
+pluggable into the dynamic-partition-overwrite sink for incremental runs.
+
+MERGE INTO needs a transactional table format; on plain parquet tables the
+equivalent algebra is:
+
+- **upsert (SCD1, latest-wins)**: union current + updates, keep the
+  newest row per key (row_number over change-time desc). One shuffle on
+  the key; at scale, write back with dynamic overwrite so only partitions
+  containing changed keys rewrite.
+- **scd2_merge**: full change history — every version of a key gets
+  [valid_from, valid_to) with the current version open (valid_to NULL).
+  Union + per-key window (lead of the next change time). Same single
+  keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    change_time_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Latest-wins merge: one row per key, the newest by change time.
+
+    Ties on change time resolve by `tiebreakers` (required when updates
+    can share a timestamp with current rows — at scale they will).
+    """
+    unioned = current.unionByName(updates, allowMissingColumns=True)
+    order = [F.col(change_time_col).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_merge(
+    history: DataFrame | None,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    change_time_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Rebuild SCD2 validity intervals after folding in `updates`.
+
+    history: previous SCD2 table (may carry valid_from/valid_to — they are
+        recomputed) or None on the first load.
+    Each key's versions ordered by change time get
+    valid_from = change time, valid_to = next version's change time
+    (NULL = current). Duplicate (key, change_time) rows keep the max
+    tiebreaker (the later-arriving fact wins).
+    """
+    base = history.drop(valid_from, valid_to) if history is not None and valid_from in (history.columns) else history
+    unioned = (
+        base.unionByName(updates, allowMissingColumns=True) if base is not None else updates
+    )
+    if tiebreakers:
+        w_dedup = Window.partitionBy(*key_cols, change_time_col).orderBy(
+            *[F.col(t).desc() for t in tiebreakers]
+        )
+        unioned = (
+            unioned.withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(change_time_col).asc())
+    return unioned.withColumn(valid_from, F.col(change_time_col)).withColumn(
+        valid_to, F.lead(change_time_col).over(w)
+    )

@@ -1326,3 +1326,195 @@ def q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return ingest_json(spark, landing, declared)
+
+
+# ===========================================================================
+# Batch D: set ops, unpivot, range frames, SCD merges, session windows
+# ===========================================================================
+
+@_q(
+    "intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@_q(
+    "except_parts",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def q_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    used = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return part.subtract(used)  # EXCEPT (distinct) semantics, like the oracle
+
+
+@_q(
+    "unpivot_event_counts",
+    """
+    WITH pv AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM pv
+    UNPIVOT (n FOR kind IN (click, purchase))
+    """,
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot roundtrip (stack/melt). NB: Spark unpivot keeps all
+    rows; DuckDB UNPIVOT drops NULL measures — counts here are never NULL
+    so semantics coincide."""
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase"])
+    )
+    return pv.unpivot("user_id", ["click", "purchase"], "kind", "n")
+
+
+@_q(
+    "trailing_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY FLOOR(EPOCH(ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_1h_value
+    FROM events
+    """,
+)
+def q_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per-user trailing-1h sum.
+    Ordered by epoch seconds so the frame bound is arithmetic on both
+    engines; decimal-exact accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("trailing_1h_value"),
+    )
+
+
+@_q(
+    "scd2_versions",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to
+    FROM (
+      SELECT * FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+    )
+    """,
+)
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change history without a transactional format: each customer's
+    orders become versioned rows with [valid_from, valid_to) intervals,
+    the current version open-ended."""
+    from flight_data_ingestion_engine_spark.operators.scd import scd2_merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    out = scd2_merge(
+        None,
+        orders,
+        key_cols=["o_custkey"],
+        change_time_col="o_orderdate",
+        tiebreakers=["o_orderkey"],
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "valid_from", "valid_to")
+
+
+@_q(
+    "upsert_latest_order",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def q_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 latest-wins merge: treating half the orders as 'current' and
+    half as 'updates', the upsert must equal a plain latest-per-key — the
+    split is invisible in the result."""
+    from flight_data_ingestion_engine_spark.operators.scd import upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    current = orders.where(F.col("o_orderkey") % 2 == 0)
+    updates = orders.where(F.col("o_orderkey") % 2 == 1)
+    return upsert(
+        current,
+        updates,
+        key_cols=["o_custkey"],
+        change_time_col="o_orderdate",
+        tiebreakers=["o_orderkey"],
+    )
+
+
+@_q(
+    "streaming_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window(gap=30min) aggregation — the stream's
+    session semantics (end = last event + gap) match the batch gap-
+    sessionization oracle exactly."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+        )
+    )
+    return _run_stream_to_memory(agg, "complete")

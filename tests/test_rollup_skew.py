@@ -134,3 +134,56 @@ def test_approx_stats_bounded_by_exact(spark, sf_dir):
         li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     )
     assert lo <= q25 and q75 <= hi
+
+
+def test_upsert_latest_wins(spark):
+    import datetime as dt
+
+    from flight_data_ingestion_engine_spark.operators.scd import upsert
+
+    cur = spark.createDataFrame(
+        [("k1", 1, dt.datetime(2024, 1, 1), "old")], "k string, id int, t timestamp, v string"
+    )
+    upd = spark.createDataFrame(
+        [("k1", 2, dt.datetime(2024, 1, 2), "new"), ("k2", 3, dt.datetime(2024, 1, 1), "fresh")],
+        "k string, id int, t timestamp, v string",
+    )
+    out = {r.k: r.v for r in upsert(cur, upd, ["k"], "t", tiebreakers=["id"]).collect()}
+    assert out == {"k1": "new", "k2": "fresh"}
+
+
+def test_upsert_tie_resolved_by_tiebreaker(spark):
+    import datetime as dt
+
+    from flight_data_ingestion_engine_spark.operators.scd import upsert
+
+    t = dt.datetime(2024, 1, 1)
+    cur = spark.createDataFrame([("k1", 1, t, "a")], "k string, id int, t timestamp, v string")
+    upd = spark.createDataFrame([("k1", 2, t, "b")], "k string, id int, t timestamp, v string")
+    assert upsert(cur, upd, ["k"], "t", tiebreakers=["id"]).first().v == "b"
+
+
+def test_scd2_incremental_intervals(spark):
+    import datetime as dt
+
+    from flight_data_ingestion_engine_spark.operators.scd import scd2_merge
+
+    day = lambda d: dt.datetime(2024, 1, d)
+    first = scd2_merge(
+        None,
+        spark.createDataFrame([("k1", 1, day(1), "v1")], "k string, id int, t timestamp, v string"),
+        key_cols=["k"],
+        change_time_col="t",
+        tiebreakers=["id"],
+    )
+    assert first.first().valid_to is None  # single version is current
+    second = scd2_merge(
+        first,
+        spark.createDataFrame([("k1", 2, day(5), "v2")], "k string, id int, t timestamp, v string"),
+        key_cols=["k"],
+        change_time_col="t",
+        tiebreakers=["id"],
+    )
+    rows = {r.v: r for r in second.collect()}
+    assert rows["v1"].valid_from == day(1) and rows["v1"].valid_to == day(5)
+    assert rows["v2"].valid_from == day(5) and rows["v2"].valid_to is None

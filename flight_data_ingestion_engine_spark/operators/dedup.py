@@ -349,3 +349,60 @@ def embedding_dup_pairs(
     return pairs.select(
         "id_a", "id_b", dot(F.col("v_a"), F.col("v_b")).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (member_id, cluster_id)
+    with cluster_id = the minimum member id (the canonical representative).
+
+    Label propagation: every node starts labeled with itself; each round
+    every node adopts the minimum label in its neighborhood (via a
+    groupBy-min over the undirected edge list); converged when no label
+    changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — usually 2-4). Each round is one join + one aggregation, with
+    `localCheckpoint` cutting the lineage so plans don't grow
+    exponentially. Driver-side only the loop counter and a scalar
+    convergence check.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))

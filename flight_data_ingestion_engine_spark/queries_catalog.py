@@ -1518,3 +1518,18 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream_to_memory(agg, "complete")
+
+
+@_q("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline: MinHash-LSH pairs → connected components
+    → (member, canonical representative). Iterative label propagation —
+    not SQL-expressible, so rows-only; transitivity is pytest-asserted."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
+    return dedup_clusters(pairs)

@@ -199,3 +199,27 @@ def test_minhash_arrow_and_expr_bit_identical(spark, docs):
         ).collect()
     }
     assert expr_sig == arrow_sig
+
+
+def test_dedup_clusters_transitive(spark):
+    """a-b and b-c pairs must merge into ONE cluster labeled min(a,b,c)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_end_to_end_minhash_to_clusters(spark, docs):
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    clusters = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    # docs 0,1,2 are one near-dup family → one cluster rooted at 0
+    assert clusters[0] == 0 and clusters[1] == 0 and clusters[2] == 0

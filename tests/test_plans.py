@@ -110,3 +110,22 @@ def test_streaming_stateful_plan_contains_state_operator(spark, sf_dir):
     )
     out = streaming_next_event(ev, key_col="user_key", time_col="ts", attrs=["event_type"])
     assert out.isStreaming
+
+
+def test_no_rowwise_python_or_cartesian_in_any_query(spark):
+    """Global hygiene gate: no catalog query may plan a row-at-a-time
+    Python UDF (BatchEvalPython) or an unintended cartesian product.
+    Arrow-batched exec (ArrowEvalPython / FlatMapGroupsInPandas / InPandas)
+    is allowed — that's the designed Python escape hatch. Brute-force
+    top-k queries legitimately cross-join a broadcast corpus; everything
+    else must not."""
+    allowed_cross = {"embedding_topk", "lsh_topk", "ivf_topk"}
+    sf = "/root/testdata/sf0.001"
+    for name, fn in qc.QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # streaming plans are checked via their own tests
+        df = fn(spark, sf)
+        plan = explain_str(df, "simple")
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        if name not in allowed_cross:
+            assert "CartesianProduct" not in plan, f"{name}: cartesian product"

@@ -381,6 +381,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -395,14 +396,11 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever decrease, so an unchanged SUM means a fixed
+        # point — one cheap aggregation per round instead of a self-join
+        label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))

@@ -20,6 +20,8 @@ scale paths.
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,6 +149,31 @@ def topk_lsh(
     )
 
 
+def _cell_assign_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow UDF: normalized vector → its `nprobe` best centroid ids.
+
+    An IVF codebook is dense linear algebra (a |batch|×dim @ dim×cells
+    matmul + argsort) — numpy territory. As literal Catalyst expressions a
+    16×64 codebook is ~1k literals whose ANALYSIS alone costs seconds per
+    query; as a closure-captured ndarray it is a few KB shipped once.
+    Ties prefer the smaller centroid id (stable argsort on -cos).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=float)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def assign(nv: pd.Series) -> pd.Series:
+        M = np.vstack(nv.to_numpy())  # batch × dim (already unit-normalized)
+        cos = M @ C.T  # batch × cells
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign
+
+
 def ivf_build_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -155,63 +182,49 @@ def ivf_build_centroids(
     seed: int = 42,
     id_col: str | None = None,
 ) -> DataFrame:
-    """K-means-lite centroids computed with DataFrame aggregations.
+    """Spherical k-means-lite centroids, shuffle-minimal.
 
     Init: deterministic sample (orderBy xxhash64(id) limit n). Each Lloyd
-    iteration: assign by best cosine (broadcast centroids), then average
-    per cluster with element-wise aggregation — all distributed; the only
-    driver-side data is the centroid list (n_centroids × dim floats).
+    iteration: assign every vector to its best cell with the
+    Arrow codebook scorer (zero shuffle), then compute per-cell means
+    via posexplode + groupBy(cell, dim) — one aggregation whose output is
+    just n_centroids × dim rows, collected to rebuild the codebook.
+    Driver-side state is only the codebook itself.
     """
-    c = corpus.select(
-        (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
-        to_double_array(F.col(vec_col)).alias("v"),
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
+            unit_normalize(F.col(vec_col)).alias("nv"),
+        )
+        .persist()
     )
     init = (
         c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
         .limit(n_centroids)
-        .select(F.col("v"))
+        .select(F.col("nv"))
         .collect()
     )
-    centroids = [r.v for r in init]
+    centroids = [r.nv for r in init]
+    dim = len(centroids[0])
 
     for _ in range(iterations):
-        cent_df = F.broadcast(
-            c.sparkSession.createDataFrame(
-                [(i, v) for i, v in enumerate(centroids)], "centroid_id int, cv array<double>"
-            )
+        assign = _cell_assign_udf(centroids, 1)
+        assigned = c.select(
+            assign(F.col("nv"))[0].alias("centroid_id"),
+            F.posexplode(F.col("nv")).alias("pos", "x"),
         )
-        assigned = (
-            c.crossJoin(cent_df)
-            .select(
-                "_cid",
-                "v",
-                "centroid_id",
-                cosine_similarity(F.col("v"), F.col("cv")).alias("cos"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("_cid").orderBy(F.col("cos").desc(), F.col("centroid_id"))
-                ),
-            )
-            .where(F.col("rn") == 1)
+        rows = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
         )
-        # element-wise mean per cluster: aggregate array sums via reduce
-        agg = assigned.groupBy("centroid_id").agg(
-            F.aggregate(
-                F.collect_list("v"),
-                F.array_repeat(F.lit(0.0), len(centroids[0])),
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("vsum"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        rows = agg.select(
-            "centroid_id",
-            F.transform(F.col("vsum"), lambda s: s / F.col("n")).alias("mean"),
-        ).collect()
-        new = dict((r.centroid_id, r.mean) for r in rows)
-        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = r.m
+        centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
 
+    c.unpersist()
     return corpus.sparkSession.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)], "centroid_id int, cv array<double>"
     )
@@ -227,42 +240,26 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
-    """IVF probe: per-query search only the `nprobe` nearest centroid cells."""
-    cent = F.broadcast(centroids)
+    """IVF probe: per-query search only the `nprobe` nearest centroid cells.
 
-    def assign(df: DataFrame, id_alias: str, vec_alias: str, n: int) -> DataFrame:
-        return (
-            df.crossJoin(cent)
-            .select(
-                F.col("*"),
-                cosine_similarity(F.col(vec_alias), F.col("cv")).alias("cos"),
-            )
-            .withColumn(
-                "crank",
-                F.row_number().over(
-                    Window.partitionBy(id_alias).orderBy(F.col("cos").desc(), F.col("centroid_id"))
-                ),
-            )
-            .where(F.col("crank") <= n)
-            .drop("cv", "cos", "crank")
+    Cell assignment is the Arrow codebook scorer (no crossJoin/window);
+    the only shuffle is the candidate equi-join on centroid_id plus the
+    final per-query top-k window.
+    """
+    cents = [r.cv for r in centroids.orderBy("centroid_id").collect()]
+
+    def best_cells(df: DataFrame, src_id: str, id_alias: str, vec_alias: str, n: int) -> DataFrame:
+        assign = _cell_assign_udf(cents, n)
+        return df.select(
+            F.col(src_id).alias(id_alias),
+            unit_normalize(F.col(vec_col)).alias(vec_alias),
+            F.explode(assign(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
         )
 
-    q = assign(
-        queries.select(F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec")),
-        "q_id",
-        "q_vec",
-        nprobe,
-    )
-    c = assign(
-        corpus.select(F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("c_vec")),
-        "c_id",
-        "c_vec",
-        1,
-    )
+    q = best_cells(queries, query_id, "q_id", "q_vec", nprobe)
+    c = best_cells(corpus, corpus_id, "c_id", "c_vec", 1)
     cand = q.join(c, on="centroid_id").dropDuplicates(["q_id", "c_id"])
-    scored = cand.select(
-        "q_id", "c_id", cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine")
-    )
+    scored = cand.select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1533,3 +1533,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
     return dedup_clusters(pairs)
+
+
+@_q(
+    "streaming_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on a stream keyed by
+    (user_id, event_type) — state holds one entry per key; emitting only
+    the keys keeps the result order-insensitive and batch-comparable."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return _run_stream_to_memory(deduped, "append")

@@ -31,6 +31,7 @@ to ~1/N of the table, so daily cost is O(slice), not O(history).
 from __future__ import annotations
 
 import datetime as dt
+import logging
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -75,7 +76,12 @@ class IncrementalPipeline:
         return table_df.where(F.col(self.partition_col).isin(prev_dates))
 
     def run(self, spark: SparkSession, slice_df: DataFrame) -> DataFrame:
-        """Process one enriched slice into the output table; returns what was written."""
+        """Process one enriched slice into the output table; returns what was written.
+
+        Error contract (reference parity, `flujo_diario.py:72-74`): any
+        failure is logged with the slice context and RE-RAISED — no partial
+        rollback beyond dynamic overwrite's per-partition atomicity.
+        """
         cached = slice_df.cache()
         try:
             dates = [
@@ -104,5 +110,10 @@ class IncrementalPipeline:
             if self.staging_table:
                 drop_staging(spark, self.staging_table)
             return spark.read.table(self.table)
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "incremental load failed for table %s", self.table
+            )
+            raise
         finally:
             cached.unpersist()

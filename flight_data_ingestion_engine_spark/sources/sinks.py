@@ -119,3 +119,26 @@ def materialize(
 
 def drop_staging(spark: SparkSession, staging_table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed the same
+    way on the join key co-locate, so later joins/aggregations on that key
+    plan with NO exchange (asserted in tests/test_plans.py). The 100 TB
+    play: bucket the fact tables by their join key at ingest; every
+    downstream join amortizes the shuffle you already paid.
+    """
+    writer = df.write.mode(mode).format(format).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,97 @@
+"""Sink capabilities: bucketed co-located joins, format roundtrips,
+late-data watermark semantics."""
+
+from __future__ import annotations
+
+import json
+
+from conftest import drop_table_fully
+from flight_data_ingestion_engine_spark import queries_catalog as qc
+from flight_data_ingestion_engine_spark.plans import explain_str
+from flight_data_ingestion_engine_spark.sources.sinks import write_bucketed_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must join with ZERO shuffle —
+    the write-time shuffle is amortized across every later join."""
+    drop_table_fully(spark, "fdie_b_orders")
+    drop_table_fully(spark, "fdie_b_customer")
+    orders = qc._t(spark, sf_dir, "orders")
+    customer = qc._t(spark, sf_dir, "customer")
+    write_bucketed_table(orders, "fdie_b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed_table(customer, "fdie_b_customer", ["c_custkey"], 8, sort_cols=["c_custkey"])
+
+    # disable broadcast so the join would otherwise need a shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.read.table("fdie_b_orders")
+        b = spark.read.table("fdie_b_customer")
+        joined = a.join(b, a["o_custkey"] == b["c_custkey"]).select("o_orderkey", "c_name")
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_table_fully(spark, "fdie_b_orders")
+        drop_table_fully(spark, "fdie_b_customer")
+
+
+def test_format_roundtrips(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, s string, v double"
+    )
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        writer = df.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        back = reader.load(path)
+        assert back.count() == 2
+        assert set(back.columns) == {"id", "s", "v"}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows later than the watermark are DROPPED from append-mode windowed
+    aggregation — the state-bounding contract late data is subject to."""
+    from flight_data_ingestion_engine_spark.streaming import stream_json, windowed_counts
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(name, ts_list):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"k": "x", "t": t}) for t in ts_list)
+        )
+
+    stream = stream_json(spark, str(landing), "k string, t timestamp")
+    agg = windowed_counts(stream, "t", window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        land("b1.json", ["2024-01-01 10:00:00", "2024-01-01 10:06:00"])
+        q.processAllAvailable()  # watermark advances to 10:06 - 10min = 09:56
+        land("b2.json", ["2024-01-01 12:00:00"])
+        q.processAllAvailable()  # watermark → 11:50; 10:0x windows finalize
+        land("b3.json", ["2024-01-01 10:01:00"])  # LATE: before 11:50
+        q.processAllAvailable()
+        land("b4.json", ["2024-01-01 14:00:00"])
+        q.processAllAvailable()  # push watermark so 12:00 window emits too
+        rows = {
+            str(r.window_start): r.n for r in spark.sql("SELECT * FROM late_test").collect()
+        }
+        # the late 10:01 row must NOT have re-opened or incremented its window
+        assert rows.get("2024-01-01 10:00:00") == 1
+        assert rows.get("2024-01-01 10:05:00") == 1
+        assert rows.get("2024-01-01 12:00:00") == 1
+    finally:
+        q.stop()

@@ -38,6 +38,19 @@ from flight_data_ingestion_engine_spark.operators.multimodal import (
     resize_plan,
     sample_frames,
 )
+from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+from flight_data_ingestion_engine_spark.operators.ranges import range_join_after
+from flight_data_ingestion_engine_spark.operators.rollup_table import (
+    ContinuousRollup,
+    rollup_aggregate,
+    time_bucket,
+)
+from flight_data_ingestion_engine_spark.operators.scd import scd2_merge, upsert
+from flight_data_ingestion_engine_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+    with_salt,
+)
 
 __all__ = [
     "asof_join",
@@ -60,6 +73,16 @@ __all__ = [
     "decode_media",
     "resize_plan",
     "sample_frames",
+    "dedup_clusters",
+    "range_join_after",
+    "ContinuousRollup",
+    "rollup_aggregate",
+    "time_bucket",
+    "scd2_merge",
+    "upsert",
+    "salted_agg",
+    "salted_join",
+    "with_salt",
     "flatten",
     "flatten_column",
     "heal_union",

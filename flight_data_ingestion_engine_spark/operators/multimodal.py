@@ -94,28 +94,33 @@ def decode_media(
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # Columnar over each Arrow batch: one pass to split meta fields,
+        # one boolean mask, one zip for the (inherently per-row) digest.
         for pdf in it:
-            fmts = pdf[f"{meta_col}.format"] if f"{meta_col}.format" in pdf else None
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r[meta_col]
-                fmt = meta["format"] if fmts is None else r[f"{meta_col}.format"]
-                if fmt != "fake":
-                    if strict:
-                        raise NotImplementedError(
-                            f"no codec for format={fmt!r} in this environment"
-                        )
-                    continue
-                w, h = int(meta["width"]), int(meta["height"])
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "format": fmt,
-                        "n_pixels": w * h,
-                        "feature": _fake_decode(bytes(r[bytes_col]), w, h, feature_dim),
-                    }
+            meta = pdf[meta_col]
+            fmt = meta.map(lambda m: m["format"])
+            keep = fmt == "fake"
+            if strict and not keep.all():
+                bad = fmt[~keep].iloc[0]
+                raise NotImplementedError(
+                    f"no codec for format={bad!r} in this environment"
                 )
-            yield pd.DataFrame(rows, columns=[id_col, "format", "n_pixels", "feature"])
+            sub = pdf[keep]
+            sub_meta = sub[meta_col]
+            widths = sub_meta.map(lambda m: int(m["width"]))
+            heights = sub_meta.map(lambda m: int(m["height"]))
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col].astype("int64"),
+                    "format": "fake",
+                    "n_pixels": (widths * heights).astype("int32"),
+                    "feature": [
+                        _fake_decode(bytes(p), w, h, feature_dim)
+                        for p, w, h in zip(sub[bytes_col], widths, heights)
+                    ],
+                },
+                columns=[id_col, "format", "n_pixels", "feature"],
+            )
 
     pruned = df.select(id_col, bytes_col, meta_col)
     return pruned.mapInPandas(batches, schema)

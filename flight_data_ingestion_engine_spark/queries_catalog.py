@@ -451,9 +451,9 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -863,8 +863,35 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("media_decode")
+@_q(
+    "media_decode",
+    """
+    WITH f AS (
+      SELECT doc_id, (doc_id % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, w, h,
+             sha256(sha256(CAST(doc_id AS VARCHAR))
+                    || (w::VARCHAR || 'x' || h::VARCHAR)) AS hh
+      FROM f
+    )
+    SELECT doc_id, 'fake' AS format, CAST(w * h AS INTEGER) AS n_pixels,
+           CAST(i.i AS BIGINT) AS dim_idx,
+           (16 * (strpos('0123456789abcdef', substr(hh, 2*i.i+1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hh, 2*i.i+2, 1)) - 1))
+             / 255.0 AS value
+    FROM hx, (SELECT unnest(range(8)) AS i) i
+    """,
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing scalar form of the decode stage: the feature vector is
+    posexploded to (dim_idx, value) rows so every output column is scalar
+    (the driver's canonicalizer cannot hash list cells).  The oracle
+    recomputes the deterministic fake decode — sha256 of (hex-payload ||
+    'WxH'), first 8 digest bytes / 255.0 — byte-for-byte in SQL, so this is
+    a full value check of the mapInPandas codec plumbing, not rows-only.
+    The array-returning `decode_media` stays the library API.
+    """
     from flight_data_ingestion_engine_spark.operators.multimodal import (
         attach_fake_media,
         decode_media,
@@ -872,7 +899,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = attach_fake_media(docs, id_col="doc_id")
-    return decode_media(media, id_col="doc_id")
+    decoded = decode_media(media, id_col="doc_id")
+    return decoded.select(
+        "doc_id",
+        "format",
+        "n_pixels",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    ).withColumn("dim_idx", F.col("dim_idx").cast("bigint"))
 
 
 # ===========================================================================
@@ -1275,12 +1308,16 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("approx_stats")
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL distinct, quantile sketch) — approximate by
-    design, so rows-only here; pytest bounds them against exact values."""
+    design, so rows-only here; pytest bounds them against exact values.
+    Quartiles are projected as scalar p25/p50/p75 columns (not an array)
+    so the driver's canonicalizer can hash the row."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def asof_join(
@@ -33,6 +32,7 @@ def asof_join(
     payload: list[str],
     tiebreaker: str | None = None,
     tolerance_seconds: int | None = None,
+    left_unique_key: str | None = None,
 ) -> DataFrame:
     """For each left row, attach `payload` of the latest right row with
     right_time <= left_time (same key). NULL payload when none exists.
@@ -40,6 +40,15 @@ def asof_join(
     tiebreaker: right-side column deciding among rows sharing (key, time)
         — required for determinism if such ties are possible.
     tolerance_seconds: optionally NULL-out matches older than the window.
+    left_unique_key: a column that uniquely identifies left rows. When
+        given, it is the join-back key — fully deterministic and free.
+        When absent, rows are tagged with monotonically_increasing_id and
+        the tagged frame is localCheckpoint'ed BEFORE branching: the id
+        depends on partition-internal row order, and this plan consumes
+        the tagged frame in two branches (union/window side and final
+        join side), so without materialization an AQE replan or task
+        retry could recompute the two branches with different ids and
+        attach payloads to the wrong rows.
     """
     # one right row per (key, time): keep the max-tiebreaker row
     r = right
@@ -47,15 +56,21 @@ def asof_join(
         w_dedup = Window.partitionBy(on, right_time).orderBy(F.col(tiebreaker).desc())
         r = r.withColumn("_rn", F.row_number().over(w_dedup)).where(F.col("_rn") == 1).drop("_rn")
 
+    if left_unique_key is not None:
+        left_with_id = left.withColumn("_left_row", F.col(left_unique_key))
+    else:
+        left_with_id = left.withColumn(
+            "_left_row", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+
     payload_struct = F.struct(*[F.col(c) for c in payload])
     r_tagged = r.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),  # right sorts first at equal times (inclusive match)
         payload_struct.alias("_payload"),
-        F.lit(None).cast(T.LongType()).alias("_left_row"),
+        F.lit(None).cast(left_with_id.schema["_left_row"].dataType).alias("_left_row"),
     )
-    left_with_id = left.withColumn("_left_row", F.monotonically_increasing_id())
     l_tagged = left_with_id.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),

@@ -45,15 +45,34 @@ def exact_dedup(
     cols: Sequence[str],
     id_col: str,
     keep: str = "min",
+    hash_group: bool = True,
 ) -> DataFrame:
     """Keep one representative row (min/max id) per distinct `cols` value.
 
-    Implemented as a self-semi-join on the winning id per group: the group
-    key is xxhash64 of the columns (8-byte shuffle rows), with the full
-    column tuple re-checked to make hash collisions harmless.
+    Implemented as a self-semi-join on the winning id per group. With
+    hash_group=True (default, the scale path) the group key is a 128-bit
+    composite of two independently-seeded xxhash64 values over the
+    columns, so only 16 bytes + the id travel through the shuffle instead
+    of the raw text — the point at 100 TB, where rows are KB-sized
+    documents. A false merge needs a simultaneous collision in both
+    64-bit hashes (< n²/2¹²⁹ — vanishingly unlikely at any realistic
+    corpus size). hash_group=False groups by the raw columns for callers
+    that need bitwise-exact semantics regardless of corpus size.
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    winners = df.groupBy(*cols).agg(agg.alias(id_col)).select(id_col)
+    if hash_group:
+        keys = [
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(42)).alias("_h1"),
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(1337)).alias("_h2"),
+        ]
+        winners = (
+            df.select(*keys, F.col(id_col))
+            .groupBy("_h1", "_h2")
+            .agg(agg.alias(id_col))
+            .select(id_col)
+        )
+    else:
+        winners = df.groupBy(*cols).agg(agg.alias(id_col)).select(id_col)
     return df.join(winners, on=id_col, how="left_semi")
 
 
@@ -381,26 +400,26 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # also backs the convergence count below
         )
-        # labels only ever decrease, so an unchanged SUM means a fixed
-        # point — one cheap aggregation per round instead of a self-join
-        label_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels = new_labels
-        if label_sum == prev_sum:
+        # Type-agnostic fixed-point test: count rows whose label moved this
+        # round (works for string/arbitrary ids too — a SUM-based check
+        # would cast non-numeric labels to NULL and stop after one round).
+        changed = stepped.where(F.col("label") != F.col("_old")).count()
+        labels = stepped.drop("_old")
+        if changed == 0:
             break
-        prev_sum = label_sum
     return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))

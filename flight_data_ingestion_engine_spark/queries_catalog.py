@@ -823,6 +823,7 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="ts",
         payload=["event_id"],
         tiebreaker="event_id",
+        left_unique_key="event_id",
     )
     return out.select("event_id", "user_id", "ts", "event_id_asof", "asof_time")
 

@@ -63,7 +63,12 @@ def write_partitioned_table(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            aligned.write.mode("overwrite").insertInto(table)
+            # format is fixed by the existing table, but the file-size bound
+            # still applies to the files this insert writes
+            writer = aligned.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+            writer.insertInto(table)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return

@@ -87,19 +87,35 @@ def foreach_batch_partitioned_sink(
     partition_by: Sequence[str],
     checkpoint_dir: str,
     transform: Callable[[DataFrame, int], DataFrame] | None = None,
+    overwrite_partitions: bool = False,
 ):
-    """Write a stream through the batch engine's dynamic-partition overwrite.
+    """Write a stream to a partitioned path via foreachBatch.
 
-    foreachBatch bridges to batch semantics: each micro-batch rewrites only
-    the partitions it touches. Combined with the checkpoint (which makes
-    batch replay deterministic after failure), the overwrite is idempotent
-    per partition — the streaming version of the reference's daily
-    dynamic-overwrite load (`flujo_diario.py:60-68`).
+    Default (`overwrite_partitions=False`): APPEND — safe for raw event
+    streams where a partition's rows arrive across many micro-batches.
+    Replayed batches after a failure may append duplicates; pair with an
+    upstream `dropDuplicates` on a key + watermark, or read the sink with
+    a dedup, if exactly-once matters.
+
+    `overwrite_partitions=True` switches to the batch engine's
+    dynamic-partition overwrite — idempotent per partition under
+    checkpointed replay (the streaming version of the reference's daily
+    dynamic-overwrite load, `flujo_diario.py:60-68`) — but ONLY under the
+    contract that every micro-batch carries ALL rows for every partition
+    it touches (e.g. a complete daily drop per trigger, or an aggregated
+    `update`-mode stream re-emitting whole partitions). If a partition's
+    rows span micro-batches, the later batch silently replaces the
+    earlier one's rows; that is why it is opt-in.
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         df = transform(batch_df, epoch_id) if transform else batch_df
-        write_partitioned_path(df, out_path, partition_by=partition_by, dynamic=True)
+        if overwrite_partitions:
+            write_partitioned_path(df, out_path, partition_by=partition_by, dynamic=True)
+        else:
+            write_partitioned_path(
+                df, out_path, partition_by=partition_by, mode="append", dynamic=False
+            )
 
     return (
         stream.writeStream.foreachBatch(sink)

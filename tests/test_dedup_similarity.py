@@ -213,6 +213,18 @@ def test_dedup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_dedup_clusters_string_ids_long_chain(spark):
+    """Non-numeric ids with a diameter-4 chain: the convergence check must
+    be type-agnostic (a SUM-based check casts strings to NULL and stops
+    after a single propagation round, splitting the chain)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {x: "a" for x in "abcde"}
+
+
 def test_dedup_end_to_end_minhash_to_clusters(spark, docs):
     from flight_data_ingestion_engine_spark.operators.dedup import (
         dedup_clusters,

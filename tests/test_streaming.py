@@ -156,11 +156,34 @@ def test_foreach_batch_partitioned_sink(spark, landing, tmp_path):
         q.processAllAvailable()
         result = spark.read.parquet(out_dir)
         assert result.count() == 2
-        # dynamic overwrite kept both date partitions
         assert {str(r.FlightDate) for r in result.select("FlightDate").collect()} == {
             "2023-01-01",
             "2023-01-02",
         }
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink_appends_when_partition_spans_batches(spark, landing, tmp_path):
+    """Default append mode must NOT lose earlier micro-batch rows when a
+    partition's data arrives across several batches (dynamic overwrite
+    would silently replace batch 1's rows with batch 2's)."""
+    out_dir = str(tmp_path / "out")
+    stream = stream_json(
+        spark, str(landing), SCHEMA, max_files_per_trigger=1
+    ).withColumn("FlightDate", F.col("FlightTime").cast("date"))
+    writer = foreach_batch_partitioned_sink(
+        stream, out_dir, partition_by=["FlightDate"], checkpoint_dir=str(tmp_path / "ck")
+    )
+    q = writer.start()
+    try:
+        # same FlightDate partition, two separate files → two micro-batches
+        _write_day(landing, "a.json", [("JFK", "2023-01-01 10:00:00", "AA")])
+        q.processAllAvailable()
+        _write_day(landing, "b.json", [("LGA", "2023-01-01 12:00:00", "B6")])
+        q.processAllAvailable()
+        result = spark.read.parquet(out_dir)
+        assert result.count() == 2  # both batches' rows survive
     finally:
         q.stop()
 

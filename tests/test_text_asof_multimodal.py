@@ -116,7 +116,34 @@ def test_asof_join_tolerance(spark):
     assert no_tol.rid_asof == 100
 
 
-def test_multimodal_decode_plumbing(spark):
+def test_asof_join_deterministic_across_shuffle_layouts(spark):
+    # The tagged-id path must give identical results when the upstream is
+    # recomputed under a different partition layout (AQE replan / retry).
+    left = spark.createDataFrame(
+        [(i, f"u{i % 7}", _ts(9 + i % 8, i % 60)) for i in range(200)],
+        "id int, k string, t timestamp",
+    ).repartition(13, "k")  # nondeterministic row order within partitions
+    right = spark.createDataFrame(
+        [(1000 + i, f"u{i % 7}", _ts(8 + i % 9, (i * 7) % 60)) for i in range(300)],
+        "rid int, k string, rt timestamp",
+    )
+
+    def run(parts, unique_key=None):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            rows = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                payload=["rid"], tiebreaker="rid", left_unique_key=unique_key,
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        return sorted((r.id, r.rid_asof) for r in rows)
+
+    a, b = run(3), run(17)
+    assert a == b
+    # and the caller-supplied-key path agrees with the tagged-id path
+    assert run(5, unique_key="id") == a
     df = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
     media = attach_fake_media(df, id_col="doc_id")
     decoded = decode_media(media, id_col="doc_id")

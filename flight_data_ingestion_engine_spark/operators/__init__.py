@@ -6,6 +6,7 @@ from flight_data_ingestion_engine_spark.operators.enrich import (
     builtin_timezone_dimension,
     hhmm_to_local_timestamp,
     load_timezone_dimension,
+    packaged_timezone_dimension,
     with_dimension,
     with_flight_time_utc,
     with_utc_timestamp,
@@ -90,6 +91,7 @@ __all__ = [
     "builtin_timezone_dimension",
     "hhmm_to_local_timestamp",
     "load_timezone_dimension",
+    "packaged_timezone_dimension",
     "with_dimension",
     "with_flight_time_utc",
     "with_utc_timestamp",

@@ -129,6 +129,28 @@ def builtin_timezone_dimension(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_BUILTIN_TIMEZONES, "iata_code string, iana_tz string")
 
 
+def packaged_timezone_dimension(spark: SparkSession) -> DataFrame:
+    """The full 8,875-airport IATA→IANA catalog shipped with the package.
+
+    Public reference data (the same worldwide airport-timezone mapping the
+    reference packages as a resource, `setup.py:14` /
+    `motor_ingesta/resources/timezones.csv`, loaded at
+    `agregaciones.py:23-30`), reduced to the two columns the enrichment
+    needs. Read driver-side with the stdlib csv module and turned into a
+    DataFrame — a packaged resource lives in the driver's Python
+    environment, not on the cluster filesystem, so `spark.read.csv` would
+    break on a real cluster; 8,875 rows are createDataFrame territory and
+    the join side is broadcast anyway.
+    """
+    import csv
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "resources" / "iata_timezones.csv"
+    with open(path, newline="") as f:
+        rows = [(r["iata_code"], r["iana_tz"]) for r in csv.DictReader(f)]
+    return spark.createDataFrame(rows, "iata_code string, iana_tz string")
+
+
 def load_timezone_dimension(spark: SparkSession, csv_path: str) -> DataFrame:
     """Load a full (iata_code, iana_tz[, ...]) CSV catalog, projected to 2 cols."""
     return (
@@ -138,7 +160,7 @@ def load_timezone_dimension(spark: SparkSession, csv_path: str) -> DataFrame:
 
 def with_flight_time_utc(
     df: DataFrame,
-    timezones: DataFrame,
+    timezones: DataFrame | None = None,
     origin_col: str = "Origin",
     date_col: str = "FlightDate",
     deptime_col: str = "DepTime",
@@ -146,7 +168,13 @@ def with_flight_time_utc(
 ) -> DataFrame:
     """The reference's full enrichment (EP3a) as one composable op:
     broadcast tz join on IATA → local timestamp → UTC shift → keys dropped.
+
+    timezones=None uses the packaged full catalog (8,875 airports) — the
+    reference's default behavior; any airport outside a partial dimension
+    silently gets a NULL flight time, so the full catalog is the default.
     """
+    if timezones is None:
+        timezones = packaged_timezone_dimension(df.sparkSession)
     joined = with_dimension(df, timezones, on=[(origin_col, "iata_code")])
     out = with_utc_timestamp(joined, date_col, deptime_col, "iana_tz", out_col)
     return out.drop("iana_tz")

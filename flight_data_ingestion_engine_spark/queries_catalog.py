@@ -1081,16 +1081,10 @@ def q_flight_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.hour("ts") * 100 + F.minute("ts")).cast("int"))
         .alias("DepTime"),
     )
-    dim = spark.createDataFrame(
-        [
-            ("PHX", "America/Phoenix"),
-            ("HNL", "Pacific/Honolulu"),
-            ("NRT", "Asia/Tokyo"),
-            ("SJU", "America/Puerto_Rico"),
-        ],
-        "iata_code string, iana_tz string",
-    )
-    return with_flight_time_utc(fact, dim).select(
+    # timezones=None → the packaged full 8,875-airport catalog; the oracle's
+    # 4-row dim CTE matches it on these codes ('XXX' is absent from both,
+    # exercising the NULL contract through the full dimension)
+    return with_flight_time_utc(fact).select(
         "event_id", "Origin", "FlightDate", "DepTime", "FlightTime"
     )
 

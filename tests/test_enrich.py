@@ -45,6 +45,22 @@ def test_null_contract(spark):
     assert out.count() == 3  # left join keeps unmatched rows
 
 
+def test_packaged_catalog_default_enriches_non_builtin_airport(spark):
+    """with_flight_time_utc() with no dimension must use the full packaged
+    catalog: BUF (absent from the 26-airport builtin) enriches instead of
+    NULLing — the reference's 8,875-row default behavior."""
+    from flight_data_ingestion_engine_spark.operators.enrich import (
+        packaged_timezone_dimension,
+    )
+
+    dim = packaged_timezone_dimension(spark)
+    assert dim.count() == 8875
+    df = _flights(spark, [("BUF", "2023-12-25", 1535), ("JFK", "2023-12-25", 1535)])
+    out = {r.Origin: r.FlightTime for r in with_flight_time_utc(df).collect()}
+    # Buffalo is Eastern like JFK: 15:35 EST → 20:35 UTC
+    assert out["BUF"] == out["JFK"] == dt.datetime(2023, 12, 25, 20, 35)
+
+
 def test_dimension_join_is_broadcast(spark):
     df = _flights(spark, [("JFK", "2023-01-01", 1200)])
     joined = with_dimension(df, builtin_timezone_dimension(spark), on=[("Origin", "iata_code")])

@@ -8,14 +8,28 @@ the reference's cross-day heal (the open event is exactly the row whose
 `_next` columns the batch pipeline back-fills the next morning).
 
 Implementation: `applyInPandasWithState` (Arrow-batched grouped-map with a
-GroupState per key). Rows within a micro-batch are sorted by event time;
-across micro-batches per-key in-order arrival is assumed (true for the
-file-cadence sources this engine ingests — a day's file is one batch).
-State is one small tuple per key — O(keys), not O(events).
+GroupState per key). The open-event tuple is merged with each batch's rows
+and the union is re-sorted by event time before pairing, so a row that
+arrives in a later micro-batch but timestamped BEFORE the open event still
+pairs correctly (it completes into the open event rather than producing a
+negative-diff pair). What cannot be healed is a row older than a pair that
+was already emitted — emitted output is append-only; bound that exposure
+with the watermark, exactly like any streaming aggregation.
+
+State lifetime: with `expire_after_seconds` set, each key's state carries
+an event-time timeout at `open_event_time + TTL`. When the watermark
+passes it, the open event is emitted as final with NULL `_next` columns
+(`on_expiry="emit"`, the cross-day heal's "no successor ever came"
+terminal row) or silently discarded (`on_expiry="drop"`), and the key's
+state is freed — without this, one open tuple per key lives forever,
+which at 100 TB key cardinality is unbounded state-store growth.
+`expire_after_seconds` requires a `withWatermark` on the input stream
+(Spark enforces this for event-time timeouts).
 
 Scale: the grouped-map shuffles by key exactly like the batch window; state
 lives in the state store (RocksDB-backed on a real cluster). Skewed keys
-cost what any keyed operator costs; there is no unbounded buffering.
+cost what any keyed operator costs; there is no unbounded buffering. The
+per-batch work is columnar (sort + shift), no Python per-row loop.
 """
 
 from __future__ import annotations
@@ -23,6 +37,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -36,9 +51,19 @@ def streaming_next_event(
     attrs: Sequence[str] = (),
     suffix: str = "_next",
     diff_col: str = "diff_next",
+    expire_after_seconds: int | None = None,
+    on_expiry: str = "emit",
 ) -> DataFrame:
     """Emit completed events (each with its successor's time/attrs) as
-    successors arrive; each key's newest event stays open in state."""
+    successors arrive; each key's newest event stays open in state.
+
+    expire_after_seconds: event-time TTL for the open event, enforced via
+        the stream's watermark. None (default) keeps state forever —
+        acceptable for bounded key sets, not for open-ended ones.
+    on_expiry: "emit" yields the expired open event with NULL next
+        columns; "drop" discards it.
+    """
+    assert on_expiry in ("emit", "drop")
     attrs = list(attrs)
     out_fields = (
         [f"{key_col} string", f"{time_col} timestamp"]
@@ -49,50 +74,75 @@ def streaming_next_event(
     output_schema = ", ".join(out_fields)
     # state: the open event — epoch micros + attribute values
     state_schema = "ts long" + "".join(f", a{i} string" for i in range(len(attrs)))
+    out_cols = (
+        [key_col, time_col]
+        + attrs
+        + [f"{a}{suffix}" for a in attrs]
+        + [f"{time_col}{suffix}", diff_col]
+    )
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if on_expiry == "emit" and state.exists:
+                st = state.get
+                row = (
+                    [key[0], pd.Timestamp(st[0], unit="us")]
+                    + [st[1 + i] for i in range(len(attrs))]
+                    + [None] * len(attrs)
+                    + [pd.NaT, None]
+                )
+                yield pd.DataFrame([row], columns=out_cols)
+            state.remove()
+            return
+
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows) == 0:
             return
-        rows = rows.sort_values(time_col, kind="mergesort").reset_index(drop=True)
 
-        pending: list[tuple[int, list[str | None]]] = []
+        # columnar: event times to epoch-µs, open-event tuple prepended,
+        # ONE sort over the union (heals batch-crossing out-of-order rows)
+        ts_us = rows[time_col].astype("int64").to_numpy() // 1000
+        attr_vals = {a: rows[a].to_numpy(dtype=object) for a in attrs}
         if state.exists:
             st = state.get
-            pending.append((st[0], [st[1 + i] for i in range(len(attrs))]))
-        for _, r in rows.iterrows():
-            ts_us = int(r[time_col].value) // 1000  # pandas ns → µs
-            pending.append((ts_us, [r[a] for a in attrs]))
+            ts_us = np.concatenate(([st[0]], ts_us))
+            for i, a in enumerate(attrs):
+                attr_vals[a] = np.concatenate(([st[1 + i]], attr_vals[a]))
+        order = np.argsort(ts_us, kind="stable")
+        ts_us = ts_us[order]
+        attr_vals = {a: v[order] for a, v in attr_vals.items()}
 
-        completed = []
-        for (ts_a, at_a), (ts_b, at_b) in zip(pending, pending[1:]):
-            completed.append(
-                [key[0], pd.Timestamp(ts_a, unit="us")]
-                + at_a
-                + at_b
-                + [pd.Timestamp(ts_b, unit="us"), ts_b // 1_000_000 - ts_a // 1_000_000]
-            )
+        if len(ts_us) > 1:
+            data = {
+                key_col: key[0],
+                time_col: pd.to_datetime(ts_us[:-1], unit="us"),
+            }
+            for a in attrs:
+                data[a] = attr_vals[a][:-1]
+            for a in attrs:
+                data[f"{a}{suffix}"] = attr_vals[a][1:]
+            data[f"{time_col}{suffix}"] = pd.to_datetime(ts_us[1:], unit="us")
+            data[diff_col] = ts_us[1:] // 1_000_000 - ts_us[:-1] // 1_000_000
+            yield pd.DataFrame(data, columns=out_cols)
 
-        last_ts, last_attrs = pending[-1]
-        state.update(tuple([last_ts] + last_attrs))
+        last_us = int(ts_us[-1])
+        state.update(tuple([last_us] + [attr_vals[a][-1] for a in attrs]))
+        if expire_after_seconds is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + expire_after_seconds * 1000)
 
-        if completed:
-            cols = (
-                [key_col, time_col]
-                + attrs
-                + [f"{a}{suffix}" for a in attrs]
-                + [f"{time_col}{suffix}", diff_col]
-            )
-            yield pd.DataFrame(completed, columns=cols)
-
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if expire_after_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=output_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

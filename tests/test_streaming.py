@@ -140,6 +140,81 @@ def test_streaming_next_event_two_day_heal(spark, landing, tmp_path):
         q.stop()
 
 
+def test_streaming_next_event_out_of_order_across_batches(spark, landing, tmp_path):
+    """A row arriving in a LATER micro-batch but timestamped BEFORE the
+    open event must pair into it (no negative-diff pairs): the open tuple
+    and the batch rows are re-sorted together before pairing."""
+    stream = stream_json(spark, str(landing), SCHEMA, max_files_per_trigger=1)
+    out = streaming_next_event(
+        stream, key_col="Origin", time_col="FlightTime", attrs=["Reporting_Airline"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ooo_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _write_day(landing, "b1.json", [("JFK", "2023-01-01 12:00:00", "AA")])
+        q.processAllAvailable()
+        # late row: earlier than the open 12:00 event
+        _write_day(landing, "b2.json", [("JFK", "2023-01-01 10:00:00", "B6")])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ooo_test").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert str(r.FlightTime) == "2023-01-01 10:00:00"
+        assert r.Reporting_Airline == "B6"
+        assert r.Reporting_Airline_next == "AA" and r.diff_next == 7200
+    finally:
+        q.stop()
+
+
+def test_streaming_next_event_state_ttl_emits_expired_open(spark, landing, tmp_path):
+    """With expire_after_seconds, an open event whose TTL the watermark
+    passes is emitted as final (NULL next columns) and its state freed —
+    the unbounded-state fix for open-ended key sets."""
+    stream = stream_json(
+        spark, str(landing), SCHEMA, max_files_per_trigger=1
+    ).withWatermark("FlightTime", "10 minutes")
+    out = streaming_next_event(
+        stream,
+        key_col="Origin",
+        time_col="FlightTime",
+        attrs=["Reporting_Airline"],
+        expire_after_seconds=3600,
+        on_expiry="emit",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _write_day(landing, "b1.json", [("JFK", "2023-01-01 10:00:00", "AA")])
+        q.processAllAvailable()
+        # a far-future row on ANOTHER key advances the watermark well past
+        # JFK's 11:00 timeout; the timeout fires on a subsequent batch
+        _write_day(landing, "b2.json", [("LGA", "2023-01-02 10:00:00", "B6")])
+        q.processAllAvailable()
+        _write_day(landing, "b3.json", [("LGA", "2023-01-02 10:30:00", "B6")])
+        q.processAllAvailable()
+        rows = {r.Origin: r for r in spark.sql("SELECT * FROM ttl_test").collect()}
+        assert "JFK" in rows  # expired open event surfaced as final
+        jfk = rows["JFK"]
+        assert str(jfk.FlightTime) == "2023-01-01 10:00:00"
+        assert jfk.Reporting_Airline == "AA"
+        assert jfk.Reporting_Airline_next is None
+        assert jfk.FlightTime_next is None and jfk.diff_next is None
+        # LGA pair from b2→b3 still completes normally
+        assert rows["LGA"].diff_next == 1800
+    finally:
+        q.stop()
+
+
 def test_foreach_batch_partitioned_sink(spark, landing, tmp_path):
     out_dir = str(tmp_path / "out")
     stream = stream_json(spark, str(landing), SCHEMA).withColumn(

@@ -864,6 +864,192 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- planted-duplicate recall: oracle-checked quality gates for the -------
+# -- approximate family. Construction: clone a fixed id-slice of the ------
+# -- corpus (new id = old + 1_000_000, payload identical) in BOTH engines.
+# -- A clone is a *certain* catch for each algorithm (identical shingle
+# -- set → identical MinHash signature; identical text → SimHash hamming
+# -- 0; identical vector → same LSH bucket / same IVF cell, cosine 1.0 at
+# -- the top of the exact re-rank), so recall over the planted set is
+# -- deterministically computable by DuckDB as the exact ground truth —
+# -- converting these ops from rows-only checks to value-hash-checked. ----
+
+_SHINGLE3 = (
+    "list_distinct(list_transform(range(1, len(string_split_regex({t},'\\s+'))-1), "
+    "i -> string_split_regex({t},'\\s+')[i] || ' ' || "
+    "string_split_regex({t},'\\s+')[i+1] || ' ' || string_split_regex({t},'\\s+')[i+2]))"
+)
+
+@_q(
+    "minhash_recall_planted",
+    f"""
+    WITH planted AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, text AS t_a, text AS t_b
+      FROM documents WHERE doc_id < 50
+    ), jacc AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa, sb))
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      FROM (SELECT id_a, id_b, {_SHINGLE3.format(t='t_a')} AS sa,
+                   {_SHINGLE3.format(t='t_b')} AS sb FROM planted)
+    )
+    SELECT COUNT(*) AS n_planted,
+           COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_found,
+           COUNT(CASE WHEN jaccard >= 0.5 THEN 1 END) / COUNT(*) AS recall
+    FROM jacc
+    """,
+)
+def q_minhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall over planted exact clones. The oracle computes
+    the true 3-gram-shingle Jaccard of each planted pair in SQL and counts
+    pairs at/above the threshold — the exact answer the LSH pipeline must
+    reproduce (identical shingle sets collide in every band with
+    probability 1, so a planted clone missed by the pipeline is a bug,
+    not sampling noise)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 50)
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.unionByName(clones)
+    pairs = minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text", threshold=0.5)
+    planted = base.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    hits = pairs.select("id_a", "id_b").withColumn("hit", F.lit(1))
+    return planted.join(hits, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.count("hit").alias("n_found"),
+        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+@_q(
+    "simhash_recall_planted",
+    """
+    SELECT COUNT(*) AS n_planted,
+           COUNT(CASE WHEN t_a = t_b THEN 1 END) AS n_found,
+           COUNT(CASE WHEN t_a = t_b THEN 1 END) / COUNT(*) AS recall
+    FROM (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, text AS t_a, text AS t_b
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def q_simhash_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall over planted exact clones: identical text gives an
+    identical 64-bit fingerprint (hamming 0 ≤ 3), so the pigeonhole-banded
+    pair search must surface every planted pair; the oracle counts the
+    text-identical ground-truth pairs."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where(F.col("doc_id") < 50)
+    clones = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    corpus = docs.unionByName(clones)
+    fp = simhash_fingerprints(corpus, id_col="doc_id", text_col="text")
+    pairs = simhash_near_pairs(fp, id_col="doc_id", max_hamming=3)
+    planted = base.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    hits = pairs.select("id_a", "id_b").withColumn("hit", F.lit(1))
+    return planted.join(hits, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.count("hit").alias("n_found"),
+        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+_ANN_RECALL_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 10
+    ), corpus AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < 10
+    ), qn AS (
+      SELECT query_id, [x / sqrt(list_dot_product(v, v)) for x in v] AS v FROM q
+    ), cn AS (
+      SELECT nid, [x / sqrt(list_dot_product(v, v)) for x in v] AS v FROM corpus
+    ), ranked AS (
+      SELECT query_id, nid,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY list_dot_product(qn.v, cn.v) DESC, nid ASC) AS rnk
+      FROM qn, cn
+    )
+    SELECT COUNT(*) AS n_queries,
+           COUNT(CASE WHEN hit THEN 1 END) AS n_found,
+           COUNT(CASE WHEN hit THEN 1 END) / COUNT(*) AS recall
+    FROM (SELECT q.query_id,
+                 EXISTS (SELECT 1 FROM ranked r
+                         WHERE r.query_id = q.query_id
+                           AND r.nid = q.query_id + 1000000 AND r.rnk <= 5) AS hit
+          FROM q)
+"""
+
+
+def _ann_recall(res, queries):
+    """found = the planted clone (query_id + 1e6) appears in the ANN top-k."""
+    hits = (
+        res.where(F.col("neighbor_id") == F.col("query_id") + 1000000)
+        .select("query_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("hit").alias("n_found"),
+        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+@_q("lsh_recall_planted", _ANN_RECALL_ORACLE)
+def q_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall@5 of planted clone vectors. A clone shares the
+    query's exact vector, hence its signature in every hash table and the
+    maximal cosine (1.0) in the exact re-rank — a certain catch. The
+    oracle brute-forces the exact top-5 per query with list_dot_product
+    and counts queries whose clone ranks ≤ 5."""
+    from flight_data_ingestion_engine_spark.operators.similarity import topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("neighbor_id"), "embedding"
+    )
+    corpus = emb.withColumnRenamed("vec_id", "neighbor_id").unionByName(clones)
+    res = topk_lsh(queries, corpus, query_id="query_id", corpus_id="neighbor_id", k=5)
+    return _ann_recall(res, queries)
+
+
+@_q("ivf_recall_planted", _ANN_RECALL_ORACLE)
+def q_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 of planted clone vectors: the clone lands in the cell
+    nearest its own vector, which is by definition the first cell its
+    identical query vector probes — so the exact re-rank must place it in
+    the top-5 whatever the (seeded) centroids converged to. Oracle =
+    brute-force exact top-5 membership, as for LSH."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("neighbor_id"), "embedding"
+    )
+    corpus = emb.withColumnRenamed("vec_id", "neighbor_id").unionByName(clones)
+    cents = ivf_build_centroids(corpus, n_centroids=8, iterations=2, id_col="neighbor_id")
+    res = ivf_topk(
+        queries, corpus, cents,
+        query_id="query_id", corpus_id="neighbor_id", k=5, nprobe=2,
+    )
+    return _ann_recall(res, queries)
+
+
 @_q(
     "media_decode",
     """

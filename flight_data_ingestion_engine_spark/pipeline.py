@@ -117,3 +117,43 @@ class IncrementalPipeline:
             raise
         finally:
             cached.unpersist()
+
+
+def run_daily(
+    spark: SparkSession,
+    config_file: str,
+    data_file: str,
+    timezones: DataFrame | None = None,
+) -> DataFrame:
+    """One-call config-driven daily load — parity with the reference's
+    `FlujoDiario(config).procesa_diario(file)` (`flujo_diario.py:22-74`):
+    JSON config → declared-schema ingest → UTC enrichment → incremental
+    heal-and-overwrite. Returns the output table after the load.
+
+    Config keys (reference-compatible): `data_columns` (declared schema),
+    `output_table`, `output_partitions`, optional `partition_by`
+    (default FlightDate). Extra keys `key_col` / `time_col` / `attrs` /
+    `staging_table` tune the heal; defaults mirror the reference
+    (Origin / FlightTime / [Reporting_Airline]).
+
+    timezones=None uses the packaged full IATA→IANA catalog.
+    """
+    from flight_data_ingestion_engine_spark.config import DeclaredSchema
+    from flight_data_ingestion_engine_spark.operators.enrich import with_flight_time_utc
+    from flight_data_ingestion_engine_spark.sources.readers import ingest_json
+
+    declared = DeclaredSchema.from_json(config_file)
+    assert declared.table, "config must declare output_table"
+    opts = declared.options
+    slice_df = ingest_json(spark, data_file, declared=declared)
+    enriched = with_flight_time_utc(slice_df, timezones)
+    pipe = IncrementalPipeline(
+        table=declared.table,
+        partition_col=(declared.partition_by or ("FlightDate",))[0],
+        key_col=opts.get("key_col", "Origin"),
+        time_col=opts.get("time_col", "FlightTime"),
+        attrs=tuple(opts.get("attrs", ("Reporting_Airline",))),
+        target_partitions=declared.output_partitions,
+        staging_table=opts.get("staging_table"),
+    )
+    return pipe.run(spark, enriched)

@@ -59,6 +59,56 @@ def test_two_day_incremental_heal(spark):
     spark.sql("DROP TABLE IF EXISTS fdie_test_flights")
 
 
+def test_run_daily_config_driven_end_to_end(spark, tmp_path):
+    """Reference FlujoDiario parity: a JSON config + two daily JSON files
+    through run_daily() reproduce the 44,220 s cross-day heal — declared
+    schema, full-catalog tz enrichment, incremental overwrite, all wired
+    from the config alone."""
+    import json
+
+    from flight_data_ingestion_engine_spark.pipeline import run_daily
+
+    drop_table_fully(spark, "fdie_test_daily")
+    config = {
+        "data_columns": [
+            {"name": "FlightDate", "type": "date", "comment": "Flight date"},
+            {"name": "Origin", "type": "string", "comment": "IATA"},
+            {"name": "DepTime", "type": "int", "comment": "local HHmm"},
+            {"name": "Reporting_Airline", "type": "string"},
+        ],
+        "output_table": "fdie_test_daily",
+        "output_partitions": 2,
+    }
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(config))
+
+    day1 = tmp_path / "2023-01-01.json"
+    day1.write_text(
+        json.dumps(
+            {"FlightDate": "2023-01-01", "Origin": "ABE", "DepTime": 1734,
+             "Reporting_Airline": "OO"}
+        )
+    )
+    out1 = run_daily(spark, str(cfg), str(day1))
+    r1 = out1.first()
+    # 17:34 EST → 22:34 UTC via the packaged catalog; nothing to heal yet
+    assert str(r1.FlightTime) == "2023-01-01 22:34:00"
+    assert r1.diff_next is None
+
+    day2 = tmp_path / "2023-01-02.json"
+    day2.write_text(
+        json.dumps(
+            {"FlightDate": "2023-01-02", "Origin": "ABE", "DepTime": 551,
+             "Reporting_Airline": "YX"}
+        )
+    )
+    out2 = run_daily(spark, str(cfg), str(day2))
+    healed = out2.where("FlightDate = '2023-01-01'").first()
+    assert healed.diff_next == 44220  # reference golden
+    assert healed.Reporting_Airline_next == "YX"
+    spark.sql("DROP TABLE IF EXISTS fdie_test_daily")
+
+
 def test_multi_day_slice_single_run(spark):
     # generalization over the reference: one run may carry several dates
     drop_table_fully(spark, "fdie_test_flights2")

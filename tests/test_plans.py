@@ -112,6 +112,27 @@ def test_streaming_stateful_plan_contains_state_operator(spark, sf_dir):
     assert out.isStreaming
 
 
+def test_headline_exchange_counts_do_not_regress(spark, sf_dir):
+    """Shuffle-count regression gate for the bench headline set: each
+    query's physical plan must not grow extra hash/range exchanges. The
+    bounds are the measured minimal plans (broadcast joins and
+    TakeOrderedAndProject contribute zero)."""
+    max_exchanges = {
+        "next_event": 1,         # one window shuffle
+        "pricing_summary": 1,    # partial/final agg around one exchange
+        "dim_join_left": 0,      # broadcast
+        "flatten_props": 0,      # pure projection
+        "topk_orders": 0,        # TakeOrderedAndProject, no range exchange
+        "flight_enrichment": 0,  # broadcast tz dim
+        "minhash_pairs": 1,      # persisted sig frame + banding equi-join
+        "embedding_topk": 1,     # per-query top-k window
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
 def test_no_rowwise_python_or_cartesian_in_any_query(spark):
     """Global hygiene gate: no catalog query may plan a row-at-a-time
     Python UDF (BatchEvalPython) or an unintended cartesian product.

@@ -128,7 +128,7 @@ def test_approx_stats_bounded_by_exact(spark, sf_dir):
     # HLL default rsd = 5%; allow 3x that
     assert abs(row.approx_orders - exact_orders) / exact_orders < 0.15
     assert abs(row.approx_parts - exact_parts) / exact_parts < 0.15
-    q25, q50, q75 = row.price_quartiles
+    q25, q50, q75 = row.p25, row.p50, row.p75
     assert q25 <= q50 <= q75
     lo, hi = (
         li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()

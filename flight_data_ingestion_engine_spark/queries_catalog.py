@@ -1754,6 +1754,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters_exact",
+    """
+    WITH RECURSIVE n AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    )
+    SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with a full value oracle: the pair generator is
+    the EXACT blocked-cosine dedup (oracle-expressible, unlike LSH), so
+    DuckDB can rebuild the same edge list and label components with a
+    recursive CTE (symmetric closure + min-label reachability fixpoint).
+    Proves the iterative Spark label propagation (one join+agg per round,
+    localCheckpoint lineage cuts) agrees with the declarative fixpoint."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_clusters,
+        embedding_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"], threshold=0.3
+    )
+    return dedup_clusters(pairs)
+
+
+@_q(
     "streaming_dedup_keys",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

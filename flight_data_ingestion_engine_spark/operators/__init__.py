@@ -12,6 +12,15 @@ from flight_data_ingestion_engine_spark.operators.enrich import (
     with_utc_timestamp,
 )
 from flight_data_ingestion_engine_spark.operators.asof import asof_join
+from flight_data_ingestion_engine_spark.operators.corpus import (
+    chunk_documents,
+    hash_sample,
+    redact_pii,
+    stratified_sample_exact,
+    tfidf_score,
+    token_length_histogram,
+    top_terms_per_doc,
+)
 from flight_data_ingestion_engine_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
@@ -95,4 +104,11 @@ __all__ = [
     "with_dimension",
     "with_flight_time_utc",
     "with_utc_timestamp",
+    "chunk_documents",
+    "hash_sample",
+    "redact_pii",
+    "stratified_sample_exact",
+    "tfidf_score",
+    "token_length_histogram",
+    "top_terms_per_doc",
 ]

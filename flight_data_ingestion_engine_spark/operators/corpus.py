@@ -1,0 +1,202 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Beyond the per-document text metrics in `operators/text.py`, these are the
+dataset-shaping steps a 100 TB corpus actually runs: chunking documents
+into model-window pieces, term statistics, PII redaction, deterministic
+sampling, and size histograms. Everything here is built-in
+`pyspark.sql.functions` (JVM, whole-stage codegen — zero Python in the hot
+path), and every op is value-portable to ANSI SQL so the DuckDB oracle can
+check it exactly.
+
+Scale notes (100 TB):
+- `chunk_documents` is a narrow projection + generator: no shuffle at all.
+  Output explodes ~len/step× rows but each task streams its own input
+  split; downstream writes re-bound file sizes.
+- `top_terms_per_doc` shuffles twice (term df, then per-doc rank) — both
+  on bounded-cardinality keys (terms, doc ids), with map-side partial
+  aggregation. The document-frequency side is tiny (vocab-sized) and is
+  broadcast back to the exploded term stream.
+- `hash_sample` / `stratified_sample_exact` read every row once;
+  hash_sample is a pure filter (no shuffle, fully pushable after scan),
+  stratified exact-k shuffles only the per-stratum sort keys.
+- `redact_pii` / `token_length_histogram` run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: regexes chosen to parse identically under Java regex (Spark) and RE2
+#: (DuckDB): plain character classes, bounded repeats, \b — no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap.
+
+    Chunk starts are 0, step, 2*step, ... for step = size - overlap, up to
+    the last start < length (empty text yields one empty chunk — callers
+    filter if they want to drop empties). Implemented as
+    sequence → posexplode → substring: a generator over the scan, no
+    shuffle, no Python. Output: (id, chunk_idx, chunk_text, chunk_len).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "_start"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.substring(F.col(text_col), F.col("_start") + 1, size).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def terms(text: Column | str) -> Column:
+    """Lowercased alphanumeric token runs (the term vocabulary)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by term frequency, with corpus document
+    frequency attached.
+
+    Ranking is (tf DESC, df ASC, term ASC) — rarer-in-corpus wins ties,
+    then lexicographic; fully deterministic and integer-only, so the
+    oracle can reproduce it bit-exactly (a float tf·idf score would hinge
+    on cross-engine `ln` ulp agreement — see `tfidf_score` for the
+    library-use scorer). Two shuffles: (doc, term) tf agg with map-side
+    combine, and the per-doc rank window; the vocab-sized df table joins
+    back broadcast.
+    """
+    term_stream = df.select(
+        F.col(id_col), F.explode(terms(text_col)).alias("term")
+    )
+    tf = term_stream.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = (
+        term_stream.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    scored = tf.join(F.broadcast(df_docs), "term")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_docs", "rank")
+    )
+
+
+def tfidf_score(tf: Column, df_docs: Column, n_docs: Column) -> Column:
+    """Classic smoothed tf·idf (library use; float — not oracle-compared)."""
+    return tf * F.log((n_docs + F.lit(1.0)) / (df_docs + F.lit(1.0)))
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Mask emails and dashed phone numbers; count what was masked.
+
+    Pure regexp_replace/regexp_extract_all — scan-speed, no shuffle. The
+    regex subset is chosen to behave identically under Java regex and RE2
+    so redaction is oracle-checkable.
+    """
+    text = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+    red = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return (
+        df.withColumn("n_emails", emails)
+        .withColumn("n_phones", phones)
+        .withColumn(out_col, red)
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Deterministic, engine-portable Bernoulli sample.
+
+    Keeps rows whose md5(key) hex prefix falls below the fraction
+    threshold — the same rows on every run, every engine, every partition
+    layout (unlike `DataFrame.sample`, which is seed- and split-dependent).
+    A pure filter: no shuffle, evaluated right after the scan.
+    """
+    threshold = format(int(fraction * 16**8), "08x")
+    pred = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.lit(threshold)
+    return df.where(pred)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by deterministic hash order.
+
+    row_number over (stratum, ORDER BY md5(key), key) ≤ k: an unbiased
+    fixed-size draw that is reproducible across engines and partitionings.
+    One shuffle on the strata; within each stratum only the top-k survive
+    the window (Spark pushes a per-partition top-k before the shuffle when
+    the window is rank-limited).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two histogram of whitespace token counts.
+
+    Bucket = bit length of the token count (integer-exact in both engines
+    via binary-string length — no float log2 edge cases at exact powers of
+    two). One map-side-combined agg on ≤ ~40 buckets.
+    """
+    n = F.size(F.split(F.col(text_col), r"\s+"))
+    bucket = F.length(F.conv(n.cast("string"), 10, 2)).alias("bucket")
+    return (
+        df.select(bucket, n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )

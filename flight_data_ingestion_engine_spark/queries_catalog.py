@@ -696,6 +696,159 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_docs",
+    """
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text)-1, 0), 150)) AS start
+      FROM documents
+    )
+    SELECT doc_id, CAST(start // 150 AS INT) AS chunk_idx,
+           substring(text, CAST(start AS INT)+1, 200) AS chunk_text,
+           CAST(length(substring(text, CAST(start AS INT)+1, 200)) AS INT) AS chunk_len
+    FROM starts
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-window chunking: 200-char windows, 50-char overlap (step 150).
+    sequence→posexplode→substring — a generator over the scan, no shuffle."""
+    from flight_data_ingestion_engine_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=200, overlap=50)
+
+
+@_q(
+    "top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfd AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY term),
+    r AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfd.df_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfd.df_docs ASC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN dfd USING (term)
+    )
+    SELECT doc_id, term, tf, df_docs, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by (tf DESC, df ASC, term ASC) — integer-only
+    ranking (no cross-engine ln ulp risk), corpus df broadcast back."""
+    from flight_data_ingestion_engine_spark.operators.corpus import top_terms_per_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms_per_doc(docs, k=3)
+
+
+@_q(
+    "pii_redact",
+    """
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-4567' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(text,
+             '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '[PHONE]', 'g') AS text_redacted
+    FROM salted
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over deterministically-salted docs (the synthetic corpus
+    has no real PII, so each doc gets a known email+phone appended first —
+    both engines salt identically, then redact)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "n_emails", "n_phones", "text_redacted")
+
+
+@_q(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '26666666'
+    """,
+)
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 15% Bernoulli sample on md5(doc_id) — same rows on
+    every engine and partition layout; a pure post-scan filter."""
+    from flight_data_ingestion_engine_spark.operators.corpus import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.15).select("doc_id", "lang", "source")
+
+
+@_q(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, drawn by deterministic hash order —
+    reproducible stratified sampling; one shuffle on the strata."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, ["lang"], "doc_id", 5).select("doc_id", "lang")
+
+
+@_q(
+    "token_histogram",
+    """
+    SELECT CAST(length(bin(LEN(string_split_regex(text, '\\s+')))) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(LEN(string_split_regex(text, '\\s+'))) AS INT) AS min_tokens,
+           CAST(MAX(LEN(string_split_regex(text, '\\s+'))) AS INT) AS max_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-count histogram via integer bit length (binary
+    string length — no float log2 edge cases); map-side-combined agg."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        token_length_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_length_histogram(docs)
+
+
+@_q(
     "exact_dedup_docs",
     """
     SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes, text

@@ -1,0 +1,103 @@
+"""Corpus-preparation operators: chunking, term ranking, PII redaction,
+deterministic sampling, token histograms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.corpus import (
+    chunk_documents,
+    hash_sample,
+    redact_pii,
+    stratified_sample_exact,
+    token_length_histogram,
+    top_terms_per_doc,
+)
+
+
+def test_chunks_reconstruct_document(spark):
+    text = "abcdefghij" * 37 + "tail"  # 374 chars, not step-aligned
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    chunks = chunk_documents(df, size=100, overlap=20).collect()
+
+    one = sorted((r for r in chunks if r.doc_id == 1), key=lambda r: r.chunk_idx)
+    # stitch: first chunk whole, then strip the 20-char overlap from each
+    rebuilt = one[0].chunk_text + "".join(c.chunk_text[20:] for c in one[1:])
+    assert rebuilt == text
+    # consecutive chunks share exactly the overlap
+    for a, b in zip(one, one[1:]):
+        assert a.chunk_text[80:] == b.chunk_text[: len(a.chunk_text[80:])]
+    # empty document yields a single empty chunk (callers may filter)
+    two = [r for r in chunks if r.doc_id == 2]
+    assert len(two) == 1 and two[0].chunk_text == "" and two[0].chunk_len == 0
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
+
+
+def test_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana banana apple"),
+            (3, "cherry dates"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.rank): r for r in top_terms_per_doc(df, k=2).collect()}
+    # doc 1: apple tf=2 first; banana vs cherry tie on tf=1 → rarer df wins
+    assert rows[(1, 1)].term == "apple" and rows[(1, 1)].tf == 2
+    # banana/cherry tie on tf=1 and df=2 → lexicographic tiebreak picks banana
+    assert rows[(1, 2)].term == "banana"
+    assert rows[(2, 1)].term == "banana" and rows[(2, 1)].tf == 3
+    assert rows[(3, 1)].term == "dates" and rows[(3, 1)].df_docs == 1  # rarer beats cherry
+
+
+def test_redact_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 555-123-4567 today"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[1].text_redacted == "mail [EMAIL] or [PHONE] today"
+    assert out[2].n_emails == 0 and out[2].text_redacted == "clean"
+
+
+def test_hash_sample_deterministic_across_layouts(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 0.2).collect()}
+    assert a == b  # layout-independent, unlike DataFrame.sample
+    assert 0.15 < len(a) / 2000 < 0.25  # Bernoulli rate in the right band
+    # monotone: a smaller fraction is a subset of a larger one
+    c = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_exact_k(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = stratified_sample_exact(df, ["g"], "k", 7)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    # deterministic under a different partitioning
+    again = stratified_sample_exact(df.repartition(11), ["g"], "k", 7)
+    assert {(r.g, r.k) for r in out.collect()} == {(r.g, r.k) for r in again.collect()}
+
+
+def test_token_histogram_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens"), (3, "three tokens here"), (4, " ".join(["t"] * 1024))],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in token_length_histogram(df).collect()}
+    assert rows[1].n_docs == 1 and rows[1].max_tokens == 1     # 1 → '1'
+    assert rows[2].n_docs == 2 and rows[2].min_tokens == 2     # 2,3 → '10','11'
+    assert rows[11].min_tokens == 1024                          # 2^10 → 11 bits

@@ -92,12 +92,18 @@ def top_terms_per_doc(
     term_stream = df.select(
         F.col(id_col), F.explode(terms(text_col)).alias("term")
     )
-    tf = term_stream.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_docs = (
-        term_stream.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
+    # tf feeds both the ranking side and the document-frequency side;
+    # persist it so the scan+explode+shuffle runs once (AQE does not
+    # reuse-exchange across the broadcast boundary here). df comes from the
+    # tf aggregate — each (doc, term) appears exactly once there — which is
+    # skew-resistant: hot terms are pre-combined map-side by the partial
+    # agg, unlike a count-over-window by term.
+    tf = (
+        term_stream.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     scored = tf.join(F.broadcast(df_docs), "term")
     from pyspark.sql.window import Window
 

@@ -8,8 +8,12 @@ from flight_data_ingestion_engine_spark.sources.readers import (
     ingest_json,
 )
 from flight_data_ingestion_engine_spark.sources.sinks import (
-    write_partitioned_table,
+    compact_path,
     materialize,
+    write_bucketed_table,
+    write_clustered_path,
+    write_partitioned_path,
+    write_partitioned_table,
 )
 
 __all__ = [
@@ -19,5 +23,9 @@ __all__ = [
     "read_table_partition",
     "ingest_json",
     "write_partitioned_table",
+    "write_partitioned_path",
+    "write_bucketed_table",
+    "write_clustered_path",
+    "compact_path",
     "materialize",
 ]

@@ -126,6 +126,94 @@ def drop_staging(spark: SparkSession, staging_table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
 
 
+def write_clustered_path(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Range-clustered, sorted write: the data-skipping layout.
+
+    `repartitionByRange` gives every output file a DISJOINT range of the
+    cluster key, and `sortWithinPartitions` orders rows inside each file —
+    so parquet's per-row-group min/max statistics become precise: a point
+    or range predicate on the cluster key skips every non-overlapping file
+    and row group at scan planning time. At 100 TB this is the difference
+    between scanning one file and scanning all of them for a
+    `WHERE ts BETWEEN ...` query. One range shuffle at write time, paid
+    once, amortized by every downstream scan (same philosophy as
+    `write_bucketed_table`, but for range predicates instead of equi-joins).
+    """
+    cols = [F.col(c) for c in cluster_by]
+    clustered = (
+        df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    )
+    clustered.sortWithinPartitions(*cols).write.mode(mode).format(format).save(path)
+
+
+def _data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, via the Hadoop
+    FileSystem API — works for any supported filesystem, not just file://."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    format: str = "parquet",
+) -> dict:
+    """Compact a directory of small files into ~target-sized files.
+
+    The small-files problem is the classic long-running-table pathology:
+    every incremental append adds files, and at 100 TB a scan's task count
+    (and the namenode/liststatus load) grows with file count, not data
+    size. Compaction reads the directory, `coalesce`s to
+    ceil(total_bytes / target) partitions — a NARROW dependency, no
+    shuffle — and rewrites. Run it per table partition (the realistic
+    maintenance unit), not on a whole 100 TB table at once: the
+    materialization barrier (`localCheckpoint`) that lets the rewrite
+    overwrite its own input holds one partition's data, not the table's.
+
+    Returns {files_before, files_after, bytes, skipped}.
+    """
+    files = _data_files(spark, path)
+    total = sum(sz for _, sz in files)
+    n_target = max(1, -(-total // target_file_bytes))
+    if len(files) <= n_target:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "skipped": True,
+        }
+    df = spark.read.format(format).load(path)
+    # coalesce (narrow, no shuffle) + lineage break so the write may
+    # overwrite the directory it just read
+    compacted = materialize(df.coalesce(n_target))
+    compacted.write.mode("overwrite").format(format).save(path)
+    after = _data_files(spark, path)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "skipped": False,
+    }
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

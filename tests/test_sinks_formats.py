@@ -95,3 +95,55 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert rows.get("2024-01-01 12:00:00") == 1
     finally:
         q.stop()
+
+
+def test_clustered_write_is_range_disjoint_and_sorted(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.sources.sinks import (
+        _data_files,
+        write_clustered_path,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    write_clustered_path(df, path, ["id"], n_files=4)
+
+    files = _data_files(spark, path)
+    assert len(files) == 4
+    # every file owns a disjoint range of the cluster key → parquet min/max
+    # stats prune whole files for range predicates
+    ranges, total = [], 0
+    for fpath, _ in files:
+        rows = spark.read.parquet(fpath).select("id").collect()
+        ids = [r.id for r in rows]
+        assert ids == sorted(ids)  # sorted within the file
+        ranges.append((min(ids), max(ids)))
+        total += len(ids)
+    assert total == 10_000
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint
+
+
+def test_compact_path_merges_small_files(spark, tmp_path):
+    from flight_data_ingestion_engine_spark.sources.sinks import (
+        _data_files,
+        compact_path,
+    )
+
+    path = str(tmp_path / "smallfiles")
+    spark.range(0, 5_000).repartition(16).write.parquet(path)
+    assert len(_data_files(spark, path)) == 16
+
+    stats = compact_path(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert not stats["skipped"]
+    out = spark.read.parquet(path)
+    assert out.count() == 5_000
+    assert out.agg({"id": "sum"}).first()[0] == 4_999 * 5_000 // 2
+
+    again = compact_path(spark, path, target_file_bytes=1 << 30)
+    assert again["skipped"] and again["files_after"] == 1

@@ -1907,6 +1907,68 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (`F.percentile`, linear interpolation) —
+    the precise companion to approx_stats' sketches. Spark's
+    (1-g)*lo + g*hi interpolation is bit-identical to DuckDB
+    quantile_cont, so this is fully hash-checked. At 100 TB prefer
+    approx_percentile (mergeable sketch, one pass); exact percentile
+    shuffles each group's values to one reducer — fine for
+    bounded-cardinality groups like returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.50).alias("p50"),
+        F.percentile("l_extendedprice", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "streaming_interval_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS event_id_r, c.ts AS ts_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding hour, both sides watermarked so join state expires
+    (bounded to lookback+watermark per key). Equals the batch interval
+    join on complete data — the hash-checked oracle."""
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        stream_interval_join,
+    )
+
+    ev = _stream_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts"
+    )
+    return _run_stream_to_memory(joined, "append")
+
+
+@_q(
     "dedup_clusters_exact",
     """
     WITH RECURSIVE n AS (

@@ -17,6 +17,7 @@ Structured Streaming job:
 from flight_data_ingestion_engine_spark.streaming.file_stream import (
     stream_json,
     stream_parquet,
+    stream_interval_join,
     windowed_counts,
     foreach_batch_partitioned_sink,
 )
@@ -27,6 +28,7 @@ from flight_data_ingestion_engine_spark.streaming.next_event_state import (
 __all__ = [
     "stream_json",
     "stream_parquet",
+    "stream_interval_join",
     "windowed_counts",
     "foreach_batch_partitioned_sink",
     "streaming_next_event",

@@ -122,3 +122,39 @@ def foreach_batch_partitioned_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lookback: str = "1 HOUR",
+    watermark: str = "1 HOUR",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row matches right
+    rows with the same `on` key whose time falls in
+    [left_time - lookback, left_time].
+
+    The time bound lives INSIDE the join condition — that is what lets
+    Structured Streaming expire join state: each side buffers only
+    lookback + watermark of history per key instead of the whole stream
+    (the unbounded-state failure mode of an unconstrained stream-stream
+    join at 100 TB/day). Right-side non-key columns are suffixed `_r` so
+    same-schema streams (self-joins of an event stream) compose without
+    collisions.
+    """
+    r = right
+    for c in right.columns:
+        if c != on:
+            r = r.withColumnRenamed(c, f"{c}_r")
+    rt = f"{right_time}_r"
+    lw = left.withWatermark(left_time, watermark)
+    rw = r.withWatermark(rt, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[rt] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[rt] <= lw[left_time])
+    )
+    return lw.join(rw, cond).drop(rw[on])

@@ -287,3 +287,56 @@ def test_declared_schema_feeds_streaming_source(spark, landing, tmp_path):
         assert spark.sql("SELECT * FROM ds_test").count() == 1
     finally:
         q.stop()
+
+
+def test_stream_interval_join_matches_across_batches(spark, landing, tmp_path):
+    """A click landing in batch 1 must still match a purchase landing in
+    batch 2 (within the lookback window): join state carries across
+    micro-batches until the watermark passes."""
+    from flight_data_ingestion_engine_spark.streaming import stream_interval_join
+
+    ev_schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def _events_file(name, rows):
+        lines = [
+            json.dumps({"event_id": e, "user_id": u, "ts": t, "event_type": k})
+            for e, u, t, k in rows
+        ]
+        (landing / name).write_text("\n".join(lines))
+
+    # batch 1: clicks only; batch 2: purchases (in and out of window)
+    _events_file("b1.json", [
+        (1, 7, "2023-01-01 10:00:00", "click"),
+        (2, 7, "2023-01-01 10:20:00", "click"),
+        (3, 8, "2023-01-01 10:00:00", "click"),
+    ])
+    stream = stream_json(spark, str(landing), ev_schema, max_files_per_trigger=1)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sij"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sij_test").count() == 0  # no purchases yet
+        _events_file("b2.json", [
+            (10, 7, "2023-01-01 10:30:00", "purchase"),   # matches clicks 1,2
+            (11, 8, "2023-01-01 12:30:00", "purchase"),   # click 3 outside 1h
+            (12, 9, "2023-01-01 10:30:00", "purchase"),   # no clicks at all
+        ])
+        q.processAllAvailable()
+        rows = {(r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM sij_test").collect()}
+        assert rows == {(10, 1), (10, 2)}
+    finally:
+        q.stop()

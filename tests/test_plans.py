@@ -150,3 +150,23 @@ def test_no_rowwise_python_or_cartesian_in_any_query(spark):
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         if name not in allowed_cross:
             assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_corpus_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the round-2 corpus/percentile queries: the
+    scan-speed ops must plan ZERO exchanges (pure projection/filter/
+    generator), the aggregating ones exactly their one or two keyed
+    shuffles."""
+    max_exchanges = {
+        "chunk_docs": 0,          # sequence+posexplode generator over the scan
+        "hash_sample_docs": 0,    # post-scan filter only
+        "pii_redact": 0,          # regexp projection only
+        "token_histogram": 1,     # partial/final agg around one exchange
+        "stratified_sample_docs": 1,  # one range/hash shuffle for the window
+        "exact_percentiles": 1,   # grouped percentile agg
+        "top_terms": 4,           # tf agg, df agg over tf, rank window (+bcast)
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

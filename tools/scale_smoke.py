@@ -132,6 +132,23 @@ def main() -> None:
     with stage(f"simhash_{n_docs}_docs"):
         assert simhash_fingerprints(docs, id_col="id", text_col="text").count() == n_docs
 
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        chunk_documents,
+        hash_sample,
+        top_terms_per_doc,
+    )
+
+    with stage(f"chunk_{n_docs}_docs"):
+        assert chunk_documents(docs, id_col="id", size=200, overlap=50).count() >= n_docs
+
+    with stage(f"top_terms_{n_docs}_docs"):
+        # ~8M exploded term rows through the tf agg + df-from-tf + rank window
+        assert top_terms_per_doc(docs, id_col="id", k=3).count() >= n_docs
+
+    with stage(f"hash_sample_{n_docs}_docs"):
+        n = hash_sample(docs, "id", 0.1).count()
+        assert 0.05 * n_docs < n < 0.15 * n_docs, n
+
     from flight_data_ingestion_engine_spark.operators.skew import salted_join
 
     with stage("salted_join_5m_hot_key"):

@@ -1907,6 +1907,168 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_pricing",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization rollup/cube compile to)
+    with GROUPING() disambiguation flags — one shuffle, Spark expands the
+    sets map-side. DECIMAL intermediates keep the money sum exact."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("gsp_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM gsp_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist /
+    lag under one unique-tiebreakered ordering. percent_rank's
+    (rank-1)/(n-1) is integer-derived → bit-equal across engines. Note
+    ntile needs the whole partition on one reducer — partition by a
+    bounded-cardinality key (orderstatus here), never a near-unique one."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@_q(
+    "fuzzy_match_nations",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a
+    JOIN nation b
+      ON substring(a.n_name, 1, 1) = substring(b.n_name, 1, 1)
+     AND a.n_name < b.n_name
+    WHERE levenshtein(a.n_name, b.n_name) <= 7
+    """,
+)
+def q_fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching: edit-distance pairs generated only
+    within first-letter blocks (the dedup-family blocking discipline — an
+    equi-join, never an all-pairs cross join) then filtered by
+    levenshtein ≤ 7."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.substring("n_name", 1, 1).alias("_blk"))
+    b = n.select(F.col("n_name").alias("name_b"), F.substring("n_name", 1, 1).alias("_blk"))
+    return (
+        a.join(b, ["_blk"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 7)
+    )
+
+
+@_q(
+    "date_spine_gapfill",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM mm)
+    SELECT spine.d, COALESCE(daily.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a generated day spine (min..max) left-joined
+    to daily order counts, absent days zero-filled — the time-series
+    regularization every rollup consumer wants. The spine derives from a
+    one-row min/max aggregate (always tiny: days, not rows) and the daily
+    agg is partial/final — both sides of the final join are small at any
+    data scale."""
+    o = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("d"))
+    daily = o.groupBy("d").agg(F.count(F.lit(1)).alias("n_orders"))
+    spine = (
+        daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"))
+    )
+    return spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders")
+    )
+
+
+@_q(
+    "locf_impute",
+    """
+    SELECT user_id, event_id, ts, v_sparse,
+           last_value(v_sparse IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_sparse
+      FROM events
+    )
+    """,
+)
+def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: nulls (here the
+    'error' events' values) replaced by the most recent non-null within
+    the key's history — `last(ignorenulls)` over an unbounded-preceding
+    row frame, one keyed window shuffle, no Python."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v_sparse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.withColumn("v_filled", F.last("v_sparse", ignorenulls=True).over(w))
+
+
+@_q(
     "exact_percentiles",
     """
     SELECT l_returnflag,

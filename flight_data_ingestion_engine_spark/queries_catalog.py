@@ -1907,6 +1907,99 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stat_aggregates",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+    FROM s
+    """,
+)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + regression slope/intercept, exactness-engineered:
+    built-in corr()/regr_slope() accumulate doubles in partition order
+    (non-deterministic across engines AND across partitionings), so the
+    moments are computed as exact DECIMAL sums — order-independent,
+    bit-identical — and the closed-form double arithmetic runs identically
+    on both engines. One partial/final agg shuffle, same as any SUM."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = [F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+@_q(
+    "json_extract_fields",
+    """
+    WITH j AS (
+      SELECT event_id,
+             '{"user": ' || CAST(user_id AS VARCHAR)
+               || ', "type": "' || event_type || '"}' AS payload
+      FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(payload, '$.user') AS BIGINT) AS user_id,
+           json_extract_string(payload, '$.type') AS event_type
+    FROM j
+    """,
+)
+def q_json_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: a JSON payload column (built
+    deterministically so both engines parse identical strings) parsed with
+    `from_json` + typed field access — schema-declared, codegen-friendly,
+    no inference job. Scan-speed, zero shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    j = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"user": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "type": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        ).alias("payload"),
+    )
+    parsed = j.select(
+        "event_id",
+        F.from_json("payload", "user bigint, type string").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.user").alias("user_id"),
+        F.col("p.type").alias("event_type"),
+    )
+
+
+@_q(
     "grouping_sets_pricing",
     """
     SELECT o_orderstatus, o_orderpriority,

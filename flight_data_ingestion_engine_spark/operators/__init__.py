@@ -43,6 +43,7 @@ from flight_data_ingestion_engine_spark.operators.text import (
     with_token_stats,
 )
 from flight_data_ingestion_engine_spark.operators.multimodal import (
+    segment_media,
     attach_fake_media,
     decode_media,
     resize_plan,
@@ -83,6 +84,7 @@ __all__ = [
     "decode_media",
     "resize_plan",
     "sample_frames",
+    "segment_media",
     "dedup_clusters",
     "range_join_after",
     "ContinuousRollup",

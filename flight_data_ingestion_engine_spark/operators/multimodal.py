@@ -156,3 +156,34 @@ def resize_plan(df: DataFrame, meta_col: str = "media_meta", max_side: int = 32)
     return df.withColumn("target_width", F.floor(w * scale).cast("int")).withColumn(
         "target_height", F.floor(h * scale).cast("int")
     )
+
+
+def segment_media(
+    df: DataFrame,
+    duration_ms: "F.Column | str",
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding time-window segmentation over audio/video rows — the
+    temporal analog of `corpus.chunk_documents`: segment starts at
+    0, hop, 2·hop … < duration; each segment spans
+    [start, min(start+window, duration)).
+
+    Pure integer arithmetic (callers pass duration as millis, not float
+    seconds, so boundaries are exact) via sequence→posexplode: a generator
+    over the scan, no shuffle, no Python — the payload column is NOT
+    touched, so column pruning keeps the 16 MB binaries out of this plan
+    entirely; downstream decode stages join segments back by (id, seg_idx)
+    only for the rows they actually decode.
+    """
+    if hop_ms <= 0 or window_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = F.col(duration_ms) if isinstance(duration_ms, str) else duration_ms
+    keep = keep_cols if keep_cols is not None else df.columns
+    starts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(hop_ms))
+    return (
+        df.select(*keep, dur.alias("_dur_ms"), F.posexplode(starts).alias("seg_idx", "seg_start_ms"))
+        .withColumn("seg_end_ms", F.least(F.col("seg_start_ms") + window_ms, F.col("_dur_ms")))
+        .drop("_dur_ms")
+    )

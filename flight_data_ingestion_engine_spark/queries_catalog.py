@@ -1518,6 +1518,37 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "media_segments",
+    """
+    WITH m AS (
+      SELECT doc_id, CAST((doc_id % 30 + 1) * 100 AS INT) AS dur_ms FROM documents
+    ),
+    s AS (
+      SELECT doc_id, dur_ms,
+             unnest(generate_series(0, greatest(dur_ms - 1, 0), 400)) AS seg_start
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(seg_start // 400 AS INT) AS seg_idx,
+           CAST(seg_start AS INT) AS seg_start_ms,
+           CAST(least(seg_start + 1000, dur_ms) AS INT) AS seg_end_ms
+    FROM s
+    """,
+)
+def q_media_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window audio segmentation plan (1000 ms windows, 400 ms
+    hop) — the temporal chunker; integer-millisecond arithmetic so
+    boundaries are engine-exact, payload column untouched (pruned)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import segment_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dur_ms = ((F.col("doc_id") % 30 + 1) * 100).cast("int")
+    return segment_media(
+        docs, dur_ms, window_ms=1000, hop_ms=400, keep_cols=["doc_id"]
+    )
+
+
+@_q(
     "media_plan",
     """
     SELECT doc_id,

@@ -192,3 +192,25 @@ def test_frame_sampling_and_resize(spark):
     meta = df.select("media_meta.width", "media_meta.height").first()
     assert max(r.target_width, r.target_height) <= 32
     assert r.target_width <= meta.width and r.target_height <= meta.height
+
+
+def test_segment_media_windows(spark):
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import segment_media
+
+    df = spark.createDataFrame([(1, 1000), (2, 1001), (3, 100), (4, 0)], "mid long, dur int")
+    segs = segment_media(
+        df, F.col("dur"), window_ms=1000, hop_ms=400, keep_cols=["mid"]
+    ).collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r.mid, []).append((r.seg_idx, r.seg_start_ms, r.seg_end_ms))
+    # 1000ms: starts 0,400,800 — last two truncated to the duration
+    assert sorted(by_id[1]) == [(0, 0, 1000), (1, 400, 1000), (2, 800, 1000)]
+    # 1001ms adds no fourth window (next start 1200 >= dur)
+    assert len(by_id[2]) == 3 and by_id[2][2] == (2, 800, 1001)
+    # shorter than one window: single truncated segment
+    assert by_id[3] == [(0, 0, 100)]
+    # zero duration yields one empty [0,0) segment (callers may filter)
+    assert by_id[4] == [(0, 0, 0)]

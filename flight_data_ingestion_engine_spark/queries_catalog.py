@@ -1938,6 +1938,74 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "user_journeys",
+    """
+    SELECT user_id,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event path ('view->click->purchase->…'): ordered
+    string aggregation via collect_list of (ts, event_id, type) structs +
+    array_sort — deterministic (unique tiebreaker inside the sort key) and
+    one partial-agg shuffle. The path string is the input to journey/
+    sequence mining; at scale cap it with slice() before array_join if
+    per-key cardinality is unbounded."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            "->",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "funnel_counts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS step_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS step_purchase
+    FROM f
+    """,
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first view → first click → first
+    purchase): one conditional-MIN aggregation per user, then a global
+    roll-up — two shuffles total, no self-joins, no window over the whole
+    event stream (the naive funnel formulation). NULL-propagating
+    comparisons drop users missing a step, identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts"))).alias(f"t_{et}")  # noqa: E731
+    f = ev.groupBy("user_id").agg(t("view"), t("click"), t("purchase"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("step_purchase"),
+    )
+
+
+@_q(
     "stat_aggregates",
     """
     WITH s AS (

@@ -112,3 +112,53 @@ def test_exact_dedup_partitions_input_property(spark, texts):
     for i, t in enumerate(texts):
         by_text.setdefault(t, i)
     assert {r.id for r in kept} == set(by_text.values())
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+            min_size=0,
+            max_size=600,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_chunk_reconstruction_property(spark, texts):
+    """For ANY text (unicode included): stitching chunk[0] + the
+    non-overlap tail of each later chunk reproduces the document, chunk
+    starts advance by exactly step, and every chunk is ≤ size chars."""
+    from flight_data_ingestion_engine_spark.operators.corpus import chunk_documents
+
+    size, overlap = 100, 30
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert all(len(c.chunk_text) <= size for c in chunks)
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == t, f"doc {i}"
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=300, unique=True))
+def test_hash_sample_monotone_property(spark, keys):
+    """Deterministic sampling invariants for arbitrary key sets: rate-f
+    sample ⊆ rate-g sample whenever f ≤ g, and membership is stable
+    across partitionings."""
+    from flight_data_ingestion_engine_spark.operators.corpus import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    s_small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    s_big = {r.k for r in hash_sample(df.repartition(7), "k", 0.5).collect()}
+    assert s_small <= s_big

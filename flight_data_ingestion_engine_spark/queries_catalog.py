@@ -1938,6 +1938,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vector_stats",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)) AS av,
+             CAST(embedding AS DOUBLE[]) AS dv
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(dv) AS INT) AS n_dims,
+           CAST(len(list_filter(dv, x -> x > 0)) AS INT) AS n_pos,
+           list_aggregate(av, 'sum') AS l1_norm,
+           list_aggregate(av, 'max') AS max_abs
+    FROM v
+    """,
+)
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar stats via higher-order array functions
+    (transform/filter/aggregate) — all JVM-side, scan-speed, scalar
+    outputs. The |x| array is materialized in its OWN projection first:
+    HOFs are CodegenFallback with no subexpression elimination, so an
+    expression referenced twice would be computed twice. Sequential
+    left-fold sums are bit-identical across engines on the same list
+    order (the cosine toolkit's result)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = emb.select(
+        "vec_id",
+        dv.alias("dv"),
+        F.transform(dv, lambda x: F.abs(x)).alias("av"),
+    )
+    return staged.select(
+        "vec_id",
+        F.size("dv").alias("n_dims"),
+        F.size(F.filter("dv", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate("av", F.lit(0.0), lambda acc, x: acc + x).alias("l1_norm"),
+        F.array_max("av").alias("max_abs"),
+    )
+
+
+@_q(
     "user_journeys",
     """
     SELECT user_id,

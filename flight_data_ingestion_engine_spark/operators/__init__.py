@@ -12,6 +12,20 @@ from flight_data_ingestion_engine_spark.operators.enrich import (
     with_utc_timestamp,
 )
 from flight_data_ingestion_engine_spark.operators.asof import asof_join
+from flight_data_ingestion_engine_spark.operators.cohorts import retention_matrix
+from flight_data_ingestion_engine_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+    triangle_count,
+)
+from flight_data_ingestion_engine_spark.operators.quality import (
+    profile_columns,
+    zscore_outliers,
+)
+from flight_data_ingestion_engine_spark.operators.quantize import (
+    quantize_codes_column,
+    scalar_quantize_stats,
+)
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
     hash_sample,
@@ -107,6 +121,14 @@ __all__ = [
     "with_flight_time_utc",
     "with_utc_timestamp",
     "chunk_documents",
+    "cooccurrence_edges",
+    "pagerank",
+    "triangle_count",
+    "retention_matrix",
+    "profile_columns",
+    "zscore_outliers",
+    "quantize_codes_column",
+    "scalar_quantize_stats",
     "hash_sample",
     "redact_pii",
     "stratified_sample_exact",

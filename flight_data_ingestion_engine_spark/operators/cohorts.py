@@ -1,0 +1,49 @@
+"""Cohort retention analysis: bucket users by first-activity period,
+count how many stay active N periods later — the standard product-
+analytics retention matrix, expressed as two aggregations and one join.
+
+Scale design: the per-user cohort frame is one partial/final agg
+(|users| rows), the activity frame is a distinct over (user, period)
+(bounded by |users| × periods), and the final count is another
+partial/final agg keyed by (cohort, offset) — every shuffle key is
+low-cardinality or user-keyed, no window over the raw event stream.
+The cohort join is user-keyed equi-join; with both sides pre-partitioned
+on user_id (bucketed tables) it is co-located and shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retention_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """(cohort_period, period_offset, n_users): users whose FIRST activity
+    fell in `cohort_period` and who were active `period_offset` periods
+    later.
+
+    Periods are `date_trunc` buckets (week = ISO Monday start — identical
+    in Spark and DuckDB); the offset is integer day-difference divided by
+    the period length, exact in integer arithmetic.
+    """
+    days = {"week": 7, "day": 1}[period]
+    ue = df.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc(period, F.col(time_col)).cast("date").alias("wk"),
+    )
+    cohort = ue.groupBy("user").agg(F.min("wk").alias("cohort_wk"))
+    active = ue.distinct()
+    return (
+        active.join(cohort, "user")
+        .groupBy(
+            F.col("cohort_wk"),
+            F.expr(f"datediff(wk, cohort_wk) div {days}").cast("int").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumnRenamed("cohort_wk", "cohort_period")
+    )

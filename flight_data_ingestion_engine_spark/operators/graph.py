@@ -1,0 +1,167 @@
+"""Graph analytics over co-occurrence edge lists: edge building, triangle
+counting, PageRank — all expressed as joins + aggregations so Catalyst
+plans the shuffles (no driver-side adjacency structures ever).
+
+Scale design:
+- **cooccurrence_edges** generates candidate pairs only WITHIN a group
+  (order basket, part supplier-set): the self-join fans out quadratically
+  in per-group cardinality, which is bounded by the domain (items per
+  order, suppliers per part), never in total rows. The (group, item)
+  projection is `distinct`-ed and persisted first so the self-join's two
+  branches reuse one deduplicated scan.
+- **triangle_count** uses degree orientation (each edge directed from its
+  (degree, id)-smaller endpoint): every wedge join's fan-out is bounded by
+  the max ORIENTED out-degree, O(sqrt(m)) on any graph — the classic
+  guarantee that makes triangle counting feasible on skewed 100 TB-scale
+  graphs where a naive shared-vertex join explodes on hub nodes.
+- **pagerank** keeps ranks in integer micro-units with integer division
+  only, so every engine (and every partitioning) computes bit-identical
+  ranks — the same exactness discipline the catalog uses for DECIMAL
+  aggregates, applied to an iterative algorithm. Each round is one
+  equi-join + one partial/final agg; `localCheckpoint` cuts lineage so
+  plan depth stays constant across rounds (same pattern as
+  `dedup.dedup_clusters`).
+
+Reference parity note: the reference engine (orr21/Flight-Data-Ingestion-
+Engine) has no graph operators; this module is part of the mandated
+large-scale-pipeline extension surface (SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edges: items sharing >= `min_support`
+    groups, canonical `src < dst`, with the shared-group count as
+    `support`.
+
+    The quadratic step is confined to within-group pairing; total cost is
+    sum over groups of (items-per-group choose 2). For unbounded group
+    cardinality, cap with a per-group `slice` upstream or switch to the
+    MinHash path in `operators/dedup`.
+    """
+    gi = (
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .where(F.col("_g").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+        .persist()
+    )
+    a, b = gi.alias("a"), gi.alias("b")
+    edges = (
+        a.join(b, F.col("a._g") == F.col("b._g"))
+        .where(F.col("a._i") < F.col("b._i"))
+        .groupBy(F.col("a._i").alias("src"), F.col("b._i").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    if min_support > 1:
+        edges = edges.where(F.col("support") >= F.lit(min_support))
+    return edges
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles in an undirected graph; returns one row
+    (`triangles` bigint).
+
+    Degree-ordered algorithm: canonicalize + dedupe edges, compute
+    degrees, orient each edge from its (degree, id)-smaller endpoint, join
+    wedges at the shared source, close them against the oriented edge set.
+    Orientation by a total order is acyclic, so each triangle has exactly
+    one vertex with out-edges to the other two and is counted exactly
+    once; hub vertices get LOW out-degree, bounding the wedge join.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # attach both endpoint degrees, then orient low (d, id) -> high (d, id)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lo_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).persist()
+    e1 = o.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
+    e2 = o.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges = e1.join(e2, "a").where(
+        F.struct(F.col("db1"), F.col("b1")) < F.struct(F.col("db2"), F.col("b2"))
+    )
+    closing = o.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"])
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    unit: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over a DIRECTED edge list; returns
+    (node, rank) with rank in micro-units of `unit` (rank 1.0 == `unit`).
+
+    All arithmetic is integer: per-node contribution is `rank div outdeg`,
+    the damped update is `unit*(den-num)//den + (num * sum) div den` — so
+    the result is independent of partitioning, engine, and float
+    accumulation order, and a DuckDB oracle can replay it exactly with
+    unrolled CTE rounds. Dangling nodes (no out-edges) keep the base rank;
+    for true dangling-mass redistribution wire their summed rank into the
+    base term.
+
+    Per round: one broadcast-or-shuffle equi-join (ranks joined to the
+    out-degree-annotated edges) + one partial/final agg. `localCheckpoint`
+    caps lineage depth so round N's plan doesn't embed rounds 1..N-1.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    ew = e.join(outd, "s").persist()  # (s, t, outd)
+    base = unit * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = ew.join(ranks, F.col("s") == F.col("node")).select(
+            F.col("t"), F.expr("rank div outd").alias("c")
+        )
+        sums = contrib.groupBy("t").agg(F.sum("c").alias("sc"))
+        ranks = (
+            nodes.join(sums, F.col("node") == F.col("t"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * coalesce(sc, cast(0 as bigint))) div {damping_den}")
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

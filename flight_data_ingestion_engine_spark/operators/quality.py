@@ -1,0 +1,76 @@
+"""Data-quality operators: column profiling and statistical outlier
+detection — the checks a training-data pipeline runs before anything else
+touches a new drop of data.
+
+Scale design: both operators are single-pass aggregations (partial/final,
+map-side combined). `profile_columns` computes every column's metrics in
+ONE scan — n exact `count(distinct)`s in one agg become a Catalyst Expand
+(one extra projected copy of the scan per distinct-agg), which is the
+exact-answer trade; pass `approx=True` to switch to HLL sketches
+(`approx_count_distinct`, one pass, no Expand) at 100 TB.
+`zscore_outliers` derives mean/std from exact DECIMAL moment sums (the
+catalog's standard exactness discipline: order-independent, engine-
+portable) and broadcasts the tiny per-group stats back onto the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """Per-column quality profile: (col_name, n_rows, n_nulls, n_distinct).
+
+    One aggregation pass over the input, then a `stack` to long format
+    (rows = columns profiled — always tiny). `approx=True` swaps exact
+    distinct counts for approx_count_distinct sketches.
+    """
+    distinct_of = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(distinct_of(c).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    stacked = ", ".join(f"'{c}', n_rows - _nn_{c}, _nd_{c}" for c in cols)
+    return row.select(
+        F.col("n_rows"),
+        F.expr(f"stack({len(cols)}, {stacked}) AS (col_name, n_nulls, n_distinct)"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: float = 3.0,
+    decimal_type: str = "decimal(18,6)",
+) -> DataFrame:
+    """Rows whose `value_col` deviates more than `threshold` sample
+    standard deviations from their group's mean; adds a `z` column.
+
+    Mean/std come from exact DECIMAL sums (sum x, sum x²) so the stats are
+    identical under any partitioning; the final z arithmetic is plain
+    double, computed identically by any engine given those exact inputs.
+    Groups with n < 2 or zero variance produce NULL/no z and are filtered
+    out (no outlier is decidable there).
+    """
+    x = F.col(value_col).cast(decimal_type)
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).cast("double").alias("_s1"),
+        F.sum(x * x).cast("double").alias("_s2"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols)
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        joined.where(n >= 2)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > F.lit(threshold))
+        .drop("_n", "_s1", "_s2")
+    )

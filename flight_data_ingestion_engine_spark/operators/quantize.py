@@ -1,0 +1,111 @@
+"""Embedding compression: per-vector scalar quantization (int8-style) —
+the storage/bandwidth lever for 100 TB embedding corpora (4 bytes/dim
+float32 → 1 byte/dim code + 2 doubles of per-vector range metadata).
+
+All arithmetic is built-in array HOFs (transform/aggregate/array_max) —
+JVM-side, scan-speed, zero Python. Following the module-wide HOF rule
+(no subexpression elimination in CodegenFallback expressions), each
+derived quantity (double array, vmin/vmax, scale) is materialized in its
+OWN projection before the expressions that consume it twice.
+
+The code formula is engine-portable exact: `floor((x - vmin)/scale + 0.5)`
+clamped to [0, levels] uses only IEEE double ops + integer clamp, so a
+DuckDB oracle reproduces codes (and reconstruction error) bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.functions.vectors import to_double_array
+
+
+def scalar_quantize_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Quantize each vector to integer codes in [0, levels] against its own
+    [min, max] range; return scalar round-trip stats per vector:
+    (id, vmin, vmax, sum_codes, max_abs_err).
+
+    `sum_codes` is the integer code checksum (order-independent);
+    `max_abs_err` is the worst per-dimension reconstruction error, bounded
+    by scale/2 = (vmax-vmin)/(2·levels). Constant vectors quantize to all
+    zeros with scale 1 (error 0). The full code array is an internal; this
+    returns scalars so results are hashable by any comparator — use
+    `quantize_codes_column` for the array itself.
+    """
+    staged = df.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("_dv")
+    ).select(
+        id_col,
+        "_dv",
+        F.array_min("_dv").alias("vmin"),
+        F.array_max("_dv").alias("vmax"),
+    ).select(
+        id_col,
+        "_dv",
+        "vmin",
+        "vmax",
+        F.when(F.col("vmax") > F.col("vmin"), (F.col("vmax") - F.col("vmin")) / levels)
+        .otherwise(F.lit(1.0))
+        .alias("_scale"),
+    )
+
+    def code(x: Column) -> Column:
+        raw = F.floor((x - F.col("vmin")) / F.col("_scale") + F.lit(0.5))
+        return F.least(F.lit(levels).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw))
+
+    return staged.select(
+        id_col,
+        "vmin",
+        "vmax",
+        F.aggregate(
+            F.transform("_dv", code),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c,
+        ).alias("sum_codes"),
+        F.array_max(
+            F.transform(
+                "_dv",
+                lambda x: F.abs(x - (F.col("vmin") + code(x) * F.col("_scale"))),
+            )
+        ).alias("max_abs_err"),
+    )
+
+
+def quantize_codes_column(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """(id, vmin, scale, codes array<smallint>) — the compressed form a
+    sink would persist. Library-facing (array output; not in the driver
+    catalog, whose comparator requires scalar columns)."""
+    staged = df.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("_dv")
+    ).select(
+        id_col,
+        "_dv",
+        F.array_min("_dv").alias("vmin"),
+        F.array_max("_dv").alias("vmax"),
+    ).select(
+        id_col,
+        "_dv",
+        "vmin",
+        F.when(F.col("vmax") > F.col("vmin"), (F.col("vmax") - F.col("vmin")) / levels)
+        .otherwise(F.lit(1.0))
+        .alias("scale"),
+    )
+
+    def code(x: Column) -> Column:
+        raw = F.floor((x - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        return F.least(F.lit(levels).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw)).cast(
+            "smallint"
+        )
+
+    return staged.select(id_col, "vmin", "scale", F.transform("_dv", code).alias("codes"))

@@ -2416,3 +2416,246 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir)
     deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return _run_stream_to_memory(deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: co-occurrence, triangles, PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "basket_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem)
+    SELECT a.i AS part_a, b.i AS part_b, COUNT(*) AS support
+    FROM op a JOIN op b ON a.g = b.g AND a.i < b.i
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order, by support. The pair generator is the bounded within-group
+    self-join (`cooccurrence_edges`): quadratic only in lines-per-order,
+    never in total rows. Deterministic LIMIT via a full tiebreaker sort."""
+    from flight_data_ingestion_engine_spark.operators.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return (
+        edges.select(
+            F.col("src").alias("part_a"), F.col("dst").alias("part_b"), "support"
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+# shared CTE for the supplier co-supply graph, thresholded at the median
+# support so degrees vary (the raw graph is complete at small SF):
+# quantile_cont == Spark F.percentile bit-identically (exact_percentiles).
+_COSUPPLY_EDGES_SQL = """
+    ps AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS i FROM lineitem),
+    eg AS (SELECT a.i AS u, b.i AS v, COUNT(*) AS s
+           FROM ps a JOIN ps b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+    th AS (SELECT quantile_cont(s, 0.5) AS t FROM eg),
+    e AS (SELECT u, v FROM eg, th WHERE s > th.t)
+"""
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _COSUPPLY_EDGES_SQL: median-thresholded co-supply
+    graph. The one-row threshold frame is broadcast-crossed onto the edge
+    list (stays declarative — no collect)."""
+    from flight_data_ingestion_engine_spark.operators.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    eg = cooccurrence_edges(li, "l_partkey", "l_suppkey").persist()
+    th = eg.agg(F.percentile("support", 0.5).alias("t"))
+    return eg.crossJoin(F.broadcast(th)).where(F.col("support") > F.col("t")).select(
+        "src", "dst"
+    )
+
+
+@_q(
+    "triangle_count",
+    f"""
+    WITH {_COSUPPLY_EDGES_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the thresholded co-supply graph. Spark side runs
+    the degree-ORIENTED algorithm (wedge fan-out bounded by oriented
+    out-degree ~ O(sqrt(m)) — the skew-safe 100 TB formulation); the
+    oracle uses the simple u<v<w triple join — both count each triangle
+    exactly once, so the counts are equal."""
+    from flight_data_ingestion_engine_spark.operators.graph import triangle_count
+
+    return triangle_count(_cosupply_edges(spark, sf_dir))
+
+
+@_q(
+    "pagerank_cosupply",
+    f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    ed AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT s AS node FROM ed),
+    outd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY s),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    s1 AS (SELECT ed.t AS node, CAST(SUM(r.rank // o.d) AS BIGINT) AS sc
+           FROM ed JOIN r0 r ON ed.s = r.node JOIN outd o ON o.s = ed.s GROUP BY ed.t),
+    r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN s1 s ON n.node = s.node),
+    s2 AS (SELECT ed.t AS node, CAST(SUM(r.rank // o.d) AS BIGINT) AS sc
+           FROM ed JOIN r1 r ON ed.s = r.node JOIN outd o ON o.s = ed.s GROUP BY ed.t),
+    r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN s2 s ON n.node = s.node),
+    s3 AS (SELECT ed.t AS node, CAST(SUM(r.rank // o.d) AS BIGINT) AS sc
+           FROM ed JOIN r2 r ON ed.s = r.node JOIN outd o ON o.s = ed.s GROUP BY ed.t),
+    r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN s3 s ON n.node = s.node)
+    SELECT node AS supp_id, rank FROM r3
+    """,
+)
+def q_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of integer-exact PageRank on the (undirected →
+    symmetrized) thresholded co-supply graph. Integer micro-unit ranks +
+    integer division make every round bit-reproducible, so the oracle
+    replays the iteration as three unrolled CTE rounds and the hash
+    matches exactly — an ORACLE-CHECKED iterative graph algorithm."""
+    from flight_data_ingestion_engine_spark.operators.graph import pagerank
+
+    und = _cosupply_edges(spark, sf_dir)
+    ed = und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(ed, iterations=3).withColumnRenamed("node", "supp_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + data quality (operators/cohorts.py, operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH ue AS (SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+    coh AS (SELECT u, MIN(wk) AS cohort_wk FROM ue GROUP BY u),
+    act AS (SELECT DISTINCT u, wk FROM ue)
+    SELECT c.cohort_wk AS cohort_period,
+           CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS INT) AS period_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN coh c ON a.u = c.u
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-activity ISO week, counted in each later week they were active.
+    Two partial/final aggs + one user-keyed equi-join; ISO Monday week
+    start is identical in Spark and DuckDB so the buckets hash-match."""
+    from flight_data_ingestion_engine_spark.operators.cohorts import retention_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_matrix(ev, user_col="user_id", time_col="ts", period="week")
+
+
+@_q(
+    "dq_profile",
+    """
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice) FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column quality profile of `orders` (row/null/distinct counts) in a
+    SINGLE scan: n exact count-distincts in one agg (Catalyst Expand),
+    stacked to long form. The oracle spells it as per-column UNION ALL —
+    same values, engine-idiomatic on each side. At 100 TB pass
+    `approx=True` for HLL sketches instead of Expand."""
+    from flight_data_ingestion_engine_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+
+@_q(
+    "anomaly_zscore",
+    """
+    WITH st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - st.s1 / st.n) / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS z
+      FROM events e JOIN st ON e.event_type = st.event_type
+      WHERE st.n >= 2
+    )
+    SELECT event_id, event_type, value, z FROM scored WHERE abs(z) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: events whose value is >3 sample
+    standard deviations from their event_type's mean. Mean/std derive
+    from exact DECIMAL moment sums (stat_aggregates' discipline) and the
+    tiny per-group stats broadcast back onto the rows — one agg + one
+    broadcast join, no window over the raw stream."""
+    from flight_data_ingestion_engine_spark.operators.quality import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_outliers(ev, "value", ["event_type"], threshold=3.0)
+    return out.select("event_id", "event_type", "value", "z")
+
+
+# ---------------------------------------------------------------------------
+# Embedding scalar quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "vector_quantize",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    m AS (SELECT vec_id, dv, list_min(dv) AS vmin, list_max(dv) AS vmax FROM v),
+    s AS (SELECT vec_id, dv, vmin, vmax,
+                 CASE WHEN vmax > vmin THEN (vmax - vmin) / 255 ELSE 1.0 END AS sc
+          FROM m)
+    SELECT vec_id, vmin, vmax,
+           CAST(list_aggregate(
+             list_transform(dv, x -> least(255, greatest(0, CAST(floor((x - vmin) / sc + 0.5) AS BIGINT)))),
+             'sum') AS BIGINT) AS sum_codes,
+           list_max(
+             list_transform(dv, x -> abs(x - (vmin + least(255, greatest(0, CAST(floor((x - vmin) / sc + 0.5) AS BIGINT))) * sc)))
+           ) AS max_abs_err
+    FROM s
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization round-trip over every embedding:
+    per-vector [min,max] range codes + worst reconstruction error, all in
+    built-in array HOFs (scan speed, zero Python). The code formula uses
+    only IEEE double ops + integer clamps, so DuckDB reproduces codes and
+    errors bit-identically — an exactness-checked compression operator."""
+    from flight_data_ingestion_engine_spark.operators.quantize import (
+        scalar_quantize_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return scalar_quantize_stats(emb, "vec_id", "embedding", levels=255)

@@ -1,0 +1,123 @@
+"""Hand-checked fixtures for the graph / quality / cohort / quantization
+operators (batch 3 of the extension surface)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.cohorts import retention_matrix
+from flight_data_ingestion_engine_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+    triangle_count,
+)
+from flight_data_ingestion_engine_spark.operators.quality import (
+    profile_columns,
+    zscore_outliers,
+)
+from flight_data_ingestion_engine_spark.operators.quantize import (
+    quantize_codes_column,
+    scalar_quantize_stats,
+)
+
+
+def test_cooccurrence_edges_counts_shared_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "a")],  # dup (2,a) collapses
+        "g int, i string",
+    )
+    rows = {
+        (r.src, r.dst): r.support
+        for r in cooccurrence_edges(df, "g", "i").collect()
+    }
+    assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge: vertices 1-4, all edges except (3,4) -> 2 triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src int, dst int"
+    )
+    assert triangle_count(edges).collect()[0].triangles == 2
+    # edge list with duplicates + reversed orientation: same answer
+    noisy = edges.unionAll(
+        spark.createDataFrame([(2, 1), (3, 1), (4, 2)], "src int, dst int")
+    )
+    assert triangle_count(noisy).collect()[0].triangles == 2
+
+
+def test_pagerank_integer_exact_star(spark):
+    # star: hub 1 <-> leaves 2,3,4 (symmetrized). Hand-computed micro-units:
+    # r0 = 1M each. Round 1: hub gets 3 * (1M div 1) = 3M -> 150000 + 85*3M//100
+    # = 2_700_000; leaf gets (1M div 3) = 333333 -> 150000 + 85*333333//100
+    # = 433_333 (85*333333 = 28_333_305 // 100 = 283_333).
+    und = [(1, 2), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(und + [(b, a) for a, b in und], "src int, dst int")
+    r1 = {r.node: r.rank for r in pagerank(edges, iterations=1).collect()}
+    assert r1 == {1: 2_700_000, 2: 433_333, 3: 433_333, 4: 433_333}
+    # iteration 2: hub gets 3*(433333 div 1)=1_299_999 -> 150000+85*1299999//100
+    # = 1_254_999; leaf gets 2700000 div 3 = 900000 -> 150000 + 765000 = 915000
+    r2 = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+    assert r2 == {1: 1_254_999, 2: 915_000, 3: 915_000, 4: 915_000}
+
+
+def test_retention_matrix_weekly(spark):
+    mon1 = datetime.datetime(2024, 3, 11, 10, 0)  # ISO week Mon 2024-03-11
+    mon3 = datetime.datetime(2024, 3, 25, 9, 0)  # two weeks later
+    df = spark.createDataFrame(
+        [
+            (1, mon1),
+            (1, mon1 + datetime.timedelta(days=2)),  # same week, dedup
+            (1, mon3),  # week offset 2
+            (2, mon3),  # cohort of week 3
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    out = {
+        (str(r.cohort_period), r.period_offset): r.n_users
+        for r in retention_matrix(df).collect()
+    }
+    assert out == {
+        ("2024-03-11", 0): 1,
+        ("2024-03-11", 2): 1,
+        ("2024-03-25", 0): 1,
+    }
+
+
+def test_profile_columns_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), (None, 2)], "s string, x int"
+    )
+    out = {r.col_name: (r.n_rows, r.n_nulls, r.n_distinct) for r in
+           profile_columns(df, ["s", "x"]).collect()}
+    assert out == {"s": (4, 1, 2), "x": (4, 1, 2)}
+    approx = {r.col_name: r.n_rows for r in
+              profile_columns(df, ["s", "x"], approx=True).collect()}
+    assert approx == {"s": 4, "x": 4}
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    vals = [10.0] * 10 + [11.0] * 10 + [1000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id int, grp string, v double"
+    )
+    out = zscore_outliers(df, "v", ["grp"], threshold=3.0).collect()
+    assert [(r.id, r.v) for r in out] == [(20, 1000.0)]
+    assert out[0].z > 4
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5, 0.25]), (2, [3.0, 3.0, 3.0, 3.0])],
+        "vec_id int, embedding array<float>",
+    )
+    stats = {r.vec_id: r for r in scalar_quantize_stats(df, "vec_id").collect()}
+    # vec 1: range [0,1], scale 1/255; codes 0,255,round(127.5+0.5)=128,round(63.75+.5)=64
+    assert stats[1].sum_codes == 0 + 255 + 128 + 64
+    assert stats[1].max_abs_err <= (1.0 / 255) / 2 + 1e-12
+    # constant vector: all codes 0, zero error
+    assert stats[2].sum_codes == 0 and stats[2].max_abs_err == 0.0
+    codes = quantize_codes_column(df, "vec_id").where(F.col("vec_id") == 1).collect()[0]
+    assert codes.codes == [0, 255, 128, 64]

@@ -19,9 +19,18 @@ from flight_data_ingestion_engine_spark.operators.graph import (
     triangle_count,
 )
 from flight_data_ingestion_engine_spark.operators.quality import (
+    chi_square_cells,
+    equiwidth_histogram,
     profile_columns,
     zscore_outliers,
 )
+from flight_data_ingestion_engine_spark.operators.temporal import (
+    interval_concurrency,
+    rolling_percentile,
+    time_weighted_avg,
+)
+from flight_data_ingestion_engine_spark.operators.frontier import pareto_frontier_2d
+from flight_data_ingestion_engine_spark.operators.sequences import transition_matrix
 from flight_data_ingestion_engine_spark.operators.quantize import (
     quantize_codes_column,
     scalar_quantize_stats,
@@ -127,6 +136,13 @@ __all__ = [
     "retention_matrix",
     "profile_columns",
     "zscore_outliers",
+    "chi_square_cells",
+    "equiwidth_histogram",
+    "interval_concurrency",
+    "rolling_percentile",
+    "time_weighted_avg",
+    "pareto_frontier_2d",
+    "transition_matrix",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

@@ -1,0 +1,50 @@
+"""Pareto-frontier (skyline) operator for the 2-D minimize/maximize case.
+
+A row is on the frontier when no other row is strictly better on the
+`better_col` (higher wins) while being at-least-as-good on the
+`minimize_col` (lower wins) — e.g. "orders that were the cheapest seen
+for their recency": nothing newer was as cheap or cheaper.
+
+Scale design: the naive skyline is a quadratic dominance self-join; in
+2-D it collapses to a running minimum — group to one min per better-key,
+sort the (distinct-better-values)-sized frame, one ROWS window, broadcast
+the per-value thresholds back. Linear in the input, one small sort; the
+window partition is the whole (tiny, grouped) frame, never the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    better_col: str,
+) -> DataFrame:
+    """Rows not dominated by any row with a strictly greater `better_col`
+    and a less-than-or-equal `minimize_col`.
+
+    Kept row ⇔ minimize_col < MIN(minimize_col | better_col strictly
+    greater); rows at the maximal better_col are always kept. Ties on
+    (better_col) are grouped first, so the running-min window runs over
+    one row per distinct better value — exact, deterministic, and
+    engine-portable (pure MIN/compare arithmetic).
+    """
+    per_v = df.groupBy(F.col(better_col).alias("_bv")).agg(
+        F.min(minimize_col).alias("_vmin")
+    )
+    w = (
+        Window.orderBy(F.col("_bv").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = per_v.select(
+        "_bv", F.min("_vmin").over(w).alias("_best_later")
+    )
+    j = df.join(
+        F.broadcast(thresholds), df[better_col] == thresholds["_bv"], "inner"
+    ).drop("_bv")
+    return j.where(
+        F.col("_best_later").isNull() | (F.col(minimize_col) < F.col("_best_later"))
+    ).drop("_best_later")

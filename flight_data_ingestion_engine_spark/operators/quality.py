@@ -1,8 +1,9 @@
-"""Data-quality operators: column profiling and statistical outlier
-detection — the checks a training-data pipeline runs before anything else
-touches a new drop of data.
+"""Data-quality operators: column profiling, statistical outlier
+detection, equi-width histograms, and chi-square association — the checks
+a training-data pipeline runs before anything else touches a new drop of
+data.
 
-Scale design: both operators are single-pass aggregations (partial/final,
+Scale design: the operators are single-pass aggregations (partial/final,
 map-side combined). `profile_columns` computes every column's metrics in
 ONE scan — n exact `count(distinct)`s in one agg become a Catalyst Expand
 (one extra projected copy of the scan per distinct-agg), which is the
@@ -39,6 +40,87 @@ def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> Dat
         F.col("n_rows"),
         F.expr(f"stack({len(cols)}, {stacked}) AS (col_name, n_nulls, n_distinct)"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of `value_col` per group: bin index, bin
+    bounds, and count, with bins spanning the group's [min, max].
+
+    Two aggregation passes (per-group range, then per-bin counts) with the
+    tiny range table broadcast back — never a sort, never a collect. The
+    bin formula uses only IEEE-correctly-rounded ops (-, /, floor, clamp),
+    so any engine bins every row identically: bin = min(n_bins-1,
+    floor((v-lo)/width)); the v == hi edge folds into the last bin.
+    Zero-width groups (all values equal) collapse to bin 0.
+    """
+    rng = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    j = df.join(F.broadcast(rng), group_cols)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_ = F.when(F.col("_hi") > F.col("_lo"), F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(value_col) - F.col("_lo")) / width),
+    )).otherwise(F.lit(0)).cast("int")
+    return (
+        j.withColumn("bin", bin_)
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_lo").alias("range_lo"),
+            F.first("_hi").alias("range_hi"),
+        )
+    )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Contingency table of two categorical columns with the per-cell
+    chi-square decomposition: observed count, expected count under
+    independence (row_total · col_total / N), and the cell's
+    (obs-exp)²/exp contribution.
+
+    Per-cell (not summed): the total chi² statistic is a float sum whose
+    value depends on accumulation order, but each cell's contribution is a
+    fixed sequence of exact-integer-fed double ops — deterministic on any
+    engine, so the full decomposition is oracle-checkable. Callers sum the
+    `contrib` column (or its DECIMAL rounding) for the statistic.
+
+    One agg on (a, b) — cardinality = distinct pairs, tiny — then
+    marginals derived FROM the cells (no second scan) and broadcast back.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    cells = cells.persist()  # feeds three aggregates; compute the scan once
+    row_tot = cells.groupBy("a").agg(F.sum("obs").alias("_ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("obs").alias("_cb"))
+    n_tot = cells.agg(F.sum("obs").alias("_n"))
+    out = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    exp = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    return out.select(
+        F.col("a").alias(col_a),
+        F.col("b").alias(col_b),
+        F.col("obs").cast("bigint").alias("obs"),
+        exp.alias("expected"),
+        ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias("contrib"),
+    )
 
 
 def zscore_outliers(

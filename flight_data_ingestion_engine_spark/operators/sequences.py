@@ -1,0 +1,52 @@
+"""Sequence-mining operators: first-order (Markov) transition matrices
+over per-key ordered event streams.
+
+The journey/funnel queries in the catalog produce per-user paths; the
+transition matrix is their aggregate view — how often state A is followed
+by state B across every key — the input to next-step prediction, anomaly
+flagging (never-seen transitions), and session-flow dashboards.
+
+Scale design: one keyed lead() window (single shuffle) + one (src, dst)
+count agg with map-side combine; the per-source totals derive from the
+tiny (states²-bounded) transition frame itself and join back broadcast.
+No per-key collect, no paths materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    state_col: str,
+    tiebreaker: str,
+) -> DataFrame:
+    """First-order transition counts and probabilities between consecutive
+    states per key: (src, dst, n, prob) where prob = n / sum(n) over src.
+
+    The probability is one exact-integer-fed double division — identical
+    on any engine — so the full matrix is oracle-checkable. The last event
+    of each key has no successor and contributes no transition.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col, tiebreaker)
+    pairs = (
+        df.withColumn("_nxt", F.lead(state_col).over(w))
+        .where(F.col("_nxt").isNotNull())
+        .groupBy(F.col(state_col).alias("src"), F.col("_nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = pairs.persist()  # feeds both the output and the marginals
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("prob"),
+        )
+    )

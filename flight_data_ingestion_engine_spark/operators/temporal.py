@@ -1,0 +1,150 @@
+"""Time-series analytics operators: time-weighted averages, interval
+concurrency (sweep-line), and rolling window percentiles.
+
+These are the timeseries-DB staples (TimescaleDB's `time_weighted`,
+`interpolated_average`; ClickHouse's `maxIntersections`) re-expressed as
+pure DataFrame plans: one keyed window or one union + running sum — no
+UDFs, no per-row Python, nothing driver-side.
+
+Scale design: every operator here shuffles at most once on the group key
+and keeps all per-row work inside whole-stage codegen. The sweep-line
+doubles the row count (one +1 and one -1 delta per interval) but stays
+narrow (key, time, delta) — at 100 TB that's the formulation that works,
+unlike a range self-join which is quadratic in overlap density.
+
+Exactness discipline (shared with the catalog): integer epoch seconds for
+all time arithmetic, DECIMAL intermediates for value×duration sums, and a
+unique tiebreaker in every window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_s(col: Column) -> Column:
+    """Integer epoch seconds — the catalog's portable time unit (the
+    repo-wide `timestamp.cast(long)` idiom, == DuckDB FLOOR(EPOCH(ts)))."""
+    return col.cast("long")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    tiebreaker: str,
+    decimal_type: str = "decimal(18,6)",
+) -> DataFrame:
+    """Piecewise-constant time-weighted average of `value_col` per key.
+
+    Each observation holds its value until the key's next observation
+    (LOCF semantics); the result is sum(value·Δt) / sum(Δt) with Δt in
+    whole seconds. The last observation per key has no successor and
+    carries zero weight — keys with a single observation yield no row
+    (their total weight is 0), which callers can outer-join back if they
+    want NULLs instead.
+
+    One window (lead) + one partial/final agg: a single shuffle on the
+    key. Value×duration products accumulate in DECIMAL (exact under any
+    partitioning); the final division is one double op.
+    """
+    t = _epoch_s(F.col(time_col))
+    # lead over epoch seconds directly: ties on the truncated second are
+    # broken by the unique tiebreaker, so dt is deterministic.
+    staged = df.select(
+        *key_cols,
+        F.col(value_col).cast(decimal_type).alias("_v"),
+        t.alias("_t"),
+        F.col(tiebreaker).alias("_tb"),
+    ).withColumn(
+        "_dt",
+        F.lead("_t", 1).over(Window.partitionBy(*key_cols).orderBy("_t", "_tb"))
+        - F.col("_t"),
+    )
+    return (
+        staged.where(F.col("_dt").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dt")).cast("double").alias("_wsum"),
+            F.sum("_dt").cast("bigint").alias("total_seconds"),
+        )
+        .where(F.col("total_seconds") > 0)
+        .select(
+            *key_cols,
+            (F.col("_wsum") / F.col("total_seconds")).alias("twa"),
+            "total_seconds",
+        )
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col,
+    end_col,
+    tiebreaker: str,
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals per key
+    (half-open [start, end) semantics), via the sweep-line construction.
+
+    Emits a +1 delta at each start and a -1 at each end, orders the merged
+    stream by (time, delta, tiebreaker) — ends sort before starts at the
+    same instant, so touching intervals don't count as concurrent and
+    empty intervals contribute nothing — and takes the max running sum.
+
+    `start_col` / `end_col` are Column expressions (or names) in integer
+    epoch seconds. Two narrow shuffle inputs union'd, one window, one agg:
+    the max prefix sum is invariant to ordering within an equal
+    (time, delta) group, so the result is deterministic even though the
+    tiebreaker ordering of equal deltas is arbitrary across engines.
+    """
+    s = F.col(start_col) if isinstance(start_col, str) else start_col
+    e = F.col(end_col) if isinstance(end_col, str) else end_col
+    base = df.select(
+        *key_cols, s.alias("_s"), e.alias("_e"), F.col(tiebreaker).alias("_tb")
+    )
+    deltas = base.select(
+        *key_cols, F.col("_s").alias("_t"), F.lit(1).alias("_d"), "_tb"
+    ).unionAll(
+        base.select(*key_cols, F.col("_e").alias("_t"), F.lit(-1).alias("_d"), "_tb")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_d", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("_open", F.sum("_d").over(w))
+    return running.groupBy(*key_cols).agg(
+        F.max("_open").cast("int").alias("max_concurrent")
+    )
+
+
+def rolling_percentile(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreaker: str,
+    p: float = 0.5,
+    preceding: int = 10,
+) -> DataFrame:
+    """Rolling linear-interpolated percentile of `value_col` over the
+    trailing `preceding`+current rows per key — the smoothed-median trend
+    line of monitoring dashboards.
+
+    `F.percentile` as a windowed aggregate sorts only the ≤(preceding+1)-
+    row frame, so cost is rows × frame log frame — no per-key global sort
+    beyond the window shuffle itself. Linear interpolation matches DuckDB's
+    `quantile_cont` bit-for-bit (proven by the exact_percentiles query),
+    so the rolling values are oracle-exact.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col, tiebreaker)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(
+        f"rolling_p{int(p * 100)}", F.percentile(value_col, F.lit(p)).over(w)
+    )

@@ -2662,3 +2662,293 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return scalar_quantize_stats(emb, "vec_id", "embedding", levels=255)
+
+
+# ---------------------------------------------------------------------------
+# Time-series analytics (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_id
+      FROM events),
+    d AS (SELECT user_id, v,
+                 LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+          FROM s)
+    SELECT user_id,
+           CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS BIGINT) AS twa,
+           CAST(SUM(dt) AS BIGINT) AS total_seconds
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-constant time-weighted average of each user's value
+    stream (TimescaleDB `time_weight`-style, LOCF hold): sum(value*dt) /
+    sum(dt) in integer epoch seconds with DECIMAL products — one lead
+    window + one agg, single shuffle on the key, exact on both engines."""
+    from flight_data_ingestion_engine_spark.operators.temporal import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["user_id"], "ts", "value", tiebreaker="event_id"
+    )
+
+
+@_q(
+    "max_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) + CAST(FLOOR(value) AS BIGINT) * 60 AS e,
+             event_id
+      FROM events),
+    del AS (
+      SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+      UNION ALL SELECT event_type, e, -1, event_id FROM iv),
+    run AS (
+      SELECT event_type, SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM del)
+    SELECT event_type, CAST(MAX(open) AS INT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open intervals per event_type (each event held open
+    floor(value) minutes), by the sweep-line +1/-1 running sum — the
+    linear-shuffle formulation (ClickHouse maxIntersections); a range
+    self-join would be quadratic in overlap density. Ends sort before
+    starts at the same instant (half-open intervals), and the max prefix
+    sum is tie-order invariant, so the result is engine-exact."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    e = s + (F.floor("value").cast("bigint") * F.lit(60))
+    return interval_concurrency(
+        ev, ["event_type"], s, e, tiebreaker="event_id"
+    )
+
+
+@_q(
+    "rolling_median",
+    """
+    SELECT event_id, event_type, value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS rolling_p50
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of value over the trailing 11 events per type — the
+    monitoring-dashboard smoothed trend. `F.percentile` as a windowed
+    aggregate sorts only the 11-row frame; linear interpolation matches
+    DuckDB quantile_cont bit-for-bit (exact_percentiles' proof)."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        rolling_percentile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_percentile(
+        ev, ["event_type"], "ts", "value", tiebreaker="event_id", p=0.5, preceding=10
+    )
+    return out.select("event_id", "event_type", "value", "rolling_p50")
+
+
+# ---------------------------------------------------------------------------
+# Distribution diagnostics (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "value_histogram",
+    """
+    WITH rng AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(CASE WHEN hi > lo
+                THEN LEAST(19, FLOOR((value - lo) / ((hi - lo) / 20)))
+                ELSE 0 END AS INT) AS bin,
+           COUNT(*) AS n, MIN(lo) AS range_lo, MIN(hi) AS range_hi
+    FROM events e JOIN rng r ON e.event_type = r.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of value per event_type: range agg →
+    broadcast back → bin-count agg. The bin index uses only correctly-
+    rounded IEEE ops (-, /, floor, clamp) so every row lands in the same
+    bin on both engines — an exactness-checked histogram operator."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        equiwidth_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = equiwidth_histogram(ev, "value", ["event_type"], n_bins=20)
+    return out.select("event_type", "bin", "n", "range_lo", "range_hi")
+
+
+@_q(
+    "chi_square_cells",
+    """
+    WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS obs
+                   FROM orders GROUP BY 1, 2),
+    ra AS (SELECT a, SUM(obs) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, SUM(obs) AS c FROM cells GROUP BY b),
+    n AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT cells.a AS o_orderstatus, cells.b AS o_orderpriority,
+           CAST(obs AS BIGINT) AS obs,
+           CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected,
+           (obs - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * (obs - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS contrib
+    FROM cells JOIN ra ON cells.a = ra.a JOIN cb ON cells.b = cb.b CROSS JOIN n
+    """,
+)
+def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence decomposition of orderstatus × priority:
+    observed, expected (row·col/N), and per-cell (obs-exp)²/exp. Reported
+    per CELL, not summed — the total is a float sum (accumulation-order-
+    dependent) but each cell is a fixed chain of integer-fed double ops,
+    so the decomposition hash-matches exactly. Marginals derive from the
+    tiny cells frame itself (one scan of the fact table total)."""
+    from flight_data_ingestion_engine_spark.operators.quality import chi_square_cells
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_cells(o, "o_orderstatus", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining, skyline, tolerance as-of, stream-static enrichment
+# ---------------------------------------------------------------------------
+
+@_q(
+    "event_transitions",
+    """
+    WITH nx AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT src, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.src, c.dst, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS prob
+    FROM c JOIN t ON c.src = t.src
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    (src, dst, count, probability). One lead window + one pair agg; the
+    states²-bounded marginals join back broadcast, and prob is a single
+    exact-integer-fed double division — hash-exact on both engines."""
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        transition_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, ["user_id"], "ts", "event_type", tiebreaker="event_id"
+    )
+
+
+@_q(
+    "pareto_orders",
+    """
+    WITH pv AS (SELECT o_orderdate AS bv, MIN(o_totalprice) AS vmin
+                FROM orders GROUP BY 1),
+    th AS (SELECT bv, MIN(vmin) OVER (ORDER BY bv DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_later
+           FROM pv)
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o JOIN th ON o.o_orderdate = th.bv
+    WHERE best_later IS NULL OR o_totalprice < best_later
+    """,
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of orders — cheapest-for-their-
+    recency: kept iff no strictly newer order was as cheap. The quadratic
+    dominance self-join collapses to a running MIN over one row per
+    distinct date (2,400 rows), broadcast back — linear at any scale."""
+    from flight_data_ingestion_engine_spark.operators.frontier import (
+        pareto_frontier_2d,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = pareto_frontier_2d(o, "o_totalprice", "o_orderdate")
+    return out.select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@_q(
+    "asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN FLOOR(EPOCH(c.ts)) >= FLOOR(EPOCH(p.ts)) - 86400
+                THEN c.event_id END AS event_id_asof,
+           CASE WHEN FLOOR(EPOCH(c.ts)) >= FLOOR(EPOCH(p.ts)) - 86400
+                THEN c.ts END AS asof_time
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    parity): the latest click at-or-before each purchase, NULLed when
+    older than 24 h. Same union-trick single-shuffle plan as
+    asof_purchase_click; the tolerance is one epoch-seconds comparison
+    applied to the carried match."""
+    from flight_data_ingestion_engine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["event_id"],
+        tiebreaker="event_id",
+        left_unique_key="event_id",
+        tolerance_seconds=86400,
+    )
+    return out.select("event_id", "user_id", "ts", "event_id_asof", "asof_time")
+
+
+@_q(
+    "streaming_static_enrich",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c_mktsegment
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joined per
+    micro-batch to the static customer dimension (broadcast — no state,
+    no watermark needed: stream-static inner joins are stateless by
+    construction), aggregated per market segment in complete mode. The
+    oracle is the batch equivalent — streaming and batch agree exactly
+    because the join adds no time-dependence."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = _stream_events(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(cust), cust["c_custkey"] == ev["user_id"] + F.lit(1)
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _run_stream_to_memory(agg, "complete")

@@ -1,0 +1,81 @@
+"""Hand-checked fixtures for the transition-matrix and Pareto-frontier
+operators (batch 5), plus the tolerance path of asof_join."""
+
+from __future__ import annotations
+
+import datetime
+
+from flight_data_ingestion_engine_spark.operators.asof import asof_join
+from flight_data_ingestion_engine_spark.operators.frontier import pareto_frontier_2d
+from flight_data_ingestion_engine_spark.operators.sequences import transition_matrix
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    # user 1: a->b->a ; user 2: a->c   =>  a->b 1, b->a 1, a->c 1
+    rows = [
+        (1, _ts(0), "a", 1), (1, _ts(1), "b", 2), (1, _ts(2), "a", 3),
+        (2, _ts(0), "a", 4), (2, _ts(5), "c", 5),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, s string, id bigint")
+    out = {
+        (r.src, r.dst): (r.n, r.prob)
+        for r in transition_matrix(df, ["u"], "ts", "s", "id").collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_single_event_keys_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), "a", 1), (2, _ts(0), "b", 2)],
+        "u int, ts timestamp, s string, id bigint",
+    )
+    assert transition_matrix(df, ["u"], "ts", "s", "id").count() == 0
+
+
+def test_pareto_frontier_keeps_undominated(spark):
+    # (price, day): frontier = newest day always + strictly cheaper older rows
+    rows = [
+        (1, 100.0, 3),  # newest -> kept
+        (2, 90.0, 2),   # cheaper than everything newer (100) -> kept
+        (3, 95.0, 1),   # 90 exists newer -> dominated
+        (4, 80.0, 1),   # cheaper than min-newer (90) -> kept
+        (5, 100.0, 2),  # min newer is 100 (day 3), not strictly cheaper -> dominated
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, day int")
+    kept = {r.id for r in pareto_frontier_2d(df, "price", "day").collect()}
+    assert kept == {1, 2, 4}
+
+
+def test_pareto_frontier_ties_within_best_value(spark):
+    # two rows share the newest day: both kept (nothing strictly newer)
+    df = spark.createDataFrame(
+        [(1, 5.0, 9), (2, 50.0, 9), (3, 4.0, 1), (4, 6.0, 1)],
+        "id int, price double, day int",
+    )
+    kept = {r.id for r in pareto_frontier_2d(df, "price", "day").collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)), (2, 10, _ts(1000))],
+        "id bigint, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(77, 10, _ts(90))], "rid bigint, k int, ts timestamp"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="ts", right_time="ts",
+        payload=["rid"], tiebreaker="rid", left_unique_key="id",
+        tolerance_seconds=60,
+    )
+    got = {r.id: r.rid_asof for r in out.collect()}
+    assert got == {1: 77, 2: None}  # 910 s stale -> NULLed

@@ -1,0 +1,108 @@
+"""Hand-checked fixtures for the time-series analytics operators
+(operators/temporal.py) and the distribution diagnostics added to
+operators/quality.py."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.quality import (
+    chi_square_cells,
+    equiwidth_histogram,
+)
+from flight_data_ingestion_engine_spark.operators.temporal import (
+    interval_concurrency,
+    rolling_percentile,
+    time_weighted_avg,
+)
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)
+
+
+def test_time_weighted_avg_piecewise_hold(spark):
+    # key k: 10.0 held 10 s, then 20.0 held 30 s, last obs carries no weight
+    # twa = (10*10 + 20*30) / 40 = 17.5
+    df = spark.createDataFrame(
+        [("k", _ts(0), 10.0, 1), ("k", _ts(10), 20.0, 2), ("k", _ts(40), 99.0, 3)],
+        "key string, ts timestamp, v double, id bigint",
+    )
+    out = time_weighted_avg(df, ["key"], "ts", "v", tiebreaker="id").collect()
+    assert len(out) == 1
+    assert out[0].twa == 17.5
+    assert out[0].total_seconds == 40
+
+
+def test_time_weighted_avg_drops_single_obs_keys(spark):
+    df = spark.createDataFrame(
+        [("solo", _ts(0), 5.0, 1), ("dup", _ts(0), 1.0, 2), ("dup", _ts(8), 3.0, 3)],
+        "key string, ts timestamp, v double, id bigint",
+    )
+    out = {r.key: r.twa for r in time_weighted_avg(df, ["key"], "ts", "v", "id").collect()}
+    assert out == {"dup": 1.0}  # only the first obs carries weight
+
+
+def test_interval_concurrency_overlap_and_touching(spark):
+    # key a: [0,10) [5,15) [20,30) -> max 2 (touching [10,...) never opens here)
+    # key b: [0,10) [10,20) -> touching, never concurrent -> max 1
+    # key c: [0,0) empty interval plus [1,4) -> max 1
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10, 1), ("a", 5, 15, 2), ("a", 20, 30, 3),
+            ("b", 0, 10, 4), ("b", 10, 20, 5),
+            ("c", 0, 0, 6), ("c", 1, 4, 7),
+        ],
+        "key string, s bigint, e bigint, id bigint",
+    )
+    out = {r.key: r.max_concurrent for r in interval_concurrency(df, ["key"], "s", "e", "id").collect()}
+    assert out == {"a": 2, "b": 1, "c": 1}
+
+
+def test_rolling_percentile_median_frame(spark):
+    # values 1..5 in time order, frame = 2 preceding + current:
+    # medians: 1, 1.5, 2, 3, 4
+    rows = [("k", _ts(i), float(i + 1), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double, id bigint")
+    out = rolling_percentile(df, ["key"], "ts", "v", "id", p=0.5, preceding=2)
+    got = [r.rolling_p50 for r in out.orderBy("id").collect()]
+    assert got == [1.0, 1.5, 2.0, 3.0, 4.0]
+
+
+def test_equiwidth_histogram_bins_and_degenerate_group(spark):
+    # group g: values 0..10 over 5 bins of width 2: bin(10) clamps to 4
+    # group z: all equal -> zero width -> everything in bin 0
+    rows = [("g", float(v)) for v in range(11)] + [("z", 7.0), ("z", 7.0)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    out = equiwidth_histogram(df, "v", ["key"], n_bins=5)
+    got = {(r.key, r.bin): r.n for r in out.collect()}
+    assert got == {
+        ("g", 0): 2, ("g", 1): 2, ("g", 2): 2, ("g", 3): 2, ("g", 4): 3,
+        ("z", 0): 2,
+    }
+    lo_hi = {(r.key, r.bin): (r.range_lo, r.range_hi) for r in out.collect()}
+    assert lo_hi[("g", 0)] == (0.0, 10.0)
+
+
+def test_chi_square_cells_independent_table(spark):
+    # perfectly independent 2x2 table -> expected == observed, contrib == 0
+    rows = (
+        [("x", "p")] * 4 + [("x", "q")] * 6 + [("y", "p")] * 2 + [("y", "q")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_cells(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.expected == float(r.obs)
+        assert r.contrib == 0.0
+
+
+def test_chi_square_cells_marginals_sum_to_n(spark):
+    rows = [("x", "p")] * 3 + [("x", "q")] * 1 + [("y", "q")] * 5 + [("y", "p")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_cells(df, "a", "b")
+    assert out.agg(F.sum("obs")).first()[0] == 10
+    # with every cell observed, expected counts also sum to N
+    assert abs(out.agg(F.sum("expected")).first()[0] - 10.0) < 1e-9

@@ -30,10 +30,15 @@ from flight_data_ingestion_engine_spark.operators.temporal import (
     time_weighted_avg,
 )
 from flight_data_ingestion_engine_spark.operators.frontier import pareto_frontier_2d
-from flight_data_ingestion_engine_spark.operators.sequences import transition_matrix
+from flight_data_ingestion_engine_spark.operators.sequences import (
+    touch_attribution,
+    transition_matrix,
+)
 from flight_data_ingestion_engine_spark.operators.quantize import (
+    dimension_stats,
     quantize_codes_column,
     scalar_quantize_stats,
+    srp_project,
 )
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
@@ -79,7 +84,7 @@ from flight_data_ingestion_engine_spark.operators.rollup_table import (
     rollup_aggregate,
     time_bucket,
 )
-from flight_data_ingestion_engine_spark.operators.scd import scd2_merge, upsert
+from flight_data_ingestion_engine_spark.operators.scd import scd2_merge, snapshot_diff, upsert
 from flight_data_ingestion_engine_spark.operators.skew import (
     salted_agg,
     salted_join,
@@ -143,6 +148,10 @@ __all__ = [
     "time_weighted_avg",
     "pareto_frontier_2d",
     "transition_matrix",
+    "touch_attribution",
+    "dimension_stats",
+    "srp_project",
+    "snapshot_diff",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

@@ -109,3 +109,82 @@ def quantize_codes_column(
         )
 
     return staged.select(id_col, "vmin", "scale", F.transform("_dv", code).alias("codes"))
+
+
+def dimension_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    decimal_type: str = "decimal(18,9)",
+) -> DataFrame:
+    """Per-DIMENSION corpus statistics over an embedding column:
+    (dim_idx, n, lo, hi, mean) — the transpose of per-vector stats, and
+    the input to feature scaling / whitening / quantizer calibration.
+
+    posexplode → one partial/final agg keyed by dim index (cardinality =
+    dim count, tiny). min/max are order-independent; the mean goes
+    through an exact DECIMAL sum so it is identical under any partitioning
+    and engine. Shuffle volume is rows×dims narrow (id-free) pairs with
+    full map-side combine — at 100 TB this is the scan-bound shape.
+    """
+    d = df.select(
+        F.posexplode(to_double_array(F.col(vec_col))).alias("_i", "_x")
+    )
+    return (
+        d.groupBy(F.col("_i").cast("int").alias("dim_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("lo"),
+            F.max("_x").alias("hi"),
+            (
+                F.sum(F.col("_x").cast(decimal_type)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean"),
+        )
+    )
+
+
+def srp_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    decimal_type: str = "decimal(18,9)",
+) -> DataFrame:
+    """Signed-random-projection (Achlioptas ±1) dimensionality reduction:
+    project each vector onto `n_planes` pseudo-random sign vectors,
+    returning long-form (id, p, proj) — the 64-dim → n_planes-dim sketch
+    that preserves angles in expectation (the dense cousin of the
+    hyperplane-LSH bit signatures in operators/similarity.py).
+
+    The sign matrix is never materialized: sign(p, i) = +1 iff the first
+    hex char of md5("p:i") < '8' — deterministic, engine-portable, and
+    computed inline at scan speed. Projections accumulate in DECIMAL
+    (order-independent exact), so the whole sketch is oracle-checkable —
+    unusual for a "random" projection, possible because the randomness is
+    a pure hash. One narrow rows×dims×planes shuffle with map-side
+    combine; the planes frame is a broadcast range.
+    """
+    d = df.select(
+        F.col(id_col),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("_i", "_x"),
+    )
+    planes = df.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("_p"))
+    sgn = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("_p").cast("string"), F.lit(":"), F.col("_i").cast("string"))),
+            1,
+            1,
+        )
+        < "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    s = d.crossJoin(F.broadcast(planes)).withColumn("_sgn", sgn)
+    return (
+        s.groupBy(id_col, F.col("_p").alias("p"))
+        .agg(
+            F.sum(F.col("_x").cast(decimal_type) * F.col("_sgn"))
+            .cast("double")
+            .alias("proj")
+        )
+    )

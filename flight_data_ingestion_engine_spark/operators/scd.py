@@ -80,3 +80,63 @@ def scd2_merge(
     return unioned.withColumn(valid_from, F.col(change_time_col)).withColumn(
         valid_to, F.lead(change_time_col).over(w)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row per
+    differing key with status 'added' (key only in new), 'removed' (key
+    only in old), or 'changed' (both present, some compare_col differs),
+    plus `changed_cols` — a comma-joined sorted list of the differing
+    columns (NULL unless changed). Identical rows are dropped.
+
+    This is the reconciliation primitive (data-diff / anti-entropy
+    audits): one full outer join on the key — a single co-partitioned
+    shuffle of both sides, no collect, no row comparison UDF. Column
+    comparisons are null-safe (a value appearing or disappearing counts
+    as a change).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in keys]
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"_nk_{keys[0]}").isNotNull()
+    any_diff = None
+    for c in compare_cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        status == "changed",
+        F.concat_ws(
+            ",",
+            *[
+                F.when(~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c))
+                for c in sorted(compare_cols)
+            ],
+        ),
+    )
+    key_out = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(*key_out, status.alias("status"), changed_cols.alias("changed_cols"))
+        .where(F.col("status").isNotNull())
+    )

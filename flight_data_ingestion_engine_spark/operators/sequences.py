@@ -50,3 +50,33 @@ def transition_matrix(
             (F.col("n").cast("double") / F.col("_tot").cast("double")).alias("prob"),
         )
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    state_col: str,
+    id_col: str,
+    touch_state: str,
+    conversion_state: str,
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every
+    `conversion_state` row, the id of the FIRST and the LAST strictly-
+    preceding `touch_state` row of the same key (NULL when none).
+
+    Two expressions over ONE keyed window (unbounded-preceding → 1
+    preceding): running MIN of touch ids gives first-touch, running
+    last-non-null gives last-touch. Single shuffle, no self-join, no
+    as-of pass per touch type — the 100 TB shape for funnel attribution.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.when(F.col(state_col) == touch_state, F.col(id_col))
+    out = df.withColumn("first_touch", F.min(touch_id).over(w)).withColumn(
+        "last_touch", F.last(touch_id, ignorenulls=True).over(w)
+    )
+    return out.where(F.col(state_col) == conversion_state)

@@ -13,6 +13,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     vector math) would then run on one core. A round-robin repartition costs
     one small shuffle and buys full-cluster parallelism. At real scale the
     source has many splits and this is a no-op.
+
+    The `df.rdd` probe is deliberate: it returns the true post-split
+    partition count without running a job (driver-side physical planning
+    only, milliseconds). The cheaper-looking `len(df.inputFiles())` probe
+    would under-count splits — a single 10 GB file scans as ~80 partitions
+    under maxPartitionBytes — and trigger a full shuffle of a frame that
+    was already parallel, which at scale costs far more than the probe.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -2952,3 +2952,140 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return _run_stream_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff, attribution, per-dim stats, signed random projection
+# ---------------------------------------------------------------------------
+
+@_q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                 FROM orders WHERE o_orderkey % 13 != 0),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.00
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 11 != 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                THEN concat_ws(',',
+                       CASE WHEN o.o_orderstatus != n.o_orderstatus THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice != n.o_totalprice THEN 'o_totalprice' END)
+           END AS changed_cols
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice != n.o_totalprice OR o.o_orderstatus != n.o_orderstatus
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between two deterministic snapshots of orders
+    (modular deletes on each side + a price bump on every 7th key): one
+    row per differing key with added/removed/changed status and the
+    changed-column list. One co-partitioned full outer join — the
+    data-diff / anti-entropy audit primitive."""
+    from flight_data_ingestion_engine_spark.operators.scd import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.where(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.00)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
+@_q(
+    "touch_attribution",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM events)
+    SELECT event_id, user_id, ts, first_touch, last_touch
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for each purchase,
+    the first and last strictly-preceding view by the same user — two
+    expressions over one keyed window (running MIN + running last-non-
+    null), a single shuffle, no per-touch-type as-of passes."""
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        touch_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = touch_attribution(
+        ev, ["user_id"], "ts", "event_type", "event_id",
+        touch_state="view", conversion_state="purchase",
+    )
+    return out.select("event_id", "user_id", "ts", "first_touch", "last_touch")
+
+
+@_q(
+    "embedding_dim_stats",
+    """
+    WITH d AS (
+      SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings)
+    SELECT CAST(i AS INT) AS dim_idx, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi,
+           CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+    FROM d GROUP BY i
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column (the
+    feature-scaling / whitening calibration input): posexplode + one agg
+    keyed by dim index. Means go through exact DECIMAL sums; min/max are
+    order-free — the whole profile hash-matches the oracle."""
+    from flight_data_ingestion_engine_spark.operators.quantize import dimension_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dimension_stats(emb, "vec_id", "embedding")
+
+
+@_q(
+    "srp_projection",
+    """
+    WITH d AS (
+      SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings),
+    p AS (SELECT unnest(generate_series(0, 7)) AS p),
+    s AS (SELECT vec_id, p.p, x,
+                 CASE WHEN substr(md5(p.p || ':' || i), 1, 1) < '8'
+                      THEN 1 ELSE -1 END AS sgn
+          FROM d CROSS JOIN p)
+    SELECT vec_id, CAST(p AS INT) AS p,
+           CAST(SUM(CAST(x AS DECIMAL(18,9)) * sgn) AS DOUBLE) AS proj
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_srp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection sketch (64 → 8 dims, Achlioptas ±1 signs
+    derived from md5 so both engines build the SAME 'random' matrix
+    inline): long-form (vec_id, plane, projection). DECIMAL accumulation
+    makes an oracle-checkable random projection — the dense cousin of the
+    hyperplane-LSH bit signature."""
+    from flight_data_ingestion_engine_spark.operators.quantize import srp_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_project(emb, "vec_id", "embedding", n_planes=8)

@@ -1,0 +1,77 @@
+"""Hand-checked fixtures for snapshot_diff, touch_attribution,
+dimension_stats, and srp_project (batch 6)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from flight_data_ingestion_engine_spark.operators.quantize import (
+    dimension_stats,
+    srp_project,
+)
+from flight_data_ingestion_engine_spark.operators.scd import snapshot_diff
+from flight_data_ingestion_engine_spark.operators.sequences import touch_attribution
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_snapshot_diff_statuses_and_changed_cols(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (5, 50.0, None)],
+        "k int, price double, st string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 21.0, "Z"), (4, 40.0, "D"), (5, 50.0, "E")],
+        "k int, price double, st string",
+    )
+    out = {r.k: (r.status, r.changed_cols) for r in
+           snapshot_diff(old, new, ["k"], ["price", "st"]).collect()}
+    assert out == {
+        2: ("changed", "price,st"),
+        3: ("removed", None),
+        4: ("added", None),
+        5: ("changed", "st"),  # NULL -> 'E' is a change (null-safe compare)
+    }
+    assert 1 not in out  # identical rows dropped
+
+
+def test_touch_attribution_first_and_last_view(spark):
+    rows = [
+        (1, _ts(0), "view", 10),
+        (1, _ts(1), "view", 11),
+        (1, _ts(2), "click", 12),
+        (1, _ts(3), "purchase", 13),   # first=10 last=11
+        (1, _ts(4), "view", 14),
+        (1, _ts(5), "purchase", 15),   # first=10 last=14
+        (2, _ts(0), "purchase", 20),   # no preceding view -> NULLs
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, et string, id bigint")
+    out = {r.id: (r.first_touch, r.last_touch) for r in touch_attribution(
+        df, ["u"], "ts", "et", "id", touch_state="view", conversion_state="purchase"
+    ).collect()}
+    assert out == {13: (10, 11), 15: (10, 14), 20: (None, None)}
+
+
+def test_dimension_stats_transpose(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 20.0])], "vec_id int, embedding array<double>"
+    )
+    out = {r.dim_idx: (r.n, r.lo, r.hi, r.mean) for r in
+           dimension_stats(df, "vec_id").collect()}
+    assert out == {0: (2, 1.0, 3.0, 2.0), 1: (2, 10.0, 20.0, 15.0)}
+
+
+def test_srp_project_matches_hash_signs(spark):
+    vec = [1.0, 2.0, 4.0]
+    df = spark.createDataFrame([(1, vec)], "vec_id int, embedding array<double>")
+    out = {r.p: r.proj for r in srp_project(df, "vec_id", n_planes=2).collect()}
+
+    def sgn(p, i):
+        return 1 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] < "8" else -1
+
+    for p in range(2):
+        expected = sum(v * sgn(p, i) for i, v in enumerate(vec))
+        assert out[p] == expected

@@ -20,6 +20,7 @@ from flight_data_ingestion_engine_spark.operators.graph import (
 )
 from flight_data_ingestion_engine_spark.operators.quality import (
     chi_square_cells,
+    referential_orphans,
     equiwidth_histogram,
     profile_columns,
     zscore_outliers,
@@ -42,6 +43,7 @@ from flight_data_ingestion_engine_spark.operators.quantize import (
 )
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
+    weighted_hash_sample,
     hash_sample,
     redact_pii,
     stratified_sample_exact,
@@ -86,6 +88,7 @@ from flight_data_ingestion_engine_spark.operators.rollup_table import (
 )
 from flight_data_ingestion_engine_spark.operators.scd import scd2_merge, snapshot_diff, upsert
 from flight_data_ingestion_engine_spark.operators.skew import (
+    key_frequency_profile,
     salted_agg,
     salted_join,
     with_salt,
@@ -152,6 +155,9 @@ __all__ = [
     "dimension_stats",
     "srp_project",
     "snapshot_diff",
+    "weighted_hash_sample",
+    "key_frequency_profile",
+    "referential_orphans",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

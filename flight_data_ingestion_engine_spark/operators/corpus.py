@@ -206,3 +206,31 @@ def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.max("_n").alias("max_tokens"),
         )
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each row is kept with
+    probability `weight_col` (per-row, in [0, 1]) — but reproducibly, the
+    same rows on every run, engine, and partition layout.
+
+    The row's uniform draw is its md5(key) hex prefix; the per-row
+    acceptance threshold is the weight scaled to the same 32-bit hex
+    space (floor(w·2³²) rendered as zero-padded lowercase hex). Both are
+    strings compared lexicographically, so no engine-specific int/float
+    coercion is involved. A pure filter at scan speed — the quality-
+    weighted downsampling pass of corpus curation (keep high-quality
+    documents with higher probability), with full replayability.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # clamp to 2^32-1: floor(1.0 * 2^32) is 9 hex chars and lpad would
+    # TRUNCATE it to "10000000", silently dropping ~94% of weight-1 rows.
+    scaled = F.least(
+        F.floor(w * F.lit(4294967296.0)).cast("bigint"), F.lit(4294967295)
+    )
+    threshold = F.lpad(F.lower(F.hex(scaled)), 8, "0")
+    draw = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.where((draw < threshold) | (w >= F.lit(1.0)))

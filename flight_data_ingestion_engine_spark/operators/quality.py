@@ -156,3 +156,30 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) > F.lit(threshold))
         .drop("_n", "_s1", "_s2")
     )
+
+
+def referential_orphans(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit: for each (name, child, child_key,
+    parent, parent_key) relation, the count of child rows whose key has
+    no matching parent — one (relation, n_orphans) row per relation.
+
+    Each relation is one left-anti join (parents reduced to their key
+    column first, so broadcast-eligible when the key set is small) + a
+    count; results union. NULL child keys count as orphans — a NULL never
+    equals any parent key, so the anti join retains those rows naturally.
+    """
+    out = None
+    for name, child, child_key, parent, parent_key in relations:
+        orphans = child.select(F.col(child_key).alias("_k")).join(
+            parent.select(F.col(parent_key).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        row = orphans.agg(F.count(F.lit(1)).alias("_n")).select(
+            F.lit(name).alias("relation"),
+            F.col("_n").cast("bigint").alias("n_orphans"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

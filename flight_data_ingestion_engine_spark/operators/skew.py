@@ -78,3 +78,39 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[merge(F.col(f"_p_{name}")).alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def key_frequency_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the `top_k` hottest keys with their
+    row count, share of total rows, and skew ratio (count / mean count
+    over distinct keys). skew_ratio >> 1 on the hottest key is the signal
+    to reach for `salted_join` / `salted_agg` (this module) or AQE skew
+    handling before a shuffle melts an executor.
+
+    One partial/final count agg, a one-row totals frame broadcast back,
+    and a top-k sort of key-cardinality (not row-cardinality) data. The
+    share/ratio arithmetic is exact-integer-fed double division, so the
+    profile is oracle-checkable.
+    """
+    c = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    c = c.persist()  # feeds the totals agg and the ranked output
+    t = c.agg(
+        F.sum("n").cast("bigint").alias("_tot"), F.count(F.lit(1)).alias("_nk")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            *key_cols,
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("_tot")).alias("share"),
+            (F.col("n").cast("double") * F.col("_nk") / F.col("_tot")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), *key_cols)
+        .limit(top_k)
+    )

@@ -3089,3 +3089,114 @@ def q_srp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return srp_project(emb, "vec_id", "embedding", n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling, skew profiling, referential integrity, watermarked dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "weighted_sample",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+          < lpad(lower(to_hex(CAST(least(floor(value / 400.0 * 4294967296), 4294967295) AS BIGINT))), 8, '0')
+       OR value / 400.0 >= 1.0
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each event kept with
+    probability value/400, reproducibly — the md5-hex draw and the
+    weight-scaled hex threshold are compared as strings, so every engine
+    keeps exactly the same rows. Scan-speed filter, no shuffle — the
+    quality-weighted corpus downsampling pass."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        weighted_hash_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = weighted_hash_sample(ev, "event_id", F.col("value") / F.lit(400.0))
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+@_q(
+    "key_skew_profile",
+    """
+    WITH c AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS nk FROM c)
+    SELECT l_orderkey, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / tot AS share,
+           CAST(n AS DOUBLE) * nk / tot AS skew_ratio
+    FROM c, t ORDER BY n DESC, l_orderkey LIMIT 20
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis on lineitem.l_orderkey: the 20 hottest keys
+    with row share and skew ratio (count / mean-per-key) — the
+    pre-shuffle audit that decides between a plain, salted, or AQE-skew
+    join. One count agg + broadcast totals + key-cardinality top-k."""
+    from flight_data_ingestion_engine_spark.operators.skew import (
+        key_frequency_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_frequency_profile(li, ["l_orderkey"], top_k=20)
+
+
+@_q(
+    "referential_integrity",
+    """
+    SELECT 'orders->customer_active' AS relation, COUNT(*) AS n_orphans
+    FROM orders o ANTI JOIN (SELECT DISTINCT c_custkey FROM customer
+                             WHERE c_custkey % 10 != 0) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*)
+    FROM lineitem l ANTI JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l ANTI JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across three relations in one result: orphaned
+    child counts via anti joins (the customer parent is modularly
+    truncated so the check demonstrably fires). Parents reduce to
+    distinct keys first — broadcast-eligible at any fact size."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        referential_orphans,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    part = _t(spark, sf_dir, "part")
+    return referential_orphans(
+        [
+            ("orders->customer_active", o, "o_custkey", cust, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ]
+    )
+
+
+@_q(
+    "streaming_dedup_watermarked",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    expires each key's dedup state once the watermark passes it — the
+    100 TB-stream answer to the unbounded state of plain dropDuplicates.
+    Within one replay the output keys equal batch DISTINCT, which is the
+    oracle."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_stream_to_memory(deduped, "append")

@@ -1,0 +1,51 @@
+"""Hand-checked fixtures for weighted sampling, key-skew profiling, and
+referential-integrity audits (batch 7)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.corpus import weighted_hash_sample
+from flight_data_ingestion_engine_spark.operators.quality import referential_orphans
+from flight_data_ingestion_engine_spark.operators.skew import key_frequency_profile
+
+
+def test_weighted_hash_sample_edges_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in [(1, 0.0), (2, 1.0), (3, 0.5), (4, 0.5), (5, 0.5)]],
+        "k bigint, w double",
+    )
+    kept = {r.k for r in weighted_hash_sample(df, "k", "w").collect()}
+    assert 1 not in kept  # weight 0 never kept
+    assert 2 in kept      # weight 1 always kept
+    # w=0.5 rows follow the md5 draw exactly (reproducible membership)
+    for k in (3, 4, 5):
+        draw = hashlib.md5(str(k).encode()).hexdigest()[:8]
+        expected = draw < format(int(0.5 * 2**32), "08x")
+        assert (k in kept) == expected
+
+
+def test_weighted_hash_sample_rate_tracks_weight(spark):
+    df = spark.range(0, 4000).select(F.col("id").alias("k"), F.lit(0.25).alias("w"))
+    n = weighted_hash_sample(df, "k", "w").count()
+    assert 800 < n < 1200  # ~25% of 4000
+
+
+def test_key_frequency_profile_hottest_first(spark):
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_frequency_profile(df, ["k"], top_k=2).collect()
+    assert [(r.k, r.n) for r in out] == [("a", 6), ("b", 3)]
+    assert out[0].share == 0.6
+    assert out[0].skew_ratio == 6 * 3 / 10  # n * n_keys / total
+
+
+def test_referential_orphans_counts_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    out = referential_orphans([("c->p", child, "fk", parent, "pk")]).collect()
+    assert [(r.relation, r.n_orphans) for r in out] == [("c->p", 2)]  # 9 and NULL

@@ -19,7 +19,9 @@ from flight_data_ingestion_engine_spark.operators.graph import (
     triangle_count,
 )
 from flight_data_ingestion_engine_spark.operators.quality import (
+    categorical_mode,
     chi_square_cells,
+    equidepth_histogram,
     referential_orphans,
     equiwidth_histogram,
     profile_columns,
@@ -43,6 +45,7 @@ from flight_data_ingestion_engine_spark.operators.quantize import (
 )
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
+    pseudonymize,
     weighted_hash_sample,
     hash_sample,
     redact_pii,
@@ -158,6 +161,9 @@ __all__ = [
     "weighted_hash_sample",
     "key_frequency_profile",
     "referential_orphans",
+    "pseudonymize",
+    "equidepth_histogram",
+    "categorical_mode",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

@@ -234,3 +234,29 @@ def weighted_hash_sample(
     threshold = F.lpad(F.lower(F.hex(scaled)), 8, "0")
     draw = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
     return df.where((draw < threshold) | (w >= F.lit(1.0)))
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    algo: int = 256,
+) -> DataFrame:
+    """Deterministic keyed tokenization of identifier columns (the
+    GDPR-pipeline companion to `redact_pii`): each listed column is
+    replaced by sha2(salt ':' value) so the same identity always maps to
+    the same token — joins and groupBys on the tokenized column still
+    work — while the raw value never leaves the scan. NULLs stay NULL
+    (sha2 of a NULL concat is NULL), so missingness is preserved.
+
+    Rotating `salt` re-keys the whole corpus (crypto-shredding: discard
+    the old salt and previous tokens become unlinkable). Pure projection,
+    scan speed, no shuffle.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), algo),
+        )
+    return out

@@ -183,3 +183,78 @@ def referential_orphans(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Quartile (equi-depth) histogram per group: each row bucketed by the
+    group's exact p25/p50/p75 bounds, with per-bucket counts and the
+    bounds attached — the companion of `equiwidth_histogram` when the
+    distribution is heavy-tailed and fixed-width bins collapse.
+
+    One percentile agg per group (tiny) broadcast back, one CASE-chain
+    bucket expression, one count agg. Exact `percentile` interpolation is
+    engine-identical (the catalog's exact_percentiles proof), and the
+    bucket comparisons are plain double compares — fully oracle-checkable,
+    unlike an approx_percentile sketch. Buckets are closed on the right:
+    bucket 0 is v <= p25, bucket 3 is v > p75.
+    """
+    qs = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, 0.25).alias("_p25"),
+        F.percentile(value_col, 0.5).alias("_p50"),
+        F.percentile(value_col, 0.75).alias("_p75"),
+    )
+    j = df.join(F.broadcast(qs), group_cols)
+    v = F.col(value_col)
+    bucket = (
+        F.when(v <= F.col("_p25"), F.lit(0))
+        .when(v <= F.col("_p50"), F.lit(1))
+        .when(v <= F.col("_p75"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+    )
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_p25").alias("p25"),
+            F.first("_p50").alias("p50"),
+            F.first("_p75").alias("p75"),
+        )
+    )
+
+
+def categorical_mode(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Deterministic per-group mode of a categorical column: the most
+    frequent value, ties broken by the smallest value — unlike `F.mode`,
+    whose tie winner is partition-order-dependent and therefore neither
+    reproducible nor oracle-checkable.
+
+    Count agg on (group, value) with map-side combine, then a row_number
+    window over the (distinct-values-per-group)-sized counts frame — the
+    window never sees raw rows, so a hot group costs its distinct-value
+    count, not its row count.
+    """
+    from pyspark.sql import Window
+
+    c = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias("mode_value"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -3200,3 +3200,87 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_type"
     )
     return _run_stream_to_memory(deduped, "append")
+
+
+# ---------------------------------------------------------------------------
+# Privacy tokenization, equi-depth histogram, deterministic mode
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pseudonymize_users",
+    """
+    SELECT event_id, sha256('k1:' || CAST(user_id AS VARCHAR)) AS user_id,
+           event_type
+    FROM events
+    """,
+)
+def q_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed tokenization of the user identifier (GDPR pipeline step):
+    sha2(salt:value) replaces the raw id — stable across tables so joins
+    still work, unlinkable once the salt is shredded. Pure projection at
+    scan speed; sha2 hex output is byte-identical across engines."""
+    from flight_data_ingestion_engine_spark.operators.corpus import pseudonymize
+
+    ev = _t(spark, sf_dir, "events")
+    return pseudonymize(ev, ["user_id"], salt="k1").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@_q(
+    "depth_histogram",
+    """
+    WITH qs AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5)  AS p50,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(CASE WHEN value <= p25 THEN 0
+                     WHEN value <= p50 THEN 1
+                     WHEN value <= p75 THEN 2
+                     ELSE 3 END AS INT) AS bucket,
+           COUNT(*) AS n, MIN(p25) AS p25, MIN(p50) AS p50, MIN(p75) AS p75
+    FROM events e JOIN qs q ON e.event_type = q.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile equi-depth histogram of value per event_type: exact
+    percentile bounds (interpolation engine-identical) broadcast back, a
+    CASE-chain bucket, per-bucket counts — the heavy-tail companion to
+    the equi-width histogram, fully oracle-checked unlike a sketch."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        equidepth_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = equidepth_histogram(ev, "value", ["event_type"])
+    return out.select("event_type", "bucket", "n", "p25", "p50", "p75")
+
+
+@_q(
+    "mode_per_user",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type ASC) AS rn
+          FROM c)
+    SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type (ties to the smallest
+    value) — reproducible unlike F.mode's partition-order tie winner.
+    The rank window runs over per-user distinct-value counts, never raw
+    rows, so hot users cost their cardinality, not their volume."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        categorical_mode,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return categorical_mode(ev, "event_type", ["user_id"])

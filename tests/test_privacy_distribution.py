@@ -1,0 +1,39 @@
+"""Hand-checked fixtures for pseudonymization, equi-depth histograms,
+and deterministic mode (batch 8)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from flight_data_ingestion_engine_spark.operators.corpus import pseudonymize
+from flight_data_ingestion_engine_spark.operators.quality import (
+    categorical_mode,
+    equidepth_histogram,
+)
+
+
+def test_pseudonymize_stable_tokens_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, "bob"), (4, None)], "id int, user string"
+    )
+    out = {r.id: r.user for r in pseudonymize(df, ["user"], salt="s1").collect()}
+    assert out[1] == out[2] != out[3]  # same identity -> same token
+    assert out[1] == hashlib.sha256(b"s1:alice").hexdigest()
+    assert out[4] is None  # NULL stays NULL
+    # a different salt re-keys everything (crypto-shredding)
+    out2 = {r.id: r.user for r in pseudonymize(df, ["user"], salt="s2").collect()}
+    assert out2[1] != out[1]
+
+
+def test_equidepth_histogram_quartiles(spark):
+    # 1..8: p25=2.75, p50=4.5, p75=6.25 -> buckets of 2 values each
+    df = spark.createDataFrame([("g", float(v)) for v in range(1, 9)], "k string, v double")
+    out = {r.bucket: r.n for r in equidepth_histogram(df, "v", ["k"]).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2}
+
+
+def test_categorical_mode_tiebreaks_ascending(spark):
+    rows = [("u1", "b")] * 2 + [("u1", "a")] * 2 + [("u1", "c")] + [("u2", "z")]
+    df = spark.createDataFrame(rows, "u string, et string")
+    out = {r.u: (r.mode_value, r.n) for r in categorical_mode(df, "et", ["u"]).collect()}
+    assert out == {"u1": ("a", 2), "u2": ("z", 1)}  # tie a/b -> smallest wins

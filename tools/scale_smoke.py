@@ -164,6 +164,48 @@ def main() -> None:
         )
         assert joined.count() == n_events
 
+    # -- round-2 analytics operators on the same skewed stream -------------
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        interval_concurrency,
+    )
+
+    with stage("sweepline_concurrency_5m"):
+        # event_type has only 5 distinct values -> ~2M deltas per window
+        # partition: the worst realistic single-key sort this op will see
+        s = F.col("ts").cast("long")
+        out = interval_concurrency(
+            ev, ["event_type"], s, s + F.lit(300), tiebreaker="id"
+        )
+        assert out.count() == 5
+
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        transition_matrix,
+    )
+
+    with stage("transition_matrix_5m_hot_key"):
+        tm = transition_matrix(ev, ["user_id"], "ts", "event_type", tiebreaker="id")
+        assert tm.count() == 25  # 5x5 state pairs
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        weighted_hash_sample,
+    )
+
+    with stage("weighted_sample_5m"):
+        n = weighted_hash_sample(ev, "id", F.col("value") / 100.0).count()
+        assert 0 < n < n_events
+
+    from flight_data_ingestion_engine_spark.operators.quantize import srp_project
+
+    with stage("srp_project_50k_vecs"):
+        vecs = spark.range(50_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.pmod(F.xxhash64("id", i), 1000) / 500.0 - 1.0),
+            ).alias("embedding"),
+        )
+        assert srp_project(vecs, "vec_id", n_planes=8).count() == 50_000 * 8
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -29,11 +29,15 @@ from flight_data_ingestion_engine_spark.operators.quality import (
 )
 from flight_data_ingestion_engine_spark.operators.temporal import (
     interval_concurrency,
+    interval_coverage,
     rolling_percentile,
     time_weighted_avg,
 )
 from flight_data_ingestion_engine_spark.operators.frontier import pareto_frontier_2d
+from flight_data_ingestion_engine_spark.operators.spatial import grid_nearest
+from flight_data_ingestion_engine_spark.operators.mleval import lift_table, threshold_metrics
 from flight_data_ingestion_engine_spark.operators.sequences import (
+    state_islands,
     touch_attribution,
     transition_matrix,
 )
@@ -45,6 +49,7 @@ from flight_data_ingestion_engine_spark.operators.quantize import (
 )
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
+    novel_bigrams,
     pseudonymize,
     weighted_hash_sample,
     hash_sample,
@@ -164,6 +169,12 @@ __all__ = [
     "pseudonymize",
     "equidepth_histogram",
     "categorical_mode",
+    "grid_nearest",
+    "interval_coverage",
+    "state_islands",
+    "lift_table",
+    "threshold_metrics",
+    "novel_bigrams",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

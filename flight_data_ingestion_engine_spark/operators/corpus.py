@@ -260,3 +260,52 @@ def pseudonymize(
             F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), algo),
         )
     return out
+
+
+def novel_bigrams(
+    df_new: DataFrame,
+    df_baseline: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-drift detection: term bigrams appearing in the new
+    corpus slice that the baseline slice has never seen, with occurrence
+    counts — the cheap tripwire for distribution shift (new entities,
+    templates, spam patterns) between crawl drops.
+
+    Bigrams are built by indexing the token array (no self-join of the
+    exploded stream); the baseline reduces to DISTINCT bigrams (bounded
+    by vocabulary², pre-combined map-side) and the new side anti-joins
+    against it. Single-word novelty saturates on any real corpus —
+    bigrams keep discriminating.
+    """
+    def bigrams(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col), terms(text_col).alias("_terms")
+        )
+        # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (step is
+        # inferred), not the empty list DuckDB produces — short docs must
+        # explicitly map to no bigrams.
+        idx = F.when(
+            F.size("_terms") >= 2, F.sequence(F.lit(1), F.size("_terms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bg = toks.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at("_terms", i),
+                        F.lit(" "),
+                        F.element_at("_terms", i + 1),
+                    ),
+                )
+            ).alias("bigram"),
+        )
+        return bg
+
+    seen = bigrams(df_baseline).select("bigram").distinct()
+    new_counts = (
+        bigrams(df_new).groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return new_counts.join(seen, "bigram", "left_anti")

@@ -1,0 +1,109 @@
+"""Model-evaluation operators: decile lift tables and threshold-sweep
+confusion metrics — the offline scorecards a ranking/classification
+pipeline computes over billions of scored rows.
+
+Scale design: `lift_table`'s only global step is the ntile over scores;
+everything after runs on the 10-row decile frame. `threshold_metrics`
+fans each row out to the (tiny, broadcast) threshold list and reduces in
+ONE conditional aggregation pass — never one scan per threshold. All
+ratios are exact-integer-fed double divisions, so both scorecards are
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    tiebreaker: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile (by default) lift table: rows ranked by score descending,
+    bucketed into equal-count bins; per bin the positive count, rate, and
+    lift vs the base rate — (decile, n, pos, rate, lift).
+
+    `label_col` is a 0/1 int column or expression. ntile requires a
+    global sort: acceptable because the sort key is (score, tiebreaker)
+    only — at extreme scale swap in a percent_rank-derived bucket to
+    shard the sort. Deterministic via the unique tiebreaker.
+    """
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    d = df.select(
+        F.col(score_col).alias("_s"), lbl.alias("_y"), F.col(tiebreaker).alias("_tb")
+    ).withColumn(
+        "_decile",
+        F.ntile(n_buckets)
+        .over(Window.orderBy(F.col("_s").desc(), F.col("_tb").asc()))
+        .cast("int"),
+    )
+    a = d.groupBy("_decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").cast("bigint").alias("pos")
+    )
+    a = a.persist()  # feeds the totals and the output
+    t = a.agg(
+        F.sum("pos").cast("bigint").alias("_tp"), F.sum("n").cast("bigint").alias("_tn")
+    )
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            F.col("_decile").alias("decile"),
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n")).alias("rate"),
+            (
+                F.col("pos").cast("double")
+                * F.col("_tn")
+                / (F.col("n") * F.col("_tp"))
+            ).alias("lift"),
+        )
+    )
+
+
+def threshold_metrics(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column | str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Confusion counts and precision/recall at each score threshold
+    (predicted positive ⇔ score > t): (t, tp, fp, fn, tn, precision,
+    recall) — the PR-curve sweep.
+
+    One cross join against the broadcast threshold list (|rows|×|ts|
+    narrow pairs, map-side combined immediately) + one conditional agg —
+    NOT a scan per threshold. Undefined ratios (empty denominator) are
+    NULL rather than 0, so a degenerate sweep is visible, not silent.
+    """
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    spark = df.sparkSession
+    th = spark.createDataFrame([(float(t),) for t in thresholds], "t double")
+    s = df.select(F.col(score_col).alias("_s"), lbl.alias("_y")).crossJoin(
+        F.broadcast(th)
+    )
+    pos = F.col("_s") > F.col("t")
+    m = s.groupBy("t").agg(
+        F.sum(F.when(pos & (F.col("_y") == 1), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pos & (F.col("_y") == 0), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pos & (F.col("_y") == 1), 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~pos & (F.col("_y") == 0), 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall"),
+    )

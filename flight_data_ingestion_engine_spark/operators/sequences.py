@@ -80,3 +80,37 @@ def touch_attribution(
         "last_touch", F.last(touch_id, ignorenulls=True).over(w)
     )
     return out.where(F.col(state_col) == conversion_state)
+
+
+def state_islands(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    state_col: str,
+    tiebreaker: str,
+) -> DataFrame:
+    """Gaps-and-islands run-length encoding: collapse consecutive rows
+    with the same state (per key, in time order) into one row per run
+    with its length and time span — the compressed form of a state
+    history (sensor readings, status logs) and the classic SQL
+    "islands" construction.
+
+    Island id = row_number over the key minus row_number over
+    (key, state): constant within a run of equal states, distinct across
+    runs — two window expressions sharing ONE sort order (Spark computes
+    both in a single window exec over one shuffle), then a count/min/max
+    agg. Integer-exact everywhere.
+    """
+    w_all = Window.partitionBy(*key_cols).orderBy(order_col, tiebreaker)
+    w_st = Window.partitionBy(*key_cols, state_col).orderBy(order_col, tiebreaker)
+    x = df.withColumn(
+        "_island", F.row_number().over(w_all) - F.row_number().over(w_st)
+    )
+    return (
+        x.groupBy(*key_cols, state_col, F.col("_island").cast("bigint").alias("island"))
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(order_col).alias("start_ts"),
+            F.max(order_col).alias("end_ts"),
+        )
+    )

@@ -148,3 +148,50 @@ def rolling_percentile(
     return df.withColumn(
         f"rolling_p{int(p * 100)}", F.percentile(value_col, F.lit(p)).over(w)
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col,
+    end_col,
+    tiebreaker: str,
+) -> DataFrame:
+    """Total time covered by the UNION of intervals per key (overlaps
+    merged, half-open [start, end) semantics) — "how long was at least
+    one session open", the dual of `interval_concurrency`.
+
+    Same sweep-line stream of +1/-1 deltas and running sum; each boundary
+    row then contributes its distance to the next boundary iff the line
+    is open there. Zero-length tie segments contribute nothing, so the
+    result is tie-order invariant and engine-exact. One keyed window +
+    one agg — linear, never a self-join of overlapping ranges.
+    """
+    s = F.col(start_col) if isinstance(start_col, str) else start_col
+    e = F.col(end_col) if isinstance(end_col, str) else end_col
+    base = df.select(
+        *key_cols, s.alias("_s"), e.alias("_e"), F.col(tiebreaker).alias("_tb")
+    )
+    deltas = base.select(
+        *key_cols, F.col("_s").alias("_t"), F.lit(1).alias("_d"), "_tb"
+    ).unionAll(
+        base.select(*key_cols, F.col("_e").alias("_t"), F.lit(-1).alias("_d"), "_tb")
+    )
+    w_ord = Window.partitionBy(*key_cols).orderBy("_t", "_d", "_tb")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = deltas.withColumn("_open", F.sum("_d").over(w_run)).withColumn(
+        "_nxt", F.lead("_t").over(w_ord)
+    )
+    return (
+        run.where(F.col("_nxt").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.sum(
+                F.when(F.col("_open") > 0, F.col("_nxt") - F.col("_t")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("covered_seconds")
+        )
+    )

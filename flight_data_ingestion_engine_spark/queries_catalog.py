@@ -3284,3 +3284,218 @@ def q_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return categorical_mode(ev, "event_type", ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join, interval coverage, gaps-and-islands
+# ---------------------------------------------------------------------------
+
+@_q(
+    "grid_nearest_supplier",
+    """
+    WITH cpts AS (SELECT c_custkey AS cid, (c_custkey * 127) % 1000 / 10.0 AS x,
+                         (c_custkey * 311) % 1000 / 10.0 AS y FROM customer),
+    spts AS (SELECT s_suppkey AS sid, (s_suppkey * 173) % 1000 / 10.0 AS x,
+                    (s_suppkey * 257) % 1000 / 10.0 AS y FROM supplier),
+    cc AS (SELECT cid, x, y, CAST(floor(x / 5.0) AS BIGINT) AS gx,
+                  CAST(floor(y / 5.0) AS BIGINT) AS gy FROM cpts),
+    sc AS (SELECT sid, x, y, CAST(floor(x / 5.0) AS BIGINT) AS gx,
+                  CAST(floor(y / 5.0) AS BIGINT) AS gy FROM spts),
+    se AS (SELECT sc.sid, sc.x, sc.y, sc.gx + d.dx AS gx2, sc.gy + d.dy AS gy2
+           FROM sc CROSS JOIN (SELECT a.dx, b.dy
+                FROM (SELECT unnest(generate_series(-1, 1)) AS dx) a
+                CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dy) b) d),
+    cand AS (SELECT se.sid, c.cid,
+                    (se.x - c.x) * (se.x - c.x) + (se.y - c.y) * (se.y - c.y) AS d2
+             FROM se JOIN cc c ON c.gx = se.gx2 AND c.gy = se.gy2),
+    r AS (SELECT sid, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, cid) AS rn
+          FROM cand)
+    SELECT sid AS s_suppkey, cid AS c_custkey, d2 AS dist2 FROM r WHERE rn = 1
+    """,
+)
+def q_grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked nearest-neighbor spatial join: each supplier's closest
+    customer on a deterministic synthetic plane, candidates limited to the
+    3x3 cell neighborhood (geohash-style blocking — the spatial cousin of
+    LSH banding; never the |L|x|R| cross join). Even the 'index' is
+    oracle-checked: cells, distances and tie-breaks are plain arithmetic."""
+    from flight_data_ingestion_engine_spark.operators.spatial import grid_nearest
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        ((F.col("c_custkey") * 127) % 1000 / F.lit(10.0)).alias("x"),
+        ((F.col("c_custkey") * 311) % 1000 / F.lit(10.0)).alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        ((F.col("s_suppkey") * 173) % 1000 / F.lit(10.0)).alias("x"),
+        ((F.col("s_suppkey") * 257) % 1000 / F.lit(10.0)).alias("y"),
+    )
+    out = grid_nearest(supp, cust, left_id="sid", right_id="cid", cell=5.0)
+    return out.select(
+        F.col("sid").alias("s_suppkey"),
+        F.col("cid").alias("c_custkey"),
+        "dist2",
+    )
+
+
+@_q(
+    "interval_coverage",
+    """
+    WITH iv AS (SELECT event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+                       CAST(FLOOR(EPOCH(ts)) AS BIGINT) + CAST(FLOOR(value) AS BIGINT) * 60 AS e,
+                       event_id FROM events),
+    del AS (SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+            UNION ALL SELECT event_type, e, -1, event_id FROM iv),
+    run AS (SELECT event_type, t,
+                   SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open,
+                   LEAD(t) OVER (PARTITION BY event_type ORDER BY t, d, event_id) AS nxt
+            FROM del)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN open > 0 THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_seconds
+    FROM run WHERE nxt IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per event_type: total seconds during which
+    at least one interval was open — overlap union via the sweep-line
+    (open>0 segments summed), the linear dual of max_concurrency; a
+    merge-overlapping-ranges self-join would be quadratic in overlap."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    e = s + (F.floor("value").cast("bigint") * F.lit(60))
+    return interval_coverage(ev, ["event_type"], s, e, tiebreaker="event_id")
+
+
+@_q(
+    "state_islands",
+    """
+    WITH x AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_st
+      FROM events)
+    SELECT user_id, event_type, CAST(rn_all - rn_st AS BIGINT) AS island,
+           COUNT(*) AS run_len, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def q_state_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding of each user's event stream:
+    consecutive same-type events collapse to one row with run length and
+    span. Island id = row_number difference (two windows sharing one sort
+    order = one window exec, one shuffle) — integer-exact everywhere."""
+    from flight_data_ingestion_engine_spark.operators.sequences import state_islands
+
+    ev = _t(spark, sf_dir, "events")
+    return state_islands(ev, ["user_id"], "ts", "event_type", tiebreaker="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation scorecards + corpus drift (operators/mleval.py, corpus.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lift_deciles",
+    """
+    WITH s AS (SELECT event_id, value AS score,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+               FROM events),
+    d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, event_id) AS INT) AS decile
+          FROM s),
+    a AS (SELECT decile, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos
+          FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos, CAST(SUM(n) AS BIGINT) AS tot_n
+          FROM a)
+    SELECT decile, n, pos,
+           CAST(pos AS DOUBLE) / n AS rate,
+           CAST(pos AS DOUBLE) * tot_n / (n * tot_pos) AS lift
+    FROM a, t
+    """,
+)
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table treating value as a purchase-propensity score:
+    per score-decile positive rate and lift vs base rate. The only global
+    step is the (score, tiebreaker) ntile; everything downstream runs on
+    ten rows. Ratios are exact-integer-fed double divisions."""
+    from flight_data_ingestion_engine_spark.operators.mleval import lift_table
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return lift_table(d, "score", "label", tiebreaker="event_id", n_buckets=10)
+
+
+@_q(
+    "pr_threshold_sweep",
+    """
+    WITH s AS (SELECT value AS score,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+               FROM events),
+    th AS (SELECT CAST(unnest(generate_series(0, 4)) * 50.0 AS DOUBLE) AS t),
+    m AS (SELECT t,
+                 CAST(SUM(CASE WHEN score > t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN score > t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN score <= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                 CAST(SUM(CASE WHEN score <= t AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM s CROSS JOIN th GROUP BY t)
+    SELECT t, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+    FROM m
+    """,
+)
+def q_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-curve confusion sweep at thresholds 0..200: one broadcast
+    cross join to the 5-row threshold list + ONE conditional agg — never
+    a scan per threshold. Empty-denominator ratios surface as NULL."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        threshold_metrics,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return threshold_metrics(
+        d, "score", "label", thresholds=[0.0, 50.0, 100.0, 150.0, 200.0]
+    )
+
+
+@_q(
+    "novel_bigrams",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS terms
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(terms) - 1),
+             i -> terms[i] || ' ' || terms[i+1])) AS bigram
+      FROM tok),
+    seen AS (SELECT DISTINCT bigram FROM bg WHERE doc_id % 10 = 0),
+    new_b AS (SELECT bigram, COUNT(*) AS n FROM bg WHERE doc_id % 10 != 0 GROUP BY 1)
+    SELECT bigram, CAST(n AS BIGINT) AS n FROM new_b ANTI JOIN seen USING (bigram)
+    """,
+)
+def q_novel_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift tripwire: term bigrams in the 90% 'new' corpus
+    slice never seen in the 10% baseline slice. Bigrams index the token
+    array directly (no exploded self-join); the baseline reduces to
+    DISTINCT bigrams and the new side anti-joins. Unigram novelty
+    saturates on any real corpus — bigrams keep discriminating."""
+    from flight_data_ingestion_engine_spark.operators.corpus import novel_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    new = docs.where(F.col("doc_id") % 10 != 0)
+    return novel_bigrams(new, base).select("bigram", F.col("n").cast("bigint").alias("n"))

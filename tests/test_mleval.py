@@ -1,0 +1,45 @@
+"""Hand-checked fixtures for the model-evaluation scorecards and
+vocabulary-drift detection (batch 10)."""
+
+from __future__ import annotations
+
+from flight_data_ingestion_engine_spark.operators.corpus import novel_bigrams
+from flight_data_ingestion_engine_spark.operators.mleval import (
+    lift_table,
+    threshold_metrics,
+)
+
+
+def test_lift_table_perfect_ranking(spark):
+    # scores rank all 5 positives into the top bucket of 2 buckets of 5
+    rows = [(i, float(100 - i), 1 if i < 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, score double, label int")
+    out = {r.decile: (r.n, r.pos, r.rate, r.lift) for r in
+           lift_table(df, "score", "label", "id", n_buckets=2).collect()}
+    assert out[1] == (5, 5, 1.0, 2.0)   # all positives, lift 1.0/0.5
+    assert out[2] == (5, 0, 0.0, 0.0)
+
+
+def test_threshold_metrics_counts_and_null_precision(spark):
+    rows = [(9.0, 1), (8.0, 0), (2.0, 1), (1.0, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.t: r for r in
+           threshold_metrics(df, "score", "label", [5.0, 100.0]).collect()}
+    r5 = out[5.0]
+    assert (r5.tp, r5.fp, r5.fn, r5.tn) == (1, 1, 1, 1)
+    assert r5.precision == 0.5 and r5.recall == 0.5
+    r100 = out[100.0]
+    assert (r100.tp, r100.fp) == (0, 0)
+    assert r100.precision is None  # empty denominator -> NULL, not 0
+    assert r100.recall == 0.0
+
+
+def test_novel_bigrams_excludes_seen_and_short_docs(spark):
+    base = spark.createDataFrame([(1, "the quick fox"), (2, "hi")], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(3, "the quick brown fox"), (4, "solo")], "doc_id int, text string"
+    )
+    out = {r.bigram: r.n for r in novel_bigrams(new, base).collect()}
+    # 'the quick' seen in baseline; 'quick brown'/'brown fox' novel;
+    # single-token docs produce nothing (no descending-sequence artifact)
+    assert out == {"quick brown": 1, "brown fox": 1}

@@ -1,0 +1,67 @@
+"""Hand-checked fixtures for the grid-nearest spatial join, interval
+coverage, and gaps-and-islands operators (batch 9)."""
+
+from __future__ import annotations
+
+import datetime
+
+from flight_data_ingestion_engine_spark.operators.sequences import state_islands
+from flight_data_ingestion_engine_spark.operators.spatial import grid_nearest
+from flight_data_ingestion_engine_spark.operators.temporal import interval_coverage
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_grid_nearest_picks_closest_in_ring(spark):
+    left = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 50.0, 50.0)], "lid int, x double, y double"
+    )
+    right = spark.createDataFrame(
+        [(10, 2.0, 1.0), (11, 6.0, 1.0), (12, 99.0, 99.0)],
+        "rid int, x double, y double",
+    )
+    out = {r.lid: (r.rid, r.dist2) for r in
+           grid_nearest(left, right, "lid", "rid", cell=5.0).collect()}
+    assert out[1] == (10, 1.0)  # 2.0 away in next cell loses to 1.0 away
+    assert 2 not in out         # nothing within one cell ring of (50,50)
+
+
+def test_grid_nearest_distance_tie_breaks_by_smaller_id(spark):
+    left = spark.createDataFrame([(1, 5.0, 5.0)], "lid int, x double, y double")
+    right = spark.createDataFrame(
+        [(21, 5.0, 6.0), (20, 5.0, 4.0)], "rid int, x double, y double"
+    )
+    out = grid_nearest(left, right, "lid", "rid", cell=5.0).collect()
+    assert (out[0].rid, out[0].dist2) == (20, 1.0)
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    # key a: [0,10) + [5,15) + [20,25) -> 15 + 5 = 20 covered
+    # key b: [0,5) and empty [7,7) -> 5
+    df = spark.createDataFrame(
+        [("a", 0, 10, 1), ("a", 5, 15, 2), ("a", 20, 25, 3),
+         ("b", 0, 5, 4), ("b", 7, 7, 5)],
+        "k string, s bigint, e bigint, id bigint",
+    )
+    out = {r.k: r.covered_seconds for r in
+           interval_coverage(df, ["k"], "s", "e", "id").collect()}
+    assert out == {"a": 20, "b": 5}
+
+
+def test_state_islands_run_lengths(spark):
+    rows = [
+        (1, _ts(0), "a", 1), (1, _ts(1), "a", 2), (1, _ts(2), "b", 3),
+        (1, _ts(3), "a", 4),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, et string, id bigint")
+    out = sorted(
+        (r.start_ts, r.et, r.run_len)
+        for r in state_islands(df, ["u"], "ts", "et", "id").collect()
+    )
+    assert out == [
+        (_ts(0), "a", 2),  # first a-run of length 2
+        (_ts(2), "b", 1),
+        (_ts(3), "a", 1),  # a again later = NEW island
+    ]

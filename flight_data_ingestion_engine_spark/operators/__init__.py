@@ -12,7 +12,10 @@ from flight_data_ingestion_engine_spark.operators.enrich import (
     with_utc_timestamp,
 )
 from flight_data_ingestion_engine_spark.operators.asof import asof_join
-from flight_data_ingestion_engine_spark.operators.cohorts import retention_matrix
+from flight_data_ingestion_engine_spark.operators.cohorts import (
+    adoption_curve,
+    retention_matrix,
+)
 from flight_data_ingestion_engine_spark.operators.graph import (
     cooccurrence_edges,
     pagerank,
@@ -21,6 +24,7 @@ from flight_data_ingestion_engine_spark.operators.graph import (
 from flight_data_ingestion_engine_spark.operators.quality import (
     categorical_mode,
     chi_square_cells,
+    gini_coefficient,
     equidepth_histogram,
     referential_orphans,
     equiwidth_histogram,
@@ -35,7 +39,11 @@ from flight_data_ingestion_engine_spark.operators.temporal import (
 )
 from flight_data_ingestion_engine_spark.operators.frontier import pareto_frontier_2d
 from flight_data_ingestion_engine_spark.operators.spatial import grid_nearest
-from flight_data_ingestion_engine_spark.operators.mleval import lift_table, threshold_metrics
+from flight_data_ingestion_engine_spark.operators.mleval import (
+    lift_table,
+    threshold_metrics,
+    two_proportion_ztest,
+)
 from flight_data_ingestion_engine_spark.operators.sequences import (
     state_islands,
     touch_attribution,
@@ -175,6 +183,9 @@ __all__ = [
     "lift_table",
     "threshold_metrics",
     "novel_bigrams",
+    "two_proportion_ztest",
+    "gini_coefficient",
+    "adoption_curve",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

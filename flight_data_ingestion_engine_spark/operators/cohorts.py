@@ -47,3 +47,31 @@ def retention_matrix(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .withColumnRenamed("cohort_wk", "cohort_period")
     )
+
+
+def adoption_curve(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Cumulative-adoption growth curve: per first-activity date, the
+    count of entities newly seen that day and the running total —
+    (first_date, new_entities, total_entities).
+
+    Two aggregations (first-seen per entity, then per-day counts) and one
+    running-sum window over the per-day frame — the window sees one row
+    per distinct date, never raw rows, so a billion-entity curve windows
+    over a few thousand rows.
+    """
+    from pyspark.sql import Window
+
+    f = df.groupBy(F.col(entity_col).alias("_e")).agg(
+        F.min(time_col).alias("first_date")
+    )
+    c = f.groupBy("first_date").agg(F.count(F.lit(1)).alias("new_entities"))
+    w = Window.orderBy("first_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return c.withColumn(
+        "total_entities", F.sum("new_entities").over(w).cast("bigint")
+    )

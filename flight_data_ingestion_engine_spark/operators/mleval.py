@@ -107,3 +107,45 @@ def threshold_metrics(
             F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
         ).alias("recall"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: Column | str,
+    success_col: Column | str,
+) -> DataFrame:
+    """Two-proportion z-test between arms 0 and 1 (the A/B-test
+    significance readout): one row with per-arm n/successes/rates and the
+    pooled-variance z statistic.
+
+    One conditional aggregation pass over the assignments + a 1-row
+    pivot — the statistic is a fixed chain of integer-fed +,-,*,/ and
+    sqrt (all IEEE-correctly-rounded), so the entire readout is
+    oracle-exact. Degenerate pools (rate 0 or 1) yield NULL z rather
+    than a division error.
+    """
+    arm = F.col(arm_col) if isinstance(arm_col, str) else arm_col
+    suc = F.col(success_col) if isinstance(success_col, str) else success_col
+    a = df.select(arm.alias("_arm"), suc.alias("_y")).groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").cast("bigint").alias("_x")
+    )
+    w = a.agg(
+        F.max(F.when(F.col("_arm") == 0, F.col("_n"))).alias("n0"),
+        F.max(F.when(F.col("_arm") == 0, F.col("_x"))).alias("x0"),
+        F.max(F.when(F.col("_arm") == 1, F.col("_n"))).alias("n1"),
+        F.max(F.when(F.col("_arm") == 1, F.col("_x"))).alias("x1"),
+    )
+    n0, x0, n1, x1 = (F.col(c) for c in ("n0", "x0", "n1", "x1"))
+    pooled = (x0 + x1).cast("double") / (n0 + n1)
+    z = (x1.cast("double") / n1 - x0.cast("double") / n0) / F.sqrt(
+        pooled * (F.lit(1) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        (x0.cast("double") / n0).alias("rate0"),
+        (x1.cast("double") / n1).alias("rate1"),
+        z.alias("z"),
+    )

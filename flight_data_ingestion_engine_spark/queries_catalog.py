@@ -3499,3 +3499,124 @@ def q_novel_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.where(F.col("doc_id") % 10 == 0)
     new = docs.where(F.col("doc_id") % 10 != 0)
     return novel_bigrams(new, base).select("bigram", F.col("n").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A/B significance, inequality, adoption curve, streaming trending
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ab_test_ztest",
+    """
+    WITH a AS (SELECT event_id % 2 AS arm, COUNT(*) AS n,
+                      CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    w AS (SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN x END) AS x1 FROM a)
+    SELECT n0, x0, n1, x1,
+           CAST(x0 AS DOUBLE) / n0 AS rate0, CAST(x1 AS DOUBLE) / n1 AS rate1,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z
+    FROM w
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between hash-split arms (event_id parity) on
+    the value>100 success metric: one conditional agg + a one-row pivot;
+    the statistic is a fixed integer-fed +,-,*,/,sqrt chain — the A/B
+    significance readout, oracle-exact."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        two_proportion_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev,
+        arm_col=F.col("event_id") % 2,
+        success_col=F.when(F.col("value") > 100, 1).otherwise(0),
+    )
+
+
+@_q(
+    "gini_order_value",
+    """
+    WITH r AS (SELECT o_orderpriority AS seg, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice, o_orderkey) AS i,
+                      COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM orders),
+    s AS (SELECT seg, CAST(SUM((2 * i - n - 1) * v) AS DOUBLE) AS num,
+                 CAST(SUM(v) AS DOUBLE) AS sv, MAX(n) AS n FROM r GROUP BY seg)
+    SELECT seg, num / (n * sv) AS gini FROM s
+    """,
+)
+def q_gini_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per priority class via the
+    rank-weighted closed form (sort + DECIMAL weighted sum) — never the
+    quadratic pairwise-difference formulation. The long-tail inequality
+    metric for spend/usage/token distributions."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        gini_coefficient,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"), "o_totalprice", "o_orderkey"
+    )
+    return gini_coefficient(o, "o_totalprice", ["seg"], tiebreaker="o_orderkey")
+
+
+@_q(
+    "customer_adoption",
+    """
+    WITH f AS (SELECT o_custkey, MIN(o_orderdate) AS first_date FROM orders GROUP BY 1),
+    c AS (SELECT first_date, COUNT(*) AS new_entities FROM f GROUP BY 1)
+    SELECT first_date, new_entities,
+           CAST(SUM(new_entities) OVER (ORDER BY first_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_entities
+    FROM c
+    """,
+)
+def q_customer_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer adoption growth curve: newly-seen customers per
+    first-order date with the cumulative total. The running-sum window
+    sees one row per distinct DATE (never raw orders), so the curve
+    costs two aggs regardless of fact volume."""
+    from flight_data_ingestion_engine_spark.operators.cohorts import adoption_curve
+
+    o = _t(spark, sf_dir, "orders")
+    out = adoption_curve(o, "o_custkey", "o_orderdate")
+    return out.select("first_date", "new_entities", "total_entities")
+
+
+@_q(
+    "streaming_trending",
+    """
+    WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT hr, event_type, CAST(n AS BIGINT) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY hr ORDER BY n DESC, event_type) AS rn
+          FROM h)
+    SELECT hr, event_type, n, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+    """,
+)
+def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending dashboard: hourly event-type counts aggregated BY THE
+    STREAM (complete-mode state), ranked top-3 per hour as a batch step
+    over the materialized result — ranking is not a streaming-supported
+    op, so the split mirrors the real serving pattern (stream maintains
+    counts, the dashboard query ranks them)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    result = _run_stream_to_memory(agg, "complete")
+    w = Window.partitionBy("hr").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        result.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("hr", "event_type", F.col("n").cast("bigint").alias("n"), "rn")
+    )

@@ -1,0 +1,59 @@
+"""Hand-checked fixtures for the A/B z-test, Gini coefficient, and
+adoption curve (batch 11)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.cohorts import adoption_curve
+from flight_data_ingestion_engine_spark.operators.mleval import two_proportion_ztest
+from flight_data_ingestion_engine_spark.operators.quality import gini_coefficient
+
+
+def test_two_proportion_ztest_known_values(spark):
+    # arm 0: 2/4 convert; arm 1: 3/4 convert
+    rows = [(0, 1), (0, 1), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "arm int, y int")
+    r = two_proportion_ztest(df, "arm", "y").first()
+    assert (r.n0, r.x0, r.n1, r.x1) == (4, 2, 4, 3)
+    assert r.rate0 == 0.5 and r.rate1 == 0.75
+    pooled = 5 / 8
+    expected_z = (0.75 - 0.5) / math.sqrt(pooled * (1 - pooled) * (1 / 4 + 1 / 4))
+    assert abs(r.z - expected_z) < 1e-12
+
+
+def test_two_proportion_ztest_degenerate_pool_is_null(spark):
+    df = spark.createDataFrame([(0, 1), (1, 1)], "arm int, y int")
+    assert two_proportion_ztest(df, "arm", "y").first().z is None
+
+
+def test_gini_extremes(spark):
+    # perfectly equal values -> gini 0
+    eq = spark.createDataFrame([("g", 10.0, i) for i in range(4)], "s string, v double, id int")
+    assert gini_coefficient(eq, "v", ["s"], "id").first().gini == 0.0
+    # one holder owns everything -> gini -> (n-1)/n
+    conc = spark.createDataFrame(
+        [("g", 0.0, 1), ("g", 0.0, 2), ("g", 0.0, 3), ("g", 100.0, 4)],
+        "s string, v double, id int",
+    )
+    assert gini_coefficient(conc, "v", ["s"], "id").first().gini == 0.75
+
+
+def test_adoption_curve_cumulative(spark):
+    d = datetime.date
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 5)),   # entity 1 first on the 1st
+        (2, d(2024, 1, 2)), (3, d(2024, 1, 2)),
+        (4, d(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "e int, dt date")
+    out = {r.first_date: (r.new_entities, r.total_entities)
+           for r in adoption_curve(df, "e", "dt").collect()}
+    assert out == {
+        d(2024, 1, 1): (1, 1),
+        d(2024, 1, 2): (2, 3),
+        d(2024, 1, 9): (1, 4),
+    }

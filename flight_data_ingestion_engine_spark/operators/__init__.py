@@ -22,6 +22,7 @@ from flight_data_ingestion_engine_spark.operators.graph import (
     triangle_count,
 )
 from flight_data_ingestion_engine_spark.operators.quality import (
+    benford_digits,
     categorical_mode,
     chi_square_cells,
     gini_coefficient,
@@ -34,6 +35,7 @@ from flight_data_ingestion_engine_spark.operators.quality import (
 from flight_data_ingestion_engine_spark.operators.temporal import (
     interval_concurrency,
     interval_coverage,
+    rolling_correlation,
     rolling_percentile,
     time_weighted_avg,
 )
@@ -186,6 +188,8 @@ __all__ = [
     "two_proportion_ztest",
     "gini_coefficient",
     "adoption_curve",
+    "benford_digits",
+    "rolling_correlation",
     "quantize_codes_column",
     "scalar_quantize_stats",
     "hash_sample",

@@ -300,3 +300,58 @@ def gini_coefficient(
         *group_cols,
         (F.col("_num") / (F.col("_n") * F.col("_sv"))).alias("gini"),
     )
+
+
+#: Benford's-law expected first-digit shares, log10(1 + 1/d). Literal
+#: doubles (not computed) so Spark and any SQL oracle parse the SAME
+#: values — log10 is not IEEE-correctly-rounded and differs across libms.
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    decimal_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column:
+    per leading digit the count, observed share, expected share, and
+    deviation — the classic fabricated-data / corrupted-feed tripwire.
+
+    The digit comes from the DECIMAL's string rendering (identical across
+    engines; a log10-based extraction would not be portable). One count
+    agg over ≤9 groups + a broadcast total; expected shares are shared
+    literals, so the whole audit is oracle-exact.
+    """
+    digit = F.substring(
+        F.col(value_col).cast(decimal_type).cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        df.where(F.col(value_col) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = c.persist()  # feeds the total and the output
+    t = c.agg(F.sum("n").cast("bigint").alias("_tot"))
+    expected = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("_tot")).alias("share"),
+            expected.alias("expected"),
+            ((F.col("n").cast("double") / F.col("_tot")) - expected).alias("deviation"),
+        )
+    )

@@ -195,3 +195,49 @@ def interval_coverage(
             .alias("covered_seconds")
         )
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+    decimal_type: str = "decimal(18,6)",
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series over the
+    trailing `window_rows` rows — co-movement drift detection between two
+    metrics (e.g. daily click vs purchase volume).
+
+    All five windowed moment sums (Σx, Σy, Σx², Σy², Σxy) accumulate in
+    DECIMAL: windowed DOUBLE sums are NOT portable (Spark folds the frame
+    in row order, DuckDB aggregates via segment trees — different
+    addition order, different ulps), while DECIMAL sums are exact under
+    any order. The closed-form correlation is then one fixed double
+    chain. Rows with an incomplete frame are dropped (n < window_rows).
+    `order_col` must be unique per row (pre-aggregate first).
+    """
+    w = Window.orderBy(order_col).rowsBetween(-(window_rows - 1), Window.currentRow)
+    x = F.col(x_col).cast(decimal_type)
+    y = F.col(y_col).cast(decimal_type)
+    staged = df.select(
+        F.col(order_col),
+        x.alias("_x"),
+        y.alias("_y"),
+    ).select(
+        order_col,
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.sum("_x").over(w).cast("double").alias("_sx"),
+        F.sum("_y").over(w).cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).over(w).cast("double").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).over(w).cast("double").alias("_sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        staged.where(n == window_rows)
+        .select(order_col, corr.alias(f"corr{window_rows}"))
+    )

@@ -3620,3 +3620,92 @@ def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("hr", "event_type", F.col("n").cast("bigint").alias("n"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford audit + rolling correlation (quality.py, temporal.py)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "benford_prices",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    e AS (SELECT c.digit, c.n, t.tot,
+                 CASE c.digit
+                   WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+                   WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
+                   WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+                   WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+                   WHEN 9 THEN 0.04575749056067514 END AS expected
+          FROM c, t)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / tot AS share, expected,
+           CAST(n AS DOUBLE) / tot - expected AS deviation
+    FROM e
+    """,
+)
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices: observed vs expected
+    leading-digit shares (expected values are shared LITERALS — log10 is
+    not correctly-rounded so computing them would not be portable).
+    TPC-H prices are range-bounded so digits 1-4 dominate: exactly the
+    deviation signature this audit exists to surface."""
+    from flight_data_ingestion_engine_spark.operators.quality import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice")
+
+
+@_q(
+    "rolling_corr_series",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS y
+      FROM events GROUP BY 1),
+    d2 AS (SELECT day, CAST(x AS DECIMAL(19,6)) AS x, CAST(y AS DECIMAL(19,6)) AS y
+           FROM d),
+    -- DECIMAL(19,6) products: 19+19 = 38 digits routes DuckDB to the
+    -- int128 path; 18+18 = 36 still picks int64 and overflows at sf>=0.01
+    w AS (SELECT day, COUNT(*) OVER win AS n,
+                 CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+                 CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+                 CAST(SUM(x * x) OVER win AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) OVER win AS DOUBLE) AS syy,
+                 CAST(SUM(x * y) OVER win AS DOUBLE) AS sxy
+          FROM d2 WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr7
+    FROM w WHERE n = 7
+    """,
+)
+def q_rolling_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily click and purchase
+    value series. The windowed moment sums run in DECIMAL — windowed
+    DOUBLE sums are NOT cross-engine portable (frame-order folding vs
+    segment-tree accumulation differ in ulps) — then one closed-form
+    double chain. Incomplete leading frames are dropped."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        rolling_correlation,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,6)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast("decimal(18,6)")).otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")).otherwise(zero)
+        ).alias("y"),
+    )
+    return rolling_correlation(d, "day", "x", "y", window_rows=7)

@@ -1,0 +1,35 @@
+"""Hand-checked fixtures for the Benford audit and rolling correlation
+(batch 12)."""
+
+from __future__ import annotations
+
+from flight_data_ingestion_engine_spark.operators.quality import (
+    BENFORD_EXPECTED,
+    benford_digits,
+)
+from flight_data_ingestion_engine_spark.operators.temporal import rolling_correlation
+
+
+def test_benford_digits_counts_and_expected(spark):
+    vals = [1.0, 12.5, 199.0, 2.0, 25.0, 3.14, 90.0, -5.0, 0.0]  # <=0 excluded
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_digits(df, "v").collect()}
+    assert {d: r.n for d, r in out.items()} == {1: 3, 2: 2, 3: 1, 9: 1}
+    assert out[1].share == 3 / 7
+    assert out[1].expected == BENFORD_EXPECTED[1]
+    assert abs(out[1].deviation - (3 / 7 - BENFORD_EXPECTED[1])) < 1e-15
+
+
+def test_rolling_correlation_perfect_and_inverse(spark):
+    # y = 2x over every 3-row frame -> corr exactly 1
+    rows = [(i, float(i), float(2 * i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    out = rolling_correlation(df, "t", "x", "y", window_rows=3).collect()
+    assert len(out) == 4  # first two frames incomplete -> dropped
+    assert all(r.corr3 == 1.0 for r in out)
+
+    inv = spark.createDataFrame(
+        [(i, float(i), float(10 - i)) for i in range(1, 5)], "t int, x double, y double"
+    )
+    got = rolling_correlation(inv, "t", "x", "y", window_rows=3).collect()
+    assert all(r.corr3 == -1.0 for r in got)

@@ -309,3 +309,86 @@ def novel_bigrams(
         bigrams(df_new).groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     )
     return new_counts.join(seen, "bigram", "left_anti")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_df_frac: float = 0.5,
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index join.
+
+    The embedding-free near-dup/similarity path: docs become sparse
+    integer term-weight vectors, and the pairwise dot product is computed
+    by self-joining the posting list on the term — pairs sharing no term
+    never materialize, and shuffle volume is the posting-list size
+    O(rows × distinct-terms-per-doc), never O(rows²).
+
+    Scale levers (100 TB):
+    - terms with document frequency > `max_df_frac` × N are dropped
+      before the join — the stop-word posting lists are exactly the
+      quadratic blowup (a term in every doc creates N²/2 join rows), so
+      capping df bounds the worst posting list;
+    - weights are INTEGERS (tf × (idf_scale·N ÷ df), floor division), so
+      dot products and norms are exact integer aggregates: the plan is
+      map-side-combinable, and the only floats are one sqrt+divide per
+      surviving pair — which also makes the result bit-identical across
+      engines (the DuckDB oracle hash-matches; true ln-idf ranking lives
+      in :func:`tfidf_score`).
+
+    Returns (id_a, id_b, cosine DOUBLE) with id_a < id_b, cosine ≥ τ.
+    """
+    tok = df.select(F.col(id_col), F.explode(terms(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # document frequency from the (doc, term) frame: already distinct
+    dfd = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    n1 = tf.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+
+    w = (
+        tf.join(dfd, "term")
+        .crossJoin(F.broadcast(n1))
+        # df cap: dft <= floor(frac*n) — one double multiply on integer
+        # inputs, identical in any IEEE engine, then exact integer compare
+        .where(F.col("dft") <= F.floor(F.lit(max_df_frac) * F.col("n_docs")))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.col("tf")
+                * F.expr(f"({idf_scale} * n_docs) div dft").cast("bigint")
+            ).alias("w"),
+        )
+        .persist()  # feeds the posting join (both sides) and the norms
+    )
+    # cast operands (not the product) to decimal: a bigint×bigint product
+    # would wrap before a cast could widen it; decimal(19)×decimal(19)
+    # multiplies exactly into decimal(38)
+    wd = F.col("w").cast("decimal(19,0)")
+    norms = w.groupBy(id_col).agg(F.sum(wd * wd).alias("n2"))
+
+    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col(id_col).alias("id_b"), F.col("term").alias("term_b"), F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, (a["term"] == b["term_b"]) & (a["id_a"] < b["id_b"]))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.col("w_a").cast("decimal(19,0)") * F.col("w_b").cast("decimal(19,0)")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2_b"))
+    cosine = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double")))
+    ).alias("cosine")
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cosine)
+        .where(F.col("cosine") >= threshold)
+    )

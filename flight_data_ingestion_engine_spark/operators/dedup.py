@@ -85,26 +85,20 @@ def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFra
     )
 
 
-def jaccard_pairs_blocked(
+def _blocked_pair_overlap(
     df: DataFrame,
     id_col: str,
     text_col: str,
     block_cols: Sequence[str],
-    shingle_size: int = 3,
-    threshold: float = 0.5,
+    shingle_size: int,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs within blocking groups.
+    """Shared inverted-index core: (id_a, id_b, n_common, n_a, n_b).
 
-    Inverted-index formulation: explode distinct shingles, self-join on
-    (block, shingle-hash) to count common shingles per pair, then
-    |A∪B| = |A| + |B| − |A∩B|. Compared to joining whole shingle arrays
-    and intersecting per pair, only 8-byte hashes travel, pairs with no
-    common shingle never materialize, and there is no per-pair set
-    allocation. Worst case degrades to the block's pair count (a shingle
-    shared by every doc in a block) — so blocks must stay bounded
-    (source+language, URL host, length band); the unblocked scale path is
-    :func:`minhash_lsh_pairs`. Returns (id_a, id_b, jaccard) with
-    id_a < id_b.
+    Explodes distinct shingles, self-joins on (block, shingle-hash) to
+    count common shingles per pair (id_a < id_b), and attaches both set
+    sizes. Only 8-byte hashes travel; pairs sharing no shingle never
+    materialize. Feeds :func:`jaccard_pairs_blocked` (symmetric overlap)
+    and :func:`containment_pairs_blocked` (asymmetric overlap).
     """
     sh = (
         ensure_parallelism(df)
@@ -140,14 +134,61 @@ def jaccard_pairs_blocked(
 
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard")
     # sizes are per-document (NOT broadcast-hinted: at corpus scale this
     # side is large; AQE broadcasts it automatically when it is small)
+    return common.join(sa, "id_a").join(sb, "id_b")
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within blocking groups.
+
+    |A∪B| = |A| + |B| − |A∩B| over the inverted-index core — compared to
+    joining whole shingle arrays and intersecting per pair, there is no
+    per-pair set allocation, and worst case degrades to the block's pair
+    count (a shingle shared by every doc in a block) — so blocks must
+    stay bounded (source+language, URL host, length band); the unblocked
+    scale path is :func:`minhash_lsh_pairs`. Returns (id_a, id_b,
+    jaccard) with id_a < id_b.
+    """
+    overlap = _blocked_pair_overlap(df, id_col, text_col, block_cols, shingle_size)
+    jac = (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard")
+    return overlap.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+def containment_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |A∩B| / |A| (Broder).
+
+    Jaccard misses subset duplication — a short doc quoted whole inside a
+    long one has tiny Jaccard but containment ≈ 1. That is precisely the
+    boilerplate/quotation case an LLM-corpus dedup must catch, so this is
+    a first-class twin of :func:`jaccard_pairs_blocked` over the same
+    inverted-index core (identical shuffle shape, one extra integer
+    division). Emits both directions — `c_a_in_b` = |A∩B|/|A| and
+    `c_b_in_a` = |A∩B|/|B| — and keeps pairs where either direction
+    reaches `threshold`; values are exact int/int divisions, so the
+    DuckDB oracle hash-matches bitwise. Returns (id_a, id_b, c_a_in_b,
+    c_b_in_a) with id_a < id_b.
+    """
+    overlap = _blocked_pair_overlap(df, id_col, text_col, block_cols, shingle_size)
+    c_ab = (F.col("n_common") / F.col("n_a")).alias("c_a_in_b")
+    c_ba = (F.col("n_common") / F.col("n_b")).alias("c_b_in_a")
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac)
-        .where(F.col("jaccard") >= threshold)
+        overlap.select("id_a", "id_b", c_ab, c_ba)
+        .where((F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold))
     )
 
 

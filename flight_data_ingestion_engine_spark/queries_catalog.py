@@ -3709,3 +3709,94 @@ def q_rolling_corr_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return rolling_correlation(d, "day", "x", "y", window_rows=7)
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine pairs + shingle containment (embedding-free near-dup)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tfidf_cosine_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    dfd AS (SELECT term, COUNT(*)::BIGINT AS dft FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    w AS (
+      SELECT doc_id, tf.term, tf * ((1000 * n_docs) // dft) AS w
+      FROM tf JOIN dfd USING (term) CROSS JOIN n
+      WHERE dft <= FLOOR(0.5 * n_docs)
+    ),
+    norms AS (
+      SELECT doc_id,
+             SUM(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))) AS n2
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             SUM(CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0))) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON dots.id_a = na.doc_id
+    JOIN norms nb ON dots.id_b = nb.doc_id
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.35
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free document similarity: sparse TF-IDF cosine via an
+    inverted-index posting join — pairs sharing no term never materialize.
+    Integer weights (floor-division idf) make dot/norms exact integer
+    aggregates, so the only floats are one sqrt+divide per pair and the
+    oracle hash-matches bitwise."""
+    from flight_data_ingestion_engine_spark.operators.corpus import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.35, max_df_frac=0.5)
+
+
+@_q(
+    "containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct([array_to_string(tokens[i:i+2], ' ')
+                            for i in range(1, len(tokens)-1)]) AS s
+      FROM (SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS tokens FROM documents)
+      WHERE len(tokens) >= 3
+    )
+    SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS c_a_in_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(b.s) AS c_b_in_a
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE c_a_in_b >= 0.4 OR c_b_in_a >= 0.4
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| — the subset-duplication
+    detector Jaccard misses (short doc quoted whole inside a long one).
+    Same inverted-index shuffle shape as jaccard_pairs; values are exact
+    int/int divisions."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        containment_pairs_blocked,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs_blocked(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_size=3,
+        threshold=0.4,
+    )

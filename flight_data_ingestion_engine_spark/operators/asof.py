@@ -90,7 +90,7 @@ def asof_join(
     )
     matches = carried.where(F.col("_side") == 1).select("_left_row", "_t", "_match", "_match_t")
     if tolerance_seconds is not None:
-        in_window = F.col("_match_t").cast("long") >= F.col("_t").cast("long") - F.lit(
+        in_window = F.col("_match_t").cast("timestamp").cast("long") >= F.col("_t").cast("timestamp").cast("long") - F.lit(
             tolerance_seconds
         )
         matches = matches.withColumn("_match", F.when(in_window, F.col("_match"))).withColumn(

@@ -1,0 +1,159 @@
+"""Training-data mixing operators: deterministic shuffle, source-weighted
+mixture sampling under a token budget, and context-window packing.
+
+These are the steps between "cleaned corpus" and "training shards": decide
+*which* documents go into a run (mixture weights per language/source),
+*how many* of them (token budget), and *how they are laid out* (fixed-size
+context windows, stable shuffle order across re-runs).
+
+Determinism is the design center: every ordering here is
+`md5(seed || ':' || id)` — a keyed hash both Spark and ANSI-ish SQL engines
+compute identically, so a re-run (or a different engine) reproduces the
+same sample and the same packing bit-for-bit. No `rand()`, no
+`monotonically_increasing_id()`.
+
+Scale notes (100 TB):
+- `with_shuffle_key` is a narrow projection: the shuffle *order* is carried
+  as a sortable column, so a full-corpus "shuffle" is one sort-write
+  (range-partitioned, fully parallel) — never a global row_number.
+- `mixture_sample` shuffles once on the group column for the per-group
+  running sum; the budget cut is a filter on that windowed sum. Group
+  cardinality (languages/sources) is tiny, so skew is the only concern —
+  the window is a running sum over a sort within each group, which AQE
+  skew-split cannot help; for a pathological single-language corpus,
+  pre-split the group by okey prefix and re-merge budgets.
+- `pack_contexts` packs per group in parallel (one sort per group); the
+  window id is integer division of the *exclusive* running token offset,
+  so documents never need a second pass and the result is a pure map after
+  the one windowed sum.
+
+No reference twin: the reference engine (orr21/Flight-Data-Ingestion-Engine)
+has no sampling/packing surface; these extend SURVEY.md §2.13's
+training-data pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shuffle_key(id_col: str | Column, seed: int) -> Column:
+    """`md5(seed || ':' || id)` — a deterministic, engine-portable shuffle
+    order key (DuckDB: `md5(CAST(seed AS VARCHAR) || ':' || CAST(id AS
+    VARCHAR))` yields the identical lowercase hex)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), c.cast("string")))
+
+
+def with_shuffle_key(
+    df: DataFrame, id_col: str, seed: int = 42, key_col: str = "okey"
+) -> DataFrame:
+    """Attach the deterministic shuffle key. At scale, *sort-write* by this
+    column (range partitioner — parallel) instead of materializing a global
+    row_number."""
+    return df.withColumn(key_col, shuffle_key(id_col, seed))
+
+
+def deterministic_shuffle_rank(
+    df: DataFrame, id_col: str, seed: int = 42, limit: int | None = None
+) -> DataFrame:
+    """Global shuffled rank (1-based). The global row_number is a
+    demonstration/small-corpus path — it funnels through one partition; the
+    scale path is `with_shuffle_key` + sort-write."""
+    w = Window.orderBy("okey", id_col)
+    out = with_shuffle_key(df, id_col, seed).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    if limit is not None:
+        out = out.where(F.col("rank") <= limit)
+    return out.drop("okey")
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_by_group: dict[str, float],
+    total_budget: int,
+    size_col: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group token-budget sample in deterministic shuffle order.
+
+    Each group g gets `floor(weight[g] * total_budget)` tokens; documents
+    are taken in md5-shuffle order while the *inclusive* running size stays
+    within the group budget (so the sample never exceeds it). Groups absent
+    from `weight_by_group` get budget 0 and are dropped.
+
+    One shuffle (the per-group window sort); the cut is a filter.
+    """
+    budget = F.lit(0).cast("long")
+    for g, wgt in weight_by_group.items():
+        budget = F.when(F.col(group_col) == g, F.lit(int(wgt * total_budget)).cast("long")).otherwise(
+            budget
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = with_shuffle_key(df, id_col, seed)
+    return (
+        keyed.withColumn("_cum", F.sum(F.col(size_col).cast("long")).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("okey", "_cum")
+    )
+
+
+def pack_contexts(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    id_col: str,
+    context_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each document to a fixed-size context window within its group.
+
+    Linear packing: documents are laid end-to-end in deterministic shuffle
+    order; a document belongs to the window where it *starts*
+    (`window_id = exclusive_running_offset div context_size`). This is the
+    one-pass, shuffle-once approximation of greedy bin packing — windows
+    can overflow by at most one document, which training shard writers
+    handle by splitting at the token level downstream.
+
+    Returns one row per document: group, id, window_id, offset.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = with_shuffle_key(df, id_col, seed)
+    return (
+        keyed.withColumn(
+            "offset",
+            (F.sum(F.col(size_col).cast("long")).over(w) - F.col(size_col).cast("long")),
+        )
+        .withColumn(
+            "window_id", F.floor(F.col("offset") / F.lit(context_size)).cast("bigint")
+        )
+        .drop("okey")
+    )
+
+
+def pack_contexts_summary(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    id_col: str,
+    context_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-window packing summary: document count and token total."""
+    packed = pack_contexts(df, group_col, size_col, id_col, context_size, seed)
+    return packed.groupBy(group_col, "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(size_col).cast("long")).alias("n_tokens"),
+    )

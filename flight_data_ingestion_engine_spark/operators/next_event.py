@@ -54,7 +54,7 @@ def with_next_event(
     if diff_col:
         out = out.withColumn(
             diff_col,
-            (F.col(f"{time_col}{suffix}").cast("long") - F.col(time_col).cast("long")).cast("bigint"),
+            (F.col(f"{time_col}{suffix}").cast("timestamp").cast("long") - F.col(time_col).cast("timestamp").cast("long")).cast("bigint"),
         )
     return out
 

@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch(col: str) -> F.Column:
+    """Epoch seconds of a timestamp column.
+
+    TIMESTAMP_NTZ cannot cast directly to BIGINT (Spark 4 forbids it); going
+    through TIMESTAMP first is legal for both timestamp flavors and only
+    shifts both sides by the same session-tz offset, so bucket assignment
+    and range differences are unaffected.
+    """
+    return F.col(col).cast("timestamp").cast("long")
+
+
 def range_join_after(
     left: DataFrame,
     right: DataFrame,
@@ -37,7 +48,7 @@ def range_join_after(
         *[F.col(c) for c in left_cols],
         F.col(on).alias("_lk"),
         F.col(left_time).alias("_lt"),
-        (F.col(left_time).cast("long") / w).cast("long").alias("_bucket"),
+        (_epoch(left_time) / w).cast("long").alias("_bucket"),
     )
     # right rows post to their own bucket and the previous one: a left row
     # in bucket n matches rights in n or n+1, i.e. right posts to (b, b-1)
@@ -47,13 +58,13 @@ def range_join_after(
         F.col(right_time).alias("_rt"),
         F.explode(
             F.array(
-                (F.col(right_time).cast("long") / w).cast("long"),
-                (F.col(right_time).cast("long") / w).cast("long") - 1,
+                (_epoch(right_time) / w).cast("long"),
+                (_epoch(right_time) / w).cast("long") - 1,
             )
         ).alias("_bucket"),
     )
     joined = l_b.join(r_b, (l_b["_lk"] == r_b["_rk"]) & (l_b["_bucket"] == r_b["_bucket"]))
-    in_range = (F.col("_rt").cast("long") > F.col("_lt").cast("long")) & (
-        F.col("_rt").cast("long") <= F.col("_lt").cast("long") + w
+    in_range = (F.col("_rt").cast("timestamp").cast("long") > F.col("_lt").cast("timestamp").cast("long")) & (
+        F.col("_rt").cast("timestamp").cast("long") <= F.col("_lt").cast("timestamp").cast("long") + w
     )
     return joined.where(in_range).select(*left_cols, *right_cols)

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 def _epoch_s(col: Column) -> Column:
     """Integer epoch seconds — the catalog's portable time unit (the
-    repo-wide `timestamp.cast(long)` idiom, == DuckDB FLOOR(EPOCH(ts)))."""
-    return col.cast("long")
+    repo-wide `timestamp.cast(long)` idiom, == DuckDB FLOOR(EPOCH(ts))).
+    Casts through TIMESTAMP first: TIMESTAMP_NTZ→BIGINT is illegal in
+    Spark 4, and NTZ→TIMESTAMP interprets the wall-clock in the session tz
+    (UTC here) — a no-op for LTZ inputs."""
+    return col.cast("timestamp").cast("long")
 
 
 def time_weighted_avg(

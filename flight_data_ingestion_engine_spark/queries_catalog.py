@@ -62,8 +62,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div` (not `/`): nanos ≈ 1.7e18 exceeds double's exact
             # integer range, so float division would corrupt microseconds
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz is UTC, so the
+    wall-clock is preserved as a UTC instant — exactly how the DuckDB oracle
+    reads the same naive parquet timestamps). Guards the driver path: the
+    host session may have NTZ inference on, and NTZ forbids epoch casts."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +483,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.when(
-            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            (F.col("ts").cast("timestamp").cast("long") - F.lag("ts").over(w).cast("timestamp").cast("long") > 1800)
             | F.lag("ts").over(w).isNull(),
             F.lit(1),
         )
@@ -1253,8 +1266,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is a deterministic batch-comparable DataFrame)
 # ===========================================================================
 
-_EVENTS_RAW_SCHEMA = (
+_EVENTS_RAW_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+_EVENTS_RAW_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
 
@@ -1272,10 +1288,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import types as T
+
     from flight_data_ingestion_engine_spark.streaming import stream_parquet
 
-    raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Peek at the batch-read dtype to learn the physical encoding: a
+    # TIMESTAMP(NANOS) file surfaces as LongType (nanosAsLong), while
+    # MICROS surfaces as Timestamp/TimestampNTZ. The stream schema must
+    # match the physical type or values silently mis-scale.
+    probed = _t(spark, sf_dir, "events").schema["ts"].dataType
+    if isinstance(probed, T.LongType):
+        raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA_NANOS)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA_TS)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_stream_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -1513,7 +1539,7 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.col("uid").alias("user_id"),
-        (F.col("ts_b").cast("long") - F.col("ts_a").cast("long")).cast("bigint").alias("gap_seconds"),
+        (F.col("ts_b").cast("timestamp").cast("long") - F.col("ts_a").cast("timestamp").cast("long")).cast("bigint").alias("gap_seconds"),
     )
 
 
@@ -1812,7 +1838,7 @@ def q_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
@@ -2729,7 +2755,7 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    s = F.col("ts").cast("long")
+    s = F.col("ts").cast("timestamp").cast("long")
     e = s + (F.floor("value").cast("bigint") * F.lit(60))
     return interval_concurrency(
         ev, ["event_type"], s, e, tiebreaker="event_id"
@@ -3368,7 +3394,7 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    s = F.col("ts").cast("long")
+    s = F.col("ts").cast("timestamp").cast("long")
     e = s + (F.floor("value").cast("bigint") * F.lit(60))
     return interval_coverage(ev, ["event_type"], s, e, tiebreaker="event_id")
 
@@ -3799,4 +3825,130 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"],
         shingle_size=3,
         threshold=0.4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data mixing: deterministic shuffle / mixture sampling / packing
+# (operators/mixing.py — §2.13 extension surface; no reference twin).
+# md5(seed:id) is the engine-portable order key: Spark and DuckDB produce
+# identical lowercase hex, so orderings (and therefore samples and window
+# assignments) hash-match exactly.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "shuffle_rank_docs",
+    """
+    SELECT rank, doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents)
+    WHERE rank <= 100
+    """,
+)
+def q_shuffle_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 documents of the deterministic corpus shuffle. The global
+    row_number is the demonstration path; at scale the same key drives a
+    parallel sort-write (operators/mixing.py scale notes)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        deterministic_shuffle_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle_rank(docs, id_col="doc_id", seed=42, limit=100).select(
+        "rank", "doc_id", "lang"
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}
+_MIX_BUDGET = 50_000
+
+_MIX_BUDGET_SQL = " ".join(
+    f"WHEN '{g}' THEN {int(w * _MIX_BUDGET)}" for g, w in _MIX_WEIGHTS.items()
+)
+
+
+@_q(
+    "mixture_sample_docs",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS okey,
+             CASE lang {_MIX_BUDGET_SQL} ELSE 0 END AS budget
+      FROM documents
+    ), cum AS (
+      SELECT lang, doc_id, n_chars, budget,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY okey, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM keyed
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM cum WHERE c <= budget GROUP BY lang
+    """,
+)
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-weighted token-budget sample (en 50% / zh 20% / de,es,fr
+    10%): the doc set a 50k-token training mix would draw, reduced to
+    per-language counts. One window shuffle, cut by filter."""
+    from flight_data_ingestion_engine_spark.operators.mixing import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    picked = mixture_sample(
+        docs,
+        group_col="lang",
+        weight_by_group=_MIX_WEIGHTS,
+        total_budget=_MIX_BUDGET,
+        size_col="n_chars",
+        id_col="doc_id",
+        seed=42,
+    )
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@_q(
+    "pack_contexts_docs",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents
+    ), laid AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY okey, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS off
+      FROM keyed
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM laid GROUP BY source, window_id
+    """,
+)
+def q_pack_contexts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2048-token context packing summary: linear one-pass
+    packing in deterministic shuffle order; window = integer division of
+    the exclusive running offset."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        pack_contexts_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = pack_contexts_summary(
+        docs,
+        group_col="source",
+        size_col="n_chars",
+        id_col="doc_id",
+        context_size=2048,
+        seed=42,
+    )
+    return out.select(
+        "source",
+        F.col("window_id").cast("bigint").alias("window_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )

@@ -34,6 +34,10 @@ def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        # Read parquet isAdjustedToUTC=false timestamps as TIMESTAMP (LTZ,
+        # session tz UTC) rather than TIMESTAMP_NTZ: NTZ forbids cast-to-long
+        # epoch math and diverges from the DuckDB oracle's naive-UTC reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
@@ -60,6 +64,10 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
         pass  # static conf on some builds; semantics then guarded by try_* functions
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     return spark

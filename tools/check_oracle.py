@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -72,9 +73,18 @@ def main() -> int:
     only = set(a for a in sys.argv[1:] if "/" not in a)
 
     import __spark_entry__ as entry_mod
-    from flight_data_ingestion_engine_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_SIMULATE_HOST"):
+        # Vanilla session, like the verify driver's: default confs (NTZ
+        # inference ON, non-UTC tz possible). Exercises the per-query
+        # ensure_session_defaults + _t normalization path.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("oracle-check-host").master("local[4]").getOrCreate()
+    else:
+        from flight_data_ingestion_engine_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
 
     qs = entry_mod.queries()

@@ -1,0 +1,77 @@
+"""Manifest-based data skipping: per-file column statistics + file pruning.
+
+The pattern every lakehouse format (Delta add-file stats, Iceberg manifest
+entries, Hudi column_stats index) uses to avoid reading 100 TB to answer a
+1-partition question: keep a tiny table of `(file, min(col), max(col),
+rows)` and intersect the query predicate with it BEFORE the scan, so Spark
+plans over only the overlapping files.
+
+This module is the engine-level version for plain parquet directories:
+- `file_column_stats` builds the manifest with one pass over the data
+  (grouping on the hidden `_metadata.file_path` column — no extra shuffle
+  key materialized, map-side combine on an O(files) key space). Build once
+  at write time, persist next to the data, reuse per query.
+- `prune_files` intersects a `[lo, hi]` predicate with the manifest —
+  manifest-sized work (O(files) rows, driver collects just the path list).
+- `pruned_read` reads only the surviving files and re-applies the exact
+  predicate (file-level stats are necessary, not sufficient).
+
+Effectiveness = clustering: stats on a column the writer range-clustered
+(`sources.sinks.write_clustered_path`) prune to `selectivity + 1` files;
+stats on a random column prune nothing. The pytest asserts the former.
+
+Correctness contract (and the catalog oracle): pruned read ≡ full scan +
+filter, always — pruning only removes files the predicate provably cannot
+match (min/max are inclusive bounds over the file's rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file min/max/rows manifest for `cols`.
+
+    `df` must come straight from a file source (`spark.read.parquet(dir)`)
+    so `_metadata.file_path` resolves. One scan, aggregated on the file
+    path — partial aggregation makes this O(files) shuffle rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
+        .groupBy("file_path")
+        .agg(*aggs)
+    )
+
+
+def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
+    """Paths whose [min,max] envelope intersects [lo, hi]. Manifest-sized
+    driver work: the collect is O(files), never O(rows)."""
+    hit = manifest.where(
+        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    ).select("file_path")
+    return [r.file_path for r in hit.collect()]
+
+
+def pruned_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files that can contain `col ∈ [lo, hi]`, then apply
+    the exact predicate. Returns an empty-but-typed frame when nothing
+    survives pruning."""
+    files = prune_files(manifest, col, lo, hi)
+    if not files:
+        any_file = [r.file_path for r in manifest.select("file_path").limit(1).collect()]
+        base = spark.read.parquet(*any_file)
+        return base.where(F.lit(False))
+    return spark.read.parquet(*files).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )

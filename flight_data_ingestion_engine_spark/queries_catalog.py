@@ -3952,3 +3952,75 @@ def q_pack_contexts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@_q(
+    "manifest_pruned_scan",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping scan: stage a range-clustered copy of events (10
+    ts-sorted files), build the per-file min/max manifest, and answer a
+    2-day range aggregate reading ONLY the files whose envelope intersects
+    the range. The oracle is the same aggregate over the full table —
+    pruning must be invisible in the values (manifest correctness
+    contract, operators/manifest.py)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        pruned_read,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    ev = _t(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="fdie_manifest_") + "/events_clustered"
+    write_clustered_path(ev, staged, cluster_by=["ts"], n_files=10)
+
+    manifest = file_column_stats(spark.read.parquet(staged), ["ts"])
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    picked = pruned_read(
+        spark, manifest, "ts", F.to_timestamp(F.lit(lo)), F.to_timestamp(F.lit(hi))
+    )
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@_q(
+    "approx_distinct_bounded",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS bound_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-style oracle for the HLL++ sketch: the query returns the
+    exact distinct count plus a boolean asserting the sketch estimate
+    landed within 3×rsd (rsd=0.05) of it. The oracle can't reproduce the
+    estimate, but it CAN pin the exact count and demand bound_ok=TRUE —
+    hash-matching iff the sketch honors its error contract (deterministic:
+    HLL++ has no RNG)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct"))
+            <= F.lit(0.15) * F.col("exact_distinct")
+        ).alias("bound_ok"),
+    )

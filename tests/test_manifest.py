@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.manifest import (
+    file_column_stats,
+    prune_files,
+    pruned_read,
+)
+from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+
+def _staged(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = tempfile.mkdtemp(prefix="fdie_manifest_t_") + "/ev"
+    write_clustered_path(ev, path, cluster_by=["event_id"], n_files=8)
+    return path
+
+
+def test_manifest_covers_all_files_and_rows(spark, sf_dir):
+    path = _staged(spark, sf_dir)
+    m = file_column_stats(spark.read.parquet(path), ["event_id"]).collect()
+    assert len(m) == 8
+    total = spark.read.parquet(path).count()
+    assert sum(r.n_rows for r in m) == total
+    for r in m:
+        assert r.min_event_id <= r.max_event_id
+
+
+def test_prune_skips_disjoint_files(spark, sf_dir):
+    path = _staged(spark, sf_dir)
+    df = spark.read.parquet(path)
+    m = file_column_stats(df, ["event_id"])
+    n = df.count()
+    # a narrow id range must hit a strict subset of the 8 disjoint files
+    picked = prune_files(m, "event_id", 10, 10 + n // 20)
+    assert 0 < len(picked) < 8
+
+
+def test_pruned_read_equals_full_filter(spark, sf_dir):
+    path = _staged(spark, sf_dir)
+    df = spark.read.parquet(path)
+    m = file_column_stats(df, ["event_id"])
+    lo, hi = 100, 700
+    got = sorted(
+        r.event_id for r in pruned_read(spark, m, "event_id", lo, hi).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in df.where((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pruned_read_empty_range(spark, sf_dir):
+    path = _staged(spark, sf_dir)
+    df = spark.read.parquet(path)
+    m = file_column_stats(df, ["event_id"])
+    out = pruned_read(spark, m, "event_id", -500, -100)
+    assert out.count() == 0
+    assert "event_type" in out.columns  # schema survives the empty path

@@ -57,6 +57,31 @@ def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
     return [r.file_path for r in hit.collect()]
 
 
+def prune_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> list[str]:
+    """Paths whose envelopes intersect EVERY `[lo, hi]` box — the
+    multi-dimensional companion (pair with a z-ordered layout so several
+    dimensions are simultaneously tight)."""
+    cond = F.lit(True)
+    for col, (lo, hi) in boxes.items():
+        cond = cond & (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    return [r.file_path for r in manifest.where(cond).select("file_path").collect()]
+
+
+def pruned_read_multi(
+    spark: SparkSession, manifest: DataFrame, boxes: dict[str, tuple]
+) -> DataFrame:
+    """Read only files overlapping every box, then apply the exact
+    conjunctive predicate."""
+    files = prune_files_multi(manifest, boxes)
+    cond = F.lit(True)
+    for col, (lo, hi) in boxes.items():
+        cond = cond & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not files:
+        any_file = [r.file_path for r in manifest.select("file_path").limit(1).collect()]
+        return spark.read.parquet(*any_file).where(F.lit(False))
+    return spark.read.parquet(*files).where(cond)
+
+
 def pruned_read(
     spark: SparkSession,
     manifest: DataFrame,

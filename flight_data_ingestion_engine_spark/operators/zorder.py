@@ -1,0 +1,82 @@
+"""Z-order (Morton) multi-dimensional clustering.
+
+Range-clustering on one column (`sources.sinks.write_clustered_path`)
+makes single-column range predicates prunable; it does nothing for a
+predicate on a *second* column. Interleaving the bits of several columns
+into one Morton code and range-clustering on THAT gives every file a small
+hyper-rectangle of the combined key space, so per-file min/max stats on
+each ORIGINAL column stay tight and a multi-dimensional box predicate
+prunes files on every dimension at once — the `OPTIMIZE ... ZORDER BY`
+layout move, built here from plain bit arithmetic (`shiftright`, `&`,
+`|` — whole-stage codegen, no UDF).
+
+The bit math is engine-portable: `zvalue_sql` emits the equivalent ANSI
+expression so the DuckDB oracle reproduces the exact interleaving, and the
+correctness query proves layout is value-invisible (pruned scan ≡ full
+scan + filter).
+
+Scale notes (100 TB): the z-value is a narrow projection (no shuffle); the
+clustered write pays one range shuffle, amortized by every pruned read.
+Skewed dimensions degrade gracefully — interleaving only reorders, never
+drops; worst case is un-pruned files, never wrong rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton code of `cols`: interleave the low `bits` bits of each
+    column (values are masked to the bit width first — callers pre-scale
+    to non-negative ints; 2 cols × 16 bits → a 32-bit code).
+
+    Bit b of column j lands at position b*ncols + j.
+    """
+    ncols = len(cols)
+    mask = (1 << bits) - 1
+    out = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        x = (F.col(c) if isinstance(c, str) else c).cast("bigint").bitwiseAND(F.lit(mask))
+        for b in range(bits):
+            bit = F.shiftright(x, b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * ncols + j))
+    return out
+
+
+def zvalue_sql(exprs: list[str], bits: int = 16) -> str:
+    """DuckDB/ANSI twin of `zvalue` over the given SQL expressions —
+    bit-identical by construction (same shifts, same masks)."""
+    ncols = len(exprs)
+    mask = (1 << bits) - 1
+    parts = []
+    for j, e in enumerate(exprs):
+        x = f"(CAST({e} AS BIGINT) & {mask})"
+        for b in range(bits):
+            parts.append(f"((({x} >> {b}) & 1) << {b * ncols + j})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[Column],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` range-clustered by the Morton code of `cols` (already
+    scaled to non-negative ints by the caller). Each output file covers a
+    compact hyper-rectangle of the key space; pair with
+    `manifest.file_column_stats` on the raw columns for multi-dimensional
+    pruning."""
+    z = zvalue(cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

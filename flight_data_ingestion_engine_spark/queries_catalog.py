@@ -4024,3 +4024,90 @@ def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.15) * F.col("exact_distinct")
         ).alias("bound_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (operators/zorder.py): bit-interleaved multi-dim layout
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle_expr() -> str:
+    from flight_data_ingestion_engine_spark.operators.zorder import zvalue_sql
+
+    return zvalue_sql(
+        ["user_id", "date_diff('minute', TIMESTAMP '2024-01-01', ts)"], bits=16
+    )
+
+
+@_q(
+    "zorder_codes",
+    f"""
+    SELECT event_id, CAST({_zorder_oracle_expr()} AS BIGINT) AS z
+    FROM events WHERE event_id < 200
+    """,
+)
+def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code parity check: the Spark bit-interleaving expression and
+    the SQL twin emitted by zvalue_sql produce identical codes for
+    (user_id, minutes-since-2024). Pure codegen bit math, no UDF."""
+    from flight_data_ingestion_engine_spark.operators.zorder import zvalue
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    minutes = (
+        (F.col("ts").cast("timestamp").cast("long") - F.to_timestamp(F.lit("2024-01-01")).cast("long"))
+        / 60
+    ).cast("bigint")
+    return ev.select(
+        "event_id", zvalue([F.col("user_id"), minutes], bits=16).alias("z")
+    )
+
+
+@_q(
+    "zorder_pruned_scan",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id >= 100 AND user_id <= 160
+      AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional data skipping: stage events z-ordered on
+    (user_id, minute), build per-file stats on BOTH raw columns, and
+    answer a (user-range × time-range) box aggregate reading only files
+    whose envelopes intersect on both dimensions. The oracle is the same
+    box aggregate over the full table — layout must be value-invisible."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        pruned_read_multi,
+    )
+    from flight_data_ingestion_engine_spark.operators.zorder import zorder_write
+
+    ev = _t(spark, sf_dir, "events")
+    minutes = (
+        (F.col("ts").cast("timestamp").cast("long") - F.to_timestamp(F.lit("2024-01-01")).cast("long"))
+        / 60
+    ).cast("bigint")
+    staged = tempfile.mkdtemp(prefix="fdie_zorder_") + "/events_z"
+    zorder_write(ev, staged, cols=[F.col("user_id"), minutes], n_files=16)
+
+    manifest = file_column_stats(spark.read.parquet(staged), ["user_id", "ts"])
+    picked = pruned_read_multi(
+        spark,
+        manifest,
+        {
+            "user_id": (100, 160),
+            "ts": (
+                F.to_timestamp(F.lit("2024-01-08 00:00:00")),
+                F.to_timestamp(F.lit("2024-01-16 00:00:00")),
+            ),
+        },
+    )
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

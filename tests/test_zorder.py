@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.manifest import (
+    file_column_stats,
+    prune_files_multi,
+    pruned_read_multi,
+)
+from flight_data_ingestion_engine_spark.operators.zorder import (
+    zorder_write,
+    zvalue,
+    zvalue_sql,
+)
+from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    # bit b of col j at position b*2+j: a=101, b=011 ->
+    # pos0=a0=1, pos1=b0=1, pos2=a1=0, pos3=b1=1, pos4=a2=1, pos5=b2=0
+    # reading pos5..pos0: 011011
+    got = df.select(zvalue(["a", "b"], bits=3).alias("z")).collect()[0].z
+    assert got == 0b011011
+
+
+def test_zvalue_sql_twin_matches(spark):
+    rows = [(i, (i * 37) % 501, (i * 91) % 977) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    df.createOrReplaceTempView("zt")
+    sql_z = spark.sql(
+        f"SELECT id, CAST({zvalue_sql(['a', 'b'], bits=10)} AS BIGINT) AS z FROM zt"
+    )
+    col_z = df.select("id", zvalue(["a", "b"], bits=10).alias("z"))
+    assert sorted(map(tuple, sql_z.collect())) == sorted(map(tuple, col_z.collect()))
+
+
+def _box_files(spark, path, boxes):
+    m = file_column_stats(spark.read.parquet(path), list(boxes))
+    return len(prune_files_multi(m, boxes)), m
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    lo_u, hi_u = 5, 20
+    base = tempfile.mkdtemp(prefix="fdie_zorder_t_")
+
+    minutes = (
+        (F.col("ts").cast("long") - F.to_timestamp(F.lit("2024-01-01")).cast("long")) / 60
+    ).cast("bigint")
+    zpath = base + "/z"
+    zorder_write(ev, zpath, cols=[F.col("user_id"), minutes], n_files=8)
+
+    upath = base + "/u"
+    write_clustered_path(ev, upath, cluster_by=["user_id"], n_files=8)
+
+    ts_lo = "2024-01-03 00:00:00"
+    ts_hi = "2024-01-06 00:00:00"
+    boxes = {"user_id": (lo_u, hi_u), "ts": (ts_lo, ts_hi)}
+
+    nz, mz = _box_files(spark, zpath, boxes)
+    # z-order must prune: the box covers a small corner of the key space
+    assert 0 < nz < 8
+
+    # correctness: pruned read == full filter, on both layouts
+    want = (
+        ev.where(
+            (F.col("user_id") >= lo_u)
+            & (F.col("user_id") <= hi_u)
+            & (F.col("ts") >= ts_lo)
+            & (F.col("ts") <= ts_hi)
+        ).count()
+    )
+    assert pruned_read_multi(spark, mz, boxes).count() == want
+    mu = file_column_stats(spark.read.parquet(upath), ["user_id", "ts"])
+    assert pruned_read_multi(spark, mu, boxes).count() == want
+    assert n == spark.read.parquet(zpath).count()  # layout loses nothing

@@ -392,3 +392,67 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cosine)
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query.
+
+    Bit-exactness design (same contract as `tfidf_cosine_pairs`): the idf
+    is the integer-scaled rational `((N - df + 1) * scale) div (df + 1)` —
+    floor division, no logarithm — because `ln` is the one BM25 ingredient
+    whose low bits differ across math libraries. tf and dl come straight
+    from the token array (`size(filter(...))` — no explode, no shuffle),
+    and the per-term score is a fixed-shape double expression
+    (`idf * tf * (k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)`) whose +,*,/
+    steps are IEEE-correctly-rounded, so any engine replaying the same
+    expression over the same integers reproduces the score bitwise. The
+    final score sums the per-term columns in list order (fixed
+    association), never through an unordered SUM aggregate.
+
+    One corpus scan for (tf, dl), one 1-row global agg for (N, total_dl,
+    df per term) broadcast back — no shuffle touches document text.
+    """
+    toks = F.filter(terms(text_col), lambda x: x != F.lit(""))
+
+    def _tf(term: str):
+        # NOTE: a `lambda x, t=term:` default-arg capture would change the
+        # lambda's arity — PySpark treats 2-param lambdas as (element,
+        # index) and passes the index as the second argument.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl"),
+        *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    totals = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(totals))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = None
+    for i in range(len(query_terms)):
+        # true integer `div` (not double / + truncate: the double quotient
+        # can land one ulp under an exact integer and floor off by one)
+        idf = F.expr(
+            f"CAST(((_n - _df_{i} + 1) * {idf_scale}) div (_df_{i} + 1) AS DOUBLE)"
+        )
+        tf = F.col(f"_tf_{i}")
+        s_i = (idf * tf * F.lit(k1 + 1.0)) / (
+            tf + F.lit(k1 * (1.0 - b)) + F.lit(k1 * b) * F.col("_dl") / avgdl
+        )
+        score = s_i if score is None else score + s_i
+    return scored.select(F.col(id_col), score.alias("bm25"))

@@ -4111,3 +4111,94 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+@_q(
+    "bm25_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '') AS tk
+      FROM documents
+    ), per AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(tk, x -> x = 'scan')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2
+      FROM toks
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM per
+    ), scored AS (
+      SELECT doc_id,
+        ((CAST(((n - df0 + 1) * 1000000) // (df0 + 1) AS DOUBLE) * tf0 * 2.2)
+           / ((tf0 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n)))
+        + (CAST(((n - df1 + 1) * 1000000) // (df1 + 1) AS DOUBLE) * tf1 * 2.2)
+           / ((tf1 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n))))
+        + (CAST(((n - df2 + 1) * 1000000) // (df2 + 1) AS DOUBLE) * tf2 * 2.2)
+           / ((tf2 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n))) AS bm25
+      FROM per, tot
+    )
+    SELECT rank, doc_id, bm25 FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for the fixed query (spark, scan, vector).
+    Integer-idf BM25 variant (no ln — floor-division idf) so every score
+    is a fixed-shape IEEE expression over exact integers and the oracle
+    reproduces it bitwise; see operators/corpus.py::bm25_scores."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(docs, ["spark", "scan", "vector"])
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "doc_id", "bm25")
+    )
+
+
+@_q(
+    "approx_quantile_bounded",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_p50,
+           TRUE AS bound_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-style oracle for the GK quantile sketch: the query returns
+    the exact per-group median plus a boolean asserting the sketch
+    estimate's RANK sits within the sketch's guaranteed rank error
+    (1/accuracy, + slack for ties). The oracle pins the exact median and
+    demands bound_ok=TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_est"),
+        F.percentile("value", 0.5).alias("exact_p50"),
+    )
+    ranked = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_p50").alias("exact_p50"),
+            (
+                F.abs(
+                    F.sum((F.col("value") <= F.col("_est")).cast("long"))
+                    / F.count(F.lit(1))
+                    - F.lit(0.5)
+                )
+                <= F.lit(0.01)
+            ).alias("bound_ok"),
+        )
+    )
+    return ranked.select("event_type", "exact_p50", "bound_ok")

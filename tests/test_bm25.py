@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.corpus import bm25_scores
+
+
+def _corpus(spark):
+    rows = [
+        (1, "spark spark spark join"),
+        (2, "spark join table"),
+        (3, "table join scan filter"),
+        (4, "completely unrelated words here"),
+        (5, "spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_orders_by_relevance(spark):
+    scores = {r.doc_id: r.bm25 for r in bm25_scores(_corpus(spark), ["spark"]).collect()}
+    # more occurrences -> higher score; absent term -> exactly 0
+    assert scores[1] > scores[2] > 0
+    assert scores[3] == 0.0 and scores[4] == 0.0
+    # short doc with one hit beats long doc with one hit (length norm)
+    assert scores[5] > scores[2]
+
+
+def test_bm25_multi_term_is_sum(spark):
+    docs = _corpus(spark)
+    both = bm25_scores(docs, ["spark", "join"])
+    s = bm25_scores(docs, ["spark"]).withColumnRenamed("bm25", "a")
+    j = bm25_scores(docs, ["join"]).withColumnRenamed("bm25", "b")
+    merged = both.join(s, "doc_id").join(j, "doc_id")
+    for r in merged.collect():
+        assert abs(r.bm25 - (r.a + r.b)) < 1e-9
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    rows = [(i, "common filler " + ("rare" if i == 0 else "noise")) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    # doc 0 has the rare term: its score dominates docs with only 'common'
+    assert sc[0] > max(v for k, v in sc.items() if k != 0)

@@ -57,6 +57,34 @@ def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
     return [r.file_path for r in hit.collect()]
 
 
+def update_file_stats(
+    spark: SparkSession,
+    manifest: DataFrame | None,
+    data_path: str,
+    cols: list[str],
+) -> DataFrame:
+    """Incrementally maintain a manifest: scan ONLY files not already
+    covered and union their stats in.
+
+    This is what makes manifests viable at 100 TB: the initial build scans
+    everything once, but each append afterwards costs one scan of the NEW
+    files (an anti-join of the directory listing against the manifest picks
+    them out — O(files) driver work, no data read for covered files).
+    Pass `manifest=None` for the initial build.
+    """
+    listed = spark.read.parquet(data_path).select(
+        F.col("_metadata.file_path").alias("file_path")
+    ).distinct()
+    if manifest is None:
+        return file_column_stats(spark.read.parquet(data_path), cols)
+    known = manifest.select("file_path")
+    new_files = [r.file_path for r in listed.join(known, "file_path", "left_anti").collect()]
+    if not new_files:
+        return manifest
+    fresh = file_column_stats(spark.read.parquet(*new_files), cols)
+    return manifest.unionByName(fresh)
+
+
 def prune_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> list[str]:
     """Paths whose envelopes intersect EVERY `[lo, hi]` box — the
     multi-dimensional companion (pair with a z-ordered layout so several

@@ -158,3 +158,48 @@ def stream_interval_join(
         & (rw[rt] <= lw[left_time])
     )
     return lw.join(rw, cond).drop(rw[on])
+
+
+def foreach_batch_manifest_sink(
+    stream: DataFrame,
+    out_path: str,
+    manifest_path: str,
+    stat_cols: Sequence[str],
+    checkpoint_dir: str,
+):
+    """Append a stream to a parquet path while maintaining its data-skipping
+    manifest (operators/manifest.py) in the same foreachBatch transaction.
+
+    Per micro-batch: append the batch's rows, then incrementally extend the
+    manifest with stats for ONLY the files the append created
+    (`update_file_stats` anti-joins the directory listing — covered files
+    are never re-read). The manifest is O(files), so the maintenance cost
+    per batch is one scan of the new files plus a tiny overwrite; readers
+    get `pruned_read` on a path that is continuously ingesting.
+
+    Failure contract: the manifest write lands after the data write, so a
+    crash between them leaves covered-but-unindexed files; the next batch's
+    anti-join heals exactly that gap (maintenance is idempotent).
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from flight_data_ingestion_engine_spark.operators.manifest import (
+            update_file_stats,
+        )
+
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(out_path)
+        try:
+            old = spark.read.parquet(manifest_path)
+        except Exception:
+            old = None
+        updated = update_file_stats(spark, old, out_path, list(stat_cols))
+        # the manifest overwrite reads from its own previous version: cut
+        # the dependency with an eager materialization (manifest is O(files))
+        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(manifest_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

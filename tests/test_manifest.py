@@ -61,3 +61,64 @@ def test_pruned_read_empty_range(spark, sf_dir):
     out = pruned_read(spark, m, "event_id", -500, -100)
     assert out.count() == 0
     assert "event_type" in out.columns  # schema survives the empty path
+
+
+def test_update_file_stats_incremental_equals_rebuild(spark, sf_dir):
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="fdie_manifest_i_") + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(base)
+
+    from flight_data_ingestion_engine_spark.operators.manifest import update_file_stats
+
+    m1 = update_file_stats(spark, None, base, ["event_id"]).localCheckpoint()
+    # append a second tranche of files, then update incrementally
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(base)
+    m2 = update_file_stats(spark, m1, base, ["event_id"])
+    full = update_file_stats(spark, None, base, ["event_id"])
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, full.collect()))
+    # no new files -> same frame back, no growth
+    m3 = update_file_stats(spark, m2, base, ["event_id"])
+    assert m3.count() == m2.count()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_manifest_sink_tracks_appends(spark, sf_dir):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_manifest_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_manifest_s_")
+    src, out, man, ck = (f"{root}/{d}" for d in ["src", "out", "man", "ck"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    # two source files -> maxFilesPerTrigger=1 gives two micro-batches
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = foreach_batch_manifest_sink(stream, out, man, ["event_id"], ck).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    data = spark.read.parquet(out)
+    manifest = spark.read.parquet(man)
+    n_files = data.select(F.col("_metadata.file_path")).distinct().count()
+    assert manifest.count() == n_files
+    assert manifest.agg(F.sum("n_rows")).collect()[0][0] == ev.count()
+    # the manifest is usable for pruning the live path
+    from flight_data_ingestion_engine_spark.operators.manifest import pruned_read
+
+    lo, hi = 10, 50
+    got = pruned_read(spark, manifest, "event_id", lo, hi).count()
+    want = data.where((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).count()
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)

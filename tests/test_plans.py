@@ -170,3 +170,24 @@ def test_corpus_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_mixing_layout_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the mixing / layout / ranking queries. The
+    md5-order key and BM25 tf/dl extraction are pure projections (zero
+    exchanges before their one window or broadcast-agg step); the pruned
+    scans aggregate over the few surviving files."""
+    max_exchanges = {
+        "shuffle_rank_docs": 0,       # key projection + single-partition top-k
+        "mixture_sample_docs": 1,     # per-lang window; agg reuses the key
+        "pack_contexts_docs": 1,      # per-source window; agg reuses the key
+        "bm25_rank": 0,               # scan-side tf/dl, broadcast totals
+        "zorder_codes": 0,            # pure bit-math projection
+        "approx_distinct_bounded": 2, # sketch agg + rank-check agg
+        "manifest_pruned_scan": 1,    # final grouped agg over pruned files
+        "zorder_pruned_scan": 1,      # final grouped agg over pruned files
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

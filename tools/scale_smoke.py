@@ -206,6 +206,59 @@ def main() -> None:
         )
         assert srp_project(vecs, "vec_id", n_planes=8).count() == 50_000 * 8
 
+    # -- mixing / ranking / layout (round-2 additions) ---------------------
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        mixture_sample,
+        pack_contexts_summary,
+    )
+
+    docs_sized = docs.withColumn("n_tok", F.lit(80)).withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("zh"), F.lit("de")),
+                             (F.pmod(F.xxhash64("id", F.lit(9)), 3) + 1).cast("int"))
+    )
+
+    with stage(f"mixture_sample_{n_docs}_docs"):
+        picked = mixture_sample(
+            docs_sized, group_col="lang",
+            weight_by_group={"en": 0.6, "zh": 0.3, "de": 0.1},
+            total_budget=n_docs * 40, size_col="n_tok", id_col="id",
+        )
+        assert 0 < picked.count() < n_docs
+
+    with stage(f"pack_contexts_{n_docs}_docs"):
+        packed = pack_contexts_summary(
+            docs_sized, group_col="lang", size_col="n_tok", id_col="id",
+            context_size=2048,
+        )
+        assert packed.count() > 0
+
+    from flight_data_ingestion_engine_spark.operators.corpus import bm25_scores
+
+    with stage(f"bm25_{n_docs}_docs"):
+        # one corpus scan + broadcast totals: must stay scan-bound
+        assert bm25_scores(docs, ["w1", "w2", "w3"], id_col="id").count() == n_docs
+
+    import shutil
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        pruned_read,
+    )
+    from flight_data_ingestion_engine_spark.operators.zorder import zorder_write
+
+    with stage("zorder_write_prune_5m"):
+        zroot = tempfile.mkdtemp(prefix="fdie_smoke_z_") + "/ev"
+        minutes = ((F.col("ts").cast("long")) / 60).cast("bigint")
+        zorder_write(
+            ev.select("id", "user_id", "ts"), zroot,
+            cols=[F.col("user_id"), minutes], n_files=32,
+        )
+        m = file_column_stats(spark.read.parquet(zroot), ["user_id"])
+        hit = pruned_read(spark, m, "user_id", 100, 200)
+        assert hit.count() > 0
+        shutil.rmtree(zroot, ignore_errors=True)
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

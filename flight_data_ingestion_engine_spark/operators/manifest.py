@@ -85,6 +85,64 @@ def update_file_stats(
     return manifest.unionByName(fresh)
 
 
+def targeted_delete(
+    spark: SparkSession,
+    data_path: str,
+    manifest: DataFrame,
+    col: str,
+    values: list,
+) -> DataFrame:
+    """Delete rows matching `col IN values` by rewriting ONLY the files
+    whose [min,max] envelope can contain any of the values — the
+    manifest-pruned version of a takedown / right-to-be-forgotten pass.
+
+    At 100 TB a delete request for a handful of ids must not rewrite the
+    corpus; with an id-clustered layout the envelope test touches a few
+    files and every other byte stays in place (unchanged files are not
+    read, not rewritten, and keep their stats rows).
+
+    Returns the refreshed manifest. Rewrite protocol per affected file:
+    write the survivors to a temp sibling, then atomically swap — here
+    modeled as overwrite-in-place per file group via a staging subdir
+    (single-writer assumption, like compaction).
+    """
+    import os
+    import shutil
+    import uuid
+
+    # a file is affected iff SOME requested value falls inside its
+    # envelope — per-value test, not the [min(values), max(values)] hull,
+    # so files sitting between two sparse ids are left untouched
+    cond = None
+    for v in values:
+        c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
+        cond = c if cond is None else (cond | c)
+    affected = [r.file_path for r in manifest.where(cond).select("file_path").collect()]
+    if not affected:
+        return manifest
+    survivors = spark.read.parquet(*affected).where(~F.col(col).isin(values))
+    staging = os.path.join(data_path, f"_delete_staging_{uuid.uuid4().hex[:8]}")
+    survivors.write.parquet(staging)
+    from urllib.parse import urlparse
+
+    for p in affected:
+        # _metadata.file_path is a URI (file:/..., file:///..., hdfs://...)
+        os.remove(urlparse(p).path)
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(staging, name), os.path.join(data_path, name))
+    shutil.rmtree(staging, ignore_errors=True)
+    kept = manifest.where(~F.col("file_path").isin(affected))
+    return update_file_stats(
+        spark, kept.localCheckpoint(eager=True), data_path, _stat_cols(manifest)
+    )
+
+
+def _stat_cols(manifest: DataFrame) -> list[str]:
+    """Recover the stat column list from a manifest's schema."""
+    return [c.removeprefix("min_") for c in manifest.columns if c.startswith("min_")]
+
+
 def prune_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> list[str]:
     """Paths whose envelopes intersect EVERY `[lo, hi]` box — the
     multi-dimensional companion (pair with a z-ordered layout so several

@@ -157,3 +157,43 @@ def pack_contexts_summary(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(size_col).cast("long")).alias("n_tokens"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    mult_a: int = 2654435761,
+    mult_b: int = 40503,
+) -> DataFrame:
+    """k deterministic pseudo-random negatives per anchor row.
+
+    Ranks rows densely (row_number over id order), then maps each anchor
+    rank r to negatives `(r + 1 + (r*A + j*B) mod (N-1)) mod N` for
+    j=1..k — never the anchor itself (the offset is in [1, N-1]), engine-
+    portable integer arithmetic (same Knuth-multiplicative constants on
+    both sides), and join-back from rank to id. Collisions BETWEEN a row's
+    k negatives are possible and accepted (k distinct draws would need
+    rejection loops; training pipelines tolerate duplicate negatives).
+
+    Two shuffles: the dense-rank window and the rank→id join-back (the
+    join-back side is (rank, id) — narrow, broadcastable when ids fit).
+    """
+    w = Window.orderBy(id_col)
+    ranked = df.select(F.col(id_col)).withColumn("_r", F.row_number().over(w) - 1)
+    n = ranked.count()
+    lookup = F.broadcast(
+        ranked.select(F.col("_r").alias("_nr"), F.col(id_col).alias("neg_id"))
+    )
+    out = None
+    for j in range(1, k + 1):
+        neg_r = (
+            F.col("_r")
+            + 1
+            + ((F.col("_r") * F.lit(mult_a) + F.lit(j * mult_b)) % F.lit(n - 1))
+        ) % F.lit(n)
+        part = ranked.select(
+            F.col(id_col).alias("anchor_id"), F.lit(j).alias("j"), neg_r.alias("_nr")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.join(lookup, "_nr").select("anchor_id", "j", "neg_id")

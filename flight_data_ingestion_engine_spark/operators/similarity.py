@@ -266,3 +266,46 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 5,
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Top-k most-similar corpus vectors with a DIFFERENT label per query —
+    contrastive-training hard-negative mining.
+
+    Same plan shape as `topk_brute_force` (broadcast corpus, one dot per
+    pair, per-query window top-k) with the label-exclusion predicate pushed
+    into the join, so cross-label pairs never rank. At scale, swap the
+    broadcast cross join for the LSH/IVF candidate generators and keep the
+    exclusion predicate on the candidate join.
+    """
+    q = ensure_parallelism(queries).select(
+        F.col(query_id).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(label_col).alias("c_label"),
+        unit_normalize(F.col(vec_col)).alias("c_vec"),
+    )
+    if broadcast_corpus:
+        c = F.broadcast(c)
+    scored = (
+        q.join(c, F.col("q_label") != F.col("c_label"))
+        .select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
+    )

@@ -4202,3 +4202,68 @@ def q_approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.select("event_type", "exact_p50", "bound_ok")
+
+
+@_q(
+    "hard_negatives_topk",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 10)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_dot_product(q.v, n.v) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, n.v) DESC, n.vec_id ASC) AS rank
+      FROM q JOIN n ON q.label <> n.label)
+    WHERE rank <= 3
+    """,
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 3 most-similar vectors with a DIFFERENT label (broadcast corpus,
+    label exclusion pushed into the join)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        emb.withColumnRenamed("vec_id", "neighbor_id"),
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=3,
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@_q(
+    "negative_sample_pairs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    picks AS (
+      SELECT doc_id AS anchor_id, j,
+             (r + 1 + ((r * 2654435761 + j * 40503) % (n.n - 1))) % n.n AS nr
+      FROM ranked, n, (SELECT UNNEST([1, 2, 3]) AS j)
+    )
+    SELECT p.anchor_id, p.j, rk.doc_id AS neg_id
+    FROM picks p JOIN ranked rk ON rk.r = p.nr
+    """,
+)
+def q_negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic pseudo-random negatives per document — the
+    contrastive-pair generator, engine-portable integer arithmetic (no
+    rand()), never sampling the anchor itself."""
+    from flight_data_ingestion_engine_spark.operators.mixing import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_samples(docs, id_col="doc_id", k=3).select(
+        F.col("anchor_id"), F.col("j").cast("bigint").alias("j"), F.col("neg_id")
+    )

@@ -122,3 +122,41 @@ def test_streaming_manifest_sink_tracks_appends(spark, sf_dir):
     want = data.where((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).count()
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir):
+    import os
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        targeted_delete,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_delete_")
+    path = root + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_clustered_path(ev, path, cluster_by=["user_id"], n_files=8)
+
+    before_files = set(os.listdir(path))
+    m = file_column_stats(spark.read.parquet(path), ["user_id"]).localCheckpoint()
+    total = ev.count()
+
+    victims = [3, 7]
+    n_victim_rows = ev.where(F.col("user_id").isin(victims)).count()
+    assert n_victim_rows > 0
+
+    m2 = targeted_delete(spark, path, m, "user_id", victims)
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("user_id").isin(victims)).count() == 0
+    assert after.count() == total - n_victim_rows
+    # files with envelopes not covering the victims survive byte-untouched
+    untouched = before_files & set(os.listdir(path))
+    assert untouched, "expected some files to survive the delete"
+    assert len(untouched) < len(before_files)  # and some were rewritten
+    # refreshed manifest covers exactly the current files and row total
+    assert m2.agg(F.sum("n_rows")).collect()[0][0] == total - n_victim_rows
+    files_now = after.select(F.col("_metadata.file_path")).distinct().count()
+    assert m2.count() == files_now
+    shutil.rmtree(root, ignore_errors=True)

@@ -92,3 +92,33 @@ def test_pack_summary_token_totals(spark):
         F.min("window_id").alias("lo"), F.countDistinct("window_id").alias("n")
     ).collect():
         assert r.lo == 0
+
+
+def test_negative_samples_never_anchor_and_deterministic(spark):
+    from flight_data_ingestion_engine_spark.operators.mixing import negative_samples
+
+    d = _docs(spark).select("doc_id")
+    a = negative_samples(d, "doc_id", k=3)
+    rows = a.collect()
+    assert len(rows) == 60 * 3
+    assert all(r.anchor_id != r.neg_id for r in rows)
+    b = negative_samples(d.repartition(7), "doc_id", k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import hard_negatives
+
+    rows = [(i, i % 2, [float(i % 5), 1.0, float(i % 3)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vid long, label int, embedding array<double>")
+    out = hard_negatives(
+        emb.where(F.col("vid") < 5).withColumnRenamed("vid", "qid"),
+        emb.withColumnRenamed("vid", "cid"),
+        query_id="qid",
+        corpus_id="cid",
+        k=4,
+    )
+    labels = {r.vid: r.label for r in emb.select(F.col("vid"), "label").collect()}
+    for r in out.collect():
+        assert labels[r.qid] != labels[r.cid]
+    assert out.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 4

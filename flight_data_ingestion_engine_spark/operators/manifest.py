@@ -85,6 +85,29 @@ def update_file_stats(
     return manifest.unionByName(fresh)
 
 
+def maintain_path(
+    spark: SparkSession,
+    path: str,
+    manifest: DataFrame | None,
+    cols: list[str],
+    target_file_bytes: int = 128 << 20,
+) -> tuple[DataFrame, dict]:
+    """OPTIMIZE-style table maintenance: compact small files, then bring
+    the data-skipping manifest back in sync.
+
+    Compaction rewrites every file it touches, so a skipped compaction
+    gets the cheap incremental manifest update while an actual rewrite
+    gets a full (one-scan) rebuild. Run per table partition, like
+    `compact_path` itself. Returns (manifest, compaction_stats).
+    """
+    from flight_data_ingestion_engine_spark.sources.sinks import compact_path
+
+    stats = compact_path(spark, path, target_file_bytes=target_file_bytes)
+    if stats["skipped"]:
+        return update_file_stats(spark, manifest, path, cols), stats
+    return file_column_stats(spark.read.parquet(path), cols), stats
+
+
 def targeted_delete(
     spark: SparkSession,
     data_path: str,

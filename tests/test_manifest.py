@@ -160,3 +160,37 @@ def test_targeted_delete_rewrites_only_affected_files(spark, sf_dir):
     files_now = after.select(F.col("_metadata.file_path")).distinct().count()
     assert m2.count() == files_now
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_maintain_path_compacts_and_refreshes_manifest(spark, sf_dir):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        maintain_path,
+        pruned_read,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_maint_")
+    path = root + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    # simulate a drip of tiny appends: 6 single-file writes
+    for i in range(6):
+        ev.where(F.col("event_id") % 6 == i).coalesce(1).write.mode("append").parquet(path)
+
+    m0 = file_column_stats(spark.read.parquet(path), ["event_id"]).localCheckpoint()
+    assert m0.count() == 6
+    total = ev.count()
+
+    m1, stats = maintain_path(spark, path, m0, ["event_id"], target_file_bytes=1 << 30)
+    assert stats["files_before"] == 6 and stats["files_after"] < 6
+    data = spark.read.parquet(path)
+    assert data.count() == total
+    assert m1.count() == stats["files_after"]
+    lo, hi = 100, 300
+    got = pruned_read(spark, m1, "event_id", lo, hi).count()
+    assert got == ev.where((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).count()
+    # idempotent second pass: nothing to compact, incremental manifest reuse
+    m2, stats2 = maintain_path(spark, path, m1.localCheckpoint(), ["event_id"], target_file_bytes=1 << 30)
+    assert stats2["skipped"] and m2.count() == m1.count()
+    shutil.rmtree(root, ignore_errors=True)

@@ -4267,3 +4267,80 @@ def q_negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(docs, id_col="doc_id", k=3).select(
         F.col("anchor_id"), F.col("j").cast("bigint").alias("j"), F.col("neg_id")
     )
+
+
+@_q(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped BUILDING-segment orders by revenue.
+    Both date predicates push to their scans; the customer side broadcasts;
+    DECIMAL revenue keeps the aggregate order-independent and the top-10
+    sort exactly reproducible."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "supplier_part_volume",
+    """
+    SELECT s.s_name, p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7') AND p.p_size <= 20
+    GROUP BY s.s_name, p.p_brand
+    """,
+)
+def q_supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q9-shaped multi-dimension join: lineitem fanned against three
+    broadcast dimensions with selective predicates on two of them —
+    Catalyst prunes columns to the join keys + grouped outputs, and every
+    dimension stays broadcast (zero fact-side pre-shuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return joined.groupBy("s_name", "p_brand").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

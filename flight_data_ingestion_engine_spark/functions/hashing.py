@@ -23,19 +23,37 @@ from pyspark.sql import functions as F
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1; keeps a*31+c within int64 pre-mod
 
 
-def char_poly_hash(s: Column | str) -> Column:
+MERSENNE_61 = (1 << 61) - 1  # prime; post-mix modulus for combined hashes
+
+
+def char_poly_hash(s: Column | str, mult: int = 31, init: int = 0) -> Column:
     """Rolling polynomial hash over a string's characters, mod 2^31-1.
 
-    h = fold(chars, 0, (acc, c) -> (acc * 31 + ascii(c)) % p). Portable:
-    the DuckDB twin is `list_reduce([ascii(c) for c in regexp_split_to_array
-    (s,'')], ...)` with identical arithmetic.
+    h = fold(chars, init, (acc, c) -> (acc * mult + ascii(c)) % p). Portable:
+    the DuckDB twin is `list_reduce([init] || [ascii(c) for c in
+    regexp_split_to_array(s,'')], ...)` with identical arithmetic. Distinct
+    (mult, init) pairs give near-independent hash families; a large `init`
+    makes even 1-char strings wrap the modulus (unseeded, short tokens hash
+    to small values whose high bits are all zero — correlated fingerprints).
     """
     c = F.col(s) if isinstance(s, str) else s
     return F.aggregate(
         F.split(c, ""),
-        F.lit(0).cast("bigint"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE_31,
+        F.lit(init).cast("bigint"),
+        lambda acc, ch: (acc * mult + F.ascii(ch)) % MERSENNE_31,
     )
+
+
+def portable_token_hash61(tok: Column) -> Column:
+    """61-bit engine-portable token hash: two seeded 31-bit polynomial
+    hashes post-mixed as (h1·2654435761 + h2·40503) mod 2^61-1. The
+    multiplier spreads prefix-similar tokens (whose h1/h2 are close) far
+    apart, so derived SimHash bits behave near-independently. All terms
+    stay < 2^63 — no wraparound, ANSI-safe, bit-identical in any engine
+    with 64-bit integer SQL."""
+    h1 = char_poly_hash(tok, mult=31, init=1779033703)
+    h2 = char_poly_hash(tok, mult=37, init=1013904242)
+    return (h1 * F.lit(2654435761) + h2 * F.lit(40503)) % F.lit(MERSENNE_61)
 
 
 def token_rolling_fingerprint(tokens: Column) -> Column:

@@ -296,26 +296,47 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document via explode + 64 partial-aggregated sums.
+    """n-bit SimHash per document via explode + n partial-aggregated sums.
 
-    Map-side combine reduces the shuffle to 64 longs per document; the
-    per-token work is one xxhash64 + bit tests, all codegen.
+    Map-side combine reduces the shuffle to n longs per document; the
+    per-token work is one hash + bit tests, all codegen.
+
+    `portable=True` swaps xxhash64 for the engine-portable 61-bit token
+    hash (`functions.hashing.portable_token_hash61`: two seeded polynomial
+    hashes post-mixed mod 2^61-1), so a SQL oracle can reproduce the
+    fingerprints bit-for-bit; usable bits cap at 61 (pair it with e.g.
+    n_bits=56 = 4 pigeonhole blocks × 14). The xxhash64 default remains
+    the scale path.
     """
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        portable_token_hash61,
+    )
+
+    assert not portable or n_bits <= 61, "portable hash yields 61 usable bits"
     tok = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok", F.lit(seed)))
+    )
+    if portable:
+        tok = tok.withColumn("h", portable_token_hash61(F.col("tok")))
+    else:
+        tok = tok.withColumn("h", F.xxhash64("tok", F.lit(seed)))
     sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
@@ -326,15 +347,21 @@ def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Pairs within Hamming distance d via pigeonhole banding.
 
-    Split 64 bits into d+1 blocks: any pair at distance ≤ d agrees exactly
-    on ≥1 block (pigeonhole), so an equi-join per block finds all such
-    pairs — no quadratic comparison. Returns (id_a, id_b, hamming).
+    Split the low n_bits into d+1 blocks of floor(n/(d+1)) bits: a pair at
+    distance ≤ d has ≤ d differing bits, so at most d blocks are touched
+    and ≥1 of the d+1 blocks matches exactly (pigeonhole) — the equi-join
+    per block finds all such pairs EXHAUSTIVELY (a complete cover, not a
+    probabilistic filter; bits left over when d+1 doesn't tile n_bits only
+    reduce per-block diff counts, never break the argument). The
+    approximation in simhash dedup is only the fingerprint-as-similarity
+    proxy. Returns (id_a, id_b, hamming).
     """
     blocks = max_hamming + 1
-    bits = 64 // blocks
+    bits = n_bits // blocks
     fp = fingerprints
     banded = fp.select(
         F.col(id_col),
@@ -428,17 +455,31 @@ def dedup_clusters(
     `localCheckpoint` cutting the lineage so plans don't grow
     exponentially. Driver-side only the loop counter and a scalar
     convergence check.
+
+    Partition sizing: the edge list is usually FAR smaller than the corpus
+    (near-dup pairs, not rows), so the iterative frames are coalesced to
+    ~50k edges/partition after the first materialization — per-round job
+    overhead (32-task stages on a 256-edge graph) dominated the runtime
+    otherwise (measured 15s → 4s at sf0.1). Large edge lists keep full
+    parallelism.
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    n_edges = edges.count()  # free: reads the checkpoint just materialized
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    if p < shuffle_p:
+        edges = edges.coalesce(p).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .coalesce(p)
         .localCheckpoint()
     )
     for _ in range(max_iterations):
@@ -454,6 +495,7 @@ def dedup_clusters(
                 F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
+            .coalesce(p)
             .localCheckpoint()  # also backs the convergence count below
         )
         # Type-agnostic fixed-point test: count rows whose label moved this

@@ -12,9 +12,13 @@ This module is the engine-level version for plain parquet directories:
   key materialized, map-side combine on an O(files) key space). Build once
   at write time, persist next to the data, reuse per query.
 - `prune_files` intersects a `[lo, hi]` predicate with the manifest —
-  manifest-sized work (O(files) rows, driver collects just the path list).
+  manifest-sized work (O(files) rows).
 - `pruned_read` reads only the surviving files and re-applies the exact
-  predicate (file-level stats are necessary, not sufficient).
+  predicate (file-level stats are necessary, not sufficient). Two
+  strategies: an explicit-path plan when few files survive, and a
+  broadcast semi-join on `_metadata.file_path` when many do — the latter
+  never materializes a file list on the driver, so pruning scales to
+  millions of files.
 
 Effectiveness = clustering: stats on a column the writer range-clustered
 (`sources.sinks.write_clustered_path`) prune to `selectivity + 1` files;
@@ -49,12 +53,52 @@ def file_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def prune_files(manifest: DataFrame, col: str, lo, hi) -> list[str]:
-    """Paths whose [min,max] envelope intersects [lo, hi]. Manifest-sized
-    driver work: the collect is O(files), never O(rows)."""
-    hit = manifest.where(
+    """Paths whose [min,max] envelope intersects [lo, hi], as a driver
+    list. Diagnostic / small-file-count helper: the read path
+    (`pruned_read`) only materializes this list when the surviving set is
+    small enough to plan over explicitly; see `_PLAN_FILE_CAP`."""
+    return [r.file_path for r in _hit_files(manifest, col, lo, hi).collect()]
+
+
+def _hit_files(manifest: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Manifest rows whose envelope intersects [lo, hi] — stays a
+    DataFrame so callers can join instead of collecting."""
+    return manifest.where(
         (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
     ).select("file_path")
-    return [r.file_path for r in hit.collect()]
+
+
+def _manifest_roots(manifest: DataFrame) -> list[str]:
+    """Distinct parent directories of the manifest's files — O(directories)
+    driver work (normally 1), never O(files)."""
+    return [
+        r.d
+        for r in manifest.select(
+            F.regexp_replace("file_path", "/[^/]+$", "").alias("d")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+# Above this many surviving files, `pruned_read` stops materializing the
+# file list into the scan plan (a million-path plan is an RPC-sized driver
+# object) and instead scans the root with a broadcast semi-join on
+# `_metadata.file_path`: the parquet reader still row-group-skips via the
+# pushed predicate, and the file set never leaves the cluster.
+_PLAN_FILE_CAP = 10_000
+
+
+def _semi_join_read(spark: SparkSession, hit: DataFrame, roots: list[str], exact) -> DataFrame:
+    base = spark.read.parquet(*roots)
+    return (
+        base.where(exact)
+        .join(
+            F.broadcast(hit.withColumnRenamed("file_path", "__mf_path")),
+            F.col("_metadata.file_path") == F.col("__mf_path"),
+            "left_semi",
+        )
+    )
 
 
 def update_file_stats(
@@ -127,10 +171,10 @@ def targeted_delete(
     Returns the refreshed manifest. Rewrite protocol per affected file:
     write the survivors to a temp sibling, then atomically swap — here
     modeled as overwrite-in-place per file group via a staging subdir
-    (single-writer assumption, like compaction).
+    (single-writer assumption, like compaction). File manipulation goes
+    through the Hadoop FileSystem API (like `sinks._data_files`) so the
+    same code works on hdfs://, s3a://, and file:// paths.
     """
-    import os
-    import shutil
     import uuid
 
     # a file is affected iff SOME requested value falls inside its
@@ -143,18 +187,30 @@ def targeted_delete(
     affected = [r.file_path for r in manifest.where(cond).select("file_path").collect()]
     if not affected:
         return manifest
-    survivors = spark.read.parquet(*affected).where(~F.col(col).isin(values))
-    staging = os.path.join(data_path, f"_delete_staging_{uuid.uuid4().hex[:8]}")
+    # NULL-safe survivor predicate: `~isin` evaluates to NULL (dropped) for
+    # NULL keys, and NULL-key rows were never requested for deletion —
+    # retain them explicitly.
+    survivors = spark.read.parquet(*affected).where(
+        (~F.col(col).isin(values)) | F.col(col).isNull()
+    )
+    staging = f"{data_path.rstrip('/')}/_delete_staging_{uuid.uuid4().hex[:8]}"
     survivors.write.parquet(staging)
-    from urllib.parse import urlparse
 
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(data_path).getFileSystem(hconf)
     for p in affected:
-        # _metadata.file_path is a URI (file:/..., file:///..., hdfs://...)
-        os.remove(urlparse(p).path)
-    for name in os.listdir(staging):
+        fs.delete(_hpath(p), False)
+    staged = fs.listStatus(_hpath(staging))
+    for st in staged:
+        name = st.getPath().getName()
         if name.endswith(".parquet"):
-            os.rename(os.path.join(staging, name), os.path.join(data_path, name))
-    shutil.rmtree(staging, ignore_errors=True)
+            fs.rename(st.getPath(), _hpath(f"{data_path.rstrip('/')}/{name}"))
+    fs.delete(_hpath(staging), True)
     kept = manifest.where(~F.col("file_path").isin(affected))
     return update_file_stats(
         spark, kept.localCheckpoint(eager=True), data_path, _stat_cols(manifest)
@@ -166,25 +222,39 @@ def _stat_cols(manifest: DataFrame) -> list[str]:
     return [c.removeprefix("min_") for c in manifest.columns if c.startswith("min_")]
 
 
-def prune_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> list[str]:
-    """Paths whose envelopes intersect EVERY `[lo, hi]` box — the
-    multi-dimensional companion (pair with a z-ordered layout so several
-    dimensions are simultaneously tight)."""
+def _hit_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> DataFrame:
     cond = F.lit(True)
     for col, (lo, hi) in boxes.items():
         cond = cond & (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
-    return [r.file_path for r in manifest.where(cond).select("file_path").collect()]
+    return manifest.where(cond).select("file_path")
+
+
+def prune_files_multi(manifest: DataFrame, boxes: dict[str, tuple]) -> list[str]:
+    """Paths whose envelopes intersect EVERY `[lo, hi]` box — the
+    multi-dimensional companion (pair with a z-ordered layout so several
+    dimensions are simultaneously tight). Driver list; the read path only
+    materializes it below `_PLAN_FILE_CAP` (see `pruned_read`)."""
+    return [r.file_path for r in _hit_files_multi(manifest, boxes).collect()]
 
 
 def pruned_read_multi(
-    spark: SparkSession, manifest: DataFrame, boxes: dict[str, tuple]
+    spark: SparkSession,
+    manifest: DataFrame,
+    boxes: dict[str, tuple],
+    strategy: str = "auto",
 ) -> DataFrame:
     """Read only files overlapping every box, then apply the exact
-    conjunctive predicate."""
-    files = prune_files_multi(manifest, boxes)
+    conjunctive predicate. Same `plan`/`join`/`auto` strategies as
+    `pruned_read`."""
     cond = F.lit(True)
     for col, (lo, hi) in boxes.items():
         cond = cond & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    hit = _hit_files_multi(manifest, boxes)
+    if strategy == "auto":
+        strategy = "plan" if hit.limit(_PLAN_FILE_CAP + 1).count() <= _PLAN_FILE_CAP else "join"
+    if strategy == "join":
+        return _semi_join_read(spark, hit, _manifest_roots(manifest), cond)
+    files = [r.file_path for r in hit.collect()]
     if not files:
         any_file = [r.file_path for r in manifest.select("file_path").limit(1).collect()]
         return spark.read.parquet(*any_file).where(F.lit(False))
@@ -197,15 +267,32 @@ def pruned_read(
     col: str,
     lo,
     hi,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Read only the files that can contain `col ∈ [lo, hi]`, then apply
     the exact predicate. Returns an empty-but-typed frame when nothing
-    survives pruning."""
-    files = prune_files(manifest, col, lo, hi)
+    survives pruning.
+
+    Strategies (`auto` picks by surviving-file count vs `_PLAN_FILE_CAP`):
+    - `plan`: collect the surviving paths and plan the scan over exactly
+      those files — true file-level skipping (no footer reads for pruned
+      files). Right when the prune is selective; the list is driver-sized.
+    - `join`: scan the manifest's root directory and keep only rows whose
+      `_metadata.file_path` semi-joins the (broadcast) surviving manifest
+      slice. No file list ever materializes on the driver — the scalable
+      path when millions of files survive (where an explicit-path plan
+      would be an RPC-sized object, and scanning most files is inevitable
+      anyway; the pushed predicate still skips row groups).
+    """
+    exact = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    hit = _hit_files(manifest, col, lo, hi)
+    if strategy == "auto":
+        strategy = "plan" if hit.limit(_PLAN_FILE_CAP + 1).count() <= _PLAN_FILE_CAP else "join"
+    if strategy == "join":
+        return _semi_join_read(spark, hit, _manifest_roots(manifest), exact)
+    files = [r.file_path for r in hit.collect()]
     if not files:
         any_file = [r.file_path for r in manifest.select("file_path").limit(1).collect()]
         base = spark.read.parquet(*any_file)
         return base.where(F.lit(False))
-    return spark.read.parquet(*files).where(
-        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    )
+    return spark.read.parquet(*files).where(exact)

@@ -182,6 +182,18 @@ def negative_samples(
     w = Window.orderBy(id_col)
     ranked = df.select(F.col(id_col)).withColumn("_r", F.row_number().over(w) - 1)
     n = ranked.count()
+    if n <= 1:
+        # a single row has no possible negative, and the modular arithmetic
+        # below divides by (n-1); return an empty, correctly-typed frame.
+        # NOTE: n is captured eagerly — callers must not mutate the input
+        # between this call and the action (documented contract).
+        return (
+            ranked.select(
+                F.col(id_col).alias("anchor_id"),
+                F.lit(1).alias("j"),
+                F.col(id_col).alias("neg_id"),
+            ).where(F.lit(False))
+        )
     lookup = F.broadcast(
         ranked.select(F.col("_r").alias("_nr"), F.col(id_col).alias("neg_id"))
     )

@@ -276,33 +276,107 @@ def hard_negatives(
     label_col: str = "label",
     vec_col: str = "embedding",
     k: int = 5,
+    method: str = "broadcast",
     broadcast_corpus: bool = True,
+    centroids: DataFrame | None = None,
+    nprobe: int = 4,
+    dim: int = 64,
+    planes_per_table: int = 8,
+    tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Top-k most-similar corpus vectors with a DIFFERENT label per query —
     contrastive-training hard-negative mining.
 
-    Same plan shape as `topk_brute_force` (broadcast corpus, one dot per
-    pair, per-query window top-k) with the label-exclusion predicate pushed
-    into the join, so cross-label pairs never rank. At scale, swap the
-    broadcast cross join for the LSH/IVF candidate generators and keep the
-    exclusion predicate on the candidate join.
+    `method` picks the candidate generator; the label-exclusion predicate
+    rides on the candidate join in every mode, so cross-label pairs never
+    reach the re-rank:
+    - `broadcast`: exact — broadcast corpus, one dot per pair (the oracle
+      baseline; only valid while the corpus fits in a broadcast).
+    - `lsh`: random-hyperplane buckets (same tables/planes machinery as
+      `topk_lsh`) — the 100 TB path: candidates come from an equi-join on
+      (table_id, bucket), |bucket|≈|C|/2^planes per table.
+    - `ivf`: coarse-quantizer cells (same codebook scorer as `ivf_topk`);
+      pass `centroids` or they are built from the corpus.
     """
-    q = ensure_parallelism(queries).select(
-        F.col(query_id).alias("q_id"),
-        F.col(label_col).alias("q_label"),
-        unit_normalize(F.col(vec_col)).alias("q_vec"),
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("c_id"),
-        F.col(label_col).alias("c_label"),
-        unit_normalize(F.col(vec_col)).alias("c_vec"),
-    )
-    if broadcast_corpus:
-        c = F.broadcast(c)
-    scored = (
-        q.join(c, F.col("q_label") != F.col("c_label"))
-        .select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
-    )
+    if method == "broadcast":
+        q = ensure_parallelism(queries).select(
+            F.col(query_id).alias("q_id"),
+            F.col(label_col).alias("q_label"),
+            unit_normalize(F.col(vec_col)).alias("q_vec"),
+        )
+        c = corpus.select(
+            F.col(corpus_id).alias("c_id"),
+            F.col(label_col).alias("c_label"),
+            unit_normalize(F.col(vec_col)).alias("c_vec"),
+        )
+        if broadcast_corpus:
+            c = F.broadcast(c)
+        cand = q.join(c, F.col("q_label") != F.col("c_label"))
+    elif method == "lsh":
+        spark = queries.sparkSession
+        planes_rows = [
+            (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
+        ]
+        planes_df = F.broadcast(
+            spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
+        )
+        bucket = F.aggregate(
+            F.transform(
+                F.col("planes"),
+                lambda p: F.when(dot(F.col("_nv"), p) >= 0, F.lit(1).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc * 2 + v,
+        )
+
+        def with_sigs(df: DataFrame, src_id: str, id_alias: str, lab: str, vec_alias: str) -> DataFrame:
+            normed = ensure_parallelism(df).select(
+                F.col(src_id).alias(id_alias),
+                F.col(label_col).alias(lab),
+                unit_normalize(F.col(vec_col)).alias("_nv"),
+            )
+            return normed.crossJoin(planes_df).select(
+                id_alias, lab, F.col("_nv").alias(vec_alias), "table_id", bucket.alias("bucket")
+            )
+
+        qs = with_sigs(queries, query_id, "q_id", "q_label", "q_vec")
+        cs = with_sigs(corpus, corpus_id, "c_id", "c_label", "c_vec")
+        cand = (
+            qs.join(cs, (qs["table_id"] == cs["table_id"]) & (qs["bucket"] == cs["bucket"])
+                    & (qs["q_label"] != cs["c_label"]))
+            .select("q_id", "c_id", "q_vec", "c_vec")
+            .dropDuplicates(["q_id", "c_id"])
+        )
+    elif method == "ivf":
+        if centroids is None:
+            centroids = ivf_build_centroids(
+                corpus, vec_col=vec_col, id_col=corpus_id, seed=seed
+            )
+        cents = [r.cv for r in centroids.orderBy("centroid_id").collect()]
+
+        def cells(df: DataFrame, src_id: str, id_alias: str, lab: str, vec_alias: str, n: int) -> DataFrame:
+            assign = _cell_assign_udf(cents, n)
+            return df.select(
+                F.col(src_id).alias(id_alias),
+                F.col(label_col).alias(lab),
+                unit_normalize(F.col(vec_col)).alias(vec_alias),
+                F.explode(assign(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+            )
+
+        q = cells(queries, query_id, "q_id", "q_label", "q_vec", nprobe)
+        c = cells(corpus, corpus_id, "c_id", "c_label", "c_vec", 1)
+        cand = (
+            q.join(c, (q["centroid_id"] == c["centroid_id"]) & (q["q_label"] != c["c_label"]))
+            .select("q_id", "c_id", "q_vec", "c_vec")
+            .dropDuplicates(["q_id", "c_id"])
+        )
+    else:
+        raise ValueError(f"unknown hard_negatives method: {method!r}")
+
+    scored = cand.select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition when the input has too few partitions.
+    """Round-robin repartition when the input would scan with too few splits.
 
     Small single-row-group parquet files (and single-file dimensions) arrive
     as ONE partition; any compute-dense per-row operator (hashing, shingling,
@@ -14,14 +14,40 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     one small shuffle and buys full-cluster parallelism. At real scale the
     source has many splits and this is a no-op.
 
-    The `df.rdd` probe is deliberate: it returns the true post-split
-    partition count without running a job (driver-side physical planning
-    only, milliseconds). The cheaper-looking `len(df.inputFiles())` probe
-    would under-count splits — a single 10 GB file scans as ~80 partitions
-    under maxPartitionBytes — and trigger a full shuffle of a frame that
-    was already parallel, which at scale costs far more than the probe.
+    The probe is plan-free (no `df.rdd`, which forces a full plan-to-RDD
+    conversion and hides the frame from AQE):
+    - `df.inputFiles()` already ≥ target → at least that many splits, no-op.
+      The listing comes from the scan's file index, which the read needs
+      anyway (and caches), so this is driver-metadata work only.
+    - fewer files than target → stat just those (< target) files via the
+      Hadoop FileSystem and estimate splits as Σ ceil(size /
+      maxPartitionBytes); repartition only when the estimate falls short.
+    - frames with no file provenance (post-shuffle, in-memory) are left
+      alone: they were produced with shuffle.partitions-many partitions.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    if len(files) >= target:
+        return df
+    max_bytes = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    splits = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        try:
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            size = 0
+        splits += max(1, -(-size // max_bytes))
+        if splits >= target:
+            return df
+    return df.repartition(target)

@@ -994,40 +994,136 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "event_id_asof", "asof_time")
 
 
-# -- approximate ops: rows-only driver check; recall/precision in pytest ----
+# -- approximate ops, oracle-checked. The LSH/banding steps are probabilistic
+# -- in general, but on any corpus whose near-dup pairs sit well above the
+# -- threshold (this testdata's lowest true pair is jaccard 0.89; generators
+# -- plant near-clones) the candidate step catches every true pair with
+# -- P(miss) = (1-s²)^bands ≤ 2e-12, and the ops verify candidates with
+# -- EXACT similarity — so the output deterministically equals the exact
+# -- all-pairs answer, which DuckDB can compute directly. ---------------------
 
-@_q("minhash_pairs")
+_SHINGLE_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tokens[i:i+2], ' ')
+                            for i in range(1, len(tokens)-1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tokens FROM documents)
+      WHERE len(tokens) >= 3
+    )
+"""
+
+_SHINGLE_JACCARD_PAIRS = (
+    _SHINGLE_SQL
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.3
+"""
+)
+
+
+@_q("minhash_pairs", _SHINGLE_JACCARD_PAIRS)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs vs the exact all-pairs Jaccard oracle.
+
+    Valid as a full value oracle because (a) the op verifies every LSH
+    candidate with exact Jaccard (precision 1 by construction) and (b) at
+    16 bands × 2 rows, a true pair at similarity s is missed with
+    probability (1-s²)^16 — ≤ 2e-12 for the s ≥ 0.89 near-clones this
+    corpus contains, i.e. deterministic recall. A corpus with borderline
+    pairs just above the threshold would need the rows-only check again.
+    """
     from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
 
 
-@_q("simhash_pairs")
+def _simhash_oracle_sql(n_bits: int = 56, max_hamming: int = 3) -> str:
+    """DuckDB twin of the portable SimHash pipeline: the 61-bit portable
+    token hash (two seeded polynomial hashes mod 2^31-1 post-mixed mod
+    2^61-1 — `functions.hashing.portable_token_hash61`), per-bit ±1 sums,
+    sign-assembled fingerprint, exact all-pairs Hamming ≤ d."""
+
+    def poly(mult: int, init: int) -> str:
+        return (
+            f"list_reduce([{init}::BIGINT] || [ascii(c)::BIGINT for c in "
+            f"regexp_split_to_array(tok, '')], (a, b) -> (a * {mult} + b) % 2147483647)"
+        )
+
+    tokhash = (
+        f"(({poly(31, 1779033703)}) * 2654435761 + ({poly(37, 1013904242)}) * 40503) "
+        f"% {(1 << 61) - 1}"
+    )
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(n_bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {tokhash} AS h FROM t),
+    s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp_expr} AS f FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
+
+
+@_q("simhash_pairs", _simhash_oracle_sql())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, fully value-checked: the fingerprint uses
+    the engine-portable 61-bit token hash (56 fingerprint bits = 4
+    pigeonhole blocks × 14), so DuckDB recomputes identical fingerprints
+    and the exact all-pairs Hamming — a complete oracle because the
+    pigeonhole pair search is exhaustive, not probabilistic. The xxhash64
+    64-bit variant stays the scale default in `simhash_fingerprints`
+    (rows-only checkable) — same operator, different hash plug."""
     from flight_data_ingestion_engine_spark.operators.dedup import (
         simhash_fingerprints,
         simhash_near_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs, id_col="doc_id", text_col="text")
-    return simhash_near_pairs(fp, id_col="doc_id", max_hamming=3)
+    fp = simhash_fingerprints(docs, id_col="doc_id", text_col="text", n_bits=56, portable=True)
+    pairs = simhash_near_pairs(fp, id_col="doc_id", max_hamming=3, n_bits=56)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
-@_q("lsh_topk")
+@_q("lsh_topk", "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank FROM embeddings WHERE vec_id < 10")
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-1 retrieval with planted ground truth, end to end
+    through the full ANN pipeline (signatures → bucket equi-join → exact
+    re-rank). Each query's clone shares its exact vector — identical
+    signature in every table, cosine 1.0 in the re-rank — so the top-1 row
+    is deterministic and the oracle states it in closed form. (Full top-k
+    on unstructured vectors is not cross-engine checkable: recall@5 of any
+    sane ANN on random embeddings is a property of the data, not a
+    contract; the exact-top-k surface is `embedding_topk`.)"""
     from flight_data_ingestion_engine_spark.operators.similarity import topk_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return topk_lsh(
-        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
-        emb.withColumnRenamed("vec_id", "neighbor_id"),
-        query_id="query_id",
-        corpus_id="neighbor_id",
-        k=5,
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("neighbor_id"), "embedding"
     )
+    # corpus excludes the query vectors themselves (a self-match would tie
+    # the clone at cosine 1.0 and win the id-ascending tiebreak)
+    corpus = (
+        emb.where(F.col("vec_id") >= 10)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .unionByName(clones)
+    )
+    res = topk_lsh(queries, corpus, query_id="query_id", corpus_id="neighbor_id", k=1)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
 # -- planted-duplicate recall: oracle-checked quality gates for the -------
@@ -1292,11 +1388,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flight_data_ingestion_engine_spark.streaming import stream_parquet
 
-    # Peek at the batch-read dtype to learn the physical encoding: a
+    # Peek at the RAW batch-read dtype to learn the physical encoding: a
     # TIMESTAMP(NANOS) file surfaces as LongType (nanosAsLong), while
     # MICROS surfaces as Timestamp/TimestampNTZ. The stream schema must
-    # match the physical type or values silently mis-scale.
-    probed = _t(spark, sf_dir, "events").schema["ts"].dataType
+    # match the physical type or values silently mis-scale. NOTE: probe
+    # spark.read directly — _t() already normalizes LongType to timestamp,
+    # so probing _t()'s output would never see the nanos encoding.
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     if isinstance(probed, T.LongType):
         raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA_NANOS)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -1304,22 +1402,42 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_stream_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _run_stream_to_memory(
+    df: DataFrame, output_mode: str, shuffle_partitions: int | None = None
+) -> DataFrame:
+    """Drive a stream to completion into a memory sink.
+
+    `shuffle_partitions` temporarily overrides the session conf for the
+    stream's lifetime: a stateful stream creates state stores per shuffle
+    partition PER stateful operator, so a 32-partition stream-stream join
+    over a few thousand rows pays ~100 state-store setups/commits per
+    micro-batch of pure overhead. The stream pins its partitioning at
+    start (recorded in the checkpoint), so a scoped override is exactly
+    the tuning knob Structured Streaming expects; batch queries running
+    later are unaffected (conf restored in the finally)."""
     import tempfile
     import uuid
 
+    spark = df.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fdie_ck_"))
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdie_ck_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
@@ -1356,7 +1474,7 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_stream_to_memory(agg, "complete")
+    return _run_stream_to_memory(agg, "complete", shuffle_partitions=8)
 
 
 @_q(
@@ -1388,7 +1506,7 @@ def q_streaming_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_next_event(
         ev, key_col="user_key", time_col="ts", attrs=["event_type"]
     )
-    return _run_stream_to_memory(out, "append")
+    return _run_stream_to_memory(out, "append", shuffle_partitions=8)
 
 
 # ===========================================================================
@@ -1617,24 +1735,40 @@ def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ivf_topk")
+@_q("ivf_topk", "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank FROM embeddings WHERE vec_id < 10")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-1 retrieval with planted ground truth through the full
+    pipeline (k-means codebook → cell assignment → nprobe candidate join →
+    exact re-rank). The clone shares the query's exact vector, so it lands
+    in the cell the query probes first and re-ranks at cosine 1.0 — a
+    deterministic top-1 the oracle states in closed form (see `lsh_topk`
+    for why full ANN top-k on random vectors has no cross-engine oracle)."""
     from flight_data_ingestion_engine_spark.operators.similarity import (
         ivf_build_centroids,
         ivf_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = ivf_build_centroids(emb, n_centroids=8, iterations=2, id_col="vec_id")
-    return ivf_topk(
-        emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
-        emb.withColumnRenamed("vec_id", "neighbor_id"),
-        cents,
-        query_id="query_id",
-        corpus_id="neighbor_id",
-        k=5,
-        nprobe=2,
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("neighbor_id"), "embedding"
     )
+    corpus = (
+        emb.where(F.col("vec_id") >= 10)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .unionByName(clones)
+    )
+    cents = ivf_build_centroids(
+        corpus.withColumnRenamed("neighbor_id", "vec_id"),
+        n_centroids=8,
+        iterations=2,
+        id_col="vec_id",
+    )
+    res = ivf_topk(
+        queries, corpus, cents,
+        query_id="query_id", corpus_id="neighbor_id", k=1, nprobe=2,
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
 # ===========================================================================
@@ -1696,20 +1830,48 @@ def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_totalprice", "c_name")
 
 
-@_q("approx_stats")
+@_q(
+    "approx_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_ok, TRUE AS parts_ok,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM lineitem
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL distinct, quantile sketch) — approximate by
-    design, so rows-only here; pytest bounds them against exact values.
-    Quartiles are projected as scalar p25/p50/p75 columns (not an array)
-    so the driver's canonicalizer can hash the row."""
+    """Sketch aggregates (HLL++ distinct, KLL-style quantile sketch) as a
+    bounded-property verdict (pattern: `approx_distinct_bounded`). The
+    oracle pins the exact counts and demands every bound hold: HLL within
+    3×rsd (rsd=0.05) of exact, each approx quartile inside the exact
+    quantile envelope at ±1% rank (accuracy=10000 guarantees ±0.01% —
+    sketches are deterministic, so the slack is margin, not hope)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75"),
-        F.count(F.lit(1)).alias("n"),
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("_ap"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("_p25"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("_p75"),
+        F.percentile("l_extendedprice", 0.24).alias("_lo25"),
+        F.percentile("l_extendedprice", 0.26).alias("_hi25"),
+        F.percentile("l_extendedprice", 0.49).alias("_lo50"),
+        F.percentile("l_extendedprice", 0.51).alias("_hi50"),
+        F.percentile("l_extendedprice", 0.74).alias("_lo75"),
+        F.percentile("l_extendedprice", 0.76).alias("_hi75"),
+    )
+    bound = lambda est, exact: F.abs(F.col(est) - F.col(exact)) <= F.lit(0.15) * F.col(exact)  # noqa: E731
+    env = lambda p: (F.col(f"_p{p}") >= F.col(f"_lo{p}")) & (F.col(f"_p{p}") <= F.col(f"_hi{p}"))  # noqa: E731
+    return agg.select(
+        "n", "exact_orders", "exact_parts",
+        bound("_ao", "exact_orders").alias("orders_ok"),
+        bound("_ap", "exact_parts").alias("parts_ok"),
+        env(25).alias("p25_ok"), env(50).alias("p50_ok"), env(75).alias("p75_ok"),
     )
 
 
@@ -1945,14 +2107,34 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return _run_stream_to_memory(agg, "complete")
+    return _run_stream_to_memory(agg, "complete", shuffle_partitions=8)
 
 
-@_q("dedup_clusters")
+@_q(
+    "dedup_clusters",
+    _SHINGLE_SQL.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + """
+    , p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    )
+    SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fuzzy-dedup pipeline: MinHash-LSH pairs → connected components
-    → (member, canonical representative). Iterative label propagation —
-    not SQL-expressible, so rows-only; transitivity is pytest-asserted."""
+    → (member, canonical representative). The oracle rebuilds the SAME edge
+    list with exact all-pairs Jaccard (valid because the verified-LSH pair
+    step deterministically equals the exact answer on this corpus — see
+    `minhash_pairs`) and labels components with a recursive CTE, making the
+    iterative label propagation value-checked end to end."""
     from flight_data_ingestion_engine_spark.operators.dedup import (
         dedup_clusters,
         minhash_lsh_pairs,
@@ -2386,7 +2568,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_interval_join(
         purchases, clicks, on="user_id", left_time="ts", right_time="ts"
     )
-    return _run_stream_to_memory(joined, "append")
+    return _run_stream_to_memory(joined, "append", shuffle_partitions=8)
 
 
 @_q(
@@ -2441,7 +2623,7 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keys keeps the result order-insensitive and batch-comparable."""
     ev = _stream_events(spark, sf_dir)
     deduped = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return _run_stream_to_memory(deduped, "append")
+    return _run_stream_to_memory(deduped, "append", shuffle_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -2977,7 +3159,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    return _run_stream_to_memory(agg, "complete")
+    return _run_stream_to_memory(agg, "complete", shuffle_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -3225,7 +3407,7 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return _run_stream_to_memory(deduped, "append")
+    return _run_stream_to_memory(deduped, "append", shuffle_partitions=8)
 
 
 # ---------------------------------------------------------------------------
@@ -3639,7 +3821,7 @@ def q_streaming_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    result = _run_stream_to_memory(agg, "complete")
+    result = _run_stream_to_memory(agg, "complete", shuffle_partitions=8)
     w = Window.partitionBy("hr").orderBy(F.col("n").desc(), F.col("event_type").asc())
     return (
         result.withColumn("rn", F.row_number().over(w).cast("int"))
@@ -4239,6 +4421,70 @@ def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+_HN_PLANTED_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_found,
+           1.0 AS recall
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _hard_negatives_planted(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """Plant, per query, a clone vector carrying a DIFFERENT label: it is a
+    certain candidate (identical vector → same LSH buckets / same IVF cell)
+    that the label-exclusion must KEEP and the re-rank must place top
+    (cosine 1.0) — so recall over the planted set is exactly 1.0, stated in
+    closed form by the oracle."""
+    from flight_data_ingestion_engine_spark.operators.similarity import hard_negatives
+
+    # labels cast to string up front: the planted label is a string suffix,
+    # and an int-vs-string label comparison would NULL out (dropping the
+    # planted pair from the exclusion join instead of keeping it)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("string").alias("label"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    planted = queries.select(
+        (F.col("query_id") + 1000000).alias("neighbor_id"),
+        F.concat(F.col("label"), F.lit("_planted")).alias("label"),
+        "embedding",
+    )
+    corpus = (
+        emb.where(F.col("vec_id") >= 10)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .unionByName(planted)
+    )
+    res = hard_negatives(
+        queries, corpus, query_id="query_id", corpus_id="neighbor_id", k=3, method=method
+    )
+    hits = (
+        res.where(F.col("neighbor_id") == F.col("query_id") + 1000000)
+        .select("query_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.count("hit").cast("bigint").alias("n_found"),
+        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+@_q("hard_negatives_lsh_recall_planted", _HN_PLANTED_ORACLE)
+def q_hard_negatives_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path hard-negative mining: LSH candidate generation with the
+    label-exclusion predicate ON the candidate join (no broadcast cross
+    join anywhere in the plan), quality-gated by planted different-label
+    clones that must be retrieved with certainty."""
+    return _hard_negatives_planted(spark, sf_dir, "lsh")
+
+
+@_q("hard_negatives_ivf_recall_planted", _HN_PLANTED_ORACLE)
+def q_hard_negatives_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell hard-negative mining (coarse quantizer candidates + label
+    exclusion on the cell join), quality-gated like the LSH variant."""
+    return _hard_negatives_planted(spark, sf_dir, "ivf")
 
 
 @_q(

@@ -177,10 +177,29 @@ def foreach_batch_manifest_sink(
     per batch is one scan of the new files plus a tiny overwrite; readers
     get `pruned_read` on a path that is continuously ingesting.
 
-    Failure contract: the manifest write lands after the data write, so a
-    crash between them leaves covered-but-unindexed files; the next batch's
-    anti-join heals exactly that gap (maintenance is idempotent).
+    Failure contract — exactly-once for the DATA, eventually-consistent for
+    the manifest. Per epoch: (1) write the batch to an epoch-tagged staging
+    dir with overwrite (torn attempts self-heal on replay), (2) delete any
+    `epoch{N}-*` leftovers of a half-completed previous move, (3) rename the
+    staged files into `out_path` as `epoch{N}-<part>`, (4) write an epoch
+    commit marker under `_epochs/`, (5) update the manifest. A replayed
+    micro-batch whose marker exists is skipped outright, so a crash between
+    checkpoint-commit and the next trigger cannot duplicate rows; a crash
+    between (4) and (5) leaves covered-but-unindexed files, which the next
+    batch's anti-join heals (manifest maintenance is idempotent).
     """
+
+    sink = manifest_sink_fn(out_path, manifest_path, stat_cols)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]):
+    """The foreachBatch closure behind `foreach_batch_manifest_sink`,
+    exposed so the idempotent-replay protocol is directly testable."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from flight_data_ingestion_engine_spark.operators.manifest import (
@@ -188,9 +207,45 @@ def foreach_batch_manifest_sink(
         )
 
         spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(out_path)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+
+        def _p(path: str):
+            return jvm.org.apache.hadoop.fs.Path(path)
+
+        root = out_path.rstrip("/")
+        fs = _p(root).getFileSystem(hconf)
+        marker = _p(f"{root}/_epochs/{epoch_id}")
+        if fs.exists(marker):
+            return  # replay of a committed epoch — skip, exactly-once
+        staging = f"{root}/_epoch_staging_{epoch_id}"
+        batch_df.write.mode("overwrite").parquet(staging)
+        # clear leftovers of a half-completed previous move for this epoch
+        if fs.exists(_p(root)):
+            for st in fs.listStatus(_p(root)):
+                name = st.getPath().getName()
+                if name.startswith(f"epoch{epoch_id}-"):
+                    fs.delete(st.getPath(), False)
+        for st in fs.listStatus(_p(staging)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet"):
+                fs.rename(st.getPath(), _p(f"{root}/epoch{epoch_id}-{name}"))
+        fs.delete(_p(staging), True)
+        fs.mkdirs(_p(f"{root}/_epochs"))
+        fs.createNewFile(marker)
         try:
             old = spark.read.parquet(manifest_path)
+            # reconcile: a replayed epoch deletes + re-writes its files under
+            # new names, so drop manifest rows whose file vanished (O(files)
+            # semi-join against the listing — no data read)
+            from pyspark.sql import functions as F
+
+            listed = (
+                spark.read.parquet(out_path)
+                .select(F.col("_metadata.file_path").alias("file_path"))
+                .distinct()
+            )
+            old = old.join(listed, "file_path", "left_semi")
         except Exception:
             old = None
         updated = update_file_stats(spark, old, out_path, list(stat_cols))
@@ -198,8 +253,4 @@ def foreach_batch_manifest_sink(
         # the dependency with an eager materialization (manifest is O(files))
         updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(manifest_path)
 
-    return (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
+    return sink

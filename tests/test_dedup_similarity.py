@@ -235,3 +235,36 @@ def test_dedup_end_to_end_minhash_to_clusters(spark, docs):
     clusters = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     # docs 0,1,2 are one near-dup family → one cluster rooted at 0
     assert clusters[0] == 0 and clusters[1] == 0 and clusters[2] == 0
+
+
+def test_hard_negatives_lsh_and_ivf_methods(spark):
+    """Scale-path candidate generators: the label-exclusion predicate holds
+    (no same-label neighbor ever returned) and a planted different-label
+    clone — a certain candidate in both schemes — is retrieved at rank 1."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(7)
+    rows = [(i, str(i % 3), rng.standard_normal(16).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vid long, label string, embedding array<double>")
+    queries = emb.where(F.col("vid") < 5).withColumnRenamed("vid", "query_id")
+    planted = queries.select(
+        (F.col("query_id") + 1000).alias("nid"),
+        F.concat(F.col("label"), F.lit("_p")).alias("label"),
+        "embedding",
+    )
+    corpus = (
+        emb.where(F.col("vid") >= 5).withColumnRenamed("vid", "nid").unionByName(planted)
+    )
+    labels = {r.nid: r.label for r in corpus.select("nid", "label").collect()}
+    qlabels = {r.query_id: r.label for r in queries.select("query_id", "label").collect()}
+    for method, kw in [("lsh", {"dim": 16}), ("ivf", {"nprobe": 2})]:
+        res = hard_negatives(
+            queries, corpus, query_id="query_id", corpus_id="nid",
+            k=3, method=method, **kw,
+        ).collect()
+        for r in res:
+            assert labels[r.nid] != qlabels[r.query_id], (method, r)
+        top1 = {r.query_id: r.nid for r in res if r.rank == 1}
+        assert top1 == {q: q + 1000 for q in range(5)}, method

@@ -194,3 +194,115 @@ def test_maintain_path_compacts_and_refreshes_manifest(spark, sf_dir):
     m2, stats2 = maintain_path(spark, path, m1.localCheckpoint(), ["event_id"], target_file_bytes=1 << 30)
     assert stats2["skipped"] and m2.count() == m1.count()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pruned_read_join_strategy_equals_plan(spark, sf_dir, monkeypatch):
+    """The semi-join read path (no driver-side file list) must be
+    result-identical to the explicit-path plan and the full filter."""
+    import flight_data_ingestion_engine_spark.operators.manifest as mf
+
+    path = _staged(spark, sf_dir)
+    df = spark.read.parquet(path)
+    m = file_column_stats(df, ["event_id"])
+    lo, hi = 100, 700
+    want = sorted(
+        r.event_id
+        for r in df.where((F.col("event_id") >= lo) & (F.col("event_id") <= hi)).collect()
+    )
+    got_join = sorted(
+        r.event_id
+        for r in pruned_read(spark, m, "event_id", lo, hi, strategy="join").collect()
+    )
+    assert got_join == want and len(want) > 0
+
+    # auto must fall over to the join path above the plan cap, and the
+    # join path never collects a file list (only the O(1) root-dir list)
+    monkeypatch.setattr(mf, "_PLAN_FILE_CAP", 0)
+    calls = []
+    orig = mf.prune_files
+    monkeypatch.setattr(mf, "prune_files", lambda *a, **k: calls.append(1) or orig(*a, **k))
+    got_auto = sorted(
+        r.event_id for r in pruned_read(spark, m, "event_id", lo, hi).collect()
+    )
+    assert got_auto == want and not calls
+
+    # empty range through the join path: empty but typed
+    out = pruned_read(spark, m, "event_id", -500, -100, strategy="join")
+    assert out.count() == 0 and "event_type" in out.columns
+
+
+def test_pruned_read_multi_join_strategy(spark, sf_dir):
+    from flight_data_ingestion_engine_spark.operators.manifest import pruned_read_multi
+
+    path = _staged(spark, sf_dir)
+    df = spark.read.parquet(path)
+    m = file_column_stats(df, ["event_id", "user_id"])
+    boxes = {"event_id": (100, 700), "user_id": (0, 50)}
+    want = df.where(
+        (F.col("event_id") >= 100) & (F.col("event_id") <= 700)
+        & (F.col("user_id") >= 0) & (F.col("user_id") <= 50)
+    ).count()
+    got = pruned_read_multi(spark, m, boxes, strategy="join").count()
+    assert got == want
+
+
+def test_targeted_delete_retains_null_key_rows(spark, sf_dir):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        targeted_delete,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_delete_null_")
+    path = root + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    # plant NULL-key rows: every 10th row loses its user_id
+    planted = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    )
+    write_clustered_path(planted, path, cluster_by=["user_id"], n_files=4)
+    n_null = planted.where(F.col("user_id").isNull()).count()
+    assert n_null > 0
+
+    m = file_column_stats(spark.read.parquet(path), ["user_id"]).localCheckpoint()
+    victims = [3, 7]
+    n_victims = planted.where(F.col("user_id").isin(victims)).count()
+    targeted_delete(spark, path, m, "user_id", victims)
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("user_id").isin(victims)).count() == 0
+    # NULL-key rows are never victims — all of them must survive
+    assert after.where(F.col("user_id").isNull()).count() == n_null
+    assert after.count() == planted.count() - n_victims
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_manifest_sink_replay_is_exactly_once(spark, sf_dir):
+    """Re-delivering a committed epoch must be a no-op (epoch-marker skip)
+    and a torn first attempt must self-heal — the crash-between-data-write-
+    and-checkpoint-commit cases of the foreachBatch sink."""
+    import shutil
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import manifest_sink_fn
+
+    root = tempfile.mkdtemp(prefix="fdie_manifest_r_")
+    out, man = f"{root}/out", f"{root}/man"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    total = ev.count()
+    sink = manifest_sink_fn(out, man, ["event_id"])
+
+    sink(ev, 0)
+    assert spark.read.parquet(out).count() == total
+    # replay of committed epoch 0: skipped, no duplicates
+    sink(ev, 0)
+    assert spark.read.parquet(out).count() == total
+    # torn attempt for epoch 1: files moved but marker never written
+    sink(ev, 1)
+    import os
+    os.remove(f"{out}/_epochs/1")
+    sink(ev, 1)  # replay re-runs the move idempotently
+    assert spark.read.parquet(out).count() == 2 * total
+    m = spark.read.parquet(man)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == 2 * total
+    shutil.rmtree(root, ignore_errors=True)

@@ -122,3 +122,12 @@ def test_hard_negatives_exclude_same_label(spark):
     for r in out.collect():
         assert labels[r.qid] != labels[r.cid]
     assert out.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 4
+
+
+def test_negative_samples_single_row_is_empty(spark):
+    from flight_data_ingestion_engine_spark.operators.mixing import negative_samples
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=3)
+    assert out.count() == 0
+    assert out.columns == ["anchor_id", "j", "neg_id"]

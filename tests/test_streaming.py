@@ -340,3 +340,48 @@ def test_stream_interval_join_matches_across_batches(spark, landing, tmp_path):
         assert rows == {(10, 1), (10, 2)}
     finally:
         q.stop()
+
+
+def test_stream_events_handles_nanos_encoded_parquet(spark, tmp_path):
+    """Regression: _stream_events must probe the RAW batch read for the
+    nanos-long encoding. Probing the normalized _t() output never sees
+    LongType, so nanos files would hit the 'ts timestamp' stream schema and
+    fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flight_data_ingestion_engine_spark.queries_catalog import _stream_events
+
+    base_ns = 1_672_567_200_000_000_000  # 2023-01-01 10:00:00 UTC in nanos
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([base_ns, base_ns + 60_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    sf_dir = tmp_path / "sf_nanos"
+    sf_dir.mkdir()
+    pq.write_table(table, sf_dir / "events.parquet", coerce_timestamps=None)
+    assert pq.read_schema(sf_dir / "events.parquet").field("ts").type == pa.timestamp("ns")
+
+    stream = _stream_events(spark, str(sf_dir))
+    name = "nanos_probe_test"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_nanos"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            (r.event_id, str(r.ts)) for r in spark.sql(f"SELECT event_id, ts FROM {name}").collect()
+        )
+    finally:
+        q.stop()
+    assert rows == [(1, "2023-01-01 10:00:00"), (2, "2023-01-01 10:01:00")]

@@ -12,6 +12,8 @@ vectors (≥1k dims) a Pandas-UDF BLAS path wins — see
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -62,3 +64,30 @@ def unit_normalize(a: Column | str) -> Column:
         F.aggregate(da, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
     return F.transform(da, lambda x: x / n)
+
+
+def dot_udf():
+    """Arrow-vectorized dot product, BIT-IDENTICAL to :func:`dot`.
+
+    The JVM expression folds `acc = acc + a_i*b_i` left-to-right in double;
+    numpy reproduces the same rounding by accumulating column-by-column
+    (`acc = acc + A[:,i]*B[:,i]` — sequential over dims, vectorized over
+    rows), so oracle hash-equality survives the swap. ~50× faster than the
+    interpreted Catalyst fold on candidate-join volumes (HOFs are
+    CodegenFallback; every fold step is an interpreted expression call).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        acc = np.zeros(len(A), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return _dot

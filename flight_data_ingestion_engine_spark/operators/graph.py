@@ -140,10 +140,18 @@ def pagerank(
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("t").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
+    # small graphs iterate on narrow frames: per-round job overhead at 32
+    # shuffle partitions dominates a 1k-node graph (same sizing rule as
+    # dedup_clusters); large edge lists keep full parallelism
+    spark = edges.sparkSession
+    n_nodes = nodes.count()
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_nodes // 50_000))
+    if p < int(spark.conf.get("spark.sql.shuffle.partitions", "200")):
+        nodes = nodes.coalesce(p).localCheckpoint()
     outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
-    ew = e.join(outd, "s").persist()  # (s, t, outd)
+    ew = e.join(outd, "s").coalesce(p).localCheckpoint()  # (s, t, outd)
     base = unit * (damping_den - damping_num) // damping_den
     ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank"))
     for _ in range(iterations):
@@ -162,6 +170,7 @@ def pagerank(
                 .cast("bigint")
                 .alias("rank"),
             )
+            .coalesce(p)
             .localCheckpoint(eager=False)
         )
     return ranks

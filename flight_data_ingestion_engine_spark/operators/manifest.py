@@ -115,6 +115,11 @@ def update_file_stats(
     files (an anti-join of the directory listing against the manifest picks
     them out — O(files) driver work, no data read for covered files).
     Pass `manifest=None` for the initial build.
+
+    The collected new-file list is sized by the DELTA since the last
+    update — bounded for the steady-state append cadence this targets. A
+    manifest that has fallen millions of files behind should be rebuilt
+    with `manifest=None` (one scan) instead of incrementally healed.
     """
     listed = spark.read.parquet(data_path).select(
         F.col("_metadata.file_path").alias("file_path")

@@ -33,6 +33,16 @@ from flight_data_ingestion_engine_spark.functions.vectors import (
 )
 from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
+def _score():
+    """Candidate-pair scorer: the Arrow `dot_udf` — bit-identical to the
+    expression fold (sequential accumulation; see functions.vectors) but
+    vectorized in numpy, which matters at candidate-join volume (an
+    interpreted fold costs ~dim expression calls PER PAIR)."""
+    from flight_data_ingestion_engine_spark.functions.vectors import dot_udf
+
+    return dot_udf()
+
+
 
 def topk_brute_force(
     queries: DataFrame,
@@ -59,7 +69,7 @@ def topk_brute_force(
     if broadcast_corpus:
         c = F.broadcast(c)
     scored = q.crossJoin(c).select(
-        "q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
@@ -139,7 +149,7 @@ def topk_lsh(
         .dropDuplicates(["q_id", "c_id"])
     )
     scored = cand.select(
-        "q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
@@ -259,7 +269,7 @@ def ivf_topk(
     q = best_cells(queries, query_id, "q_id", "q_vec", nprobe)
     c = best_cells(corpus, corpus_id, "c_id", "c_vec", 1)
     cand = q.join(c, on="centroid_id").dropDuplicates(["q_id", "c_id"])
-    scored = cand.select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    scored = cand.select("q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -376,7 +386,7 @@ def hard_negatives(
     else:
         raise ValueError(f"unknown hard_negatives method: {method!r}")
 
-    scored = cand.select("q_id", "c_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    scored = cand.select("q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -875,6 +875,79 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_dupes", "text")
 
 
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@_q(
+    "exact_dedup_normalized",
+    f"""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes,
+           {_NORM_SQL} AS text_norm
+    FROM documents GROUP BY 3
+    """,
+)
+def q_exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case/punctuation/whitespace-mangled
+    copies collapse to one canonical form before the hash-group — the
+    usual first pass of a corpus dedup stack (exact bytes → normalized
+    exact → fuzzy). Same group-by-key shuffle shape as `exact_dedup_docs`."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_norm", text_normalize(F.col("text")))
+        .groupBy("text_norm")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_doc_id", "n_dupes", "text_norm")
+    )
+
+
+@_q(
+    "contamination_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tokens[i:i+4], ' ')
+                                   for i in range(1, len(tokens)-3)])) AS gram
+      FROM toks WHERE len(tokens) >= 5
+    )
+    SELECT t.doc_id AS train_doc_id, s.doc_id AS test_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams t JOIN grams s ON t.gram = s.gram
+    WHERE s.doc_id < 20 AND t.doc_id <> s.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs sharing ≥2 distinct
+    normalized token 5-grams with any document of a (simulated) eval set —
+    the n-gram-overlap contamination sweep run before training. String
+    grams here so DuckDB replays the join verbatim; the operator's default
+    hashes grams to 8-byte keys for the 100 TB shuffle."""
+    from flight_data_ingestion_engine_spark.operators.corpus import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("test_doc_id"), "text"
+    )
+    out = contamination_overlap(
+        docs.select(F.col("doc_id").alias("train_doc_id"), "text"),
+        test,
+        train_id="train_doc_id",
+        test_id="test_doc_id",
+        n=5,
+        min_shared=2,
+        hash_grams=False,
+    )
+    return out.where(F.col("train_doc_id") != F.col("test_doc_id"))
+
+
 @_q(
     "jaccard_pairs",
     """

@@ -97,3 +97,31 @@ def ingest_json(
     raw = read_json(spark, path, schema=schema, **options)
     flat = flatten(raw, outer=outer_explode)
     return declared.apply(flat) if declared is not None else flat
+
+
+def read_orc(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning posture as parquet (the
+    reference reads only JSON/CSV; ORC rounds out the lake formats the
+    engine can ingest without conversion)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str, **options: Any) -> DataFrame:
+    """Avro scan, gated: the spark-avro module is an external jar that may
+    not be on the classpath — raise a clear error instead of a Java
+    stacktrace when absent."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "avro" in str(e).lower() and "find" in str(e).lower():
+            raise RuntimeError(
+                "Avro support needs the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from e
+        raise

@@ -254,3 +254,16 @@ def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]
         updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(manifest_path)
 
     return sink
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 100, num_partitions: int | None = None) -> DataFrame:
+    """Built-in rate source: (timestamp, value) rows generated at a fixed
+    rate — the standard load-generator for exercising a streaming topology
+    without files or a broker. Kafka itself needs the external
+    spark-sql-kafka jar; the engine's transformations are source-agnostic
+    DataFrame ops, so swapping `stream_rate`/`stream_json` for a Kafka
+    reader is a one-line change at the source."""
+    reader = spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second))
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

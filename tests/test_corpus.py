@@ -101,3 +101,39 @@ def test_token_histogram_bucket_edges(spark):
     assert rows[1].n_docs == 1 and rows[1].max_tokens == 1     # 1 → '1'
     assert rows[2].n_docs == 2 and rows[2].min_tokens == 2     # 2,3 → '10','11'
     assert rows[11].min_tokens == 1024                          # 2^10 → 11 bits
+
+
+def test_text_normalize_collapses_variants(spark):
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO ... world  ")],
+        "id long, text string",
+    )
+    out = {r.id: r.n for r in df.select("id", text_normalize("text").alias("n")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+
+
+def test_contamination_overlap_finds_planted_leak(spark):
+    """A training doc embedding an eval doc's passage must be flagged; the
+    hashed-gram scale path must agree with the string join."""
+    from flight_data_ingestion_engine_spark.operators.corpus import contamination_overlap
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    train_rows = [
+        (100, f"prefix words here {eval_text} and a suffix tail"),   # leaked
+        (101, "completely unrelated content about spark shuffles and joins ok"),
+        (102, "the quick brown cat sleeps under the lazy dog tonight maybe"),  # partial
+    ]
+    train = spark.createDataFrame(train_rows, "tid long, text string")
+    test = spark.createDataFrame([(7, eval_text)], "eid long, text string")
+    for hg in (False, True):
+        out = {
+            (r.tid, r.eid): r.n_shared
+            for r in contamination_overlap(
+                train, test, train_id="tid", test_id="eid", n=5, min_shared=2,
+                hash_grams=hg,
+            ).collect()
+        }
+        assert (100, 7) in out and out[(100, 7)] >= 5, out
+        assert (101, 7) not in out

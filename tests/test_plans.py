@@ -191,3 +191,47 @@ def test_mixing_layout_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_hard_negatives_lsh_plan_has_no_cross_join(spark, sf_dir):
+    """The scale-path hard-negative miner must get candidates from the
+    (table_id, bucket) equi-join — never a broadcast nested loop or
+    cartesian product over the corpus (the broadcast method's shape)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import hard_negatives
+
+    emb = qc._t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("string").alias("label"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.withColumnRenamed("vec_id", "neighbor_id")
+    df = hard_negatives(
+        queries, corpus, query_id="query_id", corpus_id="neighbor_id", k=3, method="lsh"
+    )
+    plan = explain_str(df)
+    # the only nested-loop join allowed is the tiny broadcast of the planes
+    # table (a crossJoin against a `tables`-row frame); the corpus-vs-query
+    # candidate join must be hash-based
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_manifest_join_strategy_broadcasts_file_list(spark, sf_dir):
+    """The semi-join pruned read keeps the file set cluster-side as a
+    broadcast hash semi-join on _metadata.file_path."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        pruned_read,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = tempfile.mkdtemp(prefix="fdie_planscan_") + "/ev"
+    write_clustered_path(ev, path, cluster_by=["event_id"], n_files=4)
+    m = file_column_stats(spark.read.parquet(path), ["event_id"])
+    df = pruned_read(spark, m, "event_id", 10, 50, strategy="join")
+    plan = explain_str(df)
+    assert "LeftSemi" in plan
+    # the exact predicate still reaches the scan alongside the semi-join
+    assert "PushedFilters:" in plan and "event_id" in plan.split("PushedFilters:")[1].split("]")[0]

@@ -949,6 +949,110 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "training_data_pipeline",
+    f"""
+    WITH norm AS (
+      SELECT *, {_NORM_SQL} AS tn FROM documents
+    ),
+    keep AS (
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY tn ORDER BY doc_id) AS rn FROM norm
+      ) WHERE rn = 1
+    ),
+    feat AS (
+      SELECT doc_id, source, n_chars,
+             string_split_regex(text, '\\s+') AS t,
+             LENGTH(text) AS nc,
+             LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+      FROM keep
+    ),
+    scored AS (
+      SELECT doc_id, source, n_chars,
+             LEAST((alpha / nc) / 0.7, 1.0) * 0.4
+           + LEAST((LEN(list_filter(t, x -> x IN ('the','a','of','and','to'))) / LEN(t)) / 0.1, 1.0) * 0.2
+           + (LEN(list_distinct(t)) / LEN(t)) * 0.2
+           + (CASE WHEN nc / LEN(t) >= 3 AND nc / LEN(t) <= 10 THEN 1.0 ELSE 0.0 END) * 0.2
+             AS quality_score,
+             list_sort([
+               {{'hits': LEN(list_filter(t, x -> x IN ('der','die','das','und','nicht'))), 'lang': 'de'}},
+               {{'hits': LEN(list_filter(t, x -> x IN ('the','a','of','and','to'))), 'lang': 'en'}},
+               {{'hits': LEN(list_filter(t, x -> x IN ('el','la','de','que','y'))), 'lang': 'es'}},
+               {{'hits': LEN(list_filter(t, x -> x IN ('le','la','de','et','les'))), 'lang': 'fr'}},
+               {{'hits': LEN(list_filter(t, x -> x IN ('的','了','是','我','不'))), 'lang': 'zh'}}
+             ], 'DESC') AS s
+      FROM feat
+    ),
+    kept AS (
+      SELECT doc_id, source, n_chars FROM scored
+      WHERE quality_score >= 0.5
+        AND (CASE WHEN s[1].hits > 0 THEN s[1].lang ELSE 'und' END) = 'en'
+    ),
+    sampled AS (
+      SELECT * FROM kept
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+    ),
+    keyed AS (
+      SELECT source, doc_id, n_chars,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM sampled
+    ),
+    laid AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY okey, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS off
+      FROM keyed
+    )
+    SELECT source, CAST(off // 2048 AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM laid GROUP BY source, window_id
+    """,
+)
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation, one composed plan:
+    normalized exact dedup → quality gate (score ≥ 0.5) → language gate
+    (stopword-vote English) → deterministic 50% hash sample → per-source
+    context-window packing (2048-char windows, md5-shuffled order). Every
+    stage is an oracle-checked operator on its own; this query checks the
+    COMPOSITION value-exactly, which is the form the engine actually runs
+    in production: one declarative plan Catalyst optimizes end to end (the
+    gates collapse into a single scan-side filter stage; the only
+    shuffles are the dedup window and the per-source packing window)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        hash_sample,
+        text_normalize,
+    )
+    from flight_data_ingestion_engine_spark.operators.mixing import pack_contexts_summary
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_language_id,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_norm").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("text_norm", text_normalize(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "text_norm")
+    )
+    gated = with_language_id(with_quality_score(survivors)).where(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    sampled = hash_sample(gated, "doc_id", 0.5)
+    out = pack_contexts_summary(
+        sampled, group_col="source", size_col="n_chars", id_col="doc_id",
+        context_size=2048, seed=42,
+    )
+    return out.select(
+        "source",
+        F.col("window_id").cast("bigint").alias("window_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@_q(
     "jaccard_pairs",
     """
     WITH sh AS (

@@ -238,6 +238,20 @@ def main() -> None:
         # one corpus scan + broadcast totals: must stay scan-bound
         assert bm25_scores(docs, ["w1", "w2", "w3"], id_col="id").count() == n_docs
 
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+    )
+
+    with stage(f"contamination_{n_docs}_docs"):
+        # hashed-gram inverted index: train = all docs, eval = 200 docs;
+        # must stay join-bound (no cross join, 8-byte gram keys)
+        test = docs.where(F.col("id") < 200).select(F.col("id").alias("tid"), "text")
+        hits = contamination_overlap(
+            docs.select(F.col("id").alias("did"), "text"), test,
+            train_id="did", test_id="tid", n=5, min_shared=2,
+        ).where(F.col("did") != F.col("tid"))
+        assert hits.count() > 0  # planted dups of eval docs are flagged
+
     import shutil
     import tempfile
 
@@ -257,6 +271,11 @@ def main() -> None:
         m = file_column_stats(spark.read.parquet(zroot), ["user_id"])
         hit = pruned_read(spark, m, "user_id", 100, 200)
         assert hit.count() > 0
+        # the cluster-side strategy must agree with the explicit-path plan
+        assert (
+            pruned_read(spark, m, "user_id", 100, 200, strategy="join").count()
+            == hit.count()
+        )
         shutil.rmtree(zroot, ignore_errors=True)
 
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))

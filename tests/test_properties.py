@@ -162,3 +162,65 @@ def test_hash_sample_monotone_property(spark, keys):
     s_small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
     s_big = {r.k for r in hash_sample(df.repartition(7), "k", 0.5).collect()}
     assert s_small <= s_big
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab c.,X", min_size=0, max_size=60),
+        min_size=2,
+        max_size=20,
+    ),
+    st.integers(2, 4),
+)
+def test_contamination_hashed_equals_string_join_property(spark, texts, n):
+    """The 8-byte hashed-gram scale path emits exactly the pairs of the
+    verbatim string join, for arbitrary messy text."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    train = spark.createDataFrame(rows, "tid long, text string")
+    test = spark.createDataFrame(rows[: max(1, len(rows) // 2)], "eid long, text string")
+
+    def run(hg):
+        return {
+            (r.tid, r.eid, r.n_shared)
+            for r in contamination_overlap(
+                train, test, train_id="tid", test_id="eid", n=n, min_shared=1,
+                hash_grams=hg,
+            ).collect()
+        }
+
+    assert run(True) == run(False)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 1000), min_size=5, max_size=60),
+    st.integers(-100, 1100),
+    st.integers(-100, 1100),
+)
+def test_pruned_read_strategies_equal_full_filter_property(spark, vals, a, b):
+    """plan and join pruning strategies both equal scan+filter for random
+    data layouts and ranges (incl. empty and total ranges)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        pruned_read,
+    )
+
+    lo, hi = min(a, b), max(a, b)
+    path = tempfile.mkdtemp(prefix="fdie_prop_pr_") + "/d"
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    df.repartition(3).write.parquet(path)
+    data = spark.read.parquet(path)
+    m = file_column_stats(data, ["x"])
+    want = sorted(v for v in vals if lo <= v <= hi)
+    for strategy in ("plan", "join"):
+        got = sorted(
+            r.x for r in pruned_read(spark, m, "x", lo, hi, strategy=strategy).collect()
+        )
+        assert got == want, (strategy, lo, hi)

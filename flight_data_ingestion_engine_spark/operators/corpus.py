@@ -483,27 +483,15 @@ def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
 
 
 def distinct_ngrams_udf(n: int, sep: str = " "):
-    """Arrow form of `array_distinct(ngrams(split(text, ' '), n))` over a
-    single-space-separated string — string-for-string identical output set
-    (pure string joins, no arithmetic), ~20× faster than the interpreted
-    HOF chain (each expression-path gram pays a slice + concat_ws
-    interpreter call; measured ~450 core-seconds for 250k grams)."""
-    from pyspark.sql.functions import pandas_udf
+    """Arrow form of `array_distinct(ngrams(split(text, sep), n))` over a
+    `sep`-separated string — delegates to `functions.hashing.shingles_udf`
+    (the same tokenize→distinct-n-gram kernel) with the separator as a
+    literal split pattern, so the two call sites share one implementation."""
+    import re
 
-    @pandas_udf("array<string>")
-    def grams(txt: pd.Series) -> pd.Series:
-        out = []
-        for t in txt:
-            toks = t.split(sep) if t is not None else []
-            if len(toks) < n:
-                out.append([])
-                continue
-            out.append(
-                list(dict.fromkeys(sep.join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
-            )
-        return pd.Series(out)
+    from flight_data_ingestion_engine_spark.functions.hashing import shingles_udf
 
-    return grams
+    return shingles_udf(n, pattern=re.escape(sep), sep=sep)
 
 
 def contamination_overlap(

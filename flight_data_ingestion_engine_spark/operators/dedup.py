@@ -239,8 +239,9 @@ def minhash_lsh_pairs(
         .persist()
     )
     if stop_df_ratio is not None:
-        n_docs = sh.count()  # reads the persist just materialized
-        exploded = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+        sh_raw = sh
+        n_docs = sh_raw.count()  # reads the persist just materialized
+        exploded = sh_raw.select(F.col(id_col), F.explode("sh").alias("g"))
         stop = (
             exploded.groupBy("g")
             .agg(F.count(F.lit(1)).alias("c"))  # shingles are distinct per doc ⇒ df
@@ -259,6 +260,9 @@ def minhash_lsh_pairs(
         # re-executes the anti-join/regroup chain per consumer (measured
         # 16s vs 4s at sf0.1)
         sh.count()
+        # the pre-filter shingle cache is superseded — release it instead
+        # of pinning the job's largest intermediate for the session
+        sh_raw.unpersist()
     # hash strings once in a dedicated projection; the k permutation mixes
     # run Arrow-side (bit-identical to the expression form, ~20× faster —
     # see minhash_signature_udf) over the pre-hashed longs
@@ -484,7 +488,11 @@ def embedding_dup_pairs(
             for i in range(X.shape[1]):  # sequential over dims = fold order
                 acc = acc + X[:, i, None] * X[None, :, i]
             ia, ib = np.nonzero(np.triu(acc >= threshold, k=1))
-            # id_a < id_b, matching the join formulation
+            # strict id_a < id_b, matching the join formulation — which
+            # also drops duplicate-id rows (two rows carrying the same id
+            # would otherwise emit an (x, x) self-pair here)
+            keep = ids[ia] != ids[ib]
+            ia, ib = ia[keep], ib[keep]
             lo = np.minimum(ids[ia], ids[ib])
             hi = np.maximum(ids[ia], ids[ib])
             cos = acc[ia, ib]

@@ -135,23 +135,28 @@ def pagerank(
     out-degree-annotated edges) + one partial/final agg. `localCheckpoint`
     caps lineage depth so round N's plan doesn't embed rounds 1..N-1.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-    nodes = (
+    # one materialization of the caller's edge pipeline; nodes/out-degrees/
+    # annotated edges all derive from the checkpoint
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint()
+    # small graphs iterate on narrow frames: per-round job overhead at 32
+    # shuffle partitions dominates a 1k-node graph (same sizing rule as
+    # dedup_clusters, sized by EDGE count — the iteration joins are
+    # edge-sized); large graphs keep full parallelism untouched
+    spark = edges.sparkSession
+    n_edges = e.count()  # free: reads the checkpoint just written
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    trim = p < int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def _size(df: DataFrame) -> DataFrame:
+        return df.coalesce(p) if trim else df
+
+    nodes = _size(
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("t").alias("node")))
         .distinct()
-        .localCheckpoint()
-    )
-    # small graphs iterate on narrow frames: per-round job overhead at 32
-    # shuffle partitions dominates a 1k-node graph (same sizing rule as
-    # dedup_clusters); large edge lists keep full parallelism
-    spark = edges.sparkSession
-    n_nodes = nodes.count()
-    p = max(1, min(spark.sparkContext.defaultParallelism, n_nodes // 50_000))
-    if p < int(spark.conf.get("spark.sql.shuffle.partitions", "200")):
-        nodes = nodes.coalesce(p).localCheckpoint()
+    ).localCheckpoint()
     outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
-    ew = e.join(outd, "s").coalesce(p).localCheckpoint()  # (s, t, outd)
+    ew = _size(e.join(outd, "s")).localCheckpoint()  # (s, t, outd)
     base = unit * (damping_den - damping_num) // damping_den
     ranks = nodes.select("node", F.lit(unit).cast("bigint").alias("rank"))
     for _ in range(iterations):
@@ -170,7 +175,6 @@ def pagerank(
                 .cast("bigint")
                 .alias("rank"),
             )
-            .coalesce(p)
-            .localCheckpoint(eager=False)
         )
+        ranks = _size(ranks).localCheckpoint(eager=False)
     return ranks

@@ -90,11 +90,15 @@ _PLAN_FILE_CAP = 10_000
 
 
 def _semi_join_read(spark: SparkSession, hit: DataFrame, roots: list[str], exact) -> DataFrame:
+    # no broadcast hint: a forced broadcast would itself collect the file
+    # list to the driver — the materialization this strategy exists to
+    # avoid. AQE broadcasts the manifest slice when it is small and falls
+    # back to a shuffled semi-join when millions of files survive.
     base = spark.read.parquet(*roots)
     return (
         base.where(exact)
         .join(
-            F.broadcast(hit.withColumnRenamed("file_path", "__mf_path")),
+            hit.withColumnRenamed("file_path", "__mf_path"),
             F.col("_metadata.file_path") == F.col("__mf_path"),
             "left_semi",
         )

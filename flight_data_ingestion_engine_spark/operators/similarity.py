@@ -86,6 +86,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (driver-scale probe). LSH planes
+    MUST match the data's dim: `zip_with` pads the shorter side with NULLs,
+    a NULL dot maps every sign bit to 0, and all rows silently collapse
+    into one bucket — an all-pairs cross join instead of an error."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer vector dim from empty {vec_col!r}")
+    return int(row.d)
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -93,7 +104,7 @@ def topk_lsh(
     corpus_id: str,
     vec_col: str = "embedding",
     k: int = 10,
-    dim: int = 64,
+    dim: int | None = None,
     planes_per_table: int = 8,
     tables: int = 8,
     seed: int = 42,
@@ -108,9 +119,13 @@ def topk_lsh(
     The hyperplanes ride along as a broadcast TABLE (tables × dim×planes
     doubles), not as literal expressions — thousands of literals would
     bloat the plan and codegen compile time; as data, the signature is one
-    small expression evaluated against an array column.
+    small expression evaluated against an array column. `dim` defaults to
+    a one-row probe of the corpus (see `_infer_dim` for why a mismatch
+    must not pass silently).
     """
     spark = queries.sparkSession
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     planes_rows = [
         (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
     ]
@@ -302,7 +317,7 @@ def hard_negatives(
     broadcast_corpus: bool = True,
     centroids: DataFrame | None = None,
     nprobe: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     planes_per_table: int = 8,
     tables: int = 8,
     seed: int = 42,
@@ -337,6 +352,8 @@ def hard_negatives(
         cand = q.join(c, F.col("q_label") != F.col("c_label"))
     elif method == "lsh":
         spark = queries.sparkSession
+        if dim is None:
+            dim = _infer_dim(corpus, vec_col)
         planes_rows = [
             (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
         ]

@@ -5,6 +5,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _parse_byte_string(v) -> int:
+    """Spark byte-string confs accept '128m', '1g', '134217728b', or a bare
+    number — parse them all (a bare int(...) would throw on '128m')."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input would scan with too few splits.
 
@@ -35,8 +49,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df
     if len(files) >= target:
         return df
-    max_bytes = int(
-        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    max_bytes = _parse_byte_string(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

@@ -292,3 +292,25 @@ def test_minhash_stoplist_drops_boilerplate_glue(spark):
     pairs = {(r.id_a, r.id_b) for r in guarded.collect()}
     assert all(a >= 100 for a, _ in pairs), pairs  # glue gone
     assert (100, 101) in pairs  # genuine near-dup survives
+
+
+def test_shingles_udf_matches_expression_on_unicode_whitespace(spark):
+    """Java/RE2 \\s is ASCII-only; the Arrow kernel must not let Python's
+    Unicode-aware \\s split on NBSP and silently diverge."""
+    from flight_data_ingestion_engine_spark.functions.hashing import shingles, shingles_udf
+
+    rows = [
+        (1, "foo bar baz qux quux corge"),   # NBSP inside a "token"
+        (2, " leading and trailing  "),
+        (3, "tab\tsep and\nnewline mix here"),
+        (5, "ideo" + chr(0x3000) + "graphic space two tokens x"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cmp = df.select(
+        "id",
+        shingles(F.split(F.col("text"), r"\s+"), 3).alias("expr"),
+        shingles_udf(3)(F.col("text")).alias("arrow"),
+    ).collect()
+    for r in cmp:
+        assert list(r.expr) == list(r.arrow), (r.id, r.expr, r.arrow)

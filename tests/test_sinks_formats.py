@@ -172,9 +172,18 @@ def test_read_avro_gated_error_without_package(spark, tmp_path):
 
     from flight_data_ingestion_engine_spark.sources.readers import read_avro
 
-    with _pytest.raises((RuntimeError, Exception)) as ei:
-        read_avro(spark, str(tmp_path / "nothing.avro"))
-    assert "avro" in str(ei.value).lower()
+    try:
+        read_avro(spark, str(tmp_path / "nothing_here"))
+    except RuntimeError as e:
+        # spark-avro absent (this environment): the gate must translate the
+        # find-data-source failure into the actionable package hint
+        assert "spark-avro" in str(e)
+    except Exception:
+        # spark-avro present: the missing path fails normally — the gate
+        # has nothing to do
+        _pytest.skip("spark-avro available; gating path not exercised")
+    else:
+        _pytest.fail("read_avro of a missing path should raise")
 
 
 def test_stream_rate_source_produces_rows(spark, tmp_path):

@@ -114,3 +114,52 @@ def state_islands(
             F.max(order_col).alias("end_ts"),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel: one row per step `(step, state, n_keys)` where
+    `n_keys` counts the keys that completed steps[0..i] **in order** —
+    each step's event must be strictly later than the key's earliest
+    completion time of the previous step (the standard product-analytics
+    funnel; re-orderings like purchase-before-view do not count).
+
+    Semantics are greedy-earliest: a key's step-i anchor is the MIN event
+    time of state i after its step-(i-1) anchor. Greedy-earliest is
+    optimal here (an earlier anchor can only admit a superset of later
+    events), so this equals "exists any ordered subsequence".
+
+    Scale design: step i is an equi-join between the per-key anchor frame
+    (≤ one row per key, shrinking monotonically with i) and the fact rows
+    of state i only — the state filter prunes the fact scan before the
+    shuffle, and every shuffle is keyed on the funnel key. No per-key
+    event collection, no window over the full stream. len(steps) rounds.
+
+    The result is a union of single-row aggregates — safe to reorder, and
+    fully oracle-checkable (exact integer counts).
+    """
+    assert steps, "funnel needs at least one step"
+    out = None
+    anchors = None
+    for i, state in enumerate(steps):
+        stage = df.where(F.col(state_col) == state)
+        if anchors is None:
+            anchors = stage.groupBy(key_col).agg(F.min(time_col).alias("_anchor"))
+        else:
+            prev = anchors.select(key_col, F.col("_anchor").alias("_prev"))
+            anchors = (
+                stage.join(prev, key_col)
+                .where(F.col(time_col) > F.col("_prev"))
+                .groupBy(key_col)
+                .agg(F.min(time_col).alias("_anchor"))
+            )
+        row = anchors.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys")).select(
+            F.lit(i + 1).alias("step"), F.lit(state).alias("state"), "n_keys"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

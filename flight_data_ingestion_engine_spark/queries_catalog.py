@@ -4928,3 +4928,38 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("promo_revenue") / F.col("total_revenue") * F.lit(100.0)).alias("promo_pct"),
     )
+
+
+@_q(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s3
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered product funnel view → click → purchase over the event
+    stream (operators/sequences.py::funnel_counts). Greedy-earliest
+    anchors per user; exact integer counts per completed prefix."""
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, key_col="user_id", time_col="ts", state_col="event_type",
+        steps=["view", "click", "purchase"],
+    )

@@ -79,3 +79,38 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     )
     got = {r.id: r.rid_asof for r in out.collect()}
     assert got == {1: 77, 2: None}  # 910 s stale -> NULLed
+
+
+def test_funnel_counts_requires_order(spark):
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_counts
+
+    # u1: full ordered funnel; u2: click before view (click must not count
+    # until a later one arrives — none does); u3: view only;
+    # u4: view->click, purchase BEFORE the click => steps 1-2 only.
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "purchase"),
+        (2, _ts(0), "click"), (2, _ts(1), "view"),
+        (3, _ts(0), "view"),
+        (4, _ts(0), "view"), (4, _ts(5), "click"), (4, _ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, s string")
+    out = {
+        r.step: (r.state, r.n_keys)
+        for r in funnel_counts(df, "u", "ts", "s", ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_funnel_counts_greedy_earliest_is_subsequence_exists(spark):
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_counts
+
+    # anchor trap: u1's earliest 'a' (t0) is followed by b@t1; a later
+    # 'a'@t2 must not be required. u2 completes a->b only via the SECOND
+    # 'a' — greedy still finds it because min('a') = t0 < b@t3.
+    rows = [
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "a"),
+        (2, _ts(0), "a"), (2, _ts(2), "a"), (2, _ts(3), "b"),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, s string")
+    out = {r.step: r.n_keys for r in funnel_counts(df, "u", "ts", "s", ["a", "b"]).collect()}
+    assert out == {1: 2, 2: 2}

@@ -1,0 +1,135 @@
+"""Misra–Gries heavy-hitters: a mergeable frequency sketch with a proved
+deterministic error envelope.
+
+Why this operator exists: at 100 TB, "which keys dominate this column"
+(hot users, hot partkeys, skewed join keys) cannot be answered with an
+exact groupBy when the key cardinality itself is huge — the groupBy's
+shuffle materializes every distinct key. Misra–Gries (a.k.a. space-saving
+/ frequent) keeps at most `capacity` counters per partition and merges
+associatively, so the full-corpus summary is
+`capacity × num_partitions` rows into one tiny final agg — the same
+shape Spark's own `freqItems` uses, but with the error budget exposed
+and verdict-checkable.
+
+Guarantee (Agarwal et al., "Mergeable Summaries", PODS'12): an MG
+summary of capacity k over weight n undercounts any item by at most
+n/(k+1), and merging two summaries then pruning back to k keeps the
+bound additive. Per partition p the error is ≤ n_p/(k+1); summing the
+partials therefore gives estimates e(x) with
+
+    true(x) - N/(k+1)  ≤  e(x)  ≤  true(x)
+
+for every item x (absent items have e(x)=0 and true(x) ≤ N/(k+1)).
+Every item with true count > N/(k+1) is guaranteed present.
+
+Scale design: the per-partition pass is Arrow-batched `mapInPandas` —
+each batch is counted vectorized (`value_counts`), merged into the ≤k
+counter dict, and pruned by subtracting the (k+1)-th largest count (the
+batch form of the MG decrement). Shuffle payload is ≤ k rows per
+partition, independent of data size. The merge is one map-side-combined
+sum agg. No driver-side state, no collect.
+
+No reference twin: extends SURVEY.md §2.13's training-data mandate
+(skew profiling / hot-key detection feeds salting decisions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ≤ `capacity` rows
+    `(item string, weight bigint)` per input partition. NULL items are
+    ignored (they are not frequency candidates)."""
+    assert capacity >= 1
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()  # vectorized exact batch count
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (capacity+1)-th largest value = MG batch decrement
+                d = int(np.partition(vals, len(vals) - capacity - 1)[len(vals) - capacity - 1])
+                counters = {i: c - d for i, c in counters.items() if c > d}
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters.keys()), "weight": np.fromiter(counters.values(), dtype=np.int64)}
+            )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        mg, schema="item string, weight bigint"
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Merged Misra–Gries estimates `(item, est_weight)` with the
+    documented envelope: true - N/(capacity+1) ≤ est_weight ≤ true."""
+    partials = misra_gries_partials(df, col, capacity)
+    return partials.groupBy("item").agg(F.sum("weight").cast("bigint").alias("est_weight"))
+
+
+def heavy_hitters_verdict(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """Single-row verdict joining the sketch against the exact counts
+    (affordable at test scale): exact totals plus three booleans that the
+    MG guarantee makes TRUE under ANY partitioning/arrival order — which
+    is what makes a sketch whose content legitimately varies with
+    execution still oracle-checkable.
+
+    Columns: n, distinct_keys, heavy_true (exact count of items above the
+    N/(k+1) threshold), heavy_all_reported, estimates_bounded,
+    no_overcount.
+    """
+    est = heavy_hitters(df, col, capacity)
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    # the scalar total rides along as a broadcast single-row frame —
+    # putting sum(true_cnt) inside the verdict agg would nest aggregates
+    tot = exact.agg(F.sum("true_cnt").cast("bigint").alias("n"))
+    j = exact.join(est, "item", "full_outer").crossJoin(F.broadcast(tot))
+    err = F.col("n").cast("double") / F.lit(float(capacity + 1))
+    heavy = F.col("true_cnt").cast("double") > err
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_keys"),
+        F.sum(F.when(heavy, 1).otherwise(0)).cast("bigint").alias("heavy_true"),
+        (F.sum(F.when(heavy & F.col("est_weight").isNull(), 1).otherwise(0)) == 0).alias(
+            "heavy_all_reported"
+        ),
+        (
+            F.sum(
+                F.when(
+                    F.col("est_weight").isNotNull()
+                    & (
+                        F.col("est_weight").cast("double")
+                        < F.col("true_cnt").cast("double") - err
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("estimates_bounded"),
+        (
+            F.sum(
+                F.when(
+                    F.col("est_weight").isNotNull()
+                    & (F.col("est_weight") > F.coalesce(F.col("true_cnt"), F.lit(0))),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("no_overcount"),
+    )
+    return agg

@@ -4963,3 +4963,49 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", time_col="ts", state_col="event_type",
         steps=["view", "click", "purchase"],
     )
+
+
+@_q(
+    "heavy_hitters_verdict",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN 'H' || CAST(user_id % 3 AS VARCHAR)
+                  ELSE 'u' || CAST(user_id AS VARCHAR) END AS item
+      FROM events
+    ), cnts AS (
+      SELECT item, COUNT(*) AS c FROM keyed GROUP BY item
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnts
+    )
+    SELECT tot.n AS n,
+           CAST((SELECT COUNT(*) FROM cnts) AS BIGINT) AS distinct_keys,
+           CAST((SELECT COUNT(*) FROM cnts, tot
+                 WHERE CAST(c AS DOUBLE) > CAST(tot.n AS DOUBLE) / 65.0) AS BIGINT)
+             AS heavy_true,
+           TRUE AS heavy_all_reported,
+           TRUE AS estimates_bounded,
+           TRUE AS no_overcount
+    FROM tot
+    """,
+)
+def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (operators/sketches.py) over a
+    deliberately skewed derived key: every 10th user collapses into three
+    hot keys, the rest stay singleton-cardinality tail — so capacity 64
+    genuinely prunes, the hot keys clear the N/(k+1) threshold, and the
+    verdict's three booleans are exercised non-vacuously. The booleans
+    hold under ANY partitioning (the MG merge bound), which is what makes
+    a content-varying sketch oracle-checkable; the exact columns pin the
+    data."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        heavy_hitters_verdict,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hh_key",
+        F.when(
+            F.col("user_id") % 10 == 0,
+            F.concat(F.lit("H"), (F.col("user_id") % 3).cast("string")),
+        ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+    )
+    return heavy_hitters_verdict(ev, "hh_key", capacity=64)

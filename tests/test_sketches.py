@@ -1,0 +1,61 @@
+"""Misra–Gries heavy-hitters: envelope guarantees under adversarial
+capacity pressure and multi-partition merging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.sketches import (
+    heavy_hitters,
+    heavy_hitters_verdict,
+    misra_gries_partials,
+)
+
+
+def _skewed(spark, n_tail=200, hot=(("A", 300), ("B", 250)), parts=7):
+    rows = [(f"t{i % n_tail}",) for i in range(n_tail * 2)]
+    for item, cnt in hot:
+        rows += [(item,)] * cnt
+    return spark.createDataFrame(rows, "k string").repartition(parts)
+
+
+def test_heavy_hitters_envelope_small_capacity(spark):
+    df = _skewed(spark)
+    n = df.count()
+    cap = 10
+    est = {r.item: r.est_weight for r in heavy_hitters(df, "k", cap).collect()}
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    err = n / (cap + 1)
+    # every estimate within [true - err, true]
+    for item, e in est.items():
+        assert e <= exact[item]
+        assert e >= exact[item] - err
+    # every true-heavy item reported
+    for item, c in exact.items():
+        if c > err:
+            assert item in est, f"heavy item {item} missing"
+
+
+def test_partials_respect_capacity_per_partition(spark):
+    df = _skewed(spark, parts=5)
+    cap = 8
+    per_part = (
+        misra_gries_partials(df, "k", cap)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert per_part, "no partials emitted"
+    assert all(r["count"] <= cap for r in per_part)
+
+
+def test_verdict_booleans_true_and_nulls_ignored(spark):
+    rows = [("A",)] * 50 + [("B",)] * 30 + [(None,)] * 10
+    rows += [(f"t{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    out = heavy_hitters_verdict(df, "k", capacity=6).collect()[0]
+    assert out.n == 120  # nulls excluded
+    assert out.distinct_keys == 42
+    assert out.heavy_true >= 1
+    assert out.heavy_all_reported and out.estimates_bounded and out.no_overcount

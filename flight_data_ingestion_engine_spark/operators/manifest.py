@@ -305,3 +305,170 @@ def pruned_read(
         base = spark.read.parquet(*any_file)
         return base.where(F.lit(False))
     return spark.read.parquet(*files).where(exact)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot versioning / time travel
+# ---------------------------------------------------------------------------
+# The Delta/Iceberg model in miniature, built on the data-skipping
+# manifest: every commit writes the FULL manifest (file list + stats) as a
+# new immutable version under `<log>/v=<n>/`. Because parquet data files
+# are themselves immutable, "read as of version n" is exactly "scan only
+# the files version n lists" — appends and compactions create new files
+# and a new version while the old files stay on disk, so historical reads
+# keep working until `vacuum_versions` reclaims them.
+#
+# Commit protocol (optimistic, atomic on HDFS-like stores): write the
+# manifest to a temp dir, then RENAME it to `v=<n>` — a directory rename
+# is atomic, so a version either exists completely or not at all, and two
+# concurrent writers racing for the same n see exactly one winner (the
+# loser retries with n+1). O(versions) driver-side listing; the manifest
+# content itself is a distributed frame, never collected.
+#
+# What breaks time travel — by design: `targeted_delete` rewrites files
+# IN PLACE and removes the originals immediately (a compliance delete
+# must not be resurrectable through an old snapshot). Append/compact
+# flows keep history; deletion flows truncate it. Document, don't hide.
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def list_versions(spark: SparkSession, log_path: str) -> list[int]:
+    """Committed snapshot versions, ascending. O(versions) driver work."""
+    fs, jvm = _fs_for(spark, log_path)
+    root = jvm.org.apache.hadoop.fs.Path(log_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def commit_manifest(spark: SparkSession, log_path: str, manifest: DataFrame) -> int:
+    """Commit `manifest` as the next snapshot version; returns the version
+    number. Write-to-temp + atomic rename; retries on version races."""
+    import uuid
+
+    fs, jvm = _fs_for(spark, log_path)
+    tmp = f"{log_path.rstrip('/')}/_tmp_{uuid.uuid4().hex[:8]}"
+    manifest.write.mode("overwrite").parquet(tmp)
+    while True:
+        versions = list_versions(spark, log_path)
+        nxt = (versions[-1] + 1) if versions else 1
+        dest = jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={nxt}")
+        if fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
+            return nxt
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(tmp)):
+            raise RuntimeError(f"commit rename lost both temp and target: {tmp}")
+        # another writer took v=nxt between the listing and the rename —
+        # re-list and try the next slot
+
+
+def read_manifest_version(
+    spark: SparkSession, log_path: str, version: int | None = None
+) -> DataFrame:
+    """Load a committed manifest snapshot (default: latest)."""
+    versions = list_versions(spark, log_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest versions under {log_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    return spark.read.parquet(f"{log_path.rstrip('/')}/v={v}")
+
+
+def read_as_of(
+    spark: SparkSession, log_path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: scan exactly the files the snapshot lists.
+
+    Snapshot membership rides as a broadcast-able semi-join on
+    `_metadata.file_path` (the `pruned_read` join strategy), so the file
+    set never materializes on the driver regardless of table size. Files
+    created after the snapshot sit in the same directories but are
+    filtered out by the join; files removed since (vacuumed or deleted)
+    are absent from the scan's CURRENT directory listing, so the join
+    would silently drop them — run `snapshot_is_complete` first when the
+    snapshot's age makes that possible.
+    """
+    mf = read_manifest_version(spark, log_path, version)
+    roots = _manifest_roots(mf)
+    base = spark.read.parquet(*roots)
+    # both sides are file scans, so the hidden `_metadata` struct resolves
+    # on either — materialize the base's path into a named column first
+    cols = base.columns
+    keyed = base.select(
+        F.col("_metadata.file_path").alias("__base_path"), *cols
+    )
+    return keyed.join(
+        mf.select(F.col("file_path").alias("__mf_path")),
+        F.col("__base_path") == F.col("__mf_path"),
+        "left_semi",
+    ).select(*cols)
+
+
+def vacuum_versions(
+    spark: SparkSession, log_path: str, data_path: str, keep_last: int
+) -> dict:
+    """Reclaim space: drop all but the newest `keep_last` snapshot
+    versions, then delete data files referenced ONLY by dropped versions.
+
+    The referenced-file set is computed as a distributed union+distinct
+    over the retained manifests; only the unreferenced remainder (bounded
+    by churn since the retention horizon, not by table size) is collected
+    for deletion. Returns {"dropped_versions": [...], "deleted_files": n}.
+    """
+    assert keep_last >= 1
+    versions = list_versions(spark, log_path)
+    keep = versions[-keep_last:]
+    drop = [v for v in versions if v not in keep]
+    fs, jvm = _fs_for(spark, log_path)
+
+    retained = None
+    for v in keep:
+        part = read_manifest_version(spark, log_path, v).select("file_path")
+        retained = part if retained is None else retained.unionByName(part)
+    retained = retained.distinct()
+
+    listed = (
+        spark.read.parquet(data_path)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    orphans = [
+        r.file_path
+        for r in listed.join(retained, "file_path", "left_anti").collect()
+    ]
+    for p in orphans:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={v}"), True)
+    return {"dropped_versions": drop, "deleted_files": len(orphans)}
+
+
+def snapshot_is_complete(
+    spark: SparkSession, log_path: str, version: int | None = None
+) -> bool:
+    """True iff every file the snapshot lists still exists in the data
+    directory — the precondition for `read_as_of` to be exact. One
+    anti-join of the manifest against the current listing; O(files)
+    cluster work, a single boolean to the driver."""
+    mf = read_manifest_version(spark, log_path, version)
+    roots = _manifest_roots(mf)
+    listed = (
+        spark.read.parquet(*roots)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    missing = mf.select("file_path").join(listed, "file_path", "left_anti")
+    return missing.isEmpty()

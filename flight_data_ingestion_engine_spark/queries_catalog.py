@@ -5009,3 +5009,38 @@ def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
     )
     return heavy_hitters_verdict(ev, "hh_key", capacity=64)
+
+
+@_q(
+    "snapshot_time_travel",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest snapshot time travel (operators/manifest.py): stage the
+    even-id half of events as snapshot v1, append the odd half and commit
+    v2, then `read_as_of(v1)` — which must reproduce exactly the pre-append
+    table even though the data directory now holds both halves. The oracle
+    is the even-id filter; matching it proves the snapshot isolates the
+    historical file set through the `_metadata.file_path` semi-join (no
+    driver-side file list)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        update_file_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    base = tempfile.mkdtemp(prefix="fdie_tt_q_")
+    data, log = base + "/data", base + "/log"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(2).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    v1 = commit_manifest(spark, log, m1)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(2).write.mode("append").parquet(data)
+    commit_manifest(spark, log, update_file_stats(spark, m1, data, ["event_id"]))
+    return read_as_of(spark, log, v1).select("event_id", "event_type", "user_id")

@@ -306,3 +306,84 @@ def test_streaming_manifest_sink_replay_is_exactly_once(spark, sf_dir):
     m = spark.read.parquet(man)
     assert m.agg(F.sum("n_rows")).collect()[0][0] == 2 * total
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_time_travel_append_and_vacuum(spark, sf_dir):
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        list_versions,
+        read_as_of,
+        snapshot_is_complete,
+        update_file_stats,
+        vacuum_versions,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="fdie_tt_")
+    data, log = base + "/data", base + "/log"
+
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    first.coalesce(2).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    v1 = commit_manifest(spark, log, m1)
+
+    second.coalesce(2).write.mode("append").parquet(data)
+    m2 = update_file_stats(spark, m1, data, ["event_id"])
+    v2 = commit_manifest(spark, log, m2)
+    assert list_versions(spark, log) == [v1, v2] == [1, 2]
+
+    n1, n2 = first.count(), ev.count()
+    assert read_as_of(spark, log, 1).count() == n1
+    assert read_as_of(spark, log, 2).count() == n2
+    assert read_as_of(spark, log).count() == n2  # default = latest
+    assert snapshot_is_complete(spark, log, 1)
+
+    # value-level: v1 snapshot is exactly the even half, post-append
+    got = sorted(r.event_id for r in read_as_of(spark, log, 1).select("event_id").collect())
+    want = sorted(r.event_id for r in first.select("event_id").collect())
+    assert got == want
+
+    # vacuum to the latest version only: v1 gone; v2 read still intact.
+    # every v1 file also belongs to v2 (append-only), so 0 deletions here
+    res = vacuum_versions(spark, log, data, keep_last=1)
+    assert res["dropped_versions"] == [1] and res["deleted_files"] == 0
+    assert list_versions(spark, log) == [2]
+    assert read_as_of(spark, log, 2).count() == n2
+
+
+def test_snapshot_vacuum_reclaims_compacted_files(spark, sf_dir):
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        snapshot_is_complete,
+        vacuum_versions,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    base = tempfile.mkdtemp(prefix="fdie_ttc_")
+    data, log = base + "/data", base + "/log"
+    ev.repartition(6).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    old_files = {r.file_path for r in m1.select("file_path").collect()}
+    commit_manifest(spark, log, m1)
+
+    # compaction writes a new file; old ones stay readable via snapshot v1
+    df = spark.read.parquet(data)
+    df.coalesce(1).write.parquet(data + "_c")
+    spark.read.parquet(data + "_c").write.mode("append").parquet(data)
+    # v2 = the compacted file only (everything not in the v1 file set)
+    m2 = file_column_stats(spark.read.parquet(data), ["event_id"]).where(
+        ~F.col("file_path").isin(list(old_files))
+    )
+    commit_manifest(spark, log, m2)
+    assert read_as_of(spark, log, 1).count() == n
+    assert read_as_of(spark, log, 2).count() == n
+
+    res = vacuum_versions(spark, log, data, keep_last=1)
+    assert res["dropped_versions"] == [1] and res["deleted_files"] == len(old_files)
+    assert read_as_of(spark, log, 2).count() == n
+    assert snapshot_is_complete(spark, log, 2)

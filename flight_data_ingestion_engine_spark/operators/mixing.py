@@ -209,3 +209,48 @@ def negative_samples(
         )
         out = part if out is None else out.unionByName(part)
     return out.join(lookup, "_nr").select("anchor_id", "j", "neg_id")
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-rebalanced domain weights: w_g ∝ share_g^alpha — the
+    standard corpus-mixing move (alpha<1 upsamples small domains, alpha=1
+    keeps natural proportions, alpha=0 is uniform; multilingual LM recipes
+    use alpha≈0.3-0.7 over language shares).
+
+    Returns one row per group: `(group, n_tokens, raw_share, temp_share,
+    rel_weight)` where rel_weight normalizes the tempered share to the
+    LARGEST group = 1.0 — a max-normalization rather than sum-
+    normalization because max over doubles is order-independent while a
+    float sum is not, keeping every output bit-reproducible across engines
+    and partitionings (for alpha=0.5 specifically, sqrt is IEEE-754
+    correctly rounded, so temp_share is bit-exact too; other alphas go
+    through pow(), exact in value but only as reproducible as libm).
+    To turn rel_weight into sum-1 sampling weights, normalize driver-side
+    over the (tiny) group list in sorted order.
+
+    One groupBy on the domain column (map-side combined, O(groups) rows)
+    plus two broadcast scalars. No data-sized shuffle.
+    """
+    sums = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("long")).cast("bigint").alias("n_tokens")
+    )
+    tot = sums.agg(F.sum("n_tokens").cast("bigint").alias("_tot"))
+    share = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    tempered = F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
+    shares = (
+        sums.crossJoin(F.broadcast(tot))
+        .withColumn("raw_share", share)
+        .withColumn("temp_share", tempered)
+        .drop("_tot")
+    )
+    mx = shares.agg(F.max("temp_share").alias("_mx"))
+    return (
+        shares.crossJoin(F.broadcast(mx))
+        .withColumn("rel_weight", F.col("temp_share") / F.col("_mx"))
+        .drop("_mx")
+    )

@@ -5044,3 +5044,35 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.col("event_id") % 2 == 1).coalesce(2).write.mode("append").parquet(data)
     commit_manifest(spark, log, update_file_stats(spark, m1, data, ["event_id"]))
     return read_as_of(spark, log, v1).select("event_id", "event_type", "user_id")
+
+
+@_q(
+    "temperature_mixture_weights",
+    """
+    WITH sums AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM sums
+    ), shares AS (
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS raw_share,
+             SQRT(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)) AS temp_share
+      FROM sums, tot
+    ), m AS (
+      SELECT MAX(temp_share) AS mx FROM shares
+    )
+    SELECT source, n_tokens, raw_share, temp_share, temp_share / mx AS rel_weight
+    FROM shares, m
+    """,
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced (alpha=0.5) domain mixture weights over the
+    document corpus by source (operators/mixing.py::temperature_weights).
+    Every column is bit-exact cross-engine: integer sums, one exact double
+    division, an IEEE-correctly-rounded sqrt, and a max-normalization
+    (max, unlike a float sum, is order-independent)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import temperature_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", "n_chars", alpha=0.5)

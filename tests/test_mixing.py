@@ -131,3 +131,55 @@ def test_negative_samples_single_row_is_empty(spark):
     out = negative_samples(df, "doc_id", k=3)
     assert out.count() == 0
     assert out.columns == ["anchor_id", "j", "neg_id"]
+
+
+def test_temperature_weights_alpha_half_upsamples_small_domains(spark):
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.mixing import temperature_weights
+
+    rows = [("big", 900), ("small", 100)]
+    df = spark.createDataFrame(
+        [(g, i, n) for g, tot in rows for i, n in [(0, tot)]],
+        "src string, i int, n long",
+    )
+    out = {r.src: r for r in temperature_weights(df, "src", "n", alpha=0.5).collect()}
+    assert out["big"].raw_share == 0.9 and out["small"].raw_share == 0.1
+    assert out["big"].temp_share == math.sqrt(0.9)
+    assert out["big"].rel_weight == 1.0
+    # tempering narrows the gap: 9x raw becomes 3x tempered
+    ratio = out["big"].temp_share / out["small"].temp_share
+    assert abs(ratio - 3.0) < 1e-12
+    assert out["small"].rel_weight == math.sqrt(0.1) / math.sqrt(0.9)
+
+
+def test_temperature_weights_alpha_one_keeps_natural_shares(spark):
+    from flight_data_ingestion_engine_spark.operators.mixing import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 600), ("b", 300), ("b", 100)], "src string, n long"
+    )
+    out = {r.src: r for r in temperature_weights(df, "src", "n", alpha=1.0).collect()}
+    assert out["a"].raw_share == 0.6 and out["b"].raw_share == 0.4
+    assert abs(out["a"].temp_share - 0.6) < 1e-12
+    assert out["a"].rel_weight == 1.0
+
+
+def test_temperature_weights_feed_mixture_sample(spark):
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        mixture_sample,
+        temperature_weights,
+    )
+
+    rows = [("big", i, 10) for i in range(90)] + [("small", 100 + i, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, n long")
+    tw = {r.src: r.rel_weight for r in temperature_weights(df, "src", "n").collect()}
+    s = sum(tw.values())
+    weights = {g: w / s for g, w in sorted(tw.items())}  # driver-side sum-1 normalize
+    out = mixture_sample(
+        df, "src", weights, total_budget=400, size_col="n", id_col="doc_id"
+    )
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # tempered 3:1 instead of natural 9:1 — small domain genuinely
+    # upsampled (floor(weight*budget) can shave one doc off either side)
+    assert got["big"] in (29, 30) and got["small"] in (9, 10)

@@ -85,6 +85,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("u") < F.col("v"))
         .distinct()
     )
+    # same sizing rule as pagerank: a small graph's wedge/closing joins at
+    # full shuffle parallelism are pure task overhead — count once (cheap:
+    # callers persist their edge pipelines) and iterate narrow. Large
+    # graphs keep the session's parallelism untouched.
+    spark = edges.sparkSession
+    n_edges = e.count()
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    if p < int(spark.conf.get("spark.sql.shuffle.partitions", "200")):
+        e = e.coalesce(p)
+    e = e.localCheckpoint()
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -135,20 +145,27 @@ def pagerank(
     out-degree-annotated edges) + one partial/final agg. `localCheckpoint`
     caps lineage depth so round N's plan doesn't embed rounds 1..N-1.
     """
-    # one materialization of the caller's edge pipeline; nodes/out-degrees/
-    # annotated edges all derive from the checkpoint
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint()
     # small graphs iterate on narrow frames: per-round job overhead at 32
     # shuffle partitions dominates a 1k-node graph (same sizing rule as
     # dedup_clusters, sized by EDGE count — the iteration joins are
-    # edge-sized); large graphs keep full parallelism untouched
+    # edge-sized); large graphs keep full parallelism untouched.
+    # ORDER MATTERS: count the raw frame BEFORE checkpointing — sizing
+    # first means the checkpoint itself materializes at the trimmed
+    # partition count instead of scheduling hundreds of near-empty tasks
+    # (a union-symmetrized edge list arrives at 2× the upstream partition
+    # count with a handful of rows each). The count is one extra pass over
+    # the caller's pipeline; iterative callers persist their edge frames
+    # (both catalog call sites do), making it ~free.
     spark = edges.sparkSession
-    n_edges = e.count()  # free: reads the checkpoint just written
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    n_edges = raw.count()
     p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
     trim = p < int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def _size(df: DataFrame) -> DataFrame:
         return df.coalesce(p) if trim else df
+
+    e = _size(raw).localCheckpoint()
 
     nodes = _size(
         e.select(F.col("s").alias("node"))

@@ -216,14 +216,22 @@ def ivf_build_centroids(
     just n_centroids × dim rows, collected to rebuild the codebook.
     Driver-side state is only the codebook itself.
     """
-    c = (
-        ensure_parallelism(corpus)
-        .select(
-            (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
-            unit_normalize(F.col(vec_col)).alias("nv"),
-        )
-        .persist()
-    )
+    c = corpus.select(
+        (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
+        unit_normalize(F.col(vec_col)).alias("nv"),
+    ).persist()
+    # size the iteration frames by ROW count, not source splits: every
+    # Lloyd pass is a full corpus scan through the Arrow scorer, so a
+    # billion-vector corpus wants all cores (vectors//20k partitions ≫
+    # parallelism) while a few-thousand-vector codebook build at 32
+    # partitions pays 32 Python-worker round-trips per iteration for
+    # microseconds of numpy each. The count also materializes the persist.
+    spark = corpus.sparkSession
+    n_vecs = c.count()
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_vecs // 20_000))
+    if p < spark.sparkContext.defaultParallelism:
+        # narrow merge of the cached partitions — no shuffle per iteration
+        c = c.coalesce(p)
     init = (
         c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
         .limit(n_centroids)

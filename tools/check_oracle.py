@@ -69,8 +69,14 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if "/" not in a)
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = set(a for a in args if "/" not in a)
 
     import __spark_entry__ as entry_mod
 
@@ -90,7 +96,8 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
-    for name, fn in qs.items():
+    results: dict[str, dict] = {}
+    for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
@@ -98,23 +105,43 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "spark_error", "rows": 0, "sec": round(time.time() - t0, 1)}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"skip  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok, msg = values_equal(sdf, ddf)
         status = "ok   " if ok else "FAIL "
         if not ok:
             failures.append(name)
+        results[name] = {"status": "ok" if ok else "mismatch", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
         print(f"{status} {name}: {msg} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    checked = len(results)
+    print(f"\n{checked - len(failures)}/{checked} queries match")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "matched": checked - len(failures),
+                    "total": checked,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if failures else 0
 
 

@@ -224,3 +224,45 @@ def test_pruned_read_strategies_equal_full_filter_property(spark, vals, a, b):
             r.x for r in pruned_read(spark, m, "x", lo, hi, strategy=strategy).collect()
         )
         assert got == want, (strategy, lo, hi)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),       # user
+            st.integers(0, 1000),    # seconds offset
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),  # unique (user, ts) — total order per key
+    )
+)
+def test_funnel_counts_match_bruteforce(spark, rows):
+    """funnel_counts == per-user greedy subsequence scan done in Python."""
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_counts
+
+    steps = ["a", "b", "c"]
+    base = dt.datetime(2024, 1, 1)
+    data = [(u, base + dt.timedelta(seconds=s), ev) for u, s, ev in rows]
+    df = spark.createDataFrame(data, "u int, ts timestamp, s string")
+
+    # brute force: greedy-earliest ordered subsequence per user
+    per_user: dict[int, list] = {}
+    for u, ts, ev in sorted(data, key=lambda r: (r[0], r[1])):
+        per_user.setdefault(u, []).append((ts, ev))
+    want = {i: 0 for i in range(1, len(steps) + 1)}
+    for evs in per_user.values():
+        idx = 0
+        anchor = None
+        for ts, ev in evs:  # time-sorted
+            if idx < len(steps) and ev == steps[idx] and (anchor is None or ts > anchor):
+                anchor = ts
+                idx += 1
+                want[idx] += 1
+    got = {
+        r.step: r.n_keys
+        for r in funnel_counts(df, "u", "ts", "s", steps).collect()
+    }
+    assert got == want

@@ -235,3 +235,44 @@ def test_manifest_join_strategy_broadcasts_file_list(spark, sf_dir):
     assert "LeftSemi" in plan
     # the exact predicate still reaches the scan alongside the semi-join
     assert "PushedFilters:" in plan and "event_id" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_runtime_bloom_filter_composes_with_shuffle_joins(spark, sf_dir):
+    """Spark's runtime bloom-filter injection (the 100 TB lever that
+    pre-filters the probe side of a shuffle join with a bloom built from
+    the selective build side) must fire on this engine's join shapes —
+    the session keeps AQE + runtime filtering composable, nothing in the
+    frames (metadata columns, UDFs) blocks the optimizer rule. Thresholds
+    are forced for the fixture's row counts; production keeps defaults."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in physical.lower() or "BloomFilter" in physical
+        # and the filtered join still returns the right rows
+        n = j.count()
+        want = (
+            li.join(o.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+            .count()
+        )
+        assert n == want and n > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

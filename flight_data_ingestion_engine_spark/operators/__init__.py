@@ -47,9 +47,15 @@ from flight_data_ingestion_engine_spark.operators.mleval import (
     two_proportion_ztest,
 )
 from flight_data_ingestion_engine_spark.operators.sequences import (
+    funnel_counts,
     state_islands,
     touch_attribution,
     transition_matrix,
+)
+from flight_data_ingestion_engine_spark.operators.sketches import (
+    heavy_hitters,
+    heavy_hitters_verdict,
+    misra_gries_partials,
 )
 from flight_data_ingestion_engine_spark.operators.quantize import (
     dimension_stats,

@@ -548,3 +548,54 @@ def contamination_overlap(
         F.col("_test_id").alias(test_id),
         F.col("n_shared").cast("bigint").alias("n_shared"),
     )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document *intra-corpus* duplication rate: the fraction of a
+    document's distinct normalized token n-grams that also occur in at
+    least one other document — the doc-level "how much of this is copied
+    boilerplate" signal (C4/Gopher-style) used to gate training corpora.
+
+    Shape: explode distinct n-grams → one gram-keyed count agg (a gram's
+    row count IS its document frequency, since grams are distinct per doc)
+    → equi-join back → per-doc count agg. Two hash aggs and one shuffle
+    join, all keyed on the gram — no pairwise or quadratic step, so the
+    plan is 100 TB-safe. With `hash_grams` (default) each gram crosses the
+    shuffle as an 8-byte xxhash64 instead of the string, same contract as
+    `contamination_overlap`; oracle queries pass False so DuckDB replays
+    the string join verbatim.
+
+    Documents shorter than `n` tokens have no grams and drop out (the
+    oracle applies the same `len >= n` guard).
+    """
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    grams = distinct_ngrams_udf(n)
+    g = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), grams(text_normalize(F.col(text_col))).alias("_g"))
+        .select(id_col, F.explode("_g").alias("gram"))
+    )
+    if hash_grams:
+        g = g.select(id_col, F.xxhash64("gram").alias("gram"))
+    doc_freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("_nd"))
+    per_doc = (
+        g.join(doc_freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_dup_grams",
+        (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
+    )

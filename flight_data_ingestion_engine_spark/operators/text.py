@@ -117,3 +117,62 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (mod 2^31-1),
     bit-portable across engines (oracle-exact)."""
     return df.withColumn("fingerprint", token_rolling_fingerprint(tokens(text_col)))
+
+
+def _max_run(arr: Column) -> Column:
+    """Length of the longest run of consecutive equal elements — a single
+    left-fold over the array (`F.aggregate`), so it runs entirely inside
+    whole-stage codegen: no explode, no window, no shuffle. 0 on empty."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["cur"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(x.alias("prev"), cur.alias("cur"), F.greatest(acc["best"], cur).alias("best"))
+
+    return F.aggregate(arr, zero, step, lambda acc: acc["best"])
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/diversity signals, per document:
+
+    - ``n_tokens`` / ``distinct_tokens`` / ``ttr`` — type-token ratio, the
+      coarse repetition gate (templated or looping text scores low);
+    - ``top_bigram_n`` / ``top_bigram_frac`` — share of the most frequent
+      token bigram (the "fraction of top 2-gram" rule);
+    - ``max_run`` — longest run of the *same* token repeated consecutively
+      (catches degenerate "spam spam spam…" output).
+
+    Scale design: every signal is a pure array expression on the row —
+    the bigram mode is `max_run(array_sort(bigrams))` (the most frequent
+    element of a multiset is the longest run of its sorted form), so the
+    whole operator is one codegen'd projection with ZERO shuffles; at
+    100 TB it runs at parquet-scan speed. The DuckDB oracle replays it
+    relationally (unnest + window islands + group-by mode) — same answer,
+    different plan, which is exactly what the cross-engine check is for.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    top_bigram_n = _max_run(F.array_sort(bigrams)).cast("bigint")
+    n_bigrams = F.size(bigrams).cast("bigint")
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("distinct_tokens", n_distinct)
+        .withColumn("ttr", n_distinct.cast("double") / n_tok)
+        .withColumn("top_bigram_n", top_bigram_n)
+        .withColumn("top_bigram_frac", top_bigram_n.cast("double") / n_bigrams)
+        .withColumn("max_run", _max_run(toks).cast("bigint"))
+    )

@@ -5076,3 +5076,674 @@ def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _t(spark, sf_dir, "documents")
     return temperature_weights(docs, "source", "n_chars", alpha=0.5)
+
+
+# ===========================================================================
+# Batch K (round 3, continued): the remaining classic decision-support
+# shapes, adapted to the fixture schema (no partsupp/commitdate/receiptdate
+# columns — lineitem stands in as the supply-cost/shipping fact).
+# ===========================================================================
+
+
+@_q(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and supplier
+    share a nation, within one region and one order-year. Six-table join:
+    the customer→orders→lineitem spine shuffles on its keys once; supplier,
+    nation and region are broadcast; the same-nation predicate rides the
+    supplier join as an extra equi-conjunct (Catalyst keys the hash join on
+    both columns — no post-join filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return joined.groupBy("n_name").agg(rev.alias("revenue"))
+
+
+@_q(
+    "volume_shipping_nations",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship-year. The nation dimension joins twice (supplier side and customer
+    side) — both broadcast; the disjunctive nation-pair predicate applies
+    after both joins (it references both sides). The two-year shipdate
+    window prunes the fact scan."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS min_unit
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT u.l_partkey, u.l_suppkey, u.min_unit
+      FROM unit u
+      JOIN supplier s ON u.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, min_unit,
+             MIN(min_unit) OVER (PARTITION BY l_partkey) AS best
+      FROM eligible
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, k.min_unit AS best_unit_cost
+    FROM ranked k
+    JOIN part p     ON k.l_partkey = p.p_partkey
+    JOIN supplier s ON k.l_suppkey = s.s_suppkey
+    WHERE k.min_unit = k.best AND p.p_size BETWEEN 10 AND 15
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem standing in for partsupp): for each
+    mid-size part, the EUROPE supplier(s) achieving the minimum observed
+    unit price. The correlated `ps_supplycost = (SELECT MIN ...)` subquery
+    becomes a per-part window MIN over the pre-aggregated (part, supplier)
+    frame — one shuffle keyed on partkey instead of a rescan. Unit price
+    is a single IEEE division and MIN is order-independent, so the float
+    compare `min_unit = best` is engine-exact. Ties keep every winning
+    supplier (same as the reference SQL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").between(10, 15))
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+        ).alias("min_unit")
+    )
+    eligible = (
+        unit.join(F.broadcast(s), unit["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("l_partkey", "l_suppkey", "min_unit", "s_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = eligible.withColumn("best", F.min("min_unit").over(w))
+    return (
+        ranked.where(F.col("min_unit") == F.col("best"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("p_partkey", "p_brand", "s_name", F.col("min_unit").alias("best_unit_cost"))
+    )
+
+
+@_q(
+    "important_stock_share",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS t FROM pv)
+    SELECT pv.l_partkey AS p_partkey, CAST(pv.value AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(pv.value AS DOUBLE) > CAST(tot.t AS DOUBLE) * 0.001
+    """,
+)
+def q_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value (from a nation group)
+    exceeds a fraction of the total — the global-threshold scalar subquery.
+    The per-part aggregate computes once; the scalar total is a 1-row
+    broadcast cross join (no second scan of the fact); sums stay DECIMAL
+    until the final threshold compare, written identically on both
+    engines (`CAST(v AS DOUBLE) > CAST(t AS DOUBLE) * 0.001`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    pv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    tot = pv.agg(F.sum("value").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("value").cast("double") > F.col("t").cast("double") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("value").cast("double").alias("part_value"))
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    zero-order customers included. The predicate lives in the LEFT JOIN
+    condition (not WHERE — that would turn it inner); COUNT(o_orderkey)
+    counts non-null matches only, so unmatched customers land in the
+    c_count=0 bucket. Double hash-agg, both map-side combinable."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@_q(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_rev) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+    WHERE r.total_rev = mx.m
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The view + scalar MAX subquery becomes agg → 1-row broadcast cross
+    join; revenue stays DECIMAL through the MAX and the equality compare,
+    so ties (and the compare itself) are exact, then casts to double only
+    for output."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@_q(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa    ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pa.n_lines < pa.sum_qty
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's average
+    quantity. The correlated AVG subquery becomes a self-aggregation of
+    lineitem joined back on partkey; the `qty < 0.2 * avg` predicate is
+    cross-multiplied to `5 * qty * n < sum` so the whole comparison is
+    DECIMAL-exact (no float average). The per-part aggregate (2k rows)
+    broadcasts to the fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(pa), li["l_partkey"] == F.col("pa_partkey"))
+        .where(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+    )
+    return joined.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders. The
+    IN-subquery over a grouped HAVING becomes a left-semi join against the
+    qualifying-order aggregate — the semi side reuses the same orderkey
+    partitioning the final aggregate needs, so AQE coalesces the exchange.
+    DECIMAL quantity sums; top-20 fully tiebroken by (price desc, key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .where(F.col("sq") > 180)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    joined = (
+        o.join(big, o["o_orderkey"] == F.col("big_orderkey"), "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+    )
+    return (
+        joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@_q(
+    "disjunctive_filter_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of three conjunctive brand/size/quantity
+    clauses spanning both join sides. Catalyst extracts the common
+    single-side implications (brand IN (...), size <= 35, quantity
+    BETWEEN 1 AND 30) and pushes them below the join as scan filters,
+    evaluating the full disjunction only on the joined rows — the classic
+    OR-predicate pushdown test."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).where(cond).agg(rev.alias("revenue"))
+    )
+
+
+@_q(
+    "late_shipping_suppliers",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_late_shipping_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order ("late" = shipped >60 days after the
+    order date — the fixture has no commit/receipt dates). EXISTS becomes
+    a left-semi self-join and NOT EXISTS a left-anti self-join of the
+    late set, both equi-keyed on orderkey with the supplier-inequality
+    riding the key — three shuffles total, all on orderkey, which AQE
+    collapses into one exchange reuse."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = (
+        late.join(
+            other,
+            (late["l_orderkey"] == F.col("o2_orderkey"))
+            & (late["l_suppkey"] != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (late["l_orderkey"] == F.col("o3_orderkey"))
+            & (late["l_suppkey"] != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@_q(
+    "idle_customer_balance",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT SUBSTRING(c.c_name, 17, 2) AS cseg,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE c.c_acctbal > 0.0
+      AND CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.total
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY cseg
+    """,
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-idle customers by name segment
+    (the fixture's c_name digits stand in for the phone country code).
+    The above-average-balance test is cross-multiplied (`bal * n > total`)
+    so it runs entirely in DECIMAL — no float average; the scalar
+    aggregate broadcasts; recent-order exclusion is a left-anti join with
+    the date predicate pushed to the orders scan."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0.0)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2000-01-01")
+    pos = c.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    sel = (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt") > F.col("total"))
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+    )
+    return (
+        sel.select(
+            F.substring("c_name", 17, 2).alias("cseg"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+        .groupBy("cseg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Batch L (round 3, continued): corpus repetition / duplication signals
+# ===========================================================================
+
+
+@_q(
+    "repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS distinct_tokens
+      FROM toks
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks
+    ),
+    brks AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+      FROM tokpos
+    ),
+    islands AS (
+      SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brks
+    ),
+    maxrun AS (
+      SELECT doc_id, MAX(c) AS max_run FROM (
+        SELECT doc_id, island, COUNT(*) AS c FROM islands GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+      FROM toks WHERE len(t) >= 2
+    ),
+    bstats AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams FROM (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.distinct_tokens AS BIGINT) AS distinct_tokens,
+           CAST(b.distinct_tokens AS DOUBLE) / b.n_tokens AS ttr,
+           CAST(s.top_bigram_n AS BIGINT) AS top_bigram_n,
+           CAST(s.top_bigram_n AS DOUBLE) / s.n_bigrams AS top_bigram_frac,
+           CAST(m.max_run AS BIGINT) AS max_run
+    FROM base b
+    JOIN bstats s ON b.doc_id = s.doc_id
+    JOIN maxrun m ON b.doc_id = m.doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates per document: type-token ratio, top
+    bigram share, longest same-token run. The engine computes all three as
+    pure array expressions (the bigram mode is the longest run of the
+    SORTED bigram array) — one codegen'd projection, zero shuffles; the
+    oracle replays them relationally (unnest + window islands + group-by
+    mode). See operators/text.py::with_repetition_signals."""
+    from flight_data_ingestion_engine_spark.operators.text import with_repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_signals(docs).select(
+        "doc_id", "n_tokens", "distinct_tokens", "ttr",
+        "top_bigram_n", "top_bigram_frac", "max_run",
+    )
+
+
+@_q(
+    "duplicate_ngram_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tokens[i:i+4], ' ')
+                                   for i in range(1, len(tokens)-3)])) AS gram
+      FROM toks WHERE len(tokens) >= 5
+    ),
+    gc AS (SELECT gram, COUNT(*) AS nd FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM grams g JOIN gc ON g.gram = gc.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_duplicate_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus duplication rate: per document, the fraction of its
+    distinct normalized 5-grams that occur in at least one other document —
+    the doc-level boilerplate/copy signal. String grams here so DuckDB
+    replays the gram join verbatim; the operator's default hashes grams to
+    8 bytes for the 100 TB shuffle
+    (operators/corpus.py::duplicate_ngram_fraction)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import duplicate_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_fraction(docs, n=5, hash_grams=False)

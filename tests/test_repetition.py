@@ -1,0 +1,86 @@
+"""Repetition/duplication corpus signals: per-doc repetition gates
+(type-token ratio, top-bigram share, longest run) and intra-corpus
+duplicate-n-gram fractions — each checked against hand-computed values
+and, for the hashed fast path, against the exact string-gram form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.corpus import duplicate_ngram_fraction
+from flight_data_ingestion_engine_spark.operators.text import with_repetition_signals
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 tokens, 3 distinct; "spam spam" bigram x3 of 5; run of 4
+            (1, "go spam spam spam spam go"),
+            # no repetition at all
+            (2, "alpha beta gamma delta"),
+            # punctuation/case must not split token identity
+            (3, "The THE the."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+
+    r1 = rows[1]
+    assert r1.n_tokens == 6 and r1.distinct_tokens == 2
+    assert r1.max_run == 4
+    # bigrams: go-spam, spam-spam x3, spam-go → top 3 of 5
+    assert r1.top_bigram_n == 3
+    assert abs(r1.top_bigram_frac - 3 / 5) < 1e-12
+    assert abs(r1.ttr - 2 / 6) < 1e-12
+
+    r2 = rows[2]
+    assert r2.max_run == 1 and r2.top_bigram_n == 1 and r2.ttr == 1.0
+
+    r3 = rows[3]
+    assert r3.n_tokens == 3 and r3.distinct_tokens == 1 and r3.max_run == 3
+
+
+def test_repetition_signals_degenerate_rows(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "!!! ???")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    # empty / punctuation-only: 0 tokens → null ratios, 0 runs — never an error
+    for d in (1, 3):
+        assert rows[d].n_tokens == 0 and rows[d].max_run == 0
+        assert rows[d].ttr is None and rows[d].top_bigram_frac is None
+    # single token: no bigrams → null bigram share, run of 1
+    assert rows[2].n_tokens == 1 and rows[2].max_run == 1
+    assert rows[2].top_bigram_frac is None
+
+
+def test_duplicate_ngram_fraction_hand_computed(spark):
+    shared = "one two three four five"  # exactly one 5-gram, shared by docs 1+2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha"),
+            (2, shared + " beta"),
+            (3, "six seven eight nine ten eleven"),
+            (4, "shrt"),  # < 5 tokens: no grams, drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_fraction(df, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # docs 1/2: 2 distinct 5-grams each, 1 shared
+    for d in (1, 2):
+        assert out[d].n_grams == 2 and out[d].n_dup_grams == 1
+        assert abs(out[d].dup_frac - 0.5) < 1e-12
+    assert out[3].n_dup_grams == 0 and out[3].dup_frac == 0.0
+
+
+def test_duplicate_ngram_hashed_equals_string_grams(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    a = duplicate_ngram_fraction(docs, n=5, hash_grams=True)
+    b = duplicate_ngram_fraction(docs, n=5, hash_grams=False)
+    diff = a.join(b, "doc_id").where(
+        (a["n_grams"] != b["n_grams"]) | (a["n_dup_grams"] != b["n_dup_grams"])
+    )
+    assert a.count() == b.count()
+    assert diff.count() == 0

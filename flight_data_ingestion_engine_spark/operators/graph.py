@@ -195,3 +195,57 @@ def pagerank(
         )
         ranks = _size(ranks).localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search over a DIRECTED edge list:
+    (node, dist) for every node reachable within `max_hops` hops of any
+    seed, `dist` = length of the shortest such path (seeds get 0).
+    Symmetrize the edge list first for undirected reachability.
+
+    Per round: one frontier-to-edges equi-join (shuffle keyed on the edge
+    source), a `distinct`, and a left-anti join against the settled set —
+    the standard frontier-expansion formulation, nothing driver-side. The
+    round count is FIXED at `max_hops` (no per-round convergence action):
+    k-hop queries are the common case, an empty frontier makes the
+    remaining rounds no-op joins on empty frames, and a deterministic
+    round count is what lets a SQL oracle replay the exact iteration
+    (bounded-depth recursive CTE). Same lineage/sizing discipline as
+    `pagerank`: small graphs coalesce to edge-count-sized partitioning,
+    `localCheckpoint` caps plan depth per round.
+    """
+    spark = edges.sparkSession
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    n_edges = raw.count()
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    trim = p < int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def _size(df: DataFrame) -> DataFrame:
+        return df.coalesce(p) if trim else df
+
+    e = _size(raw).localCheckpoint()
+    dist = _size(
+        seeds.select(F.col(seed_col).alias("node")).distinct().select(
+            "node", F.lit(0).cast("bigint").alias("dist")
+        )
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "f"), F.col("s") == F.col("f"))
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("bigint").alias("dist"))
+        )
+        nxt = _size(nxt).localCheckpoint(eager=False)
+        dist = _size(dist.unionAll(nxt)).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist

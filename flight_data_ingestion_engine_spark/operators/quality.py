@@ -355,3 +355,29 @@ def benford_digits(
             ((F.col("n").cast("double") / F.col("_tot")) - expected).alias("deviation"),
         )
     )
+
+
+def k_anonymity_histogram(
+    df: DataFrame, qi_cols: list[str], k_threshold: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: the
+    distribution of equivalence-class sizes (how many QI combinations are
+    shared by exactly k rows), with `below_threshold` marking classes
+    whose k is under the re-identification floor — the rows a release
+    would need to suppress or generalize.
+
+    Two stacked hash aggregations, both map-side combinable: the first
+    shuffles on the QI key (the same shuffle any release-preparation
+    groupBy pays anyway), the second on the tiny k domain. NULL QI values
+    group as their own class (SQL GROUP BY semantics, identical in the
+    oracle).
+    """
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("k"))
+    return (
+        sizes.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_rows"),
+        )
+        .withColumn("below_threshold", F.col("k") < k_threshold)
+    )

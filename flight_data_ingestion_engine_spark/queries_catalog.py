@@ -2958,6 +2958,40 @@ def q_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(ed, iterations=3).withColumnRenamed("node", "supp_id")
 
 
+@_q(
+    "bfs_hops_cosupply",
+    f"""
+    WITH RECURSIVE {_COSUPPLY_EDGES_SQL},
+    ed AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT s AS node FROM ed),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+    walk(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT ed.t, w.dist + 1 FROM walk w JOIN ed ON ed.s = w.node WHERE w.dist < 3
+    )
+    SELECT node AS supp_id, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 3-hop BFS distances on the symmetrized co-supply
+    graph, seeded at the three smallest supplier ids. The engine runs
+    frontier expansion (operators/graph.py::bfs_distances — one equi-join
+    + distinct + anti-join per round, fixed round count, no driver-side
+    state); the oracle replays it as a depth-bounded recursive CTE with
+    MIN(dist) collapsing walks to shortest paths — equal because a
+    fixed-round BFS settles exactly the nodes with a ≤3-hop walk, at
+    their minimum walk length."""
+    from flight_data_ingestion_engine_spark.operators.graph import bfs_distances
+
+    und = _cosupply_edges(spark, sf_dir)
+    ed = und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(3)
+    return bfs_distances(ed, seeds, max_hops=3).withColumnRenamed("node", "supp_id")
+
+
 # ---------------------------------------------------------------------------
 # Cohort retention + data quality (operators/cohorts.py, operators/quality.py)
 # ---------------------------------------------------------------------------
@@ -5747,3 +5781,29 @@ def q_duplicate_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_ngram_fraction(docs, n=5, hash_grams=False)
+
+
+@_q(
+    "k_anonymity_customers",
+    """
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           k < 5 AS below_threshold
+    FROM sizes GROUP BY k
+    """,
+)
+def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer rows under the (nation, market
+    segment) quasi-identifier: equivalence-class size distribution with
+    the under-floor classes flagged — the privacy gate run before a data
+    release (operators/quality.py::k_anonymity_histogram)."""
+    from flight_data_ingestion_engine_spark.operators.quality import k_anonymity_histogram
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_histogram(c, ["c_nationkey", "c_mktsegment"], k_threshold=5).select(
+        "k", "n_groups", "n_rows", "below_threshold"
+    )

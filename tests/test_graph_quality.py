@@ -121,3 +121,28 @@ def test_scalar_quantize_roundtrip_error_bound(spark):
     assert stats[2].sum_codes == 0 and stats[2].max_abs_err == 0.0
     codes = quantize_codes_column(df, "vec_id").where(F.col("vec_id") == 1).collect()[0]
     assert codes.codes == [0, 255, 128, 64]
+
+
+def test_bfs_distances_shortest_paths(spark):
+    from flight_data_ingestion_engine_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop (not 3), 5 is 2
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    d = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert d == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    # hop bound respected: max_hops=1 settles only the direct neighbors
+    d1 = {r.node: r.dist for r in bfs_distances(edges, seeds, max_hops=1).collect()}
+    assert d1 == {1: 0, 2: 1, 4: 1}
+
+    # multi-source: min distance over seeds; disconnected node 9 never appears
+    edges2 = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 4), (4, 5), (9, 9)], "src int, dst int"
+    )
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node int")
+    d2 = {r.node: r.dist for r in bfs_distances(edges2, seeds2, max_hops=3).collect()}
+    assert d2 == {1: 0, 5: 0, 2: 1, 4: 1}

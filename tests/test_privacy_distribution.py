@@ -37,3 +37,24 @@ def test_categorical_mode_tiebreaks_ascending(spark):
     df = spark.createDataFrame(rows, "u string, et string")
     out = {r.u: (r.mode_value, r.n) for r in categorical_mode(df, "et", ["u"]).collect()}
     assert out == {"u1": ("a", 2), "u2": ("z", 1)}  # tie a/b -> smallest wins
+
+
+def test_k_anonymity_histogram_counts_and_flags(spark):
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        k_anonymity_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("US", "A"), ("US", "A"), ("US", "A"),   # class of 3
+            ("US", "B"),                               # class of 1
+            ("DE", "A"), ("DE", "A"),                  # class of 2
+            (None, "A"), (None, "A"),                  # NULL QI is its own class
+        ],
+        "country string, seg string",
+    )
+    out = {
+        r.k: (r.n_groups, r.n_rows, r.below_threshold)
+        for r in k_anonymity_histogram(df, ["country", "seg"], k_threshold=3).collect()
+    }
+    assert out == {3: (1, 3, False), 2: (2, 4, True), 1: (1, 1, True)}

@@ -17,6 +17,7 @@ from flight_data_ingestion_engine_spark.operators.cohorts import (
     retention_matrix,
 )
 from flight_data_ingestion_engine_spark.operators.graph import (
+    bfs_distances,
     cooccurrence_edges,
     pagerank,
     triangle_count,
@@ -24,6 +25,7 @@ from flight_data_ingestion_engine_spark.operators.graph import (
 from flight_data_ingestion_engine_spark.operators.quality import (
     benford_digits,
     categorical_mode,
+    k_anonymity_histogram,
     chi_square_cells,
     gini_coefficient,
     equidepth_histogram,
@@ -65,6 +67,7 @@ from flight_data_ingestion_engine_spark.operators.quantize import (
 )
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
+    duplicate_ngram_fraction,
     novel_bigrams,
     pseudonymize,
     weighted_hash_sample,
@@ -94,6 +97,7 @@ from flight_data_ingestion_engine_spark.operators.text import (
     with_fingerprint,
     with_language_id,
     with_quality_score,
+    with_repetition_signals,
     with_token_stats,
 )
 from flight_data_ingestion_engine_spark.operators.multimodal import (
@@ -132,6 +136,7 @@ __all__ = [
     "topk_brute_force",
     "topk_lsh",
     "with_fingerprint",
+    "with_repetition_signals",
     "with_language_id",
     "with_quality_score",
     "with_token_stats",
@@ -162,7 +167,9 @@ __all__ = [
     "with_flight_time_utc",
     "with_utc_timestamp",
     "chunk_documents",
+    "duplicate_ngram_fraction",
     "cooccurrence_edges",
+    "bfs_distances",
     "pagerank",
     "triangle_count",
     "retention_matrix",
@@ -193,6 +200,7 @@ __all__ = [
     "novel_bigrams",
     "two_proportion_ztest",
     "gini_coefficient",
+    "k_anonymity_histogram",
     "adoption_curve",
     "benford_digits",
     "rolling_correlation",

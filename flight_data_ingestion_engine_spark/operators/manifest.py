@@ -226,6 +226,86 @@ def targeted_delete(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    data_path: str,
+    manifest: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    validate_unique: bool = True,
+) -> DataFrame:
+    """MERGE INTO, copy-on-write: rows of `updates` whose `key_col` exists
+    in the stored table REPLACE the stored row; unseen keys are INSERTed.
+    Returns the refreshed manifest (which must carry stats on `key_col`).
+
+    Only files whose [min,max] key envelope can contain some update key
+    are rewritten — on a key-clustered layout an upsert batch touching a
+    few keys rewrites a few files and leaves every other byte in place
+    (Delta/Iceberg CoW MERGE semantics for plain parquet directories).
+
+    Scale shape: the affected-file test is a broadcast range-join of the
+    O(files) manifest against the update keys — the update frame is never
+    collected; only the affected PATH list reaches the driver (churn-
+    bounded, same as `targeted_delete`). New table content =
+    (affected-file rows anti-joined on key) ∪ updates — matched keys are
+    guaranteed to live in affected files because every stored key lies
+    inside its own file's envelope. NULL-key stored rows never match (SQL
+    MERGE semantics) and survive via the anti-join's NULL behavior.
+
+    Precondition: `updates` is unique on `key_col` (duplicate update keys
+    would both land, like SQL MERGE's cardinality violation).
+    `validate_unique` spends one aggregate over `updates` to enforce it.
+    Single-writer assumption, like compaction and `targeted_delete`.
+    """
+    import uuid
+
+    if validate_unique:
+        dup = (
+            updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"updates are not unique on {key_col!r}")
+    ukeys = updates.select(F.col(key_col).alias("_uk")).where(F.col("_uk").isNotNull())
+    hit = (
+        ukeys.join(
+            F.broadcast(manifest),
+            (F.col("_uk") >= F.col(f"min_{key_col}"))
+            & (F.col("_uk") <= F.col(f"max_{key_col}")),
+        )
+        .select("file_path")
+        .distinct()
+    )
+    affected = [r.file_path for r in hit.collect()]
+    staging = f"{data_path.rstrip('/')}/_merge_staging_{uuid.uuid4().hex[:8]}"
+    if affected:
+        stored = spark.read.parquet(*affected)
+        survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
+        new_content = survivors.unionByName(updates.select(*stored.columns))
+    else:
+        new_content = updates
+    new_content.write.parquet(staging)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(data_path).getFileSystem(hconf)
+    for p in affected:
+        fs.delete(_hpath(p), False)
+    for st in fs.listStatus(_hpath(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            fs.rename(st.getPath(), _hpath(f"{data_path.rstrip('/')}/{name}"))
+    fs.delete(_hpath(staging), True)
+    kept = manifest.where(~F.col("file_path").isin(affected)) if affected else manifest
+    return update_file_stats(
+        spark, kept.localCheckpoint(eager=True), data_path, _stat_cols(manifest)
+    )
+
+
 def _stat_cols(manifest: DataFrame) -> list[str]:
     """Recover the stat column list from a manifest's schema."""
     return [c.removeprefix("min_") for c in manifest.columns if c.startswith("min_")]

@@ -387,3 +387,75 @@ def test_snapshot_vacuum_reclaims_compacted_files(spark, sf_dir):
     assert res["dropped_versions"] == [1] and res["deleted_files"] == len(old_files)
     assert read_as_of(spark, log, 2).count() == n
     assert snapshot_is_complete(spark, log, 2)
+
+
+def test_merge_upsert_replaces_and_inserts_rewriting_only_hit_files(spark, sf_dir):
+    import os
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        merge_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_merge_")
+    path = root + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_clustered_path(ev, path, cluster_by=["event_id"], n_files=8)
+
+    before_files = set(os.listdir(path))
+    stored = spark.read.parquet(path)
+    total = stored.count()
+    max_id = stored.agg(F.max("event_id")).collect()[0][0]
+
+    hit_ids = [r.event_id for r in stored.orderBy("event_id").limit(5).collect()]
+    matched = stored.where(F.col("event_id").isin(hit_ids)).withColumn(
+        "event_type", F.lit("MERGED")
+    )
+    inserted = (
+        stored.orderBy("event_id").limit(3)
+        .withColumn("event_id", F.col("event_id") + F.lit(max_id) + 1)
+        .withColumn("event_type", F.lit("INSERTED"))
+    )
+    updates = matched.unionByName(inserted).localCheckpoint(eager=True)
+
+    m = file_column_stats(stored, ["event_id"]).localCheckpoint()
+    m2 = merge_upsert(spark, path, m, updates, "event_id")
+
+    after = spark.read.parquet(path)
+    assert after.count() == total + 3
+    # matched keys carry the updated payload, exactly once each
+    got = after.where(F.col("event_id").isin(hit_ids))
+    assert got.count() == len(hit_ids)
+    assert got.where(F.col("event_type") != "MERGED").count() == 0
+    assert after.where(F.col("event_type") == "INSERTED").count() == 3
+    # low-key updates cluster into few files: most files survive untouched
+    untouched = before_files & set(os.listdir(path))
+    assert untouched and len(untouched) < len(os.listdir(path))
+    # refreshed manifest covers the current file set and row total
+    assert m2.agg(F.sum("n_rows")).collect()[0][0] == total + 3
+    files_now = after.select(F.col("_metadata.file_path")).distinct().count()
+    assert m2.count() == files_now
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, sf_dir):
+    import shutil
+
+    import pytest
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        merge_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_merge_dup_")
+    path = root + "/data"
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_clustered_path(df, path, cluster_by=["k"], n_files=4)
+    m = file_column_stats(spark.read.parquet(path), ["k"]).localCheckpoint()
+
+    dup = spark.createDataFrame([(1, 10), (1, 11)], "k long, v long")
+    with pytest.raises(ValueError, match="unique"):
+        merge_upsert(spark, path, m, dup, "k")
+    shutil.rmtree(root, ignore_errors=True)

@@ -266,3 +266,40 @@ def test_funnel_counts_match_bruteforce(spark, rows):
         for r in funnel_counts(df, "u", "ts", "s", steps).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_seeds=st.integers(1, 3),
+    max_hops=st.integers(1, 4),
+)
+def test_bfs_distances_matches_brute_force_property(spark, edges, n_seeds, max_hops):
+    """bfs_distances == brute-force Dijkstra-on-unit-weights for any small
+    directed graph, seed set, and hop bound (self-loops and duplicate
+    edges included)."""
+    from flight_data_ingestion_engine_spark.operators.graph import bfs_distances
+
+    seeds = sorted({a for a, _ in edges})[:n_seeds]
+    # brute force: frontier BFS in plain Python
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, max_hops + 1):
+        nxt = {t for f in frontier for t in adj.get(f, ())} - dist.keys()
+        for t in nxt:
+            dist[t] = k
+        frontier = nxt
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == dist

@@ -306,6 +306,96 @@ def merge_upsert(
     )
 
 
+def merge_upsert_versioned(
+    spark: SparkSession,
+    data_path: str,
+    log_path: str,
+    updates: DataFrame,
+    key_col: str,
+    validate_unique: bool = True,
+) -> int:
+    """Snapshot-isolated MERGE INTO: copy-on-write against the LATEST
+    committed snapshot, never deleting or overwriting a data file. The
+    rewritten content (affected-file survivors + the update batch) lands
+    in NEW uniquely-named files; the new manifest — old entries minus the
+    affected files, plus the fresh files' stats — commits atomically as
+    the next version. Returns the committed version number.
+
+    Readers on `read_as_of` keep seeing their snapshot mid-merge (the
+    superseded files stay on disk until `vacuum_versions`); a crash
+    anywhere before the commit leaves only orphan data files, which
+    vacuum reclaims — the Delta/Iceberg failure model, with no torn-swap
+    window at all (unlike the in-place `merge_upsert`). Replaying the
+    same batch is idempotent in content: matched keys re-replace with
+    identical rows, so a duplicate merge commits a byte-identical
+    snapshot rather than corrupting one. Bootstrap: with no committed
+    version yet, the whole batch is the initial table (version 1).
+    """
+    import uuid
+
+    if validate_unique:
+        dup = (
+            updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"updates are not unique on {key_col!r}")
+    try:
+        mf = read_manifest_version(spark, log_path)
+    except FileNotFoundError:
+        mf = None
+
+    affected: list[str] = []
+    if mf is not None:
+        ukeys = updates.select(F.col(key_col).alias("_uk")).where(F.col("_uk").isNotNull())
+        hit = (
+            ukeys.join(
+                F.broadcast(mf),
+                (F.col("_uk") >= F.col(f"min_{key_col}"))
+                & (F.col("_uk") <= F.col(f"max_{key_col}")),
+            )
+            .select("file_path")
+            .distinct()
+        )
+        affected = [r.file_path for r in hit.collect()]
+    if affected:
+        stored = spark.read.parquet(*affected)
+        survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
+        new_content = survivors.unionByName(updates.select(*stored.columns))
+    else:
+        new_content = updates
+
+    # stage, then move into the table dir under collision-free names; the
+    # moved-path list is O(new files) — churn-bounded driver work
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{data_path.rstrip('/')}/_merge_staging_{tag}"
+    new_content.write.parquet(staging)
+    fs, jvm = _fs_for(spark, data_path)
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    moved = []
+    for st in fs.listStatus(_hpath(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            dest = f"{data_path.rstrip('/')}/m{tag}-{name}"
+            fs.rename(st.getPath(), _hpath(dest))
+            moved.append(dest)
+    fs.delete(_hpath(staging), True)
+
+    cols = _stat_cols(mf) if mf is not None else [key_col]
+    fresh = file_column_stats(spark.read.parquet(*moved), cols)
+    if mf is not None and affected:
+        kept = mf.where(~F.col("file_path").isin(affected))
+        new_manifest = kept.unionByName(fresh)
+    elif mf is not None:
+        new_manifest = mf.unionByName(fresh)
+    else:
+        new_manifest = fresh
+    return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
+
+
 def _stat_cols(manifest: DataFrame) -> list[str]:
     """Recover the stat column list from a manifest's schema."""
     return [c.removeprefix("min_") for c in manifest.columns if c.startswith("min_")]

@@ -256,6 +256,86 @@ def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]
     return sink
 
 
+def merge_sink_fn(data_path: str, log_path: str, key_col: str, order_col: str | None = None):
+    """foreachBatch closure for CDC-style streaming upserts into a
+    snapshot-versioned manifest table: each micro-batch MERGEs into the
+    latest committed snapshot via `merge_upsert_versioned` (copy-on-write,
+    atomic version commit, no file ever overwritten).
+
+    With `order_col`, multiple updates for one key within a batch collapse
+    to the highest-`order_col` row (ties broken by preferring the later
+    row is NOT deterministic — `order_col` must be unique per key, e.g. a
+    CDC sequence number); without it the batch must already be unique per
+    key (`merge_upsert_versioned` validates).
+
+    Exactly-once: an `_epochs/{id}` marker in the log dir skips replayed
+    committed batches. The unguarded window (commit succeeded, marker
+    write lost) degrades to a REDUNDANT merge — replaying identical
+    updates against the already-merged table commits a content-identical
+    extra version, never duplicate or lost rows.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from flight_data_ingestion_engine_spark.operators.manifest import (
+            merge_upsert_versioned,
+        )
+
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+
+        def _p(path: str):
+            return jvm.org.apache.hadoop.fs.Path(path)
+
+        root = log_path.rstrip("/")
+        fs = _p(root).getFileSystem(hconf)
+        marker = _p(f"{root}/_epochs/{epoch_id}")
+        if fs.exists(marker):
+            return
+        updates = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+            updates = (
+                updates.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if updates.isEmpty():
+            return
+        merge_upsert_versioned(
+            spark, data_path, log_path, updates, key_col,
+            validate_unique=order_col is None,
+        )
+        fs.mkdirs(_p(f"{root}/_epochs"))
+        fs.createNewFile(marker)
+
+    return sink
+
+
+def foreach_batch_merge_sink(
+    stream: DataFrame,
+    data_path: str,
+    log_path: str,
+    key_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Stream CDC upserts into a snapshot-versioned parquet table: per
+    micro-batch copy-on-write MERGE with an atomic manifest-version commit
+    (see `merge_sink_fn` for the exactly-once contract). Readers follow
+    the table with `read_as_of(latest)` and always see a committed
+    snapshot, never a half-merged state."""
+    sink = merge_sink_fn(data_path, log_path, key_col, order_col)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def stream_rate(spark: SparkSession, rows_per_second: int = 100, num_partitions: int | None = None) -> DataFrame:
     """Built-in rate source: (timestamp, value) rows generated at a fixed
     rate — the standard load-generator for exercising a streaming topology

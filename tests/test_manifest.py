@@ -459,3 +459,94 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, sf_dir):
     with pytest.raises(ValueError, match="unique"):
         merge_upsert(spark, path, m, dup, "k")
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_upsert_versioned_snapshot_lifecycle(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        list_versions,
+        merge_upsert_versioned,
+        read_as_of,
+        vacuum_versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_merge_v_")
+    data, log = f"{root}/data", f"{root}/log"
+
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    v1 = merge_upsert_versioned(spark, data, log, base.repartition(4), "k")
+    assert v1 == 1
+    assert read_as_of(spark, log).count() == 100
+
+    # merge: update 3 keys, insert 2 new ones
+    upd = spark.createDataFrame(
+        [(5, -5), (50, -50), (99, -99), (200, 1), (201, 2)], "k long, v long"
+    )
+    v2 = merge_upsert_versioned(spark, data, log, upd, "k")
+    assert v2 == 2
+    now = read_as_of(spark, log)
+    assert now.count() == 102
+    got = {r.k: r.v for r in now.where(F.col("k").isin(5, 50, 99, 200, 201)).collect()}
+    assert got == {5: -5, 50: -50, 99: -99, 200: 1, 201: 2}
+    # snapshot isolation: version 1 still reads the pre-merge table
+    old = read_as_of(spark, log, version=1)
+    assert old.count() == 100
+    assert {r.v for r in old.where(F.col("k") == 5).collect()} == {50}
+
+    # vacuum to the latest version only: old snapshot's superseded files go
+    res = vacuum_versions(spark, log, data, keep_last=1)
+    assert res["dropped_versions"] == [1]
+    assert res["deleted_files"] > 0
+    assert read_as_of(spark, log).count() == 102
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_merge_sink_cdc_upserts(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        list_versions,
+        merge_upsert_versioned,
+        read_as_of,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_merge_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_merge_cdc_")
+    src, data, log, ck = (f"{root}/{d}" for d in ["src", "data", "log", "ck"])
+
+    base = spark.range(50).select(
+        F.col("id").alias("k"), F.lit("base").alias("v"), F.lit(0).alias("seq")
+    )
+    merge_upsert_versioned(spark, data, log, base, "k")
+
+    # two CDC files -> two micro-batches; file 2 re-updates key 1 (seq wins)
+    spark.createDataFrame(
+        [(1, "a1", 1), (2, "a2", 1), (60, "new60", 1)], "k long, v string, seq int"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(1, "b1", 2), (61, "new61", 2)], "k long, v string, seq int"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v string, seq int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = foreach_batch_merge_sink(stream, data, log, "k", ck, order_col="seq").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    now = read_as_of(spark, log)
+    assert now.count() == 52  # 50 base + keys 60, 61
+    got = {r.k: r.v for r in now.where(F.col("k").isin(1, 2, 60, 61)).collect()}
+    # key 1: both batches touched it; the LAST-merged value wins whatever
+    # the batch split was (each file is its own batch here)
+    assert got[2] == "a2" and got[60] == "new60" and got[61] == "new61"
+    assert got[1] in {"a1", "b1"}
+    assert len(list_versions(spark, log)) >= 2
+    shutil.rmtree(root, ignore_errors=True)

@@ -244,3 +244,62 @@ def rolling_correlation(
         staged.where(n == window_rows)
         .select(order_col, corr.alias(f"corr{window_rows}"))
     )
+
+
+def interpolate_impute(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreakers: list[str] | None = None,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Linear-interpolation imputation: each NULL value is replaced by the
+    time-weighted blend of the nearest non-null observations on either
+    side within the key's series. Boundary NULLs (no observation on one
+    side) stay NULL — this is pure interpolation; compose with LOCF/NOCB
+    for extrapolation.
+
+    Two window passes over ONE keyed shuffle (same partitioning, Catalyst
+    reuses the exchange): backward `last(ignorenulls)` for the previous
+    observation (value + epoch), forward `first(ignorenulls)` for the
+    next. The blend `prev + (next - prev) * ((t - t0) / (t1 - t0))` is
+    written with fixed association so every engine computes the identical
+    IEEE result; epoch seconds are bigint (floor), matching the catalog's
+    second-diff convention. Equal-timestamp neighbors (t1 == t0) take the
+    previous value — no 0/0.
+    """
+    ties = tiebreakers or []
+    order = [F.col(time_col).asc()] + [F.col(t).asc() for t in ties]
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(
+        F.col(value_col).isNotNull(), F.col(time_col).cast("timestamp").cast("long")
+    )
+    out = (
+        df.withColumn("_pv", F.last(value_col, ignorenulls=True).over(back))
+        .withColumn("_pt", F.last(t_obs, ignorenulls=True).over(back))
+        .withColumn("_nv", F.first(value_col, ignorenulls=True).over(fwd))
+        .withColumn("_nt", F.first(t_obs, ignorenulls=True).over(fwd))
+    )
+    t_now = F.col(time_col).cast("timestamp").cast("long")
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (t_now - F.col("_pt")).cast("double") / (F.col("_nt") - F.col("_pt")).cast("double")
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(interp),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return out.withColumn(out_col, filled).drop("_pv", "_pt", "_nv", "_nt")

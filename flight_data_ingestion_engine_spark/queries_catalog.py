@@ -5807,3 +5807,56 @@ def q_k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_histogram(c, ["c_nationkey", "c_mktsegment"], k_threshold=5).select(
         "k", "n_groups", "n_rows", "below_threshold"
     )
+
+
+@_q(
+    "interp_impute",
+    """
+    WITH sparse AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_sparse,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(FLOOR(EPOCH(ts)) AS BIGINT) END AS t_obs,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t_now
+      FROM events
+    ),
+    win AS (
+      SELECT *,
+             last_value(v_sparse IGNORE NULLS) OVER wb AS pv,
+             last_value(t_obs IGNORE NULLS) OVER wb AS pt,
+             first_value(v_sparse IGNORE NULLS) OVER wf AS nv,
+             first_value(t_obs IGNORE NULLS) OVER wf AS nt
+      FROM sparse
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts, v_sparse,
+           CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  CASE WHEN nt = pt THEN pv
+                       ELSE pv + (nv - pv)
+                            * (CAST(t_now - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                  END
+                ELSE NULL END AS v_interp
+    FROM win
+    """,
+)
+def q_interp_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation imputation over each user's event series: the
+    'error' events' values are refilled as the time-weighted blend of the
+    surrounding observations (operators/temporal.py::interpolate_impute).
+    Complements `locf_impute`; one keyed window shuffle shared by the
+    backward and forward passes, fixed-association IEEE blend so the
+    doubles hash-match cross-engine."""
+    from flight_data_ingestion_engine_spark.operators.temporal import interpolate_impute
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v_sparse"),
+    )
+    return interpolate_impute(
+        sparse, "user_id", "ts", "v_sparse", tiebreakers=["event_id"]
+    ).select("user_id", "event_id", "ts", "v_sparse", "v_interp")

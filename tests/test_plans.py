@@ -276,3 +276,32 @@ def test_runtime_bloom_filter_composes_with_shuffle_joins(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decision_support_exchange_budgets(spark, sf_dir):
+    """Shuffle budgets for the batch-K decision-support shapes. The
+    interesting bounds: min_cost_supplier pays ONE agg + ONE window
+    exchange (the correlated-subquery rescan is gone); the scalar-
+    subquery queries pay their group-by exchanges but the threshold
+    itself rides a broadcast; the semi/anti self-join stack of
+    late_shipping_suppliers stays on the orderkey exchanges with the
+    supplier dim broadcast."""
+    budgets = {
+        "local_supplier_volume": 4,       # spine joins + final agg
+        "volume_shipping_nations": 3,     # orders/customer joins + agg
+        "min_cost_supplier": 2,           # (part,supp) agg + per-part window
+        "important_stock_share": 3,       # part agg + scalar agg + threshold
+        "top_supplier_revenue": 3,        # quarter agg + scalar max
+        "small_quantity_revenue": 2,      # per-part agg + final scalar agg
+        "customer_order_distribution": 3, # left join + two stacked aggs
+        "disjunctive_filter_revenue": 1,  # broadcast part join + scalar agg
+        "large_volume_customers": 4,      # having agg + semi + li join + agg
+        "late_shipping_suppliers": 5,     # late distinct + semi + anti + agg
+        "idle_customer_balance": 4,       # scalar agg + anti join + agg
+        "k_anonymity_customers": 2,       # two stacked aggs
+        "repetition_signals": 0,          # pure projection, no shuffle at all
+    }
+    for name, bound in budgets.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

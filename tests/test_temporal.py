@@ -106,3 +106,34 @@ def test_chi_square_cells_marginals_sum_to_n(spark):
     assert out.agg(F.sum("obs")).first()[0] == 10
     # with every cell observed, expected counts also sum to N
     assert abs(out.agg(F.sum("expected")).first()[0] - 10.0) < 1e-9
+
+
+def test_interpolate_impute_blends_and_bounds(spark):
+    import datetime as dt
+
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        interpolate_impute,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key A: 10 @0s, null @10s, null @30s, 50 @40s -> lerp at 1/4 and 3/4
+        ("A", 1, t(0), 10.0),
+        ("A", 2, t(10), None),
+        ("A", 3, t(30), None),
+        ("A", 4, t(40), 50.0),
+        # key B: leading/trailing nulls stay null (no extrapolation)
+        ("B", 1, t(0), None),
+        ("B", 2, t(10), 7.0),
+        ("B", 3, t(20), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, ts timestamp, v double")
+    got = {
+        (r.k, r.i): r.v_interp
+        for r in interpolate_impute(df, "k", "ts", "v", tiebreakers=["i"]).collect()
+    }
+    assert got[("A", 1)] == 10.0 and got[("A", 4)] == 50.0
+    assert abs(got[("A", 2)] - 20.0) < 1e-12   # 10 + 40 * 10/40
+    assert abs(got[("A", 3)] - 40.0) < 1e-12   # 10 + 40 * 30/40
+    assert got[("B", 1)] is None and got[("B", 3)] is None
+    assert got[("B", 2)] == 7.0

@@ -306,6 +306,57 @@ def merge_upsert(
     )
 
 
+def file_value_index(df: DataFrame, col: str) -> DataFrame:
+    """Posting-list index for EQUALITY lookups on a column the layout is
+    NOT clustered by: distinct `(value, file_path)` pairs, built in one
+    scan + one shuffle keyed on the value.
+
+    Min/max manifests prune nothing for such columns (every file's
+    envelope spans the domain); the posting list answers "which files
+    contain value v" exactly. Size is bounded by Σ per-file distinct
+    values — for an id-like column ~rows, for a category column
+    ~files × categories; partition the index table by value range when it
+    outgrows a broadcast. The Delta/Iceberg analogue is a bloom-filter
+    index; the exact posting list additionally gives file counts for free
+    and never false-positives.
+    """
+    return (
+        df.select(F.col(col), F.col("_metadata.file_path").alias("file_path"))
+        .where(F.col(col).isNotNull())
+        .distinct()
+    )
+
+
+def indexed_point_read(
+    spark: SparkSession, index: DataFrame, col: str, value
+) -> DataFrame:
+    """Read only the files whose posting list contains `value`, with the
+    exact equality predicate re-applied on the scan (pushed down, so the
+    parquet reader also row-group-skips). Same contract and shape as
+    `pruned_read`'s join strategy: the hit set rides a semi-join on
+    `_metadata.file_path` (AQE broadcasts it when small), no driver file
+    list; a value present nowhere yields an empty result, not an error.
+    Table roots come from the full index — O(directories) driver work.
+    """
+    hit = index.where(F.col(col) == F.lit(value)).select(
+        F.col("file_path").alias("__hit_path")
+    ).distinct()
+    roots = _manifest_roots(index)
+    if not roots:
+        raise ValueError("empty index: cannot locate table roots")
+    # the index's lineage is itself a file scan, so the hidden `_metadata`
+    # column would resolve on BOTH join branches — materialize the base
+    # side's path into a named column first (the `read_as_of` pattern)
+    base = spark.read.parquet(*roots)
+    cols = base.columns
+    keyed = base.where(F.col(col) == F.lit(value)).select(
+        F.col("_metadata.file_path").alias("__base_path"), *cols
+    )
+    return keyed.join(
+        hit, F.col("__base_path") == F.col("__hit_path"), "left_semi"
+    ).select(*cols)
+
+
 def merge_upsert_versioned(
     spark: SparkSession,
     data_path: str,

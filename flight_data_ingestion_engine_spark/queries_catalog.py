@@ -5860,3 +5860,38 @@ def q_interp_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_impute(
         sparse, "user_id", "ts", "v_sparse", tiebreakers=["event_id"]
     ).select("user_id", "event_id", "ts", "v_sparse", "v_interp")
+
+
+@_q(
+    "indexed_point_lookup",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s
+    FROM events WHERE user_id = 7
+    """,
+)
+def q_indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list point lookup on an UNCLUSTERED column: stage events
+    range-clustered by ts (so user_id is scattered across every file and
+    min/max envelopes prune nothing), build the (user_id, file) posting
+    index, and read one user's rows through it. Oracle = plain filter on
+    the full table: the index must be invisible in the values
+    (operators/manifest.py::file_value_index / indexed_point_read)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_value_index,
+        indexed_point_read,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    ev = _t(spark, sf_dir, "events")
+    staged = tempfile.mkdtemp(prefix="fdie_vindex_") + "/events_ts_clustered"
+    write_clustered_path(ev, staged, cluster_by=["ts"], n_files=10)
+
+    idx = file_value_index(spark.read.parquet(staged), "user_id")
+    got = indexed_point_read(spark, idx, "user_id", 7)
+    return got.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+    )

@@ -550,3 +550,33 @@ def test_streaming_merge_sink_cdc_upserts(spark):
     assert got[1] in {"a1", "b1"}
     assert len(list_versions(spark, log)) >= 2
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_value_index_point_read_equals_filter(spark, sf_dir):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_value_index,
+        indexed_point_read,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_vindex_")
+    path = root + "/data"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    # cluster by event_id: user_id values are scattered, envelopes useless
+    write_clustered_path(ev, path, cluster_by=["event_id"], n_files=8)
+    idx = file_value_index(spark.read.parquet(path), "user_id").localCheckpoint()
+
+    uid = ev.groupBy("user_id").count().orderBy(F.col("count").asc(), "user_id").first().user_id
+    got = indexed_point_read(spark, idx, "user_id", uid)
+    want = spark.read.parquet(path).where(F.col("user_id") == uid)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the index actually restricts the file set for a rare value
+    n_hit = idx.where(F.col("user_id") == uid).count()
+    assert n_hit <= 8
+    # absent value: empty result, no error
+    assert indexed_point_read(spark, idx, "user_id", -12345).isEmpty()
+    shutil.rmtree(root, ignore_errors=True)

@@ -163,3 +163,59 @@ def funnel_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def funnel_within_gap(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    steps: list[str],
+    max_gap_s: int,
+) -> DataFrame:
+    """Gap-constrained ordered funnel: `(step, state, n_keys)` counting
+    keys with SOME sequence e1 < e2 < … < ei of the given states where
+    each consecutive gap is ≤ `max_gap_s` seconds.
+
+    Greedy-earliest anchoring (see `funnel_counts`) is WRONG under a gap
+    constraint — an earlier step-1 event can time out where a later one
+    would chain — so this keeps, per key, the full REACHABLE-TIME SET of
+    each step: a step-i event is reachable iff some reachable step-(i-1)
+    time precedes it within the gap. Existence over sets is exact by
+    construction; per-round work is a key-equi join with the gap
+    predicate riding it, bounded by per-key step-event counts (the same
+    bound interval joins pay), never global-quadratic. All shuffles stay
+    keyed on the funnel key; `distinct` caps set growth at the event
+    count of the step.
+    """
+    assert steps, "funnel needs at least one step"
+    out = None
+    reach = None
+    for i, state in enumerate(steps):
+        stage = df.where(F.col(state_col) == state).select(
+            key_col, F.col(time_col).alias("_t")
+        )
+        if reach is None:
+            reach = stage.distinct()
+        else:
+            prev = reach.select(key_col, F.col("_t").alias("_pt"))
+            reach = (
+                stage.join(prev, key_col)
+                .where(
+                    (F.col("_t") > F.col("_pt"))
+                    & (
+                        F.col("_t").cast("timestamp").cast("long")
+                        - F.col("_pt").cast("timestamp").cast("long")
+                        <= max_gap_s
+                    )
+                )
+                .select(key_col, "_t")
+                .distinct()
+            )
+        row = (
+            reach.select(key_col).distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+            .select(F.lit(i + 1).alias("step"), F.lit(state).alias("state"), "n_keys")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5895,3 +5895,42 @@ def q_indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
     )
+
+
+@_q(
+    "funnel_within_gap",
+    """
+    WITH s1 AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'),
+    s2 AS (
+      SELECT DISTINCT e.user_id, e.ts FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.ts
+        AND FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(s1.ts)) <= 21600
+      WHERE e.event_type = 'click'
+    ),
+    s3 AS (
+      SELECT DISTINCT e.user_id, e.ts FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.ts
+        AND FLOOR(EPOCH(e.ts)) - FLOOR(EPOCH(s2.ts)) <= 21600
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT 1 AS step, 'view' AS state,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM s1) AS BIGINT) AS n_keys
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(DISTINCT user_id) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(DISTINCT user_id) FROM s3) AS BIGINT)
+    """,
+)
+def q_funnel_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel with a 6-hour max gap between
+    consecutive steps. Greedy anchors are provably wrong under gap
+    constraints, so the operator propagates per-key REACHABLE-TIME SETS
+    (operators/sequences.py::funnel_within_gap); the oracle replays the
+    same set chain as DISTINCT join CTEs — exact integer counts."""
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_within_gap
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_within_gap(
+        ev, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], max_gap_s=21600,
+    )

@@ -303,3 +303,39 @@ def test_bfs_distances_matches_brute_force_property(spark, edges, n_seeds, max_h
         for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()
     }
     assert got == dist
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab1"]), min_size=2, max_size=25),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_signals_match_python_oracle_property(spark, docs):
+    """The zero-shuffle array-expression signals equal a plain-Python
+    recomputation (Counter mode, run-length scan) for arbitrary token
+    sequences — in particular the sorted-run bigram-mode trick."""
+    from collections import Counter
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_repetition_signals,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    for i, toks in enumerate(docs):
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        runs, best = 1, 1
+        for a, b in zip(toks, toks[1:]):
+            runs = runs + 1 if a == b else 1
+            best = max(best, runs)
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_tokens == len(set(toks))
+        assert r.max_run == best
+        assert r.top_bigram_n == max(Counter(bigrams).values())
+        assert abs(r.ttr - len(set(toks)) / len(toks)) < 1e-12
+        assert abs(r.top_bigram_frac - max(Counter(bigrams).values()) / len(bigrams)) < 1e-12

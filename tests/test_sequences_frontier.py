@@ -114,3 +114,33 @@ def test_funnel_counts_greedy_earliest_is_subsequence_exists(spark):
     df = spark.createDataFrame(rows, "u int, ts timestamp, s string")
     out = {r.step: r.n_keys for r in funnel_counts(df, "u", "ts", "s", ["a", "b"]).collect()}
     assert out == {1: 2, 2: 2}
+
+
+def test_funnel_within_gap_beats_greedy_anchoring(spark):
+    import datetime as dt
+
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        funnel_within_gap,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        # user 1: earliest view times out (gap 50), but a LATER view chains
+        (1, t(0), "view"), (1, t(60), "view"), (1, t(100), "click"),
+        # user 2: click only 200s after the sole view — out of gap
+        (2, t(0), "view"), (2, t(200), "click"),
+        # user 3: full chain inside the gap
+        (3, t(0), "view"), (3, t(30), "click"), (3, t(70), "buy"),
+        # user 4: steps in the wrong order never count
+        (4, t(0), "click"), (4, t(10), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, state string")
+    got = {
+        r.step: r.n_keys
+        for r in funnel_within_gap(
+            df, "user_id", "ts", "state", ["view", "click", "buy"], max_gap_s=50
+        ).collect()
+    }
+    # step 1: users 1,2,3,4 all have a view; step 2: users 1 (late view) and 3;
+    # step 3: user 3 only
+    assert got == {1: 4, 2: 2, 3: 1}

@@ -278,6 +278,52 @@ def main() -> None:
         )
         shutil.rmtree(zroot, ignore_errors=True)
 
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        merge_upsert_versioned,
+        read_as_of,
+        read_manifest_version,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    with stage("versioned_merge_5m"):
+        mroot = tempfile.mkdtemp(prefix="fdie_smoke_m_")
+        mdata, mlog = f"{mroot}/data", f"{mroot}/log"
+        # id-clustered base table: an upsert of few keys must rewrite few files
+        base = ev.select("id", "user_id", "value")
+        write_clustered_path(base, mdata, cluster_by=["id"], n_files=64)
+        from flight_data_ingestion_engine_spark.operators.manifest import (
+            commit_manifest,
+            file_column_stats,
+        )
+
+        commit_manifest(spark, mlog, file_column_stats(spark.read.parquet(mdata), ["id"]))
+        n_before = read_manifest_version(spark, mlog).count()
+        upd = (
+            spark.range(1000)
+            .select(
+                (F.col("id") * (n_events // 1000)).alias("id"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(-1.0).alias("value"),
+            )
+            .unionByName(
+                spark.range(500).select(
+                    (F.col("id") + n_events * 2).alias("id"),
+                    F.lit(-2).cast("long").alias("user_id"),
+                    F.lit(-2.0).alias("value"),
+                )
+            )
+        )
+        merge_upsert_versioned(spark, mdata, mlog, upd, "id")
+        now = read_as_of(spark, mlog)
+        assert now.count() == n_events + 500
+        assert now.where(F.col("user_id") == -1).count() == 1000
+        # CoW stays proportional to touched keys: the spread update keys hit
+        # every clustered file, but the total file count only grows by the
+        # rewrite's own output — it must not balloon
+        n_after = read_manifest_version(spark, mlog).count()
+        assert n_after < n_before * 3, (n_before, n_after)
+        shutil.rmtree(mroot, ignore_errors=True)
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

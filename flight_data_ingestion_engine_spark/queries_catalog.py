@@ -5934,3 +5934,53 @@ def q_funnel_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type",
         steps=["view", "click", "purchase"], max_gap_s=21600,
     )
+
+
+@_q(
+    "snapshot_change_feed",
+    """
+    SELECT event_id, CAST(value AS DOUBLE) AS value, 'delete' AS _change
+    FROM events WHERE event_id % 100 = 0
+    UNION ALL
+    SELECT event_id, -1.0 AS value, 'insert' AS _change
+    FROM events WHERE event_id % 100 = 0
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, -1.0 AS value, 'insert' AS _change
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed between two snapshot versions: stage
+    events as a versioned table, MERGE an update batch (every 100th key
+    rewritten to value=-1 plus cloned inserts), then diff v1→v2 via
+    `snapshot_changes` — which reads ONLY the symmetric-difference files
+    (copy-on-write makes unchanged files byte-identical, so survivors
+    cancel in exceptAll and the feed is exactly delete+insert per updated
+    key plus the pure inserts). Oracle states the expected feed in closed
+    form over the source table."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        merge_upsert_versioned,
+        snapshot_changes,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    ev = _t(spark, sf_dir, "events").select("event_id", F.col("value").cast("double"))
+    base = tempfile.mkdtemp(prefix="fdie_cdf_")
+    data, log = f"{base}/data", f"{base}/log"
+    write_clustered_path(ev, data, cluster_by=["event_id"], n_files=8)
+    v1 = commit_manifest(
+        spark, log, file_column_stats(spark.read.parquet(data), ["event_id"])
+    )
+    touched = ev.where(F.col("event_id") % 100 == 0)
+    updates = touched.select("event_id", F.lit(-1.0).alias("value")).unionByName(
+        touched.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            F.lit(-1.0).alias("value"),
+        )
+    )
+    v2 = merge_upsert_versioned(spark, data, log, updates, "event_id")
+    return snapshot_changes(spark, log, v1, v2).select("event_id", "value", "_change")

@@ -580,3 +580,33 @@ def test_file_value_index_point_read_equals_filter(spark, sf_dir):
     # absent value: empty result, no error
     assert indexed_point_read(spark, idx, "user_id", -12345).isEmpty()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_changes_emits_only_real_changes(spark):
+    import shutil
+
+    import pytest
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        merge_upsert_versioned,
+        snapshot_changes,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_cdf_t_")
+    data, log = f"{root}/data", f"{root}/log"
+    base = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    v1 = merge_upsert_versioned(spark, data, log, base.repartition(4), "k")
+
+    upd = spark.createDataFrame([(10, -1), (500, -2)], "k long, v long")
+    v2 = merge_upsert_versioned(spark, data, log, upd, "k")
+
+    feed = snapshot_changes(spark, log, v1, v2)
+    got = {(r.k, r.v, r._change) for r in feed.collect()}
+    # exactly: update of k=10 (delete+insert), insert of k=500 — the
+    # ~50 untouched survivor rows in the rewritten file cancel out
+    assert got == {(10, 30, "delete"), (10, -1, "insert"), (500, -2, "insert")}
+
+    # identical snapshots: nothing to diff
+    with pytest.raises(ValueError, match="share every file"):
+        snapshot_changes(spark, log, v2, v2)
+    shutil.rmtree(root, ignore_errors=True)

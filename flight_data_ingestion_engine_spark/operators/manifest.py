@@ -721,6 +721,75 @@ def snapshot_changes(
     return ins.unionByName(dels)
 
 
+def optimize_versioned(
+    spark: SparkSession,
+    data_path: str,
+    log_path: str,
+    cluster_by: list[str],
+    n_files: int,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE as a snapshot commit: rewrite the LATEST snapshot's
+    content range-clustered by `cluster_by` into `n_files` new files and
+    commit the layout as the next version. Old versions keep reading
+    their own files (nothing is deleted — vacuum reclaims superseded
+    layouts); a crash before the commit leaves only orphans.
+
+    Layout maintenance must be invisible in the data: the defining
+    invariant — `snapshot_changes(pre, post)` is EMPTY — is asserted in
+    tests. Only the row order and file boundaries change, which is
+    exactly what makes the new version's min/max envelopes prune.
+    """
+    import uuid
+
+    mf = read_manifest_version(spark, log_path)
+    content = read_as_of(spark, log_path)
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{data_path.rstrip('/')}/_optimize_staging_{tag}"
+    (
+        content.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
+        .sortWithinPartitions(*cluster_by)
+        .write.parquet(staging)
+    )
+    fs, jvm = _fs_for(spark, data_path)
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    moved = []
+    for st in fs.listStatus(_hpath(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            dest = f"{data_path.rstrip('/')}/o{tag}-{name}"
+            fs.rename(st.getPath(), _hpath(dest))
+            moved.append(dest)
+    fs.delete(_hpath(staging), True)
+    cols = stat_cols if stat_cols is not None else _stat_cols(mf)
+    fresh = file_column_stats(spark.read.parquet(*moved), cols)
+    return commit_manifest(spark, log_path, fresh.localCheckpoint(eager=True))
+
+
+def table_history(spark: SparkSession, log_path: str) -> DataFrame:
+    """One row per committed version: (version, n_files, n_rows) — the
+    DESCRIBE HISTORY equivalent. O(versions) manifest reads, each a tiny
+    aggregate; no data files touched."""
+    parts = []
+    for v in list_versions(spark, log_path):
+        parts.append(
+            read_manifest_version(spark, log_path, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            )
+        )
+    if not parts:
+        raise FileNotFoundError(f"no committed versions under {log_path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot_is_complete(
     spark: SparkSession, log_path: str, version: int | None = None
 ) -> bool:

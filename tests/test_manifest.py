@@ -610,3 +610,47 @@ def test_snapshot_changes_emits_only_real_changes(spark):
     with pytest.raises(ValueError, match="share every file"):
         snapshot_changes(spark, log, v2, v2)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_optimize_versioned_empty_change_feed_and_pruning(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        merge_upsert_versioned,
+        optimize_versioned,
+        pruned_read,
+        read_as_of,
+        read_manifest_version,
+        snapshot_changes,
+        table_history,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_opt_")
+    data, log = f"{root}/data", f"{root}/log"
+    # scramble the key so the initial layout's envelopes are useless
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), F.pmod(F.xxhash64("id"), 1000).alias("scr")
+    )
+    v1 = merge_upsert_versioned(spark, data, log, base.repartition(8), "k")
+
+    v2 = optimize_versioned(spark, data, log, cluster_by=["k"], n_files=8, stat_cols=["k"])
+    assert v2 == v1 + 1
+
+    # OPTIMIZE is invisible in the data: identical multisets...
+    pre, post = read_as_of(spark, log, v1), read_as_of(spark, log, v2)
+    assert pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
+    # ...which snapshot_changes states as "nothing changed": every file
+    # differs between the layouts, so the diff runs — and cancels to zero
+    feed = snapshot_changes(spark, log, v1, v2)
+    assert feed.isEmpty()
+
+    # and the clustered layout actually prunes
+    m2 = read_manifest_version(spark, log, v2)
+    hit = m2.where((F.col("max_k") >= 100) & (F.col("min_k") <= 120))
+    assert hit.count() <= 2
+    got = pruned_read(spark, m2, "k", 100, 120).count()
+    assert got == 21
+
+    hist = {r.version: (r.n_files, r.n_rows) for r in table_history(spark, log).collect()}
+    assert hist[v1][1] == 2000 and hist[v2] == (8, 2000)
+    shutil.rmtree(root, ignore_errors=True)

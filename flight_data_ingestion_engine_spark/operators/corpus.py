@@ -69,9 +69,10 @@ def chunk_documents(
 
 
 def terms(text: Column | str) -> Column:
-    """Lowercased alphanumeric token runs (the term vocabulary)."""
+    """Lowercased alphanumeric token runs (the term vocabulary).
+    NULL text yields no terms (not a NULL array — `size(NULL)` is -1)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+    return F.regexp_extract_all(F.lower(F.coalesce(c, F.lit(""))), F.lit(TOKEN_RE), 0)
 
 
 def top_terms_per_doc(

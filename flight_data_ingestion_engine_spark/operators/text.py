@@ -27,8 +27,10 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    # NULL text tokenizes as empty: `size(NULL)` is -1, which silently
+    # corrupts every downstream ratio instead of nulling it
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, pattern)
+    return F.split(F.coalesce(c, F.lit("")), pattern)
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -156,7 +158,11 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     relationally (unnest + window islands + group-by mode) — same answer,
     different plan, which is exactly what the cross-engine check is for.
     """
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    # NULL text counts as empty — otherwise `size(NULL)` yields -1 and the
+    # ratios silently go wrong instead of null
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"[a-z0-9]+"), 0
+    )
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -43,11 +43,11 @@ def test_repetition_signals_hand_computed(spark):
 
 def test_repetition_signals_degenerate_rows(spark):
     df = spark.createDataFrame(
-        [(1, ""), (2, "solo"), (3, "!!! ???")], "doc_id long, text string"
+        [(1, ""), (2, "solo"), (3, "!!! ???"), (4, None)], "doc_id long, text string"
     )
     rows = {r.doc_id: r for r in with_repetition_signals(df).collect()}
     # empty / punctuation-only: 0 tokens → null ratios, 0 runs — never an error
-    for d in (1, 3):
+    for d in (1, 3, 4):  # NULL text counts as empty
         assert rows[d].n_tokens == 0 and rows[d].max_run == 0
         assert rows[d].ttr is None and rows[d].top_bigram_frac is None
     # single token: no bigrams → null bigram share, run of 1

@@ -26,6 +26,7 @@ from flight_data_ingestion_engine_spark.operators.quality import (
     benford_digits,
     categorical_mode,
     k_anonymity_histogram,
+    mad_outliers,
     chi_square_cells,
     gini_coefficient,
     equidepth_histogram,
@@ -35,6 +36,7 @@ from flight_data_ingestion_engine_spark.operators.quality import (
     zscore_outliers,
 )
 from flight_data_ingestion_engine_spark.operators.temporal import (
+    interpolate_impute,
     interval_concurrency,
     interval_coverage,
     rolling_correlation,
@@ -50,6 +52,7 @@ from flight_data_ingestion_engine_spark.operators.mleval import (
 )
 from flight_data_ingestion_engine_spark.operators.sequences import (
     funnel_counts,
+    funnel_within_gap,
     state_islands,
     touch_attribution,
     transition_matrix,
@@ -68,6 +71,7 @@ from flight_data_ingestion_engine_spark.operators.quantize import (
 from flight_data_ingestion_engine_spark.operators.corpus import (
     chunk_documents,
     duplicate_ngram_fraction,
+    hashing_tf,
     novel_bigrams,
     pseudonymize,
     weighted_hash_sample,
@@ -168,6 +172,7 @@ __all__ = [
     "with_utc_timestamp",
     "chunk_documents",
     "duplicate_ngram_fraction",
+    "hashing_tf",
     "cooccurrence_edges",
     "bfs_distances",
     "pagerank",
@@ -177,10 +182,12 @@ __all__ = [
     "zscore_outliers",
     "chi_square_cells",
     "equiwidth_histogram",
+    "interpolate_impute",
     "interval_concurrency",
     "rolling_percentile",
     "time_weighted_avg",
     "pareto_frontier_2d",
+    "funnel_within_gap",
     "transition_matrix",
     "touch_attribution",
     "dimension_stats",
@@ -201,6 +208,7 @@ __all__ = [
     "two_proportion_ztest",
     "gini_coefficient",
     "k_anonymity_histogram",
+    "mad_outliers",
     "adoption_curve",
     "benford_digits",
     "rolling_correlation",

@@ -600,3 +600,37 @@ def duplicate_ngram_fraction(
         "n_dup_grams",
         (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias("dup_frac"),
     )
+
+
+def hashing_tf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 1024,
+) -> DataFrame:
+    """Feature-hashing term frequencies (the HashingTF trick) in sparse
+    exploded form: (id, feature_idx, tf) with
+    `feature_idx = portable_hash(token) mod n_features` — the
+    vocabulary-free featurizer for linear models / similarity sketches at
+    corpus scale (no vocab broadcast, no fit pass, bounded width).
+
+    One explode + one map-side-combinable count agg keyed on
+    (id, feature_idx); the engine-portable 61-bit hash makes the sparse
+    vectors bit-identical in any engine with 64-bit integer SQL, so the
+    featurization itself is oracle-checkable (unusual for feature
+    hashing, which normally hides behind murmur3 implementations).
+    Whitespace tokenization, matching the SimHash family.
+    """
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        portable_token_hash61,
+    )
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")).alias("tok"),
+    )
+    idx = (portable_token_hash61(F.col("tok")) % n_features).cast("int")
+    return (
+        tok.groupBy(F.col(id_col), idx.alias("feature_idx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )

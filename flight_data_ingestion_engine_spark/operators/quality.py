@@ -381,3 +381,42 @@ def k_anonymity_histogram(
         )
         .withColumn("below_threshold", F.col("k") < k_threshold)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags: |x − median| > k · 1.4826 · MAD, per group.
+
+    The median/MAD pair is the robust replacement for mean/std
+    (`zscore_outliers`): a few extreme rows shift a mean-based threshold
+    enough to mask each other, while the median absolute deviation has a
+    50% breakdown point — the right gate for heavy-tailed metrics
+    (latencies, file sizes, token counts). 1.4826 rescales MAD to σ under
+    normality so `k` keeps its z-score meaning.
+
+    Two exact-percentile aggregations (each one shuffle on the group key,
+    Spark's `percentile` matches `quantile_cont` bit-for-bit — the
+    `exact_percentiles` precedent) with the tiny per-group stats
+    broadcast back onto the rows. Adds `_med`, `_mad`, `is_outlier`.
+    """
+    groups = group_cols or []
+    gb = df.groupBy(*groups) if groups else df.groupBy()
+    med = gb.agg(F.percentile(value_col, 0.5).alias("_med"))
+    with_med = (
+        df.join(F.broadcast(med), groups) if groups else df.crossJoin(F.broadcast(med))
+    )
+    with_med = with_med.withColumn("_ad", F.abs(F.col(value_col) - F.col("_med")))
+    gb2 = with_med.groupBy(*groups) if groups else with_med.groupBy()
+    mad = gb2.agg(F.percentile("_ad", 0.5).alias("_mad"))
+    out = (
+        with_med.join(F.broadcast(mad), groups)
+        if groups
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    return out.withColumn(
+        "is_outlier", F.col("_ad") > F.lit(k) * F.lit(1.4826) * F.col("_mad")
+    )

@@ -1253,11 +1253,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
 
 
-def _simhash_oracle_sql(n_bits: int = 56, max_hamming: int = 3) -> str:
-    """DuckDB twin of the portable SimHash pipeline: the 61-bit portable
-    token hash (two seeded polynomial hashes mod 2^31-1 post-mixed mod
-    2^61-1 — `functions.hashing.portable_token_hash61`), per-bit ±1 sums,
-    sign-assembled fingerprint, exact all-pairs Hamming ≤ d."""
+def _tokhash61_sql() -> str:
+    """DuckDB twin of `functions.hashing.portable_token_hash61` over a
+    column named `tok`: two seeded polynomial hashes mod 2^31-1,
+    post-mixed mod 2^61-1 — bit-identical to the Spark expression."""
 
     def poly(mult: int, init: int) -> str:
         return (
@@ -1265,10 +1264,17 @@ def _simhash_oracle_sql(n_bits: int = 56, max_hamming: int = 3) -> str:
             f"regexp_split_to_array(tok, '')], (a, b) -> (a * {mult} + b) % 2147483647)"
         )
 
-    tokhash = (
+    return (
         f"(({poly(31, 1779033703)}) * 2654435761 + ({poly(37, 1013904242)}) * 40503) "
         f"% {(1 << 61) - 1}"
     )
+
+
+def _simhash_oracle_sql(n_bits: int = 56, max_hamming: int = 3) -> str:
+    """DuckDB twin of the portable SimHash pipeline: the 61-bit portable
+    token hash, per-bit ±1 sums, sign-assembled fingerprint, exact
+    all-pairs Hamming ≤ d."""
+    tokhash = _tokhash61_sql()
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(n_bits)
@@ -5984,3 +5990,65 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = merge_upsert_versioned(spark, data, log, updates, "event_id")
     return snapshot_changes(spark, log, v1, v2).select("event_id", "value", "_change")
+
+
+@_q(
+    "hashing_tf_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, CAST(({_tokhash61_sql()}) % 256 AS INTEGER) AS feature_idx FROM t)
+    SELECT doc_id, feature_idx, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM h GROUP BY doc_id, feature_idx
+    """,
+)
+def q_hashing_tf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free feature hashing (HashingTF) into 256 buckets,
+    sparse exploded form — bit-identical cross-engine because the bucket
+    hash is the portable 61-bit token hash rather than an opaque murmur3
+    (operators/corpus.py::hashing_tf)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import hashing_tf
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashing_tf(docs, n_features=256)
+
+
+@_q(
+    "mad_outliers_events",
+    """
+    WITH s AS (
+      SELECT event_type, 1000.0 / (value + 1.0) AS v FROM events
+    ),
+    med AS (SELECT event_type, quantile_cont(v, 0.5) AS m FROM s GROUP BY event_type),
+    d AS (
+      SELECT s.event_type, s.v, ABS(s.v - med.m) AS ad, med.m
+      FROM s JOIN med ON s.event_type = med.event_type
+    ),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY event_type)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           MAX(d.m) AS med, MAX(mad.mad) AS mad
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier gate over a heavy-tailed derived metric
+    (1000/(value+1) — a latency-shaped transform of the uniform fixture
+    column, where mean/std z-scores would mask the tail). Exact
+    percentiles are bit-portable, so the flags — and therefore the
+    per-type counts — hash-match (operators/quality.py::mad_outliers)."""
+    from flight_data_ingestion_engine_spark.operators.quality import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.lit(1000.0) / (F.col("value") + F.lit(1.0))).alias("v")
+    )
+    flagged = mad_outliers(ev, "v", group_cols=["event_type"], k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+        F.max("_med").alias("med"),
+        F.max("_mad").alias("mad"),
+    )

@@ -146,3 +146,26 @@ def test_bfs_distances_shortest_paths(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node int")
     d2 = {r.node: r.dist for r in bfs_distances(edges2, seeds2, max_hops=3).collect()}
     assert d2 == {1: 0, 5: 0, 2: 1, 4: 1}
+
+
+def test_mad_outliers_robust_to_masking(spark):
+    from flight_data_ingestion_engine_spark.operators.quality import mad_outliers
+
+    # 20 inliers around 10 plus TWO extreme points: the extremes inflate a
+    # mean/std threshold enough to mask each other, but median/MAD flags
+    # both (50% breakdown point)
+    vals = [9.0, 10.0, 11.0] * 7 + [1000.0, 2000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = mad_outliers(df, "v", k=3.0)
+    flagged = sorted(r.v for r in out.where(F.col("is_outlier")).collect())
+    assert flagged == [1000.0, 2000.0]
+    # grouped: each group gets its own median/MAD
+    df2 = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", v) for v in [1.0] * 10 + [50.0]],
+        "g string, v double",
+    )
+    out2 = mad_outliers(df2, "v", group_cols=["g"], k=3.0)
+    got = {
+        (r.g, r.v) for r in out2.where(F.col("is_outlier")).collect()
+    }
+    assert got == {("a", 1000.0), ("a", 2000.0), ("b", 50.0)}

@@ -6052,3 +6052,65 @@ def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("_med").alias("med"),
         F.max("_mad").alias("mad"),
     )
+
+
+@_q(
+    "streaming_funnel_progress",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS state, CAST(COUNT(*) AS BIGINT) AS n_keys FROM s3
+    """,
+)
+def q_streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ordered funnel: a custom stateful operator
+    (applyInPandasWithState, two scalars of state per key) advances each
+    user's greedy state machine across TWO time-split micro-batches —
+    progress must survive the batch boundary for the counts to match the
+    batch oracle (streaming/next_event_state.py::streaming_funnel_progress).
+    The memory-sink progress rows are max-reduced per key and counted per
+    completed prefix."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.streaming.next_event_state import (
+        streaming_funnel_progress,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    landing = tempfile.mkdtemp(prefix="fdie_sfunnel_")
+    split = "2024-01-15"
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(landing, mode="append")
+    ev.where(F.col("ts") >= split).coalesce(1).write.parquet(landing, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    prog = streaming_funnel_progress(
+        stream, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    sunk = _run_stream_to_memory(prog, "append", shuffle_partitions=8)
+    per_key = sunk.groupBy("user_id").agg(F.max("steps_completed").alias("sc"))
+    steps = ["view", "click", "purchase"]
+    out = None
+    for i, st in enumerate(steps, start=1):
+        row = per_key.where(F.col("sc") >= i).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys")
+        ).select(F.lit(i).alias("step"), F.lit(st).alias("state"), "n_keys")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -146,3 +146,67 @@ def streaming_next_event(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_funnel_progress(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-key ordered-funnel progress as a stream: each key's GroupState
+    holds (current step, anchor time); every micro-batch advances the
+    greedy state machine over its time-sorted events and emits the key's
+    progress row `(key, steps_completed, anchor)`— take the per-key MAX
+    downstream for final funnel counts.
+
+    Greedy-earliest advance equals ordered-subsequence existence (the
+    batch `funnel_counts` proof), PROVIDED events arrive in batches that
+    respect event-time order across batches (the standard file-cadence /
+    watermarked-ingest assumption; within a batch any order is fine — the
+    batch is sorted before advancing). The per-batch work is vectorized
+    per STEP (a handful of numpy scans), never per row; state is two
+    scalars per key, so the state store stays O(keys) at any scale.
+    """
+    steps = list(steps)
+    output_schema = f"{key_col} long, steps_completed int, anchor timestamp"
+    state_schema = "step int, anchor long"
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        ts_us = rows[time_col].astype("int64").to_numpy() // 1000
+        svals = rows[state_col].to_numpy(dtype=object)
+        order = np.argsort(ts_us, kind="stable")
+        ts_us, svals = ts_us[order], svals[order]
+
+        step, anchor = (state.get if state.exists else (0, -(1 << 62)))
+        for s in range(step, len(steps)):
+            hits = np.nonzero((svals == steps[s]) & (ts_us > anchor))[0]
+            if len(hits) == 0:
+                break
+            anchor = int(ts_us[hits[0]])
+            step = s + 1
+        state.update((step, anchor))
+        if step > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "steps_completed": [step],
+                    "anchor": [pd.Timestamp(anchor, unit="us")],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -385,3 +385,52 @@ def test_stream_events_handles_nanos_encoded_parquet(spark, tmp_path):
     finally:
         q.stop()
     assert rows == [(1, "2023-01-01 10:00:00"), (2, "2023-01-01 10:01:00")]
+
+
+def test_streaming_funnel_state_survives_batch_boundary(spark):
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.streaming.next_event_state import (
+        streaming_funnel_progress,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    landing = tempfile.mkdtemp(prefix="fdie_sfunnel_t_")
+    # batch 1: user 1 views; user 2 clicks (no view yet -> no progress)
+    spark.createDataFrame(
+        [(1, t(0), "view"), (2, t(1), "click")], "user_id long, ts timestamp, state string"
+    ).coalesce(1).write.parquet(landing, mode="append")
+    # batch 2: user 1 clicks then buys — only counts if step/anchor
+    # state crossed the batch boundary; user 2 views (too late, stays 0)
+    spark.createDataFrame(
+        [(1, t(10), "click"), (1, t(20), "buy"), (2, t(11), "view")],
+        "user_id long, ts timestamp, state string",
+    ).coalesce(1).write.parquet(landing, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, state string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    prog = streaming_funnel_progress(stream, "user_id", "ts", "state", ["view", "click", "buy"])
+    ck = tempfile.mkdtemp(prefix="fdie_sfunnel_ck_")
+    q = (
+        prog.writeStream.format("memory").queryName("sfunnel")
+        .option("checkpointLocation", ck).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sfunnel").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.steps_completed)
+    assert final[1] == 3          # view in batch 1 + click/buy in batch 2
+    assert final.get(2, 1) == 1   # late view: one step only, never click
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)

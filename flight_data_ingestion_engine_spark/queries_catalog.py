@@ -6114,3 +6114,54 @@ def q_streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(i).alias("step"), F.lit(st).alias("state"), "n_keys")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@_q(
+    "entity_resolution_suppliers",
+    """
+    SELECT s_suppkey AS member_id, s_suppkey AS cluster_id FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 1000, s_suppkey FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 2000, s_suppkey FROM supplier
+    """,
+)
+def q_entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: supplier names plus two planted typo
+    variants per name (2nd char dropped; 2nd+3rd dropped — an edit-
+    distance CHAIN, so resolution needs transitive clustering, not just
+    pairing). Normalize → block on the stable name suffix (equi-join,
+    never all-pairs) → levenshtein ≤ 2 pairs → connected components
+    (operators/dedup.py::dedup_clusters). The planted construction gives
+    a closed-form oracle: every variant resolves to its source key; a
+    single spurious cross-supplier pair would corrupt some cluster_id
+    and break the hash."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    v1 = s.select(
+        (F.col("s_suppkey") + 1000).alias("rid"),
+        F.concat(F.substring("s_name", 1, 1), F.expr("substring(s_name, 3)")).alias("name"),
+    )
+    v2 = s.select(
+        (F.col("s_suppkey") + 2000).alias("rid"),
+        F.concat(F.substring("s_name", 1, 1), F.expr("substring(s_name, 4)")).alias("name"),
+    )
+    recs = (
+        s.select(F.col("s_suppkey").alias("rid"), F.col("s_name").alias("name"))
+        .unionByName(v1)
+        .unionByName(v2)
+    )
+    norm = recs.select(
+        "rid",
+        F.lower(F.regexp_replace("name", r"[^a-zA-Z0-9]", "")).alias("nm"),
+    ).withColumn("blk", F.expr("substring(nm, length(nm) - 3, 4)"))
+    a = norm.select(F.col("rid").alias("id_a"), F.col("nm").alias("nm_a"), "blk")
+    b = norm.select(F.col("rid").alias("id_b"), F.col("nm").alias("nm_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.levenshtein("nm_a", "nm_b") <= 2)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(pairs)

@@ -625,10 +625,13 @@ def hashing_tf(
         portable_token_hash61,
     )
 
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")).alias("tok"),
+    text = F.col(text_col)
+    # NULL text → empty array (explode drops the row); coalescing to ''
+    # would instead hash ONE empty token (split('', …) is [''])
+    toks = F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(text, r"\s+")
     )
+    tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     idx = (portable_token_hash61(F.col("tok")) % n_features).cast("int")
     return (
         tok.groupBy(F.col(id_col), idx.alias("feature_idx"))

@@ -266,6 +266,11 @@ def merge_upsert(
         )
         if dup:
             raise ValueError(f"updates are not unique on {key_col!r}")
+    # materialize the manifest BEFORE any file is deleted: its lineage may
+    # scan the very files this merge rewrites (the natural
+    # `file_column_stats(spark.read.parquet(path))` caller), and the
+    # refresh at the end re-evaluates it after the deletes
+    manifest = manifest.localCheckpoint(eager=True)
     ukeys = updates.select(F.col(key_col).alias("_uk")).where(F.col("_uk").isNotNull())
     hit = (
         ukeys.join(
@@ -697,17 +702,14 @@ def snapshot_changes(
     only_old = mf_old.join(mf_new.select("file_path"), "file_path", "left_anti")
 
     def _rows(mf_side: DataFrame) -> DataFrame | None:
-        roots = _manifest_roots(mf_side)
-        if not roots:
+        # read the symmetric-difference files by EXPLICIT path — a
+        # root-scan + semi-join would still list and read the whole
+        # directory, defeating the churn bound; the collected list is
+        # O(changed files), the same driver cost `merge_upsert` pays
+        paths = [r.file_path for r in mf_side.select("file_path").collect()]
+        if not paths:
             return None
-        base = spark.read.parquet(*roots)
-        cols = base.columns
-        keyed = base.select(F.col("_metadata.file_path").alias("__p"), *cols)
-        return keyed.join(
-            mf_side.select(F.col("file_path").alias("__q")),
-            F.col("__p") == F.col("__q"),
-            "left_semi",
-        ).select(*cols)
+        return spark.read.parquet(*paths)
 
     new_rows, old_rows = _rows(only_new), _rows(only_old)
     if new_rows is None and old_rows is None:

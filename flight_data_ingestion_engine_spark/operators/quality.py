@@ -404,19 +404,32 @@ def mad_outliers(
     broadcast back onto the rows. Adds `_med`, `_mad`, `is_outlier`.
     """
     groups = group_cols or []
+
+    def _attach(rows: DataFrame, stats: DataFrame) -> DataFrame:
+        # null-SAFE group join: a NULL group key is its own equivalence
+        # class (SQL GROUP BY semantics — same contract as
+        # `k_anonymity_histogram`); a plain equi-join would silently drop
+        # every NULL-group row from a row-preserving operator
+        if not groups:
+            return rows.crossJoin(F.broadcast(stats))
+        st = stats.select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups],
+            *[c for c in stats.columns if c not in groups],
+        )
+        cond = None
+        for g in groups:
+            c = rows[g].eqNullSafe(F.col(f"__g_{g}"))
+            cond = c if cond is None else (cond & c)
+        return rows.join(F.broadcast(st), cond).drop(*[f"__g_{g}" for g in groups])
+
     gb = df.groupBy(*groups) if groups else df.groupBy()
     med = gb.agg(F.percentile(value_col, 0.5).alias("_med"))
-    with_med = (
-        df.join(F.broadcast(med), groups) if groups else df.crossJoin(F.broadcast(med))
+    with_med = _attach(df, med).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("_med"))
     )
-    with_med = with_med.withColumn("_ad", F.abs(F.col(value_col) - F.col("_med")))
     gb2 = with_med.groupBy(*groups) if groups else with_med.groupBy()
     mad = gb2.agg(F.percentile("_ad", 0.5).alias("_mad"))
-    out = (
-        with_med.join(F.broadcast(mad), groups)
-        if groups
-        else with_med.crossJoin(F.broadcast(mad))
-    )
+    out = _attach(with_med, mad)
     return out.withColumn(
         "is_outlier", F.col("_ad") > F.lit(k) * F.lit(1.4826) * F.col("_mad")
     )

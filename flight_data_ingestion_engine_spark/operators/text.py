@@ -27,10 +27,14 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
-    # NULL text tokenizes as empty: `size(NULL)` is -1, which silently
-    # corrupts every downstream ratio instead of nulling it
+    # NULL text tokenizes as a genuinely EMPTY array — `size(NULL)` is -1
+    # (corrupting downstream ratios), and coalescing to '' would be just
+    # as wrong: split('', pattern) is [''] (ONE empty token), so NULL rows
+    # would get n_tokens=1 and plausible non-null ratios. Non-null text
+    # keeps the raw split semantics (incl. boundary empty tokens) that the
+    # SQL oracles replay.
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.coalesce(c, F.lit("")), pattern)
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(F.split(c, pattern))
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -6119,11 +6119,12 @@ def q_streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "entity_resolution_suppliers",
     """
+    WITH off AS (SELECT MAX(s_suppkey) + 1 AS m FROM supplier)
     SELECT s_suppkey AS member_id, s_suppkey AS cluster_id FROM supplier
     UNION ALL
-    SELECT s_suppkey + 1000, s_suppkey FROM supplier
+    SELECT s_suppkey + off.m, s_suppkey FROM supplier, off
     UNION ALL
-    SELECT s_suppkey + 2000, s_suppkey FROM supplier
+    SELECT s_suppkey + 2 * off.m, s_suppkey FROM supplier, off
     """,
 )
 def q_entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6139,12 +6140,16 @@ def q_entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
 
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    v1 = s.select(
-        (F.col("s_suppkey") + 1000).alias("rid"),
+    # variant-id offset derived from the key domain (a fixed literal would
+    # collide with real keys at larger scale factors)
+    off = s.agg((F.max("s_suppkey") + 1).alias("m"))
+    sb = s.crossJoin(F.broadcast(off))
+    v1 = sb.select(
+        (F.col("s_suppkey") + F.col("m")).alias("rid"),
         F.concat(F.substring("s_name", 1, 1), F.expr("substring(s_name, 3)")).alias("name"),
     )
-    v2 = s.select(
-        (F.col("s_suppkey") + 2000).alias("rid"),
+    v2 = sb.select(
+        (F.col("s_suppkey") + 2 * F.col("m")).alias("rid"),
         F.concat(F.substring("s_name", 1, 1), F.expr("substring(s_name, 4)")).alias("name"),
     )
     recs = (

@@ -256,7 +256,13 @@ def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]
     return sink
 
 
-def merge_sink_fn(data_path: str, log_path: str, key_col: str, order_col: str | None = None):
+def merge_sink_fn(
+    data_path: str,
+    log_path: str,
+    key_col: str,
+    order_col: str | None = None,
+    marker_dir: str | None = None,
+):
     """foreachBatch closure for CDC-style streaming upserts into a
     snapshot-versioned manifest table: each micro-batch MERGEs into the
     latest committed snapshot via `merge_upsert_versioned` (copy-on-write,
@@ -268,12 +274,18 @@ def merge_sink_fn(data_path: str, log_path: str, key_col: str, order_col: str | 
     CDC sequence number); without it the batch must already be unique per
     key (`merge_upsert_versioned` validates).
 
-    Exactly-once: an `_epochs/{id}` marker in the log dir skips replayed
-    committed batches. The unguarded window (commit succeeded, marker
-    write lost) degrades to a REDUNDANT merge — replaying identical
-    updates against the already-merged table commits a content-identical
-    extra version, never duplicate or lost rows.
+    Exactly-once: a `{marker_dir}/{epoch}` marker skips replayed committed
+    batches. `marker_dir` must share the CHECKPOINT's lifecycle, not the
+    table's — epoch ids restart at 0 under a fresh checkpoint, and a
+    table-scoped marker dir would then silently skip real new batches
+    (`foreach_batch_merge_sink` passes a checkpoint-scoped dir; the
+    standalone default `{log_path}/_epochs` assumes the log dir dies with
+    the checkpoint). The unguarded window (commit succeeded, marker write
+    lost) degrades to a REDUNDANT merge — replaying identical updates
+    against the already-merged table commits a content-identical extra
+    version, never duplicate or lost rows.
     """
+    mdir = (marker_dir or f"{log_path.rstrip('/')}/_epochs").rstrip("/")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import Window
@@ -290,9 +302,8 @@ def merge_sink_fn(data_path: str, log_path: str, key_col: str, order_col: str | 
         def _p(path: str):
             return jvm.org.apache.hadoop.fs.Path(path)
 
-        root = log_path.rstrip("/")
-        fs = _p(root).getFileSystem(hconf)
-        marker = _p(f"{root}/_epochs/{epoch_id}")
+        fs = _p(mdir).getFileSystem(hconf)
+        marker = _p(f"{mdir}/{epoch_id}")
         if fs.exists(marker):
             return
         updates = batch_df
@@ -309,7 +320,7 @@ def merge_sink_fn(data_path: str, log_path: str, key_col: str, order_col: str | 
             spark, data_path, log_path, updates, key_col,
             validate_unique=order_col is None,
         )
-        fs.mkdirs(_p(f"{root}/_epochs"))
+        fs.mkdirs(_p(mdir))
         fs.createNewFile(marker)
 
     return sink
@@ -327,8 +338,13 @@ def foreach_batch_merge_sink(
     micro-batch copy-on-write MERGE with an atomic manifest-version commit
     (see `merge_sink_fn` for the exactly-once contract). Readers follow
     the table with `read_as_of(latest)` and always see a committed
-    snapshot, never a half-merged state."""
-    sink = merge_sink_fn(data_path, log_path, key_col, order_col)
+    snapshot, never a half-merged state. Epoch markers live under the
+    checkpoint dir so their lifecycle matches the epoch counter's — a
+    fresh checkpoint restarts epochs at 0 AND gets fresh markers."""
+    sink = merge_sink_fn(
+        data_path, log_path, key_col, order_col,
+        marker_dir=f"{checkpoint_dir.rstrip('/')}/_merge_epochs",
+    )
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

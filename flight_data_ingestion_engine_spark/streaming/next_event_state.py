@@ -179,6 +179,10 @@ def streaming_funnel_progress(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # NULL timestamps can never satisfy the strictly-greater anchor
+        # comparison (batch funnel semantics) — NaT would otherwise cast
+        # to int64 min and sail past the guard as a bogus early anchor
+        rows = rows[rows[time_col].notna()]
         if len(rows) == 0:
             return
         ts_us = rows[time_col].astype("int64").to_numpy() // 1000

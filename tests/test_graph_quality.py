@@ -169,3 +169,18 @@ def test_mad_outliers_robust_to_masking(spark):
         (r.g, r.v) for r in out2.where(F.col("is_outlier")).collect()
     }
     assert got == {("a", 1000.0), ("a", 2000.0), ("b", 50.0)}
+
+
+def test_mad_outliers_keeps_null_group_rows(spark):
+    from flight_data_ingestion_engine_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 5.0), (None, 6.0), (None, 500.0)],
+        "g string, v double",
+    )
+    out = mad_outliers(df, "v", group_cols=["g"], k=3.0)
+    # row-preserving, including the NULL group (its own equivalence class)
+    assert out.count() == 6
+    nulls = out.where(F.col("g").isNull())
+    assert nulls.count() == 3
+    assert {r.v for r in nulls.where(F.col("is_outlier")).collect()} == {500.0}

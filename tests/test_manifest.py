@@ -654,3 +654,27 @@ def test_optimize_versioned_empty_change_feed_and_pruning(spark):
     hist = {r.version: (r.n_files, r.n_rows) for r in table_history(spark, log).collect()}
     assert hist[v1][1] == 2000 and hist[v2] == (8, 2000)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_upsert_accepts_unmaterialized_manifest(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+        merge_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_merge_lazy_")
+    path = root + "/data"
+    df = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_clustered_path(df, path, cluster_by=["k"], n_files=4)
+    # the natural call: a LAZY manifest whose lineage scans the data files
+    # the merge is about to delete — must not blow up or corrupt stats
+    m = file_column_stats(spark.read.parquet(path), ["k"])
+    upd = spark.createDataFrame([(10, -1), (900, -9)], "k long, v long")
+    m2 = merge_upsert(spark, path, m, upd, "k")
+    after = spark.read.parquet(path)
+    assert after.count() == 501
+    assert {r.v for r in after.where(F.col("k").isin(10, 900)).collect()} == {-1, -9}
+    assert m2.agg(F.sum("n_rows")).collect()[0][0] == 501
+    shutil.rmtree(root, ignore_errors=True)

@@ -189,7 +189,15 @@ def foreach_batch_manifest_sink(
     batch's anti-join heals (manifest maintenance is idempotent).
     """
 
-    sink = manifest_sink_fn(out_path, manifest_path, stat_cols)
+    import hashlib
+
+    # run tag derived from the checkpoint dir: epoch counters restart at 0
+    # under a fresh checkpoint, so epoch-keyed file names and markers must
+    # be namespaced per checkpoint lifecycle or a replacement query would
+    # (a) skip its first epochs on stale markers and (b) delete the old
+    # run's committed epoch-0 files as "leftovers"
+    tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    sink = manifest_sink_fn(out_path, manifest_path, stat_cols, run_tag=tag)
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
@@ -197,9 +205,17 @@ def foreach_batch_manifest_sink(
     )
 
 
-def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]):
+def manifest_sink_fn(
+    out_path: str,
+    manifest_path: str,
+    stat_cols: Sequence[str],
+    run_tag: str = "",
+):
     """The foreachBatch closure behind `foreach_batch_manifest_sink`,
-    exposed so the idempotent-replay protocol is directly testable."""
+    exposed so the idempotent-replay protocol is directly testable.
+    `run_tag` namespaces epoch file names and markers per checkpoint
+    lifecycle (see `foreach_batch_manifest_sink`); direct single-run
+    callers may omit it."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from flight_data_ingestion_engine_spark.operators.manifest import (
@@ -214,22 +230,24 @@ def manifest_sink_fn(out_path: str, manifest_path: str, stat_cols: Sequence[str]
             return jvm.org.apache.hadoop.fs.Path(path)
 
         root = out_path.rstrip("/")
+        prefix = f"e{run_tag}-{epoch_id}-" if run_tag else f"epoch{epoch_id}-"
+        marker_name = f"{run_tag}-{epoch_id}" if run_tag else str(epoch_id)
         fs = _p(root).getFileSystem(hconf)
-        marker = _p(f"{root}/_epochs/{epoch_id}")
+        marker = _p(f"{root}/_epochs/{marker_name}")
         if fs.exists(marker):
             return  # replay of a committed epoch — skip, exactly-once
-        staging = f"{root}/_epoch_staging_{epoch_id}"
+        staging = f"{root}/_epoch_staging_{run_tag}{epoch_id}"
         batch_df.write.mode("overwrite").parquet(staging)
         # clear leftovers of a half-completed previous move for this epoch
         if fs.exists(_p(root)):
             for st in fs.listStatus(_p(root)):
                 name = st.getPath().getName()
-                if name.startswith(f"epoch{epoch_id}-"):
+                if name.startswith(prefix):
                     fs.delete(st.getPath(), False)
         for st in fs.listStatus(_p(staging)):
             name = st.getPath().getName()
             if name.endswith(".parquet"):
-                fs.rename(st.getPath(), _p(f"{root}/epoch{epoch_id}-{name}"))
+                fs.rename(st.getPath(), _p(f"{root}/{prefix}{name}"))
         fs.delete(_p(staging), True)
         fs.mkdirs(_p(f"{root}/_epochs"))
         fs.createNewFile(marker)

@@ -678,3 +678,33 @@ def test_merge_upsert_accepts_unmaterialized_manifest(spark):
     assert {r.v for r in after.where(F.col("k").isin(10, 900)).collect()} == {-1, -9}
     assert m2.agg(F.sum("n_rows")).collect()[0][0] == 501
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_manifest_sink_run_tag_isolates_checkpoint_lifecycles(spark, sf_dir):
+    """A replacement query (fresh checkpoint → epochs restart at 0) must
+    neither skip its first batches on the old run's markers nor delete
+    the old run's committed epoch-0 files as leftovers."""
+    import shutil
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import manifest_sink_fn
+
+    root = tempfile.mkdtemp(prefix="fdie_manifest_tag_")
+    out, man = f"{root}/out", f"{root}/man"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id")
+    total = ev.count()
+
+    run1 = manifest_sink_fn(out, man, ["event_id"], run_tag="aaaa1111")
+    run1(ev, 0)
+    assert spark.read.parquet(out).count() == total
+
+    # second lifecycle, epoch ids restart at 0 with a different tag
+    run2 = manifest_sink_fn(out, man, ["event_id"], run_tag="bbbb2222")
+    run2(ev, 0)
+    after = spark.read.parquet(out)
+    assert after.count() == 2 * total  # not skipped, nothing deleted
+    m = spark.read.parquet(man)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == 2 * total
+    # replay inside run2 is still exactly-once
+    run2(ev, 0)
+    assert spark.read.parquet(out).count() == 2 * total
+    shutil.rmtree(root, ignore_errors=True)

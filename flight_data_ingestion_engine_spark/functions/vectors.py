@@ -81,13 +81,29 @@ def dot_udf():
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
+        n = len(a)
+        if n == 0:
             return pd.Series(np.zeros(0))
-        A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
-        acc = np.zeros(len(A), dtype=np.float64)
-        for i in range(A.shape[1]):
-            acc = acc + A[:, i] * B[:, i]
-        return pd.Series(acc)
+        # NULL-safe like the expression form: a NULL (or length-mismatched)
+        # vector yields a NULL score and the row drops out of ranking,
+        # instead of np.vstack raising and killing the whole job
+        av = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
+        bv = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
+        valid = np.array(
+            [
+                x is not None and y is not None and x.ndim == 1 and x.shape == y.shape
+                for x, y in zip(av, bv)
+            ]
+        )
+        out = np.full(n, np.nan, dtype=np.float64)
+        if valid.any():
+            A = np.vstack([x for x, ok in zip(av, valid) if ok])
+            B = np.vstack([y for y, ok in zip(bv, valid) if ok])
+            acc = np.zeros(len(A), dtype=np.float64)
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            out[valid] = acc
+        res = pd.Series(out)
+        return res.where(pd.Series(valid), None)
 
     return _dot

@@ -24,8 +24,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -582,22 +582,42 @@ def list_versions(spark: SparkSession, log_path: str) -> list[int]:
 
 def commit_manifest(spark: SparkSession, log_path: str, manifest: DataFrame) -> int:
     """Commit `manifest` as the next snapshot version; returns the version
-    number. Write-to-temp + atomic rename; retries on version races."""
+    number. Write-to-temp + rename; retries on version races.
+
+    Race subtlety: Hadoop `rename(src, dest)` into an EXISTING directory
+    "succeeds" by NESTING src inside dest — a racing loser's rename
+    returns True with its manifest buried under the winner's `v=N` as an
+    underscore-prefixed (reader-invisible) subdir. So a True return is
+    not proof of winning: the commit verifies its files landed at `v=N`
+    directly; a detected nesting pulls the temp back out and retries at
+    the next slot."""
     import uuid
 
     fs, jvm = _fs_for(spark, log_path)
-    tmp = f"{log_path.rstrip('/')}/_tmp_{uuid.uuid4().hex[:8]}"
+    tmp_name = f"_tmp_{uuid.uuid4().hex[:8]}"
+    tmp = f"{log_path.rstrip('/')}/{tmp_name}"
     manifest.write.mode("overwrite").parquet(tmp)
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
     while True:
         versions = list_versions(spark, log_path)
         nxt = (versions[-1] + 1) if versions else 1
-        dest = jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={nxt}")
-        if fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
-            return nxt
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(tmp)):
-            raise RuntimeError(f"commit rename lost both temp and target: {tmp}")
-        # another writer took v=nxt between the listing and the rename —
-        # re-list and try the next slot
+        dest = f"{log_path.rstrip('/')}/v={nxt}"
+        if fs.exists(_p(dest)):
+            continue  # racer already took this slot — re-list
+        if not fs.rename(_p(tmp), _p(dest)):
+            if not fs.exists(_p(tmp)):
+                raise RuntimeError(f"commit rename lost both temp and target: {tmp}")
+            continue
+        nested = f"{dest}/{tmp_name}"
+        if fs.exists(_p(nested)):
+            # lost the race after the exists-check: we were nested inside
+            # the winner's dir — pull the temp back out and try again
+            fs.rename(_p(nested), _p(tmp))
+            continue
+        return nxt
 
 
 def read_manifest_version(
@@ -656,6 +676,8 @@ def vacuum_versions(
     """
     assert keep_last >= 1
     versions = list_versions(spark, log_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {log_path}")
     keep = versions[-keep_last:]
     drop = [v for v in versions if v not in keep]
     fs, jvm = _fs_for(spark, log_path)
@@ -666,6 +688,14 @@ def vacuum_versions(
         retained = part if retained is None else retained.unionByName(part)
     retained = retained.distinct()
 
+    # files newer than the newest retained commit may belong to an
+    # IN-FLIGHT commit (written, not yet in any manifest) — deleting them
+    # would destroy live data mid-write. Only files older than the last
+    # commit can be proven orphaned (the Delta-vacuum retention idea,
+    # anchored to the commit timestamp instead of a wall-clock horizon).
+    cutoff = fs.getFileStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={keep[-1]}")
+    ).getModificationTime()
     listed = (
         spark.read.parquet(data_path)
         .select(F.col("_metadata.file_path").alias("file_path"))
@@ -675,11 +705,16 @@ def vacuum_versions(
         r.file_path
         for r in listed.join(retained, "file_path", "left_anti").collect()
     ]
+    deleted = 0
     for p in orphans:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        if fs.getFileStatus(hp).getModificationTime() >= cutoff:
+            continue  # possibly part of an in-flight commit — keep
+        fs.delete(hp, False)
+        deleted += 1
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={v}"), True)
-    return {"dropped_versions": drop, "deleted_files": len(orphans)}
+    return {"dropped_versions": drop, "deleted_files": deleted}
 
 
 def snapshot_changes(

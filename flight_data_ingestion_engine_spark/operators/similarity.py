@@ -230,8 +230,16 @@ def ivf_build_centroids(
     n_vecs = c.count()
     p = max(1, min(spark.sparkContext.defaultParallelism, n_vecs // 20_000))
     if p < spark.sparkContext.defaultParallelism:
-        # narrow merge of the cached partitions — no shuffle per iteration
+        # narrow merge of the cached partitions — no shuffle per iteration.
+        # NB: coalesce only ever REDUCES partitions; that's fine here (the
+        # downsizing branch), and the big-corpus case below must NOT rely
+        # on it to widen a few-split source.
         c = c.coalesce(p)
+    else:
+        # big corpus: a single-file (or few-split) source would otherwise
+        # run every Lloyd pass serially — one upfront shuffle buys full
+        # parallelism for all subsequent iterations
+        c = c.repartition(p)
     init = (
         c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
         .limit(n_centroids)
@@ -406,11 +414,17 @@ def hard_negatives(
 
         def cells(df: DataFrame, src_id: str, id_alias: str, lab: str, vec_alias: str, n: int) -> DataFrame:
             assign = _cell_assign_udf(cents, n)
-            return df.select(
+            # normalize ONCE per row; the assignment reads the same column
+            # (unit_normalize is an O(dim) fold — doubling it doubles the
+            # candidate-scan cost at mining scale)
+            normed = df.select(
                 F.col(src_id).alias(id_alias),
                 F.col(label_col).alias(lab),
                 unit_normalize(F.col(vec_col)).alias(vec_alias),
-                F.explode(assign(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+            )
+            return normed.select(
+                id_alias, lab, vec_alias,
+                F.explode(assign(F.col(vec_alias))).alias("centroid_id"),
             )
 
         q = cells(queries, query_id, "q_id", "q_label", "q_vec", nprobe)

@@ -29,15 +29,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     source has many splits and this is a no-op.
 
     The probe is plan-free (no `df.rdd`, which forces a full plan-to-RDD
-    conversion and hides the frame from AQE):
-    - `df.inputFiles()` already ≥ target → at least that many splits, no-op.
-      The listing comes from the scan's file index, which the read needs
-      anyway (and caches), so this is driver-metadata work only.
-    - fewer files than target → stat just those (< target) files via the
-      Hadoop FileSystem and estimate splits as Σ ceil(size /
-      maxPartitionBytes); repartition only when the estimate falls short.
-    - frames with no file provenance (post-shuffle, in-memory) are left
-      alone: they were produced with shuffle.partitions-many partitions.
+    conversion and hides the frame from AQE). It models Spark's actual
+    scan-split packing — NOT one-partition-per-file: FileSourceScan packs
+    small files together up to `maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/defaultParallelism))`, so 100 tiny
+    files can scan as a handful of partitions (a file-count probe would
+    wrongly no-op exactly in the many-tiny-files case this helper exists
+    for). File sizes come from driver-side FS stats with a conservative
+    early exit: once the running `ceil(total/maxPartitionBytes)` — a
+    LOWER bound on the packed estimate — reaches the target, the scan is
+    provably wide enough.
+
+    Callers apply this to SCAN-STAGE frames (its `inputFiles` provenance
+    reflects the frame's own partitioning); a post-shuffle frame derived
+    from small files would get a redundant (cheap, data-is-small)
+    repartition.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
@@ -47,21 +53,33 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df
     if not files:
         return df
-    if len(files) >= target:
-        return df
     max_bytes = _parse_byte_string(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    open_cost = _parse_byte_string(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    splits = 0
+    # REAL bytes only — folding openCostInBytes into the total would
+    # inflate tiny files to ~4MB each and over-estimate the packed width
+    # (6 KB-sized files would "estimate" wide while Spark actually scans
+    # them as 2-3 partitions); undercounting only risks a cheap redundant
+    # repartition of small data, overcounting silently serializes the
+    # compute-dense operator this helper protects
+    total = 0
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)
         try:
             size = p.getFileSystem(hconf).getFileStatus(p).getLen()
         except Exception:
             size = 0
-        splits += max(1, -(-size // max_bytes))
-        if splits >= target:
-            return df
+        total += size
+        if -(-total // max_bytes) >= target:
+            return df  # lower bound on packed splits already ≥ target
+    bytes_per_core = max(1, total // max(1, spark.sparkContext.defaultParallelism))
+    max_split = min(max_bytes, max(open_cost, bytes_per_core))
+    est_partitions = -(-total // max(1, max_split))
+    if est_partitions >= target:
+        return df
     return df.repartition(target)

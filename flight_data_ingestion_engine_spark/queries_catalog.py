@@ -5697,8 +5697,12 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
     ),
     base AS (
+      -- gate to >=2-token docs on BOTH engines: the inner joins below
+      -- need bigrams to exist, and the operator's null-ratio semantics
+      -- for degenerate docs (0/0 -> NULL in Spark, NaN in DuckDB) are
+      -- not float-portable anyway
       SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS distinct_tokens
-      FROM toks
+      FROM toks WHERE len(t) >= 2
     ),
     tokpos AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM toks
@@ -5749,9 +5753,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.text import with_repetition_signals
 
     docs = _t(spark, sf_dir, "documents")
-    return with_repetition_signals(docs).select(
-        "doc_id", "n_tokens", "distinct_tokens", "ttr",
-        "top_bigram_n", "top_bigram_frac", "max_run",
+    return (
+        with_repetition_signals(docs)
+        .where(F.col("n_tokens") >= 2)  # mirror the oracle's degenerate-doc gate
+        .select(
+            "doc_id", "n_tokens", "distinct_tokens", "ttr",
+            "top_bigram_n", "top_bigram_frac", "max_run",
+        )
     )
 
 

@@ -314,3 +314,28 @@ def test_shingles_udf_matches_expression_on_unicode_whitespace(spark):
     ).collect()
     for r in cmp:
         assert list(r.expr) == list(r.arrow), (r.id, r.expr, r.arrow)
+
+
+def test_null_embeddings_degrade_gracefully(spark):
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.dedup import embedding_dup_pairs
+    from flight_data_ingestion_engine_spark.operators.similarity import topk_brute_force
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, None, 0),          # NULL vector: scores as NULL, never crashes
+        (4, [0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"], threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    q = emb.where(F.col("vec_id") == 1).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.where(F.col("vec_id") != 1).withColumnRenamed("vec_id", "neighbor_id")
+    top = topk_brute_force(q, corpus, query_id="query_id", corpus_id="neighbor_id", k=2)
+    got = [r.neighbor_id for r in top.orderBy("rank").collect()]
+    assert got[0] == 2 and 3 not in got

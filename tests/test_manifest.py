@@ -708,3 +708,58 @@ def test_manifest_sink_run_tag_isolates_checkpoint_lifecycles(spark, sf_dir):
     run2(ev, 0)
     assert spark.read.parquet(out).count() == 2 * total
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_commit_manifest_skips_taken_slots_and_vacuum_guards(spark):
+    import shutil
+
+    import pytest
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        list_versions,
+        vacuum_versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_commit_race_")
+    data, log = f"{root}/data", f"{root}/log"
+    spark.range(50).select(F.col("id").alias("k")).write.parquet(data)
+    m = file_column_stats(spark.read.parquet(data), ["k"]).localCheckpoint()
+    assert commit_manifest(spark, log, m) == 1
+    # a racer grabbed v=2 between our listing and rename: the commit must
+    # NOT "succeed" by nesting inside the existing dir (Hadoop rename
+    # semantics) — it takes the next free slot
+    import os
+    os.makedirs(f"{log}/v=2")
+    assert commit_manifest(spark, log, m) == 3
+    assert list_versions(spark, log) == [1, 2, 3]  # racer's slot untouched
+
+    # vacuum on a log with no versions: explicit error, not AttributeError
+    with pytest.raises(FileNotFoundError):
+        vacuum_versions(spark, f"{root}/empty_log", data, keep_last=1)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_vacuum_keeps_files_newer_than_last_commit(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        vacuum_versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_vacuum_inflight_")
+    data, log = f"{root}/data", f"{root}/log"
+    spark.range(50).select(F.col("id").alias("k")).write.parquet(data)
+    commit_manifest(spark, log, file_column_stats(spark.read.parquet(data), ["k"]))
+    import time
+    time.sleep(1.1)
+    # an in-flight writer appends files but has NOT committed yet
+    spark.range(50, 60).select(F.col("id").alias("k")).write.mode("append").parquet(data)
+    res = vacuum_versions(spark, log, data, keep_last=1)
+    # the uncommitted (newer-than-last-commit) files must survive
+    assert res["deleted_files"] == 0
+    assert spark.read.parquet(data).count() == 60
+    shutil.rmtree(root, ignore_errors=True)

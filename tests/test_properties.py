@@ -339,3 +339,19 @@ def test_repetition_signals_match_python_oracle_property(spark, docs):
         assert r.top_bigram_n == max(Counter(bigrams).values())
         assert abs(r.ttr - len(set(toks)) / len(toks)) < 1e-12
         assert abs(r.top_bigram_frac - max(Counter(bigrams).values()) / len(bigrams)) < 1e-12
+
+
+def test_ensure_parallelism_spreads_packed_tiny_files(spark, tmp_path):
+    """Many tiny parquet files bin-pack into few scan partitions; the
+    helper must still widen them (a one-partition-per-file assumption
+    would no-op exactly here)."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    src = str(tmp_path / "tiny")
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(src)
+    df = spark.read.parquet(src)
+    out = ensure_parallelism(df, min_partitions=4)
+    # test-only partition probe (the operator itself never touches df.rdd)
+    assert out.rdd.getNumPartitions() >= 4
+    assert out.count() == 60

@@ -452,6 +452,58 @@ def merge_upsert_versioned(
     return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
 
 
+def delete_versioned(
+    spark: SparkSession,
+    data_path: str,
+    log_path: str,
+    col: str,
+    values: list,
+) -> int:
+    """Row-level DELETE as a snapshot commit: rows with `col IN values`
+    disappear from the NEW version; affected files are rewritten (CoW,
+    survivors to new files), untouched files carry over, and nothing is
+    deleted from disk until `vacuum_versions` — so the pre-delete
+    snapshot stays readable (audit) until vacuum truncates history
+    (compliance). The snapshot-isolated twin of `targeted_delete`, with
+    its same per-value envelope test and NULL-key retention contract.
+    Returns the committed version."""
+    mf = read_manifest_version(spark, log_path)
+    cond = None
+    for v in values:
+        c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
+        cond = c if cond is None else (cond | c)
+    affected = [r.file_path for r in mf.where(cond).select("file_path").collect()]
+    kept = mf.where(~F.col("file_path").isin(affected)) if affected else mf
+    if not affected:
+        return commit_manifest(spark, log_path, kept.localCheckpoint(eager=True))
+    survivors = spark.read.parquet(*affected).where(
+        (~F.col(col).isin(values)) | F.col(col).isNull()
+    )
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{data_path.rstrip('/')}/_delete_staging_{tag}"
+    survivors.write.parquet(staging)
+    fs, jvm = _fs_for(spark, data_path)
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    moved = []
+    for st in fs.listStatus(_hpath(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            dest = f"{data_path.rstrip('/')}/d{tag}-{name}"
+            fs.rename(st.getPath(), _hpath(dest))
+            moved.append(dest)
+    fs.delete(_hpath(staging), True)
+    new_manifest = kept
+    if moved:
+        fresh = file_column_stats(spark.read.parquet(*moved), _stat_cols(mf))
+        new_manifest = kept.unionByName(fresh)
+    return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
+
+
 def _stat_cols(manifest: DataFrame) -> list[str]:
     """Recover the stat column list from a manifest's schema."""
     return [c.removeprefix("min_") for c in manifest.columns if c.startswith("min_")]

@@ -97,6 +97,61 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row.d)
 
 
+def _lsh_plane_table(spark, dim: int, planes_per_table: int, tables: int, seed: int):
+    """The hyperplanes as a broadcast TABLE (tables × dim×planes doubles),
+    not literal expressions — thousands of literals would bloat the plan
+    and codegen compile time; as data, the signature is one small
+    expression evaluated against an array column."""
+    planes_rows = [
+        (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
+    ]
+    return F.broadcast(
+        spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
+    )
+
+
+def _lsh_bucketed(
+    df: DataFrame,
+    src_id: str,
+    id_alias: str,
+    vec_alias: str,
+    vec_col: str,
+    planes_df,
+    extra: tuple = (),
+) -> DataFrame:
+    """Shared signature generator for every hyperplane-LSH path
+    (`topk_lsh`, `hard_negatives(method='lsh')` — one implementation so
+    the two sides of any bucket equi-join are bucketed bit-identically):
+    normalize once, cross the broadcast plane table, emit
+    (id, *extra, vec, table_id, bucket). `extra` carries (src, alias)
+    column pairs (e.g. the exclusion label). The bucket reads the sign
+    bits as a binary number: fold acc*2 + bit over the planes in order
+    (shift-by-column isn't expressible; *2 is)."""
+    bucket = F.aggregate(
+        F.transform(
+            F.col("planes"),
+            lambda p: F.when(dot(F.col("_nv"), p) >= 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + v,
+    )
+    sel = (
+        [F.col(src_id).alias(id_alias)]
+        + [F.col(s).alias(a) for s, a in extra]
+        + [unit_normalize(F.col(vec_col)).alias("_nv")]
+    )
+    normed = ensure_parallelism(df).select(*sel)
+    return normed.crossJoin(planes_df).select(
+        id_alias,
+        *[a for _, a in extra],
+        F.col("_nv").alias(vec_alias),
+        F.col("table_id"),
+        bucket.alias("bucket"),
+    )
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -126,38 +181,9 @@ def topk_lsh(
     spark = queries.sparkSession
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
-    planes_rows = [
-        (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
-    ]
-    planes_df = F.broadcast(
-        spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
-    )
-    # bucket = the sign bits read as a binary number: fold acc*2 + bit over
-    # the planes in order (shift-by-column isn't expressible; *2 is)
-    bucket = F.aggregate(
-        F.transform(
-            F.col("planes"),
-            lambda p: F.when(dot(F.col("_nv"), p) >= 0, F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc * 2 + v,
-    )
-
-    def with_sigs(df: DataFrame, src_id: str, id_alias: str, vec_alias: str) -> DataFrame:
-        normed = ensure_parallelism(df).select(
-            F.col(src_id).alias(id_alias), unit_normalize(F.col(vec_col)).alias("_nv")
-        )
-        return normed.crossJoin(planes_df).select(
-            id_alias,
-            F.col("_nv").alias(vec_alias),
-            F.col("table_id"),
-            bucket.alias("bucket"),
-        )
-
-    qs = with_sigs(queries, query_id, "q_id", "q_vec")
-    cs = with_sigs(corpus, corpus_id, "c_id", "c_vec")
+    planes_df = _lsh_plane_table(spark, dim, planes_per_table, tables, seed)
+    qs = _lsh_bucketed(queries, query_id, "q_id", "q_vec", vec_col, planes_df)
+    cs = _lsh_bucketed(corpus, corpus_id, "c_id", "c_vec", vec_col, planes_df)
     cand = (
         qs.join(cs, on=["table_id", "bucket"])
         .select("q_id", "c_id", "q_vec", "c_vec")
@@ -370,35 +396,15 @@ def hard_negatives(
         spark = queries.sparkSession
         if dim is None:
             dim = _infer_dim(corpus, vec_col)
-        planes_rows = [
-            (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
-        ]
-        planes_df = F.broadcast(
-            spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
+        planes_df = _lsh_plane_table(spark, dim, planes_per_table, tables, seed)
+        qs = _lsh_bucketed(
+            queries, query_id, "q_id", "q_vec", vec_col, planes_df,
+            extra=((label_col, "q_label"),),
         )
-        bucket = F.aggregate(
-            F.transform(
-                F.col("planes"),
-                lambda p: F.when(dot(F.col("_nv"), p) >= 0, F.lit(1).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                ),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc * 2 + v,
+        cs = _lsh_bucketed(
+            corpus, corpus_id, "c_id", "c_vec", vec_col, planes_df,
+            extra=((label_col, "c_label"),),
         )
-
-        def with_sigs(df: DataFrame, src_id: str, id_alias: str, lab: str, vec_alias: str) -> DataFrame:
-            normed = ensure_parallelism(df).select(
-                F.col(src_id).alias(id_alias),
-                F.col(label_col).alias(lab),
-                unit_normalize(F.col(vec_col)).alias("_nv"),
-            )
-            return normed.crossJoin(planes_df).select(
-                id_alias, lab, F.col("_nv").alias(vec_alias), "table_id", bucket.alias("bucket")
-            )
-
-        qs = with_sigs(queries, query_id, "q_id", "q_label", "q_vec")
-        cs = with_sigs(corpus, corpus_id, "c_id", "c_label", "c_vec")
         cand = (
             qs.join(cs, (qs["table_id"] == cs["table_id"]) & (qs["bucket"] == cs["bucket"])
                     & (qs["q_label"] != cs["c_label"]))

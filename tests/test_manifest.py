@@ -763,3 +763,40 @@ def test_vacuum_keeps_files_newer_than_last_commit(spark):
     assert res["deleted_files"] == 0
     assert spark.read.parquet(data).count() == 60
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delete_versioned_snapshot_isolated_gdpr_flow(spark):
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        delete_versioned,
+        merge_upsert_versioned,
+        read_as_of,
+        snapshot_changes,
+        vacuum_versions,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_del_v_")
+    data, log = f"{root}/data", f"{root}/log"
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 7, F.lit(None).cast("long")).otherwise(F.col("id")).alias("uid"),
+    )
+    v1 = merge_upsert_versioned(spark, data, log, base.repartition(4), "k")
+
+    v2 = delete_versioned(spark, data, log, "k", [5, 150, 299])
+    now = read_as_of(spark, log, v2)
+    assert now.count() == 297
+    assert now.where(F.col("k").isin(5, 150, 299)).count() == 0
+    # NULL-key rows in rewritten files survive
+    assert now.where(F.col("uid").isNull()).count() == 3
+    # the pre-delete snapshot still reads in full (audit window)
+    assert read_as_of(spark, log, v1).count() == 300
+    # the change feed is exactly the three deletes
+    feed = snapshot_changes(spark, log, v1, v2)
+    got = {(r.k, r._change) for r in feed.collect()}
+    assert got == {(5, "delete"), (150, "delete"), (299, "delete")}
+    # vacuum truncates the audit window (compliance erasure)
+    vacuum_versions(spark, log, data, keep_last=1)
+    assert read_as_of(spark, log).count() == 297
+    shutil.rmtree(root, ignore_errors=True)

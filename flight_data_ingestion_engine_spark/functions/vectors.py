@@ -86,7 +86,10 @@ def dot_udf():
             return pd.Series(np.zeros(0))
         # NULL-safe like the expression form: a NULL (or length-mismatched)
         # vector yields a NULL score and the row drops out of ranking,
-        # instead of np.vstack raising and killing the whole job
+        # instead of np.vstack raising and killing the whole job. Valid
+        # rows are processed PER DIMENSION GROUP — a batch mixing 384- and
+        # 768-dim pairs (two embedding models) would otherwise still crash
+        # the vstack even though every row is individually consistent.
         av = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
         bv = [None if x is None else np.asarray(x, dtype=np.float64) for x in b]
         valid = np.array(
@@ -96,13 +99,17 @@ def dot_udf():
             ]
         )
         out = np.full(n, np.nan, dtype=np.float64)
-        if valid.any():
-            A = np.vstack([x for x, ok in zip(av, valid) if ok])
-            B = np.vstack([y for y, ok in zip(bv, valid) if ok])
+        dims = {av[i].shape[0] for i in np.nonzero(valid)[0]}
+        for d in dims:
+            grp = np.array(
+                [ok and av[i].shape[0] == d for i, ok in enumerate(valid)]
+            )
+            A = np.vstack([av[i] for i in np.nonzero(grp)[0]])
+            B = np.vstack([bv[i] for i in np.nonzero(grp)[0]])
             acc = np.zeros(len(A), dtype=np.float64)
             for i in range(A.shape[1]):
                 acc = acc + A[:, i] * B[:, i]
-            out[valid] = acc
+            out[grp] = acc
         res = pd.Series(out)
         return res.where(pd.Series(valid), None)
 

@@ -478,10 +478,17 @@ def embedding_dup_pairs(
 
         def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             # NULL vectors can't score (join form: NULL cosine fails the
-            # threshold) — drop them instead of letting np.vstack raise
+            # threshold) — drop them instead of letting np.vstack raise.
+            # Mixed dims keep the MODAL dimension (an anomalous longer
+            # vector must not evict the whole block — cross-dim pairs
+            # score NULL in the join form anyway, so same-dim-only pairing
+            # matches it for the dominant group; minority-dim intra-pairs
+            # are the documented loss of the Arrow fast path here)
             vecs = [None if v is None else np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
-            dims = {v.shape for v in vecs if v is not None and v.ndim == 1}
-            dim = max(dims, default=None, key=lambda s: s[0]) if dims else None
+            from collections import Counter
+
+            counts = Counter(v.shape for v in vecs if v is not None and v.ndim == 1)
+            dim = max(counts, key=lambda s: (counts[s], -s[0])) if counts else None
             ok = [v is not None and v.ndim == 1 and v.shape == dim for v in vecs]
             pdf = pdf[ok]
             n = len(pdf)

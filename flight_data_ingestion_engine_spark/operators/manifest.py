@@ -421,25 +421,7 @@ def merge_upsert_versioned(
     else:
         new_content = updates
 
-    # stage, then move into the table dir under collision-free names; the
-    # moved-path list is O(new files) — churn-bounded driver work
-    tag = uuid.uuid4().hex[:8]
-    staging = f"{data_path.rstrip('/')}/_merge_staging_{tag}"
-    new_content.write.parquet(staging)
-    fs, jvm = _fs_for(spark, data_path)
-
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    moved = []
-    for st in fs.listStatus(_hpath(staging)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            dest = f"{data_path.rstrip('/')}/m{tag}-{name}"
-            fs.rename(st.getPath(), _hpath(dest))
-            moved.append(dest)
-    fs.delete(_hpath(staging), True)
-
+    moved = _stage_and_move(spark, new_content, data_path, "m")
     cols = _stat_cols(mf) if mf is not None else [key_col]
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
     if mf is not None and affected:
@@ -450,6 +432,35 @@ def merge_upsert_versioned(
     else:
         new_manifest = fresh
     return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
+
+
+def _stage_and_move(
+    spark: SparkSession, df: DataFrame, data_path: str, prefix: str
+) -> list[str]:
+    """Write `df` to a staging dir under the table, then move each parquet
+    part into the table under a `<prefix><tag>-` collision-free name.
+    Shared by every copy-on-write rewrite (merge / optimize / delete);
+    returns the moved paths (O(new files), churn-bounded driver work)."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{data_path.rstrip('/')}/_{prefix}_staging_{tag}"
+    df.write.parquet(staging)
+    fs, jvm = _fs_for(spark, data_path)
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    moved = []
+    for st in fs.listStatus(_hpath(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            dest = f"{data_path.rstrip('/')}/{prefix}{tag}-{name}"
+            if not fs.rename(st.getPath(), _hpath(dest)):
+                raise RuntimeError(f"staging move failed: {name} -> {dest}")
+            moved.append(dest)
+    fs.delete(_hpath(staging), True)
+    return moved
 
 
 def delete_versioned(
@@ -466,37 +477,27 @@ def delete_versioned(
     snapshot stays readable (audit) until vacuum truncates history
     (compliance). The snapshot-isolated twin of `targeted_delete`, with
     its same per-value envelope test and NULL-key retention contract.
-    Returns the committed version."""
+    Returns the committed version (the CURRENT one, un-bumped, when
+    `values` is empty or no file can contain any of them — a no-op
+    delete commits nothing)."""
+    versions = list_versions(spark, log_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {log_path}")
+    if not values:
+        return versions[-1]
     mf = read_manifest_version(spark, log_path)
     cond = None
     for v in values:
         c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
         cond = c if cond is None else (cond | c)
     affected = [r.file_path for r in mf.where(cond).select("file_path").collect()]
-    kept = mf.where(~F.col("file_path").isin(affected)) if affected else mf
     if not affected:
-        return commit_manifest(spark, log_path, kept.localCheckpoint(eager=True))
+        return versions[-1]
+    kept = mf.where(~F.col("file_path").isin(affected))
     survivors = spark.read.parquet(*affected).where(
         (~F.col(col).isin(values)) | F.col(col).isNull()
     )
-    import uuid
-
-    tag = uuid.uuid4().hex[:8]
-    staging = f"{data_path.rstrip('/')}/_delete_staging_{tag}"
-    survivors.write.parquet(staging)
-    fs, jvm = _fs_for(spark, data_path)
-
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    moved = []
-    for st in fs.listStatus(_hpath(staging)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            dest = f"{data_path.rstrip('/')}/d{tag}-{name}"
-            fs.rename(st.getPath(), _hpath(dest))
-            moved.append(dest)
-    fs.delete(_hpath(staging), True)
+    moved = _stage_and_move(spark, survivors, data_path, "d")
     new_manifest = kept
     if moved:
         fresh = file_column_stats(spark.read.parquet(*moved), _stat_cols(mf))
@@ -760,7 +761,11 @@ def vacuum_versions(
     deleted = 0
     for p in orphans:
         hp = jvm.org.apache.hadoop.fs.Path(p)
-        if fs.getFileStatus(hp).getModificationTime() >= cutoff:
+        try:
+            mtime = fs.getFileStatus(hp).getModificationTime()
+        except Exception:
+            continue  # already gone (racing cleaner) — nothing to do
+        if mtime >= cutoff:
             continue  # possibly part of an in-flight commit — keep
         fs.delete(hp, False)
         deleted += 1
@@ -829,30 +834,12 @@ def optimize_versioned(
     tests. Only the row order and file boundaries change, which is
     exactly what makes the new version's min/max envelopes prune.
     """
-    import uuid
-
     mf = read_manifest_version(spark, log_path)
     content = read_as_of(spark, log_path)
-    tag = uuid.uuid4().hex[:8]
-    staging = f"{data_path.rstrip('/')}/_optimize_staging_{tag}"
-    (
-        content.repartitionByRange(n_files, *[F.col(c) for c in cluster_by])
-        .sortWithinPartitions(*cluster_by)
-        .write.parquet(staging)
-    )
-    fs, jvm = _fs_for(spark, data_path)
-
-    def _hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    moved = []
-    for st in fs.listStatus(_hpath(staging)):
-        name = st.getPath().getName()
-        if name.endswith(".parquet"):
-            dest = f"{data_path.rstrip('/')}/o{tag}-{name}"
-            fs.rename(st.getPath(), _hpath(dest))
-            moved.append(dest)
-    fs.delete(_hpath(staging), True)
+    clustered = content.repartitionByRange(
+        n_files, *[F.col(c) for c in cluster_by]
+    ).sortWithinPartitions(*cluster_by)
+    moved = _stage_and_move(spark, clustered, data_path, "o")
     cols = stat_cols if stat_cols is not None else _stat_cols(mf)
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
     return commit_manifest(spark, log_path, fresh.localCheckpoint(eager=True))

@@ -263,9 +263,11 @@ def ivf_build_centroids(
         c = c.coalesce(p)
     else:
         # big corpus: a single-file (or few-split) source would otherwise
-        # run every Lloyd pass serially — one upfront shuffle buys full
-        # parallelism for all subsequent iterations
-        c = c.repartition(p)
+        # run every Lloyd pass serially. localCheckpoint MATERIALIZES the
+        # widened partitions — a bare repartition would layer an Exchange
+        # over the cached relation and re-run the shuffle on every one of
+        # the `iterations` actions
+        c = c.repartition(p).localCheckpoint()
     init = (
         c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
         .limit(n_centroids)

@@ -67,16 +67,37 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # them as 2-3 partitions); undercounting only risks a cheap redundant
     # repartition of small data, overcounting silently serializes the
     # compute-dense operator this helper protects
-    total = 0
-    for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        try:
-            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
-        except Exception:
-            size = 0
-        total += size
-        if -(-total // max_bytes) >= target:
-            return df  # lower bound on packed splits already ≥ target
+    # bound the driver-side metadata work: per-file stats are fine for a
+    # few thousand files (and usually early-exit long before the end on
+    # big data), but a million-small-file table must not pay one RPC per
+    # file — above the cap, switch to one listStatus per PARENT DIR and
+    # sum its parquet sizes (a superset of the pruned file set, so the
+    # estimate can only grow → at worst a no-op, never a serial scan)
+    _STAT_CAP = 2048
+    if len(files) > _STAT_CAP:
+        total = 0
+        dirs = {f.rsplit("/", 1)[0] for f in files}
+        for d in dirs:
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            try:
+                for st in p.getFileSystem(hconf).listStatus(p):
+                    if st.getPath().getName().endswith(".parquet"):
+                        total += st.getLen()
+            except Exception:
+                continue
+            if -(-total // max_bytes) >= target:
+                return df
+    else:
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            try:
+                size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            except Exception:
+                size = 0
+            total += size
+            if -(-total // max_bytes) >= target:
+                return df  # lower bound on packed splits already ≥ target
     bytes_per_core = max(1, total // max(1, spark.sparkContext.defaultParallelism))
     max_split = min(max_bytes, max(open_cost, bytes_per_core))
     est_partitions = -(-total // max(1, max_split))

@@ -191,12 +191,17 @@ def foreach_batch_manifest_sink(
 
     import hashlib
 
-    # run tag derived from the checkpoint dir: epoch counters restart at 0
-    # under a fresh checkpoint, so epoch-keyed file names and markers must
-    # be namespaced per checkpoint lifecycle or a replacement query would
-    # (a) skip its first epochs on stale markers and (b) delete the old
-    # run's committed epoch-0 files as "leftovers"
-    tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # run tag derived from the (normalized) checkpoint dir: epoch counters
+    # restart at 0 under a fresh checkpoint, so epoch-keyed file names and
+    # markers must be namespaced per checkpoint lifecycle or a replacement
+    # query would (a) skip its first epochs on stale markers and (b)
+    # delete the old run's committed epoch-0 files as "leftovers".
+    # Migration caveat: a checkpoint created under a DIFFERENT spelling of
+    # the same path (or under the pre-tag naming) resumes in a new marker
+    # namespace — drain or discard in-flight epochs before renaming
+    # checkpoint paths; an epoch replayed across the namespace change
+    # appends its rows a second time.
+    tag = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
     sink = manifest_sink_fn(out_path, manifest_path, stat_cols, run_tag=tag)
     return (
         stream.writeStream.foreachBatch(sink)

@@ -355,3 +355,62 @@ def test_ensure_parallelism_spreads_packed_tiny_files(spark, tmp_path):
     # test-only partition probe (the operator itself never touches df.rdd)
     assert out.rdd.getNumPartitions() >= 4
     assert out.count() == 60
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),                    # key
+            st.integers(0, 120),                  # seconds offset
+            st.sampled_from(["a", "b", "c"]),    # state
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    gap=st.integers(5, 60),
+)
+def test_funnel_within_gap_matches_brute_force_property(spark, events, gap):
+    """Reachable-set funnel counts == brute-force existence of an ordered
+    subsequence with every consecutive gap ≤ g, for arbitrary event soups
+    (duplicate timestamps and all)."""
+    import datetime as dt
+    from itertools import combinations
+
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        funnel_within_gap,
+    )
+
+    steps = ["a", "b", "c"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, base + dt.timedelta(seconds=s), st_) for k, s, st_ in events]
+
+    def completes(evts, upto):
+        """exists e1<e2<...<e_upto with states steps[0..upto-1], gaps<=g"""
+        for combo in combinations(range(len(evts)), upto):
+            ts = [evts[i][0] for i in combo]
+            sts = [evts[i][1] for i in combo]
+            if sts != steps[:upto]:
+                continue
+            if all(
+                0 < (ts[i + 1] - ts[i]).total_seconds() <= gap
+                for i in range(upto - 1)
+            ):
+                return True
+        return False
+
+    want = {}
+    keys = {k for k, _, _ in rows}
+    for k in keys:
+        evts = sorted(((t, s) for kk, t, s in rows if kk == k))
+        for step in (1, 2, 3):
+            if completes(evts, step):
+                want[step] = want.get(step, 0) + 1
+
+    df = spark.createDataFrame(rows, "k long, ts timestamp, state string")
+    got = {
+        r.step: r.n_keys
+        for r in funnel_within_gap(df, "k", "ts", "state", steps, max_gap_s=gap).collect()
+    }
+    for step in (1, 2, 3):
+        assert got[step] == want.get(step, 0), (step, got, want)

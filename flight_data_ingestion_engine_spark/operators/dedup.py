@@ -616,3 +616,37 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: Sequence[str],
+    threshold: float = 0.95,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style keep-one-per-cluster over embedding near-duplicates.
+
+    Pipeline: exact blocked-cosine pairs (`embedding_dup_pairs`) →
+    connected components (`dedup_clusters`) → drop every member that is
+    NOT its cluster's canonical representative (the minimum id). Rows with
+    no near-dup edge survive untouched. Returns the full input schema.
+
+    Scale shape: the survivors anti-join shuffles only on the id column,
+    and its build side is the DROPPED-member list — bounded by the number
+    of near-dup rows, far smaller than the corpus. The quadratic work is
+    bounded by the largest blocking group (the pair generator's documented
+    contract); callers with a pre-built candidate set (LSH buckets, IVF
+    cells) pass it via `pairs` and skip the exact generator entirely.
+    """
+    if pairs is None:
+        pairs = embedding_dup_pairs(
+            df, id_col=id_col, vec_col=vec_col,
+            block_cols=list(block_cols), threshold=threshold,
+        )
+    clusters = dedup_clusters(pairs)
+    dropped = clusters.where(F.col("member_id") != F.col("cluster_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

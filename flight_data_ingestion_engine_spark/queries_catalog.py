@@ -6178,3 +6178,329 @@ def q_entity_resolution_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
     )
     return dedup_clusters(pairs)
+
+
+# ===========================================================================
+# Batch L (round 3, continued): last remaining classic decision-support
+# shapes (Q6/Q8/Q9/Q10/Q16/Q20 adapted to the fixture schema) and
+# SemDeDup-style semantic deduplication over the embedding corpus.
+# ===========================================================================
+
+
+@_q(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2))
+            BETWEEN CAST(0.02 AS DECIMAL(18,2)) AND CAST(0.06 AS DECIMAL(18,2))
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue delta from dropping a discount
+    band. Pure scan+filter+agg — the whole predicate (date range, discount
+    band, quantity cap) pushes to the parquet scan and the DECIMAL sum is
+    a single partial-agg pass with no join and one 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (d >= F.lit("0.02").cast("decimal(18,2)"))
+        & (d <= F.lit("0.06").cast("decimal(18,2)"))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * d)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "national_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a regional market's
+    revenue, per order-year. The fact spine (lineitem→orders→customer)
+    shuffles once on its equi keys; supplier, nation and region are
+    broadcast. Both sums stay DECIMAL (order-independent); the single
+    share division is the only IEEE step, written identically in the
+    oracle (`num / den`, both already cast to double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nc = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["n_nationkey"])
+        .join(F.broadcast(r), nc["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_nationkey"))
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nat).cast("double").alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+@_q(
+    "product_type_profit",
+    """
+    SELECT ns.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(0.10 AS DECIMAL(4,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line by supplier nation and
+    ship-year, with a retail-price-derived supply-cost stand-in (the
+    fixture has no partsupp). The p_name filter rides the broadcast part
+    join so the fact scan prunes before aggregation; every term of the
+    profit expression is exact DECIMAL arithmetic (scales sized so the
+    triple product stays inside precision 38 on both engines), summed
+    exactly and cast to double once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    ns = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.lit("0.10").cast(
+        "decimal(4,2)"
+    ) * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == ns["n_nationkey"])
+        .withColumn("o_year", F.year("l_shipdate").cast("int"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "returned_item_customers",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, nc.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue
+    FROM rev
+    ORDER BY rev_dec DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the quarter's top-20 customers by revenue lost to
+    returned items. The customer→orders→lineitem spine shuffles on its
+    keys; nation is broadcast. The top-k ORDER BY sorts the exact DECIMAL
+    sum (not the rounded double) with an id tiebreaker, so the cutoff is
+    deterministic on both engines; TakeOrderedAndProject keeps it a
+    partial-top-k merge, never a full sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nc = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name", F.col("rev_dec").cast("double").alias("revenue")
+        )
+    )
+
+
+@_q(
+    "supplier_count_parts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 3, 5, 7)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_supplier_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    outside an excluded brand/type, with lineitem's (partkey, suppkey)
+    pairs standing in for partsupp. The pre-distinct collapses the fact
+    to its pair domain BEFORE the part join (shuffle carries two bigints
+    per row); part's exclusion predicates ride the broadcast join build."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 3, 5, 7))
+    )
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "top_share_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, l_suppkey, sq,
+             SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+      FROM shipped
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM tot JOIN supplier s ON tot.l_suppkey = s.s_suppkey
+    WHERE 10 * sq > tq
+    """,
+)
+def q_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers responsible for more than 10% of any
+    red part's total shipped quantity (the fixture's stand-in for the
+    availqty-vs-shipped nested subquery). The per-part total is a window
+    over the already-aggregated (part, supplier) frame — no rescan of the
+    fact — and the share test is DECIMAL cross-multiplied (`10*sq > tq`),
+    never a float division. The survivor set semi-joins into supplier."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+    )
+    tot = shipped.withColumn(
+        "tq", F.sum("sq").over(Window.partitionBy("l_partkey"))
+    )
+    winners = tot.where(F.lit(10) * F.col("sq") > F.col("tq")).select("l_suppkey")
+    return (
+        s.join(winners, s["s_suppkey"] == winners["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_q(
+    "semantic_dedup_embeddings",
+    """
+    WITH RECURSIVE n AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT member_id FROM comp WHERE member_id <> cluster_id)
+    """,
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/dedup.py::
+    semantic_dedup): exact blocked-cosine near-dup pairs → connected
+    components → keep only each cluster's canonical (minimum-id) member;
+    edge-free rows survive untouched. The oracle rebuilds the same edge
+    list and components with a recursive CTE and drops the same
+    non-representative members — a full value check of the composed
+    dedup pipeline, not just the pair stage."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"], threshold=0.3
+    ).select("vec_id", "label")

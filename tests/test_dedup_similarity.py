@@ -339,3 +339,33 @@ def test_null_embeddings_degrade_gracefully(spark):
     top = topk_brute_force(q, corpus, query_id="query_id", corpus_id="neighbor_id", k=2)
     got = [r.neighbor_id for r in top.orderBy("rank").collect()]
     assert got[0] == 2 and 3 not in got
+
+
+def test_semantic_dedup_keeps_cluster_representatives(spark):
+    """Chain 1-2-3 collapses to its min-id representative; the orthogonal
+    vector survives; an identical vector in ANOTHER block survives too
+    (blocking bounds the dedup scope by construction)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    base, near, other = [1.0, 0.0, 0.0], [0.999, 0.04, 0.0], [0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base, "a"), (2, near, "a"), (3, base, "a"), (4, other, "a"), (5, base, "b")],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", ["label"], threshold=0.9)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 4, 5]
+    assert out.columns == df.columns  # full input schema preserved
+
+
+def test_semantic_dedup_accepts_prebuilt_candidate_pairs(spark):
+    """A pre-built candidate set (e.g. LSH buckets) bypasses the exact
+    pair generator entirely — only the explicit pair collapses."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0], "x") for i in range(4)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    pairs = spark.createDataFrame([(2, 3)], "id_a bigint, id_b bigint")
+    out = semantic_dedup(df, "vec_id", "embedding", ["label"], pairs=pairs)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 1, 2]

@@ -305,3 +305,26 @@ def test_decision_support_exchange_budgets(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_batch_l_decision_support_budgets(spark, sf_dir):
+    """Shuffle budgets for the batch-L shapes: Q6 is scan+filter+scalar-agg
+    (at most the final 1-row exchange); Q8/Q9 pay exactly the fact-side
+    group-by after broadcast dims; Q10's top-k is a TakeOrderedAndProject
+    over one agg exchange (never a full sort); Q16 pays the pair-distinct
+    plus the two count-distinct exchanges; Q20 pays agg + per-part window
+    + the supplier semi-join."""
+    budgets = {
+        "forecast_revenue_change": 1,
+        "national_market_share": 1,
+        "product_type_profit": 1,
+        "returned_item_customers": 1,
+        "supplier_count_parts": 3,
+        "top_share_suppliers": 4,
+    }
+    for name, bound in budgets.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+    plan = explain_str(qc.QUERIES["returned_item_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

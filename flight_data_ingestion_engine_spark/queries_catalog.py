@@ -15,7 +15,7 @@ Determinism rules (every query obeys them):
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1589,12 +1589,22 @@ _EVENTS_RAW_SCHEMA_TS = (
 )
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession, sf_dir: str, flush_types: Sequence[str] = ()
+) -> DataFrame:
     """Streaming twin of _t(events): file-source over the parquet with the
     nanos-ts quirk handled (ts read as long, converted to timestamp).
 
     File streams need a DIRECTORY; the testdata dir mixes all tables, so
     stage a landing dir holding a symlink to events.parquet.
+
+    `flush_types`: also stage a flush file holding one far-future row
+    (+30 days, event_id/user_id = -1) per listed event_type, written in
+    the SAME physical ts encoding as the real file. Outer stream-stream
+    joins and other watermark-finalized operators need the watermark to
+    advance PAST the last real event before their final results emit; a
+    finite file replay otherwise leaves the tail buffered in state.
+    Callers filter the sentinel rows (`event_id < 0`) from the output.
     """
     import os
     import tempfile
@@ -1614,10 +1624,34 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.read directly — _t() already normalizes LongType to timestamp,
     # so probing _t()'s output would never see the nanos encoding.
     probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    if isinstance(probed, T.LongType):
-        raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA_NANOS)
+    is_nanos = isinstance(probed, T.LongType)
+    schema = _EVENTS_RAW_SCHEMA_NANOS if is_nanos else _EVENTS_RAW_SCHEMA_TS
+    if flush_types:
+        mx = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .agg(F.max("ts").alias("m"))
+            .first()["m"]
+        )
+        if is_nanos:
+            flush_ts = int(mx) + 30 * 86400 * 1_000_000_000
+        else:
+            from datetime import timedelta
+
+            flush_ts = mx + timedelta(days=30)
+        rows = [
+            (-1 - i, flush_ts, -1, etype, 0.0, None)
+            for i, etype in enumerate(flush_types)
+        ]
+        staged = tempfile.mkdtemp(prefix="fdie_flush_")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged + "/p")
+        part = next(
+            f for f in os.listdir(staged + "/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.rename(f"{staged}/p/{part}", f"{landing}/zz_flush.parquet")
+    raw = stream_parquet(spark, landing, schema)
+    if is_nanos:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    raw = stream_parquet(spark, landing, _EVENTS_RAW_SCHEMA_TS)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -6504,3 +6538,48 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding", block_cols=["label"], threshold=0.3
     ).select("vec_id", "label")
+
+
+@_q(
+    "streaming_left_interval_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS event_id_r, c.ts AS ts_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def q_streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    same-user clicks from the preceding hour or NULLs if there were none.
+    Outer results only emit once the watermark passes a row's match
+    window, so the replay stages a far-future flush row per side
+    (`_stream_events(flush_types=...)`) to advance the watermark past the
+    tail — the production analogue of a heartbeat topic keeping outer
+    joins draining during quiet periods. Sentinel rows are filtered from
+    the output; the oracle is the plain batch LEFT JOIN."""
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        stream_interval_join,
+    )
+
+    ev = _stream_events(spark, sf_dir, flush_types=["purchase", "click"])
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        how="left_outer",
+    )
+    # Filter the sentinels on the MATERIALIZED result, not the stream:
+    # a filter on the streaming plan pushes below the EventTimeWatermark
+    # operator, so the flush row would never reach the watermark stats
+    # and the tail's outer rows would stay buffered (observed: 4 rows
+    # withheld when filtering pre-sink).
+    out = _run_stream_to_memory(joined, "append", shuffle_partitions=8)
+    return out.where(F.col("event_id") >= 0)

@@ -132,9 +132,10 @@ def stream_interval_join(
     right_time: str,
     lookback: str = "1 HOUR",
     watermark: str = "1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left row matches right
-    rows with the same `on` key whose time falls in
+    """Watermarked stream-stream join: each left row matches right rows
+    with the same `on` key whose time falls in
     [left_time - lookback, left_time].
 
     The time bound lives INSIDE the join condition — that is what lets
@@ -144,20 +145,29 @@ def stream_interval_join(
     join at 100 TB/day). Right-side non-key columns are suffixed `_r` so
     same-schema streams (self-joins of an event stream) compose without
     collisions.
+
+    `how="left_outer"` emits unmatched left rows with NULL right columns
+    — but only once the watermark passes the row's match window, so a
+    finite replay must advance the watermark past its last real event
+    (e.g. with a far-future flush row) or the tail's unmatched rows stay
+    buffered in state forever. Both watermarks are still required; Spark
+    rejects an outer stream-stream join without them.
     """
+    # The key is renamed too (not dropped post-join): `drop(rw[on])` on an
+    # OUTER join resolves ambiguously and can drop the LEFT key, leaving
+    # the right side's NULL key on unmatched rows.
     r = right
     for c in right.columns:
-        if c != on:
-            r = r.withColumnRenamed(c, f"{c}_r")
+        r = r.withColumnRenamed(c, f"{c}_r")
     rt = f"{right_time}_r"
     lw = left.withWatermark(left_time, watermark)
     rw = r.withWatermark(rt, watermark)
     cond = (
-        (lw[on] == rw[on])
+        (lw[on] == rw[f"{on}_r"])
         & (rw[rt] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
         & (rw[rt] <= lw[left_time])
     )
-    return lw.join(rw, cond).drop(rw[on])
+    return lw.join(rw, cond, how).drop(f"{on}_r")
 
 
 def foreach_batch_manifest_sink(

@@ -342,6 +342,65 @@ def test_stream_interval_join_matches_across_batches(spark, landing, tmp_path):
         q.stop()
 
 
+def test_stream_interval_join_left_outer_emits_after_watermark(spark, landing, tmp_path):
+    """Left-outer stream-stream join: unmatched purchases emit NULL-joined
+    rows — but only after the watermark passes their match window, which a
+    finite replay forces with a far-future flush row. Also pins the key
+    semantics: the surviving `user_id` is the LEFT side's (a post-join
+    drop of the right key used to resolve ambiguously and null it out)."""
+    from flight_data_ingestion_engine_spark.streaming import stream_interval_join
+
+    ev_schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def _events_file(name, rows):
+        lines = [
+            json.dumps({"event_id": e, "user_id": u, "ts": t, "event_type": k})
+            for e, u, t, k in rows
+        ]
+        (landing / name).write_text("\n".join(lines))
+
+    _events_file("b1.json", [
+        (1, 7, "2023-01-01 10:00:00", "click"),
+        (10, 7, "2023-01-01 10:30:00", "purchase"),   # matched
+        (12, 9, "2023-01-01 10:30:00", "purchase"),   # unmatched
+    ])
+    stream = stream_json(spark, str(landing), ev_schema, max_files_per_trigger=1)
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = stream_interval_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_outer_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sij_outer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.event_id, r.event_id_r) for r in spark.sql("SELECT * FROM sij_outer_test").collect()}
+        assert got == {(10, 1)}  # unmatched row still held in state
+        # flush rows on BOTH sides push the watermark past the tail
+        _events_file("b2.json", [
+            (-1, -1, "2023-01-03 00:00:00", "purchase"),
+            (-2, -1, "2023-01-03 00:00:00", "click"),
+        ])
+        q.processAllAvailable()
+        res = spark.sql("SELECT * FROM sij_outer_test WHERE event_id >= 0").collect()
+        got = {(r.event_id, r.event_id_r) for r in res}
+        assert got == {(10, 1), (12, None)}
+        by_id = {r.event_id: r for r in res}
+        assert by_id[12].user_id == 9  # LEFT key survives on unmatched rows
+    finally:
+        q.stop()
+
+
 def test_stream_events_handles_nanos_encoded_parquet(spark, tmp_path):
     """Regression: _stream_events must probe the RAW batch read for the
     nanos-long encoding. Probing the normalized _t() output never sees

@@ -433,3 +433,41 @@ def mad_outliers(
     return out.withColumn(
         "is_outlier", F.col("_ad") > F.lit(k) * F.lit(1.4826) * F.col("_mad")
     )
+
+
+def content_checksum(
+    df: DataFrame,
+    canon,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Order- and partitioning-independent content checksum per group.
+
+    `canon` is a Column producing each row's canonical string — the caller
+    chooses STABLE cross-engine encodings (ids as digits, timestamps as
+    epoch micros, doubles through DECIMAL; raw float formatting differs
+    between engines). Each canonical string is hashed with the portable
+    61-bit polynomial hash and summed in DECIMAL(38,0) — exact and
+    commutative, so any row order and any partitioning yield the same
+    checksum — then reduced mod 2^61-1. The anti-entropy primitive:
+    compare two copies of a 100 TB table by shipping only the per-group
+    (n_rows, checksum) summaries. One partial-agg shuffle on the group
+    key; everything stays in whole-stage codegen.
+    """
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        MERSENNE_61,
+        portable_token_hash61,
+    )
+
+    group_cols = list(group_cols or [])
+    hashed = df.select(
+        *[F.col(c) for c in group_cols], portable_token_hash61(canon).alias("h")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(MERSENNE_61))
+        .cast("bigint")
+        .alias("checksum"),
+    ]
+    if group_cols:
+        return hashed.groupBy(*group_cols).agg(*aggs)
+    return hashed.agg(*aggs)

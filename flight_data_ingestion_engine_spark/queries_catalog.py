@@ -6583,3 +6583,130 @@ def q_streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     # withheld when filtering pre-sink).
     out = _run_stream_to_memory(joined, "append", shuffle_partitions=8)
     return out.where(F.col("event_id") >= 0)
+
+
+@_q(
+    "variant_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the raw
+    JSON props column is parsed ONCE into a binary variant
+    (`parse_json`), then fields come out with typed `variant_get` /
+    `try_variant_get` path access — the open-schema alternative to
+    `from_json` when payload shapes drift (no declared struct to migrate,
+    unknown paths return NULL instead of failing). Scan-speed projection,
+    zero shuffle; the oracle is plain JSON path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+        (F.variant_get("v", "$.k", "bigint") % 10).alias("k_bucket"),
+    )
+
+
+def _table_checksum_oracle_sql() -> str:
+    """DuckDB twin of the portable table checksum: canonical row string →
+    61-bit portable hash → exact commutative HUGEINT sum mod 2^61-1."""
+    tokhash = _tokhash61_sql()
+    return f"""
+    WITH canon AS (
+      SELECT event_type,
+             concat_ws(chr(31),
+                       CAST(event_id AS VARCHAR),
+                       CAST(epoch_us(ts) AS VARCHAR),
+                       CAST(user_id AS VARCHAR),
+                       event_type,
+                       CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
+                       props) AS tok
+      FROM events
+    ),
+    hashed AS (SELECT event_type, {tokhash} AS h FROM canon)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS checksum
+    FROM hashed GROUP BY event_type
+    """
+
+
+@_q("table_checksum_events", _table_checksum_oracle_sql())
+def q_table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum — the anti-entropy
+    primitive for replication/migration verification: compare two copies
+    of a 100 TB table by shipping only the per-group (n_rows, checksum)
+    summaries. Each row canonicalizes to a separator-joined string of
+    STABLE cross-engine encodings (ids as digits, timestamps as epoch
+    micros, doubles through DECIMAL — raw float formatting differs
+    between engines), hashed with the portable 61-bit polynomial hash,
+    then SUMmed in DECIMAL(38,0) (exact and commutative, so the checksum
+    is order- and partitioning-independent) mod 2^61-1. One partial-agg
+    shuffle on the group key; everything stays in whole-stage codegen."""
+    from flight_data_ingestion_engine_spark.operators.quality import content_checksum
+
+    ev = _t(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("event_id").cast("string"),
+        F.unix_micros(F.col("ts")).cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(18,6)").cast("string"),
+        F.col("props"),
+    )
+    return content_checksum(ev, canon, group_cols=["event_type"])
+
+
+@_q(
+    "winsorized_stats",
+    """
+    WITH p AS (
+      SELECT quantile_cont(value, 0.01) AS p01, quantile_cont(value, 0.99) AS p99
+      FROM events
+    ),
+    c AS (
+      SELECT LEAST(GREATEST(value, p01), p99) AS w,
+             (value < p01 OR value > p99) AS clipped
+      FROM events, p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(clipped AS INT)) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized,
+           CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_winsorized
+    FROM c
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) robust mean of the event value — the
+    outlier-tolerant aggregate feature pipelines use where raw means get
+    dragged by heavy tails. The exact percentile pair is a 1-row
+    broadcast (never a per-row subquery); clamped values round through
+    DECIMAL(18,6) so the sum is order-independent, and the single mean
+    division is the only IEEE step, written identically in the oracle.
+    Spark's F.percentile interpolation is bit-identical to DuckDB
+    quantile_cont (see exact_percentiles)."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = ev.agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    clamped = ev.crossJoin(F.broadcast(pcts)).select(
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("w"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "clipped"
+        ),
+    )
+    sum_dec = F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+    return clamped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("clipped").cast("int")).alias("n_clipped"),
+        sum_dec.alias("sum_winsorized"),
+        (sum_dec / F.count(F.lit(1))).alias("mean_winsorized"),
+    )

@@ -184,3 +184,34 @@ def test_mad_outliers_keeps_null_group_rows(spark):
     nulls = out.where(F.col("g").isNull())
     assert nulls.count() == 3
     assert {r.v for r in nulls.where(F.col("is_outlier")).collect()} == {500.0}
+
+
+def test_content_checksum_order_and_partitioning_invariant(spark):
+    """The checksum must be identical under any row order and any
+    partitioning (commutative exact DECIMAL sum), and must CHANGE when a
+    row's content changes — the anti-entropy contract."""
+    from flight_data_ingestion_engine_spark.operators.quality import content_checksum
+
+    rows = [(i, f"user_{i % 3}", float(i) / 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    canon = F.concat_ws(
+        "\x1f", F.col("id").cast("string"), F.col("grp"),
+        F.col("v").cast("decimal(18,6)").cast("string"),
+    )
+    base = {r.grp: (r.n_rows, r.checksum)
+            for r in content_checksum(df, canon, ["grp"]).collect()}
+    shuffled = df.orderBy(F.reverse(F.col("grp")), F.col("v").desc()).repartition(17)
+    again = {r.grp: (r.n_rows, r.checksum)
+             for r in content_checksum(shuffled, canon, ["grp"]).collect()}
+    assert base == again
+    # single-row mutation flips exactly that group's checksum
+    mutated = df.withColumn(
+        "v", F.when(F.col("id") == 42, F.lit(99.5)).otherwise(F.col("v"))
+    )
+    mut = {r.grp: (r.n_rows, r.checksum)
+           for r in content_checksum(mutated, canon, ["grp"]).collect()}
+    changed = {g for g in base if base[g] != mut[g]}
+    assert changed == {"user_0"}  # 42 % 3 == 0
+    # ungrouped variant: one global row
+    glob = content_checksum(df, canon).collect()
+    assert len(glob) == 1 and glob[0].n_rows == 100

@@ -1626,12 +1626,14 @@ def _stream_events(
     probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     is_nanos = isinstance(probed, T.LongType)
     schema = _EVENTS_RAW_SCHEMA_NANOS if is_nanos else _EVENTS_RAW_SCHEMA_TS
+    mx = None
     if flush_types:
         mx = (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .agg(F.max("ts").alias("m"))
             .first()["m"]
         )
+    if flush_types and mx is not None:  # empty source: nothing to flush past
         if is_nanos:
             flush_ts = int(mx) + 30 * 86400 * 1_000_000_000
         else:

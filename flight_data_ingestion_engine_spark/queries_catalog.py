@@ -6712,3 +6712,36 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_dec.alias("sum_winsorized"),
         (sum_dec / F.count(F.lit(1))).alias("mean_winsorized"),
     )
+
+
+@_q(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through two-level bitmap aggregation
+    (Spark 3.5+ bitmap functions): ids bucket into 32k-bit bitmaps keyed
+    by (group, bucket), partial bitmaps OR-merge, and popcounts sum per
+    group. Equals COUNT(DISTINCT) — the oracle — but scales differently:
+    the classic plan shuffles every distinct (group, id) pair, while this
+    shuffles at most one 4 KB bitmap per (group, 32k-id-range) per mapper
+    — orders of magnitude less traffic on dense id domains, with none of
+    approx_count_distinct's error. The dense-domain assumption is the
+    documented contract (sparse 64-bit ids → HLL instead)."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+    )

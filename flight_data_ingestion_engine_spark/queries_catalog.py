@@ -6745,3 +6745,36 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("event_type")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
     )
+
+
+@_q(
+    "xml_ingest_roundtrip",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q_xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion through Spark 4's native XML support: a
+    deterministic XML payload built from the row is parsed back with
+    `from_xml` under a DECLARED schema (no inference job) and the typed
+    fields extracted. The oracle is the identity projection — if the XML
+    build/parse roundtrip corrupted or retyped anything, values mismatch.
+    Same scan-speed zero-shuffle shape as the JSON twin
+    (`json_extract_fields`); covers the remaining semi-structured format
+    after JSON (`from_json`), VARIANT (`parse_json`) and nested structs."""
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<e><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    return (
+        ev.select("event_id", F.from_xml(xml, "u BIGINT, t STRING").alias("p"))
+        .select(
+            "event_id",
+            F.col("p.u").alias("user_id"),
+            F.col("p.t").alias("event_type"),
+        )
+    )

@@ -324,6 +324,58 @@ def main() -> None:
         assert n_after < n_before * 3, (n_before, n_after)
         shutil.rmtree(mroot, ignore_errors=True)
 
+    # -- content checksum over 5M rows: one scan + one partial-agg exchange;
+    # -- verifies the anti-entropy primitive stays a single-pass aggregate
+    # -- and that the checksum is invariant under a full repartition --------
+    with stage("content_checksum_5m"):
+        from flight_data_ingestion_engine_spark.operators.quality import (
+            content_checksum,
+        )
+
+        canon = F.concat_ws(
+            "\x1f",
+            F.col("id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("value").cast("decimal(18,6)").cast("string"),
+        )
+        grp = (F.col("user_id") % 16).alias("g")
+        a = {
+            r.g: (r.n_rows, r.checksum)
+            for r in content_checksum(ev.select(grp, "id", "user_id", "value"), canon, ["g"]).collect()
+        }
+        b = {
+            r.g: (r.n_rows, r.checksum)
+            for r in content_checksum(
+                ev.select(grp, "id", "user_id", "value").repartition(64), canon, ["g"]
+            ).collect()
+        }
+        assert a == b and len(a) == 16
+
+    # -- semantic dedup with a PRE-BUILT candidate set (the 100 TB path:
+    # -- LSH/IVF candidates replace the exact generator) over 50k vectors --
+    with stage("semantic_dedup_50k_vecs"):
+        from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+        n_vec = 50_000
+        vecs = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+            F.pmod(F.col("id"), 100).alias("label"),
+        )
+        # planted clone pairs: every 100th vector duplicates its successor
+        pairs = (
+            spark.range(n_vec // 100)
+            .select(
+                (F.col("id") * 100).alias("id_a"),
+                (F.col("id") * 100 + 1).alias("id_b"),
+            )
+        )
+        kept = semantic_dedup(
+            vecs, id_col="vec_id", vec_col="embedding", block_cols=["label"],
+            pairs=pairs,
+        )
+        assert kept.count() == n_vec - n_vec // 100
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -596,21 +596,29 @@ def dedup_clusters(
     # TWO propagation steps per materialization: the per-round cost center
     # on realistic near-dup graphs is driver latency (checkpoint + count
     # action), not the joins themselves — batching halves the action count
-    # for the same number of propagation steps (VERDICT r2 item #3). The
-    # worst case is one wasted (already-converged) step. `max_iterations`
-    # is honored exactly: a batch shrinks to a single step when one step
-    # of budget remains, and a zero budget returns the initial labels.
+    # for the same number of propagation steps (VERDICT r2 item #3).
+    # `_old` snapshots the labels just before the batch's FINAL step, so
+    # the fixed-point test measures that LAST step alone (valid: min-label
+    # propagation is deterministic and monotone, so one no-change step IS
+    # the fixpoint): convergence anywhere inside the batch surfaces
+    # immediately, saving the trailing confirm round a batch-START
+    # snapshot would force. Wider batches were measured and rejected —
+    # per-step stage cost dominates once actions are this sparse.
+    # `max_iterations` is honored exactly: a batch shrinks to the budget
+    # remainder, and a zero budget returns the initial labels.
+    batch_size = 2
     steps_left = max_iterations
     while steps_left > 0:
-        batch = min(2, steps_left)
+        batch = min(batch_size, steps_left)
         steps_left -= batch
-        cur = labels.withColumn("_old", F.col("label"))
-        for _ in range(batch):
+        cur = labels
+        for _ in range(batch - 1):
             cur = _prop(cur)
+        cur = _prop(cur.withColumn("_old", F.col("label")))
         stepped = cur.coalesce(p).localCheckpoint()  # backs the count below
-        # Type-agnostic fixed-point test: count rows whose label moved this
-        # round (works for string/arbitrary ids too — a SUM-based check
-        # would cast non-numeric labels to NULL and stop after one round).
+        # Type-agnostic fixed-point test: count rows whose label moved in
+        # the final step (works for string/arbitrary ids too — a SUM-based
+        # check would cast non-numeric labels to NULL and stop early).
         changed = stepped.where(F.col("label") != F.col("_old")).count()
         labels = stepped.drop("_old")
         if changed == 0:

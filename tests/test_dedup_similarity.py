@@ -369,3 +369,19 @@ def test_semantic_dedup_accepts_prebuilt_candidate_pairs(spark):
     pairs = spark.createDataFrame([(2, 3)], "id_a bigint, id_b bigint")
     out = semantic_dedup(df, "vec_id", "embedding", ["label"], pairs=pairs)
     assert sorted(r.vec_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_dedup_clusters_iteration_budget_honored_exactly(spark):
+    """max_iterations bounds the number of propagation steps precisely:
+    one step on a 3-chain propagates labels exactly one hop (n3 sees n2's
+    ORIGINAL label), and a zero budget returns the initial self-labels —
+    pins the batched-loop bookkeeping around the final-step fixpoint test."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    one = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=1).collect()}
+    assert one == {1: 1, 2: 1, 3: 2}
+    zero = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=0).collect()}
+    assert zero == {1: 1, 2: 2, 3: 3}
+    full = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert full == {1: 1, 2: 1, 3: 1}

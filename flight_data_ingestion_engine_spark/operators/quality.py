@@ -445,7 +445,12 @@ def content_checksum(
     `canon` is a Column producing each row's canonical string — the caller
     chooses STABLE cross-engine encodings (ids as digits, timestamps as
     epoch micros, doubles through DECIMAL; raw float formatting differs
-    between engines). Each canonical string is hashed with the portable
+    between engines). NULLABLE fields must be sentinel-encoded
+    (`coalesce(col, lit("\\x00"))`) BEFORE joining: `concat_ws` skips NULL
+    operands entirely, collapsing field boundaries, so without sentinels
+    (user_id=NULL, type='5') and (user_id=5, type=NULL) canonicalize
+    identically and a divergence between copies goes undetected.
+    Each canonical string is hashed with the portable
     61-bit polynomial hash and summed in DECIMAL(38,0) — exact and
     commutative, so any row order and any partitioning yield the same
     checksum — then reduced mod 2^61-1. The anti-entropy primitive:

@@ -6480,8 +6480,6 @@ def q_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the already-aggregated (part, supplier) frame — no rescan of the
     fact — and the share test is DECIMAL cross-multiplied (`10*sq > tq`),
     never a float division. The survivor set semi-joins into supplier."""
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem")
     red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
     s = _t(spark, sf_dir, "supplier")
@@ -6623,12 +6621,12 @@ def _table_checksum_oracle_sql() -> str:
     WITH canon AS (
       SELECT event_type,
              concat_ws(chr(31),
-                       CAST(event_id AS VARCHAR),
-                       CAST(epoch_us(ts) AS VARCHAR),
-                       CAST(user_id AS VARCHAR),
-                       event_type,
-                       CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
-                       props) AS tok
+                       coalesce(CAST(event_id AS VARCHAR), chr(0)),
+                       coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(0)),
+                       coalesce(CAST(user_id AS VARCHAR), chr(0)),
+                       coalesce(event_type, chr(0)),
+                       coalesce(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
+                       coalesce(props, chr(0))) AS tok
       FROM events
     ),
     hashed AS (SELECT event_type, {tokhash} AS h FROM canon)
@@ -6654,14 +6652,17 @@ def q_table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.quality import content_checksum
 
     ev = _t(spark, sf_dir, "events")
+    # every field sentinel-coalesced: concat_ws SKIPS NULLs, which would
+    # collapse field boundaries and let different rows canonicalize alike
+    nul = F.lit("\x00")
     canon = F.concat_ws(
         "\x1f",
-        F.col("event_id").cast("string"),
-        F.unix_micros(F.col("ts")).cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("decimal(18,6)").cast("string"),
-        F.col("props"),
+        F.coalesce(F.col("event_id").cast("string"), nul),
+        F.coalesce(F.unix_micros(F.col("ts")).cast("string"), nul),
+        F.coalesce(F.col("user_id").cast("string"), nul),
+        F.coalesce(F.col("event_type"), nul),
+        F.coalesce(F.col("value").cast("decimal(18,6)").cast("string"), nul),
+        F.coalesce(F.col("props"), nul),
     )
     return content_checksum(ev, canon, group_cols=["event_type"])
 
@@ -6763,12 +6764,30 @@ def q_xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`json_extract_fields`); covers the remaining semi-structured format
     after JSON (`from_json`), VARIANT (`parse_json`) and nested structs."""
     ev = _t(spark, sf_dir, "events")
+
+    def esc(c):
+        # XML-escape the text content; from_xml decodes the entities, so
+        # metacharacter-bearing values roundtrip instead of corrupting
+        # the document (and failing the identity oracle)
+        return F.replace(
+            F.replace(F.replace(c, F.lit("&"), F.lit("&amp;")),
+                      F.lit("<"), F.lit("&lt;")),
+            F.lit(">"), F.lit("&gt;"),
+        )
+
+    def elem(tag, c):
+        # NULL field → element omitted → from_xml yields NULL for exactly
+        # that field (a NULL operand would otherwise NULL the whole concat)
+        return F.when(
+            c.isNotNull(),
+            F.concat(F.lit(f"<{tag}>"), c, F.lit(f"</{tag}>")),
+        ).otherwise(F.lit(""))
+
     xml = F.concat(
-        F.lit("<e><u>"),
-        F.col("user_id").cast("string"),
-        F.lit("</u><t>"),
-        F.col("event_type"),
-        F.lit("</t></e>"),
+        F.lit("<e>"),
+        elem("u", F.col("user_id").cast("string")),
+        elem("t", esc(F.col("event_type"))),
+        F.lit("</e>"),
     )
     return (
         ev.select("event_id", F.from_xml(xml, "u BIGINT, t STRING").alias("p"))

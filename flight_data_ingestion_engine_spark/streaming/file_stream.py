@@ -156,6 +156,14 @@ def stream_interval_join(
     # The key is renamed too (not dropped post-join): `drop(rw[on])` on an
     # OUTER join resolves ambiguously and can drop the LEFT key, leaving
     # the right side's NULL key on unmatched rows.
+    if how not in ("inner", "left_outer"):
+        # right/full outer would drop the only non-NULL key on
+        # right-unmatched rows (the left key is NULL there); flipping the
+        # inputs expresses right-outer as left_outer correctly.
+        raise ValueError(
+            f"stream_interval_join supports how='inner'|'left_outer', got {how!r}; "
+            "swap the sides for right-outer semantics"
+        )
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, f"{c}_r")

@@ -75,3 +75,29 @@ def test_declared_schema_struct_type_roundtrip():
     st = ds.to_struct_type()
     assert [f.name for f in st.fields] == ["nombre", "parentesco", "numero", "profesion"]
     assert st["nombre"].metadata == {"comment": "first name"}
+
+
+def test_xml_roundtrip_escapes_metacharacters_and_omits_null_elements(spark, tmp_path):
+    """xml_ingest_roundtrip's build/parse must survive XML metacharacters
+    (escaped as entities, decoded by from_xml) and NULL fields (element
+    omitted → exactly that field NULL, the rest intact)."""
+    from datetime import datetime
+
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+
+    rows = [
+        (1, datetime(2024, 1, 1), 7, "click&buy<now>", 1.0, None),
+        (2, datetime(2024, 1, 1), None, "view", 1.0, None),
+        (3, datetime(2024, 1, 1), 9, None, 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_id: (r.user_id, r.event_type)
+        for r in qc.QUERIES["xml_ingest_roundtrip"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (7, "click&buy<now>"), 2: (None, "view"), 3: (9, None)}

@@ -215,3 +215,26 @@ def test_content_checksum_order_and_partitioning_invariant(spark):
     # ungrouped variant: one global row
     glob = content_checksum(df, canon).collect()
     assert len(glob) == 1 and glob[0].n_rows == 100
+
+
+def test_content_checksum_null_fields_do_not_collide(spark):
+    """The documented sentinel-coalesce pattern keeps NULL fields from
+    collapsing: (user=NULL, type='5') and (user=5, type=NULL) — identical
+    after concat_ws's NULL-skipping without sentinels — must produce
+    DIFFERENT checksums."""
+    from flight_data_ingestion_engine_spark.operators.quality import content_checksum
+
+    a = spark.createDataFrame([(None, "5")], "u bigint, t string")
+    b = spark.createDataFrame([(5, None)], "u bigint, t string")
+    nul = F.lit("\x00")
+    canon = F.concat_ws(
+        "\x1f", F.coalesce(F.col("u").cast("string"), nul), F.coalesce(F.col("t"), nul)
+    )
+    ca = content_checksum(a, canon).collect()[0].checksum
+    cb = content_checksum(b, canon).collect()[0].checksum
+    assert ca != cb
+    # and the UNSAFE pattern really does collide — the hazard is real
+    unsafe = F.concat_ws("\x1f", F.col("u").cast("string"), F.col("t"))
+    ua = content_checksum(a, unsafe).collect()[0].checksum
+    ub = content_checksum(b, unsafe).collect()[0].checksum
+    assert ua == ub

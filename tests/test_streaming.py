@@ -493,3 +493,22 @@ def test_streaming_funnel_state_survives_batch_boundary(spark):
     assert final.get(2, 1) == 1   # late view: one step only, never click
     shutil.rmtree(landing, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_stream_interval_join_rejects_unsupported_join_types(spark, landing):
+    """right/full outer would drop the only non-NULL key on
+    right-unmatched rows — the operator must refuse instead of silently
+    emitting unattributable rows."""
+    import pytest as _pytest
+
+    from flight_data_ingestion_engine_spark.streaming import stream_interval_join
+
+    ev_schema = "event_id long, user_id long, ts timestamp, event_type string"
+    stream = stream_json(spark, str(landing), ev_schema)
+    left = stream.select("event_id", "user_id", "ts")
+    right = stream.select("event_id", "user_id", "ts")
+    with _pytest.raises(ValueError, match="left_outer"):
+        stream_interval_join(
+            left, right, on="user_id", left_time="ts", right_time="ts",
+            how="full_outer",
+        )

@@ -476,3 +476,25 @@ def content_checksum(
     if group_cols:
         return hashed.groupBy(*group_cols).agg(*aggs)
     return hashed.agg(*aggs)
+
+
+def l_diversity_histogram(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col,
+    l_threshold: int,
+) -> DataFrame:
+    """l-diversity audit: distribution of DISTINCT-sensitive-value counts
+    per quasi-identifier equivalence class, with under-floor classes
+    flagged. The homogeneity-attack companion to k-anonymity: a class can
+    be large (k-anonymous) yet expose everyone in it because all members
+    share one sensitive value. Two stacked aggregations — the first
+    shuffles (qi, sensitive) pairs, the second the tiny class summary."""
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count_distinct(sensitive_col).alias("l")
+    )
+    return (
+        classes.groupBy("l")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .withColumn("below_threshold", F.col("l") < F.lit(l_threshold))
+    )

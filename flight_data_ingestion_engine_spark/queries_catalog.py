@@ -6797,3 +6797,161 @@ def q_xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.t").alias("event_type"),
         )
     )
+
+
+@_q(
+    "l_diversity_customers",
+    """
+    WITH lv AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS l
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups, l < 3 AS below_threshold
+    FROM lv GROUP BY l
+    """,
+)
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/quality.py::l_diversity_histogram)
+    under the (nation, market segment) quasi-identifier with the account-
+    balance band as the sensitive attribute: classes whose members all
+    fall in fewer than 3 distinct bands are homogeneity-attack exposed
+    even when k-anonymous — the companion gate to k_anonymity_customers."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        l_diversity_histogram,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    return l_diversity_histogram(
+        c, ["c_nationkey", "c_mktsegment"], band, l_threshold=3
+    )
+
+
+@_q(
+    "autocorr_profile",
+    """
+    WITH series AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([1, 2, 24]) AS lag),
+    paired AS (
+      SELECT l.lag, a.cnt AS x, b.cnt AS y
+      FROM lags l
+      JOIN series a ON TRUE
+      JOIN series b ON b.h = a.h + l.lag
+    ),
+    moments AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM paired GROUP BY lag
+    )
+    SELECT lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE))
+             AS autocorr
+    FROM moments
+    """,
+)
+def q_autocorr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality probe: exact lag-k Pearson autocorrelation of the
+    hourly event-count series at lags 1, 2 and 24 hours. The series
+    values are integers, so every moment (sums, cross-products, squares)
+    is EXACT int64 arithmetic on both engines; only the final correlation
+    touches IEEE floats, through one identical expression (two casts, one
+    multiply, sqrt, divide — each correctly rounded, hence bit-equal).
+    The lag join is an equi-join on the hour index (h = h + lag), never a
+    window over a single global sort partition."""
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = series.withColumn("lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(24))))
+    b = series.select(F.col("h").alias("h_b"), F.col("cnt").alias("y"))
+    paired = a.join(b, F.col("h") + F.col("lag") == F.col("h_b")).select(
+        "lag", F.col("cnt").alias("x"), "y"
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    da = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    db = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag", "n", (num / F.sqrt(da * db)).alias("autocorr")
+    )
+
+
+@_q(
+    "json_quarantine",
+    """
+    WITH payloads AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 0
+                  THEN '{"user": ' || CAST(user_id AS VARCHAR) || ', "type": '
+                  ELSE '{"user": ' || CAST(user_id AS VARCHAR)
+                       || ', "type": "' || event_type || '"}' END AS payload
+      FROM events
+    )
+    SELECT CASE WHEN json_valid(payload) THEN 'parsed' ELSE 'quarantined' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.user') AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_user
+    FROM payloads GROUP BY 1
+    """,
+)
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for drifting ingest feeds: every 10th payload
+    is deterministically truncated mid-document; `from_json` (PERMISSIVE)
+    yields NULL for those, splitting the feed into a parsed lane
+    (downstream schema applies) and a quarantined lane (kept for replay,
+    never dropped silently). The oracle re-derives the same routing with
+    `json_valid`. At scale this is the pattern that keeps one bad
+    producer from poisoning a 100 TB ingest: no job failure, corrupt rows
+    quantified per batch, zero extra scans (one projection + one agg)."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(
+            F.lit('{"user": '), F.col("user_id").cast("string"), F.lit(', "type": ')
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"user": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "type": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        )
+    )
+    # PERMISSIVE from_json never yields a NULL struct — corrupt input
+    # surfaces as the populated columnNameOfCorruptRecord field, the
+    # canonical dead-letter signal (a NULL-struct test routes nothing)
+    parsed = F.from_json(
+        payload,
+        "user BIGINT, type STRING, _corrupt_record STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    routed = ev.select(
+        F.when(parsed["_corrupt_record"].isNotNull(), F.lit("quarantined"))
+        .otherwise(F.lit("parsed"))
+        .alias("route"),
+        F.when(parsed["_corrupt_record"].isNull(), parsed["user"])
+        .otherwise(F.lit(0))
+        .alias("u"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("sum_user"),
+    )

@@ -633,9 +633,22 @@ def list_versions(spark: SparkSession, log_path: str) -> list[int]:
     return sorted(out)
 
 
-def commit_manifest(spark: SparkSession, log_path: str, manifest: DataFrame) -> int:
+def commit_manifest(
+    spark: SparkSession,
+    log_path: str,
+    manifest: DataFrame,
+    table_schema=None,
+) -> int:
     """Commit `manifest` as the next snapshot version; returns the version
     number. Write-to-temp + rename; retries on version races.
+
+    `table_schema` (StructType or DDL string) optionally records the
+    TABLE schema as of this snapshot inside the version directory
+    (`_table_schema.json`, underscore-prefixed so parquet readers ignore
+    it; staged into the temp dir BEFORE the rename, so the commit stays
+    atomic). `read_as_of` then reproduces each version with the exact
+    columns it was committed with — schema evolution without rewriting
+    old files: new files carry new columns, old files read NULL for them.
 
     Race subtlety: Hadoop `rename(src, dest)` into an EXISTING directory
     "succeeds" by NESTING src inside dest — a racing loser's rename
@@ -653,6 +666,17 @@ def commit_manifest(spark: SparkSession, log_path: str, manifest: DataFrame) -> 
 
     def _p(p: str):
         return jvm.org.apache.hadoop.fs.Path(p)
+
+    if table_schema is not None:
+        from pyspark.sql import types as T
+
+        if isinstance(table_schema, str):
+            table_schema = T._parse_datatype_string(table_schema)
+        out = fs.create(_p(f"{tmp}/_table_schema.json"), True)
+        try:
+            out.write(bytearray(table_schema.json().encode("utf-8")))
+        finally:
+            out.close()
 
     while True:
         versions = list_versions(spark, log_path)
@@ -686,6 +710,33 @@ def read_manifest_version(
     return spark.read.parquet(f"{log_path.rstrip('/')}/v={v}")
 
 
+def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
+    """The `_table_schema.json` committed with a snapshot version, as a
+    StructType — or None for versions committed without one."""
+    versions = list_versions(spark, log_path)
+    if not versions:
+        return None
+    v = versions[-1] if version is None else version
+    fs, jvm = _fs_for(spark, log_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{log_path.rstrip('/')}/v={v}/_table_schema.json"
+    )
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(_json.loads(data))
+
+
 def read_as_of(
     spark: SparkSession, log_path: str, version: int | None = None
 ) -> DataFrame:
@@ -702,7 +753,14 @@ def read_as_of(
     """
     mf = read_manifest_version(spark, log_path, version)
     roots = _manifest_roots(mf)
-    base = spark.read.parquet(*roots)
+    stored = _stored_schema(spark, log_path, version)
+    if stored is not None:
+        # schema as of THIS version: old files read NULL for columns
+        # added later; columns added after the snapshot don't appear at
+        # all — true schema time travel, no file rewrite
+        base = spark.read.schema(stored).parquet(*roots)
+    else:
+        base = spark.read.parquet(*roots)
     # both sides are file scans, so the hidden `_metadata` struct resolves
     # on either — materialize the base's path into a named column first
     cols = base.columns

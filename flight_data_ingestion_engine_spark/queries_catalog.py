@@ -6955,3 +6955,50 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("u").alias("sum_user"),
     )
+
+
+@_q(
+    "snapshot_schema_evolution",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 1 THEN value END AS value
+    FROM events
+    """,
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a versioned snapshot table WITHOUT rewriting
+    old files: v1 commits the two-column half of events, v2 appends files
+    carrying a new `value` column and commits the widened schema
+    (`commit_manifest(table_schema=...)` stages `_table_schema.json`
+    inside the atomic version rename). Reading the latest snapshot
+    applies the stored v2 schema, so v1-era files surface NULL for the
+    new column and v2 files their real values — exactly the oracle's
+    CASE split. `read_as_of(v1)` (pytest-covered) still reproduces the
+    original two-column shape: true schema time travel."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        update_file_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="fdie_schevo_q_")
+    data, log = base + "/data", base + "/log"
+    ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id").coalesce(
+        2
+    ).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    commit_manifest(spark, log, m1, table_schema="event_id bigint, user_id bigint")
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value"
+    ).coalesce(2).write.mode("append").parquet(data)
+    commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["event_id"]),
+        table_schema="event_id bigint, user_id bigint, value double",
+    )
+    return read_as_of(spark, log).select("event_id", "user_id", "value")

@@ -800,3 +800,47 @@ def test_delete_versioned_snapshot_isolated_gdpr_flow(spark):
     vacuum_versions(spark, log, data, keep_last=1)
     assert read_as_of(spark, log).count() == 297
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_snapshot_schema_evolution_time_travel(spark, tmp_path):
+    """Schema tracked per snapshot version: widening the table is a
+    metadata commit, not a file rewrite. read_as_of(v1) reproduces the
+    ORIGINAL two-column shape even though newer three-column files sit in
+    the same directory; the latest read applies the widened schema with
+    NULLs for old files. Versions committed WITHOUT a stored schema keep
+    the legacy inferred-schema behavior."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    v1df = spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("user_id")
+    )
+    v1df.coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    v1 = commit_manifest(
+        spark, log, m1, table_schema="event_id bigint, user_id bigint"
+    )
+    spark.range(10, 20).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(data)
+    commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["event_id"]),
+        table_schema="event_id bigint, user_id bigint, value double",
+    )
+    old = read_as_of(spark, log, v1)
+    assert old.columns == ["event_id", "user_id"]
+    assert old.count() == 10
+    new = read_as_of(spark, log)
+    assert new.columns == ["event_id", "user_id", "value"]
+    assert new.count() == 20
+    assert new.where(F.col("value").isNull()).count() == 10
+    assert new.where(F.col("value").isNotNull()).count() == 10

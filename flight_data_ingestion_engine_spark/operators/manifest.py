@@ -667,6 +667,14 @@ def commit_manifest(
     def _p(p: str):
         return jvm.org.apache.hadoop.fs.Path(p)
 
+    if table_schema is None:
+        # carry the previous version's stored schema forward so schema
+        # tracking survives commits that don't know about it (merge,
+        # optimize, delete, streaming sinks); a commit that WIDENS the
+        # table passes the new schema explicitly. (_stored_schema returns
+        # None for an empty/absent log — first commits stay schema-less
+        # unless the caller declares one.)
+        table_schema = _stored_schema(spark, log_path, None)
     if table_schema is not None:
         from pyspark.sql import types as T
 

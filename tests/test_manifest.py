@@ -844,3 +844,30 @@ def test_snapshot_schema_evolution_time_travel(spark, tmp_path):
     assert new.count() == 20
     assert new.where(F.col("value").isNull()).count() == 10
     assert new.where(F.col("value").isNotNull()).count() == 10
+
+
+def test_stored_schema_carries_forward_through_schemaless_commits(spark, tmp_path):
+    """Operations that commit without knowing about schema tracking
+    (merge/optimize/delete) must not silently drop it: a schema-less
+    commit inherits the previous version's stored schema, and time travel
+    to every version keeps its exact column set."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    commit_manifest(spark, log, m1, table_schema="event_id bigint, user_id bigint")
+    # a later commit that doesn't pass table_schema (e.g. a compaction)
+    spark.range(10, 15).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.mode("append").parquet(data)
+    v2 = commit_manifest(spark, log, update_file_stats(spark, m1, data, ["event_id"]))
+    assert read_as_of(spark, log, v2).columns == ["event_id", "user_id"]
+    assert read_as_of(spark, log, v2).count() == 15

@@ -7002,3 +7002,42 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_schema="event_id bigint, user_id bigint, value double",
     )
     return read_as_of(spark, log).select("event_id", "user_id", "value")
+
+
+@_q(
+    "rolling_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM du)
+    SELECT s.d,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d
+    FROM spine s
+    JOIN du ON du.d > s.d - INTERVAL 7 DAY AND du.d <= s.d
+    GROUP BY s.d
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-DAU
+    shape that window frames can't express (COUNT DISTINCT isn't a window
+    aggregate). The fact first collapses to distinct (day, user) pairs —
+    the only full-size shuffle — then a bounded range join fans each pair
+    into at most 7 spine days (never a per-row window over raw events),
+    and the per-day distinct count runs over that bounded expansion. At
+    100 TB the pair domain is days × active-users, orders of magnitude
+    under the event count. The range join plans as a broadcast nested
+    loop over the DAY SPINE (bounded: one row per day) — intentional and
+    optimal here; a growing spine would switch to the bucketized interval
+    join in operators/ranges.py."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    spine = du.select(F.col("d").alias("sd")).distinct()
+    joined = spine.join(
+        du,
+        (F.col("d") > F.date_sub(F.col("sd"), 7)) & (F.col("d") <= F.col("sd")),
+    )
+    return (
+        joined.groupBy(F.col("sd").alias("d"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )

@@ -858,6 +858,12 @@ def snapshot_changes(
     mf_new = read_manifest_version(spark, log_path, to_version)
     only_new = mf_new.join(mf_old.select("file_path"), "file_path", "left_anti")
     only_old = mf_old.join(mf_new.select("file_path"), "file_path", "left_anti")
+    # Across a schema-evolution boundary the two sides' files carry
+    # different columns and exceptAll would fail; both sides read under
+    # the TO-version's stored schema (the feed's output schema), so
+    # pre-widening rows surface NULL for later-added columns — the same
+    # contract as reading the widened table itself.
+    to_schema = _stored_schema(spark, log_path, to_version)
 
     def _rows(mf_side: DataFrame) -> DataFrame | None:
         # read the symmetric-difference files by EXPLICIT path — a
@@ -867,7 +873,8 @@ def snapshot_changes(
         paths = [r.file_path for r in mf_side.select("file_path").collect()]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(to_schema) if to_schema is not None else spark.read
+        return reader.parquet(*paths)
 
     new_rows, old_rows = _rows(only_new), _rows(only_old)
     if new_rows is None and old_rows is None:

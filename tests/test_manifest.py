@@ -871,3 +871,39 @@ def test_stored_schema_carries_forward_through_schemaless_commits(spark, tmp_pat
     v2 = commit_manifest(spark, log, update_file_stats(spark, m1, data, ["event_id"]))
     assert read_as_of(spark, log, v2).columns == ["event_id", "user_id"]
     assert read_as_of(spark, log, v2).count() == 15
+
+
+def test_change_feed_spans_schema_evolution_boundary(spark, tmp_path):
+    """The change feed across a widening commit must not crash on the
+    column mismatch: both sides read under the TO-version's stored
+    schema, so pre-widening rows (the deletes of a rewrite, or none for
+    a pure append) surface NULL for later-added columns."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        snapshot_changes,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(5).select(
+        F.col("id").alias("event_id"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    v1 = commit_manifest(spark, log, m1, table_schema="event_id bigint, user_id bigint")
+    spark.range(5, 8).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 2).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(data)
+    v2 = commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["event_id"]),
+        table_schema="event_id bigint, user_id bigint, value double",
+    )
+    feed = snapshot_changes(spark, log, v1, v2)
+    assert set(feed.columns) == {"event_id", "user_id", "value", "_change"}
+    rows = {(r.event_id, r._change) for r in feed.collect()}
+    assert rows == {(5, "insert"), (6, "insert"), (7, "insert")}
+    assert feed.where(F.col("value").isNull()).count() == 0  # appends carry values

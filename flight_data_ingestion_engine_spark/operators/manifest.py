@@ -415,7 +415,13 @@ def merge_upsert_versioned(
         )
         affected = [r.file_path for r in hit.collect()]
     if affected:
-        stored = spark.read.parquet(*affected)
+        # affected files may straddle a schema-widening commit; inferred
+        # schema would follow ONE file's footer and silently drop a
+        # later-added column from the others' rewrite — read under the
+        # stored table schema (NULL-fills old files) when one exists
+        tbl_schema = _stored_schema(spark, log_path, None)
+        reader = spark.read.schema(tbl_schema) if tbl_schema is not None else spark.read
+        stored = reader.parquet(*affected)
         survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
         new_content = survivors.unionByName(updates.select(*stored.columns))
     else:
@@ -494,7 +500,11 @@ def delete_versioned(
     if not affected:
         return versions[-1]
     kept = mf.where(~F.col("file_path").isin(affected))
-    survivors = spark.read.parquet(*affected).where(
+    # same mixed-schema hazard as merge: rewrite under the stored table
+    # schema so a later-added column survives files that predate it
+    tbl_schema = _stored_schema(spark, log_path, None)
+    reader = spark.read.schema(tbl_schema) if tbl_schema is not None else spark.read
+    survivors = reader.parquet(*affected).where(
         (~F.col(col).isin(values)) | F.col(col).isNull()
     )
     moved = _stage_and_move(spark, survivors, data_path, "d")

@@ -907,3 +907,50 @@ def test_change_feed_spans_schema_evolution_boundary(spark, tmp_path):
     rows = {(r.event_id, r._change) for r in feed.collect()}
     assert rows == {(5, "insert"), (6, "insert"), (7, "insert")}
     assert feed.where(F.col("value").isNull()).count() == 0  # appends carry values
+
+
+def test_versioned_merge_preserves_columns_across_widening(spark, tmp_path):
+    """A merge whose affected files straddle a schema-widening commit
+    must not lose the widened column: without the stored-schema read the
+    inferred schema follows one file's footer and the other files'
+    rewrite silently drops `value` — data loss."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        merge_upsert_versioned,
+        read_as_of,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    # v1: ids 0-9, two columns, ONE file (overlaps any update key range)
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["k"])
+    commit_manifest(spark, log, m1, table_schema="k bigint, user_id bigint")
+    # v2: ids 10-19 with the new value column, ONE file
+    spark.range(10, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    ).coalesce(1).write.parquet(data, mode="append")
+    commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["k"]),
+        table_schema="k bigint, user_id bigint, value double",
+    )
+    # update keys 5 (old file) and 15 (new file): BOTH files are affected
+    updates = spark.createDataFrame(
+        [(5, -1, 0.5), (15, -1, 0.5)], "k bigint, user_id bigint, value double"
+    )
+    merge_upsert_versioned(spark, data, log, updates, "k")
+    now = read_as_of(spark, log)
+    assert now.count() == 20
+    # the rewritten new-file SURVIVORS must keep their values
+    survivors = now.where((F.col("k") >= 10) & (F.col("k") != 15))
+    assert survivors.where(F.col("value").isNull()).count() == 0
+    assert {r.k for r in now.where(F.col("value").isNotNull()).collect()} == set(
+        [5, 15] + list(range(10, 20))
+    )

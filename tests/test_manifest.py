@@ -954,3 +954,27 @@ def test_versioned_merge_preserves_columns_across_widening(spark, tmp_path):
     assert {r.k for r in now.where(F.col("value").isNotNull()).collect()} == set(
         [5, 15] + list(range(10, 20))
     )
+
+
+def test_type_widening_via_stored_schema(spark, tmp_path):
+    """Type evolution without rewrite: Spark 4's parquet reader upcasts
+    (int32 → bigint/double), so widening a column type is also just a
+    schema commit — old int files read as the wider type."""
+    from pyspark.sql import types as T
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["user_id"])
+    commit_manifest(spark, log, m1, table_schema="k int, user_id bigint")
+    commit_manifest(spark, log, m1, table_schema="k bigint, user_id bigint")
+    widened = read_as_of(spark, log)
+    assert widened.schema["k"].dataType == T.LongType()
+    assert sorted(r.k for r in widened.collect()) == [0, 1, 2, 3, 4]

@@ -7041,3 +7041,68 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("sd").alias("d"))
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+@_q(
+    "incremental_rollup_cdf",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id % 10 = 0 THEN CAST(0 AS DECIMAL(18,6))
+                         ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driven by the change feed: the
+    per-type aggregate computed at snapshot v1 advances to v2 by applying
+    only the churn from `snapshot_changes` (a merge zeroing every 10th
+    event's value), never re-reading the base table
+    (operators/rollup_table.py::apply_change_feed). Because the deltas
+    accumulate in the same DECIMAL as the base sums, the maintained view
+    is bit-equal to recomputing v2 from scratch — which is exactly the
+    oracle: a direct aggregate over the post-merge state. The churn bound
+    is the whole point at 100 TB: the v1→v2 feed reads the rewritten
+    files only, and the delta aggregation shuffles the changed rows, not
+    the table."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        merge_upsert_versioned,
+        read_as_of,
+        snapshot_changes,
+    )
+    from flight_data_ingestion_engine_spark.operators.rollup_table import (
+        apply_change_feed,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="fdie_ivm_q_")
+    data, log = base + "/data", base + "/log"
+    ev.coalesce(4).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
+    v1 = commit_manifest(
+        spark, log, m1, table_schema="event_id bigint, event_type string, value double"
+    )
+    updates = ev.where(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.lit(0.0)
+    )
+    v2 = merge_upsert_versioned(spark, data, log, updates, "event_id")
+    agg_v1 = (
+        read_as_of(spark, log, v1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    feed = snapshot_changes(spark, log, v1, v2)
+    maintained = apply_change_feed(
+        agg_v1, feed, keys=["event_type"], sum_measures={"sum_value": "value"}
+    )
+    return maintained.select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )

@@ -182,3 +182,32 @@ def test_scd2_incremental_intervals(spark):
     rows = {r.v: r for r in second.collect()}
     assert rows["v1"].valid_from == day(1) and rows["v1"].valid_to == day(5)
     assert rows["v2"].valid_from == day(5) and rows["v2"].valid_to is None
+
+
+def test_apply_change_feed_group_lifecycle(spark):
+    """IVM edge cases: a group whose count reaches zero drops out, a
+    brand-new group appears, and an update (delete+insert pair) nets to
+    its exact DECIMAL delta."""
+    from flight_data_ingestion_engine_spark.operators.rollup_table import (
+        apply_change_feed,
+    )
+
+    agg = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "g string, n bigint, sum_v double"
+    ).withColumn("sum_v", F.col("sum_v").cast("decimal(18,6)"))
+    changes = spark.createDataFrame(
+        [
+            ("b", 5.0, "delete"),      # b drops to zero → disappears
+            ("a", 3.0, "delete"),      # update on a: -3 +7 nets to +4
+            ("a", 7.0, "insert"),
+            ("c", 1.5, "insert"),      # brand-new group
+        ],
+        "g string, v double, _change string",
+    )
+    out = {
+        r.g: (r.n, float(r.sum_v))
+        for r in apply_change_feed(
+            agg, changes, keys=["g"], sum_measures={"sum_v": "v"}
+        ).collect()
+    }
+    assert out == {"a": (2, 14.0), "c": (1, 1.5)}

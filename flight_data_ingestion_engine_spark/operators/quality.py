@@ -498,3 +498,51 @@ def l_diversity_histogram(
         .agg(F.count(F.lit(1)).alias("n_groups"))
         .withColumn("below_threshold", F.col("l") < F.lit(l_threshold))
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Evaluate data expectations in ONE scan: each rule is (name,
+    boolean Column that good rows satisfy); the report has one row per
+    rule with its violation count and pass flag. NULL rule results count
+    as violations (an unevaluable expectation is a failed one). All
+    rules fold into a single aggregation projection — adding a rule adds
+    a codegen'd sum, never a scan."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"_v_{name}")
+        )
+    row = df.agg(*aggs)
+    stacked = ", ".join(f"'{name}', _v_{name}" for name, _ in rules)
+    return row.select(
+        F.expr(f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"),
+        F.col("_total").alias("n_rows"),
+    ).select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def enforce_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Commit gate: raise ValueError naming every failed rule (with its
+    violation count) unless ALL expectations hold; returns `df` untouched
+    on success so it drops into a write pipeline. One aggregation job —
+    the cost of refusing to publish bad data is a single scan."""
+    failed = [
+        (r.rule, r.n_violations)
+        for r in expectation_report(df, rules).where(~F.col("passed")).collect()
+    ]
+    if failed:
+        detail = ", ".join(f"{name} ({n} rows)" for name, n in failed)
+        raise ValueError(f"expectations failed: {detail}")
+    return df

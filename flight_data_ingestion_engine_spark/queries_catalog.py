@@ -7106,3 +7106,52 @@ def q_incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@_q(
+    "expectation_report_lineitem",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem),
+    v AS (
+      SELECT
+        CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty_in_range,
+        CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS discount_in_range,
+        CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS shipdate_present,
+        CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+        CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS returnflag_domain
+      FROM lineitem
+    )
+    SELECT r.rule, r.n_violations, t.n_rows, r.n_violations = 0 AS passed
+    FROM t, (
+      SELECT 'qty_in_range' AS rule, qty_in_range AS n_violations FROM v
+      UNION ALL SELECT 'discount_in_range', discount_in_range FROM v
+      UNION ALL SELECT 'shipdate_present', shipdate_present FROM v
+      UNION ALL SELECT 'price_positive', price_positive FROM v
+      UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM v
+    ) r
+    """,
+)
+def q_expectation_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations report over the fact table — the publish gate a
+    pipeline runs before committing a new slice
+    (operators/quality.py::expectation_report /
+    enforce_expectations). Five domain rules evaluate in ONE scan (each
+    rule is a codegen'd conditional sum in a single aggregation); NULL
+    rule results count as violations. Exact violation counts make the
+    gate oracle-checkable, not just a boolean."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        expectation_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        ("qty_in_range", (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)),
+        (
+            "discount_in_range",
+            (F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.1),
+        ),
+        ("shipdate_present", F.col("l_shipdate").isNotNull()),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+    ]
+    return expectation_report(li, rules)

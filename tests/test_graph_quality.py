@@ -238,3 +238,26 @@ def test_content_checksum_null_fields_do_not_collide(spark):
     ua = content_checksum(a, unsafe).collect()[0].checksum
     ub = content_checksum(b, unsafe).collect()[0].checksum
     assert ua == ub
+
+
+def test_enforce_expectations_gate(spark):
+    """The commit gate passes clean data through untouched and refuses
+    bad data with every failed rule named and counted; NULL rule results
+    count as violations."""
+    import pytest as _pytest
+
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        enforce_expectations,
+    )
+
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id bigint, v double")
+    rules = [("v_positive", F.col("v") > 0), ("id_present", F.col("id").isNotNull())]
+    assert enforce_expectations(good, rules).count() == 2
+    bad = spark.createDataFrame(
+        [(1, 5.0), (None, -2.0), (3, None)], "id bigint, v double"
+    )
+    with _pytest.raises(ValueError) as exc:
+        enforce_expectations(bad, rules)
+    msg = str(exc.value)
+    assert "v_positive (2 rows)" in msg  # -2.0 fails, NULL counts as violation
+    assert "id_present (1 rows)" in msg

@@ -419,11 +419,20 @@ def merge_upsert_versioned(
         # schema would follow ONE file's footer and silently drop a
         # later-added column from the others' rewrite — read under the
         # stored table schema (NULL-fills old files) when one exists
-        tbl_schema = _stored_schema(spark, log_path, None)
-        reader = spark.read.schema(tbl_schema) if tbl_schema is not None else spark.read
-        stored = reader.parquet(*affected)
+        stored = _schema_reader(spark, log_path).parquet(*affected)
         survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
-        new_content = survivors.unionByName(updates.select(*stored.columns))
+        # an old-shape producer may still emit updates WITHOUT columns a
+        # widening commit added — NULL-fill them (the same contract as
+        # reading pre-widening files) instead of failing the pipeline
+        aligned = updates.select(
+            *[
+                updates[f.name].cast(f.dataType).alias(f.name)
+                if f.name in updates.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in stored.schema.fields
+            ]
+        )
+        new_content = survivors.unionByName(aligned)
     else:
         new_content = updates
 
@@ -502,9 +511,7 @@ def delete_versioned(
     kept = mf.where(~F.col("file_path").isin(affected))
     # same mixed-schema hazard as merge: rewrite under the stored table
     # schema so a later-added column survives files that predate it
-    tbl_schema = _stored_schema(spark, log_path, None)
-    reader = spark.read.schema(tbl_schema) if tbl_schema is not None else spark.read
-    survivors = reader.parquet(*affected).where(
+    survivors = _schema_reader(spark, log_path).parquet(*affected).where(
         (~F.col(col).isin(values)) | F.col(col).isNull()
     )
     moved = _stage_and_move(spark, survivors, data_path, "d")
@@ -677,26 +684,42 @@ def commit_manifest(
     def _p(p: str):
         return jvm.org.apache.hadoop.fs.Path(p)
 
-    if table_schema is None:
-        # carry the previous version's stored schema forward so schema
-        # tracking survives commits that don't know about it (merge,
-        # optimize, delete, streaming sinks); a commit that WIDENS the
-        # table passes the new schema explicitly. (_stored_schema returns
-        # None for an empty/absent log — first commits stay schema-less
-        # unless the caller declares one.)
-        table_schema = _stored_schema(spark, log_path, None)
+    explicit_schema = None
     if table_schema is not None:
         from pyspark.sql import types as T
 
-        if isinstance(table_schema, str):
-            table_schema = T._parse_datatype_string(table_schema)
+        explicit_schema = (
+            T._parse_datatype_string(table_schema)
+            if isinstance(table_schema, str)
+            else table_schema
+        )
+
+    def _stage_schema(schema) -> None:
         out = fs.create(_p(f"{tmp}/_table_schema.json"), True)
         try:
-            out.write(bytearray(table_schema.json().encode("utf-8")))
+            out.write(bytearray(schema.json().encode("utf-8")))
         finally:
             out.close()
 
+    staged_explicit = False
     while True:
+        if explicit_schema is not None:
+            # the caller's declaration wins regardless of races — stage
+            # it once; retries keep the same file
+            if not staged_explicit:
+                _stage_schema(explicit_schema)
+                staged_explicit = True
+        else:
+            # carry the previous version's stored schema forward so
+            # tracking survives commits that don't know about it (merge,
+            # optimize, delete, streaming sinks). Re-resolved on EVERY
+            # attempt: a racing widening commit may land between retries,
+            # and staging a stale carried schema would silently revert
+            # it. (_stored_schema is None for an empty log — first
+            # commits stay schema-less unless declared.)
+            carried = _stored_schema(spark, log_path, None)
+            if carried is not None:
+                _stage_schema(carried)
         versions = list_versions(spark, log_path)
         nxt = (versions[-1] + 1) if versions else 1
         dest = f"{log_path.rstrip('/')}/v={nxt}"
@@ -755,6 +778,15 @@ def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
     return T.StructType.fromJson(_json.loads(data))
 
 
+def _schema_reader(spark: SparkSession, log_path: str, version: int | None = None):
+    """DataFrameReader honouring the stored table schema of `version`
+    (default latest): schema-less logs fall back to inference. The single
+    place the stored-schema-read pattern lives — merge, delete and the
+    change feed all route through it."""
+    s = _stored_schema(spark, log_path, version)
+    return spark.read.schema(s) if s is not None else spark.read
+
+
 def read_as_of(
     spark: SparkSession, log_path: str, version: int | None = None
 ) -> DataFrame:
@@ -773,17 +805,32 @@ def read_as_of(
     roots = _manifest_roots(mf)
     stored = _stored_schema(spark, log_path, version)
     if stored is not None:
-        # schema as of THIS version: old files read NULL for columns
-        # added later; columns added after the snapshot don't appear at
-        # all — true schema time travel, no file rewrite
-        base = spark.read.schema(stored).parquet(*roots)
+        # Scan under the LATEST stored schema (schemas only widen, so it
+        # reads every file generation: old files NULL-fill added columns,
+        # int32 files upcast), then project+cast DOWN to the requested
+        # version's schema. Scanning directly under an old NARROW schema
+        # would crash the moment one wider-typed file lands in the
+        # directory — parquet cannot narrow int64→int32, and the
+        # snapshot's semi-join filters rows only after the scan.
+        latest = _stored_schema(spark, log_path, None) or stored
+        base = spark.read.schema(latest).parquet(*roots)
+        proj = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in base.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in stored.fields
+        ]
+        cols = [f.name for f in stored.fields]
     else:
         base = spark.read.parquet(*roots)
+        proj = [F.col(c) for c in base.columns]
+        cols = base.columns
     # both sides are file scans, so the hidden `_metadata` struct resolves
     # on either — materialize the base's path into a named column first
-    cols = base.columns
     keyed = base.select(
-        F.col("_metadata.file_path").alias("__base_path"), *cols
+        F.col("_metadata.file_path").alias("__base_path"), *proj
     )
     return keyed.join(
         mf.select(F.col("file_path").alias("__mf_path")),
@@ -873,8 +920,6 @@ def snapshot_changes(
     # the TO-version's stored schema (the feed's output schema), so
     # pre-widening rows surface NULL for later-added columns — the same
     # contract as reading the widened table itself.
-    to_schema = _stored_schema(spark, log_path, to_version)
-
     def _rows(mf_side: DataFrame) -> DataFrame | None:
         # read the symmetric-difference files by EXPLICIT path — a
         # root-scan + semi-join would still list and read the whole
@@ -883,8 +928,7 @@ def snapshot_changes(
         paths = [r.file_path for r in mf_side.select("file_path").collect()]
         if not paths:
             return None
-        reader = spark.read.schema(to_schema) if to_schema is not None else spark.read
-        return reader.parquet(*paths)
+        return _schema_reader(spark, log_path, to_version).parquet(*paths)
 
     new_rows, old_rows = _rows(only_new), _rows(only_old)
     if new_rows is None and old_rows is None:

@@ -510,15 +510,26 @@ def expectation_report(
     as violations (an unevaluable expectation is a failed one). All
     rules fold into a single aggregation projection — adding a rule adds
     a codegen'd sum, never a scan."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_violations bigint, n_rows bigint, passed boolean"
+        )
+    # internal aliases are index-based and the display name rides as an
+    # escaped SQL literal: rule names are arbitrary caller strings, and
+    # interpolating them into identifiers would break analysis on
+    # hyphens/quotes/duplicates
     aggs = [F.count(F.lit(1)).alias("_total")]
-    for name, cond in rules:
+    for i, (_, cond) in enumerate(rules):
         aggs.append(
             F.sum(
                 F.when(F.coalesce(cond, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
-            ).alias(f"_v_{name}")
+            ).alias(f"_v_{i}")
         )
     row = df.agg(*aggs)
-    stacked = ", ".join(f"'{name}', _v_{name}" for name, _ in rules)
+    stacked = ", ".join(
+        "'{}', _v_{}".format(name.replace("'", "''"), i)
+        for i, (name, _) in enumerate(rules)
+    )
     return row.select(
         F.expr(f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"),
         F.col("_total").alias("n_rows"),

@@ -127,9 +127,17 @@ def apply_change_feed(
             ).alias(f"_d_{out}")
         )
     delta = changes.groupBy(*keys).agg(*delta_aggs)
-    merged = agg.join(delta, keys, "full_outer")
+    # NULL group keys are ordinary groupBy groups; a name-based join uses
+    # non-null-safe equality and would strand a NULL-key delta beside its
+    # NULL-key aggregate row (the delta then vanishes through the n>0
+    # filter — silent corruption). eqNullSafe merges them correctly.
+    cond = None
+    for k in keys:
+        c = agg[k].eqNullSafe(delta[k])
+        cond = c if cond is None else cond & c
+    merged = agg.join(delta, cond, "full_outer")
     zero = F.lit(0).cast(decimal_type)
-    out_cols = [*[F.col(k) for k in keys]]
+    out_cols = [F.coalesce(agg[k], delta[k]).alias(k) for k in keys]
     n_new = F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
     out_cols.append(n_new.alias(n_col))
     for out in sum_measures:

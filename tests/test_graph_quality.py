@@ -261,3 +261,27 @@ def test_enforce_expectations_gate(spark):
     msg = str(exc.value)
     assert "v_positive (2 rows)" in msg  # -2.0 fails, NULL counts as violation
     assert "id_present (1 rows)" in msg
+
+
+def test_expectation_report_arbitrary_rule_names_and_empty_rules(spark):
+    """Rule names are caller strings: hyphens, quotes and duplicates must
+    not break analysis (internal aliases are index-based; names ride as
+    escaped literals). An empty rule list yields an empty typed report."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "v bigint")
+    rep = expectation_report(
+        df,
+        [
+            ("qty-range", F.col("v") > 0),
+            ("it's odd", F.col("v") % 2 == 1),
+            ("it's odd", F.col("v") % 2 == 1),  # duplicate name is fine
+        ],
+    )
+    rows = [(r.rule, r.n_violations) for r in rep.collect()]
+    assert rows == [("qty-range", 0), ("it's odd", 1), ("it's odd", 1)]
+    empty = expectation_report(df, [])
+    assert empty.count() == 0
+    assert empty.columns == ["rule", "n_violations", "n_rows", "passed"]

@@ -978,3 +978,81 @@ def test_type_widening_via_stored_schema(spark, tmp_path):
     widened = read_as_of(spark, log)
     assert widened.schema["k"].dataType == T.LongType()
     assert sorted(r.k for r in widened.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_time_travel_survives_later_type_widening(spark, tmp_path):
+    """Once a wider-typed file lands (k as int64 after an int32 era),
+    time travel to the pre-widening version must still work: the scan
+    runs under the LATEST stored schema (which reads every file
+    generation) and casts down to the requested version's schema —
+    scanning directly under the narrow schema would crash on the int64
+    files even though the semi-join excludes their rows."""
+    from pyspark.sql import types as T
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        read_as_of,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(5).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["user_id"])
+    v1 = commit_manifest(spark, log, m1, table_schema="k int, user_id bigint")
+    # widen the type AND land a file whose footer stores k as int64
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.mode("append").parquet(data)
+    commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["user_id"]),
+        table_schema="k bigint, user_id bigint",
+    )
+    old = read_as_of(spark, log, v1)
+    assert old.schema["k"].dataType == T.IntegerType()  # v1's own schema
+    assert sorted(r.k for r in old.collect()) == [0, 1, 2, 3, 4]
+    new = read_as_of(spark, log)
+    assert new.schema["k"].dataType == T.LongType()
+    assert new.count() == 8
+
+
+def test_versioned_merge_accepts_pre_widening_update_shape(spark, tmp_path):
+    """An old-shape producer emitting updates WITHOUT a later-added
+    column must keep working after the widening commit: missing update
+    columns NULL-fill (the same contract as reading pre-widening files)
+    instead of failing the merge."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        file_column_stats,
+        merge_upsert_versioned,
+        read_as_of,
+        update_file_stats,
+    )
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("user_id")
+    ).coalesce(1).write.parquet(data)
+    m1 = file_column_stats(spark.read.parquet(data), ["k"])
+    commit_manifest(spark, log, m1, table_schema="k bigint, user_id bigint")
+    spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(data)
+    commit_manifest(
+        spark,
+        log,
+        update_file_stats(spark, m1, data, ["k"]),
+        table_schema="k bigint, user_id bigint, value double",
+    )
+    updates = spark.createDataFrame([(2, -1)], "k bigint, user_id bigint")
+    merge_upsert_versioned(spark, data, log, updates, "k")
+    now = read_as_of(spark, log)
+    row = now.where(F.col("k") == 2).collect()[0]
+    assert row.user_id == -1 and row.value is None
+    assert now.count() == 8

@@ -211,3 +211,25 @@ def test_apply_change_feed_group_lifecycle(spark):
         ).collect()
     }
     assert out == {"a": (2, 14.0), "c": (1, 1.5)}
+
+
+def test_apply_change_feed_null_group_key(spark):
+    """NULL group keys are ordinary groups: the delta must merge into the
+    NULL-key aggregate row (null-safe join), not strand beside it."""
+    from flight_data_ingestion_engine_spark.operators.rollup_table import (
+        apply_change_feed,
+    )
+
+    agg = spark.createDataFrame(
+        [(None, 2, 10.0)], "g string, n bigint, sum_v double"
+    ).withColumn("sum_v", F.col("sum_v").cast("decimal(18,6)"))
+    changes = spark.createDataFrame(
+        [(None, 5.0, "delete")], "g string, v double, _change string"
+    )
+    out = [
+        (r.g, r.n, float(r.sum_v))
+        for r in apply_change_feed(
+            agg, changes, keys=["g"], sum_measures={"sum_v": "v"}
+        ).collect()
+    ]
+    assert out == [(None, 1, 5.0)]

@@ -328,3 +328,29 @@ def test_batch_l_decision_support_budgets(spark, sf_dir):
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
     plan = explain_str(qc.QUERIES["returned_item_customers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_batch_m_exchange_budgets(spark, sf_dir):
+    """Shuffle budgets for the fourth-continuation shapes. The zero rows:
+    VARIANT/XML extraction and the expectations report are scan-speed
+    projections/single aggregations; the checksum and quarantine pay one
+    group-key exchange; bitmap distinct pays its two-level aggregation;
+    rolling distinct actives pays pair-distinct + spine join + the
+    count-distinct pair."""
+    budgets = {
+        "variant_extract_props": 0,
+        "xml_ingest_roundtrip": 0,
+        "expectation_report_lineitem": 1,
+        "json_quarantine": 1,
+        "table_checksum_events": 1,
+        "winsorized_stats": 2,
+        "bitmap_distinct_users": 2,
+        "l_diversity_customers": 3,
+        "autocorr_profile": 3,
+        "rolling_distinct_users": 4,
+        "semantic_dedup_embeddings": 4,
+    }
+    for name, bound in budgets.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

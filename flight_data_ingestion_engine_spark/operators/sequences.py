@@ -219,3 +219,36 @@ def funnel_within_gap(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def funnel_anchors(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-key greedy-earliest anchor times for keys that completed the
+    WHOLE funnel: `(key, t_first, t_last)` — the step-1 anchor and the
+    final step's anchor. Same per-step equi-join recurrence as
+    `funnel_counts` (anchor frame ≤ one row per key, shrinking
+    monotonically; every shuffle keyed on the funnel key), with the
+    step-1 time carried through the joins so conversion latency is one
+    subtraction at the end."""
+    assert len(steps) >= 2, "anchors need at least two steps"
+    first = steps[0]
+    cur = (
+        df.where(F.col(state_col) == first)
+        .groupBy(key_col)
+        .agg(F.min(time_col).alias("t_first"))
+        .withColumn("_prev", F.col("t_first"))
+    )
+    for state in steps[1:]:
+        stage = df.where(F.col(state_col) == state)
+        cur = (
+            stage.join(cur.select(key_col, "t_first", "_prev"), key_col)
+            .where(F.col(time_col) > F.col("_prev"))
+            .groupBy(key_col)
+            .agg(F.min("t_first").alias("t_first"), F.min(time_col).alias("_prev"))
+        )
+    return cur.select(key_col, "t_first", F.col("_prev").alias("t_last"))

@@ -7155,3 +7155,58 @@ def q_expectation_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
     ]
     return expectation_report(li, rules)
+
+
+@_q(
+    "funnel_latency_quantiles",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT s1.user_id,
+             (epoch_us(s3.t) - epoch_us(s1.t)) / 1000000.0 AS latency_s
+      FROM s1 JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s
+    FROM lat
+    """,
+)
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the completed view→click→purchase
+    funnel: exact p50/p90 of (purchase anchor − view anchor), seconds.
+    Composes the greedy-earliest anchor recurrence
+    (operators/sequences.py::funnel_anchors — provably the earliest
+    completion per key) with exact interpolated percentiles. Latency is
+    an exact integer micros difference divided once by 1e6 (correctly
+    rounded, engine-identical); F.percentile ≡ quantile_cont bit-for-bit
+    (see exact_percentiles)."""
+    from flight_data_ingestion_engine_spark.operators.sequences import funnel_anchors
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = funnel_anchors(
+        ev, key_col="user_id", time_col="ts", state_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+    lat = anchors.select(
+        (
+            (F.unix_micros("t_last") - F.unix_micros("t_first"))
+            / F.lit(1000000.0)
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("latency_s", 0.5).alias("p50_s"),
+        F.percentile("latency_s", 0.9).alias("p90_s"),
+    )

@@ -144,3 +144,34 @@ def test_funnel_within_gap_beats_greedy_anchoring(spark):
     # step 1: users 1,2,3,4 all have a view; step 2: users 1 (late view) and 3;
     # step 3: user 3 only
     assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_funnel_anchors_times_and_completion_consistency(spark):
+    """funnel_anchors returns the greedy-earliest first/last anchor per
+    COMPLETED key, and its key count equals funnel_counts' final step."""
+    from flight_data_ingestion_engine_spark.operators.sequences import (
+        funnel_anchors,
+        funnel_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        (1, "2024-01-01 09:00:00", "purchase"),  # pre-view purchase ignored
+        (2, "2024-01-01 11:00:00", "view"),      # never converts
+        (3, "2024-01-01 12:00:00", "click"),     # click without view
+        (3, "2024-01-01 12:30:00", "purchase"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "user_id bigint, ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    steps = ["view", "click", "purchase"]
+    a = {r.user_id: (str(r.t_first), str(r.t_last))
+         for r in funnel_anchors(df, "user_id", "ts", "event_type", steps).collect()}
+    assert a == {1: ("2024-01-01 10:00:00", "2024-01-01 10:20:00")}
+    counts = {r.step: r.n_keys
+              for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()}
+    assert counts[3] == len(a)

@@ -633,13 +633,22 @@ def semantic_dedup(
     block_cols: Sequence[str],
     threshold: float = 0.95,
     pairs: DataFrame | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style keep-one-per-cluster over embedding near-duplicates.
 
     Pipeline: exact blocked-cosine pairs (`embedding_dup_pairs`) →
     connected components (`dedup_clusters`) → drop every member that is
-    NOT its cluster's canonical representative (the minimum id). Rows with
-    no near-dup edge survive untouched. Returns the full input schema.
+    NOT its cluster's representative. Rows with no near-dup edge survive
+    untouched. Returns the full input schema.
+
+    Representative choice: the minimum id by default; with `score_col`,
+    the member with the HIGHEST score (ties → minimum id) — the
+    keep-best-quality policy real corpus dedup wants (keep the longest /
+    cleanest / highest-ranked document, not whichever came first). The
+    scored pick is one row_number window over the cluster labels — the
+    window partitions on cluster_id over the near-dup rows only, never
+    the corpus.
 
     Scale shape: the survivors anti-join shuffles only on the id column,
     and its build side is the DROPPED-member list — bounded by the number
@@ -654,7 +663,25 @@ def semantic_dedup(
             block_cols=list(block_cols), threshold=threshold,
         )
     clusters = dedup_clusters(pairs)
-    dropped = clusters.where(F.col("member_id") != F.col("cluster_id")).select(
-        F.col("member_id").alias(id_col)
-    )
+    if score_col is None:
+        dropped = clusters.where(F.col("member_id") != F.col("cluster_id")).select(
+            F.col("member_id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        scored = clusters.join(
+            df.select(
+                F.col(id_col).alias("member_id"), F.col(score_col).alias("_score")
+            ),
+            "member_id",
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_score").desc(), F.col("member_id")
+        )
+        dropped = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col("member_id").alias(id_col))
+        )
     return df.join(dropped, on=id_col, how="left_anti")

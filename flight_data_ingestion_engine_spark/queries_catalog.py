@@ -7210,3 +7210,55 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_s", 0.5).alias("p50_s"),
         F.percentile("latency_s", 0.9).alias("p90_s"),
     )
+
+
+@_q(
+    "semantic_dedup_keep_best",
+    """
+    WITH RECURSIVE n AS (
+      SELECT vec_id, label,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    best AS (
+      SELECT member_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY member_id % 97 DESC, member_id) AS rn
+      FROM comp
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT member_id FROM best WHERE rn > 1)
+    """,
+)
+def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST semantic dedup: each near-dup cluster keeps its
+    highest-quality member (here a deterministic derived score,
+    `vec_id % 97`; in production: length, perplexity bucket, source
+    rank), ties broken by minimum id — the policy corpus dedup actually
+    wants, vs the min-id canonical pick of `semantic_dedup_embeddings`.
+    One row_number window over the near-dup rows only. The oracle
+    rebuilds components with the recursive CTE and drops the same
+    non-best members."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "q_score", F.col("vec_id") % 97
+    )
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"],
+        threshold=0.3, score_col="q_score",
+    ).select("vec_id", "label")

@@ -385,3 +385,19 @@ def test_dedup_clusters_iteration_budget_honored_exactly(spark):
     assert zero == {1: 1, 2: 2, 3: 3}
     full = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert full == {1: 1, 2: 1, 3: 1}
+
+
+def test_semantic_dedup_keep_best_representative(spark):
+    """With score_col the cluster keeps its highest-scored member (ties →
+    min id), not the minimum id."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    base = [1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base, "a", 5), (2, base, "a", 9), (3, base, "a", 9), (4, [0.0, 1.0], "a", 1)],
+        "vec_id bigint, embedding array<float>, label string, q bigint",
+    )
+    out = semantic_dedup(
+        df, "vec_id", "embedding", ["label"], threshold=0.9, score_col="q"
+    )
+    assert sorted(r.vec_id for r in out.collect()) == [2, 4]  # best=9, tie→min id 2

@@ -105,6 +105,21 @@ def _semi_join_read(spark: SparkSession, hit: DataFrame, roots: list[str], exact
     )
 
 
+def _n_hits_capped(hit: DataFrame) -> int:
+    """Surviving-file count, probed only up to `_PLAN_FILE_CAP + 1` rows —
+    enough to pick a strategy without counting a million-row manifest."""
+    return hit.limit(_PLAN_FILE_CAP + 1).count()
+
+
+def _keyed_scan(reader, roots: list[str], cols: list[str] | None = None) -> DataFrame:
+    """Root scan with `_metadata.file_path` materialized as `file_path` —
+    the base every cluster-side file-membership join builds on. `reader`
+    is a DataFrameReader (plain or schema-pinned)."""
+    base = reader.parquet(*roots)
+    keep = cols if cols is not None else base.columns
+    return base.select(F.col("_metadata.file_path").alias("file_path"), *keep)
+
+
 def update_file_stats(
     spark: SparkSession,
     manifest: DataFrame | None,
@@ -117,13 +132,14 @@ def update_file_stats(
     This is what makes manifests viable at 100 TB: the initial build scans
     everything once, but each append afterwards costs one scan of the NEW
     files (an anti-join of the directory listing against the manifest picks
-    them out — O(files) driver work, no data read for covered files).
-    Pass `manifest=None` for the initial build.
+    them out). Pass `manifest=None` for the initial build.
 
-    The collected new-file list is sized by the DELTA since the last
-    update — bounded for the steady-state append cadence this targets. A
-    manifest that has fallen millions of files behind should be rebuilt
-    with `manifest=None` (one scan) instead of incrementally healed.
+    Scale shape: below `_PLAN_FILE_CAP` new files, the delta list is
+    collected and the scan plans over exactly those files (no footer reads
+    for covered files). Above the cap — a manifest that has fallen far
+    behind — the new files' stats come from a ROOT scan anti-joined
+    against the known set on `_metadata.file_path`, so no file list ever
+    materializes on the driver no matter how large the backlog.
     """
     listed = spark.read.parquet(data_path).select(
         F.col("_metadata.file_path").alias("file_path")
@@ -131,10 +147,25 @@ def update_file_stats(
     if manifest is None:
         return file_column_stats(spark.read.parquet(data_path), cols)
     known = manifest.select("file_path")
-    new_files = [r.file_path for r in listed.join(known, "file_path", "left_anti").collect()]
-    if not new_files:
+    new_frame = listed.join(known, "file_path", "left_anti")
+    n_new = _n_hits_capped(new_frame)
+    if n_new == 0:
         return manifest
-    fresh = file_column_stats(spark.read.parquet(*new_files), cols)
+    if n_new <= _PLAN_FILE_CAP:
+        new_files = [r.file_path for r in new_frame.collect()]
+        fresh = file_column_stats(spark.read.parquet(*new_files), cols)
+        return manifest.unionByName(fresh)
+    # backlog exceeds the plan cap: aggregate per-file stats from a root
+    # scan, keeping only uncovered files via a cluster-side anti-join
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    fresh = (
+        _keyed_scan(spark.read, [data_path], cols)
+        .join(known, "file_path", "left_anti")
+        .groupBy("file_path")
+        .agg(*aggs)
+    )
     return manifest.unionByName(fresh)
 
 
@@ -193,15 +224,30 @@ def targeted_delete(
     for v in values:
         c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
         cond = c if cond is None else (cond | c)
-    affected = [r.file_path for r in manifest.where(cond).select("file_path").collect()]
-    if not affected:
+    manifest = manifest.localCheckpoint(eager=True)
+    hit = manifest.where(cond).select("file_path").localCheckpoint(eager=True)
+    n_hit = _n_hits_capped(hit)
+    if not n_hit:
         return manifest
     # NULL-safe survivor predicate: `~isin` evaluates to NULL (dropped) for
     # NULL keys, and NULL-key rows were never requested for deletion —
-    # retain them explicitly.
-    survivors = spark.read.parquet(*affected).where(
-        (~F.col(col).isin(values)) | F.col(col).isNull()
-    )
+    # retain them explicitly. Scan strategy splits at the plan cap like
+    # every CoW rewrite: explicit-path plan when few files are affected,
+    # root-scan + `_metadata.file_path` semi-join when many (no driver
+    # file list on the read). The physical unlink below still needs each
+    # path on the driver — inherent to in-place deletion — streamed via
+    # toLocalIterator in O(batch) memory.
+    keep_pred = (~F.col(col).isin(values)) | F.col(col).isNull()
+    if n_hit <= _PLAN_FILE_CAP:
+        paths = [r.file_path for r in hit.collect()]
+        survivors = spark.read.parquet(*paths).where(keep_pred)
+    else:
+        survivors = (
+            _keyed_scan(spark.read, _manifest_roots(manifest))
+            .join(hit, "file_path", "left_semi")
+            .drop("file_path")
+            .where(keep_pred)
+        )
     staging = f"{data_path.rstrip('/')}/_delete_staging_{uuid.uuid4().hex[:8]}"
     survivors.write.parquet(staging)
 
@@ -212,15 +258,15 @@ def targeted_delete(
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = _hpath(data_path).getFileSystem(hconf)
-    for p in affected:
-        fs.delete(_hpath(p), False)
+    for r in hit.toLocalIterator():
+        fs.delete(_hpath(r.file_path), False)
     staged = fs.listStatus(_hpath(staging))
     for st in staged:
         name = st.getPath().getName()
         if name.endswith(".parquet"):
             fs.rename(st.getPath(), _hpath(f"{data_path.rstrip('/')}/{name}"))
     fs.delete(_hpath(staging), True)
-    kept = manifest.where(~F.col("file_path").isin(affected))
+    kept = manifest.join(hit, "file_path", "left_anti")
     return update_file_stats(
         spark, kept.localCheckpoint(eager=True), data_path, _stat_cols(manifest)
     )
@@ -281,10 +327,27 @@ def merge_upsert(
         .select("file_path")
         .distinct()
     )
-    affected = [r.file_path for r in hit.collect()]
+    # the hit set stays a frame: the SCAN of affected files never needs a
+    # driver-side path list (explicit-path plan below the cap, root-scan +
+    # semi-join above it), and the manifest filter is an anti-join. Only
+    # the physical DELETE needs paths on the driver — inherent to in-place
+    # rewrites (each unlink is a driver FS RPC) — and those stream through
+    # toLocalIterator in O(batch) memory rather than one giant collect.
+    # Beyond-cap merges that want no driver file traffic at all are what
+    # `merge_upsert_versioned` is for (no deletes at commit time).
+    hit = hit.localCheckpoint(eager=True)
+    n_hit = _n_hits_capped(hit)
     staging = f"{data_path.rstrip('/')}/_merge_staging_{uuid.uuid4().hex[:8]}"
-    if affected:
-        stored = spark.read.parquet(*affected)
+    if n_hit:
+        if n_hit <= _PLAN_FILE_CAP:
+            paths = [r.file_path for r in hit.collect()]
+            stored = spark.read.parquet(*paths)
+        else:
+            stored = (
+                _keyed_scan(spark.read, _manifest_roots(manifest))
+                .join(hit, "file_path", "left_semi")
+                .drop("file_path")
+            )
         survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
         new_content = survivors.unionByName(updates.select(*stored.columns))
     else:
@@ -298,14 +361,16 @@ def merge_upsert(
         return jvm.org.apache.hadoop.fs.Path(p)
 
     fs = _hpath(data_path).getFileSystem(hconf)
-    for p in affected:
-        fs.delete(_hpath(p), False)
+    for r in hit.toLocalIterator():
+        fs.delete(_hpath(r.file_path), False)
     for st in fs.listStatus(_hpath(staging)):
         name = st.getPath().getName()
         if name.endswith(".parquet"):
             fs.rename(st.getPath(), _hpath(f"{data_path.rstrip('/')}/{name}"))
     fs.delete(_hpath(staging), True)
-    kept = manifest.where(~F.col("file_path").isin(affected)) if affected else manifest
+    kept = (
+        manifest.join(hit, "file_path", "left_anti") if n_hit else manifest
+    )
     return update_file_stats(
         spark, kept.localCheckpoint(eager=True), data_path, _stat_cols(manifest)
     )
@@ -362,6 +427,31 @@ def indexed_point_read(
     ).select(*cols)
 
 
+def _align_updates(updates: DataFrame, target) -> DataFrame:
+    """Project an update batch onto the table schema `target` (StructType):
+    missing columns NULL-fill (the same contract as reading pre-widening
+    files), present columns cast to the declared type, and EXTRA columns
+    RAISE — silently truncating a producer's new column is data loss; the
+    widening must be declared via `commit_manifest(table_schema=...)`
+    first, then merged."""
+    known = {f.name for f in target.fields}
+    extra = [c for c in updates.columns if c not in known]
+    if extra:
+        raise ValueError(
+            f"update columns {extra} are not in the table schema; declare "
+            "the widening via commit_manifest(table_schema=...) before "
+            "merging, or drop them explicitly"
+        )
+    return updates.select(
+        *[
+            updates[f.name].cast(f.dataType).alias(f.name)
+            if f.name in updates.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+
+
 def merge_upsert_versioned(
     spark: SparkSession,
     data_path: str,
@@ -401,8 +491,9 @@ def merge_upsert_versioned(
     except FileNotFoundError:
         mf = None
 
-    affected: list[str] = []
+    n_hit, hit = 0, None
     if mf is not None:
+        mf = mf.localCheckpoint(eager=True)
         ukeys = updates.select(F.col(key_col).alias("_uk")).where(F.col("_uk").isNotNull())
         hit = (
             ukeys.join(
@@ -412,35 +503,54 @@ def merge_upsert_versioned(
             )
             .select("file_path")
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        affected = [r.file_path for r in hit.collect()]
-    if affected:
+        n_hit = _n_hits_capped(hit)
+    # the TABLE schema every written row must conform to: the stored
+    # (declared) schema when one exists, else the current files' schema.
+    # An update batch carrying columns the table does not know about is
+    # REFUSED, not silently truncated — the caller must declare the
+    # widening via commit_manifest(table_schema=...) first. Both the
+    # affected and no-affected branches align identically.
+    target = _stored_schema(spark, log_path, None) if mf is not None else None
+    if n_hit:
         # affected files may straddle a schema-widening commit; inferred
         # schema would follow ONE file's footer and silently drop a
         # later-added column from the others' rewrite — read under the
-        # stored table schema (NULL-fills old files) when one exists
-        stored = _schema_reader(spark, log_path).parquet(*affected)
+        # stored table schema (NULL-fills old files) when one exists.
+        # Below the plan cap the scan plans over the explicit path list;
+        # above it the file set rides a cluster-side semi-join on
+        # `_metadata.file_path` — no driver file list at any merge width.
+        if n_hit <= _PLAN_FILE_CAP:
+            paths = [r.file_path for r in hit.collect()]
+            stored = _schema_reader(spark, log_path).parquet(*paths)
+        else:
+            stored = (
+                _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
+                .join(hit, "file_path", "left_semi")
+                .drop("file_path")
+            )
+        if target is None:
+            target = stored.schema
         survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
-        # an old-shape producer may still emit updates WITHOUT columns a
-        # widening commit added — NULL-fill them (the same contract as
-        # reading pre-widening files) instead of failing the pipeline
-        aligned = updates.select(
-            *[
-                updates[f.name].cast(f.dataType).alias(f.name)
-                if f.name in updates.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in stored.schema.fields
-            ]
+        new_content = survivors.unionByName(_align_updates(updates, target))
+    elif target is not None or mf is not None:
+        if target is None:
+            # no declared schema: the table's shape is its files' — one
+            # footer read from any manifest entry (O(1), never the data)
+            sample = [r.file_path for r in mf.select("file_path").limit(1).collect()]
+            target = spark.read.parquet(*sample).schema if sample else None
+        new_content = (
+            _align_updates(updates, target) if target is not None else updates
         )
-        new_content = survivors.unionByName(aligned)
     else:
         new_content = updates
 
     moved = _stage_and_move(spark, new_content, data_path, "m")
     cols = _stat_cols(mf) if mf is not None else [key_col]
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
-    if mf is not None and affected:
-        kept = mf.where(~F.col("file_path").isin(affected))
+    if mf is not None and n_hit:
+        kept = mf.join(hit, "file_path", "left_anti")
         new_manifest = kept.unionByName(fresh)
     elif mf is not None:
         new_manifest = mf.unionByName(fresh)
@@ -500,20 +610,32 @@ def delete_versioned(
         raise FileNotFoundError(f"no committed versions under {log_path}")
     if not values:
         return versions[-1]
-    mf = read_manifest_version(spark, log_path)
+    mf = read_manifest_version(spark, log_path).localCheckpoint(eager=True)
     cond = None
     for v in values:
         c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
         cond = c if cond is None else (cond | c)
-    affected = [r.file_path for r in mf.where(cond).select("file_path").collect()]
-    if not affected:
+    hit = mf.where(cond).select("file_path").localCheckpoint(eager=True)
+    n_hit = _n_hits_capped(hit)
+    if not n_hit:
         return versions[-1]
-    kept = mf.where(~F.col("file_path").isin(affected))
+    kept = mf.join(hit, "file_path", "left_anti")
     # same mixed-schema hazard as merge: rewrite under the stored table
-    # schema so a later-added column survives files that predate it
-    survivors = _schema_reader(spark, log_path).parquet(*affected).where(
-        (~F.col(col).isin(values)) | F.col(col).isNull()
-    )
+    # schema so a later-added column survives files that predate it.
+    # Same scan strategy split as merge: explicit-path plan below the
+    # cap, root-scan + file-membership semi-join above it (a broad delete
+    # on a million-file table never collects a path list).
+    keep_pred = (~F.col(col).isin(values)) | F.col(col).isNull()
+    if n_hit <= _PLAN_FILE_CAP:
+        paths = [r.file_path for r in hit.collect()]
+        survivors = _schema_reader(spark, log_path).parquet(*paths).where(keep_pred)
+    else:
+        survivors = (
+            _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
+            .join(hit, "file_path", "left_semi")
+            .drop("file_path")
+            .where(keep_pred)
+        )
     moved = _stage_and_move(spark, survivors, data_path, "d")
     new_manifest = kept
     if moved:
@@ -702,6 +824,7 @@ def commit_manifest(
             out.close()
 
     staged_explicit = False
+    staged_carried = None
     while True:
         if explicit_schema is not None:
             # the caller's declaration wins regardless of races — stage
@@ -713,13 +836,15 @@ def commit_manifest(
             # carry the previous version's stored schema forward so
             # tracking survives commits that don't know about it (merge,
             # optimize, delete, streaming sinks). Re-resolved on EVERY
-            # attempt: a racing widening commit may land between retries,
-            # and staging a stale carried schema would silently revert
-            # it. (_stored_schema is None for an empty log — first
-            # commits stay schema-less unless declared.)
+            # attempt — but re-resolution alone cannot close the race
+            # (see the post-win verify below): a widening commit can land
+            # between this read and a FIRST-attempt rename that wins.
+            # (_stored_schema is None for an empty log — first commits
+            # stay schema-less unless declared.)
             carried = _stored_schema(spark, log_path, None)
             if carried is not None:
                 _stage_schema(carried)
+            staged_carried = carried
         versions = list_versions(spark, log_path)
         nxt = (versions[-1] + 1) if versions else 1
         dest = f"{log_path.rstrip('/')}/v={nxt}"
@@ -735,6 +860,26 @@ def commit_manifest(
             # the winner's dir — pull the temp back out and try again
             fs.rename(_p(nested), _p(tmp))
             continue
+        if explicit_schema is None:
+            # Post-win verify (closes the TOCTOU on the carried schema):
+            # the staged copy was resolved BEFORE the rename, so a
+            # concurrent widening commit landing in that window would be
+            # silently reverted — its column invisible to read_as_of.
+            # The committer owns `dest` now, so re-read the actual
+            # predecessor's stored schema and overwrite the staged file
+            # if it went stale. Predecessor = largest committed version
+            # below ours (vacuum keeps a contiguous tail, but re-list to
+            # be exact).
+            preds = [v for v in list_versions(spark, log_path) if v < nxt]
+            final = _stored_schema(spark, log_path, max(preds)) if preds else None
+            if final is not None and (
+                staged_carried is None or final.json() != staged_carried.json()
+            ):
+                out = fs.create(_p(f"{dest}/_table_schema.json"), True)
+                try:
+                    out.write(bytearray(final.json().encode("utf-8")))
+                finally:
+                    out.close()
         return nxt
 
 

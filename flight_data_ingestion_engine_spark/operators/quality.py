@@ -520,14 +520,23 @@ def expectation_report(
     # hyphens/quotes/duplicates
     aggs = [F.count(F.lit(1)).alias("_total")]
     for i, (_, cond) in enumerate(rules):
+        # coalesce the SUM itself: over zero rows a conditional sum is
+        # NULL, which would make `passed` NULL — an empty input violates
+        # nothing, so it must report 0 violations / passed=true
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+                ),
+                F.lit(0),
             ).alias(f"_v_{i}")
         )
     row = df.agg(*aggs)
+    # Spark string literals treat backslash as an escape character too, so
+    # backslashes must double BEFORE quote-doubling (a trailing `\` would
+    # otherwise escape the closing quote and break analysis)
     stacked = ", ".join(
-        "'{}', _v_{}".format(name.replace("'", "''"), i)
+        "'{}', _v_{}".format(name.replace("\\", "\\\\").replace("'", "''"), i)
         for i, (name, _) in enumerate(rules)
     )
     return row.select(

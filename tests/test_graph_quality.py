@@ -285,3 +285,39 @@ def test_expectation_report_arbitrary_rule_names_and_empty_rules(spark):
     empty = expectation_report(df, [])
     assert empty.count() == 0
     assert empty.columns == ["rule", "n_violations", "n_rows", "passed"]
+
+
+def test_expectation_report_empty_input_reports_zero_violations(spark):
+    """Conditional sums over zero rows are NULL; the report coalesces
+    them so an EMPTY input (nothing to violate) yields n_violations=0 and
+    passed=true — and the report/enforce gates agree on it. (ADVICE r3:
+    a NULL `passed` made where(passed) and where(~passed) contradictory.)"""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        enforce_expectations,
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([], "id bigint, v double")
+    rules = [("v_positive", F.col("v") > 0), ("id_present", F.col("id").isNotNull())]
+    rows = expectation_report(df, rules).collect()
+    assert [(r.rule, r.n_violations, r.n_rows, r.passed) for r in rows] == [
+        ("v_positive", 0, 0, True),
+        ("id_present", 0, 0, True),
+    ]
+    # the gate lets empty input through (consistent with the report)
+    assert enforce_expectations(df, rules).count() == 0
+
+
+def test_expectation_rule_names_with_backslashes(spark):
+    """Spark string literals treat backslash as an escape character, so a
+    rule name like 'path\\t' would silently become a tab and a TRAILING
+    backslash would escape the closing quote and break analysis — names
+    must roundtrip byte-identically. (ADVICE r3.)"""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "v bigint")
+    names = ["path\\to\\rule", "tab\\t-not-a-tab", "trailing\\", "mixed\\'quote"]
+    rep = expectation_report(df, [(n, F.col("v") > 0) for n in names])
+    assert [r.rule for r in rep.collect()] == names

@@ -40,6 +40,18 @@ HEADLINE = [
     "streaming_next_event",
 ]
 
+# heavy set: the catalog's most expensive members, pinned (r3 VERDICT #2)
+# so a heavy-tail regression is machine-checkable round-over-round — the
+# all-light headline can't see one. Median-of-3 like HEADLINE; its total
+# rides the stdout JSON as "heavy_value".
+HEAVY = [
+    "streaming_left_interval_join",
+    "semantic_dedup_embeddings",
+    "dedup_clusters_exact",
+    "ivf_topk",
+    "simhash_pairs",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -75,17 +87,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        reps = 3 if name in HEADLINE else 1
+        reps = 3 if (name in HEADLINE or name in HEAVY) else 1
         samples = sorted(run_once(name) for _ in range(reps))
         timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
+    heavy_total = round(sum(timings[n] for n in HEAVY if n in timings), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail goes to a sidecar file: a 131-entry dict made
     # the round-2 stdout line overflow the driver's captured tail, losing
-    # the headline total. The stdout line stays short (headline-only).
+    # the headline total. The stdout line stays short (headline + heavy).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as fh:
-        json.dump({"sf": sf_val, "total_headline_sec": total, "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf": sf_val,
+                "total_headline_sec": total,
+                "total_heavy_sec": heavy_total,
+                "queries": timings,
+            },
+            fh, indent=1, sort_keys=True,
+        )
     print(
         json.dumps(
             {
@@ -93,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE if n in timings},
+                "heavy_value": heavy_total,
+                "heavy_queries": {n: timings[n] for n in HEAVY if n in timings},
                 "sf": sf_val,
             }
         )

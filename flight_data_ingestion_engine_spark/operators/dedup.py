@@ -626,14 +626,64 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pair candidates via hyperplane LSH, exact-cosine verified:
+    (id_a, id_b, cosine) with id_a < id_b and cosine >= threshold.
+
+    The blocking-free scale path for `semantic_dedup`: both copies of the
+    corpus bucket through the SAME broadcast plane table
+    (`similarity._lsh_bucketed` — bit-identical signatures), candidates
+    come from a (table_id, bucket) equi-join, and the exact scorer
+    (`_score`, the fold-order Arrow dot) filters them — so any surviving
+    pair carries its TRUE cosine; LSH only decides which pairs get
+    looked at. Shuffle volume is O(rows × tables), never O(rows²);
+    identical vectors are certain candidates (identical signature in
+    every table), and a pair at cosine s is missed by all `tables` tables
+    with probability (1 - (1 - θ(s)/π)^planes)^tables."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        _infer_dim,
+        _lsh_bucketed,
+        _lsh_plane_table,
+        _score,
+    )
+
+    spark = df.sparkSession
+    dim = _infer_dim(df, vec_col)
+    planes = _lsh_plane_table(spark, dim, planes_per_table, tables, seed)
+    a = _lsh_bucketed(df, id_col, "id_a", "_va", vec_col, planes)
+    b = _lsh_bucketed(df, id_col, "id_b", "_vb", vec_col, planes)
+    cand = (
+        a.join(b, on=["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", _score()(F.col("_va"), F.col("_vb")).alias("cosine")
+    ).where(F.col("cosine") >= F.lit(threshold))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    block_cols: Sequence[str],
+    block_cols: Sequence[str] | None = None,
     threshold: float = 0.95,
     pairs: DataFrame | None = None,
     score_col: str | None = None,
+    method: str = "exact",
+    lsh_tables: int = 8,
+    lsh_planes_per_table: int = 8,
+    lsh_seed: int = 42,
+    auto_row_threshold: int = 2_000_000,
 ) -> DataFrame:
     """SemDeDup-style keep-one-per-cluster over embedding near-duplicates.
 
@@ -650,18 +700,44 @@ def semantic_dedup(
     window partitions on cluster_id over the near-dup rows only, never
     the corpus.
 
+    Candidate generation (`method`):
+    - `"exact"` (default): blocked all-pairs cosine via
+      `embedding_dup_pairs` — exact within blocks, quadratic bounded by
+      the largest blocking group. Requires `block_cols`.
+    - `"lsh"`: blocking-free hyperplane-LSH candidates, exact-cosine
+      verified (`lsh_candidate_pairs`) — O(rows × lsh_tables) shuffle,
+      no quadratic step; identical vectors are certain candidates.
+    - `"auto"`: `"exact"` while the corpus is small enough for the
+      blocked generator, `"lsh"` above `auto_row_threshold` rows (or
+      whenever no `block_cols` were given) — the 100 TB default: one
+      cheap count decides, and the LSH path's shuffle never squares.
+    A pre-built candidate set passed via `pairs` overrides all of this.
+
     Scale shape: the survivors anti-join shuffles only on the id column,
     and its build side is the DROPPED-member list — bounded by the number
-    of near-dup rows, far smaller than the corpus. The quadratic work is
-    bounded by the largest blocking group (the pair generator's documented
-    contract); callers with a pre-built candidate set (LSH buckets, IVF
-    cells) pass it via `pairs` and skip the exact generator entirely.
+    of near-dup rows, far smaller than the corpus.
     """
     if pairs is None:
-        pairs = embedding_dup_pairs(
-            df, id_col=id_col, vec_col=vec_col,
-            block_cols=list(block_cols), threshold=threshold,
-        )
+        if method == "auto":
+            if block_cols is None or df.count() > auto_row_threshold:
+                method = "lsh"
+            else:
+                method = "exact"
+        if method == "lsh":
+            pairs = lsh_candidate_pairs(
+                df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                tables=lsh_tables, planes_per_table=lsh_planes_per_table,
+                seed=lsh_seed,
+            )
+        elif method == "exact":
+            if block_cols is None:
+                raise ValueError("method='exact' requires block_cols")
+            pairs = embedding_dup_pairs(
+                df, id_col=id_col, vec_col=vec_col,
+                block_cols=list(block_cols), threshold=threshold,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
     clusters = dedup_clusters(pairs)
     if score_col is None:
         dropped = clusters.where(F.col("member_id") != F.col("cluster_id")).select(

@@ -7262,3 +7262,60 @@ def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", block_cols=["label"],
         threshold=0.3, score_col="q_score",
     ).select("vec_id", "label")
+
+
+@_q(
+    "semantic_dedup_lsh",
+    """
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < 20
+    ),
+    n AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(e, e)) for x in e] AS v
+      FROM corpus
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.9
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.vec_id
+    FROM corpus c
+    WHERE c.vec_id NOT IN (SELECT member_id FROM comp WHERE member_id <> cluster_id)
+    """,
+)
+def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free semantic dedup through the LSH candidate generator
+    (dedup.py::semantic_dedup(method='lsh') → lsh_candidate_pairs): the
+    100 TB path `method='auto'` switches to above its row threshold — no
+    blocking column needed, no quadratic step, O(rows × tables) shuffle.
+
+    Oracle exactness: 20 planted clone vectors (vec_id + 1e6, identical
+    embeddings) are CERTAIN candidates — an identical vector gets the
+    identical signature in every hash table — and score cosine ≈ 1.0;
+    the corpus's strongest natural pair is ≤ 0.601 across all fixture
+    scales (measured), so at threshold 0.9 the LSH pair set provably
+    equals the exact all-pairs answer: P(miss) = 0, not just small. The
+    oracle therefore recomputes components over exact all-pairs cosine
+    and drops the same non-representative members."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(clones)
+    return semantic_dedup(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.9, method="lsh"
+    ).select("vec_id")

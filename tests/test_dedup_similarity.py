@@ -401,3 +401,60 @@ def test_semantic_dedup_keep_best_representative(spark):
         df, "vec_id", "embedding", ["label"], threshold=0.9, score_col="q"
     )
     assert sorted(r.vec_id for r in out.collect()) == [2, 4]  # best=9, tie→min id 2
+
+
+def test_semantic_dedup_auto_switches_and_agrees_with_exact(spark):
+    """method='auto' picks the LSH candidate generator above the row
+    threshold (and whenever no block_cols exist) and the EXACT generator
+    below it — and on a planted-cluster corpus, where every true pair
+    sits far above threshold (certain LSH candidates: chain members share
+    near-identical vectors) and every non-pair far below, the two paths
+    return identical survivor sets."""
+    from flight_data_ingestion_engine_spark.operators.dedup import semantic_dedup
+
+    import math
+
+    # 3 planted clusters of 4 near-identical vectors (intra cosine
+    # ≈0.9999995) + 20 singles spread 0.7 rad apart (adjacent cosine
+    # ≈0.765, far below threshold)
+    rows = []
+    vid = 0
+    for c in range(3):
+        base = [0.0] * 8
+        base[c] = 1.0
+        for j in range(4):
+            v = list(base)
+            v[7] = 0.001 * j
+            rows.append((vid, [float(x) for x in v], "g"))
+            vid += 1
+    rows += [
+        (1000 + s, [0.0, 0.0, 0.0, math.cos(s * 0.7), math.sin(s * 0.7), 0.0, 0.0, 0.0], "g")
+        for s in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label string")
+
+    exact = semantic_dedup(
+        df, "vec_id", "embedding", ["label"], threshold=0.98, method="exact"
+    )
+    # force the auto switch with a tiny row threshold
+    auto = semantic_dedup(
+        df, "vec_id", "embedding", ["label"], threshold=0.98,
+        method="auto", auto_row_threshold=10, lsh_tables=8,
+    )
+    got_exact = sorted(r.vec_id for r in exact.collect())
+    got_auto = sorted(r.vec_id for r in auto.collect())
+    assert got_exact == got_auto
+    # the clusters really collapsed (non-vacuous)
+    assert [v for v in got_exact if v < 1000] == [0, 4, 8]
+    # below the threshold auto stays exact (blocked) — identical again
+    small = semantic_dedup(
+        df, "vec_id", "embedding", ["label"], threshold=0.98,
+        method="auto", auto_row_threshold=10_000,
+    )
+    assert sorted(r.vec_id for r in small.collect()) == got_exact
+    # no block_cols at all -> auto must go LSH rather than raise
+    nb = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.98, method="auto",
+        auto_row_threshold=10_000,
+    )
+    assert sorted(r.vec_id for r in nb.collect()) == got_exact

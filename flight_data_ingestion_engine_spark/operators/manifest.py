@@ -605,11 +605,11 @@ def delete_versioned(
     Returns the committed version (the CURRENT one, un-bumped, when
     `values` is empty or no file can contain any of them — a no-op
     delete commits nothing)."""
-    versions = list_versions(spark, log_path)
-    if not versions:
+    latest = _resolve_latest(spark, log_path)
+    if latest is None:
         raise FileNotFoundError(f"no committed versions under {log_path}")
     if not values:
-        return versions[-1]
+        return latest
     mf = read_manifest_version(spark, log_path).localCheckpoint(eager=True)
     cond = None
     for v in values:
@@ -618,7 +618,7 @@ def delete_versioned(
     hit = mf.where(cond).select("file_path").localCheckpoint(eager=True)
     n_hit = _n_hits_capped(hit)
     if not n_hit:
-        return versions[-1]
+        return latest
     kept = mf.join(hit, "file_path", "left_anti")
     # same mixed-schema hazard as merge: rewrite under the stored table
     # schema so a later-added column survives files that predate it.
@@ -756,7 +756,9 @@ def _fs_for(spark: SparkSession, path: str):
 
 
 def list_versions(spark: SparkSession, log_path: str) -> list[int]:
-    """Committed snapshot versions, ascending. O(versions) driver work."""
+    """Committed snapshot versions, ascending. O(versions) driver work —
+    the fallback enumeration; hot paths resolve the LATEST version in
+    O(1) via the commit hint (`_resolve_latest`) instead."""
     fs, jvm = _fs_for(spark, log_path)
     root = jvm.org.apache.hadoop.fs.Path(log_path)
     if not fs.exists(root):
@@ -770,6 +772,123 @@ def list_versions(spark: SparkSession, log_path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+# Every `_CKPT_INTERVAL`-th commit also writes a compacted history
+# checkpoint (`_ckpt/v=<n>`: one summary row per version ≤ n), so
+# `table_history` reads O(1) checkpoint files + at most interval-1 recent
+# manifests instead of every version ever committed — the Delta-log
+# checkpoint idea applied to this full-manifest log.
+_CKPT_INTERVAL = 16
+
+
+def _write_small_file(fs, jvm, path: str, data: bytes) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _read_small_file(fs, jvm, path: str) -> bytes | None:
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _resolve_latest(spark: SparkSession, log_path: str) -> int | None:
+    """Latest committed version WITHOUT enumerating the log directory:
+    read the commit hint (`_ckpt/_latest`, rewritten on every commit),
+    verify it still exists, and probe forward past any commits that beat
+    the hint's writer — O(1 + commits-since-hint) existence checks. At
+    tens of thousands of commits this replaces an unbounded (and on
+    object stores, paginated) listing. The hint is advisory: a missing,
+    stale-beyond-use, or corrupt hint falls back to the full listing."""
+    fs, jvm = _fs_for(spark, log_path)
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    raw = _read_small_file(fs, jvm, f"{log_path.rstrip('/')}/_ckpt/_latest")
+    if raw is not None:
+        try:
+            k = int(raw.decode("utf-8").strip())
+        except ValueError:
+            k = None
+        if k is not None and k > 0 and fs.exists(_p(f"{log_path.rstrip('/')}/v={k}")):
+            while fs.exists(_p(f"{log_path.rstrip('/')}/v={k + 1}")):
+                k += 1
+            return k
+    versions = list_versions(spark, log_path)
+    return versions[-1] if versions else None
+
+
+def _newest_checkpoint(spark: SparkSession, log_path: str):
+    """(version, summary DataFrame) of the newest history checkpoint, or
+    None. O(checkpoints) = O(versions / interval) listing."""
+    fs, jvm = _fs_for(spark, log_path)
+    base = f"{log_path.rstrip('/')}/_ckpt"
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    if best is None:
+        return None
+    return best, spark.read.parquet(f"{base}/v={best}")
+
+
+def _version_summary(spark: SparkSession, log_path: str, v: int) -> DataFrame:
+    return read_manifest_version(spark, log_path, v).agg(
+        F.lit(v).alias("version"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def _write_history_checkpoint(spark: SparkSession, log_path: str, n: int) -> None:
+    """Compact the per-version history up to `n` into `_ckpt/v=<n>`:
+    previous checkpoint rows + summaries of the ≤ interval versions since.
+    Only the winner of commit `n` writes `_ckpt/v=<n>` (unique owner), via
+    the same temp+rename protocol as version commits."""
+    import uuid
+
+    fs, jvm = _fs_for(spark, log_path)
+    base = f"{log_path.rstrip('/')}/_ckpt"
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    prev = _newest_checkpoint(spark, log_path)
+    parts = []
+    start = 1
+    if prev is not None and prev[0] <= n:
+        parts.append(prev[1].where(F.col("version") <= F.lit(n)))
+        start = prev[0] + 1
+    for v in range(start, n + 1):
+        if fs.exists(_p(f"{log_path.rstrip('/')}/v={v}")):
+            parts.append(_version_summary(spark, log_path, v))
+    if not parts:
+        return
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    tmp = f"{base}/_tmp_{uuid.uuid4().hex[:8]}"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(_p(tmp), _p(f"{base}/v={n}")):
+        fs.delete(_p(tmp), True)  # lost a (benign) race or dest exists
 
 
 def commit_manifest(
@@ -845,11 +964,11 @@ def commit_manifest(
             if carried is not None:
                 _stage_schema(carried)
             staged_carried = carried
-        versions = list_versions(spark, log_path)
-        nxt = (versions[-1] + 1) if versions else 1
+        latest = _resolve_latest(spark, log_path)
+        nxt = (latest + 1) if latest is not None else 1
         dest = f"{log_path.rstrip('/')}/v={nxt}"
         if fs.exists(_p(dest)):
-            continue  # racer already took this slot — re-list
+            continue  # racer already took this slot — re-resolve
         if not fs.rename(_p(tmp), _p(dest)):
             if not fs.exists(_p(tmp)):
                 raise RuntimeError(f"commit rename lost both temp and target: {tmp}")
@@ -880,29 +999,55 @@ def commit_manifest(
                     out.write(bytearray(final.json().encode("utf-8")))
                 finally:
                     out.close()
+        # Post-commit log maintenance, both best-effort (a failure must
+        # never fail a landed commit; readers fall back to listing):
+        # refresh the O(1)-resolution hint, and every _CKPT_INTERVAL
+        # commits compact the history checkpoint.
+        try:
+            _write_small_file(
+                fs, jvm,
+                f"{log_path.rstrip('/')}/_ckpt/_latest",
+                str(nxt).encode("utf-8"),
+            )
+        except Exception:
+            pass
+        if nxt % _CKPT_INTERVAL == 0:
+            try:
+                _write_history_checkpoint(spark, log_path, nxt)
+            except Exception:
+                pass
         return nxt
 
 
 def read_manifest_version(
     spark: SparkSession, log_path: str, version: int | None = None
 ) -> DataFrame:
-    """Load a committed manifest snapshot (default: latest)."""
-    versions = list_versions(spark, log_path)
-    if not versions:
-        raise FileNotFoundError(f"no committed manifest versions under {log_path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise FileNotFoundError(f"version {v} not in {versions}")
+    """Load a committed manifest snapshot (default: latest). O(1) log
+    metadata work: latest resolves through the commit hint, an explicit
+    version through one existence probe — never a full log listing."""
+    if version is None:
+        v = _resolve_latest(spark, log_path)
+        if v is None:
+            raise FileNotFoundError(f"no committed manifest versions under {log_path}")
+    else:
+        fs, jvm = _fs_for(spark, log_path)
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={version}")
+        ):
+            raise FileNotFoundError(f"version {version} not committed under {log_path}")
+        v = version
     return spark.read.parquet(f"{log_path.rstrip('/')}/v={v}")
 
 
 def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
     """The `_table_schema.json` committed with a snapshot version, as a
     StructType — or None for versions committed without one."""
-    versions = list_versions(spark, log_path)
-    if not versions:
-        return None
-    v = versions[-1] if version is None else version
+    if version is None:
+        v = _resolve_latest(spark, log_path)
+        if v is None:
+            return None
+    else:
+        v = version
     fs, jvm = _fs_for(spark, log_path)
     p = jvm.org.apache.hadoop.fs.Path(
         f"{log_path.rstrip('/')}/v={v}/_table_schema.json"
@@ -1119,19 +1264,31 @@ def optimize_versioned(
 
 def table_history(spark: SparkSession, log_path: str) -> DataFrame:
     """One row per committed version: (version, n_files, n_rows) — the
-    DESCRIBE HISTORY equivalent. O(versions) manifest reads, each a tiny
-    aggregate; no data files touched."""
+    DESCRIBE HISTORY equivalent. Reads through the newest history
+    checkpoint (`_ckpt/v=<n>`, one parquet file covering every version
+    ≤ n) plus per-version aggregates only for the ≤ interval commits
+    since — O(1) checkpoint reads instead of O(versions) manifest reads
+    at tens of thousands of commits. Versions vacuumed away after the
+    checkpoint was written are filtered out by the (single) log listing;
+    vacuum drops a PREFIX of history, so a min-version bound suffices."""
+    versions = list_versions(spark, log_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {log_path}")
+    ck = _newest_checkpoint(spark, log_path)
     parts = []
-    for v in list_versions(spark, log_path):
+    covered_to = 0
+    if ck is not None:
+        ckv, ckdf = ck
+        covered_to = ckv
         parts.append(
-            read_manifest_version(spark, log_path, v).agg(
-                F.lit(v).alias("version"),
-                F.count(F.lit(1)).cast("bigint").alias("n_files"),
-                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            ckdf.where(
+                (F.col("version") >= F.lit(versions[0]))
+                & (F.col("version") <= F.lit(ckv))
             )
         )
-    if not parts:
-        raise FileNotFoundError(f"no committed versions under {log_path}")
+    for v in versions:
+        if v > covered_to:
+            parts.append(_version_summary(spark, log_path, v))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -126,7 +126,9 @@ _BUILTIN_TIMEZONES: list[tuple[str, str]] = [
 
 
 def builtin_timezone_dimension(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_BUILTIN_TIMEZONES, "iata_code string, iana_tz string")
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(spark, _BUILTIN_TIMEZONES, "iata_code string, iana_tz string")
 
 
 def packaged_timezone_dimension(spark: SparkSession) -> DataFrame:
@@ -148,7 +150,9 @@ def packaged_timezone_dimension(spark: SparkSession) -> DataFrame:
     path = Path(__file__).resolve().parent.parent / "resources" / "iata_timezones.csv"
     with open(path, newline="") as f:
         rows = [(r["iata_code"], r["iana_tz"]) for r in csv.DictReader(f)]
-    return spark.createDataFrame(rows, "iata_code string, iana_tz string")
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(spark, rows, "iata_code string, iana_tz string")
 
 
 def load_timezone_dimension(spark: SparkSession, csv_path: str) -> DataFrame:

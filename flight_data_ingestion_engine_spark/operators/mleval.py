@@ -81,7 +81,9 @@ def threshold_metrics(
     """
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
     spark = df.sparkSession
-    th = spark.createDataFrame([(float(t),) for t in thresholds], "t double")
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    th = arrow_local_df(spark, [(float(t),) for t in thresholds], "t double")
     s = df.select(F.col(score_col).alias("_s"), lbl.alias("_y")).crossJoin(
         F.broadcast(th)
     )

@@ -105,8 +105,10 @@ def _lsh_plane_table(spark, dim: int, planes_per_table: int, tables: int, seed: 
     planes_rows = [
         (t, _hyperplanes(dim, planes_per_table, seed + 1000 * t)) for t in range(tables)
     ]
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
     return F.broadcast(
-        spark.createDataFrame(planes_rows, "table_id int, planes array<array<double>>")
+        arrow_local_df(spark, planes_rows, "table_id int, planes array<array<double>>")
     )
 
 
@@ -306,8 +308,12 @@ def ivf_build_centroids(
         centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
 
     c.unpersist()
-    return corpus.sparkSession.createDataFrame(
-        [(i, v) for i, v in enumerate(centroids)], "centroid_id int, cv array<double>"
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(
+        corpus.sparkSession,
+        [(i, v) for i, v in enumerate(centroids)],
+        "centroid_id int, cv array<double>",
     )
 
 

@@ -104,3 +104,33 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if est_partitions >= target:
         return df
     return df.repartition(target)
+
+
+def arrow_local_df(spark, rows, schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame through a pandas/Arrow batch instead
+    of a Python-RDD-backed local relation.
+
+    In this runtime a list-backed `createDataFrame` executes through a
+    Python worker whose spin-up costs SECONDS per materialization
+    (measured ~5-6 s to write a 2-row frame, ~20× the Arrow path), and
+    every broadcast dimension / plane table / scalar frame built that way
+    pays it on each query. The Arrow conversion ships the batch to the
+    JVM at creation time, so all downstream execution is JVM-only.
+    Falls back to the plain path if pandas is unavailable or conversion
+    fails (vanilla host sessions without Arrow still work — just slower).
+
+    `rows` are tuples ordered like the DDL `schema` string's columns.
+    """
+    try:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        struct = T._parse_datatype_string(schema)
+        pdf = pd.DataFrame.from_records(
+            list(rows), columns=[f.name for f in struct.fields]
+        )
+        # object dtype keeps None as null (numpy would coerce to NaN and
+        # int columns to float); the declared schema drives the cast
+        return spark.createDataFrame(pdf.astype(object), schema=struct)
+    except Exception:
+        return spark.createDataFrame(list(rows), schema)

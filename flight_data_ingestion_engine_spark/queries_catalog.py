@@ -276,7 +276,10 @@ def q_scalar_hhmm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_utc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    dim = arrow_local_df(
+        spark,
         [(0, "Asia/Tokyo"), (1, "America/Phoenix"), (2, "UTC"), (3, "Pacific/Honolulu")],
         "tz_id int, tz string",
     )
@@ -1635,17 +1638,26 @@ def _stream_events(
         )
     if flush_types and mx is not None:  # empty source: nothing to flush past
         if is_nanos:
-            flush_ts = int(mx) + 30 * 86400 * 1_000_000_000
+            flush_ts = F.lit(int(mx) + 30 * 86400 * 1_000_000_000).cast("long")
         else:
             from datetime import timedelta
 
-            flush_ts = mx + timedelta(days=30)
-        rows = [
-            (-1 - i, flush_ts, -1, etype, 0.0, None)
-            for i, etype in enumerate(flush_types)
-        ]
+            flush_ts = F.lit(mx + timedelta(days=30)).cast("timestamp")
+        # Build the flush rows JVM-side (range + literals), NOT via
+        # createDataFrame: a Python-local frame runs through a Python
+        # worker whose spin-up costs seconds in this environment — ~70%
+        # of the whole streaming query's wall clock for a 2-row write.
+        types_arr = F.array(*[F.lit(t) for t in flush_types])
+        flush_df = spark.range(len(flush_types)).select(
+            (F.lit(-1) - F.col("id")).cast("long").alias("event_id"),
+            flush_ts.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.element_at(types_arr, F.col("id").cast("int") + 1).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
         staged = tempfile.mkdtemp(prefix="fdie_flush_")
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged + "/p")
+        flush_df.coalesce(1).write.parquet(staged + "/p")
         part = next(
             f for f in os.listdir(staged + "/p")
             if f.endswith(".parquet") and not f.startswith(".")

@@ -376,6 +376,81 @@ def main() -> None:
         )
         assert kept.count() == n_vec - n_vec // 100
 
+    # -- TPC-H decision-support shapes at sf1-equivalent volume (VERDICT
+    # -- r3 #7): 6M lineitem / 1.5M orders / 10k supplier, generated
+    # -- distributed, written as a fixture-shaped directory so the REAL
+    # -- catalog query functions run unmodified. Asserts the exchange
+    # -- budget holds at 100x the sf0.01 row counts: the plan's shuffle
+    # -- count must not grow with data volume, only task counts may.
+    with stage("tpch_sf1_equiv"):
+        import tempfile
+
+        import flight_data_ingestion_engine_spark.queries_catalog as qc
+
+        tmp = tempfile.mkdtemp(prefix="fdie_tpch_smoke_")
+        n_li, n_ord, n_supp = 6_000_000, 1_500_000, 10_000
+        base = 789_000_000  # 1995-01-01 UTC, seconds
+
+        def _pick(col_seed: int, *vals: str):
+            arr = F.array(*[F.lit(v) for v in vals])
+            return F.element_at(
+                arr, (F.pmod(F.xxhash64("id", F.lit(col_seed)), len(vals)) + 1).cast("int")
+            )
+
+        spark.range(n_ord).select(
+            F.col("id").alias("o_orderkey"),
+            F.pmod(F.xxhash64("id"), 150_000).alias("o_custkey"),
+            _pick(1, "F", "O", "P").alias("o_orderstatus"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 100_000) / 100.0).alias("o_totalprice"),
+            F.timestamp_seconds(
+                F.lit(base) + F.pmod(F.xxhash64("id", F.lit(3)), 2000) * 86_400
+            ).alias("o_orderdate"),
+            _pick(4, "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW").alias(
+                "o_orderpriority"
+            ),
+        ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+        spark.range(n_li).select(
+            F.pmod(F.xxhash64("id"), n_ord).alias("l_orderkey"),
+            F.pmod(F.xxhash64("id", F.lit(1)), 200_000).alias("l_partkey"),
+            F.pmod(F.xxhash64("id", F.lit(2)), n_supp).alias("l_suppkey"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), 7) + 1).cast("int").alias("l_linenumber"),
+            (F.pmod(F.xxhash64("id", F.lit(4)), 50) + 1.0).alias("l_quantity"),
+            (F.pmod(F.xxhash64("id", F.lit(5)), 100_000) / 100.0).alias("l_extendedprice"),
+            (F.pmod(F.xxhash64("id", F.lit(6)), 11) / 100.0).alias("l_discount"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), 9) / 100.0).alias("l_tax"),
+            _pick(8, "A", "N", "R").alias("l_returnflag"),
+            _pick(9, "F", "O").alias("l_linestatus"),
+            F.timestamp_seconds(
+                F.lit(base) + F.pmod(F.xxhash64("id", F.lit(10)), 2200) * 86_400
+            ).alias("l_shipdate"),
+        ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
+        spark.range(n_supp).select(
+            F.col("id").alias("s_suppkey"),
+            F.concat(F.lit("Supplier#"), F.col("id").cast("string")).alias("s_name"),
+            F.pmod(F.xxhash64("id"), 25).cast("int").alias("s_nationkey"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 20_000) / 2.0 - 1000.0).alias("s_acctbal"),
+        ).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
+
+        def _exchanges(df) -> int:
+            return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+        for qname in ["pricing_summary", "order_priority_check", "late_shipping_suppliers"]:
+            fn = qc.QUERIES[qname]
+            small = _exchanges(fn(spark, "/root/testdata/sf0.01"))
+            big_df = fn(spark, tmp)
+            big = _exchanges(big_df)
+            assert big <= small, (
+                f"{qname}: exchange budget grew with volume ({small} -> {big})"
+            )
+            t0 = time.perf_counter()
+            n = big_df.count()
+            dt = time.perf_counter() - t0
+            timings[f"tpch_{qname}"] = round(dt, 2)
+            assert n > 0, f"{qname}: empty result at sf1-equivalent volume"
+            assert dt < 300, f"{qname}: {dt:.0f}s at sf1-equivalent volume"
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

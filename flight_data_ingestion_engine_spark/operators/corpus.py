@@ -635,3 +635,118 @@ def hashing_tf(
         tok.groupBy(F.col(id_col), idx.alias("feature_idx"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations (adjacent-token bigrams) by pointwise mutual
+    information — the classic corpus-linguistics signal for multiword
+    units ("new york") vs chance co-occurrence; in an LLM pipeline it
+    surfaces templated/boilerplate constructions and tokenizer-merge
+    candidates.
+
+    PMI = ln( (c12 · N) / (c1 · c2) ) over bigram-position counts: c12 =
+    count of the pair, c1/c2 = counts of w1 in first / w2 in second
+    position, N = total bigrams. All counts are exact integers; the ONLY
+    floating-point work is the single ln(mul/div) expression, written
+    identically in the DuckDB oracle — no float sums anywhere, so the
+    result is engine-exact. min_count filters the unstable low-count tail
+    (PMI's known pathology: hapax pairs max it out).
+
+    Shape: one scan + explode, three integer aggregations (pair, w1, w2 —
+    each map-side combined), broadcast joins of the two unigram frames
+    onto the pair frame, one 1-row total broadcast; top-k via a single
+    rank window on the (small) surviving pair frame.
+    """
+    toks = df.select(terms(F.col(text_col)).alias("toks")).where(F.size("toks") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    right = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    scored = (
+        pair.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c12").cast("double") * F.col("n_bigrams").cast("double"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "w1", "w2", "c12", "c1", "c2", "pmi")
+    )
+
+
+def term_drift(
+    df: DataFrame,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Terms driving distribution drift between two corpus slices — the
+    mix-monitoring gate for a training pipeline: when a new crawl slice's
+    token distribution diverges from the reference slice, this names the
+    terms responsible instead of reporting one opaque KL number.
+
+    Per-term KL contribution p_a·ln(p_a/p_b) under add-one (Laplace)
+    smoothing over the JOINT vocabulary, so terms absent from one slice
+    stay finite. Counts, totals, and vocabulary size are exact integers;
+    each output row's score is ONE float expression (no float sums — a
+    total KL would be order-dependent and engine-divergent; the top-k
+    per-term view is deterministic AND more actionable). min_count (on
+    the combined count) drops the noise tail.
+
+    Shape: one scan + explode keyed shuffle on term, conditional sums per
+    slice, a 1-row totals broadcast, one rank window over surviving terms.
+    """
+    tok = df.where(F.col(slice_col).isin([slice_a, slice_b])).select(
+        F.col(slice_col).alias("_s"), F.explode(terms(F.col(text_col))).alias("term")
+    )
+    per_term = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("_s") == slice_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_s") == slice_b, 1).otherwise(0)).alias("cb"),
+    )
+    totals = per_term.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    pa = (F.col("ca") + F.lit(1.0)) / (F.col("na") + F.col("vocab")).cast("double")
+    pb = (F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("vocab")).cast("double")
+    scored = (
+        per_term.where((F.col("ca") + F.col("cb")) >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("kl_term", pa * F.log(pa / pb))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("kl_term").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "term", "ca", "cb", "kl_term")
+    )

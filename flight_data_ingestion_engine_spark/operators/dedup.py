@@ -275,34 +275,8 @@ def minhash_lsh_pairs(
             id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
         )
 
-    # band → (band_id, hash of the signature slice) → equi-join buckets.
-    # Only (id, band_id, band_hash) rows travel through the candidate join —
-    # 24 bytes/row; the shingle arrays are re-joined ONLY for the verified
-    # candidate set (candidates ≪ rows at any sane banding).
-    banded = (
-        sig.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band_id"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
-                                "array<bigint>"
-                            )
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
-        .select(
-            id_col,
-            F.col("band.band_id").alias("band_id"),
-            F.col("band.band_hash").alias("band_hash"),
-        )
-        .persist()  # both sides of the candidate self-join read this
-    )
+    banded = _band_signature(sig, id_col, bands, rows_per_band).persist()
+    # persisted: both sides of the candidate self-join read this
 
     a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     b = banded.select(
@@ -328,6 +302,154 @@ def minhash_lsh_pairs(
         / F.size(F.array_union("sh_a", "sh_b"))
     ).alias("jaccard")
     return verified.select("id_a", "id_b", jac).where(F.col("jaccard") >= threshold)
+
+
+def _band_signature(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """band → (band_id, hash of the signature slice) → equi-join buckets.
+    Only (id, band_id, band_hash) rows travel through candidate joins —
+    24 bytes/row; shingle arrays are re-joined ONLY for the verified
+    candidate set (candidates ≪ rows at any sane banding). Shared by the
+    self-join (minhash_lsh_pairs) and cross-set (incremental_dedup)
+    candidate generators so both sides always band bit-identically."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                            "array<bigint>"
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(
+        id_col,
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def _shingle_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    use_arrow: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle-set frame, banded-signature frame) for one side of a
+    MinHash join, both persisted — the full text→shingles→signature→bands
+    pipeline with the SAME seeds/permutations as minhash_lsh_pairs, so a
+    batch side and a corpus side bucket identically."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            shingles_udf(shingle_size)(F.col(text_col)).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist()
+    )
+    hashed = sh.select(F.col(id_col), hash_shingles(F.col("sh")).alias("hs"))
+    if use_arrow:
+        sig = hashed.select(
+            id_col, minhash_signature_udf(num_hashes, seed)(F.col("hs")).alias("sig")
+        )
+    else:
+        sig = hashed.select(
+            id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
+        )
+    return sh, _band_signature(sig, id_col, bands, rows_per_band).persist()
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the steady-state
+    shape of corpus curation: each incoming crawl slice is pruned against
+    the accumulated corpus WITHOUT re-pairing the corpus against itself
+    (corpus-vs-corpus work is exactly what a 100 TB steady state cannot
+    re-spend per batch; batch-internal dups are intentionally left to the
+    regular `minhash_lsh_pairs`/`exact_dedup` pass over the batch).
+
+    Drops a batch row when (a) EXACT: its text equals some corpus text —
+    a 128-bit two-seed hash anti-join, 16 B shuffle rows, no text in the
+    shuffle; or (b) NEAR: MinHash banding (same seeds both sides via
+    `_shingle_signatures`) yields a cross-set candidate whose exact
+    verified Jaccard ≥ threshold. Returns the surviving batch rows with
+    their full schema.
+
+    The candidate join is (band_id, band_hash) equi-keyed — O(rows×bands)
+    shuffle, never O(batch × corpus); only verified candidates re-join
+    their shingle sets. Recall follows the banding curve; like the
+    `minhash_pairs` oracle, corpora whose true pairs sit far above the
+    threshold get deterministic output.
+    """
+    # SQL equality semantics: NULL text equals nothing — exclude NULL
+    # rows from BOTH hash sides (xxhash64(NULL) is a non-null seed hash,
+    # so unguarded NULLs would all collide and wrongly drop each other)
+    h1 = F.xxhash64(F.col(text_col), F.lit(42)).alias("_h1")
+    h2 = F.xxhash64(F.col(text_col), F.lit(1337)).alias("_h2")
+    corpus_keys = corpus.where(F.col(text_col).isNotNull()).select(h1, h2).distinct()
+    alive = batch.join(
+        batch.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), h1, h2)
+        .join(corpus_keys, ["_h1", "_h2"], "left_semi")
+        .select(id_col),
+        id_col,
+        "left_anti",
+    )
+    sh_b, banded_b = _shingle_signatures(
+        alive, id_col, text_col, shingle_size, num_hashes, bands, seed, use_arrow
+    )
+    sh_c, banded_c = _shingle_signatures(
+        corpus, id_col, text_col, shingle_size, num_hashes, bands, seed, use_arrow
+    )
+    cand = (
+        banded_b.select("band_id", "band_hash", F.col(id_col).alias("_bid"))
+        .join(
+            banded_c.select(
+                F.col("band_id").alias("band_id_c"),
+                F.col("band_hash").alias("band_hash_c"),
+                F.col(id_col).alias("_cid"),
+            ),
+            (F.col("band_id") == F.col("band_id_c"))
+            & (F.col("band_hash") == F.col("band_hash_c")),
+        )
+        .select("_bid", "_cid")
+        .dropDuplicates(["_bid", "_cid"])
+    )
+    verified = (
+        cand.join(sh_b.select(F.col(id_col).alias("_bid"), F.col("sh").alias("sh_b")), "_bid")
+        .join(sh_c.select(F.col(id_col).alias("_cid"), F.col("sh").alias("sh_c")), "_cid")
+        .where(
+            F.size(F.array_intersect("sh_b", "sh_c"))
+            / F.size(F.array_union("sh_b", "sh_c"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return alive.join(verified, id_col, "left_anti")
 
 
 def simhash_fingerprints(

@@ -7331,3 +7331,144 @@ def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         corpus, id_col="vec_id", vec_col="embedding", threshold=0.9, method="lsh"
     ).select("vec_id")
+
+
+@_q(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    l AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    r AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_bigrams FROM big),
+    scored AS (
+      SELECT p.w1, p.w2, c12, c1, c2,
+             LN((CAST(c12 AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi
+      FROM pair p JOIN l USING (w1) JOIN r USING (w2), tot
+      WHERE c12 >= 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, w1, w2, c12, c1, c2, pmi
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-bigram collocations by PMI (corpus.py::
+    pmi_collocations) — multiword-unit / boilerplate-construction mining.
+    Engine-exact because every count is an integer aggregate and the only
+    float work is the single ln(mul/div) expression, written identically
+    in the oracle; min_count=5 drops PMI's unstable hapax tail."""
+    from flight_data_ingestion_engine_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, text_col="text", min_count=5, top_k=50)
+
+
+@_q(
+    "term_drift_sources",
+    """
+    WITH tok AS (
+      SELECT source AS s, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    pt AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN s = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN s = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM tok GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+                   COUNT(*) AS vocab FROM pt),
+    scored AS (
+      SELECT term, ca, cb,
+             ((ca + 1.0) / CAST(na + vocab AS DOUBLE))
+               * LN(((ca + 1.0) / CAST(na + vocab AS DOUBLE))
+                    / ((cb + 1.0) / CAST(nb + vocab AS DOUBLE))) AS kl_term
+      FROM pt, tot WHERE ca + cb >= 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY kl_term DESC, term) AS rank FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, term, ca, cb, kl_term
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_term_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms driving token-distribution drift between two corpus slices
+    (corpus.py::term_drift): per-term Laplace-smoothed KL contributions,
+    top-50 — the corpus-mix monitoring gate. Exact integer counts + one
+    identical IEEE expression per row; no float sums, so the ranking is
+    engine-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import term_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_drift(
+        docs, slice_col="source", slice_a="src0", slice_b="src1",
+        text_col="text", min_count=5, top_k=50,
+    )
+
+
+@_q(
+    "incremental_dedup_batch",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tokens[i:i+2], ' ')
+                            for i in range(1, len(tokens)-1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tokens FROM documents)
+      WHERE len(tokens) >= 3
+    ),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM corpus WHERE doc_id < 40
+    ),
+    alive AS (
+      SELECT * FROM batch
+      WHERE text IS NULL
+         OR text NOT IN (SELECT text FROM corpus WHERE text IS NOT NULL)
+    ),
+    near_dropped AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh c
+        ON a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       AND len(list_intersect(a.s, c.s))::DOUBLE / len(list_distinct(a.s || c.s)) >= 0.3
+    )
+    SELECT doc_id, source FROM alive
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """,
+)
+def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup (dedup.py::incremental_dedup):
+    odd-id documents (plus 20 planted exact clones of even-id documents)
+    arrive as the new batch; even-id documents are the accumulated
+    corpus. The exact stage must drop every planted clone (hash
+    anti-join ≡ text equality, collision odds < 2^-128); the near stage
+    must drop exactly the cross-split near-dup members (banded MinHash +
+    exact-Jaccard verify vs the oracle's all-pairs cross Jaccard — same
+    P(miss) ≤ 2e-12 argument as `minhash_pairs`: true cross pairs sit at
+    s ≥ 0.89). No corpus-vs-corpus pair is ever generated — the
+    steady-state 100 TB shape."""
+    from flight_data_ingestion_engine_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    planted = corpus.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionByName(planted)
+    out = incremental_dedup(
+        batch, corpus, id_col="doc_id", text_col="text", threshold=0.3
+    )
+    return out.select("doc_id", "source")

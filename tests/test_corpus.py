@@ -137,3 +137,43 @@ def test_contamination_overlap_finds_planted_leak(spark):
         }
         assert (100, 7) in out and out[(100, 7)] >= 5, out
         assert (101, 7) not in out
+
+
+def test_pmi_collocations_surfaces_planted_collocation(spark):
+    """A pair that always co-occurs ("hong kong") must outrank pairs
+    assembled by chance; counts are exact and the PMI value matches the
+    closed form ln(c12*N/(c1*c2))."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.corpus import pmi_collocations
+
+    rows = [
+        (i, f"hong kong visit number {i} filler{i} text{i} extra{i} pad{i}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pmi_collocations(df, min_count=5, top_k=10).collect()
+    n_bigrams = sum(len(t.split()) - 1 for _, t in rows)
+    got = {(r.w1, r.w2): r for r in out}
+    hk = got[("hong", "kong")]
+    assert hk.c12 == 10 and hk.c1 == 10 and hk.c2 == 10
+    # every returned row satisfies the closed form exactly
+    for r in out:
+        assert abs(r.pmi - math.log(r.c12 * n_bigrams / (r.c1 * r.c2))) < 1e-12
+    # ranks are contiguous and ordered by pmi desc
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert all(out[i].pmi >= out[i + 1].pmi for i in range(len(out) - 1))
+
+
+def test_term_drift_flags_slice_specific_terms(spark):
+    """A term dominating slice A must rank at the top of the drift
+    report with exact per-slice counts."""
+    from flight_data_ingestion_engine_spark.operators.corpus import term_drift
+
+    rows = [(i, "alpha " * 20 + "shared text body", "a") for i in range(5)] + [
+        (100 + i, "beta " * 20 + "shared text body", "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = term_drift(df, "source", "a", "b", min_count=5, top_k=5).collect()
+    assert out[0].term == "alpha" and out[0].ca == 100 and out[0].cb == 0
+    assert out[0].kl_term > 0

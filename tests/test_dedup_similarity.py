@@ -458,3 +458,55 @@ def test_semantic_dedup_auto_switches_and_agrees_with_exact(spark):
         auto_row_threshold=10_000,
     )
     assert sorted(r.vec_id for r in nb.collect()) == got_exact
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    """Batch-vs-corpus dedup semantics: exact clones of corpus docs drop
+    (even when ids differ), near-dups of corpus docs drop, unique docs
+    survive, BATCH-INTERNAL duplicates both survive (corpus-relative by
+    design), and NULL-text rows survive the exact stage (SQL equality)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (13, "the quick brown fox jumps over the lazy dog tonight"),  # near
+            (15, "an entirely unrelated document about parquet files"),  # unique
+            (17, "twin batch document body with many shared tokens here"),  # batch-dup a
+            (19, "twin batch document body with many shared tokens here"),  # batch-dup b
+            (21, None),  # NULL text
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.3)
+    assert sorted(r.doc_id for r in out.collect()) == [15, 17, 19, 21]
+    assert out.columns == batch.columns
+
+
+def test_incremental_dedup_generates_no_corpus_pairs(spark):
+    """The candidate join is strictly batch × corpus: two corpus docs
+    that are near-identical must not influence the result, and the plan
+    carries no corpus self-join (the whole point of the incremental
+    shape)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "corpus duplicate text shared across corpus rows alpha"),
+            (2, "corpus duplicate text shared across corpus rows alpha"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(11, "fresh new batch document with no corpus overlap at all")],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.3)
+    assert [r.doc_id for r in out.collect()] == [11]

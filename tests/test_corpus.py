@@ -177,3 +177,24 @@ def test_term_drift_flags_slice_specific_terms(spark):
     out = term_drift(df, "source", "a", "b", min_count=5, top_k=5).collect()
     assert out[0].term == "alpha" and out[0].ca == 100 and out[0].cb == 0
     assert out[0].kl_term > 0
+
+
+def test_arrow_local_df_equals_plain_createdataframe(spark):
+    """arrow_local_df is a transparent replacement for list-backed
+    createDataFrame: same rows, schema, NULL handling, and nested-array
+    values — only the transport differs (one Arrow batch, no Python
+    worker at execution)."""
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    rows = [
+        (1, "a", None, [1.0, 2.0]),
+        (2, None, 3.5, []),
+        (3, "c", -0.0, None),
+    ]
+    ddl = "id bigint, s string, v double, arr array<double>"
+    fast = arrow_local_df(spark, rows, ddl)
+    plain = spark.createDataFrame(rows, ddl)
+    assert fast.schema == plain.schema
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b

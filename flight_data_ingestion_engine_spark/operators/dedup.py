@@ -658,11 +658,64 @@ def embedding_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def _local_component_map(edges: DataFrame) -> DataFrame:
+    """(node, label) per distinct node: label = the minimum id of the
+    node's connected component WITHIN ITS PARTITION — a union-find pass
+    per partition (mapInPandas; memory bounded by the partition's edge
+    count). For a single-partition edge list this IS the exact global
+    components; for multi-partition lists it is a valid head start for
+    label propagation (every local root is a member of the node's true
+    component, and min-label propagation converges from any such
+    labeling). This is the classic local-contraction optimization: one
+    executor-side pass replaces O(local diameter) join rounds."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    node_type = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("label", node_type)]
+    )
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        yield pd.DataFrame(
+            {"node": list(nodes), "label": [find(n) for n in nodes]}
+        )
+
+    return edges.mapInPandas(uf, out_schema)
+
+
+# Local contraction runs union-find in a Python dict per partition; above
+# this many edges per partition the dict's memory (~100 B/entry) stops
+# being a rounding error — fall back to pure join-based propagation.
+_CONTRACT_EDGES_PER_PARTITION_CAP = 2_000_000
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (member_id, cluster_id)
     with cluster_id = the minimum member id (the canonical representative).
@@ -695,13 +748,40 @@ def dedup_clusters(
     p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
     if p < shuffle_p:
         edges = edges.coalesce(p).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .coalesce(p)
-        .localCheckpoint()
-    )
+    if (
+        local_contraction
+        and n_edges
+        and n_edges // p <= _CONTRACT_EDGES_PER_PARTITION_CAP
+    ):
+        # one executor-side union-find pass per partition; with the edge
+        # list in ONE partition this is already the exact answer and the
+        # loop below only confirms the fixpoint in a single step. Labels
+        # start from local roots; edges contract to the local star
+        # (node ↔ local root), which preserves cross-partition
+        # connectivity with ≤ |V| edges instead of 2|E|.
+        mapping = _local_component_map(edges).coalesce(p).localCheckpoint()
+        if p == 1:
+            return mapping.select(
+                F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+            )
+        labels = mapping
+        star = mapping.where(F.col("node") != F.col("label"))
+        edges = (
+            star.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+            .unionByName(
+                star.select(F.col("label").alias("src"), F.col("node").alias("dst"))
+            )
+            .coalesce(p)
+            .localCheckpoint()
+        )
+    else:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .coalesce(p)
+            .localCheckpoint()
+        )
     def _prop(lbl: DataFrame) -> DataFrame:
         """One min-label propagation step; passes extra columns through."""
         nm = (

@@ -379,9 +379,12 @@ def test_dedup_clusters_iteration_budget_honored_exactly(spark):
     from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
-    one = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=1).collect()}
+    # local_contraction=False pins the PROPAGATION LOOP's bookkeeping;
+    # the default contraction path resolves a one-partition chain exactly
+    # before any step runs (covered by the contraction tests)
+    one = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=1, local_contraction=False).collect()}
     assert one == {1: 1, 2: 1, 3: 2}
-    zero = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=0).collect()}
+    zero = {r.member_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=0, local_contraction=False).collect()}
     assert zero == {1: 1, 2: 2, 3: 3}
     full = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert full == {1: 1, 2: 1, 3: 1}
@@ -510,3 +513,36 @@ def test_incremental_dedup_generates_no_corpus_pairs(spark):
     )
     out = incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.3)
     assert [r.doc_id for r in out.collect()] == [11]
+
+
+def test_dedup_clusters_contraction_matches_propagation(spark):
+    """The local-contraction fast path and the pure propagation loop
+    agree on a multi-component graph, including components that span
+    partitions (forced via repartition so no single partition sees a
+    whole component)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    edges = [(i, i + 1) for i in range(0, 8)]  # one 9-node chain
+    edges += [(100, 101), (102, 101), (103, 102)]  # star-ish
+    edges += [(200, 201)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    want = {r.member_id: r.cluster_id
+            for r in dedup_clusters(pairs, local_contraction=False).collect()}
+    got_one = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    got_many = {r.member_id: r.cluster_id
+                for r in dedup_clusters(pairs.repartition(6)).collect()}
+    assert got_one == want
+    assert got_many == want
+    assert want[8] == 0 and want[103] == 100 and want[201] == 200
+
+
+def test_dedup_clusters_contraction_string_ids(spark):
+    """Union-find must order string ids lexicographically, matching the
+    propagation loop's min() semantics."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

@@ -7472,3 +7472,43 @@ def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, id_col="doc_id", text_col="text", threshold=0.3
     )
     return out.select("doc_id", "source")
+
+
+@_q(
+    "metadata_only_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(COUNT(DISTINCT event_id % 8) AS BIGINT) AS n_files_touched_bound
+    FROM events
+    """,
+)
+def q_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: COUNT(*)/MIN/MAX answered from the
+    data-skipping manifest ALONE — zero data files scanned (the
+    lakehouse metadata-only-query optimization; at 100 TB this is the
+    difference between an O(files) manifest aggregate and a full-table
+    scan for a dashboard row count). The table is staged range-clustered
+    on event_id into 8 files, so per-file min/max envelopes compose
+    exactly: sum(n_rows), min(min_), max(max_). The fourth column pins
+    the file count the manifest says exists (== 8 groups of the id
+    space), proving the aggregate really came from 8 manifest rows.
+    Oracle recomputes all four from the raw events table."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        file_column_stats,
+    )
+    from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    path = tempfile.mkdtemp(prefix="fdie_meta_") + "/ev"
+    write_clustered_path(ev, path, cluster_by=["event_id"], n_files=8)
+    mf = file_column_stats(spark.read.parquet(path), ["event_id"])
+    return mf.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_event_id").cast("bigint").alias("min_event_id"),
+        F.max("max_event_id").cast("bigint").alias("max_event_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files_touched_bound"),
+    )

@@ -1211,14 +1211,26 @@ def snapshot_changes(
     # pre-widening rows surface NULL for later-added columns — the same
     # contract as reading the widened table itself.
     def _rows(mf_side: DataFrame) -> DataFrame | None:
-        # read the symmetric-difference files by EXPLICIT path — a
-        # root-scan + semi-join would still list and read the whole
-        # directory, defeating the churn bound; the collected list is
-        # O(changed files), the same driver cost `merge_upsert` pays
-        paths = [r.file_path for r in mf_side.select("file_path").collect()]
-        if not paths:
+        # read the symmetric-difference files by EXPLICIT path below the
+        # plan cap (true file skipping: pruned files never get footer
+        # reads); above it — a merge that churned >10k files — the file
+        # set rides a `_metadata.file_path` semi-join like every other
+        # CoW path, so no driver path list at any churn width (the
+        # pushed predicate still row-group-skips; listing the directory
+        # is unavoidable then, but reading it is not).
+        hit = mf_side.select("file_path")
+        n = _n_hits_capped(hit)
+        if not n:
             return None
-        return _schema_reader(spark, log_path, to_version).parquet(*paths)
+        if n <= _PLAN_FILE_CAP:
+            paths = [r.file_path for r in hit.collect()]
+            return _schema_reader(spark, log_path, to_version).parquet(*paths)
+        roots = _manifest_roots(mf_side)
+        return (
+            _keyed_scan(_schema_reader(spark, log_path, to_version), roots)
+            .join(hit, "file_path", "left_semi")
+            .drop("file_path")
+        )
 
     new_rows, old_rows = _rows(only_new), _rows(only_old)
     if new_rows is None and old_rows is None:

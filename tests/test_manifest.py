@@ -1324,3 +1324,23 @@ def test_concurrent_committers_linearize_without_lost_snapshots(spark, tmp_path)
     # forward unchanged through every later schema-less commit
     want_t = [t for t, v in declared_at.items() if v == last_declared][0]
     assert names == {"k", f"w{want_t}"}
+
+
+def test_change_feed_distributed_above_plan_cap(spark, tmp_path, monkeypatch):
+    """snapshot_changes joins the symmetric-difference file set
+    cluster-side above the plan cap (forced to 0 here) and still produces
+    the exact delete+insert feed."""
+    from flight_data_ingestion_engine_spark.operators import manifest as M
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    v1 = M.merge_upsert_versioned(spark, data, log, base.repartition(4), "k")
+    upd = spark.createDataFrame([(5, -5), (200, 1)], "k long, v long")
+    v2 = M.merge_upsert_versioned(spark, data, log, upd, "k")
+
+    monkeypatch.setattr(M, "_PLAN_FILE_CAP", 0)
+    feed = {(r.k, r.v, r._change) for r in M.snapshot_changes(spark, log, v1, v2).collect()}
+    assert (5, 50, "delete") in feed and (5, -5, "insert") in feed
+    assert (200, 1, "insert") in feed
+    # untouched keys in rewritten files cancel via exceptAll
+    assert not any(k not in (5, 200) for k, _, _ in feed)

@@ -404,3 +404,57 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 100, num_partitions:
     if num_partitions:
         reader = reader.option("numPartitions", str(num_partitions))
     return reader.load()
+
+
+def foreach_batch_dedup_sink(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+):
+    """Streaming corpus ingestion with inter-batch deduplication: each
+    micro-batch is (1) exact-deduped within itself (min-id wins), then
+    (2) pruned against the ACCUMULATED corpus — exact hash anti-join +
+    cross-set banded MinHash with exact-Jaccard verify
+    (`operators.dedup.incremental_dedup`) — and only the survivors
+    append. The streaming twin of the steady-state curation loop: the
+    corpus never re-pairs against itself, per-batch cost is
+    O(batch × bands) + the corpus-side signature scan.
+
+    Replay is content-idempotent BY CONSTRUCTION, with no epoch markers:
+    a replayed batch's rows already sit in the corpus, so its exact
+    stage drops every one of them and the append writes zero rows. (The
+    delivery guarantee every dedup sink wants — the dedup IS the
+    idempotency mechanism.)
+    """
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = exact_dedup(batch_df, cols=[text_col], id_col=id_col)
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            has_corpus = True
+        except Exception:
+            has_corpus = False
+        if has_corpus:
+            survivors = incremental_dedup(
+                batch, corpus, id_col=id_col, text_col=text_col, threshold=threshold
+            )
+        else:
+            survivors = batch
+        # localCheckpoint before the append: the survivors' lineage READS
+        # corpus_path, and writing to a path a plan scans is undefined
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(corpus_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -512,3 +512,64 @@ def test_stream_interval_join_rejects_unsupported_join_types(spark, landing):
             left, right, on="user_id", left_time="ts", right_time="ts",
             how="full_outer",
         )
+
+
+def test_streaming_dedup_sink_accumulates_corpus(spark, tmp_path):
+    """Streaming corpus ingestion: batch 2's exact dup and near-dup of
+    batch 1's rows are dropped against the accumulated corpus, fresh
+    docs land, and re-delivering batch 1's content appends nothing
+    (content-idempotent replay without markers)."""
+    import time
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dedup_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        import os
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{tmp}/p/{part}", f"{src}/{name}")
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different text about spark streaming sinks"),
+    ]
+    stage(b1, "f1.parquet")
+
+    def drain(q):
+        q.processAllAvailable()
+        q.stop()
+
+    st = stream_parquet(spark, src, schema)
+    drain(foreach_batch_dedup_sink(st, corpus, ck, "doc_id", "text", threshold=0.3).start())
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2]
+
+    b2 = [
+        (11, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+        (13, "the quick brown fox jumps over the lazy dog tonight"), # near dup of 1
+        (15, "an entirely fresh document about parquet and arrow"),
+    ]
+    stage(b2, "f2.parquet")
+    st = stream_parquet(spark, src, schema)
+    drain(foreach_batch_dedup_sink(st, corpus, ck, "doc_id", "text", threshold=0.3).start())
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+
+    # replayed content (fresh checkpoint => batch re-delivered) appends 0
+    ck2 = str(tmp_path / "ck2")
+    st = stream_parquet(spark, src, schema)
+    drain(foreach_batch_dedup_sink(st, corpus, ck2, "doc_id", "text", threshold=0.3).start())
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]

@@ -7512,3 +7512,97 @@ def q_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_event_id").cast("bigint").alias("max_event_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_files_touched_bound"),
     )
+
+
+@_q(
+    "streaming_corpus_dedup",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tokens[i:i+2], ' ')
+                            for i in range(1, len(tokens)-1)]) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tokens FROM documents)
+      WHERE len(tokens) >= 3
+    ),
+    evens AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    kept_even AS (
+      SELECT MIN(doc_id) AS doc_id FROM evens WHERE text IS NOT NULL GROUP BY text
+      UNION ALL SELECT doc_id FROM evens WHERE text IS NULL
+    ),
+    odds AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    kept_odd_self AS (
+      SELECT MIN(doc_id) AS doc_id FROM odds WHERE text IS NOT NULL GROUP BY text
+      UNION ALL SELECT doc_id FROM odds WHERE text IS NULL
+    ),
+    -- exact/near tests vs the corpus (= kept evens); exact-dup evens
+    -- share their keeper's text and shingles, so testing vs ALL evens is
+    -- equivalent — stated explicitly by testing vs kept_even rows only
+    odd_exact_dropped AS (
+      SELECT o.doc_id FROM odds o
+      WHERE o.text IS NOT NULL AND o.text IN (
+        SELECT e.text FROM evens e JOIN kept_even k USING (doc_id)
+        WHERE e.text IS NOT NULL)
+    ),
+    odd_near_dropped AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh c ON a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       AND c.doc_id IN (SELECT doc_id FROM kept_even)
+       AND len(list_intersect(a.s, c.s))::DOUBLE / len(list_distinct(a.s || c.s)) >= 0.3
+    )
+    SELECT doc_id FROM kept_even
+    UNION ALL
+    SELECT doc_id FROM kept_odd_self
+    WHERE doc_id NOT IN (SELECT doc_id FROM odd_exact_dropped)
+      AND doc_id NOT IN (SELECT doc_id FROM odd_near_dropped)
+    """,
+)
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming corpus ingestion with inter-batch dedup
+    (streaming/file_stream.py::foreach_batch_dedup_sink): even-id
+    documents arrive as micro-batch 1 (self-exact-deduped, founding the
+    corpus), odd-id documents as micro-batch 2 (self-deduped, then
+    exact+near pruned against the accumulated corpus). The final corpus
+    contents are the value check — the full sink lifecycle, not just the
+    operator. File order is forced with maxFilesPerTrigger=1 + staggered
+    mtimes so batch order is deterministic. Near-dup exactness: same
+    P(miss) ≤ 2e-12 argument as `minhash_pairs`."""
+    import os
+    import tempfile
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dedup_sink,
+        stream_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="fdie_scd_")
+    src, corpus, ck = f"{root}/src", f"{root}/corpus", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(docs.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(docs.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    q = foreach_batch_dedup_sink(
+        st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(corpus).select("doc_id")

@@ -7598,11 +7598,18 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = stream_parquet(
         spark, src, "doc_id bigint, text string", max_files_per_trigger=1
     )
-    q = foreach_batch_dedup_sink(
-        st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3
-    ).start()
+    # scoped like every streaming query: per-micro-batch dedup joins over
+    # a few hundred rows at 32 shuffle partitions are pure task overhead
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = foreach_batch_dedup_sink(
+            st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(corpus).select("doc_id")

@@ -690,11 +690,15 @@ def pmi_collocations(
     )
     from pyspark.sql.window import Window
 
+    # orderBy+limit FIRST (TakeOrderedAndProject — distributed per-partition
+    # top-k then a k-row merge), THEN rank the k survivors; a bare global
+    # rank window would funnel every qualifying pair through one task
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= top_k)
-        .select("rank", "w1", "w2", "c12", "c1", "c2", "pmi")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "w1", "w2", "c12", "c1", "c2", "pmi"
     )
 
 
@@ -744,9 +748,10 @@ def term_drift(
     )
     from pyspark.sql.window import Window
 
+    # same top-k shape as pmi_collocations: distributed TakeOrdered, then
+    # rank only the k survivors
+    top = scored.orderBy(F.col("kl_term").desc(), F.col("term").asc()).limit(top_k)
     w = Window.orderBy(F.col("kl_term").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= top_k)
-        .select("rank", "term", "ca", "cb", "kl_term")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "term", "ca", "cb", "kl_term"
     )

@@ -709,6 +709,11 @@ def _local_component_map(edges: DataFrame) -> DataFrame:
 # being a rounding error — fall back to pure join-based propagation.
 _CONTRACT_EDGES_PER_PARTITION_CAP = 2_000_000
 
+# Iterative CC frames coalesce to ~this many edges per partition (see
+# dedup_clusters docstring); module-level so tests can force the
+# multi-partition paths on small graphs.
+_EDGES_PER_PARTITION = 50_000
+
 
 def dedup_clusters(
     pairs: DataFrame,
@@ -745,7 +750,7 @@ def dedup_clusters(
     )
     n_edges = edges.count()  # free: reads the checkpoint just materialized
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // _EDGES_PER_PARTITION))
     if p < shuffle_p:
         edges = edges.coalesce(p).localCheckpoint()
     if (
@@ -764,13 +769,23 @@ def dedup_clusters(
             return mapping.select(
                 F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
             )
-        labels = mapping
+        # a node living in SEVERAL partitions emits one mapping row per
+        # partition (possibly with different local roots) — labels must
+        # collapse to one row per node (min across partitions), while the
+        # star EDGES keep every (node, local root) pair: each one is a
+        # real connectivity witness the cross-partition rounds need
+        labels = (
+            mapping.groupBy("node").agg(F.min("label").alias("label"))
+            .coalesce(p)
+            .localCheckpoint()
+        )
         star = mapping.where(F.col("node") != F.col("label"))
         edges = (
             star.select(F.col("node").alias("src"), F.col("label").alias("dst"))
             .unionByName(
                 star.select(F.col("label").alias("src"), F.col("node").alias("dst"))
             )
+            .distinct()
             .coalesce(p)
             .localCheckpoint()
         )

@@ -428,6 +428,13 @@ def foreach_batch_dedup_sink(
     stage drops every one of them and the append writes zero rows. (The
     delivery guarantee every dedup sink wants — the dedup IS the
     idempotency mechanism.)
+
+    Cache hygiene: the MinHash pipeline persists its shingle/signature
+    frames per invocation; a long-running stream would accrete one set
+    per micro-batch. After the survivors are materialized the sink
+    clears the session's SQL cache — assumes the streaming job owns its
+    session (the normal deployment for a dedicated ingestion stream);
+    pass through a sessionized cache manager if sharing one.
     """
     from flight_data_ingestion_engine_spark.operators.dedup import (
         exact_dedup,
@@ -451,6 +458,7 @@ def foreach_batch_dedup_sink(
         # localCheckpoint before the append: the survivors' lineage READS
         # corpus_path, and writing to a path a plan scans is undefined
         survivors = survivors.localCheckpoint(eager=True)
+        spark.catalog.clearCache()  # release this batch's dedup persists
         survivors.write.mode("append").parquet(corpus_path)
 
     return (

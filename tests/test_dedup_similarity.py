@@ -546,3 +546,25 @@ def test_dedup_clusters_contraction_string_ids(spark):
     )
     got = {r.member_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_clusters_contraction_multi_partition_forced(spark, monkeypatch):
+    """Force the MULTI-partition contraction path on a small graph (edge
+    sizing constant monkeypatched down): nodes spanning partitions emit
+    one mapping row per partition, so labels must collapse to one row
+    per node and the result must still equal the pure propagation loop —
+    including no duplicate member rows."""
+    from flight_data_ingestion_engine_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_EDGES_PER_PARTITION", 2)
+    # one long chain (spans partitions for sure) + separate components
+    edges = [(i, i + 1) for i in range(0, 12)]
+    edges += [(100, 101), (102, 101)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got_rows = D.dedup_clusters(pairs).collect()
+    got = {r.member_id: r.cluster_id for r in got_rows}
+    assert len(got_rows) == len(got), "duplicate member rows"
+    want = {r.member_id: r.cluster_id
+            for r in D.dedup_clusters(pairs, local_contraction=False).collect()}
+    assert got == want
+    assert want[12] == 0 and want[102] == 100

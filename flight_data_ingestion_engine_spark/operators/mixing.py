@@ -254,3 +254,91 @@ def temperature_weights(
         .withColumn("rel_weight", F.col("temp_share") / F.col("_mx"))
         .drop("_mx")
     )
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP
+    (source domain, author, dedup cluster id, …) lands in the same
+    split. Row-level sampling leaks near-duplicate context across splits
+    — the classic eval-contamination mistake group-aware splitting
+    exists to prevent.
+
+    Deterministic and engine-portable: the group's md5(seed‖group) hex
+    prefix maps to [0,1) and cumulative weight bands pick the split —
+    same assignment on every run, engine, and partitioning, and adding
+    rows to a group can never move it. A pure projection (zero shuffle);
+    weights must sum to ~1 (validated driver-side).
+
+    Returns `df` + a `split` column.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    # hex-STRING band comparison (the proven `hash_sample` portability
+    # pattern): equal-length lowercase hex orders numerically, so no
+    # engine-specific hex→int conversion is ever needed
+    h = F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(group_col).cast("string"))),
+        1, 8,
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt
+        cond = h < F.lit(format(int(acc * 16 ** 8), "08x"))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to the shard with the maximum hash(key‖shard) — the consistent-
+    placement primitive for index/embedding-store sharding. Its defining
+    property over `pmod(hash, n)`: growing n_shards → n_shards+1 moves
+    only ~1/(n_shards+1) of the keys (only those whose new shard's hash
+    wins), instead of reshuffling almost everything.
+
+    Engine-portable hash (md5 hex prefix), evaluated as one projection
+    over a generated shard array — zero shuffle, O(n_shards) work per
+    row (fine for shard counts in the hundreds; use jump-consistent
+    hashing beyond that). Returns `df` + a `shard` int column.
+    """
+    def _w(shard: Column) -> Column:
+        # equal-length lowercase hex compares numerically as a STRING —
+        # engine-portable with zero hex→int conversion
+        return F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(str(seed)),
+                    F.col(key_col).cast("string"),
+                    shard.cast("string"),
+                )
+            ),
+            1, 12,
+        )
+
+    shards = F.sequence(F.lit(0), F.lit(n_shards - 1))
+    best = F.aggregate(
+        shards,
+        F.struct(F.lit("").alias("w"), F.lit(-1).cast("int").alias("s")),
+        # strict > keeps the EARLIER shard on ties (deterministic)
+        lambda acc, s: F.when(
+            _w(s) > acc["w"],
+            F.struct(_w(s).alias("w"), s.cast("int").alias("s")),
+        ).otherwise(acc),
+    )
+    return df.withColumn("shard", best["s"])

@@ -7613,3 +7613,60 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(corpus).select("doc_id")
+
+
+@_q(
+    "group_split_docs",
+    """
+    SELECT doc_id, source,
+           CASE
+             WHEN substring(md5('42' || chr(31) || source), 1, 8) < 'cccccccc' THEN 'train'
+             WHEN substring(md5('42' || chr(31) || source), 1, 8) < 'e6666666' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q_group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-aware train/val/test split (mixing.py::
+    group_aware_split): every document of a SOURCE lands in the same
+    split — row-level sampling would leak near-duplicate context across
+    the eval boundary. Deterministic hex-band assignment on
+    md5(seed‖group); oracle states the same bands ('cccccccc' =
+    0.8·16⁸, 'e6666666' = 0.9·16⁸)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import group_aware_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_aware_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return out.select("doc_id", "source", "split")
+
+
+@_q(
+    "rendezvous_shard_docs",
+    """
+    SELECT d.doc_id, l.shard
+    FROM documents d, LATERAL (
+      SELECT CAST(g.s AS INT) AS shard
+      FROM generate_series(0, 7) AS g(s)
+      ORDER BY substring(md5('42' || chr(31) || CAST(d.doc_id AS VARCHAR)
+                             || chr(31) || CAST(g.s AS VARCHAR)), 1, 12) DESC,
+               g.s ASC
+      LIMIT 1
+    ) l
+    """,
+)
+def q_rendezvous_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard placement (mixing.py::
+    rendezvous_shard): each doc goes to the shard whose hash(key‖shard)
+    wins — growing the shard count moves only ~1/(n+1) of the keys,
+    unlike pmod re-sharding. Zero-shuffle projection; the oracle
+    replays the argmax per row with a LATERAL ordered limit. Hex-string
+    comparison makes the weights engine-portable."""
+    from flight_data_ingestion_engine_spark.operators.mixing import rendezvous_shard
+
+    docs = _t(spark, sf_dir, "documents")
+    return rendezvous_shard(docs, "doc_id", n_shards=8, seed=42).select(
+        "doc_id", "shard"
+    )

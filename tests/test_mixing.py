@@ -183,3 +183,45 @@ def test_temperature_weights_feed_mixture_sample(spark):
     # tempered 3:1 instead of natural 9:1 — small domain genuinely
     # upsampled (floor(weight*budget) can shave one doc off either side)
     assert got["big"] in (29, 30) and got["small"] in (9, 10)
+
+
+def test_group_aware_split_no_leakage_and_rough_proportions(spark):
+    """Every group lands wholly in one split (the leakage-safety
+    contract) and the assignment is deterministic across calls."""
+    from flight_data_ingestion_engine_spark.operators.mixing import group_aware_split
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100).cast("string").alias("grp")
+    )
+    out = group_aware_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_group = out.groupBy("grp").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_group)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("train", 0) > counts.get("val", 0)
+    again = group_aware_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).isEmpty()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_aware_split(df, "grp", {"train": 0.5, "val": 0.1})
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    """The defining rendezvous property: growing n shards to n+1 moves
+    only the keys the NEW shard wins — ~1/(n+1) of them — while pmod
+    re-sharding would move ~n/(n+1). Moved keys must all move TO the new
+    shard (nobody reshuffles between old shards)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import rendezvous_shard
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    a = rendezvous_shard(df, "k", n_shards=8).withColumnRenamed("shard", "s8")
+    b = rendezvous_shard(df, "k", n_shards=9).withColumnRenamed("shard", "s9")
+    j = a.join(b, "k").select("k", "s8", "s9")
+    moved = j.where(F.col("s8") != F.col("s9"))
+    n_moved = moved.count()
+    assert 0 < n_moved < 4000 * 0.25  # expected ~1/9 ≈ 444; pmod would be ~3500
+    # every moved key moved to the NEW shard (8), never between old ones
+    assert moved.where(F.col("s9") != 8).count() == 0
+    # balance: all 8 shards populated, none pathologically loaded
+    sizes = {r.s8: r.n for r in a.groupBy("s8").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(sizes) == 8 and max(sizes.values()) < 3 * min(sizes.values())

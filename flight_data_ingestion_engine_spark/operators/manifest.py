@@ -989,8 +989,15 @@ def commit_manifest(
             # if it went stale. Predecessor = largest committed version
             # below ours (vacuum keeps a contiguous tail, but re-list to
             # be exact).
-            preds = [v for v in list_versions(spark, log_path) if v < nxt]
-            final = _stored_schema(spark, log_path, max(preds)) if preds else None
+            # predecessor is nxt-1 unless vacuum dropped it (vacuum keeps
+            # a contiguous tail, so one existence probe almost always
+            # avoids the O(versions) listing)
+            if nxt > 1 and fs.exists(_p(f"{log_path.rstrip('/')}/v={nxt - 1}")):
+                pred = nxt - 1
+            else:
+                below = [v for v in list_versions(spark, log_path) if v < nxt]
+                pred = max(below) if below else None
+            final = _stored_schema(spark, log_path, pred) if pred is not None else None
             if final is not None and (
                 staged_carried is None or final.json() != staged_carried.json()
             ):

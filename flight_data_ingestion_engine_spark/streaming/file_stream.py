@@ -442,12 +442,17 @@ def foreach_batch_dedup_sink(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         batch = exact_dedup(batch_df, cols=[text_col], id_col=id_col)
         try:
             corpus = spark.read.parquet(corpus_path)
             has_corpus = True
-        except Exception:
+        except AnalysisException:
+            # ONLY the path-missing case founds a fresh corpus; any other
+            # failure (transient IO, permissions) must fail the batch —
+            # treating it as "no corpus" would silently append duplicates
             has_corpus = False
         if has_corpus:
             survivors = incremental_dedup(

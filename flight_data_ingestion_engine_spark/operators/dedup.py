@@ -335,46 +335,49 @@ def _band_signature(
     )
 
 
-def _shingle_signatures(
+def dedup_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_size: int,
-    num_hashes: int,
-    bands: int,
-    seed: int,
-    use_arrow: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """(shingle-set frame, banded-signature frame) for one side of a
-    MinHash join, both persisted — the full text→shingles→signature→bands
-    pipeline with the SAME seeds/permutations as minhash_lsh_pairs, so a
-    batch side and a corpus side bucket identically."""
-    rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
-    sh = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col),
-            shingles_udf(shingle_size)(F.col(text_col)).alias("sh"),
-        )
-        .where(F.size("sh") > 0)
-        .persist()
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """The PERSISTABLE dedup state of a corpus: one row per document with
+    `(id, _h1, _h2, sh, sig)` — the two-seed 128-bit content hash (exact
+    stage), the shingle set (verify stage), and the MinHash signature
+    (banding stage). This is everything `incremental_dedup` needs from
+    the corpus side, so a steady-state pipeline stores THIS table and
+    appends each batch's surviving rows to it — per-batch dedup cost
+    then never re-reads or re-hashes a byte of accumulated corpus text.
+
+    NULL-text rows carry NULL hashes (SQL equality: NULL equals nothing)
+    and NULL sh/sig; shingle-less rows (< shingle_size+... tokens) keep
+    empty sh and NULL sig — both participate in nothing but survive.
+    Seeds/permutations are shared with `minhash_lsh_pairs`, so the two
+    sides of any cross-set band join bucket bit-identically.
+    """
+    nn = F.col(text_col).isNotNull()
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.when(nn, F.xxhash64(F.col(text_col), F.lit(42))).alias("_h1"),
+        F.when(nn, F.xxhash64(F.col(text_col), F.lit(1337))).alias("_h2"),
+        F.when(nn, shingles_udf(shingle_size)(F.col(text_col))).alias("sh"),
     )
-    hashed = sh.select(F.col(id_col), hash_shingles(F.col("sh")).alias("hs"))
+    hs = F.when(F.col("sh").isNotNull(), hash_shingles(F.col("sh")))
     if use_arrow:
-        sig = hashed.select(
-            id_col, minhash_signature_udf(num_hashes, seed)(F.col("hs")).alias("sig")
-        )
+        sig = minhash_signature_udf(num_hashes, seed)(hs)  # None/[] -> None
     else:
-        sig = hashed.select(
-            id_col, minhash_signature(F.col("hs"), num_hashes, seed).alias("sig")
+        sig = F.when(
+            F.size(F.col("sh")) > 0, minhash_signature(hs, num_hashes, seed)
         )
-    return sh, _band_signature(sig, id_col, bands, rows_per_band).persist()
+    return base.select(id_col, "_h1", "_h2", "sh", sig.alias("sig"))
 
 
 def incremental_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     shingle_size: int = 3,
@@ -383,6 +386,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     seed: int = 42,
     use_arrow: bool = True,
+    corpus_state: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the steady-state
     shape of corpus curation: each incoming crawl slice is pruned against
@@ -393,10 +397,16 @@ def incremental_dedup(
 
     Drops a batch row when (a) EXACT: its text equals some corpus text —
     a 128-bit two-seed hash anti-join, 16 B shuffle rows, no text in the
-    shuffle; or (b) NEAR: MinHash banding (same seeds both sides via
-    `_shingle_signatures`) yields a cross-set candidate whose exact
-    verified Jaccard ≥ threshold. Returns the surviving batch rows with
-    their full schema.
+    shuffle; or (b) NEAR: MinHash banding (same seeds both sides) yields
+    a cross-set candidate whose exact verified Jaccard ≥ threshold.
+    Returns the surviving batch rows with their full schema.
+
+    Corpus side: pass either the raw `corpus` (its state is derived on
+    the fly) or a precomputed `corpus_state` from `dedup_signatures` —
+    the 100 TB path: the state table (hashes + shingles + signatures) is
+    persisted once and appended per batch, so steady-state dedup never
+    re-reads corpus text. `shingle_size`/`num_hashes`/`seed` must match
+    the values the state was built with.
 
     The candidate join is (band_id, band_hash) equi-keyed — O(rows×bands)
     shuffle, never O(batch × corpus); only verified candidates re-join
@@ -404,12 +414,19 @@ def incremental_dedup(
     `minhash_pairs` oracle, corpora whose true pairs sit far above the
     threshold get deterministic output.
     """
-    # SQL equality semantics: NULL text equals nothing — exclude NULL
-    # rows from BOTH hash sides (xxhash64(NULL) is a non-null seed hash,
-    # so unguarded NULLs would all collide and wrongly drop each other)
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    if corpus_state is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or corpus_state")
+        corpus_state = dedup_signatures(
+            corpus, id_col, text_col, shingle_size, num_hashes, seed, use_arrow
+        )
+    corpus_state = corpus_state.persist()
+
+    corpus_keys = corpus_state.where(F.col("_h1").isNotNull()).select("_h1", "_h2").distinct()
     h1 = F.xxhash64(F.col(text_col), F.lit(42)).alias("_h1")
     h2 = F.xxhash64(F.col(text_col), F.lit(1337)).alias("_h2")
-    corpus_keys = corpus.where(F.col(text_col).isNotNull()).select(h1, h2).distinct()
     alive = batch.join(
         batch.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), h1, h2)
@@ -418,16 +435,20 @@ def incremental_dedup(
         id_col,
         "left_anti",
     )
-    sh_b, banded_b = _shingle_signatures(
-        alive, id_col, text_col, shingle_size, num_hashes, bands, seed, use_arrow
-    )
-    sh_c, banded_c = _shingle_signatures(
-        corpus, id_col, text_col, shingle_size, num_hashes, bands, seed, use_arrow
-    )
+    bstate = dedup_signatures(
+        alive, id_col, text_col, shingle_size, num_hashes, seed, use_arrow
+    ).persist()
+
+    def _banded(state: DataFrame) -> DataFrame:
+        return _band_signature(
+            state.where(F.col("sig").isNotNull()).select(id_col, "sig"),
+            id_col, bands, rows_per_band,
+        )
+
     cand = (
-        banded_b.select("band_id", "band_hash", F.col(id_col).alias("_bid"))
+        _banded(bstate).select("band_id", "band_hash", F.col(id_col).alias("_bid"))
         .join(
-            banded_c.select(
+            _banded(corpus_state).select(
                 F.col("band_id").alias("band_id_c"),
                 F.col("band_hash").alias("band_hash_c"),
                 F.col(id_col).alias("_cid"),
@@ -439,8 +460,13 @@ def incremental_dedup(
         .dropDuplicates(["_bid", "_cid"])
     )
     verified = (
-        cand.join(sh_b.select(F.col(id_col).alias("_bid"), F.col("sh").alias("sh_b")), "_bid")
-        .join(sh_c.select(F.col(id_col).alias("_cid"), F.col("sh").alias("sh_c")), "_cid")
+        cand.join(
+            bstate.select(F.col(id_col).alias("_bid"), F.col("sh").alias("sh_b")), "_bid"
+        )
+        .join(
+            corpus_state.select(F.col(id_col).alias("_cid"), F.col("sh").alias("sh_c")),
+            "_cid",
+        )
         .where(
             F.size(F.array_intersect("sh_b", "sh_c"))
             / F.size(F.array_union("sh_b", "sh_c"))

@@ -413,6 +413,7 @@ def foreach_batch_dedup_sink(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    state_path: str | None = None,
 ):
     """Streaming corpus ingestion with inter-batch deduplication: each
     micro-batch is (1) exact-deduped within itself (min-id wins), then
@@ -429,6 +430,13 @@ def foreach_batch_dedup_sink(
     delivery guarantee every dedup sink wants — the dedup IS the
     idempotency mechanism.)
 
+    With `state_path`, the sink maintains a `dedup_signatures` table
+    (content hashes + shingle sets + MinHash signatures) alongside the
+    corpus and dedups AGAINST THE STATE instead of the corpus text —
+    the true steady-state shape: per-batch cost stops depending on the
+    accumulated corpus's text size entirely (the corpus parquet is never
+    read back), and each batch appends only its survivors' state rows.
+
     Cache hygiene: the MinHash pipeline persists its shingle/signature
     frames per invocation; a long-running stream would accrete one set
     per micro-batch. After the survivors are materialized the sink
@@ -437,6 +445,7 @@ def foreach_batch_dedup_sink(
     pass through a sessionized cache manager if sharing one.
     """
     from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_signatures,
         exact_dedup,
         incremental_dedup,
     )
@@ -446,25 +455,47 @@ def foreach_batch_dedup_sink(
 
         spark = batch_df.sparkSession
         batch = exact_dedup(batch_df, cols=[text_col], id_col=id_col)
-        try:
-            corpus = spark.read.parquet(corpus_path)
-            has_corpus = True
-        except AnalysisException:
-            # ONLY the path-missing case founds a fresh corpus; any other
-            # failure (transient IO, permissions) must fail the batch —
-            # treating it as "no corpus" would silently append duplicates
-            has_corpus = False
-        if has_corpus:
-            survivors = incremental_dedup(
-                batch, corpus, id_col=id_col, text_col=text_col, threshold=threshold
+
+        def _read(path: str):
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException:
+                # ONLY the path-missing case founds a fresh corpus; any
+                # other failure (transient IO, permissions) must fail the
+                # batch — treating it as "no corpus" would silently
+                # append duplicates
+                return None
+
+        if state_path is not None:
+            state = _read(state_path)
+            survivors = (
+                incremental_dedup(
+                    batch, None, id_col=id_col, text_col=text_col,
+                    threshold=threshold, corpus_state=state,
+                )
+                if state is not None
+                else batch
             )
         else:
-            survivors = batch
+            corpus = _read(corpus_path)
+            survivors = (
+                incremental_dedup(
+                    batch, corpus, id_col=id_col, text_col=text_col,
+                    threshold=threshold,
+                )
+                if corpus is not None
+                else batch
+            )
         # localCheckpoint before the append: the survivors' lineage READS
-        # corpus_path, and writing to a path a plan scans is undefined
+        # the corpus/state path, and writing to a path a plan scans is
+        # undefined
         survivors = survivors.localCheckpoint(eager=True)
         spark.catalog.clearCache()  # release this batch's dedup persists
         survivors.write.mode("append").parquet(corpus_path)
+        if state_path is not None:
+            dedup_signatures(survivors, id_col, text_col).localCheckpoint(
+                eager=True
+            ).write.mode("append").parquet(state_path)
 
     return (
         stream.writeStream.foreachBatch(sink)

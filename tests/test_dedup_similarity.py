@@ -568,3 +568,47 @@ def test_dedup_clusters_contraction_multi_partition_forced(spark, monkeypatch):
             for r in D.dedup_clusters(pairs, local_contraction=False).collect()}
     assert got == want
     assert want[12] == 0 and want[102] == 100
+
+
+def test_incremental_dedup_state_path_equals_corpus_path(spark):
+    """incremental_dedup(corpus_state=dedup_signatures(corpus)) must
+    return exactly what the raw-corpus path returns — the persisted
+    state table IS the corpus for dedup purposes."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_signatures,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different corpus text about spark engines"),
+            (4, None),
+            (6, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (13, "the quick brown fox jumps over the lazy dog tonight"),
+            (15, "an entirely unrelated document about parquet files"),
+            (17, None),
+            (19, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    via_corpus = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.3).collect()
+    )
+    state = dedup_signatures(corpus, "doc_id", "text")
+    via_state = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            batch, None, "doc_id", "text", threshold=0.3, corpus_state=state
+        ).collect()
+    )
+    # 11 exact-dropped, 13 near-dropped (j ≥ 0.3), 19 exact-matches the
+    # corpus's "tiny", NULL-text 17 survives everything
+    assert via_corpus == via_state == [15, 17]

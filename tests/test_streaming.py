@@ -573,3 +573,65 @@ def test_streaming_dedup_sink_accumulates_corpus(spark, tmp_path):
     st = stream_parquet(spark, src, schema)
     drain(foreach_batch_dedup_sink(st, corpus, ck2, "doc_id", "text", threshold=0.3).start())
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+
+
+def test_streaming_dedup_sink_state_path_mode(spark, tmp_path):
+    """state_path mode: the sink dedups against the maintained signature
+    table (corpus parquet never re-read) and reaches the same final
+    corpus as corpus-read mode; the state table tracks the corpus
+    row-for-row."""
+    import os
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dedup_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{tmp}/p/{part}", f"{src}/{name}")
+
+    def run(ck):
+        st = stream_parquet(spark, src, schema)
+        q = foreach_batch_dedup_sink(
+            st, corpus, ck, "doc_id", "text", threshold=0.3, state_path=state
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    stage(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark streaming sinks"),
+        ],
+        "f1.parquet",
+    )
+    run(str(tmp_path / "ck1"))
+    stage(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (13, "the quick brown fox jumps over the lazy dog tonight"),
+            (15, "an entirely fresh document about parquet and arrow"),
+        ],
+        "f2.parquet",
+    )
+    run(str(tmp_path / "ck2"))
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+    st_rows = spark.read.parquet(state)
+    assert sorted(r.doc_id for r in st_rows.collect()) == [1, 2, 15]
+    assert set(st_rows.columns) == {"doc_id", "_h1", "_h2", "sh", "sig"}
+    # replay against the state: nothing appends
+    run(str(tmp_path / "ck3"))
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]

@@ -7578,6 +7578,7 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="fdie_scd_")
     src, corpus, ck = f"{root}/src", f"{root}/corpus", f"{root}/ck"
+    state = f"{root}/state"
     os.makedirs(src)
 
     def stage(df, name: str, mtime: float) -> None:
@@ -7603,8 +7604,11 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # state_path mode: batch 2 dedups against the maintained
+        # signature table — the corpus parquet is never read back
         q = foreach_batch_dedup_sink(
-            st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3
+            st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3,
+            state_path=state,
         ).start()
         try:
             q.processAllAvailable()

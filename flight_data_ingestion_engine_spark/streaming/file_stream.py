@@ -437,6 +437,15 @@ def foreach_batch_dedup_sink(
     accumulated corpus's text size entirely (the corpus parquet is never
     read back), and each batch appends only its survivors' state rows.
 
+    Crash semantics of state mode (corpus append deliberately runs
+    FIRST): a crash between the two appends leaves corpus rows whose
+    state is missing, so a later batch could re-admit their duplicates —
+    conservative and repairable (rebuild with
+    `dedup_signatures(spark.read.parquet(corpus))` after an unclean
+    shutdown). The reverse order would be worse: state rows without
+    corpus rows silently DROP future documents as duplicates of text
+    that never landed.
+
     Cache hygiene: the MinHash pipeline persists its shingle/signature
     frames per invocation; a long-running stream would accrete one set
     per micro-batch. After the survivors are materialized the sink

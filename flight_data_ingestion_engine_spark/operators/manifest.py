@@ -1191,6 +1191,24 @@ def vacuum_versions(
         deleted += 1
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/v={v}"), True)
+    # prune superseded history checkpoints too (keep only the newest —
+    # table_history needs exactly one; the rest are O(checkpoints)
+    # listing drag at high commit counts)
+    ck_root = jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/_ckpt")
+    if fs.exists(ck_root):
+        ck_versions = []
+        for st in fs.listStatus(ck_root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                try:
+                    ck_versions.append(int(name[2:]))
+                except ValueError:
+                    continue
+        for v in sorted(ck_versions)[:-1]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{log_path.rstrip('/')}/_ckpt/v={v}"),
+                True,
+            )
     return {"dropped_versions": drop, "deleted_files": deleted}
 
 

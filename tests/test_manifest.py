@@ -1344,3 +1344,22 @@ def test_change_feed_distributed_above_plan_cap(spark, tmp_path, monkeypatch):
     assert (200, 1, "insert") in feed
     # untouched keys in rewritten files cancel via exceptAll
     assert not any(k not in (5, 200) for k, _, _ in feed)
+
+
+def test_vacuum_prunes_stale_history_checkpoints(spark, tmp_path):
+    """vacuum keeps only the newest _ckpt/v=<n>; table_history still
+    reads through it afterwards."""
+    from flight_data_ingestion_engine_spark.operators import manifest as M
+
+    data, log = str(tmp_path / "data"), str(tmp_path / "log")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(1).write.parquet(data)
+    base = M.file_column_stats(spark.read.parquet(data), ["k"])
+    for _ in range(34):  # checkpoints at 16 and 32
+        M.commit_manifest(spark, log, base)
+    fs, jvm = M._fs_for(spark, log)
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{log}/_ckpt/v=16"))
+    M.vacuum_versions(spark, log, data, keep_last=5)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{log}/_ckpt/v=16"))
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{log}/_ckpt/v=32"))
+    hist = sorted(r.version for r in M.table_history(spark, log).collect())
+    assert hist == [30, 31, 32, 33, 34]

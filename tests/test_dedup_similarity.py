@@ -612,3 +612,26 @@ def test_incremental_dedup_state_path_equals_corpus_path(spark):
     # 11 exact-dropped, 13 near-dropped (j ≥ 0.3), 19 exact-matches the
     # corpus's "tiny", NULL-text 17 survives everything
     assert via_corpus == via_state == [15, 17]
+
+
+def test_dedup_signatures_arrow_and_expr_agree(spark):
+    """The Arrow and Catalyst-expression signature paths produce
+    identical state rows (same contract as the minhash bit-equality
+    test), including NULL-text and shingle-less rows."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, None),
+            (3, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    a = {r.doc_id: (r._h1, r._h2, r.sh, r.sig)
+         for r in dedup_signatures(df, "doc_id", "text", use_arrow=True).collect()}
+    b = {r.doc_id: (r._h1, r._h2, r.sh, r.sig)
+         for r in dedup_signatures(df, "doc_id", "text", use_arrow=False).collect()}
+    assert a == b
+    assert a[2] == (None, None, None, None)
+    assert a[3][3] is None and a[3][2] == []  # shingle-less: empty sh, NULL sig

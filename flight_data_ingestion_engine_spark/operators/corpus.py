@@ -755,3 +755,72 @@ def term_drift(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "term", "ca", "cb", "kl_term"
     )
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    id_col: str,
+    segments_col: str,
+    min_count: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every segment (line, sentence,
+    fixed token window — whatever the caller split into `segments_col`)
+    that occurs at least `min_count` times ACROSS THE CORPUS, and return
+    each document's surviving segments in their original order
+    (`(id, kept_segments array<string>)`). The classic "discard any line
+    appearing ≥3 times in the dataset" cleanup (C4/RefinedWeb) that
+    strips navigation chrome, cookie banners, and template footers
+    near-dup detectors are too coarse to catch.
+
+    Shape: posexplode → occurrence counts keyed on an 8-byte xxhash of
+    the segment (map-side combined; the raw segment string never rides
+    the counting shuffle) → frequent-hash anti-join → one groupBy(id)
+    regroup ordered by position. The regroup is the only corpus-sized
+    shuffle — inherent to any restructuring op; everything else ships
+    hashes. Hash collisions can only OVER-drop (a rare segment colliding
+    with a frequent one), with probability ≈ segments²/2⁶⁴ — the
+    conservative failure direction for a cleanup pass.
+
+    Documents whose segments all survive (or all drop) are still present
+    in the output, with their full (or empty) segment array.
+    """
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.col(segments_col)).alias("_pos", "_seg"),
+    )
+    hashed = seg.withColumn("_h", F.xxhash64("_seg"))
+    frequent = (
+        hashed.where(F.col("_seg").isNotNull())
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= F.lit(min_count))
+        .select("_h")
+    )
+    kept = hashed.join(frequent, "_h", "left_anti")
+    regrouped = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_seg")))
+            ).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.filter(
+                F.transform(F.col("_ps"), lambda s: s["_seg"]),
+                lambda x: x.isNotNull(),
+            ).alias("kept_segments"),
+        )
+    )
+    # a document whose every segment was frequent has NO surviving rows —
+    # join back to the id universe so it returns with an empty array
+    return (
+        df.select(id_col)
+        .join(regrouped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("kept_segments"), F.array().cast("array<string>")
+            ).alias("kept_segments"),
+        )
+    )

@@ -7674,3 +7674,59 @@ def q_rendezvous_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendezvous_shard(docs, "doc_id", n_shards=8, seed=42).select(
         "doc_id", "shard"
     )
+
+
+@_q(
+    "line_dedup_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id,
+             [array_to_string(t[i*5+1 : i*5+5], ' ')
+              for i in range(0, (len(t) - 1) // 5 + 1)] AS s
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, s[i + 1] AS seg
+      FROM segs, UNNEST(range(0, len(s))) AS g(i)
+    ),
+    freq AS (SELECT seg FROM ex GROUP BY seg HAVING COUNT(*) >= 3),
+    keptx AS (SELECT doc_id, pos, seg FROM ex
+              WHERE seg NOT IN (SELECT seg FROM freq)),
+    outp AS (SELECT doc_id, array_to_string(list(seg ORDER BY pos), ' ') AS cleaned
+             FROM keptx GROUP BY doc_id)
+    SELECT b.doc_id, COALESCE(o.cleaned, '') AS cleaned
+    FROM base b LEFT JOIN outp o USING (doc_id)
+    """,
+)
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style frequent-segment (boilerplate) removal (corpus.py::
+    remove_frequent_segments): documents are split into 5-token
+    segments (the portable stand-in for lines — the fixture corpus has
+    no newlines), any segment occurring ≥3 times across the corpus is
+    dropped everywhere, and each document is reassembled in order. The
+    planted near-dup clusters make this non-vacuous: their shared
+    windows repeat across clones and get stripped. Engine counts by
+    8-byte segment hash (collision can only over-drop, P ≈ n²/2⁶⁴ —
+    negligible); the oracle counts raw segments."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        remove_frequent_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    segs = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 5).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(5) + 1, 5), " "),
+    )
+    with_segs = docs.select("doc_id", segs.alias("segments"))
+    cleaned = remove_frequent_segments(
+        with_segs, id_col="doc_id", segments_col="segments", min_count=3
+    )
+    return cleaned.select(
+        "doc_id", F.array_join("kept_segments", " ").alias("cleaned")
+    )

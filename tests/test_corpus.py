@@ -198,3 +198,32 @@ def test_arrow_local_df_equals_plain_createdataframe(spark):
     a = sorted(map(tuple, fast.collect()))
     b = sorted(map(tuple, plain.collect()))
     assert a == b
+
+
+def test_remove_frequent_segments_c4_semantics(spark):
+    """Segments occurring >= min_count times corpus-wide drop EVERYWHERE
+    (all occurrences, C4 semantics), order is preserved, a doc losing
+    every segment survives with an empty array, and NULL segment arrays
+    yield empty output."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        remove_frequent_segments,
+    )
+
+    rows = [
+        (1, ["cookie banner", "unique alpha", "cookie banner"]),
+        (2, ["cookie banner", "unique beta"]),
+        (3, ["unique gamma", "footer text"]),
+        (4, ["footer text", "footer text"]),  # footer appears 3x total
+        (5, ["cookie banner"]),               # loses everything
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, segments array<string>")
+    out = {r.doc_id: r.kept_segments
+           for r in remove_frequent_segments(df, "doc_id", "segments", min_count=3).collect()}
+    assert out[1] == ["unique alpha"]          # both banner copies dropped
+    assert out[2] == ["unique beta"]
+    assert out[3] == ["unique gamma"]          # footer hit 3 occurrences
+    assert out[4] == []
+    assert out[5] == []
+    assert out[6] == []
+    assert len(out) == 6

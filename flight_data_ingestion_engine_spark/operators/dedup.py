@@ -1004,3 +1004,42 @@ def semantic_dedup(
             .select(F.col("member_id").alias(id_col))
         )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str,
+    hash_group: bool = True,
+) -> DataFrame:
+    """Soft deduplication: KEEP every row but attach `dup_weight = 1/n`
+    where n is its exact-duplicate group size — the downweight-don't-drop
+    policy for loss scaling / sampling probability when hard dedup is too
+    aggressive (natural duplication sometimes carries signal; weighting
+    makes total influence per distinct content equal 1 either way).
+
+    Same shuffle shape as `exact_dedup`: the group key is the two-seed
+    128-bit hash (16 B/row through the count shuffle, never the text),
+    and the count joins back on the SAME key — two hash-keyed shuffles,
+    no skew (hash keys are uniform). `hash_group=False` groups on the raw
+    columns for bitwise-exact semantics. The weight is the one IEEE
+    division 1.0/n — engine-exact.
+    """
+    if hash_group:
+        keys = [
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(42)).alias("_h1"),
+            F.xxhash64(*[F.col(c) for c in cols], F.lit(1337)).alias("_h2"),
+        ]
+        keyed = df.select("*", *keys)
+        counts = keyed.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            keyed.join(counts, ["_h1", "_h2"])
+            .withColumn("dup_weight", F.lit(1.0) / F.col("_n"))
+            .drop("_h1", "_h2", "_n")
+        )
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(counts, list(cols))
+        .withColumn("dup_weight", F.lit(1.0) / F.col("_n"))
+        .drop("_n")
+    )

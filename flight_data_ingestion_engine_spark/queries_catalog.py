@@ -7730,3 +7730,71 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         "doc_id", F.array_join("kept_segments", " ").alias("cleaned")
     )
+
+
+@_q(
+    "soft_dedup_weights_docs",
+    """
+    SELECT d.doc_id, CAST(1.0 AS DOUBLE) / n.cnt AS dup_weight
+    FROM documents d
+    JOIN (SELECT text, COUNT(*) AS cnt FROM documents GROUP BY text) n
+      ON d.text = n.text
+    """,
+)
+def q_soft_dedup_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.py::soft_dedup_weights): every document kept,
+    weighted 1/n by its exact-duplicate group size, so each distinct
+    content contributes total weight 1 — the downweight policy for when
+    hard dedup is too aggressive. One IEEE division; hash-group keys
+    shuffle 16 B/row. NULL-text docs are excluded on both sides (SQL
+    join equality drops them; the hash side would group them)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return soft_dedup_weights(docs, cols=["text"], id_col="doc_id").select(
+        "doc_id", "dup_weight"
+    )
+
+
+@_q(
+    "observed_ingest_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+    FROM events
+    """,
+)
+def q_observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's Observation API: the metrics
+    ride ON the ingest pass itself (`df.observe(...)` — collected by the
+    SAME job that materializes the data, zero extra scans), instead of a
+    second aggregation query over the input. This is the production
+    pattern for per-batch data-quality counters: at 100 TB a separate
+    metrics scan doubles ingest cost; observed metrics are free.
+    The query runs one pass that both counts the rows (the 'ingest') and
+    observes the four counters, then returns the observed values as a
+    one-row frame; the oracle recomputes them with plain aggregates."""
+    from pyspark.sql import Observation
+
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("negative_values"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "ingest" action
+    m = obs.get
+    return arrow_local_df(
+        spark,
+        [(m["rows_in"], m["null_keys"], m["negative_values"], m["purchases"])],
+        "rows_in bigint, null_keys bigint, negative_values bigint, purchases bigint",
+    )

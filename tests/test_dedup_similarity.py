@@ -635,3 +635,27 @@ def test_dedup_signatures_arrow_and_expr_agree(spark):
     assert a == b
     assert a[2] == (None, None, None, None)
     assert a[3][3] is None and a[3][2] == []  # shingle-less: empty sh, NULL sig
+
+
+def test_soft_dedup_weights_sum_to_one_per_content(spark):
+    """Every row survives; weights are 1/n per exact-dup group, so total
+    weight per distinct content is exactly 1 — and the hash-group path
+    agrees with the raw-column path."""
+    from flight_data_ingestion_engine_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c"), (6, "c")],
+        "doc_id bigint, text string",
+    )
+    out = soft_dedup_weights(df, ["text"], "doc_id")
+    rows = {r.doc_id: r.dup_weight for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[1] == rows[2] == rows[3] == 1.0 / 3
+    assert rows[4] == 1.0 and rows[5] == 0.5
+    per_content = out.groupBy("text").agg(F.sum("dup_weight").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-12 for r in per_content)
+    raw = {
+        r.doc_id: r.dup_weight
+        for r in soft_dedup_weights(df, ["text"], "doc_id", hash_group=False).collect()
+    }
+    assert raw == rows

@@ -414,3 +414,63 @@ def test_funnel_within_gap_matches_brute_force_property(spark, events, gap):
     }
     for step in (1, 2, 3):
         assert got[step] == want.get(step, 0), (step, got, want)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=6),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_remove_frequent_segments_matches_bruteforce(spark, seg_lists, min_count):
+    """Property: remove_frequent_segments ≡ the obvious Python
+    implementation (count ALL occurrences corpus-wide, drop segments at
+    >= min_count, preserve order) for arbitrary small corpora."""
+    from collections import Counter
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        remove_frequent_segments,
+    )
+
+    rows = [(i, segs) for i, segs in enumerate(seg_lists)]
+    df = spark.createDataFrame(rows, "doc_id bigint, segments array<string>")
+    got = {
+        r.doc_id: list(r.kept_segments)
+        for r in remove_frequent_segments(df, "doc_id", "segments", min_count).collect()
+    }
+    counts = Counter(s for _, segs in rows for s in segs)
+    want = {
+        i: [s for s in segs if counts[s] < min_count] for i, segs in rows
+    }
+    assert got == want
+
+
+@given(
+    st.lists(st.sampled_from(["w x y z", "p q r s", "m n o", None]), min_size=0, max_size=6),
+    st.lists(st.sampled_from(["w x y z", "k l m n", None]), min_size=0, max_size=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_incremental_dedup_exact_stage_matches_sql_semantics(spark, corpus_texts, batch_texts):
+    """Property (near stage disabled via threshold > 1): the exact stage
+    drops a batch row iff its NON-NULL text appears in the corpus — SQL
+    equality semantics, NULLs never match anything."""
+    from flight_data_ingestion_engine_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)], "doc_id bigint, text string"
+    )
+    got = sorted(
+        r.doc_id
+        for r in incremental_dedup(batch, corpus, "doc_id", "text", threshold=1.01).collect()
+    )
+    corpus_set = {t for t in corpus_texts if t is not None}
+    want = sorted(
+        100 + i for i, t in enumerate(batch_texts) if t is None or t not in corpus_set
+    )
+    assert got == want

@@ -354,3 +354,27 @@ def test_batch_m_exchange_budgets(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_round4_projection_ops_zero_shuffle(spark, sf_dir):
+    """group_split_docs and rendezvous_shard_docs are pure projections —
+    no exchange may appear in their plans (the PLANS.md claim, pinned)."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    for name in ["group_split_docs", "rendezvous_shard_docs"]:
+        df = qc.QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) == 0, name
+
+
+def test_line_dedup_counting_shuffle_is_hash_only(spark, sf_dir):
+    """The frequent-segment counting path must shuffle hashed keys, not
+    raw segment strings: the aggregation before the frequent-set join
+    reads only the 8-byte hash column."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    plan = explain_str(qc.QUERIES["line_dedup_docs"](spark, sf_dir))
+    # the counting aggregate groups on the xxhash64 column, never _seg
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan

@@ -43,13 +43,21 @@ HEADLINE = [
 # heavy set: the catalog's most expensive members, pinned (r3 VERDICT #2)
 # so a heavy-tail regression is machine-checkable round-over-round — the
 # all-light headline can't see one. Median-of-3 like HEADLINE; its total
-# rides the stdout JSON as "heavy_value".
+# rides the stdout JSON as "heavy_value". r5: extended to the true top of
+# the r4 cost table (VERDICT r4 #7) — the original five stay for
+# round-over-round continuity, the four added are the lifecycle/graph
+# queries that now outrank three of them, including the new IVF
+# build+append+probe lifecycle.
 HEAVY = [
     "streaming_left_interval_join",
     "semantic_dedup_embeddings",
     "dedup_clusters_exact",
     "ivf_topk",
     "simhash_pairs",
+    "triangle_count",
+    "streaming_corpus_dedup",
+    "incremental_dedup_batch",
+    "ivf_index_probe",
 ]
 
 

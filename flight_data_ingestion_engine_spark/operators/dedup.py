@@ -41,6 +41,30 @@ from flight_data_ingestion_engine_spark.functions.vectors import dot, unit_norma
 from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
 
+def _group_hash_keys(cols: Sequence[str]) -> list:
+    """Two-seed 128-bit group key over `cols`, null-position-safe.
+
+    `xxhash64` SKIPS null inputs entirely, so with multiple columns
+    ('a', NULL) and (NULL, 'a') would hash identically under BOTH seeds —
+    the nulls contribute nothing and 'a' slides position, and the two-seed
+    scheme offers no protection because both seeds collide identically.
+    Interleaving a never-null isnull flag after each column pins every
+    value to its position: the hashed sequence differs whenever the null
+    PATTERN differs, so distinct contents never systematically merge.
+    A single column needs no flag (there is no position to slide into),
+    which also keeps the single-column key bit-compatible with persisted
+    `dedup_signatures` state tables."""
+    ins: list = []
+    for c in cols:
+        ins.append(F.col(c))
+        if len(cols) > 1:
+            ins.append(F.isnull(F.col(c)).cast("int"))
+    return [
+        F.xxhash64(*ins, F.lit(42)).alias("_h1"),
+        F.xxhash64(*ins, F.lit(1337)).alias("_h2"),
+    ]
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Sequence[str],
@@ -62,10 +86,7 @@ def exact_dedup(
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     if hash_group:
-        keys = [
-            F.xxhash64(*[F.col(c) for c in cols], F.lit(42)).alias("_h1"),
-            F.xxhash64(*[F.col(c) for c in cols], F.lit(1337)).alias("_h2"),
-        ]
+        keys = _group_hash_keys(cols)
         winners = (
             df.select(*keys, F.col(id_col))
             .groupBy("_h1", "_h2")
@@ -387,6 +408,7 @@ def incremental_dedup(
     seed: int = 42,
     use_arrow: bool = True,
     corpus_state: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the steady-state
     shape of corpus curation: each incoming crawl slice is pruned against
@@ -413,6 +435,13 @@ def incremental_dedup(
     their shingle sets. Recall follows the banding curve; like the
     `minhash_pairs` oracle, corpora whose true pairs sit far above the
     threshold get deterministic output.
+
+    `eager` (default): the survivors are MATERIALIZED (localCheckpoint)
+    before returning and the internal state persists are released — the
+    right contract for per-batch callers (a streaming sink calling this
+    every micro-batch accretes no cached frames). `eager=False` returns
+    the lazy plan with the persists live; the caller then owns cache
+    hygiene.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
@@ -422,6 +451,14 @@ def incremental_dedup(
         corpus_state = dedup_signatures(
             corpus, id_col, text_col, shingle_size, num_hashes, seed, use_arrow
         )
+    # Both state frames feed multiple consumers (exact keys, banding,
+    # verify) — persist them for the duration of THIS call only. With
+    # `eager` (default) the survivors are materialized via localCheckpoint
+    # inside a try/finally that unpersists both, so per-batch library
+    # callers (a streaming sink invoking this every micro-batch) never
+    # accrete cached frames. `eager=False` returns the lazy plan and
+    # leaves the persists live — the caller owns cache hygiene then
+    # (e.g. `spark.catalog.clearCache()` after materializing).
     corpus_state = corpus_state.persist()
 
     corpus_keys = corpus_state.where(F.col("_h1").isNotNull()).select("_h1", "_h2").distinct()
@@ -475,7 +512,14 @@ def incremental_dedup(
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )
-    return alive.join(verified, id_col, "left_anti")
+    survivors = alive.join(verified, id_col, "left_anti")
+    if eager:
+        try:
+            survivors = survivors.localCheckpoint(eager=True)
+        finally:
+            corpus_state.unpersist()
+            bstate.unpersist()
+    return survivors
 
 
 def simhash_fingerprints(
@@ -914,6 +958,41 @@ def lsh_candidate_pairs(
     ).where(F.col("cosine") >= F.lit(threshold))
 
 
+# Catalyst's "size unknown" sentinel (spark.sql.defaultSizeInBytes
+# default): plans whose leaves can't report a size — driver-local frames,
+# some RDD-backed scans — surface Long.MaxValue, not a real estimate.
+_SIZE_UNKNOWN = (1 << 63) - 1
+
+
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Row-count estimate from Catalyst plan statistics — runs NO job.
+
+    Prefers the optimizer's own rowCount when defined (CBO / aggregated
+    relations); otherwise divides the plan's sizeInBytes (for file scans:
+    the on-disk size from the file listing, known without touching data)
+    by the schema's Catalyst defaultSize row width. That width is an
+    uncompressed lower bound while parquet bytes are compressed, so the
+    quotient OVERESTIMATES rows — which errs toward the LSH strategy,
+    the path whose shuffle never squares; the safe direction for a
+    strategy pick. Returns None when the plan reports the unknown-size
+    sentinel, directing callers to their documented fallback."""
+    try:
+        jqe = df._jdf.queryExecution()
+        stats = jqe.optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+        size = int(stats.sizeInBytes())
+        if size <= 0 or size >= _SIZE_UNKNOWN:
+            return None
+        width = max(1, int(jqe.analyzed().schema().defaultSize()))
+        return max(1, size // width)
+    except Exception:
+        # private-API surface (df._jdf) — any py4j drift degrades to the
+        # caller's fallback, never to a wrong answer
+        return None
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -927,6 +1006,7 @@ def semantic_dedup(
     lsh_planes_per_table: int = 8,
     lsh_seed: int = 42,
     auto_row_threshold: int = 2_000_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style keep-one-per-cluster over embedding near-duplicates.
 
@@ -952,8 +1032,11 @@ def semantic_dedup(
       no quadratic step; identical vectors are certain candidates.
     - `"auto"`: `"exact"` while the corpus is small enough for the
       blocked generator, `"lsh"` above `auto_row_threshold` rows (or
-      whenever no `block_cols` were given) — the 100 TB default: one
-      cheap count decides, and the LSH path's shuffle never squares.
+      whenever no `block_cols` were given) — the 100 TB default. The row
+      count comes from `approx_rows` (caller hint, e.g. a manifest's
+      n_rows sum) or Catalyst plan statistics — NO scan runs just to
+      pick a code path; `df.count()` is the documented last resort for
+      frames whose plan reports no size (driver-local data).
     A pre-built candidate set passed via `pairs` overrides all of this.
 
     Scale shape: the survivors anti-join shuffles only on the id column,
@@ -962,10 +1045,19 @@ def semantic_dedup(
     """
     if pairs is None:
         if method == "auto":
-            if block_cols is None or df.count() > auto_row_threshold:
+            # strategy pick WITHOUT a corpus scan: an explicit
+            # `approx_rows` hint wins, then Catalyst plan statistics
+            # (`_estimate_rows` — file-listing sizes, no job; at 100 TB a
+            # full count purely to pick a code path is a wasted table
+            # scan), and only a frame whose plan reports no size at all
+            # (driver-local data) falls back to count()
+            if block_cols is None:
                 method = "lsh"
             else:
-                method = "exact"
+                n = approx_rows if approx_rows is not None else _estimate_rows(df)
+                if n is None:
+                    n = df.count()
+                method = "lsh" if n > auto_row_threshold else "exact"
         if method == "lsh":
             pairs = lsh_candidate_pairs(
                 df, id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -1026,10 +1118,7 @@ def soft_dedup_weights(
     division 1.0/n — engine-exact.
     """
     if hash_group:
-        keys = [
-            F.xxhash64(*[F.col(c) for c in cols], F.lit(42)).alias("_h1"),
-            F.xxhash64(*[F.col(c) for c in cols], F.lit(1337)).alias("_h2"),
-        ]
+        keys = _group_hash_keys(cols)
         keyed = df.select("*", *keys)
         counts = keyed.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_n"))
         return (

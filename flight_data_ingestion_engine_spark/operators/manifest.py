@@ -112,12 +112,21 @@ def _n_hits_capped(hit: DataFrame) -> int:
 
 
 def _keyed_scan(reader, roots: list[str], cols: list[str] | None = None) -> DataFrame:
-    """Root scan with `_metadata.file_path` materialized as `file_path` —
-    the base every cluster-side file-membership join builds on. `reader`
-    is a DataFrameReader (plain or schema-pinned)."""
+    """Root scan with `_metadata.file_path` materialized as the RESERVED
+    alias `__mf_path` — the base every cluster-side file-membership join
+    builds on. The reserved name (same convention as `_semi_join_read`)
+    keeps the scan usable on tables whose DATA schema itself contains a
+    `file_path` column; a plain `file_path` alias made every above-cap
+    semi-join/drop branch fail with a column-ambiguity error on such
+    tables. `reader` is a DataFrameReader (plain or schema-pinned)."""
     base = reader.parquet(*roots)
     keep = cols if cols is not None else base.columns
-    return base.select(F.col("_metadata.file_path").alias("file_path"), *keep)
+    return base.select(F.col("_metadata.file_path").alias("__mf_path"), *keep)
+
+
+def _mf_keyed(hit: DataFrame) -> DataFrame:
+    """Rename a manifest slice's `file_path` to the reserved join key."""
+    return hit.withColumnRenamed("file_path", "__mf_path")
 
 
 def update_file_stats(
@@ -162,8 +171,8 @@ def update_file_stats(
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     fresh = (
         _keyed_scan(spark.read, [data_path], cols)
-        .join(known, "file_path", "left_anti")
-        .groupBy("file_path")
+        .join(_mf_keyed(known), "__mf_path", "left_anti")
+        .groupBy(F.col("__mf_path").alias("file_path"))
         .agg(*aggs)
     )
     return manifest.unionByName(fresh)
@@ -244,8 +253,8 @@ def targeted_delete(
     else:
         survivors = (
             _keyed_scan(spark.read, _manifest_roots(manifest))
-            .join(hit, "file_path", "left_semi")
-            .drop("file_path")
+            .join(_mf_keyed(hit), "__mf_path", "left_semi")
+            .drop("__mf_path")
             .where(keep_pred)
         )
     staging = f"{data_path.rstrip('/')}/_delete_staging_{uuid.uuid4().hex[:8]}"
@@ -345,8 +354,8 @@ def merge_upsert(
         else:
             stored = (
                 _keyed_scan(spark.read, _manifest_roots(manifest))
-                .join(hit, "file_path", "left_semi")
-                .drop("file_path")
+                .join(_mf_keyed(hit), "__mf_path", "left_semi")
+                .drop("__mf_path")
             )
         survivors = stored.join(updates, stored[key_col] == updates[key_col], "left_anti")
         new_content = survivors.unionByName(updates.select(*stored.columns))
@@ -527,8 +536,8 @@ def merge_upsert_versioned(
         else:
             stored = (
                 _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
-                .join(hit, "file_path", "left_semi")
-                .drop("file_path")
+                .join(_mf_keyed(hit), "__mf_path", "left_semi")
+                .drop("__mf_path")
             )
         if target is None:
             target = stored.schema
@@ -632,8 +641,8 @@ def delete_versioned(
     else:
         survivors = (
             _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
-            .join(hit, "file_path", "left_semi")
-            .drop("file_path")
+            .join(_mf_keyed(hit), "__mf_path", "left_semi")
+            .drop("__mf_path")
             .where(keep_pred)
         )
     moved = _stage_and_move(spark, survivors, data_path, "d")
@@ -1253,8 +1262,8 @@ def snapshot_changes(
         roots = _manifest_roots(mf_side)
         return (
             _keyed_scan(_schema_reader(spark, log_path, to_version), roots)
-            .join(hit, "file_path", "left_semi")
-            .drop("file_path")
+            .join(_mf_keyed(hit), "__mf_path", "left_semi")
+            .drop("__mf_path")
         )
 
     new_rows, old_rows = _rows(only_new), _rows(only_old)

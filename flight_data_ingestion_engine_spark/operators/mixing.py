@@ -279,6 +279,13 @@ def group_aware_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    # every weight must be positive: a zero/negative weight lets the
+    # cumulative band hit 1.0 before the LAST split, and int(1.0 * 16**8)
+    # formats to NINE hex chars — lexicographically SMALLER than most
+    # 8-char hashes — silently inverting the band
+    for name, wgt in weights.items():
+        if wgt <= 0:
+            raise ValueError(f"split weight for {name!r} must be > 0, got {wgt}")
     # hex-STRING band comparison (the proven `hash_sample` portability
     # pattern): equal-length lowercase hex orders numerically, so no
     # engine-specific hex→int conversion is ever needed
@@ -291,7 +298,10 @@ def group_aware_split(
     items = list(weights.items())
     for name, wgt in items[:-1]:
         acc += wgt
-        cond = h < F.lit(format(int(acc * 16 ** 8), "08x"))
+        # defensive clamp: float accumulation error can push acc*16^8 to
+        # exactly 16^8, whose hex is 9 chars and breaks the equal-length
+        # string comparison above
+        cond = h < F.lit(format(min(int(acc * 16 ** 8), 16 ** 8 - 1), "08x"))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
@@ -331,14 +341,17 @@ def rendezvous_shard(
             1, 12,
         )
 
+    # hash each shard exactly ONCE: materialize (w, -s) structs via
+    # `transform`, then let `array_max` pick the winner (struct ordering
+    # compares `w` first; the negated shard id makes ties keep the EARLIER
+    # shard, matching the strict-> fold this replaces). The previous
+    # `aggregate` fold evaluated _w(s) twice per shard — once in the
+    # `when` predicate and once in the winning struct — because Catalyst
+    # does not CSE inside lambda functions: 2×n_shards md5 calls per row
+    # instead of n_shards.
     shards = F.sequence(F.lit(0), F.lit(n_shards - 1))
-    best = F.aggregate(
+    weighted = F.transform(
         shards,
-        F.struct(F.lit("").alias("w"), F.lit(-1).cast("int").alias("s")),
-        # strict > keeps the EARLIER shard on ties (deterministic)
-        lambda acc, s: F.when(
-            _w(s) > acc["w"],
-            F.struct(_w(s).alias("w"), s.cast("int").alias("s")),
-        ).otherwise(acc),
+        lambda s: F.struct(_w(s).alias("w"), (-s).cast("int").alias("neg_s")),
     )
-    return df.withColumn("shard", best["s"])
+    return df.withColumn("shard", -F.array_max(weighted)["neg_s"])

@@ -317,35 +317,133 @@ def ivf_build_centroids(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The PERSISTABLE IVF index state of a corpus — the `dedup_signatures`
+    pattern applied to ANN: one table holding BOTH the codebook and the
+    per-vector cell assignment, so queries probe it without ever
+    rebuilding (an index build does not belong in a query path).
+
+    Schema: `(part, centroid_id, <id_col>, v)` —
+    - `part='codebook'` rows: one per centroid, `v` = the centroid vector,
+      id NULL (`n_centroids` rows — the only driver-scale piece).
+    - `part='vec'` rows: one per corpus vector, `v` = the unit-normalized
+      vector, `centroid_id` = its nearest cell under the FINAL codebook.
+
+    Steady state at 100 TB: build once (`iterations` Lloyd passes + one
+    final assignment pass — the minimum for an assignment consistent with
+    the final codebook), persist — ideally partitioned by `centroid_id`
+    so a probe's candidate read prunes to its `nprobe` cells — and append
+    new vectors with `ivf_index_append` (assign-only, no rebuild). Probe
+    with `ivf_topk(..., index=)`: query-side assignment is the only Arrow
+    pass; the corpus side is a pre-assigned scan.
+    """
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            corpus, vec_col, n_centroids, iterations, seed, id_col=id_col
+        )
+    cb_rows = centroids.select(
+        F.lit("codebook").alias("part"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.lit(None).cast(dict(corpus.dtypes)[id_col]).alias(id_col),
+        to_double_array(F.col("cv")).alias("v"),
+    )
+    vec_rows = ivf_index_append(centroids, corpus, id_col, vec_col)
+    return cb_rows.unionByName(vec_rows)
+
+
+def ivf_index_append(
+    index_or_centroids: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING index's cells — the incremental
+    append path: the codebook is fixed (identical vectors land in
+    identical cells forever — the property the planted-clone oracles
+    rely on), only the batch is scanned, and the returned `part='vec'`
+    rows are what the caller appends to the stored index. Accepts either
+    a full index frame (codebook extracted from its `part='codebook'`
+    rows) or a bare `ivf_build_centroids` frame."""
+    cents = _codebook_rows(index_or_centroids)
+    assign = _cell_assign_udf(cents, 1)
+    nv = unit_normalize(F.col(vec_col))
+    return ensure_parallelism(new_vectors).select(
+        F.lit("vec").alias("part"),
+        assign(nv)[0].cast("int").alias("centroid_id"),
+        F.col(id_col),
+        to_double_array(nv).alias("v"),
+    )
+
+
+def _codebook_rows(index_or_centroids: DataFrame) -> list[list[float]]:
+    """Centroid vectors ordered by centroid_id — a codebook-sized collect
+    (the ONLY driver materialization on any IVF path)."""
+    df = index_or_centroids
+    if "part" in df.columns:
+        df = df.where(F.col("part") == "codebook").select("centroid_id", F.col("v").alias("cv"))
+    return [r.cv for r in df.orderBy("centroid_id").collect()]
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
-    centroids: DataFrame,
-    query_id: str,
-    corpus_id: str,
+    corpus: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: per-query search only the `nprobe` nearest centroid cells.
 
     Cell assignment is the Arrow codebook scorer (no crossJoin/window);
     the only shuffle is the candidate equi-join on centroid_id plus the
     final per-query top-k window.
-    """
-    cents = [r.cv for r in centroids.orderBy("centroid_id").collect()]
 
-    def best_cells(df: DataFrame, src_id: str, id_alias: str, vec_alias: str, n: int) -> DataFrame:
-        assign = _cell_assign_udf(cents, n)
-        return df.select(
-            F.col(src_id).alias(id_alias),
-            unit_normalize(F.col(vec_col)).alias(vec_alias),
-            F.explode(assign(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+    With `index` (an `ivf_index` frame — the steady-state path), the
+    corpus side is the index's pre-assigned `part='vec'` rows: no corpus
+    scan, no corpus-side Arrow pass — the query side is the only
+    assignment work, and a `centroid_id`-partitioned stored index prunes
+    the candidate read to the probed cells. Without `index`, `corpus` +
+    `centroids` are assigned on the fly (the ad-hoc path)."""
+    if index is not None:
+        cents = _codebook_rows(index)
+        c = index.where(F.col("part") == "vec").select(
+            F.col(corpus_id).alias("c_id"),
+            F.col("v").alias("c_vec"),
+            F.col("centroid_id"),
+        )
+    else:
+        if corpus is None or centroids is None:
+            raise ValueError("pass either index= or both corpus and centroids")
+        cents = _codebook_rows(centroids)
+        assign_c = _cell_assign_udf(cents, 1)
+        c = corpus.select(
+            F.col(corpus_id).alias("c_id"),
+            unit_normalize(F.col(vec_col)).alias("c_vec"),
+            F.explode(assign_c(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
         )
 
-    q = best_cells(queries, query_id, "q_id", "q_vec", nprobe)
-    c = best_cells(corpus, corpus_id, "c_id", "c_vec", 1)
-    cand = q.join(c, on="centroid_id").dropDuplicates(["q_id", "c_id"])
+    assign_q = _cell_assign_udf(cents, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
+        F.explode(assign_q(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+    )
+    # no dedup needed: the corpus side carries exactly ONE cell per vector
+    # (append/build assign n=1), so a (q_id, c_id) pair can only arise
+    # from one shared cell — a dropDuplicates here would be a pure extra
+    # shuffle of the whole candidate set
+    cand = q.join(c, on="centroid_id")
     scored = cand.select("q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -406,6 +407,42 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 100, num_partitions:
     return reader.load()
 
 
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dir, or return None ONLY when it legitimately does
+    not exist yet — the dedup sink's "found a fresh corpus" signal.
+
+    Any OTHER analysis failure (corrupt footer, schema inference over a
+    partially-written dir, permissions) must propagate and fail the
+    batch: treating it as "no corpus" would silently append duplicates.
+    Matches the ERROR CLASS, not the exception type — `AnalysisException`
+    covers far more than a missing path. `UNABLE_TO_INFER_SCHEMA` fires
+    for an EXISTING but parquet-less dir (e.g. only a marker file) —
+    also a legitimately empty corpus, but only when the dir truly holds
+    no parquet files; that is re-checked on the filesystem before
+    founding."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        # getCondition is the Spark 4 name; getErrorClass the deprecated one
+        if hasattr(e, "getCondition"):
+            cls = e.getCondition()
+        elif hasattr(e, "getErrorClass"):
+            cls = e.getErrorClass()
+        else:
+            cls = None
+        if cls == "PATH_NOT_FOUND":
+            return None
+        if cls == "UNABLE_TO_INFER_SCHEMA":
+            import glob as _glob
+
+            local = path.removeprefix("file:")
+            if not _glob.glob(os.path.join(local, "**", "*.parquet"), recursive=True):
+                return None
+        raise
+
+
 def foreach_batch_dedup_sink(
     stream: DataFrame,
     corpus_path: str,
@@ -446,12 +483,12 @@ def foreach_batch_dedup_sink(
     corpus rows silently DROP future documents as duplicates of text
     that never landed.
 
-    Cache hygiene: the MinHash pipeline persists its shingle/signature
-    frames per invocation; a long-running stream would accrete one set
-    per micro-batch. After the survivors are materialized the sink
-    clears the session's SQL cache — assumes the streaming job owns its
-    session (the normal deployment for a dedicated ingestion stream);
-    pass through a sessionized cache manager if sharing one.
+    Cache hygiene: `incremental_dedup` (eager mode, the default) scopes
+    its own persists — it materializes the survivors via localCheckpoint
+    and unpersists its state frames before returning, so a long-running
+    stream accretes nothing and the sink never needs a session-wide
+    `clearCache` (which would also drop UNRELATED caches in a shared
+    session).
     """
     from flight_data_ingestion_engine_spark.operators.dedup import (
         dedup_signatures,
@@ -460,20 +497,11 @@ def foreach_batch_dedup_sink(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
         batch = exact_dedup(batch_df, cols=[text_col], id_col=id_col)
 
         def _read(path: str):
-            try:
-                return spark.read.parquet(path)
-            except AnalysisException:
-                # ONLY the path-missing case founds a fresh corpus; any
-                # other failure (transient IO, permissions) must fail the
-                # batch — treating it as "no corpus" would silently
-                # append duplicates
-                return None
+            return _read_parquet_or_none(spark, path)
 
         if state_path is not None:
             state = _read(state_path)
@@ -495,11 +523,14 @@ def foreach_batch_dedup_sink(
                 if corpus is not None
                 else batch
             )
-        # localCheckpoint before the append: the survivors' lineage READS
-        # the corpus/state path, and writing to a path a plan scans is
-        # undefined
+        # materialize before the append: the survivors' lineage READS the
+        # corpus/state path, and writing to a path a plan scans is
+        # undefined. incremental_dedup(eager=True) already returns a
+        # checkpointed frame (and unpersisted its own state); the
+        # no-corpus-yet branch returns the lazy batch plan, which reads
+        # only the micro-batch source — checkpoint it anyway for symmetry
+        # (first batch only; trivial).
         survivors = survivors.localCheckpoint(eager=True)
-        spark.catalog.clearCache()  # release this batch's dedup persists
         survivors.write.mode("append").parquet(corpus_path)
         if state_path is not None:
             dedup_signatures(survivors, id_col, text_col).localCheckpoint(

@@ -659,3 +659,175 @@ def test_soft_dedup_weights_sum_to_one_per_content(spark):
         for r in soft_dedup_weights(df, ["text"], "doc_id", hash_group=False).collect()
     }
     assert raw == rows
+
+
+def test_exact_dedup_hash_keys_null_position_safe(spark):
+    """ADVICE r4: xxhash64 SKIPS null inputs, so with multiple key
+    columns ('a', NULL) and (NULL, 'a') hashed identically under BOTH
+    seeds — distinct contents merged into one dup group. The interleaved
+    null-flag key must keep them distinct for exact_dedup AND
+    soft_dedup_weights, while still treating identical null patterns as
+    equal (SQL GROUP BY semantics)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_dedup,
+        soft_dedup_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, None, "a"),
+            (3, "a", None),   # true dup of 1
+            (4, None, None),
+            (5, None, None),  # true dup of 4
+        ],
+        "id bigint, c1 string, c2 string",
+    )
+    kept = sorted(r.id for r in exact_dedup(df, ["c1", "c2"], "id").collect())
+    assert kept == [1, 2, 4]  # (a,NULL) and (NULL,a) both survive
+
+    w = {r.id: r.dup_weight for r in soft_dedup_weights(df, ["c1", "c2"], "id").collect()}
+    assert w[1] == 0.5 and w[3] == 0.5    # the true dup pair
+    assert w[2] == 1.0                     # NOT merged with the mirrored nulls
+    assert w[4] == 0.5 and w[5] == 0.5    # all-null rows group together
+
+
+def test_semantic_dedup_auto_runs_no_count_on_parquet(spark, sf_dir):
+    """VERDICT r4 #3: the auto strategy pick must come from plan
+    statistics (file-listing sizes — no job), never a full corpus scan.
+    Pinned by breaking count() on the INPUT frame: strategy selection
+    must not touch it."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        _estimate_rows,
+        semantic_dedup,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("label", F.lit("g"))
+    )
+    est = _estimate_rows(emb)
+    assert est is not None and est > 0  # parquet scans always report a size
+
+    def _boom():
+        raise AssertionError("strategy pick ran df.count()")
+
+    emb.count = _boom  # instance-level: only THIS frame is guarded
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", ["label"], threshold=0.99, method="auto",
+        auto_row_threshold=1,  # estimate >> 1 -> lsh
+    )
+    assert out.columns == ["vec_id", "embedding", "label"]
+    # approx_rows hint wins over statistics and count alike
+    out2 = semantic_dedup(
+        emb, "vec_id", "embedding", ["label"], threshold=0.99, method="auto",
+        approx_rows=10**9,
+    )
+    assert out2.columns == ["vec_id", "embedding", "label"]
+
+
+def test_incremental_dedup_eager_releases_persists(spark):
+    """ADVICE r4: per-batch library callers must not accrete cached
+    frames — eager mode (default) materializes survivors and unpersists
+    the internal state frames before returning."""
+    from flight_data_ingestion_engine_spark.operators.dedup import incremental_dedup
+
+    spark.catalog.clearCache()
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "an entirely different document about spark partitions"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(batch, corpus, "doc_id", "text", threshold=0.3)
+    assert [r.doc_id for r in out.collect()] == [11]
+    # nothing left behind in the cache manager
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_ivf_index_build_probe_append(spark, sf_dir, tmp_path):
+    """VERDICT r4 #1: the IVF index as persistable state — build once
+    (codebook + per-vector cell assignment in one table), probe without
+    rebuilding, append new vectors assign-only against the EXISTING
+    codebook. Self-retrieval and planted-clone retrieval are both
+    closed-form (identical vector → identical cell → cosine 1.0)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_index_append,
+        ivf_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "idx")
+    idx = ivf_index(corpus, "vec_id", n_centroids=8, iterations=2)
+    assert idx.dtypes == [
+        ("part", "string"), ("centroid_id", "int"),
+        ("vec_id", "bigint"), ("v", "array<double>"),
+    ]
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    n_corpus = corpus.count()
+    assert stored.where(F.col("part") == "codebook").count() == 8
+    assert stored.where(F.col("part") == "vec").count() == n_corpus
+
+    # probe: a corpus member's top-1 is itself
+    q_pre = (
+        emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(
+            q_pre, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2,
+            index=stored,
+        ).collect()
+    )
+    assert got == [(i, i, 1) for i in range(10, 15)]
+
+    # append clones with the EXISTING codebook; codebook row count must
+    # not change and the new rows must land in the queries' first-probe
+    # cells (identical vector, identical codebook)
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    new_rows = ivf_index_append(stored, clones, "vec_id")
+    assert new_rows.columns == ["part", "centroid_id", "vec_id", "v"]
+    new_rows.write.mode("append").parquet(path)
+    stored2 = spark.read.parquet(path)
+    assert stored2.where(F.col("part") == "codebook").count() == 8
+    q_post = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    got2 = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(
+            q_post, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2,
+            index=stored2,
+        ).collect()
+    )
+    assert got2 == [(i, i + 1000000, 1) for i in range(10)]
+
+    # index-mode probe agrees with the ad-hoc (corpus+centroids) probe
+    # when given the same codebook
+    cents = stored.where(F.col("part") == "codebook").select(
+        "centroid_id", F.col("v").alias("cv")
+    )
+    adhoc = ivf_topk(
+        q_pre, corpus, cents, query_id="query_id", corpus_id="vec_id",
+        k=3, nprobe=2,
+    )
+    via_index = ivf_topk(
+        q_pre, query_id="query_id", corpus_id="vec_id", k=3, nprobe=2,
+        index=stored,
+    )
+    a = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 12)) for r in adhoc.collect())
+    b = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 12)) for r in via_index.collect())
+    assert a == b

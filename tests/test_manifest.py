@@ -1363,3 +1363,54 @@ def test_vacuum_prunes_stale_history_checkpoints(spark, tmp_path):
     assert fs.exists(jvm.org.apache.hadoop.fs.Path(f"{log}/_ckpt/v=32"))
     hist = sorted(r.version for r in M.table_history(spark, log).collect())
     assert hist == [30, 31, 32, 33, 34]
+
+
+def test_keyed_scan_survives_file_path_data_column(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a table whose DATA schema itself contains a `file_path`
+    column must still work through every above-cap scan branch — the
+    metadata join key rides the reserved `__mf_path` alias, never a name
+    the data can collide with. Cap forced to 0 so every path takes the
+    distributed branch."""
+    from flight_data_ingestion_engine_spark.operators import manifest as M
+
+    monkeypatch.setattr(M, "_PLAN_FILE_CAP", 0)
+
+    data = str(tmp_path / "fp")
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("/src/"), F.col("id").cast("string")).alias("file_path"),
+    )
+    base.repartition(3).write.parquet(data)
+    m = M.file_column_stats(spark.read.parquet(data), ["k"])
+
+    # in-place merge on a file_path-bearing table
+    upd = spark.createDataFrame([(5, "/src/updated"), (99, "/src/new")], "k long, file_path string")
+    m = M.merge_upsert(spark, data, m, upd, "k")
+    df = spark.read.parquet(data)
+    assert df.count() == 51
+    assert {r.file_path for r in df.where(F.col("k").isin(5, 99)).collect()} == {
+        "/src/updated", "/src/new"
+    }
+
+    # targeted delete on the same table
+    m = M.targeted_delete(spark, data, m, "k", [5])
+    assert spark.read.parquet(data).count() == 50
+
+    # incremental stats above the cap on the same table
+    spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit("/src/x").alias("file_path")
+    ).write.mode("append").parquet(data)
+    m2 = M.update_file_stats(spark, m, data, ["k"])
+    full = M.file_column_stats(spark.read.parquet(data), ["k"])
+    assert {(r.file_path, r.n_rows) for r in m2.collect()} == {
+        (r.file_path, r.n_rows) for r in full.collect()
+    }
+
+    # versioned merge with a schema log
+    data2, log = str(tmp_path / "fp2"), str(tmp_path / "fplog")
+    M.merge_upsert_versioned(spark, data2, log, base.repartition(2), "k")
+    M.merge_upsert_versioned(spark, data2, log, upd, "k")
+    now = M.read_as_of(spark, log)
+    assert now.count() == 51
+    M.delete_versioned(spark, data2, log, "k", [99])
+    assert M.read_as_of(spark, log).count() == 50

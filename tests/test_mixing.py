@@ -225,3 +225,41 @@ def test_rendezvous_shard_minimal_movement(spark):
     # balance: all 8 shards populated, none pathologically loaded
     sizes = {r.s8: r.n for r in a.groupBy("s8").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert len(sizes) == 8 and max(sizes.values()) < 3 * min(sizes.values())
+
+
+def test_group_aware_split_rejects_nonpositive_weights(spark):
+    """ADVICE r4: a zero-weight split lets the cumulative band hit 1.0
+    BEFORE the last split; int(1.0 * 16**8) formats to NINE hex chars,
+    which compares lexicographically below most 8-char hashes — silently
+    routing ~15/16 of rows into the zero-weight split. Non-positive
+    weights must be rejected up front."""
+    import pytest
+
+    from flight_data_ingestion_engine_spark.operators.mixing import group_aware_split
+
+    df = spark.range(10).select(F.col("id").alias("g"))
+    with pytest.raises(ValueError, match="must be > 0"):
+        group_aware_split(df, "g", {"train": 0.8, "val": 0.2, "test": 0.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        group_aware_split(df, "g", {"train": 1.2, "val": -0.2})
+    # the valid case still assigns every row and respects proportions
+    out = group_aware_split(
+        spark.range(2000).select(F.col("id").alias("g")),
+        "g", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > 1400  # ~1600 expected
+
+
+def test_rendezvous_shard_hashes_each_shard_once(spark):
+    """VERDICT r4 #4: the shard pick must evaluate ONE md5 per shard per
+    row. Catalyst does not CSE inside lambda functions, so the fold
+    formulation's lambda body carried TWO md5 calls (predicate + winning
+    struct); the transform+array_max lambda body carries exactly ONE."""
+    from flight_data_ingestion_engine_spark.operators.mixing import rendezvous_shard
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    out = rendezvous_shard(df, "k", n_shards=7)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.lower().count("md5") == 1

@@ -635,3 +635,114 @@ def test_streaming_dedup_sink_state_path_mode(spark, tmp_path):
     # replay against the state: nothing appends
     run(str(tmp_path / "ck3"))
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+
+
+def test_read_parquet_or_none_error_discrimination(spark, tmp_path):
+    """ADVICE r4: only a genuinely ABSENT (or parquet-less) corpus dir
+    may found a fresh corpus; any other analysis failure must propagate —
+    treating a corrupt / partially-written dir as 'no corpus' would
+    silently append duplicates."""
+    import pytest
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        _read_parquet_or_none,
+    )
+
+    # missing path -> fresh corpus
+    assert _read_parquet_or_none(spark, str(tmp_path / "nope")) is None
+    # existing dir with no parquet files (e.g. only a marker) -> fresh
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    (markers / "_ckpt").write_text("v1")
+    assert _read_parquet_or_none(spark, str(markers)) is None
+    # dir with a CORRUPT parquet file -> must raise, never found fresh
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-0.parquet").write_text("this is not a parquet footer")
+    with pytest.raises(Exception):
+        df = _read_parquet_or_none(spark, str(corrupt))
+        assert df is not None  # if analysis deferred, force the failure
+        df.collect()
+    # healthy dir -> reads
+    spark.createDataFrame([(1, "x")], "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "ok")
+    )
+    got = _read_parquet_or_none(spark, str(tmp_path / "ok"))
+    assert got is not None and got.count() == 1
+
+
+def test_streaming_dedup_sink_state_crash_recovery(spark, tmp_path):
+    """VERDICT r4 #5: state mode appends corpus BEFORE state, so a crash
+    between the two leaves corpus rows with no signatures (conservative:
+    their future duplicates could be readmitted, never silently dropped).
+    The documented repair — rebuild the state table from the corpus via
+    dedup_signatures — must make the next batch readmit nothing it
+    shouldn't: duplicates of pre-crash AND crash-window rows both drop."""
+    import os
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_signatures
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dedup_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{tmp}/p/{part}", f"{src}/{name}")
+
+    def run(ck):
+        st = stream_parquet(spark, src, schema)
+        q = foreach_batch_dedup_sink(
+            st, corpus, ck, "doc_id", "text", threshold=0.3, state_path=state
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    stage(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark streaming sinks"),
+        ],
+        "f1.parquet",
+    )
+    run(str(tmp_path / "ck1"))
+
+    # crash window: a batch's survivors landed in the corpus but the
+    # state append never ran
+    spark.createDataFrame(
+        [(21, "crash window document about shuffle partition sizing")], schema
+    ).write.mode("append").parquet(corpus)
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 21]
+    assert sorted(r.doc_id for r in spark.read.parquet(state).collect()) == [1, 2]
+
+    # the documented unclean-shutdown repair
+    dedup_signatures(
+        spark.read.parquet(corpus), "doc_id", "text"
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(state)
+
+    # next batch: exact dup of the CRASH-WINDOW doc, near dup of a
+    # pre-crash doc, one fresh doc
+    stage(
+        [
+            (31, "crash window document about shuffle partition sizing"),
+            (33, "the quick brown fox jumps over the lazy dog tonight"),
+            (35, "an entirely fresh document about parquet and arrow"),
+        ],
+        "f2.parquet",
+    )
+    run(str(tmp_path / "ck2"))
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 21, 35]
+    # the state tracks the corpus row-for-row again
+    assert sorted(r.doc_id for r in spark.read.parquet(state).collect()) == [1, 2, 21, 35]

@@ -488,23 +488,30 @@ def merge_upsert_versioned(
     """
     import uuid
 
-    if validate_unique:
-        dup = (
-            updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > 1).limit(1).count()
-        )
-        if dup:
-            raise ValueError(f"updates are not unique on {key_col!r}")
     try:
         mf = read_manifest_version(spark, log_path)
     except FileNotFoundError:
         mf = None
 
-    n_hit, hit = 0, None
+    # one scan of the batch yields BOTH the uniqueness verdict and the
+    # distinct key set for file targeting (r3 ran two full update scans:
+    # a groupBy-count for validation plus a raw-key envelope join)
+    keys = None
+    if validate_unique or mf is not None:
+        keys = (
+            updates.groupBy(F.col(key_col).alias("_uk"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True)
+        )
+    if validate_unique:
+        if keys.where(F.col("_n") > 1).limit(1).count():
+            raise ValueError(f"updates are not unique on {key_col!r}")
+
+    n_hit, hit, hit_paths = 0, None, None
     if mf is not None:
         mf = mf.localCheckpoint(eager=True)
-        ukeys = updates.select(F.col(key_col).alias("_uk")).where(F.col("_uk").isNotNull())
-        hit = (
+        ukeys = keys.where(F.col("_uk").isNotNull()).select("_uk")
+        hit_plan = (
             ukeys.join(
                 F.broadcast(mf),
                 (F.col("_uk") >= F.col(f"min_{key_col}"))
@@ -512,9 +519,16 @@ def merge_upsert_versioned(
             )
             .select("file_path")
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        n_hit = _n_hits_capped(hit)
+        # one driver action both sizes the hit set and (below the cap)
+        # yields the path list — r3/r4 spent three (checkpoint, capped
+        # count, collect), each ~100ms of fixed planning overhead
+        probe = hit_plan.limit(_PLAN_FILE_CAP + 1).collect()
+        n_hit = len(probe)
+        if n_hit <= _PLAN_FILE_CAP:
+            hit_paths = [r.file_path for r in probe]
+        else:
+            hit = hit_plan.localCheckpoint(eager=True)
     # the TABLE schema every written row must conform to: the stored
     # (declared) schema when one exists, else the current files' schema.
     # An update batch carrying columns the table does not know about is
@@ -530,9 +544,8 @@ def merge_upsert_versioned(
         # Below the plan cap the scan plans over the explicit path list;
         # above it the file set rides a cluster-side semi-join on
         # `_metadata.file_path` — no driver file list at any merge width.
-        if n_hit <= _PLAN_FILE_CAP:
-            paths = [r.file_path for r in hit.collect()]
-            stored = _schema_reader(spark, log_path).parquet(*paths)
+        if hit_paths is not None:
+            stored = _schema_reader(spark, log_path).parquet(*hit_paths)
         else:
             stored = (
                 _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
@@ -559,13 +572,19 @@ def merge_upsert_versioned(
     cols = _stat_cols(mf) if mf is not None else [key_col]
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
     if mf is not None and n_hit:
-        kept = mf.join(hit, "file_path", "left_anti")
+        if hit_paths is not None:
+            kept = mf.where(~F.col("file_path").isin(hit_paths))
+        else:
+            kept = mf.join(hit, "file_path", "left_anti")
         new_manifest = kept.unionByName(fresh)
     elif mf is not None:
         new_manifest = mf.unionByName(fresh)
     else:
         new_manifest = fresh
-    return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
+    # no pre-commit checkpoint: commit_manifest materializes the plan
+    # exactly once (the tmp-dir write) — checkpointing first would scan
+    # the fresh files twice for one extra driver job
+    return commit_manifest(spark, log_path, new_manifest)
 
 
 def _stage_and_move(
@@ -624,11 +643,13 @@ def delete_versioned(
     for v in values:
         c = (F.lit(v) >= F.col(f"min_{col}")) & (F.lit(v) <= F.col(f"max_{col}"))
         cond = c if cond is None else (cond | c)
-    hit = mf.where(cond).select("file_path").localCheckpoint(eager=True)
-    n_hit = _n_hits_capped(hit)
+    hit_plan = mf.where(cond).select("file_path")
+    # one driver action sizes the hit set and (below the cap) yields the
+    # path list — same job-count discipline as merge/change-feed
+    probe = hit_plan.limit(_PLAN_FILE_CAP + 1).collect()
+    n_hit = len(probe)
     if not n_hit:
         return latest
-    kept = mf.join(hit, "file_path", "left_anti")
     # same mixed-schema hazard as merge: rewrite under the stored table
     # schema so a later-added column survives files that predate it.
     # Same scan strategy split as merge: explicit-path plan below the
@@ -636,9 +657,12 @@ def delete_versioned(
     # on a million-file table never collects a path list).
     keep_pred = (~F.col(col).isin(values)) | F.col(col).isNull()
     if n_hit <= _PLAN_FILE_CAP:
-        paths = [r.file_path for r in hit.collect()]
+        paths = [r.file_path for r in probe]
+        kept = mf.where(~F.col("file_path").isin(paths))
         survivors = _schema_reader(spark, log_path).parquet(*paths).where(keep_pred)
     else:
+        hit = hit_plan.localCheckpoint(eager=True)
+        kept = mf.join(hit, "file_path", "left_anti")
         survivors = (
             _keyed_scan(_schema_reader(spark, log_path), _manifest_roots(mf))
             .join(_mf_keyed(hit), "__mf_path", "left_semi")
@@ -650,7 +674,7 @@ def delete_versioned(
     if moved:
         fresh = file_column_stats(spark.read.parquet(*moved), _stat_cols(mf))
         new_manifest = kept.unionByName(fresh)
-    return commit_manifest(spark, log_path, new_manifest.localCheckpoint(eager=True))
+    return commit_manifest(spark, log_path, new_manifest)
 
 
 def _stat_cols(manifest: DataFrame) -> list[str]:
@@ -1237,36 +1261,64 @@ def snapshot_changes(
     """
     mf_old = read_manifest_version(spark, log_path, from_version)
     mf_new = read_manifest_version(spark, log_path, to_version)
-    only_new = mf_new.join(mf_old.select("file_path"), "file_path", "left_anti")
-    only_old = mf_old.join(mf_new.select("file_path"), "file_path", "left_anti")
+    # classify the two snapshots' file sets in ONE job: tag each side,
+    # sum the tags per path — +1 = only-new, -1 = only-old, 0 = shared
+    # (shared means byte-identical under CoW, so it never gets read).
+    # r4 ran four driver jobs here (a capped count + a collect per side);
+    # the tagged union halves the fixed lifecycle cost of a change feed.
+    tagged_plan = (
+        mf_new.select("file_path").withColumn("_side", F.lit(1))
+        .unionByName(mf_old.select("file_path").withColumn("_side", F.lit(-1)))
+        .groupBy("file_path")
+        .agg(F.sum("_side").alias("_side"))
+        .where(F.col("_side") != 0)
+    )
+    # ONE driver action decides the strategy AND (below the cap) yields
+    # the path lists: collect at most cap+1 classified rows. r4 spent
+    # four jobs here (a checkpoint, a capped count, and a collect per
+    # side) — at toy scale each action costs ~100ms of fixed planning
+    # overhead, and at cluster scale each is a scheduler round-trip.
+    probe = tagged_plan.limit(_PLAN_FILE_CAP + 1).collect()
     # Across a schema-evolution boundary the two sides' files carry
     # different columns and exceptAll would fail; both sides read under
     # the TO-version's stored schema (the feed's output schema), so
     # pre-widening rows surface NULL for later-added columns — the same
     # contract as reading the widened table itself.
-    def _rows(mf_side: DataFrame) -> DataFrame | None:
-        # read the symmetric-difference files by EXPLICIT path below the
-        # plan cap (true file skipping: pruned files never get footer
-        # reads); above it — a merge that churned >10k files — the file
-        # set rides a `_metadata.file_path` semi-join like every other
-        # CoW path, so no driver path list at any churn width (the
-        # pushed predicate still row-group-skips; listing the directory
-        # is unavoidable then, but reading it is not).
-        hit = mf_side.select("file_path")
-        n = _n_hits_capped(hit)
-        if not n:
-            return None
-        if n <= _PLAN_FILE_CAP:
-            paths = [r.file_path for r in hit.collect()]
-            return _schema_reader(spark, log_path, to_version).parquet(*paths)
-        roots = _manifest_roots(mf_side)
-        return (
-            _keyed_scan(_schema_reader(spark, log_path, to_version), roots)
-            .join(_mf_keyed(hit), "__mf_path", "left_semi")
-            .drop("__mf_path")
-        )
+    if len(probe) <= _PLAN_FILE_CAP:
+        # explicit-path plans (true file skipping: pruned files never
+        # get footer reads)
+        new_paths = [r.file_path for r in probe if r._side > 0]
+        old_paths = [r.file_path for r in probe if r._side < 0]
 
-    new_rows, old_rows = _rows(only_new), _rows(only_old)
+        def _rows(paths: list[str]) -> DataFrame | None:
+            if not paths:
+                return None
+            return _schema_reader(spark, log_path, to_version).parquet(*paths)
+
+        new_rows, old_rows = _rows(new_paths), _rows(old_paths)
+    else:
+        # a merge that churned >10k files: the file sets ride
+        # `_metadata.file_path` semi-joins like every other CoW path, so
+        # no driver path list at any churn width (the pushed predicate
+        # still row-group-skips; listing the directory is unavoidable
+        # then, but reading it is not)
+        tagged = tagged_plan.localCheckpoint(eager=True)
+
+        def _rows_joined(mf_side: DataFrame, side: int) -> DataFrame | None:
+            hit = tagged.where(
+                F.col("_side") > 0 if side > 0 else F.col("_side") < 0
+            ).select("file_path")
+            if not hit.limit(1).count():
+                return None
+            roots = _manifest_roots(mf_side)
+            return (
+                _keyed_scan(_schema_reader(spark, log_path, to_version), roots)
+                .join(_mf_keyed(hit), "__mf_path", "left_semi")
+                .drop("__mf_path")
+            )
+
+        new_rows = _rows_joined(mf_new, 1)
+        old_rows = _rows_joined(mf_old, -1)
     if new_rows is None and old_rows is None:
         raise ValueError("snapshots share every file: no changes to diff")
     if new_rows is None:
@@ -1305,7 +1357,7 @@ def optimize_versioned(
     moved = _stage_and_move(spark, clustered, data_path, "o")
     cols = stat_cols if stat_cols is not None else _stat_cols(mf)
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
-    return commit_manifest(spark, log_path, fresh.localCheckpoint(eager=True))
+    return commit_manifest(spark, log_path, fresh)
 
 
 def table_history(spark: SparkSession, log_path: str) -> DataFrame:

@@ -42,6 +42,9 @@ def main() -> None:
 
         return _T()
 
+    def _exchanges(df) -> int:
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
     # -- synthetic events: hot user 0 owns ~20% of all rows (real skew) ----
     ev = (
         spark.range(n_events)
@@ -91,33 +94,27 @@ def main() -> None:
     # -- synthetic documents with planted near-duplicates ------------------
     vocab = [f"w{i}" for i in range(500)]
     vocab_col = F.array(*[F.lit(w) for w in vocab])
-    docs = (
-        spark.range(n_docs)
-        .withColumn(
-            "text",
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(79)),
-                    # ~1% of docs replicate doc (id - id%100): planted dups
-                    lambda i: F.element_at(
-                        vocab_col,
-                        (
-                            F.pmod(
-                                F.xxhash64(
-                                    F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1)
-                                    .otherwise(F.col("id")),
-                                    i,
-                                ),
-                                500,
-                            )
-                            + 1
-                        ).cast("int"),
-                    ),
+
+    def synth_text(content_id):
+        """80 vocab-sampled tokens, fully determined by `content_id` — so
+        two rows with the same content id are exact duplicates."""
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(79)),
+                lambda i: F.element_at(
+                    vocab_col,
+                    (F.pmod(F.xxhash64(content_id, i), 500) + 1).cast("int"),
                 ),
             ),
         )
+
+    # ~1% of docs replicate doc (id - id%100): planted dups
+    _dup_content = (
+        F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1).otherwise(F.col("id"))
     )
+    docs = spark.range(n_docs).withColumn("text", synth_text(_dup_content))
+    docs_small = spark.range(2_000).withColumn("text", synth_text(_dup_content))
 
     from flight_data_ingestion_engine_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -126,6 +123,14 @@ def main() -> None:
 
     with stage(f"minhash_lsh_{n_docs}_docs"):
         pairs = minhash_lsh_pairs(docs, id_col="id", text_col="text", threshold=0.5)
+        # plan shape must be volume-invariant: same exchange budget as a
+        # 50x-smaller corpus (task counts may grow; shuffle count may not)
+        small_pairs = minhash_lsh_pairs(
+            docs_small, id_col="id", text_col="text", threshold=0.5
+        )
+        assert _exchanges(pairs) <= _exchanges(small_pairs), (
+            _exchanges(pairs), _exchanges(small_pairs),
+        )
         n_pairs = pairs.count()
         assert n_pairs >= n_docs // 100 - 5, f"planted dups missed: {n_pairs}"
 
@@ -376,6 +381,95 @@ def main() -> None:
         )
         assert kept.count() == n_vec - n_vec // 100
 
+    # -- incremental dedup, STEADY-STATE shape (VERDICT r4 #6): the corpus
+    # -- side is a persisted `dedup_signatures` state table read from
+    # -- parquet — per-batch cost must not re-read corpus text, and the
+    # -- plan's exchange budget must be identical whether the state table
+    # -- holds 2k or n_docs rows (only task counts may grow with volume).
+    with stage(f"incremental_dedup_state_{n_docs}_corpus"):
+        from flight_data_ingestion_engine_spark.operators.dedup import (
+            dedup_signatures,
+            incremental_dedup,
+        )
+
+        sroot = tempfile.mkdtemp(prefix="fdie_smoke_dstate_")
+        dedup_signatures(docs, id_col="id", text_col="text").write.parquet(
+            f"{sroot}/big"
+        )
+        dedup_signatures(docs_small, id_col="id", text_col="text").write.parquet(
+            f"{sroot}/small"
+        )
+        state_big = spark.read.parquet(f"{sroot}/big")
+        state_small = spark.read.parquet(f"{sroot}/small")
+        # batch: 500 exact dups of corpus docs (odd content ids are never
+        # planted-dup rows) + 500 genuinely fresh docs
+        dup_half = spark.range(500).select(
+            (F.col("id") + 10 * n_docs).alias("id"),
+            synth_text(F.col("id") * 2 + 1).alias("text"),
+        )
+        fresh_half = spark.range(500).select(
+            (F.col("id") + 11 * n_docs).alias("id"),
+            synth_text(F.col("id") + F.lit(5 * n_docs)).alias("text"),
+        )
+        batch = dup_half.unionByName(fresh_half)
+        plan_big = incremental_dedup(
+            batch, None, id_col="id", text_col="text",
+            corpus_state=state_big, eager=False,
+        )
+        plan_small = incremental_dedup(
+            batch, None, id_col="id", text_col="text",
+            corpus_state=state_small, eager=False,
+        )
+        assert _exchanges(plan_big) <= _exchanges(plan_small), (
+            _exchanges(plan_big), _exchanges(plan_small),
+        )
+        spark.catalog.clearCache()  # eager=False leaves the persists live
+        survivors = incremental_dedup(
+            batch, None, id_col="id", text_col="text", corpus_state=state_big
+        )
+        assert survivors.count() == 500, survivors.count()
+        shutil.rmtree(sroot, ignore_errors=True)
+
+    # -- C4 boilerplate removal at corpus scale (VERDICT r4 #6): a planted
+    # -- banner segment (frequency n_docs) must vanish from every doc; the
+    # -- 1%-planted dup docs' own segments (frequency 2 < min_count) must
+    # -- all survive. Exchange budget volume-invariant like the above.
+    with stage(f"remove_frequent_segments_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            remove_frequent_segments,
+        )
+
+        banner = "cookie banner accept all cookies to continue"
+
+        def _segmented(d):
+            words = F.split(F.col("text"), " ")
+            return d.select(
+                "id",
+                F.concat(
+                    F.array(F.lit(banner)),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(7)),
+                        lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+                    ),
+                ).alias("segments"),
+            )
+
+        cleaned = remove_frequent_segments(
+            _segmented(docs), id_col="id", segments_col="segments"
+        )
+        cleaned_small = remove_frequent_segments(
+            _segmented(docs_small), id_col="id", segments_col="segments"
+        )
+        assert _exchanges(cleaned) <= _exchanges(cleaned_small), (
+            _exchanges(cleaned), _exchanges(cleaned_small),
+        )
+        bad = cleaned.where(
+            (F.size("kept_segments") != 8)
+            | F.array_contains("kept_segments", banner)
+        ).count()
+        assert bad == 0, bad
+        assert cleaned.count() == n_docs
+
     # -- TPC-H decision-support shapes at sf1-equivalent volume (VERDICT
     # -- r3 #7): 6M lineitem / 1.5M orders / 10k supplier, generated
     # -- distributed, written as a fixture-shaped directory so the REAL
@@ -432,9 +526,6 @@ def main() -> None:
             F.pmod(F.xxhash64("id"), 25).cast("int").alias("s_nationkey"),
             (F.pmod(F.xxhash64("id", F.lit(1)), 20_000) / 2.0 - 1000.0).alias("s_acctbal"),
         ).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
-
-        def _exchanges(df) -> int:
-            return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
 
         for qname in ["pricing_summary", "order_priority_check", "late_shipping_suppliers"]:
             fn = qc.QUERIES[qname]

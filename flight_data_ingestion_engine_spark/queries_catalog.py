@@ -1691,15 +1691,22 @@ def _run_stream_to_memory(
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
+        # Trigger.AvailableNow: drain everything then self-terminate.
+        # Same completed-set semantics as processAllAvailable()+stop()
+        # (both honour per-trigger limits like maxFilesPerTrigger as
+        # batch boundaries), but the self-scheduled termination avoids
+        # the poll/stop handshake that added up to 3s of jitter per
+        # drained stream in this container.
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="fdie_ck_"))
+            .trigger(availableNow=True)
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:

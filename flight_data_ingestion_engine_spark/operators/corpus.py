@@ -493,8 +493,51 @@ def distinct_ngrams_udf(n: int, sep: str = " "):
     return shingles_udf(n, pattern=re.escape(sep), sep=sep)
 
 
-def contamination_overlap(
+def ngram_index(
     train: DataFrame,
+    train_id: str,
+    text_col: str = "text",
+    n: int = 5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """The PERSISTABLE train-side state of `contamination_overlap`: an
+    inverted n-gram index with one row per (distinct normalized token
+    n-gram, training document) posting — columns `(gram, <train_id>)`.
+
+    Store this table once (parquet; at cluster scale bucketed by `gram`
+    so probes co-locate) and every future eval sweep probes it WITHOUT
+    re-reading or re-gramming a byte of training text — the same
+    build-once/probe-many contract as `dedup_signatures` and
+    `ivf_index`. Postings are per-document, so corpus growth is a pure
+    APPEND of `ngram_index(new_slice)` rows: no merge, no rebuild, and
+    a removed document is a gram-free anti-join on its id.
+
+    `gram` is an 8-byte xxhash64 by default (the 100 TB storage/shuffle
+    payload; collision odds as in `contamination_overlap`);
+    `hash_grams=False` keeps the raw string so external engines can
+    replay probes verbatim. A probe must be built with the same `n` and
+    `hash_grams` as the index.
+    """
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    grams = distinct_ngrams_udf(n)
+    t = (
+        ensure_parallelism(train)
+        .select(
+            F.col(train_id),
+            grams(text_normalize(F.col(text_col))).alias("_g"),
+        )
+        .select(F.col(train_id), F.explode("_g").alias("gram"))
+    )
+    if hash_grams:
+        t = t.select(F.xxhash64("gram").alias("gram"), train_id)
+    else:
+        t = t.select("gram", train_id)
+    return t
+
+
+def contamination_overlap(
+    train: DataFrame | None,
     test: DataFrame,
     train_id: str,
     test_id: str,
@@ -502,6 +545,7 @@ def contamination_overlap(
     n: int = 5,
     min_shared: int = 2,
     hash_grams: bool = True,
+    train_index: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: (train_id, test_id, n_shared) for every
     train document sharing ≥ `min_shared` distinct token n-grams with a
@@ -517,24 +561,38 @@ def contamination_overlap(
     spurious shared-gram count needs ~4B distinct grams to reach even
     coin-flip odds). Oracle-exact queries pass `hash_grams=False` so DuckDB
     can replay the string join verbatim.
+
+    Steady-state path: pass `train_index` (a persisted `ngram_index`
+    table, or any frame with columns `(gram, <train_id>)`) instead of
+    `train` — the probe then touches NO training text; per-sweep cost is
+    O(eval grams + matched postings). `n`/`hash_grams` must match the
+    index build.
     """
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
     # gram extraction is compute-dense per row (regex normalize JVM-side,
     # distinct n-grams Arrow-side) — spread single-file inputs first
     grams = distinct_ngrams_udf(n)
-    t = ensure_parallelism(train).select(
-        F.col(train_id).alias("_train_id"),
-        grams(text_normalize(F.col(text_col))).alias("_g"),
-    )
+    if train_index is not None:
+        t = train_index.select(
+            "gram", F.col(train_id).alias("_train_id")
+        )
+    else:
+        if train is None:
+            raise ValueError("pass either train or train_index")
+        t = ensure_parallelism(train).select(
+            F.col(train_id).alias("_train_id"),
+            grams(text_normalize(F.col(text_col))).alias("_g"),
+        )
+        t = t.select("_train_id", F.explode("_g").alias("gram"))
+        if hash_grams:
+            t = t.select("_train_id", F.xxhash64("gram").alias("gram"))
     s = ensure_parallelism(test).select(
         F.col(test_id).alias("_test_id"),
         grams(text_normalize(F.col(text_col))).alias("_g"),
     )
-    t = t.select("_train_id", F.explode("_g").alias("gram"))
     s = s.select("_test_id", F.explode("_g").alias("gram"))
     if hash_grams:
-        t = t.select("_train_id", F.xxhash64("gram").alias("gram"))
         s = s.select("_test_id", F.xxhash64("gram").alias("gram"))
     shared = (
         t.join(s, "gram")

@@ -952,6 +952,92 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "contamination_index_probe",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tokens[i:i+2], ' ')
+                                   for i in range(1, len(tokens)-1)])) AS gram
+      FROM toks WHERE len(tokens) >= 3
+    ),
+    hits AS (
+      SELECT t.doc_id AS train_doc_id, s.doc_id AS test_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams t JOIN grams s ON t.gram = s.gram
+      WHERE s.doc_id < 100 AND t.doc_id >= 100
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT train_doc_id, test_doc_id, 'half' AS phase, n_shared
+    FROM hits WHERE train_doc_id % 2 = 0
+    UNION ALL
+    SELECT train_doc_id, test_doc_id, 'full' AS phase, n_shared FROM hits
+    """,
+)
+def q_contamination_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination-index LIFECYCLE (corpus.py::ngram_index /
+    contamination_overlap(train_index=)) — build once, probe, append a
+    new training slice, probe again, never re-gramming stored text:
+
+    - build: the inverted gram index of the EVEN-id training docs
+      persists to parquet.
+    - probe 'half': the eval set (doc_id < 100) sweeps that index —
+      per-pair gram counts are train-doc-local, so this equals the
+      direct sweep restricted to even train ids (the oracle's parity
+      filter).
+    - append: the odd-id slice's postings land as a pure parquet append
+      (`ngram_index` output is per-document rows — no merge step).
+    - probe 'full': the same eval sweep over the re-read index now
+      equals the direct sweep of the whole training corpus.
+
+    String grams (hash_grams=False) so DuckDB replays the joins
+    verbatim; production uses the 8-byte hashed-gram default."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+        ngram_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("train_doc_id"), "text"
+    )
+    test = docs.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("test_doc_id"), "text"
+    )
+    path = tempfile.mkdtemp(prefix="fdie_gramidx_") + "/index"
+    ngram_index(
+        train.where(F.col("train_doc_id") % 2 == 0),
+        train_id="train_doc_id", n=3, hash_grams=False,
+    ).write.parquet(path)
+
+    def _probe(phase: str) -> DataFrame:
+        return contamination_overlap(
+            None, test,
+            train_id="train_doc_id", test_id="test_doc_id",
+            n=3, min_shared=2, hash_grams=False,
+            train_index=spark.read.parquet(path),
+        ).select(
+            "train_doc_id", "test_doc_id",
+            F.lit(phase).alias("phase"), "n_shared",
+        )
+
+    # materialize the pre-append probe NOW: two scans of the same path in
+    # one query tree canonicalize to ONE file listing, so a lazy 'half'
+    # unioned with 'full' would silently read a single snapshot of the
+    # index (whichever listing won) for both phases
+    half = _probe("half").localCheckpoint(eager=True)
+    ngram_index(
+        train.where(F.col("train_doc_id") % 2 == 1),
+        train_id="train_doc_id", n=3, hash_grams=False,
+    ).write.mode("append").parquet(path)
+    return half.unionByName(_probe("full"))
+
+
+@_q(
     "training_data_pipeline",
     f"""
     WITH norm AS (
@@ -2122,7 +2208,13 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = ivf_topk(
         q_pre, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2, index=stored
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), F.lit("pre").alias("phase"), "rank")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.lit("pre").alias("phase"), "rank",
+    ).localCheckpoint(eager=True)
+    # ^ materialized before the append: two scans of one path in a single
+    # query tree canonicalize to one file listing, so a lazy 'pre' would
+    # share whatever snapshot of the index 'post' resolves
 
     clones = emb.where(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"

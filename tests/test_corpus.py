@@ -227,3 +227,68 @@ def test_remove_frequent_segments_c4_semantics(spark):
     assert out[5] == []
     assert out[6] == []
     assert len(out) == 6
+
+
+def test_ngram_index_probe_matches_direct_and_appends(spark, tmp_path):
+    """The persisted inverted-gram index must reproduce the direct sweep
+    exactly (both gram encodings), and a new training slice must extend
+    it by pure append — per-pair counts are train-doc-local, so the
+    pre-append probe equals the direct sweep of the first slice alone."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+        ngram_index,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    slice_a = spark.createDataFrame(
+        [(100, f"intro {eval_text} outro"),
+         (101, "unrelated content about spark shuffles and joins ok")],
+        "tid long, text string",
+    )
+    slice_b = spark.createDataFrame(
+        [(200, f"another leak here {eval_text} trailing words")],
+        "tid long, text string",
+    )
+    test = spark.createDataFrame([(7, eval_text)], "eid long, text string")
+
+    def _pairs(df):
+        return {(r.tid, r.eid): r.n_shared for r in df.collect()}
+
+    for hg in (False, True):
+        path = str(tmp_path / f"idx_{hg}")
+        ngram_index(slice_a, train_id="tid", n=5, hash_grams=hg).write.parquet(path)
+        probe_a = _pairs(contamination_overlap(
+            None, test, train_id="tid", test_id="eid", n=5, min_shared=2,
+            hash_grams=hg, train_index=spark.read.parquet(path),
+        ))
+        direct_a = _pairs(contamination_overlap(
+            slice_a, test, train_id="tid", test_id="eid", n=5, min_shared=2,
+            hash_grams=hg,
+        ))
+        assert probe_a == direct_a and (100, 7) in probe_a
+
+        ngram_index(slice_b, train_id="tid", n=5, hash_grams=hg).write.mode(
+            "append"
+        ).parquet(path)
+        probe_ab = _pairs(contamination_overlap(
+            None, test, train_id="tid", test_id="eid", n=5, min_shared=2,
+            hash_grams=hg, train_index=spark.read.parquet(path),
+        ))
+        direct_ab = _pairs(contamination_overlap(
+            slice_a.unionByName(slice_b), test, train_id="tid", test_id="eid",
+            n=5, min_shared=2, hash_grams=hg,
+        ))
+        assert probe_ab == direct_ab and (200, 7) in probe_ab
+
+
+def test_contamination_requires_train_or_index(spark):
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+    )
+    import pytest as _pytest
+
+    test = spark.createDataFrame([(7, "a b c d e f")], "eid long, text string")
+    with _pytest.raises(ValueError, match="train or train_index"):
+        contamination_overlap(
+            None, test, train_id="tid", test_id="eid"
+        )

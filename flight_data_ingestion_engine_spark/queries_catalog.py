@@ -5294,6 +5294,76 @@ def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hll_rollup_distinct",
+    """
+    WITH ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT 'by_type' AS scope, event_type AS key, exact_users,
+           TRUE AS within_5pct
+    FROM ex
+    UNION ALL
+    SELECT 'global', 'all', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    """,
+)
+def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count state (operators/sketches.py): ONE
+    pass over events builds a per-(day, event_type) sketch table that
+    persists to parquet; distinct-user questions at ANY coarser grain —
+    per type across all days, and the global total — are then answered
+    by unioning the stored binary sketches, never rescanning the facts.
+    The oracle pins the exact counts (computed here only as the verdict
+    harness) plus the deterministic claim that every merged estimate
+    lands within 5% (lg_k=12 → ≈1.6% standard error; the estimate is a
+    pure function of the value set, so the boolean is stable)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type", "user_id"
+    )
+    path = tempfile.mkdtemp(prefix="fdie_hll_") + "/state"
+    hll_group_sketches(ev, ["d", "event_type"], "user_id").write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    exact_by_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    ok = (
+        F.abs(F.col("approx_distinct") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).alias("within_5pct")
+    by_type = (
+        hll_rollup_estimate(stored, ["event_type"])
+        .join(exact_by_type, "event_type")
+        .select(
+            F.lit("by_type").alias("scope"),
+            F.col("event_type").alias("key"),
+            "exact_users",
+            ok,
+        )
+    )
+    exact_glob = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    glob = (
+        hll_rollup_estimate(stored, [])
+        .crossJoin(F.broadcast(exact_glob))
+        .select(
+            F.lit("global").alias("scope"),
+            F.lit("all").alias("key"),
+            "exact_users",
+            ok,
+        )
+    )
+    return by_type.unionByName(glob)
+
+
+@_q(
     "snapshot_time_travel",
     """
     SELECT event_id, event_type, user_id

@@ -59,3 +59,50 @@ def test_verdict_booleans_true_and_nulls_ignored(spark):
     assert out.distinct_keys == 42
     assert out.heavy_true >= 1
     assert out.heavy_all_reported and out.estimates_bounded and out.no_overcount
+
+
+def test_hll_sketch_state_merges_and_appends(spark, tmp_path):
+    """Merged per-group sketches must estimate the distinct count of the
+    UNION of the groups (exact at these cardinalities — HLL is exact in
+    sparse mode), and appending a new day's sketch rows must update every
+    coarser rollup without touching the fact rows again."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        hll_group_sketches,
+        hll_rollup_estimate,
+    )
+
+    day1 = spark.createDataFrame(
+        [("2024-01-01", "click", u) for u in (1, 2, 3)]
+        + [("2024-01-01", "view", u) for u in (2, 3, 4)],
+        "d string, event_type string, user_id long",
+    )
+    day2 = spark.createDataFrame(
+        [("2024-01-02", "click", u) for u in (3, 4, 5, 6)],
+        "d string, event_type string, user_id long",
+    )
+    path = str(tmp_path / "hll")
+    hll_group_sketches(day1, ["d", "event_type"], "user_id").write.parquet(path)
+
+    est = {
+        r.event_type: r.approx_distinct
+        for r in hll_rollup_estimate(
+            spark.read.parquet(path), ["event_type"]
+        ).collect()
+    }
+    assert est == {"click": 3, "view": 3}
+    assert hll_rollup_estimate(spark.read.parquet(path), []).first().approx_distinct == 4
+
+    # append day2's sketch rows: click rollup now spans both days
+    hll_group_sketches(day2, ["d", "event_type"], "user_id").write.mode(
+        "append"
+    ).parquet(path)
+    est2 = {
+        r.event_type: r.approx_distinct
+        for r in hll_rollup_estimate(
+            spark.read.parquet(path), ["event_type"]
+        ).collect()
+    }
+    assert est2 == {"click": 6, "view": 3}  # click users 1..6, view unchanged
+    assert hll_rollup_estimate(spark.read.parquet(path), []).first().approx_distinct == 6

@@ -177,3 +177,102 @@ def hll_rollup_estimate(
     if group_cols:
         return sketches.groupBy(*[F.col(c) for c in group_cols]).agg(merged)
     return sketches.agg(merged)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter bitmap: fixed-size, broadcastable membership prescreen
+# ---------------------------------------------------------------------------
+
+def bloom_bitmap(
+    keys: DataFrame, cols: list[str], bits_log2: int = 23, probes: int = 3
+) -> DataFrame:
+    """A Bloom filter over `keys`' column tuple as a SPARSE BITMAP table:
+    `(word_idx bigint, bits bigint)` — at most 2^bits_log2 / 64 rows
+    (≈131k rows ≈ 2 MB at the default), REGARDLESS of how many keys went
+    in. That fixed size is the point: the bitmap of a billion-key corpus
+    broadcasts to every executor, so membership prescreens are
+    broadcast-join-shaped with zero shuffle — unlike a distinct-key
+    semi-join whose build side grows with the corpus.
+
+    No false negatives (a key that went in always hits all its bits), so
+    "not in the bitmap" is PROOF of novelty; false positives (rate
+    ≈ (1-e^(-probes·n/m))^probes) only send extra rows to whatever exact
+    verification follows — the conservative failure direction. Bitmaps
+    built with the same (bits_log2, probes) are mergeable by
+    `bit_or`-ing word rows, so per-slice bitmaps union like every other
+    state table here. Rows with any NULL key column are skipped (SQL
+    equality: NULL matches nothing).
+
+    Build shape: probes×keys 8-byte positions → one map-side-combined
+    `bit_or` agg keyed on the word index (≤ m/64 groups).
+    """
+    assert 6 <= bits_log2 <= 30 and probes >= 1
+    m = 1 << bits_log2
+    key_cols = [F.col(c) for c in cols]
+    nn = key_cols[0].isNotNull()
+    for c in key_cols[1:]:
+        nn = nn & c.isNotNull()
+    positions = F.array(
+        *[F.pmod(F.xxhash64(*key_cols, F.lit(i)), F.lit(m)) for i in range(probes)]
+    )
+    return (
+        keys.where(nn)
+        .select(F.explode(positions).alias("_pos"))
+        .select(
+            F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_maybe_member(
+    df: DataFrame,
+    cols: list[str],
+    bitmap: DataFrame,
+    bits_log2: int = 23,
+    probes: int = 3,
+) -> DataFrame:
+    """Append `_bloom_maybe` to `df`: False means the row's key tuple is
+    DEFINITELY absent from the key set `bitmap` was built over (no false
+    negatives); True means "possibly present — verify exactly".
+    `bits_log2`/`probes` must match the build.
+
+    Shape: `probes` broadcast hash joins against the fixed-size bitmap —
+    no shuffle of `df` at any scale; each probe checks one bit via
+    word-index equi-join + bitwise AND. Rows with a NULL key column get
+    False (they can match nothing under SQL equality)."""
+    m = 1 << bits_log2
+    key_cols = [F.col(c) for c in cols]
+    nn = key_cols[0].isNotNull()
+    for c in key_cols[1:]:
+        nn = nn & c.isNotNull()
+    out = df
+    hit = None
+    for i in range(probes):
+        p = F.pmod(F.xxhash64(*key_cols, F.lit(i)), F.lit(m))
+        out = out.withColumn(
+            f"_bw{i}", F.call_function("shiftright", p, F.lit(6))
+        ).withColumn(
+            f"_bb{i}",
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")),
+        )
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_bw{i}"), F.col("bits").alias(f"_bm{i}")
+            )
+        )
+        out = out.join(bm, f"_bw{i}", "left")
+        h = F.col(f"_bm{i}").isNotNull() & (
+            F.col(f"_bm{i}").bitwiseAND(F.col(f"_bb{i}")) != 0
+        )
+        hit = h if hit is None else (hit & h)
+    out = out.withColumn("_bloom_maybe", F.when(nn, hit).otherwise(F.lit(False)))
+    return out.drop(
+        *[f"_bw{i}" for i in range(probes)],
+        *[f"_bb{i}" for i in range(probes)],
+        *[f"_bm{i}" for i in range(probes)],
+    )

@@ -5294,6 +5294,52 @@ def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bloom_prefilter_dedup",
+    """
+    SELECT b.doc_id FROM documents b
+    WHERE b.doc_id < 150
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id >= 100 AND c.text = b.text)
+    """,
+)
+def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prescreened batch-vs-corpus exact dedup
+    (operators/sketches.py::bloom_bitmap / bloom_maybe_member): the
+    corpus's 128-bit content keys compress into a FIXED-SIZE bitmap
+    (2^20 bits here — broadcastable at any corpus cardinality); batch
+    rows missing any probe bit are PROVEN novel (Bloom filters have no
+    false negatives) and skip the corpus anti-join entirely, while the
+    false-positive residue resolves through the exact two-seed hash
+    anti-join. Output is therefore bit-identical to the plain exact
+    anti-join — which is the oracle — but at steady state the corpus
+    side of the screen is a broadcast, not a shuffle."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_maybe_member,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nn = F.col("text").isNotNull()
+    h1 = F.when(nn, F.xxhash64("text", F.lit(42))).alias("_h1")
+    h2 = F.when(nn, F.xxhash64("text", F.lit(1337))).alias("_h2")
+    corpus_keys = (
+        docs.where(F.col("doc_id") >= 100).select(h1, h2).distinct()
+    )
+    bitmap = bloom_bitmap(corpus_keys, ["_h1", "_h2"], bits_log2=20)
+    batch = docs.where(F.col("doc_id") < 150).select("doc_id", h1, h2)
+    screened = bloom_maybe_member(
+        batch, ["_h1", "_h2"], bitmap, bits_log2=20
+    )
+    fresh_fast = screened.where(~F.col("_bloom_maybe")).select("doc_id")
+    verified = (
+        screened.where(F.col("_bloom_maybe"))
+        .join(corpus_keys, ["_h1", "_h2"], "left_anti")
+        .select("doc_id")
+    )
+    return fresh_fast.unionByName(verified)
+
+
+@_q(
     "hll_rollup_distinct",
     """
     WITH ex AS (

@@ -378,3 +378,34 @@ def test_line_dedup_counting_shuffle_is_hash_only(spark, sf_dir):
     # the counting aggregate groups on the xxhash64 column, never _seg
     assert "xxhash64" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_probe_side_never_shuffle_joins(spark, sf_dir):
+    """The Bloom membership screen must be broadcast-join-shaped: the
+    probed batch never rides a shuffle join against the bitmap (the
+    fixed-size-state claim), and no sort-merge join appears anywhere in
+    the query."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    plan = explain_str(qc.QUERIES["bloom_prefilter_dedup"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # 3 probes x 2 branches
+
+
+def test_hll_state_build_is_single_pass_partial_agg(spark, sf_dir):
+    """The sketch build is one groupBy over the facts (map-side combined
+    partial agg + one keyed exchange); rollups over the state never
+    rescan facts — their scans read the state parquet only."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        hll_group_sketches,
+    )
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("date").alias("d"), "event_type", "user_id"
+    )
+    build = hll_group_sketches(ev, ["d", "event_type"], "user_id")
+    assert count_exchanges(build) == 1

@@ -106,3 +106,69 @@ def test_hll_sketch_state_merges_and_appends(spark, tmp_path):
     }
     assert est2 == {"click": 6, "view": 3}  # click users 1..6, view unchanged
     assert hll_rollup_estimate(spark.read.parquet(path), []).first().approx_distinct == 6
+
+
+def test_bloom_bitmap_no_false_negatives_and_prunes(spark):
+    """Every inserted key must test True (no false negatives — the
+    property that makes 'False' a proof of novelty); a disjoint probe set
+    must be mostly False (the prescreen actually prunes); NULL keys get
+    False on probe and are skipped on build."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_maybe_member,
+    )
+
+    keys = spark.range(2000).select(
+        F.xxhash64("id", F.lit(1)).alias("k1"), F.xxhash64("id", F.lit(2)).alias("k2")
+    )
+    bm = bloom_bitmap(keys, ["k1", "k2"], bits_log2=16)
+    # members: all True
+    probed = bloom_maybe_member(keys, ["k1", "k2"], bm, bits_log2=16)
+    assert probed.where(~F.col("_bloom_maybe")).count() == 0
+    # disjoint set: overwhelmingly False (fp rate at n=2000, m=65536, k=3
+    # is ~0.03%; allow slack)
+    other = spark.range(2000).select(
+        F.xxhash64("id", F.lit(77)).alias("k1"), F.xxhash64("id", F.lit(78)).alias("k2")
+    )
+    fp = bloom_maybe_member(other, ["k1", "k2"], bm, bits_log2=16).where(
+        F.col("_bloom_maybe")
+    ).count()
+    assert fp <= 20, fp
+    # NULL key -> definite False; NULL rows contribute no bits on build
+    nulls = spark.sql("SELECT CAST(NULL AS BIGINT) AS k1, CAST(1 AS BIGINT) AS k2")
+    assert (
+        bloom_maybe_member(nulls, ["k1", "k2"], bm, bits_log2=16)
+        .first()._bloom_maybe is False
+    )
+    assert bloom_bitmap(nulls, ["k1", "k2"], bits_log2=16).count() == 0
+
+
+def test_bloom_bitmap_slices_merge_by_bit_or(spark):
+    """Per-slice bitmaps OR together into exactly the union bitmap —
+    the append/merge contract that lets corpus growth extend the screen
+    without a rebuild."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_maybe_member,
+    )
+
+    a = spark.range(0, 500).select(F.xxhash64("id").alias("k"))
+    b = spark.range(500, 1000).select(F.xxhash64("id").alias("k"))
+    bm_union = bloom_bitmap(a.unionByName(b), ["k"], bits_log2=14)
+    bm_merged = (
+        bloom_bitmap(a, ["k"], bits_log2=14)
+        .unionByName(bloom_bitmap(b, ["k"], bits_log2=14))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    diff = bm_union.exceptAll(bm_merged).count() + bm_merged.exceptAll(bm_union).count()
+    assert diff == 0
+    # and b's members screen True through the merged bitmap
+    assert (
+        bloom_maybe_member(b, ["k"], bm_merged, bits_log2=14)
+        .where(~F.col("_bloom_maybe")).count() == 0
+    )

@@ -409,6 +409,9 @@ def incremental_dedup(
     use_arrow: bool = True,
     corpus_state: DataFrame | None = None,
     eager: bool = True,
+    bloom_state: DataFrame | None = None,
+    bloom_bits_log2: int = 23,
+    bloom_probes: int = 3,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the steady-state
     shape of corpus curation: each incoming crawl slice is pruned against
@@ -442,6 +445,14 @@ def incremental_dedup(
     every micro-batch accretes no cached frames). `eager=False` returns
     the lazy plan with the persists live; the caller then owns cache
     hygiene.
+
+    `bloom_state` (optional): a `sketches.bloom_bitmap` table built over
+    the corpus's `(_h1, _h2)` content keys (params must match
+    `bloom_bits_log2`/`bloom_probes`). The exact stage then PRESCREENS
+    the batch through the fixed-size broadcast bitmap: rows missing any
+    probe bit are proven novel (no false negatives) and never enter the
+    corpus-keys anti-join — only the false-positive residue pays the
+    shuffle. Output is bit-identical with or without the bitmap.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
@@ -464,11 +475,23 @@ def incremental_dedup(
     corpus_keys = corpus_state.where(F.col("_h1").isNotNull()).select("_h1", "_h2").distinct()
     h1 = F.xxhash64(F.col(text_col), F.lit(42)).alias("_h1")
     h2 = F.xxhash64(F.col(text_col), F.lit(1337)).alias("_h2")
+    keyed = batch.where(F.col(text_col).isNotNull()).select(F.col(id_col), h1, h2)
+    if bloom_state is not None:
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            bloom_maybe_member,
+        )
+
+        # bloom-fresh rows are PROVEN absent from the corpus key set, so
+        # dropping them from the semi-join probe cannot change the result
+        keyed = (
+            bloom_maybe_member(
+                keyed, ["_h1", "_h2"], bloom_state, bloom_bits_log2, bloom_probes
+            )
+            .where(F.col("_bloom_maybe"))
+            .drop("_bloom_maybe")
+        )
     alive = batch.join(
-        batch.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), h1, h2)
-        .join(corpus_keys, ["_h1", "_h2"], "left_semi")
-        .select(id_col),
+        keyed.join(corpus_keys, ["_h1", "_h2"], "left_semi").select(id_col),
         id_col,
         "left_anti",
     )

@@ -451,6 +451,7 @@ def foreach_batch_dedup_sink(
     text_col: str,
     threshold: float = 0.5,
     state_path: str | None = None,
+    bloom_path: str | None = None,
 ):
     """Streaming corpus ingestion with inter-batch deduplication: each
     micro-batch is (1) exact-deduped within itself (min-id wins), then
@@ -483,6 +484,16 @@ def foreach_batch_dedup_sink(
     corpus rows silently DROP future documents as duplicates of text
     that never landed.
 
+    With `bloom_path` (requires `state_path`), the sink additionally
+    maintains a `sketches.bloom_bitmap` over the corpus's content keys:
+    each batch's exact stage prescreens through the fixed-size broadcast
+    bitmap (bloom-fresh rows skip the corpus-keys anti-join; output
+    unchanged — no false negatives), and each append adds the survivors'
+    bitmap slice (slices merge by bit_or on read). Crash direction
+    matches state mode: a bloom slice missing after an unclean shutdown
+    can only RE-ADMIT duplicates of the crash window's rows, never drop
+    fresh ones; repair by rebuilding the bitmap from the state table.
+
     Cache hygiene: `incremental_dedup` (eager mode, the default) scopes
     its own persists — it materializes the survivors via localCheckpoint
     and unpersists its state frames before returning, so a long-running
@@ -505,10 +516,21 @@ def foreach_batch_dedup_sink(
 
         if state_path is not None:
             state = _read(state_path)
+            bloom = None
+            if bloom_path is not None and state is not None:
+                bloom = _read(bloom_path)
+                if bloom is not None:
+                    # appended per-batch slices duplicate word rows; the
+                    # probe joins need one row per word — merge by bit_or
+                    # (≤ m/64 groups, metadata-sized)
+                    bloom = bloom.groupBy("word_idx").agg(
+                        F.bit_or("bits").alias("bits")
+                    )
             survivors = (
                 incremental_dedup(
                     batch, None, id_col=id_col, text_col=text_col,
                     threshold=threshold, corpus_state=state,
+                    bloom_state=bloom,
                 )
                 if state is not None
                 else batch
@@ -533,9 +555,19 @@ def foreach_batch_dedup_sink(
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(corpus_path)
         if state_path is not None:
-            dedup_signatures(survivors, id_col, text_col).localCheckpoint(
+            new_state = dedup_signatures(survivors, id_col, text_col).localCheckpoint(
                 eager=True
-            ).write.mode("append").parquet(state_path)
+            )
+            new_state.write.mode("append").parquet(state_path)
+            if bloom_path is not None:
+                from flight_data_ingestion_engine_spark.operators.sketches import (
+                    bloom_bitmap,
+                )
+
+                bloom_bitmap(
+                    new_state.where(F.col("_h1").isNotNull()).select("_h1", "_h2"),
+                    ["_h1", "_h2"],
+                ).write.mode("append").parquet(bloom_path)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -831,3 +831,55 @@ def test_ivf_index_build_probe_append(spark, sf_dir, tmp_path):
     a = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 12)) for r in adhoc.collect())
     b = sorted((r.query_id, r.vec_id, r.rank, round(r.cosine, 12)) for r in via_index.collect())
     assert a == b
+
+
+def test_incremental_dedup_bloom_prescreen_is_equivalent(spark):
+    """incremental_dedup with a corpus bloom bitmap must return exactly
+    the same survivors as without it (no false negatives => removing
+    bloom-fresh rows from the anti-join probe cannot change the result),
+    across exact dups, near dups, fresh rows, and NULL text."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        dedup_signatures,
+        incremental_dedup,
+    )
+    from flight_data_ingestion_engine_spark.operators.sketches import bloom_bitmap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark streaming sinks"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),   # exact dup
+            (13, "the quick brown fox jumps over the lazy dog tonight"), # near dup
+            (15, "an entirely fresh document about parquet and arrow"),
+            (17, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    state = dedup_signatures(corpus, "doc_id", "text")
+    bloom = bloom_bitmap(
+        state.where(F.col("_h1").isNotNull()).select("_h1", "_h2"), ["_h1", "_h2"]
+    )
+    plain = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            batch, None, id_col="doc_id", text_col="text", threshold=0.3,
+            corpus_state=state,
+        ).collect()
+    )
+    screened = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            batch, None, id_col="doc_id", text_col="text", threshold=0.3,
+            corpus_state=state, bloom_state=bloom,
+        ).collect()
+    )
+    assert plain == screened == [13, 15, 17] or plain == screened
+    assert plain == [15, 17], plain  # near dup 13 must drop at 0.3 too

@@ -746,3 +746,80 @@ def test_streaming_dedup_sink_state_crash_recovery(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 21, 35]
     # the state tracks the corpus row-for-row again
     assert sorted(r.doc_id for r in spark.read.parquet(state).collect()) == [1, 2, 21, 35]
+
+
+def test_streaming_dedup_sink_bloom_mode(spark, tmp_path):
+    """bloom_path mode: same final corpus as plain state mode (the bitmap
+    is a pure prescreen — no false negatives, so output is unchanged),
+    the bitmap table is maintained per batch, and a replayed batch
+    appends nothing through the bloom-screened path."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dedup_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    bloom = str(tmp_path / "bloom")
+    schema = "doc_id bigint, text string"
+
+    def stage(rows, name):
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{tmp}/p/{part}", f"{src}/{name}")
+
+    def run(ck):
+        st = stream_parquet(spark, src, schema)
+        q = foreach_batch_dedup_sink(
+            st, corpus, ck, "doc_id", "text", threshold=0.3,
+            state_path=state, bloom_path=bloom,
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    stage(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark streaming sinks"),
+        ],
+        "f1.parquet",
+    )
+    run(str(tmp_path / "ck1"))
+    stage(
+        [
+            (11, "the quick brown fox jumps over the lazy dog today"),   # exact dup
+            (13, "the quick brown fox jumps over the lazy dog tonight"), # near dup
+            (15, "an entirely fresh document about parquet and arrow"),
+        ],
+        "f2.parquet",
+    )
+    run(str(tmp_path / "ck2"))
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+    # the bitmap table exists, is word-keyed, and covers every state key:
+    # all corpus keys must screen True through the merged bitmap
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        bloom_maybe_member,
+    )
+
+    merged = (
+        spark.read.parquet(bloom).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    keys = spark.read.parquet(state).where(F.col("_h1").isNotNull()).select("_h1", "_h2")
+    assert (
+        bloom_maybe_member(keys, ["_h1", "_h2"], merged)
+        .where(~F.col("_bloom_maybe")).count() == 0
+    )
+    # replay through the bloom path: nothing appends
+    run(str(tmp_path / "ck3"))
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]

@@ -402,14 +402,18 @@ def main() -> None:
         state_big = spark.read.parquet(f"{sroot}/big")
         state_small = spark.read.parquet(f"{sroot}/small")
         # batch: 500 exact dups of corpus docs (odd content ids are never
-        # planted-dup rows) + 500 genuinely fresh docs
-        dup_half = spark.range(500).select(
-            (F.col("id") + 10 * n_docs).alias("id"),
-            synth_text(F.col("id") * 2 + 1).alias("text"),
+        # planted-dup rows) + 500 genuinely fresh docs. Text is computed
+        # BEFORE the id rename: a same-select alias of `id` would leak
+        # into the transform lambda's deferred outer reference.
+        dup_half = (
+            spark.range(500)
+            .withColumn("text", synth_text(F.col("id") * 2 + 1))
+            .select((F.col("id") + 10 * n_docs).alias("id"), "text")
         )
-        fresh_half = spark.range(500).select(
-            (F.col("id") + 11 * n_docs).alias("id"),
-            synth_text(F.col("id") + F.lit(5 * n_docs)).alias("text"),
+        fresh_half = (
+            spark.range(500)
+            .withColumn("text", synth_text(F.col("id") + F.lit(5 * n_docs)))
+            .select((F.col("id") + 11 * n_docs).alias("id"), "text")
         )
         batch = dup_half.unionByName(fresh_half)
         plan_big = incremental_dedup(

@@ -225,6 +225,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     use_arrow: bool = True,
     stop_df_ratio: float | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -242,6 +243,17 @@ def minhash_lsh_pairs(
     into candidate pairs and depress true-dup Jaccard). Entirely
     cluster-side: df counts via one explode+groupBy, removal via an
     anti-join — the stoplist never materializes on the driver.
+
+    `bucket_cap`: skip LSH buckets holding more than this many rows
+    before the candidate self-join — THE practical guard against bucket
+    explosion at corpus scale (one template band hash shared by a
+    million documents makes that bucket's self-join 10^12 pairs; no
+    exchange budget survives it). The cost is bounded recall loss with
+    a precise shape: a pair is missed only if EVERY band it collides in
+    is over-cap — i.e. only groups of > bucket_cap mutually-similar
+    documents, which a dedup pipeline handles better as an exact-dup /
+    clustering problem than as all-pairs output. Cluster-side like the
+    stoplist: one (band_id, band_hash) count agg + an anti-join.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
@@ -298,6 +310,19 @@ def minhash_lsh_pairs(
 
     banded = _band_signature(sig, id_col, bands, rows_per_band).persist()
     # persisted: both sides of the candidate self-join read this
+    if bucket_cap is not None:
+        banded_raw = banded
+        over = (
+            banded_raw.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > F.lit(bucket_cap))
+            .select("band_id", "band_hash")
+        )
+        banded = banded_raw.join(
+            over, ["band_id", "band_hash"], "left_anti"
+        ).persist()
+        banded.count()  # eager fill, then release the superseded cache
+        banded_raw.unpersist()
 
     a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
     b = banded.select(

@@ -1342,6 +1342,34 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, id_col="doc_id", text_col="text", threshold=0.3)
 
 
+@_q("minhash_pairs_bucket_cap", _SHINGLE_JACCARD_PAIRS)
+def q_minhash_pairs_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-explosion guard: the corpus is augmented with 61
+    byte-identical copies of a synthetic template document (every band
+    collides → one bucket of 61 in all 16 bands — the million-doc
+    boilerplate scenario in miniature), and `bucket_cap=50` must excise
+    exactly that group: its 1,830 mutual pairs vanish (every band they
+    share is over-cap) while the REAL corpus's pairs are untouched
+    (their buckets are small), so the output equals the plain all-pairs
+    oracle over `documents`. Without the cap the same call would emit
+    the 1,830 clone pairs — the non-vacuity is pinned by a unit test;
+    the oracle pins that capping costs zero real pairs."""
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    template = spark.range(61).select(
+        (F.col("id") + 1_000_000_000).alias("doc_id"),
+        F.lit(
+            "boilerplate navigation accept cookies subscribe newsletter "
+            "footer copyright terms privacy contact sitemap login register"
+        ).alias("text"),
+    )
+    return minhash_lsh_pairs(
+        docs.unionByName(template),
+        id_col="doc_id", text_col="text", threshold=0.3, bucket_cap=50,
+    )
+
+
 def _tokhash61_sql() -> str:
     """DuckDB twin of `functions.hashing.portable_token_hash61` over a
     column named `tok`: two seeded polynomial hashes mod 2^31-1,

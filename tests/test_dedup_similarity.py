@@ -883,3 +883,39 @@ def test_incremental_dedup_bloom_prescreen_is_equivalent(spark):
     )
     assert plain == screened == [13, 15, 17] or plain == screened
     assert plain == [15, 17], plain  # near dup 13 must drop at 0.3 too
+
+
+def test_minhash_bucket_cap_excises_exploding_bucket_only(spark):
+    """bucket_cap must drop pairs whose every shared band is over-cap (a
+    clone horde) while keeping pairs that live in small buckets; without
+    the cap the horde's quadratic pair set appears."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    horde = spark.range(12).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit(
+            "boilerplate navigation accept cookies subscribe newsletter "
+            "footer copyright terms privacy contact"
+        ).alias("text"),
+    )
+    real = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (3, "an entirely unrelated document about parquet and arrow io"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = real.unionByName(horde)
+    capped = minhash_lsh_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.3, bucket_cap=10
+    )
+    assert sorted((r.id_a, r.id_b) for r in capped.collect()) == [(1, 2)]
+    uncapped = minhash_lsh_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.3
+    )
+    got = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (1, 2) in got
+    assert sum(1 for a, b in got if a >= 100 and b >= 100) == 12 * 11 // 2

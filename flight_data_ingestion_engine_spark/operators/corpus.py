@@ -882,3 +882,56 @@ def remove_frequent_segments(
             ).alias("kept_segments"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact corpus-relative "surprisal" quality signal — the
+    perplexity-proxy ranking a unigram language model gives without its
+    float poison: per token the surprise is `bitlen(N) - bitlen(c)`
+    (N = corpus token count, c = the token's corpus frequency; bitlen =
+    position of the highest set bit = the INTEGER quantization of log2),
+    so a document full of corpus-rare tokens scores high and templated
+    text scores low. All accumulation is integer arithmetic — the per-doc
+    sums are bit-identical across engines and accumulation orders, which
+    is exactly what float log-prob sums cannot promise — and the single
+    float division (`avg_surprise`) happens once per output row.
+
+    Returns `(id, n_tokens, sum_surprise, avg_surprise)`; documents with
+    no tokens after normalization drop out (no 0/0 row).
+
+    Shape: explode → one token-keyed count agg (map-side combined; a
+    token's row count IS its corpus frequency) → broadcast scalar total →
+    frequency join back → one id-keyed agg. No pairwise step; the token
+    join ships (token, count) rows bounded by the vocabulary, not the
+    corpus.
+    """
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    tok = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(text_normalize(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").cast("bigint").alias("_n"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    scored = (
+        tok.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (bitlen(F.col("_n")) - bitlen(F.col("_c"))).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("_s").cast("bigint").alias("sum_surprise"),
+        (F.sum("_s") / F.count(F.lit(1))).alias("avg_surprise"),
+    )

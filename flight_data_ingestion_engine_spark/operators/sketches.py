@@ -244,7 +244,9 @@ def bloom_maybe_member(
     Shape: `probes` broadcast hash joins against the fixed-size bitmap —
     no shuffle of `df` at any scale; each probe checks one bit via
     word-index equi-join + bitwise AND. Rows with a NULL key column get
-    False (they can match nothing under SQL equality)."""
+    False (they can match nothing under SQL equality). Internal probe
+    columns ride reserved `__bloom_*` names so data frames whose schema
+    contains look-alike columns pass through untouched."""
     m = 1 << bits_log2
     key_cols = [F.col(c) for c in cols]
     nn = key_cols[0].isNotNull()
@@ -255,24 +257,24 @@ def bloom_maybe_member(
     for i in range(probes):
         p = F.pmod(F.xxhash64(*key_cols, F.lit(i)), F.lit(m))
         out = out.withColumn(
-            f"_bw{i}", F.call_function("shiftright", p, F.lit(6))
+            f"__bloom_w{i}", F.call_function("shiftright", p, F.lit(6))
         ).withColumn(
-            f"_bb{i}",
+            f"__bloom_b{i}",
             F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")),
         )
         bm = F.broadcast(
             bitmap.select(
-                F.col("word_idx").alias(f"_bw{i}"), F.col("bits").alias(f"_bm{i}")
+                F.col("word_idx").alias(f"__bloom_w{i}"), F.col("bits").alias(f"__bloom_m{i}")
             )
         )
-        out = out.join(bm, f"_bw{i}", "left")
-        h = F.col(f"_bm{i}").isNotNull() & (
-            F.col(f"_bm{i}").bitwiseAND(F.col(f"_bb{i}")) != 0
+        out = out.join(bm, f"__bloom_w{i}", "left")
+        h = F.col(f"__bloom_m{i}").isNotNull() & (
+            F.col(f"__bloom_m{i}").bitwiseAND(F.col(f"__bloom_b{i}")) != 0
         )
         hit = h if hit is None else (hit & h)
     out = out.withColumn("_bloom_maybe", F.when(nn, hit).otherwise(F.lit(False)))
     return out.drop(
-        *[f"_bw{i}" for i in range(probes)],
-        *[f"_bb{i}" for i in range(probes)],
-        *[f"_bm{i}" for i in range(probes)],
+        *[f"__bloom_w{i}" for i in range(probes)],
+        *[f"__bloom_b{i}" for i in range(probes)],
+        *[f"__bloom_m{i}" for i in range(probes)],
     )

@@ -5322,6 +5322,43 @@ def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_surprisal_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(n.n)) - length(bin(c.c))) AS BIGINT)
+             AS sum_surprise,
+           CAST(SUM(length(bin(n.n)) - length(bin(c.c))) AS DOUBLE) / COUNT(*)
+             AS avg_surprise
+    FROM t JOIN c USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def q_token_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram surprisal scoring
+    (operators/corpus.py::unigram_surprisal): per-token surprise is
+    bitlen(N) - bitlen(corpus frequency) — the integer quantization of a
+    unigram LM's -log2 p — so rare-token documents rank high and
+    templated text low, with ALL accumulation in integer arithmetic
+    (bit-identical across engines and orders, unlike float log-prob
+    sums) and exactly one IEEE division per output row."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_surprisal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, id_col="doc_id")
+
+
+@_q(
     "bloom_prefilter_dedup",
     """
     SELECT b.doc_id FROM documents b

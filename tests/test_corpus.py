@@ -292,3 +292,29 @@ def test_contamination_requires_train_or_index(spark):
         contamination_overlap(
             None, test, train_id="tid", test_id="eid"
         )
+
+
+def test_unigram_surprisal_integer_exact(spark):
+    """Hand-computed check: N=8 total tokens -> bitlen 4; a token seen 4x
+    has bitlen 3 (surprise 1), seen 1x bitlen 1 (surprise 3). Integer
+    sums must match exactly; empty-after-normalize docs drop out."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa"),          # 4x 'aa'
+            (2, "aa bb cc dd"),          # 1x each; 'aa' has c=5? no: see below
+            (3, "..."),                  # normalizes to empty -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: aa=5, bb=1, cc=1, dd=1; N=8 -> bitlen(8)=4
+    # doc1: 4 tokens of aa (c=5, bitlen 3, surprise 1) -> sum 4
+    # doc2: aa(1) + bb,cc,dd (c=1, bitlen 1, surprise 3 each) -> 1+9=10
+    rows = {r.doc_id: r for r in unigram_surprisal(df, "doc_id").collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].n_tokens, rows[1].sum_surprise) == (4, 4)
+    assert (rows[2].n_tokens, rows[2].sum_surprise) == (4, 10)
+    assert rows[2].avg_surprise == 2.5

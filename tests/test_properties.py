@@ -474,3 +474,70 @@ def test_incremental_dedup_exact_stage_matches_sql_semantics(spark, corpus_texts
         100 + i for i, t in enumerate(batch_texts) if t is None or t not in corpus_set
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=120, unique=True),
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True),
+)
+def test_bloom_bitmap_properties(spark, members, probes_set):
+    """(1) NO FALSE NEGATIVES: every inserted key tests True under any
+    key set. (2) Split-build/bit_or-merge equals whole-build exactly.
+    Both must hold for arbitrary key sets — they are the soundness of
+    using 'False' as proof of novelty."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_maybe_member,
+    )
+
+    mdf = spark.createDataFrame([(k,) for k in members], "k bigint")
+    bm = bloom_bitmap(mdf, ["k"], bits_log2=12)
+    assert (
+        bloom_maybe_member(mdf, ["k"], bm, bits_log2=12)
+        .where(~F.col("_bloom_maybe")).count() == 0
+    )
+    half = len(members) // 2 or 1
+    a = spark.createDataFrame([(k,) for k in members[:half]], "k bigint")
+    b = spark.createDataFrame([(k,) for k in members[half:]] or [(members[0],)], "k bigint")
+    merged = (
+        bloom_bitmap(a, ["k"], bits_log2=12)
+        .unionByName(bloom_bitmap(b, ["k"], bits_log2=12))
+        .groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+    diff = bm.exceptAll(merged).count() + merged.exceptAll(bm).count()
+    assert diff == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_unigram_surprisal_matches_bruteforce_property(spark, docs):
+    """Integer surprisal sums must equal a pure-Python brute force over
+    the same token streams (the all-integer claim: no accumulation-order
+    or engine dependence to hide behind)."""
+    from collections import Counter
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_surprisal,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_surprise)
+        for r in unigram_surprisal(df, "doc_id").collect()
+    }
+    counts = Counter(t for _, toks in zip(rows, docs) for t in toks)
+    n_total = sum(counts.values())
+    expect = {}
+    for i, toks in enumerate(docs):
+        if toks:
+            s = sum(n_total.bit_length() - counts[t].bit_length() for t in toks)
+            expect[i] = (len(toks), s)
+    assert got == expect

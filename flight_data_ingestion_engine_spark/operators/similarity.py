@@ -556,3 +556,60 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select(F.col("q_id").alias(query_id), F.col("c_id").alias(corpus_id), "cosine", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever result lists — the standard
+    hybrid-search combiner (Cormack et al., SIGIR'09): each list
+    contributes 1/(k0 + rank) for the items it returned, items missing
+    from a list contribute 0, and the fused ranking orders by the summed
+    score (ties broken by id). The canonical use is lexical (BM25) +
+    semantic (embedding cosine) retrieval feeding one candidate list for
+    reranking / hard-negative mining.
+
+    Inputs are `(id_col, rank_col)` frames (extra columns survive,
+    prefixed per-retriever as `r{i}_<col>`); output is
+    `(rank, id_col, rrf_score, r0_rank, r1_rank, ...)`.
+
+    Scale shape: retriever lists are top-N — bounded, typically tiny next
+    to the corpus — so the full-outer equi-joins and the final top-k are
+    all small-side work; the corpus-sized effort happened inside each
+    retriever, which is the point of fusing ranked lists instead of raw
+    scores (scores from different retrievers are incomparable; ranks are
+    scale-free). The summation order is fixed (retriever 0 first), so the
+    fused score is deterministic and engine-portable."""
+    assert ranked
+    sides = []
+    for i, df in enumerate(ranked):
+        renamed = df.select(
+            F.col(id_col),
+            *[
+                F.col(c).alias(f"r{i}_{c}")
+                for c in df.columns
+                if c != id_col
+            ],
+        )
+        sides.append(renamed)
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.join(s, id_col, "full_outer")
+    score = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"r{i}_{rank_col}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        out.withColumn("rrf_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("rank", id_col, "rrf_score", *[f"r{i}_{rank_col}" for i in range(len(ranked))])
+    )

@@ -40,8 +40,10 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.functions.hashing import char_poly_hash
 
 
 def misra_gries_partials(df: DataFrame, col: str, capacity: int) -> DataFrame:
@@ -277,4 +279,197 @@ def bloom_maybe_member(
         *[f"__bloom_w{i}" for i in range(probes)],
         *[f"__bloom_b{i}" for i in range(probes)],
         *[f"__bloom_m{i}" for i in range(probes)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch state: fixed-size mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+
+# (multiplier, init) pairs for the per-depth polynomial hash rows. Distinct
+# prime multipliers + large inits give near-independent 31-bit families; the
+# same constants are embedded in the DuckDB oracle so estimates are
+# value-exact across engines (the whole sketch is engine-portable).
+CMS_SEEDS: list[tuple[int, int]] = [
+    (31, 1779033703),
+    (37, 1013904242),
+    (43, 2773480762),
+    (47, 1359893119),
+    (53, 2600822924),
+]
+
+
+def cms_position(key: Column, depth_row: int, width: int) -> Column:
+    """Counter position of `key` (a string column) in sketch row
+    `depth_row`: seeded 31-bit polynomial hash mod `width`. Engine-portable
+    (exact integer recurrence — see `functions.hashing.char_poly_hash`)."""
+    mult, init = CMS_SEEDS[depth_row]
+    return char_poly_hash(key, mult=mult, init=init) % width
+
+
+def cms_state(df: DataFrame, col: str, width: int = 1 << 15, depth: int = 3) -> DataFrame:
+    """Count-Min sketch over `df[col]` as a FIXED-SIZE counter table:
+    `(d int, pos bigint, cnt bigint)` — at most depth × width rows no
+    matter how many keys (or how many distinct keys) went in. Misra–Gries
+    (`heavy_hitters`) answers "what are the top keys"; CMS answers the
+    complementary point query — "how often did THIS key occur" for ANY
+    key, including keys chosen after the scan — with state that never
+    grows with cardinality. NULL keys are skipped.
+
+    Guarantee (Cormode & Muthukrishnan '05): each row's counter is
+    true(x) + (collisions in that row), so est(x) = min over rows ≥
+    true(x) ALWAYS — never an undercount — and overshoot is bounded by
+    row collisions (E[err] ≤ N/width per row, min over `depth` rows).
+
+    Scale shape: one projection to `depth` (d, pos) pairs per key
+    (explode of a `depth`-element array), then ONE map-side-combined
+    count agg into ≤ depth×width groups. Merging slices = summing
+    counters (`cms_merge`); appending a day appends its sketch via the
+    same sum. All arithmetic is engine-portable, so oracles recompute
+    the identical sketch."""
+    assert 1 <= depth <= len(CMS_SEEDS) and width >= 2
+    key = F.col(col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), cms_position(key, d, width).alias("pos")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(pairs).alias("_c"))
+        .groupBy(F.col("_c.d").alias("d"), F.col("_c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(states: list[DataFrame]) -> DataFrame:
+    """Union per-slice CMS states into one: counters sum cell-wise.
+    Output shape is still ≤ depth × width rows — merge cost is
+    metadata-sized regardless of how much data each slice summarized."""
+    assert states
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "pos").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame, col: str, state: DataFrame, width: int = 1 << 15, depth: int = 3
+) -> DataFrame:
+    """Append `est` (bigint) to `keys`: the CMS frequency estimate of
+    `keys[col]` under `state` (built with the SAME width/depth). Missing
+    cells count 0 — an est of 0 is PROOF the key never occurred.
+
+    Shape: `depth` broadcast hash joins against the fixed-size counter
+    table (≤ depth×width rows ≈ 1.5 MB at defaults) — the probe side
+    never shuffles, at any corpus or probe cardinality. Internal columns
+    ride reserved `__cms_*` names."""
+    assert 1 <= depth <= len(CMS_SEEDS)
+    key = F.col(col).cast("string")
+    out = keys
+    for d in range(depth):
+        out = out.withColumn(f"__cms_p{d}", cms_position(key, d, width))
+        cells = F.broadcast(
+            state.where(F.col("d") == d).select(
+                F.col("pos").alias(f"__cms_p{d}"), F.col("cnt").alias(f"__cms_c{d}")
+            )
+        )
+        out = out.join(cells, f"__cms_p{d}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"__cms_c{d}"), F.lit(0).cast("bigint")) for d in range(depth)]
+    )
+    return out.withColumn("est", est.cast("bigint")).drop(
+        *[f"__cms_p{d}" for d in range(depth)],
+        *[f"__cms_c{d}" for d in range(depth)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram state: deterministic quantile estimates
+# ---------------------------------------------------------------------------
+
+def histogram_bucket(col: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Equi-width bucket index of `col` in [lo, hi): floor((x-lo)/w)
+    clamped to [0, nbins-1] (out-of-range values land in the edge
+    buckets). The expression shape — one subtract, one divide, floor,
+    clamp — is mirrored verbatim in the DuckDB oracles, so bucket
+    assignment is bit-identical (same IEEE ops in the same order)."""
+    w = (hi - lo) / nbins
+    raw = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(w)).cast("bigint")
+    return F.least(F.greatest(raw, F.lit(0).cast("bigint")), F.lit(nbins - 1).cast("bigint"))
+
+
+def histogram_state(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram of `df[col]` as a mergeable STATE table:
+    `(bucket bigint, cnt bigint)`, at most `nbins` rows. This is the
+    persistable form of "what does this column's distribution look
+    like": store per-slice histograms (one per day / source / shard),
+    merge any subset by summing counts (`histogram_merge`), and read
+    quantile estimates off the merged counts (`histogram_quantiles`) —
+    never rescanning the facts. Unlike sketch quantiles
+    (approx_percentile), the estimate is a DETERMINISTIC pure function
+    of the bucket layout and the data, independent of partitioning or
+    arrival order — which is what lets the DuckDB oracle reproduce it
+    value-exactly. NULL/NaN values are excluded.
+
+    Scale shape: one map-side-combined count agg into ≤ nbins groups —
+    the same single-pass shape at any volume; the state table is
+    metadata-sized next to the facts."""
+    c = F.col(col)
+    return (
+        df.where(c.isNotNull() & ~F.isnan(c.cast("double")))
+        .groupBy(histogram_bucket(c, lo, hi, nbins).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_merge(states: list[DataFrame]) -> DataFrame:
+    """Sum per-slice histograms built with the SAME (lo, hi, nbins)."""
+    assert states
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def histogram_quantiles(
+    state: DataFrame, qs: list[float], lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Linear-interpolated quantile estimates from a histogram state:
+    `(q double, n bigint, est double)` — for each q, the value at rank
+    q·n assuming uniform spread within its bucket:
+
+        est = lo + w · (bucket + (q·n − cum_before) / cnt)
+
+    Error is bounded by one bucket width (deterministically — not in
+    expectation). Cost is O(nbins) rows: a running-sum window over the
+    tiny state plus a broadcast join with the quantile list; the fact
+    table is never touched."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nbins
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        state.withColumn("cum", F.sum("cnt").over(win).cast("bigint"))
+        .withColumn("cum_prev", (F.col("cum") - F.col("cnt")).cast("bigint"))
+        .withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    spark = state.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    target = F.col("q") * F.col("n")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("bucket") + (target - F.col("cum_prev")) / F.col("cnt")
+    )
+    return (
+        c.join(qdf, (target > F.col("cum_prev")) & (target <= F.col("cum")))
+        .select(F.col("q"), F.col("n"), est.alias("est"))
     )

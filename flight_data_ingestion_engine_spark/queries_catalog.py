@@ -8173,3 +8173,273 @@ def q_observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_in"], m["null_keys"], m["negative_values"], m["purchases"])],
         "rows_in bigint, null_keys bigint, negative_values bigint, purchases bigint",
     )
+
+
+def _poly_sql(col: str, mult: int, init: int) -> str:
+    """DuckDB twin of `functions.hashing.char_poly_hash` over column
+    `col` — identical integer recurrence, bit-portable."""
+    return (
+        f"list_reduce([{init}::BIGINT] || [ascii(c)::BIGINT for c in "
+        f"regexp_split_to_array({col}, '')], (a, b) -> (a * {mult} + b) % 2147483647)"
+    )
+
+
+_CMS_W = 1 << 14  # width used by the cms_frequency_estimates query
+
+
+def _cms_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.sketches import CMS_SEEDS
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({_poly_sql('k', m, i)}) % {_CMS_W} AS pos FROM keyed"
+        for d, (m, i) in enumerate(CMS_SEEDS[:3])
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT k, {d} AS d, ({_poly_sql('k', m, i)}) % {_CMS_W} AS pos FROM probes"
+        for d, (m, i) in enumerate(CMS_SEEDS[:3])
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN 'H' || CAST(user_id % 3 AS VARCHAR)
+                  ELSE 'u' || CAST(user_id AS VARCHAR) END AS k
+      FROM events
+    ),
+    cells AS (
+      SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({cells}) GROUP BY d, pos
+    ),
+    probes(k) AS (VALUES ('H0'), ('H1'), ('H2'), ('u7'), ('u13'), ('u101'), ('zz_missing')),
+    ppos AS ({ppos}),
+    est AS (
+      SELECT ppos.k,
+             CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+      FROM ppos LEFT JOIN cells USING (d, pos) GROUP BY ppos.k
+    ),
+    tru AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keyed GROUP BY k)
+    SELECT est.k AS key, est.est AS est,
+           COALESCE(tru.true_cnt, 0) AS true_cnt,
+           est.est >= COALESCE(tru.true_cnt, 0) AS no_undercount
+    FROM est LEFT JOIN tru ON est.k = tru.k
+    """
+
+
+@_q("cms_frequency_estimates", None)
+def q_cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency state (operators/sketches.py):
+    two event slices (even/odd event_id) each build a fixed-size
+    depth×width counter table, the merged state persists to parquet, and
+    SEVEN probe keys — the three hot keys, three cold singleton-family
+    keys, and one never-seen key — are estimated against the stored
+    sketch alone, never the facts. The sketch uses the engine-portable
+    polynomial hash family, so the DuckDB oracle recomputes the ENTIRE
+    sketch and the estimates are value-exact across engines (a stronger
+    gate than a verdict boolean); `no_undercount` additionally pins the
+    CMS guarantee est ≥ true (with est = 0 proving absence)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k",
+        F.when(
+            F.col("user_id") % 10 == 0,
+            F.concat(F.lit("H"), (F.col("user_id") % 3).cast("string")),
+        ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+    )
+    slices = [
+        cms_state(ev.where(F.col("event_id") % 2 == d), "k", width=_CMS_W, depth=3)
+        for d in (0, 1)
+    ]
+    path = tempfile.mkdtemp(prefix="fdie_cms_") + "/state"
+    cms_merge(slices).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    probes = arrow_local_df(
+        spark,
+        [("H0",), ("H1",), ("H2",), ("u7",), ("u13",), ("u101",), ("zz_missing",)],
+        "key string",
+    )
+    est = cms_estimate(probes, "key", stored, width=_CMS_W, depth=3)
+    tru = ev.groupBy(F.col("k").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    return (
+        est.join(tru, "key", "left")
+        .select(
+            "key",
+            "est",
+            F.coalesce(F.col("true_cnt"), F.lit(0).cast("bigint")).alias("true_cnt"),
+            (F.col("est") >= F.coalesce(F.col("true_cnt"), F.lit(0))).alias(
+                "no_undercount"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["cms_frequency_estimates"] = _cms_oracle_sql()
+
+
+@_q(
+    "histogram_quantile_state",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      GROUP BY 1
+    ), c AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cum_prev,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM b
+    ), qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+    SELECT qs.q AS q, c.n AS n,
+           0.0 + 500.0 * (c.bucket + (qs.q * c.n - c.cum_prev) / c.cnt) AS est
+    FROM qs JOIN c ON qs.q * c.n > c.cum_prev AND qs.q * c.n <= c.cum
+    """,
+)
+def q_histogram_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram state (operators/sketches.py): two
+    lineitem slices (odd/even order keys) each reduce to a ≤240-row
+    bucket-count table, both append to one parquet state, and p50/p90/p99
+    of l_extendedprice come off the merged counts by deterministic linear
+    interpolation — the facts are scanned once per slice and never again
+    for any later quantile question. Unlike sketch quantiles the estimate
+    is a pure function of (bucket layout, data) — partitioning- and
+    order-independent — so the oracle reproduces it value-exactly with
+    the same fixed-shape IEEE expression."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, nbins = 0.0, 120000.0, 240
+    path = tempfile.mkdtemp(prefix="fdie_hist_") + "/state"
+    for parity in (0, 1):
+        histogram_state(
+            li.where(F.col("l_orderkey") % 2 == parity), "l_extendedprice", lo, hi, nbins
+        ).write.mode("append").parquet(path)
+    stored = spark.read.parquet(path)
+    merged = histogram_merge([stored])
+    return histogram_quantiles(merged, [0.5, 0.9, 0.99], lo, hi, nbins)
+
+
+@_q(
+    "hybrid_search_rrf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '') AS tk
+      FROM documents
+    ), per AS (
+      SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+             CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(tk, x -> x = 'scan')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2
+      FROM toks
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM per
+    ), scored AS (
+      SELECT doc_id,
+        ((CAST(((n - df0 + 1) * 1000000) // (df0 + 1) AS DOUBLE) * tf0 * 2.2)
+           / ((tf0 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n)))
+        + (CAST(((n - df1 + 1) * 1000000) // (df1 + 1) AS DOUBLE) * tf1 * 2.2)
+           / ((tf1 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n))))
+        + (CAST(((n - df2 + 1) * 1000000) // (df2 + 1) AS DOUBLE) * tf2 * 2.2)
+           / ((tf2 + 0.3) + ((0.8999999999999999 * dl) / (sumdl / n))) AS bm25
+      FROM per, tot
+    ), lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= 50
+    ), nv AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ), cand AS (
+      SELECT d.doc_id, nv.v FROM documents d JOIN nv ON nv.vec_id = d.doc_id
+    ), qv AS (SELECT v FROM nv WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, rank FROM (
+        SELECT cand.doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_dot_product(cand.v, qv.v) DESC, cand.doc_id) AS rank
+        FROM cand, qv)
+      WHERE rank <= 50
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.rank AS lex_rank, sem.rank AS sem_rank,
+             COALESCE(1.0 / (60.0 + CAST(lex.rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           + COALESCE(1.0 / (60.0 + CAST(sem.rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+               AS rrf_score
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
+      SELECT doc_id, rrf_score, lex_rank, sem_rank,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= 20
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/similarity.py::rrf_fuse): the lexical leg ranks documents
+    by BM25 for the fixed query (spark, scan, vector); the semantic leg
+    ranks the same documents by cosine against the embedding of vec 0;
+    each leg keeps its top-50 and the fused list scores
+    1/(60+rank_lex) + 1/(60+rank_sem) with absent-from-list
+    contributing 0 — the standard hybrid-search combiner. Ranks are
+    scale-free, so the fusion is deterministic and engine-portable even
+    though the two legs' raw scores live on incomparable scales."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bm25_scores
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        rrf_fuse,
+        topk_brute_force,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    wlex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm25_scores(docs, ["spark", "scan", "vector"])
+        .withColumn("rank", F.row_number().over(wlex))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    cand = docs.select("doc_id").join(
+        emb.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), F.col("embedding")
+    )
+    sem = topk_brute_force(
+        qv, cand, query_id="q_id", corpus_id="doc_id", k=50
+    ).select("doc_id", "rank")
+    fused = rrf_fuse([lex, sem], id_col="doc_id", k0=60, topk=20)
+    return fused.select(
+        "rank",
+        "doc_id",
+        "rrf_score",
+        F.col("r0_rank").alias("lex_rank"),
+        F.col("r1_rank").alias("sem_rank"),
+    )

@@ -172,3 +172,160 @@ def test_bloom_bitmap_slices_merge_by_bit_or(spark):
         bloom_maybe_member(b, ["k"], bm_merged, bits_log2=14)
         .where(~F.col("_bloom_maybe")).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch state
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_zero_proves_absence(spark):
+    df = _skewed(spark, n_tail=50, hot=(("A", 120), ("B", 80)), parts=5)
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+
+    state = cms_state(df, "k", width=512, depth=3)
+    keys = df.select("k").distinct().withColumnRenamed("k", "key")
+    keys = keys.unionByName(
+        spark.createDataFrame([("never_seen",)], "key string")
+    )
+    est = {
+        r.key: r.est
+        for r in cms_estimate(keys, "key", state, width=512, depth=3).collect()
+    }
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    for k, c in exact.items():
+        assert est[k] >= c, f"CMS undercounted {k}: {est[k]} < {c}"
+    assert est["never_seen"] >= 0  # may collide upward, never negative
+    # with width >> distinct keys, the hot keys estimate near-exactly
+    assert est["A"] >= 120 and est["B"] >= 80
+
+
+def test_cms_slices_merge_to_single_shot_state(spark):
+    df = _skewed(spark, n_tail=30, parts=4).withColumn(
+        "i", F.monotonically_increasing_id()
+    )
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_merge,
+        cms_state,
+    )
+
+    whole = cms_state(df, "k", width=256, depth=2)
+    merged = cms_merge(
+        [
+            cms_state(df.where(F.col("i") % 2 == 0), "k", width=256, depth=2),
+            cms_state(df.where(F.col("i") % 2 == 1), "k", width=256, depth=2),
+        ]
+    )
+    a = {(r.d, r.pos): r.cnt for r in whole.collect()}
+    b = {(r.d, r.pos): r.cnt for r in merged.collect()}
+    assert a == b, "slice-merged CMS differs from single-shot CMS"
+
+
+def test_cms_skips_null_keys(spark):
+    df = spark.createDataFrame([("x",), (None,), ("x",), (None,)], "k string")
+    from flight_data_ingestion_engine_spark.operators.sketches import cms_state
+
+    total = (
+        cms_state(df, "k", width=64, depth=2)
+        .groupBy("d")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    )
+    assert all(r.s == 2 for r in total), "NULL keys must not enter the sketch"
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram state + deterministic quantiles
+# ---------------------------------------------------------------------------
+
+def test_histogram_quantiles_within_one_bucket_width(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 1000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 1000.0, 100
+    w = (hi - lo) / nbins
+    state = histogram_state(df, "x", lo, hi, nbins)
+    out = {r.q: r.est for r in histogram_quantiles(state, [0.5, 0.9], lo, hi, nbins).collect()}
+    svals = sorted(vals)
+    for q in (0.5, 0.9):
+        exact = svals[int(q * len(svals)) - 1]
+        assert abs(out[q] - exact) <= w + 1e-9, (q, out[q], exact)
+
+
+def test_histogram_merge_identity_and_partition_invariance(spark):
+    rows = [(float(i % 997),) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x double")
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 1000.0, 50
+    whole = histogram_state(df.repartition(3), "x", lo, hi, nbins)
+    merged = histogram_merge(
+        [
+            histogram_state(df.where(F.col("x") < 300).repartition(9), "x", lo, hi, nbins),
+            histogram_state(df.where(F.col("x") >= 300).repartition(2), "x", lo, hi, nbins),
+        ]
+    )
+    a = sorted((r.bucket, r.cnt) for r in whole.collect())
+    b = sorted((r.bucket, r.cnt) for r in merged.collect())
+    assert a == b
+    qa = {r.q: r.est for r in histogram_quantiles(whole, [0.25, 0.75], lo, hi, nbins).collect()}
+    qb = {r.q: r.est for r in histogram_quantiles(merged, [0.25, 0.75], lo, hi, nbins).collect()}
+    assert qa == qb, "quantile estimate must be partitioning-invariant"
+
+
+def test_histogram_clamps_out_of_range_and_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (999.0,), (1e9,), (None,), (float("nan"),)], "x double"
+    )
+    from flight_data_ingestion_engine_spark.operators.sketches import histogram_state
+
+    got = {r.bucket: r.cnt for r in histogram_state(df, "x", 0.0, 100.0, 10).collect()}
+    assert got == {0: 2, 9: 2}, got  # -5→0, 0→0, 999→9 (clamp), 1e9→9; null/nan dropped
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hand_example(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "id int, rank int")
+    sem = spark.createDataFrame([(11, 1), (13, 2), (10, 3)], "id int, rank int")
+    out = rrf_fuse([lex, sem], id_col="id", k0=60, topk=10).collect()
+    score = {r.id: r.rrf_score for r in out}
+    # both-list items beat single-list items
+    assert score[11] == 1 / 62 + 1 / 61 and score[10] == 1 / 61 + 1 / 63
+    assert score[12] == 1 / 63 and score[13] == 1 / 62
+    order = [r.id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [11, 10, 13, 12]
+    by_id = {r.id: r for r in out}
+    assert by_id[13].r0_rank is None and by_id[13].r1_rank == 2
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import rrf_fuse
+
+    # ids 1..5 all rank i in list A and (6-i)... build symmetric ties:
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], "id int, rank int")
+    b = spark.createDataFrame([(i, 6 - i) for i in range(1, 6)], "id int, rank int")
+    out = rrf_fuse([a, b], id_col="id", k0=60, topk=3).collect()
+    assert len(out) == 3
+    # symmetric rank pairs tie exactly: {1,5} share 1/61+1/65, {2,4} share
+    # 1/62+1/64, and 3 alone has 2/63 — convexity of 1/(k0+r) orders the
+    # extreme pair highest. Ties resolve by ascending id.
+    order = [r.id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 5, 2]

@@ -473,3 +473,75 @@ def histogram_quantiles(
         c.join(qdf, (target > F.col("cum_prev")) & (target <= F.col("cum")))
         .select(F.col("q"), F.col("n"), est.alias("est"))
     )
+
+
+def cms_join_size(
+    state_a: DataFrame, state_b: DataFrame, depth: int = 3
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS states built with the
+    SAME (width, depth) over the two join keys: the sketch inner product
+    Σ_pos cntA·cntB per hash row, minimized over rows — the classic
+    Cormode–Muthukrishnan join-size estimator. Never an underestimate
+    (hash collisions only ADD cross terms), so it is a safe upper bound
+    for join planning: sizing shuffle partitions, choosing broadcast vs
+    sort-merge, or flagging a key-skew blowup BEFORE paying for the join
+    — from two metadata-sized sketches, without touching either table
+    again.
+
+    Returns one row `(est bigint)`. A hash row with NO colliding
+    positions proves the true join size is 0 (any shared key would
+    collide in every row), so absent rows count as 0 — not skipped."""
+    j = state_a.alias("a").join(
+        state_b.alias("b"), ["d", "pos"]
+    )
+    per_d = j.groupBy("d").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip")
+    )
+    spark = state_a.sparkSession
+    all_d = spark.range(depth).select(F.col("id").cast("int").alias("d"))
+    return (
+        all_d.join(per_d, "d", "left")
+        .select(F.coalesce(F.col("ip"), F.lit(0).cast("bigint")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est"))
+    )
+
+
+def histogram_drift_tv(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Total-variation distance between two histogram states with the
+    SAME bucket layout — the drift gate for training-data distribution
+    monitoring: 0 = identical distributions, 1 = disjoint. Returns one
+    row `(n_a bigint, n_b bigint, tv double)`.
+
+    Numerically exact by construction: TV = Σ|cA/nA − cB/nB|/2 is
+    computed as the INTEGER sum Σ|cA·nB − cB·nA| (order-independent,
+    engine-portable — float partial sums would make the result depend on
+    bucket visit order) followed by exactly one IEEE division by
+    2·nA·nB. Products stay within int64 for nA·nB < 2^62 — beyond that,
+    pre-scale the bucket counts (the histogram is already approximate at
+    one-bucket granularity). Cost is O(nbins) on metadata-sized state."""
+    a = state_a.select("bucket", F.col("cnt").alias("ca"))
+    b = state_b.select("bucket", F.col("cnt").alias("cb"))
+    j = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            F.coalesce(F.col("ca"), F.lit(0).cast("bigint")).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0).cast("bigint")).alias("cb"),
+        )
+    )
+    na = state_a.agg(F.sum("cnt").cast("bigint").alias("n_a"))
+    nb = state_b.agg(F.sum("cnt").cast("bigint").alias("n_b"))
+    s = j.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+        .cast("bigint")
+        .alias("s_abs"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("s_abs").cast("double")
+            / (F.lit(2).cast("bigint") * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("tv"),
+    )

@@ -8443,3 +8443,143 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r0_rank").alias("lex_rank"),
         F.col("r1_rank").alias("sem_rank"),
     )
+
+
+def _cms_join_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.sketches import CMS_SEEDS
+
+    def cells(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {d} AS d, ({_poly_sql('k', m, i)}) % {_CMS_W} AS pos FROM {src}"
+            for d, (m, i) in enumerate(CMS_SEEDS[:3])
+        )
+
+    return f"""
+    WITH a AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+    ), b AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), ca AS (
+      SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({cells('a')}) GROUP BY d, pos
+    ), cb AS (
+      SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({cells('b')}) GROUP BY d, pos
+    ), ip AS (
+      SELECT ca.d, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+      FROM ca JOIN cb ON ca.d = cb.d AND ca.pos = cb.pos GROUP BY ca.d
+    ), alld(d) AS (VALUES (0), (1), (2)),
+    est AS (
+      SELECT CAST(MIN(COALESCE(ip.ip, 0)) AS BIGINT) AS est
+      FROM alld LEFT JOIN ip ON alld.d = ip.d
+    ), tru AS (
+      SELECT CAST(COALESCE(SUM(ac.c * bc.c), 0) AS BIGINT) AS true_size
+      FROM (SELECT k, COUNT(*) AS c FROM a GROUP BY k) ac
+      JOIN (SELECT k, COUNT(*) AS c FROM b GROUP BY k) bc ON ac.k = bc.k
+    )
+    SELECT est.est AS est, tru.true_size AS true_size,
+           est.est >= tru.true_size AS no_underestimate
+    FROM est, tru
+    """
+
+
+@_q("cms_join_size_estimate", None)
+def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation (operators/sketches.py::
+    cms_join_size): the clicks side and the purchases side of a
+    user_id equi-join each reduce to a fixed-size CMS, and the sketch
+    inner product (min over hash rows) upper-bounds the join cardinality
+    — the Cormode–Muthukrishnan estimator a planner consults BEFORE
+    paying for a 100 TB join (broadcast-vs-shuffle choice, skew
+    flagging) using only metadata-sized state. The portable hash family
+    makes the estimate value-exact across engines; `no_underestimate`
+    pins the safety direction (collisions only ever inflate)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_join_size,
+        cms_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    est = cms_join_size(
+        cms_state(a, "k", width=_CMS_W, depth=3),
+        cms_state(b, "k", width=_CMS_W, depth=3),
+        depth=3,
+    )
+    ac = a.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    bc = b.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    tru = (
+        ac.join(bc, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("bigint")
+            .alias("true_size")
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(tru))
+        .select(
+            "est",
+            "true_size",
+            (F.col("est") >= F.col("true_size")).alias("no_underestimate"),
+        )
+    )
+
+
+ORACLE_SQL["cms_join_size_estimate"] = _cms_join_oracle_sql()
+
+
+@_q(
+    "histogram_drift_tv",
+    """
+    WITH ea AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01' GROUP BY 1
+    ), eb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-07-01' GROUP BY 1
+    ), na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a FROM ea),
+    nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b FROM eb),
+    j AS (
+      SELECT COALESCE(ea.ca, 0) AS ca, COALESCE(eb.cb, 0) AS cb
+      FROM ea FULL OUTER JOIN eb ON ea.bucket = eb.bucket
+    ), s AS (
+      SELECT CAST(SUM(ABS(j.ca * nb.n_b - j.cb * na.n_a)) AS BIGINT) AS s_abs,
+             CAST(MAX(na.n_a) AS BIGINT) AS n_a, CAST(MAX(nb.n_b) AS BIGINT) AS n_b
+      FROM j, na, nb
+    )
+    SELECT n_a, n_b,
+           CAST(s_abs AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tv
+    FROM s
+    """,
+)
+def q_histogram_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate between two histogram states
+    (operators/sketches.py::histogram_drift_tv): the pre- and post-
+    1995-07 halves of lineitem each reduce to a ≤240-bucket price
+    histogram, and the total-variation distance between them comes off
+    the two state tables alone — the facts are never rescanned, so a
+    daily drift monitor over a 100 TB corpus costs one tiny state-table
+    comparison per day. The integer cross-product form Σ|cA·nB − cB·nA|
+    keeps the sum order-independent and engine-exact; exactly one IEEE
+    division produces the final score."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_drift_tv,
+        histogram_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, nbins = 0.0, 120000.0, 240
+    cut = F.to_timestamp(F.lit("1995-07-01"))
+    sa = histogram_state(li.where(F.col("l_shipdate") < cut), "l_extendedprice", lo, hi, nbins)
+    sb = histogram_state(li.where(F.col("l_shipdate") >= cut), "l_extendedprice", lo, hi, nbins)
+    return histogram_drift_tv(sa, sb)

@@ -329,3 +329,45 @@ def test_rrf_fuse_topk_and_tiebreak(spark):
     # extreme pair highest. Ties resolve by ascending id.
     order = [r.id for r in sorted(out, key=lambda r: r.rank)]
     assert order == [1, 5, 2]
+
+
+def test_cms_join_size_upper_bounds_and_zero_when_disjoint(spark):
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_join_size,
+        cms_state,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2 + [("only_a",)], "k string")
+    b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 5 + [("only_b",)] * 7, "k string")
+    sa, sb = (cms_state(d, "k", width=128, depth=3) for d in (a, b))
+    est = cms_join_size(sa, sb, depth=3).collect()[0].est
+    assert est >= 3 * 4 + 2 * 5  # true join size 22
+    # disjoint key sets: with a width far above cardinality, all three hash
+    # rows almost surely have no colliding cell — and any row without one
+    # proves size 0
+    c = spark.createDataFrame([("p",), ("q",)], "k string")
+    d = spark.createDataFrame([("r",), ("s",)], "k string")
+    sc_, sd = (cms_state(x, "k", width=4096, depth=3) for x in (c, d))
+    assert cms_join_size(sc_, sd, depth=3).collect()[0].est == 0
+
+
+def test_histogram_drift_tv_extremes(spark):
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_drift_tv,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 10
+    a = spark.createDataFrame([(float(i % 100),) for i in range(400)], "x double")
+    same = histogram_drift_tv(
+        histogram_state(a, "x", lo, hi, nbins),
+        histogram_state(a.repartition(5), "x", lo, hi, nbins),
+    ).collect()[0]
+    assert same.tv == 0.0 and same.n_a == same.n_b == 400
+    lowhalf = spark.createDataFrame([(10.0,)] * 50, "x double")
+    highhalf = spark.createDataFrame([(90.0,)] * 70, "x double")
+    disjoint = histogram_drift_tv(
+        histogram_state(lowhalf, "x", lo, hi, nbins),
+        histogram_state(highhalf, "x", lo, hi, nbins),
+    ).collect()[0]
+    assert disjoint.tv == 1.0  # fully disjoint mass

@@ -409,3 +409,50 @@ def test_hll_state_build_is_single_pass_partial_agg(spark, sf_dir):
     )
     build = hll_group_sketches(ev, ["d", "event_type"], "user_id")
     assert count_exchanges(build) == 1
+
+
+def test_cms_estimate_probe_side_is_broadcast_only(spark, sf_dir):
+    """CMS probes must be broadcast-join-shaped against the fixed-size
+    counter table — the probe frame never shuffles, at any probe or
+    corpus cardinality — and the state build is one keyed exchange."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    state = cms_state(ev, "k", width=1 << 14, depth=3)
+    assert count_exchanges(state) == 1  # one map-side-combined count agg
+    probes = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    plan = explain_str(cms_estimate(probes, "key", state, width=1 << 14, depth=3))
+    assert "SortMergeJoin" not in plan
+    # one join per depth row; formatted explain renders each node twice
+    # (tree line + detail section)
+    assert plan.count("BroadcastHashJoin") == 6
+
+
+def test_histogram_state_single_pass_and_quantiles_skip_facts(spark, sf_dir):
+    """Histogram build = one map-side-combined count agg over the facts;
+    quantile extraction plans over a parquet STATE read never touch the
+    fact table (the zero-rescan claim)."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    state = histogram_state(li, "l_extendedprice", 0.0, 120000.0, 240)
+    assert count_exchanges(state) == 1
+    path = tempfile.mkdtemp(prefix="fdie_histplan_") + "/state"
+    state.write.parquet(path)
+    q = histogram_quantiles(
+        spark.read.parquet(path), [0.5, 0.9], 0.0, 120000.0, 240
+    )
+    plan = explain_str(q)
+    assert "lineitem" not in plan  # facts never rescanned

@@ -541,3 +541,66 @@ def test_unigram_surprisal_matches_bruteforce_property(spark, docs):
             s = sum(n_total.bit_length() - counts[t].bit_length() for t in toks)
             expect[i] = (len(toks), s)
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=8),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 5),
+)
+def test_cms_estimate_dominates_exact_count_property(spark, keys, parts):
+    """CMS guarantee under arbitrary key multisets and partitionings:
+    est(x) ≥ true(x) for every key, and slice-merge ≡ single-shot."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(parts)
+    state = cms_state(df, "k", width=64, depth=3)  # tiny width forces collisions
+    probe = df.select(F.col("k").alias("key")).distinct()
+    est = {
+        r.key: r.est
+        for r in cms_estimate(probe, "key", state, width=64, depth=3).collect()
+    }
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert all(est[k] >= c for k, c in exact.items()), (est, exact)
+    # total mass conservation: every hash row holds exactly n counts
+    n = sum(exact.values())
+    per_row = {
+        r.d: r.s
+        for r in state.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert all(s == n for s in per_row.values()), (per_row, n)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False, allow_infinity=False), min_size=2, max_size=150),
+    st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+)
+def test_histogram_quantile_bucket_bound_property(spark, vals, q):
+    """Interpolated quantile lands within one bucket width of the exact
+    rank statistic, for arbitrary data and any q."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 20
+    w = (hi - lo) / nbins
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(3)
+    state = histogram_state(df, "x", lo, hi, nbins)
+    out = histogram_quantiles(state, [q], lo, hi, nbins).collect()
+    assert len(out) == 1
+    est = out[0].est
+    svals = sorted(vals)
+    idx = max(0, min(len(svals) - 1, int(q * len(svals) + 1) - 1))
+    # the target rank's true value sits in [est - w, est + w]
+    lo_ok = est >= svals[max(0, idx - 1)] - w - 1e-9
+    hi_ok = est <= svals[min(len(svals) - 1, idx)] + w + 1e-9
+    assert lo_ok and hi_ok, (q, est, svals)

@@ -546,6 +546,41 @@ def main() -> None:
             assert n > 0, f"{qname}: empty result at sf1-equivalent volume"
             assert dt < 300, f"{qname}: {dt:.0f}s at sf1-equivalent volume"
 
+    # -- sketch states at fact volume (r5): the CMS/histogram builds keep
+    # -- their single-exchange shape and the CMS probe its broadcast-only
+    # -- shape when the fact volume grows ~2500x over the oracle scale.
+    with stage("sketch_states_5m"):
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            cms_estimate,
+            cms_state,
+            histogram_quantiles,
+            histogram_state,
+        )
+
+        keys_big = ev.select(F.col("user_id").cast("string").alias("k"))
+        keys_small = spark.range(2_000).select(F.col("id").cast("string").alias("k"))
+        st_big = cms_state(keys_big, "k", width=1 << 15, depth=3)
+        st_small = cms_state(keys_small, "k", width=1 << 15, depth=3)
+        assert _exchanges(st_big) <= _exchanges(st_small), (
+            _exchanges(st_big), _exchanges(st_small),
+        )
+        probes = spark.range(64).select(F.col("id").cast("string").alias("key"))
+        est_plan = cms_estimate(probes, "key", st_big, width=1 << 15, depth=3)
+        plan_txt = est_plan._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan_txt, "CMS probe shuffled"
+        hot = est_plan.where(F.col("key") == "0").first().est
+        assert hot >= n_events // 6, hot  # hot user ~20%; CMS never undercounts
+
+        hist_big = histogram_state(ev, "value", 0.0, 100.0, 100)
+        hist_small = histogram_state(
+            spark.range(1_000).select((F.col("id") % 100).cast("double").alias("value")),
+            "value", 0.0, 100.0, 100,
+        )
+        assert _exchanges(hist_big) <= _exchanges(hist_small), (
+            _exchanges(hist_big), _exchanges(hist_small),
+        )
+        assert histogram_quantiles(hist_big, [0.5, 0.99], 0.0, 100.0, 100).count() == 2
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

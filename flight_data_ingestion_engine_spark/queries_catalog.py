@@ -8583,3 +8583,54 @@ def q_histogram_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = histogram_state(li.where(F.col("l_shipdate") < cut), "l_extendedprice", lo, hi, nbins)
     sb = histogram_state(li.where(F.col("l_shipdate") >= cut), "l_extendedprice", lo, hi, nbins)
     return histogram_drift_tv(sa, sb)
+
+
+@_q(
+    "source_length_drift",
+    """
+    WITH h AS (
+      SELECT source,
+             LEAST(GREATEST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 25.0)
+                                 AS BIGINT), 0), 79) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT bucket, CAST(SUM(ca) AS BIGINT) AS t FROM h GROUP BY 1
+    ), ns AS (
+      SELECT source, CAST(SUM(ca) AS BIGINT) AS n_a FROM h GROUP BY 1
+    ), ntot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n FROM h),
+    grid AS (SELECT ns.source, ns.n_a, tot.bucket, tot.t FROM ns CROSS JOIN tot),
+    j AS (
+      SELECT g.source, g.n_a,
+             COALESCE(h.ca, 0) AS ca,
+             g.t - COALESCE(h.ca, 0) AS cb
+      FROM grid g LEFT JOIN h ON h.source = g.source AND h.bucket = g.bucket
+    ), s AS (
+      SELECT j.source,
+             CAST(MAX(j.n_a) AS BIGINT) AS n_a,
+             CAST(MAX(ntot.n) AS BIGINT) AS n,
+             CAST(SUM(ABS(j.ca * (ntot.n - j.n_a) - j.cb * j.n_a)) AS BIGINT) AS s_abs
+      FROM j, ntot GROUP BY j.source
+    )
+    SELECT source, n_a, n - n_a AS n_b,
+           CASE WHEN n_a > 0 AND n - n_a > 0
+                THEN CAST(s_abs AS DOUBLE) / CAST(2 * n_a * (n - n_a) AS DOUBLE)
+           END AS tv
+    FROM s
+    """,
+)
+def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out source drift (operators/sketches.py::
+    histogram_drift_profile): each document source's length histogram is
+    compared against the histogram of all OTHER sources — the one-number
+    'which source is distributionally weird' profile a mixing pipeline
+    consults before weighting sources. One fact pass builds the
+    (source × bucket) counts; the complement histograms are pure algebra
+    on that metadata-sized table (never a rescan). Integer-exact up to
+    one final division per source, so the oracle matches value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_drift_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_drift_profile(docs, "source", "n_chars", 0.0, 2000.0, 80)

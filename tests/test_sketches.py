@@ -371,3 +371,36 @@ def test_histogram_drift_tv_extremes(spark):
         histogram_state(highhalf, "x", lo, hi, nbins),
     ).collect()[0]
     assert disjoint.tv == 1.0  # fully disjoint mass
+
+
+def test_histogram_drift_profile_leave_one_out(spark):
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_drift_profile,
+        histogram_drift_tv,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 10
+    rows = (
+        [("a", float(v % 50)) for v in range(200)]          # low half
+        + [("b", 50.0 + float(v % 50)) for v in range(300)]  # high half
+        + [("c", float(v % 100)) for v in range(100)]        # uniform
+    )
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    prof = {r.g: r for r in histogram_drift_profile(df, "g", "x", lo, hi, nbins).collect()}
+    assert set(prof) == {"a", "b", "c"}
+    assert prof["a"].n_a == 200 and prof["a"].n_b == 400
+    # each group's profile equals the pairwise TV vs its complement
+    for g in ("a", "b", "c"):
+        ref = histogram_drift_tv(
+            histogram_state(df.where(F.col("g") == g), "x", lo, hi, nbins),
+            histogram_state(df.where(F.col("g") != g), "x", lo, hi, nbins),
+        ).collect()[0]
+        assert prof[g].tv == ref.tv, g
+    # the uniform group sits closer to its complement than the skewed halves
+    assert prof["c"].tv < prof["a"].tv and prof["c"].tv < prof["b"].tv
+    # single-group frame: complement empty -> NULL tv, no division error
+    solo = histogram_drift_profile(
+        df.where(F.col("g") == "a"), "g", "x", lo, hi, nbins
+    ).collect()[0]
+    assert solo.tv is None and solo.n_b == 0

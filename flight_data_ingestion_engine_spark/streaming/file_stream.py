@@ -574,3 +574,58 @@ def foreach_batch_dedup_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def foreach_batch_sketch_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    col: str,
+    kind: str = "cms",
+    width: int = 1 << 15,
+    depth: int = 3,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    nbins: int = 100,
+):
+    """Streaming sketch maintenance: each micro-batch reduces to its
+    FIXED-SIZE sketch slice — a Count-Min counter table (`kind="cms"`)
+    or an equi-width histogram (`kind="histogram"`) — and appends it to
+    the state parquet. Because both sketches merge by summing counters,
+    "merge" IS "union": readers apply `cms_merge([read])` /
+    `histogram_merge([read])` (a groupBy-sum over the metadata-sized
+    state) and see the whole stream's summary; no read-modify-write of
+    prior state, so the sink never rereads what it wrote and concurrent
+    readers never observe a half-merged state.
+
+    Crash semantics: a batch replayed after a failure appends its slice
+    AGAIN, double-counting that batch (counts are not content-keyed the
+    way the dedup sink's corpus is). For monitoring-grade counters —
+    the use case — that overcount is bounded by one batch and decays
+    relative to the stream; where exactness matters, tag slices with
+    `epoch_id` and dedup on read (the column is carried for that).
+    State growth is ≤ (depth·width | nbins) rows per batch; compact by
+    rewriting the groupBy-sum whenever the file count bothers you —
+    the merged table is bit-identical to the appended slices by the
+    merge law."""
+    from flight_data_ingestion_engine_spark.operators import sketches
+
+    if kind not in ("cms", "histogram"):
+        raise ValueError(f"unknown sketch kind: {kind!r}")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if kind == "cms":
+            sl = sketches.cms_state(batch_df, col, width=width, depth=depth)
+        else:
+            sl = sketches.histogram_state(batch_df, col, lo, hi, nbins)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -823,3 +823,82 @@ def test_streaming_dedup_sink_bloom_mode(spark, tmp_path):
     # replay through the bloom path: nothing appends
     run(str(tmp_path / "ck3"))
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2, 15]
+
+
+def test_streaming_sketch_sink_accumulates_mergeable_state(spark, tmp_path):
+    """Per-batch sketch slices appended by the streaming sink must merge
+    (groupBy-sum) into exactly the sketch of the whole stream — the
+    merge-law contract that makes streaming maintenance a pure append.
+    Covers both CMS and histogram kinds across two micro-batches."""
+    import os
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+        histogram_merge,
+        histogram_state,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_sketch_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "k string, v double"
+    b1 = [("u1", 5.0), ("u1", 15.0), ("u2", 25.0)]
+    b2 = [("u1", 35.0), ("u3", 45.0), ("u3", 55.0)]
+
+    def stage(rows, name):
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.makedirs(src, exist_ok=True)
+        os.rename(f"{tmp}/p/{part}", f"{src}/{name}")
+
+    def drain(q):
+        q.processAllAvailable()
+        q.stop()
+
+    cms_path = str(tmp_path / "cms_state")
+    hist_path = str(tmp_path / "hist_state")
+    for name, rows in (("f1.parquet", b1), ("f2.parquet", b2)):
+        stage(rows, name)
+        drain(
+            foreach_batch_sketch_sink(
+                stream_parquet(spark, src, schema),
+                cms_path, str(tmp_path / "ck_c"), "k",
+                kind="cms", width=128, depth=3,
+            ).start()
+        )
+        drain(
+            foreach_batch_sketch_sink(
+                stream_parquet(spark, src, schema),
+                hist_path, str(tmp_path / "ck_h"), "v",
+                kind="histogram", lo=0.0, hi=100.0, nbins=10,
+            ).start()
+        )
+
+    whole = spark.createDataFrame(b1 + b2, schema)
+    merged_cms = cms_merge([spark.read.parquet(cms_path)])
+    oneshot_cms = cms_state(whole, "k", width=128, depth=3)
+    assert sorted((r.d, r.pos, r.cnt) for r in merged_cms.collect()) == sorted(
+        (r.d, r.pos, r.cnt) for r in oneshot_cms.collect()
+    )
+    probes = spark.createDataFrame([("u1",), ("u3",)], "key string")
+    est = {
+        r.key: r.est
+        for r in cms_estimate(probes, "key", merged_cms, width=128, depth=3).collect()
+    }
+    assert est["u1"] >= 3 and est["u3"] >= 2
+
+    merged_hist = histogram_merge([spark.read.parquet(hist_path)])
+    oneshot_hist = histogram_state(whole, "v", 0.0, 100.0, 10)
+    assert sorted((r.bucket, r.cnt) for r in merged_hist.collect()) == sorted(
+        (r.bucket, r.cnt) for r in oneshot_hist.collect()
+    )

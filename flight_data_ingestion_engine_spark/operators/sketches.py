@@ -415,14 +415,19 @@ def histogram_state(
     (approx_percentile), the estimate is a DETERMINISTIC pure function
     of the bucket layout and the data, independent of partitioning or
     arrival order — which is what lets the DuckDB oracle reproduce it
-    value-exactly. NULL/NaN values are excluded.
+    value-exactly. NULL/NaN/±Inf values are excluded
+    (non-finite values floor differently across engines).
 
     Scale shape: one map-side-combined count agg into ≤ nbins groups —
     the same single-pass shape at any volume; the state table is
     metadata-sized next to the facts."""
     c = F.col(col)
     return (
-        df.where(c.isNotNull() & ~F.isnan(c.cast("double")))
+        df.where(
+            c.isNotNull()
+            & ~F.isnan(c.cast("double"))
+            & (F.abs(c.cast("double")) != F.lit(float("inf")))
+        )
         .groupBy(histogram_bucket(c, lo, hi, nbins).alias("bucket"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -452,6 +457,7 @@ def histogram_quantiles(
     table is never touched."""
     from pyspark.sql import Window
 
+    assert all(0.0 < q <= 1.0 for q in qs), "quantiles must lie in (0, 1]"
     w = (hi - lo) / nbins
     win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     c = (
@@ -567,7 +573,11 @@ def histogram_drift_profile(
     (0/0 guard) rather than a division error."""
     c = F.col(val_col)
     h = (
-        df.where(c.isNotNull() & ~F.isnan(c.cast("double")))
+        df.where(
+            c.isNotNull()
+            & ~F.isnan(c.cast("double"))
+            & (F.abs(c.cast("double")) != F.lit(float("inf")))
+        )
         .groupBy(
             F.col(group_col).alias("g"),
             histogram_bucket(c, lo, hi, nbins).alias("bucket"),

@@ -288,12 +288,15 @@ def test_histogram_merge_identity_and_partition_invariance(spark):
 
 def test_histogram_clamps_out_of_range_and_skips_nulls(spark):
     df = spark.createDataFrame(
-        [(-5.0,), (0.0,), (999.0,), (1e9,), (None,), (float("nan"),)], "x double"
+        [(-5.0,), (0.0,), (999.0,), (1e9,), (None,), (float("nan"),),
+         (float("inf"),), (float("-inf"),)], "x double"
     )
     from flight_data_ingestion_engine_spark.operators.sketches import histogram_state
 
     got = {r.bucket: r.cnt for r in histogram_state(df, "x", 0.0, 100.0, 10).collect()}
-    assert got == {0: 2, 9: 2}, got  # -5→0, 0→0, 999→9 (clamp), 1e9→9; null/nan dropped
+    # -5→0, 0→0, 999→9 (clamp), 1e9→9; null/nan/±inf dropped (finite-only
+    # contract: infinities floor differently across engines)
+    assert got == {0: 2, 9: 2}, got
 
 
 # ---------------------------------------------------------------------------

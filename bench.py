@@ -58,6 +58,10 @@ HEAVY = [
     "streaming_corpus_dedup",
     "incremental_dedup_batch",
     "ivf_index_probe",
+    # r5 second half: the gram-index lifecycle joined the true top of the
+    # cost table (~4.5s) — pinned so its build/probe/append/probe cost is
+    # tracked round-over-round like the IVF lifecycle.
+    "contamination_index_probe",
 ]
 
 

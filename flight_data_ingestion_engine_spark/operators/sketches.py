@@ -307,7 +307,13 @@ def cms_position(key: Column, depth_row: int, width: int) -> Column:
     return char_poly_hash(key, mult=mult, init=init) % width
 
 
-def cms_state(df: DataFrame, col: str, width: int = 1 << 15, depth: int = 3) -> DataFrame:
+def cms_state(
+    df: DataFrame,
+    col: str,
+    width: int = 1 << 15,
+    depth: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
     """Count-Min sketch over `df[col]` as a FIXED-SIZE counter table:
     `(d int, pos bigint, cnt bigint)` — at most depth × width rows no
     matter how many keys (or how many distinct keys) went in. Misra–Gries
@@ -326,7 +332,12 @@ def cms_state(df: DataFrame, col: str, width: int = 1 << 15, depth: int = 3) -> 
     count agg into ≤ depth×width groups. Merging slices = summing
     counters (`cms_merge`); appending a day appends its sketch via the
     same sum. All arithmetic is engine-portable, so oracles recompute
-    the identical sketch."""
+    the identical sketch.
+
+    With `weight_col` (a NON-NEGATIVE integer column) counters
+    accumulate Σ weight instead of row counts — point queries then
+    estimate weighted mass (token counts, byte sizes) with the same
+    est ≥ true guarantee; rows with NULL weight are skipped."""
     assert 1 <= depth <= len(CMS_SEEDS) and width >= 2
     key = F.col(col).cast("string")
     pairs = F.array(
@@ -337,11 +348,19 @@ def cms_state(df: DataFrame, col: str, width: int = 1 << 15, depth: int = 3) -> 
             for d in range(depth)
         ]
     )
+    keep = F.col(col).isNotNull()
+    if weight_col is not None:
+        keep = keep & F.col(weight_col).isNotNull()
+        wexpr = F.sum(F.col("_w")).cast("bigint").alias("cnt")
+        sel = [F.explode(pairs).alias("_c"), F.col(weight_col).cast("bigint").alias("_w")]
+    else:
+        wexpr = F.count(F.lit(1)).cast("bigint").alias("cnt")
+        sel = [F.explode(pairs).alias("_c")]
     return (
-        df.where(F.col(col).isNotNull())
-        .select(F.explode(pairs).alias("_c"))
+        df.where(keep)
+        .select(*sel)
         .groupBy(F.col("_c.d").alias("d"), F.col("_c.pos").alias("pos"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(wexpr)
     )
 
 
@@ -620,4 +639,74 @@ def histogram_drift_profile(
             F.col("s_abs").cast("double")
             / (F.lit(2).cast("bigint") * F.col("n_a") * n_b).cast("double"),
         ).alias("tv"),
+    )
+
+
+def histogram_cdf_table(
+    state: DataFrame, nbins: int
+) -> DataFrame:
+    """Densify a histogram state into the full bucket spine 0..nbins-1
+    with cumulative counts: `(bucket, cnt, cum_prev, n)` — the broadcast-
+    sized lookup `histogram_rank_transform` probes. Missing buckets get
+    cnt 0 (their cum_prev still advances past them correctly)."""
+    from pyspark.sql import Window
+
+    spark = state.sparkSession
+    spine = spark.range(nbins).select(F.col("id").cast("bigint").alias("bucket"))
+    dense = spine.join(state, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("cnt")
+    )
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dense.withColumn("cum", F.sum("cnt").over(win).cast("bigint"))
+        .withColumn("cum_prev", (F.col("cum") - F.col("cnt")).cast("bigint"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()).cast("bigint"))
+        .select("bucket", "cnt", "cum_prev", "n")
+    )
+
+
+def histogram_rank_transform(
+    df: DataFrame, col: str, state: DataFrame, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Append `qrank` — the approximate quantile rank (0..1) of each
+    row's `col` under a histogram STATE — the fit/transform pattern at
+    scale: "fit" is the one-pass histogram (possibly merged from
+    slices, possibly from LAST week's data), "transform" is one
+    broadcast join per row against the ≤ nbins-row CDF table. This is
+    how feature discretization / percentile normalization runs over
+    100 TB without sorting anything: no global sort, no per-row window,
+    the fact table never shuffles.
+
+        qrank = clamp((cum_prev + (x − bucket_lo)/w · cnt) / n, 0, 1)
+
+    — within-bucket linear interpolation, the transform twin of
+    `histogram_quantiles` (same uniform-spread assumption, error ≤ one
+    bucket's mass). Deterministic fixed-shape IEEE arithmetic, mirrored
+    verbatim in the DuckDB oracles. NULL/NaN/±Inf values get NULL qrank
+    (they were excluded from the fit, so they have no rank)."""
+    c = F.col(col).cast("double")
+    w = (hi - lo) / nbins
+    cdf = F.broadcast(histogram_cdf_table(state, nbins))
+    finite = c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+    out = df.withColumn(
+        "__hrt_bucket",
+        F.when(finite, histogram_bucket(F.col(col), lo, hi, nbins)),
+    ).join(
+        cdf.select(
+            F.col("bucket").alias("__hrt_bucket"),
+            F.col("cnt").alias("__hrt_cnt"),
+            F.col("cum_prev").alias("__hrt_cum_prev"),
+            F.col("n").alias("__hrt_n"),
+        ),
+        "__hrt_bucket",
+        "left",
+    )
+    bucket_lo = F.lit(float(lo)) + F.lit(w) * F.col("__hrt_bucket")
+    raw = (
+        F.col("__hrt_cum_prev")
+        + (c - bucket_lo) / F.lit(w) * F.col("__hrt_cnt")
+    ) / F.col("__hrt_n")
+    qrank = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    return out.withColumn("qrank", F.when(finite, qrank)).drop(
+        "__hrt_bucket", "__hrt_cnt", "__hrt_cum_prev", "__hrt_n"
     )

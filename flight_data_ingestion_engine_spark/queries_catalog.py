@@ -8634,3 +8634,139 @@ def q_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return histogram_drift_profile(docs, "source", "n_chars", 0.0, 2000.0, 80)
+
+
+@_q(
+    "price_quantile_rank",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      GROUP BY 1
+    ), cdf AS (
+      SELECT t.bucket,
+             CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt,
+             CAST(SUM(COALESCE(b.cnt, 0)) OVER (ORDER BY t.bucket)
+                  - COALESCE(b.cnt, 0) AS BIGINT) AS cum_prev,
+             CAST(SUM(COALESCE(b.cnt, 0)) OVER () AS BIGINT) AS n
+      FROM range(240) t(bucket) LEFT JOIN b ON b.bucket = t.bucket
+    ), r AS (
+      SELECT l_orderkey, l_linenumber,
+             LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem
+    )
+    SELECT r.l_orderkey, r.l_linenumber,
+           LEAST(GREATEST(
+             (cdf.cum_prev + (r.x - (0.0 + 500.0 * cdf.bucket)) / 500.0 * cdf.cnt) / cdf.n,
+             0.0), 1.0) AS qrank
+    FROM r JOIN cdf ON r.bucket = cdf.bucket
+    """,
+)
+def q_price_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit/transform percentile normalization
+    (operators/sketches.py::histogram_rank_transform): "fit" is the
+    one-pass price histogram (a state table that could equally come
+    from last week's slices), "transform" stamps every lineitem row
+    with its approximate quantile rank via ONE broadcast join against
+    the ≤240-row CDF table — percentile features over 100 TB with no
+    global sort and no per-row window. Within-bucket linear
+    interpolation mirrors `histogram_quantiles`; the fixed-shape IEEE
+    expression is reproduced verbatim by the oracle, so 60k ranks
+    compare value-exact."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_rank_transform,
+        histogram_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, nbins = 0.0, 120000.0, 240
+    state = histogram_state(li, "l_extendedprice", lo, hi, nbins)
+    return histogram_rank_transform(
+        li, "l_extendedprice", state, lo, hi, nbins
+    ).select("l_orderkey", "l_linenumber", "qrank")
+
+
+def _cms_weighted_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.sketches import CMS_SEEDS
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS d, ({_poly_sql('k', m, i)}) % 256 AS pos, w FROM keyed"
+        for d, (m, i) in enumerate(CMS_SEEDS[:3])
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT k, {d} AS d, ({_poly_sql('k', m, i)}) % 256 AS pos FROM probes"
+        for d, (m, i) in enumerate(CMS_SEEDS[:3])
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT source AS k, n_chars AS w FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    cells AS (
+      SELECT d, pos, CAST(SUM(w) AS BIGINT) AS cnt
+      FROM ({cells}) GROUP BY d, pos
+    ),
+    probes AS (
+      SELECT DISTINCT source AS k FROM documents WHERE source IS NOT NULL
+      UNION ALL SELECT 'zz_absent_source'
+    ),
+    ppos AS ({ppos}),
+    est AS (
+      SELECT ppos.k, CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+      FROM ppos LEFT JOIN cells USING (d, pos) GROUP BY ppos.k
+    ),
+    tru AS (
+      SELECT k, CAST(SUM(w) AS BIGINT) AS true_mass FROM keyed GROUP BY k
+    )
+    SELECT est.k AS source, est.est AS est,
+           COALESCE(tru.true_mass, 0) AS true_mass,
+           est.est >= COALESCE(tru.true_mass, 0) AS no_undercount
+    FROM est LEFT JOIN tru ON est.k = tru.k
+    """
+
+
+@_q("cms_weighted_source_mass", None)
+def q_cms_weighted_source_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Count-Min state (operators/sketches.py::cms_state with
+    weight_col): counters accumulate Σ n_chars instead of row counts, so
+    point queries estimate each source's TOKEN MASS — the quantity a
+    mixing pipeline actually budgets — from the same fixed-size state,
+    with the same est ≥ true guarantee (weights are non-negative).
+    Probes cover every source plus a never-seen one; estimates are
+    value-exact cross-engine via the portable hash family."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    state = cms_state(docs, "source", width=256, depth=3, weight_col="n_chars")
+    probes = docs.select(F.col("source").alias("key")).distinct().unionByName(
+        arrow_local_df(spark, [("zz_absent_source",)], "key string")
+    )
+    est = cms_estimate(probes, "key", state, width=256, depth=3)
+    tru = docs.groupBy(F.col("source").alias("key")).agg(
+        F.sum("n_chars").cast("bigint").alias("true_mass")
+    )
+    return (
+        est.join(tru, "key", "left")
+        .select(
+            F.col("key").alias("source"),
+            "est",
+            F.coalesce(F.col("true_mass"), F.lit(0).cast("bigint")).alias("true_mass"),
+            (F.col("est") >= F.coalesce(F.col("true_mass"), F.lit(0))).alias(
+                "no_undercount"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["cms_weighted_source_mass"] = _cms_weighted_oracle_sql()

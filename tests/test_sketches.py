@@ -407,3 +407,56 @@ def test_histogram_drift_profile_leave_one_out(spark):
         df.where(F.col("g") == "a"), "g", "x", lo, hi, nbins
     ).collect()[0]
     assert solo.tv is None and solo.n_b == 0
+
+
+def test_histogram_rank_transform_tracks_empirical_cdf(spark):
+    import random
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_rank_transform,
+        histogram_state,
+    )
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0, 1000) for _ in range(3000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    ).repartition(6)
+    lo, hi, nbins = 0.0, 1000.0, 50
+    state = histogram_state(df, "x", lo, hi, nbins)
+    out = {
+        r.i: r.qrank
+        for r in histogram_rank_transform(df, "x", state, lo, hi, nbins).collect()
+    }
+    svals = sorted(vals)
+    import bisect
+
+    for i, v in list(enumerate(vals))[::97]:
+        emp = bisect.bisect_left(svals, v) / len(svals)
+        assert abs(out[i] - emp) <= 1.0 / nbins + 0.01, (v, out[i], emp)
+    # edges clamp, non-finite rows get NULL rank
+    edge = spark.createDataFrame(
+        [(1, -5.0), (2, 2000.0), (3, None), (4, float("nan"))], "i int, x double"
+    )
+    got = {r.i: r.qrank for r in histogram_rank_transform(edge, "x", state, lo, hi, nbins).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0
+    assert got[3] is None and got[4] is None
+
+
+def test_cms_state_weighted_mass(spark):
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), ("c", None), (None, 3)],
+        "k string, w long",
+    )
+    state = cms_state(df, "k", width=64, depth=3, weight_col="w")
+    # total mass excludes NULL-key and NULL-weight rows
+    per_row = {r.d: r.s for r in state.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(s == 22 for s in per_row.values()), per_row
+    probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "key string")
+    est = {r.key: r.est for r in cms_estimate(probes, "key", state, width=64, depth=3).collect()}
+    assert est["a"] >= 15 and est["b"] >= 7 and est["zz"] >= 0

@@ -385,7 +385,9 @@ def cms_estimate(
     Shape: `depth` broadcast hash joins against the fixed-size counter
     table (≤ depth×width rows ≈ 1.5 MB at defaults) — the probe side
     never shuffles, at any corpus or probe cardinality. Internal columns
-    ride reserved `__cms_*` names."""
+    ride reserved `__cms_*` names; `est` is the one OUTPUT name claimed —
+    a pre-existing `est` column on `keys` is replaced (same contract as
+    `_bloom_maybe`)."""
     assert 1 <= depth <= len(CMS_SEEDS)
     key = F.col(col).cast("string")
     out = keys
@@ -683,7 +685,9 @@ def histogram_rank_transform(
     `histogram_quantiles` (same uniform-spread assumption, error ≤ one
     bucket's mass). Deterministic fixed-shape IEEE arithmetic, mirrored
     verbatim in the DuckDB oracles. NULL/NaN/±Inf values get NULL qrank
-    (they were excluded from the fit, so they have no rank)."""
+    (they were excluded from the fit, so they have no rank). Internal
+    columns ride reserved `__hrt_*` names; `qrank` is the one OUTPUT name
+    claimed — a pre-existing `qrank` column is replaced."""
     c = F.col(col).cast("double")
     w = (hi - lo) / nbins
     cdf = F.broadcast(histogram_cdf_table(state, nbins))

@@ -714,3 +714,74 @@ def histogram_rank_transform(
     return out.withColumn("qrank", F.when(finite, qrank)).drop(
         "__hrt_bucket", "__hrt_cnt", "__hrt_cum_prev", "__hrt_n"
     )
+
+
+def histogram_state_by(
+    df: DataFrame, group_cols: list[str], col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Per-group histogram state: `(group_cols..., bucket, cnt)` — at
+    most nbins rows PER GROUP, built in one map-side-combined pass. The
+    grouped twin of `histogram_state` for the per-dimension questions a
+    monitor actually asks (p99 value per event type, length distribution
+    per source), with the same merge-by-sum / append-a-slice contract.
+    Same finite-only value filter."""
+    c = F.col(col)
+    return (
+        df.where(
+            c.isNotNull()
+            & ~F.isnan(c.cast("double"))
+            & (F.abs(c.cast("double")) != F.lit(float("inf")))
+        )
+        .groupBy(
+            *[F.col(g) for g in group_cols],
+            histogram_bucket(c, lo, hi, nbins).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles_by(
+    state: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Per-group quantile estimates off a `histogram_state_by` table:
+    `(group_cols..., q, n, est)` — every group's p50/p99 read from the
+    metadata-sized state with zero fact rescans. Cumulative sums run in
+    windows PARTITIONED BY GROUP (no global single-partition funnel —
+    the grouped form scales to any group count), then each quantile
+    picks its bucket via the same deterministic interpolation as
+    `histogram_quantiles`."""
+    from pyspark.sql import Window
+
+    assert all(0.0 < q <= 1.0 for q in qs), "quantiles must lie in (0, 1]"
+    w = (hi - lo) / nbins
+    gcols = [F.col(g) for g in group_cols]
+    win = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        state.withColumn("cum", F.sum("cnt").over(win).cast("bigint"))
+        .withColumn("cum_prev", (F.col("cum") - F.col("cnt")).cast("bigint"))
+        .withColumn(
+            "n",
+            F.sum("cnt").over(Window.partitionBy(*gcols)).cast("bigint"),
+        )
+    )
+    spark = state.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    target = F.col("q") * F.col("n")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("bucket") + (target - F.col("cum_prev")) / F.col("cnt")
+    )
+    return (
+        c.join(qdf, (target > F.col("cum_prev")) & (target <= F.col("cum")))
+        .select(*[F.col(g) for g in group_cols], "q", "n", est.alias("est"))
+    )

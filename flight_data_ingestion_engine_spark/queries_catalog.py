@@ -8770,3 +8770,46 @@ def q_cms_weighted_source_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["cms_weighted_source_mass"] = _cms_weighted_oracle_sql()
+
+
+@_q(
+    "event_value_quantiles_by_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 2.0)
+                                 AS BIGINT), 0), 99) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) - cnt AS BIGINT) AS cum_prev,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM b
+    ), qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+    SELECT c.event_type, qs.q AS q, c.n AS n,
+           0.0 + 2.0 * (c.bucket + (qs.q * c.n - c.cum_prev) / c.cnt) AS est
+    FROM qs JOIN c ON qs.q * c.n > c.cum_prev AND qs.q * c.n <= c.cum
+    """,
+)
+def q_event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram quantiles (operators/sketches.py::
+    histogram_state_by / histogram_quantiles_by): p50 and p99 of
+    `value` PER EVENT TYPE, read off a per-group bucket-count state
+    built in one pass — the per-dimension monitoring shape (latency
+    p99 per endpoint, score distribution per source) with cumulative
+    windows partitioned by group, never a global single-partition
+    funnel. Same deterministic interpolation contract as the global
+    form, value-exact against the oracle."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_quantiles_by,
+        histogram_state_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi, nbins = 0.0, 200.0, 100
+    state = histogram_state_by(ev, ["event_type"], "value", lo, hi, nbins)
+    return histogram_quantiles_by(state, ["event_type"], [0.5, 0.99], lo, hi, nbins)

@@ -460,3 +460,40 @@ def test_cms_state_weighted_mass(spark):
     probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "key string")
     est = {r.key: r.est for r in cms_estimate(probes, "key", state, width=64, depth=3).collect()}
     assert est["a"] >= 15 and est["b"] >= 7 and est["zz"] >= 0
+
+
+def test_histogram_quantiles_by_group_matches_global_per_group(spark):
+    """The grouped quantile path must agree with running the global
+    estimator on each group's own state — and its window runs
+    partitioned by group (no single-partition funnel)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_by,
+        histogram_state,
+        histogram_state_by,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 20
+    rows = [("a", float(v % 40)) for v in range(300)] + [
+        ("b", 40.0 + float(v % 60)) for v in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(5)
+    by = {
+        (r.g, r.q): r.est
+        for r in histogram_quantiles_by(
+            histogram_state_by(df, ["g"], "x", lo, hi, nbins),
+            ["g"], [0.5, 0.9], lo, hi, nbins,
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            r.q: r.est
+            for r in histogram_quantiles(
+                histogram_state(df.where(F.col("g") == g), "x", lo, hi, nbins),
+                [0.5, 0.9], lo, hi, nbins,
+            ).collect()
+        }
+        for q in (0.5, 0.9):
+            assert by[(g, q)] == solo[q], (g, q)
+    # group separation: b's median sits above a's maximum
+    assert by[("b", 0.5)] > 40.0 > by[("a", 0.5)]

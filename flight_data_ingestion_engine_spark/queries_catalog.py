@@ -8813,3 +8813,70 @@ def q_event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     lo, hi, nbins = 0.0, 200.0, 100
     state = histogram_state_by(ev, ["event_type"], "value", lo, hi, nbins)
     return histogram_quantiles_by(state, ["event_type"], [0.5, 0.99], lo, hi, nbins)
+
+
+@_q(
+    "quantile_band_sample",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+      GROUP BY 1
+    ), cdf AS (
+      SELECT t.bucket,
+             CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt,
+             CAST(SUM(COALESCE(b.cnt, 0)) OVER (ORDER BY t.bucket)
+                  - COALESCE(b.cnt, 0) AS BIGINT) AS cum_prev,
+             CAST(SUM(COALESCE(b.cnt, 0)) OVER () AS BIGINT) AS n
+      FROM range(240) t(bucket) LEFT JOIN b ON b.bucket = t.bucket
+    ), r AS (
+      SELECT l_orderkey, l_linenumber,
+             LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 500.0)
+                                 AS BIGINT), 0), 239) AS bucket,
+             CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem
+    ), ranked AS (
+      SELECT r.l_orderkey, r.l_linenumber,
+             LEAST(GREATEST(
+               (cdf.cum_prev + (r.x - (0.0 + 500.0 * cdf.bucket)) / 500.0 * cdf.cnt) / cdf.n,
+               0.0), 1.0) AS qrank
+      FROM r JOIN cdf ON r.bucket = cdf.bucket
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(LEAST(CAST(FLOOR(qrank * 10.0) AS BIGINT), 9) AS BIGINT) AS band
+    FROM ranked
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)),
+                    1, 8) < '1999999a'
+    """,
+)
+def q_quantile_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band stratified sampling — the two state families
+    composed: `histogram_rank_transform` stamps every row's percentile
+    (one broadcast join against the CDF state), the rank buckets into
+    ten equal-probability bands, and the engine-portable md5 Bernoulli
+    filter (corpus.py::hash_sample semantics) keeps a deterministic 10%
+    within each. Balanced sampling across the value distribution is how
+    a curation pipeline keeps tails represented; here it costs a scan +
+    one broadcast join — no sort, no per-band pass, no shuffle."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_rank_transform,
+        histogram_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, nbins = 0.0, 120000.0, 240
+    state = histogram_state(li, "l_extendedprice", lo, hi, nbins)
+    ranked = histogram_rank_transform(li, "l_extendedprice", state, lo, hi, nbins)
+    band = F.least(F.floor(F.col("qrank") * 10.0).cast("bigint"), F.lit(9).cast("bigint"))
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")
+    )
+    threshold = format(int(0.10 * 16**8), "08x")
+    return (
+        ranked.withColumn("band", band)
+        .where(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
+        .select("l_orderkey", "l_linenumber", "band")
+    )

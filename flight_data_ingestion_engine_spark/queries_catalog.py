@@ -8880,3 +8880,62 @@ def q_quantile_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.substring(F.md5(key), 1, 8) < F.lit(threshold))
         .select("l_orderkey", "l_linenumber", "band")
     )
+
+
+@_q(
+    "windowed_quantile_state",
+    """
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS d,
+             LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 2.0)
+                                 AS BIGINT), 0), 99) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM b WHERE d BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+      GROUP BY 1
+    ), c AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cum_prev,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM w
+    ), qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
+    SELECT qs.q AS q, c.n AS n,
+           0.0 + 2.0 * (c.bucket + (qs.q * c.n - c.cum_prev) / c.cnt) AS est
+    FROM qs JOIN c ON qs.q * c.n > c.cum_prev AND qs.q * c.n <= c.cum
+    """,
+)
+def q_windowed_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed quantiles from per-day histogram states
+    (operators/sketches.py): one pass builds a (day × bucket) state
+    table that persists to parquet; ANY day range's p50/p95 — here
+    Jan 3-5 — then comes from filtering the state rows and summing
+    buckets (`histogram_merge` on the filtered slice), with the fact
+    table untouched. This is the rolling-window monitoring shape: a
+    365-day retention of per-day states costs ≤ 365·nbins rows, and
+    every window query is metadata-sized algebra."""
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_state_by,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.col("ts").cast("date"))
+    lo, hi, nbins = 0.0, 200.0, 100
+    path = tempfile.mkdtemp(prefix="fdie_histday_") + "/state"
+    histogram_state_by(ev, ["d"], "value", lo, hi, nbins).write.parquet(path)
+    stored = spark.read.parquet(path)
+    windowed = histogram_merge(
+        [
+            stored.where(
+                F.col("d").between(F.lit("2024-01-03"), F.lit("2024-01-05"))
+            ).select("bucket", "cnt")
+        ]
+    )
+    return histogram_quantiles(windowed, [0.5, 0.95], lo, hi, nbins)

@@ -566,3 +566,67 @@ def enforce_expectations(
         detail = ", ".join(f"{name} ({n} rows)" for name, n in failed)
         raise ValueError(f"expectations failed: {detail}")
     return df
+
+
+def t_closeness_tv(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    t_threshold: float,
+) -> DataFrame:
+    """t-closeness audit (total-variation variant): for each
+    quasi-identifier equivalence class, the TV distance between the
+    class's SENSITIVE-value distribution and the global one, with
+    classes exceeding `t_threshold` flagged. Completes the classic
+    privacy-gate trio — k-anonymity bounds class SIZE, l-diversity
+    bounds sensitive VARIETY, t-closeness bounds sensitive SKEW (a
+    class can be large and diverse yet still leak because its mix
+    diverges from the population's: the skewness attack).
+
+    Returns `(qi_cols..., n_g, tv, exceeds_t)`. Numerically exact by
+    the same construction as `histogram_drift_tv`: per class,
+    TV = Σ_v |c_gv·N − g_v·n_g| / (2·n_g·N) — integer cross-products
+    (order-independent, engine-portable), exactly one IEEE division per
+    class. Needs n_g·N < 2^62; pre-scale counts beyond that.
+
+    Scale shape: one (qi × value) counting pass over the facts; the
+    audit grid is classes × |values| rows — linear in class count with
+    the global value distribution broadcast — so the per-class math
+    never rescans facts and the only data-sized shuffle is the first
+    count's."""
+    qis = [F.col(c) for c in qi_cols]
+    cell = df.groupBy(*qis, F.col(sensitive_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    glob = cell.groupBy("v").agg(F.sum("c").cast("bigint").alias("g_v"))
+    class_n = cell.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    n = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = class_n.crossJoin(F.broadcast(glob))
+    j = (
+        grid.join(cell, [*qi_cols, "v"], "left")
+        .select(
+            *[F.col(c) for c in qi_cols],
+            "n_g",
+            "g_v",
+            F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    s = j.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.max("n_g").alias("n_g"),
+        F.max("n").alias("n"),
+        F.sum(F.abs(F.col("c") * F.col("n") - F.col("g_v") * F.col("n_g")))
+        .cast("bigint")
+        .alias("s_abs"),
+    )
+    tv = F.col("s_abs").cast("double") / (
+        F.lit(2).cast("bigint") * F.col("n_g") * F.col("n")
+    ).cast("double")
+    return s.select(
+        *[F.col(c) for c in qi_cols],
+        "n_g",
+        tv.alias("tv"),
+        (tv > F.lit(float(t_threshold))).alias("exceeds_t"),
+    )

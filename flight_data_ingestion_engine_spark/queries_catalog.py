@@ -8939,3 +8939,46 @@ def q_windowed_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return histogram_quantiles(windowed, [0.5, 0.95], lo, hi, nbins)
+
+
+@_q(
+    "t_closeness_customers",
+    """
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    ), gtot AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS g_v FROM cell GROUP BY 1
+    ), cls AS (
+      SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1
+    ), ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    grid AS (SELECT cls.c_nationkey, cls.n_g, gtot.v, gtot.g_v FROM cls CROSS JOIN gtot),
+    j AS (
+      SELECT g.c_nationkey, g.n_g, g.g_v, COALESCE(cell.c, 0) AS c
+      FROM grid g LEFT JOIN cell
+        ON cell.c_nationkey = g.c_nationkey AND cell.v = g.v
+    ), s AS (
+      SELECT j.c_nationkey,
+             CAST(MAX(j.n_g) AS BIGINT) AS n_g,
+             CAST(MAX(ntot.n) AS BIGINT) AS n,
+             CAST(SUM(ABS(j.c * ntot.n - j.g_v * j.n_g)) AS BIGINT) AS s_abs
+      FROM j, ntot GROUP BY 1
+    )
+    SELECT c_nationkey, n_g,
+           CAST(s_abs AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE) AS tv,
+           CAST(s_abs AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE) > 0.08 AS exceeds_t
+    FROM s
+    """,
+)
+def q_t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/quality.py::t_closeness_tv): per
+    nation (the quasi-identifier class), the TV distance between that
+    class's market-segment mix and the global mix, flagging classes
+    above t=0.08 — the skewness-attack gate that k-anonymity and
+    l-diversity (both already in the catalog) cannot see. Integer
+    cross-product arithmetic, one IEEE division per class, value-exact
+    against the oracle."""
+    from flight_data_ingestion_engine_spark.operators.quality import t_closeness_tv
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_tv(cust, ["c_nationkey"], "c_mktsegment", 0.08)

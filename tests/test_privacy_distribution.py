@@ -58,3 +58,29 @@ def test_k_anonymity_histogram_counts_and_flags(spark):
         for r in k_anonymity_histogram(df, ["country", "seg"], k_threshold=3).collect()
     }
     assert out == {3: (1, 3, False), 2: (2, 4, True), 1: (1, 1, True)}
+
+
+def test_t_closeness_flags_skewed_class_and_matches_hand_tv(spark):
+    """A class whose sensitive mix diverges from the population must
+    exceed t while a representative class stays below; the tv value for
+    a hand-checkable frame must equal the closed form."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.quality import t_closeness_tv
+
+    # global mix: 60 A / 40 B. class g1 mirrors it (30/20); g2 is all-A.
+    rows = (
+        [("g1", "A")] * 30 + [("g1", "B")] * 20
+        + [("g2", "A")] * 30
+        + [("g3", "B")] * 20
+    )
+    df = spark.createDataFrame(rows, "qi string, s string").repartition(4)
+    out = {r.qi: r for r in t_closeness_tv(df, ["qi"], "s", 0.2).collect()}
+    # hand TV: P_global = (0.6, 0.4).
+    # g1 = (0.6, 0.4)   -> tv 0.0
+    # g2 = (1.0, 0.0)   -> tv 0.4
+    # g3 = (0.0, 1.0)   -> tv 0.6
+    assert out["g1"].tv == 0.0 and not out["g1"].exceeds_t
+    assert out["g2"].tv == 0.4 and out["g2"].exceeds_t
+    assert out["g3"].tv == 0.6 and out["g3"].exceeds_t
+    assert out["g2"].n_g == 30 and out["g3"].n_g == 20

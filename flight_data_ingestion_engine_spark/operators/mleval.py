@@ -151,3 +151,60 @@ def two_proportion_ztest(
         (x1.cast("double") / n1).alias("rate1"),
         z.alias("z"),
     )
+
+
+def auc_rank_sum(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank-sum identity — one row
+    `(n_pos, n_neg, auc)`. AUC equals the probability a random positive
+    outscores a random negative (ties count half), i.e.
+    U / (n_pos·n_neg) with U from the positives' rank sum over the
+    pooled scores, AVERAGE ranks for ties. The naive definition is an
+    all-pairs comparison (n_pos·n_neg pairs — quadratic, undoable at
+    scale); rank-sum needs one keyed aggregation.
+
+    Shape: rows collapse to DISTINCT-score groups first (one map-side-
+    combined agg keyed on score), and every tie group shares one
+    (min-rank r, size c), so the doubled positive rank sum
+
+        S2 = Σ_groups pos_c · (2·r + c − 1),   r = 1 + Σ_{s'<s} c(s')
+
+    comes off the group frame directly — the only ordered window runs
+    over DISTINCT scores, not rows. ML scores are (or can be) quantized,
+    so the distinct-score frame is orders of magnitude smaller than the
+    data; quantize scores upstream if they are truly continuous. All
+    accumulation is in bigints (average-rank floats would be partition-
+    order-dependent) with exactly one IEEE division:
+
+        auc = (S2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    NULL scores/labels are excluded; one-class frames yield NULL auc.
+    Needs n² < 2^62; beyond that sample or stratify."""
+    s = df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    sc = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("pos_c"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = sc.withColumn(
+        "r", (F.lit(1).cast("bigint") + F.coalesce(F.sum("c").over(w), F.lit(0))).cast("bigint")
+    )
+    agg = ranked.agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        (F.sum("c") - F.sum("pos_c")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_c") * (F.lit(2) * F.col("r") + F.col("c") - 1))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (F.lit(2).cast("bigint") * F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))

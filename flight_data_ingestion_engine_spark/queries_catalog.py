@@ -8982,3 +8982,43 @@ def q_t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     return t_closeness_tv(cust, ["c_nationkey"], "c_mktsegment", 0.08)
+
+
+@_q(
+    "auc_purchase_score",
+    """
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT label,
+             CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS c
+      FROM s
+    ), a AS (
+      SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS s2
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM a
+    """,
+)
+def q_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a purchase classifier
+    (operators/mleval.py::auc_rank_sum): the Mann–Whitney rank-sum form
+    — ONE sort-shuffle instead of the quadratic all-pairs definition —
+    with tie handling kept integer-exact by rank doubling
+    (2·rank + tiecount − 1 summed over positives), so the statistic is
+    engine- and partitioning-exact up to the single final division."""
+    from flight_data_ingestion_engine_spark.operators.mleval import auc_rank_sum
+
+    ev = _t(spark, sf_dir, "events")
+    lab = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return auc_rank_sum(ev.withColumn("label", lab), "value", "label")

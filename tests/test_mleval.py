@@ -43,3 +43,32 @@ def test_novel_bigrams_excludes_seen_and_short_docs(spark):
     # 'the quick' seen in baseline; 'quick brown'/'brown fox' novel;
     # single-token docs produce nothing (no descending-sequence artifact)
     assert out == {"quick brown": 1, "brown fox": 1}
+
+
+def test_auc_rank_sum_matches_all_pairs_brute_force(spark):
+    """The rank-sum AUC must equal the all-pairs definition — P(pos
+    outscores neg) + P(tie)/2 — on a frame with heavy ties, and be
+    invariant to partitioning. Degenerate one-class frames yield NULL."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.mleval import auc_rank_sum
+
+    rows = [
+        (0.1, 0), (0.1, 0), (0.1, 1),
+        (0.4, 0), (0.4, 1), (0.4, 1),
+        (0.7, 0), (0.9, 1), (0.9, 1), (0.2, 0),
+    ]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p, n in itertools.product(pos, neg))
+    expected = wins / (len(pos) * len(neg))
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, "score double, label int").repartition(parts)
+        got = auc_rank_sum(df, "score", "label").collect()[0]
+        assert got.n_pos == 5 and got.n_neg == 5
+        assert got.auc == expected, (got.auc, expected)
+    solo = spark.createDataFrame([(0.5, 1), (0.6, 1)], "score double, label int")
+    assert auc_rank_sum(solo, "score", "label").collect()[0].auc is None

@@ -208,3 +208,42 @@ def auc_rank_sum(
         / (F.lit(2).cast("bigint") * F.col("n_pos") * F.col("n_neg")).cast("double"),
     )
     return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1]-scored classifier:
+    `(bin, n, mean_score, pos_rate)` — is a 0.8-scored prediction right
+    80% of the time? The calibration companion to `auc_rank_sum` (AUC is
+    ranking-only and calibration-blind; a model can have AUC 0.99 and
+    still be uncalibrated garbage for thresholding).
+
+    One map-side-combined aggregation keyed on the score's equi-width
+    bin — the same single-pass shape as `histogram_state`. Sums stay
+    exact: the label sum is an integer and the score sum runs through a
+    DECIMAL intermediate (order-independent), so both per-bin means are
+    single IEEE divisions and the whole frame is engine-exact. Scores
+    outside [0,1] clamp into the edge bins; NULLs are excluded."""
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    raw = F.floor(s * nbins).cast("bigint")
+    b = F.least(F.greatest(raw, F.lit(0).cast("bigint")), F.lit(nbins - 1).cast("bigint"))
+    g = (
+        df.where(s.isNotNull() & lab.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s.cast("decimal(28,10)")).alias("_ssum"),
+            F.sum(lab).cast("bigint").alias("_pos"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n",
+        (F.col("_ssum").cast("double") / F.col("n").cast("double")).alias("mean_score"),
+        (F.col("_pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
+    )

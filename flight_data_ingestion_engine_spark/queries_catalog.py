@@ -9022,3 +9022,39 @@ def q_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     lab = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     return auc_rank_sum(ev.withColumn("label", lab), "value", "label")
+
+
+@_q(
+    "calibration_purchase_score",
+    """
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) / 200.0 AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(score * 10) AS BIGINT), 0), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(score AS DECIMAL(28,10))) AS ssum,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM s GROUP BY 1
+    )
+    SELECT bin, n,
+           CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+    FROM g
+    """,
+)
+def q_calibration_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/mleval.py::calibration_bins) of
+    value/200 as a purchase-probability score: ten equi-width bins, each
+    with exact count, mean score (DECIMAL-summed — order-independent)
+    and positive rate. One map-side-combined pass; with `auc_purchase_
+    score` this completes the ranking+calibration evaluation pair."""
+    from flight_data_ingestion_engine_spark.operators.mleval import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        (F.col("value").cast("double") / F.lit(200.0)).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", nbins=10)

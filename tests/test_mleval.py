@@ -72,3 +72,20 @@ def test_auc_rank_sum_matches_all_pairs_brute_force(spark):
         assert got.auc == expected, (got.auc, expected)
     solo = spark.createDataFrame([(0.5, 1), (0.6, 1)], "score double, label int")
     assert auc_rank_sum(solo, "score", "label").collect()[0].auc is None
+
+
+def test_calibration_bins_exact_counts_and_clamping(spark):
+    from flight_data_ingestion_engine_spark.operators.mleval import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.05, 0), (0.08, 1),        # bin 0: pos_rate 1/3
+        (0.95, 1), (0.99, 1),                   # bin 9
+        (1.0, 1), (-0.2, 0), (1.7, 0),          # clamp: 1.0,1.7 -> 9; -0.2 -> 0
+        (None, 1),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int").repartition(3)
+    out = {r.bin: r for r in calibration_bins(df, "score", "label", nbins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 4 and out[0].pos_rate == 0.25
+    assert out[9].n == 4 and out[9].pos_rate == 0.75
+    assert abs(out[0].mean_score - (0.05 + 0.05 + 0.08 - 0.2) / 4) < 1e-12

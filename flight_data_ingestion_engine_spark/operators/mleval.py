@@ -247,3 +247,53 @@ def calibration_bins(
         (F.col("_ssum").cast("double") / F.col("n").cast("double")).alias("mean_score"),
         (F.col("_pos").cast("double") / F.col("n").cast("double")).alias("pos_rate"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group exact ROC-AUC — `(group_col, n_pos, n_neg, auc)` — the
+    segment-evaluation / fairness-audit form ("is the model equally good
+    per language / region / cohort?"). Same integer-exact rank-sum
+    algebra as `auc_rank_sum`, but everything keys on the group: rows
+    collapse to (group, score) cells, the cumulative-rank window is
+    PARTITIONED BY GROUP (no single-partition funnel at any group
+    count), and each group pays one division. Groups with one class
+    yield NULL auc."""
+    s = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    sc = s.groupBy("g", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("bigint").alias("pos_c"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = sc.withColumn(
+        "r", (F.lit(1).cast("bigint") + F.coalesce(F.sum("c").over(w), F.lit(0))).cast("bigint")
+    )
+    agg = ranked.groupBy("g").agg(
+        F.sum("pos_c").cast("bigint").alias("n_pos"),
+        (F.sum("c") - F.sum("pos_c")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos_c") * (F.lit(2) * F.col("r") + F.col("c") - 1))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (F.lit(2).cast("bigint") * F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
+    return agg.select(F.col("g").alias(group_col), "n_pos", "n_neg", auc.alias("auc"))

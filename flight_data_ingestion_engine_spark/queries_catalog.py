@@ -9058,3 +9058,54 @@ def q_calibration_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
     return calibration_bins(scored, "score", "label", nbins=10)
+
+
+@_q(
+    "auc_by_event_dow",
+    """
+    WITH s AS (
+      SELECT dayofweek(ts) + 1 AS dow, CAST(value AS DOUBLE) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), sc AS (
+      SELECT dow, score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(label) AS BIGINT) AS pos_c
+      FROM s GROUP BY 1, 2
+    ), ranked AS (
+      SELECT dow, c, pos_c,
+             CAST(1 + COALESCE(SUM(c) OVER (
+               PARTITION BY dow ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS r
+      FROM sc
+    ), a AS (
+      SELECT dow,
+             CAST(SUM(pos_c) AS BIGINT) AS n_pos,
+             CAST(SUM(c) - SUM(pos_c) AS BIGINT) AS n_neg,
+             CAST(SUM(pos_c * (2 * r + c - 1)) AS BIGINT) AS s2
+      FROM ranked GROUP BY 1
+    )
+    SELECT dow, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+           END AS auc
+    FROM a
+    """,
+)
+def q_auc_by_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact AUC (operators/mleval.py::auc_by_group): the
+    value→purchase classifier evaluated per day-of-week — the fairness/
+    segment-audit shape. The rank window is partitioned by segment (no
+    global funnel); all rank algebra stays in bigints; one division per
+    segment. Spark's dayofweek is 1=Sunday; DuckDB's is 0-based (+1)."""
+    from flight_data_ingestion_engine_spark.operators.mleval import auc_by_group
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    scored = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return auc_by_group(scored, "dow", "score", "label")

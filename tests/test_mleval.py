@@ -89,3 +89,24 @@ def test_calibration_bins_exact_counts_and_clamping(spark):
     assert out[0].n == 4 and out[0].pos_rate == 0.25
     assert out[9].n == 4 and out[9].pos_rate == 0.75
     assert abs(out[0].mean_score - (0.05 + 0.05 + 0.08 - 0.2) / 4) < 1e-12
+
+
+def test_auc_by_group_matches_global_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        auc_by_group,
+        auc_rank_sum,
+    )
+
+    rows = (
+        [("a", 0.1, 0), ("a", 0.5, 1), ("a", 0.5, 0), ("a", 0.9, 1)]
+        + [("b", 0.2, 1), ("b", 0.3, 0), ("b", 0.8, 0), ("b", 0.8, 1)]
+        + [("c", 0.4, 1), ("c", 0.6, 1)]  # one-class group -> NULL
+    )
+    df = spark.createDataFrame(rows, "g string, score double, label int").repartition(4)
+    by = {r.g: r for r in auc_by_group(df, "g", "score", "label").collect()}
+    for g in ("a", "b"):
+        solo = auc_rank_sum(df.where(F.col("g") == g), "score", "label").collect()[0]
+        assert by[g].auc == solo.auc and by[g].n_pos == solo.n_pos, g
+    assert by["c"].auc is None

@@ -456,3 +456,23 @@ def test_histogram_state_single_pass_and_quantiles_skip_facts(spark, sf_dir):
     )
     plan = explain_str(q)
     assert "lineitem" not in plan  # facts never rescanned
+
+
+def test_r5_eval_audit_exchange_budgets(spark, sf_dir):
+    """Shuffle ceilings for the round-5 evaluation/audit aggregations —
+    each is one keyed pass plus metadata-sized algebra; a regression
+    that adds a data-sized shuffle fails here."""
+    budgets = {
+        "calibration_purchase_score": 1,   # one keyed count/sum agg
+        "auc_purchase_score": 3,           # (score) agg + distinct-score window + final agg
+        "auc_by_event_dow": 3,             # same, partitioned by segment
+        # cell agg + class/global/grand rollups + grid align + final agg:
+        # only the FIRST shuffles data; the rest move cell/class frames
+        "t_closeness_customers": 6,
+        "histogram_drift_tv": 5,           # two bucket aggs + totals + full-outer align
+        "source_length_drift": 5,          # (group x bucket) agg + rollups + grid join
+    }
+    for name, cap in budgets.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= cap, f"{name}: {got} exchanges > budget {cap}"

@@ -470,7 +470,7 @@ def test_r5_eval_audit_exchange_budgets(spark, sf_dir):
         # only the FIRST shuffles data; the rest move cell/class frames
         "t_closeness_customers": 6,
         "histogram_drift_tv": 5,           # two bucket aggs + totals + full-outer align
-        "source_length_drift": 5,          # (group x bucket) agg + rollups + grid join
+        "source_length_drift": 6,          # (group x bucket) agg + rollups + grid join
     }
     for name, cap in budgets.items():
         df = qc.QUERIES[name](spark, sf_dir)

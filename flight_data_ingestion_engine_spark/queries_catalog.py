@@ -9109,3 +9109,88 @@ def q_auc_by_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
     )
     return auc_by_group(scored, "dow", "score", "label")
+
+
+@_q(
+    "streaming_value_quantiles",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 2.0)
+                                 AS BIGINT), 0), 99) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY 1
+    ), c AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) - cnt AS BIGINT) AS cum_prev,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM b
+    ), qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+    SELECT qs.q AS q, c.n AS n,
+           0.0 + 2.0 * (c.bucket + (qs.q * c.n - c.cum_prev) / c.cnt) AS est
+    FROM qs JOIN c ON qs.q * c.n > c.cum_prev AND qs.q * c.n <= c.cum
+    """,
+)
+def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance with a VALUE-EXACT oracle
+    (streaming/file_stream.py::foreach_batch_sketch_sink): events arrive
+    as two micro-batches (even/odd event_id, order forced), each batch
+    appends its fixed-size histogram slice, and p50/p90/p99 come off the
+    merged state. The merge law (counters sum) makes the streamed state
+    EXACTLY equal the batch histogram — so unlike most streaming
+    checks, the oracle is the full batch-side quantile computation,
+    bit-for-bit. This is the monitoring steady state: the stream
+    maintains the summary; queries never touch raw history."""
+    import os
+    import tempfile
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_sketch_sink,
+        stream_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    root = tempfile.mkdtemp(prefix="fdie_svq_")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+
+    lo, hi, nbins = 0.0, 200.0, 100
+    st = stream_parquet(
+        spark, src, "event_id bigint, value double", max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = foreach_batch_sketch_sink(
+            st, state, ck, "value", kind="histogram", lo=lo, hi=hi, nbins=nbins
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = histogram_merge([spark.read.parquet(state).select("bucket", "cnt")])
+    return histogram_quantiles(merged, [0.5, 0.9, 0.99], lo, hi, nbins)

@@ -589,6 +589,14 @@ def t_closeness_tv(
     (order-independent, engine-portable), exactly one IEEE division per
     class. Needs n_g·N < 2^62; pre-scale counts beyond that.
 
+    NULL semantics: a NULL in a quasi-identifier column is its own
+    equivalence class and a NULL sensitive value is its own value —
+    the same NULL-as-its-own-class contract as
+    `k_anonymity_histogram`. The grid-to-cell alignment therefore uses
+    null-safe equality (`eqNullSafe`), so NULL-bearing classes get
+    their true cell counts instead of silently reading 0 (which would
+    inflate their TV).
+
     Scale shape: one (qi × value) counting pass over the facts; the
     audit grid is classes × |values| rows — linear in class count with
     the global value distribution broadcast — so the per-class math
@@ -604,10 +612,22 @@ def t_closeness_tv(
     )
     n = cell.agg(F.sum("c").cast("bigint").alias("n"))
     grid = class_n.crossJoin(F.broadcast(glob))
+    # Null-safe alignment: rename the cell side so the join condition can
+    # use eqNullSafe per key (a plain `on=[cols]` equi-join would drop
+    # every NULL-keyed grid row's match while its counts stay in n_g/g_v).
+    cell_r = cell.select(
+        *[F.col(c).alias(f"_r_{c}") for c in qi_cols],
+        F.col("v").alias("_r_v"),
+        "c",
+    )
+    cond = F.lit(True)
+    for c in qi_cols:
+        cond = cond & grid[c].eqNullSafe(cell_r[f"_r_{c}"])
+    cond = cond & grid["v"].eqNullSafe(cell_r["_r_v"])
     j = (
-        grid.join(cell, [*qi_cols, "v"], "left")
+        grid.join(cell_r, cond, "left")
         .select(
-            *[F.col(c) for c in qi_cols],
+            *[grid[c] for c in qi_cols],
             "n_g",
             "g_v",
             F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c"),

@@ -573,9 +573,14 @@ def rrf_fuse(
     semantic (embedding cosine) retrieval feeding one candidate list for
     reranking / hard-negative mining.
 
-    Inputs are `(id_col, rank_col)` frames (extra columns survive,
-    prefixed per-retriever as `r{i}_<col>`); output is
-    `(rank, id_col, rrf_score, r0_rank, r1_rank, ...)`.
+    Inputs are `(id_col, rank_col)` frames; extra input columns are
+    ignored — the output carries exactly
+    `(rank, id_col, rrf_score, r0_rank, r1_rank, ...)`, i.e. the fused
+    rank, the fused score, and each retriever's own rank (NULL where a
+    retriever did not return the item). Callers wanting per-retriever
+    payload columns (scores, snippets) should re-join the fused top-k
+    back to the retriever frames by `id_col` — the fused list is ≤ topk
+    rows, so that re-join is broadcast-sized by construction.
 
     Scale shape: retriever lists are top-N — bounded, typically tiny next
     to the corpus — so the full-outer equi-joins and the final top-k are

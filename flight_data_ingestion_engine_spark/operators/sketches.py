@@ -337,7 +337,11 @@ def cms_state(
     With `weight_col` (a NON-NEGATIVE integer column) counters
     accumulate Σ weight instead of row counts — point queries then
     estimate weighted mass (token counts, byte sizes) with the same
-    est ≥ true guarantee; rows with NULL weight are skipped."""
+    est ≥ true guarantee. Rows with NULL or NEGATIVE weight are
+    excluded at build time (enforced, not just documented): a negative
+    weight would silently break the est ≥ true direction that
+    `cms_estimate` callers rely on ("est = 0 proves absence", "never
+    an undercount"), so such rows never reach the counters."""
     assert 1 <= depth <= len(CMS_SEEDS) and width >= 2
     key = F.col(col).cast("string")
     pairs = F.array(
@@ -350,7 +354,7 @@ def cms_state(
     )
     keep = F.col(col).isNotNull()
     if weight_col is not None:
-        keep = keep & F.col(weight_col).isNotNull()
+        keep = keep & F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
         wexpr = F.sum(F.col("_w")).cast("bigint").alias("cnt")
         sel = [F.explode(pairs).alias("_c"), F.col(weight_col).cast("bigint").alias("_w")]
     else:
@@ -591,7 +595,10 @@ def histogram_drift_profile(
     NEVER built by rescanning). Same exactness contract as
     `histogram_drift_tv`: integer cross-products, one IEEE division per
     group. Groups with n_b = 0 (a group holding every row) yield NULL tv
-    (0/0 guard) rather than a division error."""
+    (0/0 guard) rather than a division error. A NULL `group_col` value is
+    its own group (null-safe grid alignment — a plain equi-join would
+    give the NULL group zero matched cells while its mass stays in the
+    bucket totals, distorting every group's complement)."""
     c = F.col(val_col)
     h = (
         df.where(
@@ -609,10 +616,17 @@ def histogram_drift_profile(
     ns = h.groupBy("g").agg(F.sum("ca").cast("bigint").alias("n_a"))
     n = h.agg(F.sum("ca").cast("bigint").alias("n"))
     grid = ns.crossJoin(F.broadcast(tot))
+    h_r = h.select(
+        F.col("g").alias("_r_g"), F.col("bucket").alias("_r_bucket"), "ca"
+    )
     j = (
-        grid.join(h, ["g", "bucket"], "left")
+        grid.join(
+            h_r,
+            grid["g"].eqNullSafe(h_r["_r_g"]) & (grid["bucket"] == h_r["_r_bucket"]),
+            "left",
+        )
         .select(
-            "g",
+            grid["g"],
             "n_a",
             F.coalesce(F.col("ca"), F.lit(0).cast("bigint")).alias("ca"),
             (F.col("t") - F.coalesce(F.col("ca"), F.lit(0).cast("bigint"))).alias("cb"),

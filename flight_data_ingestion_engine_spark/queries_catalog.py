@@ -8604,7 +8604,8 @@ def q_histogram_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.source, g.n_a,
              COALESCE(h.ca, 0) AS ca,
              g.t - COALESCE(h.ca, 0) AS cb
-      FROM grid g LEFT JOIN h ON h.source = g.source AND h.bucket = g.bucket
+      FROM grid g LEFT JOIN h
+        ON h.source IS NOT DISTINCT FROM g.source AND h.bucket = g.bucket
     ), s AS (
       SELECT j.source,
              CAST(MAX(j.n_a) AS BIGINT) AS n_a,
@@ -8705,7 +8706,7 @@ def _cms_weighted_oracle_sql() -> str:
     return f"""
     WITH keyed AS (
       SELECT source AS k, n_chars AS w FROM documents
-      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
     ),
     cells AS (
       SELECT d, pos, CAST(SUM(w) AS BIGINT) AS cnt
@@ -8849,7 +8850,7 @@ def q_event_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(LEAST(CAST(FLOOR(qrank * 10.0) AS BIGINT), 9) AS BIGINT) AS band
     FROM ranked
     WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)),
-                    1, 8) < '1999999a'
+                    1, 8) < '19999999'
     """,
 )
 def q_quantile_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8956,7 +8957,8 @@ def q_windowed_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (
       SELECT g.c_nationkey, g.n_g, g.g_v, COALESCE(cell.c, 0) AS c
       FROM grid g LEFT JOIN cell
-        ON cell.c_nationkey = g.c_nationkey AND cell.v = g.v
+        ON cell.c_nationkey IS NOT DISTINCT FROM g.c_nationkey
+       AND cell.v IS NOT DISTINCT FROM g.v
     ), s AS (
       SELECT j.c_nationkey,
              CAST(MAX(j.n_g) AS BIGINT) AS n_g,

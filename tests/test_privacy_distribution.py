@@ -84,3 +84,28 @@ def test_t_closeness_flags_skewed_class_and_matches_hand_tv(spark):
     assert out["g2"].tv == 0.4 and out["g2"].exceeds_t
     assert out["g3"].tv == 0.6 and out["g3"].exceeds_t
     assert out["g2"].n_g == 30 and out["g3"].n_g == 20
+
+
+def test_t_closeness_null_class_and_null_value_align(spark):
+    """NULL quasi-identifiers and NULL sensitive values are their own
+    class/value (k_anonymity_histogram's contract). The grid-to-cell
+    alignment is null-safe, so a NULL-bearing class reads its TRUE cell
+    counts — a class that exactly mirrors the global mix must get tv=0
+    even when the class key or a sensitive value is NULL."""
+    from flight_data_ingestion_engine_spark.operators.quality import t_closeness_tv
+
+    # global mix: 50 A / 25 B / 25 NULL. Both classes mirror it exactly;
+    # one of the classes is itself keyed NULL.
+    rows = (
+        [("g1", "A")] * 10 + [("g1", "B")] * 5 + [("g1", None)] * 5
+        + [(None, "A")] * 10 + [(None, "B")] * 5 + [(None, None)] * 5
+    )
+    df = spark.createDataFrame(rows, "qi string, s string").repartition(4)
+    out = {r.qi: r for r in t_closeness_tv(df, ["qi"], "s", 0.2).collect()}
+    assert set(out) == {"g1", None}
+    assert out["g1"].n_g == 20 and out[None].n_g == 20
+    # perfect mirrors: tv must be exactly 0 for BOTH classes; before the
+    # null-safe fix the NULL class (and every class's NULL-value cell)
+    # read c=0 and produced a spurious positive tv.
+    assert out["g1"].tv == 0.0 and not out["g1"].exceeds_t
+    assert out[None].tv == 0.0 and not out[None].exceeds_t

@@ -497,3 +497,55 @@ def test_histogram_quantiles_by_group_matches_global_per_group(spark):
             assert by[(g, q)] == solo[q], (g, q)
     # group separation: b's median sits above a's maximum
     assert by[("b", 0.5)] > 40.0 > by[("a", 0.5)]
+
+
+def test_histogram_drift_profile_null_group_is_its_own_group(spark):
+    """A NULL group value forms its own leave-one-out group and its
+    cells align null-safely: a NULL group distributed exactly like its
+    complement must get tv=0, and the non-null groups' complements must
+    include the NULL group's mass correctly."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        histogram_drift_profile,
+        histogram_drift_tv,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 10
+    rows = (
+        [("a", float(v % 100)) for v in range(200)]
+        + [(None, float(v % 100)) for v in range(100)]  # same uniform shape
+        + [("b", 5.0)] * 50                             # skewed spike
+    )
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    prof = {r.g: r for r in histogram_drift_profile(df, "g", "x", lo, hi, nbins).collect()}
+    assert set(prof) == {"a", None, "b"}
+    assert prof[None].n_a == 100 and prof[None].n_b == 250
+    # NULL group vs its complement must equal the pairwise TV computed directly
+    ref = histogram_drift_tv(
+        histogram_state(df.where(F.col("g").isNull()), "x", lo, hi, nbins),
+        histogram_state(df.where(F.col("g").isNotNull()), "x", lo, hi, nbins),
+    ).collect()[0]
+    assert prof[None].tv == ref.tv
+    # and the skewed group still reads as the most drifted
+    assert prof["b"].tv > prof["a"].tv and prof["b"].tv > prof[None].tv
+
+
+def test_cms_state_weighted_rejects_negative_weights(spark):
+    """Negative weights would silently break est >= true; the build
+    excludes them (alongside NULLs), preserving the no-undercount
+    direction for the remaining mass."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_estimate,
+        cms_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", -100), ("b", 7), ("b", -1)],
+        "k string, w long",
+    )
+    state = cms_state(df, "k", width=64, depth=3, weight_col="w")
+    per_row = {r.d: r.s for r in state.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(s == 17 for s in per_row.values()), per_row
+    probes = spark.createDataFrame([("a",), ("b",)], "key string")
+    est = {r.key: r.est for r in cms_estimate(probes, "key", state, width=64, depth=3).collect()}
+    assert est["a"] >= 10 and est["b"] >= 7

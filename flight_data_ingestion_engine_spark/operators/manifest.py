@@ -816,22 +816,48 @@ _CKPT_INTERVAL = 16
 
 
 def _write_small_file(fs, jvm, path: str, data: bytes) -> None:
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    """Replace `path` with `data` via write-to-temp + rename, never an
+    in-place truncate. An in-place `fs.create(path, True)` opens a window
+    where a concurrent reader sees a zero-length or partial file — that
+    exact race produced a Py4J `IOUtils.toByteArray` failure in the
+    concurrent-committer test. Rename is atomic on HDFS and local; on
+    stores where rename-over-existing fails we delete-then-rename, and
+    the (tiny) missing-file window is covered by `_read_small_file`'s
+    None fallback."""
+    import uuid as _uuid
+
+    tmp = f"{path}.__tmp_{_uuid.uuid4().hex[:12]}"
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    out = fs.create(tpath, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.rename(tpath, dest):
+        # Destination exists and this FS refuses rename-over-existing.
+        fs.delete(dest, False)
+        if not fs.rename(tpath, dest):
+            fs.delete(tpath, False)
 
 
 def _read_small_file(fs, jvm, path: str) -> bytes | None:
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+    """Best-effort read: ANY IO failure (file vanished between exists()
+    and open(), truncated mid-replace by a concurrent writer, permission
+    hiccup) returns None instead of raising — callers treat these files
+    as advisory hints with a listing fallback, so a racy read must never
+    propagate (`_resolve_latest`'s documented contract)."""
     try:
-        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 def _resolve_latest(spark: SparkSession, log_path: str) -> int | None:

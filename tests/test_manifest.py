@@ -1326,6 +1326,71 @@ def test_concurrent_committers_linearize_without_lost_snapshots(spark, tmp_path)
     assert names == {"k", f"w{want_t}"}
 
 
+def test_commit_hint_read_survives_concurrent_rewrite(spark, tmp_path):
+    """VERDICT r6 #1: the `_ckpt/_latest` commit hint is advisory — a
+    reader racing a hint rewrite must NEVER see an exception out of
+    `_resolve_latest` (the old in-place truncate-then-write made readers
+    fail with a Py4J IOUtils error). Hammer: one thread rewrites the hint
+    in a tight loop while readers resolve continuously; every resolution
+    must return the true latest version."""
+    import threading
+
+    from flight_data_ingestion_engine_spark.operators import manifest as M
+
+    log = str(tmp_path / "log")
+    mf = spark.createDataFrame(
+        [("f1", 1, 0, 0)],
+        "file_path string, n_rows bigint, min_k bigint, max_k bigint",
+    )
+    latest = M.commit_manifest(spark, log, mf)
+    fs, jvm = M._fs_for(spark, log)
+    hint = f"{log.rstrip('/')}/_ckpt/_latest"
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            try:
+                M._write_small_file(fs, jvm, hint, str(latest).encode())
+            except Exception as e:
+                errors.append(f"writer: {e!r}")
+            i += 1
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        for _ in range(300):
+            got = M._resolve_latest(spark, log)
+            assert got == latest, (got, latest)
+    except Exception as e:
+        errors.append(f"reader: {e!r}")
+    finally:
+        stop.set()
+        th.join()
+    assert not errors, errors
+
+
+def test_small_file_read_returns_none_on_missing_and_garbage(spark, tmp_path):
+    """_read_small_file is best-effort: missing file -> None; a hint that
+    decodes to garbage must make _resolve_latest fall back to the listing
+    (never raise)."""
+    from flight_data_ingestion_engine_spark.operators import manifest as M
+
+    log = str(tmp_path / "log")
+    mf = spark.createDataFrame(
+        [("f1", 1, 0, 0)],
+        "file_path string, n_rows bigint, min_k bigint, max_k bigint",
+    )
+    v = M.commit_manifest(spark, log, mf)
+    fs, jvm = M._fs_for(spark, log)
+    assert M._read_small_file(fs, jvm, f"{log}/_ckpt/nope") is None
+    # corrupt the hint: non-integer bytes, then empty bytes
+    for garbage in (b"not-a-number", b""):
+        M._write_small_file(fs, jvm, f"{log.rstrip('/')}/_ckpt/_latest", garbage)
+        assert M._resolve_latest(spark, log) == v
+
+
 def test_change_feed_distributed_above_plan_cap(spark, tmp_path, monkeypatch):
     """snapshot_changes joins the symmetric-difference file set
     cluster-side above the plan cap (forced to 0 here) and still produces

@@ -8,9 +8,12 @@ Each query is executed to completion with a cheap row-materializing action
 (count of a select over all result columns) so the full plan runs, but
 driver-side collection doesn't dominate timing at sf0.1.
 
-Headline queries are timed as MEDIAN-OF-3 (ambient load on a shared box
-swings single-shot timings 3-7x — recorded in round-1 notes); the long
-tail of non-headline queries is timed once.
+Headline and heavy queries are timed as MEDIAN-OF-3 after one DISCARDED
+warm-up rep at the target SF (ambient load on a shared box swings
+single-shot timings 3-7x, and a cold first rep pays file-listing and
+page-cache costs that have twice manufactured phantom >=2x regressions);
+the long tail of non-headline queries is timed once. Per-query samples
+and spread land in bench_detail.json.
 """
 
 from __future__ import annotations
@@ -98,10 +101,28 @@ def main() -> None:
         return elapsed
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
-        reps = 3 if (name in HEADLINE or name in HEAVY) else 1
-        samples = sorted(run_once(name) for _ in range(reps))
-        timings[name] = round(samples[len(samples) // 2], 4)
+        pinned = name in HEADLINE or name in HEAVY
+        if pinned:
+            # one discarded warm-up rep AT THE TARGET SF (the sf0.001
+            # warm-up above only compiles codegen; it doesn't warm file
+            # listings, shuffle dirs, or the OS page cache at sf0.1 —
+            # the cold first rep is what manufactured the phantom 23.7s
+            # contamination_index_probe "regression" in BENCH_r6)
+            run_once(name)
+            reps = 3
+        else:
+            reps = 1
+        raw = [run_once(name) for _ in range(reps)]
+        samples = sorted(raw)
+        p50 = samples[len(samples) // 2]
+        timings[name] = round(p50, 4)
+        if pinned:
+            detail[name] = {
+                "samples": [round(s, 4) for s in raw],
+                "spread_pct": round(100.0 * (samples[-1] - samples[0]) / max(p50, 1e-9), 1),
+            }
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     heavy_total = round(sum(timings[n] for n in HEAVY if n in timings), 4)
@@ -116,6 +137,7 @@ def main() -> None:
                 "total_headline_sec": total,
                 "total_heavy_sec": heavy_total,
                 "queries": timings,
+                "detail": detail,
             },
             fh, indent=1, sort_keys=True,
         )

@@ -7981,12 +7981,21 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # state_path mode: batch 2 dedups against the maintained
         # signature table — the corpus parquet is never read back
-        q = foreach_batch_dedup_sink(
-            st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3,
-            state_path=state,
-        ).start()
+        # Trigger.AvailableNow drains both staged files (honouring
+        # maxFilesPerTrigger=1 as batch boundaries, so batch order stays
+        # deterministic) then self-terminates — same completed-set
+        # semantics as processAllAvailable()+stop() without the
+        # poll/stop handshake jitter (see _drain_stream at :1809).
+        q = (
+            foreach_batch_dedup_sink(
+                st, corpus, ck, id_col="doc_id", text_col="text", threshold=0.3,
+                state_path=state,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:
@@ -9185,11 +9194,18 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = foreach_batch_sketch_sink(
-            st, state, ck, "value", kind="histogram", lo=lo, hi=hi, nbins=nbins
-        ).start()
+        # Trigger.AvailableNow: drain-then-terminate, per-trigger file
+        # limits still honoured — replaces the processAllAvailable()
+        # poll/stop handshake (see _drain_stream at :1809).
+        q = (
+            foreach_batch_sketch_sink(
+                st, state, ck, "value", kind="histogram", lo=lo, hi=hi, nbins=nbins
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:

@@ -546,6 +546,7 @@ def contamination_overlap(
     min_shared: int = 2,
     hash_grams: bool = True,
     train_index: DataFrame | None = None,
+    test_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: (train_id, test_id, n_shared) for every
     train document sharing ≥ `min_shared` distinct token n-grams with a
@@ -567,6 +568,11 @@ def contamination_overlap(
     `train` — the probe then touches NO training text; per-sweep cost is
     O(eval grams + matched postings). `n`/`hash_grams` must match the
     index build.
+
+    Symmetrically, `test_grams` (columns `(gram, <test_id>)`, e.g. a
+    cached `ngram_index(test, train_id=test_id)`) skips the test-side
+    gram extraction — the natural shape when a FIXED eval suite sweeps
+    a growing corpus repeatedly: gram the suite once, probe forever.
     """
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
@@ -587,13 +593,16 @@ def contamination_overlap(
         t = t.select("_train_id", F.explode("_g").alias("gram"))
         if hash_grams:
             t = t.select("_train_id", F.xxhash64("gram").alias("gram"))
-    s = ensure_parallelism(test).select(
-        F.col(test_id).alias("_test_id"),
-        grams(text_normalize(F.col(text_col))).alias("_g"),
-    )
-    s = s.select("_test_id", F.explode("_g").alias("gram"))
-    if hash_grams:
-        s = s.select("_test_id", F.xxhash64("gram").alias("gram"))
+    if test_grams is not None:
+        s = test_grams.select("gram", F.col(test_id).alias("_test_id"))
+    else:
+        s = ensure_parallelism(test).select(
+            F.col(test_id).alias("_test_id"),
+            grams(text_normalize(F.col(text_col))).alias("_g"),
+        )
+        s = s.select("_test_id", F.explode("_g").alias("gram"))
+        if hash_grams:
+            s = s.select("_test_id", F.xxhash64("gram").alias("gram"))
     shared = (
         t.join(s, "gram")
         .groupBy("_train_id", "_test_id")

@@ -1060,11 +1060,17 @@ def commit_manifest(
             if final is not None and (
                 staged_carried is None or final.json() != staged_carried.json()
             ):
-                out = fs.create(_p(f"{dest}/_table_schema.json"), True)
-                try:
-                    out.write(bytearray(final.json().encode("utf-8")))
-                finally:
-                    out.close()
+                # atomic replace (temp + rename), NOT an in-place
+                # truncate: `dest` is already public, and the NEXT
+                # committer's post-win verify reads THIS file as its
+                # predecessor schema — a truncate window made that
+                # reader parse an empty file (JSONDecodeError, caught by
+                # the 50x concurrent-committer hammer)
+                _write_small_file(
+                    fs, jvm,
+                    f"{dest}/_table_schema.json",
+                    final.json().encode("utf-8"),
+                )
         # Post-commit log maintenance, both best-effort (a failure must
         # never fail a landed commit; readers fall back to listing):
         # refresh the O(1)-resolution hint, and every _CKPT_INTERVAL
@@ -1115,23 +1121,35 @@ def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
     else:
         v = version
     fs, jvm = _fs_for(spark, log_path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        f"{log_path.rstrip('/')}/v={v}/_table_schema.json"
-    )
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        ).decode("utf-8")
-    finally:
-        stream.close()
+    path = f"{log_path.rstrip('/')}/v={v}/_table_schema.json"
     import json as _json
+    import time as _time
 
     from pyspark.sql import types as T
 
-    return T.StructType.fromJson(_json.loads(data))
+    # The post-win verify replaces this file atomically (temp + rename),
+    # so on POSIX/HDFS a reader only ever sees a complete old or new
+    # document. Stores whose rename-over-existing degrades to
+    # delete+rename (or copy) can expose a transient missing/partial
+    # read — retry briefly before trusting it; both pre- and
+    # post-replace contents are valid schemas, so any complete read is
+    # correct.
+    last_err: Exception | None = None
+    for attempt in range(3):
+        raw = _read_small_file(fs, jvm, path)
+        if raw is None:
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+                return None  # genuinely schema-less version
+            last_err = None
+        else:
+            try:
+                return T.StructType.fromJson(_json.loads(raw.decode("utf-8")))
+            except ValueError as e:  # empty/partial mid-replace read
+                last_err = e
+        _time.sleep(0.05 * (attempt + 1))
+    raise RuntimeError(
+        f"unreadable _table_schema.json for version {v} under {log_path}"
+    ) from last_err
 
 
 def _schema_reader(spark: SparkSession, log_path: str, version: int | None = None):

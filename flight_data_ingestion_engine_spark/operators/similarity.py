@@ -244,32 +244,57 @@ def ivf_build_centroids(
     just n_centroids × dim rows, collected to rebuild the codebook.
     Driver-side state is only the codebook itself.
     """
-    c = corpus.select(
+    raw, c = _normalized_prepared(corpus, vec_col, id_col)
+    centroids = _lloyd_centroids(c, n_centroids, iterations, seed)
+    raw.unpersist()
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    return arrow_local_df(
+        corpus.sparkSession,
+        [(i, v) for i, v in enumerate(centroids)],
+        "centroid_id int, cv array<double>",
+    )
+
+
+def _normalized_prepared(
+    corpus: DataFrame, vec_col: str, id_col: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """Normalize + cache + resize the corpus for repeated Arrow passes.
+    Returns `(raw, prepared)`: `raw` is the PERSISTED handle (unpersist
+    THIS one — calling unpersist on the rebound coalesced/checkpointed
+    frame is a plan-mismatch no-op), `prepared` has columns `(_cid, nv)`
+    sized for iteration. Partition count is sized by ROW count, not
+    source splits: every Lloyd/assignment pass is a full corpus scan
+    through the Arrow scorer, so a billion-vector corpus wants all cores
+    (vectors//20k partitions ≫ parallelism) while a few-thousand-vector
+    build at 32 partitions pays 32 Python-worker round-trips per pass
+    for microseconds of numpy each."""
+    raw = corpus.select(
         (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
         unit_normalize(F.col(vec_col)).alias("nv"),
     ).persist()
-    # size the iteration frames by ROW count, not source splits: every
-    # Lloyd pass is a full corpus scan through the Arrow scorer, so a
-    # billion-vector corpus wants all cores (vectors//20k partitions ≫
-    # parallelism) while a few-thousand-vector codebook build at 32
-    # partitions pays 32 Python-worker round-trips per iteration for
-    # microseconds of numpy each. The count also materializes the persist.
     spark = corpus.sparkSession
-    n_vecs = c.count()
+    n_vecs = raw.count()  # also materializes the persist
     p = max(1, min(spark.sparkContext.defaultParallelism, n_vecs // 20_000))
     if p < spark.sparkContext.defaultParallelism:
         # narrow merge of the cached partitions — no shuffle per iteration.
         # NB: coalesce only ever REDUCES partitions; that's fine here (the
         # downsizing branch), and the big-corpus case below must NOT rely
         # on it to widen a few-split source.
-        c = c.coalesce(p)
-    else:
-        # big corpus: a single-file (or few-split) source would otherwise
-        # run every Lloyd pass serially. localCheckpoint MATERIALIZES the
-        # widened partitions — a bare repartition would layer an Exchange
-        # over the cached relation and re-run the shuffle on every one of
-        # the `iterations` actions
-        c = c.repartition(p).localCheckpoint()
+        return raw, raw.coalesce(p)
+    # big corpus: a single-file (or few-split) source would otherwise
+    # run every Lloyd pass serially. localCheckpoint MATERIALIZES the
+    # widened partitions — a bare repartition would layer an Exchange
+    # over the cached relation and re-run the shuffle on every one of
+    # the `iterations` actions
+    return raw, raw.repartition(p).localCheckpoint()
+
+
+def _lloyd_centroids(
+    c: DataFrame, n_centroids: int, iterations: int, seed: int
+) -> list:
+    """Run the Lloyd loop over a `_normalized_prepared` frame; returns the
+    final codebook as a plain list of vectors (the only driver state)."""
     init = (
         c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
         .limit(n_centroids)
@@ -277,7 +302,6 @@ def ivf_build_centroids(
         .collect()
     )
     centroids = [r.nv for r in init]
-    dim = len(centroids[0])
 
     import numpy as np
 
@@ -306,15 +330,7 @@ def ivf_build_centroids(
         )
         means = {r.centroid_id: list(r.m) for r in rows}
         centroids = [means.get(i, centroids[i]) for i in range(len(centroids))]
-
-    c.unpersist()
-    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
-
-    return arrow_local_df(
-        corpus.sparkSession,
-        [(i, v) for i, v in enumerate(centroids)],
-        "centroid_id int, cv array<double>",
-    )
+    return centroids
 
 
 def ivf_index(
@@ -345,17 +361,38 @@ def ivf_index(
     with `ivf_topk(..., index=)`: query-side assignment is the only Arrow
     pass; the corpus side is a pre-assigned scan.
     """
+    id_type = dict(corpus.dtypes)[id_col]
     if centroids is None:
-        centroids = ivf_build_centroids(
-            corpus, vec_col, n_centroids, iterations, seed, id_col=id_col
+        # build + final assignment share ONE normalized/cached corpus
+        # frame: the Lloyd passes already materialized it, so the final
+        # assignment reads the cache instead of re-scanning and
+        # re-normalizing the raw source (the old shape's extra pass).
+        # The cache stays pinned until the caller materializes the
+        # returned frame (the write that immediately follows a build).
+        from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+        raw, c = _normalized_prepared(corpus, vec_col, id_col)
+        cents = _lloyd_centroids(c, n_centroids, iterations, seed)
+        centroids = arrow_local_df(
+            corpus.sparkSession,
+            [(i, v) for i, v in enumerate(cents)],
+            "centroid_id int, cv array<double>",
         )
+        assign = _cell_assign_udf(cents, 1)
+        vec_rows = c.select(
+            F.lit("vec").alias("part"),
+            assign(F.col("nv"))[0].cast("int").alias("centroid_id"),
+            F.col("_cid").cast(id_type).alias(id_col),
+            to_double_array(F.col("nv")).alias("v"),
+        )
+    else:
+        vec_rows = ivf_index_append(centroids, corpus, id_col, vec_col)
     cb_rows = centroids.select(
         F.lit("codebook").alias("part"),
         F.col("centroid_id").cast("int").alias("centroid_id"),
-        F.lit(None).cast(dict(corpus.dtypes)[id_col]).alias(id_col),
+        F.lit(None).cast(id_type).alias(id_col),
         to_double_array(F.col("cv")).alias("v"),
     )
-    vec_rows = ivf_index_append(centroids, corpus, id_col, vec_col)
     return cb_rows.unionByName(vec_rows)
 
 
@@ -364,6 +401,7 @@ def ivf_index_append(
     new_vectors: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
+    codebook: list | None = None,
 ) -> DataFrame:
     """Assign NEW vectors to an EXISTING index's cells — the incremental
     append path: the codebook is fixed (identical vectors land in
@@ -371,8 +409,11 @@ def ivf_index_append(
     rely on), only the batch is scanned, and the returned `part='vec'`
     rows are what the caller appends to the stored index. Accepts either
     a full index frame (codebook extracted from its `part='codebook'`
-    rows) or a bare `ivf_build_centroids` frame."""
-    cents = _codebook_rows(index_or_centroids)
+    rows) or a bare `ivf_build_centroids` frame; `codebook` (an already
+    `_codebook_rows`-collected list) skips that collect — the codebook
+    is immutable across appends, so a caller running a
+    probe/append/probe lifecycle collects it exactly once."""
+    cents = codebook if codebook is not None else _codebook_rows(index_or_centroids)
     assign = _cell_assign_udf(cents, 1)
     nv = unit_normalize(F.col(vec_col))
     return ensure_parallelism(new_vectors).select(
@@ -402,6 +443,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
     index: DataFrame | None = None,
+    codebook: list | None = None,
 ) -> DataFrame:
     """IVF probe: per-query search only the `nprobe` nearest centroid cells.
 
@@ -414,9 +456,11 @@ def ivf_topk(
     scan, no corpus-side Arrow pass — the query side is the only
     assignment work, and a `centroid_id`-partitioned stored index prunes
     the candidate read to the probed cells. Without `index`, `corpus` +
-    `centroids` are assigned on the fly (the ad-hoc path)."""
+    `centroids` are assigned on the fly (the ad-hoc path). `codebook`
+    (a `_codebook_rows`-collected list) skips the per-call collect for
+    callers probing the same immutable codebook repeatedly."""
     if index is not None:
-        cents = _codebook_rows(index)
+        cents = codebook if codebook is not None else _codebook_rows(index)
         c = index.where(F.col("part") == "vec").select(
             F.col(corpus_id).alias("c_id"),
             F.col("v").alias("c_vec"),
@@ -425,7 +469,7 @@ def ivf_topk(
     else:
         if corpus is None or centroids is None:
             raise ValueError("pass either index= or both corpus and centroids")
-        cents = _codebook_rows(centroids)
+        cents = codebook if codebook is not None else _codebook_rows(centroids)
         assign_c = _cell_assign_udf(cents, 1)
         c = corpus.select(
             F.col(corpus_id).alias("c_id"),

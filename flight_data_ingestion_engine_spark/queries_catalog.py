@@ -1009,10 +1009,20 @@ def q_contamination_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("test_doc_id"), "text"
     )
     path = tempfile.mkdtemp(prefix="fdie_gramidx_") + "/index"
-    ngram_index(
-        train.where(F.col("train_doc_id") % 2 == 0),
-        train_id="train_doc_id", n=3, hash_grams=False,
-    ).write.parquet(path)
+    # gram the WHOLE training corpus once (one scan + one Arrow shingle
+    # pass, cached); the even write and the odd append are then parity
+    # filters over the cached postings — the second gram pipeline the old
+    # two-build shape paid is gone
+    idx_all = ngram_index(
+        train, train_id="train_doc_id", n=3, hash_grams=False
+    ).persist()
+    idx_all.where(F.col("train_doc_id") % 2 == 0).write.parquet(path)
+    # gram the eval suite once too (it is FIXED across probes — the
+    # steady-state shape: a suite grammed once sweeps a growing corpus
+    # forever); eager checkpoint materializes the tiny posting set
+    test_grams = ngram_index(
+        test, train_id="test_doc_id", n=3, hash_grams=False
+    ).localCheckpoint(eager=True)
 
     def _probe(phase: str) -> DataFrame:
         return contamination_overlap(
@@ -1020,6 +1030,7 @@ def q_contamination_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             train_id="train_doc_id", test_id="test_doc_id",
             n=3, min_shared=2, hash_grams=False,
             train_index=spark.read.parquet(path),
+            test_grams=test_grams,
         ).select(
             "train_doc_id", "test_doc_id",
             F.lit(phase).alias("phase"), "n_shared",
@@ -1030,10 +1041,8 @@ def q_contamination_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unioned with 'full' would silently read a single snapshot of the
     # index (whichever listing won) for both phases
     half = _probe("half").localCheckpoint(eager=True)
-    ngram_index(
-        train.where(F.col("train_doc_id") % 2 == 1),
-        train_id="train_doc_id", n=3, hash_grams=False,
-    ).write.mode("append").parquet(path)
+    idx_all.where(F.col("train_doc_id") % 2 == 1).write.mode("append").parquet(path)
+    idx_all.unpersist()
     return half.unionByName(_probe("full"))
 
 
@@ -2230,12 +2239,20 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_index(corpus, "vec_id", n_centroids=8, iterations=1).write.parquet(path)
 
     stored = spark.read.parquet(path)
+    # collect the codebook ONCE from the stored index: it is immutable
+    # across appends by construction (ivf_index_append is assign-only),
+    # so the pre-probe, the append, and the post-probe all reuse this
+    # one n_centroids-row collect instead of three parquet-scan actions
+    from flight_data_ingestion_engine_spark.operators.similarity import _codebook_rows
+
+    cb = _codebook_rows(stored)
     q_pre = (
         emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
         .withColumnRenamed("vec_id", "query_id")
     )
     pre = ivf_topk(
-        q_pre, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2, index=stored
+        q_pre, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2, index=stored,
+        codebook=cb,
     ).select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         F.lit("pre").alias("phase"), "rank",
@@ -2247,12 +2264,13 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = emb.where(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    ivf_index_append(stored, clones, "vec_id").write.mode("append").parquet(path)
+    ivf_index_append(stored, clones, "vec_id", codebook=cb).write.mode("append").parquet(path)
 
     stored2 = spark.read.parquet(path)
     q_post = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
     post = ivf_topk(
-        q_post, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2, index=stored2
+        q_post, query_id="query_id", corpus_id="vec_id", k=1, nprobe=2, index=stored2,
+        codebook=cb,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), F.lit("post").alias("phase"), "rank")
 
     return pre.unionByName(post).select(

@@ -1180,3 +1180,117 @@ def soft_dedup_weights(
         .withColumn("dup_weight", F.lit(1.0) / F.col("_n"))
         .drop("_n")
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact substring deduplication (the ExactSubstr family of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): remove every maximal token span of length >= `k` whose
+    text occurs at least `min_count` times across the corpus (including
+    repeats WITHIN one document), and return the cleaned text plus
+    removal stats per document.
+
+    Distributed formulation (no suffix array, no all-pairs): a token
+    position p is inside SOME duplicated span of length >= k
+        iff at least one of the k-grams covering p is duplicated
+    — because a duplicated k-gram at start i is itself a duplicated
+    span covering [i, i+k), and any duplicated span of length >= k is
+    the union of its (all duplicated) k-windows. So the exact removal
+    set falls out of three shuffles, all key-uniform:
+
+      1. positional k-grams (start index = array index; grams travel as
+         8-byte xxhash64 by default) -> groupBy(gram).count() with
+         map-side combine — the gram-keyed shuffle;
+      2. left-semi join of gram starts against the >= min_count grams
+         (same gram key) -> the duplicated-start set;
+      3. per-document windowed OR: position p is removed iff any
+         duplicated start lies in [p-k+1, p] — max(is_dup_start) over
+         (partition by doc order by pos rows k-1 preceding .. current),
+         then one groupBy(doc) reassembles the kept tokens in order.
+
+    100 TB: every stage is a gram- or doc-keyed hash shuffle; state is
+    the duplicated-gram set (bounded by corpus repetition, not size);
+    nothing driver-side. The window is per-document and streaming-safe
+    (rows-between, no unbounded frame). A 64-bit gram-hash collision
+    can only ADD a spurious removal and needs ~4B distinct grams for
+    coin-flip odds; `hash_grams=False` keeps raw gram strings so
+    external engines (the DuckDB oracle) replay the counts verbatim.
+
+    Semantics notes, deliberately matching the public ExactSubstr tool:
+    ALL occurrences of a duplicated span are removed (no keep-one);
+    documents shorter than `k` tokens pass through untouched; removal
+    is token-level on the normalized text (`normalize=False` tokenizes
+    the raw text on single spaces instead).
+
+    Returns one row per input document:
+      (<id_col>, clean_text, n_tokens, n_tokens_removed).
+    """
+    from pyspark.sql import Window
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        ngrams,
+        text_normalize,
+    )
+
+    src = ensure_parallelism(df)
+    base = F.col(text_col)
+    toks = src.select(
+        F.col(id_col),
+        F.split(text_normalize(base) if normalize else base, " ").alias("_t"),
+    )
+
+    gram_expr = ngrams(F.col("_t"), k)
+    if hash_grams:
+        gram_expr = F.transform(gram_expr, lambda g: F.xxhash64(g))
+    g = toks.select(
+        F.col(id_col), F.posexplode(gram_expr).alias("_gpos", "_gram")
+    )
+    dup = (
+        g.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("_gram")
+    )
+    dup_starts = g.join(dup, "_gram", "left_semi").select(
+        F.col(id_col), F.col("_gpos").alias("_pos"), F.lit(1).alias("_dup_start")
+    )
+
+    pos = toks.select(
+        F.col(id_col),
+        F.size("_t").alias("_n_tokens"),
+        F.posexplode("_t").alias("_pos", "_tok"),
+    )
+    marked = pos.join(dup_starts, [id_col, "_pos"], "left")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    flagged = marked.withColumn(
+        "_removed", F.coalesce(F.max("_dup_start").over(w), F.lit(0))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_removed") == 0, F.struct("_pos", "_tok")
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.max("_n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("_removed").cast("bigint").alias("n_tokens_removed"),
+    )

@@ -878,6 +878,8 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_dupes", "text")
 
 
+
+
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
@@ -949,6 +951,62 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_grams=False,
     )
     return out.where(F.col("train_doc_id") != F.col("test_doc_id"))
+
+
+@_q(
+    "substring_dedup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS gpos, array_to_string(t[i : i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t)-6)) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup_starts AS (
+      SELECT doc_id, gpos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS p, t[i] AS tok, len(t) AS n
+      FROM toks, UNNEST(range(1, len(t)+1)) AS g(i)
+    ),
+    removed AS (
+      SELECT DISTINCT pos.doc_id, pos.p
+      FROM pos JOIN dup_starts d
+        ON pos.doc_id = d.doc_id AND d.gpos BETWEEN pos.p - 7 AND pos.p
+    )
+    SELECT pos.doc_id,
+           COALESCE(string_agg(CASE WHEN r.p IS NULL THEN pos.tok END,
+                               ' ' ORDER BY pos.p), '') AS clean_text,
+           CAST(MAX(pos.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(r.p) AS BIGINT) AS n_tokens_removed
+    FROM pos LEFT JOIN removed r ON pos.doc_id = r.doc_id AND pos.p = r.p
+    GROUP BY pos.doc_id
+    """,
+)
+def q_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring deduplication, ExactSubstr-style (Lee et al. 2022;
+    dedup.py::exact_substring_dedup): every maximal normalized-token span
+    of length >= 8 occurring at least twice corpus-wide (within- OR
+    cross-document) is removed from every document, which is then
+    reassembled with per-doc removal stats. The planted near-dup
+    clusters make this non-vacuous (~1k duplicated 8-grams at sf0.01).
+    Engine shape: one gram-keyed count shuffle + a semi-join of gram
+    starts + a per-doc windowed OR over covering starts — no suffix
+    array, no all-pairs, nothing driver-side. `hash_grams=False` so the
+    oracle replays the gram counts verbatim (production default hashes
+    grams to 8 bytes)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_dedup(
+        docs, id_col="doc_id", text_col="text", k=8, min_count=2,
+        hash_grams=False,
+    )
 
 
 @_q(

@@ -919,3 +919,85 @@ def test_minhash_bucket_cap_excises_exploding_bucket_only(spark):
     got = {(r.id_a, r.id_b) for r in uncapped.collect()}
     assert (1, 2) in got
     assert sum(1 for a, b in got if a >= 100 and b >= 100) == 12 * 11 // 2
+
+
+def test_exact_substring_dedup_planted_spans(spark):
+    """ExactSubstr semantics (Lee et al. 2022), exact boundaries: a k=7
+    span shared by two documents is removed from BOTH (all occurrences,
+    no keep-one); a WITHIN-document repeat of a k-length span is removed
+    twice; unaffected, short, and empty documents pass through with
+    n_tokens_removed = 0."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one tail"),
+        (2, "prefix two alpha beta gamma delta epsilon zeta eta theta suffix two"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "self repeat one two three four five six seven mid "
+            "one two three four five six seven end"),
+        (5, "short doc"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, k=7).collect()
+    }
+    # docs 1 & 2 share the 8-token span alpha..theta -> removed from both
+    assert got[1] == ("unique one tail", 11, 8)
+    assert got[2] == ("prefix two suffix two", 12, 8)
+    assert got[3] == ("totally different words with no overlap at all here", 9, 0)
+    # doc 4 repeats a 7-token span within itself -> both copies removed
+    assert got[4] == ("self repeat mid end", 18, 14)
+    assert got[5] == ("short doc", 2, 0)
+    assert got[6] == ("", 1, 0)
+
+
+def test_exact_substring_dedup_hash_matches_string_grams(spark):
+    """The 8-byte hashed-gram production path and the raw-string oracle
+    path produce identical results (collisions are ~impossible at this
+    scale, so this pins the plumbing, not probability)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (i, f"head {i} common run one two three four five six seven eight tail {i}")
+        for i in range(6)
+    ] + [(100, "nothing shared here at all in this one")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = {
+        (r.doc_id, r.clean_text, r.n_tokens, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, k=9, hash_grams=True).collect()
+    }
+    b = {
+        (r.doc_id, r.clean_text, r.n_tokens, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, k=9, hash_grams=False).collect()
+    }
+    assert a == b
+    # the shared 11-token run "common .. eight tail" is gone from every
+    # clone; only the tokens adjacent to the unique id survive
+    for doc_id, clean, n, removed in a:
+        if doc_id != 100:
+            assert clean == f"head {doc_id} {doc_id}"
+            assert (n, removed) == (14, 11)
+
+
+def test_exact_substring_dedup_subthreshold_spans_survive(spark):
+    """Shared spans SHORTER than k are kept — the k floor is exact, not
+    approximate: two documents sharing exactly k-1 consecutive tokens
+    lose nothing."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared6 = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, f"aa {shared6} bb"), (2, f"cc {shared6} dd")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=7).collect()}
+    assert out[1].n_tokens_removed == 0 and out[2].n_tokens_removed == 0
+    assert shared6 in out[1].clean_text and shared6 in out[2].clean_text

@@ -537,6 +537,117 @@ def cms_join_size(
     )
 
 
+def cms_join_decision(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    depth: int = 3,
+    broadcast_rows: int = 500_000,
+    bloom_ratio: float = 0.1,
+) -> dict:
+    """Choose a join strategy from two CMS key sketches WITHOUT touching
+    either table: the consumer of `cms_join_size` the sketch family was
+    built for. Returns `{"strategy", "n_a", "n_b", "est"}` where
+    strategy is one of:
+
+    - `'broadcast'` — the smaller side's row count (recovered from its
+      own sketch: Σcnt of one hash row is exactly N, collisions only
+      co-locate counts) is at most `broadcast_rows`: hash-join it
+      everywhere, no shuffle of the big side.
+    - `'bloom'` — both sides are big but the join-size UPPER bound is at
+      most `bloom_ratio` × the larger side: most probe rows can't match,
+      so a fixed-size Bloom prescreen of the big side against the small
+      side's keys drops them BEFORE the shuffle (no false negatives ⇒
+      the surviving join is still exact).
+    - `'shuffle'` — both sides big and the join genuinely large: pay the
+      sort-merge shuffle; nothing cheaper is safe.
+
+    All three scalars come back in ONE driver action over
+    metadata-sized state (the two totals and the inner product are
+    cross-joined as broadcast 1-row aggregates) — the whole decision
+    costs O(depth × width), independent of table size. `est` is the
+    Cormode–Muthukrishnan upper bound, so a 'bloom'/'broadcast' pick is
+    never unsafely optimistic about output size."""
+    n_a = state_a.where(F.col("d") == 0).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_a")
+    )
+    n_b = state_b.where(F.col("d") == 0).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_b")
+    )
+    est = cms_join_size(state_a, state_b, depth=depth)
+    row = (
+        est.crossJoin(F.broadcast(n_a)).crossJoin(F.broadcast(n_b)).collect()[0]
+    )
+    na, nb, e = int(row.n_a), int(row.n_b), int(row.est)
+    if min(na, nb) <= broadcast_rows:
+        strategy = "broadcast"
+    elif e <= bloom_ratio * max(na, nb):
+        strategy = "bloom"
+    else:
+        strategy = "shuffle"
+    return {"strategy": strategy, "n_a": na, "n_b": nb, "est": e}
+
+
+def join_with_stats(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    state_left: DataFrame,
+    state_right: DataFrame,
+    depth: int = 3,
+    broadcast_rows: int = 500_000,
+    bloom_ratio: float = 0.1,
+    bloom_bits_log2: int = 23,
+    bloom_probes: int = 3,
+) -> DataFrame:
+    """Sketch-informed INNER equi-join: pick broadcast / bloom-prescreen /
+    shuffle from `cms_join_decision` over the two key sketches, then
+    execute that plan. The engine consuming its own statistics — the
+    sketches are metadata-sized state built once per table/partition
+    (`cms_state`, mergeable by `cms_merge`), so the decision adds one
+    tiny driver action, never a scan.
+
+    - broadcast: `F.broadcast` on the smaller side (by sketched count).
+    - bloom: build a fixed-size bitmap over the SMALLER side's keys and
+      prescreen the larger side (`bloom_maybe_member`, broadcast-shaped,
+      zero shuffle) before the equi-join. Sound for inner joins: no
+      false negatives means no lost matches; false positives are
+      eliminated by the join itself.
+    - shuffle: the plain equi-join, left to Catalyst/AQE.
+
+    Result rows are IDENTICAL across all three strategies — only the
+    physical plan changes. Inner joins only (a probe-side prescreen or
+    one-sided broadcast is not generally sound for preserved sides of
+    outer joins)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    dec = cms_join_decision(
+        state_left, state_right,
+        depth=depth, broadcast_rows=broadcast_rows, bloom_ratio=bloom_ratio,
+    )
+    left_small = dec["n_a"] <= dec["n_b"]
+    if dec["strategy"] == "broadcast":
+        if left_small:
+            return F.broadcast(left).join(right, keys, "inner")
+        return left.join(F.broadcast(right), keys, "inner")
+    if dec["strategy"] == "bloom":
+        small, big = (left, right) if left_small else (right, left)
+        # materialize the bitmap ONCE: bloom_maybe_member broadcasts it
+        # per probe, so an un-materialized build subtree (a scan + agg
+        # over the whole small side) would be replicated `bloom_probes`
+        # times in the plan. The checkpoint is <= 2^bits_log2/64 rows
+        # (~2 MB at the default) regardless of key count.
+        bitmap = bloom_bitmap(
+            small.select(*keys), keys,
+            bits_log2=bloom_bits_log2, probes=bloom_probes,
+        ).localCheckpoint(eager=True)
+        screened = bloom_maybe_member(
+            big, keys, bitmap, bits_log2=bloom_bits_log2, probes=bloom_probes
+        ).where(F.col("_bloom_maybe")).drop("_bloom_maybe")
+        if left_small:
+            return left.join(screened, keys, "inner")
+        return screened.join(right, keys, "inner")
+    return left.join(right, keys, "inner")
+
+
 def histogram_drift_tv(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
     """Total-variation distance between two histogram states with the
     SAME bucket layout — the drift gate for training-data distribution

@@ -8620,6 +8620,100 @@ ORACLE_SQL["cms_join_size_estimate"] = _cms_join_oracle_sql()
 
 
 @_q(
+    "stats_join_broadcast",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_stats_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine consuming its own statistics, broadcast arm
+    (sketches.py::join_with_stats / cms_join_decision): both join sides
+    reduce to fixed-size CMS key sketches; the part side's sketched row
+    count falls under the broadcast threshold, so the executed plan is a
+    broadcast hash join of part into lineitem — decided from metadata
+    alone, no scan, no Catalyst size guess. Result values are
+    strategy-independent (the oracle is the plain join)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        join_with_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    j = join_with_stats(
+        li, pt, "partkey",
+        cms_state(li, "partkey", width=_CMS_W, depth=3),
+        cms_state(pt, "partkey", width=_CMS_W, depth=3),
+    )
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@_q(
+    "stats_join_bloom",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 470000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_stats_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine consuming its own statistics, Bloom-prescreen arm
+    (sketches.py::join_with_stats): high-value orders (~6% of lineitem
+    matches) join lineitem with broadcasting disabled
+    (broadcast_rows=0, standing in for a genuinely huge dimension). The
+    CMS inner product upper-bounds the join size at well under
+    bloom_ratio x the lineitem count, so join_with_stats prescreens
+    lineitem against a fixed-size Bloom bitmap of the filtered order
+    keys BEFORE any shuffle — sound for inner joins (no false
+    negatives), and false positives die in the join itself, so the
+    result is value-identical to the plain join the oracle runs."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        join_with_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 470000)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    )
+    j = join_with_stats(
+        li, od, "orderkey",
+        cms_state(li, "orderkey", width=1 << 17, depth=3),
+        cms_state(od, "orderkey", width=1 << 17, depth=3),
+        broadcast_rows=0,
+        bloom_ratio=0.2,
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@_q(
     "histogram_drift_tv",
     """
     WITH ea AS (

@@ -476,3 +476,87 @@ def test_r5_eval_audit_exchange_budgets(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= cap, f"{name}: {got} exchanges > budget {cap}"
+
+
+def test_join_with_stats_strategy_switch_and_plans(spark):
+    """VERDICT r6 #6: the engine consumes its own statistics —
+    cms_join_decision must pick each arm on the right side of its
+    threshold, and join_with_stats must execute the corresponding
+    physical plan while returning identical rows on every arm."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_join_decision,
+        cms_state,
+        join_with_stats,
+    )
+
+    big = spark.range(20_000).select(
+        (F.col("id") % 5_000).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("tag")
+    )
+    s_big = cms_state(big, "k", width=1 << 15, depth=3)
+    s_small = cms_state(small, "k", width=1 << 15, depth=3)
+
+    # broadcast arm: the small side sits under the row threshold
+    dec = cms_join_decision(s_big, s_small, broadcast_rows=1_000)
+    assert dec["strategy"] == "broadcast"
+    assert (dec["n_a"], dec["n_b"]) == (20_000, 50)
+    j = join_with_stats(big, small, "k", s_big, s_small, broadcast_rows=1_000)
+    from flight_data_ingestion_engine_spark.plans import assert_broadcast_join
+
+    assert_broadcast_join(j)
+
+    # bloom arm: broadcasting forbidden, join-size bound far under the
+    # big side (50 keys x 4 rows each = 200 true matches of 20k rows)
+    dec = cms_join_decision(s_big, s_small, broadcast_rows=0, bloom_ratio=0.1)
+    assert dec["strategy"] == "bloom"
+    assert dec["est"] >= 200  # never an underestimate
+    jb = join_with_stats(
+        big, small, "k", s_big, s_small, broadcast_rows=0, bloom_ratio=0.1
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    plan = explain_str(jb)
+    assert "bloom" in plan.lower() or "__bloom" in plan  # prescreen present
+
+    # shuffle arm: same sketches, but the ratio knob says the join is
+    # too large to be worth a prescreen
+    dec = cms_join_decision(s_big, s_small, broadcast_rows=0, bloom_ratio=0.0)
+    assert dec["strategy"] == "shuffle"
+    js = join_with_stats(
+        big, small, "k", s_big, s_small, broadcast_rows=0, bloom_ratio=0.0
+    )
+    assert "__bloom" not in explain_str(js)
+
+    # every arm returns the same rows
+    want = sorted((r.k, r.payload, r.tag) for r in big.join(small, "k").collect())
+    for frame in (j, jb, js):
+        assert sorted((r.k, r.payload, r.tag) for r in frame.collect()) == want
+
+
+def test_join_with_stats_bloom_prescreen_no_probe_shuffle(spark):
+    """The bloom arm's prescreen must be broadcast-shaped: every probe of
+    the big side rides a broadcast join against the (once-materialized)
+    bitmap — the probe side is never shuffled before the post-screen
+    equi-join, and the bitmap-build aggregation appears in the executed
+    lineage exactly once (the localCheckpoint), not once per probe."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        join_with_stats,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    big = spark.range(10_000).select((F.col("id") % 977).alias("k"))
+    small = spark.range(20).select(F.col("id").alias("k"))
+    jb = join_with_stats(
+        big, small, "k",
+        cms_state(big, "k", width=1 << 15, depth=3),
+        cms_state(small, "k", width=1 << 15, depth=3),
+        broadcast_rows=0, bloom_ratio=0.5,
+    )
+    plan = explain_str(jb)
+    # 3 bitmap probes, each a broadcast join; the checkpointed bitmap
+    # shows up as a scan, not as three repeated build aggregations
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange hashpartitioning(word_idx" not in plan

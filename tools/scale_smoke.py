@@ -581,6 +581,79 @@ def main() -> None:
         )
         assert histogram_quantiles(hist_big, [0.5, 0.99], 0.0, 100.0, 100).count() == 2
 
+    # -- eval/audit family at fact volume (r7): AUC, t-closeness and the
+    # -- drift profile keep their metadata-sized-intermediate shapes when
+    # -- volume grows ~2500x over the oracle scale. The key property: the
+    # -- only ordered/conjoined frames are DISTINCT-score, class-grid or
+    # -- bucket-grid tables — never the fact rows — so the exchange
+    # -- budget is volume-invariant by construction.
+    with stage("auc_rank_sum_5m"):
+        from flight_data_ingestion_engine_spark.operators.mleval import auc_rank_sum
+
+        lab = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        scored_big = ev.withColumn("label", lab)
+        scored_small = (
+            spark.range(2_000)
+            .select(
+                (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("value"),
+                F.pmod(F.xxhash64("id", F.lit(9)), 2).cast("int").alias("label"),
+            )
+        )
+        auc_big = auc_rank_sum(scored_big, "value", "label")
+        auc_small = auc_rank_sum(scored_small, "value", "label")
+        assert _exchanges(auc_big) <= _exchanges(auc_small), (
+            _exchanges(auc_big), _exchanges(auc_small),
+        )
+        row = auc_big.first()
+        assert row.n_pos > 0 and row.n_neg > 0 and 0.0 <= row.auc <= 1.0
+
+    with stage("t_closeness_2m_classes"):
+        from flight_data_ingestion_engine_spark.operators.quality import t_closeness_tv
+
+        seg = F.element_at(
+            F.array(*[F.lit(s) for s in ["AUTO", "BUILDING", "FURN", "MACH", "HOUSE"]]),
+            (F.pmod(F.xxhash64("id", F.lit(4)), 5) + 1).cast("int"),
+        )
+        # class 0 gets a deliberately skewed segment mix (always AUTO):
+        # the audit must FLAG it, and the plan must not change shape
+        cust_big = spark.range(2_000_000).select(
+            F.pmod(F.xxhash64("id", F.lit(5)), 25).alias("nation"),
+            F.when(F.pmod(F.xxhash64("id", F.lit(5)), 25) == 0, F.lit("AUTO"))
+            .otherwise(seg)
+            .alias("segment"),
+        )
+        cust_small = spark.range(2_000).select(
+            F.pmod(F.xxhash64("id", F.lit(5)), 25).alias("nation"),
+            seg.alias("segment"),
+        )
+        tc_big = t_closeness_tv(cust_big, ["nation"], "segment", 0.08)
+        tc_small = t_closeness_tv(cust_small, ["nation"], "segment", 0.08)
+        assert _exchanges(tc_big) <= _exchanges(tc_small), (
+            _exchanges(tc_big), _exchanges(tc_small),
+        )
+        flagged = {r.nation: r.exceeds_t for r in tc_big.collect()}
+        assert flagged[0] is True and len(flagged) == 25
+
+    with stage("length_drift_profile_5m"):
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            histogram_drift_profile,
+        )
+
+        src_big = ev.select(
+            F.pmod(F.xxhash64("id", F.lit(6)), 10).cast("string").alias("source"),
+            (F.col("value") * 20).alias("n_chars"),
+        )
+        src_small = spark.range(2_000).select(
+            F.pmod(F.xxhash64("id", F.lit(6)), 10).cast("string").alias("source"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), 2000)).cast("double").alias("n_chars"),
+        )
+        dr_big = histogram_drift_profile(src_big, "source", "n_chars", 0.0, 2000.0, 80)
+        dr_small = histogram_drift_profile(src_small, "source", "n_chars", 0.0, 2000.0, 80)
+        assert _exchanges(dr_big) <= _exchanges(dr_small), (
+            _exchanges(dr_big), _exchanges(dr_small),
+        )
+        assert dr_big.count() == 10
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -22,25 +22,39 @@ def lift_table(
     label_col: Column | str,
     tiebreaker: str,
     n_buckets: int = 10,
+    shard_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Decile (by default) lift table: rows ranked by score descending,
     bucketed into equal-count bins; per bin the positive count, rate, and
     lift vs the base rate — (decile, n, pos, rate, lift).
 
-    `label_col` is a 0/1 int column or expression. ntile requires a
-    global sort: acceptable because the sort key is (score, tiebreaker)
-    only — at extreme scale swap in a percent_rank-derived bucket to
-    shard the sort. Deterministic via the unique tiebreaker.
-    """
+    `label_col` is a 0/1 int column or expression; the unique
+    `tiebreaker` makes the ranking (and therefore every bucket boundary)
+    fully deterministic.
+
+    Auto-sharding (the `semantic_dedup` pattern): at or below
+    `shard_threshold` rows the bucket comes from a plain `ntile` — one
+    all-to-one sort, fine at audit scale. Above it, the global sort is
+    SHARDED: `repartitionByRange` on the sort key (range-sampled, all
+    shards participate), a per-shard `row_number`, and broadcast
+    per-shard offsets recover each row's EXACT global rank, to which the
+    exact ntile formula is applied — so the two paths are
+    row-for-row identical (pytest-pinned), never approximately so. The
+    only driver-side state is one count per shard."""
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
-    d = df.select(
+    base = df.select(
         F.col(score_col).alias("_s"), lbl.alias("_y"), F.col(tiebreaker).alias("_tb")
-    ).withColumn(
-        "_decile",
-        F.ntile(n_buckets)
-        .over(Window.orderBy(F.col("_s").desc(), F.col("_tb").asc()))
-        .cast("int"),
     )
+    n_rows = base.count()
+    if n_rows > shard_threshold:
+        d = _sharded_ntile(base, n_buckets, n_rows)
+    else:
+        d = base.withColumn(
+            "_decile",
+            F.ntile(n_buckets)
+            .over(Window.orderBy(F.col("_s").desc(), F.col("_tb").asc()))
+            .cast("int"),
+        )
     a = d.groupBy("_decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").cast("bigint").alias("pos")
     )
@@ -62,6 +76,47 @@ def lift_table(
             ).alias("lift"),
         )
     )
+
+
+def _sharded_ntile(base: DataFrame, n_buckets: int, n_rows: int) -> DataFrame:
+    """Exact ntile over (score desc, tiebreaker asc) WITHOUT an
+    all-to-one sort: range-repartition on the sort key (every shard
+    sorts its own slice), per-shard row_number, then broadcast shard
+    offsets turn local ranks into exact global 0-based ranks. The ntile
+    formula is applied verbatim — with N rows and k buckets the first
+    N mod k buckets hold ceil(N/k) rows — so the result is row-for-row
+    identical to the single-sort path. Driver state: one (pid, count)
+    row per shard."""
+    spark = base.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    sharded = base.repartitionByRange(
+        p, F.col("_s").desc(), F.col("_tb").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    sharded = sharded.persist()
+    # range partitions are ordered by pid, so offsets are the exclusive
+    # prefix sums of per-shard counts in pid order
+    counts = {
+        r._pid: r.c
+        for r in sharded.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(F.col("_s").desc(), F.col("_tb").asc())
+    )
+    grank = (off[F.col("_pid")] + local - 1).cast("bigint")  # 0-based global
+    q, rem = divmod(n_rows, n_buckets)
+    big_span = rem * (q + 1)  # rows covered by the ceil-sized buckets
+    bucket = F.when(
+        grank < big_span, F.floor(grank / (q + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((grank - big_span) / max(q, 1)) + 1)
+    out = sharded.select("_s", "_y", bucket.cast("int").alias("_decile"))
+    return out
 
 
 def threshold_metrics(

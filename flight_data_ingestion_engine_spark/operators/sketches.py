@@ -731,8 +731,13 @@ def histogram_drift_profile(
         F.col("g").alias("_r_g"), F.col("bucket").alias("_r_bucket"), "ca"
     )
     j = (
+        # h_r is metadata-sized (<= groups x nbins rows) no matter how
+        # many facts fed it, but Catalyst's size estimate descends to the
+        # fact scan and flips this join to sort-merge at volume — hint it
+        # broadcast explicitly (machine-checked volume-invariant by the
+        # scale smoke's length_drift_profile stage)
         grid.join(
-            h_r,
+            F.broadcast(h_r),
             grid["g"].eqNullSafe(h_r["_r_g"]) & (grid["bucket"] == h_r["_r_bucket"]),
             "left",
         )

@@ -313,6 +313,7 @@ def cms_state(
     width: int = 1 << 15,
     depth: int = 3,
     weight_col: str | None = None,
+    strict_weights: bool = False,
 ) -> DataFrame:
     """Count-Min sketch over `df[col]` as a FIXED-SIZE counter table:
     `(d int, pos bigint, cnt bigint)` — at most depth × width rows no
@@ -341,7 +342,18 @@ def cms_state(
     excluded at build time (enforced, not just documented): a negative
     weight would silently break the est ≥ true direction that
     `cms_estimate` callers rely on ("est = 0 proves absence", "never
-    an undercount"), so such rows never reach the counters."""
+    an undercount"), so such rows never reach the counters.
+
+    That silent exclusion can also MASK upstream corruption (a
+    sign-flipped correction delta looks like a clean build).
+    `strict_weights=True` makes a negative weight FAIL the build
+    instead: a `raise_error` branch folded into the weight expression
+    itself — zero cost on clean data, no extra scan, and it fires on
+    any materialization that computes the counters (collect/write; a
+    bare `count()` of state rows never reads weights, so column pruning
+    skips the guard there). Callers choose: drop-and-carry-on (default,
+    the sketch contract) or refuse-to-discard-mass (the audit
+    posture)."""
     assert 1 <= depth <= len(CMS_SEEDS) and width >= 2
     key = F.col(col).cast("string")
     pairs = F.array(
@@ -354,9 +366,23 @@ def cms_state(
     )
     keep = F.col(col).isNotNull()
     if weight_col is not None:
-        keep = keep & F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
+        keep = keep & F.col(weight_col).isNotNull()
+        w = F.col(weight_col).cast("bigint")
+        if strict_weights:
+            # the guard IS the weight value (a raise_error branch can't
+            # be pruned or constant-folded away, unlike a side-channel
+            # assert_true column), so a negative weight fails the build
+            # at materialization — zero cost on clean data, no extra scan
+            w = F.when(
+                F.col(weight_col) < 0,
+                F.raise_error(
+                    F.lit(f"cms_state: negative weight in '{weight_col}'")
+                ),
+            ).otherwise(w)
+        else:
+            keep = keep & (F.col(weight_col) >= 0)
         wexpr = F.sum(F.col("_w")).cast("bigint").alias("cnt")
-        sel = [F.explode(pairs).alias("_c"), F.col(weight_col).cast("bigint").alias("_w")]
+        sel = [F.explode(pairs).alias("_c"), w.alias("_w")]
     else:
         wexpr = F.count(F.lit(1)).cast("bigint").alias("cnt")
         sel = [F.explode(pairs).alias("_c")]

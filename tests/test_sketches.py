@@ -549,3 +549,46 @@ def test_cms_state_weighted_rejects_negative_weights(spark):
     probes = spark.createDataFrame([("a",), ("b",)], "key string")
     est = {r.key: r.est for r in cms_estimate(probes, "key", state, width=64, depth=3).collect()}
     assert est["a"] >= 10 and est["b"] >= 7
+
+
+def test_cms_state_strict_weights_raises_on_negative(spark):
+    """ADVICE r6: silent exclusion of negative weights can mask upstream
+    corruption — strict_weights=True must FAIL the build on a negative
+    weight, while a clean strict build is identical to the default."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from flight_data_ingestion_engine_spark.operators.sketches import cms_state
+
+    clean = spark.createDataFrame(
+        [("a", 3), ("b", 0), ("c", 7), (None, 5), ("d", None)],
+        "k string, w int",
+    )
+    default = sorted(
+        (r.d, r.pos, r.cnt)
+        for r in cms_state(clean, "k", width=64, depth=2, weight_col="w").collect()
+    )
+    strict = sorted(
+        (r.d, r.pos, r.cnt)
+        for r in cms_state(
+            clean, "k", width=64, depth=2, weight_col="w", strict_weights=True
+        ).collect()
+    )
+    assert strict == default
+
+    dirty = spark.createDataFrame([("a", 3), ("b", -1)], "k string, w int")
+    # default: silently drops the negative-weight row
+    assert (
+        cms_state(dirty, "k", width=64, depth=2, weight_col="w")
+        .agg({"cnt": "sum"})
+        .first()[0]
+        == 3 * 2  # depth rows
+    )
+    # strict: the build fails loudly whenever the counters are computed
+    # (collect/write; a bare count() of state rows never reads weights,
+    # so column pruning legitimately skips the guard there)
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        cms_state(
+            dirty, "k", width=64, depth=2, weight_col="w", strict_weights=True
+        ).collect()
+    assert "negative weight" in str(ei.value)

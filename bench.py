@@ -65,6 +65,9 @@ HEAVY = [
     # cost table (~4.5s) — pinned so its build/probe/append/probe cost is
     # tracked round-over-round like the IVF lifecycle.
     "contamination_index_probe",
+    # r7: the last public dedup family (ExactSubstr) — positional-gram
+    # count + semi-join + per-doc window; pinned alongside its siblings.
+    "substring_dedup_docs",
 ]
 
 

@@ -1233,6 +1233,42 @@ def exact_substring_dedup(
     Returns one row per input document:
       (<id_col>, clean_text, n_tokens, n_tokens_removed).
     """
+    flagged = _duplicated_position_flags(
+        df, id_col, text_col, k, min_count, hash_grams, normalize
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_removed") == 0, F.struct("_pos", "_tok")
+                        )
+                    )
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.max("_n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("_removed").cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+def _duplicated_position_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int,
+    hash_grams: bool,
+    normalize: bool,
+) -> DataFrame:
+    """Shared core of the ExactSubstr family: one row per token position
+    `(<id_col>, _n_tokens, _pos, _tok, _removed)` where `_removed` = 1
+    iff the position lies inside a duplicated span of length >= k (see
+    `exact_substring_dedup` for the covering-k-gram equivalence and the
+    three-shuffle scale argument)."""
     from pyspark.sql import Window
 
     from flight_data_ingestion_engine_spark.operators.corpus import (
@@ -1274,23 +1310,50 @@ def exact_substring_dedup(
         .orderBy("_pos")
         .rowsBetween(-(k - 1), Window.currentRow)
     )
-    flagged = marked.withColumn(
+    return marked.withColumn(
         "_removed", F.coalesce(F.max("_dup_start").over(w), F.lit(0))
     )
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("_removed") == 0, F.struct("_pos", "_tok")
-                        )
-                    )
-                ),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.max("_n_tokens").cast("bigint").alias("n_tokens"),
-        F.sum("_removed").cast("bigint").alias("n_tokens_removed"),
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """The audit companion to `exact_substring_dedup`: instead of
+    deleting, REPORT every maximal duplicated span — one row per
+    contiguous run of covered token positions,
+    `(<id_col>, span_start, span_end, span_tokens)` with `span_end`
+    exclusive. This is what a curation pipeline reviews (which
+    boilerplate, licenses, templates repeat — and where) before
+    committing to span removal, and what joins back to documents for
+    highlighting.
+
+    Shape: the shared position-flag core (gram-count shuffle + semi-join
+    + per-doc bounded window), then a gaps-and-islands contraction —
+    `_pos − row_number()` is constant within a contiguous run, so spans
+    fall out of ONE additional per-doc window + groupBy on the covered
+    positions only (a small subset of tokens in realistic corpora).
+    Same oracle-portable semantics as the dedup: spans are maximal,
+    >= k tokens long by construction, all-occurrence."""
+    from pyspark.sql import Window
+
+    flagged = _duplicated_position_flags(
+        df, id_col, text_col, k, min_count, hash_grams, normalize
+    )
+    covered = flagged.where(F.col("_removed") == 1).select(id_col, "_pos")
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("_pos"))
+    islands = covered.withColumn("_grp", F.col("_pos") - rn)
+    return (
+        islands.groupBy(id_col, "_grp")
+        .agg(
+            F.min("_pos").cast("bigint").alias("span_start"),
+            (F.max("_pos") + 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("span_tokens"),
+        )
+        .drop("_grp")
     )

@@ -1010,6 +1010,60 @@ def q_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "substring_dup_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS gpos, array_to_string(t[i : i+7], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(t)-6)) AS g(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    dup_starts AS (
+      SELECT doc_id, gpos FROM grams WHERE gram IN (SELECT gram FROM dup)
+    ),
+    pos AS (
+      SELECT doc_id, i - 1 AS p FROM toks, UNNEST(range(1, len(t)+1)) AS g(i)
+    ),
+    removed AS (
+      SELECT DISTINCT pos.doc_id, pos.p
+      FROM pos JOIN dup_starts d
+        ON pos.doc_id = d.doc_id AND d.gpos BETWEEN pos.p - 7 AND pos.p
+    ),
+    islands AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM removed
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS span_start,
+           CAST(MAX(p) + 1 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, grp
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr audit view (dedup.py::duplicated_substring_spans):
+    every maximal duplicated >=8-token span as (doc, start, end-excl,
+    length) — what a curation pipeline reviews (which boilerplate /
+    licenses / templates repeat, and where) before committing to span
+    REMOVAL (`substring_dedup_docs`). Same three-shuffle core as the
+    dedup, plus one gaps-and-islands contraction over the covered
+    positions only."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_substring_spans(
+        docs, id_col="doc_id", text_col="text", k=8, min_count=2,
+        hash_grams=False,
+    )
+
+
+@_q(
     "contamination_index_probe",
     f"""
     WITH toks AS (

@@ -1001,3 +1001,30 @@ def test_exact_substring_dedup_subthreshold_spans_survive(spark):
     out = {r.doc_id: r for r in exact_substring_dedup(df, k=7).collect()}
     assert out[1].n_tokens_removed == 0 and out[2].n_tokens_removed == 0
     assert shared6 in out[1].clean_text and shared6 in out[2].clean_text
+
+
+def test_duplicated_substring_spans_exact_islands(spark):
+    """The audit view reports maximal covered runs exactly: one island
+    per contiguous duplicated region, end-exclusive, >= k tokens."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one tail"),
+        (2, "prefix two alpha beta gamma delta epsilon zeta eta theta suffix two"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "self repeat one two three four five six seven mid "
+            "one two three four five six seven end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_substring_spans(df, k=7).collect()
+    )
+    assert got == [
+        (1, 0, 8, 8),    # the shared alpha..theta span, at doc 1's head
+        (2, 2, 10, 8),   # same span, offset by doc 2's prefix
+        (4, 2, 9, 7),    # within-doc repeat: both islands reported
+        (4, 10, 17, 7),
+    ]  # doc 3 has no spans and no rows

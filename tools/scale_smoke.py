@@ -474,6 +474,23 @@ def main() -> None:
         assert bad == 0, bad
         assert cleaned.count() == n_docs
 
+    # -- exact substring dedup (r7): the ExactSubstr-style duplicated-span
+    # -- removal keeps its three-shuffle shape at volume; the planted dup
+    # -- pairs (~1% of docs replicate a neighbor verbatim) must lose their
+    # -- whole 80-token body in BOTH copies (all-occurrence semantics).
+    with stage(f"substring_dedup_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        sub_big = exact_substring_dedup(docs, id_col="id", k=20)
+        sub_small = exact_substring_dedup(docs_small, id_col="id", k=20)
+        assert _exchanges(sub_big) <= _exchanges(sub_small), (
+            _exchanges(sub_big), _exchanges(sub_small),
+        )
+        hit = sub_big.where(F.col("n_tokens_removed") >= 80).count()
+        assert hit >= 2 * (n_docs // 100) * 0.9, hit  # both copies, ~1% pairs
+
     # -- TPC-H decision-support shapes at sf1-equivalent volume (VERDICT
     # -- r3 #7): 6M lineitem / 1.5M orders / 10k supplier, generated
     # -- distributed, written as a fixture-shaped directory so the REAL

@@ -118,6 +118,17 @@ def main() -> None:
         else:
             reps = 1
         raw = [run_once(name) for _ in range(reps)]
+        if pinned:
+            # adaptive: an ambient spike can land in any rep (the warm-up
+            # only removes the SYSTEMATIC cold-start); keep sampling up
+            # to 6 reps while the spread exceeds 20% so one outlier
+            # can't own a 3-sample median
+            while len(raw) < 6:
+                s = sorted(raw)
+                p50 = s[len(s) // 2]
+                if (s[-1] - s[0]) / max(p50, 1e-9) <= 0.2:
+                    break
+                raw.append(run_once(name))
         samples = sorted(raw)
         p50 = samples[len(samples) // 2]
         timings[name] = round(p50, 4)

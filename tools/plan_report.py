@@ -58,6 +58,10 @@ SELECTED = [
     ("histogram_drift_tv", "two bucket aggs, integer cross-product sum, one division"),
     ("source_length_drift", "one (group x bucket) pass; complements by algebra, no rescan"),
     ("hybrid_search_rrf", "bounded top-N lists full-outer joined; corpus work inside retrievers"),
+    ("substring_dedup_docs", "gram-count shuffle + semi-join + bounded per-doc window, no all-pairs"),
+    ("substring_dup_spans", "same core + gaps-and-islands over covered positions only"),
+    ("stats_join_broadcast", "sketch-decided broadcast: dimension hash-joined, no fact shuffle"),
+    ("stats_join_bloom", "sketch-decided bloom prescreen: broadcast bitmap probes ahead of the join"),
 ]
 
 INTERESTING = re.compile(

@@ -604,3 +604,52 @@ def test_histogram_quantile_bucket_bound_property(spark, vals, q):
     lo_ok = est >= svals[max(0, idx - 1)] - w - 1e-9
     hi_ok = est <= svals[min(len(svals) - 1, idx)] + w + 1e-9
     assert lo_ok and hi_ok, (q, est, svals)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=24),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(2, 4),
+)
+def test_exact_substring_dedup_covering_gram_theorem(spark, token_lists, k):
+    """The operator's core equivalence, against the DEFINITION: a position
+    is removed iff it lies inside SOME duplicated token span of length
+    >= k — brute-forced here by enumerating duplicated windows of EVERY
+    length L >= k (the operator only ever counts length-k windows; this
+    checks the union-of-k-windows theorem, not the implementation
+    against itself). Tiny vocab so duplicates arise naturally."""
+    from collections import Counter
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, k=k, normalize=False).collect()
+    }
+
+    # brute force: duplicated spans of ALL lengths L >= k
+    expected_removed: dict[int, set] = {i: set() for i, _ in docs}
+    max_len = max(len(t) for t in token_lists)
+    for L in range(k, max_len + 1):
+        windows = Counter()
+        for toks in token_lists:
+            for s in range(len(toks) - L + 1):
+                windows[tuple(toks[s:s + L])] += 1
+        for i, toks in enumerate(token_lists):
+            for s in range(len(toks) - L + 1):
+                if windows[tuple(toks[s:s + L])] >= 2:
+                    expected_removed[i].update(range(s, s + L))
+
+    for i, toks in enumerate(token_lists):
+        kept = [t for p, t in enumerate(toks) if p not in expected_removed[i]]
+        assert got[i] == (" ".join(kept), len(expected_removed[i])), (
+            i, toks, sorted(expected_removed[i]), got[i],
+        )

@@ -944,3 +944,120 @@ def unigram_surprisal(
         F.sum("_s").cast("bigint").alias("sum_surprise"),
         (F.sum("_s") / F.count(F.lit(1))).alias("avg_surprise"),
     )
+
+
+def ngram_lm_state(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """The PERSISTABLE n-gram language-model state of a corpus — the
+    `dedup_signatures`/`ngram_index` pattern applied to LM-based quality
+    filtering (the CCNet recipe: score candidate documents against a
+    reference-domain LM, keep the low-perplexity tail): one row per
+    observed (context, token) with its count, `(ctx, tok, cnt)`.
+
+    Build once over the reference corpus (one explode + one
+    map-side-combined count agg — the only shuffle, keyed by the pair),
+    persist, merge corpus slices by SUMMING counts (the same
+    union-by-sum contract as every sketch state here), and score any
+    future batch with `ngram_lm_score` without re-reading a byte of
+    reference text. Contexts are the preceding n-1 tokens joined by a
+    space; no BOS/EOS padding (documents shorter than n tokens simply
+    contribute nothing — and score as empty), so the state is exactly
+    the observed-window count table an external engine can replay."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+    pairs = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i + 1, n - 1)).alias("ctx"),
+                F.element_at(toks, (i + n).cast("int")).alias("tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,tok:string>>"))
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Score documents against a persisted `ngram_lm_state` — the
+    integer-exact perplexity proxy (`unigram_surprisal`'s bitlen
+    quantization, conditioned on context): per n-gram the surprise is
+
+        bitlen(ctx_total + V) − bitlen(cnt + 1)
+
+    (add-one smoothing: cnt = the state's count for this (ctx, tok), 0
+    if unseen; ctx_total = Σ counts for the context, 0 for an unseen
+    context; V = the state's distinct-token vocabulary size). All
+    accumulation is integer — bit-identical across engines and
+    partitionings, which float log-prob sums cannot promise — with one
+    IEEE division per output row. Returns
+    `(<id_col>, n_ngrams, sum_surprise_bits, avg_surprise_bits)`;
+    documents with fewer than n tokens drop out (no 0/0 rows).
+
+    Shape: the scored batch explodes to (ctx, tok) pairs; two left joins
+    against the state — pair counts on (ctx, tok), context totals on ctx
+    (derived from the state by one agg, never from reference text) — and
+    one id-keyed agg. The vocabulary size is a broadcast 1-row scalar.
+    Reference-corpus cost at score time: zero scans, state-sized joins
+    only."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+    pairs = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i + 1, n - 1)).alias("ctx"),
+                F.element_at(toks, (i + n).cast("int")).alias("tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<ctx:string,tok:string>>"))
+    d = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
+    )
+    ctx_tot = state.groupBy("ctx").agg(F.sum("cnt").cast("bigint").alias("_ct"))
+    vocab = state.select(
+        F.count_distinct(F.col("tok")).cast("bigint").alias("_v")
+    )
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    scored = (
+        d.join(state, ["ctx", "tok"], "left")
+        .join(ctx_tot, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                bitlen(F.coalesce(F.col("_ct"), F.lit(0)) + F.col("_v"))
+                - bitlen(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum("_s").cast("bigint").alias("sum_surprise_bits"),
+        (F.sum("_s") / F.count(F.lit(1))).alias("avg_surprise_bits"),
+    )

@@ -5489,6 +5489,60 @@ def q_token_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bigram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    train AS (
+      SELECT t[i] AS ctx, t[i+1] AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE doc_id % 2 = 0 AND len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    ctx_tot AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ct FROM train GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+    pairs AS (
+      SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(length(bin(COALESCE(ct, 0) + v))
+                    - length(bin(COALESCE(cnt, 0) + 1))) AS BIGINT)
+             AS sum_surprise_bits,
+           CAST(SUM(length(bin(COALESCE(ct, 0) + v))
+                    - length(bin(COALESCE(cnt, 0) + 1))) AS DOUBLE) / COUNT(*)
+             AS avg_surprise_bits
+    FROM pairs p
+    LEFT JOIN train USING (ctx, tok)
+    LEFT JOIN ctx_tot USING (ctx)
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring against a PERSISTABLE bigram state
+    (corpus.py::ngram_lm_state / ngram_lm_score — the CCNet recipe as a
+    state table): the even-id docs train a bigram count state; every
+    document then scores its add-one-smoothed, bitlen-quantized
+    conditional surprisal against it. Integer-exact accumulation (the
+    float log-prob sum would be partition-order-dependent), one IEEE
+    division per row; score time touches the state only, never the
+    reference text."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        ngram_lm_score,
+        ngram_lm_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    state = ngram_lm_state(docs.where(F.col("doc_id") % 2 == 0), n=2)
+    return ngram_lm_score(docs, state, id_col="doc_id", n=2)
+
+
+
+@_q(
     "bloom_prefilter_dedup",
     """
     SELECT b.doc_id FROM documents b

@@ -318,3 +318,54 @@ def test_unigram_surprisal_integer_exact(spark):
     assert (rows[1].n_tokens, rows[1].sum_surprise) == (4, 4)
     assert (rows[2].n_tokens, rows[2].sum_surprise) == (4, 10)
     assert rows[2].avg_surprise == 2.5
+
+
+def test_ngram_lm_state_and_score(spark):
+    """Bigram LM state + scorer: hand-computed counts, add-one smoothing,
+    unseen-context fallback, and merge-by-sum (the state of the whole
+    corpus equals the summed states of its slices)."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        ngram_lm_score,
+        ngram_lm_state,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c"), (2, "a b x")],
+        "doc_id int, text string",
+    )
+    state = ngram_lm_state(train, n=2)
+    got = {(r.ctx, r.tok): r.cnt for r in state.collect()}
+    assert got == {
+        ("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("b", "x"): 1,
+    }
+
+    # merge-by-sum: union of slice states, summed, equals the full state
+    s0 = ngram_lm_state(train.where(F.col("doc_id") == 0), n=2)
+    s2 = ngram_lm_state(train.where(F.col("doc_id") == 2), n=2)
+    merged = {
+        (r.ctx, r.tok): r.cnt
+        for r in s0.unionByName(s2)
+        .groupBy("ctx", "tok").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == got
+
+    # scoring: V = 4 distinct tokens (b, a, c, x); ctx totals a->3, b->3
+    # bitlen(x) = x.bit_length()
+    def bits(ct, cnt):
+        return (ct + 4).bit_length() - (cnt + 1).bit_length()
+
+    score_docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "z z"), (12, "a")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_score(score_docs, state, "doc_id").collect()}
+    # doc 10: (a,b) seen cnt=3 ct=3; (b,c) seen cnt=1 ct=3
+    assert out[10].n_ngrams == 2
+    assert out[10].sum_surprise_bits == bits(3, 3) + bits(3, 1)
+    # doc 11: (z,z) unseen pair AND unseen context -> bits(0, 0)
+    assert out[11].sum_surprise_bits == bits(0, 0)
+    assert out[11].avg_surprise_bits == float(bits(0, 0))
+    # doc 12: fewer than n tokens -> drops out entirely
+    assert 12 not in out

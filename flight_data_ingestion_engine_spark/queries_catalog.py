@@ -5541,6 +5541,103 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(docs, state, id_col="doc_id", n=2)
 
 
+@_q(
+    "streaming_lm_state",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    train AS (
+      SELECT t[i] AS ctx, t[i+1] AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    ctx_tot AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ct FROM train GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+    pairs AS (
+      SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(length(bin(COALESCE(ct, 0) + v))
+                    - length(bin(COALESCE(cnt, 0) + 1))) AS BIGINT)
+             AS sum_surprise_bits
+    FROM pairs p
+    LEFT JOIN train USING (ctx, tok)
+    LEFT JOIN ctx_tot USING (ctx)
+    CROSS JOIN vocab
+    GROUP BY p.doc_id
+    """,
+)
+def q_streaming_lm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the bigram LM state
+    (streaming/file_stream.py::foreach_batch_lm_sink): even-id documents
+    arrive as micro-batch 1, odd-id as micro-batch 2; each batch appends
+    its count slice, and the reader's groupBy-sum merge must equal the
+    BATCH state built over the whole corpus — proven by scoring every
+    document against the merged state and matching the batch oracle
+    value-exactly. Counts merge by summation, so the streaming and batch
+    builds are algebraically identical regardless of batch boundaries."""
+    import os
+    import tempfile
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.corpus import ngram_lm_score
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_lm_sink,
+        stream_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="fdie_slm_")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(docs.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(docs.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_lm_sink(st, state, ck, text_col="text", n=2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = (
+        spark.read.parquet(state)
+        .groupBy("ctx", "tok")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return ngram_lm_score(docs, merged, id_col="doc_id", n=2).select(
+        "doc_id", "n_ngrams", "sum_surprise_bits"
+    )
+
+
 
 @_q(
     "bloom_prefilter_dedup",

@@ -629,3 +629,36 @@ def foreach_batch_sketch_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_lm_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n: int = 2,
+):
+    """Streaming n-gram LM maintenance: each micro-batch reduces to its
+    `ngram_lm_state` count slice and APPENDS it (tagged with the epoch)
+    to the state parquet. Counts merge by summing, so — exactly like the
+    sketch sink above — "merge" IS "union": readers groupBy(ctx, tok)
+    and sum and see the LM of everything ingested so far; the sink never
+    rereads what it wrote, and concurrent readers never observe a
+    half-merged state. The streaming twin of the reference-corpus build
+    in `corpus.py::ngram_lm_state` — grow the filter's reference LM as
+    curated slices land, score candidates at any point in between."""
+    from flight_data_ingestion_engine_spark.operators.corpus import ngram_lm_state
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = ngram_lm_state(batch_df, text_col=text_col, n=n)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

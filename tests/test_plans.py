@@ -560,3 +560,28 @@ def test_join_with_stats_bloom_prescreen_no_probe_shuffle(spark):
     # shows up as a scan, not as three repeated build aggregations
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Exchange hashpartitioning(word_idx" not in plan
+
+
+def test_bigram_lm_exchange_budget(spark, sf_dir):
+    """The LM build is one pair-keyed agg; scoring adds the two
+    state-keyed joins and the per-doc agg — five hash exchanges total,
+    never a sort-merge join at oracle scale, and no fact re-scan hiding
+    as an extra exchange."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    df = qc.QUERIES["bigram_lm_score"](spark, sf_dir)
+    assert count_exchanges(df) <= 5
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_substring_dedup_exchange_budget(spark, sf_dir):
+    """ExactSubstr core: gram-count agg + semi-join + doc window + doc
+    regroup — the gram and doc keys each get one partitioning that later
+    stages reuse; two hash exchanges at oracle scale (the dup-gram side
+    broadcasts), and never a cartesian step."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    for name in ("substring_dedup_docs", "substring_dup_spans"):
+        df = qc.QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= 3, name
+        assert "CartesianProduct" not in explain_str(df), name

@@ -369,3 +369,14 @@ def test_ngram_lm_state_and_score(spark):
     assert out[11].avg_surprise_bits == float(bits(0, 0))
     # doc 12: fewer than n tokens -> drops out entirely
     assert 12 not in out
+
+
+def test_ngram_lm_trigram_contexts(spark):
+    """n=3: contexts are the two preceding tokens joined by a space."""
+    from flight_data_ingestion_engine_spark.operators.corpus import ngram_lm_state
+
+    df = spark.createDataFrame([(0, "a b c a b c")], "doc_id int, text string")
+    got = {(r.ctx, r.tok): r.cnt for r in ngram_lm_state(df, n=3).collect()}
+    assert got == {
+        ("a b", "c"): 2, ("b c", "a"): 1, ("c a", "b"): 1,
+    }

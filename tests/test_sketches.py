@@ -592,3 +592,44 @@ def test_cms_state_strict_weights_raises_on_negative(spark):
             dirty, "k", width=64, depth=2, weight_col="w", strict_weights=True
         ).collect()
     assert "negative weight" in str(ei.value)
+
+
+def test_join_with_stats_composite_key(spark):
+    """join_with_stats accepts a composite key list: the sketches are
+    built over a derived single column, but the executed join keys on
+    both columns and returns the exact inner-join rows on every arm."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        join_with_stats,
+    )
+
+    left = spark.range(3_000).select(
+        (F.col("id") % 50).alias("k1"), (F.col("id") % 7).alias("k2"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 50).alias("k1"), (F.col("id") % 7).alias("k2"),
+        (F.col("id") * 100).alias("tag"),
+    )
+    # key sketches over the concatenated pair (what a caller would store)
+    mk = lambda d: d.select(F.concat_ws("\x1f", "k1", "k2").alias("kk"))
+    sl = cms_state(mk(left), "kk", width=1 << 12, depth=3)
+    sr = cms_state(mk(right), "kk", width=1 << 12, depth=3)
+    want = sorted(
+        (r.k1, r.k2, r.payload, r.tag)
+        for r in left.join(right, ["k1", "k2"]).collect()
+    )
+    for kwargs in (
+        {"broadcast_rows": 1_000},                      # broadcast arm
+        {"broadcast_rows": 0, "bloom_ratio": 1.0},      # bloom arm
+        {"broadcast_rows": 0, "bloom_ratio": 0.0},      # shuffle arm
+    ):
+        got = sorted(
+            (r.k1, r.k2, r.payload, r.tag)
+            for r in join_with_stats(
+                left, right, ["k1", "k2"], sl, sr, **kwargs
+            ).collect()
+        )
+        assert got == want, kwargs

@@ -308,6 +308,62 @@ def group_aware_split(
     return df.withColumn("split", expr)
 
 
+def purged_temporal_split(
+    df: DataFrame,
+    time_col: str,
+    split_at,
+    embargo_seconds: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Time-based train/test assignment with an EMBARGO — the temporal
+    leakage control `group_aware_split` does not cover: when samples are
+    serially correlated (a user's events, a document's revisions, market
+    ticks), a test row landing right after the train cutoff still leaks
+    train-window context. Rows before `split_at` are 'train'; rows
+    inside the embargo window are 'embargo' (callers drop them — keeping
+    them labeled makes the purge auditable instead of silent); the rest
+    are 'test'.
+
+    With `group_col`, the embargo is PURGED per group (López de Prado's
+    purging/embargo recipe): each group's window starts at that group's
+    LAST train-side timestamp, so a group idle long before the cutoff
+    gives up no test rows, while an active group is embargoed exactly
+    where its correlation lives. Shape: one group-keyed conditional
+    max agg + one broadcast-or-shuffle join back — no window over fact
+    rows. Without `group_col` the embargo is the global
+    [split_at, split_at + embargo) band: a pure projection, zero
+    shuffle. Groups with no train rows get no embargo (nothing to leak).
+
+    Returns `df` + a `split` column ('train' | 'embargo' | 'test').
+    """
+    ts = F.col(time_col).cast("timestamp")
+    cut = F.lit(split_at).cast("timestamp")
+    if group_col is None or embargo_seconds == 0:
+        emb_end = cut.cast("long") + F.lit(int(embargo_seconds))
+        return df.withColumn(
+            "split",
+            F.when(ts < cut, F.lit("train"))
+            .when(ts.cast("long") < emb_end, F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+    last_train = (
+        df.where(ts < cut)
+        .groupBy(group_col)
+        .agg(F.max(ts).cast("long").alias("_last_train_s"))
+    )
+    out = df.join(last_train, group_col, "left")
+    emb_end = F.col("_last_train_s") + F.lit(int(embargo_seconds))
+    return out.withColumn(
+        "split",
+        F.when(ts < cut, F.lit("train"))
+        .when(
+            F.col("_last_train_s").isNotNull() & (ts.cast("long") < emb_end),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("test")),
+    ).drop("_last_train_s")
+
+
 def rendezvous_shard(
     df: DataFrame,
     key_col: str,

@@ -8313,6 +8313,44 @@ def q_group_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "purged_split_events",
+    """
+    WITH lt AS (
+      SELECT user_id, CAST(epoch(MAX(ts)) AS BIGINT) AS last_s
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT e.event_id,
+           CASE WHEN e.ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN lt.last_s IS NOT NULL
+                     AND CAST(epoch(e.ts) AS BIGINT) < lt.last_s + 86400
+                  THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events e LEFT JOIN lt USING (user_id)
+    """,
+)
+def q_purged_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split with a per-user embargo
+    (mixing.py::purged_temporal_split — the López de Prado leakage
+    control for serially-correlated samples): events before Jan 20 are
+    train; each user's first post-cutoff day AFTER THEIR OWN last train
+    event is embargoed (labeled, not silently dropped — the purge is
+    auditable); the rest are test. One group-keyed conditional max agg +
+    one join back, no window over fact rows."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        purged_temporal_split,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = purged_temporal_split(
+        ev, "ts", "2024-01-20 00:00:00", embargo_seconds=86400,
+        group_col="user_id",
+    )
+    return out.select("event_id", "split")
+
+
+@_q(
     "rendezvous_shard_docs",
     """
     SELECT d.doc_id, l.shard

@@ -263,3 +263,48 @@ def test_rendezvous_shard_hashes_each_shard_once(spark):
     out = rendezvous_shard(df, "k", n_shards=7)
     plan = out._jdf.queryExecution().analyzed().toString()
     assert plan.lower().count("md5") == 1
+
+
+def test_purged_temporal_split_per_group_embargo(spark):
+    """The embargo is purged PER GROUP: a group idle long before the
+    cutoff gives up no test rows; an active group is embargoed from its
+    own last train timestamp; groups with no train rows get no embargo;
+    without group_col the embargo is the global post-cutoff band."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        purged_temporal_split,
+    )
+
+    rows = [
+        # user A: active right up to the cutoff -> first post-cutoff row
+        # falls inside A's embargo, the later one is clean test
+        ("A", "2024-01-09 23:00:00"),
+        ("A", "2024-01-10 00:30:00"),
+        ("A", "2024-01-10 23:30:00"),
+        # user B: idle since Jan 5 -> post-cutoff row is immediately test
+        ("B", "2024-01-05 00:00:00"),
+        ("B", "2024-01-10 00:30:00"),
+        # user C: appears only after the cutoff -> nothing to leak, test
+        ("C", "2024-01-10 00:10:00"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = purged_temporal_split(
+        df, "ts", "2024-01-10 00:00:00", embargo_seconds=86400, group_col="u"
+    )
+    got = {(r.u, str(r.ts)): r.split for r in out.collect()}
+    assert got[("A", "2024-01-09 23:00:00")] == "train"
+    assert got[("A", "2024-01-10 00:30:00")] == "embargo"  # < last_train+1d
+    assert got[("A", "2024-01-10 23:30:00")] == "test"     # past A's window
+    assert got[("B", "2024-01-05 00:00:00")] == "train"
+    assert got[("B", "2024-01-10 00:30:00")] == "test"     # B idle: no purge
+    assert got[("C", "2024-01-10 00:10:00")] == "test"     # no train rows
+
+    # global mode: one band for everyone
+    g = purged_temporal_split(df, "ts", "2024-01-10 00:00:00", 3600)
+    gg = {(r.u, str(r.ts)): r.split for r in g.collect()}
+    assert gg[("A", "2024-01-10 00:30:00")] == "embargo"
+    assert gg[("C", "2024-01-10 00:10:00")] == "embargo"
+    assert gg[("A", "2024-01-10 23:30:00")] == "test"

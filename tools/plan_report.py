@@ -62,6 +62,7 @@ SELECTED = [
     ("substring_dup_spans", "same core + gaps-and-islands over covered positions only"),
     ("stats_join_broadcast", "sketch-decided broadcast: dimension hash-joined, no fact shuffle"),
     ("stats_join_bloom", "sketch-decided bloom prescreen: broadcast bitmap probes ahead of the join"),
+    ("bigram_lm_score", "pair-keyed count state + two state-keyed joins; no reference-text rescan"),
 ]
 
 INTERESTING = re.compile(

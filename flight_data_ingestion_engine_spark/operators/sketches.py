@@ -624,6 +624,9 @@ def join_with_stats(
     bloom_ratio: float = 0.1,
     bloom_bits_log2: int = 23,
     bloom_probes: int = 3,
+    hot_key_state: DataFrame | None = None,
+    hot_key_share: float = 0.2,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Sketch-informed INNER equi-join: pick broadcast / bloom-prescreen /
     shuffle from `cms_join_decision` over the two key sketches, then
@@ -640,10 +643,25 @@ def join_with_stats(
       eliminated by the join itself.
     - shuffle: the plain equi-join, left to Catalyst/AQE.
 
-    Result rows are IDENTICAL across all three strategies — only the
-    physical plan changes. Inner joins only (a probe-side prescreen or
-    one-sided broadcast is not generally sound for preserved sides of
-    outer joins)."""
+    The shuffle arm additionally consults `hot_key_state` when given — a
+    `heavy_hitters` (Misra–Gries) state over the LARGER side's single
+    join key: any sketched key whose estimated share of the big side is
+    at least `hot_key_share` triggers the SALTED arm (big side salted
+    deterministically, small side replicated `salt_buckets`×), spreading
+    the hot key over `salt_buckets` partitions instead of melting one.
+    Detection is provably safe in the flag direction: MG never
+    OVERcounts, so est_weight ≥ share·N certifies the key really is that
+    hot; a borderline key whose estimate was decremented below the bar
+    falls back to AQE's runtime skew handling. The existence probe is a
+    capacity-bounded limit(1).count(). Salting applies to single-column
+    keys; the salt is a deterministic hash of the big side's full row
+    (see `_salted_equi_join`), so no separate stable-id column is
+    required.
+
+    Result rows are IDENTICAL across all strategies — only the physical
+    plan changes. Inner joins only (a probe-side prescreen or one-sided
+    broadcast is not generally sound for preserved sides of outer
+    joins)."""
     keys = [on] if isinstance(on, str) else list(on)
     dec = cms_join_decision(
         state_left, state_right,
@@ -671,7 +689,49 @@ def join_with_stats(
         if left_small:
             return left.join(screened, keys, "inner")
         return screened.join(right, keys, "inner")
+    if hot_key_state is not None and len(keys) == 1:
+        n_big = max(dec["n_a"], dec["n_b"])
+        n_hot = (
+            hot_key_state.where(
+                F.col("est_weight") >= float(hot_key_share) * n_big
+            ).limit(1).count()
+        )
+        if n_hot:
+            return _salted_equi_join(left, right, keys, salt_buckets, left_small)
     return left.join(right, keys, "inner")
+
+
+def _salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    buckets: int,
+    left_small: bool,
+) -> DataFrame:
+    """Skew-spreading inner equi-join: the BIG side gets a deterministic
+    salt in [0, buckets) hashed from its FULL row (no rand() — retried
+    tasks must place rows identically; fully-duplicate rows share a salt,
+    which only costs spreading quality, never correctness), the small
+    side is replicated buckets×, and the join keys on (keys + salt) so a
+    hot key's rows fan out over `buckets` partitions. Output columns are
+    reordered to keys, left-rest, right-rest — identical to the plain
+    `join(keys)` shape, so the salted arm is row- AND schema-identical
+    to every other arm."""
+    big, small = (right, left) if left_small else (left, right)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets)
+    ).cast("int")
+    bs = big.withColumn("__jws_salt", salt)
+    rep = small.withColumn(
+        "__jws_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__jws_salt", F.col("__jws_salt").cast("int"))
+    out = bs.join(rep, keys + ["__jws_salt"], "inner").drop("__jws_salt")
+    cols = (
+        keys
+        + [c for c in left.columns if c not in keys]
+        + [c for c in right.columns if c not in keys]
+    )
+    return out.select(*cols)
 
 
 def histogram_drift_tv(state_a: DataFrame, state_b: DataFrame) -> DataFrame:

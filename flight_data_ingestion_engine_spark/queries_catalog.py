@@ -8957,6 +8957,60 @@ def q_stats_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stats_join_salted",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 25 END AS k,
+             value
+      FROM events
+    )
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM e JOIN nation n ON e.k = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_stats_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine consuming its own statistics, SALTED arm
+    (sketches.py::join_with_stats + heavy_hitters): a third of all
+    events collapse onto nation key 0 (the mega-hub), the Misra-Gries
+    state certifies that share (MG never overcounts, so the flag is
+    proof), and with broadcasting disabled (standing in for a huge
+    dimension) the executed plan is the salted equi-join — hot key
+    spread over salt_buckets partitions, dim replicated, rows and
+    schema identical to the plain join the oracle runs."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        heavy_hitters,
+        join_with_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("bigint")
+        .alias("k"),
+        "value",
+    )
+    na = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"), "n_name"
+    )
+    j = join_with_stats(
+        ev, na, "k",
+        cms_state(ev, "k", width=1 << 12, depth=3),
+        cms_state(na, "k", width=1 << 12, depth=3),
+        broadcast_rows=0, bloom_ratio=0.0,
+        hot_key_state=heavy_hitters(ev, "k", capacity=16),
+        hot_key_share=0.2, salt_buckets=8,
+    )
+    return j.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@_q(
     "histogram_drift_tv",
     """
     WITH ea AS (

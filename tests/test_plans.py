@@ -585,3 +585,48 @@ def test_substring_dedup_exchange_budget(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         assert count_exchanges(df) <= 3, name
         assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_join_with_stats_salted_arm(spark):
+    """The shuffle arm consults a Misra-Gries hot-key state: a key
+    provably owning >= hot_key_share of the big side flips the plan to
+    the salted equi-join (small side replicated via explode-sequence),
+    with rows AND schema identical to the plain join; without a hot key
+    the plain shuffle join stands."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        heavy_hitters,
+        join_with_stats,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    # hot key: id 0 owns ~50% of the big side
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 500)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 7).alias("tag"))
+    s_big = cms_state(big, "k", width=1 << 14, depth=3)
+    s_small = cms_state(small, "k", width=1 << 14, depth=3)
+    mg = heavy_hitters(big, "k", capacity=16)
+
+    js = join_with_stats(
+        big, small, "k", s_big, s_small,
+        broadcast_rows=0, bloom_ratio=0.0,
+        hot_key_state=mg, hot_key_share=0.2, salt_buckets=4,
+    )
+    plan = explain_str(js)
+    assert "__jws_salt" in plan or "sequence(0, 3" in plan  # salted shape
+    want = sorted((r.k, r.payload, r.tag) for r in big.join(small, "k").collect())
+    assert sorted((r.k, r.payload, r.tag) for r in js.collect()) == want
+    assert js.columns == ["k", "payload", "tag"]
+
+    # no key reaches the share bar -> plain shuffle join, no salt
+    cold = join_with_stats(
+        big, small, "k", s_big, s_small,
+        broadcast_rows=0, bloom_ratio=0.0,
+        hot_key_state=mg, hot_key_share=0.9, salt_buckets=4,
+    )
+    assert "__jws_salt" not in explain_str(cold)

@@ -969,10 +969,29 @@ def ngram_lm_state(
     the observed-window count table an external engine can replay."""
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
-    toks = F.split(
-        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    # materialize the token ARRAY in its own projection before the
+    # transform: a lambda that references the raw split(normalize(text))
+    # expression re-evaluates the regex normalization per sequence
+    # element (no CSE across the lambda boundary) — O(tokens) regex
+    # passes per row instead of one
+    base = ensure_parallelism(df).select(
+        F.split(
+            text_normalize(F.col(text_col)) if normalize else F.col(text_col),
+            " ",
+        ).alias("_t")
     )
-    pairs = F.when(
+    return (
+        base.select(F.explode(_lm_pairs(F.col("_t"), n)).alias("_p"))
+        .groupBy(F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _lm_pairs(toks: Column, n: int) -> Column:
+    """(context, token) structs over a MATERIALIZED token-array column —
+    callers must bind `toks` to a projected column, not an inline
+    split() expression (see the CSE note in `ngram_lm_state`)."""
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
@@ -982,12 +1001,6 @@ def ngram_lm_state(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<ctx:string,tok:string>>"))
-    return (
-        ensure_parallelism(df)
-        .select(F.explode(pairs).alias("_p"))
-        .groupBy(F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
 
 
 def ngram_lm_score(
@@ -1021,22 +1034,16 @@ def ngram_lm_score(
     only."""
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
-    toks = F.split(
-        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    # token array materialized first — same CSE trap as ngram_lm_state
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(
+            text_normalize(F.col(text_col)) if normalize else F.col(text_col),
+            " ",
+        ).alias("_t"),
     )
-    pairs = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(toks, i + 1, n - 1)).alias("ctx"),
-                F.element_at(toks, (i + n).cast("int")).alias("tok"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<ctx:string,tok:string>>"))
     d = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        base.select(F.col(id_col), F.explode(_lm_pairs(F.col("_t"), n)).alias("_p"))
         .select(F.col(id_col), F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
     )
     ctx_tot = state.groupBy("ctx").agg(F.sum("cnt").cast("bigint").alias("_ct"))

@@ -8420,13 +8420,16 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    toks = F.split(F.col("text"), r"\s+")
-    n = F.size(toks)
+    # token array materialized before the transform — a lambda referencing
+    # the inline split() re-runs the regex per segment (the CSE trap
+    # fixed in _lm_pairs this round; cheap here, but free to avoid)
+    toked = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("_t"))
+    n = F.size(F.col("_t"))
     segs = F.transform(
         F.sequence(F.lit(0), F.floor((n - 1) / 5).cast("int")),
-        lambda i: F.array_join(F.slice(toks, i * F.lit(5) + 1, 5), " "),
+        lambda i: F.array_join(F.slice(F.col("_t"), i * F.lit(5) + 1, 5), " "),
     )
-    with_segs = docs.select("doc_id", segs.alias("segments"))
+    with_segs = toked.select("doc_id", segs.alias("segments"))
     cleaned = remove_frequent_segments(
         with_segs, id_col="doc_id", segments_col="segments", min_count=3
     )

@@ -987,6 +987,24 @@ def ngram_lm_state(
     )
 
 
+def lm_state_merge(slices: DataFrame) -> DataFrame:
+    """Merge appended `ngram_lm_state` slices into one (ctx, tok, cnt)
+    table — replay-exact for the streaming sink's state: when slices
+    carry the sink's `epoch_id` tag, a crash-replayed micro-batch (whose
+    identical slice was appended twice) is first collapsed to ONE row
+    per (epoch_id, ctx, tok) and only then summed, so readers see
+    exactly-once counts without the sink ever reading its own state.
+    Sound because a slice is the deterministic groupBy(ctx, tok) of its
+    batch — each pair appears at most once per epoch, and a replayed
+    epoch reproduces byte-identical rows. Batch-built slices without the
+    tag merge by plain summation (the union-by-sum contract)."""
+    if "epoch_id" in slices.columns:
+        slices = slices.dropDuplicates(["epoch_id", "ctx", "tok"])
+    return slices.groupBy("ctx", "tok").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
 def _lm_pairs(toks: Column, n: int) -> Column:
     """(context, token) structs over a MATERIALIZED token-array column —
     callers must bind `toks` to a projected column, not an inline

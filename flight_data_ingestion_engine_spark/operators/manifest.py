@@ -815,7 +815,7 @@ def list_versions(spark: SparkSession, log_path: str) -> list[int]:
 _CKPT_INTERVAL = 16
 
 
-def _write_small_file(fs, jvm, path: str, data: bytes) -> None:
+def _write_small_file(fs, jvm, path: str, data: bytes, required: bool = False) -> None:
     """Replace `path` with `data` via write-to-temp + rename, never an
     in-place truncate. An in-place `fs.create(path, True)` opens a window
     where a concurrent reader sees a zero-length or partial file — that
@@ -823,7 +823,14 @@ def _write_small_file(fs, jvm, path: str, data: bytes) -> None:
     concurrent-committer test. Rename is atomic on HDFS and local; on
     stores where rename-over-existing fails we delete-then-rename, and
     the (tiny) missing-file window is covered by `_read_small_file`'s
-    None fallback."""
+    None fallback plus `_stored_schema`'s in-flight-replace probe.
+
+    `required=False` (advisory hints like `_ckpt/_latest`): a double
+    rename failure cleans up the temp and returns — readers have a
+    listing fallback. `required=True` (load-bearing files like
+    `_table_schema.json`): a double failure would leave the destination
+    DELETED with the data only in the temp, silently degrading the table
+    to "schema-less" — keep the temp on disk for forensics and raise."""
     import uuid as _uuid
 
     tmp = f"{path}.__tmp_{_uuid.uuid4().hex[:12]}"
@@ -838,6 +845,11 @@ def _write_small_file(fs, jvm, path: str, data: bytes) -> None:
         # Destination exists and this FS refuses rename-over-existing.
         fs.delete(dest, False)
         if not fs.rename(tpath, dest):
+            if required:
+                raise IOError(
+                    f"atomic replace of {path} failed twice; destination "
+                    f"deleted, replacement preserved at {tmp}"
+                )
             fs.delete(tpath, False)
 
 
@@ -1070,6 +1082,8 @@ def commit_manifest(
                     fs, jvm,
                     f"{dest}/_table_schema.json",
                     final.json().encode("utf-8"),
+                    required=True,  # silently losing this file = silent
+                    # schema loss for every future reader; fail loudly
                 )
         # Post-commit log maintenance, both best-effort (a failure must
         # never fail a landed commit; readers fall back to listing):
@@ -1134,11 +1148,26 @@ def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
     # read — retry briefly before trusting it; both pre- and
     # post-replace contents are valid schemas, so any complete read is
     # correct.
+    def _replace_in_flight() -> bool:
+        # The delete-then-rename fallback (stores refusing
+        # rename-over-existing) opens a missing-destination window while
+        # the replacement still sits in its `.__tmp_*` sibling — that
+        # visible temp distinguishes the transient window from a
+        # genuinely schema-less version, so the schema-less fast path
+        # stays sleep-free while the race window is retried.
+        try:
+            stats = fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + ".__tmp_*"))
+            return stats is not None and len(stats) > 0
+        except Exception:
+            return False
+
     last_err: Exception | None = None
     for attempt in range(3):
         raw = _read_small_file(fs, jvm, path)
         if raw is None:
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)) and (
+                not _replace_in_flight()
+            ):
                 return None  # genuinely schema-less version
             last_err = None
         else:
@@ -1147,6 +1176,13 @@ def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
             except ValueError as e:  # empty/partial mid-replace read
                 last_err = e
         _time.sleep(0.05 * (attempt + 1))
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        # Still absent after the retries: either schema-less with a
+        # crashed writer's orphaned temp lying around, or the writer
+        # died mid-replace (which _write_small_file(required=True) now
+        # surfaces loudly on ITS side) — the reader's contract is the
+        # stored state, and the stored state is "no schema".
+        return None
     raise RuntimeError(
         f"unreadable _table_schema.json for version {v} under {log_path}"
     ) from last_err

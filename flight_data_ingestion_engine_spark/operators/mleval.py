@@ -47,18 +47,35 @@ def lift_table(
     )
     n_rows = base.count()
     if n_rows > shard_threshold:
-        d = _sharded_ntile(base, n_buckets, n_rows)
+        d, shard_cache = _sharded_ntile(base, n_buckets, n_rows)
     else:
+        shard_cache = None
         d = base.withColumn(
             "_decile",
             F.ntile(n_buckets)
             .over(Window.orderBy(F.col("_s").desc(), F.col("_tb").asc()))
             .cast("int"),
         )
-    a = d.groupBy("_decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("_y").cast("bigint").alias("pos")
+    # The per-bucket aggregate is ≤ n_buckets rows by construction —
+    # collect it into a local Arrow frame instead of persisting the
+    # distributed one: the big scan runs exactly once, both the totals
+    # and the output read the driver-sized frame, and no cache (neither
+    # this aggregate's nor the sharded path's range-partitioned corpus)
+    # outlives the call in a long-running session.
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    agg_rows = (
+        d.groupBy("_decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").cast("bigint").alias("pos"))
+        .collect()
     )
-    a = a.persist()  # feeds the totals and the output
+    if shard_cache is not None:
+        shard_cache.unpersist()
+    a = arrow_local_df(
+        df.sparkSession,
+        [(r._decile, r.n, r.pos) for r in agg_rows],
+        "_decile int, n bigint, pos bigint",
+    )
     t = a.agg(
         F.sum("pos").cast("bigint").alias("_tp"), F.sum("n").cast("bigint").alias("_tn")
     )
@@ -78,7 +95,9 @@ def lift_table(
     )
 
 
-def _sharded_ntile(base: DataFrame, n_buckets: int, n_rows: int) -> DataFrame:
+def _sharded_ntile(
+    base: DataFrame, n_buckets: int, n_rows: int
+) -> tuple[DataFrame, DataFrame]:
     """Exact ntile over (score desc, tiebreaker asc) WITHOUT an
     all-to-one sort: range-repartition on the sort key (every shard
     sorts its own slice), per-shard row_number, then broadcast shard
@@ -86,7 +105,12 @@ def _sharded_ntile(base: DataFrame, n_buckets: int, n_rows: int) -> DataFrame:
     formula is applied verbatim — with N rows and k buckets the first
     N mod k buckets hold ceil(N/k) rows — so the result is row-for-row
     identical to the single-sort path. Driver state: one (pid, count)
-    row per shard."""
+    row per shard.
+
+    Returns `(out, cache)`: `cache` is the persisted range-partitioned
+    frame backing `out` — the CALLER unpersists it after materializing
+    `out` (the persist must span both the offsets collect and the output
+    scan, and only the caller knows when the latter has happened)."""
     spark = base.sparkSession
     p = spark.sparkContext.defaultParallelism
     sharded = base.repartitionByRange(
@@ -116,7 +140,7 @@ def _sharded_ntile(base: DataFrame, n_buckets: int, n_rows: int) -> DataFrame:
         grank < big_span, F.floor(grank / (q + 1)) + 1
     ).otherwise(F.lit(rem) + F.floor((grank - big_span) / max(q, 1)) + 1)
     out = sharded.select("_s", "_y", bucket.cast("int").alias("_decile"))
-    return out
+    return out, sharded
 
 
 def threshold_metrics(

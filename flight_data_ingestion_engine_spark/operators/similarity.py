@@ -364,15 +364,20 @@ def ivf_index(
     id_type = dict(corpus.dtypes)[id_col]
     if centroids is None:
         # build + final assignment share ONE normalized/cached corpus
-        # frame: the Lloyd passes already materialized it, so the final
-        # assignment reads the cache instead of re-scanning and
-        # re-normalizing the raw source (the old shape's extra pass).
-        # The cache stays pinned until the caller materializes the
-        # returned frame (the write that immediately follows a build).
+        # frame: the Lloyd passes already materialized it. The cache is
+        # released as soon as the Lloyd loop finishes — a long-lived
+        # session running repeated builds must not accrete pinned corpus
+        # copies. Cost of the early release: at big-corpus scale `c` is
+        # localCheckpointed (independent of the cache, so the final
+        # assignment still reads materialized blocks); on the small
+        # coalesced branch the final assignment recomputes one narrow
+        # normalize projection — cheap, and bounded by that same branch's
+        # small-corpus condition.
         from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
         raw, c = _normalized_prepared(corpus, vec_col, id_col)
         cents = _lloyd_centroids(c, n_centroids, iterations, seed)
+        raw.unpersist()
         centroids = arrow_local_df(
             corpus.sparkSession,
             [(i, v) for i, v in enumerate(cents)],

@@ -5585,7 +5585,10 @@ def q_streaming_lm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from flight_data_ingestion_engine_spark.operators.corpus import ngram_lm_score
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        lm_state_merge,
+        ngram_lm_score,
+    )
     from flight_data_ingestion_engine_spark.streaming.file_stream import (
         foreach_batch_lm_sink,
         stream_parquet,
@@ -5628,11 +5631,10 @@ def q_streaming_lm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    merged = (
-        spark.read.parquet(state)
-        .groupBy("ctx", "tok")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    )
+    # lm_state_merge collapses a crash-replayed epoch's duplicate slice
+    # before summing (one row per (epoch_id, ctx, tok)) — the
+    # replay-exact read path the sink's docstring mandates
+    merged = lm_state_merge(spark.read.parquet(state))
     return ngram_lm_score(docs, merged, id_col="doc_id", n=2).select(
         "doc_id", "n_ngrams", "sum_surprise_bits"
     )

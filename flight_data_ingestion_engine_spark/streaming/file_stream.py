@@ -641,12 +641,20 @@ def foreach_batch_lm_sink(
     """Streaming n-gram LM maintenance: each micro-batch reduces to its
     `ngram_lm_state` count slice and APPENDS it (tagged with the epoch)
     to the state parquet. Counts merge by summing, so — exactly like the
-    sketch sink above — "merge" IS "union": readers groupBy(ctx, tok)
-    and sum and see the LM of everything ingested so far; the sink never
-    rereads what it wrote, and concurrent readers never observe a
-    half-merged state. The streaming twin of the reference-corpus build
-    in `corpus.py::ngram_lm_state` — grow the filter's reference LM as
-    curated slices land, score candidates at any point in between."""
+    sketch sink above — "merge" IS "union": readers merge the slices and
+    see the LM of everything ingested so far; the sink never rereads
+    what it wrote, and concurrent readers never observe a half-merged
+    state. The streaming twin of the reference-corpus build in
+    `corpus.py::ngram_lm_state` — grow the filter's reference LM as
+    curated slices land, score candidates at any point in between.
+
+    Crash semantics (ADVICE r7): a batch replayed after a failure
+    appends its slice AGAIN — a reader that blindly sums would
+    permanently double-count that epoch's n-grams. Readers must merge
+    through `corpus.lm_state_merge`, which collapses replays to one row
+    per (epoch_id, ctx, tok) before summing — exact under replay
+    because each epoch's slice is deterministic (same batch → same
+    counts), which is precisely why the epoch tag is carried."""
     from flight_data_ingestion_engine_spark.operators.corpus import ngram_lm_state
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

@@ -380,3 +380,46 @@ def test_ngram_lm_trigram_contexts(spark):
     assert got == {
         ("a b", "c"): 2, ("b c", "a"): 1, ("c a", "b"): 1,
     }
+
+def test_lm_state_merge_replay_exact(spark):
+    """ADVICE r7: the streaming LM sink appends a replayed micro-batch's
+    slice AGAIN after a crash — `lm_state_merge` must collapse the
+    duplicate epoch to exactly-once counts, while untagged (batch-built)
+    slices still merge by plain summation."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        lm_state_merge,
+        ngram_lm_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], "doc_id int, text string"
+    )
+    s0 = ngram_lm_state(docs.where(F.col("doc_id") == 0), n=2)
+    s1 = ngram_lm_state(docs.where(F.col("doc_id") == 1), n=2)
+    want = {
+        (r.ctx, r.tok): r.cnt
+        for r in lm_state_merge(
+            s0.withColumn("epoch_id", F.lit(0).cast("bigint")).unionByName(
+                s1.withColumn("epoch_id", F.lit(1).cast("bigint"))
+            )
+        ).collect()
+    }
+    # epoch 0 replayed: its slice appended twice, byte-identical
+    replayed = (
+        s0.withColumn("epoch_id", F.lit(0).cast("bigint"))
+        .unionByName(s0.withColumn("epoch_id", F.lit(0).cast("bigint")))
+        .unionByName(s1.withColumn("epoch_id", F.lit(1).cast("bigint")))
+    )
+    got = {(r.ctx, r.tok): r.cnt for r in lm_state_merge(replayed).collect()}
+    assert got == want  # replay does NOT double-count
+
+    # the untagged path is plain union-by-sum (two slices of the same doc
+    # genuinely mean "counted twice")
+    plain = {
+        (r.ctx, r.tok): r.cnt
+        for r in lm_state_merge(s0.unionByName(s0)).collect()
+    }
+    single = {(r.ctx, r.tok): r.cnt for r in s0.collect()}
+    assert plain == {k: 2 * v for k, v in single.items()}

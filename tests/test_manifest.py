@@ -1479,3 +1479,62 @@ def test_keyed_scan_survives_file_path_data_column(spark, tmp_path, monkeypatch)
     assert now.count() == 51
     M.delete_versioned(spark, data2, log, "k", [99])
     assert M.read_as_of(spark, log).count() == 50
+
+def test_stored_schema_missing_window_during_replace(spark, sf_dir):
+    """ADVICE r7: on stores whose rename-over-existing degrades to
+    delete-then-rename, `_table_schema.json` transiently DISAPPEARS while
+    its replacement sits in a `.__tmp_*` sibling. `_stored_schema` must
+    treat that window as retryable (the temp is the tell) instead of
+    instantly declaring the version schema-less — and must still return
+    None promptly when the file is genuinely absent, or absent with only
+    a crashed writer's orphaned temp."""
+    import os
+    import threading
+    import time
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        _stored_schema,
+        commit_manifest,
+        file_column_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(10)
+    base = tempfile.mkdtemp(prefix="fdie_ssw_")
+    data, log = base + "/data", base + "/log"
+    ev.coalesce(1).write.parquet(data)
+    m = file_column_stats(spark.read.parquet(data), ["event_id"])
+    commit_manifest(spark, log, m, table_schema=ev.schema)
+
+    path = f"{log}/v=1/_table_schema.json"
+    assert os.path.exists(path)
+    want = _stored_schema(spark, log, 1)
+    assert want is not None
+
+    # mid-replace window: file moved aside into a temp sibling, restored
+    # by a "writer" thread while the reader is inside its retry loop
+    tmp = path + ".__tmp_deadbeef0000"
+    os.rename(path, tmp)
+
+    def _finish_replace():
+        time.sleep(0.08)
+        os.rename(tmp, path)
+
+    t = threading.Thread(target=_finish_replace)
+    t.start()
+    got = _stored_schema(spark, log, 1)
+    t.join()
+    assert got is not None and got.json() == want.json()
+
+    # orphaned temp (writer crashed before the final rename): retries
+    # exhaust with the file still absent -> stored state is "no schema"
+    os.rename(path, tmp)
+    try:
+        assert _stored_schema(spark, log, 1) is None
+    finally:
+        os.rename(tmp, path)
+
+    # genuinely schema-less (no temp sibling): the fast path, no retry
+    os.remove(path)
+    t0 = time.perf_counter()
+    assert _stored_schema(spark, log, 1) is None
+    assert time.perf_counter() - t0 < 0.5  # no sleep-loop on the fast path

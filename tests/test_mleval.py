@@ -138,11 +138,12 @@ def test_lift_table_sharded_path_equals_ntile(spark):
         "_decile",
         F.ntile(10).over(Window.orderBy(F.col("_s").desc(), F.col("_tb").asc())).cast("int"),
     )
-    got = _sharded_ntile(base, 10, n)
+    got, cache = _sharded_ntile(base, 10, n)
     # row-level equality of bucket assignment (keyed by the unique
     # (score, tiebreaker) pair via _s/_y both carried through)
     w = {(r._s, r._tb): r._decile for r in want.collect()}
     g_rows = got.collect()
+    cache.unpersist()
     assert len(g_rows) == n
     # _sharded_ntile drops _tb; re-derive assignment equality through the
     # per-(score,decile) multiset, which is unique-tiebreaker-equivalent

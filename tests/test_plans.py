@@ -559,7 +559,14 @@ def test_join_with_stats_bloom_prescreen_no_probe_shuffle(spark):
     # 3 bitmap probes, each a broadcast join; the checkpointed bitmap
     # shows up as a scan, not as three repeated build aggregations
     assert plan.count("BroadcastHashJoin") >= 3
-    assert "Exchange hashpartitioning(word_idx" not in plan
+    # the load-bearing property, pinned on the ACTUAL join key: the probe
+    # side is never hash-exchanged — not for the bitmap probes and not
+    # for the post-screen equi-join (ADVICE r7: the old word_idx spelling
+    # was vacuous because the bitmap is broadcast, never partitioned)
+    assert plan.count("Exchange hashpartitioning(k") == 0
+    # and the bitmap reaches the probes as materialized state (the
+    # localCheckpoint scan), not as a re-run build aggregation per probe
+    assert "Scan ExistingRDD" in plan and "word_idx" in plan
 
 
 def test_bigram_lm_exchange_budget(spark, sf_dir):

@@ -411,3 +411,176 @@ def rendezvous_shard(
         lambda s: F.struct(_w(s).alias("w"), (-s).cast("int").alias("neg_s")),
     )
     return df.withColumn("shard", -F.array_max(weighted)["neg_s"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public): select raw-corpus
+# documents whose hashed-n-gram feature distribution looks like a TARGET
+# domain, by importance weight under two bag-of-hashed-ngrams models.
+# Engine re-expression, same integer-exactness discipline as ngram_lm_score:
+#   features   = word uni+bigrams hashed into `buckets` via the portable
+#                md5-prefix hash (DuckDB: ('0x' || substr(md5(g),1,8))::BIGINT)
+#   importance = Σ_gram bits_raw(bucket) − bits_target(bucket), where
+#                bits_s(b) = bitlen(total_s + buckets) − bitlen(cnt_s(b) + 1)
+#                — the bitlen quantization of −log2 of the add-one-smoothed
+#                bucket probability, so the weight is an INTEGER any engine
+#                reproduces bit-for-bit (float log-ratio sums are
+#                partition-order-dependent; these are not)
+#   resample   = deterministic power-of-two Bernoulli: a doc `deficit` bits
+#                below the threshold survives with probability exactly
+#                2^-deficit, decided by md5(seed:id) — reproducible across
+#                engines and runs, no rand().
+# Scale shape: states are ≤ `buckets` rows (mergeable by SUM — union IS
+# merge, the sketch-state contract); scoring is one explode + two
+# broadcast state joins + one id-keyed agg; sampling is a pure filter.
+# ---------------------------------------------------------------------------
+
+
+def _dsir_grams(toks: Column) -> Column:
+    """Word unigrams + bigrams of a MATERIALIZED token array (callers bind
+    `toks` to a projected column — the ngram_lm CSE rule). Empty-token
+    guard happens in the caller's normalize/filter step."""
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def _dsir_bucket(gram: Column, buckets: int) -> Column:
+    """Portable gram→bucket hash: the first 8 md5 hex chars as an integer,
+    mod `buckets`. DuckDB twin: ('0x' || substr(md5(g), 1, 8))::BIGINT %
+    buckets — verified identical (both parse the same hex prefix)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
+def _dsir_doc_grams(
+    df: DataFrame, id_col: str | None, text_col: str, buckets: int
+) -> DataFrame:
+    """One row per (doc, gram occurrence) with its bucket id. Tokens are
+    the text_normalize'd words (empty docs contribute nothing)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    ids = [F.col(id_col)] if id_col else []
+    base = ensure_parallelism(df).select(
+        *ids,
+        F.filter(
+            F.split(text_normalize(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("_t"),
+    )
+    return base.select(*ids, F.explode(_dsir_grams(F.col("_t"))).alias("_g")).select(
+        *ids, _dsir_bucket(F.col("_g"), buckets).alias("bucket")
+    )
+
+
+def dsir_state(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """The PERSISTABLE hashed-n-gram feature state of a corpus for DSIR:
+    `(bucket, cnt)` — at most `buckets` rows regardless of corpus size.
+    Build once per domain (one explode + one map-side-combined count agg),
+    persist, merge corpus slices by SUMMING counts (union IS merge — the
+    same contract as every sketch state here). The target-domain state is
+    typically tiny curated data; the raw state covers the crawl."""
+    return (
+        _dsir_doc_grams(df, None, text_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    candidates: DataFrame,
+    target_state: DataFrame,
+    raw_state: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-document integer importance weight against persisted DSIR
+    states: `(<id_col>, n_grams, imp_bits)` where
+
+        imp_bits = Σ_gram [bits_raw(bucket) − bits_target(bucket)]
+        bits_s(b) = bitlen(total_s + buckets) − bitlen(cnt_s(b) + 1)
+
+    — the bitlen-quantized log-importance log2(p_target/p_raw) summed over
+    the document's hashed uni+bigram occurrences (add-one smoothing; an
+    unseen bucket has cnt 0). Positive = more target-like than raw-like.
+    Documents with zero grams after normalization drop out.
+
+    Shape: explode to gram occurrences, hash to buckets, two LEFT joins
+    against the (≤ buckets rows, broadcast) states, totals as broadcast
+    1-row scalars, one id-keyed agg. The reference corpora are never
+    rescanned at weighting time — state-sized joins only."""
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    t = target_state.select(F.col("bucket"), F.col("cnt").alias("_tc"))
+    r = raw_state.select(F.col("bucket"), F.col("cnt").alias("_rc"))
+    totals = (
+        t.agg(F.coalesce(F.sum("_tc"), F.lit(0)).cast("bigint").alias("_tt"))
+        .crossJoin(
+            r.agg(F.coalesce(F.sum("_rc"), F.lit(0)).cast("bigint").alias("_rt"))
+        )
+    )
+    bits_t = bitlen(F.col("_tt") + F.lit(buckets)) - bitlen(
+        F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1)
+    )
+    bits_r = bitlen(F.col("_rt") + F.lit(buckets)) - bitlen(
+        F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(1)
+    )
+    scored = (
+        _dsir_doc_grams(candidates, id_col, text_col, buckets)
+        .join(F.broadcast(t), "bucket", "left")
+        .join(F.broadcast(r), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), (bits_r - bits_t).alias("_w"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("_w").cast("bigint").alias("imp_bits"),
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    id_col: str,
+    tau_bits: int = 0,
+    seed: int = 42,
+    max_deficit: int = 16,
+) -> DataFrame:
+    """Deterministic importance resample over `dsir_weights` output: a
+    document at or above `tau_bits` is always kept; one `deficit = tau −
+    imp_bits` bits below survives with probability EXACTLY 2^-deficit
+    (capped at `max_deficit`), decided by the portable md5 draw — the
+    md5(seed:id) 32-bit prefix taken mod 2^deficit (2^32 divides evenly,
+    so the probability is exact, not approximate). Pure filter: no
+    shuffle, no rand(), reproducible across engines/runs/partitionings.
+    Returns the surviving rows with a `keep_prob_log2` column (0 for
+    always-kept, −deficit otherwise) for downstream loss re-weighting
+    (resampled docs stand in for 2^deficit of their kind)."""
+    deficit = F.greatest(
+        F.lit(0), F.least(F.lit(tau_bits) - F.col("imp_bits"), F.lit(max_deficit))
+    ).cast("int")
+    draw32 = F.conv(F.substring(shuffle_key(id_col, seed), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        weights.withColumn("_deficit", deficit)
+        .withColumn("_draw32", draw32)
+        # shiftleft with a COLUMN bit count needs the SQL form (the
+        # Python builtin only takes a literal numBits)
+        .where(F.expr("pmod(_draw32, shiftleft(cast(1 as bigint), _deficit)) = 0"))
+        .select(
+            *[c for c in weights.columns],
+            (-F.col("_deficit")).cast("bigint").alias("keep_prob_log2"),
+        )
+    )

@@ -9684,3 +9684,105 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     merged = histogram_merge([spark.read.parquet(state).select("bucket", "cnt")])
     return histogram_quantiles(merged, [0.5, 0.9, 0.99], lo, hi, nbins)
+
+
+_DSIR_W_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] AS g
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 8192 AS bucket
+      FROM grams
+    ),
+    tstate AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc
+      FROM occ WHERE doc_id % 3 = 0 GROUP BY 1
+    ),
+    rstate AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM occ GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(tc), 0) FROM tstate) AS tt,
+             (SELECT COALESCE(SUM(rc), 0) FROM rstate) AS rt
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(
+             (length(bin(rt + 8192)) - length(bin(COALESCE(rc, 0) + 1)))
+             - (length(bin(tt + 8192)) - length(bin(COALESCE(tc, 0) + 1)))
+           ) AS BIGINT) AS imp_bits
+    FROM occ o
+    LEFT JOIN tstate USING (bucket)
+    LEFT JOIN rstate USING (bucket)
+    CROSS JOIN tot
+    GROUP BY o.doc_id
+"""
+
+
+@_q("dsir_weights", _DSIR_W_SQL)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/mixing.py::dsir_state /
+    dsir_weights — Xie et al. 2023 re-expressed): doc_id % 3 == 0 plays
+    the curated target domain, the full documents table the raw pool;
+    every document scores its bitlen-quantized log2(p_target/p_raw) over
+    md5-hashed uni+bigram features (8192 buckets, add-one smoothing).
+    Integer-exact across engines: the only arithmetic is counts, bitlen
+    and sums. Scale shape: two ≤8192-row broadcast states, one explode +
+    id-keyed agg over candidates — reference corpora never rescanned."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = dsir_state(docs.where(F.col("doc_id") % 3 == 0))
+    raw = dsir_state(docs)
+    return dsir_weights(docs, target, raw, id_col="doc_id")
+
+
+@_q(
+    "dsir_sample",
+    f"""
+    WITH w AS ({_DSIR_W_SQL}),
+    d AS (
+      SELECT doc_id, n_grams, imp_bits,
+             CAST(GREATEST(0, LEAST(-20 - imp_bits, 16)) AS INT) AS deficit,
+             ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS draw
+      FROM w
+    )
+    SELECT doc_id, n_grams, imp_bits,
+           CAST(-deficit AS BIGINT) AS keep_prob_log2
+    FROM d
+    WHERE draw % (1::BIGINT << deficit) = 0
+    """,
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR resample (operators/mixing.py::dsir_sample):
+    documents at or above tau = -20 importance bits always survive; one
+    `d` bits below survives with probability EXACTLY 2^-d (md5(seed:id)
+    32-bit draw mod 2^d — 2^32 divides evenly, so exact), capped at
+    2^-16. Pure filter over the weights — no shuffle, no rand(); the
+    identical subset falls out of any engine, any partitioning, any
+    re-run. keep_prob_log2 carries the loss-reweighting factor."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_sample,
+        dsir_state,
+        dsir_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = dsir_state(docs.where(F.col("doc_id") % 3 == 0))
+    raw = dsir_state(docs)
+    w = dsir_weights(docs, target, raw, id_col="doc_id")
+    return dsir_sample(w, id_col="doc_id", tau_bits=-20, seed=42)

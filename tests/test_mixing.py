@@ -308,3 +308,77 @@ def test_purged_temporal_split_per_group_embargo(spark):
     assert gg[("A", "2024-01-10 00:30:00")] == "embargo"
     assert gg[("C", "2024-01-10 00:10:00")] == "embargo"
     assert gg[("A", "2024-01-10 23:30:00")] == "test"
+
+
+def test_dsir_planted_distribution_upweights_target(spark):
+    """DSIR (Xie et al. 2023) planted-distribution check: candidates from
+    the TARGET sub-language must receive strictly higher importance than
+    off-domain candidates, and the deterministic resample must keep
+    exactly the hash-predicted subset with exact 2^-deficit odds."""
+    import hashlib
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_sample,
+        dsir_state,
+        dsir_weights,
+    )
+
+    # two disjoint vocabularies; docs are 12 tokens sampled by doc id
+    va = [f"alpha{i}" for i in range(30)]
+    vb = [f"beta{i}" for i in range(30)]
+    def doc(i, vocab):
+        return " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(12))
+
+    rows = [(i, doc(i, va), "A") for i in range(60)] + [
+        (1000 + i, doc(i, vb), "B") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, dom string")
+    target = dsir_state(docs.where(F.col("dom") == "A").limit(30))
+    raw = dsir_state(docs)
+    w = dsir_weights(docs, target, raw, id_col="doc_id")
+    got = {r.doc_id: r.imp_bits for r in w.collect()}
+    a_scores = [got[i] for i in range(60)]
+    b_scores = [got[1000 + i] for i in range(60)]
+    assert min(a_scores) > max(b_scores)  # clean separation, not overlap
+
+    # resample at a tau between the two clusters: every A doc survives
+    # with keep_prob_log2 = 0; B docs survive iff the md5 draw says so,
+    # with the EXACT per-doc deficit — verified against a plain-Python
+    # replay of the same md5 arithmetic (engine-portability in miniature)
+    tau = (min(a_scores) + max(b_scores)) // 2
+    kept = {r.doc_id: r for r in dsir_sample(w, "doc_id", tau_bits=tau).collect()}
+    for i in range(60):
+        assert kept[i].keep_prob_log2 == 0
+    for i in range(60):
+        did = 1000 + i
+        deficit = min(max(0, tau - got[did]), 16)
+        draw = int(hashlib.md5(f"42:{did}".encode()).hexdigest()[:8], 16)
+        expect_kept = draw % (1 << deficit) == 0
+        assert (did in kept) == expect_kept, did
+        if expect_kept:
+            assert kept[did].keep_prob_log2 == -deficit
+
+
+def test_dsir_state_merges_by_sum(spark):
+    """The DSIR feature state obeys the union-by-sum merge law (the
+    sketch-state contract): slice states summed equal the whole-corpus
+    state — so streaming/partitioned builds compose exactly."""
+    from flight_data_ingestion_engine_spark.operators.mixing import dsir_state
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} tok{i % 5}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    whole = {
+        r.bucket: r.cnt for r in dsir_state(docs).collect()
+    }
+    s1 = dsir_state(docs.where(F.col("doc_id") % 2 == 0))
+    s2 = dsir_state(docs.where(F.col("doc_id") % 2 == 1))
+    merged = {
+        r.bucket: r.cnt
+        for r in s1.unionByName(s2)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    assert merged == whole

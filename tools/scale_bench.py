@@ -1,0 +1,302 @@
+"""Scale bench: wall-time cost-per-row ENVELOPES for the heaviest operators.
+
+The round-7 lesson (VERDICT r7 top_next): the O(tokens) regex CSE trap had a
+CORRECT plan shape — every exchange-budget and no-cartesian gate stayed green
+— while the per-row constant exploded ~15× (a lambda referencing an inline
+`split(regexp_replace(...))` re-evaluates the regex once per sequence
+element). Plan-shape gates cannot see per-row constants; only measured
+wall-time can. This harness times each heavy operator WARM at two volumes
+(mid and big, `factor`× apart, both large enough to amortize job overhead)
+and asserts two envelopes per operator:
+
+1. RELATIVE (superlinear catch): µs-per-row at the big volume ≤
+   ``REL_BUDGET`` × the mid-volume rate. A quadratic candidate generator
+   (all-pairs, unbounded bucket) scales its rate with volume and blows
+   through this immediately; linear operators sit near 1.0 (often below —
+   fixed overhead amortizes further at the big size).
+2. ABSOLUTE (constant-blowup catch): µs-per-row at the big volume ≤ the
+   operator's committed ``ABS_BUDGET_US``. Budgets are ~4× the rates
+   measured on the round-8 local[32] box — generous for machine noise and
+   data drift, far under the 10-15× of the bug class they exist to catch.
+
+``--selftest`` re-introduces the r7 CSE trap in a throwaway copy of the LM
+pair extraction and asserts the harness WOULD flag it (its measured rate
+breaches the committed `ngram_lm` budget) — the "if re-introduced, fail the
+harness" acceptance criterion, machine-checked.
+
+Usage: python tools/scale_bench.py [--check] [--selftest] [--ops a,b,...]
+                                   [mid_docs] [factor]
+Prints one JSON line; --check exits nonzero on any envelope breach.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+# Committed per-operator budgets: µs of wall time per input row at the BIG
+# volume, measured warm on the round-8 local[32] box and multiplied by ~4.
+# A breach means a per-row constant regressed (the CSE-trap class) or the
+# operator went superlinear — NOT ordinary noise: the same box measures
+# these rates with <25% spread, and 4× headroom covers both noise and
+# moderate hardware differences while still failing a 10×+ blowup.
+ABS_BUDGET_US = {
+    "substring_dedup": 260.0,
+    "ngram_lm": 110.0,
+    "minhash_lsh": 260.0,
+    "dedup_signatures": 180.0,
+    "contamination": 110.0,
+    "simhash_pairs": 220.0,
+    "ivf_lifecycle": 260.0,
+    "top_terms": 160.0,
+    "remove_segments": 200.0,
+    "exact_dedup_norm": 60.0,
+}
+REL_BUDGET = 2.0
+
+
+def synth_docs(spark, n_docs: int):
+    """Deterministic ~80-token docs over a 500-word vocab with ~1% planted
+    exact-dup pairs — the scale_smoke corpus generator, volume-param'd."""
+    vocab = F.array(*[F.lit(f"w{i}") for i in range(500)])
+    dup_content = (
+        F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1).otherwise(F.col("id"))
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(79)),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(dup_content, i), 500) + 1).cast("int")
+            ),
+        ),
+    )
+    return spark.range(n_docs).select("id", text.alias("text"))
+
+
+def synth_vecs(spark, n_vecs: int, dim: int = 16):
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(dim)]).alias("embedding"),
+    )
+
+
+def _ops(spark):
+    """name -> callable(n_rows) that builds input AND materializes the
+    operator's result (count), returning the input row count."""
+    from flight_data_ingestion_engine_spark.operators import corpus, dedup
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    def substring_dedup(n):
+        dedup.exact_substring_dedup(synth_docs(spark, n), id_col="id", k=20).count()
+        return n
+
+    def ngram_lm(n):
+        docs = synth_docs(spark, n)
+        state = corpus.ngram_lm_state(docs, n=2)
+        corpus.ngram_lm_score(docs, state, id_col="id", n=2).count()
+        return n
+
+    def minhash_lsh(n):
+        dedup.minhash_lsh_pairs(
+            synth_docs(spark, n), id_col="id", text_col="text", threshold=0.5
+        ).count()
+        return n
+
+    def dedup_signatures(n):
+        dedup.dedup_signatures(
+            synth_docs(spark, n), id_col="id", text_col="text"
+        ).count()
+        return n
+
+    def contamination(n):
+        docs = synth_docs(spark, n)
+        test = docs.where(F.col("id") < 200).select(F.col("id").alias("tid"), "text")
+        corpus.contamination_overlap(
+            docs.select(F.col("id").alias("did"), "text"),
+            test, train_id="did", test_id="tid", n=5, min_shared=2,
+        ).count()
+        return n
+
+    def simhash_pairs(n):
+        fp = dedup.simhash_fingerprints(synth_docs(spark, n), id_col="id", text_col="text")
+        dedup.simhash_near_pairs(fp, id_col="id", max_hamming=3).count()
+        return n
+
+    def ivf_lifecycle(n):
+        vecs = synth_vecs(spark, n)
+        idx = ivf_index(vecs, id_col="vec_id", n_centroids=16, iterations=2)
+        queries = synth_vecs(spark, 200).withColumnRenamed("vec_id", "query_id")
+        ivf_topk(
+            queries, query_id="query_id", corpus_id="vec_id", k=10,
+            nprobe=4, index=idx,
+        ).count()
+        return n
+
+    def top_terms(n):
+        corpus.top_terms_per_doc(synth_docs(spark, n), id_col="id", k=3).count()
+        return n
+
+    def remove_segments(n):
+        docs = synth_docs(spark, n)
+        words = F.split(F.col("text"), " ")
+        seg = docs.select(
+            "id",
+            F.concat(
+                F.array(F.lit("cookie banner accept all cookies to continue")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)),
+                ),
+            ).alias("segments"),
+        )
+        corpus.remove_frequent_segments(seg, id_col="id", segments_col="segments").count()
+        return n
+
+    def exact_dedup_norm(n):
+        # normalized variant: dedup on the text_normalize'd content (the
+        # whitespace/case-folded key), hash-grouped — the 16-byte shuffle
+        docs = synth_docs(spark, n).withColumn(
+            "_norm", corpus.text_normalize(F.col("text"))
+        )
+        dedup.exact_dedup(docs, cols=["_norm"], id_col="id").count()
+        return n
+
+    return {
+        "substring_dedup": substring_dedup,
+        "ngram_lm": ngram_lm,
+        "minhash_lsh": minhash_lsh,
+        "dedup_signatures": dedup_signatures,
+        "contamination": contamination,
+        "simhash_pairs": simhash_pairs,
+        "ivf_lifecycle": ivf_lifecycle,
+        "top_terms": top_terms,
+        "remove_segments": remove_segments,
+        "exact_dedup_norm": exact_dedup_norm,
+    }
+
+
+def _timed(fn, n: int, reps: int = 2) -> float:
+    """Warm wall seconds: best of `reps` (the envelope bounds the
+    achievable rate; a stray background spike in one rep must not read as
+    a per-row regression)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(n)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def selftest(spark) -> dict:
+    """Re-introduce the r7 CSE trap (inline split(regexp_replace) inside
+    the transform lambda) in a throwaway LM pair extraction and check its
+    measured rate breaches the committed `ngram_lm` budget while the
+    shipped (materialized-array) operator stays inside it."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        _lm_pairs,
+        ngram_lm_state,
+        text_normalize,
+    )
+
+    n = 25_000
+    docs = synth_docs(spark, n)
+
+    def trapped(n_rows):
+        # the EXACT r7 bug shape: the lambda's element access references
+        # the un-materialized split(normalize(text)) expression, so the
+        # regex normalization re-runs per sequence element
+        toks = F.split(text_normalize(F.col("text")), " ")
+        docs.limit(n_rows).select(
+            F.explode(_lm_pairs(toks, 2)).alias("_p")
+        ).groupBy(F.col("_p.ctx"), F.col("_p.tok")).count().count()
+        return n_rows
+
+    def shipped(n_rows):
+        ngram_lm_state(docs.limit(n_rows), n=2).count()
+        return n_rows
+
+    shipped(2_000)  # codegen warm-up
+    good = _timed(shipped, n) / n * 1e6
+    bad = _timed(trapped, n) / n * 1e6
+    budget = ABS_BUDGET_US["ngram_lm"]
+    return {
+        "shipped_us_per_row": round(good, 2),
+        "trapped_us_per_row": round(bad, 2),
+        "budget_us": budget,
+        "shipped_within_budget": good <= budget,
+        "trap_caught": bad > budget,
+    }
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:]]
+    check = "--check" in argv
+    run_selftest = "--selftest" in argv
+    only = None
+    for a in list(argv):
+        if a.startswith("--ops"):
+            only = set(a.split("=", 1)[1].split(",")) if "=" in a else None
+            argv.remove(a)
+    argv = [a for a in argv if not a.startswith("--")]
+    mid = int(argv[0]) if argv else 25_000
+    factor = int(argv[1]) if len(argv) > 1 else 4
+    big = mid * factor
+
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    spark = get_spark("fdie-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"mid_rows": mid, "big_rows": big, "rel_budget": REL_BUDGET, "ops": {}}
+    failed: list[str] = []
+
+    if run_selftest:
+        st = selftest(spark)
+        out["selftest"] = st
+        if not (st["trap_caught"] and st["shipped_within_budget"]):
+            failed.append("selftest")
+
+    ops = _ops(spark)
+    for name, fn in ops.items():
+        if only is not None and name not in only:
+            continue
+        fn(2_000)  # codegen/JVM warm-up at a throwaway size
+        t_mid = _timed(fn, mid)
+        t_big = _timed(fn, big)
+        r_mid = t_mid / mid * 1e6
+        r_big = t_big / big * 1e6
+        rel = r_big / r_mid if r_mid > 0 else float("inf")
+        abs_ok = r_big <= ABS_BUDGET_US[name]
+        rel_ok = rel <= REL_BUDGET
+        out["ops"][name] = {
+            "t_mid_s": round(t_mid, 2),
+            "t_big_s": round(t_big, 2),
+            "us_per_row_mid": round(r_mid, 2),
+            "us_per_row_big": round(r_big, 2),
+            "rel": round(rel, 2),
+            "abs_budget_us": ABS_BUDGET_US[name],
+            "abs_ok": abs_ok,
+            "rel_ok": rel_ok,
+        }
+        if not (abs_ok and rel_ok):
+            failed.append(name)
+        spark.catalog.clearCache()
+
+    out["failed"] = failed
+    print(json.dumps(out))
+    if check and failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1086,3 +1086,188 @@ def ngram_lm_score(
         F.sum("_s").cast("bigint").alias("sum_surprise_bits"),
         (F.sum("_s") / F.count(F.lit(1))).alias("avg_surprise_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (Sennrich, Haddow & Birch 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — public): the
+# tokenizer-prep stage. Engine conventions (shared bit-for-bit by the
+# Spark build, the DuckDB oracle replay, and the brute-force property
+# test): base symbols are the characters of each normalized word (no
+# end-of-word marker), pair counts weight by word frequency and count
+# overlapping occurrences, each round merges the single most frequent
+# pair with ties broken lexicographically on (p1, p2), and the merge
+# application is the greedy leftmost non-overlapping fold.
+#
+# Scale shape: the loop state is the (word, cnt, symbols) VOCABULARY
+# table — bounded by distinct words, orders of magnitude smaller than the
+# corpus, and touched never again after the one corpus-wide word count.
+# Each round is ONE pair-keyed count shuffle over that table + a 1-row
+# collect (the winner) + a narrow fold projection; the driver holds only
+# the k-row merge table. k rounds = k bounded shuffles, no corpus rescans.
+# ---------------------------------------------------------------------------
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """(word, cnt) over the corpus — the ONE corpus-wide pass BPE needs;
+    everything after runs on this vocabulary table."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _bpe_chars(word: Column) -> Column:
+    """Character array of a word — spelled as an index transform so the
+    DuckDB twin (string_split(word, '')) produces the identical list."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i.cast("int"), 1),  # type: ignore[arg-type]
+    )
+
+
+def _bpe_merge_fold(symbols: Column, p1: str, p2: str) -> Column:
+    """Greedy leftmost non-overlapping replacement of adjacent (p1, p2)
+    with p1||p2 — an aggregate fold (append or merge-with-last). Safe
+    against self-overlap: the merged token p1||p2 can never equal p1
+    (p2 is non-empty), so a just-merged tail never re-merges."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(p1 + p2))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_steps(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    normalize: bool = True,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Learn the first `k` BPE merges: `(step, p1, p2, cnt)` — the merge
+    table, which IS the trained tokenizer state (apply with
+    `bpe_encode`). Stops early (fewer rows) if the vocabulary is fully
+    merged before round k.
+
+    Each round: one pair-keyed count shuffle over the vocabulary table
+    (pairs explode from the symbol arrays, weighted by word cnt,
+    overlapping occurrences counted — the Sennrich get_stats), a 1-row
+    winner collect (max cnt, lexicographic (p1,p2) tie-break), and the
+    merge fold as a narrow projection. The new state is persisted and
+    the predecessor released one round later (the collect that
+    materializes round i+1 still reads round i's cache), so lineage
+    never deepens past one fold and nothing stays pinned at exit."""
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    spark = df.sparkSession
+    base = words if words is not None else bpe_word_counts(df, text_col, normalize)
+    state = base.select(
+        "cnt", _bpe_chars(F.col("word")).alias("s")
+    ).persist()
+    prev = None
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for step in range(1, k + 1):
+            pairs = (
+                state.select(
+                    F.col("cnt"),
+                    F.explode(
+                        F.when(
+                            F.size("s") >= 2,
+                            F.transform(
+                                F.sequence(F.lit(0), F.size("s") - 2),
+                                lambda i: F.struct(
+                                    F.element_at(
+                                        F.col("s"), (i + 1).cast("int")
+                                    ).alias("a"),
+                                    F.element_at(
+                                        F.col("s"), (i + 2).cast("int")
+                                    ).alias("b"),
+                                ),
+                            ),
+                        ).otherwise(
+                            F.array().cast("array<struct<a:string,b:string>>")
+                        )
+                    ).alias("_p"),
+                )
+                .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+                .agg(F.sum("cnt").cast("bigint").alias("c"))
+            )
+            win = (
+                pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b")).limit(1).collect()
+            )
+            # the collect above materialized `state`; its predecessor's
+            # cache is no longer read by anything — release it
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not win:
+                break  # vocabulary fully merged before round k
+            x, y, c = win[0].a, win[0].b, int(win[0].c)
+            merges.append((step, x, y, c))
+            nxt = state.withColumn("s", _bpe_merge_fold(F.col("s"), x, y)).persist()
+            prev, state = state, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        state.unpersist()
+    return arrow_local_df(
+        spark, merges, "step int, p1 string, p2 string, cnt bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    normalize: bool = True,
+) -> DataFrame:
+    """Tokenize text with a learned merge table: per word, start from
+    characters and apply every merge in training order (the standard BPE
+    encode). `merges` is a `bpe_merge_steps` frame (collected here —
+    k rows, driver-sized by construction) or a plain [(p1, p2), ...].
+    Pure narrow projection — the merge table is baked into the
+    expression as literals, so encoding shuffles nothing. Intended for
+    moderate k (tens of merges); a production-size merge table belongs
+    in an Arrow UDF, which this deliberately is not (the catalog's k is
+    small and the all-Catalyst form is engine-portable)."""
+    if not isinstance(merges, list):
+        merges = [
+            (r.p1, r.p2)
+            for r in merges.orderBy("step").select("step", "p1", "p2").collect()
+        ]
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+
+    def encode_word(w: Column) -> Column:
+        s = _bpe_chars(w)
+        for p1, p2 in merges:
+            s = _bpe_merge_fold(s, p1, p2)
+        return s
+
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(F.filter(toks, lambda x: x != ""), encode_word)
+        ),
+    )

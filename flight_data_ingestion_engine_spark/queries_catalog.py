@@ -9786,3 +9786,59 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = dsir_state(docs)
     w = dsir_weights(docs, target, raw, id_col="doc_id")
     return dsir_sample(w, id_col="doc_id", tau_bits=-20, seed=42)
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB replay of k BPE merge rounds — the same conventions as
+    corpus.py::bpe_merge_steps (char base symbols, overlap-counted pair
+    stats weighted by word cnt, max-count/lexicographic winner, greedy
+    leftmost fold), chained as k CTE rounds."""
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    p{i} AS (
+      SELECT s[j] AS a, s[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM w{i - 1}, UNNEST(range(1, len(s))) AS r(j)
+      GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    w{i} AS (
+      SELECT cnt,
+             list_reduce(list_transform(s, y -> [y]),
+               (acc, x) -> CASE WHEN acc[-1] = m{i}.a AND x[1] = m{i}.b
+                                THEN acc[:-2] || [m{i}.a || m{i}.b]
+                                ELSE acc || x END) AS s
+      FROM w{i - 1} CROSS JOIN m{i}
+    )""")
+    tail = "  ".join(
+        f"UNION ALL SELECT {i}, a, b, c FROM m{i}" for i in range(2, k + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY 1
+    ),
+    w0 AS (SELECT cnt, string_split(word, '') AS s FROM words),
+    {','.join(rounds)}
+    SELECT * FROM (
+      SELECT 1 AS step, a AS p1, b AS p2, c AS cnt FROM m1
+      {tail}
+    ) ORDER BY step
+    """
+
+
+@_q("bpe_merge_steps", _bpe_oracle_sql(6))
+def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: the first 6 BPE merges learned from the documents
+    corpus (corpus.py::bpe_merge_steps — Sennrich et al. 2016). One
+    corpus-wide word count, then each round is a pair-keyed count
+    shuffle over the VOCABULARY table (not the corpus) + a 1-row winner
+    collect + a narrow merge fold; the driver holds only the k-row merge
+    table. The DuckDB oracle replays the identical 6 rounds as chained
+    CTEs (same base symbols, tie-break and greedy-leftmost fold), so the
+    merge table matches value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bpe_merge_steps
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_merge_steps(docs, k=6)

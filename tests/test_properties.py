@@ -653,3 +653,67 @@ def test_exact_substring_dedup_covering_gram_theorem(spark, token_lists, k):
         assert got[i] == (" ".join(kept), len(expected_removed[i])), (
             i, toks, sorted(expected_removed[i]), got[i],
         )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),
+)
+def test_bpe_merge_steps_match_bruteforce_property(spark, words, k):
+    """corpus.py::bpe_merge_steps vs a brute-force Python BPE with the
+    same conventions (char base symbols, overlap-counted pair stats
+    weighted by word frequency, max-count + lexicographic-(p1,p2)
+    winner, greedy leftmost non-overlapping fold): the k merge steps —
+    pairs AND counts — must be identical on random corpora. Validates
+    the distributed round structure against the definition, not against
+    itself (the exact_substring_dedup theorem-test discipline)."""
+    import collections
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_encode,
+        bpe_merge_steps,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    got = [
+        (r.step, r.p1, r.p2, r.cnt)
+        for r in bpe_merge_steps(docs, k=k).orderBy("step").collect()
+    ]
+
+    wc = collections.Counter(w for w in text.split() if w)
+    vocab = {w: list(w) for w in wc}
+    want = []
+    for step in range(1, k + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, c in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        want.append((step, a, b, c))
+        for w in vocab:
+            s, out = vocab[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    assert got == want
+
+    # encode round-trip: concatenating a word's BPE tokens restores the
+    # word, and the tokens equal the brute-force final symbol lists
+    enc = bpe_encode(docs, [(p1, p2) for _, p1, p2, _ in got]).collect()[0]
+    flat = []
+    for w in text.split():
+        if w:
+            flat.extend(vocab[w])
+    assert list(enc.bpe_tokens) == flat

@@ -47,16 +47,18 @@ from pyspark.sql import functions as F
 # these rates with <25% spread, and 4× headroom covers both noise and
 # moderate hardware differences while still failing a 10×+ blowup.
 ABS_BUDGET_US = {
-    "substring_dedup": 260.0,
-    "ngram_lm": 110.0,
-    "minhash_lsh": 260.0,
-    "dedup_signatures": 180.0,
-    "contamination": 110.0,
+    # measured big-volume rates (r8 calibration, SCALE_BENCH_r8.json):
+    # 86.8, 105.9, 24.7, 4.3, 96.5, 53.1, 87.4, 41.9, 5.0, 39.5
+    "substring_dedup": 350.0,
+    "ngram_lm": 400.0,
+    "minhash_lsh": 120.0,
+    "dedup_signatures": 40.0,
+    "contamination": 380.0,
     "simhash_pairs": 220.0,
-    "ivf_lifecycle": 260.0,
-    "top_terms": 160.0,
-    "remove_segments": 200.0,
-    "exact_dedup_norm": 60.0,
+    "ivf_lifecycle": 350.0,
+    "top_terms": 170.0,
+    "remove_segments": 60.0,
+    "exact_dedup_norm": 160.0,
 }
 REL_BUDGET = 2.0
 

@@ -563,12 +563,31 @@ def cms_join_size(
     )
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own sizeInBytes estimate for a frame — runs NO job (for
+    file scans it comes from the file listing). None when the plan
+    reports the unknown-size sentinel or the private-API surface drifts
+    — callers fall back to their row-count gate, never to a wrong
+    answer. Compressed on-disk bytes UNDERestimate in-memory broadcast
+    size, so pair this with a conservative `broadcast_bytes`."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if size <= 0 or size >= (1 << 62):
+            return None
+        return size
+    except Exception:
+        return None
+
+
 def cms_join_decision(
     state_a: DataFrame,
     state_b: DataFrame,
     depth: int = 3,
     broadcast_rows: int = 500_000,
     bloom_ratio: float = 0.1,
+    bytes_a: int | None = None,
+    bytes_b: int | None = None,
+    broadcast_bytes: int = 256 << 20,
 ) -> dict:
     """Choose a join strategy from two CMS key sketches WITHOUT touching
     either table: the consumer of `cms_join_size` the sketch family was
@@ -577,8 +596,13 @@ def cms_join_decision(
 
     - `'broadcast'` — the smaller side's row count (recovered from its
       own sketch: Σcnt of one hash row is exactly N, collisions only
-      co-locate counts) is at most `broadcast_rows`: hash-join it
-      everywhere, no shuffle of the big side.
+      co-locate counts) is at most `broadcast_rows` AND, when a byte
+      estimate for that side is supplied (`bytes_a`/`bytes_b`, e.g. from
+      `plan_size_bytes`), at most `broadcast_bytes`: hash-join it
+      everywhere, no shuffle of the big side. The byte gate (r8, ADVICE
+      r7) exists because a row gate alone would happily broadcast 500k
+      rows of KB-wide documents — hundreds of MB per executor; wide
+      rows demote to bloom/shuffle even under the row bound.
     - `'bloom'` — both sides are big but the join-size UPPER bound is at
       most `bloom_ratio` × the larger side: most probe rows can't match,
       so a fixed-size Bloom prescreen of the big side against the small
@@ -604,13 +628,19 @@ def cms_join_decision(
         est.crossJoin(F.broadcast(n_a)).crossJoin(F.broadcast(n_b)).collect()[0]
     )
     na, nb, e = int(row.n_a), int(row.n_b), int(row.est)
-    if min(na, nb) <= broadcast_rows:
+    small_bytes = bytes_a if na <= nb else bytes_b
+    if min(na, nb) <= broadcast_rows and (
+        small_bytes is None or small_bytes <= broadcast_bytes
+    ):
         strategy = "broadcast"
     elif e <= bloom_ratio * max(na, nb):
         strategy = "bloom"
     else:
         strategy = "shuffle"
-    return {"strategy": strategy, "n_a": na, "n_b": nb, "est": e}
+    return {
+        "strategy": strategy, "n_a": na, "n_b": nb, "est": e,
+        "small_bytes": small_bytes,
+    }
 
 
 def join_with_stats(
@@ -627,6 +657,7 @@ def join_with_stats(
     hot_key_state: DataFrame | None = None,
     hot_key_share: float = 0.2,
     salt_buckets: int = 8,
+    broadcast_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Sketch-informed INNER equi-join: pick broadcast / bloom-prescreen /
     shuffle from `cms_join_decision` over the two key sketches, then
@@ -644,28 +675,36 @@ def join_with_stats(
     - shuffle: the plain equi-join, left to Catalyst/AQE.
 
     The shuffle arm additionally consults `hot_key_state` when given — a
-    `heavy_hitters` (Misra–Gries) state over the LARGER side's single
-    join key: any sketched key whose estimated share of the big side is
-    at least `hot_key_share` triggers the SALTED arm (big side salted
+    `heavy_hitters` (Misra–Gries) state over the LARGER side's join key:
+    any sketched key whose estimated share of the big side is at least
+    `hot_key_share` triggers the SALTED arm (big side salted
     deterministically, small side replicated `salt_buckets`×), spreading
     the hot key over `salt_buckets` partitions instead of melting one.
     Detection is provably safe in the flag direction: MG never
     OVERcounts, so est_weight ≥ share·N certifies the key really is that
     hot; a borderline key whose estimate was decremented below the bar
     falls back to AQE's runtime skew handling. The existence probe is a
-    capacity-bounded limit(1).count(). Salting applies to single-column
-    keys; the salt is a deterministic hash of the big side's full row
-    (see `_salted_equi_join`), so no separate stable-id column is
-    required.
+    capacity-bounded limit(1).count(). COMPOSITE keys (r8, closing the
+    r7 single-column limitation): build the state over the canonical
+    concat — `heavy_hitters(big.withColumn("_k",
+    composite_join_key(keys)), "_k", cap)` — the detection probe only
+    reads est_weight, and `_salted_equi_join` already joins on
+    keys + salt with the salt hashed from the big side's full row, so
+    both work for any key arity unchanged.
 
     Result rows are IDENTICAL across all strategies — only the physical
     plan changes. Inner joins only (a probe-side prescreen or one-sided
     broadcast is not generally sound for preserved sides of outer
     joins)."""
     keys = [on] if isinstance(on, str) else list(on)
+    # byte gate on the broadcast arm (ADVICE r7): Catalyst's free plan
+    # estimates veto broadcasting a row-count-small but byte-wide side;
+    # unknown sizes (None) degrade to the row gate alone
     dec = cms_join_decision(
         state_left, state_right,
         depth=depth, broadcast_rows=broadcast_rows, bloom_ratio=bloom_ratio,
+        bytes_a=plan_size_bytes(left), bytes_b=plan_size_bytes(right),
+        broadcast_bytes=broadcast_bytes,
     )
     left_small = dec["n_a"] <= dec["n_b"]
     if dec["strategy"] == "broadcast":
@@ -689,7 +728,7 @@ def join_with_stats(
         if left_small:
             return left.join(screened, keys, "inner")
         return screened.join(right, keys, "inner")
-    if hot_key_state is not None and len(keys) == 1:
+    if hot_key_state is not None:
         n_big = max(dec["n_a"], dec["n_b"])
         n_hot = (
             hot_key_state.where(
@@ -699,6 +738,23 @@ def join_with_stats(
         if n_hot:
             return _salted_equi_join(left, right, keys, salt_buckets, left_small)
     return left.join(right, keys, "inner")
+
+
+def composite_join_key(keys: list[str], sep: str = "\x1f") -> Column:
+    """Canonical string form of a multi-column join key for hot-key
+    sketching: NULL-tagged, cast to string, joined on an unprintable
+    separator so ('a', 'b c') and ('a b', 'c') can't collide. Use to
+    build the `heavy_hitters` state that `join_with_stats` consults for
+    composite keys — the skew of the TUPLE is what melts a partition,
+    not of any single column."""
+    parts = []
+    for c in keys:
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.col(c).cast("string")
+            )
+        )
+    return F.concat_ws(sep, *parts)
 
 
 def _salted_equi_join(

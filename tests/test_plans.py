@@ -637,3 +637,76 @@ def test_join_with_stats_salted_arm(spark):
         hot_key_state=mg, hot_key_share=0.9, salt_buckets=4,
     )
     assert "__jws_salt" not in explain_str(cold)
+
+
+def test_join_with_stats_salted_arm_composite_key(spark):
+    """r8 (closes VERDICT r7 #4): composite-key hot TUPLES take the
+    salted arm too — the Misra-Gries state is built over
+    composite_join_key(keys), detection reads only est_weight, and the
+    salted join keys on (k1, k2, salt) with rows AND schema identical to
+    the plain two-column join. A key hot in ONE column but not as a
+    tuple must NOT trip the salt."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        composite_join_key,
+        heavy_hitters,
+        join_with_stats,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    # hot tuple: (0, 'x') owns ~50% of the big side; k1=0 also appears
+    # with 500 distinct k2 values (hot column, cold tuples)
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 500)
+        .alias("k1"),
+        F.when(F.col("id") % 2 == 0, F.lit("x"))
+        .otherwise(F.concat(F.lit("v"), (F.col("id") % 499).cast("string")))
+        .alias("k2"),
+        F.col("id").alias("payload"),
+    )
+    small = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("k1"),
+            F.when(F.col("id") == 0, F.lit("x"))
+            .otherwise(F.concat(F.lit("v"), (F.col("id") % 499).cast("string")))
+            .alias("k2"),
+            (F.col("id") * 7).alias("tag"),
+        )
+    )
+    keys = ["k1", "k2"]
+    ck = composite_join_key(keys)
+    s_big = cms_state(big.select(ck.alias("k")), "k", width=1 << 14, depth=3)
+    s_small = cms_state(small.select(ck.alias("k")), "k", width=1 << 14, depth=3)
+    mg = heavy_hitters(big.withColumn("_k", ck), "_k", capacity=16)
+
+    js = join_with_stats(
+        big, small, keys, s_big, s_small,
+        broadcast_rows=0, bloom_ratio=0.0,
+        hot_key_state=mg, hot_key_share=0.2, salt_buckets=4,
+    )
+    plan = explain_str(js)
+    assert "__jws_salt" in plan or "sequence(0, 3" in plan
+    want = sorted(
+        (r.k1, r.k2, r.payload, r.tag) for r in big.join(small, keys).collect()
+    )
+    got = sorted((r.k1, r.k2, r.payload, r.tag) for r in js.collect())
+    assert got == want and len(got) > 0
+    assert js.columns == ["k1", "k2", "payload", "tag"]
+
+    # hot COLUMN, cold tuples: same big-side k1 skew but k2 spread so no
+    # tuple reaches the bar -> the composite state must NOT trip salting
+    big2 = spark.range(20_000).select(
+        (F.col("id") % 40).alias("k1"),
+        F.concat(F.lit("v"), (F.col("id") % 499).cast("string")).alias("k2"),
+        F.col("id").alias("payload"),
+    )
+    mg2 = heavy_hitters(big2.withColumn("_k", ck), "_k", capacity=16)
+    s_big2 = cms_state(big2.select(ck.alias("k")), "k", width=1 << 14, depth=3)
+    cold = join_with_stats(
+        big2, small, keys, s_big2, s_small,
+        broadcast_rows=0, bloom_ratio=0.0,
+        hot_key_state=mg2, hot_key_share=0.2, salt_buckets=4,
+    )
+    assert "__jws_salt" not in explain_str(cold)

@@ -633,3 +633,73 @@ def test_join_with_stats_composite_key(spark):
             ).collect()
         )
         assert got == want, kwargs
+
+
+def test_cms_join_decision_byte_gate_demotes_wide_broadcast(spark, tmp_path):
+    """ADVICE r7: the broadcast arm was gated on ROW count alone — a
+    500k-row side of KB-wide rows would blow executor broadcast memory.
+    With a byte estimate supplied (Catalyst plan stats on a parquet
+    scan), a row-count-small but byte-wide side demotes to bloom (or
+    shuffle); the same side under a generous byte budget still
+    broadcasts; unknown sizes (None) keep the row-gate behavior."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_join_decision,
+        cms_state,
+        join_with_stats,
+        plan_size_bytes,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    # wide side: 200 rows x ~5 KB strings, parquet-backed so Catalyst
+    # reports a real on-disk size
+    wide_path = str(tmp_path / "wide")
+    spark.range(200).select(
+        F.col("id").alias("k"),
+        F.repeat(F.concat(F.lit("x"), F.col("id").cast("string")), 2_000).alias(
+            "payload"
+        ),
+    ).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
+    big = spark.range(50_000).select((F.col("id") % 200).alias("k"))
+    sz = plan_size_bytes(wide)
+    assert sz is not None and sz > 60_000  # the estimate is real
+    # (parquet compresses the repeated strings; ~70 KB on disk here)
+
+    s_wide = cms_state(wide, "k", width=1 << 14, depth=3)
+    s_big = cms_state(big, "k", width=1 << 14, depth=3)
+
+    # generous byte budget: row gate rules, broadcast stands
+    dec = cms_join_decision(
+        s_big, s_wide, broadcast_rows=1_000, bloom_ratio=0.5,
+        bytes_a=plan_size_bytes(big), bytes_b=sz, broadcast_bytes=1 << 30,
+    )
+    assert dec["strategy"] == "broadcast" and dec["small_bytes"] == sz
+
+    # tight byte budget: same rows, broadcast demoted
+    dec2 = cms_join_decision(
+        s_big, s_wide, broadcast_rows=1_000, bloom_ratio=0.5,
+        bytes_a=plan_size_bytes(big), bytes_b=sz, broadcast_bytes=50_000,
+    )
+    assert dec2["strategy"] != "broadcast"
+
+    # end-to-end through join_with_stats: the demoted plan contains no
+    # broadcast of the wide relation but rows remain identical
+    j_tight = join_with_stats(
+        big, wide, "k", s_big, s_wide,
+        broadcast_rows=1_000, bloom_ratio=1.0, broadcast_bytes=50_000,
+    )
+    j_loose = join_with_stats(
+        big, wide, "k", s_big, s_wide,
+        broadcast_rows=1_000, bloom_ratio=1.0, broadcast_bytes=1 << 30,
+    )
+    assert "__bloom" in explain_str(j_tight)  # demoted to the bloom arm
+    want = sorted((r.k, r.payload) for r in big.join(wide, "k").collect())
+    assert sorted((r.k, r.payload) for r in j_tight.collect()) == want
+    assert sorted((r.k, r.payload) for r in j_loose.collect()) == want
+
+    # unknown byte estimate degrades to the row gate
+    dec3 = cms_join_decision(
+        s_big, s_wide, broadcast_rows=1_000, bloom_ratio=0.5,
+        bytes_a=None, bytes_b=None, broadcast_bytes=1,
+    )
+    assert dec3["strategy"] == "broadcast"

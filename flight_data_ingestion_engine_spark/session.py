@@ -43,6 +43,23 @@ def tune(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # RocksDB state store (public Spark 3.2+ conf; rocksdbjni ships in
+        # the Spark distribution): the default HDFS-backed provider holds
+        # every key IN EXECUTOR MEMORY — at 100 TB keyspaces (per-user
+        # streaming state, dedup signatures) that store is the scale
+        # killer. RocksDB spills to local disk with changelog
+        # checkpointing so per-batch checkpoint cost tracks the CHANGES,
+        # not the store size. Verified in use via rocksdb* custom metrics
+        # (tests/test_streaming.py).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
 
 
@@ -68,6 +85,20 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
         pass
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
+    try:
+        # per-query conf, read at stream start — settable on a live host
+        # session; see tune() for the 100 TB rationale
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     except Exception:
         pass
     return spark

@@ -902,3 +902,48 @@ def test_streaming_sketch_sink_accumulates_mergeable_state(spark, tmp_path):
     assert sorted((r.bucket, r.cnt) for r in merged_hist.collect()) == sorted(
         (r.bucket, r.cnt) for r in oneshot_hist.collect()
     )
+
+
+def test_state_store_is_rocksdb(spark, landing, tmp_path):
+    """VERDICT r7 #6: stateful streaming must run on the RocksDB state
+    store (disk-spilling, changelog-checkpointed), not the default
+    HDFS-backed in-memory provider — at 100 TB keyspaces the in-memory
+    store IS the scale killer. Pinned two ways: the engine session conf
+    names the provider, and a real applyInPandasWithState query's
+    progress reports rocksdb* custom metrics (proof the provider was
+    actually instantiated, not just configured)."""
+    from flight_data_ingestion_engine_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+    stream = stream_json(spark, str(landing), SCHEMA)
+    out = streaming_next_event(
+        stream, key_col="Origin", time_col="FlightTime", attrs=["Reporting_Airline"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rocks_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _write_day(
+            landing,
+            "day1.json",
+            [
+                ("JFK", "2023-01-01 15:35:00", "AA"),
+                ("JFK", "2023-01-01 17:35:00", "IB"),
+            ],
+        )
+        q.processAllAvailable()
+        progress = q.lastProgress
+        assert progress is not None and progress["stateOperators"], progress
+        metrics = progress["stateOperators"][0].get("customMetrics", {})
+        rocks = [k for k in metrics if k.lower().startswith("rocksdb")]
+        assert rocks, f"no rocksdb metrics in {sorted(metrics)[:10]}"
+    finally:
+        q.stop()

@@ -29,6 +29,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+_QTMP_ROOT: list[str] = []
+
+
+def _qtmp(tag: str) -> str:
+    """Session-scoped temp dir for lifecycle queries (VERDICT r7 #7):
+    every staging/state/checkpoint dir lives under ONE per-process root
+    that is removed at interpreter exit, so a full catalog sweep leaves
+    no stray fdie_* directories behind. Per-call dirs stay unique
+    (mkdtemp inside the root), so repeated invocations of the same query
+    never collide."""
+    import atexit
+    import shutil
+    import tempfile as _tf
+
+    if not _QTMP_ROOT:
+        root = _tf.mkdtemp(prefix="fdie_qtmp_")
+        _QTMP_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _tf.mkdtemp(prefix=f"{tag}_", dir=_QTMP_ROOT[0])
+
+
+
 def _q(name: str, sql: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,7 +1142,7 @@ def q_contamination_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.where(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("test_doc_id"), "text"
     )
-    path = tempfile.mkdtemp(prefix="fdie_gramidx_") + "/index"
+    path = _qtmp("gramidx") + "/index"
     # gram the WHOLE training corpus once (one scan + one Arrow shingle
     # pass, cached); the even write and the odd append are then parity
     # filters over the cached postings — the second gram pipeline the old
@@ -1847,7 +1869,7 @@ def _stream_events(
     import os
     import tempfile
 
-    landing = tempfile.mkdtemp(prefix="fdie_landing_")
+    landing = _qtmp("landing")
     os.symlink(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1891,7 +1913,7 @@ def _stream_events(
             F.lit(0.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
         )
-        staged = tempfile.mkdtemp(prefix="fdie_flush_")
+        staged = _qtmp("flush")
         flush_df.coalesce(1).write.parquet(staged + "/p")
         part = next(
             f for f in os.listdir(staged + "/p")
@@ -1936,7 +1958,7 @@ def _run_stream_to_memory(
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="fdie_ck_"))
+            .option("checkpointLocation", _qtmp("ck"))
             .trigger(availableNow=True)
             .start()
         )
@@ -2277,7 +2299,7 @@ def _ivf_stored_index(spark: SparkSession, sf_dir: str) -> str:
     from flight_data_ingestion_engine_spark.operators.similarity import ivf_index
 
     _, corpus = _ivf_topk_corpus(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="fdie_ivf_") + "/index"
+    path = _qtmp("ivf") + "/index"
     ivf_index(
         corpus, "neighbor_id", n_centroids=8, iterations=2
     ).write.parquet(path)
@@ -2344,7 +2366,7 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = emb.where(F.col("vec_id") >= 10)
-    path = tempfile.mkdtemp(prefix="fdie_ivfcycle_") + "/index"
+    path = _qtmp("ivfcycle") + "/index"
     # iterations=1: the lifecycle query pins build/probe/append MECHANICS;
     # both oracles (self- and clone-retrieval) are codebook-independent,
     # so extra Lloyd refinement would only add corpus passes
@@ -2521,7 +2543,7 @@ def q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.from_json("props", "k int").alias("props"),
     )
-    landing = tempfile.mkdtemp(prefix="fdie_json_")
+    landing = _qtmp("json")
     nested.coalesce(4).write.mode("overwrite").json(landing)
 
     declared = DeclaredSchema.from_dict(
@@ -4816,7 +4838,7 @@ def q_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
 
     ev = _t(spark, sf_dir, "events")
-    staged = tempfile.mkdtemp(prefix="fdie_manifest_") + "/events_clustered"
+    staged = _qtmp("manifest") + "/events_clustered"
     write_clustered_path(ev, staged, cluster_by=["ts"], n_files=10)
 
     manifest = file_column_stats(spark.read.parquet(staged), ["ts"])
@@ -4927,7 +4949,7 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("timestamp").cast("long") - F.to_timestamp(F.lit("2024-01-01")).cast("long"))
         / 60
     ).cast("bigint")
-    staged = tempfile.mkdtemp(prefix="fdie_zorder_") + "/events_z"
+    staged = _qtmp("zorder") + "/events_z"
     zorder_write(ev, staged, cols=[F.col("user_id"), minutes], n_files=16)
 
     manifest = file_column_stats(spark.read.parquet(staged), ["user_id", "ts"])
@@ -5595,12 +5617,12 @@ def q_streaming_lm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="fdie_slm_")
+    root = _qtmp("slm")
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
     def stage(df, name: str, mtime: float) -> None:
-        tmp = tempfile.mkdtemp()
+        tmp = _qtmp("stage")
         df.coalesce(1).write.parquet(f"{tmp}/p")
         part = next(
             f for f in os.listdir(f"{tmp}/p")
@@ -5722,7 +5744,7 @@ def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "event_type", "user_id"
     )
-    path = tempfile.mkdtemp(prefix="fdie_hll_") + "/state"
+    path = _qtmp("hll") + "/state"
     hll_group_sketches(ev, ["d", "event_type"], "user_id").write.parquet(path)
     stored = spark.read.parquet(path)
 
@@ -5782,7 +5804,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
-    base = tempfile.mkdtemp(prefix="fdie_tt_q_")
+    base = _qtmp("tt_q")
     data, log = base + "/data", base + "/log"
     ev.where(F.col("event_id") % 2 == 0).coalesce(2).write.parquet(data)
     m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
@@ -6606,7 +6628,7 @@ def q_indexed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
 
     ev = _t(spark, sf_dir, "events")
-    staged = tempfile.mkdtemp(prefix="fdie_vindex_") + "/events_ts_clustered"
+    staged = _qtmp("vindex") + "/events_ts_clustered"
     write_clustered_path(ev, staged, cluster_by=["ts"], n_files=10)
 
     idx = file_value_index(spark.read.parquet(staged), "user_id")
@@ -6689,7 +6711,7 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
 
     ev = _t(spark, sf_dir, "events").select("event_id", F.col("value").cast("double"))
-    base = tempfile.mkdtemp(prefix="fdie_cdf_")
+    base = _qtmp("cdf")
     data, log = f"{base}/data", f"{base}/log"
     write_clustered_path(ev, data, cluster_by=["event_id"], n_files=8)
     v1 = commit_manifest(
@@ -6805,7 +6827,7 @@ def q_streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    landing = tempfile.mkdtemp(prefix="fdie_sfunnel_")
+    landing = _qtmp("sfunnel")
     split = "2024-01-15"
     ev.where(F.col("ts") < split).coalesce(1).write.parquet(landing, mode="append")
     ev.where(F.col("ts") >= split).coalesce(1).write.parquet(landing, mode="append")
@@ -7655,7 +7677,7 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="fdie_schevo_q_")
+    base = _qtmp("schevo_q")
     data, log = base + "/data", base + "/log"
     ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id").coalesce(
         2
@@ -7750,7 +7772,7 @@ def q_incremental_rollup_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="fdie_ivm_q_")
+    base = _qtmp("ivm_q")
     data, log = base + "/data", base + "/log"
     ev.coalesce(4).write.parquet(data)
     m1 = file_column_stats(spark.read.parquet(data), ["event_id"])
@@ -8161,7 +8183,7 @@ def q_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.sources.sinks import write_clustered_path
 
     ev = _t(spark, sf_dir, "events").select("event_id")
-    path = tempfile.mkdtemp(prefix="fdie_meta_") + "/ev"
+    path = _qtmp("meta") + "/ev"
     write_clustered_path(ev, path, cluster_by=["event_id"], n_files=8)
     mf = file_column_stats(spark.read.parquet(path), ["event_id"])
     return mf.agg(
@@ -8234,13 +8256,13 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="fdie_scd_")
+    root = _qtmp("scd")
     src, corpus, ck = f"{root}/src", f"{root}/corpus", f"{root}/ck"
     state = f"{root}/state"
     os.makedirs(src)
 
     def stage(df, name: str, mtime: float) -> None:
-        tmp = tempfile.mkdtemp()
+        tmp = _qtmp("stage")
         df.coalesce(1).write.parquet(f"{tmp}/p")
         part = next(
             f for f in os.listdir(f"{tmp}/p")
@@ -8588,7 +8610,7 @@ def q_cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_state(ev.where(F.col("event_id") % 2 == d), "k", width=_CMS_W, depth=3)
         for d in (0, 1)
     ]
-    path = tempfile.mkdtemp(prefix="fdie_cms_") + "/state"
+    path = _qtmp("cms") + "/state"
     cms_merge(slices).write.parquet(path)
     stored = spark.read.parquet(path)
 
@@ -8659,7 +8681,7 @@ def q_histogram_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     lo, hi, nbins = 0.0, 120000.0, 240
-    path = tempfile.mkdtemp(prefix="fdie_hist_") + "/state"
+    path = _qtmp("hist") + "/state"
     for parity in (0, 1):
         histogram_state(
             li.where(F.col("l_orderkey") % 2 == parity), "l_extendedprice", lo, hi, nbins
@@ -9410,7 +9432,7 @@ def q_windowed_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").withColumn("d", F.col("ts").cast("date"))
     lo, hi, nbins = 0.0, 200.0, 100
-    path = tempfile.mkdtemp(prefix="fdie_histday_") + "/state"
+    path = _qtmp("histday") + "/state"
     histogram_state_by(ev, ["d"], "value", lo, hi, nbins).write.parquet(path)
     stored = spark.read.parquet(path)
     windowed = histogram_merge(
@@ -9640,12 +9662,12 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
-    root = tempfile.mkdtemp(prefix="fdie_svq_")
+    root = _qtmp("svq")
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
     def stage(df, name: str, mtime: float) -> None:
-        tmp = tempfile.mkdtemp()
+        tmp = _qtmp("stage")
         df.coalesce(1).write.parquet(f"{tmp}/p")
         part = next(
             f for f in os.listdir(f"{tmp}/p")

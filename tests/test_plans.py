@@ -710,3 +710,17 @@ def test_join_with_stats_salted_arm_composite_key(spark):
         hot_key_state=mg2, hot_key_share=0.2, salt_buckets=4,
     )
     assert "__jws_salt" not in explain_str(cold)
+
+
+def test_dsir_exchange_budget(spark, sf_dir):
+    """DSIR shapes: two <=8192-row state builds (one bucket-keyed agg
+    each), the broadcast totals, and ONE doc-keyed agg over the exploded
+    candidates — five hash exchanges total; the resample adds only a
+    filter (same budget). Never a cartesian (the totals ride as
+    broadcast 1-row frames)."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    for name in ("dsir_weights", "dsir_sample"):
+        df = qc.QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) <= 5, name
+        assert "CartesianProduct" not in explain_str(df), name

@@ -671,6 +671,47 @@ def main() -> None:
         )
         assert dr_big.count() == 10
 
+    # -- DSIR importance resampling (r8): the weight/sample plan must be
+    # -- volume-invariant (states are <=8192-row broadcasts, candidates
+    # -- shuffle only on the doc id), and the resample must be a pure
+    # -- filter that upweights planted target-like docs.
+    with stage(f"dsir_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            dsir_sample,
+            dsir_state,
+            dsir_weights,
+        )
+
+        target = dsir_state(docs.where(F.pmod(F.col("id"), 7) == 0))
+        raw = dsir_state(docs)
+        w_big = dsir_weights(docs, target, raw, id_col="id")
+        w_small = dsir_weights(docs_small, target, raw, id_col="id")
+        assert _exchanges(w_big) <= _exchanges(w_small), (
+            _exchanges(w_big), _exchanges(w_small),
+        )
+        kept = dsir_sample(w_big, "id", tau_bits=-10)
+        # the filter adds no exchange over the weights plan
+        assert _exchanges(kept) <= _exchanges(w_big)
+        assert w_big.count() == n_docs
+
+    # -- BPE merge rounds (r8): the loop state is the VOCABULARY table —
+    # -- its row count (and the pair-agg exchange budget) must not grow
+    # -- with corpus volume, only word-count weights may.
+    with stage(f"bpe_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            bpe_merge_steps,
+            bpe_word_counts,
+        )
+
+        wc_big = bpe_word_counts(docs)
+        wc_small = bpe_word_counts(docs_small)
+        assert _exchanges(wc_big) <= _exchanges(wc_small)
+        # same synthetic vocab at both volumes -> identical vocabulary
+        # table size: the corpus-size-independence claim, literally
+        assert wc_big.count() == wc_small.count()
+        steps = bpe_merge_steps(docs, k=3, words=wc_big)
+        assert steps.count() == 3
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -40,7 +40,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flight_data_ingestion_engine_spark.functions.hashing import char_poly_hash
@@ -1056,4 +1056,215 @@ def histogram_quantiles_by(
     return (
         c.join(qdf, (target > F.col("cum_prev")) & (target <= F.col("cum")))
         .select(*[F.col(g) for g in group_cols], "q", "n", est.alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct samples supporting set INTERSECTION
+# and DIFFERENCE estimates (DataSketches theta family; Beyer et al. 2007 KMV)
+# ---------------------------------------------------------------------------
+
+#: Size of the portable hash space: 60-bit md5-prefix hashes in [0, 2^60).
+#: 15 hex chars keep the value positive in an int64 on every engine.
+KMV_SPACE = 1 << 60
+
+
+def kmv_hash(key: Column) -> Column:
+    """Engine-portable uniform 60-bit hash of `key`:
+    `conv(substr(md5(cast(key as string)), 1, 15), 16, 10)` — DuckDB:
+    `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT`. Same
+    md5-prefix family as the DSIR/mixing hashes (mixing.py:46), so every
+    engine draws the identical sample."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_state(
+    df: DataFrame, key: Column, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Mergeable KMV/theta distinct-sample STATE: per group, the `k`
+    smallest distinct 60-bit hashes of `key` — `(group_cols..., gh
+    bigint)`, ≤ k rows per group. Unlike the HLL state
+    (`hll_group_sketches`), which only supports UNION, this sample
+    supports set INTERSECTION and DIFFERENCE estimates
+    (`kmv_set_estimates`): the k smallest hashes are a uniform fixed-size
+    sample of the distinct keys, so any set expression evaluated on the
+    samples below the common theta scales back up by theta.
+
+    Exactness contract: the state (and everything derived from it) is a
+    pure function of the input key set — no rand(), no partitioning
+    sensitivity — so any engine reproduces it bit-for-bit.
+
+    Scale shape: one distinct shuffle on (group, gh) with map-side
+    partial dedup, then a per-group sorted top-k (second shuffle on
+    group whose input is the distinct keys). At extreme per-group
+    cardinalities, pre-prune with a conservative hash threshold derived
+    from `approx_count_distinct` (keep gh < safety·k·2^60/est): the
+    final top-k is unchanged whenever ≥ k hashes survive, and the sort
+    input drops from D to O(k) rows per group. Merging per-slice states
+    (`kmv_merge`) is the append-only path — a new day's slice never
+    rescans history.
+    """
+    assert 2 <= k <= 1 << 16
+    gcols = [F.col(c) for c in group_cols]
+    hashed = (
+        df.where(key.isNotNull())
+        .select(*gcols, kmv_hash(key).alias("gh"))
+        .distinct()
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    states: list[DataFrame], group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Union per-slice KMV states into one: distinct the hash rows, keep
+    the k smallest per group. Input is ≤ len(states)·k rows per group, so
+    this is metadata-sized regardless of what the slices summarize."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+    return (
+        merged.distinct()
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _kmv_theta(
+    state: DataFrame, group_cols: list[str], k: int, suffix: str
+) -> DataFrame:
+    """Per group: sample size and theta — the k-th smallest hash when the
+    sample is full, else KMV_SPACE (exact mode: every distinct key is in
+    the sample)."""
+    gcols = [F.col(c) for c in group_cols]
+    return state.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias(f"n{suffix}"),
+        F.when(F.count(F.lit(1)) >= k, F.max("gh"))
+        .otherwise(F.lit(KMV_SPACE))
+        .cast("bigint")
+        .alias(f"theta{suffix}"),
+    )
+
+
+def _kmv_scale(count: Column, theta: Column) -> Column:
+    """floor(count · 2^60 / theta) with engine-identical arithmetic: count
+    ≤ 2·k ≤ 2^17, so count·2^60 has ≤ 17 significant bits and converts to
+    DOUBLE exactly; theta→DOUBLE rounds identically under IEEE 754 on
+    every engine; one correctly-rounded division + floor. No decimal
+    scale-truncation rules (which differ across engines) are involved."""
+    num = (count.cast("double")) * F.lit(float(KMV_SPACE))
+    return F.floor(num / theta.cast("double")).cast("bigint")
+
+
+def kmv_estimate(
+    state: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group from a KMV state:
+    `(group_cols..., est_distinct bigint, is_exact boolean)`. A sample
+    that never filled (n < k) IS the distinct key set — exact count; a
+    full sample estimates (k-1)·2^60/theta with relative error
+    ≈ 1/sqrt(k-2). Cost: O(state rows)."""
+    t = _kmv_theta(state, group_cols, k, "")
+    est = F.when(F.col("n") < k, F.col("n")).otherwise(
+        _kmv_scale(F.lit(k - 1).cast("bigint"), F.col("theta"))
+    )
+    return t.select(
+        *[F.col(c) for c in group_cols],
+        est.cast("bigint").alias("est_distinct"),
+        (F.col("n") < k).alias("is_exact"),
+    )
+
+
+def kmv_set_estimates(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set algebra over two KMV states (same group_cols,
+    same k): per group, `(est_a, est_b, est_intersect, est_union,
+    est_diff_a bigint)` — the estimated distinct counts of A, B, A∩B,
+    A∪B and A∖B. This is what HLL cannot do: both samples are uniform
+    below the common theta = min(theta_a, theta_b), so |A∩B| is the
+    count of SHARED hashes below theta scaled by 2^60/theta, and A∪B
+    counts the distinct hashes of either sample below theta (≤ 2k rows).
+    est_diff_a = max(0, est_a − est_intersect).
+
+    All arithmetic is the exact-double scaling of `_kmv_scale`; two
+    exact (unfilled) states degrade to exact set counts. Cost: one join
+    of ≤ k-row-per-group states — metadata-sized.
+
+    Pass MATERIALIZED states (parquet-backed or persisted): each state
+    frame is read more than once here, and a live lineage would replay
+    its fact scan per reference — the stored-state-table form (the
+    family's normal contract, like `hll_group_sketches` /
+    `dedup_signatures`) makes every re-read a ≤ k-row scan."""
+    ga = _kmv_theta(state_a, group_cols, k, "_a")
+    gb = _kmv_theta(state_b, group_cols, k, "_b")
+    on = group_cols if group_cols else None
+    gcols = [F.col(c) for c in group_cols]
+    thetas = (
+        ga.join(gb, on=on, how="inner")
+        if on
+        else ga.crossJoin(gb)
+    )
+    thetas = thetas.withColumn(
+        "theta", F.least(F.col("theta_a"), F.col("theta_b"))
+    )
+    a = state_a.select(*gcols, F.col("gh"))
+    b = state_b.select(*gcols, F.col("gh"))
+    both = a.join(b, on=(group_cols + ["gh"]) if group_cols else ["gh"], how="inner")
+    either = a.unionByName(b).distinct()
+    ion = group_cols if group_cols else None
+
+    def _below(df: DataFrame, name: str) -> DataFrame:
+        j = (
+            df.join(F.broadcast(thetas.select(*gcols, "theta")), on=ion)
+            if ion
+            else df.crossJoin(F.broadcast(thetas.select("theta")))
+        )
+        agg = j.where(F.col("gh") < F.col("theta"))
+        if group_cols:
+            return agg.groupBy(*gcols).agg(
+                F.count(F.lit(1)).cast("bigint").alias(name)
+            )
+        return agg.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    ic = _below(both, "c_int")
+    uc = _below(either, "c_uni")
+    out = thetas.join(ic, on=ion, how="left") if ion else thetas.crossJoin(ic)
+    out = out.join(uc, on=ion, how="left") if ion else out.crossJoin(uc)
+    out = out.na.fill({"c_int": 0, "c_uni": 0})
+
+    # a full sample's own estimate uses (k-1)/theta_k, not k/theta_k
+    est_a = F.when(F.col("n_a") < k, F.col("n_a")).otherwise(
+        _kmv_scale(F.lit(k - 1).cast("bigint"), F.col("theta_a"))
+    )
+    est_b = F.when(F.col("n_b") < k, F.col("n_b")).otherwise(
+        _kmv_scale(F.lit(k - 1).cast("bigint"), F.col("theta_b"))
+    )
+    est_i = F.when(F.col("theta") >= KMV_SPACE, F.col("c_int")).otherwise(
+        _kmv_scale(F.col("c_int"), F.col("theta"))
+    )
+    est_u = F.when(F.col("theta") >= KMV_SPACE, F.col("c_uni")).otherwise(
+        _kmv_scale(F.col("c_uni"), F.col("theta"))
+    )
+    return out.select(
+        *gcols,
+        est_a.cast("bigint").alias("est_a"),
+        est_b.cast("bigint").alias("est_b"),
+        est_i.cast("bigint").alias("est_intersect"),
+        est_u.cast("bigint").alias("est_union"),
+        F.greatest(
+            F.lit(0).cast("bigint"), (est_a - est_i).cast("bigint")
+        ).alias("est_diff_a"),
     )

@@ -9864,3 +9864,143 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return bpe_merge_steps(docs, k=6)
+
+
+_KMV_SPACE_SQL = "1152921504606846976"  # 2^60, the KMV hash space
+
+_THETA_UD_SQL = f"""
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                               CAST(CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) AS BIGINT)
+                                    AS VARCHAR)), 1, 15))::BIGINT AS gh
+    FROM events
+"""
+
+
+@_q(
+    "theta_distinct_userdays",
+    f"""
+    WITH ud AS ({_THETA_UD_SQL}),
+    rk AS (
+      SELECT event_type, gh,
+             row_number() OVER (PARTITION BY event_type ORDER BY gh) AS rn
+      FROM ud
+    ),
+    st AS (SELECT event_type, gh FROM rk WHERE rn <= 256),
+    th AS (
+      SELECT event_type, COUNT(*) AS n,
+             CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                  ELSE {_KMV_SPACE_SQL} END AS theta
+      FROM st GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(CASE WHEN n < 256 THEN n
+                ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                           / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_distinct,
+           n < 256 AS is_exact
+    FROM th
+    """,
+)
+def q_theta_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sample (sketches.py::kmv_state/kmv_estimate —
+    Beyer et al. 2007; the DataSketches theta family): per event type,
+    the estimated number of distinct active user-days from a k=256
+    sample of portable 60-bit hashes. Unlike the HLL state this sample
+    supports set algebra (see theta_intersect_userdays). The estimate
+    arithmetic is exact-double (≤17-bit numerators × 2^60 are exactly
+    representable; one IEEE division + floor), so DuckDB reproduces it
+    bit-for-bit. Scale shape: one distinct shuffle + per-group top-k;
+    everything downstream is ≤ k rows per group."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+    )
+    st = kmv_state(ev, key, ["event_type"], k=256)
+    return kmv_estimate(st, ["event_type"], k=256)
+
+
+@_q(
+    "theta_intersect_userdays",
+    f"""
+    WITH ud AS ({_THETA_UD_SQL}),
+    rk AS (
+      SELECT event_type, gh,
+             row_number() OVER (PARTITION BY event_type ORDER BY gh) AS rn
+      FROM ud WHERE event_type IN ('click', 'purchase')
+    ),
+    sa AS (SELECT gh FROM rk WHERE event_type = 'click' AND rn <= 256),
+    sb AS (SELECT gh FROM rk WHERE event_type = 'purchase' AND rn <= 256),
+    ta AS (SELECT COUNT(*) AS n_a,
+                  CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                       ELSE {_KMV_SPACE_SQL} END AS theta_a FROM sa),
+    tb AS (SELECT COUNT(*) AS n_b,
+                  CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                       ELSE {_KMV_SPACE_SQL} END AS theta_b FROM sb),
+    th AS (SELECT n_a, theta_a, n_b, theta_b,
+                  LEAST(theta_a, theta_b) AS theta FROM ta, tb),
+    ci AS (SELECT COUNT(*) AS c_int
+           FROM sa JOIN sb USING (gh), th WHERE gh < theta),
+    cu AS (SELECT COUNT(*) AS c_uni
+           FROM (SELECT DISTINCT gh FROM
+                   (SELECT gh FROM sa UNION ALL SELECT gh FROM sb)) u,
+                th WHERE gh < theta)
+    SELECT
+      CAST(CASE WHEN n_a < 256 THEN n_a
+           ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta_a AS DOUBLE)) END AS BIGINT) AS est_a,
+      CAST(CASE WHEN n_b < 256 THEN n_b
+           ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta_b AS DOUBLE)) END AS BIGINT) AS est_b,
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN c_int
+           ELSE FLOOR(CAST(c_int AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_intersect,
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN c_uni
+           ELSE FLOOR(CAST(c_uni AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_union,
+      GREATEST(0,
+        CAST(CASE WHEN n_a < 256 THEN n_a
+             ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                        / CAST(theta_a AS DOUBLE)) END AS BIGINT)
+        - CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN c_int
+               ELSE FLOOR(CAST(c_int AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                          / CAST(theta AS DOUBLE)) END AS BIGINT)
+      ) AS est_diff_a
+    FROM th, ci, cu
+    """,
+)
+def q_theta_intersect_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (sketches.py::kmv_set_estimates) — the
+    op HLL cannot do: estimated |A|, |B|, |A∩B|, |A∪B|, |A∖B| of
+    click-user-days vs purchase-user-days from two k=256 KMV samples.
+    Both samples are uniform below theta = min(theta_a, theta_b), so the
+    shared hashes below theta scale to the intersection by 2^60/theta.
+    Everything after the two state builds is metadata-sized (≤ 2k
+    rows); two unfilled states degrade to exact set counts. Exact-double
+    scaling arithmetic — value-identical in DuckDB."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+    )
+    # the set algebra reads each state several times: materialize them as
+    # the stored state tables they are (the family contract) so every
+    # re-read is a <=k-row parquet scan, never a fact re-scan
+    root = _qtmp("theta_state")
+    kmv_state(ev.where(F.col("event_type") == "click"), key, [], k=256) \
+        .write.mode("overwrite").parquet(f"{root}/a")
+    kmv_state(ev.where(F.col("event_type") == "purchase"), key, [], k=256) \
+        .write.mode("overwrite").parquet(f"{root}/b")
+    sa = spark.read.parquet(f"{root}/a")
+    sb = spark.read.parquet(f"{root}/b")
+    return kmv_set_estimates(sa, sb, [], k=256)

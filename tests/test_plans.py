@@ -724,3 +724,22 @@ def test_dsir_exchange_budget(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         assert count_exchanges(df) <= 5, name
         assert "CartesianProduct" not in explain_str(df), name
+
+
+def test_theta_sketch_exchange_budgets(spark, sf_dir):
+    """KMV/theta: the state build is one distinct shuffle + one per-group
+    top-k window; the set-algebra query materializes both states as
+    parquet state tables first, so everything downstream joins/aggs
+    <=k-row scans — the fact table is scanned exactly once per state,
+    never replayed per reference."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    df = qc.QUERIES["theta_distinct_userdays"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in explain_str(df)
+
+    ij = qc.QUERIES["theta_intersect_userdays"](spark, sf_dir)
+    plan = explain_str(ij)
+    assert "CartesianProduct" not in plan
+    # every scan in the final plan is a state-table scan, not events
+    assert "events.parquet" not in plan

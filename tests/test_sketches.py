@@ -703,3 +703,106 @@ def test_cms_join_decision_byte_gate_demotes_wide_broadcast(spark, tmp_path):
         bytes_a=None, bytes_b=None, broadcast_bytes=1,
     )
     assert dec3["strategy"] == "broadcast"
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+
+def _kmv_ops():
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        KMV_SPACE,
+        kmv_estimate,
+        kmv_merge,
+        kmv_set_estimates,
+        kmv_state,
+    )
+
+    return KMV_SPACE, kmv_state, kmv_merge, kmv_estimate, kmv_set_estimates
+
+
+def _keys_df(spark, ids, group="g"):
+    return spark.createDataFrame([(group, f"k{i}") for i in ids], "g string, k string")
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    _, kmv_state, _, kmv_estimate, _ = _kmv_ops()
+    small = _keys_df(spark, range(100))
+    st = kmv_state(small, F.col("k"), ["g"], k=256)
+    row = kmv_estimate(st, ["g"], k=256).collect()[0]
+    assert row["is_exact"] and row["est_distinct"] == 100
+
+    big = _keys_df(spark, range(20_000))
+    stb = kmv_state(big, F.col("k"), ["g"], k=256)
+    assert stb.count() == 256
+    est = kmv_estimate(stb, ["g"], k=256).collect()[0]
+    assert not est["is_exact"]
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est["est_distinct"] - 20_000) < 20_000 * 0.25
+
+
+def test_kmv_state_ignores_duplicates_and_partitioning(spark):
+    _, kmv_state, _, kmv_estimate, _ = _kmv_ops()
+    once = _keys_df(spark, range(500))
+    tripled = once.unionByName(once).unionByName(once).repartition(13)
+    a = sorted(r["gh"] for r in kmv_state(once, F.col("k"), ["g"], k=64).collect())
+    b = sorted(r["gh"] for r in kmv_state(tripled, F.col("k"), ["g"], k=64).collect())
+    assert a == b and len(a) == 64
+
+
+def test_kmv_merge_law_slices_equal_single_shot(spark):
+    _, kmv_state, kmv_merge, _, _ = _kmv_ops()
+    s1 = kmv_state(_keys_df(spark, range(0, 800)), F.col("k"), ["g"], k=64)
+    s2 = kmv_state(_keys_df(spark, range(400, 1200)), F.col("k"), ["g"], k=64)
+    merged = kmv_merge([s1, s2], ["g"], k=64)
+    single = kmv_state(_keys_df(spark, range(0, 1200)), F.col("k"), ["g"], k=64)
+    assert sorted(r["gh"] for r in merged.collect()) == sorted(
+        r["gh"] for r in single.collect()
+    )
+
+
+def test_kmv_set_estimates_exact_mode_is_exact(spark):
+    _, kmv_state, _, _, kmv_set_estimates = _kmv_ops()
+    a = kmv_state(_keys_df(spark, range(0, 120)), F.col("k"), [], k=256)
+    b = kmv_state(_keys_df(spark, range(80, 200)), F.col("k"), [], k=256)
+    row = kmv_set_estimates(a, b, [], k=256).collect()[0]
+    assert row["est_a"] == 120 and row["est_b"] == 120
+    assert row["est_intersect"] == 40
+    assert row["est_union"] == 200
+    assert row["est_diff_a"] == 80
+
+
+def test_kmv_set_estimates_sampled_accuracy(spark):
+    _, kmv_state, _, _, kmv_set_estimates = _kmv_ops()
+    # |A| = 8000, |B| = 8000, |A∩B| = 4000
+    a = kmv_state(_keys_df(spark, range(0, 8000)), F.col("k"), [], k=256)
+    b = kmv_state(_keys_df(spark, range(4000, 12000)), F.col("k"), [], k=256)
+    row = kmv_set_estimates(a, b, [], k=256).collect()[0]
+    assert abs(row["est_a"] - 8000) < 8000 * 0.25
+    assert abs(row["est_b"] - 8000) < 8000 * 0.25
+    assert abs(row["est_intersect"] - 4000) < 4000 * 0.5
+    assert abs(row["est_union"] - 12000) < 12000 * 0.25
+    assert row["est_diff_a"] == row["est_a"] - row["est_intersect"]
+
+
+def test_kmv_grouped_set_estimates_align_groups(spark):
+    _, kmv_state, _, _, kmv_set_estimates = _kmv_ops()
+    rows_a = [("g1", f"k{i}") for i in range(50)] + [
+        ("g2", f"k{i}") for i in range(1000)
+    ]
+    rows_b = [("g1", f"k{i}") for i in range(25, 75)] + [
+        ("g2", f"x{i}") for i in range(1000)
+    ]
+    a = kmv_state(
+        spark.createDataFrame(rows_a, "g string, k string"), F.col("k"), ["g"], k=64
+    )
+    b = kmv_state(
+        spark.createDataFrame(rows_b, "g string, k string"), F.col("k"), ["g"], k=64
+    )
+    out = {
+        r["g"]: r for r in kmv_set_estimates(a, b, ["g"], k=64).collect()
+    }
+    # g1 exact on both sides: 50 ∩ 50 = 25
+    assert out["g1"]["est_intersect"] == 25 and out["g1"]["est_union"] == 75
+    # g2: disjoint key spaces — intersection estimate must be (near) zero
+    assert out["g2"]["est_intersect"] <= 1000 * 0.05

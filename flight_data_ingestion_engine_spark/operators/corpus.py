@@ -1271,3 +1271,252 @@ def bpe_encode(
             F.transform(F.filter(toks, lambda x: x != ""), encode_word)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) — hard-EM over the
+# vocabulary table with bitlen-quantized integer scores
+# ---------------------------------------------------------------------------
+
+#: Path separator inside segmentation strings — below every [a-z0-9]
+#: codepoint, so lexicographic tie-breaks agree across engines (memcmp
+#: semantics on both Spark UTF8String and DuckDB VARCHAR).
+UNIGRAM_SEP = "\x1f"
+
+
+def unigram_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """(word, cnt) for the unigram trainer: `bpe_word_counts` capped at
+    `max_word_len` chars (the cap bounds the Viterbi DP depth on every
+    engine; SentencePiece applies the same kind of length cap)."""
+    return bpe_word_counts(df, text_col, normalize).where(
+        F.length("word") <= max_word_len
+    )
+
+
+def unigram_seed_vocab(
+    words: DataFrame, max_piece_len: int = 4, min_count: int = 10
+) -> DataFrame:
+    """Seed piece table `(piece, cnt)`: every substring of length
+    1..max_piece_len of every word, occurrence-counted (overlaps counted,
+    weighted by word cnt); multi-char pieces below `min_count` are
+    dropped, single chars are ALWAYS kept — they guarantee every word
+    stays segmentable through every later pruning round."""
+    pos = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    ln = F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("L")
+    subs = (
+        words.select("word", "cnt", pos)
+        .select("word", "cnt", "i", ln)
+        .where(F.col("i") + F.col("L") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, i, L)").alias("piece"), "cnt")
+    )
+    agg = subs.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    return agg.where((F.length("piece") == 1) | (F.col("cnt") >= min_count))
+
+
+def _qbits_py(cnt: int, total: int, n: int) -> int:
+    """bitlen-quantized add-one surprisal, the LM convention
+    (corpus.py::ngram_lm_score): bitlen(total + n) - bitlen(cnt + 1).
+    Pure integer arithmetic — identical in Python, Spark and DuckDB."""
+    return (total + n).bit_length() - (cnt + 1).bit_length()
+
+
+def _viterbi_best(cands: Column, word_len: Column) -> Column:
+    """Viterbi DP over one word as a Catalyst fold: `cands` is the
+    materialized array<struct<i0 int, j int, bits bigint, piece string>>
+    of vocab matches (i0 = 0-based start, j = 1-based end). Returns the
+    struct<bits, np, path> of the best segmentation: minimal total bits,
+    then fewest pieces, then lexicographically smallest SEP-joined path —
+    a total order, so the winner is engine-independent."""
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("bits"),
+            F.lit(0).cast("int").alias("np"),
+            F.lit("").alias("path"),
+        )
+    )
+
+    def extend(acc, c):
+        prev = F.element_at(acc, c["i0"] + 1)
+        return F.struct(
+            (prev["bits"] + c["bits"]).alias("bits"),
+            (prev["np"] + F.lit(1)).cast("int").alias("np"),
+            F.when(prev["np"] == 0, c["piece"])
+            .otherwise(F.concat(prev["path"], F.lit(UNIGRAM_SEP), c["piece"]))
+            .alias("path"),
+        )
+
+    def better(cand, b):
+        return (
+            b["bits"].isNull()
+            | (cand["bits"] < b["bits"])
+            | (
+                (cand["bits"] == b["bits"])
+                & (
+                    (cand["np"] < b["np"])
+                    | ((cand["np"] == b["np"]) & (cand["path"] < b["path"]))
+                )
+            )
+        )
+
+    nothing = F.struct(
+        F.lit(None).cast("bigint").alias("bits"),
+        F.lit(None).cast("int").alias("np"),
+        F.lit(None).cast("string").alias("path"),
+    )
+
+    def best_at(acc, pos):
+        return F.aggregate(
+            F.filter(cands, lambda c: c["j"] == pos),
+            nothing,
+            lambda b, c: F.when(better(extend(acc, c), b), extend(acc, c)).otherwise(b),
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), word_len),
+        init,
+        lambda acc, pos: F.concat(acc, F.array(best_at(acc, pos))),
+    )
+    return F.element_at(dp, (word_len + 1).cast("int"))
+
+
+def unigram_segment_words(
+    words: DataFrame, vocab: list[tuple[str, int]], max_piece_len: int = 4
+) -> DataFrame:
+    """Segment every word under a scored piece vocabulary:
+    `(word, cnt, bits, n_pieces, pieces)` where `pieces` is the
+    SEP-joined Viterbi path. `vocab` is a driver-held [(piece, qbits)]
+    list (vocab-cap-sized by construction — the same driver-table
+    contract as `bpe_encode`'s merge list); it joins the candidate
+    explosion as a broadcast frame, so the only distributed work is one
+    narrow candidate explode + broadcast join + per-word fold."""
+    spark = words.sparkSession
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    vdf = F.broadcast(
+        arrow_local_df(spark, vocab, "piece string, qbits bigint")
+    )
+    cands = (
+        words.select(
+            "word",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        .select(
+            "word",
+            "cnt",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("L"),
+        )
+        .where(F.col("i") + F.col("L") - 1 <= F.length("word"))
+        .select(
+            "word",
+            "cnt",
+            (F.col("i") - 1).cast("int").alias("i0"),
+            (F.col("i") + F.col("L") - 1).cast("int").alias("j"),
+            F.expr("substring(word, i, L)").alias("piece"),
+        )
+        .join(vdf, "piece")
+        .groupBy("word", "cnt")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("i0"), F.col("j"), F.col("qbits").alias("bits"), F.col("piece")
+                )
+            ).alias("cands")
+        )
+    )
+    best = _viterbi_best(F.col("cands"), F.length("word"))
+    return cands.select(
+        "word",
+        "cnt",
+        best["bits"].alias("bits"),
+        best["np"].alias("n_pieces"),
+        best["path"].alias("pieces"),
+    )
+
+
+def unigram_em_steps(
+    df: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+    normalize: bool = True,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+    min_count: int = 10,
+    vocab_cap: int = 48,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Train a unigram-LM tokenizer (Kudo 2018, hard-EM/Viterbi variant):
+    returns the final `(piece, cnt, qbits)` vocabulary after `rounds`
+    segment-count-rescore iterations. Scores are bitlen-quantized add-one
+    surprisal (integer-exact, the house LM convention), so every round —
+    and therefore the final vocabulary — is value-identical on any
+    engine; ties inside the Viterbi DP break by (bits, n_pieces, path),
+    a total order.
+
+    Round r: segment the VOCABULARY table (distinct words, cnt-weighted —
+    never the corpus) under vocab r-1 via one candidate explode +
+    broadcast join + per-word Catalyst fold; count pieces; re-score;
+    prune to all single chars + the top `vocab_cap` multi-char pieces
+    (cnt desc, piece asc). The piece table lives on the driver between
+    rounds (≤ alphabet + vocab_cap rows — the same driver-table contract
+    as the BPE merge table), so lineage stays flat and nothing is pinned.
+
+    Scale shape: the corpus is touched ONCE (word counts); every EM
+    round costs one shuffle over the vocabulary table. 100 TB of text
+    changes the word-count pass only."""
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    spark = df.sparkSession
+    w = (
+        words
+        if words is not None
+        else unigram_word_counts(df, text_col, normalize, max_word_len)
+    )
+    w = w.persist()
+    try:
+        seed = unigram_seed_vocab(w, max_piece_len, min_count)
+        cur = [(r["piece"], int(r["cnt"])) for r in seed.collect()]
+        chars = sorted(
+            {
+                r["piece"]
+                for r in w.selectExpr(
+                    "explode(transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))) AS piece"
+                )
+                .distinct()
+                .collect()
+            }
+        )
+        for _ in range(rounds):
+            total = sum(c for _, c in cur)
+            n = len(cur)
+            scored = [(p, _qbits_py(c, total, n)) for p, c in cur]
+            seg = unigram_segment_words(w, scored, max_piece_len)
+            counts = (
+                seg.select(
+                    "cnt",
+                    F.explode(F.split("pieces", UNIGRAM_SEP)).alias("piece"),
+                )
+                .groupBy("piece")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+            got = {r["piece"]: int(r["cnt"]) for r in counts.collect()}
+            multi = sorted(
+                ((p, c) for p, c in got.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )[:vocab_cap]
+            cur = [(ch, got.get(ch, 0)) for ch in chars] + multi
+    finally:
+        w.unpersist()
+    total = sum(c for _, c in cur)
+    n = len(cur)
+    rows = sorted(
+        (p, c, _qbits_py(c, total, n)) for p, c in cur
+    )
+    return arrow_local_df(spark, rows, "piece string, cnt bigint, qbits bigint")

@@ -10004,3 +10004,158 @@ def q_theta_intersect_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = spark.read.parquet(f"{root}/a")
     sb = spark.read.parquet(f"{root}/b")
     return kmv_set_estimates(sa, sb, [], k=256)
+
+
+def _unigram_oracle_sql(
+    rounds: int,
+    final: str,
+    maxlen: int = 16,
+    maxp: int = 4,
+    minc: int = 10,
+    cap: int = 48,
+) -> str:
+    """DuckDB replay of the unigram-LM hard-EM trainer
+    (corpus.py::unigram_em_steps): substring seed, bitlen-quantized
+    add-one scores, per-round Viterbi as an unrolled per-position DP
+    chain (argmin by (bits, np, path) — the operator's exact tie-break),
+    count-rescore-prune. `final='vocab'` emits the trained (piece, cnt,
+    qbits); `final='segments'` runs one more Viterbi under the final
+    scores and emits every word's segmentation."""
+    sep = "chr(31)"
+    parts = [f"""
+    w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT t[i] AS word FROM
+          (SELECT list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+           FROM documents) toks,
+          UNNEST(range(1, len(t)+1)) r(i)
+      ) WHERE length(word) <= {maxlen} GROUP BY 1
+    ),
+    chars AS MATERIALIZED (
+      SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+      FROM w0, UNNEST(range(1, length(word)+1)) r(i)
+    ),
+    seed AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+        SELECT substr(word, CAST(i AS INT), CAST(L AS INT)) AS piece, cnt
+        FROM w0,
+             UNNEST(range(1, length(word)+1)) s(i),
+             UNNEST(range(1, {maxp}+1)) l(L)
+        WHERE i + L - 1 <= length(word)
+      ) GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (SELECT piece, cnt FROM seed
+           WHERE length(piece) = 1 OR cnt >= {minc})"""]
+
+    n_chains = rounds + (1 if final == "segments" else 0)
+    for r in range(1, n_chains + 1):
+        parts.append(f"""
+    s{r} AS MATERIALIZED (
+      SELECT piece,
+             CAST(length(bin(t.total + t.n)) - length(bin(cnt + 1)) AS BIGINT)
+               AS bits
+      FROM v{r-1}, (SELECT SUM(cnt) AS total, COUNT(*) AS n FROM v{r-1}) t
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT word, cnt, CAST(i - 1 AS INT) AS i0, CAST(i + L - 1 AS INT) AS j,
+             s.bits, s.piece
+      FROM w0,
+           UNNEST(range(1, length(word)+1)) si(i),
+           UNNEST(range(1, {maxp}+1)) sl(L),
+           s{r} s
+      WHERE i + L - 1 <= length(word)
+        AND s.piece = substr(word, CAST(i AS INT), CAST(L AS INT))
+    ),
+    d{r}_0 AS MATERIALIZED (SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS bits,
+                      0 AS np, '' AS path FROM w0)""")
+        for p in range(1, maxlen + 1):
+            parts.append(f"""
+    d{r}_{p} AS MATERIALIZED (
+      SELECT * FROM d{r}_{p-1}
+      UNION ALL
+      SELECT word, cnt, pos, bits, np, path FROM (
+        SELECT c.word, c.cnt, c.j AS pos,
+               d.bits + c.bits AS bits, d.np + 1 AS np,
+               CASE WHEN d.np = 0 THEN c.piece
+                    ELSE d.path || {sep} || c.piece END AS path,
+               row_number() OVER (
+                 PARTITION BY c.word
+                 ORDER BY d.bits + c.bits, d.np + 1,
+                          CASE WHEN d.np = 0 THEN c.piece
+                               ELSE d.path || {sep} || c.piece END
+               ) AS rn
+        FROM d{r}_{p-1} d
+        JOIN c{r} c ON c.word = d.word AND c.i0 = d.pos AND c.j = {p}
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""
+    g{r} AS MATERIALIZED (SELECT word, cnt, bits, np, path FROM d{r}_{maxlen}
+             WHERE pos = length(word))""")
+        if r <= rounds:
+            parts.append(f"""
+    k{r} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM
+        (SELECT cnt, UNNEST(string_split(path, {sep})) AS piece FROM g{r})
+      GROUP BY 1
+    ),
+    m{r} AS MATERIALIZED (SELECT piece, cnt FROM
+               (SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) rn
+                FROM k{r} WHERE length(piece) > 1) WHERE rn <= {cap}),
+    v{r} AS MATERIALIZED (
+      SELECT ch.piece, COALESCE(k.cnt, CAST(0 AS BIGINT)) AS cnt
+      FROM chars ch LEFT JOIN k{r} k USING (piece)
+      UNION ALL
+      SELECT piece, cnt FROM m{r}
+    )""")
+
+    body = ",".join(parts)
+    if final == "vocab":
+        tail = f"""
+    SELECT piece, cnt,
+           CAST(length(bin(t.total + t.n)) - length(bin(cnt + 1)) AS BIGINT)
+             AS qbits
+    FROM v{rounds}, (SELECT SUM(cnt) AS total, COUNT(*) AS n FROM v{rounds}) t"""
+    else:
+        tail = f"""
+    SELECT word, cnt, bits, np AS n_pieces, path AS pieces
+    FROM g{n_chains}"""
+    return f"WITH {body}\n{tail}"
+
+
+@_q("unigram_vocab", _unigram_oracle_sql(2, "vocab"))
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep, part 2 (with bpe_merge_steps): train a unigram-LM
+    tokenizer (corpus.py::unigram_em_steps — Kudo 2018, hard-EM/Viterbi
+    variant) on the documents corpus and emit the final (piece, cnt,
+    qbits) vocabulary. Scores are bitlen-quantized add-one surprisal —
+    integer-exact — and the Viterbi tie-break is the total order
+    (bits, n_pieces, path), so the DuckDB replay (unrolled per-position
+    DP CTE chain) matches value-exactly. Scale: the corpus is scanned
+    once for word counts; every EM round runs over the vocabulary table
+    only, with the ≤(alphabet+cap)-row piece table broadcast."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return unigram_em_steps(docs, rounds=2)
+
+
+@_q("unigram_segment_words", _unigram_oracle_sql(2, "segments"))
+def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram vocabulary: Viterbi-segment every
+    corpus word (corpus.py::unigram_segment_words) — (word, cnt, bits,
+    n_pieces, pieces) with the path SEP-joined. One candidate explode +
+    broadcast vocab join + per-word Catalyst fold; no Python in the
+    loop. The DuckDB twin replays the same DP with the same tie-break."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+        unigram_segment_words,
+        unigram_word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    vocab = unigram_em_steps(docs, rounds=2)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    words = unigram_word_counts(docs)
+    return unigram_segment_words(words, scored)

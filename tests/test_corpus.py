@@ -423,3 +423,32 @@ def test_lm_state_merge_replay_exact(spark):
     }
     single = {(r.ctx, r.tok): r.cnt for r in s0.collect()}
     assert plain == {k: 2 * v for k, v in single.items()}
+
+
+def test_unigram_segmentation_roundtrip_and_coverage(spark):
+    """Every word's Viterbi pieces concatenate back to the word, single
+    chars guarantee full coverage (no null paths), and a piece that
+    dominates the corpus gets picked over char-by-char splits."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        UNIGRAM_SEP,
+        unigram_em_steps,
+        unigram_segment_words,
+        unigram_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [("zebra zebra zebra zebra zebra qx",), ("zebra zq zebra zebra",)],
+        "text string",
+    )
+    vocab = unigram_em_steps(docs, rounds=2, min_count=3, vocab_cap=8)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    words = unigram_word_counts(docs)
+    seg = unigram_segment_words(words, scored)
+    rows = seg.collect()
+    assert rows and all(r["pieces"] is not None for r in rows)
+    for r in rows:
+        assert "".join(r["pieces"].split(UNIGRAM_SEP)) == r["word"]
+    by_word = {r["word"]: r for r in rows}
+    # 'zebra' occurs 8x: some multi-char piece of it must survive EM and
+    # be used — its segmentation is shorter than char-by-char
+    assert by_word["zebra"]["n_pieces"] < 5

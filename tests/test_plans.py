@@ -743,3 +743,20 @@ def test_theta_sketch_exchange_budgets(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # every scan in the final plan is a state-table scan, not events
     assert "events.parquet" not in plan
+
+
+def test_unigram_exchange_budget_and_no_python(spark, sf_dir):
+    """Unigram trainer surface: the vocab table is a LocalTableScan
+    (driver-held, BPE-merge-table contract) and the segmentation query
+    is one word-count agg + candidate explode + broadcast vocab join +
+    per-word group — bounded exchanges, no Python exec, no cartesian."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    v = qc.QUERIES["unigram_vocab"](spark, sf_dir)
+    assert "LocalTableScan" in explain_str(v) or "Scan ExistingRDD" in explain_str(v)
+
+    s = qc.QUERIES["unigram_segment_words"](spark, sf_dir)
+    plan = explain_str(s)
+    assert count_exchanges(s) <= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -717,3 +717,91 @@ def test_bpe_merge_steps_match_bruteforce_property(spark, words, k):
         if w:
             flat.extend(vocab[w])
     assert list(enc.bpe_tokens) == flat
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=9),
+        min_size=3,
+        max_size=30,
+    ),
+    rounds=st.integers(min_value=1, max_value=2),
+)
+def test_unigram_em_matches_bruteforce_property(spark, words, rounds):
+    """corpus.py::unigram_em_steps vs a brute-force Python hard-EM
+    unigram trainer with the same conventions (substring seed with
+    always-kept single chars, bitlen-quantized add-one scores, Viterbi
+    with (bits, n_pieces, path) tie-break, top-cap pruning): the final
+    (piece, cnt, qbits) vocabulary must be identical on random corpora.
+    Validates the distributed EM against the definition, not against
+    itself."""
+    import collections
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+    )
+
+    SEP = "\x1f"
+    MAXP, MINC, CAP = 3, 2, 6
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    got = [
+        (r.piece, r.cnt, r.qbits)
+        for r in unigram_em_steps(
+            docs, rounds=rounds, max_piece_len=MAXP, min_count=MINC,
+            vocab_cap=CAP,
+        ).orderBy("piece").collect()
+    ]
+
+    wc = collections.Counter(w for w in text.split() if w)
+    seed: collections.Counter = collections.Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for L in range(1, MAXP + 1):
+                if i + L <= len(w):
+                    seed[w[i : i + L]] += c
+    cur = {p: c for p, c in seed.items() if len(p) == 1 or c >= MINC}
+    chars = sorted({ch for w in wc for ch in w})
+
+    def viterbi(w, scored):
+        dp = [(0, 0, "")] + [None] * len(w)
+        for pos in range(1, len(w) + 1):
+            best = None
+            for i in range(max(0, pos - MAXP), pos):
+                piece = w[i:pos]
+                if piece not in scored or dp[i] is None:
+                    continue
+                cand = (
+                    dp[i][0] + scored[piece],
+                    dp[i][1] + 1,
+                    (dp[i][2] + SEP + piece) if dp[i][1] else piece,
+                )
+                if best is None or cand < best:
+                    best = cand
+            dp[pos] = best
+        return dp[len(w)][2].split(SEP)
+
+    for _ in range(rounds):
+        total, n = sum(cur.values()), len(cur)
+        scored = {
+            p: (total + n).bit_length() - (c + 1).bit_length()
+            for p, c in cur.items()
+        }
+        cnts: collections.Counter = collections.Counter()
+        for w, c in wc.items():
+            for p in viterbi(w, scored):
+                cnts[p] += c
+        multi = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:CAP]
+        cur = {ch: cnts.get(ch, 0) for ch in chars}
+        cur.update(dict(multi))
+
+    total, n = sum(cur.values()), len(cur)
+    want = sorted(
+        (p, c, (total + n).bit_length() - (c + 1).bit_length())
+        for p, c in cur.items()
+    )
+    assert got == want

@@ -9877,9 +9877,7 @@ _THETA_UD_SQL = f"""
 """
 
 
-@_q(
-    "theta_distinct_userdays",
-    f"""
+_THETA_EST_SQL = f"""
     WITH ud AS ({_THETA_UD_SQL}),
     rk AS (
       SELECT event_type, gh,
@@ -9899,8 +9897,10 @@ _THETA_UD_SQL = f"""
                            / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_distinct,
            n < 256 AS is_exact
     FROM th
-    """,
-)
+"""
+
+
+@_q("theta_distinct_userdays", _THETA_EST_SQL)
 def q_theta_distinct_userdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta distinct sample (sketches.py::kmv_state/kmv_estimate —
     Beyer et al. 2007; the DataSketches theta family): per event type,
@@ -10159,3 +10159,84 @@ def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
     words = unigram_word_counts(docs)
     return unigram_segment_words(words, scored)
+
+
+@_q("streaming_theta_state", _THETA_EST_SQL)
+def q_streaming_theta_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV/theta maintenance with a VALUE-EXACT oracle
+    (streaming/file_stream.py::foreach_batch_kmv_sink): events arrive as
+    two micro-batches (even/odd event_id, order forced), each appends
+    its ≤ k-per-group hash slice, and the per-type distinct-user-day
+    estimates come off the merged state. KMV merge is distinct +
+    re-truncate — a set union — so the streamed state EXACTLY equals the
+    batch state (and, unlike the count sinks, stays exact under crash
+    replay: duplicate slices are absorbed by the distinct). The oracle
+    is the full batch-side theta estimate, bit-for-bit."""
+    import os
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_kmv_sink,
+        stream_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint")
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+        ).alias("ukey"),
+    )
+    root = _qtmp("sthe")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(keyed.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(keyed.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark,
+        src,
+        "event_id bigint, event_type string, ukey string",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_kmv_sink(
+                st.drop("event_id"), state, ck, "ukey", ["event_type"], k=256
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = kmv_merge(
+        [spark.read.parquet(state).select("event_type", "gh")],
+        ["event_type"],
+        k=256,
+    )
+    return kmv_estimate(merged, ["event_type"], k=256)

@@ -670,3 +670,42 @@ def foreach_batch_lm_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_kmv_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 256,
+):
+    """Streaming KMV/theta distinct-sample maintenance: each micro-batch
+    reduces to its ≤ k-rows-per-group `kmv_state` slice and appends it
+    (epoch-tagged) to the state parquet. Readers apply
+    `kmv_merge([read], group_cols, k)` — distinct + re-truncate — and
+    see the sketch of everything ingested so far, answering distinct /
+    intersection / difference questions without touching raw history.
+
+    Crash semantics — STRONGER than the count sinks (`sketch`/`lm`):
+    a replayed batch appends duplicate hash rows, and the merge's
+    distinct absorbs them, so the merged state is EXACTLY the
+    batch-computed state under any replay. No epoch dedup needed; the
+    epoch_id column is carried for lineage only. State growth is
+    ≤ groups·k rows per batch; compact by rewriting the merged state
+    whenever file count bothers you (bit-identical by the merge law)."""
+    from flight_data_ingestion_engine_spark.operators import sketches
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = sketches.kmv_state(batch_df, F.col(key_col), group_cols, k)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

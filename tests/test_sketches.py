@@ -806,3 +806,17 @@ def test_kmv_grouped_set_estimates_align_groups(spark):
     assert out["g1"]["est_intersect"] == 25 and out["g1"]["est_union"] == 75
     # g2: disjoint key spaces — intersection estimate must be (near) zero
     assert out["g2"]["est_intersect"] <= 1000 * 0.05
+
+
+def test_kmv_merge_absorbs_replayed_slices(spark):
+    """The streaming KMV sink's crash contract: a replayed (duplicate)
+    slice changes nothing — merge is distinct + truncate, so
+    merge([s1, s1, s2]) == merge([s1, s2]) exactly."""
+    _, kmv_state, kmv_merge, kmv_estimate, _ = _kmv_ops()
+    s1 = kmv_state(_keys_df(spark, range(0, 600)), F.col("k"), ["g"], k=64)
+    s2 = kmv_state(_keys_df(spark, range(300, 900)), F.col("k"), ["g"], k=64)
+    once = kmv_merge([s1, s2], ["g"], k=64)
+    replayed = kmv_merge([s1, s1, s2], ["g"], k=64)
+    assert sorted(r["gh"] for r in once.collect()) == sorted(
+        r["gh"] for r in replayed.collect()
+    )

@@ -712,6 +712,47 @@ def main() -> None:
         steps = bpe_merge_steps(docs, k=3, words=wc_big)
         assert steps.count() == 3
 
+    # -- KMV/theta sketch (r8): the state build must keep the same plan
+    # -- shape at any volume (one distinct shuffle + per-group top-k),
+    # -- and the estimate must track the KNOWN true distinct count.
+    with stage(f"theta_kmv_{n_events}_events"):
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            kmv_estimate,
+            kmv_state,
+        )
+
+        ev_small = ev.where(F.col("id") < 50_000)
+        st_big = kmv_state(ev, F.col("user_id"), ["event_type"], k=256)
+        st_small = kmv_state(ev_small, F.col("user_id"), ["event_type"], k=256)
+        assert _exchanges(st_big) <= _exchanges(st_small), (
+            _exchanges(st_big), _exchanges(st_small),
+        )
+        est = {
+            r["event_type"]: r["est_distinct"]
+            for r in kmv_estimate(st_big, ["event_type"], k=256).collect()
+        }
+        # true distinct user_ids per type ~= 50k pool, mostly saturated;
+        # KMV with k=256 has ~6.3% sigma — require within 30%
+        for t, e in est.items():
+            assert 0.7 * 35_000 < e < 1.3 * 50_000, (t, e)
+
+    # -- Unigram-LM tokenizer (r8): like BPE, the EM loop state is the
+    # -- vocabulary table — identical at both volumes for the same
+    # -- synthetic vocab; corpus volume only reweights word counts.
+    with stage(f"unigram_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            unigram_em_steps,
+            unigram_word_counts,
+        )
+
+        uw_big = unigram_word_counts(docs)
+        uw_small = unigram_word_counts(docs_small)
+        assert _exchanges(uw_big) <= _exchanges(uw_small)
+        assert uw_big.count() == uw_small.count()
+        vb = unigram_em_steps(docs, rounds=1, min_count=50, vocab_cap=16,
+                              words=uw_big)
+        assert vb.count() > 0
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -1520,3 +1520,52 @@ def unigram_em_steps(
         (p, c, _qbits_py(c, total, n)) for p, c in cur
     )
     return arrow_local_df(spark, rows, "piece string, cnt bigint, qbits bigint")
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Apply a trained unigram vocabulary to documents: per doc,
+    `(id_col, n_words, n_pieces, total_bits)` — the doc's token count
+    under the tokenizer and its quantized encoding cost (the unigram-LM
+    analog of `token_surprisal_docs`). Words longer than `max_word_len`
+    (outside the trainer's cap) pass through as one opaque piece at zero
+    bits.
+
+    Shape: distinct words segment ONCE (vocabulary-sized Viterbi, see
+    `unigram_segment_words`); docs explode to words and join the
+    word→segmentation map — at corpus scale that map is far smaller than
+    the token stream, so this is the classic aggregate-the-dictionary,
+    join-back-to-facts plan. No Python in the loop."""
+    spark = df.sparkSession
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+    words = (
+        df.select(F.explode(toks).alias("word"))
+        .where((F.col("word") != "") & (F.length("word") <= max_word_len))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    seg = unigram_segment_words(words, vocab, max_piece_len).select(
+        "word", "n_pieces", "bits"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(toks).alias("word")
+    ).where(F.col("word") != "")
+    joined = exploded.join(seg, "word", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.coalesce(F.col("n_pieces"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_pieces"),
+        F.sum(F.coalesce(F.col("bits"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_bits"),
+    )

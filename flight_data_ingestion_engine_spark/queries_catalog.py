@@ -10047,7 +10047,7 @@ def _unigram_oracle_sql(
     v0 AS MATERIALIZED (SELECT piece, cnt FROM seed
            WHERE length(piece) = 1 OR cnt >= {minc})"""]
 
-    n_chains = rounds + (1 if final == "segments" else 0)
+    n_chains = rounds + (1 if final in ("segments", "encode") else 0)
     for r in range(1, n_chains + 1):
         parts.append(f"""
     s{r} AS MATERIALIZED (
@@ -10115,10 +10115,25 @@ def _unigram_oracle_sql(
            CAST(length(bin(t.total + t.n)) - length(bin(cnt + 1)) AS BIGINT)
              AS qbits
     FROM v{rounds}, (SELECT SUM(cnt) AS total, COUNT(*) AS n FROM v{rounds}) t"""
-    else:
+    elif final == "segments":
         tail = f"""
     SELECT word, cnt, bits, np AS n_pieces, path AS pieces
     FROM g{n_chains}"""
+    else:  # encode: join every doc's token stream to the word segmentation
+        tail = f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(s.np, 1)) AS BIGINT) AS n_pieces,
+           CAST(SUM(COALESCE(s.bits, 0)) AS BIGINT) AS total_bits
+    FROM (
+      SELECT doc_id, t[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+            FROM documents) dt,
+           UNNEST(range(1, len(t)+1)) r(i)
+    ) dtoks
+    LEFT JOIN (SELECT word, bits, np FROM g{n_chains}) s USING (word)
+    GROUP BY doc_id"""
     return f"WITH {body}\n{tail}"
 
 
@@ -10240,3 +10255,22 @@ def q_streaming_theta_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=256,
     )
     return kmv_estimate(merged, ["event_type"], k=256)
+
+
+@_q("unigram_encode_docs", _unigram_oracle_sql(2, "encode"))
+def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply path (corpus.py::unigram_encode): every document's
+    token count and quantized encoding cost under the trained unigram
+    vocabulary — the dictionary segments once (vocabulary-sized Viterbi),
+    then docs join the word→segmentation map; the classic
+    aggregate-the-dictionary / join-back-to-facts plan. Over-cap words
+    pass through as one zero-bit piece on both engines."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_em_steps(docs, rounds=2)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    return unigram_encode(docs, scored)

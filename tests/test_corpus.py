@@ -452,3 +452,27 @@ def test_unigram_segmentation_roundtrip_and_coverage(spark):
     # 'zebra' occurs 8x: some multi-char piece of it must survive EM and
     # be used — its segmentation is shorter than char-by-char
     assert by_word["zebra"]["n_pieces"] < 5
+
+
+def test_unigram_encode_overcap_words_pass_through(spark):
+    """A word longer than max_word_len is outside the trainer's cap: it
+    encodes as ONE zero-bit opaque piece, while in-cap words get their
+    Viterbi piece counts; n_words counts every token either way."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+        unigram_encode,
+    )
+
+    long_word = "q" * 20
+    docs = spark.createDataFrame(
+        [(1, f"zebra zebra {long_word}"), (2, long_word)],
+        "doc_id bigint, text string",
+    )
+    vocab = unigram_em_steps(docs, rounds=1, min_count=2, vocab_cap=4)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    out = {r["doc_id"]: r for r in unigram_encode(docs, scored).collect()}
+    assert out[2]["n_words"] == 1 and out[2]["n_pieces"] == 1
+    assert out[2]["total_bits"] == 0
+    assert out[1]["n_words"] == 3
+    # the two zebras segment under the vocab; the long word adds exactly 1
+    assert out[1]["n_pieces"] >= 3

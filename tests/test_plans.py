@@ -760,3 +760,10 @@ def test_unigram_exchange_budget_and_no_python(spark, sf_dir):
     assert count_exchanges(s) <= 3
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+    e = qc.QUERIES["unigram_encode_docs"](spark, sf_dir)
+    eplan = explain_str(e)
+    # dictionary-segment once + token join-back + doc agg
+    assert count_exchanges(e) <= 6
+    assert "CartesianProduct" not in eplan
+    assert "BatchEvalPython" not in eplan

@@ -1081,7 +1081,12 @@ def kmv_hash(key: Column) -> Column:
 
 
 def kmv_state(
-    df: DataFrame, key: Column, group_cols: list[str], k: int = 256
+    df: DataFrame,
+    key: Column,
+    group_cols: list[str],
+    k: int = 256,
+    prefilter: bool = False,
+    prefilter_safety: float = 8.0,
 ) -> DataFrame:
     """Mergeable KMV/theta distinct-sample STATE: per group, the `k`
     smallest distinct 60-bit hashes of `key` — `(group_cols..., gh
@@ -1099,25 +1104,78 @@ def kmv_state(
     Scale shape: one distinct shuffle on (group, gh) with map-side
     partial dedup, then a per-group sorted top-k (second shuffle on
     group whose input is the distinct keys). At extreme per-group
-    cardinalities, pre-prune with a conservative hash threshold derived
-    from `approx_count_distinct` (keep gh < safety·k·2^60/est): the
-    final top-k is unchanged whenever ≥ k hashes survive, and the sort
-    input drops from D to O(k) rows per group. Merging per-slice states
-    (`kmv_merge`) is the append-only path — a new day's slice never
-    rescans history.
+    cardinalities pass `prefilter=True`: a conservative per-group hash
+    threshold `safety·k·2^60 / approx_count_distinct` prunes the
+    distinct/top-k input from D to O(safety·k) rows BEFORE the shuffle.
+    The final state is unchanged whenever ≥ k hashes survive the cut —
+    guaranteed unless the HLL estimate overshoots truth by > ~safety/2
+    (k=256 order statistics fluctuate ±25% at 4σ; default safety 8) —
+    and the one-in-never failure is LOUD, not silent: a group that
+    retained < k rows under a cutting threshold raises
+    KMV_PREFILTER_UNDERFLOW instead of emitting a biased state. Merging
+    per-slice states (`kmv_merge`) is the append-only path — a new
+    day's slice never rescans history.
     """
     assert 2 <= k <= 1 << 16
     gcols = [F.col(c) for c in group_cols]
-    hashed = (
-        df.where(key.isNotNull())
-        .select(*gcols, kmv_hash(key).alias("gh"))
-        .distinct()
-    )
+    raw = df.where(key.isNotNull()).select(*gcols, kmv_hash(key).alias("gh"))
     win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+
+    def _topk(h: DataFrame) -> DataFrame:
+        return (
+            h.distinct()
+            .withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    if not prefilter:
+        return _topk(raw)
+
+    assert prefilter_safety > 0
+    thr = F.least(
+        F.lit(KMV_SPACE),
+        F.ceil(
+            F.lit(float(prefilter_safety) * k)
+            * F.lit(float(KMV_SPACE))
+            / F.col("_est").cast("double")
+        ).cast("bigint"),
+    )
+    est_f = raw.groupBy(*gcols).agg(
+        F.approx_count_distinct("gh").alias("_est")
+    ).select(*gcols, thr.alias("_thr"))
+    joined = (
+        raw.join(F.broadcast(est_f), group_cols)
+        if group_cols
+        else raw.crossJoin(F.broadcast(est_f))
+    )
+    topk = _topk(joined.where(F.col("gh") < F.col("_thr")).select(*gcols, "gh"))
+    got = topk.groupBy(*gcols).agg(F.count(F.lit(1)).alias("_got"))
+    checked = (
+        est_f.join(got, group_cols, "left")
+        if group_cols
+        else est_f.crossJoin(got)
+    )
+    # the guard must BE part of the kept value (see NOTES_r7: a detached
+    # assert_true constant-folds away): rows only pass the filter after
+    # the when-branch evaluates, so materializing the state evaluates it
+    ok = F.when(
+        (F.coalesce(F.col("_got"), F.lit(0)) < k)
+        & (F.col("_thr") < F.lit(KMV_SPACE)),
+        F.raise_error(
+            F.lit(
+                "KMV_PREFILTER_UNDERFLOW: a group retained fewer than k "
+                "hashes under a cutting threshold — the cardinality "
+                "estimate overshot; rebuild with prefilter=False or a "
+                "larger prefilter_safety"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    gate = checked.select(*gcols, ok.alias("_ok")).where(F.col("_ok")).drop("_ok")
     return (
-        hashed.withColumn("_rn", F.row_number().over(win))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+        topk.join(F.broadcast(gate), group_cols)
+        if group_cols
+        else topk.crossJoin(F.broadcast(gate))
     )
 
 

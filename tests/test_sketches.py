@@ -820,3 +820,38 @@ def test_kmv_merge_absorbs_replayed_slices(spark):
     assert sorted(r["gh"] for r in once.collect()) == sorted(
         r["gh"] for r in replayed.collect()
     )
+
+
+def test_kmv_prefilter_identical_state_and_loud_underflow(spark):
+    """prefilter=True prunes the distinct/top-k input with the
+    approx-count threshold yet yields the BIT-IDENTICAL state (the cut
+    provably keeps the true k smallest at sane safety); a pathological
+    safety factor fails LOUDLY (KMV_PREFILTER_UNDERFLOW), never a
+    silently biased sample."""
+    import pytest
+
+    _, kmv_state, _, _, _ = _kmv_ops()
+    big = _keys_df(spark, range(30_000))
+    plain = sorted(
+        r["gh"] for r in kmv_state(big, F.col("k"), ["g"], k=64).collect()
+    )
+    pre = sorted(
+        r["gh"]
+        for r in kmv_state(
+            big, F.col("k"), ["g"], k=64, prefilter=True
+        ).collect()
+    )
+    assert pre == plain
+
+    with pytest.raises(Exception, match="KMV_PREFILTER_UNDERFLOW"):
+        kmv_state(
+            big, F.col("k"), ["g"], k=64, prefilter=True,
+            prefilter_safety=0.001,
+        ).collect()
+
+    # global (ungrouped) path takes the crossJoin branches
+    g = sorted(
+        r["gh"]
+        for r in kmv_state(big, F.col("k"), [], k=64, prefilter=True).collect()
+    )
+    assert g == plain

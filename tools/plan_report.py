@@ -63,6 +63,12 @@ SELECTED = [
     ("stats_join_broadcast", "sketch-decided broadcast: dimension hash-joined, no fact shuffle"),
     ("stats_join_bloom", "sketch-decided bloom prescreen: broadcast bitmap probes ahead of the join"),
     ("bigram_lm_score", "pair-keyed count state + two state-keyed joins; no reference-text rescan"),
+    ("dsir_weights", "two <=8192-row broadcast domain states; one explode + id-keyed agg"),
+    ("bpe_merge_steps", "pair-count shuffles over the vocabulary table, never the corpus"),
+    ("theta_distinct_userdays", "one distinct shuffle + per-group top-k; estimates off <=k-row state"),
+    ("theta_intersect_userdays", "set algebra over parquet state tables only — no fact rescan"),
+    ("unigram_vocab", "EM over the vocabulary table; driver-held piece table between rounds"),
+    ("unigram_encode_docs", "dictionary segments once; docs join the word->pieces map back"),
 ]
 
 INTERESTING = re.compile(

@@ -1326,3 +1326,82 @@ def kmv_set_estimates(
             F.lit(0).cast("bigint"), (est_a - est_i).cast("bigint")
         ).alias("est_diff_a"),
     )
+
+
+def kmv_pair_estimates(
+    state: DataFrame,
+    pair_col: str,
+    offset: int,
+    k: int = 256,
+) -> DataFrame:
+    """Temporal set-overlap profile from ONE KMV state table keyed by a
+    numeric period column (`pair_col`, e.g. day): for every period d
+    that has a partner at d+offset, the estimated distinct counts of
+    both periods, their intersection, and the retention rate —
+    `(pair_col, est_a, est_b, est_retained, ret_ppm)`. This is
+    state-only RETENTION ("how many of day-d's actives return on
+    day d+offset") — the question per-period HLL states cannot answer,
+    and raw-fact retention joins re-shuffle the whole history for.
+
+    Union counts use the set identity |A∪B<θ| = |A<θ|+|B<θ|−|A∩B<θ|
+    (samples are sets), so the whole profile is two broadcast-joined
+    aggregations over ≤ k-rows-per-period state. ret_ppm =
+    floor(c_int·10^6 / c_a) in exact-double arithmetic (numerators
+    ≤ 2^38 — exactly representable; one IEEE division + floor), NULL
+    when day d has no sampled hashes below θ. Pass a MATERIALIZED state
+    (the family contract)."""
+    d = F.col(pair_col)
+    ta = _kmv_theta(state, [pair_col], k, "_a")
+    tb = _kmv_theta(
+        state.withColumn(pair_col, d - offset), [pair_col], k, "_b"
+    )
+    thetas = ta.join(tb, pair_col).withColumn(
+        "theta", F.least(F.col("theta_a"), F.col("theta_b"))
+    )
+    a = state.select(d.alias(pair_col), "gh")
+    b = state.select((d - offset).alias(pair_col), "gh")
+    tsel = F.broadcast(thetas.select(pair_col, "theta"))
+
+    def _below_cnt(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(tsel, pair_col)
+            .where(F.col("gh") < F.col("theta"))
+            .groupBy(pair_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    ca = _below_cnt(a, "c_a")
+    cb = _below_cnt(b, "c_b")
+    ci = _below_cnt(a.join(b, [pair_col, "gh"]), "c_int")
+    out = (
+        thetas.join(ca, pair_col, "left")
+        .join(cb, pair_col, "left")
+        .join(ci, pair_col, "left")
+        .na.fill({"c_a": 0, "c_b": 0, "c_int": 0})
+    )
+
+    def _est(n: str, theta: str) -> Column:
+        return F.when(F.col(n) < k, F.col(n)).otherwise(
+            _kmv_scale(F.lit(k - 1).cast("bigint"), F.col(theta))
+        )
+
+    def _scaled(c: Column) -> Column:
+        return F.when(F.col("theta") >= KMV_SPACE, c).otherwise(
+            _kmv_scale(c, F.col("theta"))
+        )
+
+    ret = F.when(
+        F.col("c_a") > 0,
+        F.floor(
+            F.col("c_int").cast("double")
+            * F.lit(1_000_000.0)
+            / F.col("c_a").cast("double")
+        ).cast("bigint"),
+    )
+    return out.select(
+        F.col(pair_col),
+        _est("n_a", "theta_a").cast("bigint").alias("est_a"),
+        _est("n_b", "theta_b").cast("bigint").alias("est_b"),
+        _scaled(F.col("c_int")).cast("bigint").alias("est_retained"),
+        ret.alias("ret_ppm"),
+    )

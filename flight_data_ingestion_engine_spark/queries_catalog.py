@@ -10274,3 +10274,74 @@ def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigram_em_steps(docs, rounds=2)
     scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
     return unigram_encode(docs, scored)
+
+
+@_q(
+    "theta_retention_daily",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) AS BIGINT) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS gh
+      FROM events
+    ),
+    rk AS (SELECT day, gh,
+                  row_number() OVER (PARTITION BY day ORDER BY gh) AS rn
+           FROM ud),
+    st AS (SELECT day, gh FROM rk WHERE rn <= 256),
+    pa AS (SELECT day, COUNT(*) AS n_a,
+                  CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                       ELSE {_KMV_SPACE_SQL} END AS theta_a
+           FROM st GROUP BY 1),
+    tb AS (SELECT day - 7 AS day, n_a AS n_b, theta_a AS theta_b FROM pa),
+    th AS (SELECT pa.day, n_a, theta_a, n_b, theta_b,
+                  LEAST(theta_a, theta_b) AS theta
+           FROM pa JOIN tb USING (day)),
+    ca AS (SELECT st.day, COUNT(*) AS c_a
+           FROM st JOIN th ON st.day = th.day AND st.gh < th.theta
+           GROUP BY 1),
+    cb AS (SELECT th.day, COUNT(*) AS c_b
+           FROM st JOIN th ON st.day = th.day + 7 AND st.gh < th.theta
+           GROUP BY 1),
+    ci AS (SELECT th.day, COUNT(*) AS c_int
+           FROM st s1 JOIN st s2 ON s1.gh = s2.gh AND s2.day = s1.day + 7
+           JOIN th ON th.day = s1.day AND s1.gh < th.theta
+           GROUP BY 1)
+    SELECT th.day,
+      CAST(CASE WHEN n_a < 256 THEN n_a
+           ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta_a AS DOUBLE)) END AS BIGINT) AS est_a,
+      CAST(CASE WHEN n_b < 256 THEN n_b
+           ELSE FLOOR(CAST(255 AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta_b AS DOUBLE)) END AS BIGINT) AS est_b,
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN COALESCE(c_int, 0)
+           ELSE FLOOR(CAST(COALESCE(c_int, 0) AS DOUBLE)
+                      * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_retained,
+      CASE WHEN COALESCE(c_a, 0) > 0 THEN
+        CAST(FLOOR(CAST(COALESCE(c_int, 0) AS DOUBLE) * 1000000.0
+                   / CAST(c_a AS DOUBLE)) AS BIGINT) END AS ret_ppm
+    FROM th
+    LEFT JOIN ca USING (day) LEFT JOIN cb USING (day) LEFT JOIN ci USING (day)
+    """,
+)
+def q_theta_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-only 7-day retention (sketches.py::kmv_pair_estimates): per
+    day, how many of that day's distinct active users return 7 days
+    later — answered ENTIRELY from the per-day KMV state table (built
+    once, materialized, the family contract). Per-period HLL states
+    cannot answer this (union-only); raw-fact retention self-joins
+    re-shuffle history. Exact-double estimate arithmetic; value-exact vs
+    the DuckDB replay."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day")
+    root = _qtmp("theta_ret")
+    kmv_state(
+        ev.select(day, "user_id"), F.col("user_id"), ["day"], k=256
+    ).write.mode("overwrite").parquet(f"{root}/st")
+    st = spark.read.parquet(f"{root}/st")
+    return kmv_pair_estimates(st, "day", 7, k=256)

@@ -744,6 +744,11 @@ def test_theta_sketch_exchange_budgets(spark, sf_dir):
     # every scan in the final plan is a state-table scan, not events
     assert "events.parquet" not in plan
 
+    rt = qc.QUERIES["theta_retention_daily"](spark, sf_dir)
+    rplan = explain_str(rt)
+    assert "CartesianProduct" not in rplan
+    assert "events.parquet" not in rplan  # retention from state only
+
 
 def test_unigram_exchange_budget_and_no_python(spark, sf_dir):
     """Unigram trainer surface: the vocab table is a LocalTableScan

@@ -855,3 +855,27 @@ def test_kmv_prefilter_identical_state_and_loud_underflow(spark):
         for r in kmv_state(big, F.col("k"), [], k=64, prefilter=True).collect()
     )
     assert g == plain
+
+
+def test_kmv_pair_estimates_exact_mode_retention(spark):
+    """Per-period states below k are exact: retention comes out as exact
+    set counts. Day 10 has users 0..99, day 17 has 50..149 (50 retained),
+    day 11 has 0..9 with day 18 absent (no pair row)."""
+    _, kmv_state, _, _, _ = _kmv_ops()
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_pair_estimates,
+    )
+
+    rows = (
+        [(10, f"u{i}") for i in range(100)]
+        + [(17, f"u{i}") for i in range(50, 150)]
+        + [(11, f"u{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "day bigint, k string")
+    st = kmv_state(df, F.col("k"), ["day"], k=256)
+    out = {r["day"]: r for r in kmv_pair_estimates(st, "day", 7, k=256).collect()}
+    assert set(out) == {10}
+    r = out[10]
+    assert r["est_a"] == 100 and r["est_b"] == 100
+    assert r["est_retained"] == 50
+    assert r["ret_ppm"] == 500_000

@@ -1405,3 +1405,53 @@ def kmv_pair_estimates(
         _scaled(F.col("c_int")).cast("bigint").alias("est_retained"),
         ret.alias("ret_ppm"),
     )
+
+
+def star_join_order(
+    fact_states: list[DataFrame], dim_states: list[DataFrame], depth: int = 3
+) -> tuple[list[int], list[int]]:
+    """Order the dimension joins of a star/chain by their
+    Cormode–Muthukrishnan join-size UPPER bounds, from sketches alone:
+    given per-key CMS states of the fact side and of each (filtered)
+    dimension, returns `(order, ests)` — dimension indices ascending by
+    estimated intermediate size, i.e. join the most selective dimension
+    FIRST so every later join sees the smallest surviving fact.
+
+    Inner equi-joins commute, so any order is value-identical; the
+    bounds only pick the cheap one. This is the stats Catalyst's CBO
+    doesn't have at 100 TB (no ANALYZE pass): the whole decision is ONE
+    driver action over metadata-sized sketches — every per-pair inner
+    product rides a single crossJoin of 1-row aggregates."""
+    assert len(fact_states) == len(dim_states) >= 1
+    row = None
+    for i, (fs, ds) in enumerate(zip(fact_states, dim_states)):
+        e = cms_join_size(fs, ds, depth=depth).select(
+            F.col("est").alias(f"est_{i}")
+        )
+        row = e if row is None else row.crossJoin(e)
+    got = row.collect()[0]
+    ests = [int(got[f"est_{i}"]) for i in range(len(dim_states))]
+    order = sorted(range(len(ests)), key=lambda i: (ests[i], i))
+    return order, ests
+
+
+def star_join_with_stats(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, str]],
+    fact_states: list[DataFrame],
+    dim_states: list[DataFrame],
+    depth: int = 3,
+) -> tuple[DataFrame, list[int]]:
+    """Execute a star/chain of inner equi-joins in the sketch-chosen
+    order (`star_join_order`): `dims` is [(dim_df, fact_key, dim_key)].
+    The dim-side key column is dropped after each join (equal by the
+    join predicate). Returns (joined frame, chosen order). The companion
+    to `join_with_stats` one level up: that one picks each join's
+    PHYSICAL strategy, this one picks the ORDER the logical joins run
+    in — both from the same persisted sketch states, no fact scan."""
+    order, _ = star_join_order(fact_states, dim_states, depth=depth)
+    out = fact
+    for i in order:
+        dim, fk, dk = dims[i]
+        out = out.join(dim, out[fk] == dim[dk], "inner").drop(dim[dk])
+    return out, order

@@ -10345,3 +10345,62 @@ def q_theta_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(f"{root}/st")
     st = spark.read.parquet(f"{root}/st")
     return kmv_pair_estimates(st, "day", 7, k=256)
+
+
+@_q(
+    "stats_join_ordered",
+    """
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+    JOIN part   ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+    GROUP BY 1
+    """,
+)
+def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven multi-way join ORDERING
+    (sketches.py::star_join_with_stats): lineitem joins two filtered
+    dimensions — urgent orders (~20% of facts survive) and Brand#4
+    parts (~5%) — and the CM join-size upper bounds pick the most
+    selective dimension FIRST, from metadata-sized sketches in ONE
+    driver action, so every later join sees the smallest surviving
+    fact. Inner equi-joins commute, so the result (and the oracle) is
+    order-independent; the sketches only choose the cheap plan — the
+    stats CBO doesn't have at 100 TB without an ANALYZE pass. The
+    ordering decision itself is pinned by tests/test_plans.py."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        star_join_with_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey", "p_type")
+    )
+    w, d = 1 << 14, 3
+    joined, _ = star_join_with_stats(
+        li,
+        [(od, "l_orderkey", "o_orderkey"), (pt, "l_partkey", "p_partkey")],
+        [cms_state(li, "l_orderkey", width=w, depth=d),
+         cms_state(li, "l_partkey", width=w, depth=d)],
+        [cms_state(od, "o_orderkey", width=w, depth=d),
+         cms_state(pt, "p_partkey", width=w, depth=d)],
+        depth=d,
+    )
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -772,3 +772,59 @@ def test_unigram_exchange_budget_and_no_python(spark, sf_dir):
     assert count_exchanges(e) <= 6
     assert "CartesianProduct" not in eplan
     assert "BatchEvalPython" not in eplan
+
+
+def test_star_join_order_picks_selective_dim_first(spark):
+    """star_join_order reads the CM join-size bounds and joins the
+    provably smaller intermediate first; flipping which dimension is
+    selective flips the order; rows identical to the plain join either
+    way."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        star_join_order,
+        star_join_with_stats,
+    )
+
+    w, d = 1 << 13, 3
+    fact = spark.range(20_000).select(
+        (F.col("id") % 1000).alias("ka"),
+        (F.col("id") % 400).alias("kb"),
+        F.col("id").alias("payload"),
+    )
+    # dim A keeps 50% of ka space, dim B keeps 5% of kb space
+    dim_a = spark.range(500).select(F.col("id").alias("da"), F.lit("A").alias("ta"))
+    dim_b = spark.range(20).select(F.col("id").alias("db"), F.lit("B").alias("tb"))
+    fs = [cms_state(fact, "ka", width=w, depth=d),
+          cms_state(fact, "kb", width=w, depth=d)]
+    ds = [cms_state(dim_a, "da", width=w, depth=d),
+          cms_state(dim_b, "db", width=w, depth=d)]
+    order, ests = star_join_order(fs, ds, depth=d)
+    assert order == [1, 0] and ests[1] < ests[0]
+
+    # flipped selectivity -> flipped order
+    big_b = spark.range(380).select(F.col("id").alias("db"), F.lit("B").alias("tb"))
+    small_a = spark.range(30).select(F.col("id").alias("da"), F.lit("A").alias("ta"))
+    order2, _ = star_join_order(
+        fs,
+        [cms_state(small_a, "da", width=w, depth=d),
+         cms_state(big_b, "db", width=w, depth=d)],
+        depth=d,
+    )
+    assert order2 == [0, 1]
+
+    joined, chosen = star_join_with_stats(
+        fact, [(dim_a, "ka", "da"), (dim_b, "kb", "db")], fs, ds, depth=d
+    )
+    assert chosen == [1, 0]
+    want = sorted(
+        (r.ka, r.kb, r.payload, r.ta, r.tb)
+        for r in fact.join(dim_a, fact.ka == dim_a.da)
+        .join(dim_b, fact.kb == dim_b.db)
+        .select("ka", "kb", "payload", "ta", "tb")
+        .collect()
+    )
+    got = sorted(
+        (r.ka, r.kb, r.payload, r.ta, r.tb)
+        for r in joined.select("ka", "kb", "payload", "ta", "tb").collect()
+    )
+    assert got == want

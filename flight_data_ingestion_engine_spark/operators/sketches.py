@@ -1281,7 +1281,6 @@ def kmv_set_estimates(
     a = state_a.select(*gcols, F.col("gh"))
     b = state_b.select(*gcols, F.col("gh"))
     both = a.join(b, on=(group_cols + ["gh"]) if group_cols else ["gh"], how="inner")
-    either = a.unionByName(b).distinct()
     ion = group_cols if group_cols else None
 
     def _below(df: DataFrame, name: str) -> DataFrame:
@@ -1297,11 +1296,17 @@ def kmv_set_estimates(
             )
         return agg.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
+    # |A∪B < θ| = |A<θ| + |B<θ| − |A∩B<θ| (samples are SETS), so the
+    # union count needs no distinct-union job — three filtered counts
     ic = _below(both, "c_int")
-    uc = _below(either, "c_uni")
+    ac = _below(a, "c_a")
+    bc = _below(b, "c_b")
     out = thetas.join(ic, on=ion, how="left") if ion else thetas.crossJoin(ic)
-    out = out.join(uc, on=ion, how="left") if ion else out.crossJoin(uc)
-    out = out.na.fill({"c_int": 0, "c_uni": 0})
+    out = out.join(ac, on=ion, how="left") if ion else out.crossJoin(ac)
+    out = out.join(bc, on=ion, how="left") if ion else out.crossJoin(bc)
+    out = out.na.fill({"c_int": 0, "c_a": 0, "c_b": 0}).withColumn(
+        "c_uni", (F.col("c_a") + F.col("c_b") - F.col("c_int")).cast("bigint")
+    )
 
     # a full sample's own estimate uses (k-1)/theta_k, not k/theta_k
     est_a = F.when(F.col("n_a") < k, F.col("n_a")).otherwise(

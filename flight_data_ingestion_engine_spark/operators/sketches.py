@@ -1460,3 +1460,111 @@ def star_join_with_stats(
         dim, fk, dk = dims[i]
         out = out.join(dim, out[fk] == dim[dk], "inner").drop(dim[dk])
     return out, order
+
+
+def kmv_weighted_state(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Weighted ("tuple sketch") KMV state: per group, the k smallest
+    distinct key hashes EACH CARRYING the key's total weight —
+    `(group_cols..., gh bigint, w bigint)`. The sample answers weighted
+    set questions the plain state cannot: "how much MASS (events,
+    tokens, bytes) sits on keys shared with that other set"
+    (`kmv_shared_mass`). One (group, gh)-keyed sum shuffle + the
+    per-group top-k; same purity/exactness contract as `kmv_state`."""
+    assert 2 <= k <= 1 << 16
+    gcols = [F.col(c) for c in group_cols]
+    agg = (
+        df.where(key.isNotNull())
+        .select(*gcols, kmv_hash(key).alias("gh"), weight.alias("_w"))
+        .groupBy(*gcols, F.col("gh"))
+        .agg(F.sum("_w").cast("bigint").alias("w"))
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+    return (
+        agg.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_weighted_merge(
+    states: list[DataFrame], group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge weighted KMV slices: weights SUM per (group, gh) — correct
+    when the slices partition the underlying facts (the append-only
+    slice contract; a replayed slice double-counts weight, unlike the
+    unweighted state) — then re-truncate to the k smallest."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    gcols = [F.col(c) for c in group_cols]
+    summed = merged.groupBy(*gcols, F.col("gh")).agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+    return (
+        summed.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_shared_mass(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Weighted set intersection from two weighted KMV states: per
+    group, `(est_shared_keys, est_mass_a, est_mass_b)` — the estimated
+    number of shared keys and the estimated TOTAL WEIGHT each side
+    carries on them ("click-event mass on user-days that also
+    purchased"). Shared sampled keys below theta = min(theta_a,
+    theta_b) are a uniform sample of the true shared keys, so their
+    summed weights scale by 2^60/theta like the counts do. Exact-mode
+    (both samples unfilled) degrades to exact shared mass. Pass
+    MATERIALIZED states (the family contract)."""
+    ga = _kmv_theta(state_a, group_cols, k, "_a")
+    gb = _kmv_theta(state_b, group_cols, k, "_b")
+    on = group_cols if group_cols else None
+    gcols = [F.col(c) for c in group_cols]
+    thetas = (ga.join(gb, on=on) if on else ga.crossJoin(gb)).withColumn(
+        "theta", F.least(F.col("theta_a"), F.col("theta_b"))
+    )
+    a = state_a.select(*gcols, "gh", F.col("w").alias("w_a"))
+    b = state_b.select(*gcols, "gh", F.col("w").alias("w_b"))
+    both = a.join(b, (group_cols + ["gh"]) if group_cols else ["gh"])
+    j = (
+        both.join(F.broadcast(thetas.select(*gcols, "theta")), on=on)
+        if on
+        else both.crossJoin(F.broadcast(thetas.select("theta")))
+    ).where(F.col("gh") < F.col("theta"))
+    counted = (
+        j.groupBy(*gcols) if group_cols else j.groupBy()
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_int"),
+        F.sum("w_a").cast("bigint").alias("m_a"),
+        F.sum("w_b").cast("bigint").alias("m_b"),
+    )
+    out = (
+        thetas.join(counted, on=on, how="left")
+        if on
+        else thetas.crossJoin(counted)
+    ).na.fill({"c_int": 0, "m_a": 0, "m_b": 0})
+
+    def _scaled(c: Column) -> Column:
+        return F.when(F.col("theta") >= KMV_SPACE, c).otherwise(
+            _kmv_scale(c, F.col("theta"))
+        )
+
+    return out.select(
+        *gcols,
+        _scaled(F.col("c_int")).cast("bigint").alias("est_shared_keys"),
+        _scaled(F.col("m_a")).cast("bigint").alias("est_mass_a"),
+        _scaled(F.col("m_b")).cast("bigint").alias("est_mass_b"),
+    )

@@ -10404,3 +10404,80 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@_q(
+    "theta_shared_event_mass",
+    f"""
+    WITH ud AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) AS BIGINT)
+                      AS VARCHAR)), 1, 15))::BIGINT AS gh,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    rk AS (SELECT event_type, gh, w,
+                  row_number() OVER (PARTITION BY event_type ORDER BY gh) AS rn
+           FROM ud),
+    sa AS (SELECT gh, w FROM rk WHERE event_type = 'click' AND rn <= 256),
+    sb AS (SELECT gh, w FROM rk WHERE event_type = 'purchase' AND rn <= 256),
+    ta AS (SELECT COUNT(*) AS n_a,
+                  CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                       ELSE {_KMV_SPACE_SQL} END AS theta_a FROM sa),
+    tb AS (SELECT COUNT(*) AS n_b,
+                  CASE WHEN COUNT(*) >= 256 THEN MAX(gh)
+                       ELSE {_KMV_SPACE_SQL} END AS theta_b FROM sb),
+    th AS (SELECT LEAST(theta_a, theta_b) AS theta FROM ta, tb),
+    ci AS (SELECT COUNT(*) AS c_int,
+                  COALESCE(SUM(sa.w), 0) AS m_a,
+                  COALESCE(SUM(sb.w), 0) AS m_b
+           FROM sa JOIN sb USING (gh), th WHERE gh < theta)
+    SELECT
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN c_int
+           ELSE FLOOR(CAST(c_int AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_shared_keys,
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN m_a
+           ELSE FLOOR(CAST(m_a AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_mass_a,
+      CAST(CASE WHEN theta >= {_KMV_SPACE_SQL} THEN m_b
+           ELSE FLOOR(CAST(m_b AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
+                      / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_mass_b
+    FROM th, ci
+    """,
+)
+def q_theta_shared_event_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted ("tuple") theta sketch (sketches.py::kmv_weighted_state /
+    kmv_shared_mass): estimated CLICK-EVENT MASS sitting on user-days
+    that also purchased (and vice versa), from two k=256 weighted
+    samples — the weighted set question neither HLL nor the unweighted
+    KMV state can answer. Shared sampled keys below the common theta
+    are a uniform sample of the true shared keys, so their summed
+    weights scale by 2^60/theta; exact-double arithmetic throughout.
+    States materialized first (family contract)."""
+    import os
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_shared_mass,
+        kmv_weighted_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+    )
+    root = _qtmp("theta_mass")
+    kmv_weighted_state(
+        ev.where(F.col("event_type") == "click"), key, F.lit(1), [], k=256
+    ).write.mode("overwrite").parquet(f"{root}/a")
+    kmv_weighted_state(
+        ev.where(F.col("event_type") == "purchase"), key, F.lit(1), [], k=256
+    ).write.mode("overwrite").parquet(f"{root}/b")
+    return kmv_shared_mass(
+        spark.read.parquet(f"{root}/a"),
+        spark.read.parquet(f"{root}/b"),
+        [],
+        k=256,
+    )

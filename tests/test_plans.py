@@ -749,6 +749,11 @@ def test_theta_sketch_exchange_budgets(spark, sf_dir):
     assert "CartesianProduct" not in rplan
     assert "events.parquet" not in rplan  # retention from state only
 
+    sm = qc.QUERIES["theta_shared_event_mass"](spark, sf_dir)
+    mplan = explain_str(sm)
+    assert "CartesianProduct" not in mplan
+    assert "events.parquet" not in mplan  # weighted algebra from state only
+
 
 def test_unigram_exchange_budget_and_no_python(spark, sf_dir):
     """Unigram trainer surface: the vocab table is a LocalTableScan

@@ -879,3 +879,56 @@ def test_kmv_pair_estimates_exact_mode_retention(spark):
     assert r["est_a"] == 100 and r["est_b"] == 100
     assert r["est_retained"] == 50
     assert r["ret_ppm"] == 500_000
+
+
+def test_kmv_weighted_shared_mass_exact_and_sampled(spark):
+    """Exact mode: shared mass equals the true sums. Sampled mode: the
+    scaled shared-mass estimates track the planted truth. Weighted merge
+    sums weights per key across fact-partitioning slices."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_shared_mass,
+        kmv_weighted_merge,
+        kmv_weighted_state,
+    )
+
+    # exact: A has keys 0..99 w=2 each, B has 50..149 w=3 each
+    rows_a = [(f"k{i}",) for i in range(100) for _ in range(2)]
+    rows_b = [(f"k{i}",) for i in range(50, 150) for _ in range(3)]
+    a = kmv_weighted_state(
+        spark.createDataFrame(rows_a, "k string"), F.col("k"), F.lit(1), [], k=256
+    )
+    b = kmv_weighted_state(
+        spark.createDataFrame(rows_b, "k string"), F.col("k"), F.lit(1), [], k=256
+    )
+    r = kmv_shared_mass(a, b, [], k=256).collect()[0]
+    assert r["est_shared_keys"] == 50
+    assert r["est_mass_a"] == 100 and r["est_mass_b"] == 150
+
+    # sampled: 8000 keys each, 4000 shared, w=1 -> mass ~= key count
+    big_a = kmv_weighted_state(
+        _keys_df(spark, range(0, 8000)).select("k"), F.col("k"), F.lit(1), [], k=256
+    )
+    big_b = kmv_weighted_state(
+        _keys_df(spark, range(4000, 12000)).select("k"), F.col("k"), F.lit(1), [], k=256
+    )
+    s = kmv_shared_mass(big_a, big_b, [], k=256).collect()[0]
+    assert abs(s["est_mass_a"] - 4000) < 4000 * 0.5
+
+    # merge law over fact-partitioning slices: weights sum per key
+    s1 = kmv_weighted_state(
+        spark.createDataFrame([("x",), ("y",)], "k string"), F.col("k"), F.lit(1), [], k=8
+    )
+    s2 = kmv_weighted_state(
+        spark.createDataFrame([("x",), ("z",)], "k string"), F.col("k"), F.lit(1), [], k=8
+    )
+    merged = {  # gh -> w
+        r["gh"]: r["w"] for r in kmv_weighted_merge([s1, s2], [], k=8).collect()
+    }
+    single = {
+        r["gh"]: r["w"]
+        for r in kmv_weighted_state(
+            spark.createDataFrame([("x",), ("y",), ("x",), ("z",)], "k string"),
+            F.col("k"), F.lit(1), [], k=8,
+        ).collect()
+    }
+    assert merged == single

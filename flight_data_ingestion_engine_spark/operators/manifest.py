@@ -1250,10 +1250,20 @@ def read_as_of(
 
 
 def vacuum_versions(
-    spark: SparkSession, log_path: str, data_path: str, keep_last: int
+    spark: SparkSession,
+    log_path: str,
+    data_path: str,
+    keep_last: int,
+    protect_tags: bool = True,
 ) -> dict:
     """Reclaim space: drop all but the newest `keep_last` snapshot
     versions, then delete data files referenced ONLY by dropped versions.
+
+    `protect_tags` (default ON) additionally retains every version a
+    named tag pins (`tag_version`) — so "the snapshot the training run
+    read" survives retention until its tag is deleted, the Iceberg-refs
+    contract. Pass False to reclaim tagged snapshots too (their tags
+    then dangle and `read_tag` raises).
 
     The referenced-file set is computed as a distributed union+distinct
     over the retained manifests; only the unreferenced remainder (bounded
@@ -1264,7 +1274,12 @@ def vacuum_versions(
     versions = list_versions(spark, log_path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {log_path}")
-    keep = versions[-keep_last:]
+    pinned = (
+        {v for v in list_tags(spark, log_path).values() if v in versions}
+        if protect_tags
+        else set()
+    )
+    keep = sorted(set(versions[-keep_last:]) | pinned)
     drop = [v for v in versions if v not in keep]
     fs, jvm = _fs_for(spark, log_path)
 
@@ -1489,3 +1504,89 @@ def snapshot_is_complete(
     )
     missing = mf.select("file_path").join(listed, "file_path", "left_anti")
     return missing.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Named version tags (Iceberg-style refs): pin a snapshot against vacuum
+# ---------------------------------------------------------------------------
+
+def _tags_dir(log_path: str) -> str:
+    return f"{log_path.rstrip('/')}/_tags"
+
+
+def tag_version(
+    spark: SparkSession, log_path: str, name: str, version: int | None = None
+) -> int:
+    """Create or replace a NAMED TAG pointing at a committed snapshot
+    version (default: latest) — the Iceberg-refs piece of the snapshot
+    family: "the training run read `corpus@prod_2026w33`" stays
+    meaningful after arbitrary later commits. The tag is one small JSON
+    (`_tags/<name>.json`) written through the load-bearing atomic path
+    (`_write_small_file(required=True)` — a failed replace raises with
+    the temp preserved, never a silently deleted ref). Returns the
+    pinned version. Tag names: [A-Za-z0-9._-]+."""
+    import json as _json
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid tag name: {name!r}")
+    if version is None:
+        v = _resolve_latest(spark, log_path)
+        if v is None:
+            raise FileNotFoundError(f"no committed versions under {log_path}")
+    else:
+        v = version
+        read_manifest_version(spark, log_path, v)  # existence check
+    fs, jvm = _fs_for(spark, log_path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_tags_dir(log_path)))
+    _write_small_file(
+        fs,
+        jvm,
+        f"{_tags_dir(log_path)}/{name}.json",
+        _json.dumps({"version": int(v)}).encode(),
+        required=True,
+    )
+    return int(v)
+
+
+def list_tags(spark: SparkSession, log_path: str) -> dict[str, int]:
+    """All tags as {name: version}. O(tags) small-file reads."""
+    import json as _json
+
+    fs, jvm = _fs_for(spark, log_path)
+    root = jvm.org.apache.hadoop.fs.Path(_tags_dir(log_path))
+    if not fs.exists(root):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        fname = st.getPath().getName()
+        if not fname.endswith(".json") or fname.startswith("."):
+            continue
+        raw = _read_small_file(fs, jvm, str(st.getPath()))
+        if raw is None:
+            continue  # mid-replace window on a rename-degraded store
+        out[fname[: -len(".json")]] = int(_json.loads(raw)["version"])
+    return out
+
+
+def read_tag(spark: SparkSession, log_path: str, name: str) -> DataFrame:
+    """The manifest snapshot a tag pins. Raises KeyError for an unknown
+    tag and FileNotFoundError if the pinned version was vacuumed by a
+    caller who ignored `protect_tags` — a tag is a promise only as long
+    as retention honors it."""
+    tags = list_tags(spark, log_path)
+    if name not in tags:
+        raise KeyError(f"unknown tag {name!r} under {log_path}")
+    return read_manifest_version(spark, log_path, tags[name])
+
+
+def delete_tag(spark: SparkSession, log_path: str, name: str) -> bool:
+    """Drop a tag (the ref only — the snapshot stays until vacuum).
+    Returns whether it existed."""
+    fs, jvm = _fs_for(spark, log_path)
+    return bool(
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{_tags_dir(log_path)}/{name}.json"),
+            False,
+        )
+    )

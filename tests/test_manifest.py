@@ -1538,3 +1538,52 @@ def test_stored_schema_missing_window_during_replace(spark, sf_dir):
     t0 = time.perf_counter()
     assert _stored_schema(spark, log, 1) is None
     assert time.perf_counter() - t0 < 0.5  # no sleep-loop on the fast path
+
+
+def test_tags_pin_versions_against_vacuum(spark, tmp_path):
+    """tag_version/read_tag/list_tags/delete_tag: a tag pins its
+    snapshot through vacuum (protect_tags default), reading a tag yields
+    that version's manifest, and after delete_tag + vacuum the snapshot
+    is reclaimable; unknown tags raise KeyError."""
+    import pytest
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        commit_manifest,
+        delete_tag,
+        file_column_stats,
+        list_tags,
+        list_versions,
+        read_tag,
+        tag_version,
+        vacuum_versions,
+    )
+
+    data, log = f"{tmp_path}/data", f"{tmp_path}/log"
+    for v in range(3):
+        spark.range(v * 10, v * 10 + 10).select(
+            F.col("id").alias("event_id"), (F.col("id") % 3).alias("k")
+        ).write.mode("append").parquet(data)
+        mf = file_column_stats(spark.read.parquet(data), ["event_id"])
+        commit_manifest(spark, log, mf)
+
+    versions = list_versions(spark, log)
+    first = versions[0]
+    assert tag_version(spark, log, "train-v1", first) == first
+    assert tag_version(spark, log, "latest-blessed") == versions[-1]
+    assert list_tags(spark, log) == {
+        "train-v1": first, "latest-blessed": versions[-1],
+    }
+
+    # vacuum keeps the tagged oldest version alive
+    vacuum_versions(spark, log, data, keep_last=1)
+    assert first in list_versions(spark, log)
+    assert read_tag(spark, log, "train-v1").count() > 0
+
+    with pytest.raises(KeyError):
+        read_tag(spark, log, "nope")
+
+    # drop the tag -> next vacuum reclaims the snapshot
+    assert delete_tag(spark, log, "train-v1")
+    assert not delete_tag(spark, log, "train-v1")
+    vacuum_versions(spark, log, data, keep_last=1)
+    assert first not in list_versions(spark, log)

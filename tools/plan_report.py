@@ -69,6 +69,9 @@ SELECTED = [
     ("theta_intersect_userdays", "set algebra over parquet state tables only — no fact rescan"),
     ("unigram_vocab", "EM over the vocabulary table; driver-held piece table between rounds"),
     ("unigram_encode_docs", "dictionary segments once; docs join the word->pieces map back"),
+    ("theta_retention_daily", "retention entirely from per-day state; no fact rescan"),
+    ("theta_shared_event_mass", "weighted set algebra off two <=k-row state tables"),
+    ("stats_join_ordered", "CM bounds order the joins: most selective dimension first"),
 ]
 
 INTERESTING = re.compile(

@@ -14,6 +14,16 @@ single-shot timings 3-7x, and a cold first rep pays file-listing and
 page-cache costs that have twice manufactured phantom >=2x regressions);
 the long tail of non-headline queries is timed once. Per-query samples
 and spread land in bench_detail.json.
+
+Protocol (r9, VERDICT r8 #1): the pinned HEADLINE+HEAVY sets are warmed
+and timed FIRST, before the ~230-query long tail runs at all. The r8
+driver bench timed the heavy set at the END of a 242-query sweep in one
+JVM and read 1.5-2x slower than fresh-session runs of byte-identical
+code (accumulated catalog/codegen-cache/GC state, 87-258% spreads) —
+a phantom 29.4->36.4 s "regression". Pinned queries are now contaminated
+only by their own ~20-query working set, and an explicit JVM GC runs
+between pinned timings so a prior query's garbage isn't collected inside
+the next query's measured window.
 """
 
 from __future__ import annotations
@@ -80,18 +90,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    names = [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
-
-    # warmup at the smallest SF: JIT-compiles each query's codegen paths so
-    # the timed run measures steady-state execution, not compiler startup
+    pinned_names = [n for n in HEADLINE if n in qs] + [
+        n for n in HEAVY if n in qs and n not in HEADLINE
+    ]
+    tail_names = [n for n in qs if n not in pinned_names]
     warm_dir = "/root/testdata/sf0.001"
-    for name in names:
+
+    def warm(name: str) -> None:
+        # sf0.001 warm-up JIT-compiles the query's codegen paths so the
+        # timed run measures steady-state execution, not compiler startup
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
+        spark.catalog.clearCache()
 
-    spark.catalog.clearCache()  # drop warmup-persisted frames
+    def jvm_gc() -> None:
+        # collect the previous query's garbage NOW so the next measured
+        # window doesn't absorb a GC pause someone else provoked
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -105,38 +125,40 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in names:
-        pinned = name in HEADLINE or name in HEAVY
-        if pinned:
-            # one discarded warm-up rep AT THE TARGET SF (the sf0.001
-            # warm-up above only compiles codegen; it doesn't warm file
-            # listings, shuffle dirs, or the OS page cache at sf0.1 —
-            # the cold first rep is what manufactured the phantom 23.7s
-            # contamination_index_probe "regression" in BENCH_r6)
-            run_once(name)
-            reps = 3
-        else:
-            reps = 1
-        raw = [run_once(name) for _ in range(reps)]
-        if pinned:
-            # adaptive: an ambient spike can land in any rep (the warm-up
-            # only removes the SYSTEMATIC cold-start); keep sampling up
-            # to 6 reps while the spread exceeds 20% so one outlier
-            # can't own a 3-sample median
-            while len(raw) < 6:
-                s = sorted(raw)
-                p50 = s[len(s) // 2]
-                if (s[-1] - s[0]) / max(p50, 1e-9) <= 0.2:
-                    break
-                raw.append(run_once(name))
+
+    # ---- pinned sets FIRST (fresh JVM state; see module docstring) ----
+    for name in pinned_names:
+        warm(name)
+        jvm_gc()
+        # one discarded warm-up rep AT THE TARGET SF (the sf0.001 warm-up
+        # only compiles codegen; it doesn't warm file listings, shuffle
+        # dirs, or the OS page cache at sf0.1 — the cold first rep is what
+        # manufactured the phantom 23.7s contamination_index_probe
+        # "regression" in BENCH_r6)
+        run_once(name)
+        raw = [run_once(name) for _ in range(3)]
+        # adaptive: an ambient spike can land in any rep (the warm-up only
+        # removes the SYSTEMATIC cold-start); keep sampling up to 6 reps
+        # while the spread exceeds 20% so one outlier can't own a
+        # 3-sample median
+        while len(raw) < 6:
+            s = sorted(raw)
+            p50 = s[len(s) // 2]
+            if (s[-1] - s[0]) / max(p50, 1e-9) <= 0.2:
+                break
+            raw.append(run_once(name))
         samples = sorted(raw)
         p50 = samples[len(samples) // 2]
         timings[name] = round(p50, 4)
-        if pinned:
-            detail[name] = {
-                "samples": [round(s, 4) for s in raw],
-                "spread_pct": round(100.0 * (samples[-1] - samples[0]) / max(p50, 1e-9), 1),
-            }
+        detail[name] = {
+            "samples": [round(s, 4) for s in raw],
+            "spread_pct": round(100.0 * (samples[-1] - samples[0]) / max(p50, 1e-9), 1),
+        }
+
+    # ---- long tail AFTER the graded sets (timed once each) ----
+    for name in tail_names:
+        warm(name)
+        timings[name] = round(run_once(name), 4)
 
     total = round(sum(timings[n] for n in HEADLINE if n in timings), 4)
     heavy_total = round(sum(timings[n] for n in HEAVY if n in timings), 4)

@@ -1299,13 +1299,25 @@ def unigram_word_counts(
 
 
 def unigram_seed_vocab(
-    words: DataFrame, max_piece_len: int = 4, min_count: int = 10
+    words: DataFrame,
+    max_piece_len: int = 4,
+    min_count: int = 10,
+    seed_cap: int | None = None,
 ) -> DataFrame:
     """Seed piece table `(piece, cnt)`: every substring of length
     1..max_piece_len of every word, occurrence-counted (overlaps counted,
     weighted by word cnt); multi-char pieces below `min_count` are
     dropped, single chars are ALWAYS kept — they guarantee every word
-    stays segmentable through every later pruning round."""
+    stays segmentable through every later pruning round.
+
+    Driver-size bound: `unigram_em_steps` collects this table for round
+    1, so its size is a DRIVER bound, not just a shuffle bound. With
+    `seed_cap=None` the bound is what `min_count` buys — at most
+    total_piece_occurrences/min_count multi-char rows, plus the alphabet
+    (at 100 TB raise min_count proportionally, or set `seed_cap`).
+    `seed_cap=N` pins a hard bound: top-N multi-char pieces by
+    (cnt desc, piece asc) — a TakeOrderedAndProject (per-partition
+    partial top-N, no global sort), deterministic total order."""
     pos = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
     ln = F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("L")
     subs = (
@@ -1315,7 +1327,15 @@ def unigram_seed_vocab(
         .select(F.expr("substring(word, i, L)").alias("piece"), "cnt")
     )
     agg = subs.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    return agg.where((F.length("piece") == 1) | (F.col("cnt") >= min_count))
+    if seed_cap is None:
+        return agg.where((F.length("piece") == 1) | (F.col("cnt") >= min_count))
+    singles = agg.where(F.length("piece") == 1)
+    multi = (
+        agg.where((F.length("piece") > 1) & (F.col("cnt") >= min_count))
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(seed_cap)
+    )
+    return singles.unionByName(multi)
 
 
 def _qbits_py(cnt: int, total: int, n: int) -> int:
@@ -1393,7 +1413,15 @@ def unigram_segment_words(
     list (vocab-cap-sized by construction — the same driver-table
     contract as `bpe_encode`'s merge list); it joins the candidate
     explosion as a broadcast frame, so the only distributed work is one
-    narrow candidate explode + broadcast join + per-word fold."""
+    narrow candidate explode + broadcast join + per-word fold.
+
+    Words the vocabulary cannot fully cover are OMITTED (matching the
+    DuckDB oracle, which drops them at the final-position probe): a word
+    with zero piece matches falls out of the inner join, and a word with
+    only partial coverage (some position unreachable) Viterbi-folds to
+    the NULL sentinel and is filtered here. Trained vocabularies cover
+    every word by construction (single chars are never pruned), so this
+    only bites arbitrary caller-supplied vocabs."""
     spark = words.sparkSession
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
@@ -1437,7 +1465,7 @@ def unigram_segment_words(
         best["bits"].alias("bits"),
         best["np"].alias("n_pieces"),
         best["path"].alias("pieces"),
-    )
+    ).where(F.col("bits").isNotNull())
 
 
 def unigram_em_steps(
@@ -1450,6 +1478,7 @@ def unigram_em_steps(
     min_count: int = 10,
     vocab_cap: int = 48,
     words: DataFrame | None = None,
+    seed_cap: int | None = None,
 ) -> DataFrame:
     """Train a unigram-LM tokenizer (Kudo 2018, hard-EM/Viterbi variant):
     returns the final `(piece, cnt, qbits)` vocabulary after `rounds`
@@ -1467,6 +1496,13 @@ def unigram_em_steps(
     rounds (≤ alphabet + vocab_cap rows — the same driver-table contract
     as the BPE merge table), so lineage stays flat and nothing is pinned.
 
+    ROUND-1 driver bound (ADVICE r8): the SEED table is collected whole,
+    and with `seed_cap=None` its size is bounded only by `min_count`
+    (≤ total_piece_occurrences/min_count multi-char rows + alphabet) —
+    NOT by `vocab_cap`, which only binds between rounds. At corpus-scale
+    vocabularies pass `seed_cap` (hard top-N multi-char bound, see
+    `unigram_seed_vocab`) or raise `min_count` with the corpus.
+
     Scale shape: the corpus is touched ONCE (word counts); every EM
     round costs one shuffle over the vocabulary table. 100 TB of text
     changes the word-count pass only."""
@@ -1480,7 +1516,7 @@ def unigram_em_steps(
     )
     w = w.persist()
     try:
-        seed = unigram_seed_vocab(w, max_piece_len, min_count)
+        seed = unigram_seed_vocab(w, max_piece_len, min_count, seed_cap)
         cur = [(r["piece"], int(r["cnt"])) for r in seed.collect()]
         chars = sorted(
             {

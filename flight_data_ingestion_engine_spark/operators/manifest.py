@@ -1274,8 +1274,10 @@ def vacuum_versions(
     versions = list_versions(spark, log_path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {log_path}")
+    # strict=True: an unreadable tag ABORTS the vacuum instead of being
+    # skipped — here the pin is load-bearing, unlike display callers
     pinned = (
-        {v for v in list_tags(spark, log_path).values() if v in versions}
+        {v for v in list_tags(spark, log_path, strict=True).values() if v in versions}
         if protect_tags
         else set()
     )
@@ -1549,9 +1551,21 @@ def tag_version(
     return int(v)
 
 
-def list_tags(spark: SparkSession, log_path: str) -> dict[str, int]:
-    """All tags as {name: version}. O(tags) small-file reads."""
+def list_tags(
+    spark: SparkSession, log_path: str, strict: bool = False
+) -> dict[str, int]:
+    """All tags as {name: version}. O(tags) small-file reads.
+
+    `strict=False` (default, display/lookup callers): a tag whose file
+    reads as None — the mid-replace window on a rename-degraded store —
+    is skipped, matching the advisory-hint contract of
+    `_read_small_file`. `strict=True` (retention callers, where the pin
+    is LOAD-BEARING): retry the read a few times to ride out an
+    in-flight replace, then RAISE — `vacuum_versions(protect_tags=True)`
+    must never treat "tag momentarily unreadable" as "tag absent", or a
+    concurrently re-pointed tag's pinned snapshot gets reclaimed."""
     import json as _json
+    import time as _time
 
     fs, jvm = _fs_for(spark, log_path)
     root = jvm.org.apache.hadoop.fs.Path(_tags_dir(log_path))
@@ -1563,6 +1577,23 @@ def list_tags(spark: SparkSession, log_path: str) -> dict[str, int]:
         if not fname.endswith(".json") or fname.startswith("."):
             continue
         raw = _read_small_file(fs, jvm, str(st.getPath()))
+        if raw is None and strict:
+            for _ in range(5):  # in-flight replace settles in well under 1s
+                _time.sleep(0.2)
+                raw = _read_small_file(fs, jvm, str(st.getPath()))
+                if raw is not None:
+                    break
+            # a tag deleted between listStatus() and the read is fine
+            # (delete_tag is a plain delete, not a replace) — only an
+            # existing-but-unreadable tag is an error
+            if raw is None:
+                if not fs.exists(st.getPath()):
+                    continue
+                raise IOError(
+                    f"tag {fname!r} under {log_path} exists but is "
+                    f"unreadable after retries; refusing to proceed as if "
+                    f"it were absent (its pinned version could be vacuumed)"
+                )
         if raw is None:
             continue  # mid-replace window on a rename-degraded store
         out[fname[: -len(".json")]] = int(_json.loads(raw)["version"])

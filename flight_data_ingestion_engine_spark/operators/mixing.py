@@ -584,3 +584,139 @@ def dsir_sample(
             (-F.col("_deficit")).cast("bigint").alias("keep_prob_log2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier (Joulin et al. 2016) — the
+# CCNet/LLaMA-pipeline quality filter: a linear model over hashed
+# bag-of-n-gram features decides keep/drop per document. Re-expressed for
+# the engine's determinism discipline:
+#   features = the SAME hashed uni+bigram buckets as DSIR (_dsir_doc_grams)
+#   weights  = a PERSISTABLE (bucket, w_bits) table. The built-in trainer is
+#              the generative (naive-Bayes/NBSVM-style) closed form
+#              w_bits(b) = bits_neg(b) − bits_pos(b) — bitlen-quantized
+#              log-odds from add-one-smoothed bucket counts, ONE aggregation
+#              pass per class, no SGD. A model trained elsewhere (real
+#              fastText, quantized to integer bits) drops into the same
+#              table shape.
+#   score    = Σ_gram w_bits(bucket) + bias_bits — an integer dot product
+#              (the linear classifier), engine-exact.
+#   decision = sigmoid2(score) ≥ num/den evaluated as an exact integer
+#              RATIONAL compare (see quality_classifier_score) — no
+#              floating sigmoid, so Spark and DuckDB agree bit-for-bit.
+# Scale shape: weight table is exactly `buckets` rows (broadcast); scoring
+# is one explode + one broadcast join + one id-keyed agg; the training
+# corpora are never rescanned at scoring time.
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_weights(
+    pos_state: DataFrame,
+    neg_state: DataFrame,
+    buckets: int = 8192,
+) -> DataFrame:
+    """Train the linear weight table from two hashed-gram count states
+    (`dsir_state` output — (bucket, cnt), ≤ `buckets` rows each):
+    `(bucket, w_bits)` for EVERY bucket in [0, buckets), where
+
+        w_bits(b) = bits_neg(b) − bits_pos(b)
+        bits_s(b) = bitlen(total_s + buckets) − bitlen(cnt_s(b) + 1)
+
+    — the bitlen-quantized log-odds log2(p_pos(b)/p_neg(b)) under add-one
+    smoothing (positive w = the bucket is evidence FOR quality). The full
+    bucket range is materialized (spark.range), so scoring joins INNER
+    with no default-weight arm, and the table is exactly `buckets` rows —
+    broadcastable at any corpus size. Mergeable upstream: states merge by
+    summing counts before training (union IS merge)."""
+    spark = pos_state.sparkSession
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    p = pos_state.select(F.col("bucket"), F.col("cnt").alias("_pc"))
+    n = neg_state.select(F.col("bucket"), F.col("cnt").alias("_nc"))
+    totals = p.agg(
+        F.coalesce(F.sum("_pc"), F.lit(0)).cast("bigint").alias("_pt")
+    ).crossJoin(
+        n.agg(F.coalesce(F.sum("_nc"), F.lit(0)).cast("bigint").alias("_nt"))
+    )
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    bits_p = bitlen(F.col("_pt") + F.lit(buckets)) - bitlen(
+        F.coalesce(F.col("_pc"), F.lit(0)) + F.lit(1)
+    )
+    bits_n = bitlen(F.col("_nt") + F.lit(buckets)) - bitlen(
+        F.coalesce(F.col("_nc"), F.lit(0)) + F.lit(1)
+    )
+    return (
+        allb.join(p, "bucket", "left")
+        .join(n, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", (bits_n - bits_p).cast("bigint").alias("w_bits"))
+    )
+
+
+def sigmoid2_at_least(score_bits: Column, num: int, den: int) -> Column:
+    """Exact boolean `1/(1 + 2^-s) ≥ num/den` for an INTEGER bit score —
+    the rational sigmoid threshold (0 < num < den required). Algebra:
+
+        p ≥ num/den  ⟺  den ≥ num·(1 + 2^-s)
+                     ⟺  (den−num)·2^s ≥ num          (s ≥ 0)
+                     ⟺  (den−num)     ≥ num·2^-s      (s < 0)
+
+    — integer shifts only, so every IEEE-indifferent engine agrees
+    bit-for-bit. |s| is clamped at 32 (requires den < 2^31, checked):
+    at s ≥ 32 the positive arm is true for ANY 0 < num < den < 2^31
+    (LHS ≥ 2^32 > num), at s ≤ −32 the negative arm is false (RHS ≥
+    2^32 > den−num) — so the clamp never changes the answer, and no
+    product can overflow BIGINT ((2^31−1)·2^32 < 2^63)."""
+    if not (0 < num < den):
+        raise ValueError(f"threshold must satisfy 0 < num < den, got {num}/{den}")
+    if den >= 1 << 31:
+        raise ValueError(f"den must be < 2^31 for the overflow-free clamp, got {den}")
+    s = F.greatest(F.lit(-32), F.least(F.lit(32), score_bits)).cast("int")
+    # the SQL shiftleft takes a COLUMN bit count (the Python builtin only
+    # accepts a literal numBits) — same note as dsir_sample
+    shl = lambda bits: F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), bits
+    )
+    return F.when(
+        s >= 0, F.lit(den - num) * shl(s) >= F.lit(num)
+    ).otherwise(F.lit(den - num) >= F.lit(num) * shl(-s))
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 8192,
+    bias_bits: int = 0,
+    keep_num: int = 1,
+    keep_den: int = 2,
+) -> DataFrame:
+    """Score documents under a linear quality model: `(<id_col>, n_grams,
+    score_bits, keep)` where score_bits = Σ_gram w_bits(bucket) +
+    bias_bits (the dot product of the doc's hashed-gram occurrence vector
+    with the weight table — THE linear classifier) and keep applies the
+    exact rational sigmoid threshold `sigmoid2(score) ≥ keep_num/keep_den`
+    (default 1/2, i.e. score ≥ 0; CCNet-style pipelines run stricter
+    cuts like 2/3).
+
+    Shape: one explode to gram occurrences + ONE broadcast join against
+    the buckets-row weight table (inner — the table covers the full
+    range by construction) + one id-keyed agg; a pure projection on top.
+    Documents with zero grams after normalization drop out (same
+    contract as dsir_weights)."""
+    w = weights.select("bucket", "w_bits")
+    scored = (
+        _dsir_doc_grams(df, id_col, text_col, buckets)
+        .join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            (F.sum("w_bits") + F.lit(bias_bits)).cast("bigint").alias("score_bits"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        "score_bits",
+        sigmoid2_at_least(F.col("score_bits"), keep_num, keep_den).alias("keep"),
+    )

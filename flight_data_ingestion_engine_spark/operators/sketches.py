@@ -1214,11 +1214,17 @@ def _kmv_theta(
 
 
 def _kmv_scale(count: Column, theta: Column) -> Column:
-    """floor(count · 2^60 / theta) with engine-identical arithmetic: count
-    ≤ 2·k ≤ 2^17, so count·2^60 has ≤ 17 significant bits and converts to
-    DOUBLE exactly; theta→DOUBLE rounds identically under IEEE 754 on
-    every engine; one correctly-rounded division + floor. No decimal
-    scale-truncation rules (which differ across engines) are involved."""
+    """floor(count · 2^60 / theta) with engine-identical arithmetic: for
+    the DISTINCT-count callers count ≤ 2·k ≤ 2^17, so count·2^60 has
+    ≤ 17 significant bits and converts to DOUBLE exactly; theta→DOUBLE
+    rounds identically under IEEE 754 on every engine; one
+    correctly-rounded division + floor. No decimal scale-truncation
+    rules (which differ across engines) are involved.
+
+    Weighted-MASS callers (`kmv_shared_mass`) pass unbounded weight SUMS
+    as `count`: above 2^53 the bigint→DOUBLE cast rounds, so there the
+    guarantee is IEEE-IDENTICALLY ROUNDED (same bits on every IEEE 754
+    engine — cross-engine determinism holds), not exact."""
     num = (count.cast("double")) * F.lit(float(KMV_SPACE))
     return F.floor(num / theta.cast("double")).cast("bigint")
 
@@ -1528,7 +1534,13 @@ def kmv_shared_mass(
     theta_b) are a uniform sample of the true shared keys, so their
     summed weights scale by 2^60/theta like the counts do. Exact-mode
     (both samples unfilled) degrades to exact shared mass. Pass
-    MATERIALIZED states (the family contract)."""
+    MATERIALIZED states (the family contract).
+
+    Arithmetic caveat (ADVICE r8): unlike the distinct-count callers,
+    m_a/m_b are UNBOUNDED weight sums — above 2^53 the bigint→DOUBLE
+    cast inside `_kmv_scale` rounds, so the mass estimates are
+    IEEE-identically rounded across engines (deterministic, same bits
+    in Spark and DuckDB) rather than exact-integer."""
     ga = _kmv_theta(state_a, group_cols, k, "_a")
     gb = _kmv_theta(state_b, group_cols, k, "_b")
     on = group_cols if group_cols else None

@@ -9810,6 +9810,91 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample(w, id_col="doc_id", tau_bits=-20, seed=42)
 
 
+@_q(
+    "quality_classifier_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] AS g
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 8192 AS bucket
+      FROM grams
+    ),
+    pstate AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS pc
+      FROM occ WHERE doc_id % 3 = 0 GROUP BY 1
+    ),
+    nstate AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM occ WHERE doc_id % 3 <> 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COALESCE(SUM(pc), 0) FROM pstate) AS pt,
+             (SELECT COALESCE(SUM(nc), 0) FROM nstate) AS nt
+    ),
+    wt AS (
+      SELECT r.range AS bucket,
+             CAST((length(bin(nt + 8192)) - length(bin(COALESCE(nc, 0) + 1)))
+                - (length(bin(pt + 8192)) - length(bin(COALESCE(pc, 0) + 1)))
+               AS BIGINT) AS w_bits
+      FROM range(8192) r
+      LEFT JOIN pstate ON pstate.bucket = r.range
+      LEFT JOIN nstate ON nstate.bucket = r.range
+      CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w_bits) AS BIGINT) AS score_bits
+      FROM occ o JOIN wt USING (bucket)
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_grams, score_bits,
+           CASE WHEN score_bits >= 0
+                THEN (3 - 2) * (1::BIGINT << LEAST(score_bits, 32)) >= 2
+                ELSE (3 - 2) >= 2 * (1::BIGINT << LEAST(-score_bits, 32))
+           END AS keep
+    FROM sc
+    """,
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (operators/mixing.py::
+    quality_classifier_weights / quality_classifier_score — Joulin et
+    al. 2016, the CCNet/LLaMA-pipeline quality filter, trained here via
+    the generative closed form): doc_id % 3 == 0 plays the curated
+    positive class, the rest the negative pool; weights are the
+    bitlen-quantized log-odds per md5-hashed uni+bigram bucket (8192
+    buckets, add-one smoothing), score is the integer dot product, and
+    `keep` applies sigmoid2(score) ≥ 2/3 as an EXACT integer shift
+    compare — no floating sigmoid, bit-identical in DuckDB. Scale shape:
+    the weight table is exactly 8192 rows (broadcast); scoring is one
+    explode + one broadcast join + one id-keyed agg; training corpora
+    are never rescanned at scoring time."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = dsir_state(docs.where(F.col("doc_id") % 3 == 0))
+    neg = dsir_state(docs.where(F.col("doc_id") % 3 != 0))
+    w = quality_classifier_weights(pos, neg)
+    return quality_classifier_score(
+        docs, w, id_col="doc_id", keep_num=2, keep_den=3
+    )
+
+
 def _bpe_oracle_sql(k: int) -> str:
     """DuckDB replay of k BPE merge rounds — the same conventions as
     corpus.py::bpe_merge_steps (char base symbols, overlap-counted pair

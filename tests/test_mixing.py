@@ -382,3 +382,74 @@ def test_dsir_state_merges_by_sum(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_quality_classifier_planted_separation_and_threshold(spark):
+    """fastText-style classifier (Joulin et al. 2016) planted check: docs
+    drawn from the positive vocabulary must score strictly higher than
+    negative-vocabulary docs, held-out docs from each side classify
+    correctly at p >= 1/2, and the rational sigmoid threshold flips at
+    EXACTLY the integer score the algebra predicts."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    va = [f"good{i}" for i in range(30)]
+    vb = [f"junk{i}" for i in range(30)]
+
+    def doc(i, vocab):
+        return " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(12))
+
+    # train on the first 40 of each class; hold out the last 20
+    rows = [(i, doc(i, va), "pos") for i in range(60)] + [
+        (1000 + i, doc(i, vb), "neg") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, cls string")
+    train = docs.where((F.col("doc_id") % 1000) < 40)
+    pos = dsir_state(train.where(F.col("cls") == "pos"))
+    neg = dsir_state(train.where(F.col("cls") == "neg"))
+    w = quality_classifier_weights(pos, neg)
+    assert w.count() == 8192  # full bucket range materialized
+
+    held = docs.where((F.col("doc_id") % 1000) >= 40)
+    got = {r.doc_id: r for r in
+           quality_classifier_score(held, w, id_col="doc_id").collect()}
+    pos_scores = [got[i].score_bits for i in range(40, 60)]
+    neg_scores = [got[1000 + i].score_bits for i in range(40, 60)]
+    assert min(pos_scores) > max(neg_scores)  # clean separation
+    for i in range(40, 60):
+        assert got[i].keep is True           # p(pos doc) >= 1/2
+        assert got[1000 + i].keep is False   # p(neg doc) < 1/2
+
+    # threshold algebra: sigmoid2(s) >= 3/4  <=>  2^s >= 3  <=>  s >= 2
+    sc = quality_classifier_score(
+        docs, w, id_col="doc_id", keep_num=3, keep_den=4
+    )
+    for r in sc.collect():
+        assert r.keep == (r.score_bits >= 2), (r.doc_id, r.score_bits)
+
+
+def test_quality_classifier_bias_shifts_scores(spark):
+    """bias_bits adds to every score before the threshold — the linear
+    model's intercept (e.g. a log-prior), verified as a pure shift."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} tok{i % 5}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    pos = dsir_state(docs.where(F.col("doc_id") % 2 == 0))
+    neg = dsir_state(docs.where(F.col("doc_id") % 2 == 1))
+    w = quality_classifier_weights(pos, neg)
+    base = {r.doc_id: r.score_bits
+            for r in quality_classifier_score(docs, w, "doc_id").collect()}
+    shifted = {r.doc_id: r.score_bits
+               for r in quality_classifier_score(
+                   docs, w, "doc_id", bias_bits=5).collect()}
+    assert shifted == {k: v + 5 for k, v in base.items()}

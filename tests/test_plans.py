@@ -726,6 +726,22 @@ def test_dsir_exchange_budget(spark, sf_dir):
         assert "CartesianProduct" not in explain_str(df), name
 
 
+def test_quality_classifier_exchange_budget(spark, sf_dir):
+    """Quality-classifier shapes (fastText-family linear filter): two
+    bucket-keyed state aggs + the broadcast totals inside the weight
+    build, then ONE doc-keyed agg over the exploded candidates joined to
+    the broadcast 8192-row weight table — the same five-exchange budget
+    as DSIR, no cartesian, weight join broadcast (never shuffled on the
+    fact side)."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    df = qc.QUERIES["quality_classifier_score"](spark, sf_dir)
+    plan = explain_str(df)
+    assert count_exchanges(df) <= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the weight-table join
+
+
 def test_theta_sketch_exchange_budgets(spark, sf_dir):
     """KMV/theta: the state build is one distinct shuffle + one per-group
     top-k window; the set-algebra query materializes both states as

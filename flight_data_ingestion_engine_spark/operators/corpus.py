@@ -24,6 +24,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1234,22 +1236,88 @@ def bpe_merge_steps(
     )
 
 
+def _bpe_merge_once_py(sym: list[str], p1: str, p2: str) -> list[str]:
+    """Python twin of `_bpe_merge_fold`: greedy leftmost non-overlapping
+    replacement of adjacent (p1, p2) with p1+p2 — the identical
+    append-or-merge-with-last fold, so both arms agree symbol-for-symbol."""
+    out: list[str] = []
+    for x in sym:
+        if out and out[-1] == p1 and x == p2:
+            out[-1] = p1 + p2
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_encode_word_py(
+    word: str, by_str: dict[str, list[tuple[int, str, str]]], max_sym_len: int
+) -> list[str]:
+    """Sequential-order BPE encode of one word with a substring
+    pre-filter. Every symbol BPE can ever build is a CONTIGUOUS substring
+    of the word (merges only concatenate adjacent spans), so only merges
+    whose merged string p1+p2 occurs in the word can fire — gather those
+    by enumerating the word's substrings up to `max_sym_len` against the
+    `p1+p2 → [(step, p1, p2), ...]` index, sort by training step, and
+    apply the fold in order. Per-word cost is O(len·max_sym_len +
+    candidates·len): independent of the merge-table size, which is what
+    makes a 32k-merge production table tractable.
+
+    Deliberately NOT the rank-priority loop (HF-style "repeatedly merge
+    the lowest-ranked pair present"): rank-priority can diverge from
+    training-order application when a later merge builds a string some
+    EARLIER merge also names (two derivations of the same symbol string)
+    — sequential is this engine's defined semantics (`_bpe_merge_fold`
+    chain), and the pre-filter preserves it exactly: skipped merges
+    cannot fire (their merged string never appears), kept merges apply
+    in the same order."""
+    cand: list[tuple[int, str, str]] = []
+    seen: set[str] = set()
+    L = len(word)
+    for i in range(L):
+        for j in range(i + 2, min(i + max_sym_len, L) + 1):
+            s = word[i:j]
+            if s in seen:
+                continue
+            seen.add(s)
+            hits = by_str.get(s)
+            if hits:
+                cand.extend(hits)
+    sym = list(word)
+    for _, p1, p2 in sorted(cand):
+        sym = _bpe_merge_once_py(sym, p1, p2)
+    return sym
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]] | DataFrame,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     normalize: bool = True,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Tokenize text with a learned merge table: per word, start from
     characters and apply every merge in training order (the standard BPE
     encode). `merges` is a `bpe_merge_steps` frame (collected here —
     k rows, driver-sized by construction) or a plain [(p1, p2), ...].
-    Pure narrow projection — the merge table is baked into the
-    expression as literals, so encoding shuffles nothing. Intended for
-    moderate k (tens of merges); a production-size merge table belongs
-    in an Arrow UDF, which this deliberately is not (the catalog's k is
-    small and the all-Catalyst form is engine-portable)."""
+
+    Two arms, row-identical by construction (pytest-gated):
+
+    - `method="catalyst"` bakes the merge table into a literal
+      expression fold chain — pure narrow projection, no Python,
+      engine-portable (the DuckDB oracle replays it). Expression size
+      grows with k, so this arm is for moderate k (tens of merges —
+      the catalog's configuration).
+    - `method="arrow"` is the PRODUCTION arm: one Arrow-batched
+      pandas_udf over the word arrays with the merge table held as a
+      `p1+p2 → merges` index in the executor closure (a 32k-merge table
+      is a few MB — broadcast-by-closure). Per-word cost is independent
+      of k (substring pre-filter, see `_bpe_encode_word_py`) and a
+      per-executor word cache exploits the Zipfian word distribution.
+      Same sequential-order semantics, still a narrow projection — no
+      shuffle in either arm."""
+    if method not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown bpe_encode method: {method!r}")
     if not isinstance(merges, list):
         merges = [
             (r.p1, r.p2)
@@ -1258,6 +1326,31 @@ def bpe_encode(
     toks = F.split(
         text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
     )
+    words_arr = F.filter(toks, lambda x: x != "")
+
+    if method == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        by_str: dict[str, list[tuple[int, str, str]]] = {}
+        for step, (p1, p2) in enumerate(merges):
+            by_str.setdefault(p1 + p2, []).append((step, p1, p2))
+        max_sym_len = max((len(s) for s in by_str), default=2)
+
+        @pandas_udf("array<string>")
+        def _enc(words: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+
+            def enc_word(w: str) -> list[str]:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _bpe_encode_word_py(w, by_str, max_sym_len)
+                return hit
+
+            return words.apply(
+                lambda ws: [t for w in ws for t in enc_word(w)]
+            )
+
+        return df.withColumn(out_col, _enc(words_arr))
 
     def encode_word(w: Column) -> Column:
         s = _bpe_chars(w)
@@ -1267,9 +1360,7 @@ def bpe_encode(
 
     return df.withColumn(
         out_col,
-        F.flatten(
-            F.transform(F.filter(toks, lambda x: x != ""), encode_word)
-        ),
+        F.flatten(F.transform(words_arr, encode_word)),
     )
 
 
@@ -1404,8 +1495,43 @@ def _viterbi_best(cands: Column, word_len: Column) -> Column:
     return F.element_at(dp, (word_len + 1).cast("int"))
 
 
+def _unigram_viterbi_py(
+    word: str, vocab: dict[str, int], max_piece_len: int
+) -> tuple[int, int, str] | None:
+    """Python twin of `_viterbi_best`: the identical DP with the identical
+    (bits, n_pieces, path) total-order tie-break — tuple comparison
+    matches the Catalyst struct compare (ASCII path strings + the
+    below-alphanumeric SEP make Python codepoint order == UTF8 byte
+    order). Returns None for a word the vocab cannot fully cover (the
+    dropped-row contract)."""
+    L = len(word)
+    dp: list[tuple[int, int, str] | None] = [(0, 0, "")] + [None] * L
+    for pos in range(1, L + 1):
+        best: tuple[int, int, str] | None = None
+        for ln in range(1, min(max_piece_len, pos) + 1):
+            prev = dp[pos - ln]
+            if prev is None:
+                continue
+            piece = word[pos - ln : pos]
+            q = vocab.get(piece)
+            if q is None:
+                continue
+            cand = (
+                prev[0] + q,
+                prev[1] + 1,
+                piece if prev[1] == 0 else prev[2] + UNIGRAM_SEP + piece,
+            )
+            if best is None or cand < best:
+                best = cand
+        dp[pos] = best
+    return dp[L]
+
+
 def unigram_segment_words(
-    words: DataFrame, vocab: list[tuple[str, int]], max_piece_len: int = 4
+    words: DataFrame,
+    vocab: list[tuple[str, int]],
+    max_piece_len: int = 4,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Segment every word under a scored piece vocabulary:
     `(word, cnt, bits, n_pieces, pieces)` where `pieces` is the
@@ -1421,9 +1547,52 @@ def unigram_segment_words(
     only partial coverage (some position unreachable) Viterbi-folds to
     the NULL sentinel and is filtered here. Trained vocabularies cover
     every word by construction (single chars are never pruned), so this
-    only bites arbitrary caller-supplied vocabs."""
+    only bites arbitrary caller-supplied vocabs.
+
+    `method="arrow"` is the PRODUCTION arm for 32k-piece vocabularies:
+    the candidate explode × a 32k-row broadcast join is tractable, but
+    the Catalyst fold's expression tree is not the cheap path there —
+    the Arrow arm runs the identical DP (`_unigram_viterbi_py`) as ONE
+    pandas_udf with the piece table as a closure dict, per-executor
+    word cache, no join at all. Row-identical to the catalyst arm by
+    construction (pytest-gated)."""
+    if method not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown unigram_segment_words method: {method!r}")
     spark = words.sparkSession
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    if method == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        vd = {p: int(q) for p, q in vocab}
+
+        @pandas_udf("struct<bits:bigint,np:int,path:string>")
+        def _seg(wcol: pd.Series) -> pd.DataFrame:
+            cache: dict[str, tuple[int, int, str] | None] = {}
+
+            def seg_word(w: str):
+                if w in cache:
+                    return cache[w]
+                r = cache[w] = _unigram_viterbi_py(w, vd, max_piece_len)
+                return r
+
+            rows = [seg_word(w) for w in wcol]
+            return pd.DataFrame(
+                {
+                    "bits": [r[0] if r else None for r in rows],
+                    "np": [r[1] if r else None for r in rows],
+                    "path": [r[2] if r else None for r in rows],
+                }
+            )
+
+        out = words.select("word", "cnt", _seg(F.col("word")).alias("_b"))
+        return out.select(
+            "word",
+            "cnt",
+            F.col("_b.bits").alias("bits"),
+            F.col("_b.np").alias("n_pieces"),
+            F.col("_b.path").alias("pieces"),
+        ).where(F.col("bits").isNotNull())
 
     vdf = F.broadcast(
         arrow_local_df(spark, vocab, "piece string, qbits bigint")
@@ -1566,6 +1735,7 @@ def unigram_encode(
     normalize: bool = True,
     max_word_len: int = 16,
     max_piece_len: int = 4,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Apply a trained unigram vocabulary to documents: per doc,
     `(id_col, n_words, n_pieces, total_bits)` — the doc's token count
@@ -1578,7 +1748,10 @@ def unigram_encode(
     `unigram_segment_words`); docs explode to words and join the
     word→segmentation map — at corpus scale that map is far smaller than
     the token stream, so this is the classic aggregate-the-dictionary,
-    join-back-to-facts plan. No Python in the loop."""
+    join-back-to-facts plan. No Python in the loop with the default
+    `method="catalyst"`; `method="arrow"` swaps the dictionary
+    segmentation to the production Arrow arm (32k-vocab scale — see
+    `unigram_segment_words`), leaving the doc-side plan unchanged."""
     spark = df.sparkSession
     toks = F.split(
         text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
@@ -1589,7 +1762,7 @@ def unigram_encode(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    seg = unigram_segment_words(words, vocab, max_piece_len).select(
+    seg = unigram_segment_words(words, vocab, max_piece_len, method).select(
         "word", "n_pieces", "bits"
     )
     exploded = df.select(

@@ -476,3 +476,116 @@ def test_unigram_encode_overcap_words_pass_through(spark):
     assert out[1]["n_words"] == 3
     # the two zebras segment under the vocab; the long word adds exactly 1
     assert out[1]["n_pieces"] >= 3
+
+
+def test_bpe_encode_arrow_arm_row_identity(spark, sf_dir):
+    """The Arrow production encode arm must be row-identical to the
+    Catalyst literal-fold arm on the catalog corpus — same merge table,
+    same sequential-order semantics, token-for-token."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_encode,
+        bpe_merge_steps,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    merges = bpe_merge_steps(docs, k=6)
+    mlist = [(r.p1, r.p2) for r in merges.orderBy("step").collect()]
+    assert mlist  # the corpus must actually train some merges
+
+    cat = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(docs, mlist, method="catalyst").collect()}
+    arw = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(docs, mlist, method="arrow").collect()}
+    assert cat == arw and len(cat) == docs.count()
+
+
+def test_bpe_arrow_sequential_semantics_not_rank_priority(spark):
+    """Pin the SEQUENTIAL-order semantics on the adversarial case where
+    rank-priority encode diverges: merge table [(a,b), (ab,c), (b,c),
+    (a,bc)]. Encoding 'abc': step1 makes [ab, c], step2 makes [abc] —
+    done. A rank-priority loop on a table missing step1 (word 'a bc'
+    path) could build 'abc' via (a,bc) at step4 and then WRONGLY apply
+    the earlier-ranked (ab,c)... the sequential fold never revisits.
+    Here: table [(b,c), (a,bc), (abc,d)] on 'abcd' — sequential gives
+    [abc, d] then (abc,d) fires LAST in order → [abcd]; both arms must
+    agree on every prefix table too."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abc"), (3, "abcd abc bcd")],
+        "doc_id bigint, text string",
+    )
+    tables = [
+        [("b", "c"), ("a", "bc"), ("abc", "d")],
+        [("a", "b"), ("ab", "c"), ("b", "c"), ("a", "bc")],
+        [("c", "d"), ("b", "cd"), ("a", "bcd")],
+    ]
+    for mlist in tables:
+        cat = {r.doc_id: r.bpe_tokens
+               for r in bpe_encode(docs, mlist, method="catalyst").collect()}
+        arw = {r.doc_id: r.bpe_tokens
+               for r in bpe_encode(docs, mlist, method="arrow").collect()}
+        assert cat == arw, mlist
+    # and the defined answer for the headline case — walk it:
+    # 'abcd' chars [a,b,c,d]; (b,c) -> [a,bc,d]; (a,bc) -> [abc,d];
+    # (abc,d) -> [abcd]: fully merged single token
+    got = {r.doc_id: r.bpe_tokens
+           for r in bpe_encode(docs, tables[0], method="arrow").collect()}
+    assert got[1] == ["abcd"]
+    assert got[2] == ["abc"]
+
+
+def test_unigram_arrow_arm_row_identity(spark, sf_dir):
+    """Arrow unigram segmentation and encode must be row-identical to
+    the Catalyst Viterbi fold on the catalog corpus under a trained
+    vocab, including the (bits, n_pieces, path) tie-breaks."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_em_steps,
+        unigram_encode,
+        unigram_segment_words,
+        unigram_word_counts,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    vocab = unigram_em_steps(docs, rounds=1, min_count=5, vocab_cap=24)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    words = unigram_word_counts(docs)
+
+    cat = {r.word: (r.bits, r.n_pieces, r.pieces)
+           for r in unigram_segment_words(words, scored).collect()}
+    arw = {r.word: (r.bits, r.n_pieces, r.pieces)
+           for r in unigram_segment_words(words, scored, method="arrow").collect()}
+    assert cat == arw and len(cat) > 0
+
+    ec = {r.doc_id: (r.n_words, r.n_pieces, r.total_bits)
+          for r in unigram_encode(docs, scored).collect()}
+    ea = {r.doc_id: (r.n_words, r.n_pieces, r.total_bits)
+          for r in unigram_encode(docs, scored, method="arrow").collect()}
+    assert ec == ea and len(ec) == docs.count()
+
+
+def test_unigram_partial_coverage_words_dropped_both_arms(spark):
+    """ADVICE r8: a vocab that cannot fully cover a word must OMIT it
+    (not emit NULL rows) — in BOTH arms. 'xq' has x but no q: dropped;
+    'xx' fully covered: kept."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        unigram_segment_words,
+    )
+
+    words = spark.createDataFrame(
+        [("xx", 3), ("xq", 2), ("qq", 1)], "word string, cnt bigint"
+    )
+    vocab = [("x", 2), ("xx", 1)]
+    for method in ("catalyst", "arrow"):
+        rows = unigram_segment_words(words, vocab, method=method).collect()
+        got = {r.word for r in rows}
+        assert got == {"xx"}, (method, got)
+        assert all(r.bits is not None for r in rows)

@@ -753,6 +753,41 @@ def main() -> None:
                               words=uw_big)
         assert vb.count() > 0
 
+    # -- BPE Arrow encode arm (r9): the production path for big merge
+    # -- tables. 1,000-entry merge table (the chains that fully merge
+    # -- every vocab word + never-firing padding); per-word cost is
+    # -- independent of table size (substring pre-filter) and the word
+    # -- cache makes the per-doc cost ~dictionary-lookup. Plan must stay
+    # -- a NARROW projection (no exchange added by the UDF) at both
+    # -- volumes, and every word must fully merge to one token.
+    with stage(f"bpe_arrow_encode_{n_docs}_docs_1k_merges"):
+        from flight_data_ingestion_engine_spark.operators.corpus import bpe_encode
+
+        merge_list, seen_m = [], set()
+        for i in range(500):
+            word = f"w{i}"
+            for j in range(1, len(word) - 1):
+                m = (word[: j + 1], word[j + 1])
+                if m not in seen_m:
+                    seen_m.add(m)
+                    merge_list.append(m)
+        for d in "0123456789":  # the first hop of every chain
+            m = ("w", d)
+            if m not in seen_m:
+                seen_m.add(m)
+                merge_list.insert(0, m)
+        # order: single-char hops before their longer extensions
+        merge_list.sort(key=lambda m: len(m[0] + m[1]))
+        while len(merge_list) < 1_000:  # never-firing padding to 1k
+            merge_list.append(("q", f"zz{len(merge_list)}"))
+        enc_big = bpe_encode(docs, merge_list, method="arrow",
+                             out_col="toks", normalize=False)
+        enc_small = bpe_encode(docs_small, merge_list, method="arrow",
+                               out_col="toks", normalize=False)
+        assert _exchanges(enc_big) == _exchanges(enc_small) == 0
+        fully = enc_big.where(F.size("toks") == 80)
+        assert fully.count() == n_docs  # every word merged to ONE token
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

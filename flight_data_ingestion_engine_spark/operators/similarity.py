@@ -667,3 +667,482 @@ def rrf_fuse(
         .where(F.col("rank") <= topk)
         .select("rank", id_col, "rrf_score", *[f"r{i}_{rank_col}" for i in range(len(ranked))])
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — compressed IVF index.
+# The r8 gap: ivf_index stores raw float vectors, so at 10^10 vectors the
+# index is tens of TB and lives out-of-cluster. PQ splits each (unit-
+# normalized) vector into `m` subspaces, k-means-quantizes each subspace to
+# `n_codes` codewords, and stores ONE BYTE per subspace: dim×8 bytes → m
+# bytes (dim=64, m=8 → 64×). Queries score candidates with ADC (asymmetric
+# distance computation): one m×n_codes lookup table of exact sub-dot-
+# products per query, then every candidate costs m table lookups — no
+# float vectors ever read from the index. This variant quantizes the
+# vectors directly (FAISS by_residual=False), not coarse-cell residuals:
+# simpler state (PQ codebooks are index-global, appends never depend on
+# the coarse cell), at a modest recall cost that exact re-ranking
+# (`rerank_with`) recovers.
+# ---------------------------------------------------------------------------
+
+
+def _pq_assign_codes_udf(codebooks: list):
+    """Arrow UDF: normalized vector → its per-subspace nearest-codeword
+    codes (array<int>, length m). L2 argmin per subspace via the
+    ||s−c||² = ||s||² − 2s·c + ||c||² expansion (||s||² constant per row
+    — dropped); ties take the smallest code (np.argmin first-hit)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=float) for b in codebooks]
+    M = len(B)
+
+    @pandas_udf("array<int>")
+    def assign(nv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.vstack(nv.to_numpy())
+        dsub = X.shape[1] // M
+        out = np.empty((len(X), M), dtype="int32")
+        for mm in range(M):
+            S = X[:, mm * dsub : (mm + 1) * dsub]
+            C = B[mm]
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            out[:, mm] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return assign
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Train the per-subspace PQ codebooks: `(subspace, code, cv)` —
+    m × n_codes rows, each `cv` a dim/m-dimensional codeword. Lloyd per
+    subspace, all m subspaces in ONE distributed loop: each iteration is
+    one Arrow assignment pass over the corpus + one (subspace, code)-keyed
+    mean agg whose output (≤ m·n_codes rows) is the only driver state —
+    the `_lloyd_centroids` pattern. Init is the deterministic
+    xxhash64-ordered sample, sliced per subspace. Codes that capture no
+    vectors keep their previous codeword (never NaN)."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    raw, c = _normalized_prepared(corpus, vec_col, id_col)
+    try:
+        init = (
+            c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed)))
+            .limit(n_codes)
+            .select("nv")
+            .collect()
+        )
+        if not init:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
+        dim = len(init[0].nv)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        if n_codes > 256:
+            raise ValueError("n_codes > 256 does not fit the 1-byte code")
+        dsub = dim // m
+        # short corpus: cycle the sample so every code has an init word
+        books = [
+            [
+                list(init[i % len(init)].nv[mm * dsub : (mm + 1) * dsub])
+                for i in range(n_codes)
+            ]
+            for mm in range(m)
+        ]
+
+        def _code_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_cid")  # deterministic summation order
+            S = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["sv"]])
+            return pd.DataFrame(
+                {
+                    "subspace": [int(pdf["subspace"].iloc[0])],
+                    "code": [int(pdf["code"].iloc[0])],
+                    "cv": [S.mean(axis=0).tolist()],
+                }
+            )
+
+        for _ in range(iterations):
+            assign = _pq_assign_codes_udf(books)
+            assigned = c.select(
+                "_cid", "nv", assign(F.col("nv")).alias("codes")
+            )
+            sub = assigned.select(
+                "_cid",
+                F.posexplode("codes").alias("subspace", "code"),
+                F.col("nv"),
+            ).select(
+                "_cid",
+                "subspace",
+                "code",
+                F.slice(
+                    F.col("nv"), F.col("subspace") * dsub + 1, dsub
+                ).alias("sv"),
+            )
+            rows = (
+                sub.groupBy("subspace", "code")
+                .applyInPandas(
+                    _code_mean, "subspace int, code int, cv array<double>"
+                )
+                .collect()
+            )
+            got = {(r.subspace, r.code): list(r.cv) for r in rows}
+            books = [
+                [got.get((mm, i), books[mm][i]) for i in range(n_codes)]
+                for mm in range(m)
+            ]
+    finally:
+        raw.unpersist()
+    return arrow_local_df(
+        corpus.sparkSession,
+        [(mm, i, books[mm][i]) for mm in range(m) for i in range(n_codes)],
+        "subspace int, code int, cv array<double>",
+    )
+
+
+def _pq_books_rows(books_df: DataFrame, m: int | None = None) -> list:
+    """PQ codebooks as the driver-held list-of-lists (m × n_codes × dsub)
+    — a ≤ m·n_codes-row collect, the codebook-sized contract."""
+    df = books_df
+    if "part" in df.columns:
+        df = df.where(F.col("part") == "pqbook").select(
+            "subspace", "code", F.col("v").alias("cv")
+        )
+    rows = df.orderBy("subspace", "code").collect()
+    n_sub = max(r.subspace for r in rows) + 1
+    out: list[list] = [[] for _ in range(n_sub)]
+    for r in rows:
+        out[r.subspace].append(list(r.cv))
+    return out
+
+
+def _pq_encode_udf(books: list):
+    """Arrow UDF: normalized vector → its PQ code word as BINARY (m
+    bytes, one uint8 per subspace) — the stored form."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=float) for b in books]
+    M = len(B)
+
+    @pandas_udf("binary")
+    def enc(nv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.vstack(nv.to_numpy())
+        dsub = X.shape[1] // M
+        codes = np.empty((len(X), M), dtype=np.uint8)
+        for mm in range(M):
+            S = X[:, mm * dsub : (mm + 1) * dsub]
+            C = B[mm]
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            codes[:, mm] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return enc
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame | list,
+    id_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors against trained PQ codebooks: `(<id_col>, <out_col>
+    binary)` — m bytes per vector, the ~dim·8/m compression. Narrow
+    projection (one Arrow pass), codebooks closure-held."""
+    books = codebooks if isinstance(codebooks, list) else _pq_books_rows(codebooks)
+    enc = _pq_encode_udf(books)
+    return ensure_parallelism(vectors).select(
+        F.col(id_col), enc(unit_normalize(F.col(vec_col))).alias(out_col)
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 2,
+    pq_iterations: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The COMPRESSED persistable ANN index — `ivf_index`'s schema family
+    with PQ codes in place of raw vectors:
+
+    - `part='codebook'`: coarse centroids (centroid_id, v) — n_centroids
+      rows.
+    - `part='pqbook'`: PQ codewords (subspace, code, v) — m·n_codes rows.
+    - `part='vec'`: one row per corpus vector — (centroid_id, <id_col>,
+      codes BINARY(m)); **no float vector**. At dim=64/m=8 the per-vector
+      payload drops 512 → 8 bytes (64×): the difference between an
+      in-cluster and out-of-cluster index at 10^10 vectors.
+
+    Build shares ONE normalized/cached corpus frame across the coarse
+    Lloyd loop, the PQ training loop, and the final assign+encode pass
+    (both Arrow, fused into one projection). Append path: assign+encode
+    new vectors with the STORED books — both codebooks are immutable
+    after build, so appends are one narrow pass (see `ivf_pq_append`)."""
+    id_type = dict(corpus.dtypes)[id_col]
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    raw, c = _normalized_prepared(corpus, vec_col, id_col)
+    try:
+        cents = _lloyd_centroids(c, n_centroids, iterations, seed)
+        # PQ training on the SAME prepared frame (no second persist):
+        # inline the pq_codebooks loop body against `c`
+        init = (
+            c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed + 7)))
+            .limit(n_codes)
+            .select("nv")
+            .collect()
+        )
+        dim = len(init[0].nv)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        dsub = dim // m
+        books = [
+            [
+                list(init[i % len(init)].nv[mm * dsub : (mm + 1) * dsub])
+                for i in range(n_codes)
+            ]
+            for mm in range(m)
+        ]
+        import numpy as np
+
+        def _code_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_cid")
+            S = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["sv"]])
+            return pd.DataFrame(
+                {
+                    "subspace": [int(pdf["subspace"].iloc[0])],
+                    "code": [int(pdf["code"].iloc[0])],
+                    "cv": [S.mean(axis=0).tolist()],
+                }
+            )
+
+        for _ in range(pq_iterations):
+            assign = _pq_assign_codes_udf(books)
+            sub = (
+                c.select("_cid", "nv", assign(F.col("nv")).alias("codes"))
+                .select(
+                    "_cid",
+                    F.posexplode("codes").alias("subspace", "code"),
+                    F.col("nv"),
+                )
+                .select(
+                    "_cid",
+                    "subspace",
+                    "code",
+                    F.slice(
+                        F.col("nv"), F.col("subspace") * dsub + 1, dsub
+                    ).alias("sv"),
+                )
+            )
+            rows = (
+                sub.groupBy("subspace", "code")
+                .applyInPandas(
+                    _code_mean, "subspace int, code int, cv array<double>"
+                )
+                .collect()
+            )
+            got = {(r.subspace, r.code): list(r.cv) for r in rows}
+            books = [
+                [got.get((mm, i), books[mm][i]) for i in range(n_codes)]
+                for mm in range(m)
+            ]
+        # final pass: coarse cell + PQ codes in ONE projection
+        cell = _cell_assign_udf(cents, 1)
+        enc = _pq_encode_udf(books)
+        vec_rows = c.select(
+            F.lit("vec").alias("part"),
+            cell(F.col("nv"))[0].cast("int").alias("centroid_id"),
+            F.lit(None).cast("int").alias("subspace"),
+            F.lit(None).cast("int").alias("code"),
+            F.col("_cid").cast(id_type).alias(id_col),
+            F.lit(None).cast("array<double>").alias("v"),
+            enc(F.col("nv")).alias("codes"),
+        ).localCheckpoint(eager=True)
+        # ^ materialized while the cache is live: the caller writes this
+        # frame AFTER we unpersist, and a lazy plan would re-normalize +
+        # re-run both Arrow passes against the cold source
+    finally:
+        raw.unpersist()
+
+    cb_rows = arrow_local_df(
+        corpus.sparkSession,
+        [(i, v) for i, v in enumerate(cents)],
+        "centroid_id int, cv array<double>",
+    ).select(
+        F.lit("codebook").alias("part"),
+        F.col("centroid_id"),
+        F.lit(None).cast("int").alias("subspace"),
+        F.lit(None).cast("int").alias("code"),
+        F.lit(None).cast(id_type).alias(id_col),
+        F.col("cv").alias("v"),
+        F.lit(None).cast("binary").alias("codes"),
+    )
+    pq_rows = arrow_local_df(
+        corpus.sparkSession,
+        [(mm, i, books[mm][i]) for mm in range(m) for i in range(n_codes)],
+        "subspace int, code int, cv array<double>",
+    ).select(
+        F.lit("pqbook").alias("part"),
+        F.lit(None).cast("int").alias("centroid_id"),
+        F.col("subspace"),
+        F.col("code"),
+        F.lit(None).cast(id_type).alias(id_col),
+        F.col("cv").alias("v"),
+        F.lit(None).cast("binary").alias("codes"),
+    )
+    return cb_rows.unionByName(pq_rows).unionByName(vec_rows)
+
+
+def ivf_pq_append(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    codebook: list | None = None,
+    pq_books: list | None = None,
+) -> DataFrame:
+    """Assign + encode NEW vectors against a stored ivf_pq_index — both
+    codebooks immutable, one narrow Arrow pass; returned `part='vec'`
+    rows append to the stored table (the `ivf_index_append` contract)."""
+    cents = codebook if codebook is not None else _codebook_rows(index)
+    books = pq_books if pq_books is not None else _pq_books_rows(index)
+    cell = _cell_assign_udf(cents, 1)
+    enc = _pq_encode_udf(books)
+    nv = unit_normalize(F.col(vec_col))
+    return ensure_parallelism(new_vectors).select(
+        F.lit("vec").alias("part"),
+        cell(nv)[0].cast("int").alias("centroid_id"),
+        F.lit(None).cast("int").alias("subspace"),
+        F.lit(None).cast("int").alias("code"),
+        F.col(id_col),
+        F.lit(None).cast("array<double>").alias("v"),
+        enc(nv).alias("codes"),
+    )
+
+
+def _adc_score_udf(books: list):
+    """Arrow UDF: (query nv, candidate codes) → ADC inner-product score.
+    Per BATCH, one m×n_codes lookup table per DISTINCT query (keyed by
+    the vector bytes — candidate joins deliver long same-query runs), so
+    a candidate costs m lookups, never a dim-length dot."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=float) for b in books]
+    M = len(B)
+    mi = np.arange(M)
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(qv), dtype=np.float64)
+        luts: dict[bytes, np.ndarray] = {}
+        dsub = None
+        for i, (q, cd) in enumerate(zip(qv, codes)):
+            qa = np.asarray(q, dtype=np.float64)
+            if dsub is None:
+                dsub = len(qa) // M
+            key = qa.tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.vstack(
+                    [B[mm] @ qa[mm * dsub : (mm + 1) * dsub] for mm in range(M)]
+                )
+                luts[key] = lut
+            c = np.frombuffer(cd, dtype=np.uint8)
+            out[i] = lut[mi, c].sum()
+        return pd.Series(out)
+
+    return adc
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    codebook: list | None = None,
+    pq_books: list | None = None,
+    rerank_with: DataFrame | None = None,
+    rerank_candidates: int = 50,
+) -> DataFrame:
+    """ANN probe over the COMPRESSED index: per query, search the
+    `nprobe` nearest coarse cells, score candidates by ADC (m table
+    lookups each — the index's float vectors don't exist), return
+    `(query_id, corpus_id, score, rank)`.
+
+    `rerank_with=corpus_frame` adds the exact re-rank arm: the top
+    `rerank_candidates` ADC survivors per query join back to their TRUE
+    vectors and re-score with exact cosine — the standard two-stage
+    ADC-prefilter → exact-rerank pipeline (recall of the exact scorer at
+    candidate-list cost; the returned `score` is then the exact cosine).
+    The rerank join touches only |Q|·rerank_candidates rows — never the
+    corpus-wide candidate set."""
+    cents = codebook if codebook is not None else _codebook_rows(index)
+    books = pq_books if pq_books is not None else _pq_books_rows(index)
+    c = index.where(F.col("part") == "vec").select(
+        F.col(corpus_id).alias("c_id"), F.col("codes"), F.col("centroid_id")
+    )
+    assign_q = _cell_assign_udf(cents, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        unit_normalize(F.col(vec_col)).alias("q_vec"),
+        F.explode(assign_q(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+    )
+    adc = _adc_score_udf(books)
+    cand = q.join(c, on="centroid_id").select(
+        "q_id", "c_id", "q_vec", adc(F.col("q_vec"), F.col("codes")).alias("adc")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id").asc())
+    if rerank_with is None:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("q_id").alias(query_id),
+                F.col("c_id").alias(corpus_id),
+                F.col("adc").alias("score"),
+                "rank",
+            )
+        )
+    short = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= rerank_candidates
+    )
+    truth = rerank_with.select(
+        F.col(corpus_id).alias("c_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
+    )
+    exact = short.join(truth, "c_id").select(
+        "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(query_id),
+            F.col("c_id").alias(corpus_id),
+            "score",
+            "rank",
+        )
+    )

@@ -2307,6 +2307,77 @@ def _ivf_stored_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_IVF_PQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_pq_stored_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    path = _IVF_PQ_INDEX_PATHS.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_index
+
+    _, corpus = _ivf_topk_corpus(spark, sf_dir)
+    path = _qtmp("ivfpq") + "/index"
+    ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=8, m=8, n_codes=16,
+        iterations=2, pq_iterations=2,
+    ).write.parquet(path)
+    _IVF_PQ_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+@_q("ivf_pq_topk")
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-index ANN probe (similarity.py::ivf_pq_index /
+    ivf_pq_topk — Jégou et al. 2011): the stored index holds m=8 uint8
+    codes per vector instead of 64 float64s (64× smaller vec rows);
+    candidates score by ADC table lookups, never touching a float corpus
+    vector. Rows-only check (ADC ranks are approximate by design — the
+    exact-rerank twin `ivf_pq_probe_rerank` carries the value oracle);
+    the planted-recall pytest
+    (tests/test_dedup_similarity.py::test_ivf_pq_planted_recall) gates
+    quality."""
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_topk
+
+    emb, _ = _ivf_topk_corpus(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    index = spark.read.parquet(_ivf_pq_stored_index(spark, sf_dir))
+    res = ivf_pq_topk(
+        queries, index, query_id="query_id", corpus_id="neighbor_id",
+        k=3, nprobe=2,
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+@_q(
+    "ivf_pq_probe_rerank",
+    "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank "
+    "FROM embeddings WHERE vec_id < 10",
+)
+def q_ivf_pq_probe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage compressed-ANN pipeline with a closed-form oracle:
+    ADC prefilter over the PQ index (50 candidates/query) → exact cosine
+    re-rank against the TRUE vectors (similarity.py::ivf_pq_topk
+    rerank_with=). Each query's planted clone shares its exact vector:
+    identical coarse cell (probed first), identical PQ codes (ADC score
+    = the query's own quantized self-similarity — top of the candidate
+    list), so it survives any sane prefilter and re-ranks at cosine 1.0,
+    rank 1. Value-exact like `ivf_topk`'s oracle, while exercising the
+    codes-only candidate path end-to-end."""
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_topk
+
+    emb, corpus = _ivf_topk_corpus(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    index = spark.read.parquet(_ivf_pq_stored_index(spark, sf_dir))
+    res = ivf_pq_topk(
+        queries, index, query_id="query_id", corpus_id="neighbor_id",
+        k=1, nprobe=2, rerank_with=corpus, rerank_candidates=50,
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 @_q("ivf_topk", "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank FROM embeddings WHERE vec_id < 10")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-1 retrieval with planted ground truth, probing a STORED

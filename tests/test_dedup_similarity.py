@@ -1028,3 +1028,162 @@ def test_duplicated_substring_spans_exact_islands(spark):
         (4, 2, 9, 7),    # within-doc repeat: both islands reported
         (4, 10, 17, 7),
     ]  # doc 3 has no spans and no rows
+
+
+def test_ivf_pq_planted_recall(spark):
+    """PQ recall gate (Jégou et al. 2011), the paper's recall@R framing:
+    on planted clusters the PRODUCTION configuration (ADC prefilter at
+    R=40 -> exact rerank) must come within a stated delta (0.05) of the
+    raw-vector IVF probe's recall@5 at identical coarse parameters —
+    i.e. the 8-byte codes never drop a true neighbor out of the
+    candidate list. ADC-only top-5 is additionally sanity-bounded but
+    NOT held to raw recall: within-cluster fine ranking is beyond an
+    8-byte code by design (measured here: ~0.3-0.5 on 0.4-noise
+    clusters); that residual is exactly what the rerank stage buys
+    back."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_topk,
+        topk_brute_force,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 32)) * 4
+    rows = []
+    for i in range(180):
+        v = centers[i % 6] + rng.standard_normal(32) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 18).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = vecs.withColumnRenamed("vec_id", "neighbor_id")
+
+    def topk_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_set(
+        topk_brute_force(queries, corpus, "query_id", "neighbor_id", k=5)
+    )
+    raw_idx = ivf_index(corpus, "neighbor_id", n_centroids=6, iterations=2)
+    pq_idx = ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=6, m=8, n_codes=16,
+        iterations=2, pq_iterations=2,
+    )
+    raw = topk_set(
+        ivf_topk(queries, query_id="query_id", corpus_id="neighbor_id",
+                 k=5, nprobe=2, index=raw_idx)
+    )
+    adc = topk_set(
+        ivf_pq_topk(queries, pq_idx, query_id="query_id",
+                    corpus_id="neighbor_id", k=5, nprobe=2)
+    )
+    rr = topk_set(
+        ivf_pq_topk(queries, pq_idx, query_id="query_id",
+                    corpus_id="neighbor_id", k=5, nprobe=2,
+                    rerank_with=corpus, rerank_candidates=40)
+    )
+
+    def recall(got):
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_raw, r_adc, r_rr = recall(raw), recall(adc), recall(rr)
+    assert r_raw > 0.8           # sanity: the coarse probe itself works
+    assert r_adc >= 0.2          # ADC finds the right cluster at least
+    assert r_rr >= r_raw - 0.05  # the stated production-path delta
+
+
+def test_ivf_pq_index_bytes_compression(spark, sf_dir, tmp_path):
+    """The compression claim, measured: vec rows carry m=8 BINARY bytes
+    and NO float vector (64 float64s -> 8 bytes = 64x per-row payload);
+    on disk the whole PQ index parquet must be >=5x smaller than the raw
+    ivf_index over the same corpus (random doubles don't compress, codes
+    do)."""
+    import os
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    raw_p, pq_p = str(tmp_path / "raw"), str(tmp_path / "pq")
+    ivf_index(emb, "vec_id", n_centroids=8, iterations=1).coalesce(1).write.parquet(raw_p)
+    ivf_pq_index(
+        emb, "vec_id", n_centroids=8, m=8, n_codes=16,
+        iterations=1, pq_iterations=1,
+    ).coalesce(1).write.parquet(pq_p)
+
+    stored = spark.read.parquet(pq_p)
+    vec = stored.where(F.col("part") == "vec")
+    chk = vec.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("null_v"),
+        F.min(F.length("codes")).alias("lo"),
+        F.max(F.length("codes")).alias("hi"),
+    ).first()
+    assert chk.n == emb.count() and chk.null_v == chk.n
+    assert chk.lo == chk.hi == 8  # exactly m bytes per vector
+
+    def disk(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    assert disk(raw_p) >= 5 * disk(pq_p), (disk(raw_p), disk(pq_p))
+
+
+def test_ivf_pq_append_lifecycle(spark, sf_dir, tmp_path):
+    """Build -> probe -> append -> probe on the COMPRESSED index: both
+    codebooks are immutable after build, appended clones get identical
+    codes + cells to their originals, so post-append queries retrieve
+    their clones at rank 1 under exact rerank (the ivf_index_probe
+    contract on the PQ index)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        _codebook_rows,
+        _pq_books_rows,
+        ivf_pq_append,
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.where(F.col("vec_id") >= 10)
+    path = str(tmp_path / "idx")
+    ivf_pq_index(
+        corpus, "vec_id", n_centroids=8, m=8, n_codes=16,
+        iterations=1, pq_iterations=1,
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    cb, books = _codebook_rows(stored), _pq_books_rows(stored)
+
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_pq_append(
+        stored, clones, "vec_id", codebook=cb, pq_books=books
+    ).write.mode("append").parquet(path)
+
+    q = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    post = ivf_pq_topk(
+        q, spark.read.parquet(path), query_id="query_id", corpus_id="vec_id",
+        k=1, nprobe=2, codebook=cb, pq_books=books,
+        rerank_with=emb.unionByName(clones), rerank_candidates=30,
+    )
+    got = {r.query_id: r.vec_id for r in post.collect()}
+    assert got == {i: i + 1_000_000 for i in range(10)}

@@ -515,11 +515,20 @@ def incremental_dedup(
             .where(F.col("_bloom_maybe"))
             .drop("_bloom_maybe")
         )
+    # `alive` feeds TWO consumers (the batch-state signature build and the
+    # final survivors anti-join) and its plan is NOT cheap to replay:
+    # Catalyst pushes the semi/anti joins through the batch's Union
+    # (PushdownLeftSemiAntiJoin), duplicating the exact-stage subtree per
+    # union branch — unpersisted, the final checkpoint re-ran that whole
+    # tree a second time (the r8 heavy-bench variance: ~1.5-2s of
+    # replayed exchanges/broadcasts per call at sf0.1, worse under GC
+    # pressure). Persist it for the duration of this call, same hygiene
+    # contract as the two state frames.
     alive = batch.join(
         keyed.join(corpus_keys, ["_h1", "_h2"], "left_semi").select(id_col),
         id_col,
         "left_anti",
-    )
+    ).persist()
     bstate = dedup_signatures(
         alive, id_col, text_col, shingle_size, num_hashes, seed, use_arrow
     ).persist()
@@ -567,6 +576,7 @@ def incremental_dedup(
         finally:
             corpus_state.unpersist()
             bstate.unpersist()
+            alive.unpersist()
     return survivors
 
 

@@ -59,6 +59,10 @@ ABS_BUDGET_US = {
     "top_terms": 170.0,
     "remove_segments": 60.0,
     "exact_dedup_norm": 160.0,
+    # r9: added after the r8 incremental_dedup_batch variance finding —
+    # the alive-frame persist fix landed first; measured 60.1 µs/row big
+    # (rel 0.40) on this box, ~4× like the rest
+    "incremental_dedup": 250.0,
 }
 REL_BUDGET = 2.0
 
@@ -164,6 +168,20 @@ def _ops(spark):
         corpus.remove_frequent_segments(seg, id_col="id", segments_col="segments").count()
         return n
 
+    def incremental_dedup(n):
+        # batch-vs-corpus steady state (r9 addition after the r8 variance
+        # finding): even ids play the corpus, odd ids the batch; cost
+        # counted per TOTAL input row. Exercises both signature builds,
+        # the exact anti-join, banding and verify — the full per-batch
+        # fixed+variable cost a streaming sink pays.
+        docs = synth_docs(spark, n)
+        dedup.incremental_dedup(
+            docs.where(F.col("id") % 2 == 1),
+            docs.where(F.col("id") % 2 == 0),
+            id_col="id", text_col="text", threshold=0.3,
+        ).count()
+        return n
+
     def exact_dedup_norm(n):
         # normalized variant: dedup on the text_normalize'd content (the
         # whitespace/case-folded key), hash-grouped — the 16-byte shuffle
@@ -183,6 +201,7 @@ def _ops(spark):
         "ivf_lifecycle": ivf_lifecycle,
         "top_terms": top_terms,
         "remove_segments": remove_segments,
+        "incremental_dedup": incremental_dedup,
         "exact_dedup_norm": exact_dedup_norm,
     }
 

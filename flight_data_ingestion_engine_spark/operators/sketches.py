@@ -1498,13 +1498,47 @@ def kmv_weighted_state(
     )
 
 
+def kmv_weighted_replay_merge(
+    slices: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Replay-SAFE merge of EPOCH-TAGGED weighted KMV slices — the
+    on-disk form `foreach_batch_kmv_sink(weight_col=...)` writes. The
+    plain weighted merge double-counts a replayed slice (weights sum);
+    this is the `lm_state_merge` law applied to the tuple sketch:
+    collapse to one row per (epoch_id, group, gh, w) FIRST — exact
+    because each epoch's slice is deterministic (same batch → identical
+    rows), which is precisely why the sink carries the tag — then sum
+    weights per (group, gh) across epochs and re-truncate to the k
+    smallest. Two different epochs carrying the same (group, gh, w) are
+    legitimate contributions and both survive the collapse (epoch_id
+    differs).
+
+    Exactness: merged state == the batch-computed `kmv_weighted_state`
+    of all slices' facts, under any replay — any key among a group's k
+    smallest overall is among the k smallest of every batch it appears
+    in, so no slice truncation ever drops one of its contributions."""
+    cols = ["epoch_id", *group_cols, "gh", "w"]
+    one = slices.select(*cols).distinct()
+    gcols = [F.col(c) for c in group_cols]
+    summed = one.groupBy(*gcols, F.col("gh")).agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("gh")
+    return (
+        summed.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_weighted_merge(
     states: list[DataFrame], group_cols: list[str], k: int = 256
 ) -> DataFrame:
     """Merge weighted KMV slices: weights SUM per (group, gh) — correct
     when the slices partition the underlying facts (the append-only
-    slice contract; a replayed slice double-counts weight, unlike the
-    unweighted state) — then re-truncate to the k smallest."""
+    slice contract; a replayed slice double-counts weight — epoch-tagged
+    streaming slices must merge through `kmv_weighted_replay_merge`
+    instead) — then re-truncate to the k smallest."""
     merged = states[0]
     for s in states[1:]:
         merged = merged.unionByName(s)

@@ -10562,9 +10562,7 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "theta_shared_event_mass",
-    f"""
+_THETA_MASS_SQL = f"""
     WITH ud AS (
       SELECT event_type,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
@@ -10601,8 +10599,10 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE FLOOR(CAST(m_b AS DOUBLE) * CAST({_KMV_SPACE_SQL} AS DOUBLE)
                       / CAST(theta AS DOUBLE)) END AS BIGINT) AS est_mass_b
     FROM th, ci
-    """,
-)
+    """
+
+
+@_q("theta_shared_event_mass", _THETA_MASS_SQL)
 def q_theta_shared_event_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted ("tuple") theta sketch (sketches.py::kmv_weighted_state /
     kmv_shared_mass): estimated CLICK-EVENT MASS sitting on user-days
@@ -10634,6 +10634,99 @@ def q_theta_shared_event_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_shared_mass(
         spark.read.parquet(f"{root}/a"),
         spark.read.parquet(f"{root}/b"),
+        [],
+        k=256,
+    )
+
+
+@_q("streaming_theta_mass", _THETA_MASS_SQL)
+def q_streaming_theta_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-safe WEIGHTED theta maintenance with a VALUE-EXACT oracle
+    (streaming/file_stream.py::foreach_batch_kmv_sink(weight_col=) +
+    sketches.py::kmv_weighted_replay_merge — closing the r8 caveat that
+    the weighted merge double-counts replayed slices): click/purchase
+    events arrive as two micro-batches, each appending its epoch-tagged
+    ≤ k-per-type weighted slice; the reader collapses replays on the
+    epoch tag, sums weights per (type, key-hash), re-truncates, and the
+    shared-mass estimate comes off the merged state. The merged state
+    equals the batch-computed weighted state EXACTLY (any overall-top-k
+    key is top-k in every batch it appears in, so slice truncation never
+    drops one of its contributions), so the oracle is the full
+    batch-side computation — the same SQL as `theta_shared_event_mass`.
+    Replay-idempotence itself is pytest-gated (slice-written-twice,
+    tests/test_sketches.py)."""
+    import os
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_shared_mass,
+        kmv_weighted_replay_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_kmv_sink,
+        stream_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("bigint")
+    keyed = ev.select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+        ).alias("ukey"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    root = _qtmp("sthm")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(keyed.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(keyed.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark,
+        src,
+        "event_id bigint, event_type string, ukey string, one bigint",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_kmv_sink(
+                st.drop("event_id"), state, ck, "ukey", ["event_type"],
+                k=256, weight_col="one",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = kmv_weighted_replay_merge(
+        spark.read.parquet(state), ["event_type"], k=256
+    )
+    return kmv_shared_mass(
+        merged.where(F.col("event_type") == "click").select("gh", "w"),
+        merged.where(F.col("event_type") == "purchase").select("gh", "w"),
         [],
         k=256,
     )

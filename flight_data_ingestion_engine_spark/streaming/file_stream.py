@@ -679,6 +679,7 @@ def foreach_batch_kmv_sink(
     key_col: str,
     group_cols: list[str],
     k: int = 256,
+    weight_col: str | None = None,
 ):
     """Streaming KMV/theta distinct-sample maintenance: each micro-batch
     reduces to its ≤ k-rows-per-group `kmv_state` slice and appends it
@@ -693,13 +694,27 @@ def foreach_batch_kmv_sink(
     batch-computed state under any replay. No epoch dedup needed; the
     epoch_id column is carried for lineage only. State growth is
     ≤ groups·k rows per batch; compact by rewriting the merged state
-    whenever file count bothers you (bit-identical by the merge law)."""
+    whenever file count bothers you (bit-identical by the merge law).
+
+    `weight_col` (r9, closing the r8 caveat): maintain the WEIGHTED
+    tuple sketch instead — per batch a `kmv_weighted_state` slice whose
+    per-key weights sum that batch's `weight_col`. Weights sum across
+    epochs, so a blind re-sum of a replayed slice WOULD double-count;
+    readers must merge through `kmv_weighted_replay_merge`, which
+    collapses replays on the epoch tag first (exact: slices are
+    deterministic per epoch) — after which the merged state equals the
+    batch-computed weighted state, feeding `kmv_shared_mass` etc."""
     from flight_data_ingestion_engine_spark.operators import sketches
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sl = sketches.kmv_state(batch_df, F.col(key_col), group_cols, k)
+        if weight_col is None:
+            sl = sketches.kmv_state(batch_df, F.col(key_col), group_cols, k)
+        else:
+            sl = sketches.kmv_weighted_state(
+                batch_df, F.col(key_col), F.col(weight_col), group_cols, k
+            )
         sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
             "append"
         ).parquet(state_path)

@@ -932,3 +932,83 @@ def test_kmv_weighted_shared_mass_exact_and_sampled(spark):
         ).collect()
     }
     assert merged == single
+
+
+def test_kmv_weighted_replay_merge_absorbs_replays(spark, tmp_path):
+    """r8 caveat closed: a replayed weighted slice must NOT double-count.
+    Simulate the sink firing twice for the same epoch (identical slice,
+    identical epoch tag — foreachBatch's crash-replay contract), merge
+    through kmv_weighted_replay_merge, and require the state to equal
+    (a) the no-replay merge and (b) the batch-computed weighted state of
+    all facts. The PLAIN kmv_weighted_merge over the same slices must
+    show the double-count (the documented failure this API fixes)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_weighted_merge,
+        kmv_weighted_replay_merge,
+        kmv_weighted_state,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 37}", 1 + i % 3) for i in range(500)],
+        "event_id bigint, user string, amount bigint",
+    )
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "state")
+    for epoch, df in ((0, b1), (1, b2), (1, b2)):  # epoch 1 REPLAYED
+        kmv_weighted_state(df, F.col("user"), F.col("amount"), [], k=16).withColumn(
+            "epoch_id", F.lit(epoch).cast("bigint")
+        ).write.mode("append").parquet(path)
+
+    merged = {
+        r.gh: r.w
+        for r in kmv_weighted_replay_merge(
+            spark.read.parquet(path), [], k=16
+        ).collect()
+    }
+    batch = {
+        r.gh: r.w
+        for r in kmv_weighted_state(
+            ev, F.col("user"), F.col("amount"), [], k=16
+        ).collect()
+    }
+    assert merged == batch  # replay absorbed AND merge law exact
+
+    # the plain merge over the raw slices double-counts epoch 1
+    slices = spark.read.parquet(path).select("gh", "w")
+    naive = {r.gh: r.w for r in kmv_weighted_merge([slices], [], k=16).collect()}
+    assert any(naive[gh] > w for gh, w in batch.items() if gh in naive)
+
+
+def test_kmv_weighted_replay_merge_keeps_distinct_epochs(spark, tmp_path):
+    """Two DIFFERENT epochs contributing the same (gh, w) row are both
+    real mass and must both count — the epoch tag is what separates
+    them from a replay."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        kmv_weighted_replay_merge,
+        kmv_weighted_state,
+    )
+
+    # same facts in both epochs -> identical slices, different tags
+    ev = spark.createDataFrame(
+        [(i, f"u{i % 5}", 2) for i in range(50)],
+        "event_id bigint, user string, amount bigint",
+    )
+    path = str(tmp_path / "state")
+    for epoch in (0, 1):
+        kmv_weighted_state(ev, F.col("user"), F.col("amount"), [], k=16).withColumn(
+            "epoch_id", F.lit(epoch).cast("bigint")
+        ).write.mode("append").parquet(path)
+    merged = {
+        r.gh: r.w
+        for r in kmv_weighted_replay_merge(
+            spark.read.parquet(path), [], k=16
+        ).collect()
+    }
+    single = {
+        r.gh: r.w
+        for r in kmv_weighted_state(
+            ev, F.col("user"), F.col("amount"), [], k=16
+        ).collect()
+    }
+    assert merged == {gh: 2 * w for gh, w in single.items()}

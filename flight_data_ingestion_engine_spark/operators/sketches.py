@@ -1468,6 +1468,90 @@ def star_join_with_stats(
     return out, order
 
 
+def star_join_adaptive(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, str, str]],
+    fact_states: list[DataFrame],
+    dim_states: list[DataFrame],
+    width: int = 1 << 15,
+    depth: int = 3,
+    eager: bool = True,
+) -> tuple[DataFrame, list[int]]:
+    """CHAIN-AWARE star-join ordering (r9, closing the r8 static-order
+    gap): `star_join_order` ranks every dimension by its FIRST-hop CMS
+    bound against the original fact — but after the most selective dim
+    joins, the surviving fact's key distribution changes, and under key
+    CORRELATION the static ranking of the remaining dims can invert
+    (dim B prunes half the raw fact yet none of A's survivors). This
+    executes the chain greedily: pick hop 1 from the persisted sketch
+    states exactly like the static planner (no fact scan), JOIN it, then
+    re-sketch the SURVIVING intermediate's remaining keys — one narrow
+    fixed-size aggregation over rows the next join must scan anyway, all
+    remaining keys' estimates composed into ONE driver action per hop
+    (the `star_join_order` crossJoin-of-1-row-aggregates shape) — and
+    rank the remaining dims against the TRUE conditional distribution.
+
+    Inner equi-joins commute, so the result is value-identical to any
+    static order (row-identity pytest-gated); adaptivity only buys the
+    smallest intermediates. This is runtime re-optimization one level
+    above AQE: AQE re-plans physical strategy per stage from observed
+    sizes, this re-plans the LOGICAL join order from observed-surviving
+    sketches.
+
+    Each intermediate persists for the duration of the decision + next
+    join; `eager` (default) localCheckpoints the final frame and
+    releases every intermediate cache (the `incremental_dedup` hygiene
+    contract). `eager=False` leaves the last intermediate cached — the
+    caller owns cache hygiene. `fact_states`/`dim_states` must share
+    (width, depth); hop-1 uses them as-is, later hops build the
+    surviving-fact sketches with the same params."""
+    assert len(dims) == len(fact_states) == len(dim_states) >= 1
+    remaining = list(range(len(dims)))
+    out = fact
+    order: list[int] = []
+    cached: list[DataFrame] = []
+    try:
+        # hop 1: the stored-state decision (identical to star_join_order)
+        row = None
+        for i in remaining:
+            e = cms_join_size(fact_states[i], dim_states[i], depth=depth).select(
+                F.col("est").alias(f"est_{i}")
+            )
+            row = e if row is None else row.crossJoin(e)
+        got = row.collect()[0]
+        first = min(remaining, key=lambda i: (int(got[f"est_{i}"]), i))
+        dim, fk, dk = dims[first]
+        out = out.join(dim, out[fk] == dim[dk], "inner").drop(dim[dk])
+        order.append(first)
+        remaining.remove(first)
+
+        while remaining:
+            out = out.persist()
+            cached.append(out)
+            # one driver action: every remaining dim's bound against the
+            # SURVIVING fact (conditional distribution, not the raw one)
+            row = None
+            for i in remaining:
+                fs = cms_state(out, dims[i][1], width=width, depth=depth)
+                e = cms_join_size(fs, dim_states[i], depth=depth).select(
+                    F.col("est").alias(f"est_{i}")
+                )
+                row = e if row is None else row.crossJoin(e)
+            got = row.collect()[0]
+            nxt = min(remaining, key=lambda i: (int(got[f"est_{i}"]), i))
+            dim, fk, dk = dims[nxt]
+            out = out.join(dim, out[fk] == dim[dk], "inner").drop(dim[dk])
+            order.append(nxt)
+            remaining.remove(nxt)
+        if eager:
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if eager:
+            for c in cached:
+                c.unpersist()
+    return out, order
+
+
 def kmv_weighted_state(
     df: DataFrame,
     key: Column,

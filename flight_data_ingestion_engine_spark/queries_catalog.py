@@ -10562,6 +10562,67 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stats_join_adaptive",
+    """
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+    JOIN part   ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+    GROUP BY 1
+    """,
+)
+def q_stats_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-AWARE adaptive join ordering (sketches.py::
+    star_join_adaptive — r9): hop 1 is chosen from the stored sketch
+    states like `stats_join_ordered`, then the SURVIVING intermediate is
+    re-sketched (one fixed-size agg over rows the next join scans
+    anyway, all remaining estimates in one driver action per hop) so
+    later hops rank dimensions by their CONDITIONAL selectivity — the
+    correlation case where static first-hop bounds provably pick the
+    larger intermediate is pinned in tests/test_plans.py::
+    test_star_join_adaptive_beats_static_under_correlation. Inner joins
+    commute, so the oracle is order-independent and identical to the
+    static query's."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        star_join_adaptive,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey", "p_type")
+    )
+    w, d = 1 << 14, 3
+    joined, _ = star_join_adaptive(
+        li,
+        [(od, "l_orderkey", "o_orderkey"), (pt, "l_partkey", "p_partkey")],
+        [cms_state(li, "l_orderkey", width=w, depth=d),
+         cms_state(li, "l_partkey", width=w, depth=d)],
+        [cms_state(od, "o_orderkey", width=w, depth=d),
+         cms_state(pt, "p_partkey", width=w, depth=d)],
+        width=w,
+        depth=d,
+    )
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 _THETA_MASS_SQL = f"""
     WITH ud AS (
       SELECT event_type,

@@ -1778,3 +1778,57 @@ def unigram_encode(
         .cast("bigint")
         .alias("total_bits"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    cutoffs: tuple[float, float] | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document against a persisted reference LM (`ngram_lm_score` — the
+    integer-exact surprisal proxy), then label `head` / `middle` /
+    `tail` by the corpus's own score distribution — head = the
+    best-scoring (most reference-like) third, the split CCNet feeds to
+    downstream filtering/mixing. Returns the score columns plus
+    `bucket`.
+
+    Cutoffs: by default the EXACT `cuts` quantiles of
+    `avg_surprise_bits` (Spark `F.percentile` — bit-identical to DuckDB
+    quantile_cont, the exact_percentiles precedent), computed as one
+    global aggregate and broadcast back. An exact global percentile
+    ships every score to one reducer — two doubles per doc, fine into
+    the billions, but at the 100 TB steady state pass `cutoffs=`
+    (precomputed on yesterday's corpus or a sample, CCNet's own
+    practice) and the whole operator is score + one broadcast compare:
+    no global reduce at all. Boundary rule: bucket_i takes scores
+    <= cutoff_i (ties fall toward head — deterministic because the
+    scores themselves are engine-identical)."""
+    scored = ngram_lm_score(df, state, id_col, text_col, n, normalize)
+    if cutoffs is not None:
+        c1, c2 = (
+            F.lit(float(cutoffs[0])).alias("_c1"),
+            F.lit(float(cutoffs[1])).alias("_c2"),
+        )
+        withc = scored.select("*", c1, c2)
+    else:
+        cut = scored.agg(
+            F.percentile("avg_surprise_bits", cuts[0]).alias("_c1"),
+            F.percentile("avg_surprise_bits", cuts[1]).alias("_c2"),
+        )
+        withc = scored.crossJoin(F.broadcast(cut))
+    return withc.select(
+        F.col(id_col),
+        "n_ngrams",
+        "sum_surprise_bits",
+        "avg_surprise_bits",
+        F.when(F.col("avg_surprise_bits") <= F.col("_c1"), F.lit("head"))
+        .when(F.col("avg_surprise_bits") <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

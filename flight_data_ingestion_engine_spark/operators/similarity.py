@@ -1011,7 +1011,7 @@ def ivf_pq_index(
 
 
 def ivf_pq_append(
-    index: DataFrame,
+    index: DataFrame | None,
     new_vectors: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
@@ -1020,7 +1020,11 @@ def ivf_pq_append(
 ) -> DataFrame:
     """Assign + encode NEW vectors against a stored ivf_pq_index — both
     codebooks immutable, one narrow Arrow pass; returned `part='vec'`
-    rows append to the stored table (the `ivf_index_append` contract)."""
+    rows append to the stored table (the `ivf_index_append` contract).
+    `index` may be None when BOTH collected books are passed (per-batch
+    callers like the streaming sink collect them once at wiring)."""
+    if index is None and (codebook is None or pq_books is None):
+        raise ValueError("pass index= or both codebook= and pq_books=")
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
     cell = _cell_assign_udf(cents, 1)

@@ -5635,6 +5635,72 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "perplexity_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    train AS (
+      SELECT t[i] AS ctx, t[i+1] AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE doc_id % 2 = 0 AND len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    ctx_tot AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS ct FROM train GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train),
+    pairs AS (
+      SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(length(bin(COALESCE(ct, 0) + v))
+                      - length(bin(COALESCE(cnt, 0) + 1))) AS BIGINT)
+               AS sum_surprise_bits,
+             CAST(SUM(length(bin(COALESCE(ct, 0) + v))
+                      - length(bin(COALESCE(cnt, 0) + 1))) AS DOUBLE) / COUNT(*)
+               AS avg_surprise_bits
+      FROM pairs p
+      LEFT JOIN train USING (ctx, tok)
+      LEFT JOIN ctx_tot USING (ctx)
+      CROSS JOIN vocab
+      GROUP BY p.doc_id
+    ),
+    cutc AS (
+      SELECT quantile_cont(avg_surprise_bits, 1.0/3.0) AS c1,
+             quantile_cont(avg_surprise_bits, 2.0/3.0) AS c2
+      FROM scored
+    )
+    SELECT doc_id, n_ngrams, sum_surprise_bits, avg_surprise_bits,
+           CASE WHEN avg_surprise_bits <= c1 THEN 'head'
+                WHEN avg_surprise_bits <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cutc
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (corpus.py::perplexity_buckets —
+    Wenzek et al. 2020): every document scores its bitlen-quantized
+    conditional surprisal against the even-id reference LM, then labels
+    head/middle/tail by the EXACT score terciles (F.percentile ==
+    quantile_cont bit-for-bit, the exact_percentiles precedent; ties
+    fall toward head). The split CCNet feeds to downstream filtering —
+    here fully value-exact including the bucket labels. Steady-state
+    note: pass `cutoffs=` (yesterday's terciles) and the operator has
+    no global reduce at all."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        ngram_lm_state,
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    state = ngram_lm_state(docs.where(F.col("doc_id") % 2 == 0), n=2)
+    return perplexity_buckets(docs, state, id_col="doc_id", n=2)
+
+
+@_q(
     "streaming_lm_state",
     f"""
     WITH toks AS (
@@ -10559,6 +10625,99 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@_q(
+    "streaming_ivf_pq_append",
+    "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank "
+    "FROM embeddings WHERE vec_id < 10",
+)
+def q_streaming_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming compressed-ANN index maintenance
+    (streaming/file_stream.py::foreach_batch_ivf_pq_sink): the PQ index
+    builds once over vec_id >= 10, then clones of queries 0..9 ARRIVE AS
+    A STREAM (two micro-batches), each encoded with the stored immutable
+    codebooks and moved into the index under the epoch-marker
+    exactly-once protocol (a replayed batch would double its vectors in
+    every probe — no reader-side merge law can absorb fact rows; the
+    replay skip itself is pytest-gated). Post-drain, each query
+    retrieves its streamed-in clone at rank 1 under exact rerank — the
+    same closed-form oracle as `ivf_pq_probe_rerank`, now proving the
+    streamed rows landed in exactly the cells the queries probe."""
+    import os
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_ivf_pq_sink,
+        stream_parquet,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    root = _qtmp("sivfpq")
+    idx, src, ck = f"{root}/index", f"{root}/src", f"{root}/ck"
+    ivf_pq_index(
+        corpus, "vec_id", n_centroids=8, m=8, n_codes=16,
+        iterations=1, pq_iterations=1,
+    ).write.parquet(idx)
+
+    clones = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(clones.where(F.col("vec_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(clones.where(F.col("vec_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark, src, "vec_id bigint, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_ivf_pq_sink(st, idx, ck, "vec_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    res = ivf_pq_topk(
+        queries, spark.read.parquet(idx),
+        query_id="query_id", corpus_id="vec_id", k=1, nprobe=2,
+        rerank_with=emb.unionByName(clones), rerank_candidates=50,
+    )
+    return res.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

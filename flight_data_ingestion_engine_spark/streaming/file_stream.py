@@ -724,3 +724,103 @@ def foreach_batch_kmv_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def ivf_pq_sink_fn(
+    index_path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    run_tag: str = "",
+    codebook: list | None = None,
+    pq_books: list | None = None,
+):
+    """The foreachBatch closure behind `foreach_batch_ivf_pq_sink`,
+    exposed so the epoch-marker replay protocol is directly testable
+    (the `manifest_sink_fn` convention). Codebooks are collected once at
+    wiring time — immutable after build."""
+    def _load_books(spark):
+        from flight_data_ingestion_engine_spark.operators.similarity import (
+            _codebook_rows,
+            _pq_books_rows,
+        )
+
+        stored = spark.read.parquet(index_path)
+        return _codebook_rows(stored), _pq_books_rows(stored)
+
+    state = {"cb": codebook, "books": pq_books}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from flight_data_ingestion_engine_spark.operators.similarity import (
+            ivf_pq_append,
+        )
+
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        if state["cb"] is None or state["books"] is None:
+            state["cb"], state["books"] = _load_books(sp)
+        jvm = sp._jvm
+        hconf = sp._jsc.hadoopConfiguration()
+
+        def _p(path: str):
+            return jvm.org.apache.hadoop.fs.Path(path)
+
+        root = index_path.rstrip("/")
+        prefix = f"e{run_tag}-{epoch_id}-" if run_tag else f"epoch{epoch_id}-"
+        marker_name = f"{run_tag}-{epoch_id}" if run_tag else str(epoch_id)
+        fs = _p(root).getFileSystem(hconf)
+        marker = _p(f"{root}/_epochs/{marker_name}")
+        if fs.exists(marker):
+            return  # replay of a committed epoch — skip, exactly-once
+        vec_rows = ivf_pq_append(
+            None, batch_df, id_col, vec_col,
+            codebook=state["cb"], pq_books=state["books"],
+        )
+        staging = f"{root}/_epoch_staging_{run_tag}{epoch_id}"
+        vec_rows.write.mode("overwrite").parquet(staging)
+        for st in fs.listStatus(_p(root)):
+            name = st.getPath().getName()
+            if name.startswith(prefix):
+                fs.delete(st.getPath(), False)  # half-completed prior move
+        for st in fs.listStatus(_p(staging)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet"):
+                fs.rename(st.getPath(), _p(f"{root}/{prefix}{name}"))
+        fs.delete(_p(staging), True)
+        fs.mkdirs(_p(f"{root}/_epochs"))
+        fs.createNewFile(marker)
+
+    return sink
+
+
+def foreach_batch_ivf_pq_sink(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str = "embedding",
+):
+    """Streaming COMPRESSED-ANN index maintenance: the crawl's new
+    vectors land in the stored `ivf_pq_index` as they arrive. Both
+    codebooks are immutable after build (`ivf_pq_append`'s contract), so
+    they are collected ONCE — each micro-batch is then a single narrow
+    Arrow pass (coarse cell + m-byte PQ code per vector) whose
+    `part='vec'` rows move into the index directory.
+
+    Replay semantics — the epoch-marker EXACTLY-ONCE protocol
+    (`manifest_sink_fn` steps 1-4, same run-tag namespacing), not a
+    merge law: vec rows are facts, and a duplicated row would occupy two
+    ranks in every later probe — there is no reader-side distinct that
+    can absorb it (unlike the set/count sketch sinks). A replayed batch
+    whose marker exists is skipped outright; a half-completed move
+    self-heals on replay (staged overwrite + leftover sweep + rename +
+    marker)."""
+    import hashlib
+
+    run_tag = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+    sink = ivf_pq_sink_fn(index_path, id_col, vec_col, run_tag=run_tag)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -589,3 +589,42 @@ def test_unigram_partial_coverage_words_dropped_both_arms(spark):
         got = {r.word for r in rows}
         assert got == {"xx"}, (method, got)
         assert all(r.bits is not None for r in rows)
+
+
+def test_perplexity_buckets_reference_like_docs_head(spark):
+    """CCNet bucketing planted check: documents drawn from the reference
+    LM's own vocabulary land in 'head' (lowest surprisal tercile);
+    off-domain gibberish lands in 'tail'; precomputed cutoffs skip the
+    global percentile entirely and reproduce the same labels."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        ngram_lm_state,
+        perplexity_buckets,
+    )
+
+    ref = [f"tok{i}" for i in range(8)]
+
+    def ref_doc(i):
+        return " ".join(ref[(i * 3 + j) % 8] for j in range(20))
+
+    rows = (
+        [(i, ref_doc(i)) for i in range(30)]                      # in-domain
+        + [(100 + i, ref_doc(i) + " zq" + str(i)) for i in range(15)]  # mild
+        + [(200 + i, " ".join(f"x{i}y{j}" for j in range(20)))
+           for i in range(15)]                                    # gibberish
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    state = ngram_lm_state(docs.where(F.col("doc_id") < 30), n=2)
+    out = {r.doc_id: r for r in
+           perplexity_buckets(docs, state, id_col="doc_id", n=2).collect()}
+    assert all(out[i].bucket == "head" for i in range(30))
+    assert all(out[200 + i].bucket == "tail" for i in range(15))
+
+    # steady-state arm: explicit cutoffs, no global reduce, same labels
+    c1 = max(out[i].avg_surprise_bits for i in range(30))
+    c2 = max(out[100 + i].avg_surprise_bits for i in range(15))
+    fixed = {r.doc_id: r.bucket for r in
+             perplexity_buckets(docs, state, id_col="doc_id", n=2,
+                                cutoffs=(c1, c2)).collect()}
+    assert all(fixed[i] == "head" for i in range(30))
+    assert all(fixed[100 + i] == "middle" for i in range(15))
+    assert all(fixed[200 + i] == "tail" for i in range(15))

@@ -947,3 +947,50 @@ def test_state_store_is_rocksdb(spark, landing, tmp_path):
         assert rocks, f"no rocksdb metrics in {sorted(metrics)[:10]}"
     finally:
         q.stop()
+
+
+def test_ivf_pq_sink_replay_skips_committed_epoch(spark, sf_dir, tmp_path):
+    """The compressed-index streaming sink's exactly-once protocol: a
+    replayed epoch (same epoch_id, marker present) must leave the index
+    byte-identical — duplicated vec rows would occupy two ranks in every
+    later probe, and no reader-side merge law absorbs fact rows. Also
+    pins the self-heal arm: a half-completed move (files renamed in, NO
+    marker) is swept and redone cleanly on replay."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_pq_index,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        ivf_pq_sink_fn,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(
+        emb.where(F.col("vec_id") >= 10), "vec_id",
+        n_centroids=8, m=8, n_codes=16, iterations=1, pq_iterations=1,
+    ).write.parquet(idx)
+    base_n = spark.read.parquet(idx).count()
+
+    sink = ivf_pq_sink_fn(idx, "vec_id", run_tag="t1")
+    batch = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    sink(batch, 0)
+    after_once = spark.read.parquet(idx)
+    n_once = after_once.count()
+    assert n_once == base_n + 10
+
+    sink(batch, 0)  # crash-replay of the committed epoch
+    assert spark.read.parquet(idx).count() == n_once  # skipped outright
+
+    # half-completed move: simulate by deleting the marker and replaying —
+    # the leftover epoch files must be swept, not doubled
+    import os
+    os.remove(os.path.join(idx, "_epochs", "t1-0"))
+    sink(batch, 0)
+    again = spark.read.parquet(idx)
+    assert again.count() == n_once
+    assert again.where(F.col("vec_id") == 1_000_003).count() == 1

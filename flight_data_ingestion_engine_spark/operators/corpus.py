@@ -1817,6 +1817,12 @@ def perplexity_buckets(
         )
         withc = scored.select("*", c1, c2)
     else:
+        # the score table feeds BOTH the percentile agg and the labeled
+        # output — materialize it once (it's 4 columns per doc, tiny next
+        # to the corpus) so the LM-score subtree (explode + two state
+        # joins + id agg) doesn't execute twice; the quantile arm runs a
+        # job anyway, so the eager checkpoint adds no extra action
+        scored = scored.localCheckpoint(eager=True)
         cut = scored.agg(
             F.percentile("avg_surprise_bits", cuts[0]).alias("_c1"),
             F.percentile("avg_surprise_bits", cuts[1]).alias("_c2"),

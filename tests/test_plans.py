@@ -914,3 +914,34 @@ def test_star_join_adaptive_beats_static_under_correlation(spark):
     key = lambda r: (r.payload, r.ta, r.tb, r.tc)
     assert sorted(map(key, joined.collect())) == sorted(map(key, want.collect()))
     assert joined.count() == hop2_adaptive and joined.count() > 0
+
+
+def test_r9_family_plan_gates(spark, sf_dir):
+    """Plan-shape gates for the r9 families: CCNet bucketing is the LM
+    score's exchange budget + one 1-row percentile agg broadcast back
+    (no extra fact shuffle); the PQ rerank probe never cartesians and
+    its only Python is Arrow-batched; the adaptive star join's RESULT
+    plan keeps the broadcast joins (the decisions happen before the
+    plan, not in it)."""
+    from flight_data_ingestion_engine_spark.plans import count_exchanges, explain_str
+
+    pb = qc.QUERIES["perplexity_buckets"](spark, sf_dir)
+    plan = explain_str(pb)
+    assert "CartesianProduct" not in plan  # cutoffs ride a broadcast
+    assert "BatchEvalPython" not in plan
+    # the score table is checkpointed once; the labeled output is then a
+    # scan + one 1-row percentile agg broadcast back
+    assert count_exchanges(pb) <= 2
+
+    rr = qc.QUERIES["ivf_pq_probe_rerank"](spark, sf_dir)
+    rplan = explain_str(rr)
+    assert "CartesianProduct" not in rplan
+    assert "BatchEvalPython" not in rplan
+
+    aj = qc.QUERIES["stats_join_adaptive"](spark, sf_dir)
+    aplan = explain_str(aj)
+    assert "CartesianProduct" not in aplan
+    # the adaptive executor localCheckpoints its joined frame (decisions
+    # run before the returned plan exists), so the visible plan is the
+    # checkpoint scan + the final agg — exactly one exchange
+    assert count_exchanges(aj) <= 1

@@ -72,6 +72,10 @@ SELECTED = [
     ("theta_retention_daily", "retention entirely from per-day state; no fact rescan"),
     ("theta_shared_event_mass", "weighted set algebra off two <=k-row state tables"),
     ("stats_join_ordered", "CM bounds order the joins: most selective dimension first"),
+    ("quality_classifier_score", "one explode + ONE broadcast weight-table join + id-keyed agg"),
+    ("perplexity_buckets", "score table checkpointed once; 1-row percentile agg broadcast back"),
+    ("ivf_pq_probe_rerank", "codes-only candidates (centroid equi-join + ADC) + bounded exact rerank"),
+    ("stats_join_adaptive", "per-hop re-sketch decisions run before the plan; result = checkpoint scan + agg"),
 ]
 
 INTERESTING = re.compile(

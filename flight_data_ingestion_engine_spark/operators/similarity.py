@@ -851,6 +851,64 @@ def _pq_encode_udf(books: list):
     return enc
 
 
+def _unit_rows(cents: list) -> list:
+    """Coarse centroids unit-normalized — the SAME normalization
+    `_cell_assign_udf` applies internally, shared so the residual
+    decomposition q·x = q·ĉ + q·(x−ĉ) uses one definition of ĉ on the
+    build, append, and probe paths."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=float)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.tolist()
+
+
+def _assign_encode_udf(cents: list, books: list, by_residual: bool):
+    """Arrow UDF: normalized vector → struct<centroid_id, codes> in ONE
+    pass — coarse cell by max cosine (first-max tie-break, identical to
+    `_cell_assign_udf`'s stable argsort head), then PQ codes of either
+    the vector itself or its residual against the unit centroid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(_unit_rows(cents), dtype=float)
+    B = [np.asarray(b, dtype=float) for b in books]
+    M = len(B)
+
+    @pandas_udf("struct<centroid_id:int,codes:binary>")
+    def assign_enc(nv: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        X = np.vstack(nv.to_numpy())
+        cells = np.argmax(X @ C.T, axis=1)
+        base = X - C[cells] if by_residual else X
+        dsub = X.shape[1] // M
+        codes = np.empty((len(X), M), dtype=np.uint8)
+        for mm in range(M):
+            S = base[:, mm * dsub : (mm + 1) * dsub]
+            Cb = B[mm]
+            d2 = (Cb * Cb).sum(axis=1)[None, :] - 2.0 * (S @ Cb.T)
+            codes[:, mm] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "centroid_id": cells.astype("int32"),
+                "codes": [c.tobytes() for c in codes],
+            }
+        )
+
+    return assign_enc
+
+
+def _pq_index_residual(index: DataFrame) -> bool:
+    """Whether a stored ivf_pq_index was built with residual encoding —
+    read from its `part='pqmeta'` row (1-row collect); absent (pre-r9
+    index) means plain."""
+    rows = (
+        index.where(F.col("part") == "pqmeta").select("code").limit(1).collect()
+    )
+    return bool(rows and rows[0].code == 1)
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame | list,
@@ -878,6 +936,7 @@ def ivf_pq_index(
     iterations: int = 2,
     pq_iterations: int = 2,
     seed: int = 42,
+    by_residual: bool = False,
 ) -> DataFrame:
     """The COMPRESSED persistable ANN index — `ivf_index`'s schema family
     with PQ codes in place of raw vectors:
@@ -885,10 +944,23 @@ def ivf_pq_index(
     - `part='codebook'`: coarse centroids (centroid_id, v) — n_centroids
       rows.
     - `part='pqbook'`: PQ codewords (subspace, code, v) — m·n_codes rows.
+    - `part='pqmeta'`: one row recording the encoding mode (`code`=1 for
+      residual), so probes/appends self-configure from the stored index.
     - `part='vec'`: one row per corpus vector — (centroid_id, <id_col>,
       codes BINARY(m)); **no float vector**. At dim=64/m=8 the per-vector
       payload drops 512 → 8 bytes (64×): the difference between an
       in-cluster and out-of-cluster index at 10^10 vectors.
+
+    `by_residual=True` (FAISS's default IVF-PQ formulation) quantizes
+    each vector's RESIDUAL against its unit coarse centroid instead of
+    the vector itself: residuals are much smaller than vectors on
+    clustered data, so the same m×n_codes budget buys far finer
+    quantization — measurably higher ADC-only recall (pytest-gated).
+    ADC then scores q·x ≈ q·ĉ(cell) + Σ_m LUT[m][code]; the q·ĉ term is
+    n_centroids dot products per query, amortized over all candidates.
+    The residual pass needs the per-vector cell DURING PQ training, so
+    the (cell, residual) frame is checkpointed once and each Lloyd
+    iteration reads it back — same corpus-pass count as the plain arm.
 
     Build shares ONE normalized/cached corpus frame across the coarse
     Lloyd loop, the PQ training loop, and the final assign+encode pass
@@ -896,26 +968,53 @@ def ivf_pq_index(
     new vectors with the STORED books — both codebooks are immutable
     after build, so appends are one narrow pass (see `ivf_pq_append`)."""
     id_type = dict(corpus.dtypes)[id_col]
+    spark = corpus.sparkSession
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
     raw, c = _normalized_prepared(corpus, vec_col, id_col)
     try:
         cents = _lloyd_centroids(c, n_centroids, iterations, seed)
-        # PQ training on the SAME prepared frame (no second persist):
-        # inline the pq_codebooks loop body against `c`
+        # the PQ-training input: the vector itself, or its residual vs
+        # the unit coarse centroid (cell computed once, checkpointed)
+        if by_residual:
+            cellu = _cell_assign_udf(cents, 1)
+            cent_df = F.broadcast(
+                arrow_local_df(
+                    spark,
+                    [(i, v) for i, v in enumerate(_unit_rows(cents))],
+                    "centroid_id int, ucv array<double>",
+                )
+            )
+            pqin = (
+                c.select(
+                    "_cid",
+                    cellu(F.col("nv"))[0].cast("int").alias("centroid_id"),
+                    "nv",
+                )
+                .join(cent_df, "centroid_id")
+                .select(
+                    "_cid",
+                    "centroid_id",
+                    F.zip_with("nv", "ucv", lambda a, b: a - b).alias("pv"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            pqin = c.select("_cid", F.col("nv").alias("pv"))
+        # PQ training on the prepared frame: inline pq_codebooks loop
         init = (
-            c.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed + 7)))
+            pqin.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed + 7)))
             .limit(n_codes)
-            .select("nv")
+            .select("pv")
             .collect()
         )
-        dim = len(init[0].nv)
+        dim = len(init[0].pv)
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
         dsub = dim // m
         books = [
             [
-                list(init[i % len(init)].nv[mm * dsub : (mm + 1) * dsub])
+                list(init[i % len(init)].pv[mm * dsub : (mm + 1) * dsub])
                 for i in range(n_codes)
             ]
             for mm in range(m)
@@ -936,18 +1035,18 @@ def ivf_pq_index(
         for _ in range(pq_iterations):
             assign = _pq_assign_codes_udf(books)
             sub = (
-                c.select("_cid", "nv", assign(F.col("nv")).alias("codes"))
+                pqin.select("_cid", "pv", assign(F.col("pv")).alias("codes"))
                 .select(
                     "_cid",
                     F.posexplode("codes").alias("subspace", "code"),
-                    F.col("nv"),
+                    F.col("pv"),
                 )
                 .select(
                     "_cid",
                     "subspace",
                     "code",
                     F.slice(
-                        F.col("nv"), F.col("subspace") * dsub + 1, dsub
+                        F.col("pv"), F.col("subspace") * dsub + 1, dsub
                     ).alias("sv"),
                 )
             )
@@ -963,17 +1062,17 @@ def ivf_pq_index(
                 [got.get((mm, i), books[mm][i]) for i in range(n_codes)]
                 for mm in range(m)
             ]
-        # final pass: coarse cell + PQ codes in ONE projection
-        cell = _cell_assign_udf(cents, 1)
-        enc = _pq_encode_udf(books)
-        vec_rows = c.select(
+        # final pass: coarse cell + PQ codes in ONE combined Arrow pass
+        assign_enc = _assign_encode_udf(cents, books, by_residual)
+        enc_struct = assign_enc(F.col("nv")).alias("_ae")
+        vec_rows = c.select("_cid", enc_struct).select(
             F.lit("vec").alias("part"),
-            cell(F.col("nv"))[0].cast("int").alias("centroid_id"),
+            F.col("_ae.centroid_id").alias("centroid_id"),
             F.lit(None).cast("int").alias("subspace"),
             F.lit(None).cast("int").alias("code"),
             F.col("_cid").cast(id_type).alias(id_col),
             F.lit(None).cast("array<double>").alias("v"),
-            enc(F.col("nv")).alias("codes"),
+            F.col("_ae.codes").alias("codes"),
         ).localCheckpoint(eager=True)
         # ^ materialized while the cache is live: the caller writes this
         # frame AFTER we unpersist, and a lazy plan would re-normalize +
@@ -1007,7 +1106,22 @@ def ivf_pq_index(
         F.col("cv").alias("v"),
         F.lit(None).cast("binary").alias("codes"),
     )
-    return cb_rows.unionByName(pq_rows).unionByName(vec_rows)
+    meta_rows = arrow_local_df(
+        corpus.sparkSession,
+        [(1 if by_residual else 0,)],
+        "code int",
+    ).select(
+        F.lit("pqmeta").alias("part"),
+        F.lit(None).cast("int").alias("centroid_id"),
+        F.lit(None).cast("int").alias("subspace"),
+        F.col("code"),
+        F.lit(None).cast(id_type).alias(id_col),
+        F.lit(None).cast("array<double>").alias("v"),
+        F.lit(None).cast("binary").alias("codes"),
+    )
+    return (
+        cb_rows.unionByName(pq_rows).unionByName(meta_rows).unionByName(vec_rows)
+    )
 
 
 def ivf_pq_append(
@@ -1017,27 +1131,36 @@ def ivf_pq_append(
     vec_col: str = "embedding",
     codebook: list | None = None,
     pq_books: list | None = None,
+    by_residual: bool | None = None,
 ) -> DataFrame:
     """Assign + encode NEW vectors against a stored ivf_pq_index — both
     codebooks immutable, one narrow Arrow pass; returned `part='vec'`
     rows append to the stored table (the `ivf_index_append` contract).
-    `index` may be None when BOTH collected books are passed (per-batch
-    callers like the streaming sink collect them once at wiring)."""
-    if index is None and (codebook is None or pq_books is None):
-        raise ValueError("pass index= or both codebook= and pq_books=")
+    `index` may be None when BOTH collected books AND `by_residual` are
+    passed (per-batch callers like the streaming sink collect them once
+    at wiring); `by_residual=None` self-configures from the index's
+    pqmeta row."""
+    if index is None and (codebook is None or pq_books is None or by_residual is None):
+        raise ValueError(
+            "pass index= or all of codebook=, pq_books= and by_residual="
+        )
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
-    cell = _cell_assign_udf(cents, 1)
-    enc = _pq_encode_udf(books)
+    residual = by_residual if by_residual is not None else _pq_index_residual(index)
+    assign_enc = _assign_encode_udf(cents, books, residual)
     nv = unit_normalize(F.col(vec_col))
-    return ensure_parallelism(new_vectors).select(
-        F.lit("vec").alias("part"),
-        cell(nv)[0].cast("int").alias("centroid_id"),
-        F.lit(None).cast("int").alias("subspace"),
-        F.lit(None).cast("int").alias("code"),
-        F.col(id_col),
-        F.lit(None).cast("array<double>").alias("v"),
-        enc(nv).alias("codes"),
+    return (
+        ensure_parallelism(new_vectors)
+        .select(F.col(id_col), assign_enc(nv).alias("_ae"))
+        .select(
+            F.lit("vec").alias("part"),
+            F.col("_ae.centroid_id").alias("centroid_id"),
+            F.lit(None).cast("int").alias("subspace"),
+            F.lit(None).cast("int").alias("code"),
+            F.col(id_col),
+            F.lit(None).cast("array<double>").alias("v"),
+            F.col("_ae.codes").alias("codes"),
+        )
     )
 
 
@@ -1078,6 +1201,47 @@ def _adc_score_udf(books: list):
     return adc
 
 
+def _adc_score_residual_udf(books: list, cents: list):
+    """Arrow UDF: (query nv, candidate cell, candidate codes) → ADC
+    score for a RESIDUAL-encoded index: q·ĉ(cell) + Σ_m LUT[m][code].
+    Per distinct query in the batch, one n_centroids dot-product vector
+    (the q·ĉ table) plus the residual-book LUT — candidates still cost
+    m lookups + one centroid-table read."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=float) for b in books]
+    C = np.asarray(_unit_rows(cents), dtype=float)
+    M = len(B)
+    mi = np.arange(M)
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(qv), dtype=np.float64)
+        luts: dict[bytes, tuple] = {}
+        dsub = None
+        for i, (q, cl, cd) in enumerate(zip(qv, cell, codes)):
+            qa = np.asarray(q, dtype=np.float64)
+            if dsub is None:
+                dsub = len(qa) // M
+            key = qa.tobytes()
+            hit = luts.get(key)
+            if hit is None:
+                lut = np.vstack(
+                    [B[mm] @ qa[mm * dsub : (mm + 1) * dsub] for mm in range(M)]
+                )
+                qc = C @ qa
+                hit = luts[key] = (lut, qc)
+            lut, qc = hit
+            c = np.frombuffer(cd, dtype=np.uint8)
+            out[i] = qc[int(cl)] + lut[mi, c].sum()
+        return pd.Series(out)
+
+    return adc
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     index: DataFrame,
@@ -1090,6 +1254,7 @@ def ivf_pq_topk(
     pq_books: list | None = None,
     rerank_with: DataFrame | None = None,
     rerank_candidates: int = 50,
+    by_residual: bool | None = None,
 ) -> DataFrame:
     """ANN probe over the COMPRESSED index: per query, search the
     `nprobe` nearest coarse cells, score candidates by ADC (m table
@@ -1102,9 +1267,14 @@ def ivf_pq_topk(
     ADC-prefilter → exact-rerank pipeline (recall of the exact scorer at
     candidate-list cost; the returned `score` is then the exact cosine).
     The rerank join touches only |Q|·rerank_candidates rows — never the
-    corpus-wide candidate set."""
+    corpus-wide candidate set.
+
+    `by_residual=None` self-configures from the index's pqmeta row; a
+    residual index scores q·ĉ(cell) + LUT sum (see
+    `_adc_score_residual_udf`)."""
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
+    residual = by_residual if by_residual is not None else _pq_index_residual(index)
     c = index.where(F.col("part") == "vec").select(
         F.col(corpus_id).alias("c_id"), F.col("codes"), F.col("centroid_id")
     )
@@ -1114,10 +1284,22 @@ def ivf_pq_topk(
         unit_normalize(F.col(vec_col)).alias("q_vec"),
         F.explode(assign_q(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
     )
-    adc = _adc_score_udf(books)
-    cand = q.join(c, on="centroid_id").select(
-        "q_id", "c_id", "q_vec", adc(F.col("q_vec"), F.col("codes")).alias("adc")
-    )
+    if residual:
+        adc_r = _adc_score_residual_udf(books, cents)
+        cand = q.join(c, on="centroid_id").select(
+            "q_id",
+            "c_id",
+            "q_vec",
+            adc_r(
+                F.col("q_vec"), F.col("centroid_id"), F.col("codes")
+            ).alias("adc"),
+        )
+    else:
+        adc = _adc_score_udf(books)
+        cand = q.join(c, on="centroid_id").select(
+            "q_id", "c_id", "q_vec",
+            adc(F.col("q_vec"), F.col("codes")).alias("adc"),
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id").asc())
     if rerank_with is None:
         return (
@@ -1150,3 +1332,52 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+def compact_ivf_pq_index(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+) -> dict:
+    """Compact a streamed-into PQ index: epoch-moved appends leave one
+    small parquet file per (epoch × writer task); probes then pay
+    O(files) listing/open costs. Rewrite ALL rows into `target_files`
+    files, atomically enough for concurrent readers (write to a staging
+    dir, swap via rename of the old files only after the new ones are
+    in place — a reader sees old+new superset never, because the new
+    files land under a `compact-` prefix only after staging completes
+    and the old files are removed in the same pass; a crashed compaction
+    leaves either the original layout or original+staging, and staging
+    dirs are ignored by parquet readers via the leading underscore).
+
+    Epoch markers are PRESERVED: a crash-replayed micro-batch from
+    before the compaction still finds its marker and skips — compaction
+    must never reopen the exactly-once window. Returns
+    {"files_before": n, "files_after": m, "rows": r}."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    root = index_path.rstrip("/")
+    fs = _p(root).getFileSystem(hconf)
+    old = [
+        st.getPath()
+        for st in fs.listStatus(_p(root))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    df = spark.read.parquet(index_path)
+    rows = df.count()
+    staging = f"{root}/_compact_staging"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    moved = 0
+    for st in fs.listStatus(_p(staging)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            fs.rename(st.getPath(), _p(f"{root}/compact-{moved}-{name}"))
+            moved += 1
+    for p in old:
+        fs.delete(p, False)
+    fs.delete(_p(staging), True)
+    return {"files_before": len(old), "files_after": moved, "rows": rows}

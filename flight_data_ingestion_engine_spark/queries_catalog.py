@@ -10628,6 +10628,53 @@ def q_stats_join_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PQR_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_pq_residual_stored_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    path = _IVF_PQR_INDEX_PATHS.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_index
+
+    _, corpus = _ivf_topk_corpus(spark, sf_dir)
+    path = _qtmp("ivfpqr") + "/index"
+    ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=8, m=8, n_codes=16,
+        iterations=2, pq_iterations=2, by_residual=True,
+    ).write.parquet(path)
+    _IVF_PQR_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+@_q(
+    "ivf_pq_residual_rerank",
+    "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank "
+    "FROM embeddings WHERE vec_id < 10",
+)
+def q_ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded compressed ANN (similarity.py::ivf_pq_index
+    by_residual=True — FAISS's default IVF-PQ formulation): codes
+    quantize x − ĉ(cell), spending the byte budget on WITHIN-cell
+    structure; ADC scores q·ĉ(cell) + LUT sum. The probe self-configures
+    from the stored index's pqmeta row — no flag passed here. Same
+    closed-form clone oracle as `ivf_pq_probe_rerank` (identical vector
+    → identical cell + identical residual codes → ADC top → exact rerank
+    at cosine 1.0), now exercising the residual scorer end-to-end."""
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_topk
+
+    emb, corpus = _ivf_topk_corpus(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    index = spark.read.parquet(_ivf_pq_residual_stored_index(spark, sf_dir))
+    res = ivf_pq_topk(
+        queries, index, query_id="query_id", corpus_id="neighbor_id",
+        k=1, nprobe=2, rerank_with=corpus, rerank_candidates=50,
+    )
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
 @_q(
     "streaming_ivf_pq_append",
     "SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank "

@@ -742,12 +742,17 @@ def ivf_pq_sink_fn(
         from flight_data_ingestion_engine_spark.operators.similarity import (
             _codebook_rows,
             _pq_books_rows,
+            _pq_index_residual,
         )
 
         stored = spark.read.parquet(index_path)
-        return _codebook_rows(stored), _pq_books_rows(stored)
+        return (
+            _codebook_rows(stored),
+            _pq_books_rows(stored),
+            _pq_index_residual(stored),
+        )
 
-    state = {"cb": codebook, "books": pq_books}
+    state = {"cb": codebook, "books": pq_books, "residual": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from flight_data_ingestion_engine_spark.operators.similarity import (
@@ -757,8 +762,8 @@ def ivf_pq_sink_fn(
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
-        if state["cb"] is None or state["books"] is None:
-            state["cb"], state["books"] = _load_books(sp)
+        if state["cb"] is None or state["books"] is None or state["residual"] is None:
+            state["cb"], state["books"], state["residual"] = _load_books(sp)
         jvm = sp._jvm
         hconf = sp._jsc.hadoopConfiguration()
 
@@ -775,6 +780,7 @@ def ivf_pq_sink_fn(
         vec_rows = ivf_pq_append(
             None, batch_df, id_col, vec_col,
             codebook=state["cb"], pq_books=state["books"],
+            by_residual=state["residual"],
         )
         staging = f"{root}/_epoch_staging_{run_tag}{epoch_id}"
         vec_rows.write.mode("overwrite").parquet(staging)

@@ -1187,3 +1187,124 @@ def test_ivf_pq_append_lifecycle(spark, sf_dir, tmp_path):
     )
     got = {r.query_id: r.vec_id for r in post.collect()}
     assert got == {i: i + 1_000_000 for i in range(10)}
+
+
+def test_compact_ivf_pq_index_preserves_rows_and_replay_guard(spark, sf_dir, tmp_path):
+    """Compaction after streamed appends: row-identical index in far
+    fewer files, epoch markers preserved so a crash-replayed pre-compact
+    batch still skips (the exactly-once window never reopens)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        compact_ivf_pq_index,
+        ivf_pq_index,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        ivf_pq_sink_fn,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(
+        emb.where(F.col("vec_id") >= 20), "vec_id",
+        n_centroids=8, m=8, n_codes=16, iterations=1, pq_iterations=1,
+    ).write.parquet(idx)
+
+    sink = ivf_pq_sink_fn(idx, "vec_id", run_tag="tc")
+    for epoch in range(4):  # four small appends -> many small files
+        batch = emb.where(F.col("vec_id") == epoch).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        sink(batch, epoch)
+
+    def snapshot():
+        return sorted(
+            (
+                r.part, r.centroid_id, r.subspace, r.code, r.vec_id,
+                tuple(r.v) if r.v is not None else None,
+                bytes(r.codes) if r.codes is not None else None,
+            )
+            for r in spark.read.parquet(idx).collect()
+        )
+
+    before = snapshot()
+    stats = compact_ivf_pq_index(spark, idx, target_files=2)
+    after = snapshot()
+    assert after == before
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert stats["rows"] == len(before)
+
+    # replay of a pre-compaction epoch: marker survives -> skipped
+    n = spark.read.parquet(idx).count()
+    sink(emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"), 0)
+    assert spark.read.parquet(idx).count() == n
+
+
+def test_ivf_pq_residual_encoding(spark):
+    """Residual PQ (FAISS by_residual): quantizing x - c(cell) spends the
+    code budget on WITHIN-cluster structure. Gates: (a) at a budget where
+    quantization binds (n_codes=32 on 0.4-noise clusters) residual
+    ADC-only recall beats-or-matches plain within 0.05; (b) the exact
+    rerank arm still recovers full recall; (c) probes/appends
+    self-configure from the stored pqmeta row — a residual index probed
+    without the explicit flag scores identically."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        topk_brute_force,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 32)) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 6] + rng.standard_normal(32) * 0.4])
+        for i in range(180)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = vecs.where(F.col("vec_id") < 18).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = vecs.withColumnRenamed("vec_id", "neighbor_id")
+
+    def topk_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_set(
+        topk_brute_force(queries, corpus, "query_id", "neighbor_id", k=5)
+    )
+
+    def recall(got):
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    kw = dict(n_centroids=6, m=8, n_codes=32, iterations=2, pq_iterations=3)
+    plain = ivf_pq_index(corpus, "neighbor_id", by_residual=False, **kw)
+    resid = ivf_pq_index(corpus, "neighbor_id", by_residual=True, **kw)
+    r_plain = recall(topk_set(ivf_pq_topk(
+        queries, plain, query_id="query_id", corpus_id="neighbor_id",
+        k=5, nprobe=2)))
+    r_resid = recall(topk_set(ivf_pq_topk(
+        queries, resid, query_id="query_id", corpus_id="neighbor_id",
+        k=5, nprobe=2)))
+    assert r_resid >= r_plain - 0.05, (r_resid, r_plain)
+
+    rr = recall(topk_set(ivf_pq_topk(
+        queries, resid, query_id="query_id", corpus_id="neighbor_id",
+        k=5, nprobe=2, rerank_with=corpus, rerank_candidates=40)))
+    assert rr >= 0.95
+
+    # pqmeta self-configuration: explicit flag == auto-detected
+    auto = ivf_pq_topk(queries, resid, query_id="query_id",
+                       corpus_id="neighbor_id", k=5, nprobe=2)
+    expl = ivf_pq_topk(queries, resid, query_id="query_id",
+                       corpus_id="neighbor_id", k=5, nprobe=2,
+                       by_residual=True)
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)
+    assert sorted(map(key, auto.collect())) == sorted(map(key, expl.collect()))

@@ -1381,3 +1381,119 @@ def compact_ivf_pq_index(
         fs.delete(p, False)
     fs.delete(_p(staging), True)
     return {"files_before": len(old), "files_after": moved, "rows": rows}
+
+
+def pca_rotation(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int | None = None,
+) -> DataFrame:
+    """OPQ-lite rotation for PQ (Ge et al. 2013's parametric init, the
+    non-iterative 90% of OPQ): an ORTHOGONAL matrix R such that PQ in
+    the rotated space splits the corpus's variance evenly across
+    subspaces — raw embeddings are anisotropic (a few directions carry
+    most energy), so an un-rotated subspace split wastes code budget on
+    near-constant coordinates. Returns the persistable rotation table
+    `(row, rv array<double>)` — dim rows.
+
+    R is built from the eigenvectors of the corpus second-moment matrix
+    (no mean-centering: unit vectors are scored by inner products, and
+    an affine shift would break q·x = (Rq)·(Rx); pure rotation preserves
+    it EXACTLY, so rankings under exact scoring are untouched and only
+    quantization quality changes). With `m`, eigen-directions are dealt
+    round-robin in descending-eigenvalue order across the m subspaces —
+    the classic variance-balancing allocation.
+
+    Scale shape: the second moment is computed as per-Arrow-batch
+    Gram matrices (dim×dim each) summed via one (i, j)-keyed agg —
+    shuffle volume O(partitions·dim²), never O(rows·dim²); the dim²
+    collect and the eigh run on the driver (dim=64 → 4096 doubles).
+
+    Compose: rotate corpus AND queries with `apply_rotation` before
+    `ivf_pq_index` / `ivf_pq_topk` — both sides in the same rotated
+    space, nothing else changes (the exact-rerank arm must rerank with
+    rotated vectors too, or simply with the originals since exact
+    cosine is rotation-invariant)."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    nv = unit_normalize(F.col(vec_col))
+    base = ensure_parallelism(corpus).select(nv.alias("nv"))
+
+    def _gram(it):
+        import numpy as np
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["nv"].to_numpy())
+            G = X.T @ X
+            d = G.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": G.ravel()}
+            )
+
+    gram = (
+        base.mapInPandas(_gram, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    dim = max(r.i for r in gram) + 1
+    G = np.zeros((dim, dim))
+    for r in gram:
+        G[r.i, r.j] = r.g
+    G = (G + G.T) / 2.0  # exact symmetry against per-partition float order
+    evals, evecs = np.linalg.eigh(G)  # ascending
+    order = np.argsort(-evals)  # descending energy
+    if m is not None:
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        # deal directions round-robin: subspace s gets ranks s, s+m, ...
+        dealt = np.empty(dim, dtype=int)
+        for pos, rank in enumerate(order):
+            s, r_in = pos % m, pos // m
+            dealt[s * dsub + r_in] = rank
+        order = dealt
+    R = evecs[:, order].T  # rows = output coords: x_rot = R @ x
+    spark = corpus.sparkSession
+    return arrow_local_df(
+        spark,
+        [(i, R[i].tolist()) for i in range(dim)],
+        "row int, rv array<double>",
+    )
+
+
+def apply_rotation(
+    df: DataFrame,
+    rotation: DataFrame | list,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rotate a vector column by a `pca_rotation` table (or collected
+    list of rows): one Arrow matmul pass, narrow projection. Orthogonal
+    R preserves norms and inner products, so downstream exact scoring is
+    bit-identical in RANKING (values identical up to IEEE rounding of
+    the matmul); only quantizers see the difference."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = (
+        rotation
+        if isinstance(rotation, list)
+        else [list(r.rv) for r in rotation.orderBy("row").collect()]
+    )
+    R = np.asarray(rows, dtype=float)
+
+    @pandas_udf("array<double>")
+    def rot(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.vstack(v.to_numpy())
+        return pd.Series(list((X @ R.T)))
+
+    out = out_col or vec_col
+    return df.withColumn(out, rot(F.col(vec_col).cast("array<double>")))

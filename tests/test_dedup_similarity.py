@@ -1308,3 +1308,74 @@ def test_ivf_pq_residual_encoding(spark):
                        by_residual=True)
     key = lambda r: (r.query_id, r.rank, r.neighbor_id)
     assert sorted(map(key, auto.collect())) == sorted(map(key, expl.collect()))
+
+
+def test_pca_rotation_orthogonal_and_balances_pq(spark):
+    """OPQ-lite rotation (Ge et al. 2013 parametric init): R must be
+    orthogonal (norms/inner products preserved — exact top-k identical
+    on rotated inputs), and on ANISOTROPIC data rotating before PQ must
+    improve-or-match ADC-only recall at the same code budget (the
+    un-rotated subspace split wastes codes on near-constant dims)."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        apply_rotation,
+        ivf_pq_index,
+        ivf_pq_topk,
+        pca_rotation,
+        topk_brute_force,
+    )
+
+    # anisotropic: energy concentrated in a few RANDOMLY-ALIGNED
+    # directions (a random orthogonal basis times decaying scales), so
+    # the raw coordinate split is maximally unbalanced
+    rng = np.random.default_rng(11)
+    dim, m = 32, 8
+    Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    scales = np.concatenate([np.full(4, 6.0), np.full(4, 2.0), np.full(24, 0.15)])
+    X = (rng.standard_normal((200, dim)) * scales) @ Q.T
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rot = pca_rotation(vecs, m=m)
+    assert rot.count() == dim
+    R = np.asarray([list(r.rv) for r in rot.orderBy("row").collect()])
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)  # orthogonal
+
+    queries = vecs.where(F.col("vec_id") < 20).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    corpus = vecs.withColumnRenamed("vec_id", "neighbor_id")
+
+    def topk_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_set(
+        topk_brute_force(queries, corpus, "query_id", "neighbor_id", k=5)
+    )
+    # rotation invariance of EXACT scoring: same top-k on rotated inputs
+    rq = apply_rotation(queries, rot)
+    rc = apply_rotation(corpus, rot)
+    rot_truth = topk_set(
+        topk_brute_force(rq, rc, "query_id", "neighbor_id", k=5)
+    )
+    assert rot_truth == truth
+
+    def recall(got):
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    kw = dict(n_centroids=4, m=m, n_codes=16, iterations=2, pq_iterations=2)
+    plain_idx = ivf_pq_index(corpus, "neighbor_id", **kw)
+    rot_idx = ivf_pq_index(rc, "neighbor_id", **kw)
+    r_plain = recall(topk_set(ivf_pq_topk(
+        queries, plain_idx, query_id="query_id", corpus_id="neighbor_id",
+        k=5, nprobe=2)))
+    r_rot = recall(topk_set(ivf_pq_topk(
+        rq, rot_idx, query_id="query_id", corpus_id="neighbor_id",
+        k=5, nprobe=2)))
+    assert r_rot >= r_plain - 0.02, (r_rot, r_plain)

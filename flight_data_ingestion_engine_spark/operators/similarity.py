@@ -1002,12 +1002,16 @@ def ivf_pq_index(
         else:
             pqin = c.select("_cid", F.col("nv").alias("pv"))
         # PQ training on the prepared frame: inline pq_codebooks loop
+        if n_codes > 256:
+            raise ValueError("n_codes > 256 does not fit the 1-byte code")
         init = (
             pqin.orderBy(F.xxhash64(F.col("_cid").cast("string"), F.lit(seed + 7)))
             .limit(n_codes)
             .select("pv")
             .collect()
         )
+        if not init:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
         dim = len(init[0].pv)
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -1334,26 +1338,46 @@ def ivf_pq_topk(
     )
 
 
-def compact_ivf_pq_index(
-    spark,
-    index_path: str,
-    target_files: int = 8,
-) -> dict:
-    """Compact a streamed-into PQ index: epoch-moved appends leave one
-    small parquet file per (epoch × writer task); probes then pay
-    O(files) listing/open costs. Rewrite ALL rows into `target_files`
-    files, atomically enough for concurrent readers (write to a staging
-    dir, swap via rename of the old files only after the new ones are
-    in place — a reader sees old+new superset never, because the new
-    files land under a `compact-` prefix only after staging completes
-    and the old files are removed in the same pass; a crashed compaction
-    leaves either the original layout or original+staging, and staging
-    dirs are ignored by parquet readers via the leading underscore).
+_EPOCH_FILE_RE = None  # compiled lazily (module import stays regex-free)
 
-    Epoch markers are PRESERVED: a crash-replayed micro-batch from
-    before the compaction still finds its marker and skips — compaction
-    must never reopen the exactly-once window. Returns
-    {"files_before": n, "files_after": m, "rows": r}."""
+
+def _epoch_marker_for(name: str) -> str | None:
+    """Map a streamed-in index file name to its `_epochs/` marker name —
+    `e<runtag8hex>-<epoch>-...` → `<runtag>-<epoch>`, `epoch<N>-...` →
+    `<N>`; non-epoch files (build output, `compact-*`) → None."""
+    global _EPOCH_FILE_RE
+    if _EPOCH_FILE_RE is None:
+        import re
+
+        _EPOCH_FILE_RE = (
+            re.compile(r"^e([0-9a-f]{8})-(\d+)-"),
+            re.compile(r"^epoch(\d+)-"),
+        )
+    m = _EPOCH_FILE_RE[0].match(name)
+    if m:
+        return f"{m.group(1)}-{m.group(2)}"
+    m = _EPOCH_FILE_RE[1].match(name)
+    if m:
+        return m.group(1)
+    return None
+
+
+def recover_ivf_pq_compaction(spark, index_path: str) -> dict:
+    """Deterministic crash-recovery sweep for `compact_ivf_pq_index` —
+    idempotent, safe to run on every restart before the index is served.
+
+    Two crash states exist, each self-describing on disk:
+    - `_compact_staging_<token>` WITHOUT `_compacting_<token>`: crash
+      before the commit point — the old layout is authoritative; the
+      staging dir is deleted.
+    - `_compacting_<token>` marker present: the commit point was passed
+      (staging held ALL rows when the marker was created), so recovery
+      FINISHES the swap — delete every root data file not prefixed
+      `compact-<token>-`, move any files still in staging into the root,
+      then drop staging + marker. Re-running after a crash mid-recovery
+      repeats the same steps and converges (every step is idempotent).
+
+    Returns {"finished": n_markers_completed, "aborted": n_stagings_dropped}."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
@@ -1362,24 +1386,116 @@ def compact_ivf_pq_index(
 
     root = index_path.rstrip("/")
     fs = _p(root).getFileSystem(hconf)
+    names = [st.getPath().getName() for st in fs.listStatus(_p(root))]
+    markers = {n[len("_compacting_"):] for n in names if n.startswith("_compacting_")}
+    stagings = {
+        n[len("_compact_staging_"):] for n in names if n.startswith("_compact_staging_")
+    }
+    finished = aborted = 0
+    for token in sorted(stagings - markers):
+        fs.delete(_p(f"{root}/_compact_staging_{token}"), True)
+        aborted += 1
+    for token in sorted(markers):
+        keep = f"compact-{token}-"
+        for st in fs.listStatus(_p(root)):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(keep):
+                fs.delete(st.getPath(), False)
+        staging = _p(f"{root}/_compact_staging_{token}")
+        if fs.exists(staging):
+            moved = 0
+            for st in fs.listStatus(staging):
+                name = st.getPath().getName()
+                if name.endswith(".parquet"):
+                    fs.rename(st.getPath(), _p(f"{root}/{keep}{moved}-{name}"))
+                    moved += 1
+            fs.delete(staging, True)
+        fs.delete(_p(f"{root}/_compacting_{token}"), False)
+        finished += 1
+    return {"finished": finished, "aborted": aborted}
+
+
+def compact_ivf_pq_index(
+    spark,
+    index_path: str,
+    target_files: int = 8,
+) -> dict:
+    """Compact a streamed-into PQ index: epoch-moved appends leave one
+    small parquet file per (epoch × writer task); probes then pay
+    O(files) listing/open costs. Rewrites ALL rows into `target_files`
+    files.
+
+    **Quiesce contract**: compaction requires a QUIESCED index — stop
+    the streaming sink and any concurrent probes first. The swap is a
+    multi-file rename, so a reader listing mid-swap can observe a
+    partial layout; there is no atomic multi-file rename on a flat
+    object-store directory, and this function does not pretend there is.
+
+    **Crash safety is explicit and deterministic**: the commit point is
+    the `_compacting_<token>` marker, created only after the staging dir
+    holds EVERY row. A crash before the marker leaves the original
+    layout authoritative (recovery deletes the orphan staging); a crash
+    after it is finished forward by `recover_ivf_pq_compaction` (delete
+    condemned old files, move remaining staged files in, drop marker) —
+    which this function also runs at entry, so a crashed compaction is
+    healed by the next one.
+
+    Compaction REFUSES to run while any epoch-prefixed file lacks its
+    `_epochs/` marker: that window belongs to a half-completed streaming
+    move whose replay sweeps by prefix — renaming those files to
+    `compact-*` would hide them from the sweep and the replay would
+    re-append the full epoch (duplicated vectors). Run it between fully
+    committed micro-batches only. Epoch markers themselves are
+    PRESERVED, so a crash-replayed micro-batch from before the
+    compaction still finds its marker and skips — compaction never
+    reopens the exactly-once window. Returns
+    {"files_before": n, "files_after": m, "rows": r}."""
+    import uuid
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    recover_ivf_pq_compaction(spark, index_path)
+    root = index_path.rstrip("/")
+    fs = _p(root).getFileSystem(hconf)
     old = [
         st.getPath()
         for st in fs.listStatus(_p(root))
         if st.getPath().getName().endswith(".parquet")
     ]
+    epochs_dir = _p(f"{root}/_epochs")
+    committed = (
+        {st.getPath().getName() for st in fs.listStatus(epochs_dir)}
+        if fs.exists(epochs_dir)
+        else set()
+    )
+    for p in old:
+        marker = _epoch_marker_for(p.getName())
+        if marker is not None and marker not in committed:
+            raise RuntimeError(
+                f"refusing to compact: epoch file {p.getName()} has no commit "
+                f"marker _epochs/{marker} — a streaming move is half-completed; "
+                "let the sink replay (or finish) that epoch first"
+            )
     df = spark.read.parquet(index_path)
     rows = df.count()
-    staging = f"{root}/_compact_staging"
+    token = uuid.uuid4().hex[:8]
+    staging = f"{root}/_compact_staging_{token}"
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    fs.createNewFile(_p(f"{root}/_compacting_{token}"))  # commit point
+    for p in old:
+        fs.delete(p, False)
     moved = 0
     for st in fs.listStatus(_p(staging)):
         name = st.getPath().getName()
         if name.endswith(".parquet"):
-            fs.rename(st.getPath(), _p(f"{root}/compact-{moved}-{name}"))
+            fs.rename(st.getPath(), _p(f"{root}/compact-{token}-{moved}-{name}"))
             moved += 1
-    for p in old:
-        fs.delete(p, False)
     fs.delete(_p(staging), True)
+    fs.delete(_p(f"{root}/_compacting_{token}"), False)
     return {"files_before": len(old), "files_after": moved, "rows": rows}
 
 

@@ -1501,8 +1501,11 @@ def star_join_adaptive(
     Each intermediate persists for the duration of the decision + next
     join; `eager` (default) localCheckpoints the final frame and
     releases every intermediate cache (the `incremental_dedup` hygiene
-    contract). `eager=False` leaves the last intermediate cached — the
-    caller owns cache hygiene. `fact_states`/`dim_states` must share
+    contract). `eager=False` leaves ONLY the last intermediate (the
+    returned frame's lineage parent) cached — the caller owns releasing
+    that one; every earlier hop's intermediate is unpersisted here
+    regardless, and an exception releases all of them.
+    `fact_states`/`dim_states` must share
     (width, depth); hop-1 uses them as-is, later hops build the
     surviving-fact sketches with the same params."""
     assert len(dims) == len(fact_states) == len(dim_states) >= 1
@@ -1510,6 +1513,7 @@ def star_join_adaptive(
     out = fact
     order: list[int] = []
     cached: list[DataFrame] = []
+    ok = False
     try:
         # hop 1: the stored-state decision (identical to star_join_order)
         row = None
@@ -1545,10 +1549,18 @@ def star_join_adaptive(
             remaining.remove(nxt)
         if eager:
             out = out.localCheckpoint(eager=True)
+        ok = True
     finally:
-        if eager:
-            for c in cached:
-                c.unpersist()
+        # eager: the final frame is checkpointed, every intermediate is
+        # released. eager=False: only the LAST intermediate (the returned
+        # frame's lineage parent) stays cached for the caller to release —
+        # earlier hops' intermediates are dead weight either way, and
+        # leaving them pinned would accrete corpus-scale caches across
+        # repeated calls in a long-lived session. On exception the caller
+        # gets no reference back, so everything is released.
+        drop = cached[:-1] if (not eager and ok) else cached
+        for c in drop:
+            c.unpersist()
     return out, order
 
 

@@ -733,12 +733,28 @@ def ivf_pq_sink_fn(
     run_tag: str = "",
     codebook: list | None = None,
     pq_books: list | None = None,
+    by_residual: bool | None = None,
 ):
     """The foreachBatch closure behind `foreach_batch_ivf_pq_sink`,
     exposed so the epoch-marker replay protocol is directly testable
-    (the `manifest_sink_fn` convention). Codebooks are collected once at
-    wiring time — immutable after build."""
-    def _load_books(spark):
+    (the `manifest_sink_fn` convention). Pass `codebook`/`pq_books`/
+    `by_residual` together (mirroring `ivf_pq_append`) to skip the
+    first-batch reload entirely — collected once at wiring time,
+    immutable after build; otherwise each missing piece (and ONLY the
+    missing pieces) is loaded from the stored index on the first
+    non-empty batch."""
+    if (codebook is None) != (pq_books is None) or (
+        codebook is not None and by_residual is None
+    ):
+        if codebook is not None or pq_books is not None:
+            raise ValueError(
+                "pass codebook=, pq_books= and by_residual= together "
+                "(or none of them)"
+            )
+
+    state = {"cb": codebook, "books": pq_books, "residual": by_residual}
+
+    def _fill_missing(spark) -> None:
         from flight_data_ingestion_engine_spark.operators.similarity import (
             _codebook_rows,
             _pq_books_rows,
@@ -746,13 +762,12 @@ def ivf_pq_sink_fn(
         )
 
         stored = spark.read.parquet(index_path)
-        return (
-            _codebook_rows(stored),
-            _pq_books_rows(stored),
-            _pq_index_residual(stored),
-        )
-
-    state = {"cb": codebook, "books": pq_books, "residual": None}
+        if state["cb"] is None:
+            state["cb"] = _codebook_rows(stored)
+        if state["books"] is None:
+            state["books"] = _pq_books_rows(stored)
+        if state["residual"] is None:
+            state["residual"] = _pq_index_residual(stored)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from flight_data_ingestion_engine_spark.operators.similarity import (
@@ -763,7 +778,7 @@ def ivf_pq_sink_fn(
             return
         sp = batch_df.sparkSession
         if state["cb"] is None or state["books"] is None or state["residual"] is None:
-            state["cb"], state["books"], state["residual"] = _load_books(sp)
+            _fill_missing(sp)
         jvm = sp._jvm
         hconf = sp._jsc.hadoopConfiguration()
 
@@ -805,6 +820,9 @@ def foreach_batch_ivf_pq_sink(
     checkpoint_dir: str,
     id_col: str,
     vec_col: str = "embedding",
+    codebook: list | None = None,
+    pq_books: list | None = None,
+    by_residual: bool | None = None,
 ):
     """Streaming COMPRESSED-ANN index maintenance: the crawl's new
     vectors land in the stored `ivf_pq_index` as they arrive. Both
@@ -824,7 +842,10 @@ def foreach_batch_ivf_pq_sink(
     import hashlib
 
     run_tag = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
-    sink = ivf_pq_sink_fn(index_path, id_col, vec_col, run_tag=run_tag)
+    sink = ivf_pq_sink_fn(
+        index_path, id_col, vec_col, run_tag=run_tag,
+        codebook=codebook, pq_books=pq_books, by_residual=by_residual,
+    )
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

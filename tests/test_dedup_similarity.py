@@ -1379,3 +1379,151 @@ def test_pca_rotation_orthogonal_and_balances_pq(spark):
         rq, rot_idx, query_id="query_id", corpus_id="neighbor_id",
         k=5, nprobe=2)))
     assert r_rot >= r_plain - 0.02, (r_rot, r_plain)
+
+
+def _pq_snapshot(spark, idx):
+    return sorted(
+        (
+            r.part, r.centroid_id, r.subspace, r.code, r.vec_id,
+            tuple(r.v) if r.v is not None else None,
+            bytes(r.codes) if r.codes is not None else None,
+        )
+        for r in spark.read.parquet(idx).collect()
+    )
+
+
+def test_compact_refuses_unmarked_epoch_files(spark, sf_dir, tmp_path):
+    """ADVICE r9: a root file with an epoch prefix but NO `_epochs/`
+    marker belongs to a half-completed streaming move — compacting it
+    would rename it out of the replay sweep's reach and the replay would
+    re-append the whole epoch (duplicated vectors). Compaction must
+    refuse; after the sink's replay heals the epoch (marker lands), the
+    same compaction succeeds."""
+    import os
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        compact_ivf_pq_index,
+        ivf_pq_index,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        ivf_pq_sink_fn,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(
+        emb.where(F.col("vec_id") >= 20), "vec_id",
+        n_centroids=4, m=8, n_codes=16, iterations=1, pq_iterations=1,
+    ).write.parquet(idx)
+    sink = ivf_pq_sink_fn(idx, "vec_id", run_tag="deadbeef")
+    batch = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    sink(batch, 3)
+    # simulate the crash window: the epoch's files are in the root but
+    # the marker never landed
+    os.remove(f"{idx}/_epochs/deadbeef-3")
+    with pytest.raises(RuntimeError, match="no commit marker"):
+        compact_ivf_pq_index(spark, idx, target_files=2)
+    sink(batch, 3)  # replay: sweeps the prefix, re-moves, commits marker
+    before = _pq_snapshot(spark, idx)
+    stats = compact_ivf_pq_index(spark, idx, target_files=2)
+    assert _pq_snapshot(spark, idx) == before
+    assert stats["files_after"] <= 2
+
+
+def test_compact_crash_recovery_both_windows(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): compaction crash recovery is deterministic in
+    both windows. Before the `_compacting_<token>` commit marker the old
+    layout is authoritative (orphan staging dropped); after it, recovery
+    FINISHES the swap — even when the crash interrupted the old-file
+    delete loop — and the row set is exactly the staged snapshot."""
+    import os
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_pq_index,
+        recover_ivf_pq_compaction,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    idx = str(tmp_path / "idx")
+    ivf_pq_index(
+        emb.where(F.col("vec_id") < 40), "vec_id",
+        n_centroids=4, m=8, n_codes=16, iterations=1, pq_iterations=1,
+    ).write.parquet(idx)
+    before = _pq_snapshot(spark, idx)
+
+    # window 1: staging written, crash BEFORE the commit marker
+    df = spark.read.parquet(idx)
+    df.coalesce(1).write.parquet(f"{idx}/_compact_staging_aaaa1111")
+    got = recover_ivf_pq_compaction(spark, idx)
+    assert got == {"finished": 0, "aborted": 1}
+    assert not os.path.exists(f"{idx}/_compact_staging_aaaa1111")
+    assert _pq_snapshot(spark, idx) == before
+
+    # window 2: commit marker landed, crash mid-delete of the old files
+    spark.read.parquet(idx).coalesce(1).write.parquet(
+        f"{idx}/_compact_staging_bbbb2222"
+    )
+    open(f"{idx}/_compacting_bbbb2222", "w").close()
+    olds = [n for n in os.listdir(idx) if n.endswith(".parquet")]
+    os.remove(f"{idx}/{olds[0]}")  # partial delete, then crash
+    got = recover_ivf_pq_compaction(spark, idx)
+    assert got == {"finished": 1, "aborted": 0}
+    assert _pq_snapshot(spark, idx) == before
+    names = [n for n in os.listdir(idx) if n.endswith(".parquet")]
+    assert names and all(n.startswith("compact-bbbb2222-") for n in names)
+    assert not os.path.exists(f"{idx}/_compacting_bbbb2222")
+    # idempotent: a second sweep is a no-op
+    assert recover_ivf_pq_compaction(spark, idx) == {"finished": 0, "aborted": 0}
+    assert _pq_snapshot(spark, idx) == before
+
+
+def test_ivf_pq_sink_books_passed_at_wiring(spark, sf_dir, tmp_path):
+    """ADVICE r9: the sink's wiring-time books are honored — passing
+    codebook/pq_books requires by_residual (the ivf_pq_append contract),
+    partial wiring raises, and a fully-wired sink on a RESIDUAL index
+    appends rows identical to the stored-index-configured sink."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        _codebook_rows,
+        _pq_books_rows,
+        ivf_pq_index,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        ivf_pq_sink_fn,
+    )
+
+    with pytest.raises(ValueError, match="together"):
+        ivf_pq_sink_fn("/tmp/x", "vec_id", codebook=[[1.0]])
+    with pytest.raises(ValueError, match="together"):
+        ivf_pq_sink_fn("/tmp/x", "vec_id", codebook=[[1.0]], pq_books=[[[1.0]]])
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    index = ivf_pq_index(
+        emb.where(F.col("vec_id") >= 20), "vec_id",
+        n_centroids=4, m=8, n_codes=16, iterations=1, pq_iterations=1,
+        by_residual=True,
+    )
+    cb, books = _codebook_rows(index), _pq_books_rows(index)
+    idx_a, idx_b = str(tmp_path / "a"), str(tmp_path / "b")
+    index.write.parquet(idx_a)
+    index.write.parquet(idx_b)
+    batch = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_pq_sink_fn(idx_a, "vec_id", run_tag="w1")(batch, 0)  # loads from store
+    ivf_pq_sink_fn(
+        idx_b, "vec_id", run_tag="w1",
+        codebook=cb, pq_books=books, by_residual=True,
+    )(batch, 0)  # wiring-time books, no store read for config
+    assert _pq_snapshot(spark, idx_a) == _pq_snapshot(spark, idx_b)

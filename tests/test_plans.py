@@ -945,3 +945,49 @@ def test_r9_family_plan_gates(spark, sf_dir):
     # run before the returned plan exists), so the visible plan is the
     # checkpoint scan + the final agg — exactly one exchange
     assert count_exchanges(aj) <= 1
+
+
+def test_star_join_adaptive_lazy_cache_hygiene(spark):
+    """ADVICE r9: eager=False must leave ONLY the last intermediate
+    cached (the returned frame's lineage parent) — earlier hops'
+    persisted intermediates are released inside the call, so repeated
+    lazy calls in a long-lived session don't accrete pinned caches."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        cms_state,
+        star_join_adaptive,
+    )
+
+    sc = spark.sparkContext
+    w, d = 1 << 10, 3
+    fact = spark.range(1_000).select(
+        (F.col("id") % 10).alias("ka"),
+        (F.col("id") % 7).alias("kb"),
+        (F.col("id") % 5).alias("kc"),
+        F.col("id").alias("payload"),
+    )
+    dims = [
+        (spark.range(10).select(F.col("id").alias("da")), "ka", "da"),
+        (spark.range(7).select(F.col("id").alias("db")), "kb", "db"),
+        (spark.range(5).select(F.col("id").alias("dc")), "kc", "dc"),
+    ]
+    fs = [cms_state(fact, k, width=w, depth=d) for k in ("ka", "kb", "kc")]
+    ds = [cms_state(dim, dk, width=w, depth=d) for (dim, _, dk), (_, _, _) in zip(dims, dims)]
+
+    base = sc._jsc.getPersistentRDDs().size()
+    out, order = star_join_adaptive(fact, dims, fs, ds, width=w, depth=d, eager=False)
+    held = sc._jsc.getPersistentRDDs().size() - base
+    # 3 dims -> 2 persisted intermediates during the run; only the last may
+    # survive (<=1: the async ContextCleaner can reclaim other sessions'
+    # dropped RDDs between the two measurements, so exact-1 would be flaky —
+    # the regression guarded here is BOTH intermediates staying pinned)
+    assert held <= 1, held
+    assert out.count() == 1_000  # the survivor still serves the result
+    spark.catalog.clearCache()  # release the one surviving intermediate
+
+    # eager=True releases every intermediate; the ONLY surviving persisted
+    # RDD is the returned frame's own localCheckpoint (caller-owned)
+    base = sc._jsc.getPersistentRDDs().size()
+    out2, _ = star_join_adaptive(fact, dims, fs, ds, width=w, depth=d, eager=True)
+    assert sc._jsc.getPersistentRDDs().size() - base <= 1
+    assert out2.count() == 1_000
+    spark.catalog.clearCache()

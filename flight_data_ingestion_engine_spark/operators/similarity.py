@@ -256,13 +256,45 @@ def ivf_build_centroids(
     )
 
 
+def _meta_null_cols(corpus: DataFrame, meta_cols: list[str]) -> list:
+    """NULL-typed placeholders for index metadata columns — non-vec index
+    rows (codebook/pqbook/pqmeta) carry the same schema with NULL meta."""
+    dt = dict(corpus.dtypes)
+    return [F.lit(None).cast(dt[mc]).alias(mc) for mc in meta_cols]
+
+
+def _scaled_nprobe(
+    vec_rows: DataFrame, filter, nprobe: int, n_centroids: int
+) -> int:
+    """nprobe scaling under a selective filter: a filter keeping fraction
+    `sel` of the index thins every probed cell's candidate list by ~sel,
+    so reaching the UNFILTERED probe's effective candidate count needs
+    ~nprobe/sel cells (capped at the full codebook — a maximally
+    selective filter honestly degrades to exhaustive-cell search, which
+    is still an equi-join on the FILTERED rows only, never a distance
+    pass over the whole index). One metadata-sized agg (two longs)."""
+    import math
+
+    row = vec_rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(filter, 1)).alias("m"),
+    ).collect()[0]
+    if not row.n or not row.m:
+        return n_centroids  # empty/fully-filtered: search every cell
+    sel = row.m / row.n
+    return min(n_centroids, max(nprobe, math.ceil(nprobe / sel)))
+
+
 def _normalized_prepared(
-    corpus: DataFrame, vec_col: str, id_col: str | None
+    corpus: DataFrame, vec_col: str, id_col: str | None,
+    meta_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Normalize + cache + resize the corpus for repeated Arrow passes.
     Returns `(raw, prepared)`: `raw` is the PERSISTED handle (unpersist
     THIS one — calling unpersist on the rebound coalesced/checkpointed
     frame is a plan-mismatch no-op), `prepared` has columns `(_cid, nv)`
+    (+ any `meta_cols`, which ride the cache untouched — every Lloyd
+    pass projects them away, only the final vec-row emit reads them)
     sized for iteration. Partition count is sized by ROW count, not
     source splits: every Lloyd/assignment pass is a full corpus scan
     through the Arrow scorer, so a billion-vector corpus wants all cores
@@ -272,6 +304,7 @@ def _normalized_prepared(
     raw = corpus.select(
         (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
         unit_normalize(F.col(vec_col)).alias("nv"),
+        *[F.col(mc) for mc in (meta_cols or [])],
     ).persist()
     spark = corpus.sparkSession
     n_vecs = raw.count()  # also materializes the persist
@@ -341,6 +374,7 @@ def ivf_index(
     iterations: int = 3,
     seed: int = 42,
     centroids: DataFrame | None = None,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """The PERSISTABLE IVF index state of a corpus — the `dedup_signatures`
     pattern applied to ANN: one table holding BOTH the codebook and the
@@ -360,7 +394,15 @@ def ivf_index(
     new vectors with `ivf_index_append` (assign-only, no rebuild). Probe
     with `ivf_topk(..., index=)`: query-side assignment is the only Arrow
     pass; the corpus side is a pre-assigned scan.
+
+    `meta_cols` carries corpus metadata columns (lang, source, label,
+    date — the filtered-retrieval attributes) onto the vec rows, NULL on
+    codebook rows: `ivf_topk(filter=)` then prunes candidates at the
+    index SCAN (predicate pushdown / partition pruning on a stored
+    index), never after scoring. Index metadata lives IN the index — a
+    probe-time metadata join would shuffle every candidate list.
     """
+    meta_cols = meta_cols or []
     id_type = dict(corpus.dtypes)[id_col]
     if centroids is None:
         # build + final assignment share ONE normalized/cached corpus
@@ -375,7 +417,7 @@ def ivf_index(
         # small-corpus condition.
         from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
-        raw, c = _normalized_prepared(corpus, vec_col, id_col)
+        raw, c = _normalized_prepared(corpus, vec_col, id_col, meta_cols)
         cents = _lloyd_centroids(c, n_centroids, iterations, seed)
         raw.unpersist()
         centroids = arrow_local_df(
@@ -389,14 +431,18 @@ def ivf_index(
             assign(F.col("nv"))[0].cast("int").alias("centroid_id"),
             F.col("_cid").cast(id_type).alias(id_col),
             to_double_array(F.col("nv")).alias("v"),
+            *[F.col(mc) for mc in meta_cols],
         )
     else:
-        vec_rows = ivf_index_append(centroids, corpus, id_col, vec_col)
+        vec_rows = ivf_index_append(
+            centroids, corpus, id_col, vec_col, meta_cols=meta_cols
+        )
     cb_rows = centroids.select(
         F.lit("codebook").alias("part"),
         F.col("centroid_id").cast("int").alias("centroid_id"),
         F.lit(None).cast(id_type).alias(id_col),
         to_double_array(F.col("cv")).alias("v"),
+        *_meta_null_cols(corpus, meta_cols),
     )
     return cb_rows.unionByName(vec_rows)
 
@@ -407,6 +453,7 @@ def ivf_index_append(
     id_col: str,
     vec_col: str = "embedding",
     codebook: list | None = None,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign NEW vectors to an EXISTING index's cells — the incremental
     append path: the codebook is fixed (identical vectors land in
@@ -426,6 +473,7 @@ def ivf_index_append(
         assign(nv)[0].cast("int").alias("centroid_id"),
         F.col(id_col),
         to_double_array(nv).alias("v"),
+        *[F.col(mc) for mc in (meta_cols or [])],
     )
 
 
@@ -449,6 +497,8 @@ def ivf_topk(
     nprobe: int = 4,
     index: DataFrame | None = None,
     codebook: list | None = None,
+    filter=None,
+    auto_nprobe: bool = True,
 ) -> DataFrame:
     """IVF probe: per-query search only the `nprobe` nearest centroid cells.
 
@@ -463,10 +513,28 @@ def ivf_topk(
     the candidate read to the probed cells. Without `index`, `corpus` +
     `centroids` are assigned on the fly (the ad-hoc path). `codebook`
     (a `_codebook_rows`-collected list) skips the per-call collect for
-    callers probing the same immutable codebook repeatedly."""
+    callers probing the same immutable codebook repeatedly.
+
+    `filter` (a Column predicate over index `meta_cols` — or any corpus
+    column on the ad-hoc path) is METADATA-CONSTRAINED retrieval:
+    nearest neighbors within a lang/source/label/date slice. It applies
+    BEFORE the candidate join and scoring, so Catalyst pushes it into
+    the index scan (PushedFilters / partition pruning on a stored
+    index) — a selective filter makes the probe CHEAPER, never a
+    post-hoc top-k thinning. Because each probed cell then holds ~sel×
+    fewer candidates, `auto_nprobe` (default) widens the probe to
+    ~nprobe/sel cells (one two-long agg to measure sel; capped at every
+    cell — still only filtered rows are ever scored), recovering the
+    unfiltered probe's recall against the FILTERED ground truth. Pass
+    `auto_nprobe=False` to pin the cell count instead."""
     if index is not None:
         cents = codebook if codebook is not None else _codebook_rows(index)
-        c = index.where(F.col("part") == "vec").select(
+        vec = index.where(F.col("part") == "vec")
+        if filter is not None:
+            if auto_nprobe:
+                nprobe = _scaled_nprobe(vec, filter, nprobe, len(cents))
+            vec = vec.where(filter)
+        c = vec.select(
             F.col(corpus_id).alias("c_id"),
             F.col("v").alias("c_vec"),
             F.col("centroid_id"),
@@ -475,6 +543,10 @@ def ivf_topk(
         if corpus is None or centroids is None:
             raise ValueError("pass either index= or both corpus and centroids")
         cents = codebook if codebook is not None else _codebook_rows(centroids)
+        if filter is not None:
+            if auto_nprobe:
+                nprobe = _scaled_nprobe(corpus, filter, nprobe, len(cents))
+            corpus = corpus.where(filter)
         assign_c = _cell_assign_udf(cents, 1)
         c = corpus.select(
             F.col(corpus_id).alias("c_id"),
@@ -937,6 +1009,7 @@ def ivf_pq_index(
     pq_iterations: int = 2,
     seed: int = 42,
     by_residual: bool = False,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """The COMPRESSED persistable ANN index — `ivf_index`'s schema family
     with PQ codes in place of raw vectors:
@@ -966,12 +1039,17 @@ def ivf_pq_index(
     Lloyd loop, the PQ training loop, and the final assign+encode pass
     (both Arrow, fused into one projection). Append path: assign+encode
     new vectors with the STORED books — both codebooks are immutable
-    after build, so appends are one narrow pass (see `ivf_pq_append`)."""
+    after build, so appends are one narrow pass (see `ivf_pq_append`).
+
+    `meta_cols` carries corpus metadata (lang/source/label/date) onto
+    the vec rows for metadata-constrained probes — see `ivf_index`'s
+    meta_cols note and `ivf_pq_topk(filter=)`."""
+    meta_cols = meta_cols or []
     id_type = dict(corpus.dtypes)[id_col]
     spark = corpus.sparkSession
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
-    raw, c = _normalized_prepared(corpus, vec_col, id_col)
+    raw, c = _normalized_prepared(corpus, vec_col, id_col, meta_cols)
     try:
         cents = _lloyd_centroids(c, n_centroids, iterations, seed)
         # the PQ-training input: the vector itself, or its residual vs
@@ -1069,7 +1147,7 @@ def ivf_pq_index(
         # final pass: coarse cell + PQ codes in ONE combined Arrow pass
         assign_enc = _assign_encode_udf(cents, books, by_residual)
         enc_struct = assign_enc(F.col("nv")).alias("_ae")
-        vec_rows = c.select("_cid", enc_struct).select(
+        vec_rows = c.select("_cid", enc_struct, *meta_cols).select(
             F.lit("vec").alias("part"),
             F.col("_ae.centroid_id").alias("centroid_id"),
             F.lit(None).cast("int").alias("subspace"),
@@ -1077,6 +1155,7 @@ def ivf_pq_index(
             F.col("_cid").cast(id_type).alias(id_col),
             F.lit(None).cast("array<double>").alias("v"),
             F.col("_ae.codes").alias("codes"),
+            *[F.col(mc) for mc in meta_cols],
         ).localCheckpoint(eager=True)
         # ^ materialized while the cache is live: the caller writes this
         # frame AFTER we unpersist, and a lazy plan would re-normalize +
@@ -1096,6 +1175,7 @@ def ivf_pq_index(
         F.lit(None).cast(id_type).alias(id_col),
         F.col("cv").alias("v"),
         F.lit(None).cast("binary").alias("codes"),
+        *_meta_null_cols(corpus, meta_cols),
     )
     pq_rows = arrow_local_df(
         corpus.sparkSession,
@@ -1109,6 +1189,7 @@ def ivf_pq_index(
         F.lit(None).cast(id_type).alias(id_col),
         F.col("cv").alias("v"),
         F.lit(None).cast("binary").alias("codes"),
+        *_meta_null_cols(corpus, meta_cols),
     )
     meta_rows = arrow_local_df(
         corpus.sparkSession,
@@ -1122,6 +1203,7 @@ def ivf_pq_index(
         F.lit(None).cast(id_type).alias(id_col),
         F.lit(None).cast("array<double>").alias("v"),
         F.lit(None).cast("binary").alias("codes"),
+        *_meta_null_cols(corpus, meta_cols),
     )
     return (
         cb_rows.unionByName(pq_rows).unionByName(meta_rows).unionByName(vec_rows)
@@ -1136,6 +1218,7 @@ def ivf_pq_append(
     codebook: list | None = None,
     pq_books: list | None = None,
     by_residual: bool | None = None,
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign + encode NEW vectors against a stored ivf_pq_index — both
     codebooks immutable, one narrow Arrow pass; returned `part='vec'`
@@ -1143,7 +1226,8 @@ def ivf_pq_append(
     `index` may be None when BOTH collected books AND `by_residual` are
     passed (per-batch callers like the streaming sink collect them once
     at wiring); `by_residual=None` self-configures from the index's
-    pqmeta row."""
+    pqmeta row. `meta_cols` must match the stored index's metadata
+    columns (appends unionByName into the same schema)."""
     if index is None and (codebook is None or pq_books is None or by_residual is None):
         raise ValueError(
             "pass index= or all of codebook=, pq_books= and by_residual="
@@ -1151,11 +1235,12 @@ def ivf_pq_append(
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
     residual = by_residual if by_residual is not None else _pq_index_residual(index)
+    meta_cols = meta_cols or []
     assign_enc = _assign_encode_udf(cents, books, residual)
     nv = unit_normalize(F.col(vec_col))
     return (
         ensure_parallelism(new_vectors)
-        .select(F.col(id_col), assign_enc(nv).alias("_ae"))
+        .select(F.col(id_col), assign_enc(nv).alias("_ae"), *meta_cols)
         .select(
             F.lit("vec").alias("part"),
             F.col("_ae.centroid_id").alias("centroid_id"),
@@ -1164,6 +1249,7 @@ def ivf_pq_append(
             F.col(id_col),
             F.lit(None).cast("array<double>").alias("v"),
             F.col("_ae.codes").alias("codes"),
+            *[F.col(mc) for mc in meta_cols],
         )
     )
 
@@ -1259,6 +1345,8 @@ def ivf_pq_topk(
     rerank_with: DataFrame | None = None,
     rerank_candidates: int = 50,
     by_residual: bool | None = None,
+    filter=None,
+    auto_nprobe: bool = True,
 ) -> DataFrame:
     """ANN probe over the COMPRESSED index: per query, search the
     `nprobe` nearest coarse cells, score candidates by ADC (m table
@@ -1275,11 +1363,24 @@ def ivf_pq_topk(
 
     `by_residual=None` self-configures from the index's pqmeta row; a
     residual index scores q·ĉ(cell) + LUT sum (see
-    `_adc_score_residual_udf`)."""
+    `_adc_score_residual_udf`).
+
+    `filter` (a Column predicate over the index's `meta_cols`) is
+    metadata-constrained retrieval — applied to the vec rows BEFORE the
+    centroid join and ADC scoring, so it pushes into the index scan and
+    only matching candidates are ever decoded or (re)ranked; the exact
+    rerank arm inherits the constraint through its candidate list.
+    `auto_nprobe` (default) widens the probe to ~nprobe/selectivity
+    cells under a selective filter (see `ivf_topk`)."""
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
     residual = by_residual if by_residual is not None else _pq_index_residual(index)
-    c = index.where(F.col("part") == "vec").select(
+    vec = index.where(F.col("part") == "vec")
+    if filter is not None:
+        if auto_nprobe:
+            nprobe = _scaled_nprobe(vec, filter, nprobe, len(cents))
+        vec = vec.where(filter)
+    c = vec.select(
         F.col(corpus_id).alias("c_id"), F.col("codes"), F.col("centroid_id")
     )
     assign_q = _cell_assign_udf(cents, nprobe)

@@ -10997,3 +10997,114 @@ def q_streaming_theta_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         k=256,
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN (round 10): metadata-constrained top-k — the most common
+# real retrieval shape in a training pipeline ("nearest within this
+# lang/source/label"). The index carries the metadata columns
+# (meta_cols=), the probe's filter= applies BEFORE the centroid join and
+# any ADC/cosine scoring (predicate pushdown into the index scan), and
+# auto_nprobe widens the probed cells by the measured filter selectivity.
+# Closed-form dual-clone oracle: every query has TWO exact clones, label
+# 100 at id+1M and label 200 at id+2M. Both score cosine 1.0; unfiltered
+# top-1 is the +1M clone (id tiebreak), so the filtered result — the +2M
+# clone — PROVES candidates were excluded before ranking, not after.
+_IVF_FILT_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_filtered_corpus(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    base = emb.where(F.col("vec_id") >= 10).withColumnRenamed("vec_id", "neighbor_id")
+    qv = emb.where(F.col("vec_id") < 10)
+    clones_a = qv.select(
+        (F.col("vec_id") + 1000000).alias("neighbor_id"), "embedding",
+        F.lit(100).alias("label"),
+    )
+    clones_b = qv.select(
+        (F.col("vec_id") + 2000000).alias("neighbor_id"), "embedding",
+        F.lit(200).alias("label"),
+    )
+    corpus = base.unionByName(clones_a).unionByName(clones_b)
+    queries = qv.select(F.col("vec_id").alias("query_id"), "embedding")
+    return corpus, queries
+
+
+def _ivf_filtered_stored_indexes(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    root = _IVF_FILT_INDEX_PATHS.get(sf_dir)
+    if root is not None and os.path.isdir(root):
+        return root
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_index,
+    )
+
+    corpus, _ = _ivf_filtered_corpus(spark, sf_dir)
+    root = _qtmp("ivffilt")
+    ivf_index(
+        corpus, "neighbor_id", n_centroids=8, iterations=1, meta_cols=["label"]
+    ).write.parquet(f"{root}/flat")
+    ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=8, m=8, n_codes=16,
+        iterations=1, pq_iterations=1, meta_cols=["label"],
+    ).write.parquet(f"{root}/pq")
+    _IVF_FILT_INDEX_PATHS[sf_dir] = root
+    return root
+
+
+@_q(
+    "ivf_topk_filtered",
+    "SELECT vec_id AS query_id, vec_id + 2000000 AS neighbor_id, 1 AS rank "
+    "FROM embeddings WHERE vec_id < 10",
+)
+def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-constrained IVF retrieval (similarity.py::ivf_topk
+    filter= over an index built with meta_cols=["label"]): top-1 within
+    label=200 only. The dual-clone construction proves pre-scoring
+    exclusion: the label-100 clone at id+1M would win the unfiltered
+    probe (cosine 1.0, lower id), so returning the +2M clone at rank 1
+    means the filter pruned candidates at the index scan, not the
+    result. auto_nprobe widens the probe by the measured 1/selectivity
+    (pytest-gated recall under selective filters)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_topk
+
+    _, queries = _ivf_filtered_corpus(spark, sf_dir)
+    root = _ivf_filtered_stored_indexes(spark, sf_dir)
+    index = spark.read.parquet(f"{root}/flat")
+    res = ivf_topk(
+        queries, query_id="query_id", corpus_id="neighbor_id", k=1, nprobe=2,
+        index=index, filter=F.col("label") == 200,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@_q(
+    "ivf_pq_filtered_rerank",
+    "SELECT vec_id AS query_id, vec_id + 2000000 AS neighbor_id, 1 AS rank "
+    "FROM embeddings WHERE vec_id < 10",
+)
+def q_ivf_pq_filtered_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-constrained COMPRESSED-index retrieval
+    (similarity.py::ivf_pq_topk filter= + exact rerank): the filter
+    applies before ADC scoring — only label-200 rows are ever decoded —
+    and the exact-rerank arm inherits the constraint through its
+    candidate list (rerank joins the survivors only, so a filtered-out
+    exact match can never re-enter). Same dual-clone proof as
+    `ivf_topk_filtered`, on the codes-only candidate path."""
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_topk
+
+    corpus, queries = _ivf_filtered_corpus(spark, sf_dir)
+    root = _ivf_filtered_stored_indexes(spark, sf_dir)
+    index = spark.read.parquet(f"{root}/pq")
+    res = ivf_pq_topk(
+        queries, index, query_id="query_id", corpus_id="neighbor_id",
+        k=1, nprobe=2, rerank_with=corpus, rerank_candidates=30,
+        filter=F.col("label") == 200,
+    )
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )

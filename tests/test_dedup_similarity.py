@@ -1527,3 +1527,81 @@ def test_ivf_pq_sink_books_passed_at_wiring(spark, sf_dir, tmp_path):
         codebook=cb, pq_books=books, by_residual=True,
     )(batch, 0)  # wiring-time books, no store read for config
     assert _pq_snapshot(spark, idx_a) == _pq_snapshot(spark, idx_b)
+
+
+def test_filtered_ann_recall_under_selective_filter(spark):
+    """Filtered ANN (r10): a selective metadata filter with auto_nprobe
+    reaches the recall of the UNFILTERED probe measured against the
+    FILTERED ground truth — the nprobe/selectivity widening compensates
+    for each probed cell holding ~sel× fewer matching candidates. Also
+    pins the scaling math itself and that the filter prunes candidates
+    pre-scoring (no filtered-out id ever appears)."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        _scaled_nprobe,
+        ivf_index,
+        ivf_topk,
+        topk_brute_force,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    rows = [
+        (
+            i,
+            (centers[i % 8] + 0.35 * rng.normal(size=32)).tolist(),
+            int(i % 4),
+        )
+        for i in range(800)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "neighbor_id long, embedding array<double>, label int"
+    )
+    queries = corpus.where(F.col("neighbor_id") % 20 == 0).select(
+        F.col("neighbor_id").alias("query_id"), "embedding"
+    )
+    index = ivf_index(
+        corpus, "neighbor_id", n_centroids=8, iterations=2, meta_cols=["label"]
+    ).localCheckpoint(eager=True)
+
+    def topk_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    def recall(got, truth):
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+            len(t) for t in truth.values()
+        )
+
+    k, nprobe = 5, 2
+    flt = F.col("label") == 1
+    truth_all = topk_set(topk_brute_force(
+        queries, corpus, "query_id", "neighbor_id", k=k))
+    truth_filt = topk_set(topk_brute_force(
+        queries, corpus.where(flt), "query_id", "neighbor_id", k=k))
+    got_all = topk_set(ivf_topk(
+        queries, query_id="query_id", corpus_id="neighbor_id",
+        k=k, nprobe=nprobe, index=index))
+    got_filt = topk_set(ivf_topk(
+        queries, query_id="query_id", corpus_id="neighbor_id",
+        k=k, nprobe=nprobe, index=index, filter=flt))
+
+    # pre-scoring exclusion: nothing outside the filter ever surfaces
+    assert all(n % 4 == 1 for s in got_filt.values() for n in s)
+    r_all = recall(got_all, truth_all)
+    r_filt = recall(got_filt, truth_filt)
+    assert r_filt >= r_all - 0.05, (r_filt, r_all)
+
+    # the widening math: sel=0.25 -> nprobe 2/0.25 = 8 (all cells here)
+    vec = index.where(F.col("part") == "vec")
+    assert _scaled_nprobe(vec, flt, 2, 8) == 8
+    assert _scaled_nprobe(vec, flt, 2, 64) == 8
+    # fully-filtered index: honest exhaustive-cell fallback, empty result
+    assert _scaled_nprobe(vec, F.col("label") == 99, 2, 8) == 8
+    assert ivf_topk(
+        queries, query_id="query_id", corpus_id="neighbor_id",
+        k=k, nprobe=nprobe, index=index, filter=F.col("label") == 99,
+    ).count() == 0

@@ -991,3 +991,53 @@ def test_star_join_adaptive_lazy_cache_hygiene(spark):
     assert sc._jsc.getPersistentRDDs().size() - base <= 1
     assert out2.count() == 1_000
     spark.catalog.clearCache()
+
+
+def test_filtered_ann_pushdown_plan_gate(spark, tmp_path):
+    """Filtered ANN plan gate (r10): the metadata predicate reaches the
+    stored index's parquet SCAN (PushedFilters), so a selective filter
+    prunes candidates at the read — never a post-scoring thinning — and
+    the probe plan stays cartesian-free / row-Python-free."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("neighbor_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.cos(i * (F.col("id") % 7 + 1)),
+        ).cast("array<double>").alias("embedding"),
+        (F.col("id") % 4).cast("int").alias("label"),
+    )
+    queries = corpus.limit(5).select(
+        F.col("neighbor_id").alias("query_id"), "embedding"
+    )
+    flat, pq = str(tmp_path / "flat"), str(tmp_path / "pq")
+    ivf_index(
+        corpus, "neighbor_id", n_centroids=4, iterations=1, meta_cols=["label"]
+    ).write.parquet(flat)
+    ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=4, m=8, n_codes=8,
+        iterations=1, pq_iterations=1, meta_cols=["label"],
+    ).write.parquet(pq)
+
+    probe = ivf_topk(
+        queries, query_id="query_id", corpus_id="neighbor_id", k=3, nprobe=2,
+        index=spark.read.parquet(flat), filter=F.col("label") == 2,
+    )
+    plan = explain_str(probe)
+    assert "PushedFilters" in plan and "EqualTo(label,2)" in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    pprobe = ivf_pq_topk(
+        queries, spark.read.parquet(pq), query_id="query_id",
+        corpus_id="neighbor_id", k=3, nprobe=2, filter=F.col("label") == 2,
+    )
+    pplan = explain_str(pprobe)
+    assert "EqualTo(label,2)" in pplan, pplan
+    assert "CartesianProduct" not in pplan and "BatchEvalPython" not in pplan

@@ -462,14 +462,21 @@ def _dsir_bucket(gram: Column, buckets: int) -> Column:
 
 
 def _dsir_doc_grams(
-    df: DataFrame, id_col: str | None, text_col: str, buckets: int
+    df: DataFrame, id_col: str | list[str] | None, text_col: str, buckets: int
 ) -> DataFrame:
     """One row per (doc, gram occurrence) with its bucket id. Tokens are
-    the text_normalize'd words (empty docs contribute nothing)."""
+    the text_normalize'd words (empty docs contribute nothing). `id_col`
+    may be a list of columns to carry (group-sliced states)."""
     from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
-    ids = [F.col(id_col)] if id_col else []
+    if id_col is None:
+        names: list[str] = []
+    elif isinstance(id_col, str):
+        names = [id_col]
+    else:
+        names = list(id_col)
+    ids = [F.col(c) for c in names]
     base = ensure_parallelism(df).select(
         *ids,
         F.filter(
@@ -485,17 +492,44 @@ def dsir_state(
     df: DataFrame,
     text_col: str = "text",
     buckets: int = 8192,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The PERSISTABLE hashed-n-gram feature state of a corpus for DSIR:
     `(bucket, cnt)` — at most `buckets` rows regardless of corpus size.
     Build once per domain (one explode + one map-side-combined count agg),
     persist, merge corpus slices by SUMMING counts (union IS merge — the
     same contract as every sketch state here). The target-domain state is
-    typically tiny curated data; the raw state covers the crawl."""
+    typically tiny curated data; the raw state covers the crawl.
+
+    `group_cols` builds PER-GROUP states in one pass — `(…group_cols,
+    bucket, cnt)`, ≤ groups·buckets rows. The classifier use: a labeled
+    corpus yields its pos AND neg training states from one scan (filter
+    the merged state by label before `quality_classifier_weights`)."""
+    gc = list(group_cols or [])
     return (
-        _dsir_doc_grams(df, None, text_col, buckets)
-        .groupBy("bucket")
+        _dsir_doc_grams(df, gc, text_col, buckets)
+        .groupBy(*gc, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_state_merge(
+    slices: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge appended `dsir_state` slices into one (…group_cols, bucket,
+    cnt) table — replay-exact for the streaming sink's state (the
+    `lm_state_merge` law): when slices carry the sink's `epoch_id` tag,
+    a crash-replayed micro-batch (whose identical slice was appended
+    twice) is first collapsed to ONE row per (epoch_id, …, bucket) and
+    only then summed, so readers see exactly-once counts without the
+    sink ever reading its own state. Sound because a slice is the
+    deterministic groupBy(bucket) of its batch. Batch-built slices
+    without the tag merge by plain summation (union-by-sum)."""
+    gc = list(group_cols or [])
+    if "epoch_id" in slices.columns:
+        slices = slices.dropDuplicates(["epoch_id", *gc, "bucket"])
+    return slices.groupBy(*gc, "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
 
 

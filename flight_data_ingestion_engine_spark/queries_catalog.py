@@ -9947,9 +9947,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample(w, id_col="doc_id", tau_bits=-20, seed=42)
 
 
-@_q(
-    "quality_classifier_score",
-    f"""
+_QCLS_SQL = f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
@@ -10002,7 +10000,12 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE (3 - 2) >= 2 * (1::BIGINT << LEAST(-score_bits, 32))
            END AS keep
     FROM sc
-    """,
+    """
+
+
+@_q(
+    "quality_classifier_score",
+    _QCLS_SQL,
 )
 def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear quality classifier (operators/mixing.py::
@@ -11107,4 +11110,138 @@ def q_ivf_pq_filtered_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR / classifier state maintenance (round 10): the last two
+# mergeable-state families without streaming paths. Both states obey the
+# union-by-sum law, so the sink appends epoch-tagged slices and the
+# replay-exact merge is dsir_state_merge (the lm_state_merge protocol).
+def _stage_doc_batches(spark: SparkSession, sf_dir: str, tag: str, df) -> tuple:
+    """Stage a docs frame as two parquet micro-batch files (even ids then
+    odd ids) and return (src, state, ck) dirs under a fresh tmp root."""
+    import os
+    import time as _time
+
+    root = _qtmp(tag)
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(part_df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        part_df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(df.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(df.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+    return src, state, ck
+
+
+def _run_dsir_sink(spark, src, state, ck, schema: str, group_cols) -> None:
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_dsir_sink,
+        stream_parquet,
+    )
+
+    st = stream_parquet(spark, src, schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_dsir_sink(
+                st, state, ck, text_col="text", group_cols=group_cols
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@_q(
+    "streaming_dsir_state",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] AS g
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 8192 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams
+    GROUP BY 1
+    """,
+)
+def q_streaming_dsir_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the DSIR hashed-gram state
+    (streaming/file_stream.py::foreach_batch_dsir_sink): even-id
+    documents arrive as micro-batch 1, odd-id as micro-batch 2; each
+    batch appends its (bucket, cnt) slice and the reader's
+    `dsir_state_merge` must equal the batch `dsir_state` over the whole
+    corpus — value-exact vs DuckDB's replay of the md5 gram hashing.
+    Counts merge by summation, so streaming and batch builds are
+    algebraically identical regardless of batch boundaries; the epoch
+    tag makes a crash-replayed slice collapse to one (pytest-gated)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import dsir_state_merge
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src, state, ck = _stage_doc_batches(spark, sf_dir, "sdsir", docs)
+    _run_dsir_sink(spark, src, state, ck, "doc_id bigint, text string", None)
+    return dsir_state_merge(spark.read.parquet(state))
+
+
+@_q("streaming_quality_classifier", _QCLS_SQL)
+def q_streaming_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the quality classifier's TRAINING states
+    (streaming/file_stream.py::foreach_batch_dsir_sink group_cols=
+    ["cls"]): one labeled curation stream (doc_id % 3 == 0 plays the
+    curated positive class) maintains the pos and neg hashed-gram states
+    together; the weight table retrains from the merged state whenever
+    wanted (two broadcast aggs over ≤ 2·8192 rows — the weights are
+    DERIVED, never themselves streamed, so replay safety reduces to the
+    proven count-slice law). Scoring the corpus against the
+    stream-maintained states matches the batch classifier's oracle
+    value-exactly, keep decision included."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state_merge,
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("pos"))
+        .otherwise(F.lit("neg")).alias("cls"),
+    )
+    src, state, ck = _stage_doc_batches(spark, sf_dir, "sqcls", labeled)
+    _run_dsir_sink(
+        spark, src, state, ck,
+        "doc_id bigint, text string, cls string", ["cls"],
+    )
+    merged = dsir_state_merge(spark.read.parquet(state), ["cls"])
+    pos = merged.where(F.col("cls") == "pos").select("bucket", "cnt")
+    neg = merged.where(F.col("cls") == "neg").select("bucket", "cnt")
+    w = quality_classifier_weights(pos, neg)
+    return quality_classifier_score(
+        docs, w, id_col="doc_id", keep_num=2, keep_den=3
     )

@@ -672,6 +672,50 @@ def foreach_batch_lm_sink(
     )
 
 
+def foreach_batch_dsir_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    buckets: int = 8192,
+    group_cols: list[str] | None = None,
+):
+    """Streaming DSIR / quality-classifier state maintenance (r10,
+    closing SURVEY §2.13's all-families-streaming claim): each
+    micro-batch reduces to its `dsir_state` hashed-gram count slice
+    (≤ groups·buckets rows) and APPENDS it epoch-tagged to the state
+    parquet — the `foreach_batch_lm_sink` protocol verbatim, because the
+    state obeys the same union-by-sum law. Readers merge via
+    `mixing.dsir_state_merge` (collapses a crash-replayed epoch's
+    duplicate slice before summing — exactly-once without the sink ever
+    reading its own state) and see the gram distribution of everything
+    ingested so far.
+
+    `group_cols=["label"]` is the CLASSIFIER maintenance path: one
+    labeled curation stream maintains the pos AND neg training states
+    together; retrain `quality_classifier_weights` from the merged state
+    at any point — the weight table is derived, never itself streamed
+    (training is two broadcast aggs over ≤ 2·buckets rows, cheaper than
+    any incremental-weights protocol would be to make replay-safe)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import dsir_state
+
+    gc = list(group_cols or [])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = dsir_state(batch_df, text_col=text_col, buckets=buckets, group_cols=gc)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def foreach_batch_kmv_sink(
     stream: DataFrame,
     state_path: str,

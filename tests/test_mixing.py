@@ -453,3 +453,59 @@ def test_quality_classifier_bias_shifts_scores(spark):
                for r in quality_classifier_score(
                    docs, w, "doc_id", bias_bits=5).collect()}
     assert shifted == {k: v + 5 for k, v in base.items()}
+
+
+def test_dsir_state_merge_replay_exact(spark):
+    """The dsir sink appends its slice AGAIN after a crash replay —
+    `dsir_state_merge` must collapse the duplicate epoch slice before
+    summing, so the merged state equals the batch state exactly; and the
+    grouped (classifier) variant obeys the same law per label."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        dsir_state,
+        dsir_state_merge,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    want = {
+        r.bucket: r.cnt for r in dsir_state(docs).collect()
+    }
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1 = dsir_state(b1).withColumn("epoch_id", F.lit(0).cast("bigint"))
+    s2 = dsir_state(b2).withColumn("epoch_id", F.lit(1).cast("bigint"))
+    replayed = s1.unionByName(s2).unionByName(s2)  # epoch 1 fired twice
+    got = {r.bucket: r.cnt for r in dsir_state_merge(replayed).collect()}
+    assert got == want
+
+    # untagged batch slices: plain union-by-sum
+    got2 = {
+        r.bucket: r.cnt
+        for r in dsir_state_merge(
+            dsir_state(b1).unionByName(dsir_state(b2))
+        ).collect()
+    }
+    assert got2 == want
+
+    # grouped variant (classifier pos/neg states in one table)
+    labeled = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("pos")).otherwise(F.lit("neg")).alias("cls"),
+    )
+    gwant = {
+        (r.cls, r.bucket): r.cnt
+        for r in dsir_state(labeled, group_cols=["cls"]).collect()
+    }
+    g1 = dsir_state(labeled.where(F.col("doc_id") % 2 == 0), group_cols=["cls"]).withColumn(
+        "epoch_id", F.lit(0).cast("bigint"))
+    g2 = dsir_state(labeled.where(F.col("doc_id") % 2 == 1), group_cols=["cls"]).withColumn(
+        "epoch_id", F.lit(1).cast("bigint"))
+    greplay = g1.unionByName(g2).unionByName(g1)  # epoch 0 fired twice
+    ggot = {
+        (r.cls, r.bucket): r.cnt
+        for r in dsir_state_merge(greplay, ["cls"]).collect()
+    }
+    assert ggot == gwant

@@ -1710,3 +1710,150 @@ def kmv_shared_mass(
         _scaled(F.col("m_a")).cast("bigint").alias("est_mass_a"),
         _scaled(F.col("m_b")).cast("bigint").alias("est_mass_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unknown-range mergeable quantiles (round 10): the rank-sketch family.
+# `histogram_state` needs a declared [lo, hi) bucket range; columns with
+# unknown or drifting domains (doc lengths, scores from external models)
+# need a rank sketch. KLL is the textbook answer, but KLL's compactors are
+# INSERTION-ORDER-dependent — no order-dependent sketch can ever be
+# bit-exact across engines and partitionings, the exactness contract every
+# state here honors. So this is the deterministic equivalent: a BOTTOM-K-
+# BY-HASH uniform row sample (the KMV discipline applied to rank queries).
+# The k rows with the smallest portable md5 hash of a unique row key form
+# a uniform without-replacement sample that is a pure function of the row
+# SET; quantiles read off the sorted sample. Rank error obeys DKW:
+# P(|F̂(x) − F(x)| > ε) ≤ 2e^(−2kε²) — ε ≈ 1.36/√k at 95% confidence
+# (k=4096 → ±2.1% rank), vs KLL's (log²)/k·ε tradeoff; the constant-factor
+# loss buys cross-engine bit-exactness and a union merge law.
+def rank_sample_state(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    group_cols: list[str] | None = None,
+    k: int = 4096,
+) -> DataFrame:
+    """Mergeable UNKNOWN-RANGE quantile state: per group, the exact row
+    count plus a deterministic k-row uniform sample of the value column —
+    `(part, group_cols..., kh, v, n)`:
+
+    - `part='meta'`: one row per group, `n` = exact total rows (merge by
+      SUM — the count law).
+    - `part='sample'`: ≤ k rows per group — the rows whose
+      `kmv_hash(key)` ranks in the group's k smallest (merge by union +
+      re-truncate — the KMV law). `key` must uniquely identify a row
+      (doc_id, event_id, a composite).
+
+    No bucket range, no value assumptions (any orderable numeric),
+    bit-identical on any engine/partitioning (pure function of the row
+    set). Scale shape: one shuffle on the group key for the top-k window
+    + the count agg; state is ≤ (k+1) rows per group forever. Answer
+    p50/p99 via `rank_sample_quantiles` from state alone; append a new
+    slice with `rank_sample_merge` — history is never rescanned."""
+    assert 2 <= k <= 1 << 20
+    gc = list(group_cols or [])
+    gcols = [F.col(c) for c in gc]
+    base = df.where(key.isNotNull() & F.col(value_col).isNotNull()).select(
+        *gcols,
+        kmv_hash(key).alias("kh"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    win = Window.partitionBy(*gcols).orderBy("kh", "v")
+    sample = (
+        base.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.lit("sample").alias("part"),
+            *gcols,
+            "kh",
+            "v",
+            F.lit(None).cast("bigint").alias("n"),
+        )
+    )
+    meta = (base.groupBy(*gcols) if gc else base.groupBy()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select(
+        F.lit("meta").alias("part"),
+        *gcols,
+        F.lit(None).cast("bigint").alias("kh"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("n"),
+    )
+    return meta.unionByName(sample)
+
+
+def rank_sample_merge(
+    states: list[DataFrame],
+    group_cols: list[str] | None = None,
+    k: int = 4096,
+) -> DataFrame:
+    """Merge `rank_sample_state` slices: meta rows SUM their exact
+    counts; sample rows union and re-truncate to the k smallest hashes
+    per group. Because each slice's sample is the bottom-k of ITS rows,
+    the union's bottom-k is exactly the bottom-k of the combined row set
+    — the merged state is bit-identical to a from-scratch build (the KMV
+    merge proof verbatim). Union IS merge; appending a day's slice never
+    rescans history."""
+    gc = list(group_cols or [])
+    gcols = [F.col(c) for c in gc]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    meta = (
+        u.where(F.col("part") == "meta").groupBy(*gcols)
+        if gc
+        else u.where(F.col("part") == "meta").groupBy()
+    ).agg(F.sum("n").cast("bigint").alias("n")).select(
+        F.lit("meta").alias("part"),
+        *gcols,
+        F.lit(None).cast("bigint").alias("kh"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("n"),
+    )
+    win = Window.partitionBy(*gcols).orderBy("kh", "v")
+    sample = (
+        u.where(F.col("part") == "sample")
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return meta.unionByName(sample)
+
+
+def rank_sample_quantiles(
+    state: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a `rank_sample_state` alone — no raw-data
+    rescan: `(group_cols..., q, est, n)` where `est` is the sample's
+    ceil(q·m)-th order statistic (m = sample rows, ties broken by the
+    hash — fully deterministic, DuckDB-replayable) and `n` the group's
+    EXACT row count from the meta rows. Rank error vs the true quantile
+    follows DKW on the uniform sample: ±1.36/√k of rank at 95%
+    (pytest-gated). One window over ≤ k rows per group + one broadcast
+    meta join — metadata-sized work."""
+    gc = list(group_cols or [])
+    gcols = [F.col(c) for c in gc]
+    sample = state.where(F.col("part") == "sample").select(*gcols, "kh", "v")
+    meta = state.where(F.col("part") == "meta").select(*gcols, "n")
+    win = Window.partitionBy(*gcols).orderBy("v", "kh")
+    m = (sample.groupBy(*gcols) if gc else sample.groupBy()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m")
+    )
+    ranked = sample.withColumn("_r", F.row_number().over(win))
+    ranked = ranked.join(F.broadcast(m), on=gc) if gc else ranked.crossJoin(
+        F.broadcast(m)
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)).alias("q") for q in qs])
+    ).alias("q")
+    picked = ranked.select(*gcols, "v", "_r", "_m", qcol).where(
+        F.col("_r")
+        == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_m")).cast("bigint"))
+    )
+    out = picked.join(F.broadcast(meta), on=gc) if gc else picked.crossJoin(
+        F.broadcast(meta)
+    )
+    return out.select(*gcols, "q", F.col("v").alias("est"), "n")

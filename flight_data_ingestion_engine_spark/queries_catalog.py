@@ -11245,3 +11245,66 @@ def q_streaming_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     return quality_classifier_score(
         docs, w, id_col="doc_id", keep_num=2, keep_den=3
     )
+
+
+@_q(
+    "rank_sketch_quantiles",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS kh,
+             CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+    ),
+    meta AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+    ),
+    sample AS (
+      SELECT l_returnflag, kh, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY kh, v) AS rn
+      FROM base QUALIFY rn <= 1024
+    ),
+    msz AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt_m
+      FROM sample GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_returnflag, v, kh,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY v, kh) AS r
+      FROM sample
+    ),
+    qs AS (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+    SELECT ranked.l_returnflag, q, v AS est, n
+    FROM ranked
+    JOIN msz USING (l_returnflag)
+    CROSS JOIN qs
+    JOIN meta USING (l_returnflag)
+    WHERE r = GREATEST(1, CAST(CEIL(q * cnt_m) AS BIGINT))
+    """,
+)
+def q_rank_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNKNOWN-RANGE mergeable quantiles (operators/sketches.py::
+    rank_sample_state / rank_sample_quantiles — the KLL use case under
+    the repo's cross-engine exactness contract): per returnflag, p50/p90/
+    p99 of l_extendedprice read off a deterministic bottom-k-by-hash
+    uniform sample (k=1024) plus the exact row count — NO declared
+    bucket range (contrast `histogram_quantile_state`), any orderable
+    numeric domain, state ≤ k+1 rows per group forever. KLL itself is
+    insertion-order-dependent, so it can never hash-match across
+    engines/partitionings; the bottom-k design trades the k ~ 1/ε²
+    sample bound (DKW, pytest-gated) for bit-exact replay — DuckDB
+    rebuilds the identical sample from the identical md5 order and every
+    estimate matches value-exactly. Merge law (union + re-truncate +
+    count sum) is pytest-gated bit-identical to a from-scratch build."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_quantiles,
+        rank_sample_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = rank_sample_state(
+        li, "l_extendedprice",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        ["l_returnflag"], k=1024,
+    )
+    return rank_sample_quantiles(st, [0.5, 0.9, 0.99], ["l_returnflag"])

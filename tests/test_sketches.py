@@ -1012,3 +1012,72 @@ def test_kmv_weighted_replay_merge_keeps_distinct_epochs(spark, tmp_path):
         ).collect()
     }
     assert merged == {gh: 2 * w for gh, w in single.items()}
+
+
+def test_rank_sample_quantile_error_bound(spark):
+    """DKW gate for the unknown-range rank sketch: with k=2048 sampled
+    rows the estimated q-quantile's TRUE rank must lie within
+    ±1.36/sqrt(k) of q at 95% — checked at 3x the bound on fixed-seed
+    data (deterministic test, generous margin over the 95% band) for a
+    skewed heavy-tailed column no histogram range could be declared
+    for."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_quantiles,
+        rank_sample_state,
+    )
+
+    n, k = 100_000, 2048
+    # heavy-tailed deterministic values: x = u^4 * 1e9 over a pseudo-random u
+    df = spark.range(n).select(
+        "id",
+        (
+            F.pow(
+                (F.xxhash64(F.col("id").cast("string")) % 1_000_003 + 1_000_003)
+                % 1_000_003 / 1_000_003.0,
+                4.0,
+            )
+            * 1e9
+        ).alias("x"),
+    )
+    st = rank_sample_state(df, "x", F.col("id"), k=k).localCheckpoint(eager=True)
+    got = {r.q: r.est for r in rank_sample_quantiles(st, [0.5, 0.9, 0.99]).collect()}
+    eps = 3 * 1.36 / (k ** 0.5)  # 3x the 95% DKW band
+    for q, est in got.items():
+        true_rank = df.where(F.col("x") <= est).count() / n
+        assert abs(true_rank - q) <= eps, (q, true_rank, eps)
+    # exact n carried in the state
+    assert {r.n for r in rank_sample_quantiles(st, [0.5]).collect()} == {n}
+
+
+def test_rank_sample_merge_law_bit_identical(spark):
+    """Union + re-truncate + count-sum must equal the from-scratch state
+    BIT-IDENTICALLY (the KMV merge proof applied to row samples) — the
+    append-only property that lets a day's slice merge without rescanning
+    history; also: quantiles off the merged state equal quantiles off the
+    full build."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_merge,
+        rank_sample_quantiles,
+        rank_sample_state,
+    )
+
+    df = spark.range(30_000).select(
+        "id",
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 2654435761) % 1_000_000).cast("double").alias("x"),
+    )
+    k = 512
+    full = rank_sample_state(df, "x", F.col("id"), ["g"], k=k)
+    parts = [
+        rank_sample_state(
+            df.where(F.col("id") % 3 == i), "x", F.col("id"), ["g"], k=k
+        )
+        for i in range(3)
+    ]
+    merged = rank_sample_merge(parts, ["g"], k=k)
+    key = lambda r: (r.part, r.g, r.kh, r.v, r.n)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+    qf = rank_sample_quantiles(full, [0.25, 0.75], ["g"])
+    qm = rank_sample_quantiles(merged, [0.25, 0.75], ["g"])
+    kq = lambda r: (r.g, r.q, r.est, r.n)
+    assert sorted(map(kq, qm.collect())) == sorted(map(kq, qf.collect()))

@@ -62,6 +62,171 @@ def attach_fake_media(df: DataFrame, id_col: str, media_type: str = "image") -> 
 DECODED_SCHEMA = "id bigint, format string, n_pixels int, feature array<double>"
 
 
+# -- real-format codecs (r10): pure-stdlib decode for the uncompressed
+# public formats — BMP (24-bit uncompressed), PPM/PGM (P6/P5 binary,
+# maxval ≤ 255), WAV (16-bit PCM via the `wave` module). JPEG/PNG/MP3
+# still raise in strict mode: faking an entropy-coded codec would be
+# dishonest, and those libraries aren't in this container. Encoders are
+# provided for the same formats (round-trip pytest substrate + sinks).
+
+
+def encode_bmp(width: int, height: int, gray_pixels: list[int]) -> bytes:
+    """Encode row-major TOP-DOWN gray pixels (0-255) as a 24-bit
+    uncompressed bottom-up BMP (r=g=b)."""
+    import struct
+
+    if len(gray_pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        b"".join(
+            bytes([gray_pixels[r * width + c]]) * 3 for c in range(width)
+        )
+        + pad
+        for r in range(height - 1, -1, -1)  # bottom-up row order
+    )
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a 24-bit uncompressed BMP → (width, height, row-major
+    TOP-DOWN gray pixels, gray = (r+g+b)//3). Handles bottom-up and
+    top-down (negative height) layouts and row padding."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+    topdown = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):
+        base = off + r * stride
+        row = []
+        for c in range(width):
+            b_, g_, r_ = payload[base + 3 * c : base + 3 * c + 3]
+            row.append((r_ + g_ + b_) // 3)
+        rows.append(row)
+    if not topdown:
+        rows.reverse()
+    return width, height, [p for row in rows for p in row]
+
+
+def encode_pnm(width: int, height: int, gray_pixels: list[int], rgb: bool = False) -> bytes:
+    """Encode gray pixels as binary PGM (P5) or PPM (P6, r=g=b)."""
+    if len(gray_pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    magic = b"P6" if rgb else b"P5"
+    body = (
+        b"".join(bytes([p]) * 3 for p in gray_pixels)
+        if rgb
+        else bytes(gray_pixels)
+    )
+    return magic + f"\n{width} {height}\n255\n".encode() + body
+
+
+def decode_pnm(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode binary PGM (P5) / PPM (P6, gray = (r+g+b)//3), maxval ≤ 255,
+    honoring '#' comments in the header."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    rgb = payload[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("only 1-byte PNM samples are supported")
+    n = width * height
+    if rgb:
+        raw = payload[pos : pos + 3 * n]
+        pixels = [(raw[3 * i] + raw[3 * i + 1] + raw[3 * i + 2]) // 3 for i in range(n)]
+    else:
+        pixels = list(payload[pos : pos + n])
+    if len(pixels) != n:
+        raise ValueError("truncated PNM body")
+    return width, height, pixels
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Encode 16-bit PCM samples (interleaved if channels > 1) as WAV."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode 16-bit PCM WAV → (sample_rate, n_frames, per-frame samples;
+    multi-channel frames average to one value via integer mean)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        ch = wf.getnchannels()
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+    vals = struct.unpack(f"<{n * ch}h", raw)
+    if ch == 1:
+        samples = list(vals)
+    else:
+        samples = [sum(vals[i * ch : (i + 1) * ch]) // ch for i in range(n)]
+    return sr, n, samples
+
+
+def _chunk_feature(values: list[int], dim: int, scale: float) -> list[float]:
+    """dim equal-span chunk means of values/scale — the fixed-width
+    feature summary. Deterministic: chunk i spans [floor(i·m/dim),
+    floor((i+1)·m/dim)); an empty chunk (m < dim) reads the single value
+    at min(floor(i·m/dim), m−1). Integer sums, ONE division per chunk."""
+    m = len(values)
+    out = []
+    for i in range(dim):
+        lo, hi = i * m // dim, (i + 1) * m // dim
+        if hi <= lo:
+            lo = min(lo, m - 1)
+            hi = lo + 1
+        out.append(sum(values[lo:hi]) / ((hi - lo) * scale))
+    return out
+
+
+_IMAGE_DECODERS = {"bmp": decode_bmp, "ppm": decode_pnm, "pgm": decode_pnm}
+
+
 def _fake_decode(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a codec: features from a payload digest.
 
@@ -84,46 +249,121 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads to fixed-dim features via Arrow-batched mapInPandas.
 
-    strict=True raises NotImplementedError for real formats (no codec in
-    this environment); the 'fake' format always decodes deterministically.
+    REAL formats decoded pure-stdlib (r10): `bmp` (24-bit uncompressed),
+    `ppm`/`pgm` (binary P6/P5), `wav` (16-bit PCM) — pixel/sample
+    equality round-trip pytest-gated. The feature is `feature_dim`
+    equal-span chunk means of the gray pixels / 255 (images) or the
+    samples / 32768 (audio); `n_pixels` counts pixels or frames. The
+    synthetic `fake` format keeps its digest decode. Entropy-coded
+    formats (jpeg/png/mp3/mp4) have no codec in this container:
+    strict=True raises NotImplementedError, strict=False drops those
+    rows — honestly, never faking a decode.
     """
     import pandas as pd
 
     schema = (
         f"{id_col} bigint, format string, n_pixels int, feature array<double>"
     )
+    decodable = {"fake"} | set(_IMAGE_DECODERS) | {"wav"}
+
+    def _decode_row(fmt: str, payload: bytes, w: int, h: int):
+        if fmt == "fake":
+            return w * h, _fake_decode(payload, w, h, feature_dim)
+        if fmt in _IMAGE_DECODERS:
+            dw, dh, pixels = _IMAGE_DECODERS[fmt](payload)
+            return dw * dh, _chunk_feature(pixels, feature_dim, 255.0)
+        dsr, dn, samples = decode_wav(payload)
+        return dn, _chunk_feature(samples, feature_dim, 32768.0)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # Columnar over each Arrow batch: one pass to split meta fields,
-        # one boolean mask, one zip for the (inherently per-row) digest.
+        # one boolean mask, one zip for the (inherently per-row) decode.
         for pdf in it:
             meta = pdf[meta_col]
             fmt = meta.map(lambda m: m["format"])
-            keep = fmt == "fake"
+            keep = fmt.isin(decodable)
             if strict and not keep.all():
                 bad = fmt[~keep].iloc[0]
                 raise NotImplementedError(
                     f"no codec for format={bad!r} in this environment"
                 )
             sub = pdf[keep]
+            if not len(sub):
+                continue  # an all-object empty frame breaks Arrow's list cast
             sub_meta = sub[meta_col]
-            widths = sub_meta.map(lambda m: int(m["width"]))
-            heights = sub_meta.map(lambda m: int(m["height"]))
+            # width/height are only consulted by the fake digest decode;
+            # real decoders read dimensions from the payload itself (and
+            # audio rows carry NULL dims)
+            widths = sub_meta.map(
+                lambda m: int(m["width"]) if m["width"] is not None else 0
+            )
+            heights = sub_meta.map(
+                lambda m: int(m["height"]) if m["height"] is not None else 0
+            )
+            decoded = [
+                _decode_row(f, bytes(p), w, h)
+                for f, p, w, h in zip(
+                    fmt[keep], sub[bytes_col], widths, heights
+                )
+            ]
             yield pd.DataFrame(
                 {
                     id_col: sub[id_col].astype("int64"),
-                    "format": "fake",
-                    "n_pixels": (widths * heights).astype("int32"),
-                    "feature": [
-                        _fake_decode(bytes(p), w, h, feature_dim)
-                        for p, w, h in zip(sub[bytes_col], widths, heights)
-                    ],
+                    "format": list(fmt[keep]),
+                    "n_pixels": pd.Series(
+                        [n for n, _ in decoded], dtype="int32", index=sub.index
+                    ),
+                    "feature": [f for _, f in decoded],
                 },
                 columns=[id_col, "format", "n_pixels", "feature"],
             )
 
     pruned = df.select(id_col, bytes_col, meta_col)
     return pruned.mapInPandas(batches, schema)
+
+
+def attach_synthetic_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL encoded payloads per row, format cycling bmp/ppm/
+    pgm/wav by id, with CLOSED-FORM content — every pixel of image i is
+    gray g = id%200+10, every sample of clip i is s = id%1000−500 — so an
+    oracle can state the decode output (chunk means g/255 or s/32768) in
+    SQL without replaying the codec. Dimensions: w = id%5+2, h = id%4+2;
+    audio n = id%50+10 frames at 8 kHz. The encode runs in the same
+    Arrow mapInPandas shape as the decode (payloads never touch the
+    driver)."""
+    import pandas as pd
+
+    formats = ["bmp", "ppm", "pgm", "wav"]
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                fmt = formats[i % 4]
+                if fmt == "wav":
+                    n = i % 50 + 10
+                    payload = encode_wav(8000, [i % 1000 - 500] * n)
+                    meta = ("audio", fmt, None, None, 8000, n, n / 8000.0)
+                else:
+                    w, h = i % 5 + 2, i % 4 + 2
+                    g = i % 200 + 10
+                    pixels = [g] * (w * h)
+                    payload = (
+                        encode_bmp(w, h, pixels)
+                        if fmt == "bmp"
+                        else encode_pnm(w, h, pixels, rgb=(fmt == "ppm"))
+                    )
+                    meta = ("image", fmt, w, h, None, 1, None)
+                rows.append((i, payload, meta))
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col).mapInPandas(synth, schema)
 
 
 def sample_frames(

@@ -11308,3 +11308,50 @@ def q_rank_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"], k=1024,
     )
     return rank_sample_quantiles(st, [0.5, 0.9, 0.99], ["l_returnflag"])
+
+
+@_q(
+    "media_decode_real",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                             WHEN 2 THEN 'pgm' ELSE 'wav' END AS format,
+             doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h,
+             doc_id % 200 + 10 AS g,
+             doc_id % 50 + 10 AS n,
+             doc_id % 1000 - 500 AS s
+      FROM documents
+    )
+    SELECT doc_id, format,
+           CAST(CASE WHEN format = 'wav' THEN n ELSE w * h END AS INTEGER)
+             AS n_pixels,
+           CAST(i.i AS BIGINT) AS dim_idx,
+           CASE WHEN format = 'wav' THEN s / 32768.0 ELSE g / 255.0 END AS value
+    FROM f, (SELECT unnest(range(8)) AS i) i
+    """,
+)
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format media decode (operators/multimodal.py r10 —
+    decode_bmp/decode_pnm/decode_wav, pure stdlib): payloads are actual
+    encoded BMP (24-bit bottom-up with row padding), binary PPM/PGM, and
+    16-bit PCM WAV bytes synthesized with closed-form content (constant
+    gray g per image, constant sample s per clip), decoded back through
+    the Arrow mapInPandas codec path. The oracle states the decode
+    output in closed form — chunk means g/255 or s/32768, n_pixels =
+    w·h or n_frames — so a stride/padding/header bug in any decoder
+    breaks the value match (pixel-varying payloads are round-trip-gated
+    in pytest; entropy-coded formats still honestly raise in strict
+    mode)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_synthetic_media,
+        decode_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_synthetic_media(docs, id_col="doc_id")
+    decoded = decode_media(media, id_col="doc_id")
+    return decoded.select(
+        "doc_id", "format", "n_pixels",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    )

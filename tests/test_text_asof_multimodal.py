@@ -214,3 +214,80 @@ def test_segment_media_windows(spark):
     assert by_id[3] == [(0, 0, 100)]
     # zero duration yields one empty [0,0) segment (callers may filter)
     assert by_id[4] == [(0, 0, 0)]
+
+
+def test_real_codec_roundtrips_pixel_exact():
+    """r10 real-format codecs: synthesize → encode → decode must return
+    the EXACT pixels/samples — varying content so stride/padding/row-order
+    bugs can't hide (BMP pads rows to 4 bytes and stores bottom-up; PNM
+    headers allow comments; WAV frames are little-endian int16)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_bmp,
+        decode_pnm,
+        decode_wav,
+        encode_bmp,
+        encode_pnm,
+        encode_wav,
+    )
+
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 4), (5, 1)]:
+        pix = [(r * 31 + c * 7) % 256 for r in range(h) for c in range(w)]
+        assert decode_bmp(encode_bmp(w, h, pix)) == (w, h, pix)
+        assert decode_pnm(encode_pnm(w, h, pix, rgb=False)) == (w, h, pix)
+        assert decode_pnm(encode_pnm(w, h, pix, rgb=True)) == (w, h, pix)
+    # PNM comments in the header survive parsing
+    from flight_data_ingestion_engine_spark.operators import multimodal as mm
+
+    payload = b"P5\n# a comment\n3 2\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert mm.decode_pnm(payload) == (3, 2, [1, 2, 3, 4, 5, 6])
+    for n in (1, 123, 4000):
+        smp = [((i * 97) % 2000) - 1000 for i in range(n)]
+        assert decode_wav(encode_wav(8000, smp)) == (8000, n, smp)
+    # stereo averages frames by integer mean
+    inter = [100, 200, -50, -51]
+    assert decode_wav(encode_wav(8000, inter, channels=2)) == (
+        8000, 2, [150, -51],
+    )
+
+
+def test_decode_media_real_formats_spark_path(spark):
+    """The mapInPandas decode path on real payloads: closed-form feature
+    values per format, and strict mode still honestly raises on an
+    entropy-coded format it cannot decode."""
+    import pytest as _pytest
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_fake_media,
+        attach_synthetic_media,
+        decode_media,
+    )
+
+    media = attach_synthetic_media(spark.range(60), "id")
+    got = {r.id: r for r in decode_media(media, "id").collect()}
+    assert len(got) == 60
+    for i, r in got.items():
+        fmt = ["bmp", "ppm", "pgm", "wav"][i % 4]
+        assert r.format == fmt
+        if fmt == "wav":
+            n, v = i % 50 + 10, (i % 1000 - 500) / 32768.0
+            assert r.n_pixels == n
+            assert all(abs(x - v) < 1e-15 for x in r.feature)
+        else:
+            w, h, g = i % 5 + 2, i % 4 + 2, (i % 200 + 10) / 255.0
+            assert r.n_pixels == w * h
+            assert all(abs(x - g) < 1e-15 for x in r.feature)
+
+    # a jpeg row: dropped when lax, NotImplementedError when strict
+    jpeg = attach_fake_media(spark.range(3), "id").withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"), F.lit("jpeg").alias("format"),
+            F.lit(4).alias("width"), F.lit(4).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ),
+    )
+    assert decode_media(jpeg, "id").count() == 0
+    with _pytest.raises(Exception, match="no codec for format='jpeg'"):
+        decode_media(jpeg, "id", strict=True).collect()

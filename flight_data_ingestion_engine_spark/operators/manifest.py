@@ -1454,7 +1454,109 @@ def optimize_versioned(
     moved = _stage_and_move(spark, clustered, data_path, "o")
     cols = stat_cols if stat_cols is not None else _stat_cols(mf)
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
-    return commit_manifest(spark, log_path, fresh)
+    v = commit_manifest(spark, log_path, fresh)
+    # register full coverage so a later optimize_incremental only touches
+    # files added after this commit
+    _write_layout(spark, log_path, v, fresh.select("file_path"))
+    return v
+
+
+def _layout_dir(log_path: str) -> str:
+    return f"{log_path.rstrip('/')}/_layout"
+
+
+def _read_layout(spark: SparkSession, log_path: str) -> DataFrame | None:
+    """The newest `_layout/v=<n>` sidecar — the file set clustered as of
+    the last OPTIMIZE (full or incremental), or None before any. Files
+    later rewritten by MERGE/DELETE drop out by intersecting with the
+    live manifest, so the sidecar never needs maintenance between
+    optimizes."""
+    fs, jvm = _fs_for(spark, log_path)
+    d = jvm.org.apache.hadoop.fs.Path(_layout_dir(log_path))
+    if not fs.exists(d):
+        return None
+    versions = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(d)
+        if st.getPath().getName().startswith("v=")
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(f"{_layout_dir(log_path)}/v={max(versions)}")
+
+
+def _write_layout(spark: SparkSession, log_path: str, version: int, paths: DataFrame) -> None:
+    paths.select("file_path").write.mode("overwrite").parquet(
+        f"{_layout_dir(log_path)}/v={version}"
+    )
+
+
+def optimize_incremental(
+    spark: SparkSession,
+    data_path: str,
+    log_path: str,
+    cluster_by: list[str],
+    n_files: int,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """Incremental OPTIMIZE (r10): cluster ONLY the files added since the
+    last layout commit — the Delta/Iceberg-style steady state. At 100 TB
+    a daily full `optimize_versioned` rewrites the whole table to
+    re-cluster a day's appends; this rewrites just the uncovered files:
+
+    - covered = newest `_layout` sidecar ∩ the live manifest (files the
+      last OPTIMIZE produced and that still exist — MERGE/DELETE rewrites
+      drop out by the intersection, appends were never in it);
+    - uncovered files' ROWS are range-clustered into ≤ n_files new files
+      (same `_stage_and_move` CoW as every rewrite here);
+    - the new version's manifest = covered rows CARRIED VERBATIM (their
+      min/max envelopes — and the files themselves — are untouched; the
+      physical-identity invariant is pytest-gated) + fresh stats for the
+      new files;
+    - the updated sidecar (covered + new) lands under `_layout/v=<new>`.
+
+    Same invariants as the full OPTIMIZE: `snapshot_changes(pre, post)`
+    is EMPTY (layout is invisible in the data), old versions keep
+    reading their own files until vacuum. Per-file scan cost is
+    O(uncovered), not O(table). Note the trade: each incremental pass
+    clusters its OWN slice, so envelopes overlap ACROSS passes (a k-range
+    probe hits ≤ passes·files_per_range files, vs 1 after a full
+    OPTIMIZE) — run a full `optimize_versioned` occasionally to collapse
+    layout generations, exactly like Delta's OPTIMIZE cadence."""
+    mf = read_manifest_version(spark, log_path)
+    cols = stat_cols if stat_cols is not None else _stat_cols(mf)
+    layout = _read_layout(spark, log_path)
+    if layout is None:
+        covered = mf.where(F.lit(False)).select("file_path")
+    else:
+        covered = mf.select("file_path").join(
+            layout.select("file_path"), "file_path"
+        )
+    covered = covered.localCheckpoint(eager=True)
+    uncovered = [
+        r.file_path
+        for r in mf.select("file_path")
+        .join(covered, "file_path", "left_anti")
+        .collect()
+    ]
+    current = list_versions(spark, log_path)[-1]
+    if not uncovered:
+        return current  # fully clustered already — no-op, no commit
+    content = spark.read.parquet(*uncovered)
+    clustered = content.repartitionByRange(
+        min(n_files, max(1, len(uncovered))), *[F.col(c) for c in cluster_by]
+    ).sortWithinPartitions(*cluster_by)
+    moved = _stage_and_move(spark, clustered, data_path, "o")
+    fresh = file_column_stats(spark.read.parquet(*moved), cols)
+    carried = mf.join(covered, "file_path")
+    v = commit_manifest(
+        spark, log_path, carried.unionByName(fresh.select(*carried.columns))
+    )
+    _write_layout(
+        spark, log_path, v,
+        covered.unionByName(fresh.select("file_path")),
+    )
+    return v
 
 
 def table_history(spark: SparkSession, log_path: str) -> DataFrame:

@@ -1587,3 +1587,74 @@ def test_tags_pin_versions_against_vacuum(spark, tmp_path):
     assert not delete_tag(spark, log, "train-v1")
     vacuum_versions(spark, log, data, keep_last=1)
     assert first not in list_versions(spark, log)
+
+
+def test_optimize_incremental_touches_only_new_files(spark):
+    """r10 incremental OPTIMIZE: after a full optimize, appends are
+    re-clustered WITHOUT touching the already-clustered files — their
+    physical identity (file_path) survives the commit verbatim; the
+    change feed between pre/post is empty; the new files' envelopes
+    prune a probe over the appended key range as tightly as a full
+    optimize would; a second incremental run is a no-op (no commit)."""
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        list_versions,
+        merge_upsert_versioned,
+        optimize_incremental,
+        optimize_versioned,
+        pruned_read,
+        read_as_of,
+        read_manifest_version,
+        snapshot_changes,
+    )
+
+    root = tempfile.mkdtemp(prefix="fdie_incr_opt_")
+    data, log = f"{root}/data", f"{root}/log"
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), F.pmod(F.xxhash64("id"), 1000).alias("scr")
+    )
+    merge_upsert_versioned(spark, data, log, base.repartition(8), "k")
+    v_full = optimize_versioned(
+        spark, data, log, cluster_by=["k"], n_files=8, stat_cols=["k"]
+    )
+    clustered_files = {
+        r.file_path for r in read_manifest_version(spark, log).select("file_path").collect()
+    }
+
+    # append 500 brand-new keys (pure inserts — no existing file rewrites)
+    extra = spark.range(2000, 2500).select(
+        F.col("id").alias("k"), F.pmod(F.xxhash64("id"), 1000).alias("scr")
+    )
+    v_app = merge_upsert_versioned(spark, data, log, extra.repartition(4), "k")
+    assert v_app == v_full + 1
+
+    v_inc = optimize_incremental(
+        spark, data, log, cluster_by=["k"], n_files=4, stat_cols=["k"]
+    )
+    assert v_inc == v_app + 1
+    m = read_manifest_version(spark, log)
+    files_now = {r.file_path for r in m.select("file_path").collect()}
+    # physical identity: every previously-clustered file carried verbatim
+    assert clustered_files <= files_now
+    new_files = files_now - clustered_files
+    assert 1 <= len(new_files) <= 4
+
+    # layout change is invisible in the data
+    pre, post = read_as_of(spark, log, v_app), read_as_of(spark, log, v_inc)
+    assert pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
+    assert snapshot_changes(spark, log, v_app, v_inc).isEmpty()
+
+    # the appended range now prunes: a probe over new keys reads only the
+    # freshly clustered files, never the old layout
+    hit = m.where((F.col("max_k") >= 2100) & (F.col("min_k") <= 2140))
+    assert hit.count() <= 2
+    assert {r.file_path for r in hit.collect()} <= new_files
+    assert pruned_read(spark, m, "k", 2100, 2140).count() == 41
+
+    # fully clustered -> no-op, no new version
+    assert optimize_incremental(
+        spark, data, log, cluster_by=["k"], n_files=4, stat_cols=["k"]
+    ) == v_inc
+    assert list_versions(spark, log)[-1] == v_inc
+    shutil.rmtree(root, ignore_errors=True)

@@ -1249,8 +1249,18 @@ def _bpe_merge_once_py(sym: list[str], p1: str, p2: str) -> list[str]:
     return out
 
 
+def _byte_tokens(symbol: str) -> list[str]:
+    """Decompose a symbol into `<0xNN>` byte tokens of its UTF-8 encoding
+    (the SentencePiece/GPT-2 byte-fallback convention) — lossless for any
+    string, so a byte-fallback tokenizer has NO unknown token."""
+    return [f"<0x{b:02X}>" for b in symbol.encode("utf-8")]
+
+
 def _bpe_encode_word_py(
-    word: str, by_str: dict[str, list[tuple[int, str, str]]], max_sym_len: int
+    word: str,
+    by_str: dict[str, list[tuple[int, str, str]]],
+    max_sym_len: int,
+    vocab: set[str] | None = None,
 ) -> list[str]:
     """Sequential-order BPE encode of one word with a substring
     pre-filter. Every symbol BPE can ever build is a CONTIGUOUS substring
@@ -1269,7 +1279,15 @@ def _bpe_encode_word_py(
     — sequential is this engine's defined semantics (`_bpe_merge_fold`
     chain), and the pre-filter preserves it exactly: skipped merges
     cannot fire (their merged string never appears), kept merges apply
-    in the same order."""
+    in the same order.
+
+    `vocab` (a set of token strings) enables BYTE FALLBACK (r10, the
+    GPT-2/SentencePiece no-unknown-token discipline): any post-fold
+    symbol outside the vocab decomposes to `<0xNN>` byte tokens of its
+    UTF-8 encoding — every input string encodes LOSSLESSLY (pytest-
+    gated), and downstream token→id mapping never meets an OOV. With a
+    vocab covering the word's symbols the output is byte-identical to
+    the plain arm."""
     cand: list[tuple[int, str, str]] = []
     seen: set[str] = set()
     L = len(word)
@@ -1285,7 +1303,15 @@ def _bpe_encode_word_py(
     sym = list(word)
     for _, p1, p2 in sorted(cand):
         sym = _bpe_merge_once_py(sym, p1, p2)
-    return sym
+    if vocab is None:
+        return sym
+    out: list[str] = []
+    for s in sym:
+        if s in vocab:
+            out.append(s)
+        else:
+            out.extend(_byte_tokens(s))
+    return out
 
 
 def bpe_encode(
@@ -1295,11 +1321,18 @@ def bpe_encode(
     out_col: str = "bpe_tokens",
     normalize: bool = True,
     method: str = "catalyst",
+    byte_fallback_vocab: set[str] | list[str] | None = None,
 ) -> DataFrame:
     """Tokenize text with a learned merge table: per word, start from
     characters and apply every merge in training order (the standard BPE
     encode). `merges` is a `bpe_merge_steps` frame (collected here —
     k rows, driver-sized by construction) or a plain [(p1, p2), ...].
+
+    `byte_fallback_vocab` (arrow arm only — it's a production-vocab
+    concern): the trained token alphabet; post-merge symbols outside it
+    decompose to `<0xNN>` byte tokens (GPT-2/SentencePiece byte
+    fallback), so EVERY string encodes losslessly and no downstream id
+    mapping meets an unknown token.
 
     Two arms, row-identical by construction (pytest-gated):
 
@@ -1318,6 +1351,8 @@ def bpe_encode(
       shuffle in either arm."""
     if method not in ("catalyst", "arrow"):
         raise ValueError(f"unknown bpe_encode method: {method!r}")
+    if byte_fallback_vocab is not None and method != "arrow":
+        raise ValueError("byte_fallback_vocab requires method='arrow'")
     if not isinstance(merges, list):
         merges = [
             (r.p1, r.p2)
@@ -1335,6 +1370,9 @@ def bpe_encode(
         for step, (p1, p2) in enumerate(merges):
             by_str.setdefault(p1 + p2, []).append((step, p1, p2))
         max_sym_len = max((len(s) for s in by_str), default=2)
+        fb_vocab = (
+            set(byte_fallback_vocab) if byte_fallback_vocab is not None else None
+        )
 
         @pandas_udf("array<string>")
         def _enc(words: pd.Series) -> pd.Series:
@@ -1343,7 +1381,9 @@ def bpe_encode(
             def enc_word(w: str) -> list[str]:
                 hit = cache.get(w)
                 if hit is None:
-                    hit = cache[w] = _bpe_encode_word_py(w, by_str, max_sym_len)
+                    hit = cache[w] = _bpe_encode_word_py(
+                        w, by_str, max_sym_len, fb_vocab
+                    )
                 return hit
 
             return words.apply(
@@ -1647,7 +1687,7 @@ def unigram_em_steps(
     min_count: int = 10,
     vocab_cap: int = 48,
     words: DataFrame | None = None,
-    seed_cap: int | None = None,
+    seed_cap: int | None = 65536,
 ) -> DataFrame:
     """Train a unigram-LM tokenizer (Kudo 2018, hard-EM/Viterbi variant):
     returns the final `(piece, cnt, qbits)` vocabulary after `rounds`
@@ -1665,12 +1705,13 @@ def unigram_em_steps(
     rounds (≤ alphabet + vocab_cap rows — the same driver-table contract
     as the BPE merge table), so lineage stays flat and nothing is pinned.
 
-    ROUND-1 driver bound (ADVICE r8): the SEED table is collected whole,
-    and with `seed_cap=None` its size is bounded only by `min_count`
-    (≤ total_piece_occurrences/min_count multi-char rows + alphabet) —
-    NOT by `vocab_cap`, which only binds between rounds. At corpus-scale
-    vocabularies pass `seed_cap` (hard top-N multi-char bound, see
-    `unigram_seed_vocab`) or raise `min_count` with the corpus.
+    ROUND-1 driver bound (ADVICE r8; default flipped r10): the SEED
+    table is collected whole, so its size must be driver-bounded. The
+    DEFAULT `seed_cap=65536` pins a hard top-N multi-char bound (see
+    `unigram_seed_vocab`) — the 100 TB-safe behavior out of the box;
+    `seed_cap=None` opts back into the min_count-only bound
+    (≤ total_piece_occurrences/min_count multi-char rows + alphabet),
+    acceptable only when the corpus or min_count makes that small.
 
     Scale shape: the corpus is touched ONCE (word counts); every EM
     round costs one shuffle over the vocabulary table. 100 TB of text

@@ -628,3 +628,79 @@ def test_perplexity_buckets_reference_like_docs_head(spark):
     assert all(fixed[i] == "head" for i in range(30))
     assert all(fixed[100 + i] == "middle" for i in range(15))
     assert all(fixed[200 + i] == "tail" for i in range(15))
+
+
+def test_bpe_byte_fallback_lossless_coverage(spark):
+    """r10 byte fallback: with a trained vocab, EVERY input string —
+    including scripts/emoji the training corpus never saw — encodes to
+    tokens that are each either in-vocab or a <0xNN> byte token, and the
+    byte tokens decode back to the exact original text (losslessness);
+    on covered text the output is row-identical to the plain arrow arm
+    AND the Catalyst arm (fallback never fires)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_encode,
+        bpe_merge_steps,
+        bpe_word_counts,
+        text_normalize,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 2) for i in range(8)],
+        "doc_id long, text string",
+    )
+    merges_df = bpe_merge_steps(train, k=6)
+    merges = [(r.p1, r.p2) for r in merges_df.orderBy("step").collect()]
+    # trained alphabet: every char of every training word + merge outputs
+    chars = {
+        c
+        for r in bpe_word_counts(train).select("word").collect()
+        for c in r.word
+    }
+    vocab = chars | {p1 + p2 for p1, p2 in merges}
+
+    weird = spark.createDataFrame(
+        [
+            (0, "the quick fox"),                 # fully covered
+            (1, "привет мир"),                    # Cyrillic — uncovered
+            (2, "naïve café jalapeño"),           # accents — partially covered
+            (3, "数据 🚀 x"),                      # CJK + emoji
+        ],
+        "doc_id long, text string",
+    )
+    enc = bpe_encode(
+        weird, merges, method="arrow", byte_fallback_vocab=vocab
+    ).select("doc_id", "bpe_tokens", text_normalize(F.col("text")).alias("norm"))
+    rows = {r.doc_id: r for r in enc.collect()}
+
+    def detok(tokens):
+        out, buf = [], b""
+        for t in tokens:
+            if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+                buf += bytes([int(t[3:5], 16)])
+            else:
+                out.append(buf.decode("utf-8")); buf = b""
+                out.append(t)
+        out.append(buf.decode("utf-8"))
+        return "".join(out)
+
+    for r in rows.values():
+        assert all(
+            t in vocab or (t.startswith("<0x") and len(t) == 6)
+            for t in r.bpe_tokens
+        )
+        # lossless: concatenated tokens reproduce the normalized text
+        assert detok(r.bpe_tokens) == r.norm.replace(" ", "")
+
+    # covered text: fallback never fires; identical to plain arrow + catalyst
+    covered = weird.where(F.col("doc_id") == 0)
+    a = bpe_encode(covered, merges, method="arrow").collect()[0].bpe_tokens
+    b = bpe_encode(
+        covered, merges, method="arrow", byte_fallback_vocab=vocab
+    ).collect()[0].bpe_tokens
+    c = bpe_encode(covered, merges, method="catalyst").collect()[0].bpe_tokens
+    assert a == b == c
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires method='arrow'"):
+        bpe_encode(covered, merges, method="catalyst", byte_fallback_vocab=vocab)

@@ -155,11 +155,23 @@ def main() -> None:
         if name in HEAVY:
             run_once(name)
         raw = [run_once(name) for _ in range(3)]
+
+        def p50_of(r: list[float]) -> float:
+            s = sorted(r)
+            return s[len(s) // 2]
+
+        # micro queries (median < 0.5 s): ±0.1 s of machine jitter is
+        # ±20%+ of the value, so the median rides 5 base reps instead of
+        # 3 (they're cheap by definition) and may extend to 8 — the r9
+        # residual headline noise (flatten_props, pricing_summary) was
+        # exactly these (VERDICT r9 #7)
+        if p50_of(raw) < 0.5:
+            raw += [run_once(name) for _ in range(2)]
+        cap = 8 if p50_of(raw) < 0.5 else 6
         # adaptive: an ambient spike can land in any rep (the warm-up only
-        # removes the SYSTEMATIC cold-start); keep sampling up to 6 reps
-        # while the spread exceeds 20% so one outlier can't own a
-        # 3-sample median
-        while len(raw) < 6:
+        # removes the SYSTEMATIC cold-start); keep sampling while the
+        # spread exceeds 20% so one outlier can't own the median
+        while len(raw) < cap:
             s = sorted(raw)
             p50 = s[len(s) // 2]
             if (s[-1] - s[0]) / max(p50, 1e-9) <= 0.2:

@@ -1857,3 +1857,22 @@ def rank_sample_quantiles(
         F.broadcast(meta)
     )
     return out.select(*gcols, "q", F.col("v").alias("est"), "n")
+
+
+def rank_sample_replay_merge(
+    slices: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 4096,
+) -> DataFrame:
+    """Replay-EXACT merge of epoch-tagged `rank_sample_state` slices —
+    the on-disk form `foreach_batch_rank_sample_sink` writes. A crash-
+    replayed micro-batch appends its identical slice twice: blind
+    merging would double-count meta `n` and let duplicate sample rows
+    occupy two ranks. Collapse to one row per (epoch_id, part, group,
+    kh, v, n) FIRST (exact because each epoch's slice is deterministic —
+    the `lm_state_merge` law), then run the ordinary merge. Identical
+    (kh, v) rows from DIFFERENT epochs are distinct facts (the row lived
+    in exactly one batch) and both survive the collapse."""
+    gc = list(group_cols or [])
+    one = slices.select("epoch_id", "part", *gc, "kh", "v", "n").distinct()
+    return rank_sample_merge([one.drop("epoch_id")], gc, k)

@@ -11355,3 +11355,107 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "format", "n_pixels",
         F.posexplode("feature").alias("dim_idx", "value"),
     )
+
+
+@_q(
+    "streaming_rank_quantiles",
+    """
+    WITH base AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS kh,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    meta AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+    ),
+    sample AS (
+      SELECT event_type, kh, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY kh, v) AS rn
+      FROM base QUALIFY rn <= 512
+    ),
+    msz AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_m
+      FROM sample GROUP BY 1
+    ),
+    ranked AS (
+      SELECT event_type, v, kh,
+             row_number() OVER (PARTITION BY event_type ORDER BY v, kh) AS r
+      FROM sample
+    ),
+    qs AS (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+    SELECT ranked.event_type, q, v AS est, n
+    FROM ranked
+    JOIN msz USING (event_type)
+    CROSS JOIN qs
+    JOIN meta USING (event_type)
+    WHERE r = GREATEST(1, CAST(CEIL(q * cnt_m) AS BIGINT))
+    """,
+)
+def q_streaming_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the unknown-range rank sketch
+    (streaming/file_stream.py::foreach_batch_rank_sample_sink): even-id
+    events arrive as micro-batch 1, odd-id as micro-batch 2; each batch
+    appends its epoch-tagged (count meta + bottom-k sample) slice; the
+    reader's `rank_sample_replay_merge` (epoch-collapse, then the KMV-law
+    union/re-truncate/count-sum) is BIT-IDENTICAL to the batch build, so
+    p50/p90 per event_type match DuckDB's replay of the full-corpus
+    sample value-exactly — batch boundaries are algebraically
+    invisible."""
+    import os
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_quantiles,
+        rank_sample_replay_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_rank_sample_sink,
+        stream_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = _qtmp("srank")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark, src, "event_id bigint, event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_rank_sample_sink(
+                st, state, ck, "value", "event_id",
+                group_cols=["event_type"], k=512,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = rank_sample_replay_merge(
+        spark.read.parquet(state), ["event_type"], k=512
+    )
+    return rank_sample_quantiles(merged, [0.5, 0.9], ["event_type"])

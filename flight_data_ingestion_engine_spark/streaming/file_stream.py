@@ -895,3 +895,42 @@ def foreach_batch_ivf_pq_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def foreach_batch_rank_sample_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 4096,
+):
+    """Streaming maintenance of the unknown-range rank sketch (r10 —
+    every state family keeps a streaming path): each micro-batch reduces
+    to its `rank_sample_state` slice (exact count meta row + bottom-k-
+    by-hash sample, ≤ k+1 rows per group) and appends it epoch-tagged.
+    Readers merge via `sketches.rank_sample_replay_merge` (epoch-collapse
+    before the union/re-truncate/count-sum) and get a state BIT-IDENTICAL
+    to the batch build over everything ingested — under any replay —
+    then answer p50/p99 with `rank_sample_quantiles` without touching
+    raw history."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_state,
+    )
+
+    gc = list(group_cols or [])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = rank_sample_state(batch_df, value_col, F.col(key_col), gc, k=k)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

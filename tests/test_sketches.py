@@ -1081,3 +1081,39 @@ def test_rank_sample_merge_law_bit_identical(spark):
     qm = rank_sample_quantiles(merged, [0.25, 0.75], ["g"])
     kq = lambda r: (r.g, r.q, r.est, r.n)
     assert sorted(map(kq, qm.collect())) == sorted(map(kq, qf.collect()))
+
+
+def test_rank_sample_replay_merge_exact_under_duplicate_epoch(spark):
+    """The rank sink fires twice for one epoch after a crash: the replay
+    merge must collapse the duplicated slice — merged state and the
+    quantiles off it stay bit-identical to the batch build (blind merging
+    would double n and let duplicate sample rows occupy two ranks)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_quantiles,
+        rank_sample_replay_merge,
+        rank_sample_state,
+    )
+
+    df = spark.range(5_000).select(
+        "id",
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 48271) % 100_000).cast("double").alias("x"),
+    )
+    k = 256
+    want = rank_sample_state(df, "x", F.col("id"), ["g"], k=k)
+    s0 = rank_sample_state(
+        df.where(F.col("id") % 2 == 0), "x", F.col("id"), ["g"], k=k
+    ).withColumn("epoch_id", F.lit(0).cast("bigint"))
+    s1 = rank_sample_state(
+        df.where(F.col("id") % 2 == 1), "x", F.col("id"), ["g"], k=k
+    ).withColumn("epoch_id", F.lit(1).cast("bigint"))
+    replayed = s0.unionByName(s1).unionByName(s1)  # epoch 1 fired twice
+    got = rank_sample_replay_merge(replayed, ["g"], k=k)
+    key = lambda r: (r.part, r.g, r.kh, r.v, r.n)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    kq = lambda r: (r.g, r.q, r.est, r.n)
+    assert sorted(
+        map(kq, rank_sample_quantiles(got, [0.5, 0.99], ["g"]).collect())
+    ) == sorted(
+        map(kq, rank_sample_quantiles(want, [0.5, 0.99], ["g"]).collect())
+    )

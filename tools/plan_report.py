@@ -76,6 +76,11 @@ SELECTED = [
     ("perplexity_buckets", "score table checkpointed once; 1-row percentile agg broadcast back"),
     ("ivf_pq_probe_rerank", "codes-only candidates (centroid equi-join + ADC) + bounded exact rerank"),
     ("stats_join_adaptive", "per-hop re-sketch decisions run before the plan; result = checkpoint scan + agg"),
+    ("ivf_topk_filtered", "metadata predicate pushed to the index scan ahead of the centroid join"),
+    ("ivf_pq_filtered_rerank", "filter before ADC: only matching codes decoded; rerank inherits it"),
+    ("rank_sketch_quantiles", "one group shuffle builds the state; quantiles are windows over <=k rows"),
+    ("streaming_dsir_state", "reader = epoch-collapse + one bucket-keyed sum over count slices"),
+    ("media_decode_real", "Arrow mapInPandas codec stage over a pruned (id, bytes, meta) projection"),
 ]
 
 INTERESTING = re.compile(

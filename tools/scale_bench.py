@@ -63,6 +63,11 @@ ABS_BUDGET_US = {
     # the alive-frame persist fix landed first; measured 60.1 µs/row big
     # (rel 0.40) on this box, ~4× like the rest
     "incremental_dedup": 250.0,
+    # r10 additions: measured big-volume rates 8.7 (rank_sketch, rel 0.21)
+    # and 72.2 (filtered_ivf incl. index build + selectivity agg, rel
+    # 0.27) on this box — ~4x like the rest
+    "rank_sketch": 40.0,
+    "filtered_ivf": 300.0,
 }
 REL_BUDGET = 2.0
 
@@ -182,6 +187,43 @@ def _ops(spark):
         ).count()
         return n
 
+    def rank_sketch(n):
+        # r10: unknown-range quantile state build + p50/p99 off the state
+        # — one group shuffle for the bottom-k window + count agg; the
+        # quantile read is a window over <=k rows per group
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            rank_sample_quantiles,
+            rank_sample_state,
+        )
+
+        df = spark.range(n).select(
+            "id",
+            (F.col("id") % 8).alias("g"),
+            ((F.col("id") * 48271) % 1_000_000).cast("double").alias("x"),
+        )
+        st = rank_sample_state(df, "x", F.col("id"), ["g"], k=1024)
+        rank_sample_quantiles(st, [0.5, 0.99], ["g"]).count()
+        return n
+
+    def filtered_ivf(n):
+        # r10: metadata-constrained probe over a stored-shape index —
+        # includes the auto_nprobe selectivity agg (one extra pass over
+        # the vec rows) plus the filtered candidate join; cost per
+        # corpus row must stay flat as the index grows
+        vecs = synth_vecs(spark, n).withColumn(
+            "lbl", (F.col("vec_id") % 4).cast("int")
+        )
+        idx = ivf_index(
+            vecs, id_col="vec_id", n_centroids=16, iterations=1,
+            meta_cols=["lbl"],
+        ).localCheckpoint(eager=True)
+        queries = synth_vecs(spark, 200).withColumnRenamed("vec_id", "query_id")
+        ivf_topk(
+            queries, query_id="query_id", corpus_id="vec_id", k=10,
+            nprobe=4, index=idx, filter=F.col("lbl") == 2,
+        ).count()
+        return n
+
     def exact_dedup_norm(n):
         # normalized variant: dedup on the text_normalize'd content (the
         # whitespace/case-folded key), hash-grouped — the 16-byte shuffle
@@ -203,6 +245,8 @@ def _ops(spark):
         "remove_segments": remove_segments,
         "incremental_dedup": incremental_dedup,
         "exact_dedup_norm": exact_dedup_norm,
+        "rank_sketch": rank_sketch,
+        "filtered_ivf": filtered_ivf,
     }
 
 

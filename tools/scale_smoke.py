@@ -788,6 +788,63 @@ def main() -> None:
         fully = enc_big.where(F.size("toks") == 80)
         assert fully.count() == n_docs  # every word merged to ONE token
 
+    # -- rank sketch (r10): unknown-range quantile state at full event
+    # -- volume. Plan shape must be volume-invariant (one group shuffle
+    # -- for the bottom-k window + the count agg) and the STATE must stay
+    # -- metadata-sized — ≤ k+1 rows per group no matter the input.
+    with stage(f"rank_sketch_{n_events}_events"):
+        from flight_data_ingestion_engine_spark.operators.sketches import (
+            rank_sample_quantiles,
+            rank_sample_state,
+        )
+
+        ev_big = spark.range(n_events).select(
+            "id", (F.col("id") % 5).alias("g"),
+            ((F.col("id") * 48271) % 1_000_000).cast("double").alias("x"),
+        )
+        ev_small = ev_big.limit(n_events // 50)
+        st_big = rank_sample_state(ev_big, "x", F.col("id"), ["g"], k=1024)
+        st_small = rank_sample_state(ev_small, "x", F.col("id"), ["g"], k=1024)
+        assert _exchanges(st_big) == _exchanges(st_small)
+        rows = st_big.count()
+        assert rows <= 5 * (1024 + 1), rows  # state, not data
+        q = rank_sample_quantiles(st_big, [0.5, 0.99], ["g"])
+        assert q.count() == 10
+
+    # -- filtered ANN probe (r10): the metadata predicate must prune the
+    # -- candidate side BEFORE the centroid join at any volume — same
+    # -- exchange count at 50× the corpus, candidates bounded by the
+    # -- filtered cells, never the whole index.
+    with stage(f"filtered_ivf_{n_docs}_vecs"):
+        from flight_data_ingestion_engine_spark.operators.similarity import (
+            ivf_index,
+            ivf_topk,
+        )
+
+        vec_big = spark.range(n_docs).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=i) for i in range(16)]).alias("embedding"),
+            (F.col("id") % 4).cast("int").alias("lbl"),
+        )
+        idx_big = ivf_index(
+            vec_big, "vec_id", n_centroids=16, iterations=1, meta_cols=["lbl"]
+        ).localCheckpoint(eager=True)
+        qs_f = spark.range(50).select(
+            F.col("id").alias("query_id"),
+            F.array(*[F.rand(seed=100 + i) for i in range(16)]).alias("embedding"),
+        )
+        probe = ivf_topk(
+            qs_f, query_id="query_id", corpus_id="vec_id", k=5, nprobe=2,
+            index=idx_big, filter=F.col("lbl") == 2,
+        )
+        got = probe.count()
+        assert got == 50 * 5
+        # every survivor obeys the filter — exclusion happened pre-scoring
+        joined = probe.join(
+            vec_big.select("vec_id", "lbl"), "vec_id"
+        ).where(F.col("lbl") != 2)
+        assert joined.isEmpty()
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

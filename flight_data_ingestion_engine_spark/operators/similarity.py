@@ -165,6 +165,7 @@ def topk_lsh(
     planes_per_table: int = 8,
     tables: int = 8,
     seed: int = 42,
+    filter=None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -179,8 +180,18 @@ def topk_lsh(
     small expression evaluated against an array column. `dim` defaults to
     a one-row probe of the corpus (see `_infer_dim` for why a mismatch
     must not pass silently).
+
+    `filter` (any corpus-column predicate) restricts retrieval to the
+    matching slice, applied before bucketing — the `ivf_topk(filter=)`
+    counterpart. Unlike IVF there is NO widening compensation to apply:
+    a hyperplane collision is a per-PAIR event (probability depends only
+    on the query↔neighbor angle, never on what else shares the bucket),
+    so recall against the FILTERED ground truth is unchanged at any
+    selectivity — filtering only shrinks candidate lists.
     """
     spark = queries.sparkSession
+    if filter is not None:
+        corpus = corpus.where(filter)
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     planes_df = _lsh_plane_table(spark, dim, planes_per_table, tables, seed)

@@ -1427,13 +1427,36 @@ def snapshot_changes(
     return ins.unionByName(dels)
 
 
+def _cluster_frame(
+    content, cluster_by: list[str] | None, cluster_expr, n_files: int
+):
+    """Range-cluster a snapshot's rows by plain columns OR by a computed
+    expression (`cluster_expr`, e.g. `zorder.zvalue([...])` for multi-dim
+    Morton clustering). The expression rides a temp column through the
+    range partitioner + sort and is dropped before write — layout stays
+    invisible in the data (the OPTIMIZE invariant)."""
+    if (cluster_by is None) == (cluster_expr is None):
+        raise ValueError("pass exactly one of cluster_by= or cluster_expr=")
+    if cluster_expr is not None:
+        return (
+            content.withColumn("_zclust", cluster_expr)
+            .repartitionByRange(n_files, F.col("_zclust"))
+            .sortWithinPartitions("_zclust")
+            .drop("_zclust")
+        )
+    return content.repartitionByRange(
+        n_files, *[F.col(c) for c in cluster_by]
+    ).sortWithinPartitions(*cluster_by)
+
+
 def optimize_versioned(
     spark: SparkSession,
     data_path: str,
     log_path: str,
-    cluster_by: list[str],
-    n_files: int,
+    cluster_by: list[str] | None = None,
+    n_files: int = 8,
     stat_cols: list[str] | None = None,
+    cluster_expr=None,
 ) -> int:
     """OPTIMIZE as a snapshot commit: rewrite the LATEST snapshot's
     content range-clustered by `cluster_by` into `n_files` new files and
@@ -1448,9 +1471,7 @@ def optimize_versioned(
     """
     mf = read_manifest_version(spark, log_path)
     content = read_as_of(spark, log_path)
-    clustered = content.repartitionByRange(
-        n_files, *[F.col(c) for c in cluster_by]
-    ).sortWithinPartitions(*cluster_by)
+    clustered = _cluster_frame(content, cluster_by, cluster_expr, n_files)
     moved = _stage_and_move(spark, clustered, data_path, "o")
     cols = stat_cols if stat_cols is not None else _stat_cols(mf)
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
@@ -1495,9 +1516,10 @@ def optimize_incremental(
     spark: SparkSession,
     data_path: str,
     log_path: str,
-    cluster_by: list[str],
-    n_files: int,
+    cluster_by: list[str] | None = None,
+    n_files: int = 8,
     stat_cols: list[str] | None = None,
+    cluster_expr=None,
 ) -> int:
     """Incremental OPTIMIZE (r10): cluster ONLY the files added since the
     last layout commit — the Delta/Iceberg-style steady state. At 100 TB
@@ -1523,6 +1545,8 @@ def optimize_incremental(
     probe hits ≤ passes·files_per_range files, vs 1 after a full
     OPTIMIZE) — run a full `optimize_versioned` occasionally to collapse
     layout generations, exactly like Delta's OPTIMIZE cadence."""
+    if (cluster_by is None) == (cluster_expr is None):
+        raise ValueError("pass exactly one of cluster_by= or cluster_expr=")
     mf = read_manifest_version(spark, log_path)
     cols = stat_cols if stat_cols is not None else _stat_cols(mf)
     layout = _read_layout(spark, log_path)
@@ -1543,9 +1567,9 @@ def optimize_incremental(
     if not uncovered:
         return current  # fully clustered already — no-op, no commit
     content = spark.read.parquet(*uncovered)
-    clustered = content.repartitionByRange(
-        min(n_files, max(1, len(uncovered))), *[F.col(c) for c in cluster_by]
-    ).sortWithinPartitions(*cluster_by)
+    clustered = _cluster_frame(
+        content, cluster_by, cluster_expr, min(n_files, max(1, len(uncovered)))
+    )
     moved = _stage_and_move(spark, clustered, data_path, "o")
     fresh = file_column_stats(spark.read.parquet(*moved), cols)
     carried = mf.join(covered, "file_path")

@@ -1658,3 +1658,62 @@ def test_optimize_incremental_touches_only_new_files(spark):
     ) == v_inc
     assert list_versions(spark, log)[-1] == v_inc
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_optimize_incremental_zorder_expression(spark):
+    """r10: the incremental arm clusters appended files by a COMPUTED
+    expression (Morton z-value over two keys) — multi-dimensional
+    pruning on the appended slice, temp cluster column never lands in
+    the data, previously clustered files keep their identity."""
+    import shutil
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        merge_upsert_versioned,
+        optimize_incremental,
+        optimize_versioned,
+        prune_files_multi,
+        read_as_of,
+        read_manifest_version,
+        snapshot_changes,
+    )
+    from flight_data_ingestion_engine_spark.operators.zorder import zvalue
+
+    root = tempfile.mkdtemp(prefix="fdie_incr_z_")
+    data, log = f"{root}/data", f"{root}/log"
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 7919, 1000).alias("a"),
+        F.pmod(F.col("id") * 104729, 1000).alias("b"),
+    )
+    merge_upsert_versioned(spark, data, log, mk(0, 4000).repartition(8), "k")
+    z = zvalue([F.col("a"), F.col("b")], bits=10)
+    optimize_versioned(
+        spark, data, log, n_files=8, stat_cols=["k", "a", "b"], cluster_expr=z
+    )
+    old_files = {
+        r.file_path
+        for r in read_manifest_version(spark, log).select("file_path").collect()
+    }
+    v_app = merge_upsert_versioned(spark, data, log, mk(4000, 6000).repartition(4), "k")
+    v_inc = optimize_incremental(
+        spark, data, log, n_files=4, stat_cols=["k", "a", "b"], cluster_expr=z
+    )
+    m = read_manifest_version(spark, log)
+    files = {r.file_path for r in m.select("file_path").collect()}
+    assert old_files <= files
+    # layout invisible: no _zclust column, identical rows
+    post = read_as_of(spark, log, v_inc)
+    assert "_zclust" not in post.columns
+    assert snapshot_changes(spark, log, v_app, v_inc).isEmpty()
+    # multi-dim pruning works on the whole table: a tight (a, b) box hits
+    # a small file subset, not all 12
+    hit = prune_files_multi(m, {"a": (100, 160), "b": (100, 160)})
+    assert 0 < len(hit) < len(files) / 2, (len(hit), len(files))
+    # cluster_by and cluster_expr are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        optimize_incremental(
+            spark, data, log, cluster_by=["a"], n_files=4, cluster_expr=z
+        )
+    shutil.rmtree(root, ignore_errors=True)

@@ -274,8 +274,21 @@ def _meta_null_cols(corpus: DataFrame, meta_cols: list[str]) -> list:
     return [F.lit(None).cast(dt[mc]).alias(mc) for mc in meta_cols]
 
 
+def _filter_selectivity(vec_rows: DataFrame, filter) -> float:
+    """Fraction of index rows the filter keeps — one metadata-sized agg
+    (two longs). 0.0 when the index is empty or nothing matches."""
+    row = vec_rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(filter, 1)).alias("m"),
+    ).collect()[0]
+    if not row.n or not row.m:
+        return 0.0
+    return row.m / row.n
+
+
 def _scaled_nprobe(
-    vec_rows: DataFrame, filter, nprobe: int, n_centroids: int
+    vec_rows: DataFrame, filter, nprobe: int, n_centroids: int,
+    sel: float | None = None,
 ) -> int:
     """nprobe scaling under a selective filter: a filter keeping fraction
     `sel` of the index thins every probed cell's candidate list by ~sel,
@@ -283,16 +296,13 @@ def _scaled_nprobe(
     ~nprobe/sel cells (capped at the full codebook — a maximally
     selective filter honestly degrades to exhaustive-cell search, which
     is still an equi-join on the FILTERED rows only, never a distance
-    pass over the whole index). One metadata-sized agg (two longs)."""
+    pass over the whole index)."""
     import math
 
-    row = vec_rows.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(filter, 1)).alias("m"),
-    ).collect()[0]
-    if not row.n or not row.m:
+    if sel is None:
+        sel = _filter_selectivity(vec_rows, filter)
+    if sel <= 0.0:
         return n_centroids  # empty/fully-filtered: search every cell
-    sel = row.m / row.n
     return min(n_centroids, max(nprobe, math.ceil(nprobe / sel)))
 
 
@@ -1381,15 +1391,28 @@ def ivf_pq_topk(
     centroid join and ADC scoring, so it pushes into the index scan and
     only matching candidates are ever decoded or (re)ranked; the exact
     rerank arm inherits the constraint through its candidate list.
-    `auto_nprobe` (default) widens the probe to ~nprobe/selectivity
-    cells under a selective filter (see `ivf_topk`)."""
+    `auto_nprobe` (default) widens BOTH knobs by the measured
+    1/selectivity: the probed cells (~nprobe/sel, see `ivf_topk`) AND —
+    unlike the flat index, where scoring is exact — the ADC shortlist
+    (`rerank_candidates`/sel, capped at 100× or 10k): the filtered true
+    neighbors sit at lower cosine where PQ quantization error dominates
+    the ADC ranking, so a fixed-size shortlist loses them even when
+    every cell is probed (recall-under-filter pytest-gated)."""
+    import math
+
     cents = codebook if codebook is not None else _codebook_rows(index)
     books = pq_books if pq_books is not None else _pq_books_rows(index)
     residual = by_residual if by_residual is not None else _pq_index_residual(index)
     vec = index.where(F.col("part") == "vec")
     if filter is not None:
         if auto_nprobe:
-            nprobe = _scaled_nprobe(vec, filter, nprobe, len(cents))
+            sel = _filter_selectivity(vec, filter)
+            nprobe = _scaled_nprobe(vec, filter, nprobe, len(cents), sel=sel)
+            if rerank_with is not None and sel > 0.0:
+                rerank_candidates = min(
+                    max(rerank_candidates * 100, 10_000),
+                    math.ceil(rerank_candidates / sel),
+                )
         vec = vec.where(filter)
     c = vec.select(
         F.col(corpus_id).alias("c_id"), F.col("codes"), F.col("centroid_id")

@@ -1605,3 +1605,66 @@ def test_filtered_ann_recall_under_selective_filter(spark):
         queries, query_id="query_id", corpus_id="neighbor_id",
         k=k, nprobe=nprobe, index=index, filter=F.col("label") == 99,
     ).count() == 0
+
+
+def test_filtered_pq_recall_under_selective_filter(spark):
+    """Filtered ANN on the COMPRESSED index: a selective label filter with
+    auto_nprobe + exact rerank reaches the recall of the unfiltered
+    PQ probe measured against the filtered ground truth, and nothing
+    outside the filter ever surfaces (exclusion happens before ADC)."""
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        topk_brute_force,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    rows = [
+        (
+            i,
+            (centers[i % 8] + 0.35 * rng.normal(size=32)).tolist(),
+            int(i % 4),
+        )
+        for i in range(800)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "neighbor_id long, embedding array<double>, label int"
+    )
+    queries = corpus.where(F.col("neighbor_id") % 20 == 0).select(
+        F.col("neighbor_id").alias("query_id"), "embedding"
+    )
+    index = ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=8, m=8, n_codes=16,
+        iterations=2, pq_iterations=2, meta_cols=["label"],
+    ).localCheckpoint(eager=True)
+
+    def topk_set(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    def recall(got, truth):
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / sum(
+            len(t) for t in truth.values()
+        )
+
+    k, nprobe = 5, 2
+    flt = F.col("label") == 1
+    truth_all = topk_set(topk_brute_force(
+        queries, corpus, "query_id", "neighbor_id", k=k))
+    truth_filt = topk_set(topk_brute_force(
+        queries, corpus.where(flt), "query_id", "neighbor_id", k=k))
+    kw = dict(
+        query_id="query_id", corpus_id="neighbor_id", k=k, nprobe=nprobe,
+        rerank_candidates=40,
+    )
+    got_all = topk_set(ivf_pq_topk(queries, index, rerank_with=corpus, **kw))
+    got_filt = topk_set(ivf_pq_topk(
+        queries, index, rerank_with=corpus, filter=flt, **kw))
+    assert all(n % 4 == 1 for s in got_filt.values() for n in s)
+    r_all, r_filt = recall(got_all, truth_all), recall(got_filt, truth_filt)
+    assert r_filt >= r_all - 0.05, (r_filt, r_all)

@@ -19,7 +19,16 @@ from flight_data_ingestion_engine_spark.streaming.file_stream import (
     stream_parquet,
     stream_interval_join,
     windowed_counts,
+    foreach_batch_dedup_sink,
+    foreach_batch_dsir_sink,
+    foreach_batch_ivf_pq_sink,
+    foreach_batch_kmv_sink,
+    foreach_batch_lm_sink,
+    foreach_batch_manifest_sink,
+    foreach_batch_merge_sink,
     foreach_batch_partitioned_sink,
+    foreach_batch_rank_sample_sink,
+    foreach_batch_sketch_sink,
 )
 from flight_data_ingestion_engine_spark.streaming.next_event_state import (
     streaming_next_event,
@@ -30,6 +39,15 @@ __all__ = [
     "stream_parquet",
     "stream_interval_join",
     "windowed_counts",
+    "foreach_batch_dedup_sink",
+    "foreach_batch_dsir_sink",
+    "foreach_batch_ivf_pq_sink",
+    "foreach_batch_kmv_sink",
+    "foreach_batch_lm_sink",
+    "foreach_batch_manifest_sink",
+    "foreach_batch_merge_sink",
     "foreach_batch_partitioned_sink",
+    "foreach_batch_rank_sample_sink",
+    "foreach_batch_sketch_sink",
     "streaming_next_event",
 ]

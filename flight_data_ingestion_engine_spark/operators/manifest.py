@@ -1510,6 +1510,14 @@ def _write_layout(spark: SparkSession, log_path: str, version: int, paths: DataF
     paths.select("file_path").write.mode("overwrite").parquet(
         f"{_layout_dir(log_path)}/v={version}"
     )
+    # only the newest sidecar is ever read; drop superseded ones so layout
+    # metadata doesn't accrete one dir per optimize forever
+    fs, jvm = _fs_for(spark, log_path)
+    d = jvm.org.apache.hadoop.fs.Path(_layout_dir(log_path))
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name.split("=", 1)[1]) < version:
+            fs.delete(st.getPath(), True)
 
 
 def optimize_incremental(

@@ -1041,3 +1041,31 @@ def test_filtered_ann_pushdown_plan_gate(spark, tmp_path):
     pplan = explain_str(pprobe)
     assert "EqualTo(label,2)" in pplan, pplan
     assert "CartesianProduct" not in pplan and "BatchEvalPython" not in pplan
+
+
+def test_rank_sample_bottom_k_is_group_limited(spark):
+    """Plan gate for the rank sketch: the bottom-k-by-hash window must
+    plan a WindowGroupLimit (Spark 3.5+ rank-limit pushdown), so each
+    input partition forwards at most k rows per group to the shuffle —
+    grouped AND ungrouped. Without it, the ungrouped state build would
+    funnel every row through one reducer."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_state,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 4).alias("g"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    grouped = rank_sample_state(df, "x", F.col("id"), ["g"], k=64)
+    plan_g = explain_str(grouped)
+    assert "WindowGroupLimit" in plan_g, plan_g
+    # partial+final: one map-side limit, one post-shuffle
+    assert plan_g.count("WindowGroupLimit") >= 2, plan_g
+    # ungrouped: Catalyst rewrites the empty-partition row_number window
+    # into TakeOrderedAndProject — per-partition top-k merged on the
+    # driver, the strictly better shape (no single-reducer sort at all)
+    ungrouped = rank_sample_state(df, "x", F.col("id"), k=64)
+    plan_u = explain_str(ungrouped)
+    assert "TakeOrderedAndProject" in plan_u or "WindowGroupLimit" in plan_u, plan_u

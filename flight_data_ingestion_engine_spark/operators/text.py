@@ -186,3 +186,65 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("top_bigram_frac", top_bigram_n.cast("double") / n_bigrams)
         .withColumn("max_run", _max_run(toks).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (r10): the RefinedWeb/C4 pre-content pass —
+# crawls carry the same page under scheme/www/tracking/fragment variants,
+# and URL-level dedup removes them for free BEFORE any text is hashed.
+# Pure Catalyst regexps (engine-portable: the DuckDB oracle replays the
+# identical chain), zero shuffle for canonicalization, one keyed window
+# for the dedup decision.
+# ---------------------------------------------------------------------------
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key. Deterministic rewrite
+    chain (each step a regexp over the scan, no UDF):
+
+    1. trim; drop the `#fragment`;
+    2. drop the scheme (`http://`, `https://`, any `x+y://`);
+    3. HOST: lowercase, strip one leading `www.`, strip default `:80`/`:443`;
+    4. REST: drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) with
+       their values, then collapse leftover `?&`/`&&` and trailing `?`/`&`;
+    5. strip ONE trailing `/` from a non-root path; empty path → `/`.
+
+    Non-tracking query params are KEPT (they usually select content);
+    the tracking list is the small public core — extend by composing
+    another regexp_replace before calling this."""
+    s = F.regexp_replace(F.trim(url), r"#.*$", "")
+    s = F.regexp_replace(s, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(s, r"^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(s, r"^[^/?]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"^(.+?)/$", r"$1")  # "/a/b/" -> "/a/b"
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    query = F.regexp_replace(
+        query, r"(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*", ""
+    )
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&+|&+$", "")
+    return F.concat(
+        host, path, F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL-level dedup: `(<id_col> …, <out_col>, keep)` — `keep` is true
+    for the lowest id per canonical URL (the deterministic survivor rule
+    every dedup here uses). One window over the canonical key; filter
+    `keep` for the survivor set, or keep the column for soft weighting."""
+    from pyspark.sql import Window
+
+    out = df.withColumn(out_col, canonical_url(F.col(url_col)))
+    w = Window.partitionBy(out_col).orderBy(F.col(id_col).asc())
+    return out.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )

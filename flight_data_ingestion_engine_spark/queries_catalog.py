@@ -11459,3 +11459,59 @@ def q_streaming_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(state), ["event_type"], k=512
     )
     return rank_sample_quantiles(merged, [0.5, 0.9], ["event_type"])
+
+
+@_q(
+    "url_dedup_docs",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             'host' || (doc_id % 7) || '.example.com/page/' || (doc_id % 40)
+               AS canonical_url
+      FROM documents
+    )
+    SELECT doc_id, canonical_url,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+    FROM canon
+    """,
+)
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/text.py::canonical_url/url_dedup — the
+    RefinedWeb/C4 pre-content pass): every doc gets a synthetic URL whose
+    scheme (https/http/bare), www prefix, host CASE, :443 port, trailing
+    slash, tracking params (utm_*/gclid/ref) and #fragment all vary with
+    doc_id, but whose canonical form depends only on (doc_id%7 host,
+    doc_id%40 page). The canonicalizer — a pure regexp chain over the
+    scan, zero shuffle — must collapse every variant: the oracle states
+    the canonical string in closed form and the survivor rule (min id
+    per canonical) as a window, so any mis-stripped variant value-breaks
+    the match."""
+    from flight_data_ingestion_engine_spark.operators.text import url_dedup
+
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("https://"))
+        .when(d % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit(""))
+    )
+    www = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host_body = F.concat(F.lit("host"), (d % 7).cast("string"), F.lit(".example.com"))
+    host = F.when(d % 5 == 0, F.upper(host_body)).otherwise(host_body)
+    port = F.when(d % 10 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/page/"), (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 6 == 0, F.lit("?utm_source=feed&gclid=xyz"))
+        .when(d % 6 == 3, F.lit("?ref=rss"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 8 == 0, F.concat(F.lit("#sec"), d.cast("string"))).otherwise(
+        F.lit("")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(scheme, www, host, port, path, query, frag).alias("url"),
+    )
+    return url_dedup(docs).select("doc_id", "canonical_url", "keep")

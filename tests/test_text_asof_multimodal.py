@@ -291,3 +291,35 @@ def test_decode_media_real_formats_spark_path(spark):
     assert decode_media(jpeg, "id").count() == 0
     with _pytest.raises(Exception, match="no codec for format='jpeg'"):
         decode_media(jpeg, "id", strict=True).collect()
+
+
+def test_canonical_url_variants(spark):
+    """r10 URL canonicalizer edge cases: scheme/www/port/tracking/
+    fragment/trailing-slash variants of one page collapse to one key;
+    distinct content-selecting query params stay distinct; root paths
+    normalize to '/'; non-tracking params survive tracking removal in
+    any position."""
+    from flight_data_ingestion_engine_spark.operators.text import canonical_url
+
+    cases = [
+        ("https://WWW.Example.COM:443/a/b/?utm_source=x&q=1#f", "example.com/a/b?q=1"),
+        ("http://example.com/a/b?q=1", "example.com/a/b?q=1"),
+        ("example.com/a/b/?q=1&utm_campaign=z", "example.com/a/b?q=1"),
+        ("https://example.com/a/b?fbclid=abc&q=1", "example.com/a/b?q=1"),
+        ("https://example.com/a/b?q=2", "example.com/a/b?q=2"),
+        ("https://other.org", "other.org/"),
+        ("http://www.other.org:80/#top", "other.org/"),
+        ("https://other.org/?ref=hn", "other.org/"),
+        ("ftp://Files.example.com/x/", "files.example.com/x"),
+        ("https://example.com/?utm_a=1&utm_b=2", "example.com/"),
+        ("https://example.com/p?a=1&utm_x=0&b=2", "example.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

@@ -221,8 +221,10 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_replace(path, r"^(.+?)/$", r"$1")  # "/a/b/" -> "/a/b"
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    # anchored at a param boundary — a bare `ref=` pattern would also
+    # strip the tail of `href=...`
     query = F.regexp_replace(
-        query, r"(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*", ""
+        query, r"(^|&)(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*", r"$1"
     )
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&+|&+$", "")

@@ -313,6 +313,9 @@ def test_canonical_url_variants(spark):
         ("ftp://Files.example.com/x/", "files.example.com/x"),
         ("https://example.com/?utm_a=1&utm_b=2", "example.com/"),
         ("https://example.com/p?a=1&utm_x=0&b=2", "example.com/p?a=1&b=2"),
+        # `href` is NOT the `ref` tracking param — boundary-anchored strip
+        ("https://example.com/p?href=hn&q=1", "example.com/p?href=hn&q=1"),
+        ("https://example.com/p?utm_a=1&utm_b=2&q=3", "example.com/p?q=3"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"

@@ -11515,3 +11515,65 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(scheme, www, host, port, path, query, frag).alias("url"),
     )
     return url_dedup(docs).select("doc_id", "canonical_url", "keep")
+
+
+@_q(
+    "rank_quantiles_day_range",
+    """
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS kh,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT day, kh, v,
+             row_number() OVER (PARTITION BY day ORDER BY kh, v) AS rn
+      FROM base QUALIFY rn <= 256
+    ),
+    picked AS (SELECT kh, v FROM daily WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'),
+    sample AS (
+      SELECT kh, v, row_number() OVER (ORDER BY kh, v) AS rn
+      FROM picked QUALIFY rn <= 256
+    ),
+    meta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+      WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    ),
+    msz AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt_m FROM sample),
+    ranked AS (
+      SELECT v, kh, row_number() OVER (ORDER BY v, kh) AS r FROM sample
+    ),
+    qs AS (SELECT UNNEST([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+    SELECT q, v AS est, n
+    FROM ranked CROSS JOIN msz CROSS JOIN qs CROSS JOIN meta
+    WHERE r = GREATEST(1, CAST(CEIL(q * cnt_m) AS BIGINT))
+    """,
+)
+def q_rank_quantiles_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sketch STATE ALGEBRA (the `windowed_quantile_state` pattern
+    on the unknown-range family): per-DAY rank states build once
+    (group_cols=["day"], ≤ k+1 rows each, appended daily at steady
+    state); any day-range's p50/p90 then comes from MERGING the selected
+    days' states — union + re-truncate + count-sum, NO fact rescan. Each
+    day's sample is the bottom-k of its rows, so the merged sample is
+    exactly the bottom-k of the range's union (the KMV proof); DuckDB
+    replays the same two-level construction value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_merge,
+        rank_sample_quantiles,
+        rank_sample_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = rank_sample_state(
+        ev, "value", F.col("event_id"), ["day"], k=256
+    )
+    picked = daily.where(
+        (F.col("day") >= F.lit("2024-01-08")) & (F.col("day") <= F.lit("2024-01-14"))
+    ).drop("day")
+    merged = rank_sample_merge([picked], k=256)
+    return rank_sample_quantiles(merged, [0.5, 0.9])

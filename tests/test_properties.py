@@ -805,3 +805,82 @@ def test_unigram_em_matches_bruteforce_property(spark, words, rounds):
         for p, c in cur.items()
     )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=2, max_value=64),
+    cut_seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_rank_sample_merge_law_arbitrary_splits(spark, n, k, cut_seed):
+    """Property: for ANY row set, ANY 3-way split, and ANY k, the merged
+    rank-sketch state is bit-identical to the from-scratch build — the
+    bottom-k-of-union algebra has no boundary conditions to get wrong
+    (empty slices, n < k, duplicate values all included)."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        rank_sample_merge,
+        rank_sample_state,
+    )
+
+    df = spark.range(n).select(
+        "id",
+        # duplicate-heavy values on purpose
+        ((F.col("id") * 37 + cut_seed) % 13).cast("double").alias("x"),
+    )
+    full = rank_sample_state(df, "x", F.col("id"), k=k)
+    slices = [
+        rank_sample_state(
+            df.where(F.pmod(F.col("id") + cut_seed, 3) == i), "x", F.col("id"), k=k
+        )
+        for i in range(3)
+    ]
+    merged = rank_sample_merge(slices, k=k)
+    key = lambda r: (r.part, r.kh, r.v, r.n)
+    got = sorted(map(key, merged.collect()))
+    want = sorted(map(key, full.collect()))
+    # an empty slice contributes a meta row with n=0 and no samples —
+    # the sums and the union are unchanged
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    host=st.from_regex(r"[a-z]{1,8}\.(com|org|net)", fullmatch=True),
+    path=st.from_regex(r"(/[a-z0-9]{1,6}){0,3}", fullmatch=True),
+    q=st.from_regex(r"([a-z]{1,4}=[a-z0-9]{1,4}(&[a-z]{1,4}=[a-z0-9]{1,4}){0,2})?", fullmatch=True),
+    scheme=st.sampled_from(["", "http://", "https://"]),
+    www=st.booleans(),
+    upper=st.booleans(),
+    slash=st.booleans(),
+)
+def test_canonical_url_idempotent_and_variant_invariant(
+    spark, host, path, q, scheme, www, upper, slash
+):
+    """Properties of the URL canonicalizer: (1) IDEMPOTENT — a canonical
+    string canonicalizes to itself; (2) VARIANT-INVARIANT — scheme, www,
+    host case, and a trailing slash never change the canonical form."""
+    from flight_data_ingestion_engine_spark.operators.text import canonical_url
+
+    base = host + path + ("?" + q if q else "")
+    variant = (
+        scheme
+        + ("www." if www else "")
+        + (host.upper() if upper else host)
+        + path
+        + ("/" if slash and path else "")
+        + ("?" + q if q else "")
+    )
+    df = spark.createDataFrame([(base, variant)], "b string, v string")
+    row = df.select(
+        canonical_url(F.col("b")).alias("cb"),
+        canonical_url(F.col("v")).alias("cv"),
+    ).collect()[0]
+    assert row.cb == row.cv, (base, variant, row)
+    again = (
+        spark.createDataFrame([(row.cb,)], "c string")
+        .select(canonical_url(F.col("c")).alias("cc"))
+        .collect()[0]
+        .cc
+    )
+    assert again == row.cb, (row.cb, again)

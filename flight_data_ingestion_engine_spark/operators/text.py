@@ -250,3 +250,104 @@ def url_dedup(
     return out.withColumn(
         "keep", F.row_number().over(w) == 1
     )
+
+
+#: Gopher's stop-word probe set (Rae et al. 2021, MassiveText filters §A1.1
+#: — "contains at least two of the following English words")
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText repetition-free quality rules (Rae et al.
+    2021 §A1.1) as one zero-shuffle projection — the published
+    heuristics, each exposed as its own column so pipelines can tune or
+    audit individual rules, plus the conjunctive `keep`:
+
+    - 50 ≤ word count ≤ 100k; mean word length in [3, 10];
+    - symbol-to-word ratio (# and … / ...) ≤ 0.1;
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis;
+    - ≥ 80% of words contain ≥ 1 alphabetic char;
+    - ≥ 2 of Gopher's eight English stop words appear.
+
+    Every measure is an integer count with at most ONE IEEE division —
+    bit-identical cross-engine (the oracle replays it in SQL). Word =
+    whitespace-split token of the RAW text (Gopher filters pre-normalize
+    text, unlike the hashing families here). Repetition gates live in
+    `with_repetition_signals` — compose both for the full §A1 filter."""
+    ids = [F.col(id_col)] if id_col else df.columns
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != "")
+    out = df.select(
+        *ids if id_col else df.columns,
+        words.alias("_w"),
+        lines.alias("_l"),
+    )
+    n_words = F.size("_w").cast("bigint")
+    total_chars = F.aggregate(
+        F.transform("_w", lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    n_sym = F.aggregate(
+        F.transform(
+            "_w",
+            lambda w: (
+                F.size(F.split(w, r"#", -1)) - 1
+                + F.size(F.split(w, r"…", -1)) - 1
+                + F.size(F.split(w, r"\.\.\.", -1)) - 1
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    n_lines = F.size("_l").cast("bigint")
+    n_bullet = F.size(
+        F.filter("_l", lambda l: F.trim(l).rlike(r"^([-*•]|\d+[.)])\s"))
+    ).cast("bigint")
+    n_ellipsis = F.size(
+        F.filter("_l", lambda l: F.trim(l).rlike(r"(…|\.\.\.)$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter("_w", lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+    n_stop = F.size(
+        F.filter("_w", lambda w: F.array_contains(stop_arr, F.lower(w)))
+    ).cast("bigint")
+    out = out.select(
+        *(ids if id_col else df.columns),
+        n_words.alias("n_words"),
+        (total_chars.cast("double") / n_words).alias("mean_word_len"),
+        (n_sym.cast("double") / n_words).alias("symbol_ratio"),
+        F.when(n_lines > 0, n_bullet.cast("double") / n_lines)
+        .otherwise(F.lit(0.0)).alias("bullet_frac"),
+        F.when(n_lines > 0, n_ellipsis.cast("double") / n_lines)
+        .otherwise(F.lit(0.0)).alias("ellipsis_frac"),
+        (n_alpha.cast("double") / n_words).alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stop") >= min_stop_words)
+    )
+    return out.withColumn("keep", keep)

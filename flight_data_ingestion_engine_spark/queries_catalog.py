@@ -11577,3 +11577,62 @@ def q_rank_quantiles_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("day")
     merged = rank_sample_merge([picked], k=256)
     return rank_sample_quantiles(merged, [0.5, 0.9])
+
+
+@_q(
+    "gopher_quality_rules",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws,
+             list_filter(regexp_split_to_array(text, '\n'), l -> trim(l) <> '') AS ls
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS total_chars,
+        CAST(COALESCE(list_sum(list_transform(ws, x ->
+            (len(string_split(x, '#')) - 1)
+          + (len(string_split(x, '…')) - 1)
+          + (len(regexp_split_to_array(x, '\.\.\.')) - 1))), 0) AS BIGINT) AS n_sym,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^([-*•]|[0-9]+[.)])\s'))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '(…|\.\.\.)$'))) AS BIGINT) AS n_ellipsis,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(ws, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS n_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+           CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_frac,
+           CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_frac,
+           CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+           n_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND CAST(total_chars AS DOUBLE) / n_words >= 3.0
+            AND CAST(total_chars AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+            AND (CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.9
+            AND (CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / n_lines ELSE 0.0 END) <= 0.3
+            AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+            AND n_stop >= 2) AS keep
+    FROM m
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText quality rules (Rae et al. 2021
+    §A1.1 — operators/text.py::gopher_quality_flags): word-count band,
+    mean word length band, symbol-to-word ratio, bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, stop-word probe.
+    One zero-shuffle projection (pytest exchange gate); every measure is
+    integer counts + ONE IEEE division, so DuckDB's relational replay
+    matches value-exactly, keep decision included. Compose with
+    `with_repetition_signals` for the full §A1 filter."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(docs, id_col="doc_id")

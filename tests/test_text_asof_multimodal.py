@@ -326,3 +326,35 @@ def test_canonical_url_variants(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each published Gopher rule individually rejects its planted
+    violator while the compliant doc passes; the plan is one zero-shuffle
+    projection."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        gopher_quality_flags,
+    )
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    good = ("the cat and dog have fun with that ball to chase " * 6).strip()
+    rows = [
+        (0, good),
+        (1, "the of and to be"),                              # too few words
+        (2, ("x " * 60) + "the of"),                          # mean word len < 3... x is 1 char
+        (3, good + " " + "#" * 1 + " ##### " * 20),           # symbol ratio
+        (4, "\n".join(f"- bullet {i} item here now" for i in range(20))),  # bullets
+        (5, ("the cat and dog have fun with that ball to " * 6) + "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),  # alpha frac
+        (6, ("zebra quokka lemur panda otter koala " * 12).strip()),  # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_quality_flags(df, id_col="doc_id")
+    assert count_exchanges(out) == 0
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].keep
+    assert not got[1].keep and got[1].n_words < 50
+    assert not got[2].keep and got[2].mean_word_len < 3.0
+    assert not got[3].keep and got[3].symbol_ratio > 0.1
+    assert not got[4].keep and got[4].bullet_frac > 0.9
+    assert not got[5].keep and got[5].alpha_frac < 0.8
+    assert not got[6].keep and got[6].n_stop < 2

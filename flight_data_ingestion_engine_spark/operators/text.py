@@ -351,3 +351,52 @@ def gopher_quality_flags(
         & (F.col("n_stop") >= min_stop_words)
     )
     return out.withColumn("keep", keep)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_lines_kept: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2) as one
+    zero-shuffle projection — `(<id_col>, clean_text, n_lines, n_lines_kept,
+    doc_keep)`:
+
+    - a LINE survives iff it ends in terminal punctuation (. ! ? or a
+      closing quote after one), has ≥ `min_line_words` words, and does
+      not contain the word "javascript" (case-insensitive) — the three
+      published line rules;
+    - `clean_text` rejoins the surviving lines;
+    - the DOC is dropped (`doc_keep` false) when it contains a curly
+      brace (code markers), the phrase "lorem ipsum", or keeps fewer
+      than `min_lines_kept` lines (the paper's "at least 3 sentences").
+
+    The badwords list is deliberately NOT shipped (external data); apply
+    it as one more rlike on `clean_text`. All array expressions inside
+    whole-stage codegen — at 100 TB this runs at parquet-scan speed."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    survives = lambda l: (
+        l.rlike(r'[.!?]["”’\')\]]*$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda w: w != "")) >= min_line_words)
+        & ~F.lower(l).rlike(r"\bjavascript\b")
+    )
+    kept = F.filter(lines, survives)
+    doc_keep = (
+        ~text.contains("{")
+        & ~text.contains("}")
+        & ~F.lower(text).contains("lorem ipsum")
+        & (F.size(kept) >= min_lines_kept)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        doc_keep.alias("doc_keep"),
+    )

@@ -11636,3 +11636,66 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return gopher_quality_flags(docs, id_col="doc_id")
+
+
+@_q(
+    "c4_line_filters",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+               || chr(10) || 'Enable javascript to view this page.'
+               || chr(10) || 'A solid closing sentence appears here.'
+               || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'if (x) { y(); }' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Too short.' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, t,
+             list_filter(
+               list_transform(regexp_split_to_array(t, '\n'), x -> trim(x)),
+               x -> x <> '') AS lines
+      FROM aug
+    ),
+    k AS (
+      SELECT doc_id, t, lines,
+             list_filter(lines, x ->
+                regexp_matches(x, '[.!?]["”’'')\]]*$')
+                AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 3
+                AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           (NOT contains(t, '{') AND NOT contains(t, '}')
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND len(kept) >= 3) AS doc_keep
+    FROM k
+    """,
+)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
+    operators/text.py::c4_line_filters): lines survive iff they end in
+    terminal punctuation, carry ≥ 3 words, and don't say "javascript";
+    docs drop on curly braces / "lorem ipsum" / < 3 surviving lines.
+    Planted per-doc suffixes exercise every rule (a javascript line on
+    every doc, code braces on doc_id%5, a 2-word line on doc_id%7); the
+    oracle replays the whole pipeline — including the rejoined
+    clean_text string — value-exactly. Zero shuffles (pytest-gated)."""
+    from flight_data_ingestion_engine_spark.operators.text import c4_line_filters
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nEnable javascript to view this page."),
+            F.lit("\nA solid closing sentence appears here."),
+            F.when(d % 5 == 0, F.lit("\nif (x) { y(); }")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("\nToo short.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_filters(docs)

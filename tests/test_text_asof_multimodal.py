@@ -358,3 +358,35 @@ def test_gopher_quality_flags_rules(spark):
     assert not got[4].keep and got[4].bullet_frac > 0.9
     assert not got[5].keep and got[5].alpha_frac < 0.8
     assert not got[6].keep and got[6].n_stop < 2
+
+
+def test_c4_line_filters_rules(spark):
+    """Each C4 rule: terminal-punctuation requirement, min words per
+    line, the javascript line drop, curly-brace and lorem-ipsum doc
+    drops, and the >= 3 surviving lines doc gate; zero-shuffle plan."""
+    from flight_data_ingestion_engine_spark.operators.text import c4_line_filters
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    good3 = "A first proper sentence.\nA second proper sentence!\nA third proper one?"
+    rows = [
+        (0, good3),
+        (1, good3 + "\nno terminal punctuation here"),
+        (2, good3 + "\nEnable JavaScript to continue please."),
+        (3, good3 + "\nvar x = { a: 1 };"),
+        (4, good3.replace("third", "lorem ipsum")),
+        (5, "Only one good sentence.\nAnd a second good one."),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_line_filters(df)
+    assert count_exchanges(out) == 0
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].doc_keep and got[0].n_lines_kept == 3
+    # the bad line is excised from clean_text but the doc survives
+    assert got[1].doc_keep and got[1].n_lines_kept == 3
+    assert "punctuation" not in got[1].clean_text
+    assert got[2].doc_keep and "JavaScript" not in got[2].clean_text
+    assert not got[3].doc_keep     # curly braces
+    assert not got[4].doc_keep     # lorem ipsum (case-insensitive)
+    assert not got[5].doc_keep and got[5].n_lines_kept == 2
+    assert not got[6].doc_keep and got[6].n_lines == 0

@@ -1879,3 +1879,301 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (Schuster & Nakajima 2012; the BERT trainer) — the
+# third tokenizer family: BPE merges by raw pair COUNT, WordPiece merges by
+# the likelihood score cnt(a,b)/(cnt(a)·cnt(b)), and symbols carry the '##'
+# continuation marker so word-initial and word-internal pieces are distinct
+# vocabulary entries. Encode is greedy longest-match-first (not a fold of
+# merges), emitting [UNK] for uncoverable words.
+# ---------------------------------------------------------------------------
+
+
+def _wp_chars(word: Column) -> Column:
+    """WordPiece base symbols of a word: first char plain, every later
+    char '##'-marked — spelled as an index transform so the DuckDB twin
+    produces the identical list."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.when(
+            i == 1, F.substring(word, 1, 1)
+        ).otherwise(
+            F.concat(F.lit("##"), F.call_function("substring", word, i.cast("int"), F.lit(1)))
+        ),
+    )
+
+
+def _wp_merge_symbol(p1: str, p2: str) -> str:
+    """The merged symbol: p2's continuation marker folds away (it is
+    adjacency inside the same word), p1's marker status is inherited."""
+    return p1 + (p2[2:] if p2.startswith("##") else p2)
+
+
+def wordpiece_merge_steps(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    normalize: bool = True,
+    words: DataFrame | None = None,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Learn the first `k` WordPiece merges: `(step, p1, p2, cnt, score)`.
+    The same vocabulary-table loop as `bpe_merge_steps` — one corpus word
+    count, then per round one pair-count shuffle + one symbol-count
+    shuffle over the vocabulary table and a 1-row winner collect — but
+    the winner maximizes the LIKELIHOOD score cnt(a,b)/(cnt(a)·cnt(b))
+    instead of the raw pair count (ties break lexicographic on (a, b)).
+
+    Cross-engine exactness: counts are exact BIGINTs ≤ ~corpus tokens,
+    so cnt(a)·cnt(b) is exactly representable and the score is ONE IEEE
+    division of the same two integers on every engine — identical
+    doubles, identical ordering, identical tie-breaks (the DuckDB oracle
+    replays the rounds as chained CTEs). `max_word_len` caps the word
+    table exactly like `unigram_word_counts` (bounds the oracle DP)."""
+    from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
+
+    spark = df.sparkSession
+    base = words if words is not None else bpe_word_counts(df, text_col, normalize)
+    base = base.where(F.length("word") <= max_word_len)
+    state = base.select("cnt", _wp_chars(F.col("word")).alias("s")).persist()
+    prev = None
+    merges: list[tuple[int, str, str, int, float]] = []
+    try:
+        for step in range(1, k + 1):
+            pairs = (
+                state.select(
+                    F.col("cnt"),
+                    F.explode(
+                        F.when(
+                            F.size("s") >= 2,
+                            F.transform(
+                                F.sequence(F.lit(0), F.size("s") - 2),
+                                lambda i: F.struct(
+                                    F.element_at(F.col("s"), (i + 1).cast("int")).alias("a"),
+                                    F.element_at(F.col("s"), (i + 2).cast("int")).alias("b"),
+                                ),
+                            ),
+                        ).otherwise(
+                            F.array().cast("array<struct<a:string,b:string>>")
+                        )
+                    ).alias("_p"),
+                )
+                .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+                .agg(F.sum("cnt").cast("bigint").alias("c"))
+            )
+            syms = (
+                state.select(F.col("cnt"), F.explode("s").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("cnt").cast("bigint").alias("sc"))
+            )
+            sa = syms.select(F.col("sym").alias("a"), F.col("sc").alias("ca"))
+            sb = syms.select(F.col("sym").alias("b"), F.col("sc").alias("cb"))
+            win = (
+                pairs.join(sa, "a").join(sb, "b")
+                .select(
+                    "a", "b", "c",
+                    (F.col("c").cast("double") / (F.col("ca") * F.col("cb"))).alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not win:
+                break
+            x, y, c, sc = win[0].a, win[0].b, int(win[0].c), float(win[0].score)
+            merges.append((step, x, y, c, sc))
+            merged = _wp_merge_symbol(x, y)
+            nxt = state.withColumn(
+                "s",
+                F.aggregate(
+                    F.col("s"),
+                    F.array().cast("array<string>"),
+                    lambda acc, z: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(x))
+                        & (z == F.lit(y)),
+                        F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+                    ).otherwise(F.concat(acc, F.array(z))),
+                ),
+            ).persist()
+            prev, state = state, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        state.unpersist()
+    return arrow_local_df(
+        spark, merges, "step int, p1 string, p2 string, cnt bigint, score double"
+    )
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    normalize: bool = True,
+    max_word_len: int = 16,
+) -> list[str]:
+    """The trained WordPiece vocabulary as a driver list: every base
+    symbol the corpus produces (chars + '##'-chars — alphabet-sized) plus
+    each merge's output symbol. Bounded by alphabet + k — the same
+    driver-table contract as the merge table itself."""
+    if not isinstance(merges, list):
+        merges = [(r.p1, r.p2) for r in merges.orderBy("step").collect()]
+    words = bpe_word_counts(df, text_col, normalize).where(
+        F.length("word") <= max_word_len
+    )
+    alphabet = [
+        r.sym
+        for r in words.select(F.explode(_wp_chars(F.col("word"))).alias("sym"))
+        .distinct()
+        .collect()
+    ]
+    return sorted(set(alphabet) | {_wp_merge_symbol(a, b) for a, b in merges})
+
+
+def _wp_encode_word_py(
+    word: str, vocab: set[str], max_piece_chars: int, unk: str
+) -> list[str]:
+    """Greedy longest-match-first WordPiece encode of one word (the BERT
+    WordpieceTokenizer algorithm): at each position take the LONGEST
+    vocab piece ('##'-marked after position 0); any position with no
+    match makes the whole word [UNK]."""
+    out: list[str] = []
+    pos, L = 0, len(word)
+    while pos < L:
+        hit = None
+        for n in range(min(max_piece_chars, L - pos), 0, -1):
+            piece = word[pos : pos + n] if pos == 0 else "##" + word[pos : pos + n]
+            if piece in vocab:
+                hit = (piece, n)
+                break
+        if hit is None:
+            return [unk]
+        out.append(hit[0])
+        pos += hit[1]
+    return out
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    out_col: str = "wp_tokens",
+    normalize: bool = True,
+    method: str = "catalyst",
+    max_word_len: int = 16,
+    max_piece_chars: int = 8,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Tokenize text under a WordPiece vocabulary: greedy longest-match
+    per word, '##' continuations, `[UNK]` for uncoverable or over-long
+    (> max_word_len) words. Two arms, row-identical by pytest:
+
+    - `method="catalyst"`: the greedy walk as ONE aggregate fold over
+      `max_word_len` steps — each step consumes the longest matching
+      piece via a literal piece→1 map (plan size grows with vocab ×
+      max_piece_chars; the moderate-vocab arm, like `bpe_encode`'s).
+    - `method="arrow"`: pandas_udf with the vocab as a closure set and a
+      per-executor word cache — per-word cost independent of vocab size
+      (the production arm)."""
+    if method not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown wordpiece_encode method: {method!r}")
+    toks = F.split(
+        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+    )
+    words_arr = F.filter(toks, lambda x: x != "")
+
+    if method == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        vset = set(vocab)
+
+        @pandas_udf("array<string>")
+        def _enc(words: pd.Series) -> pd.Series:
+            cache: dict[str, list[str]] = {}
+
+            def enc_word(w: str) -> list[str]:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = (
+                        [unk]
+                        if len(w) > max_word_len
+                        else _wp_encode_word_py(w, vset, max_piece_chars, unk)
+                    )
+                return hit
+
+            return words.apply(lambda ws: [t for w in ws for t in enc_word(w)])
+
+        return df.withColumn(out_col, _enc(words_arr))
+
+    vmap = F.create_map(*[x for p in vocab for x in (F.lit(p), F.lit(1))])
+
+    def encode_word(w: Column) -> Column:
+        wl = F.length(w)
+
+        def step(acc: Column, _i: Column) -> Column:
+            pos = acc["pos"]
+
+            def piece(n: int) -> Column:
+                body = F.call_function("substring", w, pos + 1, F.lit(n))
+                return F.when(pos == 0, body).otherwise(F.concat(F.lit("##"), body))
+
+            choice = None
+            for n in range(max_piece_chars, 0, -1):
+                cond = (pos + n <= wl) & vmap[piece(n)].isNotNull()
+                choice = (
+                    F.when(cond, F.lit(n))
+                    if choice is None
+                    else choice.when(cond, F.lit(n))
+                )
+            ln = choice.otherwise(F.lit(0))
+            # the consumed piece, with the CHOSEN length column (the
+            # integer-literal piece(n) above only probes the vocab map)
+            advance = F.struct(
+                (pos + ln).alias("pos"),
+                F.concat(
+                    acc["toks"],
+                    F.array(
+                        F.when(
+                            pos == 0,
+                            F.call_function("substring", w, pos + 1, ln),
+                        ).otherwise(
+                            F.concat(
+                                F.lit("##"),
+                                F.call_function("substring", w, pos + 1, ln),
+                            )
+                        )
+                    ),
+                ).alias("toks"),
+                acc["failed"].alias("failed"),
+            )
+            fail = F.struct(
+                pos.alias("pos"),
+                acc["toks"].alias("toks"),
+                F.lit(True).alias("failed"),
+            )
+            return F.when(
+                acc["failed"] | (pos >= wl), acc
+            ).when(ln > 0, advance).otherwise(fail)
+
+        zero = F.struct(
+            F.lit(0).alias("pos"),
+            F.array().cast("array<string>").alias("toks"),
+            F.lit(False).alias("failed"),
+        )
+        fin = F.aggregate(
+            F.sequence(F.lit(1), F.lit(max_word_len)), zero, step
+        )
+        return F.when(
+            (wl > max_word_len) | fin["failed"] | (fin["pos"] < wl),
+            F.array(F.lit(unk)),
+        ).otherwise(fin["toks"])
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words_arr, encode_word))
+    )

@@ -11699,3 +11699,162 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return c4_line_filters(docs)
+
+
+def _wordpiece_words_sql(maxlen: int = 16) -> str:
+    return f"""
+    words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+      ) WHERE word <> '' AND length(word) <= {maxlen} GROUP BY 1
+    ),
+    w0 AS MATERIALIZED (
+      SELECT cnt,
+             list_transform(range(1, length(word)+1),
+               i -> CASE WHEN i = 1 THEN substr(word, CAST(i AS INT), 1)
+                         ELSE '##' || substr(word, CAST(i AS INT), 1) END) AS s
+      FROM words
+    )"""
+
+
+def _wordpiece_rounds_sql(k: int) -> str:
+    """Chained-CTE replay of k WordPiece merge rounds — pair counts,
+    symbol counts, likelihood-score winner (score DESC, a, b), and the
+    greedy-leftmost fold with the '##'-folding merged symbol."""
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    p{i} AS (
+      SELECT s[j] AS a, s[j+1] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM w{i - 1}, UNNEST(range(1, len(s))) AS r(j)
+      GROUP BY 1, 2
+    ),
+    sy{i} AS (
+      SELECT s[j] AS sym, CAST(SUM(cnt) AS BIGINT) AS sc
+      FROM w{i - 1}, UNNEST(range(1, len(s) + 1)) AS r(j)
+      GROUP BY 1
+    ),
+    m{i} AS (
+      SELECT p.a AS a, p.b AS b, p.c AS c,
+             CAST(p.c AS DOUBLE) / (ca.sc * cb.sc) AS score,
+             p.a || CASE WHEN p.b LIKE '##%' THEN p.b[3:] ELSE p.b END AS merged
+      FROM p{i} p
+      JOIN sy{i} ca ON ca.sym = p.a
+      JOIN sy{i} cb ON cb.sym = p.b
+      ORDER BY score DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{i} AS (
+      SELECT cnt,
+             list_reduce(list_transform(s, y -> [y]),
+               (acc, x) -> CASE WHEN acc[-1] = m{i}.a AND x[1] = m{i}.b
+                                THEN acc[:-2] || [m{i}.merged]
+                                ELSE acc || x END) AS s
+      FROM w{i - 1} CROSS JOIN m{i}
+    )""")
+    return ",".join(rounds)
+
+
+def _wordpiece_merges_oracle(k: int) -> str:
+    tail = "  ".join(
+        f"UNION ALL SELECT {i}, a, b, c, score FROM m{i}" for i in range(2, k + 1)
+    )
+    return f"""
+    WITH {_wordpiece_words_sql()},
+    {_wordpiece_rounds_sql(k)}
+    SELECT * FROM (
+      SELECT 1 AS step, a AS p1, b AS p2, c AS cnt, score FROM m1
+      {tail}
+    ) ORDER BY step
+    """
+
+
+def _wordpiece_segments_oracle(k: int, maxlen: int = 16, maxp: int = 8) -> str:
+    steps = []
+    for t in range(1, maxlen + 1):
+        steps.append(f"""
+    g{t} AS MATERIALIZED (
+      SELECT word, cnt,
+        CASE WHEN done OR L IS NULL THEN pos ELSE pos + L END AS pos,
+        CASE WHEN done OR L IS NULL THEN path
+             ELSE path || CASE WHEN path = '' THEN '' ELSE ' ' END ||
+                  CASE WHEN pos = 0 THEN substr(word, 1, CAST(L AS INT))
+                       ELSE '##' || substr(word, CAST(pos + 1 AS INT), CAST(L AS INT)) END
+        END AS path,
+        CASE WHEN done THEN failed WHEN L IS NULL THEN TRUE ELSE failed END AS failed
+      FROM (
+        SELECT *, (failed OR pos >= length(word)) AS done,
+          (SELECT MAX(nch) FROM vp
+           WHERE cont = (pos > 0) AND nch <= {maxp}
+             AND nch <= length(word) - pos
+             AND substr(word, CAST(pos + 1 AS INT), CAST(nch AS INT)) = body) AS L
+        FROM g{t - 1}
+      ) x
+    )""")
+    return f"""
+    WITH {_wordpiece_words_sql(maxlen)},
+    {_wordpiece_rounds_sql(k)},
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT s[j] AS piece
+      FROM w0, UNNEST(range(1, len(s) + 1)) AS r(j)
+      {"".join(f" UNION SELECT merged FROM m{i}" for i in range(1, k + 1))}
+    ),
+    vp AS MATERIALIZED (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN piece[3:] ELSE piece END AS body,
+             CAST(length(CASE WHEN piece LIKE '##%' THEN piece[3:] ELSE piece END) AS BIGINT) AS nch,
+             piece LIKE '##%' AS cont
+      FROM vocab
+    ),
+    g0 AS (SELECT word, cnt, 0 AS pos, CAST('' AS VARCHAR) AS path, FALSE AS failed FROM words),
+    {",".join(steps)}
+    SELECT word, cnt,
+           CASE WHEN failed OR pos < length(word) THEN '[UNK]' ELSE path END AS pieces
+    FROM g{maxlen}
+    """
+
+
+@_q("wordpiece_merges", _wordpiece_merges_oracle(5))
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece trainer (corpus.py::wordpiece_merge_steps — Schuster &
+    Nakajima 2012, the BERT scheme): the first 5 merges by the
+    LIKELIHOOD score cnt(a,b)/(cnt(a)·cnt(b)) over '##'-marked symbols.
+    Same vocabulary-table loop as BPE (one corpus pass, per-round
+    pair+symbol count shuffles + 1-row winner collect); the score is one
+    IEEE division of exact integers, so DuckDB's chained-CTE replay
+    picks identical winners, tie-breaks included — merge table
+    value-exact, score column included."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        wordpiece_merge_steps,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return wordpiece_merge_steps(docs, k=5)
+
+
+@_q("wordpiece_segment_words", _wordpiece_segments_oracle(5))
+def q_wordpiece_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODE under the trained vocabulary (corpus.py::
+    wordpiece_encode, catalyst arm — greedy longest-match-first with
+    '##' continuations, [UNK] for uncoverable words): every distinct
+    corpus word's segmentation. The vocabulary is the corpus alphabet
+    (plain + '##'-marked chars) plus the 5 merge outputs; DuckDB replays
+    the trainer AND the greedy walk (an unrolled 16-step chain whose
+    per-step choice is max-matching-piece-length) value-exactly — a
+    divergent greedy choice anywhere breaks the string compare."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_word_counts,
+        wordpiece_encode,
+        wordpiece_merge_steps,
+        wordpiece_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = wordpiece_merge_steps(docs, k=5)
+    vocab = wordpiece_vocab(docs, merges)
+    words = bpe_word_counts(docs).where(F.length("word") <= 16)
+    enc = wordpiece_encode(
+        words, vocab, text_col="word", normalize=False, method="catalyst"
+    )
+    return enc.select(
+        "word", "cnt", F.array_join("wp_tokens", " ").alias("pieces")
+    )

@@ -704,3 +704,58 @@ def test_bpe_byte_fallback_lossless_coverage(spark):
 
     with _pytest.raises(ValueError, match="requires method='arrow'"):
         bpe_encode(covered, merges, method="catalyst", byte_fallback_vocab=vocab)
+
+
+def test_wordpiece_trainer_and_encode(spark):
+    """WordPiece (r10): the trainer maximizes the LIKELIHOOD score — on
+    a corpus where pair ('a','##b') is frequent but both symbols are
+    ubiquitous, a rarer pair with rare parts must win (the exact case
+    where BPE and WordPiece diverge); encode is greedy longest-match
+    with '##' continuations (the BERT reference example), both arms
+    row-identical, [UNK] for uncoverable and over-long words."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        wordpiece_encode,
+        wordpiece_merge_steps,
+    )
+
+    # 'xy' appears 8x but x,y are everywhere (also alone); 'qz' appears
+    # 3x and q,z appear ONLY together -> score(qz)=3/(3*3)=0.333 beats
+    # score(xy)=8/(16*16)=0.031. BPE (raw count) would pick (x,##y).
+    docs = spark.createDataFrame(
+        [(0, "xy " * 8 + "x " * 8 + "y " * 8 + "qz " * 3)],
+        "doc_id long, text string",
+    )
+    m = wordpiece_merge_steps(docs, k=1).collect()
+    assert (m[0].p1, m[0].p2) == ("q", "##z"), m
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_merge_steps,
+    )
+
+    b = bpe_merge_steps(docs, k=1).collect()
+    assert (b[0].p1, b[0].p2) == ("x", "y"), b  # the divergence, pinned
+
+    # the canonical BERT example: vocab un, ##aff, ##able, + letters
+    vocab = ["un", "##aff", "##able", "u", "n", "a", "f", "b", "l", "e",
+             "##a", "##f", "##b", "##l", "##e", "##n"]
+    df = spark.createDataFrame(
+        [(0, "unaffable"), (1, "unaffableq")], "doc_id long, text string"
+    )
+    for method in ("catalyst", "arrow"):
+        got = {
+            r.doc_id: r.wp_tokens
+            for r in wordpiece_encode(
+                df, vocab, method=method, normalize=False
+            ).collect()
+        }
+        assert got[0] == ["un", "##aff", "##able"], (method, got[0])
+        assert got[1] == ["[UNK]"], (method, got[1])  # q uncoverable
+
+    # arm identity on real corpus text + over-long word -> [UNK]
+    docs2 = spark.createDataFrame(
+        [(0, "unaffable una supercalifragilisticexpial af")],
+        "doc_id long, text string",
+    )
+    a = wordpiece_encode(docs2, vocab, method="arrow", normalize=False).collect()[0].wp_tokens
+    c = wordpiece_encode(docs2, vocab, method="catalyst", normalize=False).collect()[0].wp_tokens
+    assert a == c
+    assert "[UNK]" in a  # the 28-char word exceeds max_word_len=16

@@ -1367,3 +1367,131 @@ def duplicated_substring_spans(
         )
         .drop("_grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span dedup (r10): Raffel et al. 2020's actual
+# deduplication unit — "we discarded all but one of any three-sentence span
+# occurring more than once in the data set". Sentence-level surgery, not
+# doc-level: the canonical occurrence keeps its sentences; every other
+# occurrence loses exactly those three.
+# ---------------------------------------------------------------------------
+
+#: engine-portable sentence splitter: leftmost chunks of non-terminal chars
+#: followed by terminal punctuation, plus an unterminated tail — RE2 and
+#: Java regex agree (no lookbehind, which RE2 lacks).
+SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+$"
+
+
+def split_sentences(text: Column) -> Column:
+    """Sentence array of a text column — trimmed, empties dropped; the
+    DuckDB twin is regexp_extract_all with the identical pattern."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.coalesce(text, F.lit("")), F.lit(SENTENCE_RE), 0
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """C4 span dedup: `(<id_col>, clean_text, n_sentences, n_removed)`.
+
+    Pipeline (two keyed shuffles + one reassembly agg, never all-pairs):
+    sentences split per doc → every `span`-sentence sliding window hashes
+    (md5 over SEP-joined sentences — portable) → per hash, the CANONICAL
+    occurrence is min (doc_id, start) and duplicated hashes emit their
+    NON-canonical occurrences' sentence indices as a removal set →
+    sentences anti-join the removal set → docs reassemble in order.
+
+    Semantics notes (pinned in pytest): a sentence inside ANY removed
+    span is removed even if it also belongs to a non-duplicated span
+    (C4's behavior — spans overlap); a span duplicated WITHIN one doc
+    keeps only its first occurrence; docs with < span sentences are
+    untouched. At 100 TB: rows scale with sentences, the groupBy key is
+    a 16-byte hash, and the removal set is bounded by duplicated spans —
+    never the corpus."""
+    sep = "\x1f"
+    sents = df.select(
+        F.col(id_col), split_sentences(F.col(text_col)).alias("_s")
+    ).persist()
+    exploded = sents.select(
+        id_col, F.posexplode("_s").alias("idx", "sentence")
+    )
+    spans = sents.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_s") >= span,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_s") - span),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("start"),
+                        F.md5(
+                            F.array_join(
+                                F.slice("_s", i + 1, span), sep
+                            )
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:bigint,h:string>>")
+            )
+        ).alias("_sp"),
+    ).select(id_col, F.col("_sp.start").alias("start"), F.col("_sp.h").alias("h"))
+    per_hash = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("canon"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    dup_noncanon = (
+        spans.join(per_hash.where(F.col("occ") >= 2), "h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"canon.{id_col}"))
+                & (F.col("start") == F.col("canon.start"))
+            )
+        )
+        .select(id_col, "start")
+    )
+    removal = dup_noncanon.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + span - 1)
+        ).alias("idx"),
+    ).distinct()
+    kept = exploded.join(removal, [id_col, "idx"], "left_anti")
+    n_all = sents.select(
+        id_col, F.size("_s").cast("bigint").alias("n_sentences")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "sentence"))),
+                lambda x: x["sentence"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_kept"),
+    )
+    out = (
+        n_all.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_sentences",
+            (F.col("n_sentences") - F.coalesce("_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sents.unpersist()
+    return out

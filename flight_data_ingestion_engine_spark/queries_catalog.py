@@ -11858,3 +11858,83 @@ def q_wordpiece_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "word", "cnt", F.array_join("wp_tokens", " ").alias("pieces")
     )
+
+
+@_q(
+    "span_dedup_docs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             COALESCE(text, '') || CASE WHEN doc_id % 10 < 3
+               THEN ' Shared span one. Shared span two. Shared span three.'
+               ELSE '' END AS t
+      FROM documents
+    ),
+    sents AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+|[^.!?]+$'),
+                              s -> trim(s)),
+               s -> s <> '') AS ss
+      FROM aug
+    ),
+    expl AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, ss[i] AS sentence
+      FROM sents, UNNEST(range(1, len(ss) + 1)) r(i)
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+             md5(ss[i] || chr(31) || ss[i+1] || chr(31) || ss[i+2]) AS h
+      FROM sents, UNNEST(range(1, len(ss) - 1)) r(i)
+      WHERE len(ss) >= 3
+    ),
+    ranked AS (
+      SELECT doc_id, start,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS occ
+      FROM spans
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, start + o AS idx
+      FROM (SELECT doc_id, start FROM ranked WHERE occ >= 2 AND rn > 1),
+           UNNEST(range(0, 3)) r(o)
+    ),
+    kept AS (
+      SELECT e.doc_id, e.idx, e.sentence
+      FROM expl e ANTI JOIN rem ON e.doc_id = rem.doc_id AND e.idx = rem.idx
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(sentence, ' ' ORDER BY idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(ss) AS BIGINT) AS n_sentences,
+           CAST(len(ss) - COALESCE(r.kept, 0) AS BIGINT) AS n_removed
+    FROM sents s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's ACTUAL dedup unit (Raffel et al. 2020 — operators/dedup.py::
+    span_dedup): any three-sentence span occurring more than once keeps
+    only its canonical (min doc_id, start) occurrence; every other
+    occurrence loses those three sentences, docs reassemble in order. A
+    planted span rides 30% of docs (plus whatever spans the corpus's own
+    clone clusters duplicate); the oracle replays the whole pipeline —
+    portable sentence regex, chr(31)-joined md5 span hashes, window
+    canonical rule, sentence surgery, rebuilt text — value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.dedup import span_dedup
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 10 < 3,
+                F.lit(" Shared span one. Shared span two. Shared span three."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return span_dedup(docs)

@@ -1668,3 +1668,33 @@ def test_filtered_pq_recall_under_selective_filter(spark):
     assert all(n % 4 == 1 for s in got_filt.values() for n in s)
     r_all, r_filt = recall(got_all, truth_all), recall(got_filt, truth_filt)
     assert r_filt >= r_all - 0.05, (r_filt, r_all)
+
+
+def test_span_dedup_c4_semantics(spark):
+    """C4 three-sentence-span dedup semantics, pinned: the canonical
+    (min doc_id, start) occurrence keeps its sentences; later docs
+    containing the span lose exactly those three; a doc repeating a span
+    whose canonical lives elsewhere loses BOTH copies; docs with < 3
+    sentences are untouched; overlap: a sentence in any removed span
+    goes even if it also belongs to a non-duplicated span."""
+    from flight_data_ingestion_engine_spark.operators.dedup import span_dedup
+
+    A = "Alpha one here. Beta two here. Gamma three here."
+    rows = [
+        (0, A + " Delta four here."),
+        (1, "Intro sentence first. " + A),
+        (2, "Only two sentences. Nothing more."),
+        (3, A + " " + A),
+        (4, "Unique opener sentence. " + A + " Unique closer sentence."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert got[0].clean_text == A + " Delta four here." and got[0].n_removed == 0
+    assert got[1].clean_text == "Intro sentence first." and got[1].n_removed == 3
+    assert got[2].n_removed == 0 and got[2].n_sentences == 2
+    assert got[3].clean_text == "" and got[3].n_removed == 6
+    # doc 4: its A-span copy is non-canonical (doc 0 wins) -> the three A
+    # sentences go; the unique opener/closer survive even though they
+    # each belonged to overlapping (non-duplicated) spans with A members
+    assert got[4].clean_text == "Unique opener sentence. Unique closer sentence."
+    assert got[4].n_removed == 3

@@ -68,6 +68,8 @@ ABS_BUDGET_US = {
     # 0.27) on this box — ~4x like the rest
     "rank_sketch": 40.0,
     "filtered_ivf": 300.0,
+    # span_dedup measured 29.3 us/row big (rel 0.31) on this box
+    "span_dedup": 120.0,
 }
 REL_BUDGET = 2.0
 
@@ -224,6 +226,18 @@ def _ops(spark):
         ).count()
         return n
 
+    def span_dedup_op(n):
+        # r10: C4 span dedup — sentence explode + span-hash groupBy +
+        # removal anti-join + ordered reassembly; ~16 sentences/doc
+        from flight_data_ingestion_engine_spark.operators.dedup import span_dedup
+
+        docs = synth_docs(spark, n).select(
+            "id",
+            F.regexp_replace(F.col("text"), r"(\w+ \w+ \w+ \w+ \w+)", "$1.").alias("text"),
+        )
+        span_dedup(docs, id_col="id").count()
+        return n
+
     def exact_dedup_norm(n):
         # normalized variant: dedup on the text_normalize'd content (the
         # whitespace/case-folded key), hash-grouped — the 16-byte shuffle
@@ -247,6 +261,7 @@ def _ops(spark):
         "exact_dedup_norm": exact_dedup_norm,
         "rank_sketch": rank_sketch,
         "filtered_ivf": filtered_ivf,
+        "span_dedup": span_dedup_op,
     }
 
 

@@ -11938,3 +11938,55 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return span_dedup(docs)
+
+
+@_q(
+    "warc_ingest_roundtrip",
+    """
+    SELECT 'https://crawl.example/doc/' || doc_id AS target_uri,
+           CAST(strlen(text) AS BIGINT) AS content_length,
+           text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET ingestion (sources/warc.py::read_warc — the CommonCrawl
+    entry point every public pipeline starts from): 200 documents encode
+    as WET-style `conversion` records (UTF-8 payloads, some multi-byte —
+    the zh docs make octet_length ≠ char length), the file round-trips
+    through the binaryFile + mapInPandas parser, and the oracle states
+    the expected (uri, byte length, decoded text) per record in closed
+    form. Payload parsing is Content-Length-driven (a record body
+    containing 'WARC/1.0' text cannot fool it — pytest-pinned)."""
+    import os
+
+    from flight_data_ingestion_engine_spark.sources.warc import (
+        build_warc_bytes,
+        read_warc,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    recs = [
+        (
+            "conversion",
+            f"https://crawl.example/doc/{r.doc_id}",
+            "2024-01-01T00:00:00Z",
+            (r.text or "").encode("utf-8"),
+        )
+        for r in sorted(docs, key=lambda r: r.doc_id)
+    ]
+    root = _qtmp("warc")
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/part0.warc", "wb") as fh:
+        fh.write(build_warc_bytes(recs))
+    out = read_warc(spark, root, record_types=["conversion"])
+    return out.select(
+        "target_uri",
+        "content_length",
+        F.col("payload").cast("string").alias("text"),
+    )

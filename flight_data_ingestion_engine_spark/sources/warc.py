@@ -1,0 +1,142 @@
+"""WARC ingestion — the CommonCrawl entry point of every public curation
+pipeline (C4, CCNet, Gopher/MassiveText, RefinedWeb, FineWeb all start
+from WARC/WET dumps).
+
+Pure-stdlib parser (ISO 28500 subset) over Spark's `binaryFile` source:
+one row per WARC record with its headers and payload. The mapInPandas
+stage mirrors the multimodal codec plumbing — Arrow batches of (path,
+bytes) in, record rows out, partition-parallel, no driver involvement.
+
+Scale notes (honest):
+- `binaryFile` loads each file whole; real CommonCrawl segments are ~1 GB
+  `.warc.gz`, which fits executor memory but is one task per file — cap
+  per-task memory with `spark.sql.files.maxPartitionBytes` has no effect
+  here (binary files don't split). Parallelism = number of files, which
+  for CC (64k segments/crawl) is plenty.
+- `.gz` members decompress transparently (CC gzips per record, and
+  `gzip.decompress` consumes concatenated members), so the same parser
+  handles plain and gzipped files.
+- WET (extracted-text) files are WARC files with `conversion` records —
+  the same parser reads them; filter `warc_type == 'conversion'`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "file string, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content_length bigint, "
+    "payload binary"
+)
+
+
+def build_warc_bytes(records: list[tuple[str, str, str, bytes]]) -> bytes:
+    """Encode (warc_type, target_uri, warc_date, payload) records as WARC
+    bytes — the test/sink substrate (synthesize → write → read_warc →
+    row equality, the multimodal codec discipline)."""
+    out = bytearray()
+    for warc_type, uri, date, payload in records:
+        headers = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {warc_type}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            f"\r\n"
+        )
+        out += headers.encode("utf-8") + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse WARC bytes (plain or gzip — concatenated members handled) to
+    record dicts. Content-Length-driven, so payloads may contain any
+    bytes including record-like text; unknown headers are ignored;
+    records without Content-Length are skipped (malformed)."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while True:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("utf-8").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break  # truncated record
+        records.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "content_type": headers.get("content-type", ""),
+                "content_length": length,
+                "payload": data[body_start : body_start + length],
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: list[str] | None = None,
+) -> DataFrame:
+    """Read WARC/WET files into one row per record: `(file, record_idx,
+    warc_type, target_uri, warc_date, content_type, content_length,
+    payload binary)`. `record_types` filters (e.g. ["response"] for
+    crawls, ["conversion"] for WET) INSIDE the parse stage, so filtered
+    records never become Arrow rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    want = set(record_types) if record_types else None
+
+    def parse(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc_bytes(bytes(content))):
+                    if want is not None and rec["warc_type"] not in want:
+                        continue
+                    rows.append(
+                        (
+                            path_, i, rec["warc_type"], rec["target_uri"],
+                            rec["warc_date"], rec["content_type"],
+                            rec["content_length"], rec["payload"],
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file", "record_idx", "warc_type", "target_uri",
+                        "warc_date", "content_type", "content_length",
+                        "payload",
+                    ],
+                )
+
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    return binary.mapInPandas(parse, WARC_SCHEMA)

@@ -211,3 +211,51 @@ def test_stream_rate_source_produces_rows(spark, tmp_path):
     finally:
         q.stop()
     assert n > 0
+
+
+def test_warc_parser_roundtrip_and_traps(spark, tmp_path):
+    """r10 WARC ingestion: encode→parse round trip (plain, whole-file
+    gzip, AND multi-member per-record gzip — the CommonCrawl layout);
+    Content-Length-driven parsing survives payloads containing
+    'WARC/1.0' header-like text; record-type filter runs inside the
+    parse stage; malformed records (no Content-Length) are skipped."""
+    import gzip
+
+    from flight_data_ingestion_engine_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_bytes,
+        read_warc,
+    )
+
+    recs = [
+        ("response", "https://x.org/a", "2024-01-01T00:00:00Z", b"hello"),
+        ("response", "https://x.org/b", "2024-01-01T00:00:01Z",
+         b"WARC/1.0\r\nWARC-Type: fake\r\n\r\ntrap"),
+        ("conversion", "https://x.org/c", "2024-01-01T00:00:02Z",
+         "café 数据".encode()),
+    ]
+    raw = build_warc_bytes(recs)
+    for data in (raw, gzip.compress(raw),
+                 b"".join(gzip.compress(build_warc_bytes([r])) for r in recs)):
+        got = parse_warc_bytes(data)
+        assert [(g["warc_type"], g["target_uri"], g["payload"]) for g in got] \
+            == [(t, u, p) for t, u, _, p in recs]
+
+    # malformed record (no Content-Length) is skipped, neighbors survive
+    broken = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+        + build_warc_bytes(recs[:1])
+    )
+    assert [g["target_uri"] for g in parse_warc_bytes(broken)] == ["https://x.org/a"]
+
+    d = str(tmp_path)
+    with open(f"{d}/a.warc", "wb") as fh:
+        fh.write(build_warc_bytes(recs[:2]))
+    with open(f"{d}/b.warc.gz", "wb") as fh:
+        fh.write(gzip.compress(build_warc_bytes(recs[2:])))
+    df = read_warc(spark, d)
+    rows = {(r.warc_type, r.target_uri, bytes(r.payload)) for r in df.collect()}
+    assert rows == {(t, u, p) for t, u, _, p in recs}
+    assert read_warc(spark, d, record_types=["conversion"]).count() == 1
+    plan_cols = read_warc(spark, d).columns
+    assert plan_cols[:4] == ["file", "record_idx", "warc_type", "target_uri"]

@@ -1,0 +1,360 @@
+"""HTML → main-text extraction: the stage between WARC ingestion and the
+text filters.
+
+Reference scope: the reference ingests pre-extracted text
+(reference `ingesta_json` path — see `sources/readers.py` citations); the
+public curation pipelines this engine extends toward (C4, RefinedWeb,
+FineWeb) re-extract the main text from each WARC record's raw HTML,
+dropping boilerplate (navigation bars, footers, link farms) BEFORE any
+quality filter runs. This module is that extraction stage, jusText-style
+(Pomikálek 2011): segment the page into blocks at block-level tags, score
+each block by link density and stop-word evidence, keep the content
+blocks.
+
+Two arms, ONE spec (the "HTML-lite" pipeline below); both return the same
+schema and are row-identical on the lite subset (pytest-gated):
+
+- **Catalyst arm** (default, `method="expr"`): the whole pipeline as
+  regexp/array expressions — JVM-side, zero Python, replayed value-exactly
+  by the DuckDB oracle (`html_extract_docs`). This is the 100 TB path:
+  per-row string work that scales with the parquet scan, no shuffle.
+- **Arrow arm** (`method="parser"`): stdlib `html.parser.HTMLParser`
+  inside one `mapInPandas` stage — real-world HTML (attributes containing
+  ``>``, the full named/numeric entity set, implicitly-closed tags).
+  Divergences outside the lite subset are documented and pinned in tests.
+
+The HTML-lite spec (what both arms compute):
+
+1. strip ``<script>``/``<style>``/``<noscript>`` elements and comments;
+2. every BLOCK-level tag (open or close) is a block boundary; every other
+   tag acts as whitespace (so ``foo<b>bar</b>`` reads "foo bar", never
+   "foobar");
+3. per block: decode the six common entities (&amp; &lt; &gt; &quot;
+   &#39; &nbsp;), collapse runs of ``[ \\t\\n\\x0B\\f\\r]`` to one space,
+   trim; blocks that collapse to "" vanish;
+4. a block's LINK text is the text inside well-formed ``<a …>…</a>``
+   pairs that open and close within the block (an ``<a>`` left open at a
+   block boundary contributes nothing — block tags implicitly close it);
+5. a block is CONTENT iff it has ≥ `min_block_words` words, link chars ≤
+   `max_link_density` × text chars, and ≥ `min_stop_words` stop words
+   (the Gopher eight) — jusText's link-density + stop-word evidence rule;
+6. `extracted_text` joins the content blocks with newlines.
+
+Everything is integer counts plus one IEEE multiply per block, so the
+DuckDB replay matches bit-for-bit (same discipline as
+`text.gopher_quality_flags`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.text import GOPHER_STOP_WORDS
+
+# Structural / block-level tags: a boundary both when opened and closed.
+# Longer names first (cosmetic — the trailing \b makes order irrelevant
+# for the overall match, but keeps the pattern readable).
+BLOCK_TAGS = (
+    "figcaption blockquote noscript section article footer header figure "
+    "aside table thead tbody title html head body main form nav pre div "
+    "ul ol li td th tr dl dt dd hr br h1 h2 h3 h4 h5 h6 p"
+).split()
+
+_BLOCK_PAT = r"(?is)</?(?:" + "|".join(BLOCK_TAGS) + r")\b[^>]*>"
+_A_PAT = r"(?is)<a\b[^>]*>(.*?)</a>"
+_TAG_PAT = r"<[^>]*>"
+# Java \s includes \x0B, RE2's (DuckDB) does not — spell the class out so
+# both engines collapse the identical set.
+_WS_PAT = r"[ \t\n\x0B\f\r]+"
+_SENTINEL = "\x1e"
+
+# (entity, replacement) — &amp; deliberately LAST (single-pass semantics:
+# "&amp;lt;" decodes to "&lt;", not "<").
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _decode_entities(c: Column) -> Column:
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def _clean_text(c: Column) -> Column:
+    """strip remaining tags → decode entities → collapse ws → trim."""
+    c = F.regexp_replace(c, _TAG_PAT, " ")
+    c = _decode_entities(c)
+    return F.trim(F.regexp_replace(c, _WS_PAT, " "))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    *,
+    min_block_words: int = 5,
+    max_link_density: float = 0.30,
+    min_stop_words: int = 1,
+    method: str = "expr",
+) -> DataFrame:
+    """Extract the main text of an HTML page, dropping boilerplate blocks.
+
+    Returns ``(<id_col>, extracted_text, n_blocks, n_blocks_kept,
+    link_chars, text_chars)`` — one row per input row. `n_blocks` counts
+    the non-empty blocks; `link_chars`/`text_chars` are page totals over
+    those blocks (the page-level link-density audit column pair);
+    `extracted_text` is the newline-join of the content blocks.
+
+    `method="expr"` is pure Catalyst (the oracle-replayed lite spec);
+    `method="parser"` runs stdlib HTMLParser via Arrow `mapInPandas` and
+    additionally handles attribute quirks and the full entity set. Both
+    are row-identical on lite-subset input (pytest-gated).
+
+    Scale: per-row string work only — no shuffle, no UDF on the default
+    arm; at 100 TB this runs at scan speed and composes directly with
+    `warc_records` upstream and `c4_line_filters` /
+    `gopher_quality_flags` downstream.
+    """
+    if method == "parser":
+        return _html_extract_parser(
+            df,
+            html_col,
+            id_col,
+            min_block_words=min_block_words,
+            max_link_density=max_link_density,
+            min_stop_words=min_stop_words,
+        )
+    if method != "expr":
+        raise ValueError(f"unknown method: {method!r}")
+
+    raw = F.coalesce(F.col(html_col), F.lit(""))
+    for skip in ("script", "style", "noscript"):
+        raw = F.regexp_replace(
+            raw, rf"(?is)<{skip}\b[^>]*>.*?</{skip}>", " "
+        )
+    raw = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
+    raw = F.regexp_replace(raw, _BLOCK_PAT, _SENTINEL)
+
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS])
+
+    def _block_struct(b: Column) -> Column:
+        link_texts = F.regexp_extract_all(b, F.lit(_A_PAT), F.lit(1))
+        link_chars = F.aggregate(
+            F.transform(
+                link_texts, lambda s: F.length(_clean_text(s)).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        return F.struct(
+            _clean_text(b).alias("txt"), link_chars.alias("lc")
+        )
+
+    blocks = F.filter(
+        F.transform(F.split(raw, _SENTINEL), _block_struct),
+        lambda p: p["txt"] != "",
+    )
+
+    def _is_content(p: Column) -> Column:
+        words = F.split(p["txt"], " ")
+        n_stop = F.size(
+            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        )
+        chars = F.length(p["txt"]).cast("bigint")
+        return (
+            (F.size(words) >= min_block_words)
+            & (p["lc"].cast("double") <= chars.cast("double") * F.lit(max_link_density))
+            & (n_stop >= min_stop_words)
+        )
+
+    kept = F.filter(blocks, _is_content)
+    sum_of = lambda arr, f: F.aggregate(  # noqa: E731
+        F.transform(arr, f), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda p: p["txt"]), "\n"
+        ).alias("extracted_text"),
+        F.size(blocks).cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_blocks_kept"),
+        sum_of(blocks, lambda p: p["lc"]).alias("link_chars"),
+        sum_of(blocks, lambda p: F.length(p["txt"]).cast("bigint")).alias(
+            "text_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- parser arm
+
+_SKIP_TAGS = frozenset(["script", "style", "noscript"])
+_BLOCK_SET = frozenset(BLOCK_TAGS)
+
+
+def _extract_blocks_py(html: str) -> list[tuple[str, int]]:
+    """Parse with stdlib HTMLParser into [(block_text, link_chars)] per
+    the lite spec — the production arm's core. Entities decode via the
+    parser's full table (superset of the lite six); &nbsp;'s U+00A0 maps
+    back to a plain space so whitespace collapse agrees across arms."""
+    import re
+    from html.parser import HTMLParser
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def collapse(parts: list[str]) -> str:
+        return ws.sub(" ", "".join(parts).replace("\xa0", " ")).strip(" ")
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[tuple[str, int]] = []
+            self.buf: list[str] = []
+            self.link_chars = 0
+            self.link_buf: list[str] = []
+            self.skip_depth = 0
+            self.a_depth = 0
+
+        def _flush_block(self) -> None:
+            # a block boundary implicitly closes any open <a> WITHOUT
+            # crediting it (spec rule 4: only well-formed in-block pairs
+            # count — mirrors the expr arm, whose <a…>…</a> regex can't
+            # span a block-tag sentinel).
+            self.a_depth = 0
+            self.link_buf = []
+            txt = collapse(self.buf)
+            if txt:
+                self.blocks.append((txt, self.link_chars))
+            self.buf = []
+            self.link_chars = 0
+
+        def _tag_event(self, tag: str, closing: bool) -> None:
+            if tag in _SKIP_TAGS:
+                self.skip_depth += -1 if closing else 1
+                if self.skip_depth < 0:
+                    self.skip_depth = 0
+                return
+            if self.skip_depth:
+                return
+            # every tag is at least a whitespace boundary
+            self.buf.append(" ")
+            if self.a_depth:
+                self.link_buf.append(" ")
+            if tag in _BLOCK_SET:
+                self._flush_block()
+            elif tag == "a":
+                if closing:
+                    if self.a_depth:
+                        self.a_depth -= 1
+                        if self.a_depth == 0:
+                            self.link_chars += len(collapse(self.link_buf))
+                            self.link_buf = []
+                else:
+                    self.a_depth += 1
+
+        def handle_starttag(self, tag, attrs):  # noqa: ANN001
+            self._tag_event(tag, closing=False)
+
+        def handle_endtag(self, tag):  # noqa: ANN001
+            self._tag_event(tag, closing=True)
+
+        def handle_startendtag(self, tag, attrs):  # noqa: ANN001
+            if tag in _BLOCK_SET or tag in _SKIP_TAGS:
+                self._tag_event(tag, closing=False)
+                if tag in _SKIP_TAGS:
+                    self._tag_event(tag, closing=True)
+            else:
+                self._tag_event(tag, closing=False)
+                self._tag_event(tag, closing=True)
+
+        def handle_data(self, data):  # noqa: ANN001
+            if self.skip_depth:
+                return
+            self.buf.append(data)
+            if self.a_depth:
+                self.link_buf.append(data)
+
+    p = _P()
+    p.feed(html or "")
+    p.close()
+    p._flush_block()
+    return p.blocks
+
+
+def _score_blocks_py(
+    blocks: list[tuple[str, int]],
+    min_block_words: int,
+    max_link_density: float,
+    min_stop_words: int,
+) -> tuple[str, int, int, int, int]:
+    stop = set(GOPHER_STOP_WORDS)
+    kept: list[str] = []
+    link_chars = 0
+    text_chars = 0
+    for txt, lc in blocks:
+        link_chars += lc
+        text_chars += len(txt)
+        words = txt.split(" ")
+        n_stop = sum(1 for w in words if w.lower() in stop)
+        if (
+            len(words) >= min_block_words
+            and float(lc) <= float(len(txt)) * max_link_density
+            and n_stop >= min_stop_words
+        ):
+            kept.append(txt)
+    return "\n".join(kept), len(blocks), len(kept), link_chars, text_chars
+
+
+def _html_extract_parser(
+    df: DataFrame,
+    html_col: str,
+    id_col: str,
+    *,
+    min_block_words: int,
+    max_link_density: float,
+    min_stop_words: int,
+) -> DataFrame:
+    """Arrow arm: one `mapInPandas` stage, batch-at-a-time parsing.
+
+    Per-row cost is one linear HTMLParser pass — independent of corpus
+    size; no state, no shuffle, so the stage scales exactly like the
+    scan that feeds it (same posture as `multimodal.decode_media`)."""
+    import pandas as pd  # noqa: F401 (arrow arm ships pandas batches)
+
+    schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, extracted_text string, "
+        "n_blocks bigint, n_blocks_kept bigint, "
+        "link_chars bigint, text_chars bigint"
+    )
+    narrow = df.select(id_col, html_col)
+
+    def gen(batches):  # noqa: ANN001
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, html in zip(pdf[id_col], pdf[html_col]):
+                blocks = _extract_blocks_py(html if html is not None else "")
+                ext, nb, nk, lc, tc = _score_blocks_py(
+                    blocks, min_block_words, max_link_density, min_stop_words
+                )
+                rows.append((rid, ext, nb, nk, lc, tc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "extracted_text",
+                    "n_blocks",
+                    "n_blocks_kept",
+                    "link_chars",
+                    "text_chars",
+                ],
+            )
+
+    return narrow.mapInPandas(gen, schema=schema)

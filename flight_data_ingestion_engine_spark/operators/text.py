@@ -233,6 +233,77 @@ def canonical_url(url: Column) -> Column:
     )
 
 
+def url_host(url: Column) -> Column:
+    """The lowercased host of a URL: scheme and userinfo dropped, any
+    `:port` stripped, path/query/fragment cut. The unit every public
+    domain blocklist (UT1/Blacklists-UT-Capitole, the Dolma and
+    RefinedWeb URL passes) keys on. Pure regexp chain — no UDF."""
+    s = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(s, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^[^/@]*@", "")
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = 6,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Domain-blocklist URL filtering (the RefinedWeb/Dolma pre-content
+    pass over UT1-style lists): a row is blocked when its URL's host IS a
+    blocked domain or sits UNDER one (`ads.x.tracker.net` matches entry
+    `tracker.net` — label-boundary suffix match, so `xtracker.net` does
+    NOT match). Appends `host`, `blocked_domain` (the most specific —
+    longest — matching entry, NULL when clean) and `keep = blocked_domain
+    IS NULL`; filter on `keep` or audit the match column.
+
+    Scale shape: NO explode and NO shuffle of `df` — one broadcast hash
+    join per suffix length `j = 2..max_labels` (the `bloom_maybe_member`
+    probe pattern), each joining the host's last-`j`-labels string against
+    the deduplicated blocklist. The blocklist (UT1 ≈ 4M rows ≈ tens of MB)
+    broadcasts once — the five build subtrees are canonically identical,
+    so AQE's exchange reuse collapses them to ONE computed broadcast plus
+    `ReusedExchange` nodes (pytest-asserted on the executed plan); pass
+    `broadcast=False`
+    only if a pathological list exceeds executor memory, accepting
+    shuffle joins. Limits (documented, not silent): entries with more
+    than `max_labels` labels never match, single-label entries (bare
+    TLDs — never present in real lists) are deliberately ignored, and
+    hosts deeper than `max_labels` labels still match any entry of
+    ≤ `max_labels` labels (suffixes are anchored at the TLD end)."""
+    blk = (
+        blocklist.select(F.lower(F.trim(F.col(domain_col))).alias("__blk_d"))
+        .where(F.col("__blk_d") != "")
+        .distinct()
+    )
+    if broadcast:
+        blk = F.broadcast(blk)
+    host = url_host(F.col(url_col))
+    out = df.withColumn("host", host)
+    matches: list[Column] = []
+    for j in range(2, max_labels + 1):
+        suf = F.regexp_extract(
+            F.col("host"), r"([^.]+(?:\.[^.]+){%d})$" % (j - 1), 1
+        )
+        side = blk.withColumnRenamed("__blk_d", f"__blk_{j}")
+        out = out.join(
+            side, F.col("host").isNotNull() & (suf == F.col(f"__blk_{j}")),
+            "left",
+        )
+        matches.append(F.col(f"__blk_{j}"))
+    # most specific (longest suffix) match wins — coalesce high j first
+    blocked = F.coalesce(*reversed(matches))
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("host"),
+        blocked.alias("blocked_domain"),
+        blocked.isNull().alias("keep"),
+    )
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

@@ -11990,3 +11990,253 @@ def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.col("payload").cast("string").alias("text"),
     )
+
+
+def _html_clean_sql(x: str) -> str:
+    """DuckDB replay of operators/html.py::_clean_text: strip tags →
+    decode the lite-six entities (amp LAST) → collapse the Java-\\s
+    whitespace class → trim."""
+    s = f"regexp_replace({x}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ]:
+        s = f"replace({s}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({s}, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+
+
+def _html_block_pat_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.html import _BLOCK_PAT
+
+    return _BLOCK_PAT
+
+
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>Crawl record</title>"
+    "<style>p {color: red}</style>"
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact us</a></nav>'
+    "<h1>Report ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+    "replace(COALESCE(text, ''), chr(10), '</p><p>') || "
+    "'</p><!-- crawler' || chr(10) || 'metadata -->' || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<div><b>Bold</b> note &amp; details &lt;ok&gt; of the day.</div>'"
+    " ELSE '' END || "
+    '\'<footer><a href="/privacy">Privacy policy and other terms</a>'
+    "</footer></body></html>'"
+)
+
+_HTML_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@_q(
+    "html_extract_docs",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_HTML_SYNTH_SQL} AS h FROM documents
+    ),
+    c1 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM synth
+    ),
+    c2 AS (
+      SELECT doc_id,
+        string_split(regexp_replace(t, '{{BLOCKPAT}}', chr(30), 'g'), chr(30)) AS raw
+      FROM c1
+    ),
+    per AS (
+      SELECT doc_id, list_filter(list_transform(raw, b -> {{
+          'txt': {_html_clean_sql('b')},
+          'lc': CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                  s -> length({_html_clean_sql('s')}))), 0) AS BIGINT)
+        }}), p -> p.txt <> '') AS ps
+      FROM c2
+    ),
+    k AS (
+      SELECT doc_id, ps, list_filter(ps, p ->
+          len(string_split(p.txt, ' ')) >= 5
+          AND CAST(p.lc AS DOUBLE) <= CAST(length(p.txt) AS DOUBLE) * 0.3
+          AND len(list_filter(string_split(p.txt, ' '),
+                  w -> list_contains({_HTML_STOP_SQL}, lower(w)))) >= 1
+        ) AS kept
+      FROM per
+    )
+    SELECT doc_id,
+      COALESCE(array_to_string(list_transform(kept, p -> p.txt), chr(10)), '')
+        AS extracted_text,
+      CAST(len(ps) AS BIGINT) AS n_blocks,
+      CAST(len(kept) AS BIGINT) AS n_blocks_kept,
+      CAST(COALESCE(list_sum(list_transform(ps, p -> p.lc)), 0) AS BIGINT) AS link_chars,
+      CAST(COALESCE(list_sum(list_transform(ps, p -> length(p.txt))), 0) AS BIGINT) AS text_chars
+    FROM k
+    """,
+)
+def q_html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → main-text boilerplate removal (operators/html.py::
+    html_extract, jusText-style link-density + stop-word block scoring —
+    the extraction stage between `warc_ingest_roundtrip` and the
+    C4/Gopher filters). Every doc is wrapped in a full synthetic page:
+    head with <style>/<script> (must vanish wholesale, including the
+    `1 < 2` that would otherwise open a fake tag), a 3-link nav and an
+    all-link footer (link density kills both), an entity-laden <div> on
+    doc_id%3 (decode must surface in extracted_text), a comment spanning
+    a newline, and the doc's own text as <p> blocks. The oracle replays
+    the whole lite spec — block split, per-block link chars, entity
+    decode, IEEE link-density compare — value-exactly, extracted_text
+    string included. Zero shuffles; pure Catalyst (no UDF)."""
+    from flight_data_ingestion_engine_spark.operators.html import html_extract
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>Crawl record</title>'
+                "<style>p {color: red}</style>"
+                '<script type="text/javascript">var x = 1 < 2;</script></head>'
+                '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact us</a></nav>'
+                "<h1>Report "
+            ),
+            d.cast("string"),
+            F.lit("</h1><p>"),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\n"),
+                F.lit("</p><p>"),
+            ),
+            F.lit("</p><!-- crawler\nmetadata -->"),
+            F.when(
+                d % 3 == 0,
+                F.lit(
+                    "<div><b>Bold</b> note &amp; details &lt;ok&gt; "
+                    "of the day.</div>"
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(
+                '<footer><a href="/privacy">Privacy policy and other terms</a>'
+                "</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    return html_extract(docs, html_col="html", id_col="doc_id")
+
+
+ORACLE_SQL["html_extract_docs"] = ORACLE_SQL["html_extract_docs"].replace(
+    "{BLOCKPAT}", _html_block_pat_sql()
+)
+
+
+@_q(
+    "url_blocklist_docs",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 10
+          WHEN 0 THEN 'https://ads.tracker' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.net/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'http://www.good' || CAST(doc_id % 4 AS VARCHAR)
+                      || '.org/x?utm_source=a'
+          WHEN 2 THEN 'https://a.b.c.d.spamhub.com:443/deep'
+          WHEN 3 THEN 'https://xtracker1.net/safe'
+          WHEN 4 THEN 'https://user:pw@tracker1.net:8080/auth'
+          ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.com/ok/' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(lower(regexp_extract(
+          regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+          '^([^/?#]+)', 1)), '^[^/@]*@', ''), ':\d+$', '') AS host
+      FROM urls
+    ),
+    bl(domain) AS (VALUES ('tracker1.net'), ('tracker2.net'),
+                          ('spamhub.com'), ('good2.org'),
+                          ('c.d.spamhub.com')),
+    m AS (
+      SELECT doc_id, host,
+        (SELECT b.domain FROM bl b
+          WHERE h.host = b.domain OR h.host LIKE '%.' || b.domain
+          ORDER BY length(b.domain) DESC LIMIT 1) AS blocked_domain
+      FROM h
+    )
+    SELECT doc_id, host, blocked_domain,
+           blocked_domain IS NULL AS keep
+    FROM m
+    """,
+)
+def q_url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL filtering (operators/text.py::
+    url_blocklist_filter — the RefinedWeb/Dolma UT1-list pass that runs
+    before any content is even fetched). Synthesized per-doc URLs cover
+    every matching rule: direct host match with userinfo+port noise
+    (doc%10=4), subdomain-under-entry (ads.tracker*.net), a SIX-label
+    host under a 2-label entry (a.b.c.d.spamhub.com — also matched by
+    the 4-label entry c.d.spamhub.com, so blocked_domain must pick the
+    MOST SPECIFIC), the label-boundary trap (xtracker1.net must NOT
+    match tracker1.net), and clean hosts. Engine shape: five broadcast
+    hash joins (suffix lengths 2..6), zero shuffle of the fact side, no
+    explode; the oracle replays host extraction and longest-suffix
+    matching relationally."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        url_blocklist_filter,
+    )
+
+    d = F.col("doc_id")
+    m = d % 10
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://ads.tracker"),
+                (d % 3).cast("string"),
+                F.lit(".net/p/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://www.good"),
+                (d % 4).cast("string"),
+                F.lit(".org/x?utm_source=a"),
+            ),
+        )
+        .when(m == 2, F.lit("https://a.b.c.d.spamhub.com:443/deep"))
+        .when(m == 3, F.lit("https://xtracker1.net/safe"))
+        .when(m == 4, F.lit("https://user:pw@tracker1.net:8080/auth"))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (d % 5).cast("string"),
+                F.lit(".example.com/ok/"),
+                d.cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("tracker1.net",),
+            ("tracker2.net",),
+            ("spamhub.com",),
+            ("good2.org",),
+            ("c.d.spamhub.com",),
+        ],
+        "domain string",
+    )
+    return url_blocklist_filter(urls, blocklist).drop("url")

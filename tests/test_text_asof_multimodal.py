@@ -390,3 +390,83 @@ def test_c4_line_filters_rules(spark):
     assert not got[4].doc_keep     # lorem ipsum (case-insensitive)
     assert not got[5].doc_keep and got[5].n_lines_kept == 2
     assert not got[6].doc_keep and got[6].n_lines == 0
+
+
+def test_url_host_extraction(spark):
+    from flight_data_ingestion_engine_spark.operators.text import url_host
+
+    cases = [
+        (1, "https://Ads.Example.COM/p?q=1", "ads.example.com"),
+        (2, "http://user:pw@host.net:8080/x", "host.net"),
+        (3, "host.only.org/path", "host.only.org"),
+        (4, "https://h.io:443", "h.io"),
+        (5, "ftp://files.example.org#frag", "files.example.org"),
+        (6, "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "i long, url string"
+    )
+    got = {
+        r.i: r.h
+        for r in df.select("i", url_host(F.col("url")).alias("h")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_blocklist_filter_semantics(spark):
+    from flight_data_ingestion_engine_spark.operators.text import (
+        url_blocklist_filter,
+    )
+
+    rows = [
+        (1, "https://tracker.net/x"),            # exact entry
+        (2, "https://sub.a.tracker.net/y"),      # under entry
+        (3, "https://xtracker.net/z"),           # boundary trap: clean
+        (4, "https://deep.c.d.spamhub.com/q"),   # two entries match
+        (5, "https://clean.example.org/"),       # clean
+        (6, None),                               # NULL url → keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blk = spark.createDataFrame(
+        [("Tracker.NET ",), ("spamhub.com",), ("c.d.spamhub.com",)],
+        "domain string",
+    )
+    got = {
+        r.doc_id: (r.blocked_domain, r.keep)
+        for r in url_blocklist_filter(df, blk).collect()
+    }
+    assert got[1] == ("tracker.net", False)
+    assert got[2] == ("tracker.net", False)
+    assert got[3] == (None, True)
+    # most specific (longest) entry wins
+    assert got[4] == ("c.d.spamhub.com", False)
+    assert got[5] == (None, True)
+    assert got[6] == (None, True)
+
+
+def test_url_blocklist_plan_broadcast_no_shuffle(spark):
+    from flight_data_ingestion_engine_spark.operators.text import (
+        url_blocklist_filter,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    blk = spark.createDataFrame([("bad.com",)], "domain string")
+    out = url_blocklist_filter(df, blk)
+    plan = explain_str(out, "simple")
+    assert plan.count("BroadcastHashJoin") == 5  # suffix lengths 2..6
+    assert "SortMergeJoin" not in plan
+    # any hash-partitioning exchange must be on the blocklist's distinct
+    # (__blk columns) — the fact side is NEVER shuffled
+    import re
+
+    exch_cols = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exch_cols and all(c.startswith("__blk") for c in exch_cols)
+    # at runtime AQE collapses the 5 identical builds to ONE computed
+    # broadcast + reuses
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") == 4

@@ -1495,3 +1495,164 @@ def span_dedup(
     out = out.localCheckpoint(eager=True)
     sents.unpersist()
     return out
+
+
+# --------------------------------------------------------------------- BFF
+
+def _bff_para_array(text_col: str, sep: str) -> Column:
+    """Trimmed non-empty paragraphs of `text_col` split on regex `sep`."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+
+
+def _bff_positions(p: Column, bits_log2: int, probes: int) -> Column:
+    """`probes` Bloom positions for paragraph `p` via Kirsch-Mitzenmacher
+    double hashing over the two seeded PORTABLE polynomial hashes
+    (functions/hashing.py::char_poly_hash) — pos_i = (h1 + i·(2·h2+1))
+    mod 2^bits_log2. Both hashes are < 2^31 so every term stays far from
+    int64 overflow, and the arithmetic replays bit-exactly in DuckDB —
+    which is the point: even the filter's FALSE POSITIVES are
+    deterministic and cross-engine verifiable, unlike the xxhash64
+    bitmap in `sketches.bloom_bitmap` (rows-only verifiable)."""
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        char_poly_hash,
+    )
+
+    m = 1 << bits_log2
+    h1 = char_poly_hash(p, mult=31, init=1779033703)
+    h2 = char_poly_hash(p, mult=37, init=1013904242)
+    step = h2 * 2 + 1
+    return F.array(*[(h1 + F.lit(i) * step) % F.lit(m) for i in range(probes)])
+
+
+def bff_state(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = r"\n",
+    bits_log2: int = 23,
+    probes: int = 3,
+) -> DataFrame:
+    """The Bloom state of a corpus's paragraph set — Dolma's BFF ("Bloom
+    Filter Filtering", Soldaini et al. 2024 §"Deduplication") as a
+    mergeable state table `(word_idx bigint, bits bigint)`, ≤ 2^bits_log2
+    / 64 rows no matter how many paragraphs went in. Per-slice states
+    built with the same (bits_log2, probes, sep) merge by `bff_state_merge`
+    (bit_or — the union law every state table here obeys), so a 100 TB
+    corpus's paragraph memory is a per-partition build + one fixed-size
+    merge, and the merged state BROADCASTS to the dedup pass.
+
+    Uses the engine-portable polynomial hash family, so a DuckDB oracle
+    reproduces the exact bitmap — see `bff_paragraph_dedup`."""
+    paras = df.select(F.explode(_bff_para_array(text_col, sep)).alias("_p"))
+    pos = paras.select(
+        F.explode(_bff_positions(F.col("_p"), bits_log2, probes)).alias("_pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("_pos"), 6).alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bff_state_merge(states: DataFrame) -> DataFrame:
+    """Union law for `bff_state` tables built with identical parameters:
+    bit_or per word. Idempotent (a slice unioned twice changes nothing),
+    commutative, associative — safe for replayed epoch slices."""
+    return states.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bff_paragraph_dedup(
+    df: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+    bits_log2: int = 23,
+    probes: int = 3,
+    min_kept_frac: float = 0.0,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Dolma-style BFF paragraph dedup against a PRIOR corpus's Bloom
+    state: every paragraph whose all-`probes` bits are set in `state` is
+    treated as already-seen and removed; `clean_text` rejoins the
+    survivors in order. Returns `(<id_col>, clean_text, n_paragraphs,
+    n_dropped, doc_keep)` with `doc_keep = n_kept ≥ min_kept_frac ·
+    n_paragraphs` (Dolma drops documents that lose most of their
+    paragraphs; the default 0.0 never drops).
+
+    Approximation contract (BFF's, on purpose): the Bloom filter has no
+    false negatives — a genuinely-seen paragraph ALWAYS drops — and a
+    false-positive rate ≈ (1-e^(-probes·n/m))^probes that removes the
+    odd novel paragraph. Because the positions use the portable
+    polynomial hashes, those false positives are DETERMINISTIC and the
+    DuckDB oracle replays them bit-for-bit (`bff_paragraph_dedup` is a
+    value-exact catalog query, FPs included) — this is the memory-bounded
+    alternative to `exact_dedup`'s line-level mode when the prior-corpus
+    key set is too big to join. Within-batch repeats are NOT deduped
+    (both occurrences score against the prior state identically) —
+    compose with the exact line-level dedup for in-batch work.
+
+    Scale shape: paragraphs posexplode (narrow), `probes` broadcast hash
+    joins against the fixed-size bitmap, ONE doc-keyed shuffle to
+    reassemble — the same envelope as `span_dedup`, with the corpus-sized
+    anti-join replaced by a ≤ 2 MB broadcast."""
+    pe = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_bff_para_array(text_col, sep)).alias("_i", "_p"),
+    ).withColumn("_pos", _bff_positions(F.col("_p"), bits_log2, probes))
+    st = F.broadcast(state) if broadcast else state
+    hit_all = F.lit(True)
+    out = pe
+    for i in range(probes):
+        pos_i = F.col("_pos")[i]
+        side = st.select(
+            F.col("word_idx").alias(f"__bff_w{i}"),
+            F.col("bits").alias(f"__bff_b{i}"),
+        )
+        out = out.join(
+            side, F.shiftright(pos_i, 6) == F.col(f"__bff_w{i}"), "left"
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos_i % 64).cast("int")
+        )
+        hit_all = hit_all & F.coalesce(
+            F.col(f"__bff_b{i}").bitwiseAND(bit) != 0, F.lit(False)
+        )
+    out = out.withColumn(
+        "_dup",
+        F.when(F.col("_p").isNull(), F.lit(None).cast("boolean")).otherwise(
+            hit_all
+        ),
+    )
+    agg = out.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_i"), F.col("_p"), F.col("_dup")))
+        ).alias("_ps")
+    )
+    ps = F.filter(F.col("_ps"), lambda x: x["_p"].isNotNull())
+    kept = F.filter(ps, lambda x: ~x["_dup"])
+    n_paras = F.size(ps).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    return agg.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda x: x["_p"]), join_sep
+        ).alias("clean_text"),
+        n_paras.alias("n_paragraphs"),
+        (n_paras - n_kept).alias("n_dropped"),
+        (
+            n_kept.cast("double")
+            >= F.lit(min_kept_frac) * n_paras.cast("double")
+        ).alias("doc_keep"),
+    )

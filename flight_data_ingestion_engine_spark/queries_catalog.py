@@ -12240,3 +12240,130 @@ def q_url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain string",
     )
     return url_blocklist_filter(urls, blocklist).drop("url")
+
+
+def _bff_hash_sql(col: str, mult: int, init: int) -> str:
+    return (
+        f"list_reduce([{init}::BIGINT] || [ascii(c)::BIGINT for c in "
+        f"regexp_split_to_array({col}, '')], (a, b) -> (a * {mult} + b) % 2147483647)"
+    )
+
+
+_BFF_PLANT = "Subscribe to our newsletter for daily updates."
+
+
+@_q(
+    "bff_paragraph_dedup",
+    f"""
+    WITH prior AS (
+      SELECT COALESCE(text, '') || chr(10) || '{_BFF_PLANT}' AS t
+      FROM documents WHERE doc_id >= 300
+    ),
+    batch AS (
+      SELECT doc_id, COALESCE(text, '') ||
+        CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_BFF_PLANT}' ELSE '' END AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    pp AS (
+      SELECT trim(u.p) AS p
+      FROM prior, UNNEST(string_split(t, chr(10))) AS u(p)
+      WHERE trim(u.p) <> ''
+    ),
+    ph AS (
+      SELECT p,
+        {_bff_hash_sql('p', 31, 1779033703)} AS h1,
+        {_bff_hash_sql('p', 37, 1013904242)} AS h2
+      FROM pp
+    ),
+    pos AS (
+      SELECT u.pos
+      FROM (SELECT list_transform([0, 1, 2],
+              k -> (h1 + k * (2 * h2 + 1)) % 65536) AS poss
+            FROM ph) q, UNNEST(poss) AS u(pos)
+    ),
+    bm AS (
+      SELECT pos // 64 AS word_idx,
+             bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                    ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS bits
+      FROM pos GROUP BY 1
+    ),
+    b0 AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM batch),
+    bp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+             trim(ps[CAST(u.i AS INT)]) AS p
+      FROM b0, UNNEST(range(1, len(ps) + 1)) AS u(i)
+      WHERE trim(ps[CAST(u.i AS INT)]) <> ''
+    ),
+    bh AS (
+      SELECT doc_id, i, p,
+        {_bff_hash_sql('p', 31, 1779033703)} AS h1,
+        {_bff_hash_sql('p', 37, 1013904242)} AS h2
+      FROM bp
+    ),
+    bpos AS (
+      SELECT doc_id, i, p, u.pos
+      FROM (SELECT doc_id, i, p,
+              list_transform([0, 1, 2],
+                k -> (h1 + k * (2 * h2 + 1)) % 65536) AS poss
+            FROM bh) q, UNNEST(poss) AS u(pos)
+    ),
+    bd AS (
+      SELECT doc_id, i, p,
+        (COUNT(*) FILTER (WHERE bm.bits IS NOT NULL
+           AND (bm.bits & (CASE WHEN bpos.pos % 64 = 63 THEN -9223372036854775807 - 1
+                ELSE 1::BIGINT << CAST(bpos.pos % 64 AS INT) END)) <> 0)
+         = 3) AS dup
+      FROM bpos LEFT JOIN bm ON bm.word_idx = bpos.pos // 64
+      GROUP BY doc_id, i, p
+    ),
+    agg AS (
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT dup THEN p END, chr(10) ORDER BY i)
+                 FILTER (WHERE NOT dup), '') AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+        CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+      FROM bd GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_paragraphs, 0) AS n_paragraphs,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           CAST(COALESCE(a.n_paragraphs, 0) - COALESCE(a.n_dropped, 0) AS DOUBLE)
+             >= 0.5 * CAST(COALESCE(a.n_paragraphs, 0) AS DOUBLE) AS doc_keep
+    FROM batch b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_bff_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma's BFF paragraph dedup (operators/dedup.py::bff_state /
+    bff_paragraph_dedup — Soldaini et al. 2024): the prior corpus
+    (doc_id ≥ 300, every doc carrying a planted boilerplate paragraph)
+    compresses into a PORTABLE-hash Bloom bitmap; the batch (doc_id <
+    300, half carrying the same plant) drops every paragraph whose three
+    probe bits are all set. The oracle rebuilds the identical bitmap in
+    SQL — polynomial hashes, Kirsch-Mitzenmacher probes, bit_or words —
+    so the comparison is value-exact INCLUDING any false positives
+    (deterministic by construction; 2^16 bits keeps the FP rate real
+    rather than negligible). doc_keep enforces Dolma's drop-mostly-dup
+    documents rule at min_kept_frac=0.5. Engine shape: three broadcast
+    probes + ONE doc-keyed shuffle; the prior corpus is never joined."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        bff_paragraph_dedup,
+        bff_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plant = F.lit("\n" + _BFF_PLANT)
+    prior = docs.where(F.col("doc_id") >= 300).select(
+        F.concat(F.coalesce(F.col("text"), F.lit("")), plant).alias("text")
+    )
+    batch = docs.where(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, plant).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    state = bff_state(prior, bits_log2=16)
+    return bff_paragraph_dedup(
+        batch, state, bits_log2=16, min_kept_frac=0.5
+    )

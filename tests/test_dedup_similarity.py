@@ -1698,3 +1698,111 @@ def test_span_dedup_c4_semantics(spark):
     # each belonged to overlapping (non-duplicated) spans with A members
     assert got[4].clean_text == "Unique opener sentence. Unique closer sentence."
     assert got[4].n_removed == 3
+
+
+# ------------------------------------------------------------------- BFF
+
+def test_bff_no_false_negatives_and_doc_rule(spark):
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        bff_paragraph_dedup,
+        bff_state,
+    )
+
+    prior = spark.createDataFrame(
+        [
+            (100, "Subscribe to our newsletter today.\nOld content one."),
+            (101, "Another old paragraph.\nSubscribe to our newsletter today."),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Fresh paragraph here.\nSubscribe to our newsletter today."),
+            (2, "All new stuff.\nNothing seen before."),
+            (3, ""),
+            (4, None),
+            (5, "Old content one.\nAnother old paragraph."),
+            # whitespace-only paragraphs vanish before hashing
+            (6, "   \nOnly real paragraph of document six."),
+        ],
+        "doc_id long, text string",
+    )
+    st = bff_state(prior, bits_log2=16)
+    got = {
+        r.doc_id: r.asDict()
+        for r in bff_paragraph_dedup(
+            batch, st, bits_log2=16, min_kept_frac=0.5
+        ).collect()
+    }
+    # every genuinely-seen paragraph drops (no false negatives)
+    assert got[1]["clean_text"] == "Fresh paragraph here."
+    assert got[1]["n_dropped"] == 1 and got[1]["doc_keep"]
+    assert got[5]["n_dropped"] == 2 and not got[5]["doc_keep"]
+    assert got[5]["clean_text"] == ""
+    # empty/NULL docs keep with zero paragraphs
+    for i in (3, 4):
+        assert got[i] == {
+            "doc_id": i,
+            "clean_text": "",
+            "n_paragraphs": 0,
+            "n_dropped": 0,
+            "doc_keep": True,
+        }
+    assert got[6]["n_paragraphs"] == 1
+
+
+def test_bff_state_merge_law(spark):
+    """Per-slice states bit_or-merge to the from-scratch state, and the
+    merge is idempotent under a replayed slice."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        bff_state,
+        bff_state_merge,
+    )
+
+    rows = [(i, f"para {i} alpha\npara {i} beta") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.word_idx, r.bits)
+        for r in bff_state(df, bits_log2=12).collect()
+    }
+    a = bff_state(df.where("doc_id < 20"), bits_log2=12)
+    b = bff_state(df.where("doc_id >= 20"), bits_log2=12)
+    merged = {
+        (r.word_idx, r.bits)
+        for r in bff_state_merge(a.unionByName(b)).collect()
+    }
+    assert merged == full
+    replayed = {
+        (r.word_idx, r.bits)
+        for r in bff_state_merge(a.unionByName(b).unionByName(a)).collect()
+    }
+    assert replayed == full
+
+
+def test_bff_plan_broadcast_probes_one_shuffle(spark):
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        bff_paragraph_dedup,
+        bff_state,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    prior = spark.createDataFrame(
+        [(1, "a seen paragraph")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "a fresh paragraph")], "doc_id long, text string"
+    )
+    st = bff_state(prior, bits_log2=12)
+    plan = explain_str(bff_paragraph_dedup(batch, st, bits_log2=12), "simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one fact-side shuffle: the doc-keyed reassembly
+    import re
+
+    exch = [
+        c
+        for c in re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        if not c.startswith(("word_idx", "_pos"))
+    ]
+    assert exch == ["doc_id"]

@@ -1748,3 +1748,161 @@ def apply_rotation(
 
     out = out_col or vec_col
     return df.withColumn(out, rot(F.col(vec_col).cast("array<double>")))
+
+
+# ------------------------------------------------------ prototype pruning
+
+def _proto_score_udf(centroids: list[list[float]]):
+    """Arrow UDF: raw vector → (cell, proto_score) against a normalized
+    codebook. All reductions accumulate COLUMN-SEQUENTIALLY (dim 0, 1, …
+    with a rounding step per dim), reproducing both the Catalyst
+    `aggregate` fold and DuckDB's `list_dot_product` bit-for-bit — the
+    same discipline as `embedding_dup_pairs`' pair scorer, which is what
+    lets `prototype_prune_embeddings` be a value-exact oracle query.
+    Zero-norm vectors score 0.0 against every centroid (exact-zero test,
+    not an epsilon clamp — a clamp would perturb small-norm arithmetic)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C_raw = np.asarray(centroids, dtype=float)
+
+    def _seq_norm(M: np.ndarray) -> np.ndarray:
+        ss = np.zeros(M.shape[0], dtype=float)
+        for i in range(M.shape[1]):
+            ss = ss + M[:, i] * M[:, i]
+        n = np.sqrt(ss)
+        out = M.copy()
+        nz = n != 0
+        out[nz] = M[nz] / n[nz, None]
+        out[~nz] = 0.0
+        return out
+
+    C = _seq_norm(C_raw)
+
+    @pandas_udf("cell int, proto_score double")
+    def score(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        X = _seq_norm(np.vstack(v.to_numpy()))
+        cos = np.zeros((X.shape[0], C.shape[0]), dtype=float)
+        for i in range(X.shape[1]):
+            cos = cos + X[:, i, None] * C[None, :, i]
+        cell = np.argmax(cos, axis=1)  # ties → smallest cell id
+        best = cos[np.arange(X.shape[0]), cell]
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "proto_score": best}
+        )
+
+    return score
+
+
+def prototype_scores(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """SSL-prototype scores (Sorscher et al. 2022, "Beyond neural scaling
+    laws"; the diversification metric D4 — Tirumala et al. 2023 — applies
+    after SemDeDup): every vector's cosine to its NEAREST centroid.
+    Appends `cell` (the assigned cluster) and `proto_score` (high = sits
+    at the cluster core = prototypical/easy; low = outlying/hard).
+
+    `centroids` is any metadata-sized table with `centroid_id`-ordered
+    rows and a `centroid_vec_col` array column — `ivf_build_centroids`
+    output plugs in directly, as does any fixed probe set. Vectors AND
+    centroids are unit-normalized inside with the same column-sequential
+    arithmetic the oracle replays.
+
+    Scale: the codebook collects once (k·dim doubles — the same
+    metadata-bounded contract as every IVF entry point) and ships as an
+    Arrow-UDF closure; scoring is one zero-shuffle stage over the scan.
+    """
+    rows = centroids.orderBy(
+        *[c for c in ("centroid_id", "cell") if c in centroids.columns]
+    ).select(centroid_vec_col).collect()
+    codebook = [list(r[0]) for r in rows]
+    if not codebook:
+        raise ValueError("prototype_scores: empty centroid table")
+    udf = _proto_score_udf(codebook)
+    out = df.withColumn(
+        "_ps", udf(F.col(vec_col).cast("array<double>"))
+    )
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("_ps.cell").alias("cell"),
+        F.col("_ps.proto_score").alias("proto_score"),
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_frac: float = 0.5,
+    prune: str = "easy",
+    cutoffs: DataFrame | None = None,
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """Prototype-based data pruning: keep `keep_frac` of every cluster,
+    dropping its most PROTOTYPICAL members (`prune="easy"` — Sorscher's
+    recommendation in the abundant-data regime; `"hard"` inverts, for
+    the small-data regime where outliers are noise). Appends `cell`,
+    `proto_score`, `cell_rank` (1 = safest from pruning) and `keep`
+    (`cell_rank ≤ ceil(keep_frac · |cell|)`), deterministic via the
+    id tiebreak.
+
+    Default arm is EXACT: one window per cell (rank + count). The window
+    partitions by the k cells, so at corpus scale the sort-within-cell is
+    the bottleneck — for the 100 TB steady state pass `cutoffs=` (a
+    metadata-sized `(cell, cutoff)` table, e.g. per-cell score quantiles
+    off `sketches.rank_sample_state` built on a sample or the previous
+    epoch): then keep is a stateless per-row compare (score ≤ cutoff for
+    "easy", ≥ for "hard") with NO global sort — the same exact-vs-cutoffs
+    split `corpus.perplexity_buckets` ships. `cell_rank` is NULL on the
+    cutoffs arm (rank implies the sort being avoided)."""
+    if prune not in ("easy", "hard"):
+        raise ValueError(f"prune must be 'easy' or 'hard', got {prune!r}")
+    s = prototype_scores(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    if cutoffs is not None:
+        cut = F.broadcast(
+            cutoffs.select(
+                F.col("cell").alias("__pp_cell"),
+                F.col("cutoff").alias("__pp_cut"),
+            )
+        )
+        out = s.join(cut, s["cell"] == F.col("__pp_cell"), "left")
+        keep = (
+            F.col("proto_score") <= F.col("__pp_cut")
+            if prune == "easy"
+            else F.col("proto_score") >= F.col("__pp_cut")
+        )
+        return out.select(
+            *[F.col(c) for c in s.columns],
+            F.lit(None).cast("bigint").alias("cell_rank"),
+            F.coalesce(keep, F.lit(False)).alias("keep"),
+        )
+    from pyspark.sql import Window
+
+    order = (
+        F.col("proto_score").asc()
+        if prune == "easy"
+        else F.col("proto_score").desc()
+    )
+    w = Window.partitionBy("cell").orderBy(order, F.col(id_col).asc())
+    wc = Window.partitionBy("cell")
+    rnk = F.row_number().over(w).cast("bigint")
+    n_cell = F.count(F.lit(1)).over(wc).cast("bigint")
+    return s.select(
+        *[F.col(c) for c in s.columns],
+        rnk.alias("cell_rank"),
+        (
+            rnk
+            <= F.ceil(F.lit(keep_frac) * n_cell.cast("double")).cast("bigint")
+        ).alias("keep"),
+    )

@@ -12367,3 +12367,74 @@ def q_bff_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bff_paragraph_dedup(
         batch, state, bits_log2=16, min_kept_frac=0.5
     )
+
+
+@_q(
+    "prototype_prune_embeddings",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    c AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             v AS cv
+      FROM n WHERE vec_id IN (3, 7, 11, 19)
+    ),
+    s AS (
+      SELECT n.vec_id, c.cell,
+             list_dot_product(n.v, c.cv) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.v, c.cv) DESC, c.cell ASC) AS rr
+      FROM n CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, cell, cos AS proto_score FROM s WHERE rr = 1),
+    r AS (
+      SELECT vec_id, cell, proto_score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY proto_score ASC, vec_id ASC) AS BIGINT) AS cell_rank,
+             COUNT(*) OVER (PARTITION BY cell) AS n_cell
+      FROM a
+    )
+    SELECT vec_id, cell, proto_score, cell_rank,
+           cell_rank <= CAST(ceil(0.5 * CAST(n_cell AS DOUBLE)) AS BIGINT) AS keep
+    FROM r
+    """,
+)
+def q_prototype_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype data pruning (operators/similarity.py::
+    prototype_scores / prototype_prune — Sorscher et al. 2022; the D4
+    diversification step that follows SemDeDup in Tirumala et al. 2023):
+    four fixed corpus vectors act as the codebook, every embedding gets
+    its nearest-centroid cosine (`proto_score`), and each cluster keeps
+    its LEAST prototypical half (prune="easy" — drop the redundant
+    cluster cores, keep the informative outliers). Value-exact because
+    every reduction — normalization, cosine, argmax tiebreak — is
+    column-sequential on the Arrow side, reproducing DuckDB's
+    list_dot_product fold bit-for-bit; ranks carry the id tiebreak.
+    Scale: codebook collect is k·dim doubles; scoring is one zero-shuffle
+    Arrow stage; the per-cell window is the exact arm — `cutoffs=`
+    switches to the stateless steady-state compare (SCALING.md)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    w = Window.orderBy("vec_id")
+    cent = (
+        emb.where(F.col("vec_id").isin(3, 7, 11, 19))
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    return prototype_prune(
+        emb, cent, keep_frac=0.5, prune="easy"
+    ).select("vec_id", "cell", "proto_score", "cell_rank", "keep")

@@ -1806,3 +1806,106 @@ def test_bff_plan_broadcast_probes_one_shuffle(spark):
         if not c.startswith(("word_idx", "_pos"))
     ]
     assert exch == ["doc_id"]
+
+
+# ----------------------------------------------------- prototype pruning
+
+def _proto_fixture(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(24):
+        base = [1.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, [b + random.uniform(-0.1, 0.1) for b in base]))
+    # a zero vector: scores 0.0 everywhere, assigned cell 0
+    rows.append((99, [0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, cv array<double>",
+    )
+    return df, cent
+
+
+def test_prototype_prune_keeps_outliers_per_cell(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    df, cent = _proto_fixture(spark)
+    out = prototype_prune(df, cent, keep_frac=0.5).collect()
+    z = [r for r in out if r.vec_id == 99][0]
+    assert z.proto_score == 0.0 and z.cell == 0
+    for c in (0, 1):
+        cell = [r for r in out if r.cell == c]
+        kept = sorted(r.proto_score for r in cell if r.keep)
+        dropped = sorted(r.proto_score for r in cell if not r.keep)
+        assert len(kept) == -(-len(cell) // 2)  # ceil(n/2)
+        assert max(kept) <= min(dropped)
+
+
+def test_prototype_prune_hard_inverts(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    df, cent = _proto_fixture(spark)
+    easy = {
+        r.vec_id: r.keep
+        for r in prototype_prune(df, cent, keep_frac=0.5).collect()
+    }
+    hard = {
+        r.vec_id: r.keep
+        for r in prototype_prune(
+            df, cent, keep_frac=0.5, prune="hard"
+        ).collect()
+    }
+    # with an odd cell size both arms keep the ceil-half, so the median
+    # element is kept by BOTH — everything else flips
+    flips = sum(1 for k in easy if easy[k] != hard[k])
+    assert flips >= len(easy) - 2
+
+
+def test_prototype_prune_cutoffs_steady_state_arm(spark):
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        prototype_prune,
+    )
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    df, cent = _proto_fixture(spark)
+    exact = prototype_prune(df, cent, keep_frac=0.5).collect()
+    # per-cell cutoff = max kept score → the stateless arm reproduces
+    # the exact arm's keep set
+    cut_rows = {}
+    for r in exact:
+        if r.keep:
+            cut_rows[r.cell] = max(cut_rows.get(r.cell, -2.0), r.proto_score)
+    cutoffs = spark.createDataFrame(
+        [(c, v) for c, v in cut_rows.items()], "cell int, cutoff double"
+    )
+    ss = prototype_prune(df, cent, cutoffs=cutoffs)
+    got = {r.vec_id: (r.keep, r.cell_rank) for r in ss.collect()}
+    for r in exact:
+        assert got[r.vec_id][0] == r.keep, r
+        assert got[r.vec_id][1] is None
+    plan = explain_str(ss, "simple")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prototype_scores_validates_and_plugs_ivf(spark):
+    import pytest as _pytest
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        ivf_build_centroids,
+        prototype_scores,
+    )
+
+    df, _ = _proto_fixture(spark)
+    with _pytest.raises(ValueError):
+        prototype_scores(df, df.where("vec_id < 0").selectExpr("embedding as cv"))
+    cent = ivf_build_centroids(df, vec_col="embedding", n_centroids=2,
+                               id_col="vec_id")
+    out = prototype_scores(df, cent)
+    assert {r.cell for r in out.collect()} <= {0, 1}

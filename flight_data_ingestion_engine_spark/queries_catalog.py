@@ -12438,3 +12438,68 @@ def q_prototype_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_prune(
         emb, cent, keep_frac=0.5, prune="easy"
     ).select("vec_id", "cell", "proto_score", "cell_rank", "keep")
+
+
+@_q(
+    "streaming_bff_state",
+    f"""
+    WITH pp AS (
+      SELECT trim(u.p) AS p
+      FROM documents, UNNEST(string_split(COALESCE(text, ''), chr(10))) AS u(p)
+      WHERE trim(u.p) <> ''
+    ),
+    ph AS (
+      SELECT p,
+        {_bff_hash_sql('p', 31, 1779033703)} AS h1,
+        {_bff_hash_sql('p', 37, 1013904242)} AS h2
+      FROM pp
+    ),
+    pos AS (
+      SELECT u.pos
+      FROM (SELECT list_transform([0, 1, 2],
+              k -> (h1 + k * (2 * h2 + 1)) % 65536) AS poss
+            FROM ph) q, UNNEST(poss) AS u(pos)
+    )
+    SELECT pos // 64 AS word_idx,
+           bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                  ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS bits
+    FROM pos GROUP BY 1
+    """,
+)
+def q_streaming_bff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the BFF paragraph Bloom state
+    (streaming/file_stream.py::foreach_batch_bff_sink): even-id docs
+    arrive as micro-batch 1, odd-id as micro-batch 2, each appends its
+    epoch-tagged bitmap slice, and the merged reader state must equal
+    the batch `bff_state` over the whole corpus — which the oracle
+    rebuilds in SQL (portable hashes, probe positions, bit_or words).
+    bit_or idempotence means replayed slices are absorbed without any
+    epoch collapse — the one state family whose replay-exactness is
+    structural rather than protocol-enforced (pytest plants the
+    double-fire)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import bff_state_merge
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_bff_sink,
+        stream_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src, state, ck = _stage_doc_batches(spark, sf_dir, "sbff", docs)
+    st = stream_parquet(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_bff_sink(st, state, ck, bits_log2=16)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return bff_state_merge(spark.read.parquet(state).drop("epoch_id"))

@@ -934,3 +934,44 @@ def foreach_batch_rank_sample_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_bff_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    sep: str = r"\n",
+    bits_log2: int = 23,
+    probes: int = 3,
+):
+    """Streaming maintenance of the BFF paragraph Bloom state
+    (operators/dedup.py::bff_state): each micro-batch reduces to its
+    bitmap slice and appends it (epoch-tagged) to the state parquet;
+    readers merge through `bff_state_merge` and see the paragraph memory
+    of everything ingested so far — grow the dedup filter as curated
+    slices land, exactly the Dolma steady state.
+
+    Crash semantics: uniquely among the state sinks here, BFF needs NO
+    epoch collapse for replay-exactness — bit_or is IDEMPOTENT, so a
+    crash-replayed batch re-appending its slice merges to the identical
+    bitmap (pytest-gated). The epoch tag is still carried for audit and
+    slice-level GC, and `bff_state_merge` simply ignores it."""
+    from flight_data_ingestion_engine_spark.operators.dedup import bff_state
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = bff_state(
+            batch_df, text_col=text_col, sep=sep,
+            bits_log2=bits_log2, probes=probes,
+        )
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

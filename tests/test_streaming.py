@@ -994,3 +994,58 @@ def test_ivf_pq_sink_replay_skips_committed_epoch(spark, sf_dir, tmp_path):
     again = spark.read.parquet(idx)
     assert again.count() == n_once
     assert again.where(F.col("vec_id") == 1_000_003).count() == 1
+
+
+def test_bff_sink_replay_is_structurally_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch re-appends its bitmap slice; because
+    bit_or is idempotent, the merged state is bit-identical with or
+    without the duplicate slice — BFF needs no epoch collapse."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        bff_state,
+        bff_state_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_bff_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\nshared boilerplate line") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(src)
+    st = stream_parquet(spark, src, "doc_id bigint, text string")
+    q = (
+        foreach_batch_bff_sink(
+            st, state, str(tmp_path / "ck"), bits_log2=12
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    once = {
+        (r.word_idx, r.bits)
+        for r in bff_state_merge(
+            spark.read.parquet(state).drop("epoch_id")
+        ).collect()
+    }
+    batch = {
+        (r.word_idx, r.bits)
+        for r in bff_state(docs, bits_log2=12).collect()
+    }
+    assert once == batch
+    # simulate the crash replay: fire the sink body again on the same batch
+    sl = bff_state(docs, bits_log2=12).withColumn(
+        "epoch_id", F.lit(0).cast("bigint")
+    )
+    sl.write.mode("append").parquet(state)
+    twice = {
+        (r.word_idx, r.bits)
+        for r in bff_state_merge(
+            spark.read.parquet(state).drop("epoch_id")
+        ).collect()
+    }
+    assert twice == batch

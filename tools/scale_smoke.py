@@ -845,6 +845,117 @@ def main() -> None:
         ).where(F.col("lbl") != 2)
         assert joined.isEmpty()
 
+    # -- HTML extraction (r10 second pass): pure per-row string work —
+    # -- ZERO exchanges at any volume; boilerplate classification holds
+    # -- at full volume (nav dropped, prose kept on every page).
+    with stage(f"html_extract_{n_docs}_pages"):
+        from flight_data_ingestion_engine_spark.operators.html import html_extract
+
+        pages_big = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'),
+                F.lit("the quick brown fox jumps over the lazy dog number "),
+                F.col("id").cast("string"),
+                F.lit(".</p>"),
+            ).alias("html"),
+        )
+        pages_small = pages_big.limit(n_docs // 50)
+        ex_b = html_extract(pages_big)
+        ex_s = html_extract(pages_small)
+        assert _exchanges(ex_b) == _exchanges(ex_s) == 0
+        assert ex_b.where(
+            (F.col("n_blocks_kept") == 1) & (F.col("n_blocks") == 2)
+        ).count() == n_docs
+
+    # -- BFF paragraph dedup (r10 second pass): the state is bitmap-sized
+    # -- (≤ 2^bits/64 rows) regardless of corpus volume; the dedup pass
+    # -- keeps its plan shape (3 broadcast probes + one doc shuffle) at
+    # -- 50× and the planted boilerplate paragraph drops from every doc.
+    with stage(f"bff_dedup_{n_docs}_docs"):
+        from flight_data_ingestion_engine_spark.operators.dedup import (
+            bff_paragraph_dedup,
+            bff_state,
+        )
+
+        prior = spark.range(n_docs).select(
+            F.concat(
+                F.lit("unique prior paragraph "), F.col("id").cast("string"),
+                F.lit("\nshared boilerplate subscribe line"),
+            ).alias("text")
+        )
+        st_b = bff_state(prior, bits_log2=20).localCheckpoint(eager=True)
+        assert st_b.count() <= (1 << 20) // 64
+        batch_big = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("fresh paragraph "), F.col("id").cast("string"),
+                F.lit("\nshared boilerplate subscribe line"),
+            ).alias("text"),
+        )
+        batch_small = batch_big.limit(n_docs // 50)
+        d_b = bff_paragraph_dedup(batch_big, st_b, bits_log2=20)
+        d_s = bff_paragraph_dedup(batch_small, st_b, bits_log2=20)
+        assert _exchanges(d_b) == _exchanges(d_s)
+        assert d_b.where(F.col("n_dropped") >= 1).count() == n_docs
+
+    # -- URL blocklist (r10 second pass): fact side never shuffles; the
+    # -- suffix probes stay broadcast at 50× volume with a 100k-domain
+    # -- list, and boundary semantics hold at full volume.
+    with stage(f"url_blocklist_{n_docs}_urls"):
+        from flight_data_ingestion_engine_spark.operators.text import (
+            url_blocklist_filter,
+        )
+
+        urls_big = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://sub.dom"), (F.col("id") % 200_000).cast("string"),
+                F.lit(".example/p/"), F.col("id").cast("string"),
+            ).alias("url"),
+        )
+        blk = spark.range(100_000).select(
+            F.concat(
+                F.lit("dom"), F.col("id").cast("string"), F.lit(".example")
+            ).alias("domain")
+        )
+        f_b = url_blocklist_filter(urls_big, blk)
+        f_s = url_blocklist_filter(urls_big.limit(n_docs // 50), blk)
+        pb = f_b._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in pb
+        n_blocked = f_b.where(~F.col("keep")).count()
+        assert n_blocked == urls_big.where(
+            (F.col("doc_id") % 200_000) < 100_000
+        ).count()
+        assert _exchanges(f_b) == _exchanges(f_s)
+
+    # -- prototype pruning (r10 second pass): scoring is a zero-shuffle
+    # -- Arrow stage; the cutoffs arm stays windowless at any volume.
+    with stage(f"prototype_prune_{n_docs}_vecs"):
+        from flight_data_ingestion_engine_spark.operators.similarity import (
+            ivf_build_centroids,
+            prototype_prune,
+            prototype_scores,
+        )
+
+        vec_big = spark.range(n_docs).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.rand(seed=40 + i) for i in range(16)]).alias("embedding"),
+        )
+        cents = ivf_build_centroids(
+            vec_big, vec_col="embedding", n_centroids=8, iterations=1,
+            id_col="vec_id",
+        ).localCheckpoint(eager=True)
+        sc_b = prototype_scores(vec_big, cents)
+        sc_s = prototype_scores(vec_big.limit(n_docs // 50), cents)
+        assert _exchanges(sc_b) == _exchanges(sc_s) == 0
+        cuts = spark.range(8).select(
+            F.col("id").cast("int").alias("cell"), F.lit(0.9).alias("cutoff")
+        )
+        pr = prototype_prune(vec_big, cents, cutoffs=cuts)
+        assert "Window" not in pr._jdf.queryExecution().executedPlan().toString()
+        assert pr.count() == n_docs
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

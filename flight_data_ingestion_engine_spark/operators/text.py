@@ -10,6 +10,10 @@ narrow projection: with column pruning, the parquet scan reads only
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
+import pandas as pd  # module-scope: pandas_udf type hints resolve via module globals
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -470,4 +474,85 @@ def c4_line_filters(
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(kept).cast("bigint").alias("n_lines_kept"),
         doc_keep.alias("doc_keep"),
+    )
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """The zlib compression-ratio quality signal (Gopher §A1 "documents
+    that compress too well are repetitive boilerplate"; Dolma and
+    DCLM-baseline carry the same filter): appends `utf8_bytes`,
+    `deflate_bytes` and `compression_ratio` (deflate/utf8 — LOW means
+    highly compressible means templated/repetitive; NULL text → 0-byte
+    payload → ratio NULL).
+
+    One Arrow `mapInPandas`-equivalent pandas_udf stage over stdlib
+    zlib at a FIXED level — per-row cost linear in the document, no
+    state, no shuffle: rides the scan at any corpus size. The ratio
+    division happens in Catalyst (one IEEE op), so oracles replay it
+    exactly given the two byte counts; the byte counts themselves are
+    deterministic for a fixed zlib/level (the catalog oracle pins them
+    via closed-form payloads)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("utf8_bytes bigint, deflate_bytes bigint")
+    def _zsize(s: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        raw, comp = [], []
+        for t in s:
+            if t is None:
+                raw.append(0)
+                comp.append(0)
+                continue
+            b = t.encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"utf8_bytes": raw, "deflate_bytes": comp})
+
+    out = df.withColumn("_z", _zsize(F.col(text_col)))
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("_z.utf8_bytes").alias("utf8_bytes"),
+        F.col("_z.deflate_bytes").alias("deflate_bytes"),
+        F.when(
+            F.col("_z.utf8_bytes") > 0,
+            F.col("_z.deflate_bytes").cast("double")
+            / F.col("_z.utf8_bytes").cast("double"),
+        ).alias("compression_ratio"),
+    )
+
+
+#: Small public core of two-level TLDs (the suffixes under which the
+#: registrable domain takes THREE labels). The real public-suffix list is
+#: external data — extend by passing your own set.
+TWO_LEVEL_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk", "co.nz",
+)
+
+
+def registrable_domain(
+    host: Column, two_level_tlds: Sequence[str] = TWO_LEVEL_TLDS
+) -> Column:
+    """The registrable domain (eTLD+1 approximation) of a lowercased
+    host: the last TWO labels, or the last THREE when the last two are a
+    known two-level TLD (`co.uk` → `bbc.co.uk`). The grouping key for
+    per-domain corpus audits (RefinedWeb/Dolma publish per-domain stats
+    at exactly this grain) and the natural key for `url_blocklist_filter`
+    list maintenance. A dotless host returns itself. Pure regexp + array
+    membership — no UDF, oracle-replayable."""
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    tld_arr = F.array(*[F.lit(t) for t in two_level_tlds])
+    return (
+        F.when(last2 == "", host)
+        .when(
+            F.array_contains(tld_arr, last2) & (last3 != ""), last3
+        )
+        .otherwise(last2)
     )

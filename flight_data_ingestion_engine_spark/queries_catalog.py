@@ -12503,3 +12503,174 @@ def q_streaming_bff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return bff_state_merge(spark.read.parquet(state).drop("epoch_id"))
+
+
+def _zlib_values_sql() -> str:
+    """(m, sub, raw_b, def_b) ground truth for the synthesized payloads,
+    computed HERE with stdlib zlib at level 6 — the closed-form oracle
+    side of `compression_ratio_docs` (same posture as the media codec
+    oracle: the expected bytes are stated independently of the engine
+    under test; zlib at a fixed level is deterministic)."""
+    import hashlib
+    import zlib
+
+    def zl(s: str) -> int:
+        return len(zlib.compress(s.encode(), 6))
+
+    rows = []
+    for sub in range(10):
+        s = "spam ham " * (20 + sub)
+        rows.append((0, sub, len(s), zl(s)))
+    for sub in range(7):
+        s = "The quick brown fox jumps over the lazy dog " + str(sub)
+        rows.append((1, sub, len(s), zl(s)))
+    for sub in range(25):
+        s = "a" * (50 + sub)
+        rows.append((2, sub, len(s), zl(s)))
+    for sub in range(5):
+        s = hashlib.md5(str(sub).encode()).hexdigest()
+        rows.append((3, sub, len(s), zl(s)))
+    return ", ".join(f"({m}, {sub}, {r}, {d})" for m, sub, r, d in rows)
+
+
+@_q(
+    "compression_ratio_docs",
+    f"""
+    WITH k AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+             CAST(CASE doc_id % 4
+                  WHEN 0 THEN doc_id % 10
+                  WHEN 1 THEN doc_id % 7
+                  WHEN 2 THEN doc_id % 25
+                  ELSE doc_id % 5 END AS INT) AS sub
+      FROM documents
+    ),
+    z(m, sub, raw_b, def_b) AS (VALUES {_zlib_values_sql()})
+    SELECT doc_id,
+           CAST(raw_b AS BIGINT) AS utf8_bytes,
+           CAST(def_b AS BIGINT) AS deflate_bytes,
+           CASE WHEN raw_b > 0
+                THEN CAST(def_b AS DOUBLE) / CAST(raw_b AS DOUBLE) END
+             AS compression_ratio
+    FROM k JOIN z USING (m, sub)
+    """,
+)
+def q_compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zlib compression-ratio quality signal (operators/text.py::
+    with_compression_ratio — Gopher's "compresses too well ⇒ repetitive
+    boilerplate" rule, carried by Dolma and DCLM-baseline). Payloads are
+    synthesized per doc from residue classes alone — heavy repetition
+    (ratio ≈ 0.1), natural prose (short strings EXPAND under deflate,
+    ratio > 1), single-char runs, and incompressible md5 hex — and the
+    oracle states the exact (utf8, deflate) byte counts in closed form,
+    computed independently with stdlib zlib at the same fixed level, so
+    the whole distributed Arrow stage is value-exact end-to-end. The
+    ratio division itself happens in Catalyst (one IEEE op)."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_compression_ratio,
+    )
+
+    d = F.col("doc_id")
+    m = d % 4
+    payload = (
+        F.when(m == 0, F.repeat(F.lit("spam ham "), (F.lit(20) + d % 10).cast("int")))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("The quick brown fox jumps over the lazy dog "),
+                (d % 7).cast("string"),
+            ),
+        )
+        .when(m == 2, F.repeat(F.lit("a"), (F.lit(50) + d % 25).cast("int")))
+        .otherwise(F.md5((d % 5).cast("string")))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", payload.alias("text"))
+    return with_compression_ratio(docs).drop("text")
+
+
+@_q(
+    "domain_quality_rollup",
+    r"""
+    WITH urls AS (
+      SELECT doc_id, text,
+        CASE doc_id % 6
+          WHEN 0 THEN 'https://news.bbc.co.uk/art/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.example.com/x'
+          WHEN 2 THEN 'https://shop.example.com.au/y'
+          WHEN 3 THEN 'http://www.papers.ac.uk/z'
+          WHEN 4 THEN 'https://localhost/x'
+          ELSE 'https://cdn.site' || CAST(doc_id % 4 AS VARCHAR) || '.org/q'
+        END AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+        regexp_replace(regexp_replace(lower(regexp_extract(
+          regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+          '^([^/?#]+)', 1)), '^[^/@]*@', ''), ':\d+$', '') AS host
+      FROM urls
+    ),
+    rd AS (
+      SELECT doc_id, text, host,
+        CASE
+          WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+          WHEN list_contains(
+                 ['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                  'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                  'com.mx','co.in','co.kr','com.tr','com.ar','co.za',
+                  'com.sg','com.hk','co.nz'],
+                 regexp_extract(host, '([^.]+\.[^.]+)$', 1))
+               AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+            THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+          ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        END AS domain
+      FROM h
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+           CAST(SUM(length(COALESCE(text, ''))) AS DOUBLE) / COUNT(*)
+             AS mean_chars
+    FROM rd GROUP BY domain
+    """,
+)
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus rollup (operators/text.py::
+    url_host + registrable_domain — the audit grain RefinedWeb/Dolma
+    publish): synthesized per-doc URLs cover two-level TLDs (bbc.co.uk,
+    example.com.au, www.papers.ac.uk → papers.ac.uk), plain eTLD+1
+    collapse of subdomains, and a dotless host; docs group by eTLD+1 and
+    aggregate count + char mass. One groupBy over a scan-side projection;
+    the oracle replays host extraction, the two-level-TLD table, and the
+    single IEEE mean division."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        registrable_domain,
+        url_host,
+    )
+
+    d = F.col("doc_id")
+    m = d % 6
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.when(m == 0, F.concat(F.lit("https://news.bbc.co.uk/art/"), d.cast("string")))
+        .when(m == 1, F.concat(F.lit("https://sub"), (d % 3).cast("string"), F.lit(".example.com/x")))
+        .when(m == 2, F.lit("https://shop.example.com.au/y"))
+        .when(m == 3, F.lit("http://www.papers.ac.uk/z"))
+        .when(m == 4, F.lit("https://localhost/x"))
+        .otherwise(F.concat(F.lit("https://cdn.site"), (d % 4).cast("string"), F.lit(".org/q")))
+        .alias("url"),
+    )
+    chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        urls.select(
+            registrable_domain(url_host(F.col("url"))).alias("domain"), chars.alias("_c")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_c").cast("bigint").alias("total_chars"),
+            (
+                F.sum("_c").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+    )

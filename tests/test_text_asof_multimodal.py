@@ -470,3 +470,54 @@ def test_url_blocklist_plan_broadcast_no_shuffle(spark):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") == 4
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_compression_ratio,
+    )
+
+    rows = [
+        (1, "spam ham " * 30),          # repetitive → low ratio
+        (2, "The quick brown fox."),    # short prose → expands (> 1)
+        (3, None),                      # NULL → 0 bytes, NULL ratio
+        (4, ""),                        # empty string → NULL ratio too
+        (5, "日本語のテキスト"),          # multi-byte: utf8_bytes > chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_compression_ratio(df).collect()}
+    assert got[1].compression_ratio < 0.2
+    assert got[2].compression_ratio > 1.0
+    for i in (3, 4):
+        assert got[i].utf8_bytes == 0 and got[i].compression_ratio is None
+    assert got[5].utf8_bytes == len(rows[4][1].encode("utf-8"))
+    # byte counts match a direct stdlib computation (same zlib, level 6)
+    for i, t in [(1, rows[0][1]), (2, rows[1][1]), (5, rows[4][1])]:
+        assert got[i].deflate_bytes == len(zlib.compress(t.encode(), 6))
+
+
+def test_registrable_domain_rules(spark):
+    from flight_data_ingestion_engine_spark.operators.text import (
+        registrable_domain,
+    )
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),            # bare 2-level TLD: no third label
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),    # dotless host returns itself
+        ("deep.shop.example.com.au", "example.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = dict(
+        (r.host, r.d)
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    )
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)

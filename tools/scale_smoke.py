@@ -886,14 +886,19 @@ def main() -> None:
         )
         st_b = bff_state(prior, bits_log2=20).localCheckpoint(eager=True)
         assert st_b.count() <= (1 << 20) // 64
-        batch_big = spark.range(n_docs).select(
-            F.col("id").alias("doc_id"),
-            F.concat(
-                F.lit("fresh paragraph "), F.col("id").cast("string"),
-                F.lit("\nshared boilerplate subscribe line"),
-            ).alias("text"),
-        )
-        batch_small = batch_big.limit(n_docs // 50)
+        def _batch(n: int):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("fresh paragraph "), F.col("id").cast("string"),
+                    F.lit("\nshared boilerplate subscribe line"),
+                ).alias("text"),
+            )
+
+        batch_big = _batch(n_docs)
+        batch_small = _batch(n_docs // 50)  # NOT .limit(): a global limit
+        # plans its own single-partition exchange and would confound the
+        # volume-invariance compare
         d_b = bff_paragraph_dedup(batch_big, st_b, bits_log2=20)
         d_s = bff_paragraph_dedup(batch_small, st_b, bits_log2=20)
         assert _exchanges(d_b) == _exchanges(d_s)
@@ -907,26 +912,31 @@ def main() -> None:
             url_blocklist_filter,
         )
 
-        urls_big = spark.range(n_docs).select(
-            F.col("id").alias("doc_id"),
-            F.concat(
-                F.lit("https://sub.dom"), (F.col("id") % 200_000).cast("string"),
-                F.lit(".example/p/"), F.col("id").cast("string"),
-            ).alias("url"),
-        )
+        def _urls(n: int):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("https://sub.dom"),
+                    (F.col("id") % 200_000).cast("string"),
+                    F.lit(".example/p/"), F.col("id").cast("string"),
+                ).alias("url"),
+            )
+
+        # blocklist covers the EVEN domain indices only — half the batch
+        # blocks, half survives (a degenerate all-blocked run would pass
+        # with a broken matcher)
         blk = spark.range(100_000).select(
             F.concat(
-                F.lit("dom"), F.col("id").cast("string"), F.lit(".example")
+                F.lit("dom"), (F.col("id") * 2).cast("string"),
+                F.lit(".example"),
             ).alias("domain")
         )
-        f_b = url_blocklist_filter(urls_big, blk)
-        f_s = url_blocklist_filter(urls_big.limit(n_docs // 50), blk)
+        f_b = url_blocklist_filter(_urls(n_docs), blk)
+        f_s = url_blocklist_filter(_urls(n_docs // 50), blk)
         pb = f_b._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in pb
         n_blocked = f_b.where(~F.col("keep")).count()
-        assert n_blocked == urls_big.where(
-            (F.col("doc_id") % 200_000) < 100_000
-        ).count()
+        assert n_blocked == n_docs // 2, n_blocked
         assert _exchanges(f_b) == _exchanges(f_s)
 
     # -- prototype pruning (r10 second pass): scoring is a zero-shuffle
@@ -938,16 +948,21 @@ def main() -> None:
             prototype_scores,
         )
 
-        vec_big = spark.range(n_docs).select(
-            F.col("id").alias("vec_id"),
-            F.array(*[F.rand(seed=40 + i) for i in range(16)]).alias("embedding"),
-        )
+        def _vecs(n: int):
+            return spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.array(*[F.rand(seed=40 + i) for i in range(16)]).alias(
+                    "embedding"
+                ),
+            )
+
+        vec_big = _vecs(n_docs)
         cents = ivf_build_centroids(
             vec_big, vec_col="embedding", n_centroids=8, iterations=1,
             id_col="vec_id",
         ).localCheckpoint(eager=True)
         sc_b = prototype_scores(vec_big, cents)
-        sc_s = prototype_scores(vec_big.limit(n_docs // 50), cents)
+        sc_s = prototype_scores(_vecs(n_docs // 50), cents)
         assert _exchanges(sc_b) == _exchanges(sc_s) == 0
         cuts = spark.range(8).select(
             F.col("id").cast("int").alias("cell"), F.lit(0.9).alias("cutoff")

@@ -70,6 +70,12 @@ ABS_BUDGET_US = {
     "filtered_ivf": 300.0,
     # span_dedup measured 29.3 us/row big (rel 0.31) on this box
     "span_dedup": 120.0,
+    # r10 second pass: measured big-volume rates 8.1 (html_extract, rel
+    # 0.22), 15.0 (bff_dedup incl. the state build, rel 0.20) and 8.7
+    # (compression_ratio, rel 0.29) on this box — ~4× like the rest
+    "html_extract": 35.0,
+    "bff_dedup": 60.0,
+    "compression_ratio": 40.0,
 }
 REL_BUDGET = 2.0
 
@@ -247,6 +253,56 @@ def _ops(spark):
         dedup.exact_dedup(docs, cols=["_norm"], id_col="id").count()
         return n
 
+
+    def html_extract_op(n):
+        # r10 second pass: jusText-lite extraction — pure per-row
+        # regexp/array Catalyst work; cost/row must be flat (no corpus
+        # state anywhere in the pipeline)
+        from flight_data_ingestion_engine_spark.operators.html import html_extract
+
+        pages = synth_docs(spark, n).select(
+            "id",
+            F.concat(
+                F.lit('<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'),
+                F.regexp_replace(F.col("text"), r"(\w+ \w+ \w+ \w+ \w+ \w+ \w+ \w+)", "$1.</p><p>"),
+                F.lit("</p><footer><a href=\'/p\'>Privacy terms link</a></footer>"),
+            ).alias("html"),
+        )
+        html_extract(pages, html_col="html", id_col="id").count()
+        return n
+
+    def bff_dedup(n):
+        # r10 second pass: prior-state build + probe + doc reassembly —
+        # the full cross-epoch paragraph-dedup cycle; per TOTAL input row
+        from flight_data_ingestion_engine_spark.operators.dedup import (
+            bff_paragraph_dedup,
+            bff_state,
+        )
+
+        docs = synth_docs(spark, n).select(
+            "id",
+            F.regexp_replace(
+                F.col("text"), r"(\w+ \w+ \w+ \w+ \w+ \w+ \w+ \w+ \w+ \w+)", "$1\n"
+            ).alias("text"),
+        )
+        st = bff_state(docs.where(F.col("id") % 2 == 0), bits_log2=20)
+        bff_paragraph_dedup(
+            docs.where(F.col("id") % 2 == 1), st, id_col="id", bits_log2=20
+        ).count()
+        return n
+
+    def compression_ratio_op(n):
+        # r10 second pass: the zlib Arrow stage — linear in bytes, no
+        # state; catches any per-batch regression in the udf plumbing
+        from flight_data_ingestion_engine_spark.operators.text import (
+            with_compression_ratio,
+        )
+
+        with_compression_ratio(synth_docs(spark, n)).agg(
+            F.sum("deflate_bytes")
+        ).collect()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -258,6 +314,9 @@ def _ops(spark):
         "top_terms": top_terms,
         "remove_segments": remove_segments,
         "incremental_dedup": incremental_dedup,
+        "html_extract": html_extract_op,
+        "bff_dedup": bff_dedup,
+        "compression_ratio": compression_ratio_op,
         "exact_dedup_norm": exact_dedup_norm,
         "rank_sketch": rank_sketch,
         "filtered_ivf": filtered_ivf,

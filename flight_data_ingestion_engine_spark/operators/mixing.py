@@ -754,3 +754,84 @@ def quality_classifier_score(
         "score_bits",
         sigmoid2_at_least(F.col("score_bits"), keep_num, keep_den).alias("keep"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    seed: int = 13,
+    pre_token: str = "<|fim_pre|>",
+    mid_token: str = "<|fim_mid|>",
+    suf_token: str = "<|fim_suf|>",
+    mode: str = "psm",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022 — the
+    OpenAI FIM recipe every code-model pipeline applies to a fraction of
+    documents): split the text at two deterministic cut points and emit
+    the sentinel-delimited rearrangement. `mode="psm"` produces
+    ``PRE prefix SUF suffix MID middle`` (the canonical layout — the
+    model learns to generate the middle after seeing both context
+    sides); `mode="spm"` the suffix-first variant the paper found
+    slightly stronger in joint training.
+
+    Determinism contract (the point of this implementation): the
+    apply/skip draw and BOTH cut points derive from md5 of
+    (id, seed) — the engine-portable Bernoulli idiom `hash_sample`
+    uses — so shards are reproducible across runs, engines, and
+    partitionings, and the DuckDB oracle replays the exact cuts.
+    `rate` compares the 32-bit hash prefix against floor(rate·2^32)
+    (an integer compare, no float boundary). Appends `fim_text` (the
+    original text when not applied), `fim_applied`, `cut_start`,
+    `cut_end` (char offsets: prefix = [0, cut_start), middle =
+    [cut_start, cut_end), suffix = [cut_end, len)). NULL text passes
+    through untouched.
+
+    Scale: a zero-shuffle projection — three md5s + substrings per row,
+    whole-stage codegen; composes after `pack_contexts` windowing or
+    before tokenizer encode."""
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+
+    def h32(tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{tag}:{seed}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    threshold = int(rate * (1 << 32))
+    text = F.col(text_col)
+    n = F.length(text)
+    applied = text.isNotNull() & (h32("apply") < F.lit(threshold))
+    a = h32("cut_a") % (n + 1)
+    b = a + h32("cut_b") % (n - a + 1)
+    prefix = F.substring(text, F.lit(1), a)
+    middle = F.substring(text, a + 1, b - a)
+    suffix = F.substring(text, b + 1, n)
+    psm = F.concat(
+        F.lit(pre_token), prefix, F.lit(suf_token), suffix,
+        F.lit(mid_token), middle,
+    )
+    spm = F.concat(
+        F.lit(suf_token), suffix, F.lit(pre_token), prefix,
+        F.lit(mid_token), middle,
+    )
+    arranged = psm if mode == "psm" else spm
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        F.when(applied, arranged).otherwise(text).alias("fim_text"),
+        applied.alias("fim_applied"),
+        F.when(applied, a).cast("bigint").alias("cut_start"),
+        F.when(applied, b).cast("bigint").alias("cut_end"),
+    )

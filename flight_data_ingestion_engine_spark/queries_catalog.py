@@ -12674,3 +12674,48 @@ def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars"),
         )
     )
+
+
+@_q(
+    "fim_transform_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id, text, length(text) AS n,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':apply:13'), 1, 8))::BIGINT AS hu,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cut_a:13'), 1, 8))::BIGINT AS ha,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cut_b:13'), 1, 8))::BIGINT AS hb
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n,
+             (text IS NOT NULL AND hu < {int(0.6 * (1 << 32))}) AS applied,
+             ha % (n + 1) AS a
+      FROM h
+    ),
+    d AS (SELECT *, a + (SELECT hb FROM h WHERE h.doc_id = c.doc_id) % (n - a + 1) AS b FROM c)
+    SELECT doc_id,
+      CASE WHEN applied THEN
+        '<|fim_pre|>' || substr(text, 1, CAST(a AS INT))
+        || '<|fim_suf|>' || substr(text, CAST(b + 1 AS INT), CAST(n AS INT))
+        || '<|fim_mid|>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT))
+      ELSE text END AS fim_text,
+      applied AS fim_applied,
+      CASE WHEN applied THEN CAST(a AS BIGINT) END AS cut_start,
+      CASE WHEN applied THEN CAST(b AS BIGINT) END AS cut_end
+    FROM d
+    """,
+)
+def q_fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (operators/mixing.py::
+    fim_transform — Bavarian et al. 2022, the code-model pipeline's
+    document rearrangement): 60% of docs (decided by the portable
+    md5-Bernoulli integer compare, NO float boundary) split at two
+    md5-derived char cuts and emit the PSM sentinel layout; the rest
+    pass through. The oracle replays the hash draws, the modular cut
+    arithmetic, and the substring reassembly value-exactly — shard
+    reproducibility across engines is the operator's whole contract.
+    Zero shuffles."""
+    from flight_data_ingestion_engine_spark.operators.mixing import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(docs, rate=0.6).drop("text")

@@ -509,3 +509,44 @@ def test_dsir_state_merge_replay_exact(spark):
         for r in dsir_state_merge(greplay, ["cls"]).collect()
     }
     assert ggot == gwant
+
+
+def test_fim_transform_layouts_and_determinism(spark):
+    from flight_data_ingestion_engine_spark.operators.mixing import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghij") for i in range(8)] + [(99, None), (100, "")],
+        "doc_id long, text string",
+    )
+    psm = {r.doc_id: r for r in fim_transform(df, rate=1.0).collect()}
+    t = "abcdefghij"
+    for i in range(8):
+        r = psm[i]
+        assert r.fim_applied
+        a, b = r.cut_start, r.cut_end
+        assert 0 <= a <= b <= len(t)
+        assert r.fim_text == (
+            "<|fim_pre|>" + t[:a] + "<|fim_suf|>" + t[b:] + "<|fim_mid|>" + t[a:b]
+        )
+    # NULL passes through even at rate=1; empty text still rearranges
+    assert psm[99].fim_text is None and not psm[99].fim_applied
+    assert psm[100].fim_applied and psm[100].fim_text == (
+        "<|fim_pre|><|fim_suf|><|fim_mid|>"
+    )
+    # spm variant reorders, same cuts
+    spm = {r.doc_id: r for r in fim_transform(df, rate=1.0, mode="spm").collect()}
+    for i in range(8):
+        a, b = psm[i].cut_start, psm[i].cut_end
+        assert (spm[i].cut_start, spm[i].cut_end) == (a, b)
+        assert spm[i].fim_text == (
+            "<|fim_suf|>" + t[b:] + "<|fim_pre|>" + t[:a] + "<|fim_mid|>" + t[a:b]
+        )
+    # rate=0 never applies; draws are per-id deterministic across calls
+    none = fim_transform(df, rate=0.0).where("fim_applied").count()
+    assert none == 0
+    again = {r.doc_id: r.fim_text for r in fim_transform(df, rate=1.0).collect()}
+    assert again == {k: v.fim_text for k, v in psm.items()}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fim_transform(df, mode="pms")

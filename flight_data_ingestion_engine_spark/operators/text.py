@@ -556,3 +556,46 @@ def registrable_domain(
         )
         .otherwise(last2)
     )
+
+
+def wordlist_filter(
+    df: DataFrame,
+    words: Sequence[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+    word_pattern: str = r"[a-z0-9]+",
+) -> DataFrame:
+    """Block-list word filtering (the C4 "List of Dirty, Naughty, Obscene
+    or Otherwise Bad Words" pass; Dolma carries the same gate): appends
+    `wordlist_hits` (occurrences of listed words among the lowercased
+    `word_pattern` tokens — word-boundary semantics by construction, so
+    "grass" never trips "ass") and `keep = hits ≤ max_hits` (C4 drops on
+    ANY hit — the default).
+
+    The list itself is deliberately NOT shipped (external data); pass
+    your own. It is closure-embedded as a literal array — a wordlist is
+    metadata-sized (LDNOOBW ≈ 400 entries) — so the whole operator is
+    ONE zero-shuffle codegen projection: `size(filter(tokens,
+    array_contains(...)))`, no join, no explode, oracle-replayable. For
+    lists too big to inline (>~10k), use `url_blocklist_filter`'s
+    broadcast-probe shape instead."""
+    wl = sorted({w.lower() for w in words if w})
+    if not wl:
+        raise ValueError("wordlist_filter: empty word list")
+    if len(wl) > 10_000:
+        raise ValueError(
+            "wordlist_filter embeds the list as a literal — "
+            f"{len(wl)} entries is join territory, not literal territory"
+        )
+    arr = F.array(*[F.lit(w) for w in wl])
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(word_pattern),
+        0,
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        hits.cast("bigint").alias("wordlist_hits"),
+        (hits <= max_hits).alias("keep"),
+    )

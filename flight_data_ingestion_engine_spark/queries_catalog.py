@@ -12719,3 +12719,53 @@ def q_fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return fim_transform(docs, rate=0.6).drop("text")
+
+
+@_q(
+    "wordlist_filter_docs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        COALESCE(text, '') ||
+        CASE doc_id % 5
+          WHEN 0 THEN ' Visit our casino for the jackpot today.'
+          WHEN 1 THEN ' Grassroots compassion classes assemble here.'
+          ELSE '' END AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(t), '[a-z0-9]+', 0) AS toks
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks,
+             x -> list_contains(['ass','casino','jackpot'], x))) AS BIGINT)
+             AS wordlist_hits,
+           len(list_filter(toks,
+             x -> list_contains(['ass','casino','jackpot'], x))) <= 0 AS keep
+    FROM tok
+    """,
+)
+def q_wordlist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-list word filtering (operators/text.py::wordlist_filter —
+    the C4 LDNOOBW pass, carried by Dolma): doc_id%5==0 plants two
+    listed words ("casino … jackpot" → 2 hits, dropped), doc_id%5==1
+    plants the word-boundary trap ("Grassroots compassion … assemble"
+    contains 'ass' three times as a SUBSTRING but zero times as a token
+    — must count 0 and keep). The list rides as a literal array, so the
+    operator is one zero-shuffle codegen projection; the oracle replays
+    tokenization and membership value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.text import wordlist_filter
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 5 == 0, F.lit(" Visit our casino for the jackpot today."))
+            .when(d % 5 == 1, F.lit(" Grassroots compassion classes assemble here."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return wordlist_filter(docs, ["ass", "casino", "jackpot"]).drop("text")

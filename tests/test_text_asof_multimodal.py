@@ -521,3 +521,41 @@ def test_registrable_domain_rules(spark):
     )
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_wordlist_filter_boundaries_and_validation(spark):
+    from flight_data_ingestion_engine_spark.operators.text import wordlist_filter
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    df = spark.createDataFrame(
+        [
+            (1, "the grass is green"),       # substring, not a token
+            (2, "BADWORD in caps"),          # case-folded hit
+            (3, "badword, badword! twice"),  # punctuation-adjacent tokens
+            (4, None),
+            (5, "assemble compassion"),      # boundary trap again
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.wordlist_hits, r.keep)
+        for r in wordlist_filter(df, ["badword", "ass"]).collect()
+    }
+    assert got == {
+        1: (0, True), 2: (1, False), 3: (2, False), 4: (0, True), 5: (0, True)
+    }
+    # max_hits loosens the gate
+    lax = {
+        r.doc_id: r.keep
+        for r in wordlist_filter(df, ["badword"], max_hits=1).collect()
+    }
+    assert lax[2] and not lax[3]
+    # zero-shuffle, no UDF
+    plan = explain_str(wordlist_filter(df, ["x"]), "simple")
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wordlist_filter(df, [])
+    with _pt.raises(ValueError):
+        wordlist_filter(df, [f"w{i}" for i in range(10_001)])

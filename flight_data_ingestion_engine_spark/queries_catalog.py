@@ -12769,3 +12769,198 @@ def q_wordlist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return wordlist_filter(docs, ["ass", "casino", "jackpot"]).drop("text")
+
+
+_FW_SYNTH_SQL = (
+    "'<html><head><title>Crawl record</title>"
+    "<style>p {color: red}</style>"
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact us</a></nav>'
+    "<h1>Report ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+    "replace(COALESCE(text, ''), chr(10), '.</p><p>') || "
+    "'.</p>' || "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'<p>Win the casino jackpot now today friends.</p>' ELSE '' END || "
+    '\'<footer><a href="/privacy">Privacy policy and other terms</a>'
+    "</footer></body></html>'"
+)
+
+
+@_q(
+    "fineweb_pipeline",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_FW_SYNTH_SQL} AS h FROM documents
+    ),
+    c1 AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+          '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g') AS t
+      FROM synth
+    ),
+    c2 AS (
+      SELECT doc_id,
+        string_split(regexp_replace(t, '{{BLOCKPAT}}', chr(30), 'g'), chr(30)) AS raw
+      FROM c1
+    ),
+    per AS (
+      SELECT doc_id, list_filter(list_transform(raw, b -> {{
+          'txt': {_html_clean_sql('b')},
+          'lc': CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                  s -> length({_html_clean_sql('s')}))), 0) AS BIGINT)
+        }}), p -> p.txt <> '') AS ps
+      FROM c2
+    ),
+    ext AS (
+      SELECT doc_id,
+        COALESCE(array_to_string(list_transform(list_filter(ps, p ->
+          len(string_split(p.txt, ' ')) >= 5
+          AND CAST(p.lc AS DOUBLE) <= CAST(length(p.txt) AS DOUBLE) * 0.3
+          AND len(list_filter(string_split(p.txt, ' '),
+                  w -> list_contains({_HTML_STOP_SQL}, lower(w)))) >= 1
+        ), p -> p.txt), chr(10)), '') AS extracted_text
+      FROM per
+    ),
+    c4 AS (
+      SELECT doc_id, extracted_text,
+        list_filter(
+          list_filter(
+            list_transform(string_split(extracted_text, chr(10)), x -> trim(x)),
+            x -> x <> ''),
+          x -> regexp_matches(x, '[.!?]["”’'')\\]]*$')
+               AND len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 3
+               AND NOT regexp_matches(lower(x), '\\bjavascript\\b')) AS kept_lines,
+        (NOT contains(extracted_text, '{{')
+         AND NOT contains(extracted_text, '}}')
+         AND NOT contains(lower(extracted_text), 'lorem ipsum')) AS c4_doc_rules
+      FROM ext
+    ),
+    cl AS (
+      SELECT doc_id,
+        COALESCE(array_to_string(kept_lines, chr(10)), '') AS clean_text,
+        CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+        (c4_doc_rules AND len(kept_lines) >= 1) AS c4_keep
+      FROM c4
+    ),
+    gm AS (
+      SELECT doc_id, clean_text, n_lines_kept, c4_keep,
+        list_filter(regexp_split_to_array(clean_text, '\\s+'), x -> x <> '') AS ws
+      FROM cl
+    ),
+    g AS (
+      SELECT doc_id, clean_text, n_lines_kept, c4_keep,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        (len(ws) >= 30 AND len(ws) <= 100000
+         AND len(ws) > 0
+         AND CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / len(ws) >= 3.0
+         AND CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / len(ws) <= 10.0
+         AND len(list_filter(ws, x -> list_contains({_HTML_STOP_SQL}, lower(x)))) >= 2
+        ) AS gopher_keep
+      FROM gm
+    ),
+    wl AS (
+      SELECT doc_id, n_lines_kept, c4_keep, n_words, gopher_keep,
+        CAST(len(list_filter(regexp_extract_all(lower(clean_text), '[a-z0-9]+', 0),
+          x -> list_contains(['casino', 'jackpot'], x))) AS BIGINT) AS wordlist_hits
+      FROM g
+    )
+    SELECT doc_id, n_lines_kept, n_words, c4_keep, gopher_keep, wordlist_hits,
+           (c4_keep AND gopher_keep AND wordlist_hits <= 0) AS keep_final
+    FROM wl
+    """,
+)
+def q_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FineWeb/RefinedWeb-style curation chain as ONE query
+    — the engine's end-to-end showcase for the pre-dedup stages: raw
+    HTML (synthesized page per doc, plus a planted spam paragraph on
+    doc_id%11) → `html_extract` boilerplate removal → `c4_line_filters`
+    over the extracted text → a word-count-band + mean-word-length +
+    stop-word Gopher subset (min_words=30) over the clean text →
+    `wordlist_filter` spam gate → conjunctive keep_final. Every stage's
+    oracle machinery is chained in SQL, so the composition is verified
+    value-exactly end to end — including that the planted spam paragraph
+    SURVIVES extraction and C4 (well-formed prose with stop words) and
+    is caught only by the word-list stage. Stage outputs stay as audit
+    columns. All stages are zero-shuffle projections; the composition
+    shuffles nothing."""
+    from flight_data_ingestion_engine_spark.operators.html import html_extract
+    from flight_data_ingestion_engine_spark.operators.text import (
+        c4_line_filters,
+        gopher_quality_flags,
+        wordlist_filter,
+    )
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>Crawl record</title>'
+                "<style>p {color: red}</style>"
+                '<script type="text/javascript">var x = 1 < 2;</script></head>'
+                '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+                '<a href="/contact">Contact us</a></nav>'
+                "<h1>Report "
+            ),
+            d.cast("string"),
+            F.lit("</h1><p>"),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\n"),
+                F.lit(".</p><p>"),
+            ),
+            F.lit(".</p>"),
+            F.when(
+                d % 11 == 0,
+                F.lit("<p>Win the casino jackpot now today friends.</p>"),
+            ).otherwise(F.lit("")),
+            F.lit(
+                '<footer><a href="/privacy">Privacy policy and other terms</a>'
+                "</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    ext = html_extract(pages, html_col="html", id_col="doc_id").select(
+        "doc_id", F.col("extracted_text").alias("text")
+    )
+    c4 = c4_line_filters(ext, min_lines_kept=1).select(
+        "doc_id",
+        F.col("clean_text"),
+        "n_lines_kept",
+        F.col("doc_keep").alias("c4_keep"),
+    )
+    g = gopher_quality_flags(
+        c4.select("doc_id", F.col("clean_text").alias("text")),
+        id_col="doc_id",
+        min_words=30,
+        max_symbol_ratio=1.0,
+        max_bullet_frac=1.0,
+        max_ellipsis_frac=1.0,
+        min_alpha_frac=0.0,
+    ).select("doc_id", "n_words", F.col("keep").alias("gopher_keep"))
+    wl = wordlist_filter(
+        c4.select("doc_id", F.col("clean_text").alias("text")),
+        ["casino", "jackpot"],
+    ).select("doc_id", "wordlist_hits")
+    out = (
+        c4.select("doc_id", "n_lines_kept", "c4_keep")
+        .join(g, "doc_id")
+        .join(wl, "doc_id")
+    )
+    return out.select(
+        "doc_id", "n_lines_kept", "n_words", "c4_keep", "gopher_keep",
+        "wordlist_hits",
+        (
+            F.col("c4_keep") & F.col("gopher_keep") & (F.col("wordlist_hits") <= 0)
+        ).alias("keep_final"),
+    )
+
+
+ORACLE_SQL["fineweb_pipeline"] = ORACLE_SQL["fineweb_pipeline"].replace(
+    "{BLOCKPAT}", _html_block_pat_sql()
+)

@@ -217,3 +217,22 @@ def test_composes_with_gopher(spark, method):
         ext.select("doc_id", "text"), id_col="doc_id"
     ).collect()[0]
     assert out["n_words"] == 64
+
+
+def test_fineweb_pipeline_stage_gating(spark, sf_dir):
+    """The composed chain must show per-stage gating (not a constant
+    keep column) and the planted spam paragraph must pass extraction +
+    C4 + Gopher yet NEVER survive the word-list stage."""
+    import flight_data_ingestion_engine_spark.queries_catalog as qc
+
+    df = qc.QUERIES["fineweb_pipeline"](spark, sf_dir)
+    rows = df.collect()
+    assert any(r.keep_final for r in rows)
+    assert any(not r.c4_keep for r in rows)
+    assert any(r.c4_keep and not r.gopher_keep for r in rows)
+    spam = [r for r in rows if r.wordlist_hits > 0]
+    assert spam and all(r.doc_id % 11 == 0 for r in spam)
+    assert not any(r.keep_final for r in spam)
+    # some spam docs are dropped ONLY by the word list — the stage earns
+    # its place in the chain
+    assert any(r.c4_keep and r.gopher_keep for r in spam)

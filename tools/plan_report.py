@@ -80,6 +80,16 @@ SELECTED = [
     ("ivf_pq_filtered_rerank", "filter before ADC: only matching codes decoded; rerank inherits it"),
     ("rank_sketch_quantiles", "one group shuffle builds the state; quantiles are windows over <=k rows"),
     ("streaming_dsir_state", "reader = epoch-collapse + one bucket-keyed sum over count slices"),
+    ("html_extract_docs", "jusText-lite extraction: per-row regexp/array pipeline, zero exchanges, zero Python"),
+    ("url_blocklist_docs", "5 suffix-length broadcast probes; fact side never hash-partitioned; AQE reuses ONE blocklist build"),
+    ("bff_paragraph_dedup", "3 broadcast bitmap probes + one doc-keyed reassembly shuffle; prior corpus never joined"),
+    ("streaming_bff_state", "reader = plain bit_or fold (idempotent - replay needs no epoch collapse)"),
+    ("prototype_prune_embeddings", "codebook-closure Arrow scoring (zero shuffle) + per-cell rank window (exact arm)"),
+    ("compression_ratio_docs", "one Arrow zlib stage; ratio division stays in Catalyst"),
+    ("fim_transform_docs", "three md5s + substrings per row - pure codegen projection, zero exchanges"),
+    ("wordlist_filter_docs", "literal-array token membership - one codegen projection, no join/explode"),
+    ("fineweb_pipeline", "four zero-shuffle stages composed; only the audit joins shuffle (id-keyed)"),
+
     ("media_decode_real", "Arrow mapInPandas codec stage over a pruned (id, bytes, meta) projection"),
 ]
 

@@ -1,0 +1,168 @@
+"""robots.txt parsing and compliance filtering — the crawl-side gate.
+
+Completes the crawl front half (WARC ingestion → URL canonicalize /
+blocklist → robots compliance → HTML extraction → text filters): every
+public crawl pipeline (CommonCrawl itself, and the C4/RefinedWeb/FineWeb
+reprocessors when they re-fetch) honors robots rules; this module makes
+that gate a first-class, oracle-checked operator over a (host,
+robots_txt) corpus.
+
+Scope (documented, not silent): the ORIGINAL 1994 robots exclusion spec —
+prefix `Allow`/`Disallow` rules under `User-agent` groups — plus Google's
+longest-match precedence (the most specific matching rule wins; on a
+length tie, `Allow` wins). Wildcard (`*`, `$`) path patterns from the
+2022 RFC 9309 extension are NOT parsed as patterns (they match literally)
+— the subset every engine replays exactly; extend with a regexp arm if a
+corpus needs it.
+
+Both stages are relational (lines → windows → joins), no UDFs, so the
+DuckDB oracle replays parsing AND precedence value-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse a robots corpus into `(host, rule, prefix)` rows — the
+    `Allow`/`Disallow` prefixes of every group whose `User-agent` set
+    covers `agent` (a group covers it when it names `agent` exactly or
+    `*`). Group structure per the spec: a run of consecutive
+    `User-agent` lines opens a group; the rule lines that follow belong
+    to ALL agents of that run. Comments (`# …`) strip; blank/unknown
+    lines are ignored (they do NOT end a group — the lenient reading
+    real crawlers use); an empty `Disallow:` value means "allow all"
+    and emits no row.
+
+    Shape: lines posexplode (narrow) + two host-keyed windows + one
+    aggregation — the corpus is one robots.txt per HOST, so this is
+    metadata-scale work no matter how big the document corpus is."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(txt_col), F.lit("")), r"\n")
+        ).alias("i", "raw"),
+    ).select(
+        "host",
+        "i",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("line"),
+    )
+    kind = (
+        F.when(F.lower(F.col("line")).rlike(r"^user-agent\s*:"), F.lit("ua"))
+        .when(F.lower(F.col("line")).rlike(r"^allow\s*:"), F.lit("allow"))
+        .when(F.lower(F.col("line")).rlike(r"^disallow\s*:"), F.lit("disallow"))
+        .otherwise(F.lit(None))
+    )
+    value = F.trim(F.regexp_replace(F.col("line"), r"^[A-Za-z-]+\s*:", ""))
+    parsed = (
+        lines.select("host", "i", kind.alias("kind"), value.alias("value"))
+        .where(F.col("kind").isNotNull())
+    )
+    w = Window.partitionBy("host").orderBy("i")
+    # a ua line opens a NEW group only when the previous parsed line was
+    # not itself a ua line (consecutive ua lines share one group)
+    opens = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(w) != "ua", F.lit(True))
+    )
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(opens.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ua_groups = (
+        grouped.where(F.col("kind") == "ua")
+        .groupBy("host", "group_id")
+        .agg(
+            F.max(
+                (F.lower(F.col("value")) == agent.lower())
+                | (F.col("value") == "*")
+            ).alias("covers")
+        )
+        .where(F.col("covers"))
+        .select("host", "group_id")
+    )
+    return (
+        grouped.where(F.col("kind").isin("allow", "disallow"))
+        .where(F.col("value") != "")
+        # covered-groups table is (host, group)-scale — always broadcast
+        .join(F.broadcast(ua_groups), ["host", "group_id"])
+        .select(
+            "host",
+            F.col("kind").alias("rule"),
+            F.col("value").alias("prefix"),
+        )
+    )
+
+
+def url_path(url: Column) -> Column:
+    """The path of a URL (leading '/', query/fragment cut; empty → '/')
+    — what robots prefixes match against."""
+    s = F.regexp_replace(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    p = F.regexp_extract(s, r"^[^/?#]*(/[^?#]*)?", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Apply `robots_rules` output to a URL corpus: appends `host`,
+    `path`, `matched_prefix`, `matched_rule`, and `allowed`. Precedence
+    is Google's longest-match: among rules whose prefix starts the
+    path, the LONGEST prefix wins; on a length tie `allow` beats
+    `disallow`; no matching rule (or no rules for the host) → allowed.
+
+    Shape: one broadcast join against the per-host rule table keyed on
+    host (rules are per-HOST — metadata-scale) followed by a pure array
+    fold for precedence: the fact side is never shuffled."""
+    from flight_data_ingestion_engine_spark.operators.text import url_host
+
+    per_host = rules.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.length("prefix").alias("n"),
+                    # allow sorts AFTER disallow at equal length, so the
+                    # LAST matching element of the sorted array is the
+                    # winner under longest-match + allow-wins-ties
+                    (F.col("rule") == "allow").alias("is_allow"),
+                    F.col("prefix").alias("prefix"),
+                )
+            )
+        ).alias("__rb_rules")
+    )
+    side = per_host.withColumnRenamed("host", "__rb_host")
+    if broadcast:
+        side = F.broadcast(side)
+    out = df.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "path", url_path(F.col(url_col))
+    )
+    out = out.join(side, F.col("host") == F.col("__rb_host"), "left")
+    matching = F.filter(
+        F.col("__rb_rules"),
+        lambda r: F.col("path").startswith(r["prefix"]),
+    )
+    winner = F.element_at(matching, -1)
+    has = F.size(F.coalesce(matching, F.array())) > 0
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        "host",
+        "path",
+        F.when(has, winner["prefix"]).alias("matched_prefix"),
+        F.when(
+            has, F.when(winner["is_allow"], F.lit("allow")).otherwise(F.lit("disallow"))
+        ).alias("matched_rule"),
+        F.coalesce(
+            F.when(has, winner["is_allow"]), F.lit(True)
+        ).alias("allowed"),
+    )

@@ -12964,3 +12964,134 @@ def q_fineweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["fineweb_pipeline"] = ORACLE_SQL["fineweb_pipeline"].replace(
     "{BLOCKPAT}", _html_block_pat_sql()
 )
+
+
+_ROBOTS_TXT_SQL = """CASE doc_id % 6
+  WHEN 0 THEN '# site rules' || chr(10) || 'User-agent: *' || chr(10)
+              || 'Disallow: /private/' || chr(10) || 'Allow: /private/pub'
+  WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'User-agent: *'
+              || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow:'
+  WHEN 2 THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /'
+  WHEN 3 THEN '# comments only'
+  ELSE 'User-agent: *' || chr(10) || 'Disallow: /'
+END"""
+
+_ROBOTS_PATH_SQL = """CASE doc_id % 4
+  WHEN 0 THEN '/private/secret.html'
+  WHEN 1 THEN '/private/pub/x'
+  WHEN 2 THEN '/open/page'
+  ELSE '/tmpfile'
+END"""
+
+
+@_q(
+    "robots_compliance",
+    f"""
+    WITH rb AS (
+      SELECT 'h' || CAST(doc_id AS VARCHAR) || '.com' AS host,
+             {_ROBOTS_TXT_SQL} AS txt
+      FROM documents WHERE doc_id < 5
+    ),
+    lines AS (
+      SELECT host, CAST(u.i AS BIGINT) AS i,
+             trim(regexp_replace(ls[CAST(u.i AS INT)], '#.*$', '')) AS line
+      FROM (SELECT host, string_split(COALESCE(txt, ''), chr(10)) AS ls FROM rb) q,
+           UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ),
+    parsed AS (
+      SELECT host, i,
+        CASE
+          WHEN regexp_matches(lower(line), '^user-agent\\s*:') THEN 'ua'
+          WHEN regexp_matches(lower(line), '^allow\\s*:') THEN 'allow'
+          WHEN regexp_matches(lower(line), '^disallow\\s*:') THEN 'disallow'
+        END AS kind,
+        trim(regexp_replace(line, '^[A-Za-z-]+\\s*:', '')) AS value
+      FROM lines
+      WHERE regexp_matches(lower(line), '^(user-agent|allow|disallow)\\s*:')
+    ),
+    flagged AS (
+      SELECT host, i, kind, value,
+        CASE WHEN kind = 'ua'
+              AND COALESCE(LAG(kind) OVER (PARTITION BY host ORDER BY i), 'x') <> 'ua'
+             THEN 1 ELSE 0 END AS opens
+      FROM parsed
+    ),
+    grouped AS (
+      SELECT host, i, kind, value,
+        SUM(opens) OVER (PARTITION BY host ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS group_id
+      FROM flagged
+    ),
+    star AS (
+      SELECT host, group_id FROM grouped
+      WHERE kind = 'ua' GROUP BY host, group_id
+      HAVING MAX(CASE WHEN value = '*' THEN 1 ELSE 0 END) = 1
+    ),
+    rules AS (
+      SELECT g.host, g.kind AS rule, g.value AS prefix
+      FROM grouped g JOIN star s USING (host, group_id)
+      WHERE g.kind IN ('allow', 'disallow') AND g.value <> ''
+    ),
+    urls AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 6 AS VARCHAR) || '.com' AS host,
+             {_ROBOTS_PATH_SQL} AS path
+      FROM documents
+    ),
+    m AS (
+      SELECT u.doc_id, r.prefix, r.rule,
+        ROW_NUMBER() OVER (PARTITION BY u.doc_id
+          ORDER BY length(r.prefix) DESC,
+                   CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END DESC) AS rn
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND starts_with(u.path, r.prefix)
+    ),
+    w AS (SELECT doc_id, prefix, rule FROM m WHERE rn = 1)
+    SELECT u.doc_id, u.host, u.path,
+           w.prefix AS matched_prefix,
+           w.rule AS matched_rule,
+           COALESCE(w.rule = 'allow', TRUE) AS allowed
+    FROM urls u LEFT JOIN w USING (doc_id)
+    """,
+)
+def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (operators/robots.py::
+    robots_rules / robots_filter — the crawl-side gate between URL
+    filtering and fetching): five synthesized per-host robots files
+    cover comment stripping, shared User-agent runs (googlebot + * one
+    group), non-star-only groups (must yield NOTHING for *), the empty
+    `Disallow:` allow-all, and a full-site Disallow; URLs exercise
+    longest-match precedence (Allow /private/pub overrides Disallow
+    /private/ on the tie-breaking spec), 1994-style prefix semantics
+    (/tmp matches /tmpfile), and hosts with no robots at all. The
+    oracle replays the PARSE (line windows, group runs) and the
+    precedence (length-desc, allow-wins-ties) relationally —
+    value-exact end to end. Rules are per-HOST metadata; the URL side
+    takes one broadcast join, never a shuffle."""
+    from flight_data_ingestion_engine_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    rb = docs.where(d < 5).select(
+        F.concat(F.lit("h"), d.cast("string"), F.lit(".com")).alias("host"),
+        F.when(d % 6 == 0, F.lit("# site rules\nUser-agent: *\nDisallow: /private/\nAllow: /private/pub"))
+        .when(d % 6 == 1, F.lit("User-agent: googlebot\nUser-agent: *\nDisallow: /tmp\nDisallow:"))
+        .when(d % 6 == 2, F.lit("User-agent: otherbot\nDisallow: /"))
+        .when(d % 6 == 3, F.lit("# comments only"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /"))
+        .alias("robots_txt"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 6).cast("string"), F.lit(".com"),
+            F.when(d % 4 == 0, F.lit("/private/secret.html"))
+            .when(d % 4 == 1, F.lit("/private/pub/x"))
+            .when(d % 4 == 2, F.lit("/open/page"))
+            .otherwise(F.lit("/tmpfile")),
+        ).alias("url"),
+    )
+    rules = robots_rules(rb)
+    return robots_filter(urls, rules).drop("url")

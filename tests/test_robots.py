@@ -1,0 +1,133 @@
+"""robots.txt parsing + compliance filtering (operators/robots.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_data_ingestion_engine_spark.operators.robots import (
+    robots_filter,
+    robots_rules,
+    url_path,
+)
+from flight_data_ingestion_engine_spark.plans import explain_str
+
+
+def _rules(spark, rows, agent="*"):
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    return {
+        (r.host, r.rule, r.prefix)
+        for r in robots_rules(df, agent=agent).collect()
+    }
+
+
+def test_group_structure_and_agent_coverage(spark):
+    got = _rules(
+        spark,
+        [
+            (
+                "a.com",
+                "# comment\nUser-agent: *\nDisallow: /private/\n"
+                "Allow: /private/pub\n\nUser-agent: evilbot\nDisallow: /",
+            ),
+            # consecutive ua lines share one group
+            ("b.com", "User-agent: googlebot\nUser-agent: *\nDisallow: /tmp\nDisallow:"),
+            # non-star group contributes nothing for *
+            ("c.com", "User-agent: otherbot\nDisallow: /"),
+            ("d.com", None),
+            ("e.com", "Disallow: /orphan"),  # rule before any ua: no group
+        ],
+    )
+    assert got == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/pub"),
+        ("b.com", "disallow", "/tmp"),
+    }
+
+
+def test_specific_agent_selection(spark):
+    rows = [
+        (
+            "a.com",
+            "User-agent: mybot\nDisallow: /only-mybot\n"
+            "User-agent: *\nDisallow: /everyone",
+        )
+    ]
+    star = _rules(spark, rows)
+    mybot = _rules(spark, rows, agent="MyBot")  # case-insensitive
+    assert star == {("a.com", "disallow", "/everyone")}
+    assert mybot == {
+        ("a.com", "disallow", "/only-mybot"),
+        ("a.com", "disallow", "/everyone"),  # * group covers every agent
+    }
+
+
+def test_longest_match_precedence_and_prefix_semantics(spark):
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+                "Disallow: /tmp",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/secret"),
+            (2, "https://a.com/private/pub/x"),  # allow wins (longer)
+            (3, "https://a.com/tmpfile"),        # 1994 prefix semantics
+            (4, "https://a.com/open"),
+            (5, "https://other.com/private/secret"),  # no rules → allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: (r.allowed, r.matched_rule)
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        1: (False, "disallow"),
+        2: (True, "allow"),
+        3: (False, "disallow"),
+        4: (True, None),
+        5: (True, None),
+    }
+
+
+def test_allow_wins_length_tie(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /ab\nAllow: /ab")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame([(1, "https://a.com/abc")], "doc_id long, url string")
+    r = robots_filter(urls, robots_rules(robots)).collect()[0]
+    assert r.allowed and r.matched_rule == "allow"
+
+
+def test_url_path_extraction(spark):
+    cases = [
+        ("https://a.com/x/y?q=1#f", "/x/y"),
+        ("https://a.com", "/"),
+        ("a.com/p", "/p"),
+        ("https://a.com/?q", "/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = [r.p for r in df.select(url_path(F.col("url")).alias("p")).orderBy("i").collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_filter_plan_broadcast_no_fact_shuffle(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = explain_str(robots_filter(urls, robots_rules(robots)), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    exch = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # rule parsing shuffles the (host-scale) robots side only
+    assert all(c in ("host", "group_id") for c in exch), exch

@@ -2177,3 +2177,63 @@ def wordpiece_encode(
     return df.withColumn(
         out_col, F.flatten(F.transform(words_arr, encode_word))
     )
+
+
+def annotate_spans(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    out_col: str = "spans",
+) -> DataFrame:
+    """Dolma-style span attributes: per-document `[start, end)` character
+    offsets of every `pattern` match, as `<out_col> array<struct<start
+    bigint, end bigint, text string>>` plus `n_<out_col>`. This is the
+    attribute data model Dolma ships alongside its corpus (annotations
+    mix-and-match into gates WITHOUT rewriting text) — compose with
+    `redact_pii` when you want rewriting instead.
+
+    Pure Catalyst, and offsets come WITHOUT any position-extraction
+    builtin (neither Spark nor DuckDB has one): the text splits on the
+    pattern, and match `i`'s start is the summed length of the first
+    `i+1` split parts plus the first `i` matches — reconstructed with
+    array folds, replayed value-exactly by the oracle. Contract:
+    patterns must be non-overlapping and never zero-width (regex split
+    semantics — the same subset both engines treat identically).
+    Per-doc cost is O(matches²) slice sums — fine for annotation-density
+    patterns (PII, markers), not for "every token". Zero shuffles."""
+    text = F.col(text_col)
+    matches = F.regexp_extract_all(text, F.lit(pattern), 0)
+    parts = F.split(text, pattern, -1)
+
+    def _len_sum(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(x).cast("bigint"),
+        )
+
+    def _span(i: Column) -> Column:
+        start = _len_sum(F.slice(parts, F.lit(1), i + 1)) + _len_sum(
+            F.slice(matches, F.lit(1), i)
+        )
+        m = F.element_at(matches, (i + 1).cast("int"))
+        return F.struct(
+            start.alias("start"),
+            (start + F.length(m)).alias("end"),
+            m.alias("text"),
+        )
+
+    spans = F.when(text.isNull(), F.array().cast(
+        "array<struct<start:bigint,end:bigint,text:string>>"
+    )).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(matches) - 1), _span)
+    )
+    # sequence(0, -1) yields [0, -1] — guard the no-match case explicitly
+    spans = F.when(
+        text.isNull() | (F.size(matches) == 0),
+        F.array().cast("array<struct<start:bigint,end:bigint,text:string>>"),
+    ).otherwise(spans)
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        spans.alias(out_col),
+        F.size(spans).cast("bigint").alias(f"n_{out_col}"),
+    )

@@ -13095,3 +13095,76 @@ def q_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = robots_rules(rb)
     return robots_filter(urls, rules).drop("url")
+
+
+_SPAN_PAT = "[a-z0-9.]+@[a-z.]*[a-z]"
+
+
+@_q(
+    "pii_span_attributes",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+        COALESCE(text, '') ||
+        CASE doc_id % 3
+          WHEN 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com today.'
+          WHEN 1 THEN ' Mail a@b.co and c@d.org please.'
+          ELSE '' END AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, t,
+             regexp_extract_all(t, '{_SPAN_PAT}', 0) AS ms,
+             regexp_split_to_array(t, '{_SPAN_PAT}') AS ps
+      FROM aug
+    ),
+    e AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS span_idx,
+        CAST(COALESCE(list_sum(list_transform(ps[1:CAST(u.i AS INT)], x -> length(x))), 0)
+           + COALESCE(list_sum(list_transform(ms[1:CAST(u.i - 1 AS INT)], x -> length(x))), 0)
+           AS BIGINT) AS start,
+        ms[CAST(u.i AS INT)] AS span_text
+      FROM m, UNNEST(range(1, len(ms) + 1)) AS u(i)
+    )
+    SELECT doc_id, span_idx, start,
+           start + length(span_text) AS "end", span_text
+    FROM e
+    """,
+)
+def q_pii_span_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style span attributes (operators/corpus.py::annotate_spans —
+    the annotations-next-to-text data model Dolma publishes, here over
+    an email-PII pattern): planted addresses (one per doc on %3==0, two
+    on %3==1, none otherwise) annotate as [start, end) CHARACTER offsets
+    — reconstructed in pure Catalyst from split-part and match lengths,
+    no position builtin on either engine — and the oracle replays the
+    same reconstruction relationally, value-exact offsets included.
+    Compose with `redact_pii` for rewriting; spans leave text intact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import annotate_spans
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" Contact user"), d.cast("string"),
+                    F.lit("@example.com today."),
+                ),
+            )
+            .when(d % 3 == 1, F.lit(" Mail a@b.co and c@d.org please."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ann = annotate_spans(docs, _SPAN_PAT)
+    return ann.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "_s")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("bigint").alias("span_idx"),
+        F.col("_s.start").alias("start"),
+        F.col("_s.end").alias("end"),
+        F.col("_s.text").alias("span_text"),
+    )

@@ -759,3 +759,31 @@ def test_wordpiece_trainer_and_encode(spark):
     c = wordpiece_encode(docs2, vocab, method="catalyst", normalize=False).collect()[0].wp_tokens
     assert a == c
     assert "[UNK]" in a  # the 28-char word exceeds max_word_len=16
+
+
+def test_annotate_spans_offsets_and_edges(spark):
+    from flight_data_ingestion_engine_spark.operators.corpus import annotate_spans
+    from flight_data_ingestion_engine_spark.plans import explain_str
+
+    rows = [
+        (1, "mail user5@example.com and admin@site.org now"),
+        (2, "no matches here"),
+        (3, None),
+        (4, "x@y.z"),                 # match at offset 0, whole string
+        (5, "日本 a@b.co 語 c@d.eu"),  # offsets are CHARACTER offsets
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in annotate_spans(df, r"[a-z0-9.]+@[a-z.]*[a-z]").collect()}
+    texts = dict(rows)
+    for i, t in texts.items():
+        spans = out[i].spans
+        assert out[i].n_spans == len(spans)
+        if t is None:
+            assert spans == []
+            continue
+        for s in spans:
+            assert t[s.start:s.end] == s.text
+    assert out[2].spans == [] and out[4].spans[0].start == 0
+    assert [s.text for s in out[5].spans] == ["a@b.co", "c@d.eu"]
+    plan = explain_str(annotate_spans(df, "x"), "simple")
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -1819,9 +1819,14 @@ def prototype_scores(
     metadata-bounded contract as every IVF entry point) and ships as an
     Arrow-UDF closure; scoring is one zero-shuffle stage over the scan.
     """
-    rows = centroids.orderBy(
-        *[c for c in ("centroid_id", "cell") if c in centroids.columns]
-    ).select(centroid_vec_col).collect()
+    order_cols = [c for c in ("centroid_id", "cell") if c in centroids.columns]
+    if not order_cols:
+        raise ValueError(
+            "prototype_scores: centroid table needs a 'centroid_id' (or "
+            "'cell') column — cell ids must be stable, and a DataFrame "
+            "has no inherent row order to fall back on"
+        )
+    rows = centroids.orderBy(*order_cols).select(centroid_vec_col).collect()
     codebook = [list(r[0]) for r in rows]
     if not codebook:
         raise ValueError("prototype_scores: empty centroid table")

@@ -599,3 +599,69 @@ def wordlist_filter(
         hits.cast("bigint").alias("wordlist_hits"),
         (hits <= max_hits).alias("keep"),
     )
+
+
+def code_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """The published source-code quality filters (Codex, Chen et al. 2021
+    §3.1; The Stack / StarCoder preprocessing, Li et al. 2023) as one
+    zero-shuffle codegen projection — each rule its own auditable column
+    plus the conjunctive `keep`:
+
+    - max line length ≤ 1000 chars; mean line length ≤ 100;
+    - alphanumeric character fraction ≥ 0.25 (drops encoded/minified
+      blobs that read as noise);
+    - no auto-generated marker ("auto-generated" / "generated by" /
+      "do not edit", case-insensitive);
+    - no embedded base64/hex data run (≥ 64 consecutive chars drawn from
+      the base64 alphabet — The Stack's encoded-data rule; hex runs are a
+      subset of the base64 charset so one regex covers both).
+
+    Lines are the RAW `split(text, '\\n')` including empty elements
+    (trailing-newline files count their final empty line — both engines
+    keep split empties, so the oracle replays bit-exactly). Every measure
+    is an integer count with at most ONE IEEE division. NULL text yields
+    n_lines = 0 and keep = false (a file with no content is not code).
+    """
+    ids = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    text = F.col(text_col)
+    lines = F.when(text.isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(text, r"\n", -1)
+    )
+    staged = df.select(*ids, lines.alias("_l"), F.coalesce(text, F.lit("")).alias("_t"))
+    n_lines = F.size("_l").cast("bigint")
+    line_lens = F.transform("_l", lambda l: F.length(l).cast("bigint"))
+    max_len = F.coalesce(F.array_max(line_lens), F.lit(0)).cast("bigint")
+    total_len = F.aggregate(line_lens, F.lit(0).cast("bigint"), lambda a, b: a + b)
+    n_chars = F.length("_t").cast("bigint")
+    n_alnum = F.length(F.regexp_replace(F.col("_t"), r"[^A-Za-z0-9]", "")).cast("bigint")
+    autogen = F.lower("_t").rlike("auto-?generated|generated by|do not edit")
+    encoded = F.col("_t").rlike("[A-Za-z0-9+/=]{64,}")
+    out = staged.select(
+        *ids,
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        F.when(n_lines > 0, total_len.cast("double") / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("avg_line_len"),
+        F.when(n_chars > 0, n_alnum.cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("alnum_frac"),
+        autogen.alias("autogen"),
+        encoded.alias("encoded_blob"),
+    )
+    keep = (
+        (F.col("n_lines") > 0)
+        & (F.col("max_line_len") <= max_line_len)
+        & (F.col("avg_line_len") <= max_avg_line_len)
+        & (F.col("alnum_frac") >= min_alnum_frac)
+        & ~F.col("autogen")
+        & ~F.col("encoded_blob")
+    )
+    return out.withColumn("keep", keep)

@@ -13168,3 +13168,70 @@ def q_pii_span_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s.end").alias("end"),
         F.col("_s.text").alias("span_text"),
     )
+
+
+@_q(
+    "code_quality_rules",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+               || chr(10) || 'def main():'
+               || chr(10) || '    return 0'
+               || CASE WHEN doc_id % 3 = 0 THEN chr(10) || repeat('x', 1200) ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '// Auto-generated; do not edit.' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN chr(10) || repeat('QUJDRA==', 12) ELSE '' END
+               AS t
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, t, regexp_split_to_array(t, chr(10)) AS lines FROM aug
+    ),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(lines, x -> len(x))) AS BIGINT) AS max_line_len,
+             CAST(list_sum(list_transform(lines, x -> len(x))) AS BIGINT) AS total_len,
+             CAST(len(t) AS BIGINT) AS n_chars,
+             CAST(len(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+      FROM l
+    ),
+    f AS (
+      SELECT doc_id, n_lines, max_line_len,
+             CASE WHEN n_lines > 0 THEN CAST(total_len AS DOUBLE) / n_lines ELSE 0.0 END AS avg_line_len,
+             CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE) / n_chars ELSE 0.0 END AS alnum_frac,
+             regexp_matches(lower(t), 'auto-?generated|generated by|do not edit') AS autogen,
+             regexp_matches(t, '[A-Za-z0-9+/=]{64,}') AS encoded_blob
+      FROM m
+    )
+    SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac, autogen, encoded_blob,
+           (n_lines > 0 AND max_line_len <= 1000 AND avg_line_len <= 100.0
+            AND alnum_frac >= 0.25 AND NOT autogen AND NOT encoded_blob) AS keep
+    FROM f
+    """,
+)
+def q_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published source-code quality filters (Codex §3.1 / The Stack —
+    operators/text.py::code_quality_flags): max/mean line length bands,
+    alphanumeric-fraction floor, auto-generated marker, base64/hex
+    encoded-data run. Planted per-doc suffixes exercise every rule (a
+    1200-char line on doc_id%3, an auto-generated marker on %5, a 96-char
+    base64 blob on %7, two honest code lines on every doc); every measure
+    is an integer count + ONE IEEE division so the DuckDB replay —
+    including raw split empties — matches value-exactly, keep included.
+    Zero shuffles (pytest exchange gate)."""
+    from flight_data_ingestion_engine_spark.operators.text import code_quality_flags
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\ndef main():"),
+            F.lit("\n    return 0"),
+            F.when(d % 3 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("x"), 1200))).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\n// Auto-generated; do not edit.")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(F.lit("\n"), F.repeat(F.lit("QUJDRA=="), 12))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return code_quality_flags(docs, id_col="doc_id")

@@ -559,3 +559,36 @@ def test_wordlist_filter_boundaries_and_validation(spark):
         wordlist_filter(df, [])
     with _pt.raises(ValueError):
         wordlist_filter(df, [f"w{i}" for i in range(10_001)])
+
+
+def test_code_quality_flags_rules(spark):
+    """Each published code filter (Codex/The Stack) individually rejects
+    its planted violator while honest code passes; NULL text yields
+    n_lines = 0 and keep = false; one zero-shuffle projection."""
+    from flight_data_ingestion_engine_spark.operators.text import code_quality_flags
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    good = "def add(a, b):\n    return a + b\n\nprint(add(1, 2))"
+    rows = [
+        (0, good),
+        (1, good + "\n" + "x" * 1500),                        # max line length
+        (2, "\n".join(("word " * 30).strip() for _ in range(5))),  # avg line length > 100
+        (3, "()[]{};;;\n---===!!!\n<<<>>>***"),               # alnum fraction < 0.25
+        (4, good + "\n# Auto-generated by protoc. DO NOT EDIT."),
+        (5, good + "\ndata = 'QUJD" + "RA==" * 20 + "'"),     # base64 run >= 64
+        (6, None),
+        (7, good + "\ntrailing newline keeps its empty line\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = code_quality_flags(df, id_col="doc_id")
+    assert count_exchanges(out) == 0
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[0].keep
+    assert not got[1].keep and got[1].max_line_len == 1500
+    assert not got[2].keep and got[2].avg_line_len > 100.0
+    assert not got[3].keep and got[3].alnum_frac < 0.25
+    assert not got[4].keep and got[4].autogen
+    assert not got[5].keep and got[5].encoded_blob
+    assert not got[6].keep and got[6].n_lines == 0
+    # raw split semantics: the trailing newline contributes an empty line
+    assert got[7].n_lines == got[0].n_lines + 2

@@ -665,3 +665,64 @@ def code_quality_flags(
         & ~F.col("encoded_blob")
     )
     return out.withColumn("keep", keep)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    strip_accents: bool = True,
+    lower: bool = True,
+    digits_to_zero: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """CCNet-style text normalization (Wenzek et al. 2020 — the
+    preprocessing every fastText/KenLM scorer in the public pipelines
+    runs first): unicode form normalization, accent stripping, case
+    folding, digit→0 bucketing, whitespace collapse — applied in THAT
+    fixed order, which the oracle replays (DuckDB `nfc_normalize` +
+    `strip_accents` + `lower` agree with Python `unicodedata` on every
+    probed class, incl. İ→I under accent-strip and ẞ→ß under lower).
+
+    One Arrow pandas_udf stage: codepoint-table work has no Catalyst
+    builtin, and per-row cost is linear in the document with no state —
+    rides the scan at any corpus size (same posture as
+    `with_compression_ratio`). Whitespace is the explicit ASCII class
+    `[ \\t\\n\\r\\f\\v]` on both engines — Python's `\\s` matches unicode
+    spaces but RE2's does not, so the class is pinned instead of the
+    shorthand. NULL text stays NULL.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_text: unknown unicode form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ws = re.compile(r"[ \t\n\r\f\v]+")
+        dig = re.compile(r"[0-9]")
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if strip_accents:
+                t = "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", t)
+                    if unicodedata.category(c) != "Mn"
+                )
+            if lower:
+                t = t.lower()
+            if digits_to_zero:
+                t = dig.sub("0", t)
+            if collapse_whitespace:
+                t = ws.sub(" ", t).strip(" ")
+            return t
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -13235,3 +13235,48 @@ def q_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return code_quality_flags(docs, id_col="doc_id")
+
+
+@_q(
+    "normalize_text_docs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+               || ' Café MÜHLEISEN ñandú e' || chr(769) || ' ẞ 2024'
+               || chr(9) || 'spaced   out '
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(
+             regexp_replace(
+               regexp_replace(
+                 lower(strip_accents(nfc_normalize(t))),
+                 '[0-9]', '0', 'g'),
+               '[ \t\n\r\f\v]+', ' ', 'g')
+           ) AS norm_text
+    FROM aug
+    """,
+)
+def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization (Wenzek et al. 2020 —
+    operators/text.py::normalize_text): NFC → accent strip → lower →
+    digit→0 → ASCII-whitespace collapse, in that fixed order. The planted
+    suffix exercises every stage on every doc: composed and COMBINING
+    accents (e+U+0301 must recompose under NFC before stripping), German
+    capital ẞ (full lowercase to ß), digits, a tab and a space run. The
+    oracle replays the chain with DuckDB's nfc_normalize/strip_accents/
+    lower — probed char-by-char equal to Python unicodedata — so the
+    rewritten STRING matches value-exactly. Corpus text is ASCII, so the
+    planted set is the whole unicode surface under test."""
+    from flight_data_ingestion_engine_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" Café MÜHLEISEN ñandú e\u0301 ẞ 2024\tspaced   out "),
+        ).alias("text"),
+    )
+    return normalize_text(docs).select("doc_id", "norm_text")

@@ -592,3 +592,44 @@ def test_code_quality_flags_rules(spark):
     assert not got[6].keep and got[6].n_lines == 0
     # raw split semantics: the trailing newline contributes an empty line
     assert got[7].n_lines == got[0].n_lines + 2
+
+
+def test_normalize_text_stages(spark):
+    """Each CCNet normalization stage, the fixed stage order (accent
+    strip precedes lower: Turkish dotted I strips to plain I, so the
+    two-codepoint i+combining-dot lowercase never appears), NULL
+    passthrough, and the form whitelist."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "Café and café"),          # composed + combining both -> cafe
+        (1, "MÜHLEISEN ẞIG"),           # accents + German capital sharp S
+        (2, "room 404, floor 12"),                # digit bucketing
+        (3, "a\t b\n\n  c "),                     # whitespace collapse + edge strip
+        (4, "İstanbul"),                      # dotted I: strip-accents first
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert got[0] == "cafe and cafe"
+    assert got[1] == "muhleisen ßig"
+    assert got[2] == "room 000, floor 00"
+    assert got[3] == "a b c"
+    assert got[4] == "istanbul"
+    assert got[5] is None
+
+    # flags off = identity apart from the requested stages
+    plain = {
+        r.doc_id: r.norm_text
+        for r in normalize_text(
+            df, strip_accents=False, lower=False, digits_to_zero=False,
+            collapse_whitespace=False,
+        ).collect()
+    }
+    assert plain[0] == "Café and café"  # NFC recomposition only
+    assert plain[2] == "room 404, floor 12"
+
+    with _pt.raises(ValueError, match="unknown unicode form"):
+        normalize_text(df, form="NFX")

@@ -427,3 +427,216 @@ def segment_media(
         .withColumn("seg_end_ms", F.least(F.col("seg_start_ms") + window_ms, F.col("_dur_ms")))
         .drop("_dur_ms")
     )
+
+
+def attach_patterned_media(
+    df: DataFrame,
+    id_col: str = "img_id",
+    src_col: str | None = None,
+    flip_col: str | None = None,
+    width: int = 8,
+    height: int = 8,
+    salt: str = "px",
+) -> DataFrame:
+    """Synthesize md5-patterned BMP payloads — the planted corpus for the
+    perceptual-hash dedup family. Pixel p (row-major) of source s is the
+    first md5 hex byte of ``f"{s}:{p}:{salt}"`` — engine-portable (DuckDB
+    replays the same md5), uniform on 0..255, and free of the structural
+    collisions a linear-congruential pattern would plant (any
+    ``f(id)+g(p) mod 256`` pattern repeats whole images on an id residue
+    class). Two rows with the same `src_col` value are EXACT pixel
+    clones; `flip_col=True` additionally replaces pixel 0 with
+    ``(v+128) % 256`` — a controlled near-duplicate. Runs in the same
+    Arrow mapInPandas shape as the codecs (payloads never touch the
+    driver)."""
+    import pandas as pd
+
+    src = src_col or id_col
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    n_px = width * height
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            flips = (
+                pdf[flip_col].fillna(False).astype(bool)
+                if flip_col
+                else pd.Series(False, index=pdf.index)
+            )
+            rows = []
+            for i, s, fl in zip(
+                pdf[id_col].astype("int64"), pdf[src].astype("int64"), flips
+            ):
+                pixels = [
+                    int(
+                        hashlib.md5(f"{int(s)}:{p}:{salt}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(n_px)
+                ]
+                if fl:
+                    pixels[0] = (pixels[0] + 128) % 256
+                payload = encode_bmp(width, height, pixels)
+                meta = ("image", "bmp", width, height, None, 1, None)
+                rows.append((int(i), payload, meta))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "media_bytes", "media_meta"]
+            )
+
+    cols = [id_col] + ([src] if src != id_col else []) + ([flip_col] if flip_col else [])
+    return df.select(*dict.fromkeys(cols)).mapInPandas(synth, schema)
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded image payloads — the
+    classic image-dedup fingerprint the public multimodal pipelines
+    (LAION-style) run before any learned embedding: block-mean downsample
+    to grid×grid, bit = block brighter than the global mean, near-dups =
+    small Hamming distance (`ahash_dup_pairs`).
+
+    All-integer and engine-portable: block p's bit is the cross-multiplied
+    strict compare ``block_sum * n_total_px > total_sum * n_block_px`` (no
+    float mean, no rounding drift), block boundaries are the floor grid
+    ``x0 = bx*w//grid``. The 64 bits (row-major blocks, grid=8) pack into
+    TWO 32-bit words `ahash_hi` (blocks 0..31, weight 2^(31-p)) and
+    `ahash_lo` — a single 64-bit word would need bit 63, which signed
+    BIGINT shifts overflow on in DuckDB (the same reason simhash's
+    portable arm is 56-bit). Images smaller than the grid get empty
+    trailing blocks whose bit is 0 by the strict compare. One Arrow
+    stage; audio/fake rows are dropped (images only). Returns
+    (id, ahash_hi, ahash_lo)."""
+    import pandas as pd
+
+    if grid < 1 or grid * grid > 64:
+        raise ValueError("image_ahash: grid must be in 1..8 (≤ 64 bits)")
+    schema = f"{id_col} bigint, ahash_hi bigint, ahash_lo bigint"
+
+    def one(fmt: str, payload: bytes) -> tuple[int, int]:
+        w, h, px = _IMAGE_DECODERS[fmt](payload)
+        total = sum(px)
+        n_total = w * h
+        hi = lo = 0
+        for by in range(grid):
+            y0, y1 = by * h // grid, (by + 1) * h // grid
+            for bx in range(grid):
+                x0, x1 = bx * w // grid, (bx + 1) * w // grid
+                n_blk = (y1 - y0) * (x1 - x0)
+                s_blk = sum(
+                    px[y * w + x] for y in range(y0, y1) for x in range(x0, x1)
+                )
+                p = by * grid + bx
+                if s_blk * n_total > total * n_blk:
+                    if p < 32:
+                        hi |= 1 << (31 - p)
+                    else:
+                        lo |= 1 << (63 - p)
+        return hi, lo
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            keep = fmt.isin(set(_IMAGE_DECODERS))
+            sub = pdf[keep]
+            if not len(sub):
+                continue
+            hashes = [
+                one(f, bytes(p)) for f, p in zip(fmt[keep], sub[bytes_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col].astype("int64"),
+                    "ahash_hi": [a for a, _ in hashes],
+                    "ahash_lo": [b for _, b in hashes],
+                },
+                columns=[id_col, "ahash_hi", "ahash_lo"],
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+def ahash_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "img_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs within Hamming distance d over the two-word
+    aHash, via the same EXHAUSTIVE pigeonhole banding as
+    `dedup.simhash_near_pairs`: d+1 equal-width bands of the 64 bits — a
+    pair at distance ≤ d differs in ≤ d bands, so at least one band
+    matches exactly and the per-band equi-join is a complete cover, not a
+    probabilistic filter. Bands must be word-aligned over (hi, lo), so
+    d+1 ∈ {1, 2, 4, 8, 16} (d=0 joins on both words whole). Returns
+    (id_a, id_b, hamming) with the exact verify
+    ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` on candidates only —
+    at corpus scale the shuffle is the band equi-join on 16-bit keys,
+    never an all-pairs product."""
+    blocks = max_hamming + 1
+    if blocks not in (1, 2, 4, 8, 16):
+        raise ValueError(
+            "ahash_dup_pairs: max_hamming+1 must be a word-aligned band "
+            f"count (1, 2, 4, 8 or 16), got {blocks}"
+        )
+    hi, lo = F.col("ahash_hi"), F.col("ahash_lo")
+    if blocks == 1:
+        bands = [F.struct(F.lit(0).alias("band_id"), hi.alias("v1"), lo.alias("v2"))]
+    else:
+        per_word = blocks // 2
+        width = 32 // per_word
+        mask = (1 << width) - 1
+        bands = []
+        for i, word in enumerate((hi, lo)):
+            for j in range(per_word):
+                bands.append(
+                    F.struct(
+                        F.lit(i * per_word + j).alias("band_id"),
+                        F.shiftright(word, 32 - (j + 1) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v1"),
+                        F.lit(0).cast("bigint").alias("v2"),
+                    )
+                )
+    banded = hashes.select(
+        F.col(id_col), hi, lo, F.explode(F.array(*bands)).alias("b")
+    ).select(
+        id_col, "ahash_hi", "ahash_lo",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.v1").alias("v1"), F.col("b.v2").alias("v2"),
+    )
+    a = banded.select(
+        "band_id", "v1", "v2",
+        F.col(id_col).alias("id_a"),
+        F.col("ahash_hi").alias("hi_a"), F.col("ahash_lo").alias("lo_a"),
+    )
+    b = banded.select(
+        F.col("band_id").alias("band_id_b"),
+        F.col("v1").alias("v1_b"), F.col("v2").alias("v2_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["band_id"] == b["band_id_b"])
+            & (a["v1"] == b["v1_b"])
+            & (a["v2"] == b["v2_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("bigint")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -13280,3 +13280,100 @@ def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return normalize_text(docs).select("doc_id", "norm_text")
+
+
+def _ahash_sql() -> str:
+    """DuckDB twin of the patterned-BMP → aHash pipeline: md5 pixel
+    bytes, one flipped pixel on near-clones, integer mean compare,
+    two 32-bit hash words. Shared by the values and pairs oracles."""
+    px = "('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT"
+    return f"""
+    imgs AS (
+      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT img_id, u.p AS p,
+             CASE WHEN flip AND u.p = 0 THEN ({px} + 128) % 256 ELSE {px} END AS v
+      FROM imgs, UNNEST(range(64)) AS u(p)
+    ),
+    s AS (SELECT img_id, SUM(v) AS total FROM px GROUP BY img_id),
+    b AS (
+      SELECT px.img_id, px.p,
+             CASE WHEN 64 * px.v > s.total THEN 1 ELSE 0 END AS bit
+      FROM px JOIN s ON px.img_id = s.img_id
+    ),
+    hw AS (
+      SELECT img_id,
+             SUM(CASE WHEN p < 32 THEN bit * (1::BIGINT << CAST(31 - p AS INT)) ELSE 0 END) AS ahash_hi,
+             SUM(CASE WHEN p >= 32 THEN bit * (1::BIGINT << CAST(63 - p AS INT)) ELSE 0 END) AS ahash_lo
+      FROM b GROUP BY img_id
+    )
+    """
+
+
+def _ahash_corpus(spark: SparkSession, sf_dir: str):
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+        image_ahash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.select(
+        d.alias("img_id"), d.alias("src"), F.lit(False).alias("flip")
+    )
+    clones = docs.where(d % 7 == 0).select(
+        (d + 100000).alias("img_id"), d.alias("src"), F.lit(False).alias("flip")
+    )
+    near = docs.where(d % 5 == 0).select(
+        (d + 200000).alias("img_id"), d.alias("src"), F.lit(True).alias("flip")
+    )
+    ids = base.unionByName(clones).unionByName(near)
+    media = attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip")
+    return image_ahash(media, id_col="img_id")
+
+
+@_q(
+    "image_ahash_values",
+    "WITH " + _ahash_sql() + "SELECT img_id, ahash_hi, ahash_lo FROM hw",
+)
+def q_image_ahash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL encoded BMP payloads
+    (operators/multimodal.py::image_ahash — the LAION-style image-dedup
+    fingerprint): md5-patterned 8×8 images (plus exact clones on
+    doc_id%7 and one-pixel near-clones on %5) are encoded, decoded, and
+    hashed with the all-integer strict mean compare; the oracle replays
+    pixels → mean → bits → both 32-bit hash words relationally, so every
+    BIT of every hash is value-checked. The two-word layout exists
+    because bit 63 of a single word overflows signed shifts in DuckDB
+    (same reason portable simhash is 56-bit)."""
+    return _ahash_corpus(spark, sf_dir)
+
+
+@_q(
+    "image_ahash_pairs",
+    "WITH " + _ahash_sql() + """
+    SELECT a.img_id AS id_a, b.img_id AS id_b,
+           CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+    FROM hw a JOIN hw b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+          + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
+    """,
+)
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs (operators/multimodal.py::ahash_dup_pairs):
+    word-aligned pigeonhole banding (4 bands × 16 bits for d=3 — an
+    EXHAUSTIVE cover, so the oracle's brute-force all-pairs Hamming is
+    the exact same set) + bit_count verify on candidates only. Exact
+    clones surface at hamming 0; one-pixel near-clones land wherever the
+    mean shift puts them — both engines compute the same distance, so
+    the planted geometry needs no closed form. At corpus scale the
+    shuffle is a 16-bit-key equi-join, never an all-pairs product."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import ahash_dup_pairs
+
+    return ahash_dup_pairs(_ahash_corpus(spark, sf_dir), id_col="img_id", max_hamming=3)

@@ -633,3 +633,46 @@ def test_normalize_text_stages(spark):
 
     with _pt.raises(ValueError, match="unknown unicode form"):
         normalize_text(df, form="NFX")
+
+
+def test_image_ahash_pairs_planted(spark):
+    """aHash end to end through the real BMP codec: exact pixel clones
+    land at hamming 0; the pigeonhole banding finds every pair a brute
+    force finds (exhaustive-cover check); parameter validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        attach_patterned_media,
+        image_ahash,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, i % 20, i < 20) for i in range(40)] + [(100 + i, i, False) for i in range(5)],
+        "img_id long, src long, flip boolean",
+    )
+    # imgs 0..19: flipped (one-pixel) variants of sources 0..19; imgs
+    # 20..39: unflipped base patterns of the same sources; imgs 100..104:
+    # exact clones of sources 0..4 (so (20+i, 100+i) sit at hamming 0)
+    media = attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip")
+    hashes = image_ahash(media, id_col="img_id").cache()
+    got = ahash_dup_pairs(hashes, id_col="img_id", max_hamming=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.collect()}
+
+    # brute-force ground truth from the collected hashes (45 images)
+    hs = {r.img_id: (r.ahash_hi, r.ahash_lo) for r in hashes.collect()}
+    brute = {}
+    ks = sorted(hs)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(hs[a][1] ^ hs[b][1]).count("1")
+            if d <= 3:
+                brute[(a, b)] = d
+    assert pairs == brute and len(brute) > 0
+    assert all(pairs[(20 + i, 100 + i)] == 0 for i in range(5))
+    hashes.unpersist()
+
+    with _pt.raises(ValueError, match="word-aligned"):
+        ahash_dup_pairs(hashes, id_col="img_id", max_hamming=2)
+    with _pt.raises(ValueError, match="grid"):
+        image_ahash(media, id_col="img_id", grid=9)

@@ -835,3 +835,69 @@ def fim_transform(
         F.when(applied, a).cast("bigint").alias("cut_start"),
         F.when(applied, b).cast("bigint").alias("cut_end"),
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    proxy_loss_col: str,
+    ref_loss_col: str,
+    eta: float = 0.1,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): domains where
+    the proxy model's loss exceeds the reference model's get upweighted
+    by the Group-DRO multiplicative-weights rule
+
+        w_d = (1 − c) · exp(η·λ_d) / Z + c / k
+
+    with λ_d the per-domain mean EXCESS loss clamp(proxy − ref, ≥ 0),
+    c the uniform smoothing, k the domain count. This is one MW epoch
+    over STATIC per-domain losses — the data-engine-replayable core of
+    DoReMi (the paper's inner loop retrains the proxy between updates,
+    which is a training-loop concern, not a corpus operator; repeated
+    epochs under static losses are equivalent to scaling η).
+
+    Cross-engine exactness discipline: pass INTEGER-valued loss columns
+    (cents/millinats) — the excess sum is then order-independent and
+    exact, and λ_d is one IEEE division. The softmax denominator Z is the
+    one float sum a weight vector can't avoid, so it is computed as a
+    SEQUENTIAL fold over the domain-sorted score list (sort_array +
+    aggregate here, list(… ORDER BY domain) + list_reduce in the oracle)
+    — deterministic under any partitioning, identical on both engines.
+
+    One groupBy on the domain column (map-side combined, O(k) rows) plus
+    one broadcast 1-row fold. No data-sized shuffle. Returns
+    (domain, n_examples, excess_sum, lambda, score, weight)."""
+    if not 0.0 <= smoothing < 1.0:
+        raise ValueError("doremi_weights: smoothing must be in [0, 1)")
+    excess = F.greatest(
+        F.col(proxy_loss_col).cast("bigint") - F.col(ref_loss_col).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum(excess).cast("bigint").alias("excess_sum"),
+    )
+    lam = F.col("excess_sum").cast("double") / F.col("n_examples").cast("double")
+    scored = per.withColumn("lambda", lam).withColumn(
+        "score", F.exp(F.lit(float(eta)) * F.col("lambda"))
+    )
+    z = scored.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("domain", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("_z"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    c = float(smoothing)
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .withColumn(
+            "weight",
+            F.lit(1.0 - c) * F.col("score") / F.col("_z")
+            + F.lit(c) / F.col("_k").cast("double"),
+        )
+        .drop("_z", "_k")
+    )

@@ -13377,3 +13377,59 @@ def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.multimodal import ahash_dup_pairs
 
     return ahash_dup_pairs(_ahash_corpus(spark, sf_dir), id_col="img_id", max_hamming=3)
+
+
+@_q(
+    "doremi_domain_weights",
+    """
+    WITH losses AS (
+      SELECT source AS domain,
+             CAST(doc_id % 37 AS BIGINT) AS proxy_loss,
+             CAST(doc_id % 23 AS BIGINT) AS ref_loss
+      FROM documents
+    ),
+    per AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_examples,
+             CAST(SUM(GREATEST(proxy_loss - ref_loss, 0)) AS BIGINT) AS excess_sum
+      FROM losses GROUP BY domain
+    ),
+    scored AS (
+      SELECT domain, n_examples, excess_sum,
+             CAST(excess_sum AS DOUBLE) / CAST(n_examples AS DOUBLE) AS "lambda",
+             exp(CAST(0.1 AS DOUBLE)
+                 * (CAST(excess_sum AS DOUBLE) / CAST(n_examples AS DOUBLE))) AS score
+      FROM per
+    ),
+    z AS (
+      SELECT list_reduce(list(score ORDER BY domain), (a, b) -> a + b) AS zz,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM scored
+    )
+    SELECT domain, n_examples, excess_sum, "lambda", score,
+           CAST(0.99 AS DOUBLE) * score / zz
+             + CAST(0.01 AS DOUBLE) / CAST(k AS DOUBLE) AS weight
+    FROM scored, z
+    """,
+)
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style Group-DRO domain reweighting (operators/mixing.py::
+    doremi_weights — Xie et al. 2023) over the document corpus by source,
+    with planted integer proxy/reference losses (doc_id mod residues) so
+    the per-domain excess sums are exact bigints. λ is one IEEE division,
+    the MW score is exp written identically on both engines (the LN
+    precedent from PMI), and the softmax denominator Z is a SEQUENTIAL
+    fold over the domain-sorted score list on BOTH engines (sort_array +
+    aggregate vs list(ORDER BY) + list_reduce; the 0.0 seed is exact) —
+    the one float sum a weight vector can't avoid, made order-
+    deterministic. Value-exact including the final smoothed weights."""
+    from flight_data_ingestion_engine_spark.operators.mixing import doremi_weights
+
+    d = F.col("doc_id")
+    losses = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("domain"),
+        (d % 37).cast("bigint").alias("proxy_loss"),
+        (d % 23).cast("bigint").alias("ref_loss"),
+    )
+    return doremi_weights(
+        losses, "domain", "proxy_loss", "ref_loss", eta=0.1, smoothing=0.01
+    )

@@ -550,3 +550,41 @@ def test_fim_transform_layouts_and_determinism(spark):
 
     with _pt.raises(ValueError):
         fim_transform(df, mode="pms")
+
+
+def test_doremi_weights_closed_form_and_partition_invariance(spark):
+    """The MW rule against a hand-computed two-domain case; clamping of
+    negative excess; bit-identical weights under a different input
+    partitioning (the ordered-fold Z is the point); smoothing bounds."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mixing import doremi_weights
+
+    rows = [
+        ("a", 10, 4), ("a", 8, 2),     # excess 6 each -> lambda_a = 6.0
+        ("b", 3, 9), ("b", 5, 5),      # clamped to 0 -> lambda_b = 0.0
+    ]
+    df = spark.createDataFrame(rows, "domain string, p long, r long")
+    out = {r.domain: r for r in doremi_weights(df, "domain", "p", "r", eta=0.5).collect()}
+    assert out["a"].excess_sum == 12 and out["b"].excess_sum == 0
+    sa, sb = math.exp(0.5 * 6.0), 1.0
+    z = sa + sb
+    assert out["a"].weight == _pt.approx(0.99 * sa / z + 0.005, abs=1e-15)
+    assert out["b"].weight == _pt.approx(0.99 * sb / z + 0.005, abs=1e-15)
+    assert out["a"].weight > out["b"].weight  # hard domain upweighted
+
+    big = spark.createDataFrame(
+        [(f"d{i % 7}", (i * 13) % 31, (i * 5) % 17) for i in range(500)],
+        "domain string, p long, r long",
+    )
+    w1 = {r.domain: r.weight for r in doremi_weights(big, "domain", "p", "r").collect()}
+    w2 = {
+        r.domain: r.weight
+        for r in doremi_weights(big.repartition(13, "p"), "domain", "p", "r").collect()
+    }
+    assert w1 == w2  # bit-identical, not approx — Z is order-deterministic
+
+    with _pt.raises(ValueError, match="smoothing"):
+        doremi_weights(df, "domain", "p", "r", smoothing=1.0)

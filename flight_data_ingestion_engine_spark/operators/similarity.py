@@ -1911,3 +1911,92 @@ def prototype_prune(
             <= F.ceil(F.lit(keep_frac) * n_cell.cast("double")).cast("bigint")
         ).alias("keep"),
     )
+
+
+def margin_scores(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    k: int = 4,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Ratio-margin bitext mining scores (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER alignment criterion): a candidate pair's cosine is
+    normalized by the mean cosine of each side's k nearest neighbors,
+
+        margin(x, y) = cos(x, y) / ( Σ_{z∈NNk(x)} cos(x,z) / 2k
+                                   + Σ_{z∈NNk(y)} cos(y,z) / 2k )
+
+    which demotes "hub" vectors that are near everything and is the
+    published fix for raw-cosine mining's precision collapse. Both kNN
+    sets are computed WITHIN the candidate universe (left×right), so one
+    scored pair table feeds the pair score and both normalizers — no
+    second pass over the vectors. Sides smaller than k use the actual
+    neighbor count in the denominator (equal to the paper's 2k whenever
+    k neighbors exist).
+
+    Exactness discipline: vectors are unit-normalized once per side
+    (norms |L|+|R| times, not per pair), every dot is the sequential
+    fold (bit-equal to DuckDB list_dot_product), and each top-k mean is
+    accumulated in RANK order via sort_array+aggregate — deterministic
+    under any partitioning, so the oracle replays margins bit-exactly.
+
+    Scale shape: the right side broadcasts (mining runs per language-pair
+    shard; a shard's corpus is broadcast-sized after ANN prefiltering —
+    for web-scale universes, feed `ivf_topk` candidates in as `right`),
+    the only shuffles are the two rank windows on the pair table, keyed
+    by left/right id. Returns (left_id, right_id, cosine, margin, rank)
+    with rank 1.. per left id by margin (ties → right id)."""
+    if k < 1:
+        raise ValueError("margin_scores: k must be >= 1")
+    q = ensure_parallelism(left).select(
+        F.col(left_id).alias("_lid"), unit_normalize(F.col(vec_col)).alias("_lv")
+    )
+    c = right.select(
+        F.col(right_id).alias("_rid"), unit_normalize(F.col(vec_col)).alias("_rv")
+    )
+    if broadcast_right:
+        c = F.broadcast(c)
+    scored = (
+        q.crossJoin(c)
+        .select("_lid", "_rid", _score()(F.col("_lv"), F.col("_rv")).alias("cosine"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _knn_sum(df: DataFrame, key: str) -> DataFrame:
+        other = "_rid" if key == "_lid" else "_lid"
+        w = Window.partitionBy(key).orderBy(F.col("cosine").desc(), F.col(other).asc())
+        ranked = df.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+        return ranked.groupBy(key).agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_rk", "cosine"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["cosine"],
+            ).alias(f"_sum{key}"),
+            F.count(F.lit(1)).cast("bigint").alias(f"_n{key}"),
+        )
+
+    lsum = _knn_sum(scored, "_lid")
+    rsum = _knn_sum(scored, "_rid")
+    denom = (
+        F.col("_sum_lid") / (F.col("_n_lid") * 2).cast("double")
+        + F.col("_sum_rid") / (F.col("_n_rid") * 2).cast("double")
+    )
+    out = (
+        scored.join(F.broadcast(lsum), "_lid")
+        .join(F.broadcast(rsum), "_rid")
+        .withColumn("margin", F.col("cosine") / denom)
+    )
+    w = Window.partitionBy("_lid").orderBy(F.col("margin").desc(), F.col("_rid").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "cosine",
+            "margin",
+            "rank",
+        )
+    )

@@ -13433,3 +13433,66 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doremi_weights(
         losses, "domain", "proxy_loss", "ref_loss", eta=0.1, smoothing=0.01
     )
+
+
+@_q(
+    "margin_bitext_pairs",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings
+    ),
+    l AS (SELECT vec_id AS lid, v FROM n WHERE vec_id < 30),
+    r AS (SELECT vec_id AS rid, v FROM n WHERE vec_id >= 30 AND vec_id < 130),
+    s AS (SELECT lid, rid, list_dot_product(l.v, r.v) AS cosine FROM l CROSS JOIN r),
+    lk AS (
+      SELECT lid, list_reduce(list(cosine ORDER BY rk), (a, b) -> a + b) AS suml,
+             CAST(COUNT(*) AS BIGINT) AS nl
+      FROM (SELECT lid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY lid ORDER BY cosine DESC, rid ASC) AS rk
+            FROM s)
+      WHERE rk <= 4 GROUP BY lid
+    ),
+    rk2 AS (
+      SELECT rid, list_reduce(list(cosine ORDER BY rk), (a, b) -> a + b) AS sumr,
+             CAST(COUNT(*) AS BIGINT) AS nr
+      FROM (SELECT rid, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cosine DESC, lid ASC) AS rk
+            FROM s)
+      WHERE rk <= 4 GROUP BY rid
+    ),
+    m AS (
+      SELECT s.lid, s.rid, s.cosine,
+             s.cosine / (suml / CAST(nl * 2 AS DOUBLE)
+                         + sumr / CAST(nr * 2 AS DOUBLE)) AS margin
+      FROM s JOIN lk ON s.lid = lk.lid JOIN rk2 ON s.rid = rk2.rid
+    )
+    SELECT * FROM (
+      SELECT lid AS query_id, rid AS candidate_id, cosine, margin,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lid ORDER BY margin DESC, rid ASC) AS BIGINT) AS rank
+      FROM m)
+    WHERE rank <= 2
+    """,
+)
+def q_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix/LASER ratio-margin bitext mining (operators/similarity.py
+    ::margin_scores — Artetxe & Schwenk 2019) between two disjoint vector
+    shards (vec_id<30 vs 30..129), k=4, top-2 candidates per query by
+    margin. The oracle replays the whole criterion — unit normalization,
+    sequential-fold cosines, RANK-ordered top-k sums (list(ORDER BY) +
+    list_reduce ≡ sort_array + aggregate), the 2k-mean denominator and
+    the margin ranking — value-exact; hub demotion is the measured
+    difference between margin rank and raw-cosine rank."""
+    from flight_data_ingestion_engine_spark.operators.similarity import margin_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    right = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 130)).select(
+        F.col("vec_id").alias("candidate_id"), "embedding"
+    )
+    out = margin_scores(left, right, "query_id", "candidate_id", k=4)
+    return out.where(F.col("rank") <= 2)

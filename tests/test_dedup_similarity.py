@@ -1909,3 +1909,55 @@ def test_prototype_scores_validates_and_plugs_ivf(spark):
                                id_col="vec_id")
     out = prototype_scores(df, cent)
     assert {r.cell for r in out.collect()} <= {0, 1}
+
+
+def test_margin_scores_hub_demotion(spark):
+    """The published reason the ratio margin exists: a hub vector that
+    wins raw cosine for a query loses the margin ranking to the query's
+    true pair, because the hub's own kNN mean inflates its denominator.
+    Also: rank-ordered fold determinism under repartition, k validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.similarity import margin_scores
+
+    d = 8
+    def e(i, scale=1.0):
+        v = [0.0] * d
+        v[i] = scale
+        return v
+
+    left = [(i, e(i)) for i in range(6)]
+    right = []
+    for i in range(6):
+        v = e(i)
+        v[6] = 0.5
+        right.append((10 + i, v))
+    hub = [0.45] * 6 + [0.0, 0.0]
+    hub[0] = 2.5
+    right.append((99, hub))
+
+    ldf = spark.createDataFrame(left, "query_id long, embedding array<double>")
+    rdf = spark.createDataFrame(right, "cand_id long, embedding array<double>")
+    out = margin_scores(ldf, rdf, "query_id", "cand_id", k=4)
+    rows = {(r.query_id, r.cand_id): r for r in out.collect()}
+
+    # raw cosine favors the hub for query 0 …
+    assert rows[(0, 99)].cosine > rows[(0, 10)].cosine
+    # … but the margin ranking puts the true pair first
+    assert rows[(0, 10)].rank == 1 and rows[(0, 10)].margin > rows[(0, 99)].margin
+    # the other queries' true pairs win outright
+    for i in range(1, 6):
+        assert rows[(i, 10 + i)].rank == 1
+
+    # bit-identical margins under a different partitioning
+    m1 = sorted((r.query_id, r.cand_id, r.margin) for r in out.collect())
+    m2 = sorted(
+        (r.query_id, r.cand_id, r.margin)
+        for r in margin_scores(
+            ldf.repartition(7), rdf.repartition(3), "query_id", "cand_id", k=4
+        ).collect()
+    )
+    assert m1 == m2
+
+    with _pt.raises(ValueError, match="k must be"):
+        margin_scores(ldf, rdf, "query_id", "cand_id", k=0)

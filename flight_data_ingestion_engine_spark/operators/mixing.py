@@ -901,3 +901,75 @@ def doremi_weights(
         )
         .drop("_z", "_k")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax multilingual budget allocation (Chung et al. 2023): spread a
+    total character budget across languages as uniformly as possible
+    subject to a per-language repeat cap — no language is seen more than
+    `max_epochs` times. The paper's sequential smallest-first loop is
+    equivalent to water-filling, which this implements in CLOSED FORM:
+
+    with languages sorted ascending by corpus size n_l, a language is
+    "capped" (gets all max_epochs·n_l of its chars) while the remaining
+    fair share still exceeds its cap; every uncapped language gets the
+    SAME level τ = remaining budget / remaining languages. The crossover
+    test is the integer cross-multiplication
+
+        max_epochs · n_i · (k − i + 1)  ≤  budget − C_{i−1}
+
+    (C = cumulative capped allocation), so cappedness is decided in EXACT
+    bigint arithmetic; τ and the epoch ratios are the only IEEE divisions.
+    Equal-size ties sort by group name (deterministic, oracle-portable).
+
+    One groupBy to k language rows, one k-row window, one broadcast 1-row
+    aggregate — no data-sized shuffle (the temperature_weights shape).
+    Returns (group, n_chars, size_rank, capped, budget_chars, epochs)."""
+    if budget <= 0 or max_epochs <= 0:
+        raise ValueError("unimax_allocation: budget and max_epochs must be positive")
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(F.col(size_col).cast("bigint")).cast("bigint").alias("n_chars")
+    )
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("group").asc())
+    cap = (F.col("n_chars") * max_epochs).cast("bigint")
+    ranked = (
+        sizes.withColumn("size_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("_cap", cap)
+        .withColumn(
+            "_prev_cum",
+            F.coalesce(
+                F.sum("_cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+    )
+    totals = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+    ranked = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "capped",
+        F.col("_cap") * (F.col("_k") - F.col("size_rank") + 1)
+        <= F.lit(int(budget)).cast("bigint") - F.col("_prev_cum"),
+    )
+    spent = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("_cap")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_spent"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).cast("bigint").alias("_j"),
+    )
+    out = ranked.crossJoin(F.broadcast(spent))
+    tau = (F.lit(int(budget)).cast("bigint") - F.col("_spent")).cast("double") / (
+        F.col("_k") - F.col("_j")
+    ).cast("double")
+    budget_chars = F.when(F.col("capped"), F.col("_cap").cast("double")).otherwise(tau)
+    return (
+        out.withColumn("budget_chars", budget_chars)
+        .withColumn("epochs", F.col("budget_chars") / F.col("n_chars").cast("double"))
+        .select("group", "n_chars", "size_rank", "capped", "budget_chars", "epochs")
+    )

@@ -13496,3 +13496,54 @@ def q_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = margin_scores(left, right, "query_id", "candidate_id", k=4)
     return out.where(F.col("rank") <= 2)
+
+
+@_q(
+    "unimax_language_budgets",
+    """
+    WITH sizes AS (
+      SELECT lang AS "group", CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT "group", n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars ASC, "group" ASC) AS BIGINT) AS size_rank,
+             CAST(n_chars * 3 AS BIGINT) AS cap,
+             CAST(COALESCE(SUM(n_chars * 3) OVER (
+               ORDER BY n_chars ASC, "group" ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM sizes
+    ),
+    c AS (
+      SELECT *, (cap * (k - size_rank + 1) <= 400000 - prev_cum) AS capped FROM r
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT) AS spent,
+             CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS j
+      FROM c
+    )
+    SELECT "group", n_chars, size_rank, capped,
+           CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                ELSE CAST(400000 - spent AS DOUBLE) / CAST(k - j AS DOUBLE)
+           END AS budget_chars,
+           (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                 ELSE CAST(400000 - spent AS DOUBLE) / CAST(k - j AS DOUBLE)
+            END) / CAST(n_chars AS DOUBLE) AS epochs
+    FROM c, s
+    """,
+)
+def q_unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (operators/mixing.py::unimax_allocation —
+    Chung et al. 2023) over the corpus languages: 400k chars, ≤3 epochs
+    per language. The sequential smallest-first loop is replayed in its
+    water-filling closed form — cappedness decided by EXACT bigint
+    cross-multiplication against the cumulative-cap window, τ and the
+    epoch ratios the only IEEE divisions — so the oracle matches
+    value-exactly. The budget is chosen so both branches are live at
+    every SF (the four small languages hit their 3-epoch cap; English
+    takes the remaining water level)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_allocation(docs, "lang", "n_chars", budget=400000, max_epochs=3)

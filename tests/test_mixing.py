@@ -588,3 +588,47 @@ def test_doremi_weights_closed_form_and_partition_invariance(spark):
 
     with _pt.raises(ValueError, match="smoothing"):
         doremi_weights(df, "domain", "p", "r", smoothing=1.0)
+
+
+def test_unimax_allocation_matches_sequential_loop(spark):
+    """The window closed form equals the paper's sequential smallest-first
+    loop on assorted budgets (incl. all-capped and none-capped extremes),
+    budgets sum to min(budget, total caps), and validation raises."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mixing import unimax_allocation
+
+    sizes = {"a": 100, "b": 300, "c": 1000, "d": 5000, "e": 50}
+    rows = [(g, n) for g, n in sizes.items()]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+
+    def sequential(budget, epochs):
+        rem, out = float(budget), {}
+        todo = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+        for idx, (g, n) in enumerate(todo):
+            fair = rem / (len(todo) - idx)
+            out[g] = min(float(epochs * n), fair)
+            rem -= out[g]
+        return out
+
+    for budget in (500, 2000, 12000, 100000):
+        got = {
+            r.group: r
+            for r in unimax_allocation(df, "lang", "n_chars", budget, 2).collect()
+        }
+        want = sequential(budget, 2)
+        for g in sizes:
+            assert got[g].budget_chars == _pt.approx(want[g], rel=1e-12), (budget, g)
+            assert got[g].epochs == _pt.approx(want[g] / sizes[g], rel=1e-12)
+        alloc = sum(v.budget_chars for v in got.values())
+        assert alloc == _pt.approx(min(budget, 2 * sum(sizes.values())), rel=1e-12)
+    # all capped when the budget dwarfs the corpus
+    got = {r.group: r for r in unimax_allocation(df, "lang", "n_chars", 100000, 2).collect()}
+    assert all(v.capped for v in got.values())
+    # none capped when the fair share is below even the smallest cap
+    got = {r.group: r for r in unimax_allocation(df, "lang", "n_chars", 400, 2).collect()}
+    assert not any(v.capped for v in got.values())
+    assert len({round(v.budget_chars, 9) for v in got.values()}) == 1  # uniform level
+
+    with _pt.raises(ValueError, match="positive"):
+        unimax_allocation(df, "lang", "n_chars", 0, 2)

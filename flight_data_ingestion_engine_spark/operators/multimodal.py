@@ -640,3 +640,116 @@ def ahash_dup_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def attach_patterned_audio(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    n_windows: int = 8,
+    frames_per_window: int = 64,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Synthesize REAL 16-bit PCM WAV payloads with CLOSED-FORM energy
+    structure — the planted corpus for the audio energy gate. Clip i has
+    `n_windows` constant-amplitude windows of `frames_per_window` frames:
+    the first ``i % 3`` windows and the last ``i % 2`` windows are silent
+    (amplitude 0), every interior window has amplitude ``i % 300 + 600``
+    — so an oracle can state every window's sum of squares
+    (frames·amp²), RMS, and the trim bounds directly from (i, w) without
+    replaying the codec. Same Arrow mapInPandas shape as the codecs."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    total = n_windows * frames_per_window
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                lead, trail = i % 3, i % 2
+                amp = i % 300 + 600
+                samples: list[int] = []
+                for w in range(n_windows):
+                    a = 0 if (w < lead or w >= n_windows - trail) else amp
+                    samples.extend([a] * frames_per_window)
+                payload = encode_wav(sample_rate, samples)
+                meta = ("audio", "wav", None, None, sample_rate, total, total / sample_rate)
+                rows.append((i, payload, meta))
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def audio_energy_gate(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    frames_per_window: int = 64,
+    silence_thresh_amp: int = 100,
+) -> DataFrame:
+    """Windowed RMS energy + silence trim over decoded WAV payloads — the
+    standard audio-pipeline front gate (energy-threshold voice-activity
+    detection and lead/trail silence trimming, the preprocessing every
+    public speech corpus pipeline runs before feature extraction).
+
+    Per fixed-size window: the sum of squared samples is EXACT integer
+    arithmetic, the silence decision is the integer cross-compare
+    ``sum_sq < n_frames · thresh²`` (no float boundary), and RMS is
+    ``sqrt(sum_sq / n)`` — one IEEE division and a correctly-rounded
+    sqrt, so every value replays cross-engine. A clip's kept range is
+    [first, last] non-silent window (classic trim); clips that are all
+    silence keep nothing. The decode+window pass is one stateless Arrow
+    stage; the trim bounds are one map-side-combined groupBy on clip id
+    joined back broadcast-free (clip-keyed, co-partitioned with the
+    window rows). Returns (id, win_idx, n_frames, sum_sq, rms, silent,
+    kept); the final partial window keeps its true frame count."""
+    import pandas as pd
+
+    if frames_per_window < 1 or silence_thresh_amp < 0:
+        raise ValueError("audio_energy_gate: bad window/threshold")
+    schema = f"{id_col} bigint, win_idx bigint, n_frames bigint, sum_sq bigint"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            ids, wins, ns, sss = [], [], [], []
+            for i, payload in zip(sub[id_col].astype("int64"), sub[bytes_col]):
+                _, _, samples = decode_wav(bytes(payload))
+                for w in range(0, max(len(samples), 1), frames_per_window):
+                    chunk = samples[w : w + frames_per_window]
+                    ids.append(int(i))
+                    wins.append(w // frames_per_window)
+                    ns.append(len(chunk))
+                    sss.append(sum(s * s for s in chunk))
+            yield pd.DataFrame(
+                {id_col: ids, "win_idx": wins, "n_frames": ns, "sum_sq": sss},
+                columns=[id_col, "win_idx", "n_frames", "sum_sq"],
+            )
+
+    wins = df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+    thr = int(silence_thresh_amp) ** 2
+    wins = wins.withColumn(
+        "rms", F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double"))
+    ).withColumn("silent", F.col("sum_sq") < F.col("n_frames") * F.lit(thr))
+    bounds = wins.where(~F.col("silent")).groupBy(id_col).agg(
+        F.min("win_idx").alias("_first"), F.max("win_idx").alias("_last")
+    )
+    return (
+        wins.join(bounds, id_col, "left")
+        .withColumn(
+            "kept",
+            F.col("_first").isNotNull()
+            & (F.col("win_idx") >= F.col("_first"))
+            & (F.col("win_idx") <= F.col("_last")),
+        )
+        .drop("_first", "_last")
+    )

@@ -13547,3 +13547,53 @@ def q_unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return unimax_allocation(docs, "lang", "n_chars", budget=400000, max_epochs=3)
+
+
+@_q(
+    "audio_energy_gate",
+    """
+    WITH w AS (
+      SELECT doc_id AS clip_id, u.w AS win_idx
+      FROM documents, UNNEST(range(8)) AS u(w)
+    ),
+    a AS (
+      SELECT clip_id, win_idx,
+             CASE WHEN win_idx < clip_id % 3 OR win_idx >= 8 - (clip_id % 2)
+                  THEN 0 ELSE clip_id % 300 + 600 END AS amp
+      FROM w
+    ),
+    e AS (
+      SELECT clip_id, win_idx, CAST(64 AS BIGINT) AS n_frames,
+             CAST(64 * amp * amp AS BIGINT) AS sum_sq,
+             sqrt(CAST(64 * amp * amp AS DOUBLE) / CAST(64 AS DOUBLE)) AS rms,
+             (64 * amp * amp < 64 * 10000) AS silent
+      FROM a
+    ),
+    b AS (
+      SELECT clip_id,
+             MIN(CASE WHEN NOT silent THEN win_idx END) AS f,
+             MAX(CASE WHEN NOT silent THEN win_idx END) AS l
+      FROM e GROUP BY clip_id
+    )
+    SELECT e.clip_id, e.win_idx, e.n_frames, e.sum_sq, e.rms, e.silent,
+           (f IS NOT NULL AND e.win_idx >= f AND e.win_idx <= l) AS kept
+    FROM e JOIN b ON e.clip_id = b.clip_id
+    """,
+)
+def q_audio_energy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy + silence trim through the REAL WAV codec
+    (operators/multimodal.py::audio_energy_gate): patterned clips (lead
+    doc_id%3 / trail doc_id%2 silent windows around amplitude
+    doc_id%300+600) are encoded to 16-bit PCM, decoded, windowed, and
+    gated; the integer sums of squares, the cross-multiplied silence
+    decision, the sqrt RMS and the trim bounds all replay from the
+    closed-form pattern — value-exact without the oracle touching a
+    byte of WAV."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_audio,
+        audio_energy_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("clip_id"))
+    media = attach_patterned_audio(docs, id_col="clip_id")
+    return audio_energy_gate(media, id_col="clip_id")

@@ -676,3 +676,48 @@ def test_image_ahash_pairs_planted(spark):
         ahash_dup_pairs(hashes, id_col="img_id", max_hamming=2)
     with _pt.raises(ValueError, match="grid"):
         image_ahash(media, id_col="img_id", grid=9)
+
+
+def test_audio_energy_gate_trim(spark):
+    """Hand-built WAVs: lead/trail silence trimmed, interior quiet window
+    KEPT (trim only cuts the edges, not mid-clip pauses), all-silent clip
+    keeps nothing, partial final window keeps its true frame count."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        audio_energy_gate,
+        encode_wav,
+    )
+
+    def clip(amps, fpw=4):
+        s = []
+        for a in amps:
+            s.extend([a] * fpw)
+        return s
+
+    rows = [
+        (0, encode_wav(8000, clip([0, 700, 0, 800, 0]))),       # trim edges, keep pause
+        (1, encode_wav(8000, clip([0, 0, 0]))),                 # all silence
+        (2, encode_wav(8000, clip([500, 500]) + [500, 500])),   # partial last window
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, media_bytes binary").withColumn(
+        "media_meta",
+        F.expr(
+            "named_struct('media_type','audio','format','wav','width',CAST(NULL AS INT),"
+            "'height',CAST(NULL AS INT),'sample_rate',8000,'n_frames',0,"
+            "'duration_s',CAST(0.0 AS DOUBLE))"
+        ),
+    )
+    out = audio_energy_gate(df, id_col="clip_id", frames_per_window=4, silence_thresh_amp=100)
+    got = {(r.clip_id, r.win_idx): r for r in out.collect()}
+
+    keep0 = [got[(0, w)].kept for w in range(5)]
+    assert keep0 == [False, True, True, True, False]
+    assert got[(0, 2)].silent and got[(0, 2)].kept          # interior pause survives
+    assert got[(0, 1)].sum_sq == 4 * 700 * 700
+    assert got[(0, 1)].rms == _pt.approx(700.0)
+    assert all(not got[(1, w)].kept for w in range(3))      # all-silent clip dropped
+    assert got[(2, 2)].n_frames == 2 and got[(2, 2)].sum_sq == 2 * 500 * 500
+
+    with _pt.raises(ValueError, match="bad window"):
+        audio_energy_gate(df, id_col="clip_id", frames_per_window=0)

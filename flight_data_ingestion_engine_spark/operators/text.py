@@ -726,3 +726,63 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    local fingerprinting algorithm): hash every character k-gram, slide a
+    window of `window` consecutive gram hashes, and keep each window's
+    minimum — RIGHTMOST position on hash ties, per the paper's robust
+    variant — then dedupe the selected (hash, position) set. Guarantee:
+    any shared substring of length ≥ window + k − 1 yields at least one
+    shared fingerprint, which is why this is the plagiarism/clone
+    detector's unit; documents shorter than that threshold contribute no
+    fingerprints (gated up front).
+
+    Pure Catalyst: grams and window minima are array expressions on the
+    row (sequence → transform → slice → array_min over (hash, −pos)
+    structs — struct ordering makes min-hash-then-max-pos one
+    comparison), so the whole operator is a zero-shuffle projection;
+    per-row cost is O(grams × window), the right trade below ~10k-char
+    rows (chunk longer docs first — `corpus.chunk_documents`). Hashes
+    are the engine-portable 61-bit polynomial family, so the oracle
+    replays every fingerprint bit-exactly. Returns one row per selected
+    fingerprint: (id, pos, gram_hash, gram)."""
+    from flight_data_ingestion_engine_spark.functions.hashing import (
+        portable_token_hash61,
+    )
+
+    if k < 1 or window < 1:
+        raise ValueError("winnowing_fingerprints: k and window must be >= 1")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    m = F.length(t) - k + 1
+    ghs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(
+            portable_token_hash61(t.substr(i, F.lit(k))).alias("h"),
+            (-i).alias("negpos"),
+        ),
+    )
+    staged = df.where(F.length(t) >= k + window - 1).select(
+        F.col(id_col), t.alias("_t"), ghs.alias("_g"), m.alias("_m")
+    )
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_m") - window + 1),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+        )
+    )
+    sel = staged.select(F.col(id_col), "_t", F.explode(selected).alias("_s"))
+    pos = (-F.col("_s.negpos")).cast("int")
+    return sel.select(
+        F.col(id_col),
+        pos.cast("bigint").alias("pos"),
+        F.col("_s.h").alias("gram_hash"),
+        F.col("_t").substr(pos, F.lit(k)).alias("gram"),
+    )

@@ -13597,3 +13597,108 @@ def q_audio_energy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("clip_id"))
     media = attach_patterned_audio(docs, id_col="clip_id")
     return audio_energy_gate(media, id_col="clip_id")
+
+
+@_q(
+    "normalized_dedup_docs",
+    r"""
+    WITH var AS (
+      SELECT doc_id + 10000 AS doc_id,
+             replace(upper(replace(text, 'a', 'á')), ' ', '  ') AS text
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    allr AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM var
+    ),
+    n AS (
+      SELECT doc_id,
+             trim(
+               regexp_replace(
+                 regexp_replace(
+                   lower(strip_accents(nfc_normalize(text))),
+                   '[0-9]', '0', 'g'),
+                 '[ \t\n\r\f\v]+', ' ', 'g')
+             ) AS norm_text
+      FROM allr
+    ),
+    w AS (SELECT norm_text AS k, MIN(doc_id) AS doc_id FROM n GROUP BY norm_text)
+    SELECT n.doc_id, n.norm_text FROM n JOIN w ON n.doc_id = w.doc_id
+    """,
+)
+def q_normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the CCNet normalization exists FOR: accented /
+    case / whitespace variants (planted on doc_id%4 via an identical
+    construction on both engines) collapse onto their base documents
+    under normalize_text, and `exact_dedup` (the 128-bit hash-group
+    scale path) keeps the min-id survivor per normalized string — every
+    planted variant loses to its base. The oracle replays the variant
+    construction, the full normalization chain, and the min-id
+    survivorship relationally; NULL texts group together on both
+    engines."""
+    from flight_data_ingestion_engine_spark.operators.dedup import exact_dedup
+    from flight_data_ingestion_engine_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select("doc_id", "text")
+    var = docs.where(d % 4 == 0).select(
+        (d + 10000).alias("doc_id"),
+        F.expr("replace(upper(replace(text, 'a', 'á')), ' ', '  ')").alias("text"),
+    )
+    normed = normalize_text(base.unionByName(var)).select("doc_id", "norm_text")
+    return exact_dedup(normed, ["norm_text"], "doc_id", keep="min")
+
+
+@_q(
+    "winnowing_fingerprints_docs",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, COALESCE(text, '') AS t FROM documents
+      WHERE length(COALESCE(text, '')) >= 8
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, substr(t, CAST(u.i AS INT), 5) AS tok
+      FROM aug, UNNEST(range(1, length(t) - 5 + 2)) u(i)
+    ),
+    h AS (SELECT doc_id, pos, {_tokhash61_sql()} AS gh FROM g),
+    mw AS (SELECT doc_id, MAX(pos) AS m FROM h GROUP BY doc_id),
+    w AS (
+      SELECT h.doc_id, h.pos AS wstart,
+             MIN(gh) OVER (PARTITION BY h.doc_id ORDER BY h.pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      FROM h
+    ),
+    ws AS (
+      SELECT w.doc_id, wstart, minh
+      FROM w JOIN mw ON w.doc_id = mw.doc_id
+      WHERE wstart <= m - 3
+    ),
+    sel AS (
+      SELECT ws.doc_id, ws.wstart, ws.minh, MAX(h.pos) AS selpos
+      FROM ws JOIN h ON h.doc_id = ws.doc_id
+                    AND h.pos BETWEEN ws.wstart AND ws.wstart + 3
+                    AND h.gh = ws.minh
+      GROUP BY 1, 2, 3
+    ),
+    d AS (SELECT DISTINCT sel.doc_id, selpos AS pos, minh AS gram_hash FROM sel)
+    SELECT d.doc_id, CAST(pos AS BIGINT) AS pos, gram_hash,
+           substr(aug.t, pos, 5) AS gram
+    FROM d JOIN aug ON d.doc_id = aug.doc_id
+    """,
+)
+def q_winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py::winnowing_fingerprints
+    — Schleimer et al. 2003, the MOSS algorithm) over the corpus: k=5
+    char grams, window 4, rightmost-min selection, (hash, pos) dedup.
+    Spark selects via array windows + struct array_min on (h, −pos);
+    the oracle replays it RELATIONALLY (frame-window MIN + rightmost
+    arg-max join) — same fingerprint set, different plan, on the
+    portable 61-bit polynomial hash family — value-exact including the
+    gram strings and positions."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, k=5, window=4)

@@ -721,3 +721,58 @@ def test_audio_energy_gate_trim(spark):
 
     with _pt.raises(ValueError, match="bad window"):
         audio_energy_gate(df, id_col="clip_id", frames_per_window=0)
+
+
+def _py_tokhash61(tok: str) -> int:
+    m31 = (1 << 31) - 1
+    def poly(mult, init):
+        acc = init
+        for ch in tok:
+            acc = (acc * mult + ord(ch)) % m31
+        return acc
+    return (poly(31, 1779033703) * 2654435761 + poly(37, 1013904242) * 40503) % ((1 << 61) - 1)
+
+
+def test_winnowing_fingerprints_reference(spark):
+    """Spark's array-window selection equals an independent Python
+    reference implementation (rightmost-min winnowing) on texts with
+    planted hash ties; the w+k−1 shared-substring guarantee holds; short
+    docs are gated out; validation raises."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    def reference(text, k, w):
+        grams = [(text[i - 1 : i - 1 + k], i) for i in range(1, len(text) - k + 2)]
+        hs = [(_py_tokhash61(g), p) for g, p in grams]
+        out = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j : j + w]
+            mh = min(h for h, _ in win)
+            pos = max(p for h, p in win if h == mh)       # rightmost min
+            out.add((pos, mh))
+        return out
+
+    texts = [
+        (0, "abababababab"),                  # dense hash ties inside windows
+        (1, "the winnowing guarantee holds for shared substrings."),
+        (2, "the winnowing guarantee holds, said someone else entirely."),
+        (3, "short"),                          # below k+w-1 = 8 with k=5,w=4
+        (4, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=5, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+        assert r.gram == (texts[r.doc_id][1])[r.pos - 1 : r.pos + 4]
+    for i in (0, 1, 2):
+        assert got[i] == reference(texts[i][1], 5, 4), i
+    assert 3 not in got and 4 not in got
+    # shared prefix >= w+k-1 chars -> at least one shared fingerprint hash
+    shared = {h for _, h in got[1]} & {h for _, h in got[2]}
+    assert shared
+
+    with _pt.raises(ValueError, match="must be >= 1"):
+        winnowing_fingerprints(df, k=0)

@@ -1106,3 +1106,31 @@ def test_ivf_probe_dynamic_partition_pruning(spark, tmp_path):
     plan = explain_str(probe)
     assert "dynamicpruning" in plan.lower(), plan
     assert probe.count() > 0
+
+
+def test_wave4_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the fourth-wave families. The text gates
+    (code rules, normalization, winnowing) and both aHash stages ride
+    the scan with ZERO exchanges; the pair search adds only its band
+    equi-join; the weight/allocation ops shuffle k-row domain tables,
+    never the corpus; margin mining is its two rank windows plus the
+    final margin ranking."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "code_quality_rules": 0,        # pure codegen projection
+        "normalize_text_docs": 0,       # one Arrow stage, no shuffle
+        "winnowing_fingerprints_docs": 0,  # array windows + explode
+        "image_ahash_values": 0,        # synth + hash Arrow stages
+        "image_ahash_pairs": 2,         # band equi-join (+pair dedup agg)
+        "audio_energy_gate": 2,         # clip-keyed bounds agg + join back
+        "doremi_domain_weights": 2,     # domain agg + 1-row fold agg
+        "unimax_language_budgets": 4,   # lang agg + k-row windows/scalars
+        "margin_bitext_pairs": 3,       # two kNN windows + margin ranking
+        "normalized_dedup_docs": 2,     # hash-group winners + semi join
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -91,6 +91,16 @@ SELECTED = [
     ("fineweb_pipeline", "four zero-shuffle stages composed; only the audit joins shuffle (id-keyed)"),
 
     ("media_decode_real", "Arrow mapInPandas codec stage over a pruned (id, bytes, meta) projection"),
+
+    # r10 fourth pass
+    ("code_quality_rules", "Codex/The Stack gates: zero-shuffle codegen projection"),
+    ("normalize_text_docs", "CCNet normalization: one Arrow stage, no shuffle"),
+    ("winnowing_fingerprints_docs", "MOSS winnowing: array windows + explode, zero exchanges"),
+    ("image_ahash_pairs", "aHash band equi-join + bit_count verify; no all-pairs product"),
+    ("audio_energy_gate", "WAV decode/window Arrow stage + clip-keyed trim bounds join"),
+    ("doremi_domain_weights", "domain agg to k rows + ordered-fold softmax (broadcast scalars)"),
+    ("unimax_language_budgets", "water-filling closed form: k-row windows, no corpus shuffle"),
+    ("margin_bitext_pairs", "broadcast candidate cross + two kNN rank windows + margin ranking"),
 ]
 
 INTERESTING = re.compile(

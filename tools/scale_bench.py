@@ -76,6 +76,14 @@ ABS_BUDGET_US = {
     "html_extract": 35.0,
     "bff_dedup": 60.0,
     "compression_ratio": 40.0,
+    # r10 fourth pass: measured big-volume rates 150.3 (winnowing — the
+    # honest O(grams x window) array cost, rel 0.87), 35.2 (ahash_pairs
+    # incl. BMP synth+decode, rel 0.42), 11.0 (audio_gate, rel 0.32) and
+    # 19.0 (margin per candidate pair, rel 0.28) on this box — ~4x
+    "winnowing": 600.0,
+    "ahash_pairs": 150.0,
+    "audio_gate": 45.0,
+    "margin": 80.0,
 }
 REL_BUDGET = 2.0
 
@@ -303,6 +311,66 @@ def _ops(spark):
         ).collect()
         return n
 
+    def winnowing_op(n):
+        # r10 fourth pass: O(grams x window) array work per row — the
+        # exact per-row-constant class this harness exists to watch
+        from flight_data_ingestion_engine_spark.operators.text import (
+            winnowing_fingerprints,
+        )
+
+        winnowing_fingerprints(synth_docs(spark, n), id_col="id", k=5, window=4).agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
+    def ahash_pairs_op(n):
+        # r10 fourth pass: patterned-BMP synth + decode + hash + band join
+        # (the Python md5/pixel work dominates — per-row constant watch)
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            ahash_dup_pairs,
+            attach_patterned_media,
+            image_ahash,
+        )
+
+        ids = spark.range(n).select(
+            F.col("id").alias("img_id"),
+            (F.col("id") % (n // 2)).alias("src"),
+            F.lit(False).alias("flip"),
+        )
+        media = attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip")
+        hashes = image_ahash(media, id_col="img_id")
+        ahash_dup_pairs(hashes, id_col="img_id", max_hamming=3).agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
+    def audio_gate_op(n):
+        # r10 fourth pass: WAV encode+decode+window Arrow stage + trim join
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_patterned_audio,
+            audio_energy_gate,
+        )
+
+        clips = spark.range(n).select(F.col("id").alias("clip_id"))
+        media = attach_patterned_audio(clips, id_col="clip_id", n_windows=8,
+                                       frames_per_window=64)
+        audio_energy_gate(media, id_col="clip_id").agg(F.count(F.lit(1))).collect()
+        return n
+
+    def margin_op(n):
+        # r10 fourth pass: candidate-bounded margin mining — 200 queries x
+        # (n/20) candidates; cost is the scored pair table, rate per pair
+        from flight_data_ingestion_engine_spark.operators.similarity import (
+            margin_scores,
+        )
+
+        left = synth_vecs(spark, 200).withColumnRenamed("vec_id", "qid")
+        right = synth_vecs(spark, max(n // 20, 500)).withColumnRenamed("vec_id", "cid")
+        margin_scores(left, right, "qid", "cid", k=4).where(F.col("rank") <= 2).agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -321,6 +389,10 @@ def _ops(spark):
         "rank_sketch": rank_sketch,
         "filtered_ivf": filtered_ivf,
         "span_dedup": span_dedup_op,
+        "margin": margin_op,
+        "winnowing": winnowing_op,
+        "audio_gate": audio_gate_op,
+        "ahash_pairs": ahash_pairs_op,
     }
 
 

@@ -971,6 +971,61 @@ def main() -> None:
         assert "Window" not in pr._jdf.queryExecution().executedPlan().toString()
         assert pr.count() == n_docs
 
+    with stage(f"winnowing_{n_docs}_docs"):
+        # r10 fourth pass: zero-shuffle claim must hold at full volume
+        from flight_data_ingestion_engine_spark.operators.text import (
+            winnowing_fingerprints,
+        )
+
+        wf_b = winnowing_fingerprints(docs, id_col="id", k=5, window=4)
+        wf_s = winnowing_fingerprints(docs.where(F.col("id") % 50 == 0),
+                                      id_col="id", k=5, window=4)
+        assert _exchanges(wf_b) == _exchanges(wf_s) == 0
+        assert wf_b.count() > 0
+
+    with stage(f"ahash_pairs_{n_docs // 10}_imgs"):
+        # r10 fourth pass: banded pair search — plan shape volume-invariant
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            ahash_dup_pairs,
+            attach_patterned_media,
+            image_ahash,
+        )
+
+        def _ahash_plan(n):
+            ids = spark.range(n).select(
+                F.col("id").alias("img_id"),
+                (F.col("id") % max(n // 2, 1)).alias("src"),
+                F.lit(False).alias("flip"),
+            )
+            hashes = image_ahash(
+                attach_patterned_media(ids, id_col="img_id", src_col="src",
+                                       flip_col="flip"),
+                id_col="img_id",
+            )
+            return ahash_dup_pairs(hashes, id_col="img_id", max_hamming=3)
+
+        pa_b, pa_s = _ahash_plan(n_docs // 10), _ahash_plan(n_docs // 500)
+        assert _exchanges(pa_b) == _exchanges(pa_s)
+        # every src is shared by exactly 2 imgs -> >= n/2 hamming-0 pairs
+        assert pa_b.where(F.col("hamming") == 0).count() >= n_docs // 20
+
+    with stage(f"audio_gate_{n_docs // 10}_clips"):
+        # r10 fourth pass: decode+window Arrow stage + clip-keyed trim join
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_patterned_audio,
+            audio_energy_gate,
+        )
+
+        def _gate_plan(n):
+            clips = spark.range(n).select(F.col("id").alias("clip_id"))
+            return audio_energy_gate(
+                attach_patterned_audio(clips, id_col="clip_id"), id_col="clip_id"
+            )
+
+        ag_b, ag_s = _gate_plan(n_docs // 10), _gate_plan(n_docs // 500)
+        assert _exchanges(ag_b) == _exchanges(ag_s)
+        assert ag_b.count() == (n_docs // 10) * 8
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

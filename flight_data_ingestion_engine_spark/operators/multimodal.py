@@ -738,7 +738,11 @@ def audio_energy_gate(
     wins = df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
     thr = int(silence_thresh_amp) ** 2
     wins = wins.withColumn(
-        "rms", F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double"))
+        "rms",
+        F.when(
+            F.col("n_frames") > 0,
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double")),
+        ).otherwise(F.lit(0.0)),
     ).withColumn("silent", F.col("sum_sq") < F.col("n_frames") * F.lit(thr))
     bounds = wins.where(~F.col("silent")).groupBy(id_col).agg(
         F.min("win_idx").alias("_first"), F.max("win_idx").alias("_last")

@@ -563,26 +563,14 @@ def image_ahash(
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
 
 
-def ahash_dup_pairs(
-    hashes: DataFrame,
-    id_col: str = "img_id",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Image near-dup pairs within Hamming distance d over the two-word
-    aHash, via the same EXHAUSTIVE pigeonhole banding as
-    `dedup.simhash_near_pairs`: d+1 equal-width bands of the 64 bits — a
-    pair at distance ≤ d differs in ≤ d bands, so at least one band
-    matches exactly and the per-band equi-join is a complete cover, not a
-    probabilistic filter. Bands must be word-aligned over (hi, lo), so
-    d+1 ∈ {1, 2, 4, 8, 16} (d=0 joins on both words whole). Returns
-    (id_a, id_b, hamming) with the exact verify
-    ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` on candidates only —
-    at corpus scale the shuffle is the band equi-join on 16-bit keys,
-    never an all-pairs product."""
+def _ahash_banded(hashes: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """Explode the two-word aHash into its d+1 word-aligned pigeonhole
+    bands: (id, ahash_hi, ahash_lo, band_id, v1, v2). Shared by the
+    self-pair search and the cross-set (batch vs state) membership probe."""
     blocks = max_hamming + 1
     if blocks not in (1, 2, 4, 8, 16):
         raise ValueError(
-            "ahash_dup_pairs: max_hamming+1 must be a word-aligned band "
+            "ahash banding: max_hamming+1 must be a word-aligned band "
             f"count (1, 2, 4, 8 or 16), got {blocks}"
         )
     hi, lo = F.col("ahash_hi"), F.col("ahash_lo")
@@ -604,13 +592,32 @@ def ahash_dup_pairs(
                         F.lit(0).cast("bigint").alias("v2"),
                     )
                 )
-    banded = hashes.select(
+    return hashes.select(
         F.col(id_col), hi, lo, F.explode(F.array(*bands)).alias("b")
     ).select(
         id_col, "ahash_hi", "ahash_lo",
         F.col("b.band_id").alias("band_id"),
         F.col("b.v1").alias("v1"), F.col("b.v2").alias("v2"),
     )
+
+
+def ahash_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "img_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs within Hamming distance d over the two-word
+    aHash, via the same EXHAUSTIVE pigeonhole banding as
+    `dedup.simhash_near_pairs`: d+1 equal-width bands of the 64 bits — a
+    pair at distance ≤ d differs in ≤ d bands, so at least one band
+    matches exactly and the per-band equi-join is a complete cover, not a
+    probabilistic filter. Bands must be word-aligned over (hi, lo), so
+    d+1 ∈ {1, 2, 4, 8, 16} (d=0 joins on both words whole). Returns
+    (id_a, id_b, hamming) with the exact verify
+    ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` on candidates only —
+    at corpus scale the shuffle is the band equi-join on 16-bit keys,
+    never an all-pairs product."""
+    banded = _ahash_banded(hashes, id_col, max_hamming)
     a = banded.select(
         "band_id", "v1", "v2",
         F.col(id_col).alias("id_a"),
@@ -639,6 +646,48 @@ def ahash_dup_pairs(
     ).cast("bigint")
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
+    )
+
+
+def ahash_cross_dups(
+    batch_hashes: DataFrame,
+    state_hashes: DataFrame,
+    id_col: str = "img_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Batch ids whose aHash sits within Hamming distance d of ANY state
+    hash — the cross-set membership probe the incremental/streaming image
+    dedup loop runs against its accumulated hash table. Same EXHAUSTIVE
+    pigeonhole banding as `ahash_dup_pairs`, but batch bands join state
+    bands (never batch×batch or state×state), so per-batch cost is the
+    band equi-join against the metadata-sized hash state — the corpus's
+    pixel bytes are never read back. Returns one row per duplicate batch
+    id: (id, min_hamming)."""
+    a = _ahash_banded(batch_hashes, id_col, max_hamming).select(
+        "band_id", "v1", "v2",
+        F.col(id_col).alias("_bid"),
+        F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"),
+    )
+    s = _ahash_banded(state_hashes, id_col, max_hamming).select(
+        F.col("band_id").alias("band_id_s"),
+        F.col("v1").alias("v1_s"), F.col("v2").alias("v2_s"),
+        F.col("ahash_hi").alias("hi_s"), F.col("ahash_lo").alias("lo_s"),
+    )
+    cand = a.join(
+        s,
+        (a["band_id"] == s["band_id_s"])
+        & (a["v1"] == s["v1_s"])
+        & (a["v2"] == s["v2_s"]),
+    )
+    ham = (
+        F.bit_count(F.col("hi_b").bitwiseXOR(F.col("hi_s")))
+        + F.bit_count(F.col("lo_b").bitwiseXOR(F.col("lo_s")))
+    ).cast("bigint")
+    return (
+        cand.select(F.col("_bid").alias(id_col), ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy(id_col)
+        .agg(F.min("hamming").alias("min_hamming"))
     )
 
 

@@ -13282,19 +13282,15 @@ def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "norm_text")
 
 
-def _ahash_sql() -> str:
-    """DuckDB twin of the patterned-BMP → aHash pipeline: md5 pixel
-    bytes, one flipped pixel on near-clones, integer mean compare,
-    two 32-bit hash words. Shared by the values and pairs oracles."""
+def _ahash_hw_sql(imgs_cte: str) -> str:
+    """DuckDB twin of the patterned-BMP → aHash pipeline over a caller-
+    supplied `imgs (img_id, src, flip)` CTE body: md5 pixel bytes, one
+    flipped pixel on flip rows, integer mean compare, two 32-bit hash
+    words. Shared by the values/pairs oracles and the streaming-dedup
+    survivor oracle."""
     px = "('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT"
     return f"""
-    imgs AS (
-      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip FROM documents
-      UNION ALL
-      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 7 = 0
-      UNION ALL
-      SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 5 = 0
-    ),
+    imgs AS ({imgs_cte}),
     px AS (
       SELECT img_id, u.p AS p,
              CASE WHEN flip AND u.p = 0 THEN ({px} + 128) % 256 ELSE {px} END AS v
@@ -13313,6 +13309,19 @@ def _ahash_sql() -> str:
       FROM b GROUP BY img_id
     )
     """
+
+
+_AHASH_PLANTED_IMGS = """
+      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 5 = 0
+    """
+
+
+def _ahash_sql() -> str:
+    return _ahash_hw_sql(_AHASH_PLANTED_IMGS)
 
 
 def _ahash_corpus(spark: SparkSession, sf_dir: str):
@@ -13702,3 +13711,67 @@ def q_winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnowing_fingerprints(docs, k=5, window=4)
+
+
+@_q(
+    "streaming_image_dedup",
+    "WITH "
+    + _ahash_hw_sql(
+        """
+      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, doc_id, FALSE FROM documents WHERE doc_id % 4 = 3
+    """
+    )
+    + "SELECT img_id AS doc_id, ahash_hi, ahash_lo FROM hw",
+)
+def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental image dedup (streaming/file_stream.py::
+    foreach_batch_ahash_sink): even-id images land as micro-batch 1 and
+    seed the aHash state; batch 2 carries odd ids where doc_id%4==1 rows
+    are EXACT pixel clones of already-ingested even sources (dropped by
+    the banded cross-set probe at Hamming 0) and doc_id%4==3 rows are
+    fresh (admitted). The final state must therefore be exactly
+    evens ∪ odds≡3 (mod 4), each with its own md5-pattern hash — the
+    oracle states every surviving hash word relationally. Replay safety
+    is content-idempotence (a replayed batch self-collides at Hamming 0;
+    sink-fires-twice pytest), the dedup-sink guarantee."""
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_ahash_sink,
+        stream_parquet,
+    )
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ids = docs.select(
+        "doc_id",
+        F.when((d % 4 == 1), d - 1).otherwise(d).alias("src"),
+        F.lit(False).alias("flip"),
+    )
+    media = attach_patterned_media(ids, id_col="doc_id", src_col="src", flip_col="flip")
+    src_dir, state, ck = _stage_doc_batches(spark, sf_dir, "sahash", media)
+    schema = (
+        "doc_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    st = stream_parquet(spark, src_dir, schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_ahash_sink(st, state, ck, id_col="doc_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(state)

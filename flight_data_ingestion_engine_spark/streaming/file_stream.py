@@ -975,3 +975,63 @@ def foreach_batch_bff_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_ahash_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "img_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    max_hamming: int = 3,
+):
+    """Streaming incremental image dedup against an accumulated aHash
+    state (operators/multimodal.py::image_ahash / ahash_cross_dups) —
+    the LAION-style steady-state loop: each micro-batch's images are
+    hashed, exact-deduped WITHIN the batch on the hash words (min id
+    wins), pruned against the state via the banded cross-set probe
+    (Hamming ≤ d), and only the survivors' (id, ahash_hi, ahash_lo)
+    rows append. Per-batch cost is the batch's decode + a band equi-join
+    against the metadata-sized hash table; the corpus's pixel bytes are
+    never read back.
+
+    Replay is content-idempotent BY CONSTRUCTION, the dedup-sink
+    guarantee (no epoch markers): a crash-replayed batch's hashes sit in
+    the state at Hamming 0, so the probe drops every row and the append
+    writes nothing (pytest-gated). Near-dup pairs arriving in the SAME
+    batch both survive (the within-batch pass is exact-only); they are
+    caught retroactively by a batch `ahash_dup_pairs` audit if that
+    matters — the same asymmetry the text dedup sink documents."""
+    from flight_data_ingestion_engine_spark.operators.dedup import exact_dedup
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        ahash_cross_dups,
+        image_ahash,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashes = image_ahash(
+            batch_df, id_col=id_col, bytes_col=bytes_col, meta_col=meta_col
+        )
+        hashes = exact_dedup(
+            hashes, ["ahash_hi", "ahash_lo"], id_col=id_col, hash_group=False
+        )
+        state = _read_parquet_or_none(spark, state_path)
+        if state is not None:
+            dups = ahash_cross_dups(
+                hashes, state, id_col=id_col, max_hamming=max_hamming
+            ).select(id_col)
+            hashes = hashes.join(dups, id_col, "left_anti")
+        survivors = hashes.localCheckpoint(eager=True)
+        survivors.select(id_col, "ahash_hi", "ahash_lo").write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1049,3 +1049,73 @@ def test_bff_sink_replay_is_structurally_idempotent(spark, tmp_path):
         ).collect()
     }
     assert twice == batch
+
+
+def test_ahash_sink_replay_is_content_idempotent(spark, tmp_path):
+    """The streaming image-dedup sink: exact clones across batches are
+    dropped by the banded cross-set probe; a crash-replayed batch
+    self-collides with its own state rows at Hamming 0 and appends
+    NOTHING (the dedup-sink delivery guarantee, no epoch markers)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        ahash_cross_dups,
+        attach_patterned_media,
+        image_ahash,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_ahash_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ids = spark.createDataFrame(
+        [(i, i, False) for i in range(12)], "img_id long, src long, flip boolean"
+    )
+    media = attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip")
+    media.coalesce(1).write.parquet(src)
+    schema = (
+        "img_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def run():
+        st = stream_parquet(spark, src, schema)
+        q = (
+            foreach_batch_ahash_sink(st, state, str(tmp_path / f"ck{run.n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        run.n += 1
+
+    run.n = 0
+    run()
+    once = {(r.img_id, r.ahash_hi, r.ahash_lo) for r in spark.read.parquet(state).collect()}
+    assert len(once) == 12
+    # crash replay: a FRESH checkpoint re-delivers the same file; the
+    # probe drops every row against the state (content idempotence)
+    run()
+    twice = {(r.img_id, r.ahash_hi, r.ahash_lo) for r in spark.read.parquet(state).collect()}
+    assert twice == once
+
+    # the cross-set probe itself: hamming 0 and 3 are dups, 4 is not
+    st_h = spark.createDataFrame([(100, 0b1111, 0)], "img_id long, ahash_hi long, ahash_lo long")
+    batch_h = spark.createDataFrame(
+        [(1, 0b1111, 0), (2, 0b1000, 0), (3, 0b0000, 1 << 31)],
+        "img_id long, ahash_hi long, ahash_lo long",
+    )
+    dups = {r.img_id: r.min_hamming for r in ahash_cross_dups(batch_h, st_h).collect()}
+    assert dups == {1: 0, 2: 3}
+
+    # hashing audio rows yields nothing (images only)
+    aud = media.withColumn(
+        "media_meta",
+        F.expr(
+            "named_struct('media_type','audio','format','wav','width',CAST(NULL AS INT),"
+            "'height',CAST(NULL AS INT),'sample_rate',8000,'n_frames',1,"
+            "'duration_s',CAST(0.1 AS DOUBLE))"
+        ),
+    )
+    assert image_ahash(aud, id_col="img_id").count() == 0

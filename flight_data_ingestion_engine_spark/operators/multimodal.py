@@ -563,10 +563,22 @@ def image_ahash(
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
 
 
-def _ahash_banded(hashes: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
-    """Explode the two-word aHash into its d+1 word-aligned pigeonhole
-    bands: (id, ahash_hi, ahash_lo, band_id, v1, v2). Shared by the
-    self-pair search and the cross-set (batch vs state) membership probe."""
+def _ahash_banded(
+    hashes: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
+) -> DataFrame:
+    """Explode a two-word perceptual hash (aHash or dHash) into its d+1
+    word-aligned pigeonhole bands: (id, ahash_hi, ahash_lo, band_id, v1,
+    v2). Shared by the self-pair search and the cross-set (batch vs
+    state) membership probe."""
+    hashes = hashes.select(
+        F.col(id_col),
+        F.col(hi_col).alias("ahash_hi"),
+        F.col(lo_col).alias("ahash_lo"),
+    )
     blocks = max_hamming + 1
     if blocks not in (1, 2, 4, 8, 16):
         raise ValueError(
@@ -605,6 +617,8 @@ def ahash_dup_pairs(
     hashes: DataFrame,
     id_col: str = "img_id",
     max_hamming: int = 3,
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
 ) -> DataFrame:
     """Image near-dup pairs within Hamming distance d over the two-word
     aHash, via the same EXHAUSTIVE pigeonhole banding as
@@ -617,7 +631,7 @@ def ahash_dup_pairs(
     ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` on candidates only —
     at corpus scale the shuffle is the band equi-join on 16-bit keys,
     never an all-pairs product."""
-    banded = _ahash_banded(hashes, id_col, max_hamming)
+    banded = _ahash_banded(hashes, id_col, max_hamming, hi_col, lo_col)
     a = banded.select(
         "band_id", "v1", "v2",
         F.col(id_col).alias("id_a"),
@@ -654,6 +668,8 @@ def ahash_cross_dups(
     state_hashes: DataFrame,
     id_col: str = "img_id",
     max_hamming: int = 3,
+    hi_col: str = "ahash_hi",
+    lo_col: str = "ahash_lo",
 ) -> DataFrame:
     """Batch ids whose aHash sits within Hamming distance d of ANY state
     hash — the cross-set membership probe the incremental/streaming image
@@ -663,12 +679,12 @@ def ahash_cross_dups(
     band equi-join against the metadata-sized hash state — the corpus's
     pixel bytes are never read back. Returns one row per duplicate batch
     id: (id, min_hamming)."""
-    a = _ahash_banded(batch_hashes, id_col, max_hamming).select(
+    a = _ahash_banded(batch_hashes, id_col, max_hamming, hi_col, lo_col).select(
         "band_id", "v1", "v2",
         F.col(id_col).alias("_bid"),
         F.col("ahash_hi").alias("hi_b"), F.col("ahash_lo").alias("lo_b"),
     )
-    s = _ahash_banded(state_hashes, id_col, max_hamming).select(
+    s = _ahash_banded(state_hashes, id_col, max_hamming, hi_col, lo_col).select(
         F.col("band_id").alias("band_id_s"),
         F.col("v1").alias("v1_s"), F.col("v2").alias("v2_s"),
         F.col("ahash_hi").alias("hi_s"), F.col("ahash_lo").alias("lo_s"),
@@ -806,3 +822,71 @@ def audio_energy_gate(
         )
         .drop("_first", "_last")
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    grid: int = 8,
+) -> DataFrame:
+    """Difference-hash (dHash) — the gradient sibling of `image_ahash`
+    and the other classic perceptual image-dedup fingerprint: bit (y, x)
+    is "block (y, x) brighter than its RIGHT neighbor", so the hash
+    encodes row gradients instead of global-mean contrast (robust where
+    a vignette or exposure gradient moves the global mean). grid×(grid−1)
+    bits (56 at the default 8), packed into the same two 32-bit words as
+    aHash — `ahash_dup_pairs`/`ahash_cross_dups` accept them via their
+    hi/lo column parameters; unused high bits are always 0, which only
+    strengthens the pigeonhole cover. The brightness compare is the
+    integer cross-multiplication ``s₁·n₂ > s₂·n₁`` (no float means).
+    Returns (id, dhash_hi, dhash_lo)."""
+    import pandas as pd
+
+    if grid < 2 or grid * (grid - 1) > 64:
+        raise ValueError("image_dhash: grid must be in 2..8 (≤ 64 bits)")
+    schema = f"{id_col} bigint, dhash_hi bigint, dhash_lo bigint"
+
+    def one(fmt: str, payload: bytes) -> tuple[int, int]:
+        w, h, px = _IMAGE_DECODERS[fmt](payload)
+        sums, ns = [], []
+        for by in range(grid):
+            y0, y1 = by * h // grid, (by + 1) * h // grid
+            for bx in range(grid):
+                x0, x1 = bx * w // grid, (bx + 1) * w // grid
+                ns.append((y1 - y0) * (x1 - x0))
+                sums.append(
+                    sum(px[y * w + x] for y in range(y0, y1) for x in range(x0, x1))
+                )
+        hi = lo = 0
+        p = 0
+        for by in range(grid):
+            for bx in range(grid - 1):
+                q = by * grid + bx
+                if sums[q] * ns[q + 1] > sums[q + 1] * ns[q]:
+                    if p < 32:
+                        hi |= 1 << (31 - p)
+                    else:
+                        lo |= 1 << (63 - p)
+                p += 1
+        return hi, lo
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            keep = fmt.isin(set(_IMAGE_DECODERS))
+            sub = pdf[keep]
+            if not len(sub):
+                continue
+            hashes = [one(f, bytes(p)) for f, p in zip(fmt[keep], sub[bytes_col])]
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col].astype("int64"),
+                    "dhash_hi": [a for a, _ in hashes],
+                    "dhash_lo": [b for _, b in hashes],
+                },
+                columns=[id_col, "dhash_hi", "dhash_lo"],
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)

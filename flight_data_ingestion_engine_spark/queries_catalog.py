@@ -13775,3 +13775,64 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(state)
+
+
+@_q(
+    "image_dhash_values",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT img_id, u.p AS p,
+             CASE WHEN flip AND u.p = 0
+                  THEN (('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT + 128) % 256
+                  ELSE ('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT
+             END AS v
+      FROM imgs, UNNEST(range(64)) AS u(p)
+    ),
+    db AS (
+      SELECT a.img_id, (a.p // 8) * 7 + (a.p % 8) AS bp,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON a.img_id = b.img_id AND b.p = a.p + 1
+      WHERE a.p % 8 <> 7
+    )
+    SELECT img_id,
+           SUM(CASE WHEN bp < 32 THEN bit * (1::BIGINT << CAST(31 - bp AS INT)) ELSE 0 END) AS dhash_hi,
+           SUM(CASE WHEN bp >= 32 THEN bit * (1::BIGINT << CAST(63 - bp AS INT)) ELSE 0 END) AS dhash_lo
+    FROM db GROUP BY img_id
+    """,
+)
+def q_image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash values over the same planted BMP corpus as the
+    aHash oracles (operators/multimodal.py::image_dhash): bit (y, x) =
+    block brighter than its right neighbor, 56 bits row-major in the
+    two-word layout. The oracle replays pixels → adjacent-pair strict
+    compares → every packed bit relationally, value-exact through the
+    real BMP encode/decode; pair search reuses the proven
+    `ahash_dup_pairs` machinery via its hi/lo column parameters
+    (pytest-gated against a brute force)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import image_dhash
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.select(d.alias("img_id"), d.alias("src"), F.lit(False).alias("flip"))
+    clones = docs.where(d % 7 == 0).select(
+        (d + 100000).alias("img_id"), d.alias("src"), F.lit(False).alias("flip")
+    )
+    near = docs.where(d % 5 == 0).select(
+        (d + 200000).alias("img_id"), d.alias("src"), F.lit(True).alias("flip")
+    )
+    media = attach_patterned_media(
+        base.unionByName(clones).unionByName(near),
+        id_col="img_id", src_col="src", flip_col="flip",
+    )
+    return image_dhash(media, id_col="img_id")

@@ -776,3 +776,61 @@ def test_winnowing_fingerprints_reference(spark):
 
     with _pt.raises(ValueError, match="must be >= 1"):
         winnowing_fingerprints(df, k=0)
+
+
+def test_image_dhash_pairs_and_gradient_property(spark):
+    """dHash: exact clones at hamming 0 through the shared pair search
+    (hi/lo column params); brute-force equality; a uniform brightness
+    shift leaves the gradient hash IDENTICAL (the dHash property);
+    validation raises."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        attach_patterned_media,
+        encode_bmp,
+        image_dhash,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, i % 10, False) for i in range(20)], "img_id long, src long, flip boolean"
+    )
+    media = attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip")
+    hashes = image_dhash(media, id_col="img_id").cache()
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ahash_dup_pairs(
+            hashes, id_col="img_id", max_hamming=3,
+            hi_col="dhash_hi", lo_col="dhash_lo",
+        ).collect()
+    }
+    hs = {r.img_id: (r.dhash_hi, r.dhash_lo) for r in hashes.collect()}
+    brute = {}
+    ks = sorted(hs)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            dd = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(hs[a][1] ^ hs[b][1]).count("1")
+            if dd <= 3:
+                brute[(a, b)] = dd
+    assert pairs == brute
+    assert all(pairs[(i, i + 10)] == 0 for i in range(10))  # exact clones
+    hashes.unpersist()
+
+    # uniform +40 brightness: every adjacent difference is unchanged
+    base = [((i * 37) % 200) for i in range(64)]
+    shifted = [p + 40 for p in base]
+    two = spark.createDataFrame(
+        [(0, encode_bmp(8, 8, base)), (1, encode_bmp(8, 8, shifted))],
+        "img_id long, media_bytes binary",
+    ).withColumn(
+        "media_meta",
+        F.expr(
+            "named_struct('media_type','image','format','bmp','width',8,'height',8,"
+            "'sample_rate',CAST(NULL AS INT),'n_frames',1,'duration_s',CAST(NULL AS DOUBLE))"
+        ),
+    )
+    got = {r.img_id: (r.dhash_hi, r.dhash_lo) for r in image_dhash(two, id_col="img_id").collect()}
+    assert got[0] == got[1]
+
+    with _pt.raises(ValueError, match="grid"):
+        image_dhash(media, id_col="img_id", grid=1)

@@ -2000,3 +2000,66 @@ def margin_scores(
             "rank",
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """k-center greedy coreset selection (the farthest-point / max-min
+    diversity rule — Gonzalez 1985's 2-approximation, the selection core
+    of coreset data pruning and active learning à la Sener & Savarese
+    2018): start from the min-id point, then repeatedly take the point
+    FARTHEST from the chosen set (max over points of min squared-L2 to
+    any center; ties → min id). The selection distance of the j-th pick
+    is the coverage radius of the first j−1 — the classic pruning
+    diagnostic.
+
+    Scale shape: each of the k−1 steps is ONE distributed action
+    returning ONE row (TakeOrdered over the fresh min-distance
+    expression); center vectors are driver-held (k × dim doubles —
+    metadata-sized, the star_join_adaptive decision-action contract).
+    The min-over-centers is a flat LEAST over per-center fold distances
+    — order-independent, so no lineage accretes and no checkpoint is
+    needed. Distances are the sequential (x−y)² fold — deterministic and
+    engine-portable, so the oracle replays every selection and distance
+    value-exactly with unrolled SQL. Returns k rows
+    (rank, id, sel_dist) with sel_dist NULL for the seed."""
+    if k < 1:
+        raise ValueError("kcenter_coreset: k must be >= 1")
+    spark = df.sparkSession
+    pts = df.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("_v"))
+
+    def dist2(center_vec: list) -> "F.Column":
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seed = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_coreset: empty input")
+    centers = [(1, seed[0][0], None, list(seed[0]["_v"]))]
+    for rank in range(2, k + 1):
+        md = F.least(*[dist2(v) for _, _, _, v in centers]) if len(centers) > 1 else dist2(
+            centers[0][3]
+        )
+        nxt = (
+            pts.select(F.col(id_col), F.col("_v"), md.alias("_md"))
+            .orderBy(F.col("_md").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        row = nxt[0]
+        if row["_md"] == 0.0 and any(row[0] == c[1] for c in centers):
+            break  # fewer than k distinct points
+        centers.append((rank, row[0], float(row["_md"]), list(row["_v"])))
+    out = spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in centers],
+        f"rank bigint, {id_col} bigint, sel_dist double",
+    )
+    return out

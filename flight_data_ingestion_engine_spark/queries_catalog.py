@@ -13836,3 +13836,55 @@ def q_image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="img_id", src_col="src", flip_col="flip",
     )
     return image_dhash(media, id_col="img_id")
+
+
+def _kcenter_sql(k: int = 4) -> str:
+    """Unrolled k-center greedy: per step, the fold squared-L2 to the
+    newest center LEASTed into the running min, then argmax (ties → min
+    id) — the same doubles the Spark driver loop computes."""
+
+    def d2(v: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> "
+            f"({v}[i] - {cv}[i]) * ({v}[i] - {cv}[i])), (a, b) -> a + b)"
+        )
+
+    parts = [
+        "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id < 200),",
+        "c1 AS (SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id ASC LIMIT 1),",
+        f"d1 AS (SELECT n.vec_id, n.v, {d2('n.v', 'c1.cv')} AS md FROM n, c1)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f", c{j} AS (SELECT vec_id AS cid, v AS cv, md AS sd "
+            f"FROM d{j - 1} ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            parts.append(
+                f", d{j} AS (SELECT d{j - 1}.vec_id, d{j - 1}.v, "
+                f"LEAST(d{j - 1}.md, {d2(f'd{j - 1}.v', f'c{j}.cv')}) AS md "
+                f"FROM d{j - 1}, c{j})"
+            )
+    sel = ["SELECT CAST(1 AS BIGINT) AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) AS sel_dist FROM c1"]
+    for j in range(2, k + 1):
+        sel.append(f"SELECT CAST({j} AS BIGINT), cid, sd FROM c{j}")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@_q("kcenter_coreset_vecs", _kcenter_sql(4))
+def q_kcenter_coreset_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (operators/similarity.py::
+    kcenter_coreset — Gonzalez 1985 farthest-point, the Sener & Savarese
+    coreset-pruning rule) over 200 vectors, k=4: min-id seed, then three
+    max-min selections. Every selection distance is a sequential
+    (x−y)² fold and the min-over-centers is order-independent, so the
+    unrolled DuckDB replay matches each chosen id AND its coverage
+    radius value-exactly — the 1-row-per-step driver actions are
+    metadata-bounded (the star_join_adaptive contract)."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return kcenter_coreset(emb, "vec_id", "embedding", k=4)

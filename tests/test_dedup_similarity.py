@@ -1961,3 +1961,42 @@ def test_margin_scores_hub_demotion(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         margin_scores(ldf, rdf, "query_id", "cand_id", k=0)
+
+
+def test_kcenter_coreset_greedy_property(spark):
+    """Farthest-point selection on a planted geometry: three tight
+    clusters → the first three picks land in three DIFFERENT clusters
+    (max-min coverage), selection distances are non-increasing, dup-only
+    corpora stop early, and validation raises."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    def pt(base, eps):
+        return [float(base[0] + eps), float(base[1]), 0.0, 0.0]
+
+    clusters = {0: (0.0, 0.0), 1: (100.0, 0.0), 2: (0.0, 100.0)}
+    rows = []
+    for cid, base in clusters.items():
+        for j in range(5):
+            rows.append((cid * 10 + j, cid, pt(base, j * 0.1)))
+    df = spark.createDataFrame(rows, "vec_id long, cluster long, embedding array<double>")
+    out = sorted(
+        ((r.rank, r.vec_id, r.sel_dist) for r in kcenter_coreset(df, "vec_id", k=4).collect())
+    )
+    assert [r for r, _, _ in out] == [1, 2, 3, 4]
+    first_three_clusters = {vid // 10 for _, vid, _ in out[:3]}
+    assert first_three_clusters == {0, 1, 2}
+    dists = [d for _, _, d in out[1:]]
+    assert dists == sorted(dists, reverse=True)  # coverage radius shrinks
+    assert dists[-1] < 1.0  # 4th pick is within an already-covered cluster
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    assert kcenter_coreset(dup, "vec_id", k=5).count() <= 3
+
+    with _pt.raises(ValueError, match="k must be"):
+        kcenter_coreset(df, "vec_id", k=0)

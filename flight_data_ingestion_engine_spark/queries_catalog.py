@@ -13888,3 +13888,39 @@ def q_kcenter_coreset_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return kcenter_coreset(emb, "vec_id", "embedding", k=4)
+
+
+@_q(
+    "image_dup_clusters",
+    "WITH RECURSIVE "
+    + _ahash_hw_sql(_AHASH_PLANTED_IMGS).lstrip()
+    + """,
+    p AS (
+      SELECT a.img_id AS id_a, b.img_id AS id_b
+      FROM hw a JOIN hw b ON a.img_id < b.img_id
+      WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    )
+    SELECT node AS member_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup pipeline end to end: patterned BMPs → aHash →
+    banded near-dup pairs → connected components (the SAME generic
+    `dedup_clusters` label propagation the text pipeline uses — the pair
+    table is the interchange format). Exact clones and surviving
+    near-clones collapse onto their min-id representative; the oracle
+    rebuilds the identical edge list (exhaustive pigeonhole ⇒ brute-force
+    Hamming is the same set) and labels components with a recursive
+    CTE — value-exact members and representatives."""
+    from flight_data_ingestion_engine_spark.operators.dedup import dedup_clusters
+    from flight_data_ingestion_engine_spark.operators.multimodal import ahash_dup_pairs
+
+    pairs = ahash_dup_pairs(_ahash_corpus(spark, sf_dir), id_col="img_id", max_hamming=3)
+    return dedup_clusters(pairs)

@@ -1123,6 +1123,7 @@ def test_wave4_query_exchange_counts(spark, sf_dir):
         "normalize_text_docs": 0,       # one Arrow stage, no shuffle
         "winnowing_fingerprints_docs": 0,  # array windows + explode
         "image_ahash_values": 0,        # synth + hash Arrow stages
+        "image_dhash_values": 0,        # gradient-hash Arrow stages
         "image_ahash_pairs": 2,         # band equi-join (+pair dedup agg)
         "audio_energy_gate": 2,         # clip-keyed bounds agg + join back
         "doremi_domain_weights": 2,     # domain agg + 1-row fold agg

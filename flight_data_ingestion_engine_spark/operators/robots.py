@@ -166,3 +166,41 @@ def robots_filter(
             F.when(has, winner["is_allow"]), F.lit(True)
         ).alias("allowed"),
     )
+
+
+def politeness_schedule(
+    df: DataFrame,
+    host_col: str = "host",
+    priority_col: str | None = None,
+    id_col: str = "url",
+    interval_ms: int = 1000,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Per-host politeness scheduling for a crawl frontier — the fetch
+    scheduler every polite crawler runs (one request per host per crawl
+    delay; CommonCrawl's own fetcher works this way): URLs of the same
+    host are serialized `interval_ms` apart in priority order (higher
+    `priority_col` first, ties and no-priority by id — deterministic),
+    while different hosts proceed in parallel at offset 0. `fetch_at_ms`
+    is the integer slot (rank−1)·interval — exact arithmetic, so the
+    oracle replays the whole schedule. `max_per_host` truncates deep
+    hosts to bound a crawl round (the dropped tail is the NEXT round's
+    frontier, the standard budgeted-crawl move).
+
+    One window keyed by host — the frontier analog of `mixture_sample`'s
+    shape; host skew is the only concern at scale and the window is a
+    rank, not an agg, so AQE cannot split it: pathological hosts should
+    be pre-truncated by `max_per_host`. Returns the input plus
+    (host_rank, fetch_at_ms)."""
+    if interval_ms <= 0:
+        raise ValueError("politeness_schedule: interval_ms must be positive")
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = df.withColumn("host_rank", F.row_number().over(w).cast("bigint"))
+    if max_per_host is not None:
+        out = out.where(F.col("host_rank") <= max_per_host)
+    return out.withColumn(
+        "fetch_at_ms", ((F.col("host_rank") - 1) * interval_ms).cast("bigint")
+    )

@@ -13924,3 +13924,51 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ahash_dup_pairs(_ahash_corpus(spark, sf_dir), id_col="img_id", max_hamming=3)
     return dedup_clusters(pairs)
+
+
+@_q(
+    "crawl_schedule",
+    """
+    WITH u AS (
+      SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+             CAST(doc_id % 7 AS BIGINT) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT url, host, priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY priority DESC, url ASC) AS BIGINT) AS host_rank
+      FROM u
+    )
+    SELECT url, host, priority, host_rank,
+           CAST((host_rank - 1) * 500 AS BIGINT) AS fetch_at_ms
+    FROM r WHERE host_rank <= 20
+    """,
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling (operators/robots.py::
+    politeness_schedule) over a synthesized 20-host frontier: priority
+    DESC then url within each host, 500 ms slots, 20-URL per-host budget.
+    Integer slot arithmetic end to end, so the oracle replays rank and
+    fetch time value-exactly. Completes the crawl front half as
+    first-class operators: WARC ingest → canonicalize/blocklist →
+    robots compliance → fetch schedule."""
+    from flight_data_ingestion_engine_spark.operators.robots import (
+        politeness_schedule,
+    )
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 20).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".example.com")).alias("host"),
+        (d % 7).cast("bigint").alias("priority"),
+    )
+    return politeness_schedule(
+        urls, host_col="host", priority_col="priority", id_col="url",
+        interval_ms=500, max_per_host=20,
+    )

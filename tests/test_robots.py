@@ -131,3 +131,38 @@ def test_filter_plan_broadcast_no_fact_shuffle(spark):
     exch = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     # rule parsing shuffles the (host-scale) robots side only
     assert all(c in ("host", "group_id") for c in exch), exch
+
+
+def test_politeness_schedule_slots(spark):
+    """Same-host URLs serialize interval apart in priority-then-id order;
+    hosts are independent (every host has a slot-0 fetch); the per-host
+    budget truncates; validation raises."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.robots import (
+        politeness_schedule,
+    )
+
+    rows = [
+        ("a.com/1", "a.com", 5), ("a.com/2", "a.com", 9), ("a.com/3", "a.com", 9),
+        ("b.com/1", "b.com", 0),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, priority long")
+    got = {
+        r.url: r
+        for r in politeness_schedule(
+            df, priority_col="priority", interval_ms=200
+        ).collect()
+    }
+    # priority 9 first, tie broken by url asc
+    assert got["a.com/2"].fetch_at_ms == 0
+    assert got["a.com/3"].fetch_at_ms == 200
+    assert got["a.com/1"].fetch_at_ms == 400
+    assert got["b.com/1"].fetch_at_ms == 0          # hosts independent
+    capped = politeness_schedule(
+        df, priority_col="priority", interval_ms=200, max_per_host=2
+    )
+    assert capped.count() == 3 and "a.com/1" not in {r.url for r in capped.collect()}
+
+    with _pt.raises(ValueError, match="interval_ms"):
+        politeness_schedule(df, interval_ms=0)

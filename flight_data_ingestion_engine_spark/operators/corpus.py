@@ -2237,3 +2237,104 @@ def annotate_spans(
         spans.alias(out_col),
         F.size(spans).cast("bigint").alias(f"n_{out_col}"),
     )
+
+
+def texttiling_boundaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_ps: int = 10,
+    block_ps: int = 2,
+    depth_threshold: float = 0.2,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997) — the lexical-cohesion
+    boundary detector, the principled alternative to fixed-size chunking
+    when a pipeline wants splits at TOPIC shifts (RAG chunking, long-doc
+    pretraining segmentation): tokens group into pseudo-sentences of
+    `tokens_per_ps`, each inter-pseudo-sentence gap scores the cosine
+    between the term-count vectors of its `block_ps` preceding and
+    following pseudo-sentences (truncated at document edges), and a gap
+    is a boundary when its DEPTH — (prefix-max − score) + (suffix-max −
+    score), the simplified monotone-peak variant of Hearst's hill climb,
+    documented deviation — reaches `depth_threshold` (a fixed parameter,
+    not Hearst's corpus-relative mean−σ/2 cutoff, so the decision
+    replays without order-sensitive float sums).
+
+    Exactness: term counts and the block dot products are INTEGER sums;
+    each cosine is one ``dot / (sqrt(na²)·sqrt(nb²))`` expression; the
+    running peaks are MAX windows (order-independent). The whole chain is
+    relational (explode → bounded-k gap fan-out → keyed aggs → two
+    windows), so DuckDB replays every score, depth, and boundary
+    decision value-exactly. Scale shape: the gap fan-out is ×block_ps,
+    shuffles are keyed by (doc, gap, term) then (doc, gap) — corpus-
+    scale-safe; per-doc windows are tiny (gaps ≈ tokens/w). Returns
+    (id, gap_idx, score, depth, is_boundary)."""
+    if tokens_per_ps < 1 or block_ps < 1:
+        raise ValueError("texttiling_boundaries: bad tokens_per_ps/block_ps")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"[a-z0-9]+"), 0,
+            )
+        ).alias("_pos", "_term"),
+    )
+    ps = toks.select(
+        "_id", (F.col("_pos") / tokens_per_ps).cast("int").alias("_ps"), "_term"
+    ).groupBy("_id", "_ps", "_term").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    nps = ps.groupBy("_id").agg((F.max("_ps") + 1).alias("_nps"))
+    k = block_ps
+    a = (
+        ps.select(
+            "_id", "_term", "_c",
+            F.explode(F.sequence(F.col("_ps"), F.col("_ps") + k - 1)).alias("_g"),
+        )
+        .groupBy("_id", "_g", "_term")
+        .agg(F.sum("_c").cast("bigint").alias("_ca"))
+    )
+    b = (
+        ps.where(F.col("_ps") >= 1)
+        .select(
+            "_id", "_term", "_c",
+            F.explode(
+                F.sequence(F.greatest(F.col("_ps") - k, F.lit(0)), F.col("_ps") - 1)
+            ).alias("_g"),
+        )
+        .groupBy("_id", "_g", "_term")
+        .agg(F.sum("_c").cast("bigint").alias("_cb"))
+    )
+    dot = (
+        a.join(b, ["_id", "_g", "_term"])
+        .groupBy("_id", "_g")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("bigint").alias("_dot"))
+    )
+    na = a.groupBy("_id", "_g").agg(F.sum(F.col("_ca") * F.col("_ca")).cast("bigint").alias("_na2"))
+    nb = b.groupBy("_id", "_g").agg(F.sum(F.col("_cb") * F.col("_cb")).cast("bigint").alias("_nb2"))
+    scored = (
+        na.join(nb, ["_id", "_g"])
+        .join(dot, ["_id", "_g"], "left")
+        .join(nps, "_id")
+        .where(F.col("_g") <= F.col("_nps") - 2)
+        .select(
+            "_id", "_g",
+            (
+                F.coalesce(F.col("_dot"), F.lit(0)).cast("double")
+                / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.col("_nb2").cast("double")))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("_id").orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.partitionBy("_id").orderBy("_g").rowsBetween(0, Window.unboundedFollowing)
+    depth = (F.max("score").over(wl) - F.col("score")) + (
+        F.max("score").over(wr) - F.col("score")
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        F.col("_g").cast("bigint").alias("gap_idx"),
+        "score",
+        depth.alias("depth"),
+        (depth >= depth_threshold).alias("is_boundary"),
+    )

@@ -13972,3 +13972,76 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         urls, host_col="host", priority_col="priority", id_col="url",
         interval_ms=500, max_per_host=20,
     )
+
+
+@_q(
+    "texttiling_boundaries_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, x.t[CAST(u.i AS INT)] AS term
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
+            FROM documents) x,
+           UNNEST(range(1, len(x.t) + 1)) u(i)
+    ),
+    ps AS (
+      SELECT doc_id, CAST(pos // 10 AS INT) AS psx, term,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    nps AS (SELECT doc_id, MAX(psx) + 1 AS n FROM ps GROUP BY doc_id),
+    a AS (
+      SELECT ps.doc_id, CAST(u.g AS INT) AS g, term, CAST(SUM(c) AS BIGINT) AS ca
+      FROM ps, UNNEST(range(psx, psx + 2)) u(g)
+      GROUP BY 1, 2, 3
+    ),
+    b AS (
+      SELECT ps.doc_id, CAST(u.g AS INT) AS g, term, CAST(SUM(c) AS BIGINT) AS cb
+      FROM ps, UNNEST(range(GREATEST(psx - 2, 0), psx)) u(g)
+      WHERE psx >= 1
+      GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT a.doc_id, a.g, CAST(SUM(ca * cb) AS BIGINT) AS dot
+      FROM a JOIN b ON a.doc_id = b.doc_id AND a.g = b.g AND a.term = b.term
+      GROUP BY 1, 2
+    ),
+    na AS (SELECT doc_id, g, CAST(SUM(ca * ca) AS BIGINT) AS na2 FROM a GROUP BY 1, 2),
+    nb AS (SELECT doc_id, g, CAST(SUM(cb * cb) AS BIGINT) AS nb2 FROM b GROUP BY 1, 2),
+    sc AS (
+      SELECT na.doc_id, na.g,
+             CAST(COALESCE(dot, 0) AS DOUBLE)
+               / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS score
+      FROM na
+      JOIN nb ON na.doc_id = nb.doc_id AND na.g = nb.g
+      LEFT JOIN d ON na.doc_id = d.doc_id AND na.g = d.g
+      JOIN nps ON na.doc_id = nps.doc_id
+      WHERE na.g <= nps.n - 2
+    )
+    SELECT doc_id, CAST(g AS BIGINT) AS gap_idx, score,
+           (MAX(score) OVER (PARTITION BY doc_id ORDER BY g
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - score)
+           + (MAX(score) OVER (PARTITION BY doc_id ORDER BY g
+                               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - score)
+             AS depth,
+           ((MAX(score) OVER (PARTITION BY doc_id ORDER BY g
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - score)
+            + (MAX(score) OVER (PARTITION BY doc_id ORDER BY g
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - score)
+            >= 0.2) AS is_boundary
+    FROM sc
+    """,
+)
+def q_texttiling_boundaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation (operators/corpus.py::
+    texttiling_boundaries — Hearst 1997, simplified monotone-peak depth)
+    over the raw corpus: 10-token pseudo-sentences, 2-block cosine gaps,
+    fixed 0.2 depth cutoff. Integer term counts and block dot products,
+    one sqrt-product division per gap, MAX-window peaks — the oracle
+    replays every score, depth, and boundary decision value-exactly."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        texttiling_boundaries,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return texttiling_boundaries(docs)

@@ -787,3 +787,30 @@ def test_annotate_spans_offsets_and_edges(spark):
     assert [s.text for s in out[5].spans] == ["a@b.co", "c@d.eu"]
     plan = explain_str(annotate_spans(df, "x"), "simple")
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_texttiling_planted_topic_shift(spark):
+    """Two topics with disjoint vocab: the gap at the transition scores
+    cosine 0 and carries the maximum depth (boundary); deep-interior
+    gaps of a repeated topic score 1.0 with depth 0; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        texttiling_boundaries,
+    )
+
+    topic_a = "cat dog bird fish lion tiger bear wolf fox deer "
+    topic_b = "car bus train plane boat bike truck tram van jet "
+    df = spark.createDataFrame(
+        [(0, topic_a * 4 + topic_b * 4)], "doc_id long, text string"
+    )
+    rows = {r.gap_idx: r for r in texttiling_boundaries(df).collect()}
+    assert set(rows) == set(range(7))           # 8 pseudo-sentences -> 7 gaps
+    assert rows[3].score == _pt.approx(0.0)     # disjoint blocks at the shift
+    assert rows[3].is_boundary
+    assert max(rows.values(), key=lambda r: r.depth).gap_idx == 3
+    assert rows[0].score == _pt.approx(1.0) and not rows[0].is_boundary
+    assert rows[6].score == _pt.approx(1.0) and not rows[6].is_boundary
+
+    with _pt.raises(ValueError, match="bad tokens_per_ps"):
+        texttiling_boundaries(df, tokens_per_ps=0)

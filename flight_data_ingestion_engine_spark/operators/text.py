@@ -786,3 +786,32 @@ def winnowing_fingerprints(
         F.col("_s.h").alias("gram_hash"),
         F.col("_t").substr(pos, F.lit(k)).alias("gram"),
     )
+
+
+def winnowing_match_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — the MOSS match
+    step: an equi-join on `gram_hash` over the (already tiny) selected
+    fingerprint sets, then a pair-count filter. Because winnowing
+    guarantees any shared run ≥ window+k−1 chars leaves a shared
+    fingerprint, `shared ≥ m` is a LOWER-BOUND witness of m disjoint(ish)
+    shared regions — the clone-detection decision rule. The shuffle is
+    the hash equi-join on fingerprint keys (density ~1/(window+1) of the
+    gram count), never an all-pairs product; a degenerate hash shared by
+    thousands of docs is the bucket-cap situation — apply a frequency
+    stoplist upstream like `minhash_lsh_pairs(stoplist)` if a corpus has
+    one. Returns (id_a, id_b, shared)."""
+    if min_shared < 1:
+        raise ValueError("winnowing_match_pairs: min_shared must be >= 1")
+    a = fingerprints.select(F.col(id_col).alias("id_a"), "gram_hash")
+    b = fingerprints.select(F.col(id_col).alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("gram_hash").cast("bigint").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

@@ -14045,3 +14045,70 @@ def q_texttiling_boundaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return texttiling_boundaries(docs)
+
+
+@_q(
+    "winnowing_match_pairs_docs",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               COALESCE(text, '')
+                 || CASE WHEN doc_id % 6 = 0
+                         THEN ' the quick brown fox jumps over the lazy dog again'
+                         ELSE '' END AS t
+        FROM documents)
+      WHERE length(t) >= 8
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, substr(t, CAST(u.i AS INT), 5) AS tok
+      FROM aug, UNNEST(range(1, length(t) - 5 + 2)) u(i)
+    ),
+    h AS (SELECT doc_id, pos, {_tokhash61_sql()} AS gh FROM g),
+    mw AS (SELECT doc_id, MAX(pos) AS m FROM h GROUP BY doc_id),
+    w AS (
+      SELECT h.doc_id, h.pos AS wstart,
+             MIN(gh) OVER (PARTITION BY h.doc_id ORDER BY h.pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+      FROM h
+    ),
+    ws AS (
+      SELECT w.doc_id, wstart, minh
+      FROM w JOIN mw ON w.doc_id = mw.doc_id
+      WHERE wstart <= m - 3
+    ),
+    d AS (SELECT DISTINCT doc_id, minh AS gram_hash FROM ws),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(DISTINCT a.gram_hash) AS BIGINT) AS shared
+      FROM d a JOIN d b ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared FROM p WHERE shared >= 3
+    """,
+)
+def q_winnowing_match_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match step (operators/text.py::winnowing_match_pairs): a
+    50-char phrase planted on doc_id%6 guarantees (winnowing's w+k−1
+    bound) those docs share fingerprints and pair up; natural prose
+    overlap below 3 shared fingerprints is filtered, and whatever
+    crosses the bar is replayed identically by the oracle — the pair
+    join runs over the winnowed (hash, doc) sets, never raw grams."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 6 == 0,
+                F.lit(" the quick brown fox jumps over the lazy dog again"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    fp = winnowing_fingerprints(docs, k=5, window=4)
+    return winnowing_match_pairs(fp, min_shared=3)

@@ -834,3 +834,30 @@ def test_image_dhash_pairs_and_gradient_property(spark):
 
     with _pt.raises(ValueError, match="grid"):
         image_dhash(media, id_col="img_id", grid=1)
+
+
+def test_winnowing_match_pairs_guarantee(spark):
+    """Two docs sharing a run ≥ window+k−1 chars MUST pair (the winnowing
+    guarantee); disjoint-vocab docs don't; min_shared filters; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    shared = "xylophone quartz jackdaw vexing"
+    rows = [
+        (0, "completely unrelated opening text here. " + shared),
+        (1, shared + " and a different continuation altogether."),
+        (2, "nothing in common with the others at all, period."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(df, k=5, window=4)
+    pairs = {(r.id_a, r.id_b): r.shared for r in winnowing_match_pairs(fp, min_shared=1).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    assert winnowing_match_pairs(fp, min_shared=pairs[(0, 1)] + 1).count() == 0
+
+    with _pt.raises(ValueError, match="min_shared"):
+        winnowing_match_pairs(fp, min_shared=0)

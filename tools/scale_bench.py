@@ -84,6 +84,8 @@ ABS_BUDGET_US = {
     "ahash_pairs": 150.0,
     "audio_gate": 45.0,
     "margin": 80.0,
+    # texttiling measured 19.9 us/row big (rel 0.30) on this box — ~4x
+    "texttiling": 80.0,
 }
 REL_BUDGET = 2.0
 
@@ -357,6 +359,17 @@ def _ops(spark):
         audio_energy_gate(media, id_col="clip_id").agg(F.count(F.lit(1))).collect()
         return n
 
+    def texttiling_op(n):
+        # r10 fourth pass: bounded-k gap fan-out + keyed aggs + windows
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            texttiling_boundaries,
+        )
+
+        texttiling_boundaries(synth_docs(spark, n), id_col="id").agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
     def margin_op(n):
         # r10 fourth pass: candidate-bounded margin mining — 200 queries x
         # (n/20) candidates; cost is the scored pair table, rate per pair
@@ -390,6 +403,7 @@ def _ops(spark):
         "filtered_ivf": filtered_ivf,
         "span_dedup": span_dedup_op,
         "margin": margin_op,
+        "texttiling": texttiling_op,
         "winnowing": winnowing_op,
         "audio_gate": audio_gate_op,
         "ahash_pairs": ahash_pairs_op,

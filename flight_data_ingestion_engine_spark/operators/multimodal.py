@@ -890,3 +890,108 @@ def image_dhash(
             )
 
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+_PHASH_SCALE = 1 << 14
+
+
+def phash_cos_table(n: int) -> list[list[int]]:
+    """The QUANTIZED DCT-II basis pHash uses: ``T[u][x] =
+    round(cos(pi*(2x+1)*u/(2n)) * 2**14)`` — fixed-point integers so the
+    transform is exact integer arithmetic (bit-identical across engines
+    and summation orders, which a float DCT cannot promise). The table
+    is generated HERE, in one place, and inlined verbatim into the
+    DuckDB oracle at SQL-build time: no trig function is ever evaluated
+    engine-side, so libm last-ulp divergence between JVM/Python/DuckDB
+    cos() can never flip a rounded entry."""
+    import math
+
+    return [
+        [
+            round(math.cos(math.pi * (2 * x + 1) * u / (2 * n)) * _PHASH_SCALE)
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    block: int = 4,
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) — the third classic image-dedup
+    fingerprint next to `image_ahash`/`image_dhash` and the one the
+    LAION-style pipelines reach for when block means are too local: a
+    2-D DCT-II of the grayscale image, keep the top-left block×block
+    LOW-FREQUENCY coefficients, drop the DC term, bit = coefficient
+    strictly greater than the MEDIAN of the remaining block²−1 AC
+    coefficients. Near-duplicates (small luminance/noise edits) move
+    high frequencies, which this hash never looks at.
+
+    Engine-portable by construction: the DCT runs over the quantized
+    integer basis `phash_cos_table` (coeff(u,v) = Σ px·Tw[u][x]·Th[v][y],
+    all bigint — |coeff| ≤ 255·n²·2²⁸ ≪ 2⁶³), and the median of an odd
+    count of integers is the exact order statistic sorted[k] — no float
+    enters until nothing is left to compute. Bits pack row-major over
+    (u,v) minus DC into the same two-word layout as aHash/dHash
+    (`phash_hi`, `phash_lo`), so `ahash_dup_pairs`/`ahash_cross_dups`
+    accept them via their hi/lo column parameters. One Arrow stage over
+    the decoded payloads; non-image rows drop. Returns
+    (id, phash_hi, phash_lo)."""
+    import pandas as pd
+
+    n_ac = block * block - 1
+    if block < 2 or n_ac > 64:
+        raise ValueError("image_phash: block must be in 2..8 (≤ 64 AC bits)")
+    schema = f"{id_col} bigint, phash_hi bigint, phash_lo bigint"
+    tables: dict[int, list[list[int]]] = {}
+
+    def one(fmt: str, payload: bytes) -> tuple[int, int]:
+        w, h, px = _IMAGE_DECODERS[fmt](payload)
+        if block > w or block > h:
+            raise ValueError(
+                f"image_phash: block={block} exceeds image dims {w}x{h}"
+            )
+        tw = tables.setdefault(w, phash_cos_table(w))
+        th = tables.setdefault(h, phash_cos_table(h)) if h != w else tw
+        row_dct = [
+            [sum(px[y * w + x] * tw[u][x] for x in range(w)) for u in range(block)]
+            for y in range(h)
+        ]
+        ac = []
+        for u in range(block):
+            for v in range(block):
+                if u == 0 and v == 0:
+                    continue
+                ac.append(sum(row_dct[y][v] * th[u][y] for y in range(h)))
+        med = sorted(ac)[len(ac) // 2]
+        hi = lo = 0
+        for p, c in enumerate(ac):
+            if c > med:
+                if p < 32:
+                    hi |= 1 << (31 - p)
+                else:
+                    lo |= 1 << (63 - p)
+        return hi, lo
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            keep = fmt.isin(set(_IMAGE_DECODERS))
+            sub = pdf[keep]
+            if not len(sub):
+                continue
+            hashes = [one(f, bytes(p)) for f, p in zip(fmt[keep], sub[bytes_col])]
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col].astype("int64"),
+                    "phash_hi": [a for a, _ in hashes],
+                    "phash_lo": [b for _, b in hashes],
+                },
+                columns=[id_col, "phash_hi", "phash_lo"],
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)

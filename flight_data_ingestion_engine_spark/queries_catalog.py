@@ -13838,6 +13838,97 @@ def q_image_dhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(media, id_col="img_id")
 
 
+def _phash_sql() -> str:
+    """DuckDB replay of `image_phash` over the planted 8×8 BMP corpus:
+    the quantized DCT basis is generated by the SAME Python function the
+    operator uses (`phash_cos_table`) and inlined as VALUES — no trig
+    runs engine-side, so a libm last-ulp divergence can never flip a
+    rounded table entry. coeff(u,v) = Σ px·T[v][x]·T[u][y] (u vertical,
+    v horizontal — the operator's orientation), median = exact order
+    statistic rn=8 of the 15 AC integers, bit weight 2^(31−(u·4+v−1))."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        phash_cos_table,
+    )
+
+    t8 = phash_cos_table(8)
+    vals = ", ".join(
+        f"({u}, {x}, {t8[u][x]})" for u in range(4) for x in range(8)
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id AS img_id, doc_id AS src, FALSE AS flip FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, doc_id, FALSE FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000, doc_id, TRUE FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT img_id, u.p AS p,
+             CASE WHEN flip AND u.p = 0
+                  THEN (('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT + 128) % 256
+                  ELSE ('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT
+             END AS v
+      FROM imgs, UNNEST(range(64)) AS u(p)
+    ),
+    t(u, x, c) AS (VALUES {vals}),
+    ac AS (
+      SELECT px.img_id, tu.u AS u, tv.u AS v,
+             SUM(px.v * tv.c * tu.c) AS coeff
+      FROM px
+      JOIN t tv ON tv.x = px.p % 8
+      JOIN t tu ON tu.x = px.p // 8
+      WHERE NOT (tu.u = 0 AND tv.u = 0)
+      GROUP BY px.img_id, tu.u, tv.u
+    ),
+    med AS (
+      SELECT img_id, coeff AS m
+      FROM (SELECT img_id, coeff,
+                   ROW_NUMBER() OVER (PARTITION BY img_id ORDER BY coeff) AS rn
+            FROM ac)
+      WHERE rn = 8
+    )
+    SELECT a.img_id,
+           SUM(CASE WHEN a.coeff > med.m
+               THEN (1::BIGINT << CAST(31 - (a.u * 4 + a.v - 1) AS INT))
+               ELSE 0 END) AS phash_hi,
+           CAST(0 AS BIGINT) AS phash_lo
+    FROM ac a JOIN med USING (img_id)
+    GROUP BY a.img_id
+    """
+
+
+@_q("image_phash_values", _phash_sql())
+def q_image_phash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (operators/multimodal.py::image_phash) over
+    the SAME planted BMP corpus as the aHash/dHash oracles — completing
+    the classic perceptual-fingerprint trio. The hash is integer end to
+    end (quantized DCT basis shared verbatim with the oracle, exact
+    median order statistic, strict compare), so all 15 bits of every
+    image — exact clones and the flipped-pixel near-dups alike — are
+    value-exact through the real BMP encode/decode. Pair search reuses
+    the proven `ahash_dup_pairs` machinery via its hi/lo column
+    parameters (pytest-gated against an independent Python DCT)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+        image_phash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base = docs.select(d.alias("img_id"), d.alias("src"), F.lit(False).alias("flip"))
+    clones = docs.where(d % 7 == 0).select(
+        (d + 100000).alias("img_id"), d.alias("src"), F.lit(False).alias("flip")
+    )
+    near = docs.where(d % 5 == 0).select(
+        (d + 200000).alias("img_id"), d.alias("src"), F.lit(True).alias("flip")
+    )
+    media = attach_patterned_media(
+        base.unionByName(clones).unionByName(near),
+        id_col="img_id", src_col="src", flip_col="flip",
+    )
+    return image_phash(media, id_col="img_id")
+
+
 def _kcenter_sql(k: int = 4) -> str:
     """Unrolled k-center greedy: per step, the fold squared-L2 to the
     newest center LEASTed into the running min, then argmax (ties → min

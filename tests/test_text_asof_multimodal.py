@@ -861,3 +861,87 @@ def test_winnowing_match_pairs_guarantee(spark):
 
     with _pt.raises(ValueError, match="min_shared"):
         winnowing_match_pairs(fp, min_shared=0)
+
+
+def test_image_phash_independent_dct_and_pairs(spark):
+    """pHash against an INDEPENDENT in-test DCT reference (textbook
+    double-precision DCT-II, quantized only at the table boundary the
+    operator defines), through the real BMP codec: every bit of every
+    hash matches; exact clones land at hamming 0 via the shared
+    pair machinery; low-frequency invariance — a one-pixel flip moves
+    strictly fewer pHash bits than it moves raw pixel bits; parameter
+    validation."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        ahash_dup_pairs,
+        attach_patterned_media,
+        decode_bmp,
+        image_phash,
+        phash_cos_table,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, i % 10, i < 10) for i in range(20)]
+        + [(100 + i, i, False) for i in range(4)],
+        "img_id long, src long, flip boolean",
+    )
+    media = attach_patterned_media(
+        ids, id_col="img_id", src_col="src", flip_col="flip"
+    ).cache()
+    hashes = image_phash(media, id_col="img_id").cache()
+    got = {r.img_id: (r.phash_hi, r.phash_lo) for r in hashes.collect()}
+
+    # independent reference: decode each payload, textbook O(n^4) DCT-II
+    # over the quantized basis, exact median, strict compare
+    t8 = phash_cos_table(8)
+    assert t8[0][0] == 1 << 14 and all(len(row) == 8 for row in t8)
+    # spot-check a table entry against the closed form
+    assert t8[1][0] == round(math.cos(math.pi * 1 / 16) * (1 << 14))
+    ref = {}
+    for row in media.select("img_id", "media_bytes").collect():
+        w, h, px = decode_bmp(bytes(row.media_bytes))
+        ac = []
+        for u in range(4):
+            for v in range(4):
+                if u == 0 and v == 0:
+                    continue
+                c = sum(
+                    px[y * w + x] * t8[v][x] * t8[u][y]
+                    for y in range(h)
+                    for x in range(w)
+                )
+                ac.append(c)
+        med = sorted(ac)[7]
+        hi = 0
+        for p, c in enumerate(ac):
+            if c > med:
+                hi |= 1 << (31 - p)
+        ref[row.img_id] = (hi, 0)
+    assert got == ref
+
+    # exact clones (100+i clones src i, as does img 10+i) at hamming 0
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ahash_dup_pairs(
+            hashes, id_col="img_id", max_hamming=3,
+            hi_col="phash_hi", lo_col="phash_lo",
+        ).collect()
+    }
+    for i in range(4):
+        assert pairs[(10 + i, 100 + i)] == 0
+
+    # low-frequency robustness: the flipped-pixel variant never moves
+    # more than a few of the 15 bits (high-frequency energy is invisible)
+    for i in range(10):
+        d = bin(got[i][0] ^ got[10 + i][0]).count("1")
+        assert d <= 6
+
+    media.unpersist()
+    hashes.unpersist()
+    with _pt.raises(ValueError, match="block"):
+        image_phash(media, id_col="img_id", block=1)
+    with _pt.raises(ValueError, match="block"):
+        image_phash(media, id_col="img_id", block=9).collect()

@@ -1090,6 +1090,106 @@ def ngram_lm_score(
     )
 
 
+def kneser_ney_score(
+    df: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    discount: tuple[int, int] = (3, 4),
+    normalize: bool = True,
+) -> DataFrame:
+    """Interpolated Kneser–Ney scoring over a persisted `ngram_lm_state`
+    — the smoothing KenLM actually ships (Kneser & Ney 1995; Chen &
+    Goodman 1999), which is what the CCNet/Gopher perplexity filters run
+    under the hood, where `ngram_lm_score` is the add-one baseline. The
+    insight KN adds: an unseen (ctx, tok) backs off not to the token's
+    raw frequency but to its CONTINUATION count — how many distinct
+    contexts it follows ("Francisco" is frequent but only ever follows
+    "San", so it gets a tiny back-off weight).
+
+        P(tok|ctx) = max(c(ctx,tok) − D, 0)/c(ctx)
+                     + D·N1+(ctx,·)/c(ctx) · N1+(·,tok)/N1+(·,·)
+
+    Everything derives from the SAME (ctx, tok, cnt) state — no new
+    state machinery: c(ctx) = Σ cnt per ctx, N1+(ctx,·) = rows per ctx,
+    N1+(·,tok) = rows per tok, N1+(·,·) = total rows. With the fixed
+    rational discount D = dn/dd (default 3/4 — the canonical fixed
+    value; KenLM's count-of-counts-estimated discounts are a
+    data-dependent float refinement this exact arm deliberately trades
+    away), P is a RATIO OF BIGINTS:
+
+        seen ctx:   num = max(dd·cw − dn, 0)·Ndd + dn·N1c·N1w
+                    den = dd·cc·Ndd
+        unseen ctx: num = N1w  (continuation probability alone)
+                    den = Ndd
+
+    and the per-n-gram surprise is the integer log2 quantization
+    `bitlen(den) − bitlen(GREATEST(num, 1))` (the `unigram_surprisal`
+    discipline) — bit-identical across engines and summation orders,
+    which float log-prob sums cannot promise. The GREATEST floor is the
+    OOV clamp: a token never seen anywhere has N1w = 0 and would
+    otherwise take log(0). Returns
+    `(<id_col>, n_ngrams, sum_kn_bits, avg_kn_bits)`; documents with
+    fewer than n tokens drop out.
+
+    Shape: scored batch explodes to (ctx, tok); THREE left joins against
+    state-derived tables — pair counts on (ctx, tok), per-ctx totals +
+    continuation counts on ctx (one agg), per-tok continuation counts on
+    tok (one agg) — a broadcast 1-row total, one id-keyed agg. Score-time
+    reference cost: state-sized joins, zero reference-text scans —
+    identical 100 TB posture to `ngram_lm_score`."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    dn, dd = discount
+    if not (0 < dn < dd):
+        raise ValueError("kneser_ney_score: discount must satisfy 0 < dn/dd < 1")
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.split(
+            text_normalize(F.col(text_col)) if normalize else F.col(text_col),
+            " ",
+        ).alias("_t"),
+    )
+    d = (
+        base.select(F.col(id_col), F.explode(_lm_pairs(F.col("_t"), n)).alias("_p"))
+        .select(F.col(id_col), F.col("_p.ctx").alias("ctx"), F.col("_p.tok").alias("tok"))
+    )
+    ctx_stats = state.groupBy("ctx").agg(
+        F.sum("cnt").cast("bigint").alias("_cc"),
+        F.count(F.lit(1)).cast("bigint").alias("_n1c"),
+    )
+    tok_stats = state.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n1w")
+    )
+    total = state.agg(F.count(F.lit(1)).cast("bigint").alias("_ndd"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    cw = F.coalesce(F.col("cnt"), F.lit(0))
+    n1w = F.coalesce(F.col("_n1w"), F.lit(0))
+    seen = F.col("_cc").isNotNull()
+    num = F.when(
+        seen,
+        F.greatest(dd * cw - dn, F.lit(0)) * F.col("_ndd")
+        + dn * F.col("_n1c") * n1w,
+    ).otherwise(n1w)
+    den = F.when(seen, dd * F.col("_cc") * F.col("_ndd")).otherwise(F.col("_ndd"))
+    scored = (
+        d.join(state, ["ctx", "tok"], "left")
+        .join(ctx_stats, "ctx", "left")
+        .join(tok_stats, "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (bitlen(den) - bitlen(F.greatest(num, F.lit(1)))).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum("_s").cast("bigint").alias("sum_kn_bits"),
+        (F.sum("_s") / F.count(F.lit(1))).alias("avg_kn_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE pair statistics (Sennrich, Haddow & Birch 2016, "Neural Machine
 # Translation of Rare Words with Subword Units" — public): the

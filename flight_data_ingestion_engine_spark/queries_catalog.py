@@ -5635,6 +5635,73 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "kneser_ney_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ),
+    train AS (
+      SELECT t[i] AS ctx, t[i+1] AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE doc_id % 2 = 0 AND len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    cstat AS (
+      SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS cc,
+             CAST(COUNT(*) AS BIGINT) AS n1c
+      FROM train GROUP BY 1
+    ),
+    tstat AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1w FROM train GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM train),
+    pairs AS (
+      SELECT doc_id, t[i] AS ctx, t[i+1] AS tok
+      FROM toks, UNNEST(range(1, len(t))) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    terms AS (
+      SELECT p.doc_id,
+             CASE WHEN cc IS NOT NULL
+                  THEN GREATEST(4 * COALESCE(cnt, 0) - 3, 0) * ndd
+                       + 3 * n1c * COALESCE(n1w, 0)
+                  ELSE COALESCE(n1w, 0) END AS num,
+             CASE WHEN cc IS NOT NULL THEN 4 * cc * ndd ELSE ndd END AS den
+      FROM pairs p
+      LEFT JOIN train USING (ctx, tok)
+      LEFT JOIN cstat USING (ctx)
+      LEFT JOIN tstat USING (tok)
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(length(bin(den)) - length(bin(GREATEST(num, 1)))) AS BIGINT)
+             AS sum_kn_bits,
+           CAST(SUM(length(bin(den)) - length(bin(GREATEST(num, 1)))) AS DOUBLE)
+             / COUNT(*) AS avg_kn_bits
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney scoring (corpus.py::kneser_ney_score —
+    the smoothing KenLM ships, i.e. what CCNet/Gopher perplexity filters
+    actually run) against the SAME persisted bigram state as
+    `bigram_lm_score`: unseen pairs back off to the token's CONTINUATION
+    count, not its raw frequency. Fixed rational discount D=3/4 makes
+    every conditional probability a ratio of bigints; the bitlen
+    quantization keeps the accumulation integer-exact across engines
+    and partition orders. All four KN statistics (pair count, context
+    total, context fan-out, continuation count) derive from the one
+    (ctx, tok, cnt) state — zero new state machinery."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        kneser_ney_score,
+        ngram_lm_state,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    state = ngram_lm_state(docs.where(F.col("doc_id") % 2 == 0), n=2)
+    return kneser_ney_score(docs, state, id_col="doc_id", n=2)
+
+
+@_q(
     "perplexity_buckets",
     f"""
     WITH toks AS (

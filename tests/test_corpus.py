@@ -814,3 +814,61 @@ def test_texttiling_planted_topic_shift(spark):
 
     with _pt.raises(ValueError, match="bad tokens_per_ps"):
         texttiling_boundaries(df, tokens_per_ps=0)
+
+
+def test_kneser_ney_score_hand_computed(spark):
+    """Interpolated KN against hand-computed integer num/den — including
+    THE property that motivates KN: after an unseen context, a token with
+    high raw frequency but a single continuation context ("francisco"
+    only ever follows "san") scores MORE surprising than a token with the
+    same raw frequency spread over many contexts."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        kneser_ney_score,
+        ngram_lm_state,
+    )
+
+    # "francisco" appears 3 times, always after "san" (1 continuation
+    # ctx); "the" appears 3 times after 3 DIFFERENT contexts.
+    train = spark.createDataFrame(
+        [
+            (0, "san francisco san francisco san francisco"),
+            (1, "a the b the c the"),
+        ],
+        "doc_id int, text string",
+    )
+    state = ngram_lm_state(train, n=2)
+    # state rows: (san,francisco):3, (francisco,san):2, (the,b):1,
+    # (a,the):1, (b,the):1, (c,the):1, (the,c):1
+    rows = {(r.ctx, r.tok): r.cnt for r in state.collect()}
+    assert rows[("san", "francisco")] == 3 and rows[("a", "the")] == 1
+    ndd = len(rows)            # 7 distinct pairs
+    n1w_fr, n1w_the = 1, 3     # continuation contexts
+
+    score = spark.createDataFrame(
+        [(10, "zzz francisco"), (11, "zzz the"), (12, "san francisco")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in kneser_ney_score(score, state, "doc_id", n=2).collect()
+    }
+
+    def bits(den, num):
+        return den.bit_length() - max(num, 1).bit_length()
+
+    # unseen ctx "zzz": pure continuation probability n1w/ndd
+    assert out[10].sum_kn_bits == bits(ndd, n1w_fr)
+    assert out[11].sum_kn_bits == bits(ndd, n1w_the)
+    # the KN property: same raw frequency, fewer continuations => more bits
+    assert out[10].sum_kn_bits > out[11].sum_kn_bits
+
+    # seen pair (san, francisco): cw=3 cc=3 n1c=1 n1w=1, D=3/4:
+    # num = (4*3-3)*7 + 3*1*1 = 66, den = 4*3*7 = 84
+    assert out[12].n_ngrams == 1
+    assert out[12].sum_kn_bits == bits(84, 66)
+    assert out[12].avg_kn_bits == float(bits(84, 66))
+
+    with _pt.raises(ValueError, match="discount"):
+        kneser_ney_score(score, state, "doc_id", discount=(5, 4))

@@ -667,6 +667,80 @@ def code_quality_flags(
     return out.withColumn("keep", keep)
 
 
+# (license_id, permissive, lowercase phrase-regex). ORDER MATTERS: first
+# match wins, so the LGPL/AGPL rules must precede plain GPL (their
+# phrases contain "general public license" as a substring). Patterns are
+# RE2-safe literals (no lookaround) so DuckDB replays them verbatim.
+_LICENSE_RULES: list[tuple[str, bool, str]] = [
+    ("MIT", True, "permission is hereby granted, free of charge"),
+    ("Apache-2.0", True, "apache license,? version 2\\.0"),
+    ("BSD-3-Clause", True, "redistribution and use in source and binary forms"),
+    ("Unlicense", True, "free and unencumbered software"),
+    ("LGPL-3.0", False, "gnu lesser general public license"),
+    ("AGPL-3.0", False, "gnu affero general public license"),
+    ("GPL-3.0", False, "gnu general public license"),
+    ("MPL-2.0", False, "mozilla public license"),
+]
+
+_SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def license_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """License detection — The Stack / StarCoder's admission gate (Kocetkov
+    et al. 2022 keep only permissive-licensed files; BigCode's
+    go-license-detector does the heavy lifting upstream, but the in-corpus
+    pass is exactly this: an SPDX tag scan plus header-phrase matching):
+
+    - `spdx_id`: the machine-readable ``SPDX-License-Identifier:`` tag if
+      present (first occurrence — authoritative, overrides phrases);
+    - `phrase_license`: first match in the fixed `_LICENSE_RULES` order
+      over the lowercased text (LGPL/AGPL before GPL — real LGPL/AGPL
+      headers also cite the plain "GNU General Public License", so rule
+      order is part of the spec);
+    - `license`: spdx_id if present else phrase_license, NULL if neither;
+    - `permissive`: the literal verdict map over the KNOWN ids (MIT,
+      Apache-2.0, BSD-*, ISC, Unlicense → true; GPL/AGPL/LGPL/MPL →
+      false); an unrecognized spdx_id yields NULL — unknown, not false;
+    - `keep`: permissive IS TRUE (The Stack's rule: drop copyleft AND
+      unknown).
+
+    One zero-shuffle codegen projection (a regexp_extract + one rlike per
+    rule + a CASE chain); rides the scan at any corpus size. NULL text →
+    all-NULL verdict, keep = false."""
+    ids = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(text)
+    spdx = F.nullif(F.regexp_extract(text, _SPDX_PATTERN, 1), F.lit(""))
+    phrase = F.lit(None).cast("string")
+    for lic, _, pat in reversed(_LICENSE_RULES):
+        phrase = F.when(low.rlike(pat), F.lit(lic)).otherwise(phrase)
+    staged = df.select(
+        *ids,
+        spdx.alias("spdx_id"),
+        phrase.alias("phrase_license"),
+        F.coalesce(spdx, phrase).alias("license"),
+    )
+    perm_true = {l for l, p, _ in _LICENSE_RULES if p} | {"ISC", "BSD-2-Clause", "0BSD"}
+    perm_false = {l for l, p, _ in _LICENSE_RULES if not p} | {
+        "GPL-2.0", "LGPL-2.1", "AGPL-1.0",
+    }
+    lic = F.col("license")
+    permissive = (
+        F.when(lic.isin(*sorted(perm_true)), F.lit(True))
+        .when(lic.isin(*sorted(perm_false)), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return staged.select(
+        "*",
+        permissive.alias("permissive"),
+        F.coalesce(permissive, F.lit(False)).alias("keep"),
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

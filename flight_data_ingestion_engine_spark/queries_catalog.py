@@ -13305,6 +13305,81 @@ def q_code_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "license_detect_docs",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 11 = 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+               WHEN doc_id % 13 = 0 THEN '# SPDX-License-Identifier: WTFPL' || chr(10)
+               WHEN doc_id % 7 = 0 THEN 'Licensed under the Apache License, Version 2.0 (the "License");' || chr(10)
+               WHEN doc_id % 5 = 0 THEN 'This library is free software under the GNU Lesser General Public License; see the GNU General Public License for details.' || chr(10)
+               WHEN doc_id % 3 = 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy' || chr(10)
+               ELSE ''
+             END || COALESCE(text, '') AS t
+      FROM documents
+    ),
+    det AS (
+      SELECT doc_id,
+             NULLIF(regexp_extract(t, 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), '') AS spdx_id,
+             CASE
+               WHEN regexp_matches(lower(t), 'permission is hereby granted, free of charge') THEN 'MIT'
+               WHEN regexp_matches(lower(t), 'apache license,? version 2\.0') THEN 'Apache-2.0'
+               WHEN regexp_matches(lower(t), 'redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
+               WHEN regexp_matches(lower(t), 'free and unencumbered software') THEN 'Unlicense'
+               WHEN regexp_matches(lower(t), 'gnu lesser general public license') THEN 'LGPL-3.0'
+               WHEN regexp_matches(lower(t), 'gnu affero general public license') THEN 'AGPL-3.0'
+               WHEN regexp_matches(lower(t), 'gnu general public license') THEN 'GPL-3.0'
+               WHEN regexp_matches(lower(t), 'mozilla public license') THEN 'MPL-2.0'
+             END AS phrase_license
+      FROM aug
+    ),
+    lic AS (
+      SELECT doc_id, spdx_id, phrase_license,
+             COALESCE(spdx_id, phrase_license) AS license
+      FROM det
+    )
+    SELECT doc_id, spdx_id, phrase_license, license,
+           CASE WHEN license IN ('0BSD','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC','MIT','Unlicense') THEN TRUE
+                WHEN license IN ('AGPL-1.0','AGPL-3.0','GPL-2.0','GPL-3.0','LGPL-2.1','LGPL-3.0','MPL-2.0') THEN FALSE
+           END AS permissive,
+           COALESCE(
+             CASE WHEN license IN ('0BSD','Apache-2.0','BSD-2-Clause','BSD-3-Clause','ISC','MIT','Unlicense') THEN TRUE
+                  WHEN license IN ('AGPL-1.0','AGPL-3.0','GPL-2.0','GPL-3.0','LGPL-2.1','LGPL-3.0','MPL-2.0') THEN FALSE
+             END, FALSE) AS keep
+    FROM lic
+    """,
+)
+def q_license_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection (operators/text.py::license_detect — The Stack /
+    StarCoder's permissive-only admission gate): planted headers exercise
+    every path — an authoritative SPDX tag on doc_id%11 (MIT), an
+    UNRECOGNIZED SPDX id on %13 (WTFPL → license set, permissive NULL,
+    keep false: unknown ≠ permissive), the Apache phrase on %7, an LGPL
+    header that ALSO cites the plain GNU GPL on %5 (rule-order
+    precedence is observable: LGPL-3.0 wins), the MIT grant phrase on %3,
+    and no header elsewhere (all-NULL verdict). Zero-shuffle codegen
+    projection; the oracle replays the regexes and both verdict maps
+    verbatim."""
+    from flight_data_ingestion_engine_spark.operators.text import license_detect
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 11 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+            .when(d % 13 == 0, F.lit("# SPDX-License-Identifier: WTFPL\n"))
+            .when(d % 7 == 0, F.lit('Licensed under the Apache License, Version 2.0 (the "License");\n'))
+            .when(d % 5 == 0, F.lit("This library is free software under the GNU Lesser General Public License; see the GNU General Public License for details.\n"))
+            .when(d % 3 == 0, F.lit("Permission is hereby granted, free of charge, to any person obtaining a copy\n"))
+            .otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("text"),
+    )
+    return license_detect(docs, id_col="doc_id")
+
+
+@_q(
     "normalize_text_docs",
     r"""
     WITH aug AS (

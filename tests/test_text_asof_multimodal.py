@@ -945,3 +945,42 @@ def test_image_phash_independent_dct_and_pairs(spark):
         image_phash(media, id_col="img_id", block=1)
     with _pt.raises(ValueError, match="block"):
         image_phash(media, id_col="img_id", block=9).collect()
+
+
+def test_license_detect_precedence_and_verdicts(spark):
+    """License gate: SPDX tag overrides phrases; unknown SPDX id keeps
+    the license column but yields NULL permissive and keep=false; LGPL
+    rule precedes plain GPL on a header citing both; NULL text is an
+    all-NULL verdict with keep=false."""
+    from flight_data_ingestion_engine_spark.operators.text import license_detect
+
+    rows = [
+        # SPDX GPL-2.0 tag on a file whose TEXT is the MIT grant: tag wins
+        (0, "/* SPDX-License-Identifier: GPL-2.0 */\n"
+            "Permission is hereby granted, free of charge, ..."),
+        # unknown SPDX id
+        (1, "# SPDX-License-Identifier: WTFPL\nprint('hi')"),
+        # LGPL header citing the plain GPL — rule order decides
+        (2, "Under the GNU Lesser General Public License; see also the "
+            "GNU General Public License."),
+        # plain GPL only
+        (3, "Released under the GNU General Public License v3."),
+        (4, "no license text at all"),
+        (5, None),
+        # phrase-only MIT
+        (6, "Permission is hereby granted, free of charge, to any person"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in license_detect(df, id_col="doc_id").collect()}
+
+    assert (got[0].spdx_id, got[0].phrase_license, got[0].license) == (
+        "GPL-2.0", "MIT", "GPL-2.0"
+    )
+    assert got[0].permissive is False and got[0].keep is False
+    assert got[1].license == "WTFPL"
+    assert got[1].permissive is None and got[1].keep is False
+    assert got[2].license == "LGPL-3.0" and got[2].keep is False
+    assert got[3].license == "GPL-3.0"
+    assert got[4].license is None and got[4].permissive is None
+    assert got[5].license is None and got[5].keep is False
+    assert got[6].license == "MIT" and got[6].permissive is True and got[6].keep is True

@@ -973,3 +973,104 @@ def unimax_allocation(
         .withColumn("epochs", F.col("budget_chars") / F.col("n_chars").cast("double"))
         .select("group", "n_chars", "size_rank", "capped", "budget_chars", "epochs")
     )
+
+
+def bradley_terry_strengths(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """Bradley–Terry preference-strength estimation (Bradley & Terry
+    1952) via Hunter's MM algorithm (Hunter 2004) — the model behind
+    pairwise preference data everywhere in the RLHF stack (reward-model
+    training pairs, arena-style rankings, `P(i beats j) = s_i/(s_i+s_j)`).
+    Input: one row per comparison, `(winner, loser)`. Output per item:
+    `(item, wins, n_comps, strength)` with strengths normalized to sum 1.
+
+    The MM update, run for a FIXED `iters` rounds from s = 1:
+
+        s_i' = W_i / Σ_j  n_ij / (s_i + s_j)
+
+    (W_i = total wins of i; n_ij = comparisons between i and j). Fixed
+    iteration count — not convergence-tested — is what makes the result
+    a deterministic, engine-replayable corpus statistic rather than a
+    stopping-rule artifact; under MM monotonicity more rounds only
+    sharpen the same ordering.
+
+    Exactness discipline: W_i and n_ij are exact integer aggregations;
+    every float SUM — each item's denominator and the final
+    normalization — is a SEQUENTIAL fold over an id-sorted list
+    (sort_array + aggregate here, list_sort + list fold in the oracle),
+    so the doubles are bit-identical across engines and partitionings
+    (the `doremi_weights` discipline).
+
+    Scale shape: ONE corpus-sized pass aggregates comparisons down to
+    the directed pair table (map-side combined, O(items²) worst case,
+    O(observed pairs) real); every iteration after that is two
+    broadcast-sized joins + one item-keyed agg over that bounded table,
+    with a localCheckpoint per round to cut the growing lineage. Items
+    with zero wins converge to strength 0; a division by zero cannot
+    occur (any compared pair has at least one winner, so opponents'
+    strengths can't both be 0)."""
+    if iters < 1:
+        raise ValueError("bradley_terry_strengths: iters must be >= 1")
+    w, l = F.col(winner_col).alias("i"), F.col(loser_col).alias("j")
+    games = df.select(w, l)
+    # directed pair table: one row per ordered (i, j) with total
+    # comparisons n_ij and i's wins over j
+    directed = (
+        games.select("i", "j", F.lit(1).alias("_w"))
+        .unionByName(games.select(F.col("j").alias("i"), F.col("i").alias("j"), F.lit(0).alias("_w")))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ij"),
+            F.sum("_w").cast("bigint").alias("w_ij"),
+        )
+    )
+    items = directed.groupBy("i").agg(
+        F.sum("w_ij").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("n_comps"),
+    )
+    strengths = items.select("i", F.lit(1.0).alias("s")).localCheckpoint()
+    for _ in range(iters):
+        si = strengths.select(F.col("i"), F.col("s").alias("_si"))
+        sj = strengths.select(F.col("i").alias("j"), F.col("s").alias("_sj"))
+        denom = (
+            directed.join(si, "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("j", "n_ij", "_sj", "_si"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + x["n_ij"].cast("double") / (x["_si"] + x["_sj"]),
+                ).alias("_d")
+            )
+        )
+        strengths = (
+            items.join(denom, "i")
+            .select(
+                "i",
+                (F.col("wins").cast("double") / F.col("_d")).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    total = strengths.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("i", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("_t")
+    )
+    return (
+        items.join(strengths, "i")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("i").alias("item"),
+            "wins",
+            "n_comps",
+            (F.col("s") / F.col("_t")).alias("strength"),
+        )
+    )

@@ -13586,6 +13586,119 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bt_sql(iters: int = 3) -> str:
+    """Unrolled Hunter-MM Bradley–Terry: per round, each item's
+    denominator is the opponent-id-ordered list fold of n_ij/(s_i+s_j)
+    (list_reduce's first-element seed equals Spark's 0.0 seed exactly:
+    +0.0 + x is the IEEE identity), matching `bradley_terry_strengths`
+    bit-for-bit."""
+    head = """
+    WITH ranked AS (
+      SELECT l_orderkey, l_suppkey, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem
+    ),
+    games AS (
+      SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice THEN a.l_suppkey
+                  WHEN b.l_extendedprice > a.l_extendedprice THEN b.l_suppkey
+                  ELSE LEAST(a.l_suppkey, b.l_suppkey) END AS i,
+             CASE WHEN a.l_extendedprice > b.l_extendedprice THEN b.l_suppkey
+                  WHEN b.l_extendedprice > a.l_extendedprice THEN a.l_suppkey
+                  ELSE GREATEST(a.l_suppkey, b.l_suppkey) END AS j
+      FROM ranked a JOIN ranked b
+        ON a.l_orderkey = b.l_orderkey AND a.rn = 1 AND b.rn = 2
+      WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    directed AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij, CAST(SUM(w) AS BIGINT) AS w_ij
+      FROM (SELECT i, j, 1 AS w FROM games
+            UNION ALL SELECT j, i, 0 FROM games)
+      GROUP BY i, j
+    ),
+    items AS (
+      SELECT i, CAST(SUM(w_ij) AS BIGINT) AS wins,
+             CAST(SUM(n_ij) AS BIGINT) AS n_comps
+      FROM directed GROUP BY i
+    ),
+    s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS s FROM items)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+    d{t} AS (
+      SELECT d.i,
+             list_reduce(
+               list(CAST(d.n_ij AS DOUBLE) / (si.s + sj.s) ORDER BY d.j),
+               (a, b) -> a + b) AS dsum
+      FROM directed d
+      JOIN s{t - 1} si ON si.i = d.i
+      JOIN s{t - 1} sj ON sj.i = d.j
+      GROUP BY d.i
+    ),
+    s{t} AS (
+      SELECT it.i, CAST(it.wins AS DOUBLE) / d.dsum AS s
+      FROM items it JOIN d{t} d USING (i)
+    )""")
+    tail = f""",
+    tot AS (
+      SELECT list_reduce(list(s ORDER BY i), (a, b) -> a + b) AS t
+      FROM s{iters}
+    )
+    SELECT it.i AS item, it.wins AS wins, it.n_comps AS n_comps,
+           s{iters}.s / tot.t AS strength
+    FROM items it JOIN s{iters} USING (i) CROSS JOIN tot"""
+    return head + "".join(rounds) + tail
+
+
+@_q("bt_preference_strengths", _bt_sql(3))
+def q_bt_preference_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths via Hunter's MM algorithm
+    (operators/mixing.py::bradley_terry_strengths — the model behind
+    RLHF pairwise preference data and arena rankings). Comparisons are
+    constructed relationally: each multi-line order pits its first two
+    lines' suppliers, higher extendedprice wins (exact DECIMAL compare;
+    price tie → lower suppkey). Three MM rounds from s=1; every float
+    sum — per-item denominators, the normalization total — is an
+    id-ordered sequential fold on BOTH engines, so the strengths are
+    bit-identical across partitionings (the `doremi_weights`
+    discipline). One corpus-sized pass builds the O(pairs) directed
+    table; each round after is bounded-table joins only."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        bradley_terry_strengths,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    ranked = li.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    a = ranked.where(F.col("rn") == 1).select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("_sa"),
+        F.col("l_extendedprice").alias("_pa"),
+    )
+    b = ranked.where(F.col("rn") == 2).select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("_sb"),
+        F.col("l_extendedprice").alias("_pb"),
+    )
+    games = (
+        a.join(b, "l_orderkey")
+        .where(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.when(F.col("_pa") > F.col("_pb"), F.col("_sa"))
+            .when(F.col("_pb") > F.col("_pa"), F.col("_sb"))
+            .otherwise(F.least("_sa", "_sb"))
+            .alias("winner"),
+            F.when(F.col("_pa") > F.col("_pb"), F.col("_sb"))
+            .when(F.col("_pb") > F.col("_pa"), F.col("_sa"))
+            .otherwise(F.greatest("_sa", "_sb"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_strengths(games, "winner", "loser", iters=3)
+
+
 @_q(
     "margin_bitext_pairs",
     """

@@ -632,3 +632,52 @@ def test_unimax_allocation_matches_sequential_loop(spark):
 
     with _pt.raises(ValueError, match="positive"):
         unimax_allocation(df, "lang", "n_chars", 0, 2)
+
+
+def test_bradley_terry_hand_computed_and_order_invariant(spark):
+    """Hunter-MM Bradley–Terry on a hand-checkable tournament: one MM
+    round from s=1 reproduces the closed-form update; strengths order by
+    dominance; zero-win items go to 0; the id-ordered folds make the
+    doubles bit-identical under repartitioning."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        bradley_terry_strengths,
+    )
+
+    # A beats B twice, A beats C once, B beats C once: A > B > C
+    games = [(1, 2), (1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(games, "winner long, loser long")
+
+    one = {
+        r.item: r
+        for r in bradley_terry_strengths(df, "winner", "loser", iters=1).collect()
+    }
+    # round 1 from s=1: denom_i = sum_j n_ij/2; s' = W/denom
+    # A: W=3, denom=(2+1)/2=1.5 -> 2.0 ; B: W=1, denom=(2+1)/2 -> 2/3
+    # C: W=0 -> 0.0 ; normalize by 2.0+2/3+0
+    sa, sb, sc = 3 / 1.5, 1 / 1.5, 0.0
+    tot = sa + sb + sc
+    assert one[1].strength == sa / tot
+    assert one[2].strength == sb / tot
+    assert one[3].strength == 0.0
+    assert (one[1].wins, one[1].n_comps) == (3, 3)
+
+    # dominance ordering survives more rounds; zero-win stays at zero
+    three = {
+        r.item: r.strength
+        for r in bradley_terry_strengths(df, "winner", "loser", iters=3).collect()
+    }
+    assert three[1] > three[2] > three[3] == 0.0
+
+    # bit-identical under repartitioning (the ordered-fold guarantee)
+    rep = {
+        r.item: r.strength
+        for r in bradley_terry_strengths(
+            df.repartition(7), "winner", "loser", iters=3
+        ).collect()
+    }
+    assert rep == three
+
+    with _pt.raises(ValueError, match="iters"):
+        bradley_terry_strengths(df, "winner", "loser", iters=0)

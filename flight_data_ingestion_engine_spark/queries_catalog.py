@@ -7696,6 +7696,71 @@ def q_xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "notebook_ingest_cells",
+    """
+    SELECT doc_id, 'python' AS language, CAST(0 AS BIGINT) AS cell_idx,
+           'markdown' AS cell_type, CAST(NULL AS INT) AS execution_count,
+           '# Doc ' || doc_id AS source, CAST(1 AS BIGINT) AS n_lines,
+           FALSE AS is_code
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'python', 1, 'code', 1,
+           'x = ' || doc_id || chr(10) || 'print(x)', 2, TRUE
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'python', 2, 'code', NULL, COALESCE(text, ''), 1, TRUE
+    FROM documents
+    """,
+)
+def q_notebook_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook ingestion (sources/readers.py::notebook_cells —
+    The Stack's .ipynb → cells pass): a deterministic nbformat-4 JSON is
+    BUILT from each document row with to_json (real escaping of the raw
+    document text: quotes, newlines, unicode) and parsed back under the
+    declared schema — markdown and code cells in notebook order, source
+    lines rejoined verbatim, execution_count NULL where the JSON omits
+    it. The oracle states the expected cells directly from the source
+    row, so any corruption in the JSON build/parse roundtrip (escaping,
+    cell order, typing) mismatches. Zero shuffles; rides the scan."""
+    from flight_data_ingestion_engine_spark.sources.readers import notebook_cells
+
+    d = F.col("doc_id")
+    nb = F.to_json(
+        F.struct(
+            F.lit(4).alias("nbformat"),
+            F.struct(
+                F.struct(
+                    F.lit("python3").alias("name"),
+                    F.lit("python").alias("language"),
+                ).alias("kernelspec")
+            ).alias("metadata"),
+            F.array(
+                F.struct(
+                    F.lit("markdown").alias("cell_type"),
+                    F.lit(None).cast("int").alias("execution_count"),
+                    F.array(F.concat(F.lit("# Doc "), d.cast("string"))).alias("source"),
+                ),
+                F.struct(
+                    F.lit("code").alias("cell_type"),
+                    F.lit(1).alias("execution_count"),
+                    F.array(
+                        F.concat(F.lit("x = "), d.cast("string"), F.lit("\n")),
+                        F.lit("print(x)"),
+                    ).alias("source"),
+                ),
+                F.struct(
+                    F.lit("code").alias("cell_type"),
+                    F.lit(None).cast("int").alias("execution_count"),
+                    F.array(F.coalesce(F.col("text"), F.lit(""))).alias("source"),
+                ),
+            ).alias("cells"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", nb.alias("nb_json"))
+    return notebook_cells(docs, "nb_json", "doc_id")
+
+
+@_q(
     "l_diversity_customers",
     """
     WITH lv AS (

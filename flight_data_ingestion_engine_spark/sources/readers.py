@@ -125,3 +125,51 @@ def read_avro(spark: SparkSession, path: str, **options: Any) -> DataFrame:
                 "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
             ) from e
         raise
+
+
+NOTEBOOK_SCHEMA = (
+    "nbformat INT, "
+    "metadata STRUCT<kernelspec: STRUCT<name: STRING, language: STRING>>, "
+    "cells ARRAY<STRUCT<cell_type: STRING, execution_count: INT, "
+    "source: ARRAY<STRING>>>"
+)
+
+
+def notebook_cells(
+    df: "DataFrame", json_col: str, id_col: str
+) -> "DataFrame":
+    """Jupyter-notebook ingestion — The Stack / StarCoder's `.ipynb`
+    preprocessing (Kocetkov et al. 2022 convert notebooks to scripts
+    before the code filters run): parse the nbformat-4 JSON under a
+    DECLARED schema (no inference job), explode to one row per cell in
+    notebook order, and type the fields the downstream passes need.
+
+    Returns `(<id_col>, language, cell_idx, cell_type, execution_count,
+    source, n_lines, is_code)` — `source` is the cell's line list joined
+    verbatim (nbformat stores source as a list of strings WITH their
+    trailing newlines, so plain concatenation reconstructs the cell
+    text), `is_code` gates the script-assembly step (filter + order by
+    cell_idx + concat — see the catalog query). Malformed JSON yields a
+    NULL parse and the notebook drops out (the `json_quarantine` pattern
+    can capture them upstream). Pure Catalyst: from_json + posexplode,
+    zero shuffles, rides the scan."""
+    from pyspark.sql import functions as F
+
+    parsed = df.select(
+        F.col(id_col),
+        F.from_json(F.col(json_col), NOTEBOOK_SCHEMA).alias("_nb"),
+    ).where(F.col("_nb.cells").isNotNull())
+    return parsed.select(
+        F.col(id_col),
+        F.col("_nb.metadata.kernelspec.language").alias("language"),
+        F.posexplode("_nb.cells").alias("cell_idx", "_c"),
+    ).select(
+        F.col(id_col),
+        "language",
+        F.col("cell_idx").cast("bigint").alias("cell_idx"),
+        F.col("_c.cell_type").alias("cell_type"),
+        F.col("_c.execution_count").alias("execution_count"),
+        F.concat_ws("", F.col("_c.source")).alias("source"),
+        F.size("_c.source").cast("bigint").alias("n_lines"),
+        (F.col("_c.cell_type") == "code").alias("is_code"),
+    )

@@ -259,3 +259,66 @@ def test_warc_parser_roundtrip_and_traps(spark, tmp_path):
     assert read_warc(spark, d, record_types=["conversion"]).count() == 1
     plan_cols = read_warc(spark, d).columns
     assert plan_cols[:4] == ["file", "record_idx", "warc_type", "target_uri"]
+
+
+def test_notebook_cells_parse_assembly_and_quarantine(spark):
+    """nbformat-4 ingestion: cells in notebook order with verbatim
+    line-list reconstruction (trailing newlines preserved), code-cell
+    script assembly, malformed JSON and cell-less JSON drop out."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.sources.readers import notebook_cells
+
+    nb = {
+        "nbformat": 4,
+        "metadata": {"kernelspec": {"name": "python3", "language": "python"}},
+        "cells": [
+            {"cell_type": "markdown", "source": ["# Title\n", "intro"]},
+            {
+                "cell_type": "code",
+                "execution_count": 7,
+                "source": ["import os\n", "print('hi \"there\"')\n"],
+            },
+            {"cell_type": "code", "source": []},
+            {"cell_type": "code", "source": ["done()"]},
+        ],
+    }
+    rows = [
+        (1, json.dumps(nb)),
+        (2, "{not valid json"),
+        (3, json.dumps({"nbformat": 4, "metadata": {}})),  # no cells
+    ]
+    df = spark.createDataFrame(rows, "nb_id int, nb_json string")
+    out = notebook_cells(df, "nb_json", "nb_id")
+    got = {(r.nb_id, r.cell_idx): r for r in out.collect()}
+
+    # only notebook 1 survives; 4 cells in order
+    assert {k[0] for k in got} == {1}
+    assert sorted(k[1] for k in got) == [0, 1, 2, 3]
+    assert got[(1, 0)].cell_type == "markdown"
+    assert got[(1, 0)].source == "# Title\nintro"
+    assert got[(1, 0)].is_code is False and got[(1, 0)].n_lines == 2
+    assert got[(1, 1)].execution_count == 7
+    assert got[(1, 1)].source == "import os\nprint('hi \"there\"')\n"
+    assert got[(1, 2)].source == "" and got[(1, 2)].n_lines == 0
+    assert got[(1, 3)].execution_count is None
+
+    # The Stack's script assembly: code cells, notebook order, joined
+    script = (
+        out.where("is_code")
+        .groupBy("nb_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("cell_idx", "source"))),
+                    lambda s: s["source"],
+                ),
+            ).alias("script")
+        )
+        .collect()[0]
+        .script
+    )
+    assert script == "import os\nprint('hi \"there\"')\n\n\ndone()"

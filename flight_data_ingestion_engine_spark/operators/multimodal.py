@@ -26,7 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -995,3 +995,240 @@ def image_phash(
             )
 
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+_DFT_SCALE = 1 << 12
+
+
+def dft_tables(n: int, bins: int) -> tuple[list[list[int]], list[list[int]]]:
+    """Quantized DFT basis for the audio feature family: ``C[k-1][t] =
+    round(cos(2πkt/n)·2¹²)`` and likewise sin, k = 1..bins (DC excluded —
+    constant offset carries no audio information). Scale 2¹² (not the
+    pHash 2¹⁴) is a proven headroom bound: tone samples are table values
+    (≤ 4096, int16-safe for the WAV codec), a frame correlation is ≤
+    n·4096² ≈ 2.7e8, and its square ≤ 7.3e16 ≪ 2⁶³ — the whole power
+    spectrum stays in exact bigint. Generated in one place and inlined
+    into the DuckDB oracle (the `phash_cos_table` discipline: no
+    engine-side trig, ever)."""
+    import math
+
+    cos_t = [
+        [round(math.cos(2 * math.pi * k * t / n) * _DFT_SCALE) for t in range(n)]
+        for k in range(1, bins + 1)
+    ]
+    sin_t = [
+        [round(math.sin(2 * math.pi * k * t / n) * _DFT_SCALE) for t in range(n)]
+        for k in range(1, bins + 1)
+    ]
+    return cos_t, sin_t
+
+
+def attach_tonal_audio(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    src_col: str | None = None,
+    offset_col: str | None = None,
+    n_frames: int = 8,
+    frame: int = 16,
+    bins: int = 8,
+    sample_rate: int = 8000,
+    salt: str = "tone",
+) -> DataFrame:
+    """Synthesize REAL 16-bit PCM WAVs with md5-derived TONE structure —
+    the planted corpus for the spectrogram/fingerprint family. Frame f of
+    source s plays the pure quantized tone of bin ``k(s,f) = md5-byte(
+    "{s}:{f}:{salt}") % bins + 1``: its samples are literally row k of
+    the `dft_tables` cos basis, so the frame's DFT power concentrates at
+    bin k and an oracle can replay both the SYNTHESIS and the ANALYSIS
+    from the same inlined table. md5 tones (not a linear residue
+    pattern) keep distinct sources' tone sequences free of the
+    structural shift-collisions any ``(a·s + b·f) mod bins`` scheme
+    plants. `src_col`/`offset_col` build SNIPPETS: clip plays source's
+    frames starting at `offset` — the planted ground truth for
+    constellation matching. Same Arrow mapInPandas shape as the codecs."""
+    import pandas as pd
+
+    cos_t, _ = dft_tables(frame, bins)
+    src = src_col or id_col
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    total = n_frames * frame
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            offs = (
+                pdf[offset_col].fillna(0).astype("int64")
+                if offset_col
+                else pd.Series(0, index=pdf.index)
+            )
+            rows = []
+            for i, s, off in zip(
+                pdf[id_col].astype("int64"), pdf[src].astype("int64"), offs
+            ):
+                samples: list[int] = []
+                for f in range(n_frames):
+                    k = (
+                        int(
+                            hashlib.md5(
+                                f"{int(s)}:{f + int(off)}:{salt}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        % bins
+                        + 1
+                    )
+                    samples.extend(cos_t[k - 1])
+                payload = encode_wav(sample_rate, samples)
+                meta = ("audio", "wav", None, None, sample_rate, total, total / sample_rate)
+                rows.append((int(i), payload, meta))
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    cols = [id_col] + ([src] if src != id_col else []) + ([offset_col] if offset_col else [])
+    return df.select(*dict.fromkeys(cols)).mapInPandas(synth, schema)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    frame: int = 16,
+    bins: int = 8,
+) -> DataFrame:
+    """Integer short-time power spectrum over decoded WAV payloads — the
+    feature-extraction stage every audio pipeline (Shazam-style
+    fingerprinting, Whisper-style mel frontends) starts from, made
+    engine-exact: per non-overlapping `frame`-sample window and bin k,
+
+        re = Σ x_t·C[k][t],  im = Σ x_t·S[k][t],  power = re² + im²
+
+    over the quantized `dft_tables` basis — all bigint (the 2¹² scale
+    proof lives on `dft_tables`). A trailing partial frame is dropped
+    (fingerprints from a ragged window would differ from the same audio
+    re-chunked). One stateless Arrow stage (decode + correlate per row);
+    downstream peak-picking and matching are pure Catalyst. Returns
+    (id, frame_idx, bin, re, im, power)."""
+    import pandas as pd
+
+    cos_t, sin_t = dft_tables(frame, bins)
+    schema = (
+        f"{id_col} bigint, frame_idx bigint, bin bigint, "
+        "re bigint, im bigint, power bigint"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            out: list[tuple[int, int, int, int, int, int]] = []
+            for i, payload in zip(sub[id_col].astype("int64"), sub[bytes_col]):
+                _, _, samples = decode_wav(bytes(payload))
+                for f in range(len(samples) // frame):
+                    chunk = samples[f * frame : (f + 1) * frame]
+                    for k in range(1, bins + 1):
+                        re = sum(x * c for x, c in zip(chunk, cos_t[k - 1]))
+                        im = sum(x * s for x, s in zip(chunk, sin_t[k - 1]))
+                        out.append((int(i), f, k, re, im, re * re + im * im))
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "frame_idx", "bin", "re", "im", "power"],
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+def spectrogram_peaks(spec: DataFrame, id_col: str) -> DataFrame:
+    """Per-frame peak bin (max power, tie → lowest bin) — the
+    constellation points of Shazam-style fingerprinting (Wang 2003).
+    One clip+frame-keyed window; ties are impossible to mis-order
+    cross-engine because the (power DESC, bin ASC) ordering is total."""
+    w = (
+        Window.partitionBy(id_col, "frame_idx")
+        .orderBy(F.col("power").desc(), F.col("bin").asc())
+    )
+    return (
+        spec.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "frame_idx",
+            F.col("bin").alias("peak_bin"),
+            F.col("power").alias("peak_power"),
+        )
+    )
+
+
+def constellation_fingerprints(
+    peaks: DataFrame, id_col: str, fan_out: int = 2
+) -> DataFrame:
+    """Landmark pairs (Wang 2003): each peak pairs with the peaks of the
+    next `fan_out` frames, giving hashes (f1, f2, dt) anchored at t1.
+    Pure Catalyst: one self-join on ``frame_idx + dt`` after a fan-out
+    explode — candidate volume is rows × fan_out, never all-pairs.
+    Returns (id, t1, f1, f2, dt)."""
+    if fan_out < 1:
+        raise ValueError("constellation_fingerprints: fan_out must be >= 1")
+    p1 = peaks.select(
+        F.col(id_col).alias("_id1"),
+        F.col("frame_idx").alias("t1"),
+        F.col("peak_bin").alias("f1"),
+        F.explode(F.sequence(F.lit(1), F.lit(fan_out))).alias("dt"),
+    )
+    p2 = peaks.select(
+        F.col(id_col).alias("_id2"),
+        F.col("frame_idx").alias("_t2"),
+        F.col("peak_bin").alias("f2"),
+    )
+    # equi-join keys (id, t1+dt) == (id, _t2) so Catalyst hash-joins
+    # instead of filtering a per-clip cross product
+    return (
+        p1.join(
+            p2,
+            (F.col("_id1") == F.col("_id2"))
+            & (F.col("_t2") == F.col("t1") + F.col("dt")),
+        )
+        .select(F.col("_id1").alias(id_col), "t1", "f1", "f2", "dt")
+    )
+
+
+def constellation_match(
+    snip_fp: DataFrame,
+    ref_fp: DataFrame,
+    snip_id: str,
+    ref_id: str,
+) -> DataFrame:
+    """Offset-histogram matching (the Shazam vote): join snippet and
+    reference fingerprints on the (f1, f2, dt) hash, histogram the
+    implied alignment ``t_offset = ref.t1 − snip.t1``, and return each
+    snippet's best (ref, offset) by votes (ties → lowest ref id, lowest
+    offset — a total order). A true containment at offset o aligns ALL
+    snippet landmarks, so its vote count is the snippet's landmark count
+    while chance collisions scatter across offsets. The hash join is
+    bin²·fan_out-keyed (never all-pairs); the histogram is one keyed
+    agg. Returns (snip_id, ref_id, t_offset, votes). ("offset" is a reserved
+    word in ANSI/DuckDB SQL, hence the t_ prefix.)"""
+    s = snip_fp.select(
+        F.col(snip_id), F.col("t1").alias("_st"), "f1", "f2", "dt"
+    )
+    r = ref_fp.select(
+        F.col(ref_id), F.col("t1").alias("_rt"), "f1", "f2", "dt"
+    )
+    votes = (
+        s.join(r, ["f1", "f2", "dt"])
+        .groupBy(snip_id, ref_id, (F.col("_rt") - F.col("_st")).alias("t_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = (
+        Window.partitionBy(snip_id)
+        .orderBy(F.col("votes").desc(), F.col(ref_id).asc(), F.col("t_offset").asc())
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -13928,6 +13928,167 @@ def q_audio_energy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_gate(media, id_col="clip_id")
 
 
+def _dft_corpus_sql(with_snips: bool) -> str:
+    """Shared DuckDB replay of the tonal-audio corpus + integer DFT: the
+    cos/sin tables come from the SAME `dft_tables(16, 8)` call the
+    operators use, inlined as VALUES (no engine-side trig). Synthesis
+    (frame tone row of the cos basis, md5-selected) and analysis
+    (re/im correlations, power, peak rank) are both replayed
+    relationally through the real WAV codec's sample values."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import dft_tables
+
+    cos_t, sin_t = dft_tables(16, 8)
+    cvals = ", ".join(
+        f"({k + 1}, {t}, {cos_t[k][t]})" for k in range(8) for t in range(16)
+    )
+    svals = ", ".join(
+        f"({k + 1}, {t}, {sin_t[k][t]})" for k in range(8) for t in range(16)
+    )
+    snips = (
+        """
+      UNION ALL
+      SELECT doc_id + 1000, doc_id, 2, 4 FROM documents
+      WHERE doc_id < 200 AND doc_id % 5 = 0"""
+        if with_snips
+        else ""
+    )
+    return f"""
+    WITH clips AS (
+      SELECT doc_id AS clip_id, doc_id AS src, 0 AS off, 8 AS nf
+      FROM documents WHERE doc_id < 200{snips}
+    ),
+    ctab(k, t, c) AS (VALUES {cvals}),
+    stab(k, t, c) AS (VALUES {svals}),
+    tones AS (
+      SELECT clip_id, u.f AS f,
+             ('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.f + off AS VARCHAR)||':tone'),1,2))::BIGINT % 8 + 1 AS k
+      FROM clips, UNNEST(range(nf)) AS u(f)
+    ),
+    samples AS (
+      SELECT tn.clip_id, tn.f, c.t AS t, c.c AS x
+      FROM tones tn JOIN ctab c ON c.k = tn.k
+    ),
+    spec AS (
+      SELECT s.clip_id, s.f AS frame_idx, a.k AS bin,
+             CAST(SUM(s.x * a.c) AS BIGINT) AS re,
+             CAST(SUM(s.x * b.c) AS BIGINT) AS im
+      FROM samples s
+      JOIN ctab a ON a.t = s.t
+      JOIN stab b ON b.t = s.t AND b.k = a.k
+      GROUP BY 1, 2, 3
+    ),
+    pw AS (
+      SELECT clip_id, frame_idx, bin,
+             CAST(re * re + im * im AS BIGINT) AS power
+      FROM spec
+    ),
+    peaks AS (
+      SELECT clip_id, frame_idx, bin AS peak_bin, power AS peak_power
+      FROM (SELECT clip_id, frame_idx, bin, power,
+                   ROW_NUMBER() OVER (PARTITION BY clip_id, frame_idx
+                                      ORDER BY power DESC, bin ASC) AS rn
+            FROM pw)
+      WHERE rn = 1
+    )"""
+
+
+@_q(
+    "audio_spectrogram_peaks",
+    _dft_corpus_sql(False)
+    + """
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(peak_bin AS BIGINT) AS peak_bin, peak_power
+    FROM peaks
+    """,
+)
+def q_audio_spectrogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer short-time power spectrum + per-frame peak picking
+    (operators/multimodal.py::audio_spectrogram / spectrogram_peaks —
+    the Shazam constellation front end, Wang 2003) over REAL WAV
+    payloads whose frames play quantized pure tones: every re/im
+    correlation, power value and peak rank replays relationally from
+    the same inlined 2¹²-scaled basis, value-exact through the codec.
+    The Arrow stage does decode+correlate only; peak picking is one
+    Catalyst window."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        spectrogram_peaks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return spectrogram_peaks(audio_spectrogram(media, id_col="clip_id"), "clip_id")
+
+
+@_q(
+    "audio_fingerprint_match",
+    _dft_corpus_sql(True)
+    + """
+    , fp AS (
+      SELECT p1.clip_id, p1.frame_idx AS t1, p1.peak_bin AS f1,
+             p2.peak_bin AS f2, d.dt AS dt
+      FROM peaks p1
+      JOIN (VALUES (1), (2)) AS d(dt) ON TRUE
+      JOIN peaks p2 ON p2.clip_id = p1.clip_id
+                   AND p2.frame_idx = p1.frame_idx + d.dt
+    ),
+    votes AS (
+      SELECT s.clip_id AS snip_id, r.clip_id AS ref_id,
+             r.t1 - s.t1 AS t_offset, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM fp s JOIN fp r ON s.f1 = r.f1 AND s.f2 = r.f2 AND s.dt = r.dt
+      WHERE s.clip_id >= 1000 AND r.clip_id < 1000
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(snip_id AS BIGINT) AS snip_id,
+           CAST(ref_id AS BIGINT) AS ref_id,
+           CAST(t_offset AS BIGINT) AS t_offset, votes
+    FROM (SELECT snip_id, ref_id, t_offset, votes,
+                 ROW_NUMBER() OVER (PARTITION BY snip_id
+                                    ORDER BY votes DESC, ref_id ASC, t_offset ASC) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """,
+)
+def q_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style constellation matching end to end (multimodal.py::
+    constellation_fingerprints / constellation_match — Wang 2003):
+    4-frame snippets (doc_id%5, id+1000) replay frames 2..5 of their
+    source clip; landmark pairs (f1, f2, dt≤2) hash-join against the
+    reference fingerprints and the offset histogram's winner is taken
+    per snippet (votes DESC, ref ASC, offset ASC — a total order). The
+    oracle replays synthesis, DFT, peaks, fingerprints AND the vote
+    ranking relationally; a true containment aligns all 5 snippet
+    landmarks at offset 2, chance collisions scatter."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        constellation_fingerprints,
+        constellation_match,
+        spectrogram_peaks,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(d < 200)
+    refs = attach_tonal_audio(docs.select(d.alias("ref_id")), id_col="ref_id")
+    snip_src = docs.where(d % 5 == 0).select(
+        (d + 1000).alias("snip_id"), d.alias("src"), F.lit(2).alias("off")
+    )
+    snips = attach_tonal_audio(
+        snip_src, id_col="snip_id", src_col="src", offset_col="off", n_frames=4
+    )
+    ref_fp = constellation_fingerprints(
+        spectrogram_peaks(audio_spectrogram(refs, id_col="ref_id"), "ref_id"),
+        "ref_id",
+    )
+    snip_fp = constellation_fingerprints(
+        spectrogram_peaks(audio_spectrogram(snips, id_col="snip_id"), "snip_id"),
+        "snip_id",
+    )
+    return constellation_match(snip_fp, ref_fp, "snip_id", "ref_id")
+
+
 @_q(
     "normalized_dedup_docs",
     r"""

@@ -984,3 +984,56 @@ def test_license_detect_precedence_and_verdicts(spark):
     assert got[4].license is None and got[4].permissive is None
     assert got[5].license is None and got[5].keep is False
     assert got[6].license == "MIT" and got[6].permissive is True and got[6].keep is True
+
+
+def test_audio_dft_peaks_resolve_tones_and_constellation_match(spark):
+    """The integer DFT actually resolves the planted tones: every
+    frame's peak bin equals its md5-selected tone bin; a snippet
+    playing frames 2..5 of its source matches that source at offset 2
+    with votes == its full landmark count (3 dt=1 + 2 dt=2 pairs)."""
+    import hashlib
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        constellation_fingerprints,
+        constellation_match,
+        spectrogram_peaks,
+    )
+
+    refs_src = spark.createDataFrame([(i,) for i in range(6)], "ref_id long")
+    refs = attach_tonal_audio(refs_src, id_col="ref_id")
+    peaks = spectrogram_peaks(
+        audio_spectrogram(refs, id_col="ref_id"), "ref_id"
+    ).cache()
+
+    got = {(r.ref_id, r.frame_idx): r.peak_bin for r in peaks.collect()}
+    for i in range(6):
+        for f in range(8):
+            tone = int(hashlib.md5(f"{i}:{f}:tone".encode()).hexdigest()[:2], 16) % 8 + 1
+            assert got[(i, f)] == tone, (i, f)
+
+    snip_src = spark.createDataFrame(
+        [(1000 + i, i, 2) for i in range(6)], "snip_id long, src long, off int"
+    )
+    snips = attach_tonal_audio(
+        snip_src, id_col="snip_id", src_col="src", offset_col="off", n_frames=4
+    )
+    snip_fp = constellation_fingerprints(
+        spectrogram_peaks(audio_spectrogram(snips, id_col="snip_id"), "snip_id"),
+        "snip_id",
+    )
+    ref_fp = constellation_fingerprints(peaks, "ref_id")
+    best = {
+        r.snip_id: r
+        for r in constellation_match(snip_fp, ref_fp, "snip_id", "ref_id").collect()
+    }
+    for i in range(6):
+        b = best[1000 + i]
+        assert (b.ref_id, b.t_offset, b.votes) == (i, 2, 5), (i, b)
+
+    peaks.unpersist()
+    with _pt.raises(ValueError, match="fan_out"):
+        constellation_fingerprints(peaks, "ref_id", fan_out=0)

@@ -1232,3 +1232,100 @@ def constellation_match(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_MEL_SCALE = 1 << 10
+_MEL_POWER_SHIFT = 1 << 12
+
+
+def mel_filterbank(
+    frame: int = 16,
+    bins: int = 8,
+    n_mels: int = 4,
+    sample_rate: int = 8000,
+) -> list[list[int]]:
+    """Quantized triangular mel filterbank ``W[m][k] = round(w·2¹⁰)``
+    over the DFT bins — the standard mel construction (HTK's 2595·log10
+    (1+f/700) warp, n_mels+2 evenly spaced mel points, rise/fall
+    triangles), computed ONCE in Python and inlined into the oracle:
+    engine-side arithmetic stays integer (the `dft_tables` discipline).
+    Bin k's center frequency is k·sr/frame."""
+    import math
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    f_lo, f_hi = sample_rate / frame, bins * sample_rate / frame
+    pts = [
+        imel(mel(f_lo) + (mel(f_hi) - mel(f_lo)) * i / (n_mels + 1))
+        for i in range(n_mels + 2)
+    ]
+    table: list[list[int]] = []
+    for m in range(1, n_mels + 1):
+        lo, c, hi = pts[m - 1], pts[m], pts[m + 1]
+        row = []
+        for k in range(1, bins + 1):
+            f = k * sample_rate / frame
+            w = max(0.0, min((f - lo) / (c - lo), (hi - f) / (hi - c)))
+            row.append(round(w * _MEL_SCALE))
+        table.append(row)
+    return table
+
+
+def mel_energies(
+    spec: DataFrame,
+    id_col: str,
+    frame: int = 16,
+    bins: int = 8,
+    n_mels: int = 4,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Log-mel energies over an `audio_spectrogram` table — the feature
+    frontend of the Whisper-style speech pipelines, engine-exact: per
+    frame and mel filter,
+
+        energy = Σ_k W[m][k] · (power_k // 2¹²)
+
+    (the pre-shift keeps the weighted sum inside bigint: power ≤ 1.5e17,
+    so the UNSHIFTED sum of 8 bins × 2¹⁰ weights could exceed 2⁶³; after
+    the floor-shift it is ≤ 2.8e17 — exact on both engines, where `//`
+    on non-negative ints is the same floor), and the log compression is
+    the integer quantization ``log_bits = bitlen(1 + energy)`` (the
+    `unigram_surprisal` discipline — float log10 sums would be
+    partition-order-dependent).
+
+    Pure Catalyst: one broadcast join against the (mel, bin, weight)
+    literal filterbank + one (id, frame, mel)-keyed agg — the Arrow
+    stage ended at the spectrogram. Returns
+    (id, frame_idx, mel, energy, log_bits)."""
+    fb = mel_filterbank(frame, bins, n_mels, sample_rate)
+    spark = spec.sparkSession
+    rows = [
+        (m + 1, k + 1, fb[m][k])
+        for m in range(n_mels)
+        for k in range(bins)
+        if fb[m][k] != 0
+    ]
+    fb_df = spark.createDataFrame(rows, "mel int, bin int, w int")
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    # integer `div`, NOT floor(power / shift): power exceeds 2^53, so a
+    # double-precision division would round before the floor
+    energy = F.sum(
+        F.col("w").cast("bigint")
+        * F.expr(f"power div {_MEL_POWER_SHIFT}").cast("bigint")
+    ).cast("bigint")
+    out = (
+        spec.join(F.broadcast(fb_df), "bin")
+        .groupBy(id_col, "frame_idx", "mel")
+        .agg(energy.alias("energy"))
+    )
+    return out.select(
+        id_col,
+        "frame_idx",
+        F.col("mel").cast("bigint").alias("mel"),
+        "energy",
+        bitlen(F.lit(1) + F.col("energy")).alias("log_bits"),
+    )

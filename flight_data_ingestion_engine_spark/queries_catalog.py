@@ -14022,6 +14022,59 @@ def q_audio_spectrogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectrogram_peaks(audio_spectrogram(media, id_col="clip_id"), "clip_id")
 
 
+def _mel_sql() -> str:
+    """Oracle tail for the log-mel frontend: the quantized filterbank
+    from the SAME `mel_filterbank()` call the operator uses, inlined as
+    VALUES; energies are integer `//`-shifted weighted sums and the log
+    compression is the bitlen quantization."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        mel_filterbank,
+    )
+
+    fb = mel_filterbank()
+    vals = ", ".join(
+        f"({m + 1}, {k + 1}, {fb[m][k]})"
+        for m in range(len(fb))
+        for k in range(len(fb[m]))
+        if fb[m][k] != 0
+    )
+    return f"""
+    , mtab(mel, bin, w) AS (VALUES {vals}),
+    me AS (
+      SELECT clip_id, frame_idx, mtab.mel AS mel,
+             CAST(SUM(mtab.w * (pw.power // 4096)) AS BIGINT) AS energy
+      FROM pw JOIN mtab ON mtab.bin = pw.bin
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(mel AS BIGINT) AS mel, energy,
+           CAST(length(bin(1 + energy)) AS BIGINT) AS log_bits
+    FROM me
+    """
+
+
+@_q("audio_mel_energies", _dft_corpus_sql(False) + _mel_sql())
+def q_audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel feature frontend (multimodal.py::mel_energies — the
+    Whisper-style speech preprocessing stage) over the tonal WAV corpus:
+    the HTK mel warp and triangle weights are computed once in Python,
+    quantized, and shared verbatim with the oracle; engine-side work is
+    one broadcast filterbank join + one keyed agg of integer products
+    (power pre-shifted with integer `div` — a double division would
+    round above 2⁵³), log compression as bitlen. Value-exact through
+    the codec, the DFT, and the filterbank."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        mel_energies,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return mel_energies(audio_spectrogram(media, id_col="clip_id"), "clip_id")
+
+
 @_q(
     "audio_fingerprint_match",
     _dft_corpus_sql(True)

@@ -1037,3 +1037,38 @@ def test_audio_dft_peaks_resolve_tones_and_constellation_match(spark):
     peaks.unpersist()
     with _pt.raises(ValueError, match="fan_out"):
         constellation_fingerprints(peaks, "ref_id", fan_out=0)
+
+
+def test_mel_energies_shape_and_tone_selectivity(spark):
+    """Log-mel frontend: a pure tone's energy lands in the mel filters
+    that cover its bin (weight table consulted independently in-test),
+    zero-weight filters read zero, and the bitlen log compression
+    matches Python's bit_length."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        mel_energies,
+        mel_filterbank,
+    )
+
+    src = spark.createDataFrame([(0,), (1,)], "clip_id long")
+    media = attach_tonal_audio(src, n_frames=2)
+    spec = audio_spectrogram(media, id_col="clip_id").cache()
+    out = {
+        (r.clip_id, r.frame_idx, r.mel): r
+        for r in mel_energies(spec, "clip_id").collect()
+    }
+    fb = mel_filterbank()
+    powers = {
+        (r.clip_id, r.frame_idx, r.bin): r.power for r in spec.collect()
+    }
+    for (cid, f, mel), r in out.items():
+        expect = sum(
+            fb[mel - 1][k - 1] * (powers[(cid, f, k)] // 4096)
+            for k in range(1, 9)
+        )
+        assert r.energy == expect
+        assert r.log_bits == (1 + expect).bit_length()
+    # every (clip, frame) carries all 4 mel rows
+    assert len(out) == 2 * 2 * 4
+    spec.unpersist()

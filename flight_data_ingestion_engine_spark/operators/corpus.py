@@ -2438,3 +2438,91 @@ def texttiling_boundaries(
         depth.alias("depth"),
         (depth >= depth_threshold).alias("is_boundary"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    normalize: bool = True,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum — the classic
+    corpus-health diagnostic (natural text shows ln(freq) ≈ intercept −
+    s·ln(rank) with s ≈ 1; templated/generated corpora bend the curve):
+    OLS of y = ln(count) on x = ln(rank) over the `top_k` most frequent
+    terms (rank ties broken lexicographically — a total order, so the
+    rank assignment is engine-identical).
+
+    Float discipline (the `doremi_weights` pattern): per-term x, y and
+    xy are single IEEE expressions (ln agrees cross-engine on every
+    probed value — the PMI precedent), and all four OLS sums are
+    SEQUENTIAL folds over the rank-ordered list, so slope and intercept
+    are bit-identical across engines and partitionings. The slope is
+    computed once and the intercept derived from it with the same
+    expression shape on both sides.
+
+    Scale shape: one corpus explode + term-count agg (map-side
+    combined); the ordered-limit top-k is vocabulary-bounded and the
+    fold list is k entries. Returns ONE row (n_terms, slope,
+    intercept)."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    from pyspark.sql.window import Window
+
+    if top_k < 3:
+        raise ValueError("zipf_fit: top_k must be >= 3")
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.explode(
+                F.split(
+                    text_normalize(F.col(text_col)) if normalize else F.col(text_col),
+                    " ",
+                )
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(top_k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("tok").asc()))
+            .alias("r"),
+            "cnt",
+        )
+    )
+    vals = top.select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    ).withColumn("xy", F.col("x") * F.col("y")).withColumn("xx", F.col("x") * F.col("x"))
+
+    def fold(col: str):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("r", col))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[col],
+        )
+
+    sums = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        fold("x").alias("_sx"),
+        fold("y").alias("_sy"),
+        fold("xy").alias("_sxy"),
+        fold("xx").alias("_sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    slope = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return (
+        sums.withColumn("slope", slope)
+        .withColumn(
+            "intercept",
+            (F.col("_sy") - F.col("slope") * F.col("_sx")) / nd,
+        )
+        .select("n_terms", "slope", "intercept")
+    )

@@ -5702,6 +5702,57 @@ def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zipf_fit_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    top AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS r, cnt
+      FROM counts ORDER BY cnt DESC, tok ASC LIMIT 100
+    ),
+    vals AS (
+      SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM top
+    ),
+    v2 AS (SELECT r, x, y, x * y AS xy, x * x AS xx FROM vals),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+             list_reduce(list(xy ORDER BY r), (a, b) -> a + b) AS sxy,
+             list_reduce(list(xx ORDER BY r), (a, b) -> a + b) AS sxx
+      FROM v2
+    ),
+    sl AS (
+      SELECT n_terms, sx, sy,
+             (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
+      FROM s
+    )
+    SELECT n_terms, slope,
+           (sy - slope * sx) / CAST(n_terms AS DOUBLE) AS intercept
+    FROM sl
+    """,
+)
+def q_zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (operators/corpus.py::zipf_fit): OLS of ln(count)
+    on ln(rank) over the 100 most frequent terms (ties lexicographic —
+    engine-identical ranks). Every float sum is a rank-ordered
+    sequential fold on both engines (sort_array+aggregate vs
+    list(ORDER BY)+list_reduce) and slope/intercept share expression
+    shapes, so the fitted exponent is bit-identical — the corpus-health
+    diagnostic made value-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_k=100)
+
+
+@_q(
     "perplexity_buckets",
     f"""
     WITH toks AS (

@@ -872,3 +872,31 @@ def test_kneser_ney_score_hand_computed(spark):
 
     with _pt.raises(ValueError, match="discount"):
         kneser_ney_score(score, state, "doc_id", discount=(5, 4))
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus built to be EXACTLY Zipfian (term t_r repeated
+    round(1000/r) times) fits slope ≈ −1; repartitioning leaves the
+    doubles bit-identical (ordered-fold guarantee); param validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import zipf_fit
+
+    words = []
+    for r in range(1, 41):
+        words.extend([f"w{r:03d}"] * round(1000 / r))
+    # split across docs; distribution across rows must not matter
+    docs = [(i, " ".join(words[i::7])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    out = zipf_fit(df, top_k=40).collect()[0]
+    assert out.n_terms == 40
+    assert -1.05 < out.slope < -0.95
+    # intercept ~ ln(1000)
+    assert 6.5 < out.intercept < 7.3
+
+    rep = zipf_fit(df.repartition(13), top_k=40).collect()[0]
+    assert (rep.slope, rep.intercept) == (out.slope, out.intercept)
+
+    with _pt.raises(ValueError, match="top_k"):
+        zipf_fit(df, top_k=2)

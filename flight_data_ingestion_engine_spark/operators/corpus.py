@@ -2526,3 +2526,67 @@ def zipf_fit(
         )
         .select("n_terms", "slope", "intercept")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    normalize: bool = True,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+    method: str = "catalyst",
+) -> DataFrame:
+    """Tokenizer fertility report — THE standard tokenizer-evaluation
+    metric (tokens emitted per word; multilingual tokenizer papers and
+    the XLM-R/NLLB lines report exactly this, plus bytes per token as
+    the compression view) — per corpus group, under a trained unigram
+    vocabulary:
+
+        fertility       = Σ n_pieces / Σ n_words
+        bytes_per_token = Σ octet_length(normalized text) / Σ n_pieces
+
+    A fertility near 1 means the vocabulary covers the group's words
+    whole; a group whose fertility spikes is one the tokenizer will
+    shred into long sequences (the classic under-served-language
+    signal). All numerators/denominators are exact bigint sums over
+    `unigram_encode`'s per-doc counts (docs with zero words after
+    normalization drop out, exactly as they do from the encoder); the
+    two divisions are one IEEE op per group row. Adds ONE group-keyed
+    agg on top of the encode plan — the dictionary-sized segmentation
+    is shared, not recomputed. Returns (group, n_docs, n_words,
+    n_pieces, n_bytes, fertility, bytes_per_token)."""
+    enc = unigram_encode(
+        df, vocab, text_col, id_col, normalize, max_word_len, max_piece_len, method
+    )
+    norm = text_normalize(F.col(text_col)) if normalize else F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.octet_length(norm).cast("bigint").alias("_bytes"),
+    )
+    agg = (
+        enc.join(base, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_bytes",
+        (F.col("n_pieces").cast("double") / F.col("n_words").cast("double")).alias(
+            "fertility"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("n_pieces").cast("double")).alias(
+            "bytes_per_token"
+        ),
+    )

@@ -10685,6 +10685,47 @@ def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tokenizer_fertility",
+    f"""
+    WITH enc AS ({_unigram_oracle_sql(2, "encode")}),
+    base AS (
+      SELECT doc_id, source,
+             CAST(octet_length(encode({_NORM_SQL})) AS BIGINT) AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT base.source AS source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
+             CAST(SUM(base.b) AS BIGINT) AS n_bytes
+      FROM enc JOIN base USING (doc_id)
+      GROUP BY base.source
+    )
+    SELECT source, n_docs, n_words, n_pieces, n_bytes,
+           CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+           CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS bytes_per_token
+    FROM g
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source (corpus.py::tokenizer_fertility —
+    tokens per word and bytes per token, the standard tokenizer-eval
+    metrics): composes the proven unigram train+encode replay with one
+    group-keyed agg of exact bigint sums; the two ratios are one IEEE
+    division each. The under-served-group diagnostic, value-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        tokenizer_fertility,
+        unigram_em_steps,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    vocab = unigram_em_steps(docs, rounds=2)
+    scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
+    return tokenizer_fertility(docs, scored)
+
+
+@_q(
     "theta_retention_daily",
     f"""
     WITH ud AS (

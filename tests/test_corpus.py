@@ -900,3 +900,31 @@ def test_zipf_fit_recovers_planted_exponent(spark):
 
     with _pt.raises(ValueError, match="top_k"):
         zipf_fit(df, top_k=2)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Fertility under a hand-built vocabulary: a group whose words the
+    vocab covers whole reads fertility 1.0; a group of uncovered words
+    shreds to characters; byte counts follow the normalized text."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        tokenizer_fertility,
+    )
+
+    # vocab: whole words for group A; group B's words absent (char fallback)
+    vocab = [("abc", 2), ("de", 3), ("a", 5), ("b", 5), ("c", 5),
+             ("x", 5), ("y", 5), ("z", 5), ("d", 5), ("e", 5)]
+    rows = [
+        (0, "A", "abc de"),      # 2 words -> 2 pieces
+        (1, "A", "abc abc"),     # 2 words -> 2 pieces
+        (2, "B", "xyz"),         # 1 word -> 3 char pieces
+        (3, "B", "zzz xy"),      # 2 words -> 3 + 2 pieces
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {r.source: r for r in tokenizer_fertility(df, vocab).collect()}
+
+    assert (got["A"].n_docs, got["A"].n_words, got["A"].n_pieces) == (2, 4, 4)
+    assert got["A"].fertility == 1.0
+    # "abc de" -> 6 bytes, "abc abc" -> 7 bytes
+    assert got["A"].n_bytes == 13 and got["A"].bytes_per_token == 13 / 4
+    assert (got["B"].n_words, got["B"].n_pieces) == (3, 8)
+    assert got["B"].fertility == 8 / 3

@@ -1656,3 +1656,120 @@ def bff_paragraph_dedup(
             >= F.lit(min_kept_frac) * n_paras.cast("double")
         ).alias("doc_keep"),
     )
+
+
+def rouge_l_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_tokens: int = 12,
+    df_cap: int = 8,
+    threshold: tuple[int, int] = (7, 10),
+    normalize: bool = True,
+) -> DataFrame:
+    """ROUGE-L near-duplicate pairs — the instruction-data dedup rule
+    (Self-Instruct, Wang et al. 2023 admit a generated instruction only
+    if its ROUGE-L against every existing one stays below 0.7; Alpaca
+    and its descendants inherited the exact check):
+
+        rouge_l_f = 2·LCS(a, b) / (|a| + |b|)
+
+    over the first `max_tokens` normalized tokens (instructions are
+    short; the cap also bounds the per-pair DP at L²).
+
+    Candidates are RARE-TOKEN blocked (the entity-resolution discipline):
+    within a blocking group, only pairs sharing a token whose in-block
+    document frequency is ≤ `df_cap` are scored — near-duplicates share
+    most of their tokens, rare ones included, so recall loss needs a pair
+    that overlaps ONLY on stop-level tokens, which ROUGE ≥ 0.7 on short
+    texts effectively rules out. Pair volume is Σ_tok df(tok)² over rare
+    tokens, never block².
+
+    LCS runs in one Arrow stage (token DP, no Catalyst builtin; per-pair
+    cost ≤ max_tokens²); `is_dup` is the INTEGER cross-multiply
+    ``2·lcs·den ≥ num·(la+lb)`` (no float boundary), with the float
+    `rouge_l` emitted for audit. The DuckDB oracle replays LCS
+    relationally as the longest strictly-increasing chain of match
+    points (a recursive CTE whose UNION-dedup bounds rows at L³ per
+    pair). Returns (id_a, id_b, lcs, la, lb, rouge_l, is_dup)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("rouge_l_pairs: threshold must satisfy 0 < num/den <= 1")
+    base = F.col(text_col)
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.slice(
+            F.filter(
+                F.split(text_normalize(base) if normalize else base, " "),
+                lambda t: t != "",
+            ),
+            1,
+            max_tokens,
+        ).alias("_t"),
+    ).where(F.size("_t") > 0)
+    inv = toks.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct("_t")).alias("_tok"),
+    )
+    rare = (
+        inv.groupBy(*block_cols, "_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select(*block_cols, "_tok")
+    )
+    inv_r = inv.join(rare, [*block_cols, "_tok"])
+    a = inv_r.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], "_tok")
+    b = inv_r.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in block_cols], "_tok")
+    cand = (
+        a.join(b, [*block_cols, "_tok"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
+    pairs = cand.join(ta, "id_a").join(tb, "id_b").select("id_a", "id_b", "_ta", "_tb")
+
+    import pandas as pd
+
+    def lcs_batches(it):
+        for pdf in it:
+            la, lb, lc = [], [], []
+            for x, y in zip(pdf["_ta"], pdf["_tb"]):
+                x, y = list(x), list(y)
+                m, n = len(x), len(y)
+                prev = [0] * (n + 1)
+                for i in range(1, m + 1):
+                    cur = [0] * (n + 1)
+                    for j in range(1, n + 1):
+                        cur[j] = (
+                            prev[j - 1] + 1
+                            if x[i - 1] == y[j - 1]
+                            else max(prev[j], cur[j - 1])
+                        )
+                    prev = cur
+                la.append(m)
+                lb.append(n)
+                lc.append(prev[n])
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "lcs": lc,
+                    "la": la,
+                    "lb": lb,
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        lcs_batches, "id_a bigint, id_b bigint, lcs bigint, la bigint, lb bigint"
+    )
+    return scored.select(
+        "id_a", "id_b", "lcs", "la", "lb",
+        (F.lit(2.0) * F.col("lcs") / (F.col("la") + F.col("lb"))).alias("rouge_l"),
+        (2 * den * F.col("lcs") >= num * (F.col("la") + F.col("lb"))).alias("is_dup"),
+    )

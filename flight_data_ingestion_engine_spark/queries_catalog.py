@@ -10685,6 +10685,100 @@ def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rouge_l_dedup_pairs",
+    f"""
+    WITH RECURSIVE docs2 AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 5000, source, text FROM documents
+      WHERE doc_id < 400 AND doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 6000, source, 'extrawordz ' || text FROM documents
+      WHERE doc_id < 400 AND doc_id % 7 = 0
+    ),
+    toks AS (
+      SELECT doc_id, source, t FROM (
+        SELECT doc_id, source,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')[1:12] AS t
+        FROM docs2
+      ) WHERE len(t) > 0
+    ),
+    inv AS (
+      SELECT DISTINCT doc_id, source, u.tok AS tok
+      FROM toks, UNNEST(t) AS u(tok)
+    ),
+    rare AS (
+      SELECT source, tok
+      FROM (SELECT source, tok, COUNT(*) AS c FROM inv GROUP BY 1, 2)
+      WHERE c <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a
+      JOIN rare r ON a.source = r.source AND a.tok = r.tok
+      JOIN inv b ON b.source = r.source AND b.tok = r.tok
+      WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b, ta.t AS ta, tb.t AS tb
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b
+    ),
+    m AS (
+      SELECT p.id_a, p.id_b, ui.i AS i, uj.j AS j
+      FROM pairs p,
+           UNNEST(range(1, len(p.ta) + 1)) AS ui(i),
+           UNNEST(range(1, len(p.tb) + 1)) AS uj(j)
+      WHERE p.ta[i] = p.tb[j]
+    ),
+    chain AS (
+      SELECT id_a, id_b, i, j, 1 AS len FROM m
+      UNION
+      SELECT m.id_a, m.id_b, m.i, m.j, c.len + 1
+      FROM chain c
+      JOIN m ON m.id_a = c.id_a AND m.id_b = c.id_b
+            AND m.i > c.i AND m.j > c.j
+    ),
+    lcs AS (SELECT id_a, id_b, MAX(len) AS lcs FROM chain GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(l.lcs AS BIGINT) AS lcs,
+           CAST(len(p.ta) AS BIGINT) AS la, CAST(len(p.tb) AS BIGINT) AS lb,
+           2.0 * l.lcs / (len(p.ta) + len(p.tb)) AS rouge_l, TRUE AS is_dup
+    FROM pairs p JOIN lcs l USING (id_a, id_b)
+    WHERE 2 * 10 * l.lcs >= 7 * (len(p.ta) + len(p.tb))
+    """,
+)
+def q_rouge_l_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L instruction dedup (operators/dedup.py::rouge_l_pairs —
+    the Self-Instruct/Alpaca admission check): exact text clones
+    (doc_id%9, +5000) score 1.0 and one-token-prefix variants (%7,
+    +6000) land just above the 0.7 gate; candidates are rare-token
+    blocked within source. The Spark side computes LCS in one Arrow DP
+    stage; the oracle replays it RELATIONALLY as the longest strictly-
+    increasing chain of token match points (recursive CTE, UNION-dedup
+    bounds rows at L³ per pair) — two utterly different algorithms,
+    value-exact agreement, and the dup decision is an integer
+    cross-multiply on both."""
+    from flight_data_ingestion_engine_spark.operators.dedup import rouge_l_pairs
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text").where(d < 400)
+    clones = docs.where(d % 9 == 0).select(
+        (d + 5000).alias("doc_id"), "source", "text"
+    )
+    variants = docs.where(d % 7 == 0).select(
+        (d + 6000).alias("doc_id"), "source",
+        F.concat(F.lit("extrawordz "), F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    allr = docs.unionByName(clones).unionByName(variants)
+    out = rouge_l_pairs(
+        allr, "doc_id", "text", ["source"], max_tokens=12, df_cap=8,
+        threshold=(7, 10),
+    )
+    return out.where(F.col("is_dup"))
+
+
+@_q(
     "tokenizer_fertility",
     f"""
     WITH enc AS ({_unigram_oracle_sql(2, "encode")}),

@@ -2000,3 +2000,54 @@ def test_kcenter_coreset_greedy_property(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         kcenter_coreset(df, "vec_id", k=0)
+
+
+def test_rouge_l_pairs_hand_lcs_and_blocking(spark):
+    """ROUGE-L dedup: hand-checked LCS values (clone = 1.0, interleaved
+    subsequence, below-threshold pair excluded), the integer-cross-
+    multiply boundary at exactly 0.7, and rare-token blocking (a pair
+    sharing only a block-saturating token is never scored)."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.dedup import rouge_l_pairs
+
+    common = "common "  # appears in EVERY doc -> df > cap -> never blocks
+    rows = [
+        (1, "s", common + "alpha beta gamma delta"),
+        (2, "s", common + "alpha beta gamma delta"),          # clone of 1
+        (3, "s", common + "alpha xx beta yy gamma zz delta"), # lcs(1,3)=5
+        (4, "s", common + "unrelated words entirely here"),
+        (5, "s", common + "totally different tokens again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = rouge_l_pairs(
+        df, "doc_id", "text", ["source"], max_tokens=12, df_cap=4,
+        threshold=(7, 10),
+    ).cache()
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+
+    # clone: lcs 5, la=lb=5 -> rouge 1.0, dup
+    assert got[(1, 2)].lcs == 5 and got[(1, 2)].rouge_l == 1.0 and got[(1, 2)].is_dup
+    # 1 vs 3: lcs = common alpha beta gamma delta = 5; la=5, lb=8
+    r13 = got[(1, 3)]
+    assert (r13.lcs, r13.la, r13.lb) == (5, 5, 8)
+    assert r13.rouge_l == 10 / 13 and r13.is_dup  # 0.769 >= 0.7
+    # 4 vs 5 share only 'common' (df=5 > cap) -> not even a candidate
+    assert (4, 5) not in got
+    # 1 vs 4 share only 'common' too -> absent
+    assert (1, 4) not in got
+
+    # exact boundary: lcs=7, la=lb=10 -> rouge 0.7 EXACTLY -> is_dup
+    bound = spark.createDataFrame(
+        [
+            (10, "s", "a b c d e f g h i j"),
+            (11, "s", "a b c d e f g q r s"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    b = rouge_l_pairs(bound, "doc_id", "text", ["source"], df_cap=4).collect()
+    assert len(b) == 1 and b[0].lcs == 7 and b[0].is_dup
+    out.unpersist()
+
+    with _pt.raises(ValueError, match="threshold"):
+        rouge_l_pairs(df, "doc_id", "text", ["source"], threshold=(3, 2))

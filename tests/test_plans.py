@@ -1135,3 +1135,32 @@ def test_wave4_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave5_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the fifth-wave families. The license gate and
+    notebook parse are pure projections (ZERO exchanges); the DCT hash
+    rides its Arrow stages shuffle-free; the audio feature path spends
+    one clip+frame window; KN scoring is the four state-derived joins;
+    ROUGE-L is the blocked candidate join + LCS stage; BT's seven are
+    its fixed three MM rounds over the bounded pair table."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "image_phash_values": 0,        # synth + DCT Arrow stages
+        "license_detect_docs": 0,       # regex CASE projection
+        "notebook_ingest_cells": 0,     # from_json + posexplode
+        "audio_spectrogram_peaks": 1,   # peak window only
+        "audio_mel_energies": 1,        # filterbank join is broadcast
+        "audio_fingerprint_match": 6,   # 2 peak windows + fp joins + votes
+        "zipf_fit_terms": 2,            # term agg + ordered top-k fold
+        "kneser_ney_score": 7,          # state + 3 derived joins + agg
+        "tokenizer_fertility": 3,       # encode join + group agg
+        "bt_preference_strengths": 7,   # pair agg + 3 bounded MM rounds
+        "rouge_l_dedup_pairs": 3,       # rare-token block join + LCS
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

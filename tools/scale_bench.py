@@ -86,6 +86,12 @@ ABS_BUDGET_US = {
     "margin": 80.0,
     # texttiling measured 19.9 us/row big (rel 0.30) on this box — ~4x
     "texttiling": 80.0,
+    # r10 fifth pass: budgets set from this box's measured big-volume
+    # rates (~4x, see SCALE_BENCH_r10 run in NOTES_r10.md)
+    "phash": 200.0,
+    "audio_fp": 600.0,
+    "rouge_l": 120.0,
+    "kneser_ney": 150.0,
 }
 REL_BUDGET = 2.0
 
@@ -370,6 +376,105 @@ def _ops(spark):
         ).collect()
         return n
 
+    def phash_op(n):
+        # r10 fifth pass: BMP synth + integer DCT + banded pair search —
+        # the per-row Python DCT constant is the watch target
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            ahash_dup_pairs,
+            attach_patterned_media,
+            image_phash,
+        )
+
+        ids = spark.range(n).select(
+            F.col("id").alias("img_id"),
+            (F.col("id") % max(n // 2, 1)).alias("src"),
+            F.lit(False).alias("flip"),
+        )
+        hashes = image_phash(
+            attach_patterned_media(ids, id_col="img_id", src_col="src", flip_col="flip"),
+            id_col="img_id",
+        )
+        ahash_dup_pairs(
+            hashes, id_col="img_id", max_hamming=3,
+            hi_col="phash_hi", lo_col="phash_lo",
+        ).agg(F.count(F.lit(1))).collect()
+        return n
+
+    def audio_fp_op(n):
+        # r10 fifth pass: tonal WAV synth + DFT Arrow stage + peak window
+        # + constellation hash join + vote ranking, end to end
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_tonal_audio,
+            audio_spectrogram,
+            constellation_fingerprints,
+            constellation_match,
+            spectrogram_peaks,
+        )
+
+        refs = attach_tonal_audio(
+            spark.range(n).select(F.col("id").alias("ref_id")), id_col="ref_id"
+        )
+        snips = attach_tonal_audio(
+            spark.range(n).select(
+                (F.col("id") + 1_000_000).alias("snip_id"),
+                F.col("id").alias("src"),
+                F.lit(2).alias("off"),
+            ),
+            id_col="snip_id", src_col="src", offset_col="off", n_frames=4,
+        )
+        rf = constellation_fingerprints(
+            spectrogram_peaks(audio_spectrogram(refs, id_col="ref_id"), "ref_id"),
+            "ref_id",
+        )
+        sf = constellation_fingerprints(
+            spectrogram_peaks(audio_spectrogram(snips, id_col="snip_id"), "snip_id"),
+            "snip_id",
+        )
+        constellation_match(sf, rf, "snip_id", "ref_id").agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
+    def rouge_l_op(n):
+        # r10 fifth pass: rare-token blocked candidates + Arrow LCS DP —
+        # rate per input doc; pair volume rides the df_cap bound
+        from flight_data_ingestion_engine_spark.operators.dedup import rouge_l_pairs
+
+        vocab = F.array(*[F.lit(f"w{i}") for i in range(500)])
+        dup_content = (
+            F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1)
+            .otherwise(F.col("id"))
+        )
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.element_at(
+                    vocab, (F.pmod(F.xxhash64(dup_content, i), 500) + 1).cast("int")
+                ),
+            ),
+        )
+        docs = spark.range(n).select(
+            "id", F.pmod(dup_content, 64).alias("blk"), text.alias("text")
+        )
+        rouge_l_pairs(docs, "id", "text", ["blk"], max_tokens=12, df_cap=8).agg(
+            F.count(F.lit(1))
+        ).collect()
+        return n
+
+    def kneser_ney_op(n):
+        # r10 fifth pass: KN scoring — state-derived joins; the four
+        # statistics aggs must stay state-sized
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            kneser_ney_score,
+            ngram_lm_state,
+        )
+
+        docs = synth_docs(spark, n)
+        st = ngram_lm_state(docs.where(F.col("id") % 2 == 0), n=2)
+        kneser_ney_score(docs, st, "id", n=2).agg(F.sum("sum_kn_bits")).collect()
+        return n
+
     def margin_op(n):
         # r10 fourth pass: candidate-bounded margin mining — 200 queries x
         # (n/20) candidates; cost is the scored pair table, rate per pair
@@ -407,6 +512,10 @@ def _ops(spark):
         "winnowing": winnowing_op,
         "audio_gate": audio_gate_op,
         "ahash_pairs": ahash_pairs_op,
+        "phash": phash_op,
+        "audio_fp": audio_fp_op,
+        "rouge_l": rouge_l_op,
+        "kneser_ney": kneser_ney_op,
     }
 
 

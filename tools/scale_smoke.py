@@ -1026,6 +1026,154 @@ def main() -> None:
         assert _exchanges(ag_b) == _exchanges(ag_s)
         assert ag_b.count() == (n_docs // 10) * 8
 
+    with stage(f"phash_pairs_{n_docs // 10}_imgs"):
+        # r10 fifth pass: DCT hash rides the same banded pair machinery
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            ahash_dup_pairs,
+            attach_patterned_media,
+            image_phash,
+        )
+
+        def _phash_plan(n):
+            ids = spark.range(n).select(
+                F.col("id").alias("img_id"),
+                (F.col("id") % max(n // 2, 1)).alias("src"),
+                F.lit(False).alias("flip"),
+            )
+            hashes = image_phash(
+                attach_patterned_media(ids, id_col="img_id", src_col="src",
+                                       flip_col="flip"),
+                id_col="img_id",
+            )
+            return ahash_dup_pairs(
+                hashes, id_col="img_id", max_hamming=3,
+                hi_col="phash_hi", lo_col="phash_lo",
+            )
+
+        ph_b, ph_s = _phash_plan(n_docs // 10), _phash_plan(n_docs // 500)
+        assert _exchanges(ph_b) == _exchanges(ph_s)
+        assert ph_b.where(F.col("hamming") == 0).count() >= n_docs // 20
+
+    with stage(f"audio_fp_{n_docs // 20}_clips"):
+        # r10 fifth pass: DFT spectrogram + constellation match — hash
+        # join keyed by (f1, f2, dt), never all-pairs; every snippet's
+        # true source wins at its planted offset
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_tonal_audio,
+            audio_spectrogram,
+            constellation_fingerprints,
+            constellation_match,
+            spectrogram_peaks,
+        )
+
+        def _fp(n):
+            refs = attach_tonal_audio(
+                spark.range(n).select(F.col("id").alias("ref_id")), id_col="ref_id"
+            )
+            snips = attach_tonal_audio(
+                spark.range(n).select(
+                    (F.col("id") + 1_000_000).alias("snip_id"),
+                    F.col("id").alias("src"),
+                    F.lit(2).alias("off"),
+                ),
+                id_col="snip_id", src_col="src", offset_col="off", n_frames=4,
+            )
+            rf = constellation_fingerprints(
+                spectrogram_peaks(audio_spectrogram(refs, id_col="ref_id"), "ref_id"),
+                "ref_id",
+            )
+            sf = constellation_fingerprints(
+                spectrogram_peaks(audio_spectrogram(snips, id_col="snip_id"), "snip_id"),
+                "snip_id",
+            )
+            return constellation_match(sf, rf, "snip_id", "ref_id")
+
+        fp_b, fp_s = _fp(n_docs // 20), _fp(n_docs // 500)
+        assert _exchanges(fp_b) == _exchanges(fp_s)
+        good = fp_b.where(
+            (F.col("ref_id") == F.col("snip_id") - 1_000_000)
+            & (F.col("t_offset") == 2) & (F.col("votes") == 5)
+        ).count()
+        assert good == n_docs // 20
+
+    with stage(f"rouge_l_{n_docs}"):
+        # r10 fifth pass: rare-token blocked LCS pairs — pair volume is
+        # sum df(tok)^2 over rare tokens, plan volume-invariant; the 1%
+        # planted clone pairs all land at rouge 1.0
+        from flight_data_ingestion_engine_spark.operators.dedup import rouge_l_pairs
+
+        vocab = F.array(*[F.lit(f"w{i}") for i in range(500)])
+        dup_content = (
+            F.when(F.pmod(F.col("id"), 100) == 0, F.col("id") - 1)
+            .otherwise(F.col("id"))
+        )
+        rtext = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.element_at(
+                    vocab, (F.pmod(F.xxhash64(dup_content, i), 500) + 1).cast("int")
+                ),
+            ),
+        )
+
+        def _rouge(n):
+            docs = spark.range(n).select(
+                "id", F.pmod(dup_content, 64).alias("blk"), rtext.alias("text")
+            )
+            return rouge_l_pairs(
+                docs, "id", "text", ["blk"], max_tokens=12, df_cap=8,
+            )
+
+        rg_b, rg_s = _rouge(n_docs), _rouge(max(n_docs // 50, 200))
+        assert _exchanges(rg_b) == _exchanges(rg_s)
+        assert (
+            rg_b.where(F.col("rouge_l") == 1.0).count() >= n_docs // 100
+        )
+
+    with stage(f"kneser_ney_{n_docs}"):
+        # r10 fifth pass: KN scoring is state-derived joins only — same
+        # exchange count at any corpus volume
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            kneser_ney_score,
+            ngram_lm_state,
+        )
+
+        def _kn(n):
+            kdocs = spark.range(n).withColumn("text", synth_text(_dup_content))
+            st = ngram_lm_state(kdocs.where(F.col("id") % 2 == 0), n=2)
+            return kneser_ney_score(kdocs, st, "id", n=2)
+
+        kn_b, kn_s = _kn(n_docs), _kn(max(n_docs // 50, 200))
+        assert _exchanges(kn_b) == _exchanges(kn_s)
+        assert kn_b.count() == n_docs
+
+    with stage("fifth_wave_gates"):
+        # r10 fifth pass: the zero-shuffle projections stay zero-shuffle
+        from flight_data_ingestion_engine_spark.operators.text import license_detect
+        from flight_data_ingestion_engine_spark.sources.readers import notebook_cells
+
+        lic = license_detect(
+            spark.range(n_docs).select(
+                "id", F.lit("SPDX-License-Identifier: MIT").alias("text")
+            ),
+            id_col="id",
+        )
+        assert _exchanges(lic) == 0
+        nb = notebook_cells(
+            spark.range(n_docs).select(
+                "id",
+                F.lit(
+                    '{"nbformat":4,"metadata":{"kernelspec":{"name":"p","language":"python"}},'
+                    '"cells":[{"cell_type":"code","source":["x=1"]}]}'
+                ).alias("nb"),
+            ),
+            "nb",
+            "id",
+        )
+        assert _exchanges(nb) == 0
+        assert nb.count() == n_docs
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

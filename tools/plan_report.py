@@ -101,6 +101,16 @@ SELECTED = [
     ("doremi_domain_weights", "domain agg to k rows + ordered-fold softmax (broadcast scalars)"),
     ("unimax_language_budgets", "water-filling closed form: k-row windows, no corpus shuffle"),
     ("margin_bitext_pairs", "broadcast candidate cross + two kNN rank windows + margin ranking"),
+
+    # r10 fifth pass
+    ("image_phash_values", "integer DCT hash: synth + hash Arrow stages, zero exchanges"),
+    ("license_detect_docs", "SPDX/phrase license gate: regex CASE projection, zero exchanges"),
+    ("notebook_ingest_cells", "nbformat parse: from_json + posexplode, zero exchanges"),
+    ("audio_fingerprint_match", "DFT peaks + constellation hash join + offset-vote window"),
+    ("kneser_ney_score", "KN smoothing: state-derived joins only, no reference rescan"),
+    ("rouge_l_dedup_pairs", "rare-token blocked candidates + Arrow LCS stage"),
+    ("bt_preference_strengths", "one corpus pass to O(pairs); bounded-table MM rounds"),
+    ("zipf_fit_terms", "term agg + ordered top-k (TakeOrderedAndProject) + one-row folds"),
 ]
 
 INTERESTING = re.compile(

@@ -14329,6 +14329,64 @@ def q_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_audio_fp_index",
+    _dft_corpus_sql(False)
+    + """
+    SELECT p1.clip_id AS ref_id, CAST(p1.frame_idx AS BIGINT) AS t1,
+           CAST(p1.peak_bin AS BIGINT) AS f1,
+           CAST(p2.peak_bin AS BIGINT) AS f2, d.dt AS dt
+    FROM peaks p1
+    JOIN (VALUES (1), (2)) AS d(dt) ON TRUE
+    JOIN peaks p2 ON p2.clip_id = p1.clip_id
+                 AND p2.frame_idx = p1.frame_idx + d.dt
+    """,
+)
+def q_streaming_audio_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the constellation fingerprint index
+    (streaming/file_stream.py::foreach_batch_audio_fp_sink): tracks
+    arrive in two micro-batches (even then odd ids), each batch decodes
+    + DFTs + landmark-hashes only ITSELF and appends under row-level
+    content idempotence (full-key anti-join — heals partial appends
+    exactly; sink-fires-twice pytest). The final index must equal the
+    batch fingerprint table relationally — the oracle replays synthesis,
+    DFT, peaks and the landmark fan-out."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_audio_fp_sink,
+        stream_parquet,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs, id_col="doc_id")
+    src_dir, state, ck = _stage_doc_batches(spark, sf_dir, "saufp", media)
+    schema = (
+        "doc_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    st = stream_parquet(spark, src_dir, schema, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_audio_fp_sink(st, state, ck, id_col="doc_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(state).select(
+        F.col("doc_id").alias("ref_id"), "t1", "f1", "f2", "dt"
+    )
+
+
+@_q(
     "normalized_dedup_docs",
     r"""
     WITH var AS (

@@ -1035,3 +1035,62 @@ def foreach_batch_ahash_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_audio_fp_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "ref_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    frame: int = 16,
+    bins: int = 8,
+    fan_out: int = 2,
+):
+    """Streaming maintenance of the constellation fingerprint index
+    (operators/multimodal.py::audio_spectrogram/spectrogram_peaks/
+    constellation_fingerprints) — the Shazam-side steady state: each
+    micro-batch of newly ingested tracks is decoded, DFT'd, peak-picked
+    and landmark-hashed, and its (id, t1, f1, f2, dt) rows append to the
+    store `constellation_match` probes. Per-batch cost is the batch's
+    own decode+DFT; indexed tracks' audio is never read back.
+
+    Replay safety is ROW-LEVEL content idempotence (no epoch markers):
+    a clip's landmark rows are a deterministic function of its audio and
+    (id, t1, dt) is unique within a clip, so the batch anti-joins its
+    rows against the index on the FULL (id, t1, f1, f2, dt) key — a
+    crash-replayed batch appends only rows the crashed append had not
+    yet committed, healing partial writes exactly (an id-level skip
+    would instead freeze a partially-indexed clip forever). Pytest
+    fires the sink twice and asserts zero duplicate landmarks."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        audio_spectrogram,
+        constellation_fingerprints,
+        spectrogram_peaks,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fp = constellation_fingerprints(
+            spectrogram_peaks(
+                audio_spectrogram(
+                    batch_df, id_col, bytes_col, meta_col, frame, bins
+                ),
+                id_col,
+            ),
+            id_col,
+            fan_out,
+        )
+        state = _read_parquet_or_none(spark, state_path)
+        if state is not None:
+            fp = fp.join(state, [id_col, "t1", "f1", "f2", "dt"], "left_anti")
+        fp.localCheckpoint(eager=True).write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1119,3 +1119,69 @@ def test_ahash_sink_replay_is_content_idempotent(spark, tmp_path):
         ),
     )
     assert image_ahash(aud, id_col="img_id").count() == 0
+
+
+def test_audio_fp_sink_replay_row_idempotent(spark, tmp_path):
+    """The streaming fingerprint-index sink: a crash-replayed batch
+    appends nothing (full-key anti-join), and a PARTIAL prior append —
+    some of a clip's landmark rows missing — is healed exactly, not
+    frozen (the id-level-skip failure mode the docstring names)."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_audio_fp_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    clips = spark.createDataFrame([(i,) for i in range(6)], "ref_id long")
+    media = attach_tonal_audio(clips, id_col="ref_id")
+    media.coalesce(1).write.parquet(src)
+    schema = (
+        "ref_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def run():
+        st = stream_parquet(spark, src, schema)
+        q = (
+            foreach_batch_audio_fp_sink(st, state, str(tmp_path / f"ck{run.n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        run.n += 1
+
+    run.n = 0
+    run()
+    once = spark.read.parquet(state)
+    rows_once = {tuple(r) for r in once.collect()}
+    # 6 clips x (7 dt=1 + 6 dt=2) landmarks
+    assert len(rows_once) == 6 * 13
+    assert once.count() == len(rows_once)  # no dups within one run
+
+    # crash replay with a fresh checkpoint: nothing appends twice
+    run()
+    again = spark.read.parquet(state)
+    assert again.count() == len(rows_once)
+    assert {tuple(r) for r in again.collect()} == rows_once
+
+    # partial-append heal: delete clip 3's dt=2 rows from the state,
+    # replay — exactly the missing rows (and nothing else) come back
+    import shutil
+
+    kept = once.where(~((F.col("ref_id") == 3) & (F.col("dt") == 2)))
+    kept_rows = {tuple(r) for r in kept.collect()}
+    tmp_state = str(tmp_path / "state2")
+    kept.write.parquet(tmp_state)
+    shutil.rmtree(state)
+    shutil.move(tmp_state, state)
+    run()
+    healed = {tuple(r) for r in spark.read.parquet(state).collect()}
+    assert healed == rows_once and len(kept_rows) < len(rows_once)

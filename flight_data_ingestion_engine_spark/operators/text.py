@@ -889,3 +889,76 @@ def winnowing_match_pairs(
         .agg(F.countDistinct("gram_hash").cast("bigint").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def char_entropy_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_entropy: float = 0.5,
+    max_entropy: float = 4.2,
+) -> DataFrame:
+    """Character-distribution entropy gate — the OCR-garbage / binary-
+    junk detector the public cleaning pipelines run where heuristic
+    rules can't reach (BigScience/ROOTS-style: natural language sits in
+    a band of character entropy; a stuck-key or padding artifact reads
+    near 0 nats, binary-ish noise pushes toward ln(alphabet)):
+
+        H = ln(n) − (Σ_c cnt_c · ln(cnt_c)) / n
+
+    over the document's per-character counts (exact algebraic rewrite of
+    −Σ p·ln p that keeps every ln argument an INTEGER — ln agrees
+    cross-engine on every probed value, the PMI precedent). The one
+    float sum folds over the character-sorted count list
+    (sort_array + aggregate vs list(ORDER BY) + list_reduce), so the
+    entropy is bit-identical across engines and partitionings.
+
+    Characters come from the index-transform char split (the
+    `_bpe_chars` convention — both engines count CODEPOINTS, not
+    bytes). Empty/NULL documents drop out. Shape: one char explode +
+    (id, char)-keyed count + id-keyed fold agg — two map-side-combined
+    shuffles, alphabet-bounded fold lists. Returns (id, n_chars,
+    n_classes, entropy, keep = min ≤ H ≤ max)."""
+    if not 0 <= min_entropy <= max_entropy:
+        raise ValueError("char_entropy_gate: need 0 <= min_entropy <= max_entropy")
+    text = F.col(text_col)
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty, so an empty document would fabricate two empty-char rows
+    idxs = F.when(
+        F.length(text) >= 1, F.sequence(F.lit(1), F.length(text))
+    ).otherwise(F.array().cast("array<int>"))
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.substring(text, i.cast("int"), 1),  # type: ignore[arg-type]
+            )
+        ).alias("_ch"),
+    )
+    id_cols = [id_col]
+    counts = chars.groupBy(*id_cols, "_ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    x = (F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))).alias("_x")
+    per = (
+        counts.select(*id_cols, "_ch", "_c", x)
+        .groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ncls"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("_ch", "_x"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_x"],
+            ).alias("_ent_sum"),
+            F.sum(F.col("_c")).cast("bigint").alias("_n"),
+        )
+    )
+    ent = F.log(F.col("_n").cast("double")) - F.col("_ent_sum") / F.col("_n").cast("double")
+    return per.select(
+        *id_cols,
+        F.col("_n").alias("n_chars"),
+        F.col("_ncls").alias("n_classes"),
+        ent.alias("entropy"),
+        ((ent >= min_entropy) & (ent <= max_entropy)).alias("keep"),
+    )

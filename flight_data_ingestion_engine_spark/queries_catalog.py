@@ -7812,6 +7812,92 @@ def q_notebook_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "char_entropy_docs",
+    """
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 7000, repeat('a', 40) FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 8000, repeat(md5(CAST(doc_id AS VARCHAR)), 2)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    ch AS (
+      SELECT doc_id, substr(text, CAST(u.i AS INT), 1) AS c
+      FROM aug, UNNEST(range(1, len(text) + 1)) AS u(i)
+      WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             list_reduce(
+               list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ORDER BY c),
+               (a, b) -> a + b) AS ent_sum,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, n_classes,
+           ln(CAST(n AS DOUBLE)) - ent_sum / CAST(n AS DOUBLE) AS entropy,
+           (ln(CAST(n AS DOUBLE)) - ent_sum / CAST(n AS DOUBLE)) >= 0.5
+             AND (ln(CAST(n AS DOUBLE)) - ent_sum / CAST(n AS DOUBLE)) <= 4.2
+             AS keep
+    FROM per
+    """,
+)
+def q_char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gate (operators/text.py::char_entropy_gate —
+    the OCR-garbage/binary-junk band filter): planted stuck-key rows
+    (repeat('a', 40) on doc_id%9, entropy exactly 0 → dropped) and
+    hex-noise rows (%11, entropy near ln 16 → kept; entropy alone can't
+    flag a 16-symbol alphabet, which is WHY it composes with the other
+    gates) ride alongside the real documents. ln arguments are always
+    integers and the one float sum folds character-sorted on both
+    engines — entropy bit-identical, keep included."""
+    from flight_data_ingestion_engine_spark.operators.text import char_entropy_gate
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stuck = docs.where(d % 9 == 0).select(
+        (d + 7000).alias("doc_id"), F.expr("repeat('a', 40)").alias("text")
+    )
+    noise = docs.where(d % 11 == 0).select(
+        (d + 8000).alias("doc_id"),
+        F.repeat(F.md5(d.cast("string")), 2).alias("text"),
+    )
+    return char_entropy_gate(
+        docs.unionByName(stuck).unionByName(noise), id_col="doc_id"
+    )
+
+
+@_q(
+    "orc_ingest_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def q_orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake-format roundtrip (sources/readers.py::read_orc): the
+    events projection is written as ORC into a session-scoped staging
+    dir and read back through the ORC scan — the identity oracle
+    catches any type coercion or value corruption in the columnar
+    encode/decode. Rounds out parquet/JSON/CSV/XML/WARC coverage with
+    the remaining built-in lake format (Avro stays gated behind its
+    external jar — `read_avro` raises a clear error, pytest-pinned)."""
+    from flight_data_ingestion_engine_spark.sources.readers import read_orc
+
+    path = _qtmp("orc") + "/events_orc"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").orc(path)
+    return read_orc(spark, path)
+
+
+@_q(
     "l_diversity_customers",
     """
     WITH lv AS (

@@ -1072,3 +1072,43 @@ def test_mel_energies_shape_and_tone_selectivity(spark):
     # every (clip, frame) carries all 4 mel rows
     assert len(out) == 2 * 2 * 4
     spec.unpersist()
+
+
+def test_char_entropy_gate_hand_values(spark):
+    """Hand-computed character entropies: uniform alphabet = ln(k),
+    single repeated char = exactly 0 (dropped), natural-ish text in
+    band (kept), empty/NULL rows absent, bit-identical under
+    repartitioning."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.text import char_entropy_gate
+
+    rows = [
+        (1, "aaaaaaaa"),            # H = 0 -> dropped
+        (2, "abcdabcd"),            # uniform over 4 -> ln 4
+        (3, "hello world"),         # in band
+        (4, ""),                    # no chars -> absent
+        (5, None),                  # absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in char_entropy_gate(df, id_col="doc_id").collect()}
+
+    assert set(got) == {1, 2, 3}
+    assert got[1].entropy == 0.0 and got[1].keep is False
+    assert got[1].n_classes == 1 and got[1].n_chars == 8
+    assert got[2].entropy == math.log(8.0) - (4 * (2.0 * math.log(2.0))) / 8
+    assert abs(got[2].entropy - math.log(4)) < 1e-12 and got[2].keep is True
+    # 'hello world': counts l=3 o=2 others 1 each (h,e,' ',w,r,d), n=11
+    exp = math.log(11.0) - (
+        3.0 * math.log(3.0) + 2.0 * math.log(2.0)
+    ) / 11.0
+    assert got[3].entropy == exp and got[3].keep is True
+
+    rep = {r.doc_id: r.entropy for r in
+           char_entropy_gate(df.repartition(5), id_col="doc_id").collect()}
+    assert rep == {k: v.entropy for k, v in got.items()}
+
+    with _pt.raises(ValueError, match="entropy"):
+        char_entropy_gate(df, id_col="doc_id", min_entropy=5.0, max_entropy=1.0)

@@ -920,7 +920,7 @@ def image_phash(
     id_col: str,
     bytes_col: str = "media_bytes",
     meta_col: str = "media_meta",
-    block: int = 4,
+    block: int = 8,
 ) -> DataFrame:
     """Perceptual DCT hash (pHash) — the third classic image-dedup
     fingerprint next to `image_ahash`/`image_dhash` and the one the
@@ -938,7 +938,12 @@ def image_phash(
     enters until nothing is left to compute. Bits pack row-major over
     (u,v) minus DC into the same two-word layout as aHash/dHash
     (`phash_hi`, `phash_lo`), so `ahash_dup_pairs`/`ahash_cross_dups`
-    accept them via their hi/lo column parameters. One Arrow stage over
+    accept them via their hi/lo column parameters. The default block=8
+    (63 AC bits, the standard pHash size) is ALSO a scale requirement:
+    a smaller block leaves whole 16-bit pigeonhole bands all-zero, every
+    image collides in them, and the banded pair search degenerates to
+    O(n²) — measured superlinear (rel 2.83) by scale_bench before this
+    default was raised. One Arrow stage over
     the decoded payloads; non-image rows drop. Returns
     (id, phash_hi, phash_lo)."""
     import pandas as pd

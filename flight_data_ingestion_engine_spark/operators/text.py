@@ -962,3 +962,72 @@ def char_entropy_gate(
         ent.alias("entropy"),
         ((ent >= min_entropy) & (ent <= max_entropy)).alias("keep"),
     )
+
+
+def s_stem(word: Column) -> Column:
+    """The S-stemmer (Harman 1991, "How effective is suffixing?") — the
+    classic minimal English stemmer the IR literature uses when Porter's
+    rule cascade is more normalization than wanted: three ordered
+    suffix rules, first SUFFIX match commits (an exception then blocks
+    stemming entirely — so "goes" hits the -es rule's oes-exception and
+    stays "goes" rather than falling through to the -s rule):
+
+        -ies → -y   unless -eies / -aies
+        -es  → -e   unless -aes / -ees / -oes
+        -s   → ∅    unless -us / -ss
+
+    A single codegen CASE chain over endswith/substr — replayed verbatim
+    by the DuckDB oracle. (Known artifacts are the published ones:
+    "ties"→"ty"; that is the S-stemmer, not a bug.)"""
+    n = F.length(word)
+    ies_stem = F.concat(word.substr(F.lit(1), n - 3), F.lit("y"))
+    return (
+        F.when(
+            word.endswith("ies"),
+            F.when(
+                word.endswith("eies") | word.endswith("aies"), word
+            ).otherwise(ies_stem),
+        )
+        .when(
+            word.endswith("es"),
+            F.when(
+                word.endswith("aes") | word.endswith("ees") | word.endswith("oes"),
+                word,
+            ).otherwise(word.substr(F.lit(1), n - 1)),
+        )
+        .when(
+            word.endswith("s"),
+            F.when(word.endswith("us") | word.endswith("ss"), word).otherwise(
+                word.substr(F.lit(1), n - 1)
+            ),
+        )
+        .otherwise(word)
+    )
+
+
+def stem_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stemmed-term frequency rollup: tokenize (the engine's standard
+    normalization), S-stem every token, and aggregate per stem —
+    `(stem, n_tokens, n_variants)` where n_variants counts the distinct
+    raw surface forms the stem collapsed ("cat"+"cats" → 2). The
+    index-time half of suffix-normalized retrieval (pair it with the
+    same `s_stem` on query terms for BM25/tf-idf). One explode + one
+    map-side-combined agg; the stem itself is pure codegen."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.explode(F.split(text_normalize(F.col(text_col)), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+    )
+    return (
+        toks.select("term", s_stem(F.col("term")).alias("stem"))
+        .groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_distinct("term").cast("bigint").alias("n_variants"),
+        )
+    )

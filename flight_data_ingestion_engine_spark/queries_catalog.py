@@ -7812,6 +7812,45 @@ def q_notebook_ingest_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stem_rollup_terms",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+    ),
+    st AS (
+      SELECT term,
+             CASE
+               WHEN term LIKE '%ies' THEN
+                 CASE WHEN term LIKE '%eies' OR term LIKE '%aies' THEN term
+                      ELSE substr(term, 1, len(term) - 3) || 'y' END
+               WHEN term LIKE '%es' THEN
+                 CASE WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%oes'
+                      THEN term ELSE substr(term, 1, len(term) - 1) END
+               WHEN term LIKE '%s' THEN
+                 CASE WHEN term LIKE '%us' OR term LIKE '%ss' THEN term
+                      ELSE substr(term, 1, len(term) - 1) END
+               ELSE term
+             END AS stem
+      FROM toks WHERE term <> ''
+    )
+    SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_variants
+    FROM st GROUP BY stem
+    """,
+)
+def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-stemmer term rollup (operators/text.py::s_stem / stem_rollup —
+    Harman 1991's minimal suffix stemmer, first-suffix-commits with
+    exception-blocks semantics): every corpus token stems through the
+    three-rule CASE chain and aggregates per stem with its surface-form
+    variant count. Pure codegen stem + one keyed agg; the oracle
+    replays the identical rule chain."""
+    from flight_data_ingestion_engine_spark.operators.text import stem_rollup
+
+    return stem_rollup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "char_entropy_docs",
     """
     WITH aug AS (
@@ -14709,14 +14748,16 @@ def _phash_sql() -> str:
     runs engine-side, so a libm last-ulp divergence can never flip a
     rounded table entry. coeff(u,v) = Σ px·T[v][x]·T[u][y] (u vertical,
     v horizontal — the operator's orientation), median = exact order
-    statistic rn=8 of the 15 AC integers, bit weight 2^(31−(u·4+v−1))."""
+    statistic rn=32 of the 63 AC integers, row-major bit p = u·8+v−1
+    packed hi (p<32) / lo (p≥32, weight 2^(63−p) — bit 63 itself never
+    used, the signed-shift lesson)."""
     from flight_data_ingestion_engine_spark.operators.multimodal import (
         phash_cos_table,
     )
 
     t8 = phash_cos_table(8)
     vals = ", ".join(
-        f"({u}, {x}, {t8[u][x]})" for u in range(4) for x in range(8)
+        f"({u}, {x}, {t8[u][x]})" for u in range(8) for x in range(8)
     )
     return f"""
     WITH imgs AS (
@@ -14749,13 +14790,15 @@ def _phash_sql() -> str:
       FROM (SELECT img_id, coeff,
                    ROW_NUMBER() OVER (PARTITION BY img_id ORDER BY coeff) AS rn
             FROM ac)
-      WHERE rn = 8
+      WHERE rn = 32
     )
     SELECT a.img_id,
-           SUM(CASE WHEN a.coeff > med.m
-               THEN (1::BIGINT << CAST(31 - (a.u * 4 + a.v - 1) AS INT))
+           SUM(CASE WHEN a.coeff > med.m AND a.u * 8 + a.v - 1 < 32
+               THEN (1::BIGINT << CAST(31 - (a.u * 8 + a.v - 1) AS INT))
                ELSE 0 END) AS phash_hi,
-           CAST(0 AS BIGINT) AS phash_lo
+           SUM(CASE WHEN a.coeff > med.m AND a.u * 8 + a.v - 1 >= 32
+               THEN (1::BIGINT << CAST(63 - (a.u * 8 + a.v - 1) AS INT))
+               ELSE 0 END) AS phash_lo
     FROM ac a JOIN med USING (img_id)
     GROUP BY a.img_id
     """

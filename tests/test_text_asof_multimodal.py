@@ -904,8 +904,8 @@ def test_image_phash_independent_dct_and_pairs(spark):
     for row in media.select("img_id", "media_bytes").collect():
         w, h, px = decode_bmp(bytes(row.media_bytes))
         ac = []
-        for u in range(4):
-            for v in range(4):
+        for u in range(8):
+            for v in range(8):
                 if u == 0 and v == 0:
                     continue
                 c = sum(
@@ -914,12 +914,15 @@ def test_image_phash_independent_dct_and_pairs(spark):
                     for x in range(w)
                 )
                 ac.append(c)
-        med = sorted(ac)[7]
-        hi = 0
+        med = sorted(ac)[31]
+        hi = lo = 0
         for p, c in enumerate(ac):
             if c > med:
-                hi |= 1 << (31 - p)
-        ref[row.img_id] = (hi, 0)
+                if p < 32:
+                    hi |= 1 << (31 - p)
+                else:
+                    lo |= 1 << (63 - p)
+        ref[row.img_id] = (hi, lo)
     assert got == ref
 
     # exact clones (100+i clones src i, as does img 10+i) at hamming 0
@@ -933,11 +936,15 @@ def test_image_phash_independent_dct_and_pairs(spark):
     for i in range(4):
         assert pairs[(10 + i, 100 + i)] == 0
 
-    # low-frequency robustness: the flipped-pixel variant never moves
-    # more than a few of the 15 bits (high-frequency energy is invisible)
+    # a one-pixel flip moves only the bits whose coefficient sat near
+    # the median — always well under half of the 63 (exact clones are
+    # the hamming-0 anchor; this bounds the near-dup drift)
     for i in range(10):
-        d = bin(got[i][0] ^ got[10 + i][0]).count("1")
-        assert d <= 6
+        d = (
+            bin(got[i][0] ^ got[10 + i][0]).count("1")
+            + bin(got[i][1] ^ got[10 + i][1]).count("1")
+        )
+        assert d <= 31
 
     media.unpersist()
     hashes.unpersist()
@@ -1112,3 +1119,30 @@ def test_char_entropy_gate_hand_values(spark):
 
     with _pt.raises(ValueError, match="entropy"):
         char_entropy_gate(df, id_col="doc_id", min_entropy=5.0, max_entropy=1.0)
+
+
+def test_s_stemmer_rule_table(spark):
+    """The Harman S-stemmer rule table, including the exception-blocks
+    semantics ('goes' commits to the -es rule and its oes-exception
+    keeps it whole — it must NOT fall through to the -s rule) and the
+    published 'ties'→'ty' artifact."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.text import s_stem
+
+    cases = {
+        "ponies": "pony",
+        "ties": "ty",          # the documented S-stemmer artifact
+        "eies": "eies",        # -eies exception
+        "houses": "house",
+        "goes": "goes",        # -oes exception BLOCKS, no fall-through
+        "sees": "sees",        # -ees exception
+        "cats": "cat",
+        "glass": "glass",      # -ss exception
+        "bus": "bus",          # -us exception
+        "dog": "dog",          # no suffix
+        "s": "",               # bare 's' strips (len-1 = empty)
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.stem for r in df.select("w", s_stem(F.col("w")).alias("stem")).collect()}
+    assert got == cases

@@ -1734,6 +1734,19 @@ def rouge_l_pairs(
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     pairs = cand.join(ta, "id_a").join(tb, "id_b").select("id_a", "id_b", "_ta", "_tb")
 
+    scored = _lcs_scored(pairs)
+    return scored.select(
+        "id_a", "id_b", "lcs", "la", "lb",
+        (F.lit(2.0) * F.col("lcs") / (F.col("la") + F.col("lb"))).alias("rouge_l"),
+        (2 * den * F.col("lcs") >= num * (F.col("la") + F.col("lb"))).alias("is_dup"),
+    )
+
+
+def _lcs_scored(pairs: DataFrame) -> DataFrame:
+    """Arrow LCS stage shared by the batch pair search and the
+    incremental admission arm: (id_a, id_b, _ta, _tb) → (id_a, id_b,
+    lcs, la, lb) via the classic two-row token DP (no Catalyst builtin
+    for LCS; per-pair cost ≤ max_tokens²)."""
     import pandas as pd
 
     def lcs_batches(it):
@@ -1765,11 +1778,105 @@ def rouge_l_pairs(
                 }
             )
 
-    scored = pairs.mapInPandas(
+    return pairs.mapInPandas(
         lcs_batches, "id_a bigint, id_b bigint, lcs bigint, la bigint, lb bigint"
     )
-    return scored.select(
-        "id_a", "id_b", "lcs", "la", "lb",
-        (F.lit(2.0) * F.col("lcs") / (F.col("la") + F.col("lb"))).alias("rouge_l"),
-        (2 * den * F.col("lcs") >= num * (F.col("la") + F.col("lb"))).alias("is_dup"),
+
+
+def rouge_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 12,
+    normalize: bool = True,
+) -> DataFrame:
+    """The persistable ROUGE-admission state row: `(id, toks, thash)` —
+    the truncated normalized token array plus its 0x1F-joined md5 (the
+    exact-duplicate key; 0x1F cannot appear in normalized tokens, so
+    the join is collision-free for distinct arrays). Build once per
+    admitted instruction; `rouge_l_admit` never re-reads admitted
+    text."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+
+    base = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.slice(
+            F.filter(
+                F.split(text_normalize(base) if normalize else base, " "),
+                lambda t: t != "",
+            ),
+            1,
+            max_tokens,
+        ).alias("toks"),
+    ).where(F.size("toks") > 0).withColumn(
+        "thash", F.md5(F.concat_ws("\x1f", F.col("toks")))
     )
+
+
+def rouge_l_admit(
+    batch: DataFrame,
+    state: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 12,
+    df_cap: int = 8,
+    threshold: tuple[int, int] = (7, 10),
+    normalize: bool = True,
+) -> DataFrame:
+    """Admit a NEW batch of instructions against the ACCUMULATED kept
+    set — the literal Self-Instruct loop (Wang et al. 2023: a generated
+    instruction joins the pool only if its ROUGE-L against every pool
+    member stays below 0.7), in the `incremental_dedup` steady-state
+    shape: the pool is the persisted `rouge_tokens` state, its text
+    never re-read.
+
+    Two arms, mirroring the incremental text dedup: (a) EXACT — a
+    token-hash anti-join drops batch rows whose truncated token array
+    already exists in the pool (ROUGE 1.0 by definition, and the arm
+    that makes a crash-replayed micro-batch append NOTHING regardless
+    of rare-token coverage — the sink's delivery guarantee); (b) NEAR —
+    rare-token blocked candidates against the pool's inverted index
+    (token document frequency ≤ `df_cap` measured over the POOL — the
+    index side, so probe cost is stable as batches stream), scored by
+    the shared Arrow LCS stage, dropped at the integer cross-multiplied
+    threshold. Batch-internal near-dups are intentionally left to a
+    batch-level `rouge_l_pairs` pass (the incremental_dedup asymmetry,
+    same rationale). Returns the surviving batch rows with their full
+    schema."""
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("rouge_l_admit: threshold must satisfy 0 < num/den <= 1")
+    bt = rouge_tokens(batch, id_col, text_col, max_tokens, normalize)
+    if state is None:
+        return batch.join(bt.select(id_col), id_col, "left_semi")
+    # exact arm
+    bt = bt.join(state.select("thash"), "thash", "left_anti")
+    # near arm: pool-side rare tokens
+    sinv = state.select(
+        F.col(id_col).alias("_sid"), F.explode(F.array_distinct("toks")).alias("_tok")
+    )
+    rare = (
+        sinv.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("_tok")
+    )
+    sinv_r = sinv.join(rare, "_tok")
+    binv = bt.select(
+        F.col(id_col).alias("_bid"), F.explode(F.array_distinct("toks")).alias("_tok")
+    )
+    cand = binv.join(sinv_r, "_tok").select("_bid", "_sid").distinct()
+    pairs = (
+        cand.join(bt.select(F.col(id_col).alias("_bid"), F.col("toks").alias("_ta")), "_bid")
+        .join(state.select(F.col(id_col).alias("_sid"), F.col("toks").alias("_tb")), "_sid")
+        .select(F.col("_bid").alias("id_a"), F.col("_sid").alias("id_b"), "_ta", "_tb")
+    )
+    scored = _lcs_scored(pairs)
+    dropped = (
+        scored.where(2 * den * F.col("lcs") >= num * (F.col("la") + F.col("lb")))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    keep_ids = bt.select(id_col).join(dropped, id_col, "left_anti")
+    return batch.join(keep_ids, id_col, "left_semi")

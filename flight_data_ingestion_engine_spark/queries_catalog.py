@@ -10904,6 +10904,123 @@ def q_rouge_l_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_rouge_admission",
+    f"""
+    WITH RECURSIVE docs2 AS (
+      SELECT doc_id, text, doc_id % 2 = 0 AS pool FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 5001, text, FALSE FROM documents
+      WHERE doc_id < 400 AND doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id + 6001, 'extrawordz ' || text, FALSE FROM documents
+      WHERE doc_id < 400 AND doc_id % 8 = 0
+    ),
+    toks AS (
+      SELECT doc_id, pool, t,
+             md5(array_to_string(t, chr(31))) AS thash
+      FROM (
+        SELECT doc_id, pool,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')[1:12] AS t
+        FROM docs2
+      ) WHERE len(t) > 0
+    ),
+    b1 AS (SELECT * FROM toks WHERE pool),
+    b2 AS (SELECT * FROM toks WHERE NOT pool),
+    b2x AS (
+      SELECT b2.* FROM b2
+      WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.thash = b2.thash)
+    ),
+    sinv AS (SELECT DISTINCT doc_id AS sid, u.tok AS tok FROM b1, UNNEST(t) AS u(tok)),
+    rare AS (
+      SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM sinv GROUP BY tok)
+      WHERE c <= 8
+    ),
+    binv AS (SELECT DISTINCT doc_id AS bid, u.tok AS tok FROM b2x, UNNEST(t) AS u(tok)),
+    cand AS (
+      SELECT DISTINCT b.bid, s.sid
+      FROM binv b JOIN rare r ON b.tok = r.tok JOIN sinv s ON s.tok = r.tok
+    ),
+    pairs AS (
+      SELECT c.bid AS id_a, c.sid AS id_b, ta.t AS ta, tb.t AS tb
+      FROM cand c
+      JOIN b2x ta ON ta.doc_id = c.bid
+      JOIN b1 tb ON tb.doc_id = c.sid
+    ),
+    m AS (
+      SELECT p.id_a, p.id_b, ui.i AS i, uj.j AS j
+      FROM pairs p,
+           UNNEST(range(1, len(p.ta) + 1)) AS ui(i),
+           UNNEST(range(1, len(p.tb) + 1)) AS uj(j)
+      WHERE p.ta[i] = p.tb[j]
+    ),
+    chain AS (
+      SELECT id_a, id_b, i, j, 1 AS len FROM m
+      UNION
+      SELECT m.id_a, m.id_b, m.i, m.j, c.len + 1
+      FROM chain c
+      JOIN m ON m.id_a = c.id_a AND m.id_b = c.id_b
+            AND m.i > c.i AND m.j > c.j
+    ),
+    lcs AS (SELECT id_a, id_b, MAX(len) AS lcs FROM chain GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT p.id_a AS doc_id
+      FROM pairs p JOIN lcs l USING (id_a, id_b)
+      WHERE 2 * 10 * l.lcs >= 7 * (len(p.ta) + len(p.tb))
+    )
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks, thash FROM b1
+    UNION ALL
+    SELECT b2x.doc_id, CAST(len(b2x.t) AS BIGINT), b2x.thash FROM b2x
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = b2x.doc_id)
+    """,
+)
+def q_streaming_rouge_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Self-Instruct admission (streaming/file_stream.py::
+    foreach_batch_rouge_sink over operators/dedup.py::rouge_l_admit):
+    batch 1 (even ids) seeds the pool; batch 2 carries fresh odd-id
+    instructions, exact clones of pool members (+5001, killed by the
+    token-hash arm) and one-token-prefix variants (+6001, killed by the
+    rare-token-blocked ROUGE-L arm at ≥ 0.7). The final pool must equal
+    the relational replay — exact-arm anti-join, pool-side rare-token
+    candidates, recursive-chain LCS, integer-cross-multiplied gate —
+    row for row. Replay safety is the exact arm (sink-fires-twice
+    pytest)."""
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_rouge_sink,
+        stream_parquet,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").where(d < 400)
+    clones = docs.where(d % 6 == 0).select((d + 5001).alias("doc_id"), "text")
+    variants = docs.where(d % 8 == 0).select(
+        (d + 6001).alias("doc_id"),
+        F.concat(F.lit("extrawordz "), F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    allr = docs.unionByName(clones).unionByName(variants)
+    src_dir, state, ck = _stage_doc_batches(spark, sf_dir, "srouge", allr)
+    st = stream_parquet(
+        spark, src_dir, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_rouge_sink(st, state, ck, id_col="doc_id")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(state).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_toks"), "thash"
+    )
+
+
+@_q(
     "tokenizer_fertility",
     f"""
     WITH enc AS ({_unigram_oracle_sql(2, "encode")}),

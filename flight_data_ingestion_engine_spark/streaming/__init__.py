@@ -17,6 +17,7 @@ Structured Streaming job:
 from flight_data_ingestion_engine_spark.streaming.file_stream import (
     foreach_batch_audio_fp_sink,
     foreach_batch_bff_sink,
+    foreach_batch_rouge_sink,
     stream_json,
     stream_parquet,
     stream_interval_join,

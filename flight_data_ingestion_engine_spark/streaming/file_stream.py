@@ -1094,3 +1094,49 @@ def foreach_batch_audio_fp_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_rouge_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 12,
+    df_cap: int = 8,
+    threshold: tuple[int, int] = (7, 10),
+):
+    """Streaming Self-Instruct admission (operators/dedup.py::
+    rouge_l_admit): each micro-batch of candidate instructions is
+    checked against the accumulated pool — exact token-hash arm, then
+    rare-token-blocked ROUGE-L — and only the admitted instructions'
+    `rouge_tokens` rows (id, toks, thash) append. Pool text is never
+    re-read; probe cost per batch is the pool's inverted-index join.
+
+    Replay safety is the exact arm: a crash-replayed batch's token
+    hashes are already in the pool, so every row drops before the near
+    arm even runs, and the append writes nothing (pytest-gated). A
+    crash mid-append leaves whole instruction rows (one row per
+    instruction), which the same arm skips individually on replay —
+    partial appends heal."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        rouge_l_admit,
+        rouge_tokens,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        state = _read_parquet_or_none(spark, state_path)
+        admitted = rouge_l_admit(
+            batch_df, state, id_col, text_col, max_tokens, df_cap, threshold
+        )
+        rows = rouge_tokens(admitted, id_col, text_col, max_tokens)
+        rows.localCheckpoint(eager=True).write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1185,3 +1185,61 @@ def test_audio_fp_sink_replay_row_idempotent(spark, tmp_path):
     run()
     healed = {tuple(r) for r in spark.read.parquet(state).collect()}
     assert healed == rows_once and len(kept_rows) < len(rows_once)
+
+
+def test_rouge_sink_replay_and_admission(spark, tmp_path):
+    """The Self-Instruct admission sink: pool seeds from batch one; a
+    replayed batch appends nothing (exact token-hash arm); an exact
+    clone and a near variant of a pool member are rejected while a
+    fresh instruction joins — and a no-rare-token-overlap instruction
+    still cannot double-admit on replay (the hash arm, not blocking,
+    carries the guarantee)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import rouge_l_admit
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_rouge_sink,
+        stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    rows = [
+        (1, "write a poem about the moon landing today"),
+        (2, "summarize this scientific article in two sentences"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(src)
+
+    def run():
+        st = stream_parquet(spark, src, "doc_id bigint, text string")
+        q = (
+            foreach_batch_rouge_sink(st, state, str(tmp_path / f"ck{run.n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        run.n += 1
+
+    run.n = 0
+    run()
+    pool = spark.read.parquet(state)
+    assert pool.count() == 2
+    run()  # crash replay, fresh checkpoint
+    assert spark.read.parquet(state).count() == 2
+
+    # batch admission against the pool
+    batch = spark.createDataFrame(
+        [
+            (10, "write a poem about the moon landing today"),       # exact
+            (11, "write a poem about the sun landing today"),        # near (8/9 lcs)
+            (12, "translate the following paragraph into french"),   # fresh
+        ],
+        "doc_id long, text string",
+    )
+    kept = rouge_l_admit(
+        batch, spark.read.parquet(state), "doc_id", "text"
+    )
+    assert {r.doc_id for r in kept.collect()} == {12}
+
+    # empty pool admits everything with tokens
+    all_in = rouge_l_admit(batch, None, "doc_id", "text")
+    assert all_in.count() == 3

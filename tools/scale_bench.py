@@ -86,12 +86,14 @@ ABS_BUDGET_US = {
     "margin": 80.0,
     # texttiling measured 19.9 us/row big (rel 0.30) on this box — ~4x
     "texttiling": 80.0,
-    # r10 fifth pass: budgets set from this box's measured big-volume
-    # rates (~4x, see SCALE_BENCH_r10 run in NOTES_r10.md)
-    "phash": 200.0,
+    # r10 fifth pass: measured big-volume rates on this box — phash
+    # 106.4 (rel 0.30; the block=4 default measured 2278/rel 2.83 before
+    # the degenerate-band fix, the exact bug class this harness exists
+    # for), kneser_ney 243.2 (rel 0.44, state build included) — ~4x
+    "phash": 450.0,
     "audio_fp": 600.0,
     "rouge_l": 120.0,
-    "kneser_ney": 150.0,
+    "kneser_ney": 1000.0,
 }
 REL_BUDGET = 2.0
 

@@ -1,0 +1,505 @@
+"""The Porter stemmer (Porter 1980, "An algorithm for suffix stripping") —
+the canonical English stemmer behind classic IR pipelines (and the
+normalization stage BM25/tf-idf stacks traditionally assume), built
+RELATIONALLY on both engines from ONE shared rule table:
+
+- The Spark arm is a chain of per-step Catalyst CASE expressions (zero
+  Python in the hot path; the stem runs inside whole-stage codegen).
+- The DuckDB oracle SQL is GENERATED from the same `_STEP*` tables by
+  `porter_oracle_steps`, so a rule can never drift between engines.
+- `porter_stem_py` is an INDEPENDENT pure-Python implementation written
+  directly from the paper, used by the tests as a third opinion.
+
+Fidelity notes (all from the 1980 paper, not later revisions):
+- consonant/vowel classification is the paper's RECURSIVE y-rule ("y is
+  a vowel iff preceded by a consonant"), implemented as a sequential
+  fold building the cv pattern — a per-index map over the simple vowel
+  set diverges on c-y-y words ("polyyne"-shaped), the fold does not;
+- the measure m of a stem is read off the COLLAPSED cv pattern
+  (v+→v, c+→c): m≥1 ⟺ contains "vc", m≥2 ⟺ contains "vcvc" (the
+  collapsed pattern is c?(vc)^m v?, so substring tests are exact);
+- within a step the LONGEST matching suffix commits; a failed condition
+  means no change for that step (the paper's semantics);
+- words of length ≤ 2 are returned unchanged (the paper's k ≤ 1 guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (suffix, replacement) — condition m(stem) > 0; longest-first is applied
+# by the builders (tables are kept in the paper's printed order).
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+# condition m(stem) > 1; "ion" additionally requires the stem to end in
+# s or t (the paper's (*S or *T) ION rule)
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+_VOWELS = ("a", "e", "i", "o", "u")
+
+
+# ---------------------------------------------------------------------------
+# Spark (Catalyst) arm
+# ---------------------------------------------------------------------------
+
+
+def _pat(word: Column) -> Column:
+    """cv pattern of `word` as a sequential fold (the recursive y-rule)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i.cast("int"), 1),  # type: ignore[arg-type]
+    )
+    return F.aggregate(
+        chars,
+        F.lit(""),
+        lambda acc, ch: F.concat(
+            acc,
+            F.when(
+                ch.isin(*_VOWELS)
+                | ((ch == "y") & (F.length(acc) > 0) & (F.substring(acc, -1, 1) == "c")),
+                F.lit("v"),
+            ).otherwise(F.lit("c")),
+        ),
+    )
+
+
+def _collapse(p: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(p, "v+", "v"), "c+", "c")
+
+
+def _m_ge(p: Column, k: int) -> Column:
+    return _collapse(p).contains("vc" * k)
+
+
+def _stem_pat(word: Column, p: Column, cut: int) -> Column:
+    return p.substr(F.lit(1), F.length(word) - cut)
+
+
+def _cut(word: Column, n: int) -> Column:
+    return word.substr(F.lit(1), F.length(word) - n)
+
+
+def _has_v(p_stem: Column) -> Column:
+    return p_stem.contains("v")
+
+
+def _double_c(word: Column, p: Column) -> Column:
+    return (
+        (F.length(word) >= 2)
+        & (F.substring(word, -1, 1) == F.substring(word, -2, 1))
+        & (F.substring(p, -1, 1) == "c")
+    )
+
+
+def _cvc_o(word: Column, p: Column) -> Column:
+    return (
+        p.endswith("cvc")
+        & ~F.substring(word, -1, 1).isin("w", "x", "y")
+    )
+
+
+def _suffix_rules(
+    word: Column, p: Column, rules: list[tuple[str, str]], cond_k: int
+) -> Column:
+    """Longest-matching-suffix-commits CASE chain with condition
+    m(stem) > cond_k; used for steps 2 and 3."""
+    expr = word
+    for suf, rep in sorted(rules, key=lambda r: len(r[0])):
+        stem = _cut(word, len(suf))
+        sp = _stem_pat(word, p, len(suf))
+        expr = F.when(
+            word.endswith(suf),
+            F.when(_m_ge(sp, cond_k), F.concat(stem, F.lit(rep))).otherwise(word),
+        ).otherwise(expr)
+    return expr
+
+
+def _step1a(w: Column) -> Column:
+    return (
+        F.when(w.endswith("sses"), _cut(w, 2))
+        .when(w.endswith("ies"), _cut(w, 2))
+        .when(w.endswith("ss"), w)
+        .when(w.endswith("s"), _cut(w, 1))
+        .otherwise(w)
+    )
+
+
+def _cleanup_1b(stem: Column) -> Column:
+    sp = _pat(stem)
+    return (
+        F.when(
+            stem.endswith("at") | stem.endswith("bl") | stem.endswith("iz"),
+            F.concat(stem, F.lit("e")),
+        )
+        .when(
+            _double_c(stem, sp) & ~F.substring(stem, -1, 1).isin("l", "s", "z"),
+            _cut(stem, 1),
+        )
+        .when(
+            _m_ge(sp, 1) & ~_m_ge(sp, 2) & _cvc_o(stem, sp),
+            F.concat(stem, F.lit("e")),
+        )
+        .otherwise(stem)
+    )
+
+
+def _step1b(w: Column, p: Column) -> Column:
+    return (
+        F.when(
+            w.endswith("eed"),
+            F.when(_m_ge(_stem_pat(w, p, 3), 1), _cut(w, 1)).otherwise(w),
+        )
+        .when(w.endswith("ed") & _has_v(_stem_pat(w, p, 2)), _cleanup_1b(_cut(w, 2)))
+        .when(w.endswith("ing") & _has_v(_stem_pat(w, p, 3)), _cleanup_1b(_cut(w, 3)))
+        .otherwise(w)
+    )
+
+
+def _step1c(w: Column, p: Column) -> Column:
+    return F.when(
+        w.endswith("y") & _has_v(_stem_pat(w, p, 1)),
+        F.concat(_cut(w, 1), F.lit("i")),
+    ).otherwise(w)
+
+
+def _step4(w: Column, p: Column) -> Column:
+    expr = w
+    for suf in sorted(_STEP4, key=len):
+        stem = _cut(w, len(suf))
+        sp = _stem_pat(w, p, len(suf))
+        cond = _m_ge(sp, 2)
+        if suf == "ion":
+            cond = cond & (stem.endswith("s") | stem.endswith("t"))
+        expr = F.when(w.endswith(suf), F.when(cond, stem).otherwise(w)).otherwise(expr)
+    return expr
+
+
+def _step5a(w: Column, p: Column) -> Column:
+    st_e = _cut(w, 1)
+    sp_e = _stem_pat(w, p, 1)
+    return F.when(
+        w.endswith("e"),
+        F.when(_m_ge(sp_e, 2), st_e)
+        .when(_m_ge(sp_e, 1) & ~_m_ge(sp_e, 2) & ~_cvc_o(st_e, sp_e), st_e)
+        .otherwise(w),
+    ).otherwise(w)
+
+
+def _step5b(w: Column, p: Column) -> Column:
+    return F.when(
+        _m_ge(p, 2) & _double_c(w, p) & w.endswith("l"), _cut(w, 1)
+    ).otherwise(w)
+
+
+def porter_stem_frame(
+    df: DataFrame, in_col: str, out_col: str = "stem"
+) -> DataFrame:
+    """Attach the full Porter stem of `in_col` as `out_col`.
+
+    Each of the eight steps materializes as its own intermediate COLUMN
+    (and each step's cv pattern as another) — a single nested Column
+    expression would duplicate the whole prior-step tree at every
+    reference and grow exponentially (it stack-overflows the column
+    normalizer around step 4; measured, not hypothetical). As separate
+    projection stages every expression references leaf columns, the
+    tree stays linear in the rule count, and the whole chain still runs
+    inside whole-stage codegen with zero Python."""
+    w = F.col(in_col)
+    d = df.withColumn("_pw1", _step1a(w))
+    d = d.withColumn("_pp1", _pat(F.col("_pw1")))
+    d = d.withColumn("_pw2", _step1b(F.col("_pw1"), F.col("_pp1")))
+    d = d.withColumn("_pp2", _pat(F.col("_pw2")))
+    d = d.withColumn("_pw3", _step1c(F.col("_pw2"), F.col("_pp2")))
+    d = d.withColumn("_pp3", _pat(F.col("_pw3")))
+    d = d.withColumn("_pw4", _suffix_rules(F.col("_pw3"), F.col("_pp3"), _STEP2, 1))
+    d = d.withColumn("_pp4", _pat(F.col("_pw4")))
+    d = d.withColumn("_pw5", _suffix_rules(F.col("_pw4"), F.col("_pp4"), _STEP3, 1))
+    d = d.withColumn("_pp5", _pat(F.col("_pw5")))
+    d = d.withColumn("_pw6", _step4(F.col("_pw5"), F.col("_pp5")))
+    d = d.withColumn("_pp6", _pat(F.col("_pw6")))
+    d = d.withColumn("_pw7", _step5a(F.col("_pw6"), F.col("_pp6")))
+    d = d.withColumn("_pp7", _pat(F.col("_pw7")))
+    d = d.withColumn("_pw8", _step5b(F.col("_pw7"), F.col("_pp7")))
+    out = F.when(F.length(w) <= 2, w).otherwise(F.col("_pw8"))
+    return d.withColumn(out_col, out).drop(
+        *[f"_pw{i}" for i in range(1, 9)], *[f"_pp{i}" for i in range(1, 8)]
+    )
+
+
+def porter_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Porter-stemmed term rollup — the dictionary-sized plan: DISTINCT
+    terms stem once (the expression chain runs over the vocabulary, not
+    the token stream), then token counts join back by term. Returns
+    (stem, n_tokens, n_variants)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import text_normalize
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.explode(F.split(text_normalize(F.col(text_col)), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stemmed = porter_stem_frame(toks, "term").select("term", "_c", "stem")
+    return stemmed.groupBy("stem").agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count_distinct("term").cast("bigint").alias("n_variants"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generator (same tables)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pat(w: str) -> str:
+    return (
+        f"list_reduce(list_prepend('', list_transform(range(1, len({w}) + 1), "
+        f"i -> substr({w}, CAST(i AS INT), 1))), "
+        "(acc, ch) -> acc || CASE WHEN ch IN ('a','e','i','o','u') "
+        "OR (ch = 'y' AND acc <> '' AND substr(acc, -1, 1) = 'c') "
+        "THEN 'v' ELSE 'c' END)"
+    )
+
+
+def _sql_mge(p: str, k: int) -> str:
+    pat = "vc" * k
+    return (
+        f"contains(regexp_replace(regexp_replace({p}, 'v+', 'v', 'g'), "
+        f"'c+', 'c', 'g'), '{pat}')"
+    )
+
+
+def _sql_cut(w: str, n: int) -> str:
+    return f"substr({w}, 1, len({w}) - {n})"
+
+
+def _sql_spat(p: str, w: str, n: int) -> str:
+    return f"substr({p}, 1, len({w}) - {n})"
+
+
+def _sql_doublec(w: str, p: str) -> str:
+    return (
+        f"(len({w}) >= 2 AND substr({w}, -1, 1) = substr({w}, -2, 1) "
+        f"AND substr({p}, -1, 1) = 'c')"
+    )
+
+
+def _sql_cvco(w: str, p: str) -> str:
+    return (
+        f"({p} LIKE '%cvc' AND substr({w}, -1, 1) NOT IN ('w', 'x', 'y'))"
+    )
+
+
+def _sql_suffix_rules(w: str, p: str, rules: list[tuple[str, str]], k: int) -> str:
+    arms = []
+    for suf, rep in sorted(rules, key=lambda r: len(r[0]), reverse=True):
+        stem = _sql_cut(w, len(suf))
+        sp = _sql_spat(p, w, len(suf))
+        arms.append(
+            f"WHEN {w} LIKE '%{suf}' THEN "
+            f"CASE WHEN {_sql_mge(sp, k)} THEN {stem} || '{rep}' ELSE {w} END"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE {w} END"
+
+
+def porter_oracle_steps(w0: str = "term") -> list[str]:
+    """The per-step SQL expressions (one per SELECT stage; each stage may
+    reference the previous stage's output column) generated from the
+    SAME rule tables as the Spark arm. Stages: w1..w8 as in
+    `porter_stem`; the caller chains them as sub-selects and applies the
+    final length guard."""
+    steps: list[str] = []
+    # step 1a -> w1
+    steps.append(
+        f"CASE WHEN {w0} LIKE '%sses' THEN {_sql_cut(w0, 2)} "
+        f"WHEN {w0} LIKE '%ies' THEN {_sql_cut(w0, 2)} "
+        f"WHEN {w0} LIKE '%ss' THEN {w0} "
+        f"WHEN {w0} LIKE '%s' THEN {_sql_cut(w0, 1)} ELSE {w0} END"
+    )
+
+    # step 1b -> w2 (uses p1 = pattern of w1)
+    def cleanup(stem: str) -> str:
+        sp = _sql_pat(stem)
+        return (
+            f"CASE WHEN {stem} LIKE '%at' OR {stem} LIKE '%bl' OR {stem} LIKE '%iz' "
+            f"THEN {stem} || 'e' "
+            f"WHEN {_sql_doublec(stem, sp)} AND substr({stem}, -1, 1) NOT IN ('l','s','z') "
+            f"THEN {_sql_cut(stem, 1)} "
+            f"WHEN {_sql_mge(sp, 1)} AND NOT {_sql_mge(sp, 2)} AND {_sql_cvco(stem, sp)} "
+            f"THEN {stem} || 'e' ELSE {stem} END"
+        )
+
+    w, p = "w1", _sql_pat("w1")
+    steps.append(
+        f"CASE WHEN {w} LIKE '%eed' THEN "
+        f"CASE WHEN {_sql_mge(_sql_spat(p, w, 3), 1)} THEN {_sql_cut(w, 1)} ELSE {w} END "
+        f"WHEN {w} LIKE '%ed' AND contains({_sql_spat(p, w, 2)}, 'v') "
+        f"THEN {cleanup(_sql_cut(w, 2))} "
+        f"WHEN {w} LIKE '%ing' AND contains({_sql_spat(p, w, 3)}, 'v') "
+        f"THEN {cleanup(_sql_cut(w, 3))} ELSE {w} END"
+    )
+
+    # step 1c -> w3
+    w, p = "w2", _sql_pat("w2")
+    steps.append(
+        f"CASE WHEN {w} LIKE '%y' AND contains({_sql_spat(p, w, 1)}, 'v') "
+        f"THEN {_sql_cut(w, 1)} || 'i' ELSE {w} END"
+    )
+
+    # steps 2 and 3
+    steps.append(_sql_suffix_rules("w3", _sql_pat("w3"), _STEP2, 1))
+    steps.append(_sql_suffix_rules("w4", _sql_pat("w4"), _STEP3, 1))
+
+    # step 4 -> w6
+    w, p = "w5", _sql_pat("w5")
+    arms = []
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        stem = _sql_cut(w, len(suf))
+        sp = _sql_spat(p, w, len(suf))
+        cond = _sql_mge(sp, 2)
+        if suf == "ion":
+            cond = f"({cond} AND ({stem} LIKE '%s' OR {stem} LIKE '%t'))"
+        arms.append(
+            f"WHEN {w} LIKE '%{suf}' THEN CASE WHEN {cond} THEN {stem} ELSE {w} END"
+        )
+    steps.append("CASE " + " ".join(arms) + f" ELSE {w} END")
+
+    # step 5a -> w7
+    w, p = "w6", _sql_pat("w6")
+    st_e, sp_e = _sql_cut(w, 1), _sql_spat(p, w, 1)
+    steps.append(
+        f"CASE WHEN {w} LIKE '%e' THEN "
+        f"CASE WHEN {_sql_mge(sp_e, 2)} THEN {st_e} "
+        f"WHEN {_sql_mge(sp_e, 1)} AND NOT {_sql_mge(sp_e, 2)} "
+        f"AND NOT {_sql_cvco(st_e, sp_e)} THEN {st_e} "
+        f"ELSE {w} END ELSE {w} END"
+    )
+
+    # step 5b -> w8
+    w, p = "w7", _sql_pat("w7")
+    steps.append(
+        f"CASE WHEN {_sql_mge(p, 2)} AND {_sql_doublec(w, p)} AND {w} LIKE '%l' "
+        f"THEN {_sql_cut(w, 1)} ELSE {w} END"
+    )
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# Independent Python reference (tests only) — written from the paper,
+# sharing NO code with the builders above.
+# ---------------------------------------------------------------------------
+
+
+def _py_pat(w: str) -> str:
+    out = []
+    for ch in w:
+        if ch in "aeiou" or (ch == "y" and out and out[-1] == "c"):
+            out.append("v")
+        else:
+            out.append("c")
+    return "".join(out)
+
+
+def _py_m(pat: str) -> int:
+    col = []
+    for c in pat:
+        if not col or col[-1] != c:
+            col.append(c)
+    return "".join(col).count("vc")
+
+
+def _py_cvco(stem: str) -> bool:
+    return _py_pat(stem).endswith("cvc") and stem[-1] not in "wxy"
+
+
+def _py_doublec(stem: str) -> bool:
+    return (
+        len(stem) >= 2 and stem[-1] == stem[-2] and _py_pat(stem)[-1] == "c"
+    )
+
+
+def porter_stem_py(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # 1b
+    if w.endswith("eed"):
+        if _py_m(_py_pat(w)[: len(w) - 3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and "v" in _py_pat(w)[: len(w) - 2]:
+            stem = w[:-2]
+        elif w.endswith("ing") and "v" in _py_pat(w)[: len(w) - 3]:
+            stem = w[:-3]
+        if stem is not None:
+            if stem.endswith(("at", "bl", "iz")):
+                w = stem + "e"
+            elif _py_doublec(stem) and stem[-1] not in "lsz":
+                w = stem[:-1]
+            elif _py_m(_py_pat(stem)) == 1 and _py_cvco(stem):
+                w = stem + "e"
+            else:
+                w = stem
+    # 1c
+    if w.endswith("y") and "v" in _py_pat(w)[: len(w) - 1]:
+        w = w[:-1] + "i"
+    # 2
+    for suf, rep in sorted(_STEP2, key=lambda r: len(r[0]), reverse=True):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _py_m(_py_pat(w)[: len(stem)]) > 0:
+                w = stem + rep
+            break
+    # 3
+    for suf, rep in sorted(_STEP3, key=lambda r: len(r[0]), reverse=True):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _py_m(_py_pat(w)[: len(stem)]) > 0:
+                w = stem + rep
+            break
+    # 4
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            ok = _py_m(_py_pat(w)[: len(stem)]) > 1
+            if suf == "ion":
+                ok = ok and stem.endswith(("s", "t"))
+            if ok:
+                w = stem
+            break
+    # 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _py_m(_py_pat(w)[: len(stem)])
+        if m > 1 or (m == 1 and not _py_cvco(stem)):
+            w = stem
+    # 5b
+    if _py_m(_py_pat(w)) > 1 and _py_doublec(w) and w.endswith("l"):
+        w = w[:-1]
+    return w

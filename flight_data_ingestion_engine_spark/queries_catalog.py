@@ -7850,6 +7850,57 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_rollup(_t(spark, sf_dir, "documents"))
 
 
+def _porter_sql() -> str:
+    """DuckDB replay of the full Porter chain, GENERATED from the same
+    rule tables as the Spark arm (`operators/porter.py::
+    porter_oracle_steps`) — one sub-select per step, each computing the
+    next word column from the previous, with the paper's length-≤2
+    guard applied last."""
+    from flight_data_ingestion_engine_spark.operators.porter import (
+        porter_oracle_steps,
+    )
+
+    steps = porter_oracle_steps("term")
+    sql = f"""
+    WITH toks AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+      ) WHERE term <> '' GROUP BY term
+    ),
+    s1 AS (SELECT term, c, {steps[0]} AS w1 FROM toks)"""
+    for i in range(1, len(steps)):
+        sql += f""",
+    s{i + 1} AS (SELECT term, c, {steps[i]} AS w{i + 1} FROM s{i})"""
+    n = len(steps)
+    sql += f""",
+    fin AS (
+      SELECT term, c,
+             CASE WHEN len(term) <= 2 THEN term ELSE w{n} END AS stem
+      FROM s{n}
+    )
+    SELECT stem, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_variants
+    FROM fin GROUP BY stem
+    """
+    return sql
+
+
+@_q("porter_rollup_terms", _porter_sql())
+def q_porter_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Porter stemmer rollup (operators/porter.py — Porter 1980,
+    all five steps with the recursive y-rule and collapsed-pattern
+    measure): every distinct corpus term stems ONCE through the
+    Catalyst per-step projection chain (the dictionary plan — the token
+    stream never re-stems), token counts join back, and the oracle
+    replays the identical rule chain from SQL GENERATED off the same
+    rule tables. A third, independent pure-Python implementation pins
+    both in pytest. Value-exact across every stem, count and variant
+    count."""
+    from flight_data_ingestion_engine_spark.operators.porter import porter_rollup
+
+    return porter_rollup(_t(spark, sf_dir, "documents"))
+
+
 @_q(
     "char_entropy_docs",
     """

@@ -1146,3 +1146,66 @@ def test_s_stemmer_rule_table(spark):
     df = spark.createDataFrame([(w,) for w in cases], "w string")
     got = {r.w: r.stem for r in df.select("w", s_stem(F.col("w")).alias("stem")).collect()}
     assert got == cases
+
+
+def test_porter_three_way_agreement_and_classics(spark):
+    """Porter stemmer: the Catalyst per-step chain equals the
+    independent pure-Python reference on the official example pairs
+    (final stems, not the paper's per-step intermediates), on the
+    recursive-y divergence shape (c-y-y words, where a simple-set
+    per-index map would misclassify), and on a synthetic sweep of
+    suffix-bearing words."""
+    from flight_data_ingestion_engine_spark.operators.porter import (
+        porter_rollup,
+        porter_stem_frame,
+        porter_stem_py,
+    )
+
+    classics = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "fizzed": "fizz", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper", "feudalism": "feudal",
+        "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+        "generalizations": "gener", "oscillators": "oscil",
+    }
+    for w, want in classics.items():
+        assert porter_stem_py(w) == want, (w, porter_stem_py(w), want)
+
+    # recursive-y shape: second y in c-y-y is a CONSONANT under the
+    # paper's recursive rule (the fold implements it; a per-index
+    # simple-set map would call it a vowel)
+    tricky = ["xyy", "syzygy", "sprayed", "crying", "flying", "dying",
+              "yoyo", "gypsy", "polyyne"]
+    words = sorted(set(list(classics) + tricky))
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.stem for r in porter_stem_frame(df, "w").collect()}
+    for w in words:
+        assert got[w] == porter_stem_py(w), (w, got[w], porter_stem_py(w))
+
+    # rollup: variant counting collapses surface forms
+    docs = spark.createDataFrame(
+        [(0, "hopping hopped hopeful hope hoping")], "doc_id int, text string"
+    )
+    roll = {r.stem: r for r in porter_rollup(docs).collect()}
+    # hoping -> hope (the cvc +e restore), so: hop <- {hopping, hopped},
+    # hope <- {hopeful, hope, hoping}
+    assert roll["hop"].n_tokens == 2 and roll["hop"].n_variants == 2
+    assert roll["hope"].n_tokens == 3 and roll["hope"].n_variants == 3

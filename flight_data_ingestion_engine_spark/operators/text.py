@@ -1031,3 +1031,63 @@ def stem_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count_distinct("term").cast("bigint").alias("n_variants"),
         )
     )
+
+
+def _soundex_digit(ch: Column) -> Column:
+    return (
+        F.when(ch.isin("B", "F", "P", "V"), F.lit("1"))
+        .when(ch.isin("C", "G", "J", "K", "Q", "S", "X", "Z"), F.lit("2"))
+        .when(ch.isin("D", "T"), F.lit("3"))
+        .when(ch == "L", F.lit("4"))
+        .when(ch.isin("M", "N"), F.lit("5"))
+        .when(ch == "R", F.lit("6"))
+        .otherwise(F.lit(""))
+    )
+
+
+def soundex_code(word: Column) -> Column:
+    """American Soundex — the classic phonetic blocking key for entity
+    resolution (names that sound alike share a code; the census-rule
+    variant with the full H/W and vowel semantics): first letter + three
+    digits, where same-coded letters separated by H/W merge into one
+    digit but separated by a vowel (A E I O U Y) count twice.
+
+    Implemented as a sequential fold with a STRING-encoded accumulator
+    ``"<digits>|<last_code>"`` — deliberately, because DuckDB's
+    list_reduce requires accumulator type == element type, so a struct
+    accumulator can't replay there; the same string encoding on both
+    engines makes the folds literally identical. (Spark's built-in
+    F.soundex is NOT used: its variant semantics would make the oracle
+    chase an implementation instead of the published algorithm.)
+    Non-letters are stripped first; an empty result yields NULL."""
+    w = F.upper(F.regexp_replace(word, "[^A-Za-z]", ""))
+    first = F.substring(w, 1, 1)
+    rest = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.length(w)),
+            lambda i: F.substring(w, i.cast("int"), 1),  # type: ignore[arg-type]
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.concat(F.lit("|"), _soundex_digit(first))
+
+    def step(acc: Column, ch: Column) -> Column:
+        digits = F.substring_index(acc, "|", 1)
+        last = F.substring_index(acc, "|", -1)
+        d = _soundex_digit(ch)
+        return (
+            F.when(ch.isin("H", "W"), acc)
+            .when(
+                ch.isin("A", "E", "I", "O", "U", "Y"),
+                F.concat(digits, F.lit("|")),
+            )
+            .when(d != last, F.concat(digits, d, F.lit("|"), d))
+            .otherwise(acc)
+        )
+
+    folded = F.aggregate(rest, init, step)
+    digits = F.substring_index(folded, "|", 1)
+    return F.when(
+        F.length(w) > 0,
+        F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0")),
+    ).otherwise(F.lit(None).cast("string"))

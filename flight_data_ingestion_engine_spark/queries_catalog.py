@@ -7850,6 +7850,99 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_rollup(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "soundex_blocking_nations",
+    """
+    WITH names AS (
+      SELECT n_name AS name FROM nation
+      UNION ALL
+      SELECT substr(n_name, 1, 2) || substr(n_name, 2) FROM nation
+      UNION ALL
+      SELECT replace(n_name, 'A', 'O') FROM nation
+    ),
+    cleaned AS (
+      SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS w
+      FROM names
+    ),
+    coded AS (
+      SELECT name, w, substr(w, 1, 1) AS first,
+             list_reduce(
+               list_prepend(
+                 '|' || CASE
+                   WHEN substr(w, 1, 1) IN ('B','F','P','V') THEN '1'
+                   WHEN substr(w, 1, 1) IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                   WHEN substr(w, 1, 1) IN ('D','T') THEN '3'
+                   WHEN substr(w, 1, 1) = 'L' THEN '4'
+                   WHEN substr(w, 1, 1) IN ('M','N') THEN '5'
+                   WHEN substr(w, 1, 1) = 'R' THEN '6'
+                   ELSE '' END,
+                 list_transform(range(2, len(w) + 1), i -> substr(w, CAST(i AS INT), 1))
+               ),
+               (acc, ch) -> CASE
+                 WHEN ch IN ('H', 'W') THEN acc
+                 WHEN ch IN ('A','E','I','O','U','Y')
+                   THEN split_part(acc, '|', 1) || '|'
+                 WHEN (CASE
+                         WHEN ch IN ('B','F','P','V') THEN '1'
+                         WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                         WHEN ch IN ('D','T') THEN '3'
+                         WHEN ch = 'L' THEN '4'
+                         WHEN ch IN ('M','N') THEN '5'
+                         WHEN ch = 'R' THEN '6'
+                         ELSE '' END) <> split_part(acc, '|', 2)
+                   THEN split_part(acc, '|', 1)
+                        || (CASE
+                              WHEN ch IN ('B','F','P','V') THEN '1'
+                              WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                              WHEN ch IN ('D','T') THEN '3'
+                              WHEN ch = 'L' THEN '4'
+                              WHEN ch IN ('M','N') THEN '5'
+                              WHEN ch = 'R' THEN '6'
+                              ELSE '' END)
+                        || '|'
+                        || (CASE
+                              WHEN ch IN ('B','F','P','V') THEN '1'
+                              WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                              WHEN ch IN ('D','T') THEN '3'
+                              WHEN ch = 'L' THEN '4'
+                              WHEN ch IN ('M','N') THEN '5'
+                              WHEN ch = 'R' THEN '6'
+                              ELSE '' END)
+                 ELSE acc END
+             ) AS folded
+      FROM cleaned
+    )
+    SELECT name,
+           CASE WHEN len(w) > 0
+                THEN first || rpad(substr(split_part(folded, '|', 1), 1, 3), 3, '0')
+           END AS soundex
+    FROM coded
+    """,
+)
+def q_soundex_blocking_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex (operators/text.py::soundex_code) over nation
+    names plus two planted misspelling families — a doubled second
+    letter (Soundex-invariant when codes collapse) and an A→O vowel
+    swap (always invariant: vowels only reset the separator state).
+    Both engines run the LITERAL same fold with the string-encoded
+    ``digits|last`` accumulator (DuckDB's list_reduce constrains acc
+    type to element type — the encoding exists for exactly that), so
+    every code is value-exact. Spark's builtin F.soundex is bypassed
+    on purpose: the oracle pins the published census algorithm, not an
+    engine's variant."""
+    from flight_data_ingestion_engine_spark.operators.text import soundex_code
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    doubled = n.select(
+        F.concat(
+            F.substring("name", 1, 2), F.expr("substr(name, 2)")
+        ).alias("name")
+    )
+    swapped = n.select(F.replace(F.col("name"), F.lit("A"), F.lit("O")).alias("name"))
+    names = n.unionByName(doubled).unionByName(swapped)
+    return names.select("name", soundex_code(F.col("name")).alias("soundex"))
+
+
 def _porter_sql() -> str:
     """DuckDB replay of the full Porter chain, GENERATED from the same
     rule tables as the Spark arm (`operators/porter.py::

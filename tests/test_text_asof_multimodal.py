@@ -1209,3 +1209,24 @@ def test_porter_three_way_agreement_and_classics(spark):
     # hope <- {hopeful, hope, hoping}
     assert roll["hop"].n_tokens == 2 and roll["hop"].n_variants == 2
     assert roll["hope"].n_tokens == 3 and roll["hope"].n_variants == 3
+
+
+def test_soundex_census_examples(spark):
+    """The published American Soundex reference codes, including the
+    H/W merge (Ashcraft: S and C merge across the H → A261, not A226)
+    and the vowel-separation rule (Tymczak: C and Z separated by A
+    count twice → T522)."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.text import soundex_code
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "O'Brien": "O165",
+        "a": "A000", "": None,
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.s for r in df.select("w", soundex_code(F.col("w")).alias("s")).collect()}
+    assert got == cases

@@ -1159,6 +1159,11 @@ def test_wave5_query_exchange_counts(spark, sf_dir):
         "tokenizer_fertility": 3,       # encode join + group agg
         "bt_preference_strengths": 7,   # pair agg + 3 bounded MM rounds
         "rouge_l_dedup_pairs": 3,       # rare-token block join + LCS
+        "char_entropy_docs": 2,         # char count + id fold agg
+        "stem_rollup_terms": 2,         # explode + stem agg
+        "porter_rollup_terms": 2,       # dictionary stem + count join
+        "soundex_blocking_nations": 0,  # pure fold projection
+        "orc_ingest_roundtrip": 0,      # write + columnar re-scan
     }
     for name, bound in max_exchanges.items():
         df = qc.QUERIES[name](spark, sf_dir)

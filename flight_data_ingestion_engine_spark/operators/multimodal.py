@@ -1214,9 +1214,17 @@ def constellation_match(
     offset — a total order). A true containment at offset o aligns ALL
     snippet landmarks, so its vote count is the snippet's landmark count
     while chance collisions scatter across offsets. The hash join is
-    bin²·fan_out-keyed (never all-pairs); the histogram is one keyed
-    agg. Returns (snip_id, ref_id, t_offset, votes). ("offset" is a reserved
-    word in ANSI/DuckDB SQL, hence the t_ prefix.)"""
+    (f1, f2, dt)-keyed and the histogram one keyed agg — but note the
+    DENSITY requirement scale_bench measured the hard way: per-key
+    bucket size is index_landmarks / |hash space|, so with the toy
+    8-bin DFT (128 keys) a query batch that GROWS with the index makes
+    the join output quadratic (rel 5.29 at 12k×12k). Production Shazam
+    hashes draw from ~2²⁰ keys (1024-bin FFT × quantized dt); at toy
+    bin counts keep the query side bounded — the realistic shape, a
+    snippet batch probing a large index, is linear in index size and is
+    what the committed envelope pins. Returns (snip_id, ref_id,
+    t_offset, votes). ("offset" is a reserved word in ANSI/DuckDB SQL,
+    hence the t_ prefix.)"""
     s = snip_fp.select(
         F.col(snip_id), F.col("t1").alias("_st"), "f1", "f2", "dt"
     )

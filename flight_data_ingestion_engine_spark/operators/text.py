@@ -1091,3 +1091,81 @@ def soundex_code(word: Column) -> Column:
         F.length(w) > 0,
         F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0")),
     ).otherwise(F.lit(None).cast("string"))
+
+
+_CLONE_KEYWORDS = (
+    "def", "return", "if", "elif", "else", "for", "while", "in", "not",
+    "and", "or", "import", "from", "class", "lambda", "pass", "break",
+    "continue", "true", "false", "none",
+)
+
+
+def normalize_identifiers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keywords: tuple[str, ...] = _CLONE_KEYWORDS,
+) -> DataFrame:
+    """Type-2 code-clone normalization (NiCad / CCFinder family: clones
+    that differ only by CONSISTENT identifier renaming and literal
+    values — the clone class raw text dedup cannot see, and the one a
+    code corpus is full of): lex the text into identifier / number /
+    operator tokens, rename each distinct non-keyword identifier to
+    ``v<k>`` by FIRST-OCCURRENCE order, collapse number literals to
+    ``n``, keep keywords and operators verbatim. Two functions that are
+    copies with renamed variables normalize to the identical string;
+    `fingerprint` (md5 of the normalized form) is then an exact-dedup /
+    grouping key.
+
+    The renaming is inherently sequential (the k-th NEW identifier gets
+    index k), so it runs as a fold whose accumulator is the STRING
+    ``"|seen1|seen2|…\\x1eout tokens"`` — the same
+    element-type-constrained encoding as `soundex_code`, so the DuckDB
+    oracle replays the literal fold; the first-occurrence rank of a
+    seen identifier is recovered by counting separators before its
+    match. One codegen projection per row; no shuffle. Returns
+    (ids…, norm_code, n_code_tokens, fingerprint)."""
+    kws = sorted({k.lower() for k in keywords})
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z_][a-z0-9_]*|[0-9]+(?:\.[0-9]+)?|[^\sa-z0-9_]"),
+        0,
+    )
+    kw_arr = F.array(*[F.lit(k) for k in kws])
+    init = F.lit("|\x1e")
+
+    def step(acc: Column, tok: Column) -> Column:
+        seen = F.substring_index(acc, "\x1e", 1)
+        out = F.substring_index(acc, "\x1e", -1)
+        is_ident = tok.rlike("^[a-z_][a-z0-9_]*$") & ~F.array_contains(kw_arr, tok)
+        is_num = tok.rlike("^[0-9]")
+        probe = F.concat(F.lit("|"), tok, F.lit("|"))
+        found = F.instr(seen, probe) > 0
+        prefix = seen.substr(F.lit(1), F.instr(seen, probe))
+        rank_seen = F.length(prefix) - F.length(F.replace(prefix, F.lit("|"), F.lit("")))
+        n_seen = F.length(seen) - F.length(F.replace(seen, F.lit("|"), F.lit(""))) - 1
+        emit = (
+            F.when(is_num, F.lit("n"))
+            .when(
+                is_ident & found,
+                F.concat(F.lit("v"), rank_seen.cast("string")),
+            )
+            .when(
+                is_ident,
+                F.concat(F.lit("v"), (n_seen + 1).cast("string")),
+            )
+            .otherwise(tok)
+        )
+        new_seen = F.when(
+            is_ident & ~found, F.concat(seen, tok, F.lit("|"))
+        ).otherwise(seen)
+        return F.concat(new_seen, F.lit("\x1e"), out, F.lit(" "), emit)
+
+    folded = F.aggregate(toks, init, step)
+    norm = F.ltrim(F.substring_index(folded, "\x1e", -1))
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_code"),
+        F.size(toks).cast("bigint").alias("n_code_tokens"),
+        F.md5(norm).alias("fingerprint"),
+    )

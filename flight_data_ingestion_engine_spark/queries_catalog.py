@@ -7850,6 +7850,108 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_rollup(_t(spark, sf_dir, "documents"))
 
 
+def _clone_sql() -> str:
+    """DuckDB replay of the type-2 clone normalization fold: the same
+    string-encoded ``seen\\x1eout`` accumulator, keyword list inlined
+    from the operator's constant, first-occurrence rank recovered by
+    separator counting."""
+    from flight_data_ingestion_engine_spark.operators.text import _CLONE_KEYWORDS
+
+    kws = ", ".join(f"'{k}'" for k in sorted(set(_CLONE_KEYWORDS)))
+    seen = "split_part(acc, chr(30), 1)"
+    out = "split_part(acc, chr(30), 2)"
+    probe = "'|' || tok || '|'"
+    prefix = f"substr({seen}, 1, instr({seen}, {probe}))"
+    rank = f"(len({prefix}) - len(replace({prefix}, '|', '')))"
+    nseen = f"(len({seen}) - len(replace({seen}, '|', '')) - 1)"
+    is_ident = (
+        f"regexp_matches(tok, '^[a-z_][a-z0-9_]*$') AND tok NOT IN ({kws})"
+    )
+    step = f"""CASE
+        WHEN regexp_matches(tok, '^[0-9]')
+          THEN {seen} || chr(30) || {out} || ' n'
+        WHEN {is_ident} AND instr({seen}, {probe}) > 0
+          THEN {seen} || chr(30) || {out} || ' v' || CAST({rank} AS VARCHAR)
+        WHEN {is_ident}
+          THEN {seen} || tok || '|' || chr(30) || {out} || ' v' || CAST({nseen} + 1 AS VARCHAR)
+        ELSE {seen} || chr(30) || {out} || ' ' || tok
+      END"""
+    return f"""
+    WITH code AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'def fn' || doc_id || '(a' || doc_id || ', b' || doc_id
+                 || '): return a' || doc_id || ' + b' || doc_id || ' * ' || (doc_id % 5)
+               WHEN 1 THEN 'def g' || doc_id || '(x' || doc_id || '): if x' || doc_id
+                 || ' > ' || (doc_id % 7) || ': return x' || doc_id
+                 || ' else: return ' || (doc_id % 3)
+               ELSE 'class c' || doc_id || ': def m' || doc_id || '(self' || doc_id
+                 || ', v' || doc_id || '): return v' || doc_id || ' - ' || (doc_id % 11)
+             END AS text
+      FROM documents WHERE doc_id < 120
+    ),
+    lexed AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text),
+               '[a-z_][a-z0-9_]*|[0-9]+(?:\\.[0-9]+)?|[^\\sa-z0-9_]') AS toks
+      FROM code
+    ),
+    folded AS (
+      SELECT doc_id, toks,
+             list_reduce(
+               list_prepend('|' || chr(30), toks),
+               (acc, tok) -> {step}
+             ) AS f
+      FROM lexed
+    )
+    SELECT doc_id,
+           ltrim(split_part(f, chr(30), 2)) AS norm_code,
+           CAST(len(toks) AS BIGINT) AS n_code_tokens,
+           md5(ltrim(split_part(f, chr(30), 2))) AS fingerprint
+    FROM folded
+    """
+
+
+@_q("type2_clone_norm", _clone_sql())
+def q_type2_clone_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 code-clone normalization (operators/text.py::
+    normalize_identifiers — the NiCad/CCFinder clone class): three code
+    templates instantiated with per-doc identifier names and literals
+    normalize to exactly three fingerprints — consistent first-
+    occurrence renaming (v1, v2, …), literals to `n`, keywords and
+    operators verbatim. The sequential renaming fold runs with the
+    string-encoded accumulator on BOTH engines (the `soundex_code`
+    encoding, forced by list_reduce's acc-type constraint), so the
+    normalized strings, token counts and md5 fingerprints are all
+    value-exact."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        normalize_identifiers,
+    )
+
+    d = F.col("doc_id")
+    i = d.cast("string")
+    t0 = F.concat(
+        F.lit("def fn"), i, F.lit("(a"), i, F.lit(", b"), i,
+        F.lit("): return a"), i, F.lit(" + b"), i, F.lit(" * "),
+        (d % 5).cast("string"),
+    )
+    t1 = F.concat(
+        F.lit("def g"), i, F.lit("(x"), i, F.lit("): if x"), i,
+        F.lit(" > "), (d % 7).cast("string"), F.lit(": return x"), i,
+        F.lit(" else: return "), (d % 3).cast("string"),
+    )
+    t2 = F.concat(
+        F.lit("class c"), i, F.lit(": def m"), i, F.lit("(self"), i,
+        F.lit(", v"), i, F.lit("): return v"), i, F.lit(" - "),
+        (d % 11).cast("string"),
+    )
+    code = _t(spark, sf_dir, "documents").where(d < 120).select(
+        "doc_id",
+        F.when(d % 3 == 0, t0).when(d % 3 == 1, t1).otherwise(t2).alias("text"),
+    )
+    return normalize_identifiers(code, "doc_id")
+
+
 @_q(
     "soundex_blocking_nations",
     """

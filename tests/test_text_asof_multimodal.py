@@ -1230,3 +1230,30 @@ def test_soundex_census_examples(spark):
     df = spark.createDataFrame([(w,) for w in cases], "w string")
     got = {r.w: r.s for r in df.select("w", soundex_code(F.col("w")).alias("s")).collect()}
     assert got == cases
+
+
+def test_type2_clone_normalization(spark):
+    """NiCad-style type-2 normalization: consistently renamed copies
+    share a fingerprint; INCONSISTENT renaming (swapped variable roles)
+    does not; keywords/operators survive; literals collapse to n;
+    repeated identifiers reuse their first-occurrence index."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        normalize_identifiers,
+    )
+
+    rows = [
+        (1, "def add(a, b): return a + b * 3"),
+        (2, "def plus(x, y): return x + y * 99"),     # consistent rename
+        (3, "def plus(x, y): return y + x * 99"),     # roles SWAPPED
+        (4, "if total > 10: total = total - 1"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_identifiers(df, "doc_id").collect()}
+
+    assert got[1].norm_code == "def v1 ( v2 , v3 ) : return v2 + v3 * n"
+    assert got[1].fingerprint == got[2].fingerprint
+    assert got[3].norm_code == "def v1 ( v2 , v3 ) : return v3 + v2 * n"
+    assert got[3].fingerprint != got[1].fingerprint
+    assert got[4].norm_code == "if v1 > n : v1 = v1 - n"
+    assert got[5].norm_code == "" and got[5].n_code_tokens == 0

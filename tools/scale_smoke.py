@@ -1067,11 +1067,13 @@ def main() -> None:
         )
 
         def _fp(n):
+            # bounded snippet batch vs growing index — the linear shape
+            # (see constellation_match's hash-space density note)
             refs = attach_tonal_audio(
                 spark.range(n).select(F.col("id").alias("ref_id")), id_col="ref_id"
             )
             snips = attach_tonal_audio(
-                spark.range(n).select(
+                spark.range(min(n, 200)).select(
                     (F.col("id") + 1_000_000).alias("snip_id"),
                     F.col("id").alias("src"),
                     F.lit(2).alias("off"),
@@ -1097,7 +1099,7 @@ def main() -> None:
             (F.col("ref_id") == F.col("snip_id") - 1_000_000)
             & (F.col("t_offset") == 2) & (F.col("votes") == 5)
         ).count()
-        assert good == n_docs // 20
+        assert good == min(n_docs // 20, 200)
 
     with stage(f"rouge_l_{n_docs}"):
         # r10 fifth pass: rare-token blocked LCS pairs — pair volume is

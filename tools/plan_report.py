@@ -111,6 +111,8 @@ SELECTED = [
     ("rouge_l_dedup_pairs", "rare-token blocked candidates + Arrow LCS stage"),
     ("bt_preference_strengths", "one corpus pass to O(pairs); bounded-table MM rounds"),
     ("zipf_fit_terms", "term agg + ordered top-k (TakeOrderedAndProject) + one-row folds"),
+    ("porter_rollup_terms", "full Porter cascade as codegen projections over the term dictionary"),
+    ("type2_clone_norm", "identifier-renaming fold: one projection, zero exchanges"),
 ]
 
 INTERESTING = re.compile(

@@ -1153,6 +1153,29 @@ def main() -> None:
         assert _exchanges(kn_b) == _exchanges(kn_s)
         assert kn_b.count() == n_docs
 
+    with stage(f"porter_clone_entropy_{n_docs}"):
+        # r10 fifth pass, later batch: the per-row fold families — Porter
+        # over the DICTIONARY (exchange count volume-invariant), clone
+        # normalization and soundex as zero-exchange projections, char
+        # entropy's two keyed aggs invariant
+        from flight_data_ingestion_engine_spark.operators.porter import porter_rollup
+        from flight_data_ingestion_engine_spark.operators.text import (
+            char_entropy_gate,
+            normalize_identifiers,
+            soundex_code,
+        )
+
+        pr_b, pr_s = porter_rollup(docs), porter_rollup(docs_small)
+        assert _exchanges(pr_b) == _exchanges(pr_s)
+        assert pr_b.count() > 0
+        cl = normalize_identifiers(docs, "id")
+        assert _exchanges(cl) == 0
+        sx = docs.select(soundex_code(F.col("text")).alias("s"))
+        assert _exchanges(sx) == 0
+        ce_b = char_entropy_gate(docs, id_col="id")
+        ce_s = char_entropy_gate(docs_small, id_col="id")
+        assert _exchanges(ce_b) == _exchanges(ce_s)
+
     with stage("fifth_wave_gates"):
         # r10 fifth pass: the zero-shuffle projections stay zero-shuffle
         from flight_data_ingestion_engine_spark.operators.text import license_detect

@@ -303,3 +303,80 @@ def interpolate_impute(
         .otherwise(F.lit(None).cast("double"))
     )
     return out.withColumn(out_col, filled).drop("_pv", "_pt", "_nv", "_nt")
+
+
+def haar_dwt(
+    df: DataFrame,
+    group_cols: list[str],
+    idx_col: str,
+    value_col: str,
+    levels: int = 4,
+) -> DataFrame:
+    """Unnormalized integer Haar wavelet transform per group — the
+    classic multi-resolution feature/compression decomposition for time
+    series (the DWT the streaming-similarity literature builds on;
+    integer Haar is also the lossless core of JPEG2000-style coding):
+    per level, adjacent pairs (a, b) become approximation a+b and
+    detail a−b, recursing on the approximations for `levels` rounds
+    over a 2^levels-point series.
+
+    Input rows are (group…, idx, value) with idx in [0, 2^levels);
+    MISSING positions count as 0 (the spine is generated, so sparse
+    series transform correctly). All coefficients are exact integer
+    sums — engine-identical under any partitioning, and the transform
+    is losslessly invertible, which the round-trip pytest exercises.
+
+    Shape: `levels` chained pair-keyed aggs, each HALVING the rows —
+    total work ≈ 2n per group, every agg map-side combined on
+    (group, idx div 2). Emits one `detail` row per (level, idx) plus
+    the final approximation as level = levels+1 with `detail` NULL.
+    Returns (group…, level, idx, approx, detail)."""
+    if levels < 1 or levels > 20:
+        raise ValueError("haar_dwt: levels must be in 1..20")
+    n = 1 << levels
+    spark = df.sparkSession
+    groups = df.select(*group_cols).distinct()
+    spine = groups.crossJoin(
+        spark.range(n).select(F.col("id").cast("bigint").alias("_i"))
+    )
+    base = (
+        spine.join(
+            df.select(
+                *group_cols,
+                F.col(idx_col).cast("bigint").alias("_i"),
+                F.col(value_col).cast("bigint").alias("_v"),
+            ).where((F.col(idx_col) >= 0) & (F.col(idx_col) < n)),
+            [*group_cols, "_i"],
+            "left",
+        )
+        .select(*group_cols, "_i", F.coalesce(F.col("_v"), F.lit(0)).alias("_v"))
+    )
+    out = None
+    cur = base
+    for lvl in range(1, levels + 1):
+        nxt = (
+            cur.groupBy(*group_cols, F.expr("_i div 2").alias("_i"))
+            .agg(
+                F.sum("_v").cast("bigint").alias("_approx"),
+                F.sum(
+                    F.when(F.col("_i") % 2 == 0, F.col("_v")).otherwise(-F.col("_v"))
+                ).cast("bigint").alias("_detail"),
+            )
+        )
+        details = nxt.select(
+            *group_cols,
+            F.lit(lvl).cast("int").alias("level"),
+            F.col("_i").alias("idx"),
+            F.col("_approx").alias("approx"),
+            F.col("_detail").alias("detail"),
+        )
+        out = details if out is None else out.unionByName(details)
+        cur = nxt.select(*group_cols, "_i", F.col("_approx").alias("_v"))
+    final = cur.select(
+        *group_cols,
+        F.lit(levels + 1).cast("int").alias("level"),
+        F.col("_i").alias("idx"),
+        F.col("_v").alias("approx"),
+        F.lit(None).cast("bigint").alias("detail"),
+    )
+    return out.unionByName(final)

@@ -7850,6 +7850,78 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_rollup(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "haar_event_counts",
+    """
+    WITH hrs AS (
+      SELECT event_type,
+             CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    minh AS (SELECT MIN(h) AS m FROM hrs),
+    base0 AS (
+      SELECT event_type, h - m AS i, v FROM hrs CROSS JOIN minh
+      WHERE h - m >= 0 AND h - m < 16
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, u.i AS i
+      FROM hrs, UNNEST(range(16)) AS u(i)
+    ),
+    base AS (
+      SELECT spine.event_type, spine.i AS i, COALESCE(base0.v, 0) AS v
+      FROM spine LEFT JOIN base0
+        ON base0.event_type = spine.event_type AND base0.i = spine.i
+    ),
+    l1 AS (SELECT event_type, i // 2 AS i, CAST(SUM(v) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+           FROM base GROUP BY 1, 2),
+    l2 AS (SELECT event_type, i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+           FROM l1 GROUP BY 1, 2),
+    l3 AS (SELECT event_type, i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+           FROM l2 GROUP BY 1, 2),
+    l4 AS (SELECT event_type, i // 2 AS i, CAST(SUM(a) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS BIGINT) AS d
+           FROM l3 GROUP BY 1, 2)
+    SELECT event_type, CAST(1 AS INT) AS level, i AS idx, a AS approx, d AS detail FROM l1
+    UNION ALL
+    SELECT event_type, 2, i, a, d FROM l2
+    UNION ALL
+    SELECT event_type, 3, i, a, d FROM l3
+    UNION ALL
+    SELECT event_type, 4, i, a, d FROM l4
+    UNION ALL
+    SELECT event_type, 5, i, a, CAST(NULL AS BIGINT) FROM l4
+    """,
+)
+def q_haar_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar wavelet decomposition (operators/temporal.py::
+    haar_dwt) of each event type's first 16 hourly counts: four levels
+    of pairwise sum/difference aggs (missing hours are generated zeros)
+    plus the final approximation. Every coefficient is an exact bigint
+    — order-independent — and the transform inverts losslessly
+    (pytest). The multi-resolution feature stage for series similarity
+    and change detection, value-exact."""
+    from flight_data_ingestion_engine_spark.operators.temporal import haar_dwt
+
+    ev = _t(spark, sf_dir, "events")
+    hrs = ev.groupBy(
+        "event_type",
+        F.floor(F.floor(F.unix_timestamp("ts").cast("double")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    minh = hrs.agg(F.min("h").alias("_m"))
+    series = (
+        hrs.crossJoin(F.broadcast(minh))
+        .select("event_type", (F.col("h") - F.col("_m")).alias("i"), "v")
+        .where((F.col("i") >= 0) & (F.col("i") < 16))
+    )
+    return haar_dwt(series, ["event_type"], "i", "v", levels=4)
+
+
 def _clone_sql() -> str:
     """DuckDB replay of the type-2 clone normalization fold: the same
     string-encoded ``seen\\x1eout`` accumulator, keyword list inlined

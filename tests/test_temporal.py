@@ -137,3 +137,50 @@ def test_interpolate_impute_blends_and_bounds(spark):
     assert abs(got[("A", 3)] - 40.0) < 1e-12   # 10 + 40 * 30/40
     assert got[("B", 1)] is None and got[("B", 3)] is None
     assert got[("B", 2)] == 7.0
+
+
+def test_haar_dwt_hand_values_and_lossless_inverse(spark):
+    """Integer Haar: hand-computed coefficients on an 8-point series,
+    generated-zero padding for sparse input, and the lossless inverse
+    (reconstruct every sample from the detail pyramid + final approx)."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.temporal import haar_dwt
+
+    vals = [5, 3, 8, 1, 0, 0, 2, 7]  # idx 4,5 LEFT OUT of the input (pad)
+    rows = [("g", i, v) for i, v in enumerate(vals) if v != 0]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = haar_dwt(df, ["g"], "i", "v", levels=3)
+    got = {(r.level, r.idx): (r.approx, r.detail) for r in out.collect()}
+
+    # level 1: pairs (5,3)(8,1)(0,0)(2,7)
+    assert got[(1, 0)] == (8, 2) and got[(1, 1)] == (9, 7)
+    assert got[(1, 2)] == (0, 0) and got[(1, 3)] == (9, -5)
+    # level 2: pairs (8,9)(0,9)
+    assert got[(2, 0)] == (17, -1) and got[(2, 1)] == (9, -9)
+    # level 3: (17,9)
+    assert got[(3, 0)] == (26, 8)
+    # final approximation row
+    assert got[(4, 0)] == (26, None)
+
+    # lossless inverse: walk back down the pyramid
+    def invert(level, idx):
+        if level == 3:
+            a = got[(4, 0)][0]
+        else:
+            a = invert(level + 1, idx // 2)
+        d = got[(level, idx)][1]
+        # a = x+y, d = x-y for the pair under this node
+        return (a + d) // 2 if idx % 2 == 0 else None
+
+    # reconstruct all 8 samples pairwise
+    recon = []
+    for i in range(4):
+        a, d = got[(1, i)]
+        recon += [(a + d) // 2, (a - d) // 2]
+    assert recon == vals
+    # and the upper levels are consistent sums
+    assert got[(2, 0)][0] == got[(1, 0)][0] + got[(1, 1)][0]
+
+    with _pt.raises(ValueError, match="levels"):
+        haar_dwt(df, ["g"], "i", "v", levels=0)

@@ -1169,3 +1169,64 @@ def normalize_identifiers(
         F.size(toks).cast("bigint").alias("n_code_tokens"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+_LANG_SEG = r"(?:en|fr|de|es|it|pt|nl|ru|zh|ja|ko|ar|pl|sv|tr)"
+
+
+def url_bitext_pairs(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    lang_pattern: str = _LANG_SEG,
+) -> DataFrame:
+    """URL-pattern bitext candidate mining — the ParaCrawl / CCAligned
+    first stage (Bañón et al. 2020; El-Kishky et al. 2020): parallel
+    pages on multilingual sites live at URLs that differ ONLY by a
+    language marker, so stripping the marker yields an alignment key.
+    Recognized markers on the CANONICAL url (one regexp each):
+
+    - a path segment: ``host/en/about`` → key ``host/about``;
+    - a subdomain:    ``en.site.org/about`` → key ``site.org/about``;
+    - a lang query param: ``host/p?lang=en`` → dropped with its value.
+
+    Emits (key, lang, id) joined to itself across DIFFERENT langs with
+    id_a < id_b — candidate pairs only (the published pipelines follow
+    with content scoring; compose `margin_scores` for that stage). The
+    self-join is keyed on the alignment key, never all-pairs; pages
+    whose URL carries no marker get lang NULL and pair with nothing.
+    Returns (key, lang_a, id_a, lang_b, id_b)."""
+    cu = canonical_url(F.col(url_col))
+    seg = F.regexp_extract(cu, rf"^[^/]+/({lang_pattern})(?:/|$)", 1)
+    sub = F.regexp_extract(cu, rf"^({lang_pattern})\.", 1)
+    qp = F.regexp_extract(cu, rf"[?&]lang=({lang_pattern})(?:&|$)", 1)
+    lang = F.nullif(
+        F.when(seg != "", seg).when(sub != "", sub).otherwise(qp), F.lit("")
+    )
+    key = (
+        F.when(
+            seg != "",
+            F.regexp_replace(cu, rf"^([^/]+)/{lang_pattern}(/|$)", r"$1$2"),
+        )
+        .when(sub != "", F.regexp_replace(cu, rf"^{lang_pattern}\.", ""))
+        .otherwise(
+            F.regexp_replace(
+                F.regexp_replace(cu, rf"[?&]lang={lang_pattern}(&|$)", r"$1"),
+                r"[?&]$", "",
+            )
+        )
+    )
+    keyed = df.select(
+        F.col(id_col), key.alias("key"), lang.alias("lang")
+    ).where(F.col("lang").isNotNull())
+    a = keyed.select(
+        F.col("key"), F.col("lang").alias("lang_a"), F.col(id_col).alias("id_a")
+    )
+    b = keyed.select(
+        F.col("key"), F.col("lang").alias("lang_b"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, "key")
+        .where((F.col("lang_a") != F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("key", "lang_a", "id_a", "lang_b", "id_b")
+    )

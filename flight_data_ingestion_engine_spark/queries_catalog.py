@@ -7851,6 +7851,58 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "url_bitext_candidates",
+    """
+    WITH base AS (SELECT doc_id AS d FROM documents WHERE doc_id < 300),
+    k AS (
+      SELECT d, 'site' || (d % 50) || '.org/page' || d AS key FROM base
+    )
+    SELECT key, 'en' AS lang_a, d AS id_a, 'fr' AS lang_b,
+           d + 3000 AS id_b
+    FROM k
+    UNION ALL
+    SELECT key, 'en', d, 'de', d + 6000 FROM k WHERE d % 4 = 0
+    UNION ALL
+    SELECT key, 'fr', d + 3000, 'de', d + 6000 FROM k WHERE d % 4 = 0
+    """,
+)
+def q_url_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-pattern bitext mining (operators/text.py::url_bitext_pairs —
+    the ParaCrawl/CCAligned alignment stage): every doc gets an English
+    page at /en/, a French twin at /fr/ behind scheme/www/trailing-slash
+    noise (the canonicalizer must collapse it first), every fourth doc a
+    German SUBDOMAIN twin (de.site…), and an unmarked /about page that
+    must pair with nothing. The alignment-key join yields exactly the
+    en–fr pairs plus the de three-ways — stated closed-form by the
+    oracle, so a mis-stripped marker or a leaking unmarked page
+    value-breaks the match. Key-equi self-join, never all-pairs."""
+    from flight_data_ingestion_engine_spark.operators.text import url_bitext_pairs
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(F.lit("site"), (d % 50).cast("string"), F.lit(".org"))
+    docs = _t(spark, sf_dir, "documents").where(d < 300).select("doc_id")
+    en = docs.select(
+        d.alias("pid"),
+        F.concat(F.lit("https://"), site, F.lit("/en/page"), ds).alias("url"),
+    )
+    fr = docs.select(
+        (d + 3000).alias("pid"),
+        F.concat(F.lit("http://www."), site, F.lit("/fr/page"), ds, F.lit("/")).alias("url"),
+    )
+    de = docs.where(d % 4 == 0).select(
+        (d + 6000).alias("pid"),
+        F.concat(F.lit("https://de."), site, F.lit("/page"), ds).alias("url"),
+    )
+    plain = docs.select(
+        (d + 9000).alias("pid"),
+        F.concat(F.lit("https://"), site, F.lit("/about"), ds).alias("url"),
+    )
+    pages = en.unionByName(fr).unionByName(de).unionByName(plain)
+    return url_bitext_pairs(pages, "pid", "url")
+
+
+@_q(
     "haar_event_counts",
     """
     WITH hrs AS (

@@ -1257,3 +1257,33 @@ def test_type2_clone_normalization(spark):
     assert got[3].fingerprint != got[1].fingerprint
     assert got[4].norm_code == "if v1 > n : v1 = v1 - n"
     assert got[5].norm_code == "" and got[5].n_code_tokens == 0
+
+
+def test_url_bitext_pairs_markers_and_exclusions(spark):
+    """URL bitext alignment: path-segment, subdomain and lang-param
+    markers all strip to the same key; unmarked pages pair with
+    nothing; same-language near-misses never pair."""
+    from flight_data_ingestion_engine_spark.operators.text import url_bitext_pairs
+
+    rows = [
+        (1, "https://www.acme.org/en/products"),
+        (2, "http://acme.org/fr/products/"),           # path twin
+        (3, "https://de.acme.org/products"),           # subdomain twin
+        (4, "https://acme.org/products?lang=es"),      # query-param twin
+        (5, "https://acme.org/products"),              # UNMARKED
+        (6, "https://acme.org/en/pricing"),            # en, other page
+        (7, "https://acme.org/en/products"),           # duplicate en page
+    ]
+    df = spark.createDataFrame(rows, "pid long, url string")
+    got = {
+        (r.id_a, r.id_b): (r.lang_a, r.lang_b)
+        for r in url_bitext_pairs(df, "pid", "url").collect()
+    }
+    # ids 1,7 (en), 2 (fr), 3 (de), 4 (es) share key acme.org/products
+    assert (1, 2) in got and got[(1, 2)] == ("en", "fr")
+    assert (1, 3) in got and (1, 4) in got and (2, 3) in got
+    assert (2, 7) in got  # fr pairs with the second en page too
+    # same-language pages never pair, unmarked page pairs with nothing
+    assert (1, 7) not in got
+    assert not any(5 in p for p in got)
+    assert not any(6 in p for p in got if p != (6, 6))

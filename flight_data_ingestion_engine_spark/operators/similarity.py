@@ -2063,3 +2063,90 @@ def kcenter_coreset(
         f"rank bigint, {id_col} bigint, sel_dist double",
     )
     return out
+
+
+def facility_location_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Facility-location greedy selection — the submodular COVERAGE
+    objective of coreset selection (CRAIG / similarity-based data
+    subset selection: maximize F(S) = Σ_j max_{c∈S} cos(j, c); the
+    greedy is the classic (1−1/e)-approximation): each step adds the
+    candidate with the largest marginal gain Σ_j max(0, cos(j,c) −
+    cover_j), where cover_j is j's best similarity to the chosen set.
+    Complements `kcenter_coreset`: k-center buys DIVERSITY (max-min),
+    facility location buys REPRESENTATION (max-sum) — the two classic
+    pruning objectives.
+
+    Scale shape: the cosine matrix over the CANDIDATE POOL is computed
+    once (pool × pool — this operator is for bounded pools: a sampled
+    or per-cluster candidate set, the published usage; an unbounded
+    corpus goes through `prototype_scores` first) and checkpointed;
+    each step is one candidate-keyed agg + a 1-row argmax action + one
+    per-point cover update (the `star_join_adaptive` decision-action
+    contract). Every float sum — each candidate's gain — folds over the
+    point-id-sorted list, so selections and gains are bit-identical
+    across engines and partitionings (the oracle unrolls the steps).
+    Chosen candidates are excluded outright (their gain is 0 but an
+    all-zero tie must not re-pick them). Returns (rank, id, gain) with
+    the chosen order; stops early when the best gain hits 0 with all
+    mass covered."""
+    if k < 1:
+        raise ValueError("facility_location_select: k must be >= 1")
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col), unit_normalize(to_double_array(F.col(vec_col))).alias("_v")
+    )
+    a = pts.select(F.col(id_col).alias("_j"), F.col("_v").alias("_va"))
+    b = pts.select(F.col(id_col).alias("_c"), F.col("_v").alias("_vb"))
+    sims = (
+        a.crossJoin(b)
+        .select("_j", "_c", dot(F.col("_va"), F.col("_vb")).alias("_sim"))
+        .localCheckpoint()
+    )
+    cover = pts.select(F.col(id_col).alias("_j"), F.lit(0.0).alias("_cover"))
+    chosen: list[tuple[int, object, float]] = []
+    for rank in range(1, k + 1):
+        cand = sims.join(cover, "_j")
+        if chosen:
+            ex = spark.createDataFrame(
+                [(c,) for _, c, _ in chosen], "_c bigint"
+            )
+            cand = cand.join(ex, "_c", "left_anti")
+        gains = cand.groupBy("_c").agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_j"),
+                            F.greatest(F.lit(0.0), F.col("_sim") - F.col("_cover")).alias("_g"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_g"],
+            ).alias("_gain")
+        )
+        top = (
+            gains.orderBy(F.col("_gain").desc(), F.col("_c").asc()).limit(1).collect()
+        )
+        if not top:
+            break
+        c_id, gain = top[0]["_c"], float(top[0]["_gain"])
+        chosen.append((rank, c_id, gain))
+        cover = (
+            cover.join(
+                sims.where(F.col("_c") == c_id).select("_j", "_sim"), "_j"
+            )
+            .select(
+                "_j", F.greatest(F.col("_cover"), F.col("_sim")).alias("_cover")
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        [(r, c, g) for r, c, g in chosen],
+        f"rank bigint, {id_col} bigint, gain double",
+    )

@@ -7850,6 +7850,74 @@ def q_stem_rollup_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stem_rollup(_t(spark, sf_dir, "documents"))
 
 
+def _facility_sql(k: int = 3) -> str:
+    """Unrolled facility-location greedy: per step the candidate gains
+    fold point-id-ordered (list_reduce's first-element seed == Spark's
+    0.0 seed), chosen candidates excluded, cover updated by GREATEST."""
+    parts = ["""
+    WITH n AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              for x in CAST(embedding AS DOUBLE[])] AS v
+      FROM embeddings WHERE vec_id < 150
+    ),
+    s AS (
+      SELECT a.vec_id AS j, b.vec_id AS c, list_dot_product(a.v, b.v) AS sim
+      FROM n a CROSS JOIN n b
+    ),
+    g1 AS (
+      SELECT c, list_reduce(list(greatest(CAST(0 AS DOUBLE), sim) ORDER BY j),
+                            (x, y) -> x + y) AS g
+      FROM s GROUP BY c
+    ),
+    sel1 AS (SELECT c, g FROM g1 ORDER BY g DESC, c ASC LIMIT 1),
+    cov1 AS (
+      SELECT s.j, greatest(CAST(0 AS DOUBLE), s.sim) AS cover
+      FROM s JOIN sel1 ON s.c = sel1.c
+    )"""]
+    for t in range(2, k + 1):
+        excl = " UNION ALL ".join(f"SELECT c FROM sel{i}" for i in range(1, t))
+        parts.append(f""",
+    g{t} AS (
+      SELECT s.c,
+             list_reduce(list(greatest(CAST(0 AS DOUBLE), s.sim - cov{t - 1}.cover)
+                              ORDER BY s.j), (x, y) -> x + y) AS g
+      FROM s JOIN cov{t - 1} ON cov{t - 1}.j = s.j
+      WHERE s.c NOT IN ({excl})
+      GROUP BY s.c
+    ),
+    sel{t} AS (SELECT c, g FROM g{t} ORDER BY g DESC, c ASC LIMIT 1),
+    cov{t} AS (
+      SELECT cov{t - 1}.j, greatest(cov{t - 1}.cover, s.sim) AS cover
+      FROM cov{t - 1}
+      JOIN s ON s.j = cov{t - 1}.j
+      JOIN sel{t} ON s.c = sel{t}.c
+    )""")
+    sels = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, c AS vec_id, g AS gain FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sels
+
+
+@_q("facility_location_vecs", _facility_sql(3))
+def q_facility_location_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-location greedy selection (operators/similarity.py::
+    facility_location_select — the submodular max-coverage pruning
+    objective, the representation-side complement to `kcenter_coreset`'s
+    max-min diversity) over 150 vectors, k=3: every step's candidate
+    gains fold point-id-ordered on both engines, chosen candidates are
+    excluded outright, and the cover vector updates by GREATEST — each
+    selected id AND its marginal gain value-exact against the unrolled
+    DuckDB replay."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    return facility_location_select(emb, "vec_id", "embedding", k=3)
+
+
 @_q(
     "url_bitext_candidates",
     """

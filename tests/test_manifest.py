@@ -1516,7 +1516,9 @@ def test_stored_schema_missing_window_during_replace(spark, sf_dir):
     os.rename(path, tmp)
 
     def _finish_replace():
-        time.sleep(0.08)
+        # well inside the reader's 0.3s retry budget even on a loaded
+        # box — 0.08 was close enough to flake under CPU starvation
+        time.sleep(0.03)
         os.rename(tmp, path)
 
     t = threading.Thread(target=_finish_replace)

@@ -1128,8 +1128,12 @@ def main() -> None:
         )
 
         def _rouge(n):
+            # 1024 blocks keep in-block token df under the rare cap at
+            # 100k docs (64 blocks pushed every df past it — zero
+            # candidates, zero recall); clone pairs share dup_content so
+            # they always land in the same block
             docs = spark.range(n).select(
-                "id", F.pmod(dup_content, 64).alias("blk"), rtext.alias("text")
+                "id", F.pmod(dup_content, 1024).alias("blk"), rtext.alias("text")
             )
             return rouge_l_pairs(
                 docs, "id", "text", ["blk"], max_tokens=12, df_cap=8,
@@ -1137,9 +1141,10 @@ def main() -> None:
 
         rg_b, rg_s = _rouge(n_docs), _rouge(max(n_docs // 50, 200))
         assert _exchanges(rg_b) == _exchanges(rg_s)
-        assert (
-            rg_b.where(F.col("rouge_l") == 1.0).count() >= n_docs // 100
-        )
+        # -5 slack mirrors the minhash stage: id=0's clone target (id-1)
+        # doesn't exist, so the planted-pair census is n/100 - 1
+        n_clone = rg_b.where(F.col("rouge_l") == 1.0).count()
+        assert n_clone >= n_docs // 100 - 5, f"planted clones missed: {n_clone}"
 
     with stage(f"kneser_ney_{n_docs}"):
         # r10 fifth pass: KN scoring is state-derived joins only — same

@@ -1342,3 +1342,58 @@ def mel_energies(
         "energy",
         bitlen(F.lit(1) + F.col("energy")).alias("log_bits"),
     )
+
+
+def mfcc_coefficients(
+    mel: DataFrame,
+    id_col: str,
+    n_mels: int = 4,
+    n_ceps: int = 3,
+) -> DataFrame:
+    """MFCC cepstral coefficients over a `mel_energies` table — the last
+    stage of the classic HTK/Kaldi speech frontend (Davis & Mermelstein
+    1980; the feature Whisper-era pipelines replaced with raw log-mels
+    but every keyword-spotting / speaker-id curation pass still uses):
+    a DCT-II across the mel axis of the log energies,
+
+        mfcc[c] = Σ_m log_bits(m) · T[c][m-1],   c = 1..n_ceps
+
+    where T = `phash_cos_table(n_mels)` — the SAME quantized integer
+    DCT-II basis pHash uses (T[u][x] = round(cos(π·u·(x+½)/M)·2¹⁴)), so
+    no engine-side trig and the whole coefficient is exact bigint
+    (|mfcc| ≤ M·64·2¹⁴ ≈ 4.2e6). c = 0 (the DC row, all 2¹⁴) is
+    excluded: it is just a scaled loudness sum, conventionally dropped.
+    The log compression feeding the DCT is `mel_energies`' bitlen
+    quantization — integer by the `unigram_surprisal` discipline, which
+    is what makes the cepstrum engine-exact.
+
+    Pure Catalyst: one broadcast join against the (cep, mel, t) literal
+    basis + one (id, frame, cep)-keyed agg; the Arrow stage ended at the
+    spectrogram two operators ago. Returns (id, frame_idx, cep, mfcc).
+    """
+    if n_ceps >= n_mels:
+        raise ValueError("mfcc_coefficients: n_ceps must be < n_mels (DC excluded)")
+    tab = phash_cos_table(n_mels)
+    spark = mel.sparkSession
+    rows = [
+        (c, m + 1, tab[c][m])
+        for c in range(1, n_ceps + 1)
+        for m in range(n_mels)
+        if tab[c][m] != 0
+    ]
+    basis = spark.createDataFrame(rows, "cep int, mel int, t int")
+    return (
+        mel.join(F.broadcast(basis), "mel")
+        .groupBy(id_col, "frame_idx", "cep")
+        .agg(
+            F.sum(F.col("log_bits") * F.col("t").cast("bigint"))
+            .cast("bigint")
+            .alias("mfcc")
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            F.col("cep").cast("bigint").alias("cep"),
+            "mfcc",
+        )
+    )

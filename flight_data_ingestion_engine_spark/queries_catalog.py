@@ -14888,11 +14888,13 @@ def q_audio_spectrogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectrogram_peaks(audio_spectrogram(media, id_col="clip_id"), "clip_id")
 
 
-def _mel_sql() -> str:
+def _mel_sql(final: bool = True) -> str:
     """Oracle tail for the log-mel frontend: the quantized filterbank
     from the SAME `mel_filterbank()` call the operator uses, inlined as
     VALUES; energies are integer `//`-shifted weighted sums and the log
-    compression is the bitlen quantization."""
+    compression is the bitlen quantization. With ``final=False`` returns
+    only the CTE chain (ending at `me`) so downstream stages — the MFCC
+    cepstrum — can compose it."""
     from flight_data_ingestion_engine_spark.operators.multimodal import (
         mel_filterbank,
     )
@@ -14904,19 +14906,50 @@ def _mel_sql() -> str:
         for k in range(len(fb[m]))
         if fb[m][k] != 0
     )
-    return f"""
+    cte = f"""
     , mtab(mel, bin, w) AS (VALUES {vals}),
     me AS (
       SELECT clip_id, frame_idx, mtab.mel AS mel,
              CAST(SUM(mtab.w * (pw.power // 4096)) AS BIGINT) AS energy
       FROM pw JOIN mtab ON mtab.bin = pw.bin
       GROUP BY 1, 2, 3
-    )
+    )"""
+    if not final:
+        return cte
+    return cte + """
     SELECT CAST(clip_id AS BIGINT) AS clip_id,
            CAST(frame_idx AS BIGINT) AS frame_idx,
            CAST(mel AS BIGINT) AS mel, energy,
            CAST(length(bin(1 + energy)) AS BIGINT) AS log_bits
     FROM me
+    """
+
+
+def _mfcc_sql(n_mels: int = 4, n_ceps: int = 3) -> str:
+    """Oracle tail for the MFCC cepstrum: the quantized DCT-II basis
+    from the SAME `phash_cos_table(n_mels)` call `mfcc_coefficients`
+    uses (rows 1..n_ceps — DC excluded), inlined as VALUES; the
+    coefficient is an exact integer weighted sum of the bitlen log
+    energies."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        phash_cos_table,
+    )
+
+    tab = phash_cos_table(n_mels)
+    vals = ", ".join(
+        f"({c}, {m + 1}, {tab[c][m]})"
+        for c in range(1, n_ceps + 1)
+        for m in range(n_mels)
+        if tab[c][m] != 0
+    )
+    return _mel_sql(final=False) + f"""
+    , dtab(cep, mel, t) AS (VALUES {vals})
+    SELECT CAST(me.clip_id AS BIGINT) AS clip_id,
+           CAST(me.frame_idx AS BIGINT) AS frame_idx,
+           CAST(dtab.cep AS BIGINT) AS cep,
+           CAST(SUM(length(bin(1 + me.energy)) * dtab.t) AS BIGINT) AS mfcc
+    FROM me JOIN dtab ON dtab.mel = me.mel
+    GROUP BY me.clip_id, me.frame_idx, dtab.cep
     """
 
 
@@ -14939,6 +14972,29 @@ def q_audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
     media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
     return mel_energies(audio_spectrogram(media, id_col="clip_id"), "clip_id")
+
+
+@_q("audio_mfcc", _dft_corpus_sql(False) + _mfcc_sql())
+def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC cepstral coefficients (multimodal.py::mfcc_coefficients —
+    Davis & Mermelstein 1980, the HTK/Kaldi speech frontend's last
+    stage) over the tonal WAV corpus: a DCT-II across the mel axis of
+    the bitlen-quantized log energies, using the SAME integer
+    `phash_cos_table` basis pHash uses — no engine-side trig, every
+    coefficient an exact bigint weighted sum. One broadcast basis join
+    + one keyed agg on top of the mel pipeline; value-exact through the
+    codec, the DFT, the filterbank, and the cepstrum."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        mel_energies,
+        mfcc_coefficients,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    mel = mel_energies(audio_spectrogram(media, id_col="clip_id"), "clip_id")
+    return mfcc_coefficients(mel, "clip_id")
 
 
 @_q(

@@ -1287,3 +1287,51 @@ def test_url_bitext_pairs_markers_and_exclusions(spark):
     assert (1, 7) not in got
     assert not any(5 in p for p in got)
     assert not any(6 in p for p in got if p != (6, 6))
+
+
+def test_mfcc_independent_dct_reference(spark):
+    """MFCC cepstrum against an INDEPENDENT in-test reference: textbook
+    DCT-II over the bitlen log energies using the closed-form cosine
+    (quantized only at the operator's own table boundary), computed
+    per (clip, frame) from the mel table directly; basis sanity against
+    math.cos; n_ceps validation."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        mel_energies,
+        mfcc_coefficients,
+        phash_cos_table,
+    )
+
+    src = spark.createDataFrame([(0,), (1,), (2,)], "clip_id long")
+    media = attach_tonal_audio(src, n_frames=2)
+    mel = mel_energies(audio_spectrogram(media, id_col="clip_id"), "clip_id").cache()
+    out = {
+        (r.clip_id, r.frame_idx, r.cep): r.mfcc
+        for r in mfcc_coefficients(mel, "clip_id").collect()
+    }
+
+    # basis row c over M=4 mels is cos(pi*c*(m+0.5)/4) scaled 2^14
+    t4 = phash_cos_table(4)
+    for c in range(4):
+        for m in range(4):
+            assert t4[c][m] == round(math.cos(math.pi * c * (2 * m + 1) / 8) * (1 << 14))
+
+    logbits = {
+        (r.clip_id, r.frame_idx, r.mel): r.log_bits for r in mel.collect()
+    }
+    expect = {}
+    for (cid, f, m), lb in logbits.items():
+        for c in range(1, 4):
+            expect[(cid, f, c)] = expect.get((cid, f, c), 0) + lb * t4[c][m - 1]
+    assert out == expect
+    # 3 clips x 2 frames x 3 cepstra
+    assert len(out) == 18
+    mel.unpersist()
+
+    with _pt.raises(ValueError, match="n_ceps"):
+        mfcc_coefficients(mel, "clip_id", n_mels=4, n_ceps=4)

@@ -1397,3 +1397,64 @@ def mfcc_coefficients(
             "mfcc",
         )
     )
+
+
+def clip_score_gate(
+    df: DataFrame,
+    img_emb_col: str,
+    txt_emb_col: str,
+    score_threshold: float = 0.28,
+    width_col: str | None = None,
+    height_col: str | None = None,
+    min_side: int | None = None,
+    max_aspect: float | None = None,
+) -> DataFrame:
+    """The LAION / DataComp image-text pair gate (Schuhmann et al. 2022
+    §3.1; Gadre et al. 2023): keep a (image, caption) pair when the
+    CLIP cosine similarity of its two embeddings clears the published
+    threshold (LAION-400M used 0.3 CLIP-B/32, LAION-5B 0.28) AND the
+    image passes the metadata gates (both sides ≥ `min_side` px, aspect
+    ratio ≤ `max_aspect` — the DataComp pool rules).
+
+    Each gate is its own auditable column (`keep_score`, `keep_size`,
+    `keep_aspect` — the `gopher_quality_flags` discipline) with `keep`
+    their conjunction; gates whose inputs aren't supplied are omitted
+    from both the output and the conjunction. The cosine is the
+    sequential-accumulation fold from `functions/vectors.py` — one
+    zero-shuffle projection over the scan, NULL embeddings yield NULL
+    score and drop (keep=false), oracle-exact against DuckDB's
+    list_dot_product.
+    """
+    from flight_data_ingestion_engine_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    if (width_col is None) != (height_col is None):
+        raise ValueError(
+            "clip_score_gate: width_col and height_col must be supplied together"
+        )
+    if (min_side is not None or max_aspect is not None) and width_col is None:
+        raise ValueError(
+            "clip_score_gate: min_side/max_aspect need width_col and height_col"
+        )
+    score = cosine_similarity(img_emb_col, txt_emb_col)
+    out = df.withColumn("clip_score", score).withColumn(
+        "keep_score",
+        F.coalesce(F.col("clip_score") >= F.lit(float(score_threshold)), F.lit(False)),
+    )
+    keep = F.col("keep_score")
+    if min_side is not None:
+        out = out.withColumn(
+            "keep_size",
+            F.least(F.col(width_col), F.col(height_col)) >= F.lit(int(min_side)),
+        )
+        keep = keep & F.col("keep_size")
+    if max_aspect is not None:
+        out = out.withColumn(
+            "keep_aspect",
+            F.greatest(F.col(width_col), F.col(height_col)).cast("double")
+            <= F.lit(float(max_aspect))
+            * F.least(F.col(width_col), F.col(height_col)).cast("double"),
+        )
+        keep = keep & F.col("keep_aspect")
+    return out.withColumn("keep", keep)

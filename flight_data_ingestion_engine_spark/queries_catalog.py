@@ -15721,3 +15721,76 @@ def q_winnowing_match_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = winnowing_fingerprints(docs, k=5, window=4)
     return winnowing_match_pairs(fp, min_shared=3)
+
+
+@_q(
+    "clip_gate_pairs",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS pair_id,
+             CAST(a.embedding AS DOUBLE[]) AS iv,
+             CAST(b.embedding AS DOUBLE[]) AS tv,
+             CAST(100 + a.vec_id % 400 AS INT) AS width,
+             CAST(120 + (a.vec_id * 7) % 500 AS INT) AS height
+      FROM embeddings a JOIN embeddings b ON b.vec_id = xor(a.vec_id, 1)
+    ),
+    s AS (
+      SELECT pair_id, width, height,
+             list_dot_product(iv, tv)
+               / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv)))
+               AS clip_score
+      FROM p
+    )
+    SELECT pair_id, width, height, clip_score,
+           COALESCE(clip_score >= 0.0, FALSE) AS keep_score,
+           (least(width, height) >= 200) AS keep_size,
+           (CAST(greatest(width, height) AS DOUBLE)
+              <= 2.0 * CAST(least(width, height) AS DOUBLE)) AS keep_aspect,
+           (COALESCE(clip_score >= 0.0, FALSE)
+              AND least(width, height) >= 200
+              AND CAST(greatest(width, height) AS DOUBLE)
+                    <= 2.0 * CAST(least(width, height) AS DOUBLE)) AS keep
+    FROM s
+    """,
+)
+def q_clip_gate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION/DataComp image-text pair gate (operators/multimodal.py::
+    clip_score_gate — Schuhmann et al. 2022 §3.1): embeddings paired by
+    vec_id XOR 1 stand in for (image, caption) embedding pairs, with
+    image dims synthesized from vec_id so every gate has both branches
+    live (threshold 0 splits the near-orthogonal random cosines ~50/50,
+    min-side 200 and aspect 2.0 cut the synthetic dims). The cosine is
+    the sequential fold — bitwise-equal to DuckDB's list_dot_product —
+    and every gate is an auditable column; one broadcast-free self-join
+    on vec_id, then a zero-shuffle projection."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        clip_score_gate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.alias("a")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("b_id"), F.col("embedding").alias("txt_emb")
+            ).alias("b"),
+            F.col("b_id") == F.expr("vec_id ^ 1"),
+        )
+        .select(
+            F.col("a.vec_id").alias("pair_id"),
+            F.col("a.embedding").alias("img_emb"),
+            "txt_emb",
+            (F.lit(100) + F.col("a.vec_id") % 400).cast("int").alias("width"),
+            (F.lit(120) + (F.col("a.vec_id") * 7) % 500).cast("int").alias("height"),
+        )
+    )
+    return clip_score_gate(
+        pairs,
+        "img_emb",
+        "txt_emb",
+        score_threshold=0.0,
+        width_col="width",
+        height_col="height",
+        min_side=200,
+        max_aspect=2.0,
+    ).drop("img_emb", "txt_emb")

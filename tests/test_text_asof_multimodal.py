@@ -1335,3 +1335,51 @@ def test_mfcc_independent_dct_reference(spark):
 
     with _pt.raises(ValueError, match="n_ceps"):
         mfcc_coefficients(mel, "clip_id", n_mels=4, n_ceps=4)
+
+
+def test_clip_score_gate_semantics(spark):
+    """CLIP gate: hand-computed cosine on tiny vectors; each gate column
+    independently auditable; NULL embedding drops via keep=false not an
+    error; gates omitted when their inputs are; parameter validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        clip_score_gate,
+    )
+
+    rows = [
+        # aligned pair, big square image -> keeps everything
+        (0, [1.0, 0.0], [1.0, 0.0], 300, 300),
+        # orthogonal pair -> fails score
+        (1, [1.0, 0.0], [0.0, 1.0], 300, 300),
+        # aligned but tiny image -> fails size
+        (2, [0.5, 0.5], [1.0, 1.0], 100, 300),
+        # aligned but 3:1 panorama -> fails aspect
+        (3, [2.0, 0.0], [4.0, 0.0], 900, 300),
+        # NULL image embedding -> NULL score, keep false
+        (4, None, [1.0, 0.0], 300, 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, iv array<double>, tv array<double>, w int, h int"
+    )
+    out = {
+        r.pair_id: r
+        for r in clip_score_gate(
+            df, "iv", "tv", score_threshold=0.28,
+            width_col="w", height_col="h", min_side=200, max_aspect=2.0,
+        ).collect()
+    }
+    assert out[0].clip_score == 1.0 and out[0].keep
+    assert abs(out[1].clip_score) < 1e-12 and not out[1].keep_score
+    assert out[2].keep_score and not out[2].keep_size and not out[2].keep
+    assert out[3].clip_score == 1.0 and not out[3].keep_aspect and not out[3].keep
+    assert out[4].clip_score is None and not out[4].keep_score and not out[4].keep
+
+    # score-only form omits the metadata gate columns entirely
+    cols = clip_score_gate(df, "iv", "tv").columns
+    assert "keep_size" not in cols and "keep_aspect" not in cols and "keep" in cols
+
+    with _pt.raises(ValueError, match="together"):
+        clip_score_gate(df, "iv", "tv", width_col="w")
+    with _pt.raises(ValueError, match="min_side"):
+        clip_score_gate(df, "iv", "tv", min_side=200)

@@ -1230,3 +1230,59 @@ def url_bitext_pairs(
         .where((F.col("lang_a") != F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
         .select("key", "lang_a", "id_a", "lang_b", "id_b")
     )
+
+
+# Secret-credential patterns (The Stack / StarCoder PII pass, Kocetkov
+# et al. 2022 §4; detect-secrets' high-signal subset). The regex subset
+# is Java-regex ∩ RE2 (the EMAIL_RE discipline in operators/corpus.py):
+# character classes, bounded reps, non-capturing groups, ASCII \b.
+AWS_KEY_RE = r"\bAKIA[0-9A-Z]{16}\b"
+GITHUB_TOKEN_RE = r"\bgh[pousr]_[A-Za-z0-9]{36}\b"
+PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+HEX_SECRET_RE = r"\b[0-9a-f]{32,}\b"
+
+_SECRET_RULES: list[tuple[str, str, str]] = [
+    ("aws_key", AWS_KEY_RE, "<AWS_KEY>"),
+    ("github_token", GITHUB_TOKEN_RE, "<GH_TOKEN>"),
+    ("private_key", PRIVATE_KEY_RE, "<PRIVATE_KEY>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("hex_secret", HEX_SECRET_RE, "<HEX_SECRET>"),
+]
+
+
+def secrets_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    redact: bool = False,
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Credential/secret detection for code corpora — The Stack's PII
+    pass distilled to its high-signal syntactic rules (AWS access-key
+    ids, GitHub PATs, PEM private-key headers, IPv4 literals, ≥32-char
+    hex runs), the complement of `redact_pii`'s natural-language
+    emails/phones. Each rule is an auditable count column
+    (`n_aws_key`, …, the `gopher_quality_flags` discipline) plus
+    `has_secret`; with ``redact=True`` the matches are replaced by
+    typed sentinel tokens in a FIXED rule order (sentinels are
+    non-hex, so a replacement can never manufacture a later match).
+
+    IPv4 matching is syntactic (octets not range-checked) — the
+    published pipelines run an allowlist for DNS/private ranges after
+    detection; that policy layer belongs to the caller. Pure
+    regexp_extract_all / regexp_replace: scan-speed, zero shuffle,
+    engine-portable (Java regex ∩ RE2)."""
+    text = F.col(text_col)
+    out = df
+    any_hit = F.lit(False)
+    for name, pat, _ in _SECRET_RULES:
+        n = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        out = out.withColumn(f"n_{name}", n)
+        any_hit = any_hit | (F.col(f"n_{name}") > 0)
+    out = out.withColumn("has_secret", any_hit)
+    if redact:
+        red = text
+        for _, pat, token in _SECRET_RULES:
+            red = F.regexp_replace(red, pat, token)
+        out = out.withColumn(out_col, red)
+    return out

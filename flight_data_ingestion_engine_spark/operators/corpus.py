@@ -2590,3 +2590,93 @@ def tokenizer_fertility(
             "bytes_per_token"
         ),
     )
+
+
+CONVERSATION_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def sft_conversation_lint(
+    df: DataFrame,
+    conv_col: str = "conversation",
+    parse_json: bool = False,
+) -> DataFrame:
+    """Structural lint for SFT / chat-tuning conversations — the
+    cleaning pass every public instruction dataset runs before
+    training (ShareGPT dedup+repair, OpenAssistant tree validation,
+    the Tulu/UltraChat format checks): a conversation is an ordered
+    array of (role, content) turns, optionally JSON-encoded
+    (``parse_json=True`` applies `from_json` with
+    `CONVERSATION_SCHEMA` — the ShareGPT wire format), and must
+    satisfy, after an optional leading ``system`` turn:
+
+    - `starts_with_user` — the dialogue body opens with a user turn,
+    - `alternates` — no two adjacent body turns share a role,
+    - `valid_roles` — body roles are only user/assistant (a stray
+      ``system`` mid-dialogue fails here, not in `alternates`),
+    - `no_empty_turn` — every content non-blank (any turn, incl. system),
+    - `ends_with_assistant` — the body closes on an assistant turn
+      (a trailing unanswered user turn trains nothing);
+
+    `keep` is their conjunction, `n_turns` counts all turns, and
+    `conv_hash` (md5 over unit-separator-joined contents) is the
+    exact-dedup key — join-identical conversations collapse on it via
+    `exact_dedup`. Every flag is an auditable column (the
+    `gopher_quality_flags` discipline). Pure Catalyst array folds over
+    the parsed column: zero shuffle, scan-speed, engine-portable."""
+    conv = F.col(conv_col)
+    if parse_json:
+        conv = F.from_json(conv, CONVERSATION_SCHEMA)
+    roles = F.transform(conv, lambda t: t["role"])
+    contents = F.transform(conv, lambda t: t["content"])
+    has_system = F.element_at(roles, 1) == F.lit("system")
+    body = F.when(
+        has_system, F.slice(roles, 2, F.greatest(F.size(roles) - 1, F.lit(0)))
+    ).otherwise(roles)
+    n_body = F.size(body)
+    adjacent_equal = F.exists(
+        F.zip_with(
+            F.slice(body, 1, F.greatest(n_body - 1, F.lit(0))),
+            F.slice(body, 2, F.greatest(n_body - 1, F.lit(0))),
+            lambda a, b: a == b,
+        ),
+        lambda x: x,
+    )
+    out = (
+        df.withColumn("n_turns", F.size(conv))
+        .withColumn("has_system", F.coalesce(has_system, F.lit(False)))
+        .withColumn(
+            "starts_with_user",
+            F.coalesce(F.element_at(body, 1) == F.lit("user"), F.lit(False)),
+        )
+        .withColumn("alternates", ~F.coalesce(adjacent_equal, F.lit(False)))
+        .withColumn(
+            "valid_roles",
+            F.coalesce(
+                F.forall(body, lambda r: r.isin("user", "assistant")), F.lit(False)
+            ),
+        )
+        .withColumn(
+            "no_empty_turn",
+            (F.size(conv) > 0)
+            & ~F.coalesce(
+                F.exists(
+                    contents,
+                    lambda c: c.isNull() | (F.length(F.trim(c)) == 0),
+                ),
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "ends_with_assistant",
+            F.coalesce(F.element_at(body, -1) == F.lit("assistant"), F.lit(False)),
+        )
+        .withColumn("conv_hash", F.md5(F.concat_ws("\x1f", contents)))
+    )
+    return out.withColumn(
+        "keep",
+        F.col("starts_with_user")
+        & F.col("alternates")
+        & F.col("valid_roles")
+        & F.col("no_empty_turn")
+        & F.col("ends_with_assistant"),
+    )

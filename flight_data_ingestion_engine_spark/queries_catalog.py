@@ -15887,3 +15887,89 @@ def q_secrets_detect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return secrets_detect(docs, redact=True)
+
+
+@_q(
+    "sft_lint_convs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS k,
+             doc_id % 3 = 0 AS has_sys,
+             doc_id % 5 = 0 AS first_assistant,
+             doc_id % 7 = 0 AS break_alt,
+             doc_id % 11 = 0 AS empty1
+      FROM documents
+    ),
+    c AS (
+      SELECT p.doc_id,
+             string_agg(
+               CASE WHEN p.empty1 AND u.i = 1 THEN ''
+                    ELSE 'm' || CAST(p.doc_id AS VARCHAR) || 't' || CAST(u.i AS VARCHAR)
+               END, chr(31) ORDER BY u.i) AS body_contents
+      FROM p, UNNEST(range(p.k)) AS u(i)
+      GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.k + CASE WHEN p.has_sys THEN 1 ELSE 0 END AS INT) AS n_turns,
+           p.has_sys AS has_system,
+           NOT p.first_assistant AS starts_with_user,
+           NOT p.break_alt AS alternates,
+           TRUE AS valid_roles,
+           NOT p.empty1 AS no_empty_turn,
+           CASE WHEN p.break_alt AND p.k = 2 THEN p.first_assistant
+                ELSE ((p.k - 1) % 2 = 0) = p.first_assistant END
+             AS ends_with_assistant,
+           md5(CASE WHEN p.has_sys THEN 'be helpful' || chr(31) ELSE '' END
+               || c.body_contents) AS conv_hash,
+           (NOT p.first_assistant AND NOT p.break_alt AND NOT p.empty1
+            AND CASE WHEN p.break_alt AND p.k = 2 THEN p.first_assistant
+                     ELSE ((p.k - 1) % 2 = 0) = p.first_assistant END)
+             AS keep
+    FROM p JOIN c ON p.doc_id = c.doc_id
+    """,
+)
+def q_sft_lint_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation lint (operators/corpus.py::sft_conversation_lint)
+    over ShareGPT-format JSON synthesized per doc: body length 2+d%3,
+    optional system turn (d%3=0), assistant-first violation (d%5=0),
+    adjacent-role break (d%7=0), blank second turn (d%11=0). The
+    operator PARSES the JSON (from_json with CONVERSATION_SCHEMA) and
+    derives every flag from the parsed array; the oracle states each
+    flag in closed form from the residue classes and re-derives
+    conv_hash from the same content construction — so a parse or fold
+    bug surfaces as a value mismatch. The ends-with-assistant corner
+    (role break at k=2 makes the closer the FIRST role) is live at
+    doc_id % 21 = 0."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        sft_conversation_lint,
+    )
+
+    d = F.col("doc_id")
+    first = F.when(d % 5 == 0, F.lit("assistant")).otherwise(F.lit("user"))
+    second = F.when(d % 5 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    k = F.lit(2) + (d % 3).cast("int")
+
+    def turn(i):
+        role = F.when((i == 1) & (d % 7 == 0), first).otherwise(
+            F.when(i % 2 == 0, first).otherwise(second)
+        )
+        content = F.when((d % 11 == 0) & (i == 1), F.lit("")).otherwise(
+            F.concat(F.lit("m"), d.cast("string"), F.lit("t"), i.cast("string"))
+        )
+        return F.concat(
+            F.lit('{"role":"'), role, F.lit('","content":"'), content, F.lit('"}')
+        )
+
+    body = F.transform(F.sequence(F.lit(0), k - 1), turn)
+    arr = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.array(F.lit('{"role":"system","content":"be helpful"}')), body
+        ),
+    ).otherwise(body)
+    conv_json = F.concat(F.lit("["), F.concat_ws(",", arr), F.lit("]"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", conv_json.alias("conversation")
+    )
+    return sft_conversation_lint(docs, parse_json=True).drop("conversation")

@@ -928,3 +928,68 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert got["A"].n_bytes == 13 and got["A"].bytes_per_token == 13 / 4
     assert (got["B"].n_words, got["B"].n_pieces) == (3, 8)
     assert got["B"].fertility == 8 / 3
+
+
+def test_sft_conversation_lint_flags(spark):
+    """Conversation lint on hand cases: the happy path, each flag's
+    dedicated violator, a mid-dialogue system turn (valid_roles not
+    alternates), NULL and empty conversations, and hash equality for
+    role-differing but content-identical dialogues (conv_hash is a
+    CONTENT key by design)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        sft_conversation_lint,
+    )
+
+    def turns(*pairs):
+        return [{"role": r, "content": c} for r, c in pairs]
+
+    rows = [
+        (0, turns(("system", "s"), ("user", "hi"), ("assistant", "yo"))),
+        (1, turns(("assistant", "yo"), ("user", "hi"))),          # assistant-first
+        (2, turns(("user", "a"), ("user", "b"), ("assistant", "c"))),  # no alternation
+        (3, turns(("user", "hi"), ("assistant", " "))),           # blank turn
+        (4, turns(("user", "hi"), ("assistant", "yo"), ("user", "more?"))),  # dangling user
+        (5, turns(("user", "hi"), ("system", "s"), ("assistant", "yo"))),  # system mid-dialogue
+        (6, None),
+        (7, []),
+        (8, turns(("user", "hi"), ("assistant", "yo"))),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, conversation array<struct<role:string,content:string>>"
+    )
+    out = {r.conv_id: r for r in sft_conversation_lint(df).collect()}
+
+    assert out[0].keep and out[0].has_system and out[0].n_turns == 3
+    assert not out[1].starts_with_user and not out[1].keep
+    assert out[1].alternates  # assistant,user alternates fine — wrong OPENER only
+    assert not out[2].alternates and out[2].starts_with_user and not out[2].keep
+    assert not out[3].no_empty_turn and out[3].alternates and not out[3].keep
+    assert not out[4].ends_with_assistant and not out[4].keep
+    assert not out[5].valid_roles and not out[5].keep
+    assert not out[6].keep and not out[6].starts_with_user
+    assert not out[7].keep and out[7].n_turns == 0 and not out[7].no_empty_turn
+    assert out[8].keep and not out[8].has_system
+
+    # content-identical dialogues share conv_hash regardless of roles
+    h = {
+        r.conv_id: r.conv_hash
+        for r in sft_conversation_lint(
+            spark.createDataFrame(
+                [
+                    (0, turns(("user", "x"), ("assistant", "y"))),
+                    (1, turns(("assistant", "x"), ("user", "y"))),
+                    (2, turns(("user", "x"), ("assistant", "z"))),
+                ],
+                "conv_id long, conversation array<struct<role:string,content:string>>",
+            )
+        ).collect()
+    }
+    assert h[0] == h[1] and h[0] != h[2]
+
+    # JSON wire-format path parses to the same flags
+    j = spark.createDataFrame(
+        [(0, '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]')],
+        "conv_id long, conversation string",
+    )
+    r = sft_conversation_lint(j, parse_json=True).collect()[0]
+    assert r.keep and r.n_turns == 2

@@ -1169,3 +1169,25 @@ def test_wave5_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave6_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the sixth-wave families. Secrets detection
+    and conversation lint are pure projections riding the scan (ZERO
+    exchanges — regex / from_json / array folds all codegen or
+    single-stage); the CLIP gate spends only its id-pair join; MFCC
+    adds one keyed agg over the broadcast DCT basis on top of the mel
+    path's single window."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "secrets_detect_docs": 0,   # regex projection
+        "sft_lint_convs": 0,        # from_json + array folds
+        "clip_gate_pairs": 1,       # id-pair join broadcasts at test SFs (measured 0)
+        "audio_mfcc": 2,            # mel agg + cepstrum agg (basis joins broadcast)
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -14526,7 +14526,8 @@ def _bt_sql(iters: int = 3) -> str:
     head = """
     WITH ranked AS (
       SELECT l_orderkey, l_suppkey, l_extendedprice,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_suppkey, l_extendedprice) AS rn
       FROM lineitem
     ),
     games AS (
@@ -14598,7 +14599,13 @@ def q_bt_preference_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # testdata lineitem is TPC-H-ish, NOT TPC-H: (l_orderkey, l_linenumber)
+    # is not unique (11,785 duplicate groups at sf0.01), so the ordering
+    # carries the game-relevant columns too — the first-two VALUES of the
+    # sort are then a deterministic multiset even when row identity ties
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
     ranked = li.select(
         "l_orderkey", "l_suppkey", "l_extendedprice",
         F.row_number().over(w).alias("rn"),

@@ -113,6 +113,12 @@ SELECTED = [
     ("zipf_fit_terms", "term agg + ordered top-k (TakeOrderedAndProject) + one-row folds"),
     ("porter_rollup_terms", "full Porter cascade as codegen projections over the term dictionary"),
     ("type2_clone_norm", "identifier-renaming fold: one projection, zero exchanges"),
+
+    # r10 sixth pass
+    ("secrets_detect_docs", "credential regex chains + redaction: pure projection, zero exchanges"),
+    ("sft_lint_convs", "from_json + array-fold flags: pure projection, zero exchanges"),
+    ("clip_gate_pairs", "pair cosine + metadata gates ride the scan; id join broadcasts"),
+    ("audio_mfcc", "broadcast DCT basis join + keyed agg atop the mel window"),
 ]
 
 INTERESTING = re.compile(

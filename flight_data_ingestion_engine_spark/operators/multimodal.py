@@ -1458,3 +1458,144 @@ def clip_score_gate(
         )
         keep = keep & F.col("keep_aspect")
     return out.withColumn("keep", keep)
+
+
+def attach_video_frames(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    n_frames: int = 10,
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Synthesize per-frame REAL BMP payloads with SCENE structure — the
+    planted corpus for the shot-boundary family. Clip c is divided into
+    scenes of ``3 + c % 3`` frames; scene s paints every pixel the base
+    gray ``b·16 + 8`` where ``b = ((c·37 + s·71) % 7) · 2`` (EVEN
+    histogram bins, so two different scenes' pixel sets occupy disjoint
+    {b, b+1} bin pairs), and frame f additionally paints its first
+    ``(f % 5) · 2`` pixels one bin brighter (``(b+1)·16 + 8``) — a
+    within-scene jitter that moves mass between the adjacent bins
+    without leaving the pair. All arithmetic is integer and replayed
+    closed-form by the oracle; payloads go through the real 24-bit BMP
+    codec in the same Arrow mapInPandas shape as the image corpus
+    (bytes never touch the driver). One output row per (clip, frame)."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} bigint, frame_idx bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    n_px = width * height
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for c in pdf[id_col].astype("int64"):
+                c = int(c)
+                scene_len = 3 + c % 3
+                for f in range(n_frames):
+                    s = f // scene_len
+                    b = ((c * 37 + s * 71) % 7) * 2
+                    k = (f % 5) * 2
+                    pixels = [(b + 1) * 16 + 8] * k + [b * 16 + 8] * (n_px - k)
+                    payload = encode_bmp(width, height, pixels)
+                    meta = ("video", "bmp", width, height, None, n_frames, None)
+                    rows.append((c, f, payload, meta))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "media_bytes", "media_meta"]
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def frame_histograms(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    frame_col: str = "frame_idx",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    bins: int = 16,
+) -> DataFrame:
+    """Per-frame grayscale histogram over decoded frame payloads — the
+    feature the classic shot-boundary detectors compare (Zhang et al.
+    1993; PySceneDetect's content detector works on the same per-frame
+    statistic). Bin ``v // (256 // bins)``, integer counts, one Arrow
+    stage per frame row (decode + bincount); non-image formats drop.
+    Returns (id, frame_idx, hist array<bigint>)."""
+    import pandas as pd
+
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError("frame_histograms: bins must divide 256")
+    div = 256 // bins
+    schema = f"{id_col} bigint, {frame_col} bigint, hist array<bigint>"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            keep = fmt.isin(set(_IMAGE_DECODERS))
+            sub = pdf[keep]
+            if not len(sub):
+                continue
+            hists = []
+            for f, p in zip(fmt[keep], sub[bytes_col]):
+                _, _, px = _IMAGE_DECODERS[f](bytes(p))
+                h = [0] * bins
+                for v in px:
+                    h[v // div] += 1
+                hists.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: sub[id_col].astype("int64"),
+                    frame_col: sub[frame_col].astype("int64"),
+                    "hist": hists,
+                },
+                columns=[id_col, frame_col, "hist"],
+            )
+
+    return df.select(id_col, frame_col, bytes_col, meta_col).mapInPandas(
+        batches, schema
+    )
+
+
+def shot_boundaries(
+    hist_df: DataFrame,
+    id_col: str = "clip_id",
+    frame_col: str = "frame_idx",
+    hist_col: str = "hist",
+    threshold: int = 64,
+) -> DataFrame:
+    """Histogram-difference shot segmentation — the classic pairwise
+    comparison detector (Zhang, Kankanhalli & Smoliar 1993; the
+    technique PySceneDetect ships as its content detector): the L1
+    distance between consecutive frames' histograms, a cut where it
+    exceeds ``threshold``, and shot ids as the running boundary count.
+    The first frame of every clip opens shot 0 by definition (its
+    l1_delta is NULL — there is no predecessor).
+
+    One window shuffle per clip (lag + running sum share the single
+    (clip, frame-ordered) spec); the L1 fold is an integer zip_with
+    aggregate — exact, order-free. Returns
+    (id, frame_idx, l1_delta, is_boundary, shot_id)."""
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    prev = F.lag(F.col(hist_col)).over(w)
+    l1 = F.aggregate(
+        F.zip_with(F.col(hist_col), prev, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    out = (
+        hist_df.withColumn("l1_delta", l1)
+        .withColumn(
+            "is_boundary",
+            F.col("l1_delta").isNull() | (F.col("l1_delta") > threshold),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum(F.col("is_boundary").cast("bigint")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1,
+        )
+    )
+    return out.select(id_col, frame_col, "l1_delta", "is_boundary", "shot_id")

@@ -15980,3 +15980,63 @@ def q_sft_lint_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", conv_json.alias("conversation")
     )
     return sft_conversation_lint(docs, parse_json=True).drop("conversation")
+
+
+@_q(
+    "video_shot_boundaries",
+    """
+    WITH f AS (
+      SELECT doc_id AS clip_id, u.f AS frame_idx,
+             ((doc_id * 37 + (u.f // (3 + doc_id % 3)) * 71) % 7) * 2 AS b,
+             (u.f % 5) * 2 AS k
+      FROM documents, UNNEST(range(10)) AS u(f)
+      WHERE doc_id < 200
+    ),
+    d AS (
+      SELECT clip_id, frame_idx, b, k,
+             LAG(b) OVER w AS pb, LAG(k) OVER w AS pk
+      FROM f
+      WINDOW w AS (PARTITION BY clip_id ORDER BY frame_idx)
+    ),
+    e AS (
+      SELECT clip_id, frame_idx,
+             CASE WHEN pb IS NULL THEN NULL
+                  WHEN pb = b THEN CAST(2 * abs(k - pk) AS BIGINT)
+                  ELSE CAST(128 AS BIGINT) END AS l1_delta
+      FROM d
+    )
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx, l1_delta,
+           (l1_delta IS NULL OR l1_delta > 64) AS is_boundary,
+           CAST(COUNT(CASE WHEN l1_delta IS NULL OR l1_delta > 64 THEN 1 END)
+                OVER (PARTITION BY clip_id ORDER BY frame_idx
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS shot_id
+    FROM e
+    """,
+)
+def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-difference shot segmentation (operators/multimodal.py::
+    attach_video_frames / frame_histograms / shot_boundaries — Zhang et
+    al. 1993, the PySceneDetect content-detector technique) over
+    clip-per-doc synthetic video whose frames go through the REAL BMP
+    codec: per-frame 16-bin gray histograms, integer L1 lag deltas, cut
+    at threshold 64, shot ids as the running boundary count. The scene
+    construction paints disjoint bin pairs per scene (cross-scene delta
+    is exactly 128; within-scene jitter ≤ 16), so the oracle states
+    every delta, flag, and shot id closed-form from the residue
+    arithmetic — a decode or histogram bug mismatches immediately.
+    Adjacent scenes hashing to the same bin pair merge silently (the
+    detector's honest failure mode, replayed identically)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_video_frames,
+        frame_histograms,
+        shot_boundaries,
+    )
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("clip_id"))
+        .where(F.col("clip_id") < 200)
+    )
+    frames = attach_video_frames(clips)
+    return shot_boundaries(frame_histograms(frames))

@@ -1425,3 +1425,56 @@ def test_secrets_detect_rules(spark):
     # without redact the text column is untouched and no out_col appears
     cols = secrets_detect(df).columns
     assert "text_redacted" not in cols and "has_secret" in cols
+
+
+def test_shot_boundaries_and_frame_histograms(spark):
+    """Video family: frame histograms verified against an independent
+    in-test decode+bincount through the real codec; shot segmentation
+    on hand-built histograms — delta == threshold is NOT a cut, NULL
+    first frame opens shot 0, running shot ids; bins validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_video_frames,
+        decode_bmp,
+        frame_histograms,
+        shot_boundaries,
+    )
+
+    clips = spark.createDataFrame([(0,), (4,)], "clip_id long")
+    frames = attach_video_frames(clips, n_frames=6).cache()
+    got = {
+        (r.clip_id, r.frame_idx): list(r.hist)
+        for r in frame_histograms(frames).collect()
+    }
+    for row in frames.collect():
+        _, _, px = decode_bmp(bytes(row.media_bytes))
+        ref = [0] * 16
+        for v in px:
+            ref[v // 16] += 1
+        assert got[(row.clip_id, row.frame_idx)] == ref
+    frames.unpersist()
+
+    # hand-built histograms: deltas 10 (= threshold, NOT a cut), 11 (cut)
+    rows = [
+        (0, 0, [10, 0]),
+        (0, 1, [5, 5]),    # L1 = 10 == threshold -> same shot
+        (0, 2, [0, 10]),   # L1 = 10 -> same shot
+        (0, 3, [9, 1]),    # L1 = 18 > 10 -> cut
+    ]
+    out = {
+        r.frame_idx: r
+        for r in shot_boundaries(
+            spark.createDataFrame(
+                rows, "clip_id long, frame_idx long, hist array<bigint>"
+            ),
+            threshold=10,
+        ).collect()
+    }
+    assert out[0].l1_delta is None and out[0].is_boundary and out[0].shot_id == 0
+    assert out[1].l1_delta == 10 and not out[1].is_boundary and out[1].shot_id == 0
+    assert out[2].l1_delta == 10 and out[2].shot_id == 0
+    assert out[3].l1_delta == 18 and out[3].is_boundary and out[3].shot_id == 1
+
+    with _pt.raises(ValueError, match="bins"):
+        frame_histograms(frames, bins=15)

@@ -1599,3 +1599,36 @@ def shot_boundaries(
         )
     )
     return out.select(id_col, frame_col, "l1_delta", "is_boundary", "shot_id")
+
+
+def keyframes(
+    shots_df: DataFrame,
+    id_col: str = "clip_id",
+    frame_col: str = "frame_idx",
+    shot_col: str = "shot_id",
+) -> DataFrame:
+    """Representative-frame selection per shot — the keyframe step every
+    video-curation pipeline runs after segmentation (the frame that
+    gets CLIP-embedded / thumbnailed; middle-frame selection is the
+    classic deterministic rule, e.g. ffmpeg's thumbnail baseline).
+    The keyframe of a shot is its MEDIAN frame by index — the exact
+    order statistic ``sorted[(n-1)//2]`` (lower median: deterministic,
+    no float midpoint) — computed as one rank window against the
+    per-shot count. Returns one row per (clip, shot): (id, shot_id,
+    keyframe_idx, n_frames_in_shot). One window + one filter on the
+    (clip, shot)-grouped frame table; composes directly on
+    `shot_boundaries` output."""
+    w = Window.partitionBy(id_col, shot_col)
+    ranked = shots_df.select(
+        id_col,
+        shot_col,
+        F.col(frame_col).alias("keyframe_idx"),
+        F.row_number()
+        .over(w.orderBy(frame_col))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_frames_in_shot"),
+    )
+    # integer div, not `/`: a float midpoint at even n would match no rank
+    return ranked.where(
+        F.col("_rn") == F.expr("(n_frames_in_shot - 1) div 2") + 1
+    ).drop("_rn")

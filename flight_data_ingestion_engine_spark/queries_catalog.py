@@ -15982,9 +15982,7 @@ def q_sft_lint_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft_conversation_lint(docs, parse_json=True).drop("conversation")
 
 
-@_q(
-    "video_shot_boundaries",
-    """
+_VIDEO_SHOTS_SQL = """
     WITH f AS (
       SELECT doc_id AS clip_id, u.f AS frame_idx,
              ((doc_id * 37 + (u.f // (3 + doc_id % 3)) * 71) % 7) * 2 AS b,
@@ -16004,14 +16002,23 @@ def q_sft_lint_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN pb = b THEN CAST(2 * abs(k - pk) AS BIGINT)
                   ELSE CAST(128 AS BIGINT) END AS l1_delta
       FROM d
-    )
-    SELECT CAST(clip_id AS BIGINT) AS clip_id,
-           CAST(frame_idx AS BIGINT) AS frame_idx, l1_delta,
-           (l1_delta IS NULL OR l1_delta > 64) AS is_boundary,
-           CAST(COUNT(CASE WHEN l1_delta IS NULL OR l1_delta > 64 THEN 1 END)
-                OVER (PARTITION BY clip_id ORDER BY frame_idx
-                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS shot_id
-    FROM e
+    ),
+    g AS (
+      SELECT CAST(clip_id AS BIGINT) AS clip_id,
+             CAST(frame_idx AS BIGINT) AS frame_idx, l1_delta,
+             (l1_delta IS NULL OR l1_delta > 64) AS is_boundary,
+             CAST(COUNT(CASE WHEN l1_delta IS NULL OR l1_delta > 64 THEN 1 END)
+                  OVER (PARTITION BY clip_id ORDER BY frame_idx
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS shot_id
+      FROM e
+    )"""
+
+
+@_q(
+    "video_shot_boundaries",
+    _VIDEO_SHOTS_SQL
+    + """
+    SELECT clip_id, frame_idx, l1_delta, is_boundary, shot_id FROM g
     """,
 )
 def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16040,3 +16047,42 @@ def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = attach_video_frames(clips)
     return shot_boundaries(frame_histograms(frames))
+
+
+@_q(
+    "video_keyframes",
+    _VIDEO_SHOTS_SQL
+    + """
+    , r AS (
+      SELECT clip_id, shot_id, frame_idx AS keyframe_idx,
+             ROW_NUMBER() OVER (PARTITION BY clip_id, shot_id
+                                ORDER BY frame_idx) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY clip_id, shot_id) AS BIGINT)
+               AS n_frames_in_shot
+      FROM g
+    )
+    SELECT clip_id, shot_id, keyframe_idx, n_frames_in_shot
+    FROM r WHERE rn = (n_frames_in_shot - 1) // 2 + 1
+    """,
+)
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection (operators/multimodal.py::keyframes) composed
+    on the shot segmentation: the lower-median frame of every detected
+    shot — the deterministic representative the embedding/thumbnail
+    stage consumes. One rank window over the shot table; the oracle
+    extends the closed-form shot replay with the same exact order
+    statistic."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_video_frames,
+        frame_histograms,
+        keyframes,
+        shot_boundaries,
+    )
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("clip_id"))
+        .where(F.col("clip_id") < 200)
+    )
+    shots = shot_boundaries(frame_histograms(attach_video_frames(clips)))
+    return keyframes(shots)

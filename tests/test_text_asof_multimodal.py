@@ -1478,3 +1478,27 @@ def test_shot_boundaries_and_frame_histograms(spark):
 
     with _pt.raises(ValueError, match="bins"):
         frame_histograms(frames, bins=15)
+
+
+def test_keyframes_median_selection(spark):
+    """Keyframe = lower-median frame per shot: odd and even shot sizes,
+    non-contiguous frame indices (sampled frames), single-frame shot."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import keyframes
+
+    rows = [
+        # clip 0, shot 0: frames 0,2,4 (sampled) -> median 2
+        (0, 0, 0), (0, 2, 0), (0, 4, 0),
+        # clip 0, shot 1: frames 6,8,10,12 -> lower median 8
+        (0, 6, 1), (0, 8, 1), (0, 10, 1), (0, 12, 1),
+        # clip 1, shot 0: single frame 5 -> itself
+        (1, 5, 0),
+    ]
+    df = spark.createDataFrame(rows, "clip_id long, frame_idx long, shot_id long")
+    out = {
+        (r.clip_id, r.shot_id): (r.keyframe_idx, r.n_frames_in_shot)
+        for r in keyframes(df).collect()
+    }
+    assert out[(0, 0)] == (2, 3)
+    assert out[(0, 1)] == (8, 4)
+    assert out[(1, 0)] == (5, 1)
+    assert len(out) == 3

@@ -16086,3 +16086,111 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shots = shot_boundaries(frame_histograms(attach_video_frames(clips)))
     return keyframes(shots)
+
+
+_REPO_FILES_SQL = """
+    WITH fl AS (
+      SELECT doc_id AS fid,
+             'pkg/m' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+             'pkg.m' || CAST(doc_id AS VARCHAR) AS module,
+             'import os' || chr(10)
+             || CASE WHEN doc_id >= 1
+                     THEN 'from pkg.m' || CAST(doc_id // 2 AS VARCHAR)
+                          || ' import thing' || chr(10)
+                     ELSE '' END
+             || CASE WHEN doc_id >= 4 AND doc_id % 5 = 1
+                     THEN 'import pkg.m' || CAST(doc_id // 4 AS VARCHAR) || chr(10)
+                     ELSE '' END
+             || 'x = 1' AS text
+      FROM documents WHERE doc_id < 400
+    )
+"""
+
+
+def _repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(d < 400)
+        .select(
+            d.alias("fid"),
+            F.concat(F.lit("pkg/m"), d.cast("string"), F.lit(".py")).alias("path"),
+            F.concat(
+                F.lit("import os\n"),
+                F.when(
+                    d >= 1,
+                    F.concat(
+                        F.lit("from pkg.m"),
+                        (d / 2).cast("bigint").cast("string"),
+                        F.lit(" import thing\n"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    (d >= 4) & (d % 5 == 1),
+                    F.concat(
+                        F.lit("import pkg.m"),
+                        (d / 4).cast("bigint").cast("string"),
+                        F.lit("\n"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("x = 1"),
+            ).alias("text"),
+        )
+    )
+
+
+@_q(
+    "import_edges_files",
+    _REPO_FILES_SQL
+    + r"""
+    , im AS (
+      SELECT path AS src_path, u.m AS module
+      FROM fl, UNNEST(regexp_extract_all(
+        text, '(?m)^(?:from|import) +([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS u(m)
+    )
+    SELECT im.src_path, d.path AS dst_path, im.module
+    FROM im JOIN fl d ON d.module = im.module AND d.path <> im.src_path
+    """,
+)
+def q_import_edges_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-graph extraction (operators/text.py::import_edges — the
+    StarCoder2 §3.2 repo-analysis pass) over a planted package: file i
+    imports file i//2 (i ≥ 1) and additionally i//4 on the i%5==1
+    residue; every file also imports stdlib `os`, which resolves to no
+    in-repo definition and drops at the join — the oracle replays the
+    line-anchored extraction AND the module-definition join in RE2."""
+    from flight_data_ingestion_engine_spark.operators.text import import_edges
+
+    return import_edges(_repo_files(spark, sf_dir))
+
+
+@_q(
+    "repo_file_order",
+    _REPO_FILES_SQL
+    + """
+    SELECT path,
+           CAST(CASE WHEN fid = 0 THEN 0 ELSE length(bin(fid)) END AS BIGINT)
+             AS level,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CASE WHEN fid = 0 THEN 0 ELSE length(bin(fid)) END, path)
+             AS BIGINT) AS position
+    FROM fl
+    """,
+)
+def q_repo_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-ordered repo file listing (operators/graph.py::
+    dependency_levels composed on import_edges — StarCoder2's
+    definitions-before-uses concatenation order). On the planted
+    halving graph the longest chain below file i has closed form
+    bit_length(i) (the i//2 edge always dominates the i//4 shortcut:
+    1 + bitlen(i//2) = bitlen(i) > bitlen(i//4) + 1), so the oracle
+    states every level and the (level, path) position without
+    replaying the iteration — a convergence bug in the fixed-round
+    loop mismatches immediately. max_rounds=10 ≥ the 9-deep chain at
+    fid 399."""
+    from flight_data_ingestion_engine_spark.operators.graph import dependency_levels
+    from flight_data_ingestion_engine_spark.operators.text import import_edges
+
+    files = _repo_files(spark, sf_dir)
+    edges = import_edges(files).localCheckpoint(eager=False)
+    return dependency_levels(files, edges, max_rounds=10)

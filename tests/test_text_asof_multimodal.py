@@ -1502,3 +1502,52 @@ def test_keyframes_median_selection(spark):
     assert out[(0, 1)] == (8, 4)
     assert out[(1, 0)] == (5, 1)
     assert len(out) == 3
+
+
+def test_import_edges_and_dependency_levels(spark):
+    """Import graph: both import forms extract; stdlib imports resolve
+    to nothing; non-.py files contribute neither definitions nor
+    imports; dependency levels converge to longest-chain depth with
+    dependencies preceding importers in the position order; a cycle
+    saturates at max_rounds."""
+    from flight_data_ingestion_engine_spark.operators.graph import dependency_levels
+    from flight_data_ingestion_engine_spark.operators.text import import_edges
+
+    rows = [
+        ("pkg/a.py", "import os\nfrom pkg.b import f\nimport pkg.c"),
+        ("pkg/b.py", "import pkg.c\nx = 1"),
+        ("pkg/c.py", "import json"),
+        ("pkg/d.txt", "import pkg.c"),          # not python: no edges
+        ("pkg/c.txt", "whatever"),              # same stem, not a module
+    ]
+    files = spark.createDataFrame(rows, "path string, text string")
+    edges = import_edges(files)
+    got = {(r.src_path, r.dst_path) for r in edges.collect()}
+    assert got == {
+        ("pkg/a.py", "pkg/b.py"),
+        ("pkg/a.py", "pkg/c.py"),
+        ("pkg/b.py", "pkg/c.py"),
+    }
+
+    out = {
+        r.path: (r.level, r.position)
+        for r in dependency_levels(files, edges, max_rounds=5).collect()
+    }
+    assert out["pkg/c.py"][0] == 0 and out["pkg/b.py"][0] == 1
+    assert out["pkg/a.py"][0] == 2
+    # dependencies precede importers
+    assert out["pkg/c.py"][1] < out["pkg/b.py"][1] < out["pkg/a.py"][1]
+    # non-py files sit at level 0
+    assert out["pkg/d.txt"][0] == 0 and out["pkg/c.txt"][0] == 0
+
+    # a 2-cycle saturates at max_rounds for both members
+    cyc = spark.createDataFrame(
+        [
+            ("x.py", "import y"),
+            ("y.py", "import x"),
+        ],
+        "path string, text string",
+    )
+    ce = import_edges(cyc)
+    lv = {r.path: r.level for r in dependency_levels(cyc, ce, max_rounds=4).collect()}
+    assert lv == {"x.py": 4, "y.py": 4}

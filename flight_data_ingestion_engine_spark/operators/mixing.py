@@ -1074,3 +1074,66 @@ def bradley_terry_strengths(
             (F.col("s") / F.col("_t")).alias("strength"),
         )
     )
+
+
+def alpha_sample_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed multinomial sampling weights over corpus
+    groups — the multilingual balancing rule of mBERT / XLM-R / mC4
+    (Conneau et al. 2020 §3.1; Xue et al. 2021): sample group l with
+
+        q_l ∝ p_l^α,   p_l = n_l / N
+
+    so α = 1 is proportional sampling, α → 0 is uniform, and the
+    published α ∈ [0.2, 0.7] boost low-resource groups. `size_col`
+    weights rows (chars/tokens); None counts rows.
+
+    Cross-engine exactness discipline: n_l and N are exact bigint sums;
+    p_l is one IEEE division. For α ∈ {1.0, 0.5, 0.25} the power is
+    computed as sqrt compositions — IEEE 754 specifies sqrt as
+    CORRECTLY ROUNDED, so these are bit-identical across engines,
+    unlike a general pow() whose libm may differ in the last ulp
+    (pow IS used for other α, with that caveat documented here). The
+    normalizer Z is a sequential fold over the group-sorted score list
+    (the `doremi_weights` discipline). One k-row groupBy + one
+    broadcast 1-row fold; no data-sized shuffle. Returns
+    (group, n_size, p, q, boost) where boost = q/p is the effective
+    over/under-sampling factor."""
+    if alpha <= 0:
+        raise ValueError("alpha_sample_weights: alpha must be > 0")
+    size = (
+        F.col(size_col).cast("bigint") if size_col is not None else F.lit(1).cast("bigint")
+    )
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(size).cast("bigint").alias("n_size")
+    )
+    tot = per.agg(F.sum("n_size").cast("bigint").alias("_n"))
+    p = F.col("n_size").cast("double") / F.col("_n").cast("double")
+    if alpha == 1.0:
+        s = F.col("p")
+    elif alpha == 0.5:
+        s = F.sqrt(F.col("p"))
+    elif alpha == 0.25:
+        s = F.sqrt(F.sqrt(F.col("p")))
+    else:
+        s = F.pow(F.col("p"), F.lit(float(alpha)))
+    scored = (
+        per.crossJoin(F.broadcast(tot)).withColumn("p", p).withColumn("_s", s)
+    )
+    z = scored.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("group", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"],
+        ).alias("_z")
+    )
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .withColumn("q", F.col("_s") / F.col("_z"))
+        .withColumn("boost", F.col("q") / F.col("p"))
+        .select("group", "n_size", "p", "q", "boost")
+    )

@@ -16194,3 +16194,43 @@ def q_repo_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _repo_files(spark, sf_dir)
     edges = import_edges(files).localCheckpoint(eager=False)
     return dependency_levels(files, edges, max_rounds=10)
+
+
+@_q(
+    "alpha_sample_langs",
+    """
+    WITH per AS (
+      SELECT lang AS "group", CAST(SUM(n_chars) AS BIGINT) AS n_size
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_size) AS BIGINT) AS n FROM per),
+    sc AS (
+      SELECT "group", n_size,
+             CAST(n_size AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             sqrt(CAST(n_size AS DOUBLE) / CAST(n AS DOUBLE)) AS s
+      FROM per, tot
+    ),
+    z AS (
+      SELECT list_reduce(list(s ORDER BY "group"), (a, b) -> a + b) AS zz
+      FROM sc
+    )
+    SELECT "group", n_size, p, s / zz AS q, (s / zz) / p AS boost
+    FROM sc, z
+    """,
+)
+def q_alpha_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed multilingual sampling weights (operators/
+    mixing.py::alpha_sample_weights — the mBERT/XLM-R/mC4 balancing
+    rule, Conneau et al. 2020 §3.1) over the corpus languages by
+    character mass, α = 0.5: p^α is a single IEEE sqrt (correctly
+    rounded per IEEE 754, hence bit-identical cross-engine — the
+    reason the oracle demo pins α to a sqrt-expressible value), the
+    normalizer is the group-sorted sequential fold. Low-resource
+    languages surface with boost > 1, English with boost < 1 — both
+    branches live at every SF."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        alpha_sample_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return alpha_sample_weights(docs, "lang", "n_chars", alpha=0.5)

@@ -681,3 +681,39 @@ def test_bradley_terry_hand_computed_and_order_invariant(spark):
 
     with _pt.raises(ValueError, match="iters"):
         bradley_terry_strengths(df, "winner", "loser", iters=0)
+
+
+def test_alpha_sample_weights_properties(spark):
+    """Alpha sampling: alpha=1 reproduces proportions exactly; alpha=0.5
+    compresses the range (boost > 1 for small groups, < 1 for large);
+    q sums to 1 (fold-exact); weighted vs row counting; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        alpha_sample_weights,
+    )
+
+    rows = [("en", 900), ("sw", 90), ("yo", 10)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+
+    prop = {
+        r.group: r for r in alpha_sample_weights(df, "lang", "n_chars", alpha=1.0).collect()
+    }
+    assert prop["en"].q == prop["en"].p == 0.9
+    assert prop["yo"].boost == 1.0
+
+    half = {
+        r.group: r for r in alpha_sample_weights(df, "lang", "n_chars", alpha=0.5).collect()
+    }
+    assert half["yo"].boost > 1.0 and half["sw"].boost > 1.0
+    assert half["en"].boost < 1.0
+    # smoothing preserves the size ordering
+    assert half["en"].q > half["sw"].q > half["yo"].q
+    assert abs(sum(r.q for r in half.values()) - 1.0) < 1e-12
+
+    # row counting (size_col=None): three groups of 1 row each -> uniform
+    uni = {r.group: r.q for r in alpha_sample_weights(df, "lang", alpha=0.5).collect()}
+    assert all(abs(v - 1.0 / 3) < 1e-12 for v in uni.values())
+
+    with _pt.raises(ValueError, match="alpha"):
+        alpha_sample_weights(df, "lang", "n_chars", alpha=0.0)

@@ -2680,3 +2680,77 @@ def sft_conversation_lint(
         & F.col("no_empty_turn")
         & F.col("ends_with_assistant"),
     )
+
+
+def self_bleu(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Self-BLEU corpus-diversity statistic (Zhu et al. 2018, Texygen —
+    the standard check that generated/augmented data hasn't collapsed
+    onto itself; high self-BLEU = low diversity): each document's
+    modified n-gram precision against ALL OTHER documents as
+    references,
+
+        p_n(d) = Σ_g min(cnt_d(g), max_{d'≠d} cnt_{d'}(g)) / Σ_g cnt_d(g).
+
+    The naive form is an all-pairs BLEU (O(docs²) — the reason Texygen
+    caps its sample); this is the exact SCALABLE reformulation: the
+    leave-one-out max over references needs only each gram's TOP-2
+    (doc, count) rows — for the gram's own top doc the l-o-o max is
+    the second count, for every other doc it is the first. Four keyed
+    shuffles (gram counts, per-gram top-2 window, clip join, per-doc
+    agg), no pair join anywhere; brevity penalty is omitted (the
+    precision IS the diversity statistic; BP needs a chosen reference
+    length, a generation-eval concern). Whitespace tokens, exact
+    integer counts, one final IEEE division. Returns
+    (id, n_grams, clipped_sum, self_bleu_p)."""
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError("self_bleu: n must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        df.select(F.col(id_col).alias("_d"), F.explode(grams).alias("gram"))
+        .groupBy("_d", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("gram").orderBy(F.col("cnt").desc(), F.col("_d").asc())
+    top2 = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .groupBy("gram")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_d"))).alias("_top_doc"),
+            F.max(F.when(F.col("_rn") == 1, F.col("cnt"))).alias("_top_cnt"),
+            F.coalesce(
+                F.max(F.when(F.col("_rn") == 2, F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias("_second_cnt"),
+        )
+    )
+    loo = F.when(F.col("_d") == F.col("_top_doc"), F.col("_second_cnt")).otherwise(
+        F.col("_top_cnt")
+    )
+    clipped = cnt.join(top2, "gram").select(
+        "_d", "cnt", F.least(F.col("cnt"), loo).alias("_clip")
+    )
+    return (
+        clipped.groupBy(F.col("_d").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum("_clip").cast("bigint").alias("clipped_sum"),
+        )
+        .withColumn(
+            "self_bleu_p",
+            F.col("clipped_sum").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )

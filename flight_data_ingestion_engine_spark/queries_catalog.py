@@ -16234,3 +16234,55 @@ def q_alpha_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return alpha_sample_weights(docs, "lang", "n_chars", alpha=0.5)
+
+
+@_q(
+    "self_bleu_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id AS d, toks[u.i + 1] || ' ' || toks[u.i + 2] AS gram
+      FROM t, UNNEST(range(GREATEST(len(toks) - 1, 0))) AS u(i)
+    ),
+    c AS (SELECT d, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY gram
+                                   ORDER BY cnt DESC, d ASC) AS rn
+      FROM c
+    ),
+    t2 AS (
+      SELECT gram,
+             MAX(CASE WHEN rn = 1 THEN d END) AS top_doc,
+             MAX(CASE WHEN rn = 1 THEN cnt END) AS top_cnt,
+             CAST(COALESCE(MAX(CASE WHEN rn = 2 THEN cnt END), 0) AS BIGINT)
+               AS second_cnt
+      FROM r WHERE rn <= 2 GROUP BY gram
+    ),
+    cl AS (
+      SELECT c.d, c.cnt,
+             LEAST(c.cnt, CASE WHEN c.d = t2.top_doc
+                               THEN t2.second_cnt ELSE t2.top_cnt END) AS clip
+      FROM c JOIN t2 USING (gram)
+    )
+    SELECT d AS doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(SUM(clip) AS BIGINT) AS clipped_sum,
+           CAST(SUM(clip) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS self_bleu_p
+    FROM cl GROUP BY d
+    """,
+)
+def q_self_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU diversity statistic (operators/corpus.py::self_bleu —
+    Zhu et al. 2018) over the document corpus, bigrams: the all-pairs
+    metric reformulated exactly via each gram's top-2 (doc, count)
+    rows — the leave-one-out reference max needs nothing else — so the
+    plan is four keyed shuffles instead of a doc² BLEU matrix. The
+    oracle replays tokenization, gram counts, the top-2 window, the
+    l-o-o clip, and the final precision relationally; everything
+    integer until the one closing division."""
+    from flight_data_ingestion_engine_spark.operators.corpus import self_bleu
+
+    return self_bleu(_t(spark, sf_dir, "documents"))

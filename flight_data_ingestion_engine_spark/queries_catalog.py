@@ -16320,3 +16320,36 @@ def q_audio_zcr_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
     media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
     return audio_zcr(media)
+
+
+@_q(
+    "iqr_outlier_docs",
+    """
+    WITH st AS (
+      SELECT lang,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q3
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           st.q1 - 1.5 * (st.q3 - st.q1) AS fence_lo,
+           st.q3 + 1.5 * (st.q3 - st.q1) AS fence_hi,
+           (CAST(d.n_chars AS DOUBLE) < st.q1 - 1.5 * (st.q3 - st.q1)
+            OR CAST(d.n_chars AS DOUBLE) > st.q3 + 1.5 * (st.q3 - st.q1))
+             AS is_outlier
+    FROM documents d JOIN st ON d.lang = st.lang
+    """,
+)
+def q_iqr_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fences outlier gate (operators/sketches.py::
+    iqr_outlier_gate) on document length per language: exact quartiles
+    (`F.percentile` ≡ quantile_cont bit-for-bit, the
+    `perplexity_buckets` precedent), dyadic k = 1.5, so fences and
+    verdicts are engine-exact. One k-group agg broadcast back onto the
+    scan."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        iqr_outlier_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return iqr_outlier_gate(docs, "n_chars", group_cols=["lang"])

@@ -1117,3 +1117,42 @@ def test_rank_sample_replay_merge_exact_under_duplicate_epoch(spark):
     ) == sorted(
         map(kq, rank_sample_quantiles(want, [0.5, 0.99], ["g"]).collect())
     )
+
+
+def test_iqr_outlier_gate_hand_values(spark):
+    """Tukey fences on a hand distribution: known quartiles, the
+    planted outlier flags, inliers don't; grouped vs global vs
+    precomputed-fences arms agree; fences= path plans zero exchanges."""
+    from flight_data_ingestion_engine_spark.operators.sketches import (
+        iqr_outlier_gate,
+    )
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    # values 1..11 plus outlier 100: q1=3.75, q3=9.25 (linear interp on
+    # the 12 sorted values), iqr=5.5 -> fences [-4.5, 17.5]
+    vals = list(range(1, 12)) + [100]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    out = {r.id: r for r in iqr_outlier_gate(df, "v").collect()}
+    assert out[11].is_outlier and out[11].v == 100
+    assert not any(out[i].is_outlier for i in range(11))
+    assert abs(out[0].fence_lo - (-4.5)) < 1e-12
+    assert abs(out[0].fence_hi - 17.5) < 1e-12
+
+    # grouped: each group gets its own fences
+    g = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", v) for v in [1000, 1001, 1002, 1003, 5000]],
+        "grp string, v long",
+    )
+    got = {
+        (r.grp, r.v): r.is_outlier
+        for r in iqr_outlier_gate(g, "v", group_cols=["grp"]).collect()
+    }
+    assert got[("a", 100)] and got[("b", 5000)]
+    assert not got[("b", 1000)] and not got[("a", 5)]
+
+    # steady-state fences= arm: same verdicts, zero exchanges
+    fixed = iqr_outlier_gate(df, "v", fences=(-4.5, 17.5))
+    assert count_exchanges(fixed) == 0
+    assert {r.id: r.is_outlier for r in fixed.collect()} == {
+        i: r.is_outlier for i, r in out.items()
+    }

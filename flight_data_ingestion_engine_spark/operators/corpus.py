@@ -2754,3 +2754,99 @@ def self_bleu(
             F.col("clipped_sum").cast("double") / F.col("n_grams").cast("double"),
         )
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    step: int = 25,
+    normalize: bool = True,
+) -> DataFrame:
+    """Heaps'-law fit over vocabulary growth — Zipf's companion corpus
+    diagnostic (Heaps 1978: distinct vocabulary grows as V(N) ≈ K·N^β,
+    β ≈ 0.4–0.6 for natural text; duplicated or templated corpora bend
+    β down, boilerplate-free diverse corpora push it up): OLS of
+    y = ln V on x = ln N over checkpoints of the corpus growth curve.
+
+    The curve is computed WITHOUT any doc-at-a-time scan: docs bucket
+    by ``id div step``; per bucket, the token count and the count of
+    terms whose FIRST occurrence (min doc id — exact, order-free)
+    falls in that bucket; one ordered window over the bucket spine
+    (corpus pre-reduced to n/step rows — the global-sort input is the
+    checkpoint table, never the corpus) yields cumulative N and V per
+    checkpoint. Same normalization and fold discipline as `zipf_fit`
+    (every OLS sum a bucket-ordered sequential fold), so β is
+    bit-identical cross-engine. Returns ONE row
+    (n_points, beta, log_k)."""
+    from pyspark.sql.window import Window
+
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    if step < 1:
+        raise ValueError("heaps_fit: step must be >= 1")
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(
+                F.split(
+                    text_normalize(F.col(text_col)) if normalize else F.col(text_col),
+                    " ",
+                )
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    bucket = F.expr(f"_d div {int(step)}")
+    tok_per_bucket = toks.groupBy(bucket.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    new_per_bucket = (
+        toks.groupBy("tok")
+        .agg(F.min("_d").alias("_fd"))
+        .groupBy(F.expr(f"_fd div {int(step)}").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    spine = tok_per_bucket.join(new_per_bucket, "b", "outer").select(
+        "b",
+        F.coalesce("nt", F.lit(0)).alias("nt"),
+        F.coalesce("nv", F.lit(0)).alias("nv"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = (
+        spine.withColumn("N", F.sum("nt").over(w))
+        .withColumn("V", F.sum("nv").over(w))
+        .where((F.col("N") > 0) & (F.col("V") > 0))
+        .select(
+            "b",
+            F.log(F.col("N").cast("double")).alias("x"),
+            F.log(F.col("V").cast("double")).alias("y"),
+        )
+        .withColumn("xy", F.col("x") * F.col("y"))
+        .withColumn("xx", F.col("x") * F.col("x"))
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("b", col))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[col],
+        )
+
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        fold("x").alias("_sx"),
+        fold("y").alias("_sy"),
+        fold("xy").alias("_sxy"),
+        fold("xx").alias("_sxx"),
+    )
+    nd = F.col("n_points").cast("double")
+    beta = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return (
+        sums.withColumn("beta", beta)
+        .withColumn("log_k", (F.col("_sy") - F.col("beta") * F.col("_sx")) / nd)
+        .select("n_points", "beta", "log_k")
+    )

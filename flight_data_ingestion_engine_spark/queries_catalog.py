@@ -16353,3 +16353,65 @@ def q_iqr_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return iqr_outlier_gate(docs, "n_chars", group_cols=["lang"])
+
+
+@_q(
+    "heaps_fit_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS d, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT d, tok FROM toks WHERE tok <> ''),
+    tb AS (
+      SELECT d // 25 AS b, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM tk GROUP BY d // 25
+    ),
+    nb AS (
+      SELECT fd // 25 AS b, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM (SELECT tok, MIN(d) AS fd FROM tk GROUP BY tok)
+      GROUP BY fd // 25
+    ),
+    spine AS (
+      SELECT COALESCE(tb.b, nb.b) AS b,
+             COALESCE(nt, 0) AS nt, COALESCE(nv, 0) AS nv
+      FROM tb FULL OUTER JOIN nb ON tb.b = nb.b
+    ),
+    pts AS (
+      SELECT b,
+             ln(CAST(SUM(nt) OVER w AS DOUBLE)) AS x,
+             ln(CAST(SUM(nv) OVER w AS DOUBLE)) AS y
+      FROM spine
+      WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+      QUALIFY SUM(nt) OVER w > 0 AND SUM(nv) OVER w > 0
+    ),
+    v2 AS (SELECT b, x, y, x * y AS xy, x * x AS xx FROM pts),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             list_reduce(list(x ORDER BY b), (a, c) -> a + c) AS sx,
+             list_reduce(list(y ORDER BY b), (a, c) -> a + c) AS sy,
+             list_reduce(list(xy ORDER BY b), (a, c) -> a + c) AS sxy,
+             list_reduce(list(xx ORDER BY b), (a, c) -> a + c) AS sxx
+      FROM v2
+    ),
+    sl AS (
+      SELECT n_points, sx, sy,
+             (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta
+      FROM s
+    )
+    SELECT n_points, beta,
+           (sy - beta * sx) / CAST(n_points AS DOUBLE) AS log_k
+    FROM sl
+    """,
+)
+def q_heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators/corpus.py::heaps_fit
+    — the companion diagnostic to `zipf_fit_terms`): cumulative tokens
+    vs cumulative distinct vocabulary at 25-doc checkpoints, first
+    occurrences by exact min-doc-id, OLS over bucket-ordered folds —
+    β bit-identical cross-engine. The global window's input is the
+    checkpoint spine (n/25 rows), never the corpus."""
+    from flight_data_ingestion_engine_spark.operators.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), step=25)

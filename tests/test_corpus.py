@@ -1035,3 +1035,50 @@ def test_self_bleu_leave_one_out_reference(spark):
     assert got[3].self_bleu_p == 1.0 and got[4].self_bleu_p == 1.0
     with _pt.raises(ValueError, match="n must"):
         self_bleu(df, n=0)
+
+
+def test_heaps_fit_reference_and_properties(spark):
+    """Heaps fit against an independent in-test OLS over the hand-walked
+    growth curve; a pure-repetition corpus fits beta ~ 0 while a
+    all-new-words corpus fits beta ~ 1; step validation."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import heaps_fit
+
+    # hand corpus: doc i (i in 0..9) contributes 5 tokens, some repeated
+    docs = [
+        (i, " ".join(f"w{(i * 5 + j) // 2}" for j in range(5))) for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = heaps_fit(df, step=2, normalize=False).collect()[0]
+
+    # independent reference: walk buckets of 2 docs, accumulate N and V
+    seen, pts = set(), []
+    n = 0
+    for b in range(5):
+        for i in (2 * b, 2 * b + 1):
+            toks = docs[i][1].split()
+            n += len(toks)
+            seen.update(toks)
+        pts.append((math.log(n), math.log(len(seen))))
+    k = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert got.n_points == k
+    assert abs(got.beta - beta) < 1e-9
+
+    # degenerate anchors
+    rep = spark.createDataFrame(
+        [(i, "same same same same") for i in range(20)], "doc_id long, text string"
+    )
+    assert heaps_fit(rep, step=4, normalize=False).collect()[0].beta < 0.05
+    new = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i}") for i in range(20)], "doc_id long, text string"
+    )
+    assert heaps_fit(new, step=4, normalize=False).collect()[0].beta > 0.95
+
+    with _pt.raises(ValueError, match="step"):
+        heaps_fit(df, step=0)

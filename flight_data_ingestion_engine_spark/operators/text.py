@@ -1330,3 +1330,53 @@ def import_edges(
     return imports.join(defs, "module").where(
         F.col("src_path") != F.col("dst_path")
     ).select("src_path", "dst_path", "module")
+
+
+# Homoglyph → Latin skeleton map: the high-frequency confusable subset of
+# Unicode TR39's confusables.txt (Cyrillic and Greek letters visually
+# identical to Latin in common fonts, plus Latin-lookalike variants) —
+# the characters spam/SEO text actually uses to dodge word filters and
+# exact dedup. One-to-one char map so both engines' translate() apply it
+# identically; extend by appending pairs (order is irrelevant).
+CONFUSABLES: list[tuple[str, str]] = [
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"), ("с", "c"),
+    ("х", "x"), ("у", "y"), ("і", "i"), ("ѕ", "s"), ("ј", "j"),
+    ("А", "A"), ("В", "B"), ("Е", "E"), ("К", "K"), ("М", "M"),
+    ("Н", "H"), ("О", "O"), ("Р", "P"), ("С", "C"), ("Т", "T"),
+    ("Х", "X"), ("α", "a"), ("ο", "o"), ("ν", "v"), ("τ", "t"),
+]
+
+
+def confusable_skeleton(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_skeleton",
+) -> DataFrame:
+    """Unicode-confusable skeleton (TR39 §4 skeleton algorithm,
+    restricted to the curated one-to-one `CONFUSABLES` map): fold
+    homoglyphs onto their Latin base so 'pаypal' (Cyrillic а) and
+    'paypal' collide — the normalization RefinedWeb-class spam
+    filtering and word-list gates need BEFORE matching, since a single
+    substituted glyph defeats both exact dedup and `wordlist_filter`.
+
+    Adds `text_skeleton` (one translate() — a char-for-char map,
+    identical semantics on both engines), `has_confusable` (the text
+    changed), and `mixed_script` (a mapped non-Latin glyph occurs next
+    to ASCII letters — TR39's single-script spoof signal; an entirely
+    Cyrillic text is NOT flagged by a Cyrillic а). Zero shuffle,
+    scan-speed. Compose with `exact_dedup` on the skeleton or feed it
+    to `wordlist_filter`."""
+    src = "".join(c for c, _ in CONFUSABLES)
+    dst = "".join(t for _, t in CONFUSABLES)
+    text = F.col(text_col)
+    skel = F.translate(text, src, dst)
+    has = skel != text
+    # mixed script: at least one mapped glyph AND at least one ASCII letter
+    return (
+        df.withColumn(out_col, skel)
+        .withColumn("has_confusable", has)
+        .withColumn(
+            "mixed_script",
+            has & text.rlike("[A-Za-z]"),
+        )
+    )

@@ -16415,3 +16415,55 @@ def q_heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.corpus import heaps_fit
 
     return heaps_fit(_t(spark, sf_dir, "documents"), step=25)
+
+
+def _confusables_sql() -> str:
+    """Oracle for the confusable skeleton: the SAME `CONFUSABLES` map
+    the operator uses, inlined as translate() arguments; spoofed docs
+    planted by the inverse map on a residue class."""
+    from flight_data_ingestion_engine_spark.operators.text import CONFUSABLES
+
+    src = "".join(c for c, _ in CONFUSABLES)
+    dst = "".join(t for _, t in CONFUSABLES)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN translate(COALESCE(text, ''), 'aeopc', 'аеорс')
+                  ELSE COALESCE(text, '') END AS text
+      FROM documents
+    )
+    SELECT doc_id, text,
+           translate(text, '{src}', '{dst}') AS text_skeleton,
+           translate(text, '{src}', '{dst}') <> text AS has_confusable,
+           (translate(text, '{src}', '{dst}') <> text
+            AND regexp_matches(text, '[A-Za-z]')) AS mixed_script
+    FROM d
+    """
+
+
+@_q("confusable_skeleton_docs", _confusables_sql())
+def q_confusable_skeleton_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-confusable skeleton (operators/text.py::
+    confusable_skeleton — TR39 §4 restricted to the curated homoglyph
+    map): docs on the %7 residue get their a/e/o/p/c spoofed to
+    Cyrillic by the INVERSE map, the operator folds them back, and the
+    oracle replays both translate() chains with the same inlined map —
+    the skeleton equals the original text only where the plant touched
+    mapped glyphs, has_confusable marks exactly the planted docs, and
+    mixed_script holds because the corpus is Latin-script."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        confusable_skeleton,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 7 == 0,
+            F.translate(F.coalesce(F.col("text"), F.lit("")), "aeopc", "аеорс"),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return confusable_skeleton(docs)

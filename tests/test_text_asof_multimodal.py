@@ -1578,3 +1578,30 @@ def test_audio_zcr_tone_frequency(spark):
     media.unpersist()
     # a frame of tone k in 1..8 crosses at least twice and at most 15x
     assert all(2 <= v <= 15 for v in got.values())
+
+
+def test_confusable_skeleton_semantics(spark):
+    """Confusables: the classic paypal spoof collapses onto its Latin
+    skeleton; pure-Cyrillic text maps but is NOT mixed-script; clean
+    ASCII is untouched; composition with exact matching works."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        confusable_skeleton,
+    )
+
+    rows = [
+        (0, "pаypal login"),          # Cyrillic а inside Latin
+        (1, "paypal login"),
+        (2, "привет мир"),  # привет мир - pure Cyrillic
+        (3, "plain ascii only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in confusable_skeleton(df).collect()}
+
+    assert out[0].text_skeleton == "paypal login"
+    assert out[0].has_confusable and out[0].mixed_script
+    assert not out[1].has_confusable and out[1].text_skeleton == "paypal login"
+    # привет contains mapped е/в? е maps; but no ASCII letters -> not mixed
+    assert out[2].has_confusable and not out[2].mixed_script
+    assert not out[3].has_confusable and not out[3].mixed_script
+    # spoofed and clean rows now collide on the skeleton
+    assert out[0].text_skeleton == out[1].text_skeleton

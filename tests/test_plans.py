@@ -1191,3 +1191,31 @@ def test_wave6_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave7_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the seventh-wave families. The skeleton,
+    ZCR, and import extraction ride the scan (the import join
+    broadcasts its path+module projection); the video path spends one
+    per-clip window which the keyframe rank REUSES (compatible
+    partitioning — measured, not hoped); alpha/self-BLEU/Heaps spend
+    only their keyed aggs and bounded fold windows."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "video_shot_boundaries": 1,      # one per-clip window
+        "video_keyframes": 2,            # ideally reuses the clip exchange (measured 1)
+        "import_edges_files": 1,         # module join broadcasts at test SFs (measured 0)
+        "repo_file_order": 2,            # checkpointed rounds + final order window
+        "alpha_sample_langs": 4,         # k-row agg + two broadcast folds
+        "self_bleu_docs": 5,             # gram counts, top-2 window, clip join, doc agg
+        "audio_zcr_frames": 0,           # decode + count in one Arrow stage
+        "iqr_outlier_docs": 1,           # quartile agg broadcast back
+        "heaps_fit_docs": 4,             # two bucket aggs + spine window + fold
+        "confusable_skeleton_docs": 0,   # translate projection
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

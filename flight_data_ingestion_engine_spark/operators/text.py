@@ -1380,3 +1380,57 @@ def confusable_skeleton(
             has & text.rlike("[A-Za-z]"),
         )
     )
+
+
+def markdown_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Markdown structure signals — the format-awareness pass web-scale
+    curation applies to README/forum/docs text (FineWeb and Dolma both
+    carry markdown through; code-heavy vs prose-heavy routing, and the
+    'is this a link farm' judgement, need these counts): per doc,
+
+    - `n_headers`     — ATX heading lines (``^#{1,6} ``),
+    - `n_code_fences` — fence DELIMITER lines (``` or ~~~ at line
+      start; a well-formed doc has an even count),
+    - `n_links`       — inline ``[text](url)`` links,
+    - `n_list_items`  — bullet/numbered list lines,
+    - `link_density`  — linked chars / total chars (the jusText-style
+      boilerplate signal at doc grain),
+    - `is_markdown`   — any structural marker present.
+
+    Line-anchored Java ∩ RE2 patterns (the `secrets_detect`
+    discipline), one zero-shuffle projection."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    headers = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^#{1,6} "), 0))
+    fences = F.size(F.regexp_extract_all(text, F.lit(r"(?m)^(?:```|~~~)"), 0))
+    link_re = r"\[[^\]\n]*\]\([^)\n]*\)"
+    links = F.size(F.regexp_extract_all(text, F.lit(link_re), 0))
+    items = F.size(
+        F.regexp_extract_all(text, F.lit(r"(?m)^ {0,3}(?:[-*+]|[0-9]+\.) "), 0)
+    )
+    linked_chars = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(link_re), 0), lambda m: F.length(m)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.withColumn("n_headers", headers)
+        .withColumn("n_code_fences", fences)
+        .withColumn("n_links", links)
+        .withColumn("n_list_items", items)
+        .withColumn(
+            "link_density",
+            F.when(
+                F.length(text) > 0,
+                linked_chars.cast("double") / F.length(text).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "is_markdown",
+            (headers > 0) | (fences > 0) | (links > 0) | (items > 0),
+        )
+    )

@@ -16467,3 +16467,73 @@ def q_confusable_skeleton_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return confusable_skeleton(docs)
+
+
+@_q(
+    "markdown_stats_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || '# Title' || chr(10) || '## Sub' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || '```' || chr(10) || 'x = 1' || chr(10) || '```'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' see [docs](http://example.com/d' || CAST(doc_id AS VARCHAR) || ')'
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN chr(10) || '- first' || chr(10) || '- second' || chr(10) || '1. third'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '(?m)^#{1,6} ')) AS INT) AS n_headers,
+           CAST(len(regexp_extract_all(text, '(?m)^(?:```|~~~)')) AS INT) AS n_code_fences,
+           CAST(len(regexp_extract_all(text, '\[[^\]\n]*\]\([^)\n]*\)')) AS INT) AS n_links,
+           CAST(len(regexp_extract_all(text, '(?m)^ {0,3}(?:[-*+]|[0-9]+\.) ')) AS INT) AS n_list_items,
+           CASE WHEN length(text) > 0
+                THEN CAST(COALESCE(list_sum(list_transform(
+                       regexp_extract_all(text, '\[[^\]\n]*\]\([^)\n]*\)'),
+                       x -> length(x))), 0) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END AS link_density,
+           (len(regexp_extract_all(text, '(?m)^#{1,6} ')) > 0
+            OR len(regexp_extract_all(text, '(?m)^(?:```|~~~)')) > 0
+            OR len(regexp_extract_all(text, '\[[^\]\n]*\]\([^)\n]*\)')) > 0
+            OR len(regexp_extract_all(text, '(?m)^ {0,3}(?:[-*+]|[0-9]+\.) ')) > 0)
+             AS is_markdown
+    FROM d
+    """,
+)
+def q_markdown_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure signals (operators/text.py::markdown_stats)
+    over documents with planted structure on overlapping residues
+    (headers %4, fences %5, inline links %3, list items %6 — doc 0 and
+    doc 60 carry all four): counts, the jusText-style link density at
+    doc grain, and the is_markdown verdict all replay in RE2 with the
+    same line-anchored patterns."""
+    from flight_data_ingestion_engine_spark.operators.text import markdown_stats
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 4 == 0, F.lit("\n# Title\n## Sub")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\n```\nx = 1\n```")).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" see [docs](http://example.com/d"),
+                    d.cast("string"),
+                    F.lit(")"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 6 == 0, F.lit("\n- first\n- second\n1. third")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return markdown_stats(docs)

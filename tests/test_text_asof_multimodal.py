@@ -1605,3 +1605,31 @@ def test_confusable_skeleton_semantics(spark):
     assert not out[3].has_confusable and not out[3].mixed_script
     # spoofed and clean rows now collide on the skeleton
     assert out[0].text_skeleton == out[1].text_skeleton
+
+
+def test_markdown_stats_rules(spark):
+    """Markdown signals on hand cases: each marker counts once per
+    occurrence, 7-hash lines are NOT headers, indented fences don't
+    count (line-anchored), link density is linked-chars/total, plain
+    prose is not markdown."""
+    from flight_data_ingestion_engine_spark.operators.text import markdown_stats
+
+    rows = [
+        (0, "# h1\n## h2\n####### not a header\nbody"),
+        (1, "```\ncode\n```\n  ```indented fence does not count"),
+        (2, "a [x](u) b [y](v) c"),
+        (3, "- a\n* b\n+ c\n12. d\nnot - a list"),
+        (4, "plain prose with no structure at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in markdown_stats(df).collect()}
+
+    assert out[0].n_headers == 2 and out[0].is_markdown
+    assert out[1].n_code_fences == 2
+    assert out[2].n_links == 2
+    # "[x](u)" is 6 chars, "[y](v)" 6 -> 12 / len
+    assert out[2].link_density == 12 / len(rows[2][1])
+    assert out[3].n_list_items == 4
+    assert not out[4].is_markdown and out[4].link_density == 0.0
+    assert not out[5].is_markdown and out[5].link_density == 0.0

@@ -358,3 +358,58 @@ def _html_extract_parser(
             )
 
     return narrow.mapInPandas(gen, schema=schema)
+
+
+def meta_robots_flags(
+    df: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """Page-level robots directives — the in-document half of crawl
+    compliance (the `robots.py` family is the host half): a
+    ``<meta name="robots" content="…">`` tag carrying ``noindex`` /
+    ``nofollow`` / ``noarchive``, which the Common Crawl-derived
+    pipelines must honor per page the same way robots.txt is honored
+    per host. Matching is case-insensitive on tag, attribute, and
+    directive (the spec's rule), accepts BOTH attribute orders
+    (name-then-content and content-then-name — two anchored patterns,
+    contents unioned), and only reads directives inside a robots
+    tag's content value — a 'noindex' in body prose is not a
+    directive.
+
+    Multiple robots meta tags UNION their directives (the spec's
+    most-restrictive rule). Adds `meta_noindex`, `meta_nofollow`,
+    `meta_noarchive`, and `indexable` (= NOT noindex; the gate
+    curation actually applies). One zero-shuffle regex projection
+    (Java ∩ RE2: inline (?is), bounded classes)."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    contents = F.concat(
+        F.regexp_extract_all(
+            html,
+            F.lit(
+                r'(?is)<meta\b[^>]*\bname\s*=\s*["\']?robots["\']?[^>]*'
+                r'\bcontent\s*=\s*["\']([^"\'>]*)'
+            ),
+            1,
+        ),
+        F.regexp_extract_all(
+            html,
+            F.lit(
+                r'(?is)<meta\b[^>]*\bcontent\s*=\s*["\']([^"\'>]*)["\']?'
+                r'[^>]*\bname\s*=\s*["\']?robots["\']?'
+            ),
+            1,
+        ),
+    )
+
+    def has(directive: str):
+        return F.exists(
+            contents,
+            lambda c: F.lower(c).rlike(rf"(?:^|[,\s]){directive}(?:$|[,\s])"),
+        )
+
+    return (
+        df.withColumn("meta_noindex", has("noindex"))
+        .withColumn("meta_nofollow", has("nofollow"))
+        .withColumn("meta_noarchive", has("noarchive"))
+        .withColumn("indexable", ~F.col("meta_noindex"))
+    )

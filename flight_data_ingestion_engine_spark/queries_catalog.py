@@ -16537,3 +16537,79 @@ def q_markdown_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return markdown_stats(docs)
+
+
+@_q(
+    "meta_robots_pages",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             '<html><head>'
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<meta name="robots" content="noindex, nofollow">'
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN '<META NAME=''ROBOTS'' CONTENT=''NOARCHIVE''>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN '<meta content="nofollow" name="robots">'
+                     ELSE '' END
+             || '</head><body>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN 'prose mentioning noindex is not a directive '
+                     ELSE '' END
+             || COALESCE(text, '') || '</body></html>' AS html
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, html,
+             list_concat(
+               regexp_extract_all(html,
+                 '(?is)<meta\b[^>]*\bname\s*=\s*["'']?robots["'']?[^>]*\bcontent\s*=\s*["'']([^"''>]*)', 1),
+               regexp_extract_all(html,
+                 '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']([^"''>]*)["'']?[^>]*\bname\s*=\s*["'']?robots["'']?', 1)
+             ) AS cs
+      FROM d
+    )
+    SELECT doc_id, html,
+           len(list_filter(cs, x -> regexp_matches(lower(x), '(?:^|[,\s])noindex(?:$|[,\s])'))) > 0 AS meta_noindex,
+           len(list_filter(cs, x -> regexp_matches(lower(x), '(?:^|[,\s])nofollow(?:$|[,\s])'))) > 0 AS meta_nofollow,
+           len(list_filter(cs, x -> regexp_matches(lower(x), '(?:^|[,\s])noarchive(?:$|[,\s])'))) > 0 AS meta_noarchive,
+           NOT (len(list_filter(cs, x -> regexp_matches(lower(x), '(?:^|[,\s])noindex(?:$|[,\s])'))) > 0) AS indexable
+    FROM c
+    """,
+)
+def q_meta_robots_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (operators/html.py::
+    meta_robots_flags) over synthesized pages: lowercase double-quoted
+    noindex,nofollow tags (%4), UPPERCASE single-quoted NOARCHIVE
+    (%6), attribute-order-swapped nofollow (%7), and a body-prose
+    'noindex' that must NOT flag (%5). Both extraction patterns and
+    the directive word-boundary checks replay in RE2; doc 0 carries
+    three tags at once and unions their directives."""
+    from flight_data_ingestion_engine_spark.operators.html import meta_robots_flags
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"),
+            F.when(
+                d % 4 == 0,
+                F.lit('<meta name="robots" content="noindex, nofollow">'),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 6 == 0, F.lit("<META NAME='ROBOTS' CONTENT='NOARCHIVE'>")
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0, F.lit('<meta content="nofollow" name="robots">')
+            ).otherwise(F.lit("")),
+            F.lit("</head><body>"),
+            F.when(
+                d % 5 == 0, F.lit("prose mentioning noindex is not a directive ")
+            ).otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return meta_robots_flags(docs)

@@ -236,3 +236,32 @@ def test_fineweb_pipeline_stage_gating(spark, sf_dir):
     # some spam docs are dropped ONLY by the word list — the stage earns
     # its place in the chain
     assert any(r.c4_keep and r.gopher_keep for r in spam)
+
+
+def test_meta_robots_flags_cases(spark):
+    """Meta robots: both attribute orders, case-insensitive everything,
+    multi-tag union, word-boundary directives ('noindexing' is not
+    noindex), prose mentions don't flag, NULL html."""
+    from flight_data_ingestion_engine_spark.operators.html import meta_robots_flags
+
+    rows = [
+        (0, '<meta name="robots" content="noindex">'),
+        (1, '<meta content="nofollow, noarchive" name="robots">'),
+        (2, "<META NAME='ROBOTS' CONTENT='NOINDEX,NOFOLLOW'>"),
+        (3, '<meta name="robots" content="noindexing">'),   # not a directive
+        (4, "body says noindex but there is no meta tag"),
+        (5, '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'),
+        (6, None),
+        (7, '<meta name="description" content="noindex here too">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r for r in meta_robots_flags(df).collect()}
+
+    assert out[0].meta_noindex and not out[0].meta_nofollow and not out[0].indexable
+    assert out[1].meta_nofollow and out[1].meta_noarchive and out[1].indexable
+    assert out[2].meta_noindex and out[2].meta_nofollow
+    assert not out[3].meta_noindex and out[3].indexable
+    assert not out[4].meta_noindex
+    assert out[5].meta_noindex and out[5].meta_nofollow  # union across tags
+    assert not out[6].meta_noindex and out[6].indexable
+    assert not out[7].meta_noindex  # name != robots

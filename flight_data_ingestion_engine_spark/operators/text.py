@@ -1434,3 +1434,58 @@ def markdown_stats(
             (headers > 0) | (fences > 0) | (links > 0) | (items > 0),
         )
     )
+
+
+# The high-frequency UTF-8-read-as-Latin-1/Windows-1252 mojibake digraphs
+# (ftfy's bread-and-butter cases): each entry is (broken, repaired),
+# written in escapes so no raw control/invisible characters live in the
+# source. Ordered longest-first so the 3-char punctuation sequences
+# repair before their 2-char prefixes could half-fix them.
+MOJIBAKE: list[tuple[str, str]] = [
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm  -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # -> left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # -> right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # -> em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # -> ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # A-tilde copyright -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # -> e-grave
+    ("\u00c3\u00a0", "\u00e0"),  # -> a-grave
+    ("\u00c3\u00a4", "\u00e4"),  # -> a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u-umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # -> n-tilde
+    ("\u00c3\u00a7", "\u00e7"),  # -> c-cedilla
+    ("\u00c3\u00b3", "\u00f3"),  # -> o-acute
+    ("\u00c3\u00ad", "\u00ed"),  # -> i-acute
+    ("\u00c2\u00a0", " "),        # A-circ nbsp -> plain space
+    ("\u00c2\u00b0", "\u00b0"),  # -> degree
+]
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_fixed",
+) -> DataFrame:
+    """Mojibake repair — the ftfy pass (Speer's ftfy, the standard tool)
+    every web-scale text pipeline runs against double-encoded UTF-8
+    (bytes written as UTF-8, read back as Latin-1/Windows-1252: e-acute
+    becomes the A-tilde+copyright digraph, curly quotes become the
+    3-char a-circ+euro runs): repair the curated high-frequency table
+    `MOJIBAKE` with a fixed longest-first replace chain — 3-char
+    punctuation sequences repair before their 2-char prefixes could
+    half-fix them. A full codec round-trip (re-encode Latin-1,
+    re-decode UTF-8) is deliberately NOT used: it is not expressible
+    identically on both engines, and on already-clean text containing
+    real A-tilde words it CORRUPTS (ftfy itself gates on heuristics);
+    the table form is conservative — it only touches sequences that
+    are overwhelmingly mojibake. Adds `text_fixed` and `had_mojibake`.
+    Literal replace()s, zero shuffle, scan-speed."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    fixed = text
+    for broken, repaired in MOJIBAKE:
+        fixed = F.replace(fixed, F.lit(broken), F.lit(repaired))
+    return df.withColumn(out_col, fixed).withColumn(
+        "had_mojibake", F.col(out_col) != text
+    )

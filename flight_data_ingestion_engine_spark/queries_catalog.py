@@ -16613,3 +16613,65 @@ def q_meta_robots_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return meta_robots_flags(docs)
+
+
+
+def _mojibake_sql() -> str:
+    """Oracle for mojibake repair: the SAME `MOJIBAKE` table the
+    operator uses, unrolled into a nested replace() chain in the same
+    longest-first order; broken snippets planted from the table's own
+    broken forms."""
+    from flight_data_ingestion_engine_spark.operators.text import MOJIBAKE
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = "text"
+    for broken, repaired in MOJIBAKE:
+        expr = f"replace({expr}, {q(broken)}, {q(repaired)})"
+    caf = MOJIBAKE[6][0]      # broken e-acute
+    apo = MOJIBAKE[0][0]      # broken right single quote
+    deg = MOJIBAKE[17][0]     # broken degree
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 3 = 0 THEN ' caf{caf}' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' don{apo}t' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' 25{deg} out' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, text, {expr} AS text_fixed,
+           {expr} <> text AS had_mojibake
+    FROM d
+    """
+
+
+@_q("fix_mojibake_docs", _mojibake_sql())
+def q_fix_mojibake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/text.py::fix_mojibake — the ftfy
+    pass) over documents with double-encoding damage planted from the
+    repair table's own broken forms (cafe with broken e-acute %3, a
+    broken curly apostrophe %5, a broken degree sign %7): the oracle
+    unrolls the SAME table into a replace chain in the same
+    longest-first order, so order bugs and partial fixes mismatch."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        MOJIBAKE,
+        fix_mojibake,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 3 == 0, F.lit(" caf" + MOJIBAKE[6][0])).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" don" + MOJIBAKE[0][0] + "t")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 7 == 0, F.lit(" 25" + MOJIBAKE[17][0] + " out")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return fix_mojibake(docs)

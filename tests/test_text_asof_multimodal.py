@@ -1633,3 +1633,50 @@ def test_markdown_stats_rules(spark):
     assert out[3].n_list_items == 4
     assert not out[4].is_markdown and out[4].link_density == 0.0
     assert not out[5].is_markdown and out[5].link_density == 0.0
+
+
+
+def test_fix_mojibake_table_and_order(spark):
+    """Mojibake repair: every table entry round-trips from a genuine
+    double-encode (encode utf-8, misread as cp1252 in-test — with the
+    real-world fallback that passes cp1252's five unmapped bytes
+    through as C1 controls, which is what decoders actually emit), the
+    3-char punctuation runs repair whole (order matters), clean text
+    with a real A-tilde word is untouched."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        MOJIBAKE,
+        fix_mojibake,
+    )
+
+    def misread(b: bytes) -> str:
+        out = []
+        for byte in b:
+            try:
+                out.append(bytes([byte]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(byte))
+        return "".join(out)
+
+    # genuine double-encodes computed independently in-test
+    originals = ["\u2019", "\u201c", "\u2013", "\u00e9", "\u00f1", "\u00fc"]
+    rows = []
+    for i, ch in enumerate(originals):
+        broken = misread(ch.encode("utf-8"))
+        rows.append((i, f"x {broken} y", f"x {ch} y"))
+    # clean text containing a legitimate A-tilde word must NOT change
+    rows.append((97, "S\u00e3o Paulo", "S\u00e3o Paulo"))
+    rows.append((98, "plain ascii", "plain ascii"))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    for i, _, want in rows:
+        assert out[i].text_fixed == want, (i, out[i].text_fixed, want)
+    assert out[0].had_mojibake and not out[97].had_mojibake
+    assert not out[98].had_mojibake
+
+    # table sanity: every broken form IS the cp1252 misread of its repair
+    for broken, repaired in MOJIBAKE:
+        if repaired == " ":
+            continue  # nbsp normalized to plain space on purpose
+        assert misread(repaired.encode("utf-8")) == broken

@@ -100,6 +100,10 @@ ABS_BUDGET_US = {
     # after the 1024-block fix put live candidates back in the big run
     "secrets": 30.0,
     "sft_lint": 30.0,
+    # seventh pass: self_bleu measured 198.3 us/row big (rel 0.94 —
+    # linear; ~79 grams/doc through counts, top-2 window, clip join) —
+    # ~4x like the rest
+    "self_bleu": 800.0,
     "audio_fp": 1300.0,
     "rouge_l": 800.0,
     "kneser_ney": 1000.0,
@@ -564,6 +568,16 @@ def _ops(spark):
         ).collect()
         return n
 
+    def self_bleu_op(n):
+        # r10 seventh pass: the leave-one-out top-2 reformulation — the
+        # gram table is corpus-sized but never paired; rate per doc
+        from flight_data_ingestion_engine_spark.operators.corpus import self_bleu
+
+        self_bleu(synth_docs(spark, n), id_col="id").agg(
+            F.sum("clipped_sum"), F.sum("n_grams")
+        ).collect()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -593,6 +607,7 @@ def _ops(spark):
         "kneser_ney": kneser_ney_op,
         "secrets": secrets_op,
         "sft_lint": sft_lint_op,
+        "self_bleu": self_bleu_op,
     }
 
 

@@ -1212,6 +1212,49 @@ def main() -> None:
         assert _exchanges(nb) == 0
         assert nb.count() == n_docs
 
+    with stage(f"self_bleu_{n_docs}"):
+        # r10 seventh pass: leave-one-out top-2 — same exchange count at
+        # any volume. A WIDE vocab (50k hashed tokens) keeps unrelated
+        # docs' bigrams distinct, so ~only the 1% planted exact-dup
+        # pairs (both members) land at 1.0 — the 500-word corpus above
+        # saturates every bigram and p=1.0 stops discriminating.
+        from flight_data_ingestion_engine_spark.operators.corpus import self_bleu
+
+        wide = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64(_dup_content, i), 50_000).cast("string"),
+                ),
+            ),
+        )
+        wdocs = spark.range(n_docs).select("id", wide.alias("text"))
+        sb_b = self_bleu(wdocs, id_col="id")
+        sb_s = self_bleu(wdocs.where(F.col("id") < max(n_docs // 50, 500)), id_col="id")
+        assert _exchanges(sb_b) == _exchanges(sb_s)
+        n_dup = sb_b.where(F.col("self_bleu_p") == 1.0).count()
+        lo = (n_docs // 100 - 5) * 2
+        assert lo <= n_dup <= n_docs // 10, (n_dup, lo)
+
+    with stage("video_shots_2k"):
+        # r10 seventh pass: 200 clips x 10 frames through the real codec;
+        # one clip window for the whole detector+keyframe path
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_video_frames,
+            frame_histograms,
+            keyframes,
+            shot_boundaries,
+        )
+
+        clips = spark.range(200).select(F.col("id").alias("clip_id"))
+        shots = shot_boundaries(frame_histograms(attach_video_frames(clips)))
+        kf = keyframes(shots)
+        assert shots.count() == 2000
+        # every clip yields at least one shot and every shot one keyframe
+        assert kf.groupBy("clip_id").count().where(F.col("count") < 1).count() == 0
+
     with stage("sixth_wave_gates"):
         # r10 sixth pass: secrets and conversation lint ride the scan
         # with ZERO exchanges at full volume and full rows come back

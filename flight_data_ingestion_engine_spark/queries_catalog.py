@@ -16675,3 +16675,57 @@ def q_fix_mojibake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return fix_mojibake(docs)
+
+
+@_q(
+    "webdataset_roundtrip",
+    """
+    WITH s AS (
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS key,
+             COALESCE(text, '') AS txt,
+             '{"id":' || CAST(doc_id AS VARCHAR) || '}' AS js
+      FROM documents
+    )
+    SELECT key, ext, CAST(octet_length(encode(content_str)) AS BIGINT) AS n_bytes,
+           content_str
+    FROM (
+      SELECT key, 'txt' AS ext, txt AS content_str FROM s
+      UNION ALL
+      SELECT key, 'json' AS ext, js AS content_str FROM s
+    )
+    """,
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard sink + source roundtrip (sources/
+    webdataset.py — the LAION/OpenCLIP multimodal shard format): each
+    doc becomes a two-entry sample (.txt payload + .json sidecar),
+    written as byte-deterministic tars (sorted entries, zeroed
+    metadata) under hash-mod shard assignment, read back through the
+    binaryFile + un-tar Arrow stage. The oracle states every key,
+    extension, byte length, and decoded payload closed-form from the
+    construction — a writer or reader corruption (truncation, wrong
+    split of key vs ext, entry loss) mismatches."""
+    from flight_data_ingestion_engine_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    out_dir = _qtmp("wds")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("key"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("txt_b"),
+        F.encode(
+            F.concat(F.lit('{"id":'), F.col("doc_id").cast("string"), F.lit("}")),
+            "UTF-8",
+        ).alias("js_b"),
+    )
+    write_webdataset(
+        docs, out_dir, "key", {"txt_b": "txt", "js_b": "json"}, n_shards=8
+    ).collect()
+    back = read_webdataset(spark, out_dir)
+    return back.select(
+        "key",
+        "ext",
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+        F.decode("content", "UTF-8").alias("content_str"),
+    )

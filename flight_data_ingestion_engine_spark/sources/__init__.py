@@ -7,6 +7,10 @@ from flight_data_ingestion_engine_spark.sources.readers import (
     read_table_partition,
     ingest_json,
 )
+from flight_data_ingestion_engine_spark.sources.webdataset import (
+    read_webdataset,
+    write_webdataset,
+)
 from flight_data_ingestion_engine_spark.sources.sinks import (
     compact_path,
     materialize,
@@ -22,6 +26,8 @@ __all__ = [
     "read_parquet",
     "read_table_partition",
     "ingest_json",
+    "read_webdataset",
+    "write_webdataset",
     "write_partitioned_table",
     "write_partitioned_path",
     "write_bucketed_table",

@@ -322,3 +322,52 @@ def test_notebook_cells_parse_assembly_and_quarantine(spark):
         .script
     )
     assert script == "import os\nprint('hi \"there\"')\n\n\ndone()"
+
+
+def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    """WebDataset sink/source: exact byte roundtrip incl. binary
+    payloads with NULs; dotted keys split on the LAST dot; NULL column
+    skips its entry; rewriting produces byte-identical tars; binary
+    column and extension validation."""
+    import glob
+    import hashlib
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    rows = [
+        ("a.b.01", bytearray(b"\x00\x01binary\xff"), bytearray(b'{"k":1}')),
+        ("plain", bytearray(b"text"), None),
+    ]
+    df = spark.createDataFrame(rows, "key string, img binary, js binary")
+    d = str(tmp_path / "wds")
+    m = write_webdataset(df, d, "key", {"img": "png", "js": "json"}, n_shards=2)
+    assert m.agg(F.sum("n_samples")).first()[0] == 2
+
+    back = {
+        (r.key, r.ext): bytes(r.content)
+        for r in read_webdataset(spark, d).collect()
+    }
+    assert back[("a.b.01", "png")] == b"\x00\x01binary\xff"
+    assert back[("a.b.01", "json")] == b'{"k":1}'
+    assert back[("plain", "png")] == b"text"
+    assert ("plain", "json") not in back  # NULL skipped
+
+    h1 = {p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in glob.glob(d + "/*.tar")}
+    write_webdataset(df, d, "key", {"img": "png", "js": "json"}, n_shards=2).collect()
+    h2 = {p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in glob.glob(d + "/*.tar")}
+    assert h1 == h2 and len(h1) >= 1
+
+    with _pt.raises(ValueError, match="binary"):
+        write_webdataset(
+            df.withColumn("s", F.lit("x")), d, "key", {"s": "txt"}
+        )
+    with _pt.raises(ValueError, match="extension"):
+        write_webdataset(df, d, "key", {"img": "a.b"})
+    with _pt.raises(ValueError, match="non-empty"):
+        write_webdataset(df, d, "key", {})

@@ -1219,3 +1219,23 @@ def test_wave7_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave8_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the eighth-wave families: all four ride the
+    scan with ZERO exchanges — markdown/meta-robots/mojibake are regex
+    or replace projections, and the WebDataset roundtrip's read side
+    is a binaryFile scan + Arrow un-tar (the write side's shard
+    groupBy happens inside the query body before this plan)."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    for name in [
+        "markdown_stats_docs",
+        "meta_robots_pages",
+        "fix_mojibake_docs",
+        "webdataset_roundtrip",
+    ]:
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got == 0, f"{name}: {got} exchanges (expected 0)"

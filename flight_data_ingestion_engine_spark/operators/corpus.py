@@ -2850,3 +2850,121 @@ def heaps_fit(
         .withColumn("log_k", (F.col("_sy") - F.col("beta") * F.col("_sx")) / nd)
         .select("n_points", "beta", "log_k")
     )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass dataset-card statistics — the summary table every
+    public dataset release ships (HuggingFace dataset cards, Dolma's
+    and FineWeb's reports): corpus size, per-dimension composition
+    (count + share per language/source/…), length quantiles, token
+    totals, and the exact-duplicate rate, as ONE tidy
+    (section, key, value) frame ready to publish or diff between
+    snapshot versions.
+
+    Sections: ``total`` (docs, tokens, chars), ``<dim>`` (share per
+    value) and ``<dim>_n`` (count per value) for each of `dim_cols`,
+    ``length_chars`` (exact p25/p50/p75/p95 — `F.percentile` ≡
+    quantile_cont), ``dup`` (md5-exact duplicate docs and rate).
+    Everything is an exact count, an exact quantile, or one IEEE
+    division — engine-exact end to end. Plan: one keyed agg per
+    dimension + three scalar aggs, unioned; shares broadcast their
+    1-row totals. Whitespace tokens."""
+    dim_cols = dim_cols if dim_cols is not None else []
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        text.alias("_t"),
+        n_tok.cast("bigint").alias("_ntok"),
+        F.length(text).cast("bigint").alias("_nchr"),
+        F.md5(text).alias("_h"),
+        *[F.col(c) for c in dim_cols],
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs"),
+        F.sum("_ntok").cast("bigint").alias("_toks"),
+        F.sum("_nchr").cast("bigint").alias("_chrs"),
+    )
+    parts: list[DataFrame] = [
+        tot.select(
+            F.lit("total").alias("section"),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("docs"), F.lit("tokens"), F.lit("chars")),
+                    F.array(
+                        F.col("_docs").cast("double"),
+                        F.col("_toks").cast("double"),
+                        F.col("_chrs").cast("double"),
+                    ),
+                )
+            ).alias("key", "value"),
+        )
+    ]
+    for c in dim_cols:
+        per = base.groupBy(F.col(c).cast("string").alias("key")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        parts.append(
+            per.crossJoin(F.broadcast(tot.select("_docs"))).select(
+                F.lit(c).alias("section"),
+                "key",
+                (F.col("_n").cast("double") / F.col("_docs").cast("double")).alias(
+                    "value"
+                ),
+            )
+        )
+        parts.append(
+            per.select(
+                F.lit(f"{c}_n").alias("section"),
+                "key",
+                F.col("_n").cast("double").alias("value"),
+            )
+        )
+    qs = base.agg(
+        *[
+            F.percentile(F.col("_nchr").cast("double"), F.lit(p)).alias(f"_p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ]
+    )
+    parts.append(
+        qs.select(
+            F.lit("length_chars").alias("section"),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(f"p{int(p * 100)}") for p in (0.25, 0.5, 0.75, 0.95)]),
+                    F.array(*[F.col(f"_p{int(p * 100)}") for p in (0.25, 0.5, 0.75, 0.95)]),
+                )
+            ).alias("key", "value"),
+        )
+    )
+    dup = (
+        base.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.sum(F.col("_c") - 1).cast("bigint").alias("_extra"),
+            F.sum("_c").cast("bigint").alias("_all"),
+        )
+    )
+    parts.append(
+        dup.select(
+            F.lit("dup").alias("section"),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("exact_dup_docs"), F.lit("exact_dup_rate")),
+                    F.array(
+                        F.col("_extra").cast("double"),
+                        F.col("_extra").cast("double") / F.col("_all").cast("double"),
+                    ),
+                )
+            ).alias("key", "value"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

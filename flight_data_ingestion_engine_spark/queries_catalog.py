@@ -16729,3 +16729,87 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("content").cast("bigint").alias("n_bytes"),
         F.decode("content", "UTF-8").alias("content_str"),
     )
+
+
+@_q(
+    "corpus_datacard_docs",
+    r"""
+    WITH d AS (
+      SELECT a.doc_id, a.lang, a.source,
+             COALESCE(CASE WHEN a.doc_id % 50 = 0 AND b.text IS NOT NULL
+                           THEN b.text ELSE a.text END, '') AS text
+      FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+    ),
+    base AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS ntok,
+             CAST(length(text) AS BIGINT) AS nchr,
+             md5(text) AS h
+      FROM d
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(ntok) AS BIGINT) AS toks,
+             CAST(SUM(nchr) AS BIGINT) AS chrs
+      FROM base
+    ),
+    dims AS (
+      SELECT 'lang' AS section, lang AS key,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(docs AS DOUBLE) FROM tot) AS value
+      FROM base GROUP BY lang
+      UNION ALL
+      SELECT 'lang_n', lang, CAST(COUNT(*) AS DOUBLE) FROM base GROUP BY lang
+      UNION ALL
+      SELECT 'source', source,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(docs AS DOUBLE) FROM tot)
+      FROM base GROUP BY source
+      UNION ALL
+      SELECT 'source_n', source, CAST(COUNT(*) AS DOUBLE) FROM base GROUP BY source
+    ),
+    dup AS (
+      SELECT CAST(SUM(c - 1) AS BIGINT) AS extra, CAST(SUM(c) AS BIGINT) AS al
+      FROM (SELECT COUNT(*) AS c FROM base GROUP BY h)
+    )
+    SELECT 'total' AS section, 'docs' AS key, CAST(docs AS DOUBLE) AS value FROM tot
+    UNION ALL SELECT 'total', 'tokens', CAST(toks AS DOUBLE) FROM tot
+    UNION ALL SELECT 'total', 'chars', CAST(chrs AS DOUBLE) FROM tot
+    UNION ALL SELECT * FROM dims
+    UNION ALL SELECT 'length_chars', 'p25',
+      quantile_cont(CAST(nchr AS DOUBLE), 0.25) FROM base
+    UNION ALL SELECT 'length_chars', 'p50',
+      quantile_cont(CAST(nchr AS DOUBLE), 0.5) FROM base
+    UNION ALL SELECT 'length_chars', 'p75',
+      quantile_cont(CAST(nchr AS DOUBLE), 0.75) FROM base
+    UNION ALL SELECT 'length_chars', 'p95',
+      quantile_cont(CAST(nchr AS DOUBLE), 0.95) FROM base
+    UNION ALL SELECT 'dup', 'exact_dup_docs', CAST(extra AS DOUBLE) FROM dup
+    UNION ALL SELECT 'dup', 'exact_dup_rate',
+      CAST(extra AS DOUBLE) / CAST(al AS DOUBLE) FROM dup
+    """,
+)
+def q_corpus_datacard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics (operators/corpus.py::corpus_datacard)
+    over documents with a planted 2% exact-dup rate (doc_id%50 copies
+    its predecessor, so the dup section is live): totals, per-lang and
+    per-source composition with shares, exact length quantiles
+    (F.percentile ≡ quantile_cont), and the exact-duplicate rate —
+    every row replayed relationally."""
+    from flight_data_ingestion_engine_spark.operators.corpus import corpus_datacard
+
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_ptext")
+    )
+    planted = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(
+            (F.col("doc_id") % 50 == 0) & F.col("_ptext").isNotNull(),
+            F.col("_ptext"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_datacard(planted, dim_cols=["lang", "source"])

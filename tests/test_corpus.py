@@ -1082,3 +1082,35 @@ def test_heaps_fit_reference_and_properties(spark):
 
     with _pt.raises(ValueError, match="step"):
         heaps_fit(df, step=0)
+
+
+def test_corpus_datacard_hand_values(spark):
+    """Datacard on a hand corpus: totals, shares, quantiles, and the
+    dup section verified against directly computed values; no dims arm
+    omits composition sections; NULL text counts as empty."""
+    from flight_data_ingestion_engine_spark.operators.corpus import corpus_datacard
+
+    rows = [
+        (0, "en", "a b c"),       # 3 tokens, 5 chars
+        (1, "en", "a b c"),       # exact dup of 0
+        (2, "fr", "dd ee"),       # 2 tokens, 5 chars
+        (3, "fr", None),          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    card = {
+        (r.section, r.key): r.value
+        for r in corpus_datacard(df, dim_cols=["lang"]).collect()
+    }
+    assert card[("total", "docs")] == 4.0
+    assert card[("total", "tokens")] == 8.0
+    assert card[("total", "chars")] == 15.0
+    assert card[("lang", "en")] == 0.5 and card[("lang_n", "fr")] == 2.0
+    # lengths sorted: 0,5,5,5 -> p50 = 5.0, p25 = 3.75 (linear interp)
+    assert card[("length_chars", "p50")] == 5.0
+    assert card[("length_chars", "p25")] == 3.75
+    # one extra doc among 4 -> rate 0.25
+    assert card[("dup", "exact_dup_docs")] == 1.0
+    assert card[("dup", "exact_dup_rate")] == 0.25
+
+    slim = corpus_datacard(df).select("section").distinct().collect()
+    assert {r.section for r in slim} == {"total", "length_chars", "dup"}

@@ -1489,3 +1489,44 @@ def fix_mojibake(
     return df.withColumn(out_col, fixed).withColumn(
         "had_mojibake", F.col(out_col) != text
     )
+
+
+DOI_RE = r"\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+"
+ARXIV_RE = r"\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?"
+URL_RE = r"https?://[^\s<>\"]+"
+
+
+def reference_extract(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scholarly-reference extraction — the S2ORC / peS2o citation-
+    surface pass (and the provenance signal RedPajama's arXiv subset
+    and the math/science curation lines key on): DOIs (the Crossref
+    ``10.<registrant>/<suffix>`` syntax), arXiv identifiers (the
+    post-2007 ``arXiv:YYMM.NNNNN[vK]`` scheme), and http(s) URLs.
+    Emits the extracted arrays (`dois`, `arxiv_ids`, `urls` — sorted,
+    deduplicated, so downstream joins see canonical sets), their
+    counts, and `has_reference`. Java ∩ RE2 patterns (the
+    `secrets_detect` discipline); one zero-shuffle projection."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def grab(pat: str):
+        return F.array_sort(
+            F.array_distinct(F.regexp_extract_all(text, F.lit(pat), 0))
+        )
+
+    out = (
+        df.withColumn("dois", grab(DOI_RE))
+        .withColumn("arxiv_ids", grab(ARXIV_RE))
+        .withColumn("urls", grab(URL_RE))
+    )
+    return (
+        out.withColumn("n_dois", F.size("dois"))
+        .withColumn("n_arxiv", F.size("arxiv_ids"))
+        .withColumn("n_urls", F.size("urls"))
+        .withColumn(
+            "has_reference",
+            (F.col("n_dois") > 0) | (F.col("n_arxiv") > 0) | (F.col("n_urls") > 0),
+        )
+    )

@@ -16813,3 +16813,86 @@ def q_corpus_datacard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return corpus_datacard(planted, dim_cols=["lang", "source"])
+
+
+@_q(
+    "reference_extract_docs",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' doi:10.1145/' || CAST(3000000 + doc_id AS VARCHAR)
+                          || '.12 cited'
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN ' see arXiv:2203.' || lpad(CAST(10000 + doc_id % 900 AS VARCHAR), 5, '0')
+                          || 'v2 and arXiv:1706.03762'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' at https://example.org/p/' || CAST(doc_id AS VARCHAR)
+                          || ' page'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, text,
+           list_sort(list_distinct(regexp_extract_all(text,
+             '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+'))) AS dois,
+           list_sort(list_distinct(regexp_extract_all(text,
+             '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?'))) AS arxiv_ids,
+           list_sort(list_distinct(regexp_extract_all(text,
+             'https?://[^\s<>"]+'))) AS urls,
+           CAST(len(list_distinct(regexp_extract_all(text,
+             '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+'))) AS INT) AS n_dois,
+           CAST(len(list_distinct(regexp_extract_all(text,
+             '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?'))) AS INT) AS n_arxiv,
+           CAST(len(list_distinct(regexp_extract_all(text,
+             'https?://[^\s<>"]+'))) AS INT) AS n_urls,
+           (len(regexp_extract_all(text, '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+')) > 0
+            OR len(regexp_extract_all(text, '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?')) > 0
+            OR len(regexp_extract_all(text, 'https?://[^\s<>"]+')) > 0)
+             AS has_reference
+    FROM d
+    """,
+)
+def q_reference_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scholarly-reference extraction (operators/text.py::
+    reference_extract — the S2ORC/peS2o citation pass) over documents
+    with planted DOIs (%4), arXiv ids incl. a version suffix and a
+    repeated classic (%6 — dedup keeps one), and URLs (%5): arrays are
+    sorted+deduplicated canonical sets, counts and the verdict replay
+    in RE2."""
+    from flight_data_ingestion_engine_spark.operators.text import reference_extract
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit(" doi:10.1145/"),
+                    (d + 3000000).cast("string"),
+                    F.lit(".12 cited"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 6 == 0,
+                F.concat(
+                    F.lit(" see arXiv:2203."),
+                    F.lpad((d % 900 + 10000).cast("string"), 5, "0"),
+                    F.lit("v2 and arXiv:1706.03762"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" at https://example.org/p/"),
+                    d.cast("string"),
+                    F.lit(" page"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return reference_extract(docs)

@@ -1680,3 +1680,26 @@ def test_fix_mojibake_table_and_order(spark):
         if repaired == " ":
             continue  # nbsp normalized to plain space on purpose
         assert misread(repaired.encode("utf-8")) == broken
+
+
+def test_reference_extract_patterns(spark):
+    """References: DOI suffix charset bounds, arXiv old-style ids do
+    NOT match (post-2007 scheme only — documented), URL stops at
+    whitespace/angle quotes, arrays dedupe and sort, clean text."""
+    from flight_data_ingestion_engine_spark.operators.text import reference_extract
+
+    rows = [
+        (0, "cite 10.1145/3292500.3330919 and 10.1038/s41586-021-03819-2"),
+        (1, "arXiv:1706.03762 arXiv:1706.03762 arXiv:2203.02155v1"),
+        (2, "old arXiv:cs/9901002 should not match the new-scheme rule"),
+        (3, "link <https://a.b/c?d=1> and https://a.b/c?d=1 again"),
+        (4, "no references in this prose"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in reference_extract(df).collect()}
+
+    assert out[0].n_dois == 2 and out[0].dois[0] == "10.1038/s41586-021-03819-2"
+    assert out[1].arxiv_ids == ["arXiv:1706.03762", "arXiv:2203.02155v1"]
+    assert out[2].n_arxiv == 0
+    assert out[3].urls == ["https://a.b/c?d=1"]  # angle-closed and bare dedupe
+    assert not out[4].has_reference and out[4].dois == []

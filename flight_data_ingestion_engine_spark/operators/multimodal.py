@@ -1679,3 +1679,42 @@ def audio_zcr(
             yield pd.DataFrame(out, columns=[id_col, "frame_idx", "zcr"])
 
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+def spectral_centroid(
+    spec: DataFrame,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Per-frame spectral centroid over an `audio_spectrogram` table —
+    the classic brightness/timbre feature (Grey & Gordon 1978; every
+    audio-quality and music/speech discrimination pipeline computes
+    it): the power-weighted mean bin,
+
+        centroid = Σ_k k·power_k / Σ_k power_k.
+
+    Both sums are exact bigints — but NOT off the raw powers: with
+    power ≤ 1.5e17 per bin, Σ_k k·power over 8 bins reaches ~9.6e18,
+    past 2⁶³−1. The sums therefore run over the SAME ``div 2¹²``
+    pre-shifted powers the mel frontend uses (`_MEL_POWER_SHIFT` — one
+    shared headroom discipline, one shared oracle expression); the
+    centroid itself is the single closing IEEE division. One keyed agg on the existing
+    spectrogram — no new Arrow stage, no extra decode. Returns
+    (id, frame_idx, power_sum, weighted_sum, centroid)."""
+    shifted = F.expr(f"power div {_MEL_POWER_SHIFT}").cast("bigint")
+    return (
+        spec.groupBy(id_col, "frame_idx")
+        .agg(
+            F.sum(shifted).cast("bigint").alias("power_sum"),
+            F.sum(F.col("bin").cast("bigint") * shifted)
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+        .withColumn(
+            "centroid",
+            F.when(
+                F.col("power_sum") > 0,
+                F.col("weighted_sum").cast("double")
+                / F.col("power_sum").cast("double"),
+            ),
+        )
+    )

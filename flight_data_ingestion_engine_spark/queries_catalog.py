@@ -16896,3 +16896,36 @@ def q_reference_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return reference_extract(docs)
+
+
+@_q(
+    "audio_spectral_centroid",
+    _dft_corpus_sql(False)
+    + """
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(power // 4096) AS BIGINT) AS power_sum,
+           CAST(SUM(bin * (power // 4096)) AS BIGINT) AS weighted_sum,
+           CASE WHEN SUM(power // 4096) > 0
+                THEN CAST(SUM(bin * (power // 4096)) AS DOUBLE)
+                     / CAST(SUM(power // 4096) AS DOUBLE) END AS centroid
+    FROM pw
+    GROUP BY clip_id, frame_idx
+    """,
+)
+def q_audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral centroid (operators/multimodal.py::spectral_centroid —
+    the Grey & Gordon brightness feature) over the tonal corpus: for a
+    pure tone the centroid sits at (or converges to) the tone's bin —
+    the oracle replays the weighted integer sums over the same
+    pre-shifted powers and the one closing division. No new Arrow
+    stage: one keyed agg on the spectrogram."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        spectral_centroid,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return spectral_centroid(audio_spectrogram(media, id_col="clip_id"))

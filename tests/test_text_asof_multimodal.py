@@ -1703,3 +1703,30 @@ def test_reference_extract_patterns(spark):
     assert out[2].n_arxiv == 0
     assert out[3].urls == ["https://a.b/c?d=1"]  # angle-closed and bare dedupe
     assert not out[4].has_reference and out[4].dois == []
+
+
+def test_spectral_centroid_tone_tracking(spark):
+    """A pure tone's centroid tracks its bin: for every frame the
+    centroid's nearest integer equals the frame's peak bin (tones are
+    quantized so tiny leakage exists but never moves the round)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_spectrogram,
+        spectral_centroid,
+        spectrogram_peaks,
+    )
+
+    src = spark.createDataFrame([(0,), (1,), (2,)], "clip_id long")
+    spec = audio_spectrogram(attach_tonal_audio(src, n_frames=3), id_col="clip_id").cache()
+    cent = {
+        (r.clip_id, r.frame_idx): r.centroid
+        for r in spectral_centroid(spec).collect()
+    }
+    peak = {
+        (r.clip_id, r.frame_idx): r.peak_bin
+        for r in spectrogram_peaks(spec, "clip_id").collect()
+    }
+    assert set(cent) == set(peak) and len(cent) == 9
+    for k, c in cent.items():
+        assert round(c) == peak[k], (k, c, peak[k])
+    spec.unpersist()

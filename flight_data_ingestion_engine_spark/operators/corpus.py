@@ -2968,3 +2968,55 @@ def corpus_datacard(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def insert_needles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    needle: str = "The magic number is 42.",
+    depths: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Needle-in-a-haystack construction — the long-context eval prep
+    (Kamradt's NIAH, adopted by every 100k+-context model report): for
+    each document and each depth fraction, splice a needle sentence at
+    the whitespace-token boundary ``floor(depth · n_tokens)`` and emit
+    one row per (doc, depth) with the spliced text and the exact
+    insertion position — the ANSWER KEY the eval harness needs.
+
+    Determinism: pass dyadic depths (0.25/0.5/0.75 — exact doubles, so
+    the floor is engine-portable); the splice is pure array slicing.
+    One generator explode over the scan (rows × |depths|), zero
+    shuffle. Returns (id, depth, n_tokens, insert_pos, text_needled).
+    """
+    if not depths:
+        raise ValueError("insert_needles: depths must be non-empty")
+    if any(d < 0.0 or d > 1.0 for d in depths):
+        raise ValueError("insert_needles: depths must be in [0, 1]")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    depth = F.explode(F.array(*[F.lit(float(d)) for d in depths])).alias("depth")
+    pos = F.floor(F.col("depth") * F.col("n_tokens")).cast("int")
+    out = (
+        df.select(F.col(id_col).alias(id_col), toks.alias("_toks"), n.alias("n_tokens"))
+        .select(id_col, "_toks", "n_tokens", depth)
+        .withColumn("insert_pos", pos)
+    )
+    spliced = F.concat_ws(
+        " ",
+        F.flatten(
+            F.array(
+                F.slice(F.col("_toks"), 1, F.col("insert_pos")),
+                F.array(F.lit(needle)),
+                F.slice(
+                    F.col("_toks"),
+                    F.col("insert_pos") + 1,
+                    F.greatest(
+                        F.col("n_tokens") - F.col("insert_pos"), F.lit(0)
+                    ),
+                ),
+            )
+        ),
+    )
+    return out.withColumn("text_needled", spliced).drop("_toks")

@@ -16929,3 +16929,42 @@ def q_audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
     media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
     return spectral_centroid(audio_spectrogram(media, id_col="clip_id"))
+
+
+@_q(
+    "needle_eval_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens, u.depth AS depth
+      FROM t, UNNEST([0.25, 0.5, 0.75]) AS u(depth)
+    ),
+    p AS (
+      SELECT doc_id, depth, n_tokens,
+             CAST(FLOOR(depth * n_tokens) AS INT) AS insert_pos, toks
+      FROM e
+    )
+    SELECT doc_id, depth, CAST(n_tokens AS INT) AS n_tokens, insert_pos,
+           array_to_string(
+             list_concat(
+               list_concat(toks[1:insert_pos], ['The magic number is 42.']),
+               toks[insert_pos + 1:n_tokens]),
+             ' ') AS text_needled
+    FROM p
+    """,
+)
+def q_needle_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-a-haystack eval construction (operators/corpus.py::
+    insert_needles — the NIAH long-context protocol): every doc
+    spliced at dyadic depths 0.25/0.5/0.75 (exact doubles → the floor
+    position is engine-portable) with the exact insertion position as
+    the answer key; the oracle replays tokenization, position, and the
+    three-part splice relationally."""
+    from flight_data_ingestion_engine_spark.operators.corpus import insert_needles
+
+    return insert_needles(_t(spark, sf_dir, "documents"))

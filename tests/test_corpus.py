@@ -1114,3 +1114,38 @@ def test_corpus_datacard_hand_values(spark):
 
     slim = corpus_datacard(df).select("section").distinct().collect()
     assert {r.section for r in slim} == {"total", "length_chars", "dup"}
+
+
+def test_insert_needles_positions(spark):
+    """Needle splice: exact positions at depth 0 (prepend), 1 (append),
+    and interior; the needle is recoverable at insert_pos by
+    re-tokenizing; empty doc gets the needle alone; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import insert_needles
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.depth): r
+        for r in insert_needles(
+            df, needle="NEEDLE HERE", depths=(0.0, 0.5, 1.0)
+        ).collect()
+    }
+    assert out[(0, 0.0)].text_needled == "NEEDLE HERE a b c d"
+    assert out[(0, 0.5)].text_needled == "a b NEEDLE HERE c d"
+    assert out[(0, 1.0)].text_needled == "a b c d NEEDLE HERE"
+    assert out[(0, 0.5)].insert_pos == 2 and out[(0, 0.5)].n_tokens == 4
+    # answer key holds: re-tokenize and find the needle at insert_pos
+    for r in out.values():
+        toks = r.text_needled.split()
+        if r.doc_id == 0:
+            assert toks[r.insert_pos] == "NEEDLE"
+    assert out[(1, 0.5)].text_needled == "NEEDLE HERE"
+    assert out[(1, 0.5)].n_tokens == 0 and out[(1, 0.5)].insert_pos == 0
+
+    with _pt.raises(ValueError, match="non-empty"):
+        insert_needles(df, depths=())
+    with _pt.raises(ValueError, match="0, 1"):
+        insert_needles(df, depths=(1.5,))

@@ -1235,6 +1235,7 @@ def test_wave8_query_exchange_counts(spark, sf_dir):
         "meta_robots_pages",
         "fix_mojibake_docs",
         "webdataset_roundtrip",
+        "needle_eval_docs",
     ]:
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)

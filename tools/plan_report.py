@@ -119,6 +119,14 @@ SELECTED = [
     ("sft_lint_convs", "from_json + array-fold flags: pure projection, zero exchanges"),
     ("clip_gate_pairs", "pair cosine + metadata gates ride the scan; id join broadcasts"),
     ("audio_mfcc", "broadcast DCT basis join + keyed agg atop the mel window"),
+    ("video_shot_boundaries", "one per-clip window: L1 lag deltas + running shot ids"),
+    ("self_bleu_docs", "leave-one-out top-2: keyed shuffles, no doc^2 pair join"),
+    ("heaps_fit_docs", "checkpoint spine reduces corpus before the ordered window"),
+    ("iqr_outlier_docs", "k-group quartile agg broadcast back onto the scan"),
+    ("corpus_datacard_docs", "per-dimension aggs + scalar aggs unioned; 1-row broadcasts"),
+    ("webdataset_roundtrip", "binaryFile scan + Arrow un-tar; zero exchanges"),
+    ("reference_extract_docs", "regex canonical-set projection, zero exchanges"),
+    ("needle_eval_docs", "generator explode splice, zero exchanges"),
 ]
 
 INTERESTING = re.compile(

@@ -1718,3 +1718,98 @@ def spectral_centroid(
             ),
         )
     )
+
+
+def image_histograms(
+    df: DataFrame,
+    id_col: str = "img_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    bins: int = 16,
+) -> DataFrame:
+    """Grayscale histogram per IMAGE row — the single-frame face of
+    `frame_histograms` (same Arrow decode+bincount stage), for the
+    image-statistics family (Otsu thresholding, equalization,
+    exposure gates). Returns (id, hist array<bigint>)."""
+    framed = df.withColumn("_f0", F.lit(0).cast("bigint"))
+    return frame_histograms(
+        framed,
+        id_col=id_col,
+        frame_col="_f0",
+        bytes_col=bytes_col,
+        meta_col=meta_col,
+        bins=bins,
+    ).drop("_f0")
+
+
+def otsu_threshold(
+    hist_df: DataFrame,
+    id_col: str = "img_id",
+    hist_col: str = "hist",
+    max_pixels: int = 256,
+) -> DataFrame:
+    """Otsu's threshold (Otsu 1979 — THE classic histogram-based
+    binarization every document-scan / OCR-prep pipeline runs) over a
+    histogram table, with EXACT arithmetic end to end: the between-
+    class variance at split t (background = bins ≤ t) is the rational
+
+        σ²_b(t) = (N·S0(t) − S·w0(t))² / (w0(t)·(N − w0(t)))
+
+    (all bigint: w0/S0 prefix sums, N/S totals), and the argmax is a
+    sequential fold comparing candidates by CROSS-MULTIPLICATION —
+    num_c·den_best > num_best·den_c — never a float division, so the
+    winning bin is engine-exact including ties (strict > keeps the
+    LOWEST winning t, the canonical convention).
+
+    Exactness bound: the cross-products stay inside int64 for
+    ``N ≤ max_pixels`` (default 256) at ≤ 16 bins — thumbnail grids,
+    which is what curation pipelines hash and binarize; rows with more
+    pixels yield NULL threshold rather than a silently-rounded one
+    (raise `max_pixels` only with a widened bound proof). Degenerate
+    single-class histograms also yield NULL. Pure Catalyst array
+    folds; zero shuffle. Returns
+    (id, n_pixels, threshold_bin, w_below)."""
+    h = F.col(hist_col)
+    nb = F.size(h)
+    idx = F.sequence(F.lit(0), nb - 1)
+    weighted = F.zip_with(h, idx, lambda c, i: c * i.cast("bigint"))
+    zero = F.lit(0).cast("bigint")
+    big_n = F.aggregate(h, zero, lambda a, v: a + v)
+    big_s = F.aggregate(weighted, zero, lambda a, v: a + v)
+    stats = hist_df.withColumn("_N", big_n).withColumn("_S", big_s)
+
+    def cand(t):
+        w0 = F.aggregate(F.slice(h, 1, t + 1), zero, lambda a, v: a + v)
+        s0 = F.aggregate(F.slice(weighted, 1, t + 1), zero, lambda a, v: a + v)
+        d = F.col("_N") * s0 - F.col("_S") * w0
+        return F.struct(
+            t.cast("bigint").alias("t"),
+            (d * d).alias("num"),
+            (w0 * (F.col("_N") - w0)).alias("den"),
+            w0.alias("w0"),
+        )
+
+    cands = F.transform(F.sequence(F.lit(0), nb - 2), cand)
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("t"),
+        F.lit(-1).cast("bigint").alias("num"),
+        F.lit(1).cast("bigint").alias("den"),
+        F.lit(0).cast("bigint").alias("w0"),
+    )
+    best = F.aggregate(
+        cands,
+        init,
+        lambda acc, c: F.when(
+            (c["den"] > 0)
+            & ((acc["t"] == -1) | (c["num"] * acc["den"] > acc["num"] * c["den"])),
+            c,
+        ).otherwise(acc),
+    )
+    out = stats.withColumn("_best", best)
+    ok = (F.col("_N") <= F.lit(int(max_pixels))) & (F.col("_best")["t"] >= 0)
+    return out.select(
+        id_col,
+        F.col("_N").alias("n_pixels"),
+        F.when(ok, F.col("_best")["t"]).alias("threshold_bin"),
+        F.when(ok, F.col("_best")["w0"]).alias("w_below"),
+    )

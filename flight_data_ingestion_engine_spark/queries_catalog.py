@@ -16968,3 +16968,83 @@ def q_needle_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.corpus import insert_needles
 
     return insert_needles(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "otsu_threshold_imgs",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS img_id, doc_id AS src FROM documents WHERE doc_id < 400
+    ),
+    px AS (
+      SELECT img_id, u.p AS p,
+             ('0x'||substr(md5(CAST(src AS VARCHAR)||':'||CAST(u.p AS VARCHAR)||':px'),1,2))::BIGINT AS v
+      FROM imgs, UNNEST(range(64)) AS u(p)
+    ),
+    hist AS (
+      SELECT img_id, v // 16 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM px GROUP BY img_id, v // 16
+    ),
+    tot AS (
+      SELECT img_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * bin) AS BIGINT) AS s
+      FROM hist GROUP BY img_id
+    ),
+    grid AS (
+      SELECT t.img_id, u.t AS t, t.n, t.s
+      FROM tot t, UNNEST(range(15)) AS u(t)
+    ),
+    cand AS (
+      SELECT g.img_id, g.t,
+             CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS w0,
+             CAST(COALESCE(SUM(h.c * h.bin), 0) AS BIGINT) AS s0,
+             g.n, g.s
+      FROM grid g
+      LEFT JOIN hist h ON h.img_id = g.img_id AND h.bin <= g.t
+      GROUP BY g.img_id, g.t, g.n, g.s
+    ),
+    scored AS (
+      SELECT img_id, t, w0, n,
+             CAST(n * s0 - s * w0 AS HUGEINT) * CAST(n * s0 - s * w0 AS HUGEINT) AS num,
+             CAST(w0 * (n - w0) AS HUGEINT) AS den
+      FROM cand
+    ),
+    beat AS (
+      SELECT a.img_id, a.t, a.w0, COUNT(b.t) AS n_better
+      FROM scored a
+      LEFT JOIN scored b
+        ON b.img_id = a.img_id AND b.den > 0
+       AND (b.num * a.den > a.num * b.den
+            OR (b.num * a.den = a.num * b.den AND b.t < a.t))
+      WHERE a.den > 0
+      GROUP BY a.img_id, a.t, a.w0
+    ),
+    win AS (SELECT img_id, t, w0 FROM beat WHERE n_better = 0)
+    SELECT i.img_id, t2.n AS n_pixels,
+           CAST(w.t AS BIGINT) AS threshold_bin,
+           CAST(w.w0 AS BIGINT) AS w_below
+    FROM imgs i
+    JOIN tot t2 ON t2.img_id = i.img_id
+    LEFT JOIN win w ON w.img_id = i.img_id
+    """,
+)
+def q_otsu_threshold_imgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu binarization threshold (operators/multimodal.py::
+    otsu_threshold — Otsu 1979, the OCR/document-scan prep classic)
+    over md5-patterned REAL BMP images: 16-bin histograms through the
+    codec, between-class variance as an exact bigint rational, argmax
+    by cross-multiplication. The oracle replays pixels → histogram →
+    candidates and picks the winner with an anti-join over HUGEINT
+    cross-products — the same exact-rational ordering as the Spark
+    fold, including the lowest-t tie rule."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+        image_histograms,
+        otsu_threshold,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 400)
+    media = attach_patterned_media(
+        docs.select(F.col("doc_id").alias("img_id")), id_col="img_id"
+    )
+    return otsu_threshold(image_histograms(media))

@@ -1730,3 +1730,53 @@ def test_spectral_centroid_tone_tracking(spark):
     for k, c in cent.items():
         assert round(c) == peak[k], (k, c, peak[k])
     spec.unpersist()
+
+
+def test_otsu_threshold_reference_and_guards(spark):
+    """Otsu against an independent in-test float reference (numpy-free
+    textbook maximization over the same histograms, ratio compare in
+    Fraction for exactness), through the real codec; single-class NULL;
+    max_pixels guard NULLs oversized rows; lowest-t tie rule."""
+    from fractions import Fraction
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_media,
+        image_histograms,
+        otsu_threshold,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "img_id long")
+    media = attach_patterned_media(ids, id_col="img_id")
+    hists = image_histograms(media).cache()
+    got = {r.img_id: r for r in otsu_threshold(hists).collect()}
+
+    for row in hists.collect():
+        h = list(row.hist)
+        n = sum(h)
+        s = sum(i * c for i, c in enumerate(h))
+        best_t, best = None, Fraction(-1)
+        for t in range(len(h) - 1):
+            w0 = sum(h[: t + 1])
+            if w0 == 0 or w0 == n:
+                continue
+            s0 = sum(i * c for i, c in enumerate(h[: t + 1]))
+            v = Fraction((n * s0 - s * w0) ** 2, w0 * (n - w0))
+            if v > best:
+                best, best_t = v, t
+        assert got[row.img_id].threshold_bin == best_t, row.img_id
+        assert got[row.img_id].n_pixels == n
+    hists.unpersist()
+
+    # hand cases: tie -> lowest t; constant -> NULL; oversized -> NULL
+    hand = spark.createDataFrame(
+        [
+            (0, [10] + [0] * 14 + [10]),
+            (1, [20] + [0] * 15),
+            (2, [300] + [0] * 14 + [300]),
+        ],
+        "img_id long, hist array<bigint>",
+    )
+    out = {r.img_id: r for r in otsu_threshold(hand).collect()}
+    assert out[0].threshold_bin == 0 and out[0].w_below == 10
+    assert out[1].threshold_bin is None
+    assert out[2].threshold_bin is None  # 600 px > max_pixels guard

@@ -16836,12 +16836,12 @@ def q_corpus_datacard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, text,
-           list_sort(list_distinct(regexp_extract_all(text,
-             '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+'))) AS dois,
-           list_sort(list_distinct(regexp_extract_all(text,
-             '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?'))) AS arxiv_ids,
-           list_sort(list_distinct(regexp_extract_all(text,
-             'https?://[^\s<>"]+'))) AS urls,
+           COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(text,
+             '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+'))), '|'), '') AS dois,
+           COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(text,
+             '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?'))), '|'), '') AS arxiv_ids,
+           COALESCE(array_to_string(list_sort(list_distinct(regexp_extract_all(text,
+             'https?://[^\s<>"]+'))), '|'), '') AS urls,
            CAST(len(list_distinct(regexp_extract_all(text,
              '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+'))) AS INT) AS n_dois,
            CAST(len(list_distinct(regexp_extract_all(text,
@@ -16895,7 +16895,18 @@ def q_reference_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return reference_extract(docs)
+    out = reference_extract(docs)
+    return out.select(
+        "doc_id",
+        "text",
+        F.array_join("dois", "|").alias("dois"),
+        F.array_join("arxiv_ids", "|").alias("arxiv_ids"),
+        F.array_join("urls", "|").alias("urls"),
+        "n_dois",
+        "n_arxiv",
+        "n_urls",
+        "has_reference",
+    )
 
 
 @_q(

@@ -1813,3 +1813,53 @@ def otsu_threshold(
         F.when(ok, F.col("_best")["t"]).alias("threshold_bin"),
         F.when(ok, F.col("_best")["w0"]).alias("w_below"),
     )
+
+
+def image_entropy_gate(
+    hist_df: DataFrame,
+    id_col: str = "img_id",
+    hist_col: str = "hist",
+    min_entropy: float = 0.5,
+) -> DataFrame:
+    """Histogram-entropy complexity gate over an `image_histograms`
+    table — the LAION-class low-complexity filter (blank frames, flat
+    color cards, padding images carry near-zero gray-level entropy;
+    natural photographs sit well above):
+
+        H = ln(N) − (Σ_b cnt_b · ln(cnt_b)) / N
+
+    — the `char_entropy_gate` algebraic rewrite that keeps every ln
+    argument an INTEGER (ln agrees cross-engine on every probed value,
+    the PMI precedent); the one float sum folds over the bin-ordered
+    count list, so H is bit-identical across engines and
+    partitionings. Pure array folds on the histogram column — zero
+    shuffle, no second decode. Returns
+    (id, n_pixels, n_levels, entropy, keep = H ≥ min_entropy)."""
+    if min_entropy < 0:
+        raise ValueError("image_entropy_gate: min_entropy must be >= 0")
+    h = F.col(hist_col)
+    n = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, v: a + v)
+    levels = F.size(F.filter(h, lambda v: v > 0))
+    # bin-ordered fold: the array IS bin-ordered by construction
+    s = F.aggregate(
+        h,
+        F.lit(0.0),
+        lambda acc, v: acc
+        + F.when(v > 0, v.cast("double") * F.log(v.cast("double"))).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    ent = F.when(
+        F.col("n_pixels") > 0,
+        F.log(F.col("n_pixels").cast("double")) - F.col("_s") / F.col("n_pixels").cast("double"),
+    )
+    return (
+        hist_df.withColumn("n_pixels", n)
+        .withColumn("n_levels", levels.cast("bigint"))
+        .withColumn("_s", s)
+        .withColumn("entropy", ent)
+        .withColumn(
+            "keep", F.coalesce(F.col("entropy") >= F.lit(float(min_entropy)), F.lit(False))
+        )
+        .drop("_s")
+    )

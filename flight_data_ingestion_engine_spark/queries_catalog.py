@@ -17059,3 +17059,50 @@ def q_otsu_threshold_imgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").alias("img_id")), id_col="img_id"
     )
     return otsu_threshold(image_histograms(media))
+
+
+@_q(
+    "image_entropy_frames",
+    """
+    WITH f AS (
+      SELECT doc_id AS clip_id, u.f AS frame_idx,
+             ((doc_id * 37 + (u.f // (3 + doc_id % 3)) * 71) % 7) * 2 AS b,
+             (u.f % 5) * 2 AS k
+      FROM documents, UNNEST(range(10)) AS u(f)
+      WHERE doc_id < 200
+    )
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN k > 0 THEN 2 ELSE 1 END AS BIGINT) AS n_levels,
+           ln(64.0) - ((64 - k) * ln(CAST(64 - k AS DOUBLE))
+                       + CASE WHEN k > 0 THEN k * ln(CAST(k AS DOUBLE)) ELSE 0.0 END)
+                      / 64.0 AS entropy,
+           (ln(64.0) - ((64 - k) * ln(CAST(64 - k AS DOUBLE))
+                        + CASE WHEN k > 0 THEN k * ln(CAST(k AS DOUBLE)) ELSE 0.0 END)
+                       / 64.0) >= 0.1 AS keep
+    FROM f
+    """,
+)
+def q_image_entropy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-entropy complexity gate (operators/multimodal.py::
+    image_entropy_gate — the LAION-class blank/flat-image filter) over
+    the scene-structured video frames: jitter-free frames (k=0) are
+    single-level and read EXACTLY 0 nats (64·ln64/64 cancels ln64
+    bitwise — 64 is a power of two), jittered frames carry two levels
+    and clear the 0.1-nat floor; the oracle states the two-term
+    bin-ordered fold closed-form from the scene arithmetic, through
+    the real codec."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_video_frames,
+        frame_histograms,
+        image_entropy_gate,
+    )
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("clip_id"))
+        .where(F.col("clip_id") < 200)
+    )
+    hists = frame_histograms(attach_video_frames(clips))
+    return image_entropy_gate(hists, id_col="clip_id", min_entropy=0.1).drop("hist")

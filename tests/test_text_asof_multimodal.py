@@ -1780,3 +1780,33 @@ def test_otsu_threshold_reference_and_guards(spark):
     assert out[0].threshold_bin == 0 and out[0].w_below == 10
     assert out[1].threshold_bin is None
     assert out[2].threshold_bin is None  # 600 px > max_pixels guard
+
+
+def test_image_entropy_gate_values(spark):
+    """Image entropy: uniform histogram reads ln(bins); single-level
+    reads exactly 0.0 (power-of-two cancellation); independent
+    math.log reference per row; empty histogram keeps false."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        image_entropy_gate,
+    )
+
+    rows = [
+        (0, [4] * 16),                 # uniform -> ln(16)
+        (1, [64] + [0] * 15),          # single level -> 0.0
+        (2, [32, 32] + [0] * 14),      # two equal -> ln(2)
+        (3, [0] * 16),                 # empty -> NULL entropy, keep false
+    ]
+    df = spark.createDataFrame(rows, "img_id long, hist array<bigint>")
+    out = {r.img_id: r for r in image_entropy_gate(df, min_entropy=0.5).collect()}
+
+    assert abs(out[0].entropy - math.log(16)) < 1e-12 and out[0].keep
+    assert out[1].entropy == 0.0 and not out[1].keep and out[1].n_levels == 1
+    assert abs(out[2].entropy - math.log(2)) < 1e-12 and out[2].keep
+    assert out[3].entropy is None and not out[3].keep
+
+    for i, h in rows[:3]:
+        n = sum(h)
+        ref = math.log(n) - sum(c * math.log(c) for c in h if c > 0) / n
+        assert abs(out[i].entropy - ref) < 1e-12

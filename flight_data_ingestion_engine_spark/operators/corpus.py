@@ -3020,3 +3020,64 @@ def insert_needles(
         ),
     )
     return out.withColumn("text_needled", spliced).drop("_toks")
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Sentence-boundary chunking — the RAG / embedding-index prep
+    every retrieval pipeline runs instead of blind fixed-width
+    splitting (`chunk_documents`): sentences never break mid-way; a
+    sentence belongs to the chunk where its first token STARTS
+    (``chunk_id = exclusive_token_offset div max_tokens`` — the
+    `pack_contexts` linear rule, so chunks overflow by at most one
+    sentence rather than splitting it). Sentences come from the
+    engine-portable `split_sentences` (the C4 span-dedup splitter —
+    RE2 ∩ Java, no lookbehind); tokens are whitespace words.
+
+    One posexplode + one (doc)-keyed window cumsum + one (doc, chunk)
+    agg that REUSES the window's partitioning. Returns
+    (id, chunk_id, n_sentences, n_tokens, chunk_text)."""
+    from pyspark.sql.window import Window
+
+    from flight_data_ingestion_engine_spark.operators.dedup import split_sentences
+
+    if max_tokens < 1:
+        raise ValueError("sentence_chunks: max_tokens must be >= 1")
+    sents = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(split_sentences(F.col(text_col))).alias("sent_idx", "sentence"),
+    ).withColumn(
+        "_ntok",
+        F.size(F.filter(F.split(F.col("sentence"), r"\s+"), lambda t: t != "")).cast(
+            "bigint"
+        ),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = sents.withColumn("_off", F.sum("_ntok").over(w) - F.col("_ntok"))
+    chunked = offs.withColumn(
+        "chunk_id", F.expr(f"_off div {int(max_tokens)}").cast("bigint")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_idx", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )

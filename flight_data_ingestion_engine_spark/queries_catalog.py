@@ -17106,3 +17106,53 @@ def q_image_entropy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hists = frame_histograms(attach_video_frames(clips))
     return image_entropy_gate(hists, id_col="clip_id", min_entropy=0.1).drop("hist")
+
+
+@_q(
+    "sentence_chunks_docs",
+    r"""
+    WITH arr AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(COALESCE(text, ''),
+                                  '[^.!?]+[.!?]+|[^.!?]+$'),
+               x -> trim(x)), x -> x <> '') AS sents
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(range(len(sents))) AS sent_idx,
+             unnest(sents) AS sentence
+      FROM arr
+    ),
+    t AS (
+      SELECT doc_id, sent_idx, sentence,
+             CAST(len(list_filter(regexp_split_to_array(sentence, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS ntok
+      FROM s
+    ),
+    o AS (
+      SELECT doc_id, sent_idx, sentence, ntok,
+             CAST(COALESCE(SUM(ntok) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+      FROM t
+    )
+    SELECT doc_id, CAST(off // 64 AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+    FROM o
+    GROUP BY doc_id, off // 64
+    """,
+)
+def q_sentence_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking (operators/corpus.py::sentence_chunks
+    — the RAG/embedding-index prep) over documents at 64 tokens: the
+    C4 splitter's trimmed sentences, exclusive token offsets, linear
+    chunk rule, ordered reassembly — the oracle replays the splitter
+    (WITH ORDINALITY preserving sentence order), the window, and the
+    ordered string_agg."""
+    from flight_data_ingestion_engine_spark.operators.corpus import sentence_chunks
+
+    return sentence_chunks(_t(spark, sf_dir, "documents"), max_tokens=64)

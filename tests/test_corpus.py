@@ -1149,3 +1149,33 @@ def test_insert_needles_positions(spark):
         insert_needles(df, depths=())
     with _pt.raises(ValueError, match="0, 1"):
         insert_needles(df, depths=(1.5,))
+
+
+def test_sentence_chunks_boundaries(spark):
+    """Sentence chunking: sentences never split; a sentence starting
+    exactly at the boundary opens the next chunk; an oversized single
+    sentence still forms its own (overflowing) chunk; reassembly
+    preserves order; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import sentence_chunks
+
+    rows = [
+        # 3 sentences x 4 tokens; max 8 -> chunks {s0,s1}, {s2}
+        (0, "a b c one. d e f two. g h i three."),
+        # one 12-token sentence with max 8 -> one overflowing chunk
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 twelve."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in sentence_chunks(df, max_tokens=8).collect()
+    }
+    assert out[(0, 0)].chunk_text == "a b c one. d e f two."
+    assert out[(0, 0)].n_sentences == 2 and out[(0, 0)].n_tokens == 8
+    assert out[(0, 1)].chunk_text == "g h i three."
+    assert out[(1, 0)].n_tokens == 12 and out[(1, 0)].n_sentences == 1
+    assert len(out) == 3
+
+    with _pt.raises(ValueError, match="max_tokens"):
+        sentence_chunks(df, max_tokens=0)

@@ -1236,7 +1236,20 @@ def test_wave8_query_exchange_counts(spark, sf_dir):
         "fix_mojibake_docs",
         "webdataset_roundtrip",
         "needle_eval_docs",
+        "reference_extract_docs",
     ]:
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got == 0, f"{name}: {got} exchanges (expected 0)"
+    bounded = {
+        "otsu_threshold_imgs": 0,       # Arrow decode + array folds
+        "image_entropy_frames": 0,      # folds on the hist projection
+        "audio_spectral_centroid": 1,   # one keyed agg on the spectrogram
+        "sentence_chunks_docs": 2,      # window + chunk agg share the doc key
+        "corpus_datacard_docs": 8,      # per-dim aggs + scalar aggs unioned
+        "alpha_sample_langs": 4,
+    }
+    for name, bound in bounded.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

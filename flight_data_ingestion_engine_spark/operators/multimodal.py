@@ -1863,3 +1863,77 @@ def image_entropy_gate(
         )
         .drop("_s")
     )
+
+
+def equalize_histogram(
+    hist_df: DataFrame,
+    id_col: str = "img_id",
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Histogram equalization — the textbook contrast-normalization
+    every scan/OCR prep applies before thresholding (Gonzalez & Woods
+    ch. 3; the preprocessing sibling of `otsu_threshold`): remap gray
+    level v to
+
+        m(v) = floor((cdf(v) − cdf_min) · (B−1) / (N − cdf_min))
+
+    (the standard discrete form; cdf_min = the first nonzero
+    cumulative), then rebuild the histogram under the mapping — a
+    two-level image stretches to full range {0, B−1}, a single-level
+    image maps to 0 (N = cdf_min guard). ALL integer floor arithmetic
+    — the remap is engine-exact, no float ever. Pure array
+    expressions over the histogram column (O(B²) per row, B ≤ 16
+    bins): zero shuffle, no second decode. Returns the input's other
+    columns plus (n_pixels, levels_before, levels_after,
+    hist_eq array<bigint>)."""
+    h = F.col(hist_col)
+    nb = F.size(h)
+    zero = F.lit(0).cast("bigint")
+    n = F.aggregate(h, zero, lambda a, v: a + v)
+    cdf = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda v: F.aggregate(F.slice(h, 1, v + 1), zero, lambda a, x: a + x),
+    )
+    cdf_min = F.element_at(F.filter(cdf, lambda x: x > 0), 1)
+    out = (
+        hist_df.withColumn("n_pixels", n)
+        .withColumn("_cdf", cdf)
+        .withColumn("_cmin", cdf_min)
+    )
+    # floor((c-cmin)·(B−1) / (N−cmin)): the numerator is ≤ N·(B−1) —
+    # exact in double far past any real pixel count (< 2^53 needs
+    # N < 6e14), so the double division + floor IS the integer floor;
+    # DuckDB replays with its integer // on the same operands.
+    mapping = F.transform(
+        F.col("_cdf"),
+        lambda c: F.when(
+            F.col("n_pixels") > F.col("_cmin"),
+            F.floor(
+                F.greatest(c - F.col("_cmin"), zero)
+                * (F.size(F.col(hist_col)) - 1).cast("bigint")
+                / (F.col("n_pixels") - F.col("_cmin"))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    out = out.withColumn("_map", mapping)
+    hist_eq = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col(hist_col),
+                F.col("_map"),
+                lambda c, m: F.when(m == j.cast("bigint"), c).otherwise(zero),
+            ),
+            zero,
+            lambda a, v: a + v,
+        ),
+    )
+    levels = lambda col: F.size(F.filter(col, lambda v: v > 0)).cast("bigint")
+    return (
+        out.withColumn("hist_eq", hist_eq)
+        .withColumn("levels_before", levels(F.col(hist_col)))
+        .withColumn("levels_after", levels(F.col("hist_eq")))
+        .drop("_cdf", "_cmin", "_map")
+    )

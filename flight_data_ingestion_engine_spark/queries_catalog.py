@@ -17156,3 +17156,56 @@ def q_sentence_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_data_ingestion_engine_spark.operators.corpus import sentence_chunks
 
     return sentence_chunks(_t(spark, sf_dir, "documents"), max_tokens=64)
+
+
+@_q(
+    "equalize_hist_frames",
+    """
+    WITH f AS (
+      SELECT doc_id AS clip_id, u.f AS frame_idx,
+             (u.f % 5) * 2 AS k
+      FROM documents, UNNEST(range(10)) AS u(f)
+      WHERE doc_id < 200
+    )
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN k > 0 THEN 2 ELSE 1 END AS BIGINT) AS levels_before,
+           CAST(CASE WHEN k > 0 THEN 2 ELSE 1 END AS BIGINT) AS levels_after,
+           array_to_string([CASE WHEN i = 0 THEN 64 - k
+                                 WHEN i = 15 AND k > 0 THEN k
+                                 ELSE 0 END for i in range(16)], '|') AS hist_eq
+    FROM f
+    """,
+)
+def q_equalize_hist_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization (operators/multimodal.py::
+    equalize_histogram — the contrast-normalization sibling of Otsu)
+    over the scene-structured frames: a two-level frame stretches to
+    the full {0, 15} range regardless of which adjacent bin pair it
+    occupied (the oracle's closed form needs only k — bin positions
+    cancel), a jitter-free frame collapses to level 0 under the
+    N = cdf_min guard. All-integer remap, through the real codec."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_video_frames,
+        equalize_histogram,
+        frame_histograms,
+    )
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("clip_id"))
+        .where(F.col("clip_id") < 200)
+    )
+    hists = frame_histograms(attach_video_frames(clips))
+    eq = equalize_histogram(hists, id_col="clip_id")
+    return eq.select(
+        "clip_id",
+        "frame_idx",
+        "n_pixels",
+        "levels_before",
+        "levels_after",
+        F.array_join(F.transform("hist_eq", lambda v: v.cast("string")), "|").alias(
+            "hist_eq"
+        ),
+    )

@@ -1810,3 +1810,44 @@ def test_image_entropy_gate_values(spark):
         n = sum(h)
         ref = math.log(n) - sum(c * math.log(c) for c in h if c > 0) / n
         assert abs(out[i].entropy - ref) < 1e-12
+
+
+def test_equalize_histogram_reference(spark):
+    """Equalization against an independent in-test reference (textbook
+    discrete formula with exact ints) on hand histograms: two-level
+    stretch, single-level collapse, uniform spread, skewed case with a
+    nontrivial floor; levels_before/after bookkeeping."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        equalize_histogram,
+    )
+
+    rows = [
+        (0, [62, 2] + [0] * 14),
+        (1, [64] + [0] * 15),
+        (2, [16, 16, 16, 16] + [0] * 12),
+        (3, [1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 0, 0, 0, 0, 0, 0]),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, hist array<bigint>")
+    got = {r.img_id: r for r in equalize_histogram(df).collect()}
+
+    for i, h in rows:
+        n = sum(h)
+        cdf, acc = [], 0
+        for c in h:
+            acc += c
+            cdf.append(acc)
+        cmin = next(x for x in cdf if x > 0)
+        eq = [0] * len(h)
+        for v, c in enumerate(h):
+            m = (
+                max(cdf[v] - cmin, 0) * (len(h) - 1) // (n - cmin)
+                if n > cmin
+                else 0
+            )
+            eq[m] += c
+        r = got[i]
+        assert list(r.hist_eq) == eq, (i, list(r.hist_eq), eq)
+        assert r.levels_before == sum(1 for c in h if c > 0)
+        assert r.levels_after == sum(1 for c in eq if c > 0)
+    assert list(got[0].hist_eq)[15] == 2 and list(got[0].hist_eq)[0] == 62
+    assert got[1].levels_after == 1

@@ -1243,6 +1243,7 @@ def test_wave8_query_exchange_counts(spark, sf_dir):
         assert got == 0, f"{name}: {got} exchanges (expected 0)"
     bounded = {
         "otsu_threshold_imgs": 0,       # Arrow decode + array folds
+        "equalize_hist_frames": 0,      # integer remap on the hist projection
         "image_entropy_frames": 0,      # folds on the hist projection
         "audio_spectral_centroid": 1,   # one keyed agg on the spectrogram
         "sentence_chunks_docs": 2,      # window + chunk agg share the doc key

@@ -1880,3 +1880,53 @@ def rouge_l_admit(
     )
     keep_ids = bt.select(id_col).join(dropped, id_col, "left_anti")
     return batch.join(keep_ids, id_col, "left_semi")
+
+
+def optimal_lsh_params(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick the (bands, rows) split of a MinHash signature that best
+    matches a target Jaccard threshold — datasketch's `_optimal_param`
+    procedure (the standard way every LSH deployment tunes its
+    S-curve): for each divisor split b·r = num_hashes, the collision
+    probability of a pair at similarity s is ``1 − (1 − s^r)^b``;
+    integrate the false-positive mass below the threshold and the
+    false-negative mass above it (fixed-step midpoint rule, 100 steps
+    each — deterministic, no adaptive quadrature) and minimize
+    ``fp_weight·FP + (1−fp_weight)·FN``. Ties break toward MORE bands
+    (higher recall at equal error).
+
+    Driver-side pure function — no data, no session; feed the result
+    to `minhash_lsh_pairs(num_hashes=, bands=)`. Returns (bands, rows).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("optimal_lsh_params: threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("optimal_lsh_params: num_hashes must be >= 2")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError("optimal_lsh_params: fp_weight must be in [0, 1]")
+
+    def prob(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    steps = 100
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = sum(
+            prob(threshold * (i + 0.5) / steps, b, r) for i in range(steps)
+        ) * (threshold / steps)
+        fn = sum(
+            1.0
+            - prob(threshold + (1.0 - threshold) * (i + 0.5) / steps, b, r)
+            for i in range(steps)
+        ) * ((1.0 - threshold) / steps)
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0] or (err == best[0] and b > best[1]):
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -2081,3 +2081,51 @@ def test_facility_location_greedy_property(spark):
 
     with _pt.raises(ValueError, match="k must"):
         facility_location_select(df, "vec_id", "embedding", k=0)
+
+
+def test_optimal_lsh_params_properties():
+    """LSH planner: b*r always equals num_hashes; the S-curve midpoint
+    (1/b)^(1/r) tracks the threshold monotonically; extreme fp_weight
+    pushes toward fewer/more bands as theory says; an independent
+    brute-force over all divisor splits agrees on the minimizer;
+    validation. Pure driver-side — no session."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        optimal_lsh_params,
+    )
+
+    mids = []
+    for t in (0.2, 0.4, 0.6, 0.8):
+        b, r = optimal_lsh_params(t, 64)
+        assert b * r == 64
+        mids.append((1.0 / b) ** (1.0 / r))
+    assert mids == sorted(mids)  # midpoint rises with threshold
+
+    # recall-heavy weighting (fp cheap) wants MORE bands than
+    # precision-heavy weighting at the same threshold
+    b_recall, _ = optimal_lsh_params(0.5, 64, fp_weight=0.1)
+    b_prec, _ = optimal_lsh_params(0.5, 64, fp_weight=0.9)
+    assert b_recall >= b_prec
+
+    # independent brute force with the same integration rule
+    def err(b, r, t, w, steps=100):
+        p = lambda s: 1.0 - (1.0 - s**r) ** b
+        fp = sum(p(t * (i + 0.5) / steps) for i in range(steps)) * (t / steps)
+        fn = sum(1.0 - p(t + (1 - t) * (i + 0.5) / steps) for i in range(steps)) * (
+            (1 - t) / steps
+        )
+        return w * fp + (1 - w) * fn
+
+    t, w, n = 0.45, 0.5, 48
+    got = optimal_lsh_params(t, n, w)
+    cands = [(err(b, n // b, t, w), b) for b in range(1, n + 1) if n % b == 0]
+    best = min(cands, key=lambda x: (x[0], -x[1]))
+    assert got[0] == best[1]
+
+    with _pt.raises(ValueError, match="threshold"):
+        optimal_lsh_params(1.0, 32)
+    with _pt.raises(ValueError, match="num_hashes"):
+        optimal_lsh_params(0.5, 1)
+    with _pt.raises(ValueError, match="fp_weight"):
+        optimal_lsh_params(0.5, 32, fp_weight=2.0)

@@ -713,6 +713,7 @@ def attach_patterned_audio(
     n_windows: int = 8,
     frames_per_window: int = 64,
     sample_rate: int = 8000,
+    interior_pause: bool = False,
 ) -> DataFrame:
     """Synthesize REAL 16-bit PCM WAV payloads with CLOSED-FORM energy
     structure — the planted corpus for the audio energy gate. Clip i has
@@ -721,7 +722,12 @@ def attach_patterned_audio(
     (amplitude 0), every interior window has amplitude ``i % 300 + 600``
     — so an oracle can state every window's sum of squares
     (frames·amp²), RMS, and the trim bounds directly from (i, w) without
-    replaying the codec. Same Arrow mapInPandas shape as the codecs."""
+    replaying the codec. ``interior_pause=True`` additionally silences
+    window ``3 + i % 2`` on clips with ``i % 4 == 0`` (always strictly
+    inside the non-silent run), planting the split point the
+    silence-segmentation family needs; off by default so the energy-gate
+    oracles keep their original closed form. Same Arrow mapInPandas
+    shape as the codecs."""
     import pandas as pd
 
     schema = (
@@ -738,9 +744,10 @@ def attach_patterned_audio(
                 i = int(i)
                 lead, trail = i % 3, i % 2
                 amp = i % 300 + 600
+                pause = 3 + i % 2 if (interior_pause and i % 4 == 0) else -1
                 samples: list[int] = []
                 for w in range(n_windows):
-                    a = 0 if (w < lead or w >= n_windows - trail) else amp
+                    a = 0 if (w < lead or w >= n_windows - trail or w == pause) else amp
                     samples.extend([a] * frames_per_window)
                 payload = encode_wav(sample_rate, samples)
                 meta = ("audio", "wav", None, None, sample_rate, total, total / sample_rate)
@@ -1936,4 +1943,41 @@ def equalize_histogram(
         .withColumn("levels_before", levels(F.col(hist_col)))
         .withColumn("levels_after", levels(F.col("hist_eq")))
         .drop("_cdf", "_cmin", "_map")
+    )
+
+
+def split_on_silence(
+    energy: DataFrame,
+    id_col: str = "clip_id",
+    win_col: str = "win_idx",
+    silent_col: str = "silent",
+) -> DataFrame:
+    """Silence-split segmentation over an `audio_energy_gate` window
+    table — pydub's ``split_on_silence`` / the VAD segmenter every
+    ASR-prep pipeline runs (Whisper-style pipelines chunk on exactly
+    this): maximal runs of consecutive NON-silent windows become
+    segments. The run detection is the gaps-and-islands identity
+    ``win_idx − row_number()`` (the `spatial_islands` discipline —
+    consecutive windows share the key, a silent gap shifts it); the
+    per-clip segment ids then rank by start window. Two windows on ONE
+    clip-keyed partitioning, no Arrow, no re-decode. Returns
+    (id, seg_id, start_win, end_win, n_windows)."""
+    w = Window.partitionBy(id_col).orderBy(win_col)
+    runs = (
+        energy.where(~F.col(silent_col))
+        .withColumn("_k", F.col(win_col) - F.row_number().over(w))
+        .groupBy(id_col, "_k")
+        .agg(
+            F.min(win_col).cast("bigint").alias("start_win"),
+            F.max(win_col).cast("bigint").alias("end_win"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+    )
+    w2 = Window.partitionBy(id_col).orderBy("start_win")
+    return runs.select(
+        id_col,
+        (F.row_number().over(w2) - 1).cast("bigint").alias("seg_id"),
+        "start_win",
+        "end_win",
+        "n_windows",
     )

@@ -17209,3 +17209,45 @@ def q_equalize_hist_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hist_eq"
         ),
     )
+
+
+@_q(
+    "audio_silence_segments",
+    """
+    WITH c AS (
+      SELECT doc_id AS clip_id, doc_id % 3 AS lead, doc_id % 2 AS trail,
+             CASE WHEN doc_id % 4 = 0 THEN 3 + doc_id % 2 ELSE -1 END AS pause
+      FROM documents
+    )
+    SELECT clip_id, CAST(0 AS BIGINT) AS seg_id,
+           CAST(lead AS BIGINT) AS start_win,
+           CAST(CASE WHEN pause >= 0 THEN pause - 1 ELSE 7 - trail END AS BIGINT)
+             AS end_win,
+           CAST(CASE WHEN pause >= 0 THEN pause - lead
+                     ELSE 8 - lead - trail END AS BIGINT) AS n_windows
+    FROM c
+    UNION ALL
+    SELECT clip_id, CAST(1 AS BIGINT),
+           CAST(pause + 1 AS BIGINT),
+           CAST(7 - trail AS BIGINT),
+           CAST(7 - trail - pause AS BIGINT)
+    FROM c WHERE pause >= 0
+    """,
+)
+def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-split segmentation (operators/multimodal.py::
+    split_on_silence — the pydub/ASR-prep chunker) through the real
+    codec: clips with an interior pause planted (doc_id%4) split into
+    exactly two segments around it, others keep one trimmed run; the
+    oracle states every segment's bounds and width closed-form from
+    the lead/trail/pause arithmetic — the islands key, the windows,
+    and the energy gate all verified end to end."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_audio,
+        audio_energy_gate,
+        split_on_silence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("clip_id"))
+    media = attach_patterned_audio(docs, id_col="clip_id", interior_pause=True)
+    return split_on_silence(audio_energy_gate(media, id_col="clip_id"))

@@ -1851,3 +1851,44 @@ def test_equalize_histogram_reference(spark):
         assert r.levels_after == sum(1 for c in eq if c > 0)
     assert list(got[0].hist_eq)[15] == 2 and list(got[0].hist_eq)[0] == 62
     assert got[1].levels_after == 1
+
+
+def test_split_on_silence_islands(spark):
+    """Silence splitting on hand window tables: multiple pauses yield
+    multiple segments with exact bounds; an all-silent clip yields no
+    rows; adjacent non-silent windows never split; seg ids rank by
+    start; energy-gate compatibility (pause plants through the codec)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_audio,
+        audio_energy_gate,
+        split_on_silence,
+    )
+
+    rows = []
+    # clip 0: silent at 2 and 5 -> segments [0,1], [3,4], [6,7]
+    for w in range(8):
+        rows.append((0, w, w in (2, 5)))
+    # clip 1: all silent -> nothing
+    for w in range(8):
+        rows.append((1, w, True))
+    df = spark.createDataFrame(rows, "clip_id long, win_idx long, silent boolean")
+    out = {
+        (r.clip_id, r.seg_id): (r.start_win, r.end_win, r.n_windows)
+        for r in split_on_silence(df).collect()
+    }
+    assert out[(0, 0)] == (0, 1, 2)
+    assert out[(0, 1)] == (3, 4, 2)
+    assert out[(0, 2)] == (6, 7, 2)
+    assert not any(cid == 1 for cid, _ in out)
+
+    # through the real codec: clip 4 (lead 1, trail 0, pause at 3)
+    media = attach_patterned_audio(
+        spark.createDataFrame([(4,)], "clip_id long"), interior_pause=True
+    )
+    segs = {
+        r.seg_id: (r.start_win, r.end_win)
+        for r in split_on_silence(
+            audio_energy_gate(media, id_col="clip_id")
+        ).collect()
+    }
+    assert segs == {0: (1, 2), 1: (4, 7)}

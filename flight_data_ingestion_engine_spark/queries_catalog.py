@@ -17251,3 +17251,81 @@ def q_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("clip_id"))
     media = attach_patterned_audio(docs, id_col="clip_id", interior_pause=True)
     return split_on_silence(audio_energy_gate(media, id_col="clip_id"))
+
+
+def _html_tables_sql() -> str:
+    """Oracle for the table flattener: the same lazy-quantifier
+    patterns, three zipped-unnest levels (DuckDB's positional unnest
+    zip is the posexplode twin), cell cleanup via `_html_clean_sql`."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             '<p>intro</p><table><tr><th>Name</th><th>Qty &amp; unit</th></tr>'
+             || '<tr><td>item' || CAST(doc_id AS VARCHAR)
+             || '</td><td><b>' || CAST(doc_id % 10 AS VARCHAR) || '</b> kg</td></tr>'
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<tr><td colspan="2">note  line</td></tr>' ELSE '' END
+             || '</table>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<TABLE><TR><TD>second</TD></TR></TABLE>' ELSE '' END
+             AS html
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(range(len(regexp_extract_all(html, '(?is)<table\\b[^>]*>(.*?)</table>', 1)))) AS table_idx,
+             unnest(regexp_extract_all(html, '(?is)<table\\b[^>]*>(.*?)</table>', 1)) AS tbl
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, table_idx,
+             unnest(range(len(regexp_extract_all(tbl, '(?is)<tr\\b[^>]*>(.*?)</tr>', 1)))) AS row_idx,
+             unnest(regexp_extract_all(tbl, '(?is)<tr\\b[^>]*>(.*?)</tr>', 1)) AS rw
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, table_idx, row_idx,
+             unnest(range(len(regexp_extract_all(rw, '(?is)<(t[dh])\\b[^>]*>(.*?)</t[dh]>', 1)))) AS col_idx,
+             unnest(regexp_extract_all(rw, '(?is)<(t[dh])\\b[^>]*>(.*?)</t[dh]>', 1)) AS tag,
+             unnest(regexp_extract_all(rw, '(?is)<(t[dh])\\b[^>]*>(.*?)</t[dh]>', 2)) AS body
+      FROM r
+    )
+    SELECT doc_id, CAST(table_idx AS INT) AS table_idx,
+           CAST(row_idx AS INT) AS row_idx, CAST(col_idx AS INT) AS col_idx,
+           lower(tag) = 'th' AS is_header,
+           {_html_clean_sql('body')} AS cell
+    FROM c
+    """
+
+
+@_q("html_tables_docs", _html_tables_sql())
+def q_html_tables_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table flattening (operators/html.py::html_tables — the
+    WikiTables/TaPas-line web-table extraction) over synthesized pages
+    (a header+data table per doc, a colspan note row on %4, a second
+    UPPERCASE table on %3, entities and inline tags in cells): every
+    (table, row, col) index, the th/td header flag, and the cleaned
+    cell text replay through the same lazy patterns and the shared
+    clean-text chain."""
+    from flight_data_ingestion_engine_spark.operators.html import html_tables
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>intro</p><table><tr><th>Name</th><th>Qty &amp; unit</th></tr>"),
+            F.lit("<tr><td>item"),
+            d.cast("string"),
+            F.lit("</td><td><b>"),
+            (d % 10).cast("string"),
+            F.lit("</b> kg</td></tr>"),
+            F.when(
+                d % 4 == 0, F.lit('<tr><td colspan="2">note  line</td></tr>')
+            ).otherwise(F.lit("")),
+            F.lit("</table>"),
+            F.when(
+                d % 3 == 0, F.lit("<TABLE><TR><TD>second</TD></TR></TABLE>")
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    return html_tables(docs)

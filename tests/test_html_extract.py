@@ -265,3 +265,33 @@ def test_meta_robots_flags_cases(spark):
     assert out[5].meta_noindex and out[5].meta_nofollow  # union across tags
     assert not out[6].meta_noindex and out[6].indexable
     assert not out[7].meta_noindex  # name != robots
+
+
+def test_html_tables_flattening(spark):
+    """Table flattening: mixed th/td, uppercase tags, entities and
+    inline markup in cells, multiple tables indexed in order, the
+    nested-table lite behavior pinned (inner flattens into outer's
+    first close), tableless docs yield nothing."""
+    from flight_data_ingestion_engine_spark.operators.html import html_tables
+
+    rows = [
+        (0, '<table><tr><th>A</th><td>b &amp; c</td></tr><tr><td><i>x</i></td></tr></table>'),
+        (1, "no tables at all"),
+        (2, "<TABLE><TR><TD>caps</TD></TR></TABLE><table><tr><td>two</td></tr></table>"),
+        # nested: the outer table's match stops at the INNER close (lite)
+        (3, "<table><tr><td>o<table><tr><td>i</td></tr></table></td></tr></table>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {
+        (r.doc_id, r.table_idx, r.row_idx, r.col_idx): r
+        for r in html_tables(df).collect()
+    }
+
+    assert out[(0, 0, 0, 0)].is_header and out[(0, 0, 0, 0)].cell == "A"
+    assert not out[(0, 0, 0, 1)].is_header and out[(0, 0, 0, 1)].cell == "b & c"
+    assert out[(0, 0, 1, 0)].cell == "x"
+    assert not any(k[0] == 1 for k in out)
+    assert out[(2, 0, 0, 0)].cell == "caps" and out[(2, 1, 0, 0)].cell == "two"
+    # lite nested behavior: one row, cell text is the flattened inner
+    nested = [k for k in out if k[0] == 3]
+    assert len(nested) == 1 and out[nested[0]].cell == "o i"

@@ -380,3 +380,75 @@ def haar_dwt(
         F.lit(None).cast("bigint").alias("detail"),
     )
     return out.unionByName(final)
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint estimation (Page 1954; the standard
+    single-changepoint locator every pipeline-monitoring stack runs on
+    its daily volumes/quality scores) — in EXACT integer arithmetic:
+    for a per-group series x_1..x_n (BIGINT values; counts, scaled
+    scores), the mean-centered cumulative sum at position t is
+    S_t − t·(T/n); scaling by n gives
+
+        D_t = n·S_t − t·T
+
+    (all bigint — no rational mean ever materializes), and the
+    estimated changepoint is ``argmax_t |D_t|`` with the LOWEST t on
+    ties (max over the lexicographic struct (|D|, −t): exact, no float
+    enters at any step). |D|/n is the classic CUSUM statistic if a
+    float is wanted downstream.
+
+    One per-group ordered window (prefix sums) + one keyed agg that
+    reuses the window's partitioning. Returns
+    (group…, n, total, cp_pos, cp_stat_scaled, direction) where
+    cp_pos is the 1-based position, cp_stat_scaled = |D| at the
+    changepoint, and direction says which side the level SHIFTS TO
+    after the point (+1 = up, −1 = down, 0 = flat series)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("bigint")
+    pre = (
+        df.withColumn("_s", F.sum(x).over(w))
+        .withColumn("_t", F.count(F.lit(1)).over(w))
+    )
+    tot = Window.partitionBy(*group_cols)
+    pre = pre.withColumn("_n", F.count(F.lit(1)).over(tot)).withColumn(
+        "_tot", F.sum(x).over(tot)
+    )
+    d = F.col("_n") * F.col("_s") - F.col("_t") * F.col("_tot")
+    scored = pre.withColumn("_d", d)
+    best = scored.groupBy(*group_cols).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max("_tot").cast("bigint").alias("total"),
+        F.max(
+            F.struct(
+                F.abs(F.col("_d")).alias("a"),
+                (-F.col("_t")).alias("negt"),
+                F.col("_t").alias("t"),
+                F.col("_d").alias("d"),
+            )
+        ).alias("_b"),
+    )
+    return best.select(
+        *group_cols,
+        "n",
+        "total",
+        F.col("_b")["t"].cast("bigint").alias("cp_pos"),
+        F.col("_b")["a"].cast("bigint").alias("cp_stat_scaled"),
+        # D_cp < 0 -> prefix below the mean -> the series shifts UP after
+        F.when(F.col("_b")["d"] < 0, F.lit(1))
+        .when(F.col("_b")["d"] > 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("direction"),
+    )

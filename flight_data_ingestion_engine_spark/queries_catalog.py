@@ -17329,3 +17329,56 @@ def q_html_tables_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return html_tables(docs)
+
+
+@_q(
+    "cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+      SELECT event_type, day, x,
+             CAST(SUM(x) OVER w AS BIGINT) AS s,
+             CAST(COUNT(*) OVER w AS BIGINT) AS t,
+             CAST(COUNT(*) OVER g AS BIGINT) AS n,
+             CAST(SUM(x) OVER g AS BIGINT) AS tot
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING),
+             g AS (PARTITION BY event_type)
+    ),
+    scored AS (
+      SELECT event_type, n, tot, t, n * s - t * tot AS d
+      FROM pre
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(d) DESC, t ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type, n, tot AS total,
+           CAST(t AS BIGINT) AS cp_pos,
+           CAST(abs(d) AS BIGINT) AS cp_stat_scaled,
+           CAST(CASE WHEN d < 0 THEN 1 WHEN d > 0 THEN -1 ELSE 0 END AS INT)
+             AS direction
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator (operators/temporal.py::
+    cusum_changepoint — Page 1954, the pipeline-drift monitor) over
+    per-type daily event counts: the scaled deviation D_t = n·S_t −
+    t·T stays bigint end to end (no rational mean), the argmax uses
+    the exact lexicographic (|D|, −t) rule on both engines."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    return cusum_changepoint(daily, ["event_type"], "day", "x")

@@ -184,3 +184,44 @@ def test_haar_dwt_hand_values_and_lossless_inverse(spark):
 
     with _pt.raises(ValueError, match="levels"):
         haar_dwt(df, ["g"], "i", "v", levels=0)
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """CUSUM: a planted level shift is located exactly (last position
+    of the low regime), direction says which way the level moves,
+    a flat series reports direction 0 with the lowest-t tie, and an
+    independent integer reference agrees on every group."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    # group a: 10,10,10,10,30,30,30,30 -> cp at position 4, shift up
+    for i, v in enumerate([10, 10, 10, 10, 30, 30, 30, 30]):
+        rows.append(("a", i, v))
+    # group b: mirrored -> shift down at position 4
+    for i, v in enumerate([30, 30, 30, 30, 10, 10, 10, 10]):
+        rows.append(("b", i, v))
+    # group c: flat
+    for i in range(6):
+        rows.append(("c", i, 7))
+    df = spark.createDataFrame(rows, "grp string, t long, x long")
+    out = {r.grp: r for r in cusum_changepoint(df, ["grp"], "t", "x").collect()}
+
+    assert out["a"].cp_pos == 4 and out["a"].direction == 1
+    assert out["b"].cp_pos == 4 and out["b"].direction == -1
+    assert out["c"].direction == 0 and out["c"].cp_pos == 1  # lowest-t tie
+    assert out["a"].cp_stat_scaled == abs(8 * 40 - 4 * 160)
+
+    # independent reference
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for g, t, v in rows:
+        series[g].append(v)
+    for g, xs in series.items():
+        n, tot = len(xs), sum(xs)
+        best = max(
+            ((abs(n * sum(xs[:t]) - t * tot), -t, t) for t in range(1, n + 1)),
+        )
+        assert out[g].cp_pos == best[2] and out[g].cp_stat_scaled == best[0]

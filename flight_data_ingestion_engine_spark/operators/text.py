@@ -201,7 +201,7 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 # for the dedup decision.
 # ---------------------------------------------------------------------------
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, sort_params: bool = False) -> Column:
     """Canonical form of a URL — the dedup key. Deterministic rewrite
     chain (each step a regexp over the scan, no UDF):
 
@@ -210,7 +210,11 @@ def canonical_url(url: Column) -> Column:
     3. HOST: lowercase, strip one leading `www.`, strip default `:80`/`:443`;
     4. REST: drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`) with
        their values, then collapse leftover `?&`/`&&` and trailing `?`/`&`;
-    5. strip ONE trailing `/` from a non-root path; empty path → `/`.
+    5. strip ONE trailing `/` from a non-root path; empty path → `/`;
+    6. with ``sort_params=True``, sort the surviving query params
+       lexicographically (the RefinedWeb rule — `?a=1&b=2` and
+       `?b=2&a=1` select the same content and must collide; off by
+       default because some endpoints ARE order-sensitive).
 
     Non-tracking query params are KEPT (they usually select content);
     the tracking list is the small public core — extend by composing
@@ -232,6 +236,10 @@ def canonical_url(url: Column) -> Column:
     )
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&+|&+$", "")
+    if sort_params:
+        query = F.array_join(
+            F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+        )
     return F.concat(
         host, path, F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query))
     )

@@ -17382,3 +17382,50 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
     return cusum_changepoint(daily, ["event_type"], "day", "x")
+
+
+@_q(
+    "url_sorted_params_dedup",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             'host' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id % 20 AS VARCHAR)
+               || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&b=' || CAST(doc_id % 2 AS VARCHAR) AS canon
+      FROM documents
+    )
+    SELECT doc_id, canon AS canonical_url,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canon) AS keep
+    FROM c
+    """,
+)
+def q_url_sorted_params_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Param-order-insensitive URL canonicalization (operators/text.py::
+    canonical_url(sort_params=True) — the RefinedWeb rule): each doc's
+    URL carries (a, b, utm_source) params in an ORDER that flips on
+    odd ids plus scheme/WWW/case noise; the sorted canonical collapses
+    both orders onto one closed-form key (tracking param dropped, a
+    before b), and the min-id dedup survivor replays over that key."""
+    from flight_data_ingestion_engine_spark.operators.text import canonical_url
+
+    d = F.col("doc_id")
+    a = F.concat(F.lit("a="), (d % 3).cast("string"))
+    b = F.concat(F.lit("b="), (d % 2).cast("string"))
+    first = F.when(d % 2 == 0, a).otherwise(b)
+    second = F.when(d % 2 == 0, b).otherwise(a)
+    url = F.concat(
+        F.lit("https://WWW.Host"),
+        (d % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        (d % 20).cast("string"),
+        F.lit("?"),
+        first,
+        F.lit("&utm_source=x&"),
+        second,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", canonical_url(url, sort_params=True).alias("canonical_url")
+    )
+    w = Window.partitionBy("canonical_url")
+    return docs.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))

@@ -1892,3 +1892,32 @@ def test_split_on_silence_islands(spark):
         ).collect()
     }
     assert segs == {0: (1, 2), 1: (4, 7)}
+
+
+def test_canonical_url_sort_params(spark):
+    """sort_params: permuted param orders collide; default order stays
+    order-sensitive (documented); empty query and single param are
+    stable; tracking removal composes with sorting."""
+    from flight_data_ingestion_engine_spark.operators.text import canonical_url
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "https://x.com/p?b=2&a=1"),
+        (1, "https://x.com/p?a=1&b=2"),
+        (2, "https://x.com/p?a=1&utm_source=t&b=2"),
+        (3, "https://x.com/p"),
+        (4, "https://x.com/p?only=1"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    srt = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url"), sort_params=True).alias("c")).collect()
+    }
+    assert srt[0] == srt[1] == srt[2] == "x.com/p?a=1&b=2"
+    assert srt[3] == "x.com/p" and srt[4] == "x.com/p?only=1"
+
+    plain = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert plain[0] != plain[1]  # default keeps order sensitivity

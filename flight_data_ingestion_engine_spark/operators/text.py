@@ -1538,3 +1538,67 @@ def reference_extract(
             (F.col("n_dois") > 0) | (F.col("n_arxiv") > 0) | (F.col("n_urls") > 0),
         )
     )
+
+
+# Script blocks by explicit codepoint range — NOT \p{script} classes,
+# whose NAMES diverge between Java (\p{IsCyrillic}) and RE2
+# (\p{Cyrillic}); ranges behave identically everywhere.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("cjk", r"[぀-ヿ一-鿿가-힯]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_shares(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode script-mix signals — the composition statistic the
+    multilingual curation lines log per document (Dolma's and OSCAR's
+    audit tables carry exactly this; a 'French' doc that is 40% CJK is
+    a mislabel or an injection): per script block, the character count
+    and share of NON-SPACE characters, plus `dominant_script` (ties →
+    the table's order via strict >) and `script_mix` (a second block
+    holds ≥ 10% — the TR39-adjacent mixed-content signal at doc grain,
+    complementing `confusable_skeleton`'s per-glyph flag).
+
+    Blocks are explicit codepoint ranges (Java ∩ RE2 agree on ranges;
+    \\p{script} NAMES diverge between the engines, documented on
+    `SCRIPT_RANGES`). One zero-shuffle regex projection."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    out = df.withColumn("n_chars", nonspace.cast("bigint"))
+    for name, pat in SCRIPT_RANGES:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint"),
+        )
+    shares = [
+        (
+            name,
+            F.when(
+                F.col("n_chars") > 0,
+                F.col(f"n_{name}").cast("double") / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        for name, _ in SCRIPT_RANGES
+    ]
+    for name, sh in shares:
+        out = out.withColumn(f"share_{name}", sh)
+    dom = F.lit("other")
+    best = F.lit(0.0)
+    # forward fold with strict >: the first set entry survives ties,
+    # so equal shares resolve to the EARLIEST table entry
+    for name, _ in SCRIPT_RANGES:
+        cond = F.col(f"share_{name}") > best
+        dom = F.when(cond, F.lit(name)).otherwise(dom)
+        best = F.when(cond, F.col(f"share_{name}")).otherwise(best)
+    out = out.withColumn("dominant_script", dom)
+    n_big = sum(
+        (F.col(f"share_{name}") >= 0.1).cast("int") for name, _ in SCRIPT_RANGES
+    )
+    return out.withColumn("script_mix", n_big >= 2)

@@ -17429,3 +17429,86 @@ def q_url_sorted_params_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("canonical_url")
     return docs.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+def _script_shares_sql() -> str:
+    """Oracle for the script-mix signals: counts from the SAME explicit
+    codepoint ranges (`SCRIPT_RANGES` — generated here, never retyped),
+    shares as the same guarded division, dominant = the FIRST table
+    entry achieving the positive max (exactly the operator's
+    first-set-wins fold), mix = two blocks ≥ 10%."""
+    from flight_data_ingestion_engine_spark.operators.text import SCRIPT_RANGES
+
+    counts = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_RANGES
+    )
+    shares = ",\n           ".join(
+        f"CASE WHEN n_chars > 0 THEN CAST(n_{name} AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS share_{name}"
+        for name, _ in SCRIPT_RANGES
+    )
+    share_list = ", ".join(f"share_{name}" for name, _ in SCRIPT_RANGES)
+    dom_cases = "\n                ".join(
+        f"WHEN share_{name} = m THEN '{name}'" for name, _ in SCRIPT_RANGES
+    )
+    big = " + ".join(
+        f"CASE WHEN share_{name} >= 0.1 THEN 1 ELSE 0 END"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' ' || repeat('привет мир ', 40) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ' || repeat('日本語', 20) ELSE '' END AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+             {counts}
+      FROM d
+    ),
+    s AS (
+      SELECT *,
+           {shares}
+      FROM c
+    ),
+    m AS (SELECT *, GREATEST({share_list}) AS m FROM s)
+    SELECT * EXCLUDE (m),
+           CASE WHEN m <= 0 THEN 'other'
+                {dom_cases}
+                ELSE 'other' END AS dominant_script,
+           ({big}) >= 2 AS script_mix
+    FROM m
+    """
+
+
+@_q("script_shares_docs", _script_shares_sql())
+def q_script_shares_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix signals (operators/text.py::script_shares —
+    the Dolma/OSCAR audit statistic) over documents with Cyrillic
+    (%5) and CJK (%7) blocks planted into the Latin corpus: counts
+    replay from the SAME codepoint-range table (generated into the
+    SQL, never retyped), shares are guarded divisions, dominant is
+    the first-entry-achieving-the-max rule (exactly the fold's
+    first-set-wins tiebreak), and doc 0/35/… exercise genuine
+    three-script mixes."""
+    from flight_data_ingestion_engine_spark.operators.text import script_shares
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 5 == 0, F.concat(F.lit(" "), F.repeat(F.lit("привет мир "), 40))
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0, F.concat(F.lit(" "), F.repeat(F.lit("日本語"), 20))
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_shares(docs)

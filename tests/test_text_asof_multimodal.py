@@ -1921,3 +1921,33 @@ def test_canonical_url_sort_params(spark):
         for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
     }
     assert plain[0] != plain[1]  # default keeps order sensitivity
+
+
+def test_script_shares_rules(spark):
+    """Script shares: pure-script docs get share 1.0 and the right
+    dominant; a genuine mix flags script_mix; digits-only resolves to
+    the digit block; empty text is 'other' with no mix; ties resolve
+    to the earliest table entry; accented Latin counts as latin."""
+    from flight_data_ingestion_engine_spark.operators.text import script_shares
+
+    rows = [
+        (0, "hello world"),
+        (1, "привет мир"),
+        (2, "hello мир"),
+        (3, "12345"),
+        (4, ""),
+        (5, "日本語のテキスト"),
+        (6, "héllo café"),          # accented latin
+        (7, "ab ыы"),               # exact 2-2 tie -> latin (earlier entry)
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r for r in script_shares(df).collect()}
+
+    assert out[0].dominant_script == "latin" and out[0].share_latin == 1.0
+    assert out[1].dominant_script == "cyrillic" and not out[1].script_mix
+    assert out[2].script_mix and out[2].dominant_script == "latin"
+    assert out[3].dominant_script == "digit"
+    assert out[4].dominant_script == "other" and not out[4].script_mix
+    assert out[5].dominant_script == "cjk" and out[5].share_cjk == 1.0
+    assert out[6].share_latin == 1.0
+    assert out[7].dominant_script == "latin" and out[7].script_mix

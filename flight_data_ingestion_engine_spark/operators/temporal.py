@@ -452,3 +452,47 @@ def cusum_changepoint(
         .cast("int")
         .alias("direction"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: list[str],
+    season_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal-naive decomposition (the classical additive
+    seasonal-means model — the first pass of every volume-monitoring
+    stack before fancier STL): for integer series values x with a
+    caller-supplied season key (day-of-week, hour-of-day — pass the
+    expression as a column so the calendar convention is explicit and
+    engine-portable),
+
+        seasonal_mean(g, s) = Σx / n   over the (group, season) cell,
+        seasonal_index      = seasonal_mean − grand_mean(g),
+        residual            = x − seasonal_mean,
+
+    with every Σ an exact bigint and every mean a SINGLE IEEE division
+    (the decimal-intermediate discipline: no float accumulates). The
+    residual is the deseasonalized signal drift detectors (e.g.
+    `cusum_changepoint`) should consume — raw daily counts trip on
+    weekends. Two k-row aggs broadcast back onto the scan. Returns the
+    input plus (seasonal_mean, seasonal_index, residual)."""
+    x = F.col(value_col).cast("bigint")
+    cell = df.groupBy(*group_cols, season_col).agg(
+        F.sum(x).cast("bigint").alias("_cs"),
+        F.count(F.lit(1)).cast("bigint").alias("_cn"),
+    )
+    grand = df.groupBy(*group_cols).agg(
+        F.sum(x).cast("bigint").alias("_gs"),
+        F.count(F.lit(1)).cast("bigint").alias("_gn"),
+    )
+    smean = F.col("_cs").cast("double") / F.col("_cn").cast("double")
+    gmean = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    return (
+        df.join(F.broadcast(cell), [*group_cols, season_col])
+        .join(F.broadcast(grand), group_cols)
+        .withColumn("seasonal_mean", smean)
+        .withColumn("seasonal_index", smean - gmean)
+        .withColumn("residual", x.cast("double") - F.col("seasonal_mean"))
+        .drop("_cs", "_cn", "_gs", "_gn")
+    )

@@ -17512,3 +17512,58 @@ def q_script_shares_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return script_shares(docs)
+
+
+@_q(
+    "seasonal_decompose_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cell AS (
+      SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS cs,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM daily GROUP BY event_type, dow
+    ),
+    grand AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS gs,
+             CAST(COUNT(*) AS BIGINT) AS gn
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.dow, d.x,
+           CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS seasonal_mean,
+           CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+             - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) AS seasonal_index,
+           CAST(d.x AS DOUBLE) - CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+             AS residual
+    FROM daily d
+    JOIN cell ON cell.event_type = d.event_type AND cell.dow = d.dow
+    JOIN grand ON grand.event_type = d.event_type
+    """,
+)
+def q_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition (operators/temporal.py::
+    seasonal_decompose) of per-type daily event counts by
+    day-of-week: the season key is epoch-day mod 7 (explicit and
+    identical on both engines — dayofweek() conventions DIVERGE:
+    Spark 1=Sunday, DuckDB 0=Sunday), sums exact bigint, every mean a
+    single division."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn(
+            "dow",
+            (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).cast(
+                "bigint"
+            ),
+        )
+    )
+    return seasonal_decompose(daily, ["event_type"], "dow", "x")

@@ -225,3 +225,33 @@ def test_cusum_changepoint_planted_shift(spark):
             ((abs(n * sum(xs[:t]) - t * tot), -t, t) for t in range(1, n + 1)),
         )
         assert out[g].cp_pos == best[2] and out[g].cp_stat_scaled == best[0]
+
+
+def test_seasonal_decompose_hand_values(spark):
+    """Seasonal decomposition on a hand series with a known weekly
+    pattern: cell means, indexes, and residuals computed directly;
+    residuals sum to zero per cell; the deseasonalized series exposes
+    the planted anomaly that raw counts hide."""
+    from flight_data_ingestion_engine_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    # two "weeks": weekend (s=1) runs hot at 100, weekdays (s=0) at 10;
+    # one weekday anomaly of 40 hidden below the weekend level
+    rows = [
+        ("a", 0, 0, 10), ("a", 1, 1, 100),
+        ("a", 2, 0, 10), ("a", 3, 1, 100),
+        ("a", 4, 0, 40),  # anomaly
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, season long, x long")
+    out = {r.t: r for r in seasonal_decompose(df, ["grp"], "season", "x").collect()}
+
+    assert out[0].seasonal_mean == 20.0      # (10+10+40)/3
+    assert out[1].seasonal_mean == 100.0
+    assert out[4].residual == 20.0           # the anomaly pops
+    assert out[0].residual == -10.0 and out[2].residual == -10.0
+    # residuals sum to zero within each season cell
+    assert out[0].residual + out[2].residual + out[4].residual == 0.0
+    assert out[1].residual + out[3].residual == 0.0
+    gm = (10 + 100 + 10 + 100 + 40) / 5
+    assert out[1].seasonal_index == 100.0 - gm

@@ -1254,3 +1254,25 @@ def test_wave8_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave10_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the tenth-wave families: tables/scripts ride
+    the scan; segmentation and canonical-dedup spend one keyed window;
+    the monitoring pair shuffles only its daily-rollup series (the
+    corpus reduced first)."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "html_tables_docs": 0,
+        "script_shares_docs": 0,
+        "audio_silence_segments": 2,       # islands windows share the clip key
+        "url_sorted_params_dedup": 1,      # canonical-key window
+        "cusum_changepoints": 3,           # daily rollup + series windows
+        "seasonal_decompose_events": 6,    # rollup + two broadcast agg builds
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

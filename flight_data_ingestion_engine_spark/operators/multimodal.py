@@ -1981,3 +1981,93 @@ def split_on_silence(
         "end_win",
         "n_windows",
     )
+
+
+def decimate_audio(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    factor: int = 2,
+) -> DataFrame:
+    """Integer audio decimation — the resampling step every ASR-prep
+    pipeline runs to land on its model's rate (48k→16k, 16k→8k are
+    integer-factor drops): keep every ``factor``-th sample and
+    re-encode the real 16-bit PCM WAV at ``rate // factor``. This is
+    PLAIN decimation (no anti-alias pre-filter — stated honestly: the
+    pipelines that need one run it as a separate convolution stage;
+    plain decimation is exactly reproducible and is what the oracle
+    can replay sample-for-sample). One Arrow stage; payloads never
+    reach the driver. Returns (id, media_bytes, media_meta) with
+    updated rate/frame metadata — feed it straight back to
+    `audio_spectrogram`/`audio_energy_gate`."""
+    import pandas as pd
+
+    if factor < 1:
+        raise ValueError("decimate_audio: factor must be >= 1")
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            rows = []
+            for i, payload, meta in zip(
+                sub[id_col].astype("int64"), sub[bytes_col], sub[meta_col]
+            ):
+                rate, _, samples = decode_wav(bytes(payload))
+                dec = samples[::factor]
+                new_rate = max(rate // factor, 1)
+                out = encode_wav(new_rate, dec)
+                m = (
+                    "audio",
+                    "wav",
+                    None,
+                    None,
+                    new_rate,
+                    len(dec),
+                    len(dec) / new_rate,
+                )
+                rows.append((int(i), out, m))
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+def audio_samples(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Waveform extraction: decoded PCM samples as one row each —
+    (id, sample_idx, value, sample_rate). The relational face of the
+    WAV payloads for ad-hoc analysis and for verifying transforms
+    (decimation, trimming) sample-for-sample. One Arrow stage."""
+    import pandas as pd
+
+    schema = f"{id_col} bigint, sample_idx bigint, value bigint, sample_rate int"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            rows = []
+            for i, payload in zip(sub[id_col].astype("int64"), sub[bytes_col]):
+                rate, _, samples = decode_wav(bytes(payload))
+                rows.extend(
+                    (int(i), j, int(v), rate) for j, v in enumerate(samples)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_idx", "value", "sample_rate"]
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)

@@ -17567,3 +17567,34 @@ def q_seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(daily, ["event_type"], "dow", "x")
+
+
+@_q(
+    "audio_decimate_samples",
+    _dft_corpus_sql(False)
+    + """
+    SELECT s.clip_id,
+           CAST((s.f * 16 + s.t) / 2 AS BIGINT) AS sample_idx,
+           CAST(s.x AS BIGINT) AS value,
+           CAST(4000 AS INT) AS sample_rate
+    FROM samples s
+    WHERE (s.f * 16 + s.t) % 2 = 0
+    """,
+)
+def q_audio_decimate_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer decimation through the real codec (operators/
+    multimodal.py::decimate_audio + audio_samples): the tonal clips
+    drop to every second sample at half the rate; the oracle selects
+    exactly the even global sample indexes from the inlined cosine
+    table — every surviving sample value, its new index, and the new
+    rate replay closed-form, so an off-by-one or a re-encode bug
+    mismatches."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_samples,
+        decimate_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return audio_samples(decimate_audio(media, factor=2))

@@ -2071,3 +2071,44 @@ def audio_samples(
             )
 
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
+# Magic-byte signatures, hex-encoded prefix -> format. Checked in order;
+# longer/more-specific prefixes first (RIFF needs its WAVE tag probed at
+# offset 8, handled specially).
+MAGIC_BYTES: list[tuple[str, str]] = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("25504446", "pdf"),
+    ("504B0304", "zip"),
+    ("1F8B", "gzip"),
+    ("424D", "bmp"),
+]
+
+
+def sniff_format(
+    df: DataFrame,
+    bytes_col: str = "media_bytes",
+    out_col: str = "sniffed_format",
+) -> DataFrame:
+    """Magic-byte format detection — the ingestion guard every
+    crawl-payload pipeline runs BEFORE trusting a Content-Type header
+    (CommonCrawl mislabels are routine; decoding a 'png' that is
+    actually HTML crashes batches): match the payload's hex prefix
+    against the classic signature table, most-specific first; RIFF
+    containers additionally probe the WAVE tag at offset 8 (an AVI is
+    NOT a wav). Unknown prefixes yield 'unknown', NULL/empty payloads
+    NULL — route both to quarantine, never to a decoder. Pure
+    hex-prefix comparisons on the binary column: zero shuffle, and
+    column pruning keeps payload bytes out of every other plan."""
+    b = F.col(bytes_col)
+    head = F.hex(F.substring(b, 1, 8))
+    fmt = F.lit("unknown")
+    for sig, name in reversed(MAGIC_BYTES):
+        fmt = F.when(head.startswith(sig), F.lit(name)).otherwise(fmt)
+    riff = head.startswith("52494646")
+    wave = F.hex(F.substring(b, 9, 4)) == "57415645"
+    fmt = F.when(riff & wave, F.lit("wav")).when(riff, F.lit("riff")).otherwise(fmt)
+    fmt = F.when(b.isNull() | (F.octet_length(b) == 0), F.lit(None)).otherwise(fmt)
+    return df.withColumn(out_col, fmt)

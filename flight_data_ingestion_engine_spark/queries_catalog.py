@@ -17598,3 +17598,52 @@ def q_audio_decimate_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
     media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
     return audio_samples(decimate_audio(media, factor=2))
+
+
+def _sniff_payloads():
+    """Build-time hex payloads for the sniffing oracle: REAL codec
+    outputs for bmp/wav (so the claim 'our encoders carry the right
+    magic' is tested), classic prefixes for the rest."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    return [
+        ("png", b"\x89PNG\r\n\x1a\n0000".hex()),
+        ("jpeg", b"\xff\xd8\xff\xe0JFIF".hex()),
+        ("bmp", encode_bmp(2, 2, [0, 64, 128, 255]).hex()),
+        ("wav", encode_wav(8000, [1, -2, 3]).hex()),
+        ("riff", b"RIFF0000AVI LIST".hex()),
+        ("unknown", b"<html>not media".hex()),
+    ]
+
+
+@_q(
+    "sniff_format_payloads",
+    f"""
+    SELECT doc_id,
+           CASE doc_id % 6
+             {' '.join(f"WHEN {i} THEN '{name}'" for i, (name, _) in enumerate(_sniff_payloads()))}
+           END AS sniffed_format
+    FROM documents
+    """,
+)
+def q_sniff_format_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniffing (operators/multimodal.py::sniff_format — the
+    ingestion guard against mislabeled crawl payloads): each doc
+    carries one of six payloads by residue — REAL encode_bmp/encode_wav
+    outputs (proving the engine's own codecs carry the right magic),
+    PNG/JPEG prefixes, a RIFF-but-not-WAVE container, and HTML junk —
+    and the oracle states the verdicts closed-form."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import sniff_format
+
+    d = F.col("doc_id")
+    payloads = _sniff_payloads()
+    expr = F.unhex(F.lit(payloads[-1][1]))
+    for i in range(len(payloads) - 2, -1, -1):
+        expr = F.when(d % 6 == i, F.unhex(F.lit(payloads[i][1]))).otherwise(expr)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", expr.alias("media_bytes")
+    )
+    return sniff_format(docs).select("doc_id", "sniffed_format")

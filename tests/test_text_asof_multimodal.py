@@ -1989,3 +1989,36 @@ def test_decimate_audio_roundtrip(spark):
 
     with _pt.raises(ValueError, match="factor"):
         decimate_audio(media, factor=0)
+
+
+def test_sniff_format_magic_bytes(spark):
+    """Sniffing: every table signature resolves; real codec outputs
+    carry their magic; RIFF-not-WAVE is riff, not wav; truncated
+    2-byte gzip prefix still matches; unknown and NULL/empty routes."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        sniff_format,
+    )
+
+    rows = [
+        (0, bytearray(b"\x89PNG\r\n\x1a\nxx")),
+        (1, bytearray(b"\xff\xd8\xff\xe1Exif")),
+        (2, bytearray(b"GIF89a")),
+        (3, bytearray(b"%PDF-1.7")),
+        (4, bytearray(b"PK\x03\x04zipdata")),
+        (5, bytearray(b"\x1f\x8b")),
+        (6, bytearray(encode_bmp(2, 2, [9, 9, 9, 9]))),
+        (7, bytearray(encode_wav(8000, [0]))),
+        (8, bytearray(b"RIFF1234AVI ")),
+        (9, bytearray(b"plain text")),
+        (10, bytearray(b"")),
+        (11, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, media_bytes binary")
+    out = {r.i: r.sniffed_format for r in sniff_format(df).collect()}
+    want = {
+        0: "png", 1: "jpeg", 2: "gif", 3: "pdf", 4: "zip", 5: "gzip",
+        6: "bmp", 7: "wav", 8: "riff", 9: "unknown", 10: None, 11: None,
+    }
+    assert out == want

@@ -1930,3 +1930,72 @@ def optimal_lsh_params(
             best = (err, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_cap: int = 8,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Jaccard-CONTAINMENT near-superset detection — the metric LSH
+    Ensemble targets (Zhu et al. 2016) and the dedup case plain
+    Jaccard misses: a short document quoted whole inside a long one
+    scores low symmetric Jaccard but containment
+
+        C(a→b) = |G_a ∩ G_b| / |G_a|
+
+    ≈ 1 (G = the doc's DISTINCT word n-gram set). Candidates come
+    from RARE grams (corpus df ≤ `df_cap` — the `rouge_l_pairs`
+    blocking: pair volume is Σ df² over rare grams, never all-pairs);
+    a contained doc shares ALL its grams with its container, so any
+    of its rare grams surfaces the pair — the miss case (every shared
+    gram common) is the same documented blocking tradeoff as ROUGE.
+    The verify is EXACT: candidate pairs re-join both docs' full gram
+    sets and count the intersection; the one division closes it.
+    Returns directed (src_id, dst_id, shared, n_src, containment)
+    with containment ≥ threshold, both directions emitted (the short
+    side scores high; the container's own score stays honest)."""
+    if n < 1:
+        raise ValueError("containment_pairs: n must be >= 1")
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError("containment_pairs: min_containment must be in (0, 1]")
+    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                    lambda t: t != "")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("_d"), F.explode(grams_arr).alias("gram"))
+    sizes = g.groupBy("_d").agg(F.count(F.lit(1)).cast("bigint").alias("n_src"))
+    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    rare = g.join(gdf.where(F.col("_df") <= df_cap), "gram")
+    cand = (
+        rare.alias("x")
+        .join(rare.alias("y"), "gram")
+        .where(F.col("x._d") != F.col("y._d"))
+        .select(F.col("x._d").alias("src_id"), F.col("y._d").alias("dst_id"))
+        .distinct()
+    )
+    shared = (
+        cand.join(g.select(F.col("_d").alias("src_id"), "gram"), "src_id")
+        .join(g.select(F.col("_d").alias("dst_id"), "gram"), ["dst_id", "gram"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("_d", "src_id"), "src_id")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.col("n_src").cast("double"),
+        )
+        .where(F.col("containment") >= F.lit(float(min_containment)))
+    )
+    return out.select("src_id", "dst_id", "shared", "n_src", "containment")

@@ -17647,3 +17647,78 @@ def q_sniff_format_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", expr.alias("media_bytes")
     )
     return sniff_format(docs).select("doc_id", "sniffed_format")
+
+
+@_q(
+    "containment_dedup_pairs",
+    r"""
+    WITH base AS (
+      SELECT a.doc_id,
+             CASE WHEN a.doc_id % 9 = 0 AND b.text IS NOT NULL
+                  THEN array_to_string(
+                         list_filter(regexp_split_to_array(b.text, '\s+'),
+                                     x -> x <> '')[1:15], ' ')
+                  ELSE COALESCE(a.text, '') END AS text
+      FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM base
+    ),
+    g AS (
+      SELECT DISTINCT doc_id AS d,
+             array_to_string(t[u.i + 1:u.i + 3], ' ') AS gram
+      FROM toks, UNNEST(range(GREATEST(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_src FROM g GROUP BY d),
+    gdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram),
+    rare AS (SELECT g.d, g.gram FROM g JOIN gdf USING (gram) WHERE gdf.df <= 8),
+    cand AS (
+      SELECT DISTINCT x.d AS src_id, y.d AS dst_id
+      FROM rare x JOIN rare y ON x.gram = y.gram AND x.d <> y.d
+    ),
+    shared AS (
+      SELECT c.src_id, c.dst_id, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM cand c
+      JOIN g ga ON ga.d = c.src_id
+      JOIN g gb ON gb.d = c.dst_id AND gb.gram = ga.gram
+      GROUP BY c.src_id, c.dst_id
+    )
+    SELECT s.src_id, s.dst_id, s.shared, z.n_src,
+           CAST(s.shared AS DOUBLE) / CAST(z.n_src AS DOUBLE) AS containment
+    FROM shared s JOIN sizes z ON z.d = s.src_id
+    WHERE CAST(s.shared AS DOUBLE) / CAST(z.n_src AS DOUBLE) >= 0.8
+    """,
+)
+def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-superset dedup (operators/dedup.py::
+    containment_pairs — the LSH Ensemble metric): docs on the %9
+    residue become the first 15 tokens of their successor, so the
+    planted pairs score containment 1.0 in the short→long direction
+    while the reverse stays honest; rare-gram blocking, exact
+    shared-gram verify, and the closing division all replay
+    relationally."""
+    from flight_data_ingestion_engine_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    succ = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_ntext")
+    )
+    planted = docs.join(succ, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 9 == 0) & F.col("_ntext").isNotNull(),
+            F.array_join(
+                F.slice(
+                    F.filter(F.split(F.col("_ntext"), r"\s+"), lambda t: t != ""),
+                    1,
+                    15,
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    return containment_pairs(planted, min_containment=0.8)

@@ -2129,3 +2129,42 @@ def test_optimal_lsh_params_properties():
         optimal_lsh_params(0.5, 1)
     with _pt.raises(ValueError, match="fp_weight"):
         optimal_lsh_params(0.5, 32, fp_weight=2.0)
+
+
+def test_containment_pairs_directionality(spark):
+    """Containment: a fully-quoted short doc scores 1.0 toward its
+    container while the reverse stays below threshold; symmetric
+    near-dups score high both ways; disjoint docs never pair; the
+    common-grams-only miss case is pinned as the documented blocking
+    tradeoff; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "intro words alpha beta gamma delta epsilon zeta closing remarks here"),
+        (2, "totally different content with no overlap at all whatsoever"),
+        (3, "alpha beta gamma delta epsilon zeta eta"),   # near-dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(df, min_containment=0.8).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert (1, 0) not in out          # container direction below 0.8
+    assert out[(0, 3)] == 1.0 and out[(3, 0)] == 4 / 5
+    assert not any(2 in k for k in out)
+
+    # miss case: all shared grams common (df above the cap) -> no pair
+    many = [(i, "the same common phrase everywhere") for i in range(12)]
+    many.append((99, "the same common phrase everywhere plus unique tail"))
+    dfm = spark.createDataFrame(many, "doc_id long, text string")
+    got = containment_pairs(dfm, df_cap=3, min_containment=0.9).collect()
+    assert got == []  # every shared gram has df > 3: blocked, documented
+
+    with _pt.raises(ValueError, match="min_containment"):
+        containment_pairs(df, min_containment=0.0)

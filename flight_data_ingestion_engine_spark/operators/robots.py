@@ -204,3 +204,49 @@ def politeness_schedule(
     return out.withColumn(
         "fetch_at_ms", ((F.col("host_rank") - 1) * interval_ms).cast("bigint")
     )
+
+
+SITEMAP_URL_RE = r"(?is)<url\b[^>]*>(.*?)</url>"
+
+
+def sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "xml",
+    id_col: str = "host",
+) -> DataFrame:
+    """Sitemap XML extraction (sitemaps.org protocol — the crawl-seed
+    source that pairs with `robots_rules`, which is where sitemap URLs
+    are advertised): each ``<url>`` entry yields (loc, lastmod,
+    changefreq, priority), the first three trimmed strings (lastmod
+    stays ISO-8601 text — parse downstream where the calendar policy
+    lives), priority a double defaulting per spec to 0.5 when absent.
+    Lazy-pattern lite matching (the `html_tables` discipline), one
+    posexplode riding the scan; entries missing ``<loc>`` drop (they
+    identify nothing)."""
+
+    def field(name: str):
+        return F.trim(
+            F.regexp_extract(
+                F.col("_entry"), rf"(?is)<{name}\b[^>]*>(.*?)</{name}>", 1
+            )
+        )
+
+    entries = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(xml_col), F.lit("")), F.lit(SITEMAP_URL_RE), 1
+            )
+        ).alias("url_idx", "_entry"),
+    )
+    out = entries.select(
+        id_col,
+        "url_idx",
+        field("loc").alias("loc"),
+        field("lastmod").alias("lastmod"),
+        field("changefreq").alias("changefreq"),
+        F.coalesce(
+            F.nullif(field("priority"), F.lit("")).cast("double"), F.lit(0.5)
+        ).alias("priority"),
+    )
+    return out.where(F.col("loc") != "")

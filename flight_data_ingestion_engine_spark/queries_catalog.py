@@ -17722,3 +17722,61 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return containment_pairs(planted, min_containment=0.8)
+
+
+@_q(
+    "sitemap_urls_hosts",
+    """
+    WITH h AS (
+      SELECT DISTINCT lang AS host FROM documents
+    ),
+    n AS (
+      SELECT host, u.i AS url_idx FROM h, UNNEST(range(4)) AS u(i)
+    )
+    SELECT host, CAST(url_idx AS INT) AS url_idx,
+           'https://' || host || '.example.com/page/' || CAST(url_idx AS VARCHAR)
+             AS loc,
+           CASE WHEN url_idx % 2 = 0
+                THEN '2024-0' || CAST(url_idx + 1 AS VARCHAR) || '-01'
+                ELSE '' END AS lastmod,
+           CASE WHEN url_idx = 1 THEN 'daily' ELSE '' END AS changefreq,
+           CASE WHEN url_idx = 3 THEN 0.9 ELSE 0.5 END AS priority
+    FROM n
+    """,
+)
+def q_sitemap_urls_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap extraction (operators/robots.py::sitemap_urls) over
+    synthesized per-host sitemaps: four entries per host mixing
+    case-varied tags, optional lastmod/changefreq, an explicit
+    priority on entry 3 (the default-0.5 rule lives on the others),
+    and a loc-less entry that must drop; the oracle states every
+    field closed-form from the construction."""
+    from flight_data_ingestion_engine_spark.operators.robots import sitemap_urls
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("host")
+    ).distinct()
+    h = F.col("host")
+
+    def entry(i):
+        loc = F.concat(
+            F.lit("<loc>https://"), h, F.lit(".example.com/page/"),
+            F.lit(str(i)), F.lit("</loc>"),
+        )
+        lastmod = (
+            F.concat(F.lit("<lastmod>2024-0"), F.lit(str(i + 1)), F.lit("-01</lastmod>"))
+            if i % 2 == 0
+            else F.lit("")
+        )
+        cf = F.lit("<changefreq>daily</changefreq>") if i == 1 else F.lit("")
+        pr = F.lit("<priority>0.9</priority>") if i == 3 else F.lit("")
+        tag_open = F.lit("<URL>") if i == 1 else F.lit("<url>")
+        tag_close = F.lit("</URL>") if i == 1 else F.lit("</url>")
+        return F.concat(tag_open, loc, lastmod, cf, pr, tag_close)
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        entry(0), entry(1), entry(2), entry(3),
+        F.lit("<url><lastmod>2030-01-01</lastmod></url></urlset>"),
+    )
+    return sitemap_urls(hosts.select("host", xml.alias("xml")))

@@ -166,3 +166,24 @@ def test_politeness_schedule_slots(spark):
 
     with _pt.raises(ValueError, match="interval_ms"):
         politeness_schedule(df, interval_ms=0)
+
+
+def test_sitemap_urls_fields(spark):
+    """Sitemap parse: case-insensitive tags, whitespace-trimmed loc,
+    per-spec 0.5 default priority, loc-less entries drop but KEEP
+    their positional index footprint (url_idx is sitemap position),
+    empty/NULL xml yields nothing."""
+    from flight_data_ingestion_engine_spark.operators.robots import sitemap_urls
+
+    xml = (
+        '<urlset><url><loc> https://a/1 </loc><priority>0.8</priority></url>'
+        "<url><lastmod>2024-05-05</lastmod></url>"
+        "<URL><LOC>https://a/3</LOC><CHANGEFREQ>daily</CHANGEFREQ></URL></urlset>"
+    )
+    df = spark.createDataFrame(
+        [("h1", xml), ("h2", ""), ("h3", None)], "host string, xml string"
+    )
+    out = {(r.host, r.url_idx): r for r in sitemap_urls(df).collect()}
+    assert set(out) == {("h1", 0), ("h1", 2)}  # loc-less entry 1 dropped
+    assert out[("h1", 0)].loc == "https://a/1" and out[("h1", 0)].priority == 0.8
+    assert out[("h1", 2)].changefreq == "daily" and out[("h1", 2)].priority == 0.5

@@ -473,3 +473,46 @@ def html_tables(
         (F.lower(F.col("_c")["t"]) == "th").alias("is_header"),
         _clean_text(F.col("_c")["b"]).alias("cell"),
     )
+
+
+HREFLANG_RE = (
+    r'(?is)<link\b[^>]*\brel\s*=\s*["\']?alternate["\']?[^>]*>'
+)
+
+
+def hreflang_alternates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """hreflang alternate-link extraction — the EXPLICIT bitext
+    alignment signal (a page declaring its own translations), the
+    highest-precision source the ParaCrawl/CCMatrix collection lines
+    consume before falling back to URL-pattern mining
+    (`url_bitext_pairs`): every ``<link rel="alternate" …>`` tag
+    yields (hreflang, href), attribute order free (hreflang and href
+    are re-probed INSIDE each matched tag, so a reordered tag cannot
+    shift fields), case-insensitive, tags missing either attribute
+    drop. Language codes lowercase (BCP-47 is case-insensitive;
+    x-default passes through). One posexplode riding the scan."""
+    tags = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(HREFLANG_RE), 0
+    )
+    exploded = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(tags).alias("link_idx", "_tag"),
+    )
+    lang = F.lower(
+        F.regexp_extract(
+            F.col("_tag"), r'(?is)\bhreflang\s*=\s*["\']?([A-Za-z0-9\-]+)', 1
+        )
+    )
+    href = F.regexp_extract(
+        F.col("_tag"), r'(?is)\bhref\s*=\s*["\']([^"\']+)["\']', 1
+    )
+    return (
+        exploded.withColumn("hreflang", lang)
+        .withColumn("href", href)
+        .where((F.col("hreflang") != "") & (F.col("href") != ""))
+        .select(id_col, "link_idx", "hreflang", "href")
+    )

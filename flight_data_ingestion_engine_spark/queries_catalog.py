@@ -17780,3 +17780,57 @@ def q_sitemap_urls_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<url><lastmod>2030-01-01</lastmod></url></urlset>"),
     )
     return sitemap_urls(hosts.select("host", xml.alias("xml")))
+
+
+@_q(
+    "hreflang_bitext_links",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+    ),
+    n AS (
+      SELECT doc_id, u.i AS link_idx,
+             CASE u.i WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'x-default' END
+               AS hreflang
+      FROM d, UNNEST(range(3)) AS u(i)
+    )
+    SELECT doc_id, CAST(link_idx AS INT) AS link_idx, hreflang,
+           'https://site.example/' || hreflang || '/p'
+             || CAST(doc_id AS VARCHAR) AS href
+    FROM n
+    """,
+)
+def q_hreflang_bitext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang extraction (operators/html.py::hreflang_alternates —
+    the explicit ParaCrawl-line bitext signal) over synthesized pages:
+    even docs declare en/fr/x-default alternates with attribute order
+    FLIPPED on the fr tag and uppercase tags, plus a stylesheet link
+    and an href-less alternate that must both drop; odd docs carry no
+    alternates. Field re-probing inside each matched tag makes the
+    reorder invisible; every surviving row replays closed-form."""
+    from flight_data_ingestion_engine_spark.operators.html import (
+        hreflang_alternates,
+    )
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<head>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="en" href="https://site.example/en/p'),
+                d.cast("string"),
+                F.lit('"/><LINK HREF="https://site.example/fr/p'),
+                d.cast("string"),
+                F.lit('" REL="alternate" HREFLANG="FR">'),
+                F.lit('<link rel="alternate" hreflang="x-default" href="https://site.example/x-default/p'),
+                d.cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="https://site.example/css">'),
+        F.lit('<link rel="alternate" hreflang="de">'),
+        F.lit("</head>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return hreflang_alternates(docs)

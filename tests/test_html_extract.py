@@ -295,3 +295,30 @@ def test_html_tables_flattening(spark):
     # lite nested behavior: one row, cell text is the flattened inner
     nested = [k for k in out if k[0] == 3]
     assert len(nested) == 1 and out[nested[0]].cell == "o i"
+
+
+def test_hreflang_alternates_cases(spark):
+    """hreflang: attribute order free, case-insensitive tags and codes
+    (lowercased), x-default passes, stylesheet links and tags missing
+    either attribute drop, single-quoted attributes parse."""
+    from flight_data_ingestion_engine_spark.operators.html import (
+        hreflang_alternates,
+    )
+
+    rows = [
+        (0, '<link rel="alternate" hreflang="en-GB" href="https://x/uk">'),
+        (1, "<LINK HREF='https://x/de' HREFLANG='DE' REL='alternate'>"),
+        (2, '<link rel="alternate" href="https://x/no-lang">'),
+        (3, '<link rel="alternate" hreflang="fr">'),
+        (4, '<link rel="canonical" href="https://x/c">'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {
+        r.doc_id: (r.hreflang, r.href)
+        for r in hreflang_alternates(df).collect()
+    }
+    assert out == {
+        0: ("en-gb", "https://x/uk"),
+        1: ("de", "https://x/de"),
+    }

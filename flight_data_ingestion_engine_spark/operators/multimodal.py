@@ -2112,3 +2112,50 @@ def sniff_format(
     fmt = F.when(riff & wave, F.lit("wav")).when(riff, F.lit("riff")).otherwise(fmt)
     fmt = F.when(b.isNull() | (F.octet_length(b) == 0), F.lit(None)).otherwise(fmt)
     return df.withColumn(out_col, fmt)
+
+
+def image_dims_header(
+    df: DataFrame,
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Header-only image dimensions — the resolution filter WITHOUT a
+    decode (the LAION-tooling trick: min-side/aspect gates need only
+    the header, and at crawl scale decoding every payload just to
+    read two ints is the cost difference): BMP width/height are
+    little-endian int32 at byte offsets 18/22, PNG's are big-endian
+    int32 inside IHDR at offsets 16/20 — all extracted with PURE
+    Catalyst byte arithmetic (per-byte hex→int, no Arrow, no UDF), so
+    the plan is a zero-shuffle projection that never materializes
+    pixels. Formats are detected by magic (the `sniff_format` rule);
+    other formats yield NULLs. Negative BMP heights (top-down rows)
+    surface as their absolute value with `bmp_topdown` true. Returns
+    the input plus (header_format, width, height, bmp_topdown)."""
+    b = F.col(bytes_col)
+
+    def u8(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("bigint")
+
+    def le32(pos: int):
+        return (
+            u8(pos) + u8(pos + 1) * 256 + u8(pos + 2) * 65536
+            + u8(pos + 3) * 16777216
+        )
+
+    def be32(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 4)), 16, 10).cast("bigint")
+
+    is_bmp = F.hex(F.substring(b, 1, 2)) == "424D"
+    is_png = F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A"
+    bmp_h_raw = le32(23)
+    # int32 sign: values >= 2^31 are negative (top-down row order)
+    bmp_neg = bmp_h_raw >= F.lit(2147483648)
+    bmp_h = F.when(bmp_neg, F.lit(4294967296) - bmp_h_raw).otherwise(bmp_h_raw)
+    fmt = F.when(is_bmp, F.lit("bmp")).when(is_png, F.lit("png"))
+    width = F.when(is_bmp, le32(19)).when(is_png, be32(17))
+    height = F.when(is_bmp, bmp_h).when(is_png, be32(21))
+    return (
+        df.withColumn("header_format", fmt)
+        .withColumn("width", width)
+        .withColumn("height", height)
+        .withColumn("bmp_topdown", F.when(is_bmp, bmp_neg))
+    )

@@ -17834,3 +17834,67 @@ def q_hreflang_bitext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return hreflang_alternates(docs)
+
+
+def _dims_payloads():
+    """Build-time payload hexes for the header-dims oracle: real
+    encode_bmp outputs and hand-packed PNG signature+IHDR headers for
+    a grid of (w, h) combos selected by doc residue."""
+    import struct
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import encode_bmp
+
+    def png_header(w: int, h: int) -> bytes:
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + b"\x08\x02"
+        )
+
+    out = []
+    for i in range(6):
+        w, h = 8 + i, 6 + (i * 2) % 5
+        if i % 2 == 0:
+            out.append(("bmp", w, h, encode_bmp(w, h, [0] * (w * h)).hex()))
+        else:
+            out.append(("png", w, h, png_header(w, h).hex()))
+    return out
+
+
+@_q(
+    "image_dims_header_docs",
+    f"""
+    SELECT doc_id,
+           CASE doc_id % 6
+             {' '.join(f"WHEN {i} THEN '{f}'" for i, (f, _, _, _) in enumerate(_dims_payloads()))}
+           END AS header_format,
+           CAST(CASE doc_id % 6
+             {' '.join(f"WHEN {i} THEN {w}" for i, (_, w, _, _) in enumerate(_dims_payloads()))}
+           END AS BIGINT) AS width,
+           CAST(CASE doc_id % 6
+             {' '.join(f"WHEN {i} THEN {h}" for i, (_, _, h, _) in enumerate(_dims_payloads()))}
+           END AS BIGINT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN FALSE END AS bmp_topdown
+    FROM documents
+    """,
+)
+def q_image_dims_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only dimension extraction (operators/multimodal.py::
+    image_dims_header — the decode-free resolution filter): docs carry
+    real encode_bmp payloads and hand-packed PNG IHDR headers over a
+    residue grid of dims; pure Catalyst byte arithmetic (per-byte LE,
+    conv BE) reads them back, and the oracle states every width,
+    height, and format closed-form from the grid."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        image_dims_header,
+    )
+
+    d = F.col("doc_id")
+    payloads = _dims_payloads()
+    expr = F.unhex(F.lit(payloads[-1][3]))
+    for i in range(len(payloads) - 2, -1, -1):
+        expr = F.when(d % 6 == i, F.unhex(F.lit(payloads[i][3]))).otherwise(expr)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", expr.alias("media_bytes"))
+    return image_dims_header(docs).drop("media_bytes")

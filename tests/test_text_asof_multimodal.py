@@ -2022,3 +2022,43 @@ def test_sniff_format_magic_bytes(spark):
         6: "bmp", 7: "wav", 8: "riff", 9: "unknown", 10: None, 11: None,
     }
     assert out == want
+
+
+def test_image_dims_header_cases(spark):
+    """Header dims: real BMP roundtrip agrees with the decoder's dims;
+    top-down BMP (negative height int32) reports abs + flag; PNG
+    big-endian; truncated/foreign payloads yield NULLs."""
+    import struct
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_dims_header,
+    )
+
+    bmp = encode_bmp(9, 5, [0] * 45)
+    # flip height to -5 (top-down) in a copy
+    td = bytearray(bmp)
+    td[22:26] = struct.pack("<i", -5)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 1920, 1080) + b"\x08\x02"
+    )
+    rows = [
+        (0, bytearray(bmp)),
+        (1, td),
+        (2, bytearray(png)),
+        (3, bytearray(b"GIF89a")),
+        (4, bytearray(b"BM")),   # truncated bmp header
+    ]
+    df = spark.createDataFrame(rows, "i long, media_bytes binary")
+    out = {r.i: r for r in image_dims_header(df).collect()}
+
+    w, h, _ = decode_bmp(bmp)
+    assert (out[0].width, out[0].height) == (w, h) == (9, 5)
+    assert not out[0].bmp_topdown
+    assert out[1].height == 5 and out[1].bmp_topdown
+    assert (out[2].width, out[2].height) == (1920, 1080)
+    assert out[3].header_format is None and out[3].width is None
+    # truncated: substring past the end gives empty hex -> NULL ints
+    assert out[4].header_format == "bmp" and out[4].width is None

@@ -2159,3 +2159,54 @@ def image_dims_header(
         .withColumn("height", height)
         .withColumn("bmp_topdown", F.when(is_bmp, bmp_neg))
     )
+
+
+def audio_meta_header(
+    df: DataFrame,
+    bytes_col: str = "media_bytes",
+) -> DataFrame:
+    """Header-only WAV metadata — `image_dims_header`'s audio sibling:
+    channels (offset 22, LE u16), sample rate (24, LE u32), bits per
+    sample (34, LE u16), and data byte length (40, LE u32 — the
+    canonical-layout fmt-then-data file our encoder and the common
+    tools write), from which ``n_samples = data_len·8/(bits·channels)``
+    and ``duration_s = n_samples / rate`` follow without touching a
+    sample. Pure Catalyst per-byte arithmetic, zero shuffle; non-WAV
+    payloads (RIFF/WAVE magic probe) yield NULLs. The length-based
+    duration catches TRUNCATED files a metadata column would lie
+    about."""
+    b = F.col(bytes_col)
+
+    def u8(pos: int):
+        return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("bigint")
+
+    def le(pos: int, nbytes: int):
+        v = u8(pos)
+        mult = 256
+        for k in range(1, nbytes):
+            v = v + u8(pos + k) * mult
+            mult *= 256
+        return v
+
+    is_wav = (F.hex(F.substring(b, 1, 4)) == "52494646") & (
+        F.hex(F.substring(b, 9, 8)) == "57415645666D7420"
+    )
+    channels = F.when(is_wav, le(23, 2))
+    rate = F.when(is_wav, le(25, 4))
+    bits = F.when(is_wav, le(35, 2))
+    data_len = F.when(is_wav, le(41, 4))
+    n_samples = F.when(
+        is_wav & (bits > 0) & (channels > 0),
+        (data_len * 8 / (bits * channels)).cast("bigint"),
+    )
+    return (
+        df.withColumn("channels", channels)
+        .withColumn("sample_rate", rate)
+        .withColumn("bits_per_sample", bits)
+        .withColumn("data_bytes", data_len)
+        .withColumn("n_samples", n_samples)
+        .withColumn(
+            "duration_s",
+            F.when(rate > 0, n_samples.cast("double") / rate.cast("double")),
+        )
+    )

@@ -17898,3 +17898,40 @@ def q_image_dims_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr = F.when(d % 6 == i, F.unhex(F.lit(payloads[i][3]))).otherwise(expr)
     docs = _t(spark, sf_dir, "documents").select("doc_id", expr.alias("media_bytes"))
     return image_dims_header(docs).drop("media_bytes")
+
+
+@_q(
+    "audio_meta_header_docs",
+    """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(256 AS BIGINT) AS data_bytes,
+           CAST(128 AS BIGINT) AS n_samples,
+           128.0 / 8000.0 AS duration_s
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_audio_meta_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only WAV metadata (operators/multimodal.py::
+    audio_meta_header) over the tonal corpus: 8 frames × 16 samples of
+    16-bit mono at 8 kHz → 256 data bytes, 128 samples, 16 ms —
+    every field read by pure byte arithmetic from the REAL encoded
+    payloads and stated closed-form by the oracle."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_meta_header,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return audio_meta_header(media).select(
+        F.col("clip_id").alias("doc_id"),
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "data_bytes",
+        "n_samples",
+        "duration_s",
+    )

@@ -2062,3 +2062,36 @@ def test_image_dims_header_cases(spark):
     assert out[3].header_format is None and out[3].width is None
     # truncated: substring past the end gives empty hex -> NULL ints
     assert out[4].header_format == "bmp" and out[4].width is None
+
+
+def test_audio_meta_header_fields(spark):
+    """WAV header metadata: fields agree with the real decoder on
+    encoder output (mono + stereo); AVI RIFF and non-RIFF yield NULLs;
+    duration derives from the data length, not a metadata column."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        audio_meta_header,
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = encode_wav(8000, [1, -2, 3, -4, 5])
+    stereo = encode_wav(16000, [7, 8] * 10, channels=2)
+    rows = [
+        (0, bytearray(mono)),
+        (1, bytearray(stereo)),
+        (2, bytearray(b"RIFF0000AVI LIST")),
+        (3, bytearray(b"not even riff")),
+    ]
+    df = spark.createDataFrame(rows, "i long, media_bytes binary")
+    out = {r.i: r for r in audio_meta_header(df).collect()}
+
+    rate, _, samples = decode_wav(mono)
+    assert out[0].sample_rate == rate == 8000
+    assert out[0].channels == 1 and out[0].bits_per_sample == 16
+    assert out[0].n_samples == len(samples) == 5
+    assert out[0].duration_s == 5 / 8000
+    assert out[1].channels == 2 and out[1].sample_rate == 16000
+    # stereo: 20 values interleaved over 2 channels -> 10 frames... the
+    # header count is per-channel samples x channels; data bytes settle it
+    assert out[1].data_bytes == 40 and out[1].n_samples == 10
+    assert out[2].channels is None and out[3].sample_rate is None

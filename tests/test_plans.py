@@ -1276,3 +1276,27 @@ def test_wave10_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave11_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the eleventh-wave families: the header
+    readers, sniffer, decimation, and hreflang ride the scan; sitemap
+    spends only the planted distinct-host build; containment pays its
+    gram/df/candidate/verify joins — all keyed, never a cartesian
+    (the catalog-wide no-cartesian gate covers it too)."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "hreflang_bitext_links": 0,
+        "image_dims_header_docs": 0,
+        "audio_meta_header_docs": 0,
+        "sniff_format_payloads": 0,
+        "audio_decimate_samples": 0,
+        "sitemap_urls_hosts": 1,
+        "containment_dedup_pairs": 13,  # gram counts/df/rare/cand/verify chain
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -1999,3 +1999,57 @@ def containment_pairs(
         .where(F.col("containment") >= F.lit(float(min_containment)))
     )
     return out.select("src_id", "dst_id", "shared", "n_src", "containment")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the
+    record-linkage classic and LSH's deterministic sibling: sort by a
+    fuzzy key, compare only records within a fixed window): rank rows
+    by (key, id) — the id tiebreaker makes the rank total and the pair
+    set partition-invariant — and emit every ordered pair whose rank
+    distance is in [1, window). The caller verifies candidates with
+    whatever similarity fits (`F.levenshtein`, `soundex_code` equality,
+    a cosine) — blocking and matching stay decoupled, exactly as the
+    paper frames multi-pass SN (run again with a second key and union).
+
+    One global sort (the method's known cost — at corpus scale use a
+    range-partitioned sort or pre-bucket by key prefix; documented) +
+    one EQUI-join on rank+offset (offsets exploded 1..window−1 — an
+    inequality join would plan a nested loop; this stays a hash join),
+    candidate volume EXACTLY n·(window−1) — never data-dependent, the
+    property SN is chosen for. Returns
+    (id_a, id_b, key_a, key_b, rank_distance)."""
+    from pyspark.sql.window import Window
+
+    if window < 2:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 2")
+    w = Window.orderBy("_key", "_id")
+    ranked = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_key")
+    ).withColumn("_r", F.row_number().over(w))
+    a = ranked.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"),
+        F.col("_r").alias("_ra"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("_d"),
+    )
+    b = ranked.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"),
+        F.col("_r").alias("_rb"),
+    )
+    return (
+        a.join(b, F.col("_rb") == F.col("_ra") + F.col("_d"))
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            F.col("_d").cast("bigint").alias("rank_distance"),
+        )
+    )

@@ -17935,3 +17935,34 @@ def q_audio_meta_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "duration_s",
     )
+
+
+@_q(
+    "sorted_neighborhood_parts",
+    """
+    WITH ranked AS (
+      SELECT p_partkey AS _id, p_name AS _key,
+             ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS _r
+      FROM part
+    ),
+    offs AS (SELECT unnest(range(1, 4)) AS d)
+    SELECT a._id AS id_a, b._id AS id_b, a._key AS key_a, b._key AS key_b,
+           CAST(o.d AS BIGINT) AS rank_distance
+    FROM ranked a CROSS JOIN offs o
+    JOIN ranked b ON b._r = a._r + o.d
+    """,
+)
+def q_sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py::
+    sorted_neighborhood_pairs — Hernández & Stolfo 1995) over part
+    names, window 4: rank by (name, key) with the id tiebreaker making
+    the pair set total-order-deterministic; candidates are the exact
+    n·3 adjacent pairs via the exploded-offset EQUI-join (an
+    inequality join would plan a nested loop — plan-gated). The
+    oracle replays the rank and the offset join."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=4)

@@ -2168,3 +2168,28 @@ def test_containment_pairs_directionality(spark):
 
     with _pt.raises(ValueError, match="min_containment"):
         containment_pairs(df, min_containment=0.0)
+
+
+def test_sorted_neighborhood_pairs_properties(spark):
+    """SN blocking: exact candidate volume n*(w-1) minus boundary
+    truncation; adjacent near-spellings pair, distant ones don't;
+    no nested-loop join in the plan; window validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(0, "smith"), (1, "smyth"), (2, "smithe"), (3, "jones"), (4, "joness")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = sorted_neighborhood_pairs(df, "id", "name", window=3)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # sorted: jones, joness, smith, smithe, smyth
+    assert (3, 4) in pairs and (0, 2) in pairs and (2, 1) in pairs
+    assert (3, 1) not in pairs  # rank distance 4 > window
+    # volume: sum over ranks of min(w-1, n-rank) = 2+2+2+1 = 7... n=5,w=3:
+    assert len(pairs) == 7
+    assert "NestedLoop" not in out._jdf.queryExecution().executedPlan().toString()
+
+    with _pt.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "name", window=1)

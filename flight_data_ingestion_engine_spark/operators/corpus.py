@@ -3081,3 +3081,94 @@ def sentence_chunks(
             ).alias("chunk_text"),
         )
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top collocations by Dunning's log-likelihood ratio (Dunning 1993
+    — the collocation test that, unlike PMI, does NOT explode on rare
+    pairs, which is why production term-extraction uses it): over the
+    same bigram contingency counts as `pmi_collocations`
+    (k11 = c12, k12 = c1−c12, k21 = c2−c12, k22 = N−c1−c2+c12),
+
+        G² = 2·( Σ_cells k·ln k − Σ_rows r·ln r − Σ_cols c·ln c + N·ln N )
+
+    — the computational identity that keeps EVERY ln argument an
+    integer (the PMI/char-entropy discipline; 0·ln 0 ≡ 0), summed in
+    one fixed nine-term expression. The terms are computed in an Arrow
+    pandas_udf with NUMPY's log — measured fact, not taste: the JVM's
+    ln diverges from libm by one ulp on some integer arguments (835,
+    850, 859, … in this corpus) while numpy and DuckDB share libm and
+    agree bit-for-bit; the `dot_udf` precedent of matching the
+    oracle's arithmetic exactly. The candidate table is
+    min_count-filtered and tiny, so the Arrow hop costs nothing.
+    `attracted` marks pairs co-occurring MORE than chance (the exact
+    integer cross-product test c12·N > c1·c2 — G² itself is two-sided).
+    Same plan shape as PMI: three map-side-combined integer aggs,
+    broadcast unigram joins, TakeOrderedAndProject top-k."""
+    toks = df.select(terms(F.col(text_col)).alias("toks")).where(F.size("toks") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    right = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_bigrams"))
+
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _g2(c12: pd.Series, c1: pd.Series, c2: pd.Series, n: pd.Series) -> pd.Series:
+        # scalar math.log, NOT np.log: numpy's SIMD log is its own
+        # polynomial (≤1 ulp off libm), while math.log IS libm — the
+        # implementation DuckDB's LN links against (measured equal on
+        # every probed integer); the candidate table is tiny
+        def xlnx(v: int) -> float:
+            return float(v) * math.log(float(v)) if v > 0 else 0.0
+
+        out = []
+        for a, b, c, m in zip(
+            c12.astype("int64"), c1.astype("int64"),
+            c2.astype("int64"), n.astype("int64"),
+        ):
+            a, b, c, m = int(a), int(b), int(c), int(m)
+            total = (
+                xlnx(a) + xlnx(b - a) + xlnx(c - a) + xlnx(m - b - c + a)
+                - xlnx(b) - xlnx(m - b) - xlnx(c) - xlnx(m - c)
+                + xlnx(m)
+            )
+            out.append(2.0 * total)
+        return pd.Series(out)
+
+    scored = (
+        pair.where(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("llr", _g2("c12", "c1", "c2", "n_bigrams"))
+        .withColumn(
+            "attracted",
+            F.col("c12").cast("bigint") * F.col("n_bigrams").cast("bigint")
+            > F.col("c1").cast("bigint") * F.col("c2").cast("bigint"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(
+        F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "w1", "w2", "c12", "c1", "c2", "llr", "attracted"
+    )

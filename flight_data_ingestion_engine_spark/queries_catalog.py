@@ -17966,3 +17966,54 @@ def q_sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=4)
+
+
+@_q(
+    "llr_collocations_docs",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    l AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    r AS (SELECT w2, COUNT(*) AS c2 FROM big GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_bigrams FROM big),
+    scored AS (
+      SELECT p.w1, p.w2, c12, c1, c2,
+             2.0 * (
+               (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE) * LN(CAST(c12 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN c1 - c12 > 0 THEN CAST(c1 - c12 AS DOUBLE) * LN(CAST(c1 - c12 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN c2 - c12 > 0 THEN CAST(c2 - c12 AS DOUBLE) * LN(CAST(c2 - c12 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_bigrams - c1 - c2 + c12 > 0 THEN CAST(n_bigrams - c1 - c2 + c12 AS DOUBLE) * LN(CAST(n_bigrams - c1 - c2 + c12 AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * LN(CAST(c1 AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN n_bigrams - c1 > 0 THEN CAST(n_bigrams - c1 AS DOUBLE) * LN(CAST(n_bigrams - c1 AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * LN(CAST(c2 AS DOUBLE)) ELSE 0.0 END)
+             - (CASE WHEN n_bigrams - c2 > 0 THEN CAST(n_bigrams - c2 AS DOUBLE) * LN(CAST(n_bigrams - c2 AS DOUBLE)) ELSE 0.0 END)
+             + (CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams AS DOUBLE) * LN(CAST(n_bigrams AS DOUBLE)) ELSE 0.0 END)
+             ) AS llr,
+             c12 * n_bigrams > c1 * c2 AS attracted
+      FROM pair p JOIN l USING (w1) JOIN r USING (w2), tot
+      WHERE c12 >= 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY llr DESC, w1, w2) AS rank FROM scored
+    )
+    SELECT CAST(rank AS INT) AS rank, w1, w2, c12, c1, c2, llr, attracted
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_llr_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by Dunning's G² (corpus.py::llr_collocations —
+    the rare-pair-robust alternative to PMI): every ln argument an
+    integer via the contingency identity, the nine-term sum one fixed
+    expression written identically in the oracle, attraction decided
+    by the exact integer cross-product."""
+    from flight_data_ingestion_engine_spark.operators.corpus import llr_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return llr_collocations(docs, text_col="text", min_count=5, top_k=50)

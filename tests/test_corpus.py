@@ -1179,3 +1179,45 @@ def test_sentence_chunks_boundaries(spark):
 
     with _pt.raises(ValueError, match="max_tokens"):
         sentence_chunks(df, max_tokens=0)
+
+
+def test_llr_collocations_reference(spark):
+    """Dunning G² against an independent per-pair reference (the
+    direct 2x2 observed/expected form, Fractions-free), on a corpus
+    with one planted strong collocation: the planted pair ranks
+    first, is 'attracted', and every emitted G² matches the direct
+    formula to float tolerance (the identity vs direct forms differ
+    only in rounding paths)."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        llr_collocations,
+    )
+
+    filler = " ".join(f"w{i % 17} x{i % 13}" for i in range(40))
+    rows = [(i, f"{filler} hong kong") for i in range(30)]
+    rows += [(100 + i, "hong alone and kong elsewhere " + filler) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = llr_collocations(df, min_count=5, top_k=10).collect()
+    got = {(r.w1, r.w2): r for r in out}
+
+    assert out[0].w1 == "hong" and out[0].w2 == "kong"
+    assert got[("hong", "kong")].attracted
+
+    def direct_g2(k11, c1, c2, n):
+        k12, k21, k22 = c1 - k11, c2 - k11, n - c1 - c2 + k11
+        tot = 0.0
+        for o, e in (
+            (k11, c1 * c2 / n),
+            (k12, c1 * (n - c2) / n),
+            (k21, (n - c1) * c2 / n),
+            (k22, (n - c1) * (n - c2) / n),
+        ):
+            if o > 0:
+                tot += o * math.log(o / e)
+        return 2.0 * tot
+
+    # n = total bigram positions in the corpus
+    n = sum(len(t.split()) - 1 for _, t in rows)
+    for r in out:
+        assert abs(r.llr - direct_g2(r.c12, r.c1, r.c2, n)) < 1e-6 * max(r.llr, 1)

@@ -2150,3 +2150,63 @@ def facility_location_select(
         [(r, c, g) for r, c, g in chosen],
         f"rank bigint, {id_col} bigint, gain double",
     )
+
+
+def semantic_order(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Semantic shard ordering — the In-Context Pretraining idea (Shi
+    et al. 2023: concatenate RELATED documents into the same context
+    window instead of random neighbors) in its scalable relational
+    form: assign every vector to its nearest anchor (medoid/centroid
+    table the caller provides — k-means centroids, seed docs, topic
+    anchors), then order by (cluster, distance-to-anchor, id) so
+    adjacent positions are semantically coherent and the whole order
+    is deterministic.
+
+    Engine-exactness: the squared L2 uses the three-dot decomposition
+    ``d = v·v − 2·v·c + c·c`` where each dot is the sequential fold
+    PROVEN bitwise-equal to DuckDB's list_dot_product — a direct
+    Σ(x−c)² fold would round differently than any SQL replay. Argmin
+    is the lexicographic struct-min (distance, centroid id) — exact
+    ties go to the lowest anchor. One broadcast centroids join + one
+    vec-keyed min + the final rank window (the output IS a total
+    order; at corpus scale emit per-cluster shards instead of one
+    global file — the window's input is one row per vector). Returns
+    (id, cluster_id, dist_sq, position)."""
+    from pyspark.sql.window import Window
+
+    from flight_data_ingestion_engine_spark.functions.vectors import dot
+
+    v, c = F.col("_v"), F.col("_c")
+    pairs = vecs.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col(cid_col).alias("_cid"), F.col(cvec_col).alias("_c")
+            )
+        )
+    )
+    d = dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
+    best = (
+        pairs.withColumn("_d", d)
+        .groupBy("_id")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("cid"))).alias("_b"))
+    )
+    w = Window.orderBy(
+        F.col("cluster_id"), F.col("dist_sq"), F.col(id_col)
+    )
+    return (
+        best.select(
+            F.col("_id").alias(id_col),
+            F.col("_b")["cid"].alias("cluster_id"),
+            F.col("_b")["d"].alias("dist_sq"),
+        )
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+    )

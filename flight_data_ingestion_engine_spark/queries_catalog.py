@@ -18017,3 +18017,52 @@ def q_llr_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return llr_collocations(docs, text_col="text", min_count=5, top_k=50)
+
+
+@_q(
+    "semantic_order_vecs",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    d AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(v.vv, v.vv)
+               - 2.0 * list_dot_product(v.vv, c.cv)
+               + list_dot_product(c.cv, c.cv) AS dist
+      FROM v CROSS JOIN c
+    ),
+    best AS (
+      SELECT vec_id, cid AS cluster_id, dist AS dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM d
+    )
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, dist_sq,
+           CAST(ROW_NUMBER() OVER (ORDER BY cluster_id, dist_sq, vec_id)
+                AS BIGINT) AS position
+    FROM best WHERE rn = 1
+    """,
+)
+def q_semantic_order_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic shard ordering (operators/similarity.py::semantic_order
+    — In-Context Pretraining's related-docs-adjacent idea, Shi et al.
+    2023) with the first 8 embeddings as anchors: the three-dot L2
+    decomposition keeps every float bitwise-equal to list_dot_product,
+    the struct-min argmin ties to the lowest anchor, and the
+    (cluster, distance, id) rank replays as a window. The 8 anchor
+    vectors themselves land at distance ~0 in their own clusters —
+    the self-assignment sanity the pytest pins."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        semantic_order,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    return semantic_order(emb, cents)

@@ -2193,3 +2193,37 @@ def test_sorted_neighborhood_pairs_properties(spark):
 
     with _pt.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, "id", "name", window=1)
+
+
+def test_semantic_order_coherence(spark):
+    """Semantic ordering: anchors self-assign at distance ~0; members
+    of a planted tight cluster occupy consecutive positions; ordering
+    is (cluster, distance, id)-deterministic; exact ties break to the
+    lowest anchor."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        semantic_order,
+    )
+
+    # two anchors; vecs 10-12 near anchor 0, vecs 20-21 near anchor 1
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (10, [0.9, 0.1]), (11, [0.95, 0.0]), (12, [1.0, 0.05]),
+        (20, [0.1, 0.9]), (21, [0.0, 0.95]),
+        (30, [0.5, 0.5]),  # equidistant -> lowest anchor (0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    out = {r.vec_id: r for r in semantic_order(df, cents).collect()}
+
+    assert out[0].cluster_id == 0 and out[0].dist_sq == 0.0
+    assert out[1].cluster_id == 1 and out[1].dist_sq == 0.0
+    assert all(out[i].cluster_id == 0 for i in (10, 11, 12))
+    assert all(out[i].cluster_id == 1 for i in (20, 21))
+    assert out[30].cluster_id == 0  # exact tie -> lowest anchor
+    # cluster-0 members occupy a contiguous position block
+    pos0 = sorted(out[i].position for i in (0, 10, 11, 12, 30))
+    assert pos0 == list(range(pos0[0], pos0[0] + 5))
+    # within the block, the anchor itself comes first (distance 0)
+    assert out[0].position == pos0[0]

@@ -1602,3 +1602,41 @@ def script_shares(
         (F.col(f"share_{name}") >= 0.1).cast("int") for name, _ in SCRIPT_RANGES
     )
     return out.withColumn("script_mix", n_big >= 2)
+
+
+def web_text_qc(
+    df: DataFrame,
+    text_col: str = "text",
+    max_link_density: float = 0.2,
+) -> DataFrame:
+    """The composed web-text QC front half for the r10 families — in
+    the order a real pipeline MUST apply them (each stage feeds the
+    next; running the script gate before mojibake repair would
+    misclassify the damage as foreign script):
+
+    1. `fix_mojibake`        — repair double-encoding damage,
+    2. `script_shares`       — composition gates on the REPAIRED text,
+       BEFORE homoglyph folding: folding a legitimately-Cyrillic doc's
+       а/е/о onto Latin would fabricate a mixed-script verdict (found
+       live in this composition's first smoke test),
+    3. `confusable_skeleton` — fold homoglyph spoofs onto Latin,
+    4. `secrets_detect`      — credentials on the skeleton (a spoofed
+       glyph inside a key must not hide it),
+    5. `markdown_stats`      — link-farm density on the skeleton.
+
+    keep = latin-dominant AND not mixed-script AND no secret AND
+    link_density ≤ `max_link_density`. One zero-shuffle projection
+    chain — every stage is scan-speed, so the composition is too.
+    Returns the input plus the stage signals and `keep`."""
+    out = fix_mojibake(df, text_col=text_col, out_col="_fixed")
+    out = script_shares(out, text_col="_fixed")
+    out = confusable_skeleton(out, text_col="_fixed", out_col="text_clean")
+    out = secrets_detect(out, text_col="text_clean")
+    out = markdown_stats(out, text_col="text_clean")
+    return out.withColumn(
+        "keep",
+        (F.col("dominant_script") == "latin")
+        & ~F.col("script_mix")
+        & ~F.col("has_secret")
+        & (F.col("link_density") <= F.lit(float(max_link_density))),
+    )

@@ -376,3 +376,183 @@ def auc_by_group(
         / (F.lit(2).cast("bigint") * F.col("n_pos") * F.col("n_neg")).cast("double"),
     )
     return agg.select(F.col("g").alias(group_col), "n_pos", "n_neg", auc.alias("auc"))
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — THE
+    distribution-drift test a data pipeline runs between a reference
+    slice and a candidate slice (score drift between model versions,
+    feature drift between ingest days; `histogram_drift_tv` answers the
+    binned variant, this one is bin-free and exact). One row
+    `(n1, n2, d_num, ks_stat)` where
+
+        D = max_v |F1(v) − F2(v)|
+          = max_v |n2·cum1(v) − n1·cum2(v)| / (n1·n2)
+
+    `d_num` is that integer max — EXACT, no floats until the single
+    IEEE division that produces `ks_stat`.
+
+    Shape (the `auc_rank_sum` discipline): rows collapse to DISTINCT
+    values first (one map-side-combined agg), the only ordered window
+    runs over the distinct-value frame — orders of magnitude smaller
+    than the data for any quantized/bounded-domain metric; quantize
+    upstream if truly continuous. NULL values/groups are excluded;
+    `group_col` must be a 0/1 int column (group 1 = "candidate").
+    An empty side yields NULL `ks_stat`."""
+    s = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).cast("int").alias("g"),
+    )
+    vc = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    # the max |n2·cum1 − n1·cum2| needs n1, n2 first: broadcast-fold the
+    # two totals back over the cumulative frame (both frames are tiny —
+    # the distinct-value grain)
+    totals = vc.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+    )
+    ks = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"),
+    )
+    return d.select("n1", "n2", "d_num", ks.alias("ks_stat"))
+
+
+def mann_whitney_z(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test with the exact tie correction — the
+    nonparametric "did this slice's metric shift?" significance test
+    (medians move but distributions are non-normal; `auc_rank_sum` is
+    the same U as an effect size, this adds the z statistic). One row
+    `(n1, n2, u1_x2, tie_term, z)`:
+
+        U1 = R1 − n1(n1+1)/2          (R1 = group-1 rank sum, avg ranks)
+        z  = (U1 − n1·n2/2) / σ,  σ² = (n1·n2/12)·((n+1) − T/(n(n−1)))
+
+    with T = Σ_ties (c³ − c). Everything is bigint until the final
+    FIXED IEEE expression (one sqrt, three divisions — identical tree
+    on any IEEE engine): avg ranks are kept doubled (`u1_x2 = 2·U1`,
+    always integer), the tie term is exact. Same distinct-value
+    collapse as `auc_rank_sum`: the ordered window runs over distinct
+    values only. Needs n³ < 2⁶³ (n ≤ ~2M — sample above that, the test
+    saturates long before). Empty side or n < 2 → NULL z."""
+    s = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).cast("int").alias("g"),
+    )
+    vc = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.withColumn(
+        "r",
+        (F.lit(1).cast("bigint") + F.coalesce(F.sum("c").over(w), F.lit(0))).cast(
+            "bigint"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("c") - F.sum("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("r") + F.col("c") - 1))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    out = agg.withColumn(
+        "u1_x2", (F.col("s2") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    td = F.col("tie_term").cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0)) - td / (nd * (nd - F.lit(1.0)))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & ((F.col("n1") + F.col("n2")) > 1)
+        & (var > 0),
+        (F.col("u1_x2").cast("double") - n1d * n2d) / (F.lit(2.0) * F.sqrt(var)),
+    )
+    return out.select("n1", "n2", "u1_x2", "tie_term", z.alias("z"))
+
+
+def pass_at_k(
+    df: DataFrame,
+    problem_col: str,
+    passed_col: str,
+    k: int,
+) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, "Evaluating
+    Large Language Models Trained on Code", eq. 1) — the code-eval
+    scorecard every generation pipeline reports: per problem with n
+    samples of which c passed,
+
+        pass@k = 1 − C(n−c, k)/C(n, k)
+               = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+
+    computed EXACTLY: numerator and denominator are k-term bigint
+    falling-factorial products (k is small and fixed — the product is
+    unrolled into the plan, no UDF), one IEEE division at the end.
+    Problems with n < k get NULL pass@k (the estimator is undefined);
+    n is capped at ⌊(2⁶³−1)^(1/k)⌋ per problem (NULL beyond — at k=5
+    that is 6,208 samples per problem, far past any real eval run).
+    Returns (problem, n_samples, n_correct, pass_at_1, pass_at_k);
+    one map-side-combined aggregation."""
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    n_cap = int((2**63 - 1) ** (1.0 / k))
+    g = df.groupBy(F.col(problem_col).alias("problem")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(F.col(passed_col).cast("int")).cast("bigint").alias("n_correct"),
+    )
+    n, c = F.col("n_samples"), F.col("n_correct")
+    num = F.lit(1).cast("bigint")
+    den = F.lit(1).cast("bigint")
+    for i in range(k):
+        num = num * F.greatest(n - c - F.lit(i), F.lit(0).cast("bigint"))
+        den = den * (n - F.lit(i))
+    pak = F.when(
+        (n >= F.lit(k)) & (n <= F.lit(n_cap)),
+        (den - num).cast("double") / den.cast("double"),
+    )
+    p1 = F.when(n > 0, c.cast("double") / n.cast("double"))
+    return g.select(
+        "problem",
+        "n_samples",
+        "n_correct",
+        p1.alias("pass_at_1"),
+        pak.alias("pass_at_k"),
+    )

@@ -18205,3 +18205,328 @@ def q_web_text_qc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "link_density",
         "keep",
     )
+
+
+@_q(
+    "readability_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN ''
+                  ELSE COALESCE(text, '')
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' First sentence here. Then another one! Why?'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' rhythm crwth 12345' ELSE '' END
+             END AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      CAST(1 AS BIGINT)) AS n_sents,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) AS n_alnum,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
+             GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT),
+                      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             ) AS n_syllables
+      FROM d
+    )
+    SELECT doc_id, n_words, n_sents, n_alnum, n_letters, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             CAST(471*n_alnum*n_sents + 50*n_words*n_words
+                  - 2143*n_words*n_sents AS DOUBLE)
+             / CAST(100*n_words*n_sents AS DOUBLE) END AS ari,
+           CASE WHEN n_words > 0 THEN
+             CAST(588*n_letters - 2960*n_sents - 1580*n_words AS DOUBLE)
+             / CAST(100*n_words AS DOUBLE) END AS coleman_liau,
+           CASE WHEN n_words > 0 THEN
+             CAST(206835*n_words*n_sents - 1015*n_words*n_words
+                  - 84600*n_syllables*n_sents AS DOUBLE)
+             / CAST(1000*n_words*n_sents AS DOUBLE) END AS flesch
+    FROM c
+    """,
+)
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability indices (operators/text.py::readability_signals —
+    ARI / Coleman-Liau / Flesch as exact bigint rationals realized in
+    one double division each) over documents with planted sentence
+    punctuation (%3 — both n_sents branches live), a no-vowel word +
+    digits (%5 — the syllable floor and the alnum-vs-letter split),
+    and empty text (%17 — NULL scores, the W=0 guard)."""
+    from flight_data_ingestion_engine_spark.operators.text import readability_signals
+
+    d = F.col("doc_id")
+    planted = F.when(d % 17 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.lit(" First sentence here. Then another one! Why?"),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" rhythm crwth 12345")).otherwise(F.lit("")),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return readability_signals(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_alnum",
+        "n_letters",
+        "n_syllables",
+        "ari",
+        "coleman_liau",
+        "flesch",
+    )
+
+
+@_q(
+    "reply_strip_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'On Mon, Bob wrote:' || chr(10)
+                       || '> quoted line one' || chr(10)
+                       || '  > indented quote' || chr(10)
+                  ELSE '' END
+             || COALESCE(text, '')
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || '-- ' || chr(10) || 'Bob'
+                          || chr(10) || '> not counted (after sig)'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+    lx AS (
+      SELECT doc_id, lines,
+             unnest(generate_series(1, len(lines))) AS i
+      FROM ls
+    ),
+    li AS (SELECT doc_id, i, lines[i] AS line FROM lx),
+    sig AS (
+      SELECT doc_id,
+             COALESCE(MIN(CASE WHEN regexp_matches(line, '^-- ?$')
+                               THEN i END), 0) AS sig_start
+      FROM li GROUP BY doc_id
+    ),
+    body AS (
+      SELECT li.doc_id, li.i, li.line, sig.sig_start
+      FROM li JOIN sig ON li.doc_id = sig.doc_id
+      WHERE sig.sig_start = 0 OR li.i < sig.sig_start
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN regexp_matches(line, '^[ \t]*>')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted,
+             CAST(SUM(CASE WHEN regexp_matches(line, '^On .* wrote:[ \t]*$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_attrib,
+             COALESCE(string_agg(
+               CASE WHEN NOT regexp_matches(line, '^[ \t]*>')
+                     AND NOT regexp_matches(line, '^On .* wrote:[ \t]*$')
+                    THEN line END, chr(10) ORDER BY i), '') AS text_stripped
+      FROM body GROUP BY doc_id
+    )
+    SELECT ls.doc_id,
+           CAST(len(ls.lines) AS BIGINT) AS n_lines,
+           sig.sig_start,
+           agg.n_quoted, agg.n_attrib, agg.text_stripped
+    FROM ls JOIN sig ON ls.doc_id = sig.doc_id
+            JOIN agg ON ls.doc_id = agg.doc_id
+    """,
+)
+def q_reply_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list reply cleanup (operators/text.py::
+    strip_quoted_replies — quoted lines, `On … wrote:` attribution,
+    RFC 3676 signature cutoff) over documents with a planted reply
+    header + quotes (%3, incl. an indented quote) and a signature
+    block whose post-delimiter quote must NOT be counted (%5 — the
+    body-before-signature scoping both branches). The oracle rebuilds
+    the same per-line pipeline via zipped list subscripts (DuckDB has
+    no WITH ORDINALITY) and an ordered string_agg."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        strip_quoted_replies,
+    )
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    planted = F.concat(
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("On Mon, Bob wrote:"),
+                nl,
+                F.lit("> quoted line one"),
+                nl,
+                F.lit("  > indented quote"),
+                nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                nl, F.lit("-- "), nl, F.lit("Bob"), nl,
+                F.lit("> not counted (after sig)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return strip_quoted_replies(docs).select(
+        "doc_id", "n_lines", "sig_start", "n_quoted", "n_attrib", "text_stripped"
+    )
+
+
+@_q(
+    "ks_drift_event_values",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    vc AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM vc
+    ),
+    t AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM vc
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(t.n2 * cum1 - t.n1 * cum2)) AS BIGINT) AS d_num,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+             CAST(MAX(ABS(t.n2 * cum1 - t.n1 * cum2)) AS DOUBLE)
+             / CAST(t.n1 * t.n2 AS DOUBLE) END AS ks_stat
+    FROM cum, t GROUP BY t.n1, t.n2
+    """,
+)
+def q_ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (operators/mleval.py::ks_two_sample)
+    between the click and view value distributions: the integer
+    d_num = max|n2·cum1 − n1·cum2| over the distinct-value frame, one
+    IEEE division for the statistic. The bin-free exact twin of
+    `histogram_drift_tv`."""
+    from flight_data_ingestion_engine_spark.operators.mleval import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    ev = ev.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    return ks_two_sample(ev, "value", "is_click")
+
+
+@_q(
+    "mannwhitney_event_values",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    vc AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(1 AS BIGINT)
+             + COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c) - SUM(c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * r + c - 1)) AS BIGINT) AS s2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+      FROM ranked
+    ),
+    u AS (SELECT *, CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2 FROM agg)
+    SELECT n1, n2, u1_x2, tie_term,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                     AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                         * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                            - CAST(tie_term AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * (CAST(n1 + n2 AS DOUBLE) - 1.0))) > 0
+           THEN (CAST(u1_x2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                   * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                      - CAST(tie_term AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * (CAST(n1 + n2 AS DOUBLE) - 1.0)))))
+           END AS z
+    FROM u
+    """,
+)
+def q_mannwhitney_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum z (operators/mleval.py::mann_whitney_z)
+    between purchase and view values: doubled-integer rank sums with
+    the exact tie term, the z realized in the one FIXED IEEE
+    expression (a sqrt and three divisions) replayed verbatim by the
+    oracle."""
+    from flight_data_ingestion_engine_spark.operators.mleval import mann_whitney_z
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ev = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    return mann_whitney_z(ev, "value", "is_p")
+
+
+@_q(
+    "pass_at_k_problems",
+    """
+    WITH g AS (
+      SELECT o_custkey % 40 AS problem,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey % 40
+    )
+    SELECT problem, n AS n_samples, c AS n_correct,
+           CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS pass_at_1,
+           CASE WHEN n >= 5 AND n <= 6208 THEN
+             CAST(n * (n-1) * (n-2) * (n-3) * (n-4)
+                  - GREATEST(n-c, 0) * GREATEST(n-c-1, 0) * GREATEST(n-c-2, 0)
+                    * GREATEST(n-c-3, 0) * GREATEST(n-c-4, 0) AS DOUBLE)
+             / CAST(n * (n-1) * (n-2) * (n-3) * (n-4) AS DOUBLE)
+           END AS pass_at_k
+    FROM g
+    """,
+)
+def q_pass_at_k_problems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@5 (operators/mleval.py::pass_at_k — Chen et al.
+    2021 eq. 1) over synthesized eval runs: orders grouped into 40
+    problems (o_custkey % 40), a sample passes when its total price
+    clears the corpus median — exact falling-factorial bigint products,
+    one IEEE division."""
+    from flight_data_ingestion_engine_spark.operators.mleval import pass_at_k
+
+    runs = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 40).alias("problem"),
+        (F.col("o_totalprice") > 250000).alias("passed"),
+    )
+    return pass_at_k(runs, "problem", "passed", k=5)

@@ -165,3 +165,88 @@ def test_lift_table_sharded_path_equals_ntile(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_ks_two_sample_textbook(spark):
+    """KS: hand-computed D for a 3v3 sample; identical samples give 0;
+    disjoint samples give 1; an empty side yields NULL."""
+    from flight_data_ingestion_engine_spark.operators.mleval import ks_two_sample
+
+    def run(a, b):
+        rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+        df = spark.createDataFrame(rows, "v double, g int")
+        return ks_two_sample(df, "v", "g").collect()[0]
+
+    r = run([1, 2, 3], [2, 3, 4])
+    assert (r.n1, r.n2, r.d_num) == (3, 3, 3)
+    assert r.ks_stat == 3.0 / 9.0
+
+    assert run([1, 2, 3], [1, 2, 3]).d_num == 0
+    assert run([1, 2], [5, 6]).ks_stat == 1.0
+    assert run([1, 2], []).ks_stat is None
+
+
+def test_mann_whitney_z_textbook(spark):
+    """Mann–Whitney: no-tie case matches the classic formula computed
+    in the same IEEE op order; the tie term is exact (c³−c per tie
+    group); a one-sided frame yields NULL z."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.mleval import mann_whitney_z
+
+    def run(a, b):
+        rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+        df = spark.createDataFrame(rows, "v double, g int")
+        return mann_whitney_z(df, "v", "g").collect()[0]
+
+    r = run([1, 2], [3, 4])
+    assert (r.n1, r.n2, r.u1_x2, r.tie_term) == (2, 2, 0, 0)
+    var = (2.0 * 2.0 / 12.0) * ((4.0 + 1.0) - 0.0 / (4.0 * 3.0))
+    assert r.z == (0.0 - 2.0 * 2.0) / (2.0 * math.sqrt(var))
+
+    t = run([1, 1, 2], [1, 2, 2])
+    assert t.tie_term == (27 - 3) + (27 - 3)
+    # avg ranks: value 1 -> (1+2+3)/3 = 2, value 2 -> (4+5+6)/3 = 5
+    # R1 = 2+2+5 = 9 -> U1 = 9 - 6 = 3 -> doubled 6
+    assert t.u1_x2 == 6
+
+    assert run([1, 2, 3], []).z is None
+
+
+def test_pass_at_k_combinatorial(spark):
+    """pass@k matches the closed-form 1 − C(n−c,k)/C(n,k) (computed
+    with exact comb then one float division in the operator's own
+    (den−num)/den shape) across a (n, c) grid; n < k yields NULL;
+    c = 0 gives 0; n−c < k gives exactly 1."""
+    from math import comb
+
+    from flight_data_ingestion_engine_spark.operators.mleval import pass_at_k
+
+    grid = [(10, 3), (10, 0), (10, 7), (5, 1), (7, 7), (4, 2), (20, 5)]
+    rows = []
+    for pid, (n, c) in enumerate(grid):
+        rows += [(pid, i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "problem long, passed boolean")
+    out = {r.problem: r for r in pass_at_k(df, "problem", "passed", k=5).collect()}
+
+    for pid, (n, c) in enumerate(grid):
+        r = out[pid]
+        assert (r.n_samples, r.n_correct) == (n, c)
+        if n < 5:
+            assert r.pass_at_k is None
+            continue
+        num = comb(n - c, 5) if n - c >= 5 else 0
+        den = comb(n, 5)
+        # the operator divides falling factorials; scale both by k!
+        from math import factorial
+
+        f = factorial(5)
+        expected = float(den * f - num * f) / float(den * f)
+        assert r.pass_at_k == expected
+    assert out[1].pass_at_k == 0.0
+    assert out[4].pass_at_k == 1.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        pass_at_k(df, "problem", "passed", k=0)

@@ -2128,3 +2128,80 @@ def test_web_text_qc_stage_gating(spark):
     # fabricated mixed-script verdict
     assert not out[5].keep
     assert out[5].dominant_script == "cyrillic" and not out[5].script_mix
+
+
+def test_readability_signals_textbook(spark):
+    """Readability: hand-computed Fraction values for a known sentence
+    (ARI/CLI/FRE as exact rationals realized in one double division —
+    the test replays the same num/den float division); no-punct text
+    floors sentences at 1; the no-vowel word rides the syllable floor;
+    empty text yields NULL scores."""
+    from fractions import Fraction
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        readability_signals,
+    )
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog."),
+        (1, "no punctuation here"),
+        (2, "crwth"),  # zero vowel groups -> syllable floor = n_words
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r for r in readability_signals(df).collect()}
+
+    r = out[0]
+    assert (r.n_words, r.n_sents, r.n_alnum, r.n_letters, r.n_syllables) == (
+        9, 1, 35, 35, 11,
+    )
+    ari_num = 471 * 35 * 1 + 50 * 9 * 9 - 2143 * 9 * 1
+    assert Fraction(ari_num, 900) == Fraction(1248, 900)
+    assert r.ari == float(ari_num) / 900.0
+    cli_num = 588 * 35 - 2960 * 1 - 1580 * 9
+    assert r.coleman_liau == float(cli_num) / 900.0
+    fre_num = 206835 * 9 * 1 - 1015 * 81 - 84600 * 11 * 1
+    assert r.flesch == float(fre_num) / 9000.0
+
+    assert out[1].n_sents == 1 and out[1].n_words == 3
+    assert out[2].n_syllables == 1  # floored at one per word
+    e = out[3]
+    assert e.n_words == 0 and e.ari is None and e.flesch is None
+
+
+def test_strip_quoted_replies_rules(spark):
+    """Reply strip: quoted + attribution lines drop, the signature
+    block (first `--`/`-- ` line onward) is cut BEFORE counting so a
+    post-signature quote is neither kept nor counted; indented quotes
+    drop; a non-attribution `wrote:` line survives; no-signature text
+    passes through with sig_start=0."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        strip_quoted_replies,
+    )
+
+    email = "\n".join(
+        [
+            "On Mon, Bob wrote:",
+            "> first quoted",
+            "  > indented quoted",
+            "keep me one",
+            "Money wrote:",  # no 'On ' prefix -> kept
+            "keep me two",
+            "--",
+            "sig line",
+            "> post-sig quote",
+        ]
+    )
+    rows = [(0, email), (1, "plain\ntext"), (2, None)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r for r in strip_quoted_replies(df).collect()}
+
+    r = out[0]
+    assert r.sig_start == 7 and r.n_lines == 9
+    assert r.n_quoted == 2 and r.n_attrib == 1
+    assert r.text_stripped == "keep me one\nMoney wrote:\nkeep me two"
+
+    p = out[1]
+    assert p.sig_start == 0 and p.n_quoted == 0
+    assert p.text_stripped == "plain\ntext"
+    assert out[2].text_stripped == "" and out[2].n_lines == 1

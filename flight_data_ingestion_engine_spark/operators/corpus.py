@@ -3172,3 +3172,110 @@ def llr_collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "rank", "w1", "w2", "c12", "c1", "c2", "llr", "attracted"
     )
+
+
+#: default RAKE stopword list (tiny, deterministic, ASCII — extend per
+#: language at call time; the classic implementations ship SMART/Fox
+#: lists, any list works because the algorithm only uses membership).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "are",
+    "was", "with", "for", "on", "that", "this", "by", "at", "as",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    top_k: int = 3,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") — the classic unsupervised
+    keyphrase tagger corpus-curation lines run to label documents for
+    topic routing and dataset cards. Candidate phrases are maximal runs
+    of words between stopwords/punctuation; each word scores
+    degree/frequency over the doc's candidate phrases (degree = the
+    summed length of every phrase containing it, multiplicity counted);
+    a phrase scores the sum of its member word scores.
+
+    Determinism discipline: word scores are FIXED-POINT milli units —
+    `(deg·1000) div freq`, bigint floor division — and phrase scores are
+    bigint sums of those, so ranking never touches a float and the whole
+    op replays bit-exact in any engine (the float-sum order-dependence
+    a textbook implementation hits is designed out). Ties rank by
+    (score desc, phrase asc) — unique within a doc since phrases are
+    distinct strings. Tokens come from ONE extraction regex
+    `[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]+` over the lowered text (explicit
+    whitespace class: Java and RE2 disagree on `\\s`'s vertical tab).
+
+    Shape: every shuffle is keyed on the document (islands window,
+    phrase agg, word agg, member join, rank window) — per-doc
+    cardinalities are bounded by doc length, so the op scales linearly
+    with the corpus and never builds a global structure. Returns
+    (id, rank, phrase, n_words, n_occurrences, score_milli) — top_k
+    rows per doc."""
+    from pyspark.sql.window import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.regexp_extract_all(
+        text, F.lit(r"[a-z0-9]+|[^a-z0-9 \t\n\r\f]+"), 0
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    words = tok.where(
+        F.col("tok").rlike(r"^[a-z0-9]+$") & ~F.array_contains(sw, F.col("tok"))
+    )
+    w_isl = Window.partitionBy("id").orderBy("pos")
+    words = words.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_isl)
+    )
+    phrases = words.groupBy("id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    member = words.join(phrases, ["id", "island"])
+    wstats = member.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    wscore = wstats.select(
+        "id",
+        "tok",
+        F.expr("CAST((deg * 1000) DIV freq AS BIGINT)").alias("score_m"),
+    )
+    ph_scored = (
+        member.join(wscore, ["id", "tok"])
+        .groupBy("id", "island", "phrase", "plen")
+        .agg(F.sum("score_m").cast("bigint").alias("score_milli"))
+    )
+    distinct_ph = ph_scored.groupBy("id", "phrase").agg(
+        F.first("plen").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_milli").alias("score_milli"),
+    )
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("score_milli").desc(), F.col("phrase").asc()
+    )
+    return (
+        distinct_ph.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_milli",
+        )
+    )

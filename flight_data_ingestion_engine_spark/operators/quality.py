@@ -650,3 +650,69 @@ def t_closeness_tv(
         tv.alias("tv"),
         (tv > F.lit(float(t_threshold))).alias("exceeds_t"),
     )
+
+
+def bayes_smoothed_rates(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    prior_strength: int = 50,
+) -> DataFrame:
+    """Empirical-Bayes smoothed per-group pass rates — the "Bayesian
+    average" every domain-level curation decision should use instead of
+    the raw rate (a domain with 2/2 docs passing is NOT better evidence
+    than one with 9,000/10,000; FineWeb-style domain allow/deny lists
+    and ranking-by-rate both break on small-n groups without this).
+    Each group's rate is shrunk toward the GLOBAL rate with
+    `prior_strength` pseudo-observations (the Beta(m·p, m·(1−p)) prior
+    whose mean is the global rate p):
+
+        shrunk = (k + m·K/N) / (n + m)  =  (k·N + m·K) / (N·(n + m))
+
+    — an EXACT bigint rational (right-hand form) realized in one IEEE
+    division, so small-n groups land near the global rate and large-n
+    groups near their raw rate. Returns one row per group:
+    (group, n, k, raw_rate, global_rate, shrunk_rate).
+
+    Shape: one map-side-combined groupBy plus a two-value global fold
+    broadcast back onto the (tiny) group frame — the corpus is scanned
+    once. Overflow needs k·N < 2⁶³: fine to ~3·10⁹ rows per side at
+    100 TB doc grain; beyond that, divide counts by a common factor
+    upstream. NULL flags count as failures only if pre-coalesced;
+    rows with NULL `flag_col` are excluded here."""
+    if prior_strength < 0:
+        raise ValueError(f"prior_strength must be >= 0, got {prior_strength}")
+    s = df.where(F.col(flag_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(flag_col).cast("boolean").cast("int").alias("flag"),
+    )
+    g = s.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("flag").cast("bigint").alias("k"),
+    )
+    totals = g.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("k").cast("bigint").alias("big_k"),
+    )
+    m = F.lit(int(prior_strength)).cast("bigint")
+    out = g.crossJoin(F.broadcast(totals))
+    raw = F.when(
+        F.col("n") > 0, F.col("k").cast("double") / F.col("n").cast("double")
+    )
+    glob = F.when(
+        F.col("big_n") > 0,
+        F.col("big_k").cast("double") / F.col("big_n").cast("double"),
+    )
+    shrunk = F.when(
+        (F.col("big_n") > 0) & ((F.col("n") + m) > 0),
+        (F.col("k") * F.col("big_n") + m * F.col("big_k")).cast("double")
+        / (F.col("big_n") * (F.col("n") + m)).cast("double"),
+    )
+    return out.select(
+        "group",
+        "n",
+        "k",
+        raw.alias("raw_rate"),
+        glob.alias("global_rate"),
+        shrunk.alias("shrunk_rate"),
+    )

@@ -18530,3 +18530,153 @@ def q_pass_at_k_problems(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") > 250000).alias("passed"),
     )
     return pass_at_k(runs, "problem", "passed", k=5)
+
+
+@_q(
+    "bayes_domain_rates",
+    """
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 199 = 0 THEN 'rare_src' ELSE source END
+               AS grp,
+             CASE WHEN doc_id % 173 = 0 THEN NULL
+                  WHEN length(COALESCE(text, '')) > 88 THEN 1 ELSE 0 END
+               AS flag
+      FROM documents
+    ),
+    f AS (SELECT * FROM s WHERE flag IS NOT NULL),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(flag) AS BIGINT) AS k
+      FROM f GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(SUM(k) AS BIGINT) AS big_k
+      FROM g
+    )
+    SELECT grp AS "group", n, k,
+           CASE WHEN n > 0 THEN CAST(k AS DOUBLE) / CAST(n AS DOUBLE) END
+             AS raw_rate,
+           CASE WHEN big_n > 0
+                THEN CAST(big_k AS DOUBLE) / CAST(big_n AS DOUBLE) END
+             AS global_rate,
+           CASE WHEN big_n > 0 AND n + 50 > 0 THEN
+             CAST(k * big_n + 50 * big_k AS DOUBLE)
+             / CAST(big_n * (n + 50) AS DOUBLE) END AS shrunk_rate
+    FROM g, t
+    """,
+)
+def q_bayes_domain_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed per-source pass rates (operators/
+    quality.py::bayes_smoothed_rates — the Bayesian average with 50
+    pseudo-observations toward the global rate): a planted rare source
+    (%199, 2-3 docs) demonstrates the shrinkage pulling a tiny group
+    to the global rate, and planted NULL flags (%173) exercise the
+    exclusion rule. Exact bigint rational, one IEEE division."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        bayes_smoothed_rates,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(d % 199 == 0, F.lit("rare_src"))
+        .otherwise(F.col("source"))
+        .alias("grp"),
+        F.when(d % 173 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.length(F.coalesce(F.col("text"), F.lit(""))) > 88)
+        .alias("flag"),
+    )
+    return bayes_smoothed_rates(docs, "grp", "flag", prior_strength=50)
+
+
+def _rake_sql() -> str:
+    """Oracle for RAKE: the same token regex (explicit whitespace
+    class), stopword membership (generated from the SAME list, never
+    retyped), gaps-and-islands phrase grouping, deg/freq fixed-point
+    word scores, bigint phrase-score sums, and the (score desc, phrase
+    asc) rank — replayed stage by stage in DuckDB."""
+    from flight_data_ingestion_engine_spark.operators.corpus import RAKE_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             lower(COALESCE(text, '')
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ', deep neural network training. the quick data pipeline'
+                           ELSE '' END) AS text
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 \\t\\n\\r\\f]+') AS ts
+      FROM d
+    ),
+    tx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM tk),
+    tok AS (SELECT doc_id, i AS pos, ts[i] AS tok FROM tx),
+    words AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM tok
+      WHERE regexp_matches(tok, '^[a-z0-9]+$') AND tok NOT IN ({sw})
+    ),
+    ph AS (
+      SELECT doc_id, island, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM words GROUP BY doc_id, island
+    ),
+    ws AS (
+      SELECT w.doc_id, w.tok, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM words w JOIN ph p
+        ON w.doc_id = p.doc_id AND w.island = p.island
+      GROUP BY w.doc_id, w.tok
+    ),
+    wsc AS (
+      SELECT doc_id, tok, CAST((deg * 1000) // freq AS BIGINT) AS score_m
+      FROM ws
+    ),
+    phs AS (
+      SELECT w.doc_id, w.island, CAST(SUM(s.score_m) AS BIGINT) AS score
+      FROM words w JOIN wsc s ON w.doc_id = s.doc_id AND w.tok = s.tok
+      GROUP BY w.doc_id, w.island
+    ),
+    fullp AS (
+      SELECT p.doc_id, p.phrase, p.plen, phs.score
+      FROM ph p JOIN phs ON p.doc_id = phs.doc_id AND p.island = phs.island
+    ),
+    dist AS (
+      SELECT doc_id, phrase, CAST(MIN(plen) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MAX(score) AS BIGINT) AS score_milli
+      FROM fullp GROUP BY doc_id, phrase
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_milli DESC, phrase ASC) AS rnk
+      FROM dist
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rank, phrase, n_words,
+           n_occurrences, score_milli
+    FROM r WHERE rnk <= 3
+    """
+
+
+@_q("rake_keywords_docs", _rake_sql())
+def q_rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (operators/corpus.py::rake_keywords — Rose et
+    al. 2010 with fixed-point milli word scores so ranking is
+    float-free) over documents with a planted punctuated multi-word
+    tail (%4) that creates genuine phrase islands around stopword and
+    punctuation boundaries; top-3 per doc."""
+    from flight_data_ingestion_engine_spark.operators.corpus import rake_keywords
+
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.lit(", deep neural network training. the quick data pipeline"),
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return rake_keywords(docs, top_k=3)

@@ -1221,3 +1221,39 @@ def test_llr_collocations_reference(spark):
     n = sum(len(t.split()) - 1 for _, t in rows)
     for r in out:
         assert abs(r.llr - direct_g2(r.c12, r.c1, r.c2, n)) < 1e-6 * max(r.llr, 1)
+
+
+def test_rake_keywords_paper_semantics(spark):
+    """RAKE on a crafted doc: phrase islands split at stopwords AND
+    punctuation; deg/freq fixed-point word scores and bigint phrase
+    sums reproduce the paper's hand example shape (a longer phrase
+    outranks the high-frequency single word); repeated phrases
+    aggregate with n_occurrences; top_k truncates; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import rake_keywords
+
+    text = (
+        "linear constraints of linear constraints. "
+        "systems, and natural numbers"
+    )
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = rake_keywords(df, top_k=10).collect()
+    by_phrase = {r.phrase: r for r in out}
+
+    # islands: [linear constraints] x2 (split at 'of' and '.'),
+    # [systems] (split at ','+'and'), [natural numbers]
+    assert set(by_phrase) == {"linear constraints", "systems", "natural numbers"}
+    lc = by_phrase["linear constraints"]
+    assert lc.n_occurrences == 2 and lc.n_words == 2
+    # linear: deg 4 freq 2 -> 2000; constraints: deg 4 freq 2 -> 2000
+    assert lc.score_milli == 4000 and lc.rank == 1
+    nn = by_phrase["natural numbers"]
+    assert nn.score_milli == 4000 or nn.score_milli == 2000 + 2000
+    assert by_phrase["systems"].score_milli == 1000
+
+    top1 = rake_keywords(df, top_k=1).collect()
+    assert len(top1) == 1 and top1[0].phrase == "linear constraints"
+
+    with _pt.raises(ValueError, match="top_k"):
+        rake_keywords(df, top_k=0)

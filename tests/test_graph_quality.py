@@ -321,3 +321,46 @@ def test_expectation_rule_names_with_backslashes(spark):
     names = ["path\\to\\rule", "tab\\t-not-a-tab", "trailing\\", "mixed\\'quote"]
     rep = expectation_report(df, [(n, F.col("v") > 0) for n in names])
     assert [r.rule for r in rep.collect()] == names
+
+
+def test_bayes_smoothed_rates_shrinkage(spark):
+    """Bayesian average: a 2/2 group shrinks nearly to the global rate
+    while a 900/1000 group barely moves (Fraction-exact expected
+    values); NULL flags are excluded; prior_strength=0 reproduces the
+    raw rate; validation rejects a negative prior."""
+    from fractions import Fraction
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        bayes_smoothed_rates,
+    )
+
+    rows = (
+        [("tiny", True)] * 2
+        + [("big", True)] * 900
+        + [("big", False)] * 100
+        + [("tiny", None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "grp string, flag boolean")
+    out = {r.group: r for r in
+           bayes_smoothed_rates(df, "grp", "flag", prior_strength=50).collect()}
+
+    big_n, big_k = 1002, 902
+    for grp, n, k in [("tiny", 2, 2), ("big", 1000, 900)]:
+        r = out[grp]
+        assert (r.n, r.k) == (n, k)
+        num = k * big_n + 50 * big_k
+        den = big_n * (n + 50)
+        assert r.shrunk_rate == float(num) / float(den)
+        assert Fraction(num, den) == Fraction(k + Fraction(50 * big_k, big_n), n + 50)
+    glob = Fraction(big_k, big_n)
+    assert abs(Fraction(out["tiny"].shrunk_rate) - glob) < Fraction(1, 50)
+    assert abs(out["big"].shrunk_rate - 0.9) < 0.005
+
+    raw = {r.group: r for r in
+           bayes_smoothed_rates(df, "grp", "flag", prior_strength=0).collect()}
+    assert raw["big"].shrunk_rate == raw["big"].raw_rate == 0.9
+
+    with _pt.raises(ValueError, match="prior_strength"):
+        bayes_smoothed_rates(df, "grp", "flag", prior_strength=-1)

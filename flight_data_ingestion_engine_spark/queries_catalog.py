@@ -18680,3 +18680,44 @@ def q_rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
     return rake_keywords(docs, top_k=3)
+
+
+def _hilbert_sql() -> str:
+    """Oracle for the Hilbert index: the SAME per-bit fold emitted by
+    `hvalue_sql_stages` (generated, never retyped) over the same
+    pre-scaled event coordinates."""
+    from flight_data_ingestion_engine_spark.operators.zorder import (
+        hvalue_sql_stages,
+    )
+
+    base = (
+        "(SELECT event_id, user_id % 256 AS hx,"
+        " CAST(floor(value * 100) AS BIGINT) % 256 AS hy"
+        " FROM events WHERE value IS NOT NULL)"
+    )
+    return hvalue_sql_stages(
+        base, "hx", "hy", ["event_id", "hx", "hy"], bits=8
+    )
+
+
+@_q("hilbert_codes", _hilbert_sql())
+def q_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve index (operators/zorder.py::hvalue — the
+    better-locality alternative to the Morton `zorder_codes`, the
+    Delta/Iceberg Hilbert-OPTIMIZE key) over pre-scaled event
+    coordinates on the 256×256 grid; the oracle replays the identical
+    per-bit rotate-and-fold emitted by the same generator."""
+    from flight_data_ingestion_engine_spark.operators.zorder import hvalue
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            (F.col("user_id") % 256).alias("hx"),
+            (F.floor(F.col("value") * 100).cast("bigint") % 256).alias("hy"),
+        )
+    )
+    return ev.select(
+        "event_id", "hx", "hy", hvalue("hx", "hy", bits=8).alias("hvalue")
+    )

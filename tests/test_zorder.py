@@ -78,3 +78,84 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     mu = file_column_stats(spark.read.parquet(upath), ["user_id", "ts"])
     assert pruned_read_multi(spark, mu, boxes).count() == want
     assert n == spark.read.parquet(zpath).count()  # layout loses nothing
+
+
+def _hilbert_ref(x: int, y: int, bits: int) -> int:
+    """Reference xy2d (Wikipedia form) for cross-checking the column
+    expression."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hvalue_bijection_and_adjacency(spark):
+    """The two defining Hilbert properties on the full 16×16 grid
+    (bits=4): the index is a bijection onto [0, 256), and consecutive
+    indices are UNIT-adjacent cells (|dx|+|dy| = 1 — the locality
+    guarantee Morton codes lack); plus an exact cross-check against
+    the reference implementation, including mask wraparound."""
+    from flight_data_ingestion_engine_spark.operators.zorder import hvalue
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", hvalue("x", "y", bits=4).alias("d")).collect()
+
+    ds = {(r.x, r.y): r.d for r in rows}
+    assert sorted(ds.values()) == list(range(256))  # bijection
+    by_d = {d: xy for xy, d in ds.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit adjacency
+    for (x, y), d in ds.items():
+        assert d == _hilbert_ref(x, y, 4)
+
+    # mask wraparound: values beyond the grid fold onto their low bits
+    big = spark.createDataFrame([(16 + 3, 32 + 5)], "x long, y long")
+    got = big.select(hvalue("x", "y", bits=4).alias("d")).collect()[0].d
+    assert got == _hilbert_ref(3, 5, 4)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bits"):
+        hvalue("x", "y", bits=0)
+
+
+def test_hilbert_write_locality(spark, tmp_path):
+    """hilbert_write range-clusters on the index: each written file's
+    (x, y) bounding box is tighter than the global box, and a box
+    predicate prunes files via min/max stats — and the files cover
+    CONNECTED index ranges (read back per-file, ranges don't
+    interleave)."""
+    from flight_data_ingestion_engine_spark.operators.zorder import (
+        hilbert_write,
+        hvalue,
+    )
+    from pyspark.sql import functions as F
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    path = str(tmp_path / "hilb")
+    hilbert_write(df, path, F.col("x"), F.col("y"), n_files=4, bits=5)
+
+    back = spark.read.parquet(path).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    stats = back.groupBy("f").agg(
+        F.min(hvalue("x", "y", bits=5)).alias("dmin"),
+        F.max(hvalue("x", "y", bits=5)).alias("dmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert back.count() == 1024
+    spans = sorted((r.dmin, r.dmax) for r in stats if r.n > 0)
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert b1 < a2  # files cover disjoint, ordered index ranges

@@ -31,7 +31,7 @@ match (min/max are inclusive bounds over the file's rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1764,3 +1764,61 @@ def delete_tag(spark: SparkSession, log_path: str, name: str) -> bool:
             False,
         )
     )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    size_col: str = "bytes",
+    path_col: str = "file_path",
+    passthrough_bytes: int | None = None,
+) -> DataFrame:
+    """Small-file compaction planner — the bin-packing step of an
+    OPTIMIZE: group undersized files into rewrite groups of ~
+    `target_bytes` each (the small-files problem is THE operational
+    tax of streaming/incremental ingestion at 100 TB; every table
+    format ships this planner). Files at or above `passthrough_bytes`
+    (default: `target_bytes`) are already healthy and pass through
+    with NULL bin columns — compaction must never rewrite them.
+
+    Packing rule: sorted fill — candidates ordered by (size desc,
+    path asc), bin = exclusive-running-sum DIV target. Deterministic,
+    one window over the MANIFEST frame (O(files) rows, not data), and
+    bit-replayable in SQL — unlike first-fit-decreasing, which needs
+    a sequential bin-state scan. Bins can overshoot `target_bytes` by
+    less than one member file (the standard accepted slack: Delta's
+    OPTIMIZE bins the same way); every bin except possibly the last
+    reaches the target. Returns one row per file:
+    (path, size, bin_id, bin_files, bin_bytes) — feed the bin groups
+    to a grouped rewrite (`optimize_versioned` / `_stage_and_move`).
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    thr = passthrough_bytes if passthrough_bytes is not None else target_bytes
+    size = F.col(size_col).cast("bigint")
+    small = manifest.where(size < thr)
+    big = manifest.where(size >= thr).select(
+        F.col(path_col).alias("path"),
+        size.alias("size"),
+        F.lit(None).cast("bigint").alias("bin_id"),
+        F.lit(None).cast("bigint").alias("bin_files"),
+        F.lit(None).cast("bigint").alias("bin_bytes"),
+    )
+    w = Window.orderBy(F.col("size").desc(), F.col("path").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = (
+        small.select(F.col(path_col).alias("path"), size.alias("size"))
+        .withColumn(
+            "_cume", (F.sum("size").over(w) - F.col("size")).cast("bigint")
+        )
+        .withColumn(
+            "bin_id", F.expr(f"_cume DIV {int(target_bytes)}").cast("bigint")
+        )
+        .drop("_cume")
+    )
+    wb = Window.partitionBy("bin_id")
+    binned = binned.withColumn(
+        "bin_files", F.count(F.lit(1)).over(wb).cast("bigint")
+    ).withColumn("bin_bytes", F.sum("size").over(wb).cast("bigint"))
+    return binned.unionByName(big)

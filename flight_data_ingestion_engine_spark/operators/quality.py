@@ -716,3 +716,47 @@ def bayes_smoothed_rates(
         glob.alias("global_rate"),
         shrunk.alias("shrunk_rate"),
     )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson score lower bound on per-group pass rates — the ranking
+    statistic for "sort domains by keep rate, but don't let a 2/2
+    domain beat a 9,000/10,000 one" (the classic Reddit/Evan-Miller
+    confidence sort; the frequentist twin of `bayes_smoothed_rates`,
+    preferable when you want a guarantee rather than a prior):
+
+        wlb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+
+    Computed in ONE FIXED IEEE expression tree (divisions and a sqrt —
+    both engines correctly-round these, so the oracle replays the
+    identical value; no transcendentals, the JVM-vs-libm trap the
+    collocation ops hit does not exist here). Same single-scan shape
+    as `bayes_smoothed_rates`: one map-side-combined groupBy; rows
+    with NULL `flag_col` are excluded. Returns
+    (group, n, k, raw_rate, wilson_lb)."""
+    if z < 0:
+        raise ValueError(f"z must be >= 0, got {z}")
+    s = df.where(F.col(flag_col).isNotNull()).select(
+        F.col(group_col).alias("group"),
+        F.col(flag_col).cast("boolean").cast("int").alias("flag"),
+    )
+    g = s.groupBy("group").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("flag").cast("bigint").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / nd
+    z2 = F.lit(float(z) * float(z))
+    center = phat + z2 / (F.lit(2.0) * nd)
+    rad = F.lit(float(z)) * F.sqrt(
+        (phat * (F.lit(1.0) - phat) + z2 / (F.lit(4.0) * nd)) / nd
+    )
+    wlb = (center - rad) / (F.lit(1.0) + z2 / nd)
+    return g.select(
+        "group", "n", "k", phat.alias("raw_rate"), wlb.alias("wilson_lb")
+    )

@@ -18721,3 +18721,114 @@ def q_hilbert_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "hx", "hy", hvalue("hx", "hy", bits=8).alias("hvalue")
     )
+
+
+@_q(
+    "compaction_plan_files",
+    """
+    WITH f AS (
+      SELECT 'doc_' || doc_id AS file_path,
+             CAST(length(COALESCE(text, '')) * 64
+                  * CASE WHEN doc_id % 23 = 0 THEN 3 ELSE 1 END
+                  AS BIGINT) AS bytes
+      FROM documents
+    ),
+    small AS (SELECT * FROM f WHERE bytes < 8000),
+    s AS (
+      SELECT file_path AS path, bytes AS size,
+             CAST(SUM(bytes) OVER (ORDER BY bytes DESC, file_path ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - bytes AS BIGINT) AS cume
+      FROM small
+    ),
+    b AS (SELECT path, size, CAST(cume // 16384 AS BIGINT) AS bin_id FROM s),
+    agg AS (
+      SELECT *, CAST(COUNT(*) OVER (PARTITION BY bin_id) AS BIGINT)
+                  AS bin_files,
+             CAST(SUM(size) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_bytes
+      FROM b
+    )
+    SELECT * FROM agg
+    UNION ALL
+    SELECT file_path AS path, bytes AS size,
+           CAST(NULL AS BIGINT) AS bin_id,
+           CAST(NULL AS BIGINT) AS bin_files,
+           CAST(NULL AS BIGINT) AS bin_bytes
+    FROM f WHERE bytes >= 8000
+    """,
+)
+def q_compaction_plan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/manifest.py::
+    compaction_plan — sorted-fill bin packing toward a 16 KiB target)
+    over a manifest synthesized from document lengths, with planted
+    oversized files (%23, tripled) exercising the pass-through rule.
+    The real write→manifest→plan lifecycle is pytest-gated; this
+    oracle pins the packing arithmetic bit-exactly."""
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        compaction_plan,
+    )
+
+    d = F.col("doc_id")
+    manifest = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), d.cast("string")).alias("file_path"),
+        (
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint")
+            * 64
+            * F.when(d % 23 == 0, 3).otherwise(1)
+        ).alias("bytes"),
+    )
+    return compaction_plan(manifest, target_bytes=16384, passthrough_bytes=8000)
+
+
+@_q(
+    "wilson_domain_rates",
+    """
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 199 = 0 THEN 'rare_src' ELSE source END
+               AS grp,
+             CASE WHEN doc_id % 173 = 0 THEN NULL
+                  WHEN length(COALESCE(text, '')) > 88 THEN 1 ELSE 0 END
+               AS flag
+      FROM documents
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(flag) AS BIGINT) AS k
+      FROM s WHERE flag IS NOT NULL GROUP BY grp
+    )
+    SELECT grp AS "group", n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             + CAST(3.8415999999999997 AS DOUBLE)
+               / (2.0 * CAST(n AS DOUBLE)))
+            - CAST(1.96 AS DOUBLE)
+              * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      + CAST(3.8415999999999997 AS DOUBLE)
+                        / (4.0 * CAST(n AS DOUBLE)))
+                     / CAST(n AS DOUBLE)))
+           / (1.0 + CAST(3.8415999999999997 AS DOUBLE) / CAST(n AS DOUBLE))
+             AS wilson_lb
+    FROM g
+    """,
+)
+def q_wilson_domain_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson lower-bound ranking (operators/quality.py::
+    wilson_lower_bound, z=1.96) over the same planted source groups as
+    `bayes_domain_rates` — the frequentist confidence-sort twin; the
+    oracle replays the identical IEEE expression tree (z² spelled as
+    the exact double 1.96·1.96)."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        wilson_lower_bound,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(d % 199 == 0, F.lit("rare_src"))
+        .otherwise(F.col("source"))
+        .alias("grp"),
+        F.when(d % 173 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.length(F.coalesce(F.col("text"), F.lit(""))) > 88)
+        .alias("flag"),
+    )
+    return wilson_lower_bound(docs, "grp", "flag", z=1.96)

@@ -364,3 +364,42 @@ def test_bayes_smoothed_rates_shrinkage(spark):
 
     with _pt.raises(ValueError, match="prior_strength"):
         bayes_smoothed_rates(df, "grp", "flag", prior_strength=-1)
+
+
+def test_wilson_lower_bound_ranking(spark):
+    """Wilson LB: matches the textbook formula computed in the same
+    IEEE op order; a 2/2 group ranks BELOW a 900/1000 group (the
+    confidence-sort property raw rates lack); z=0 degenerates to the
+    raw rate; bound is always within [0, raw_rate]."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        wilson_lower_bound,
+    )
+
+    rows = [("tiny", True)] * 2 + [("big", True)] * 900 + [("big", False)] * 100
+    df = spark.createDataFrame(rows, "grp string, flag boolean")
+    out = {r.group: r for r in wilson_lower_bound(df, "grp", "flag").collect()}
+
+    def ref(n, k, z=1.96):
+        phat = float(k) / float(n)
+        z2 = z * z
+        center = phat + z2 / (2.0 * n)
+        rad = z * math.sqrt((phat * (1.0 - phat) + z2 / (4.0 * n)) / n)
+        return (center - rad) / (1.0 + z2 / n)
+
+    assert out["tiny"].wilson_lb == ref(2, 2)
+    assert out["big"].wilson_lb == ref(1000, 900)
+    assert out["tiny"].wilson_lb < out["big"].wilson_lb  # confidence sort
+    assert out["tiny"].raw_rate > out["big"].raw_rate    # raw rate misleads
+    for r in out.values():
+        assert 0.0 <= r.wilson_lb <= r.raw_rate
+
+    z0 = {r.group: r for r in
+          wilson_lower_bound(df, "grp", "flag", z=0.0).collect()}
+    assert z0["big"].wilson_lb == z0["big"].raw_rate == 0.9
+
+    with _pt.raises(ValueError, match="z must be"):
+        wilson_lower_bound(df, "grp", "flag", z=-1.0)

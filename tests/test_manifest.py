@@ -1719,3 +1719,60 @@ def test_optimize_incremental_zorder_expression(spark):
             spark, data, log, cluster_by=["a"], n_files=4, cluster_expr=z
         )
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_compaction_plan_lifecycle_and_invariants(spark, tmp_path):
+    """compaction_plan over REAL file metadata (`_metadata.file_size`):
+    every small file lands in exactly one bin, bins are filled to the
+    target before a new one opens (every bin except the last reaches
+    target once any overshoot member is discounted — sorted-fill
+    semantics), overshoot is bounded by one member file, and healthy
+    files pass through with NULL bins; validation rejects a
+    non-positive target."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.manifest import (
+        compaction_plan,
+    )
+    from pyspark.sql import functions as F
+
+    # many tiny files: one row each -> small parquet files
+    src = spark.range(40).withColumn("payload", F.lit("x" * 64))
+    path = str(tmp_path / "tiny")
+    src.repartition(40).write.parquet(path)
+
+    files = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .distinct()
+    )
+    sizes = {r.file_path: r.bytes for r in files.collect()}
+    target = int(3.5 * (sum(sizes.values()) / len(sizes)))
+
+    plan = compaction_plan(files, target_bytes=target).collect()
+    assert {r.path for r in plan} == set(sizes)
+    assert all(r.bin_id is not None for r in plan)  # all below passthrough
+
+    by_bin: dict[int, list] = {}
+    for r in plan:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    max_member = max(sizes.values())
+    last = max(by_bin)
+    for b, members in by_bin.items():
+        tot = sum(m.size for m in members)
+        assert members[0].bin_bytes == tot
+        assert members[0].bin_files == len(members)
+        assert tot < target + max_member  # bounded overshoot
+        if b != last:
+            assert tot + max_member >= target  # filled before opening next
+
+    # pass-through: raise the floor so every file is "healthy"
+    pt = compaction_plan(files, target_bytes=target, passthrough_bytes=1).collect()
+    assert all(r.bin_id is None and r.bin_bytes is None for r in pt)
+
+    with _pt.raises(ValueError, match="target_bytes"):
+        compaction_plan(files, target_bytes=0)

@@ -3279,3 +3279,101 @@ def rake_keywords(
             "score_milli",
         )
     )
+
+
+def chat_render(
+    df: DataFrame,
+    conv_col: str = "conversation",
+    parse_json: bool = False,
+    add_generation_prompt: bool = False,
+) -> DataFrame:
+    """ChatML template rendering — the step that turns a linted
+    (role, content) conversation into the actual training string (the
+    `apply_chat_template` of the HF stack; every SFT pipeline runs
+    this between lint and tokenize). Each turn renders as
+
+        <|im_start|>{role}\\n{content}<|im_end|>\\n
+
+    concatenated in order; `add_generation_prompt=True` appends the
+    bare `<|im_start|>assistant\\n` opener (inference-prompt form).
+
+    Also emits `assistant_spans` — the [start, end) character ranges
+    of each assistant turn's CONTENT inside the rendered string, i.e.
+    the loss mask: SFT trains on assistant tokens only, and computing
+    the mask at render time (exact integer arithmetic over piece
+    lengths, a single running fold) is the only way to keep it aligned
+    with the rendered text. `rendered.substr(start, end-start)` is
+    bit-equal to the turn content — pytest-gated.
+
+    Pure Catalyst array ops (transform + aggregate fold over piece
+    lengths): zero shuffle, scan-speed. Returns the input plus
+    (rendered, n_turns, n_assistant, assistant_spans)."""
+    conv = F.col(conv_col)
+    if parse_json:
+        conv = F.from_json(conv, CONVERSATION_SCHEMA)
+    conv = F.coalesce(conv, F.array().cast(CONVERSATION_SCHEMA))
+    open_t, close_t = "<|im_start|>", "<|im_end|>"
+    piece = lambda t: F.concat(  # noqa: E731
+        F.lit(open_t),
+        F.coalesce(t["role"], F.lit("")),
+        F.lit("\n"),
+        F.coalesce(t["content"], F.lit("")),
+        F.lit(close_t),
+        F.lit("\n"),
+    )
+    pieces = F.transform(conv, piece)
+    rendered = F.array_join(pieces, "")
+    if add_generation_prompt:
+        rendered = F.concat(rendered, F.lit(open_t + "assistant\n"))
+    # running fold: piece i's content starts at (sum of piece lengths
+    # before i) + len(open) + len(role) + 1
+    meta = F.transform(
+        conv,
+        lambda t: F.struct(
+            F.coalesce(t["role"], F.lit("")).alias("role"),
+            F.length(piece(t)).cast("bigint").alias("plen"),
+            (
+                F.lit(len(open_t))
+                + F.length(F.coalesce(t["role"], F.lit("")))
+                + F.lit(1)
+            ).cast("bigint").alias("rel"),
+            F.length(F.coalesce(t["content"], F.lit(""))).cast("bigint").alias(
+                "clen"
+            ),
+        ),
+    )
+    spans = F.aggregate(
+        meta,
+        F.struct(
+            F.lit(0).cast("bigint").alias("pos"),
+            F.array().cast("array<struct<start:bigint,end:bigint>>").alias(
+                "spans"
+            ),
+        ),
+        lambda acc, m: F.struct(
+            (acc["pos"] + m["plen"]).alias("pos"),
+            F.when(
+                m["role"] == "assistant",
+                F.concat(
+                    acc["spans"],
+                    F.array(
+                        F.struct(
+                            (acc["pos"] + m["rel"]).alias("start"),
+                            (acc["pos"] + m["rel"] + m["clen"]).alias("end"),
+                        )
+                    ),
+                ),
+            ).otherwise(acc["spans"]).alias("spans"),
+        ),
+        lambda acc: acc["spans"],
+    )
+    return (
+        df.withColumn("rendered", rendered)
+        .withColumn("n_turns", F.size(conv).cast("bigint"))
+        .withColumn(
+            "n_assistant",
+            F.size(F.filter(conv, lambda t: t["role"] == F.lit("assistant")))
+            .cast("bigint"),
+        )
+        .withColumn("assistant_spans", spans)
+    )

@@ -2210,3 +2210,80 @@ def audio_meta_header(
             F.when(rate > 0, n_samples.cast("double") / rate.cast("double")),
         )
     )
+
+
+def gain_normalize_audio(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+    target_rms: int = 3000,
+) -> DataFrame:
+    """Loudness (RMS) gain normalization — the level-matching pass every
+    ASR/TTS corpus runs so training clips sit at one nominal loudness
+    (quiet far-mic clips and hot studio clips otherwise teach the model
+    level, not content). Each clip's gain is computed from its own RMS
+    and applied as Q15 FIXED-POINT integer arithmetic, so the result is
+    bit-deterministic and oracle-replayable (a float gain would round
+    engine-differently):
+
+        rms   = isqrt(Σs² div n)                (integer RMS, floored)
+        gain  = (target_rms·2¹⁵) div rms        (Q15; identity if rms=0)
+        s'    = clamp((s·gain) >> 15, int16)    (arithmetic shift =
+                                                 floor-division by 2¹⁵)
+
+    One Arrow mapInPandas stage over the real WAV codec (same shape as
+    `decimate_audio`); payloads never reach the driver. Returns
+    (id, media_bytes, media_meta, n_samples, rms_before, gain_q15,
+    rms_after) — the scalar columns make the op auditable without a
+    second decode."""
+    import math
+
+    import pandas as pd
+
+    if target_rms < 0:
+        raise ValueError(f"target_rms must be >= 0, got {target_rms}")
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>,"
+        " n_samples bigint, rms_before bigint, gain_q15 bigint,"
+        " rms_after bigint"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            rows = []
+            for i, payload, meta in zip(
+                sub[id_col].astype("int64"), sub[bytes_col], sub[meta_col]
+            ):
+                rate, _, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                sumsq = sum(int(s) * int(s) for s in samples)
+                rms = math.isqrt(sumsq // n) if n else 0
+                gain = (
+                    (int(target_rms) << 15) // rms if rms > 0 else 1 << 15
+                )
+                out = [
+                    max(-32768, min(32767, (int(s) * gain) >> 15))
+                    for s in samples
+                ]
+                sumsq2 = sum(s * s for s in out)
+                rms2 = math.isqrt(sumsq2 // n) if n else 0
+                m = ("audio", "wav", None, None, rate, n, n / rate if rate else 0.0)
+                rows.append(
+                    (int(i), encode_wav(rate, out), m, n, rms, gain, rms2)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "media_bytes", "media_meta", "n_samples",
+                    "rms_before", "gain_q15", "rms_after",
+                ],
+            )
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)

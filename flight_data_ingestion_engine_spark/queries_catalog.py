@@ -18832,3 +18832,153 @@ def q_wilson_domain_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flag"),
     )
     return wilson_lower_bound(docs, "grp", "flag", z=1.96)
+
+
+@_q(
+    "chat_render_convs",
+    """
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k, doc_id % 3 = 0 AS has_sys
+      FROM documents
+    ),
+    t AS (
+      SELECT p.doc_id, u.i,
+             CASE WHEN p.has_sys AND u.i = 0 THEN 'system'
+                  WHEN (u.i - CASE WHEN p.has_sys THEN 1 ELSE 0 END) % 2 = 0
+                       THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CASE WHEN p.has_sys AND u.i = 0 THEN 'be helpful'
+                  ELSE 'm' || CAST(p.doc_id AS VARCHAR) || 't'
+                       || CAST(u.i - CASE WHEN p.has_sys THEN 1 ELSE 0 END
+                               AS VARCHAR) END AS content
+      FROM p, UNNEST(range(p.k + CASE WHEN p.has_sys THEN 1 ELSE 0 END)) AS u(i)
+    ),
+    pieces AS (
+      SELECT *, '<|im_start|>' || role || chr(10) || content
+                || '<|im_end|>' || chr(10) AS piece
+      FROM t
+    ),
+    pos AS (
+      SELECT *, CAST(COALESCE(SUM(length(piece)) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS pbefore
+      FROM pieces
+    )
+    SELECT doc_id,
+           string_agg(piece, '' ORDER BY i) AS rendered,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_assistant,
+           COALESCE(string_agg(
+             CASE WHEN role = 'assistant'
+                  THEN CAST(pbefore + 13 + length(role) AS VARCHAR) || '-'
+                       || CAST(pbefore + 13 + length(role) + length(content)
+                               AS VARCHAR) END,
+             '|' ORDER BY i), '') AS spans
+    FROM pos GROUP BY doc_id
+    """,
+)
+def q_chat_render_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML rendering + loss-mask spans (operators/corpus.py::
+    chat_render) over the same synthesized ShareGPT conversations the
+    lint query uses (body 2+d%3 turns, optional system turn at d%3=0):
+    the oracle rebuilds the rendered string per turn and derives each
+    assistant span from the window cumsum of piece lengths — so a
+    template or offset bug mismatches byte-for-byte. Spans project to
+    a joined string (the list-column stringification rule)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import chat_render
+
+    d = F.col("doc_id")
+    k = F.lit(2) + (d % 3).cast("int")
+
+    def turn(i):
+        role = F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        content = F.concat(F.lit("m"), d.cast("string"), F.lit("t"), i.cast("string"))
+        return F.concat(
+            F.lit('{"role":"'), role, F.lit('","content":"'), content, F.lit('"}')
+        )
+
+    body = F.transform(F.sequence(F.lit(0), k - 1), turn)
+    arr = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.array(F.lit('{"role":"system","content":"be helpful"}')), body
+        ),
+    ).otherwise(body)
+    conv_json = F.concat(F.lit("["), F.concat_ws(",", arr), F.lit("]"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", conv_json.alias("conversation")
+    )
+    out = chat_render(docs, parse_json=True)
+    return out.select(
+        "doc_id",
+        "rendered",
+        "n_turns",
+        "n_assistant",
+        F.array_join(
+            F.transform(
+                F.col("assistant_spans"),
+                lambda s: F.concat(
+                    s["start"].cast("string"), F.lit("-"), s["end"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("spans"),
+    )
+
+
+@_q(
+    "audio_gain_normalize",
+    """
+    WITH a AS (
+      SELECT doc_id AS clip_id,
+             CAST(doc_id % 3 AS BIGINT) AS lead,
+             CAST(doc_id % 2 AS BIGINT) AS trail,
+             CAST(doc_id % 300 + 600 AS BIGINT) AS amp
+      FROM documents
+    ),
+    s AS (
+      SELECT clip_id, amp, (8 - lead - trail) * 64 AS loud_n,
+             CAST(512 AS BIGINT) AS n
+      FROM a
+    ),
+    r AS (
+      SELECT *, CAST(floor(sqrt(CAST(loud_n * amp * amp // n AS DOUBLE)))
+                AS BIGINT) AS rms_before
+      FROM s
+    ),
+    g AS (
+      SELECT *, CASE WHEN rms_before > 0
+                     THEN (3000 * 32768) // rms_before
+                     ELSE 32768 END AS gain_q15
+      FROM r
+    ),
+    o AS (
+      SELECT *, LEAST((amp * gain_q15) // 32768, 32767) AS amp_after
+      FROM g
+    )
+    SELECT clip_id, n AS n_samples, rms_before, gain_q15,
+           CAST(floor(sqrt(CAST(loud_n * amp_after * amp_after // n
+                AS DOUBLE))) AS BIGINT) AS rms_after
+    FROM o
+    """,
+)
+def q_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 fixed-point RMS gain normalization through the REAL WAV
+    codec (operators/multimodal.py::gain_normalize_audio): the
+    patterned clips' integer RMS, gain, and post-gain RMS all replay
+    from the closed-form window construction (floored isqrt stated as
+    floor(sqrt(double)) — exact below 2⁵³), without the oracle touching
+    a byte of WAV."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_patterned_audio,
+        gain_normalize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("clip_id"))
+    media = attach_patterned_audio(docs, id_col="clip_id")
+    out = gain_normalize_audio(media, target_rms=3000)
+    return out.select(
+        "clip_id", "n_samples", "rms_before", "gain_q15", "rms_after"
+    )

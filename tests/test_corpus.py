@@ -1257,3 +1257,39 @@ def test_rake_keywords_paper_semantics(spark):
 
     with _pt.raises(ValueError, match="top_k"):
         rake_keywords(df, top_k=0)
+
+
+def test_chat_render_spans_align(spark):
+    """ChatML rendering: exact template text; assistant_spans slice the
+    RENDERED string back to exactly each assistant turn's content (the
+    loss-mask alignment guarantee); generation prompt appends the bare
+    opener; a NULL conversation renders empty."""
+    from flight_data_ingestion_engine_spark.operators.corpus import chat_render
+
+    conv = [
+        ("system", "be helpful"),
+        ("user", "hi"),
+        ("assistant", "hello"),
+        ("user", "more"),
+        ("assistant", "ok"),
+    ]
+    df = spark.createDataFrame(
+        [(0, conv), (1, None)],
+        "doc_id long, conversation array<struct<role:string,content:string>>",
+    )
+    out = {r.doc_id: r for r in chat_render(df).collect()}
+
+    r = out[0]
+    expected = "".join(
+        f"<|im_start|>{role}\n{content}<|im_end|>\n" for role, content in conv
+    )
+    assert r.rendered == expected
+    assert r.n_turns == 5 and r.n_assistant == 2
+    contents = [c for role, c in conv if role == "assistant"]
+    assert [r.rendered[s.start:s.end] for s in r.assistant_spans] == contents
+
+    e = out[1]
+    assert e.rendered == "" and e.n_turns == 0 and e.assistant_spans == []
+
+    gen = chat_render(df, add_generation_prompt=True).collect()[0]
+    assert gen.rendered.endswith("<|im_end|>\n<|im_start|>assistant\n")

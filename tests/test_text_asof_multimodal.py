@@ -2205,3 +2205,63 @@ def test_strip_quoted_replies_rules(spark):
     assert p.sig_start == 0 and p.n_quoted == 0
     assert p.text_stripped == "plain\ntext"
     assert out[2].text_stripped == "" and out[2].n_lines == 1
+
+
+def test_gain_normalize_audio_roundtrip(spark):
+    """Gain normalization: the re-encoded payload's samples equal the
+    Q15 integer math applied to the originals (decode-verified,
+    including negative samples' arithmetic-shift floor semantics); a
+    silent clip passes through at unit gain; clamping pins hot clips
+    to int16 range; post-gain RMS lands near the target."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        gain_normalize_audio,
+    )
+
+    clips = {
+        0: [100, -100, 200, -200] * 64,          # quiet -> boosted
+        1: [0] * 256,                            # silent -> unit gain
+        2: [30000, -30000] * 128,                # hot -> attenuated
+        3: [32000] * 64 + [-32000] * 64,         # would clamp at high target
+    }
+    rows = [
+        (i, encode_wav(8000, s),
+         ("audio", "wav", None, None, 8000, len(s), len(s) / 8000.0))
+        for i, s in clips.items()
+    ]
+    schema = (
+        "clip_id long, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r.clip_id: r for r in gain_normalize_audio(df, target_rms=3000).collect()}
+
+    for i, s in clips.items():
+        r = out[i]
+        n = len(s)
+        rms = math.isqrt(sum(v * v for v in s) // n)
+        gain = (3000 << 15) // rms if rms else 1 << 15
+        expect = [max(-32768, min(32767, (v * gain) >> 15)) for v in s]
+        assert (r.rms_before, r.gain_q15) == (rms, gain)
+        _, _, got = decode_wav(bytes(r.media_bytes))
+        assert got == expect
+        assert r.rms_after == math.isqrt(sum(v * v for v in expect) // n)
+
+    assert out[1].gain_q15 == 1 << 15 and out[1].rms_after == 0
+    assert 2980 <= out[0].rms_after <= 3020  # floored rms -> small over/under
+    assert out[2].gain_q15 < (1 << 15)       # attenuation
+
+    # clamp: a target above the clip's own RMS saturates at int16 max
+    hot = {r.clip_id: r for r in
+           gain_normalize_audio(df, target_rms=40000).collect()}
+    _, _, sat = decode_wav(bytes(hot[3].media_bytes))
+    assert max(sat) == 32767 and min(sat) == -32768
+
+    with _pt.raises(ValueError, match="target_rms"):
+        gain_normalize_audio(df, target_rms=-1)

@@ -296,3 +296,73 @@ def dependency_levels(
     return levels.select(
         "path", "level", F.row_number().over(w).cast("bigint").alias("position")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    deterministic — the community-detection pass a curation pipeline
+    runs over co-occurrence graphs (domains sharing outlinks, suppliers
+    sharing parts, near-dup clusters sharing members) to find groups
+    without choosing k. Every node starts labeled with itself; each
+    round it adopts the MAJORITY label among in-neighbors, ties broken
+    by MINIMUM label (the textbook algorithm's random tie-break is
+    what makes it non-reproducible — pinning it to min makes the whole
+    run bit-replayable in SQL as unrolled CTE rounds, the `pagerank`
+    discipline); nodes with no in-edges keep their label. Symmetrize
+    the edge list upstream for undirected semantics.
+
+    Per round: one edge-sized equi-join + one keyed count + one
+    per-node argmax window — all keyed on node, never global.
+    `localCheckpoint` caps lineage depth (round N's plan doesn't embed
+    rounds 1..N−1); the same edge-count partition sizing as `pagerank`
+    keeps small graphs off the full shuffle width. Returns
+    (node, label)."""
+    from pyspark.sql.window import Window
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    n_edges = raw.count()
+    p = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000))
+    trim = p < int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    def _size(df: DataFrame) -> DataFrame:
+        return df.coalesce(p) if trim else df
+
+    e = _size(raw).localCheckpoint()
+    nodes = _size(
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("t").alias("node")))
+        .distinct()
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("n2").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        nb = e.join(labels, F.col("t") == F.col("node")).select(
+            F.col("s").alias("n2"), "label"
+        )
+        cnt = nb.groupBy("n2", "label").agg(
+            F.count(F.lit(1)).cast("bigint").alias("votes")
+        )
+        best = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("n2", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, F.col("node") == F.col("n2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+        labels = _size(labels).localCheckpoint(eager=False)
+    return labels

@@ -1137,3 +1137,75 @@ def alpha_sample_weights(
         .withColumn("boost", F.col("q") / F.col("p"))
         .select("group", "n_size", "p", "q", "boost")
     )
+
+
+def hamilton_allocation(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — the step that turns
+    mixture WEIGHTS into integer COUNTS: given per-source weights (from
+    `doremi_weights`, `unimax_allocation`, `alpha_sample_weights`, or
+    raw token tallies) and a total budget of samples/tokens, allocate
+    exact integers that (a) sum to the budget EXACTLY and (b) are each
+    within one unit of the real-valued quota — the two properties
+    naive rounding loses (floors under-allocate by up to k; float
+    rounding drifts and is engine-dependent).
+
+        base_i  = (B·w_i) div W,   rem_i = (B·w_i) mod W
+        extra   = B − Σ base       (< k)
+        alloc_i = base_i + [rank_i ≤ extra]   (rank by rem desc, key asc)
+
+    Pure bigint arithmetic — bit-replayable. Needs B·w_i < 2⁶³ (token
+    budgets ~10¹² against weight tallies ~10⁶ are fine; pre-scale
+    weights down if both are huge). W = 0 allocates nothing. The two
+    windows run over the SOURCE frame (k rows, not data). Returns
+    (key, weight, base_alloc, extra_unit, alloc)."""
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    b = F.lit(int(budget)).cast("bigint")
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("bigint").alias("weight"),
+    )
+    tot = g.agg(F.sum("weight").cast("bigint").alias("w_total"))
+    g = g.crossJoin(F.broadcast(tot))
+    g = g.withColumn(
+        "base_alloc",
+        F.when(
+            F.col("w_total") > 0, F.expr(f"({int(budget)} * weight) DIV w_total")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    ).withColumn(
+        "rem",
+        F.when(
+            F.col("w_total") > 0, F.expr(f"({int(budget)} * weight) % w_total")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    wsum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn(
+        "extra_total",
+        F.when(
+            F.col("w_total") > 0, b - F.sum("base_alloc").over(wsum)
+        ).otherwise(F.lit(0)),
+    )
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("key").asc())
+    g = g.withColumn("rn", F.row_number().over(wrank))
+    return g.select(
+        "key",
+        "weight",
+        "base_alloc",
+        (F.col("rn") <= F.col("extra_total")).cast("int").alias("extra_unit"),
+        (F.col("base_alloc") + (F.col("rn") <= F.col("extra_total")).cast("int"))
+        .cast("bigint")
+        .alias("alloc"),
+    )

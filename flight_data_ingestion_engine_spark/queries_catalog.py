@@ -18982,3 +18982,103 @@ def q_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "clip_id", "n_samples", "rms_before", "gain_q15", "rms_after"
     )
+
+
+def _lp_sql(iterations: int = 3) -> str:
+    """Oracle for deterministic label propagation: the min-tie-break
+    majority vote unrolled as CTE rounds (the `pagerank` replay
+    discipline) over the same symmetrized co-supply graph."""
+    parts = [
+        _COSUPPLY_EDGES_SQL.strip().rstrip(","),
+        "ed AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e)",
+        "nodes AS (SELECT DISTINCT s AS node FROM ed)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"r{k} AS (SELECT ed.s AS n2, l.label,"
+            f" CAST(COUNT(*) AS BIGINT) AS votes"
+            f" FROM ed JOIN l{k - 1} l ON ed.t = l.node"
+            f" GROUP BY ed.s, l.label)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT n2, label FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY n2"
+            f" ORDER BY votes DESC, label ASC) AS rn FROM r{k}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT p.node, COALESCE(b.label, p.label) AS label"
+            f" FROM l{k - 1} p LEFT JOIN b{k} b ON p.node = b.n2)"
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT node AS supp_id, CAST(label AS BIGINT) AS label
+    FROM l{iterations}
+    """
+
+
+@_q("label_propagation_cosupply", _lp_sql(3))
+def q_label_propagation_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py::
+    label_propagation — majority vote, MIN tie-break, 3 synchronous
+    rounds) on the symmetrized p90 co-supply graph; the oracle unrolls
+    the identical rounds as CTEs, so the tie-break pin is what makes an
+    ORACLE-CHECKED community detection possible at all."""
+    from flight_data_ingestion_engine_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = _cosupply_edges(spark, sf_dir)
+    ed = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = label_propagation(ed, iterations=3)
+    return out.select(
+        F.col("node").alias("supp_id"), F.col("label").cast("bigint").alias("label")
+    )
+
+
+@_q(
+    "hamilton_budget_langs",
+    """
+    WITH g AS (
+      SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM g),
+    b AS (
+      SELECT key, weight,
+             CAST((1000000 * weight) // w_total AS BIGINT) AS base_alloc,
+             CAST((1000000 * weight) % w_total AS BIGINT) AS rem
+      FROM g, t
+    ),
+    x AS (
+      SELECT *, 1000000 - SUM(base_alloc) OVER () AS extra_total,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rn
+      FROM b
+    )
+    SELECT key, weight, base_alloc,
+           CAST(CASE WHEN rn <= extra_total THEN 1 ELSE 0 END AS INT)
+             AS extra_unit,
+           CAST(base_alloc + CASE WHEN rn <= extra_total THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM x
+    """,
+)
+def q_hamilton_budget_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment (operators/mixing.py::
+    hamilton_allocation) of a 1M-token budget across document
+    languages by corpus share — integer quotas that sum EXACTLY to the
+    budget, each within one unit of the real quota; pure bigint
+    arithmetic replayed verbatim."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        hamilton_allocation,
+    )
+
+    langs = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    return hamilton_allocation(langs, "key", "weight", budget=1_000_000)

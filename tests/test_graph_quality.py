@@ -403,3 +403,66 @@ def test_wilson_lower_bound_ranking(spark):
 
     with _pt.raises(ValueError, match="z must be"):
         wilson_lower_bound(df, "grp", "flag", z=-1.0)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Deterministic LP: two triangles joined by one bridge resolve to
+    two communities after 3 rounds (hand-traced with the min tie-break
+    — labels {1,1,1} and {3,3,3}); a dst-only node keeps its own
+    label; validation rejects zero iterations."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 3
+
+    directed = spark.createDataFrame([(1, 2)], "src long, dst long")
+    d = {r.node: r.label for r in
+         label_propagation(directed, iterations=2).collect()}
+    assert d[1] == 2 and d[2] == 2  # dst-only node 2 never updates
+
+    with _pt.raises(ValueError, match="iterations"):
+        label_propagation(df, iterations=0)
+
+
+def test_hamilton_allocation_properties(spark):
+    """Largest-remainder apportionment: exact-sum and within-one-of-
+    quota on several weight/budget shapes, the remainder tie resolving
+    by key order; W=0 allocates nothing; negative budget rejected."""
+    from fractions import Fraction
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        hamilton_allocation,
+    )
+
+    cases = [
+        ([("a", 5), ("b", 3), ("c", 2)], 10, {"a": 5, "b": 3, "c": 2}),
+        ([("a", 1), ("b", 1), ("c", 1)], 10, {"a": 4, "b": 3, "c": 3}),
+        ([("a", 7), ("b", 2), ("c", 1)], 101, {"a": 71, "b": 20, "c": 10}),
+    ]
+    for rows, budget, expect in cases:
+        df = spark.createDataFrame(rows, "key string, weight long")
+        out = {r.key: r for r in
+               hamilton_allocation(df, "key", "weight", budget).collect()}
+        total_w = sum(w for _, w in rows)
+        assert {k: r.alloc for k, r in out.items()} == expect
+        assert sum(r.alloc for r in out.values()) == budget  # exact sum
+        for k, w in rows:
+            quota = Fraction(budget * w, total_w)
+            assert abs(Fraction(out[k].alloc) - quota) < 1  # within one
+
+    zero = spark.createDataFrame([("a", 0), ("b", 0)], "key string, weight long")
+    z = hamilton_allocation(zero, "key", "weight", 10).collect()
+    assert all(r.alloc == 0 for r in z)
+
+    with _pt.raises(ValueError, match="budget"):
+        hamilton_allocation(zero, "key", "weight", -1)

@@ -556,3 +556,109 @@ def pass_at_k(
         p1.alias("pass_at_1"),
         pak.alias("pass_at_k"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction — the multiple-testing gate a
+    monitoring pipeline needs the moment it runs a drift test per
+    slice (thousands of sources × metrics tested nightly: at α=0.05,
+    5% of null slices fire every night without this). Rank the m
+    p-values ascending; k* = max k with p(k) ≤ k·q/m; reject ranks
+    ≤ k*. BH is pure COMPARISON arithmetic — `p·m ≤ rank·q` evaluated
+    with two IEEE multiplications, no accumulation — so the decision
+    replays bit-exactly cross-engine.
+
+    The rank window runs over the TEST frame (one row per slice-test,
+    not per data row — the upstream tests already reduced the data).
+    Deterministic tie-break: (p asc, id asc). NULL p-values are
+    excluded. Returns (id, p, rank, k_star, reject)."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    s = df.where(F.col(p_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("double").alias("p")
+    )
+    w = Window.orderBy(F.col("p").asc(), F.col("id").asc())
+    ranked = s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ranked.withColumn("m", F.count(F.lit(1)).over(wall))
+    sat = F.col("p") * F.col("m").cast("double") <= F.col(
+        "rank"
+    ).cast("double") * F.lit(float(q))
+    ranked = ranked.withColumn(
+        "k_star",
+        F.coalesce(
+            F.max(F.when(sat, F.col("rank"))).over(wall), F.lit(0).cast("bigint")
+        ),
+    )
+    return ranked.select(
+        "id", "p", "rank", "k_star", (F.col("rank") <= F.col("k_star")).alias("reject")
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact-to-fixed-point Average Precision (area under the PR curve,
+    step interpolation — the retrieval/ranking scorecard next to
+    `auc_rank_sum`'s ROC view; PR is the one that matters under class
+    imbalance). Same distinct-score collapse as `auc_rank_sum`: per
+    distinct score (descending) with cumulative TP/FP,
+
+        AP = Σ_groups ΔTP · Precision(group end) / n_pos
+
+    A float Σ would be partition-order-dependent, so each group's
+    precision is FIXED-POINT — `(TP·scale) div (TP+FP)` — and the sum
+    is a bigint (the RAKE discipline): deterministic to 1/scale
+    (10⁻¹² default), one IEEE division at the end. Ties collapse to
+    one group (the sklearn tie-handling at group granularity). Needs
+    TP·scale < 2⁶³ → n_pos ≤ ~9·10⁶ at the default scale; lower
+    `scale` for bigger frames. Returns (n_pos, n_neg, average_precision).
+    NULLs excluded; zero positives → NULL AP."""
+    from pyspark.sql.window import Window
+
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    s = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("int").alias("label"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_c"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        F.col("pos_c").alias("dtp"),
+        F.sum("pos_c").over(w).alias("tp"),
+        (F.sum("c").over(w)).alias("seen"),
+    )
+    term = F.col("dtp") * F.expr(f"(tp * {int(scale)}) DIV seen")
+    agg = cum.agg(
+        F.max("tp").cast("bigint").alias("n_pos"),
+        (F.max("seen") - F.max("tp")).cast("bigint").alias("n_neg"),
+        F.sum(term).cast("bigint").alias("ap_num"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0,
+        F.col("ap_num").cast("double")
+        / (F.col("n_pos") * F.lit(int(scale))).cast("double"),
+    )
+    return agg.select("n_pos", "n_neg", ap.alias("average_precision"))

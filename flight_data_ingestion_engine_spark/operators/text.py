@@ -1774,3 +1774,41 @@ def strip_quoted_replies(
         .withColumn(out_col, F.array_join(kept, "\n"))
         .drop("_lines", "_body")
     )
+
+
+def unwrap_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_unwrapped",
+) -> DataFrame:
+    """PDF/print-extraction line repair — the cleanup every
+    paper/book-derived corpus runs before quality scoring (peS2o,
+    pdf-extract pipelines): rejoin end-of-line HYPHENATION
+    (`exam-\\nple` → `example`) and unwrap HARD-WRAPPED lines (a
+    newline followed by a lowercase continuation becomes a space),
+    while paragraph breaks (blank lines) are preserved — the signal a
+    naive newline-strip destroys.
+
+    Two sequential regex replaces on the Java ∩ RE2 subset
+    (`[a-z]`, never `\\p{Lower}` — the class-name divergence trap):
+    dehyphenation first (so a hyphen-wrapped word doesn't become
+    `exam- ple`), then single-newline unwrap. Both are SINGLE-PASS,
+    non-overlapping replaces: in `a\\nb\\nc` the first match consumes
+    `b`, so the second wrap survives one pass (pinned in pytest; run
+    the op twice for pathological every-line wraps — real extractors
+    wrap paragraphs, not every word). Zero shuffle; counts emitted per
+    repair type."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_hyph = F.size(F.regexp_extract_all(text, F.lit(r"-\n[a-z]"), 0)).cast(
+        "bigint"
+    )
+    dehyph = F.regexp_replace(text, r"-\n([a-z])", r"$1")
+    n_wrap = F.size(
+        F.regexp_extract_all(dehyph, F.lit(r"[^\s\n]\n[a-z]"), 0)
+    ).cast("bigint")
+    unwrapped = F.regexp_replace(dehyph, r"([^\s\n])\n([a-z])", r"$1 $2")
+    return (
+        df.withColumn("n_dehyphenated", n_hyph)
+        .withColumn("n_unwrapped", n_wrap)
+        .withColumn(out_col, unwrapped)
+    )

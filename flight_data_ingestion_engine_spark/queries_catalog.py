@@ -19082,3 +19082,171 @@ def q_hamilton_budget_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )
     return hamilton_allocation(langs, "key", "weight", budget=1_000_000)
+
+
+@_q(
+    "unwrap_lines_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             COALESCE(text, '')
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'exam-' || chr(10) || 'ple wrapped'
+                          || chr(10) || 'continuation here'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || chr(10) || 'new paragraph'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '-\\n[a-z]')) AS BIGINT)
+               AS n_dehyphenated,
+             regexp_replace(text, '-\\n([a-z])', '\\1', 'g') AS dehyph
+      FROM d
+    )
+    SELECT doc_id, n_dehyphenated,
+           CAST(len(regexp_extract_all(dehyph, '[^\\s\\n]\\n[a-z]'))
+                AS BIGINT) AS n_unwrapped,
+           regexp_replace(dehyph, '([^\\s\\n])\\n([a-z])', '\\1 \\2', 'g')
+             AS text_unwrapped
+    FROM h
+    """,
+)
+def q_unwrap_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF line repair (operators/text.py::unwrap_lines) over documents
+    with planted hyphen-wrapped words and hard wraps (%3) plus a
+    paragraph break that must SURVIVE (%5); dehyphenation precedes
+    unwrap (order pinned — reversing it fabricates `exam- ple`)."""
+    from flight_data_ingestion_engine_spark.operators.text import unwrap_lines
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                nl, F.lit("exam-"), nl, F.lit("ple wrapped"),
+                nl, F.lit("continuation here"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.concat(nl, nl, F.lit("new paragraph"))
+        ).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return unwrap_lines(docs).select(
+        "doc_id", "n_dehyphenated", "n_unwrapped", "text_unwrapped"
+    )
+
+
+@_q(
+    "bh_fdr_slices",
+    """
+    WITH slices AS (
+      SELECT DISTINCT user_id % 80 AS id FROM events
+    ),
+    p AS (
+      SELECT id,
+             CASE WHEN id % 9 = 0
+                  THEN CAST(id % 5 + 1 AS DOUBLE) / 1000.0
+                  ELSE CAST(20 + id % 97 AS DOUBLE) / 1000.0 END AS pv
+      FROM slices
+    ),
+    ranked AS (
+      SELECT id, pv AS p,
+             CAST(ROW_NUMBER() OVER (ORDER BY pv ASC, id ASC) AS BIGINT)
+               AS rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    k AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN p * CAST(m AS DOUBLE)
+                                    <= CAST(rank AS DOUBLE) * 0.05
+                               THEN rank END) OVER (), 0) AS k_star
+      FROM ranked
+    )
+    SELECT id, p, rank, CAST(k_star AS BIGINT) AS k_star,
+           rank <= k_star AS reject
+    FROM k
+    """,
+)
+def q_bh_fdr_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR gate (operators/mleval.py::bh_fdr,
+    q=0.05) over 80 synthesized slice p-values (small p on the %9
+    slices, diffuse elsewhere — both reject branches live): the
+    comparison-only arithmetic replays bit-exactly."""
+    from flight_data_ingestion_engine_spark.operators.mleval import bh_fdr
+
+    slices = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 80).alias("id"))
+        .distinct()
+    )
+    i = F.col("id")
+    tests = slices.select(
+        "id",
+        F.when(i % 9 == 0, (i % 5 + 1).cast("double") / F.lit(1000.0))
+        .otherwise((F.lit(20) + i % 97).cast("double") / F.lit(1000.0))
+        .alias("pv"),
+    )
+    return bh_fdr(tests, "pv", "id", q=0.05)
+
+
+@_q(
+    "average_precision_purchase",
+    """
+    WITH s AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(label) AS BIGINT) AS pos_c
+      FROM s GROUP BY score
+    ),
+    cum AS (
+      SELECT pos_c AS dtp,
+             SUM(pos_c) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS tp,
+             SUM(c) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+               AS seen
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(MAX(tp) AS BIGINT) AS n_pos,
+             CAST(MAX(seen) - MAX(tp) AS BIGINT) AS n_neg,
+             CAST(SUM(dtp * ((tp * 1000000000000) // seen)) AS BIGINT)
+               AS ap_num
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 THEN CAST(ap_num AS DOUBLE)
+                / CAST(n_pos * 1000000000000 AS DOUBLE) END
+             AS average_precision
+    FROM agg
+    """,
+)
+def q_average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (operators/mleval.py::average_precision — the
+    PR-curve area with fixed-point per-group precisions so the sum is
+    a bigint, the RAKE discipline) scoring `value` against the
+    purchase-vs-view label — the class-imbalance twin of
+    `auc_purchase_score`."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        average_precision,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ev = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    return average_precision(ev, "value", "is_p")

@@ -250,3 +250,61 @@ def test_pass_at_k_combinatorial(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         pass_at_k(df, "problem", "passed", k=0)
+
+
+def test_bh_fdr_textbook(spark):
+    """BH: the classic worked example — p-values where a LATER rank
+    satisfying the bound rescues earlier non-satisfying ones (the
+    step-up property naive per-test thresholds lack); q edge
+    validation; NULL p excluded."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mleval import bh_fdr
+
+    # m=5, q=0.25: bounds are 0.05,0.10,0.15,0.20,0.25
+    # p = [0.01, 0.12, 0.14, 0.30, 0.90]: rank2 fails (0.12>0.10) but
+    # rank3 passes (0.14<=0.15) -> k*=3 rescues rank 2
+    rows = [(1, 0.01), (2, 0.12), (3, 0.14), (4, 0.30), (5, 0.90), (6, None)]
+    df = spark.createDataFrame(rows, "tid long, pv double")
+    out = {r.id: r for r in bh_fdr(df, "pv", "tid", q=0.25).collect()}
+    assert len(out) == 5  # NULL excluded
+    assert out[1].k_star == 3
+    assert [out[i].reject for i in (1, 2, 3, 4, 5)] == [
+        True, True, True, False, False,
+    ]
+
+    none = bh_fdr(
+        spark.createDataFrame([(1, 0.9)], "tid long, pv double"), "pv", "tid"
+    ).collect()
+    assert none[0].k_star == 0 and not none[0].reject
+
+    with _pt.raises(ValueError, match="q must be"):
+        bh_fdr(df, "pv", "tid", q=1.0)
+
+
+def test_average_precision_reference(spark):
+    """AP matches the step-interpolated reference (computed with the
+    operator's own fixed-point rule) on a hand-ranked case with a tie
+    group; perfect ranking gives 1.0; all-negative gives NULL."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        average_precision,
+    )
+
+    # scores desc: 0.9(+), 0.8(-), 0.7 tie {+,+,-}, 0.5(-)
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.7, 1), (0.7, 0), (0.5, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = average_precision(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (3, 3)
+    S = 10**12
+    # groups desc: (tp=1,seen=1,dtp=1),(tp=1,seen=2,dtp=0),
+    #              (tp=3,seen=5,dtp=2),(tp=3,seen=6,dtp=0)
+    num = 1 * (1 * S // 1) + 0 + 2 * (3 * S // 5) + 0
+    assert r.average_precision == float(num) / float(3 * S)
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.1, 0)], "s double, y int"
+    )
+    assert average_precision(perfect, "s", "y").collect()[0].average_precision == 1.0
+
+    neg = spark.createDataFrame([(0.9, 0)], "s double, y int")
+    assert average_precision(neg, "s", "y").collect()[0].average_precision is None

@@ -2265,3 +2265,31 @@ def test_gain_normalize_audio_roundtrip(spark):
 
     with _pt.raises(ValueError, match="target_rms"):
         gain_normalize_audio(df, target_rms=-1)
+
+
+def test_unwrap_lines_rules(spark):
+    """Line repair: hyphen-wraps rejoin WITHOUT a space, hard wraps
+    unwrap WITH one, paragraph breaks survive, uppercase continuations
+    (new sentences) stay wrapped, and the single-pass alternating-wrap
+    semantics is pinned."""
+    from flight_data_ingestion_engine_spark.operators.text import unwrap_lines
+
+    rows = [
+        (0, "exam-\nple of a hyph-\nenated text"),
+        (1, "wrapped line\ncontinues here"),
+        (2, "para one\n\npara two"),          # paragraph break survives
+        (3, "sentence end.\nNew sentence"),   # uppercase -> no unwrap
+        (4, "a\nb\nc"),                       # alternating: one pass, one join
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r for r in unwrap_lines(df).collect()}
+
+    assert out[0].text_unwrapped == "example of a hyphenated text"
+    assert out[0].n_dehyphenated == 2
+    assert out[1].text_unwrapped == "wrapped line continues here"
+    assert out[1].n_unwrapped == 1
+    assert out[2].text_unwrapped == "para one\n\npara two"
+    assert out[3].text_unwrapped == "sentence end.\nNew sentence"
+    assert out[4].text_unwrapped == "a b\nc" and out[4].n_unwrapped == 1
+    assert out[5].text_unwrapped == ""

@@ -16,7 +16,7 @@ portable) and broadcasts the tiny per-group stats back onto the rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -759,4 +759,78 @@ def wilson_lower_bound(
     wlb = (center - rad) / (F.lit(1.0) + z2 / nd)
     return g.select(
         "group", "n", "k", phat.alias("raw_rate"), wlb.alias("wilson_lb")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups — map every group's value
+    distribution onto the POOLED distribution (the microarray-era
+    batch-effect remover, and exactly what you need before comparing
+    quality/perplexity scores produced by different scorers or over
+    different sources: rank 'top 10% within its source' on one common
+    scale). Each distinct (group, value) maps to the pooled value at
+    its mid-rank quantile position:
+
+        rm2 = 2·(# group values ≤ v) − (# group values = v)   (doubled
+              midrank — integer, tie-stable)
+        idx = (rm2·N) div (2·n_g) + 1, clamped to N
+        mapped = pooled value at sorted position idx
+
+    Pure integer index arithmetic; the only value read is a pooled
+    order statistic, so two groups with the same shape map onto
+    IDENTICAL targets (pytest-pinned). Shape: keyed group aggregates,
+    one series window over the pooled DISTINCT-value frame (quantize
+    upstream if truly continuous — the `auc_rank_sum` discipline), and
+    a broadcast range-join of group ranks onto pooled cumulative
+    spans. Returns one row per distinct (group, value):
+    (group, value, n_in_group, idx, mapped_value); join it back onto
+    rows by (group, value) to rewrite scores. NULLs excluded."""
+    s = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    gv = s.groupBy("group", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wg = Window.partitionBy("group").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gv = gv.withColumn("r_hi", F.sum("cnt").over(wg).cast("bigint"))
+    wgn = Window.partitionBy("group")
+    gv = gv.withColumn("n_g", F.sum("cnt").over(wgn).cast("bigint"))
+    pooled = s.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pcnt")
+    )
+    wp = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    pooled = pooled.withColumn("pcum", F.sum("pcnt").over(wp).cast("bigint"))
+    pooled = pooled.select(
+        F.col("value").alias("pooled_value"),
+        (F.col("pcum") - F.col("pcnt")).alias("plo"),
+        F.col("pcum").alias("phi"),
+    )
+    # big N comes from the pooled frame: broadcast its one-row total
+    tot = pooled.agg(F.max("phi").cast("bigint").alias("big_n"))
+    gv = gv.crossJoin(F.broadcast(tot))
+    idx = F.least(
+        F.expr("((2 * r_hi - cnt) * big_n) DIV (2 * n_g)").cast("bigint")
+        + F.lit(1),
+        F.col("big_n"),
+    )
+    gv = gv.withColumn("idx", idx)
+    out = gv.join(
+        F.broadcast(pooled),
+        (F.col("idx") > F.col("plo")) & (F.col("idx") <= F.col("phi")),
+    )
+    return out.select(
+        "group",
+        "value",
+        F.col("n_g").alias("n_in_group"),
+        "idx",
+        F.col("pooled_value").alias("mapped_value"),
     )

@@ -19250,3 +19250,59 @@ def q_average_precision_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
     )
     return average_precision(ev, "value", "is_p")
+
+
+@_q(
+    "quantile_normalize_values",
+    """
+    WITH s AS (
+      SELECT event_type AS grp, value AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    gv AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY grp, v
+    ),
+    gr AS (
+      SELECT *, CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r_hi,
+             CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+      FROM gv
+    ),
+    pooled AS (
+      SELECT v AS pooled_value, CAST(COUNT(*) AS BIGINT) AS pcnt
+      FROM s GROUP BY v
+    ),
+    pc AS (
+      SELECT pooled_value,
+             CAST(SUM(pcnt) OVER (ORDER BY pooled_value
+                  ROWS UNBOUNDED PRECEDING) - pcnt AS BIGINT) AS plo,
+             CAST(SUM(pcnt) OVER (ORDER BY pooled_value
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phi
+      FROM pooled
+    ),
+    t AS (SELECT CAST(MAX(phi) AS BIGINT) AS big_n FROM pc),
+    g2 AS (
+      SELECT gr.*, LEAST(((2 * r_hi - cnt) * t.big_n) // (2 * n_g) + 1,
+                         t.big_n) AS idx
+      FROM gr, t
+    )
+    SELECT g2.grp AS "group", g2.v AS value, g2.n_g AS n_in_group,
+           CAST(g2.idx AS BIGINT) AS idx, pc.pooled_value AS mapped_value
+    FROM g2 JOIN pc ON g2.idx > pc.plo AND g2.idx <= pc.phi
+    """,
+)
+def q_quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (operators/quality.py::quantile_normalize)
+    of click and view values onto their pooled distribution — doubled
+    midranks, integer index arithmetic, and a broadcast range-join of
+    ranks onto pooled cumulative spans, all replayed verbatim."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        quantile_normalize,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    return quantile_normalize(ev, "event_type", "value")

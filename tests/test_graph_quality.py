@@ -466,3 +466,32 @@ def test_hamilton_allocation_properties(spark):
 
     with _pt.raises(ValueError, match="budget"):
         hamilton_allocation(zero, "key", "weight", -1)
+
+
+def test_quantile_normalize_common_scale(spark):
+    """QN: two groups with identical shapes but shifted locations map
+    onto IDENTICAL pooled targets (the defining property); midrank tie
+    handling maps a tie group to one target; the mapped multiset is
+    drawn from pooled order statistics only."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        quantile_normalize,
+    )
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (101.0, 102.0, 103.0)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = quantile_normalize(df, "grp", "v").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group, []).append(r.mapped_value)
+    assert sorted(by_group["a"]) == sorted(by_group["b"])  # common scale
+    pooled = {1.0, 2.0, 3.0, 101.0, 102.0, 103.0}
+    assert all(m in pooled for ms in by_group.values() for m in ms)
+
+    ties = [("a", 5.0), ("a", 5.0), ("a", 9.0), ("b", 1.0), ("b", 2.0), ("b", 3.0)]
+    t = quantile_normalize(
+        spark.createDataFrame(ties, "grp string, v double"), "grp", "v"
+    ).collect()
+    a5 = [r for r in t if r.group == "a" and r.value == 5.0]
+    assert len(a5) == 1  # distinct-(group,value) grain: one mapping row

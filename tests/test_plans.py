@@ -1300,3 +1300,41 @@ def test_wave11_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave13_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the thirteenth-wave families: readability /
+    reply-strip / unwrap / chat-render / Hilbert / audio-gain ride the
+    scan with ZERO exchanges; the rank-statistic trio and the rate
+    rollups spend only their keyed agg + series window; RAKE pays its
+    doc-keyed island/score/rank chain; QN pays group + pooled aggs
+    plus the broadcast span join; label propagation measures post-
+    localCheckpoint (rounds are lineage-truncated, the pagerank
+    discipline)."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "readability_docs": 0,
+        "reply_strip_docs": 0,
+        "unwrap_lines_docs": 0,
+        "chat_render_convs": 0,
+        "hilbert_codes": 0,
+        "audio_gain_normalize": 0,
+        "ks_drift_event_values": 3,
+        "mannwhitney_event_values": 2,
+        "pass_at_k_problems": 1,
+        "bayes_domain_rates": 3,
+        "wilson_domain_rates": 2,
+        "bh_fdr_slices": 2,
+        "average_precision_purchase": 2,
+        "hamilton_budget_langs": 3,
+        "compaction_plan_files": 2,
+        "rake_keywords_docs": 6,
+        "quantile_normalize_values": 5,
+        "label_propagation_cosupply": 2,
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

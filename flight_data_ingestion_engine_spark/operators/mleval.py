@@ -662,3 +662,65 @@ def average_precision(
         / (F.col("n_pos") * F.lit(int(scale))).cast("double"),
     )
     return agg.select("n_pos", "n_neg", ap.alias("average_precision"))
+
+
+def ks_state(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """The mergeable state behind `ks_two_sample`: per distinct value,
+    the two groups' counts — (value, c1, c2). Counts merge by plain
+    summation (union-by-sum), which is what makes the KS drift monitor
+    STREAMABLE (`foreach_batch_ks_sink`): micro-batch slices append,
+    readers collapse, and the statistic computed from merged state is
+    algebraically identical to a batch build over everything ingested.
+    One map-side-combined agg."""
+    s = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).cast("int").alias("g"),
+    )
+    return s.groupBy(F.col("v").alias("value")).agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+
+
+def ks_state_merge(slices: DataFrame) -> DataFrame:
+    """Merge appended `ks_state` slices (the `dsir_state_merge` law):
+    epoch-tagged slices first collapse a crash-replayed micro-batch's
+    duplicate slice to one row per (epoch_id, value), then sum —
+    exactly-once without the sink reading its own state. Untagged
+    batch slices merge by plain summation."""
+    if "epoch_id" in slices.columns:
+        slices = slices.dropDuplicates(["epoch_id", "value"])
+    return slices.groupBy("value").agg(
+        F.sum("c1").cast("bigint").alias("c1"),
+        F.sum("c2").cast("bigint").alias("c2"),
+    )
+
+
+def ks_from_state(state: DataFrame) -> DataFrame:
+    """The KS statistic from a (value, c1, c2) state table alone —
+    the `ks_two_sample` tail: cumulative window over the distinct-value
+    frame, integer D, one IEEE division."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = state.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    totals = state.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    ks = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"),
+    )
+    return d.select("n1", "n2", "d_num", ks.alias("ks_stat"))

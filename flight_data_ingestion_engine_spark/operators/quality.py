@@ -834,3 +834,123 @@ def quantile_normalize(
         "idx",
         F.col("pooled_value").alias("mapped_value"),
     )
+
+
+def psi_bins(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    smooth: int = 1,
+) -> DataFrame:
+    """Population Stability Index, per-bin — THE industry drift metric
+    (credit-risk monitoring's scorecard statistic, now standard for
+    feature/score drift): over a declared equi-width binning of
+    [lo, hi),
+
+        contrib_b = (p_b − q_b) · ln(p_b / q_b)
+
+    with p from group 1 ("candidate") and q from group 0 ("reference"),
+    counts Laplace-smoothed by `smooth` so empty bins are defined (the
+    standard practice; smooth=0 restores raw PSI and empty bins NULL
+    out). Per-bin grain, NOT summed (the `chi_square_cells` precedent:
+    a float Σ is accumulation-order-dependent — callers sum `contrib`,
+    and the conventional alarm thresholds 0.1/0.25 apply to that sum).
+
+    The ln runs as SCALAR math.log in an Arrow pandas_udf over the
+    n_bins-row frame — the `llr_collocations` measured fact: JVM ln ≠
+    libm by 1 ulp on some arguments, numpy's SIMD log ≠ libm too, while
+    math.log IS the libm DuckDB links; every other factor is exact-
+    integer-fed single divisions. Bin rule is the `equiwidth_histogram`
+    IEEE clamp; out-of-range values fold into the edge bins (a drift
+    monitor must count them somewhere visible). One conditional agg +
+    a zero-filled bin spine join; NULLs excluded. Returns
+    (bin, bin_lo, bin_hi, a, b, p, q, contrib)."""
+    import math
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if smooth < 0:
+        raise ValueError(f"smooth must be >= 0, got {smooth}")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    s = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).cast("int").alias("g"),
+    )
+    bin_ = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    counts = s.select(bin_, "g").groupBy("bin").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    full = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("bigint").alias("b"),
+        )
+    )
+    m = F.lit(int(smooth)).cast("bigint")
+    full = full.withColumn("a2", F.col("a") + m).withColumn("b2", F.col("b") + m)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    full = full.withColumn("at", F.sum("a2").over(wall).cast("bigint")).withColumn(
+        "bt", F.sum("b2").over(wall).cast("bigint")
+    )
+
+    @pandas_udf("double")
+    def _contrib(a2, b2, at, bt):
+        out = []
+        for ai, bi, ti, ui in zip(
+            a2.astype("int64"), b2.astype("int64"),
+            at.astype("int64"), bt.astype("int64"),
+        ):
+            ai, bi, ti, ui = int(ai), int(bi), int(ti), int(ui)
+            if ai <= 0 or bi <= 0 or ti <= 0 or ui <= 0:
+                out.append(None)
+                continue
+            p = ai / ti
+            q = bi / ui
+            x = (ai * ui) / (bi * ti)
+            out.append((p - q) * math.log(x))
+        return pd.Series(out, dtype="float64")
+
+    p = F.when(F.col("at") > 0, F.col("a2").cast("double") / F.col("at").cast("double"))
+    q = F.when(F.col("bt") > 0, F.col("b2").cast("double") / F.col("bt").cast("double"))
+    return full.select(
+        "bin",
+        (F.lit(float(lo)) + F.col("bin").cast("double") * F.lit(width)).alias(
+            "bin_lo"
+        ),
+        (F.lit(float(lo)) + (F.col("bin") + 1).cast("double") * F.lit(width)).alias(
+            "bin_hi"
+        ),
+        "a",
+        "b",
+        p.alias("p"),
+        q.alias("q"),
+        _contrib(F.col("a2"), F.col("b2"), F.col("at"), F.col("bt")).alias(
+            "contrib"
+        ),
+    )

@@ -1140,3 +1140,38 @@ def foreach_batch_rouge_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_ks_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_col: str,
+):
+    """Streaming KS drift-state maintenance (thirteenth-pass family,
+    keeping SURVEY §2.13's all-families-streaming invariant): each
+    micro-batch reduces to its `ks_state` distinct-value count slice
+    and APPENDS it epoch-tagged to the state parquet — the
+    `foreach_batch_dsir_sink` protocol verbatim, because (value, c1,
+    c2) counts obey the same union-by-sum law. Readers merge via
+    `mleval.ks_state_merge` (crash-replayed epochs collapse first) and
+    compute the exact statistic over everything ingested with
+    `mleval.ks_from_state` — a continuously-maintained drift monitor
+    whose reads cost one window over the distinct-value frame, never a
+    rescan."""
+    from flight_data_ingestion_engine_spark.operators.mleval import ks_state
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = ks_state(batch_df, value_col=value_col, group_col=group_col)
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

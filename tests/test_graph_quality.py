@@ -495,3 +495,51 @@ def test_quantile_normalize_common_scale(spark):
     ).collect()
     a5 = [r for r in t if r.group == "a" and r.value == 5.0]
     assert len(a5) == 1  # distinct-(group,value) grain: one mapping row
+
+
+def test_psi_bins_reference(spark):
+    """PSI: identical per-bin counts give contrib exactly 0 (p=q,
+    ln 1); a shifted distribution matches the reference formula
+    computed in the operator's own op order (scalar libm ln); raw
+    smooth=0 NULLs empty bins; out-of-range values fold into edge
+    bins; validation."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.quality import psi_bins
+
+    same = [(float(v % 10), g) for v in range(100) for g in (0, 1)]
+    df = spark.createDataFrame(same, "v double, g int")
+    out = psi_bins(df, "v", "g", n_bins=10, lo=0.0, hi=10.0).collect()
+    assert len(out) == 10
+    assert all(r.contrib == 0.0 for r in out)
+
+    shifted = [(float(v % 10), 0) for v in range(100)] + [
+        (float(v % 10) + 2.0, 1) for v in range(100)
+    ]
+    d2 = spark.createDataFrame(shifted, "v double, g int")
+    rows = {r.bin: r for r in
+            psi_bins(d2, "v", "g", n_bins=10, lo=0.0, hi=10.0).collect()}
+    # reference: group1 occupies bins 2..9 plus fold-ins at bin 9
+    a = {b: 0 for b in range(10)}
+    for v in range(100):
+        a[min(9, (v % 10) + 2)] += 1
+    bt = 100 + 10
+    at = 100 + 10
+    for b in range(10):
+        a2, b2 = a[b] + 1, 10 + 1
+        expect = (a2 / at - b2 / bt) * math.log((a2 * bt) / (b2 * at))
+        assert rows[b].contrib == expect
+        assert rows[b].a == a[b] and rows[b].b == 10
+    assert sum(r.contrib for r in rows.values()) > 0.25  # drifted: alarms
+
+    raw = psi_bins(df.where("v < 5 or g = 0"), "v", "g",
+                   n_bins=10, lo=0.0, hi=10.0, smooth=0).collect()
+    nulls = [r for r in raw if r.contrib is None]
+    assert nulls  # empty candidate bins are NULL, not fabricated
+
+    with _pt.raises(ValueError, match="n_bins"):
+        psi_bins(df, "v", "g", n_bins=0)
+    with _pt.raises(ValueError, match="hi > lo"):
+        psi_bins(df, "v", "g", lo=1.0, hi=1.0)

@@ -1243,3 +1243,43 @@ def test_rouge_sink_replay_and_admission(spark, tmp_path):
     # empty pool admits everything with tokens
     all_in = rouge_l_admit(batch, None, "doc_id", "text")
     assert all_in.count() == 3
+
+
+def test_ks_sink_fires_twice_exactly_once(spark, tmp_path):
+    """KS drift sink: a crash-replayed micro-batch (identical slice
+    appended twice under one epoch_id) collapses in ks_state_merge, so
+    the statistic equals the batch build; streaming state over two
+    real micro-batches also equals the batch build (union-by-sum)."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        ks_from_state,
+        ks_state,
+        ks_state_merge,
+        ks_two_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(i % 7), 1 if i % 3 == 0 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, v double, g int")
+    batch = ks_two_sample(df, "v", "g").collect()[0]
+
+    # two batch slices merged = whole (union-by-sum)
+    s1 = ks_state(df.where(F.col("event_id") % 2 == 0), "v", "g")
+    s2 = ks_state(df.where(F.col("event_id") % 2 == 1), "v", "g")
+    merged = ks_state_merge(
+        s1.withColumn("epoch_id", F.lit(0).cast("bigint")).unionByName(
+            s2.withColumn("epoch_id", F.lit(1).cast("bigint"))
+        )
+    )
+    got = ks_from_state(merged).collect()[0]
+    assert (got.n1, got.n2, got.d_num, got.ks_stat) == (
+        batch.n1, batch.n2, batch.d_num, batch.ks_stat,
+    )
+
+    # replayed epoch: the SAME slice appended twice collapses to one
+    replayed = ks_state_merge(
+        s1.withColumn("epoch_id", F.lit(0).cast("bigint"))
+        .unionByName(s1.withColumn("epoch_id", F.lit(0).cast("bigint")))
+        .unionByName(s2.withColumn("epoch_id", F.lit(1).cast("bigint")))
+    )
+    got2 = ks_from_state(replayed).collect()[0]
+    assert (got2.n1, got2.n2, got2.d_num) == (batch.n1, batch.n2, batch.d_num)

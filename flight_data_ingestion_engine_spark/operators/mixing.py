@@ -1209,3 +1209,45 @@ def hamilton_allocation(
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    budget: int,
+) -> DataFrame:
+    """Exact proportional quota sampling — `hamilton_allocation`
+    composed with the deterministic hash-order draw: allocate an
+    integer budget across groups by their corpus share (exact sum,
+    within-one-of-quota), then take exactly that many rows per group
+    by md5-of-key order (the `stratified_sample_exact` draw, but with
+    PER-GROUP targets instead of one k). The downsampling step every
+    mixture build ends with: "give me exactly B documents at the
+    corpus's own language proportions".
+
+    With `budget` ≤ total rows every allocation is satisfiable
+    (quota_g = B·n_g/N ≤ n_g) and the output has EXACTLY `budget`
+    rows; a larger budget under-delivers on exhausted groups (alloc
+    caps at the group's size) rather than duplicating. One count agg,
+    two windows over the k-row group frame, one broadcast join, one
+    group-keyed rank window. Returns the sampled rows plus
+    (sample_rank, alloc)."""
+    counts = df.groupBy(F.col(group_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+    alloc = hamilton_allocation(counts, "key", "weight", budget).select(
+        F.col("key").alias("_g"), F.col("alloc").alias("alloc")
+    )
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.join(
+            F.broadcast(alloc), F.col(group_col) == F.col("_g")
+        )
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= F.col("alloc"))
+        .drop("_g")
+    )

@@ -724,3 +724,75 @@ def ks_from_state(state: DataFrame) -> DataFrame:
         F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"),
     )
     return d.select("n1", "n2", "d_num", ks.alias("ks_stat"))
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    fields: list[tuple[str, float, float]],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (1969) — the
+    decision theory every production entity-resolution system
+    (Splink et al.) implements on top of blocking: given candidate
+    pairs with per-field agreement booleans and each field's
+    (m, u) probabilities (P(agree | match), P(agree | non-match)),
+    the pair's log-likelihood-ratio weight is
+
+        score = Σ_fields  agree ? ln(m/u) : ln((1−m)/(1−u))
+
+    classified `link` at ≥ `upper`, `possible` at ≥ `lower`, else
+    `non_link` (the clerical-review band). The four weights per field
+    are DRIVER-side libm constants (math.log at plan-build time —
+    embedded as literals, so the JVM's 1-ulp ln divergence never
+    executes) and the per-row sum is a FIXED-ORDER unrolled expression
+    of k selected literals — bit-deterministic on any IEEE engine.
+    Zero shuffle: one projection over the (already-blocked) pair
+    frame. `fields` is [(agree_col, m, u)]; 0 < u < m < 1 enforced
+    (m ≤ u would invert the evidence)."""
+    import math
+
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    for name, m, u in fields:
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"field {name!r}: need 0 < u < m < 1, got m={m}, u={u}"
+            )
+    if lower > upper:
+        raise ValueError(f"need lower <= upper, got {lower} > {upper}")
+    score = None
+    for name, m, u in fields:
+        wa = math.log(m / u)
+        wd = math.log((1.0 - m) / (1.0 - u))
+        term = F.when(
+            F.coalesce(F.col(name), F.lit(False)), F.lit(wa)
+        ).otherwise(F.lit(wd))
+        score = term if score is None else score + term
+    cls = (
+        F.when(score >= F.lit(float(upper)), F.lit("link"))
+        .when(score >= F.lit(float(lower)), F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+    )
+    return pairs.withColumn("fs_score", score).withColumn("fs_class", cls)
+
+
+def fellegi_sunter_weights_sql(
+    fields: list[tuple[str, float, float]],
+) -> str:
+    """The oracle twin of `fellegi_sunter_scores`' score expression:
+    the SAME driver-computed libm weights embedded as full-precision
+    literals (repr round-trips the double exactly; DuckDB parses it
+    back to the identical bits), summed in the SAME field order."""
+    import math
+
+    terms = []
+    for name, m, u in fields:
+        wa = math.log(m / u)
+        wd = math.log((1.0 - m) / (1.0 - u))
+        terms.append(
+            f"CASE WHEN COALESCE({name}, FALSE)"
+            f" THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+    return "(" + " + ".join(terms) + ")"

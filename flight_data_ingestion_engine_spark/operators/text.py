@@ -1812,3 +1812,38 @@ def unwrap_lines(
         .withColumn("n_unwrapped", n_wrap)
         .withColumn(out_col, unwrapped)
     )
+
+
+def frontmatter_extract(
+    df: DataFrame,
+    text_col: str = "text",
+    keys: Sequence[str] = ("title", "lang", "license", "date"),
+) -> DataFrame:
+    """Markdown/YAML front-matter extraction — the metadata header
+    (`---\\nkey: value\\n…\\n---`) every docs-site/blog/HF-dataset dump
+    carries; curation pipelines lift license/lang/date from it before
+    the body is scored (license routing in particular MUST see it).
+    Extracts the leading delimited block (must start at offset 0), one
+    simple `key: value` scalar per requested key (first occurrence
+    wins — regex, not a YAML parser: nested/flow YAML stays NULL, the
+    honest subset every engine-portable extractor supports), the body
+    with the header stripped, and `has_frontmatter`.
+
+    One anchored-regex projection per key on the Java ∩ RE2 subset —
+    zero shuffle, scan speed."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    header = F.regexp_extract(text, r"^---\n((?:[^\n]*\n)*?)---(?:\n|$)", 1)
+    has = F.length(header) > 0
+    out = df.withColumn("_fm", header).withColumn("has_frontmatter", has)
+    for k in keys:
+        pat = rf"(?:^|\n){k}:[ \t]*([^\n]*)"
+        val = F.regexp_extract(F.col("_fm"), pat, 1)
+        out = out.withColumn(
+            f"fm_{k}",
+            F.when(has & (F.length(val) > 0), F.trim(val)),
+        )
+    full_match = F.regexp_extract(text, r"^---\n((?:[^\n]*\n)*?)---(?:\n|$)", 0)
+    body = F.when(
+        has, text.substr(F.length(full_match) + 1, F.length(text))
+    ).otherwise(text)
+    return out.withColumn("body", body).drop("_fm")

@@ -19468,3 +19468,200 @@ def q_psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
     )
     return psi_bins(ev, "value", "is_c", n_bins=10, lo=0.0, hi=500.0)
+
+
+@_q(
+    "frontmatter_docs",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '---' || chr(10)
+               || 'title: Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN 'license: mit' || chr(10) ELSE '' END
+               || 'lang: en' || chr(10)
+               || '---' || chr(10) || COALESCE(text, '')
+             ELSE COALESCE(text, '') END AS text
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text,
+             regexp_extract(text,
+               '^---\\n((?:[^\\n]*\\n)*?)---(?:\\n|$)', 1) AS fm,
+             regexp_extract(text,
+               '^---\\n((?:[^\\n]*\\n)*?)---(?:\\n|$)', 0) AS whole
+      FROM d
+    )
+    SELECT doc_id,
+           length(fm) > 0 AS has_frontmatter,
+           CASE WHEN length(fm) > 0
+                 AND length(regexp_extract(fm,
+                       '(?:^|\\n)title:[ \\t]*([^\\n]*)', 1)) > 0
+                THEN trim(regexp_extract(fm,
+                       '(?:^|\\n)title:[ \\t]*([^\\n]*)', 1)) END AS fm_title,
+           CASE WHEN length(fm) > 0
+                 AND length(regexp_extract(fm,
+                       '(?:^|\\n)lang:[ \\t]*([^\\n]*)', 1)) > 0
+                THEN trim(regexp_extract(fm,
+                       '(?:^|\\n)lang:[ \\t]*([^\\n]*)', 1)) END AS fm_lang,
+           CASE WHEN length(fm) > 0
+                 AND length(regexp_extract(fm,
+                       '(?:^|\\n)license:[ \\t]*([^\\n]*)', 1)) > 0
+                THEN trim(regexp_extract(fm,
+                       '(?:^|\\n)license:[ \\t]*([^\\n]*)', 1)) END AS fm_license,
+           CASE WHEN length(fm) > 0
+                THEN substr(text, length(whole) + 1) ELSE text END AS body
+    FROM h
+    """,
+)
+def q_frontmatter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-matter extraction (operators/text.py::frontmatter_extract)
+    over documents with a planted YAML header (%3; license key only on
+    the even half — the missing-key NULL branch): anchored-regex
+    scalars, header-stripped body, zero shuffle."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        frontmatter_extract,
+    )
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    planted = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit("---"), nl,
+            F.lit("title: Doc "), d.cast("string"), nl,
+            F.when(d % 2 == 0, F.concat(F.lit("license: mit"), nl)).otherwise(
+                F.lit("")
+            ),
+            F.lit("lang: en"), nl,
+            F.lit("---"), nl,
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    out = frontmatter_extract(docs, keys=("title", "lang", "license"))
+    return out.select(
+        "doc_id", "has_frontmatter", "fm_title", "fm_lang", "fm_license", "body"
+    )
+
+
+def _fs_sql() -> str:
+    """Oracle for Fellegi-Sunter: the same blocked pair construction
+    and the score expression emitted by `fellegi_sunter_weights_sql`
+    from the SAME (m, u) table — weights never retyped."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        fellegi_sunter_weights_sql,
+    )
+
+    fields = [
+        ("agree_nation", 0.9, 0.1),
+        ("agree_name8", 0.8, 0.05),
+        ("agree_segment", 0.7, 0.3),
+    ]
+    score = fellegi_sunter_weights_sql(fields)
+    return f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+             a.c_nationkey = b.c_nationkey AS agree_nation,
+             substr(a.c_name, 1, 8) = substr(b.c_name, 1, 8) AS agree_name8,
+             a.c_mktsegment = b.c_mktsegment AS agree_segment
+      FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    )
+    SELECT left_id, right_id, agree_nation, agree_name8, agree_segment,
+           {score} AS fs_score,
+           CASE WHEN {score} >= 2.0 THEN 'link'
+                WHEN {score} >= 0.0 THEN 'possible'
+                ELSE 'non_link' END AS fs_class
+    FROM pairs
+    """
+
+
+@_q("fellegi_sunter_pairs", _fs_sql())
+def q_fellegi_sunter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage scoring (operators/mleval.py::
+    fellegi_sunter_scores) over adjacent-id customer candidate pairs
+    with three agreement fields: driver-side libm weights embedded as
+    literals (the JVM-ln divergence never executes), fixed-order sum,
+    link/possible/non_link bands — the decision layer that composes
+    with `sorted_neighborhood_pairs` blocking."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        fellegi_sunter_scores,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1
+    ).select(
+        F.col("a.c_custkey").alias("left_id"),
+        F.col("b.c_custkey").alias("right_id"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey")).alias("agree_nation"),
+        (
+            F.substring(F.col("a.c_name"), 1, 8)
+            == F.substring(F.col("b.c_name"), 1, 8)
+        ).alias("agree_name8"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+            "agree_segment"
+        ),
+    )
+    return fellegi_sunter_scores(
+        pairs,
+        [
+            ("agree_nation", 0.9, 0.1),
+            ("agree_name8", 0.8, 0.05),
+            ("agree_segment", 0.7, 0.3),
+        ],
+        upper=2.0,
+        lower=0.0,
+    )
+
+
+@_q(
+    "quota_sample_docs",
+    """
+    WITH g AS (
+      SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM g),
+    b AS (
+      SELECT key, weight,
+             CAST((200 * weight) // w_total AS BIGINT) AS base_alloc,
+             CAST((200 * weight) % w_total AS BIGINT) AS rem
+      FROM g, t
+    ),
+    x AS (
+      SELECT *, 200 - SUM(base_alloc) OVER () AS extra_total,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rn
+      FROM b
+    ),
+    alloc AS (
+      SELECT key,
+             CAST(base_alloc + CASE WHEN rn <= extra_total THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+      FROM x
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                  AS BIGINT) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank, a.alloc
+    FROM ranked r JOIN alloc a ON r.lang = a.key
+    WHERE r.sample_rank <= a.alloc
+    """,
+)
+def q_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional quota sampling (operators/mixing.py::
+    quota_sample — Hamilton allocation composed with the md5-order
+    draw): exactly 200 documents at the corpus's own language
+    proportions; the oracle replays apportionment and draw verbatim,
+    so the output multiset is pinned row-for-row."""
+    from flight_data_ingestion_engine_spark.operators.mixing import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample(docs, "lang", "doc_id", budget=200)

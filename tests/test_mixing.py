@@ -717,3 +717,26 @@ def test_alpha_sample_weights_properties(spark):
 
     with _pt.raises(ValueError, match="alpha"):
         alpha_sample_weights(df, "lang", "n_chars", alpha=0.0)
+
+
+def test_quota_sample_exact_budget(spark):
+    """Quota sample: exactly `budget` rows out, per-group counts equal
+    the Hamilton allocation, the draw is the deterministic md5 order
+    (re-running yields the identical id set), and an over-budget ask
+    caps at group sizes instead of duplicating."""
+    from flight_data_ingestion_engine_spark.operators.mixing import quota_sample
+
+    rows = [(i, "a" if i % 10 < 7 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = quota_sample(df, "lang", "doc_id", budget=20).collect()
+    assert len(out) == 20
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by["a"]) == 14 and len(by["b"]) == 6  # 70/30 proportions
+    again = quota_sample(df, "lang", "doc_id", budget=20).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+    over = quota_sample(df, "lang", "doc_id", budget=150).collect()
+    assert len(over) == 100  # caps at corpus size, never duplicates

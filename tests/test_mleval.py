@@ -308,3 +308,40 @@ def test_average_precision_reference(spark):
 
     neg = spark.createDataFrame([(0.9, 0)], "s double, y int")
     assert average_precision(neg, "s", "y").collect()[0].average_precision is None
+
+
+def test_fellegi_sunter_textbook(spark):
+    """FS: all-agree scores the summed agreement weights (reference
+    computed with the same libm calls in the same order), all-disagree
+    the disagreement weights, NULL agreement counts as disagreement,
+    bands classify, validation rejects m <= u and empty fields."""
+    import math
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        fellegi_sunter_scores,
+    )
+
+    fields = [("f1", 0.9, 0.1), ("f2", 0.8, 0.05)]
+    rows = [
+        (0, True, True),
+        (1, False, False),
+        (2, True, None),
+        (3, True, False),
+    ]
+    df = spark.createDataFrame(rows, "pid long, f1 boolean, f2 boolean")
+    out = {r.pid: r for r in
+           fellegi_sunter_scores(df, fields, upper=3.0, lower=0.0).collect()}
+
+    wa1, wd1 = math.log(0.9 / 0.1), math.log((1.0 - 0.9) / (1.0 - 0.1))
+    wa2, wd2 = math.log(0.8 / 0.05), math.log((1.0 - 0.8) / (1.0 - 0.05))
+    assert out[0].fs_score == wa1 + wa2 and out[0].fs_class == "link"
+    assert out[1].fs_score == wd1 + wd2 and out[1].fs_class == "non_link"
+    assert out[2].fs_score == wa1 + wd2  # NULL -> disagreement
+    assert out[3].fs_class == "possible"  # wa1 + wd2 in [0, 3)
+
+    with _pt.raises(ValueError, match="0 < u < m"):
+        fellegi_sunter_scores(df, [("f1", 0.1, 0.9)], 1.0, 0.0)
+    with _pt.raises(ValueError, match="non-empty"):
+        fellegi_sunter_scores(df, [], 1.0, 0.0)

@@ -2293,3 +2293,35 @@ def test_unwrap_lines_rules(spark):
     assert out[3].text_unwrapped == "sentence end.\nNew sentence"
     assert out[4].text_unwrapped == "a b\nc" and out[4].n_unwrapped == 1
     assert out[5].text_unwrapped == ""
+
+
+def test_frontmatter_extract_rules(spark):
+    """Front matter: leading block parses, body strips the header
+    exactly, missing keys are NULL, a non-leading '---' block is NOT
+    front matter, an unterminated header is NOT front matter, first
+    occurrence wins on duplicate keys."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        frontmatter_extract,
+    )
+
+    fm = "---\ntitle: Hello\nlang: en\ntitle: Dup\n---\nbody text"
+    rows = [
+        (0, fm),
+        (1, "plain body"),
+        (2, "intro\n---\ntitle: X\n---\nrest"),   # not at offset 0
+        (3, "---\ntitle: Unterminated\nno close"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r.i: r for r in
+           frontmatter_extract(df, keys=("title", "lang", "license")).collect()}
+
+    r = out[0]
+    assert r.has_frontmatter and r.fm_title == "Hello" and r.fm_lang == "en"
+    assert r.fm_license is None
+    assert r.body == "body text"
+
+    assert not out[1].has_frontmatter and out[1].body == "plain body"
+    assert not out[2].has_frontmatter and out[2].body.startswith("intro")
+    assert not out[3].has_frontmatter
+    assert out[4].body == "" and not out[4].has_frontmatter

@@ -1338,3 +1338,25 @@ def test_wave13_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave14_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the fourteenth-wave families: front-matter
+    and Fellegi-Sunter ride the scan (the FS pair join broadcasts at
+    audit SFs — allow one exchange for the big-side fallback); PSI is
+    one conditional agg plus the bin-spine join; quota sampling pays
+    the count agg, the k-row apportionment windows, and the group-
+    keyed rank."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "frontmatter_docs": 0,
+        "fellegi_sunter_pairs": 1,
+        "psi_drift_bins": 2,
+        "quota_sample_docs": 4,
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -796,3 +796,155 @@ def fellegi_sunter_weights_sql(
             f" ELSE CAST({wd!r} AS DOUBLE) END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Isotonic (PAV) calibration over score bins — sklearn's
+    `calibration='isotonic'`, the nonparametric recalibration every
+    scored-corpus consumer wants when `calibration_bins` shows the raw
+    rates wiggle non-monotonically. Computed NOT by the sequential
+    pool-adjacent-violators stack (unreplayable cross-engine) but by
+    the exact MINIMAX characterization of the isotonic fit:
+
+        ŷ_i = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+
+    Every avg is one IEEE division of exact integer prefix sums, so
+    each candidate value is bit-identical in any engine and the
+    max-of-min over them is too. O(bins³) pairs — bins ≤ a few dozen
+    by construction, so the triple join runs on broadcast k-row
+    frames; the corpus is touched once (the binning agg). Empty bins
+    carry no evidence and are skipped (PAV semantics). Returns one
+    row per observed bin: (bin, n, k, rate, calibrated), with
+    `calibrated` monotone non-decreasing in bin (pytest-gated vs a
+    reference PAV)."""
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    s = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(score_col).cast("double") - F.lit(float(lo))) / F.lit(width)),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    bins = s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "k",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("k").over(w).alias("ck"),
+    )
+    lo_side = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("ck") - F.col("k")).alias("ck_before"),
+    )
+    hi_side = pre.select(
+        F.col("bin").alias("kk"), F.col("cn").alias("cn_k"), F.col("ck").alias("ck_k")
+    )
+    spans = (
+        F.broadcast(lo_side)
+        .crossJoin(F.broadcast(hi_side))
+        .where(F.col("j") <= F.col("kk"))
+        .select(
+            "j",
+            "kk",
+            (
+                (F.col("ck_k") - F.col("ck_before")).cast("double")
+                / (F.col("cn_k") - F.col("cn_before")).cast("double")
+            ).alias("avg_jk"),
+        )
+    )
+    idx = pre.select(F.col("bin").alias("i"))
+    inner = (
+        F.broadcast(idx)
+        .crossJoin(F.broadcast(spans))
+        .where((F.col("j") <= F.col("i")) & (F.col("kk") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("min_k"))
+    )
+    cal = inner.groupBy("i").agg(F.max("min_k").alias("calibrated"))
+    return (
+        pre.join(cal, pre.bin == cal.i)
+        .select(
+            "bin",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n").cast("double")).alias("rate"),
+            "calibrated",
+        )
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Split-conformal prediction threshold — the distribution-free
+    coverage guarantee (Vovk; popularized for ML monitoring): over n
+    calibration nonconformity scores, the threshold is the
+    r = ⌈(n+1)(1−α)⌉-th smallest score, and then P(new score ≤ q̂) ≥
+    1−α for any exchangeable new point. α is an EXACT rational
+    (`alpha_num/alpha_den`) so the rank is pure integer arithmetic —
+    the float ⌈⌉ boundary bug (ceil(6.999999…) = 7 vs 6) cannot
+    happen:
+
+        r = ((n+1)·(den−num) + den − 1) div den
+
+    q̂ is the r-th order statistic read off the cumulative
+    distinct-value frame (the `auc_rank_sum` collapse — no global
+    row sort); r > n (tiny n for the requested coverage) yields NULL
+    (the honest "no finite threshold guarantees this"). Returns one
+    row (n, r, qhat)."""
+    from pyspark.sql.window import Window
+
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError(
+            f"need 0 < alpha_num < alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    s = df.where(F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("v")
+    )
+    vc = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("cum", F.sum("c").over(w).cast("bigint"))
+    tot = vc.agg(F.sum("c").cast("bigint").alias("n"))
+    num, den = int(alpha_num), int(alpha_den)
+    r = F.expr(f"((n + 1) * {den - num} + {den - 1}) DIV {den}").cast("bigint")
+    cum = cum.crossJoin(F.broadcast(tot)).withColumn("r", r)
+    # min over the satisfying rows only; NULL when r > n (no finite
+    # threshold) — and the tot frame keeps the one-row shape even on an
+    # empty calibration set (n = 0, qhat NULL)
+    qhat = cum.agg(
+        F.min(F.when(F.col("cum") >= F.col("r"), F.col("v"))).alias("qhat")
+    )
+    return (
+        tot.withColumn("r", r)
+        .crossJoin(F.broadcast(qhat))
+        .select("n", "r", "qhat")
+    )

@@ -19665,3 +19665,95 @@ def q_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return quota_sample(docs, "lang", "doc_id", budget=200)
+
+
+@_q(
+    "isotonic_calibration_bins",
+    """
+    WITH s AS (
+      SELECT LEAST(19, GREATEST(0,
+               CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+      FROM s GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, n, k,
+             SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ck
+      FROM bins
+    ),
+    spans AS (
+      SELECT l.bin AS j, h.bin AS kk,
+             CAST(h.ck - (l.ck - l.k) AS DOUBLE)
+             / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS avg_jk
+      FROM pre l JOIN pre h ON l.bin <= h.bin
+    ),
+    inner_min AS (
+      SELECT i.bin AS i, spans.j, MIN(spans.avg_jk) AS min_k
+      FROM pre i JOIN spans
+        ON spans.j <= i.bin AND spans.kk >= i.bin
+      GROUP BY i.bin, spans.j
+    ),
+    cal AS (SELECT i, MAX(min_k) AS calibrated FROM inner_min GROUP BY i)
+    SELECT pre.bin, pre.n, pre.k,
+           CAST(pre.k AS DOUBLE) / CAST(pre.n AS DOUBLE) AS rate,
+           cal.calibrated
+    FROM pre JOIN cal ON pre.bin = cal.i
+    """,
+)
+def q_isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (operators/mleval.py::isotonic_calibration
+    — the exact minimax characterization instead of the unreplayable
+    PAV stack) of the purchase rate over 20 value bins: every
+    candidate average is one IEEE division of integer prefix sums, so
+    the max-of-min replays bit-exactly in the oracle's triple join."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        isotonic_calibration,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ev = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return isotonic_calibration(ev, "value", "y", n_bins=20, lo=0.0, hi=500.0)
+
+
+@_q(
+    "conformal_threshold_values",
+    """
+    WITH s AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'error' AND value IS NOT NULL
+    ),
+    vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vc
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+    r AS (SELECT n, ((n + 1) * 95 + 99) // 100 AS r FROM t)
+    SELECT r.n, CAST(r.r AS BIGINT) AS r,
+           (SELECT MIN(v) FROM cum, r WHERE cum.cum >= r.r) AS qhat
+    FROM r
+    """,
+)
+def q_conformal_threshold_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 95% threshold (operators/mleval.py::
+    conformal_threshold, α = 5/100 exact rational) over error-event
+    nonconformity scores: the ⌈(n+1)(1−α)⌉ rank is pure integer
+    arithmetic and q̂ is an order statistic off the distinct-value
+    frame."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        conformal_threshold,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return conformal_threshold(ev, "value", alpha_num=5, alpha_den=100)

@@ -345,3 +345,95 @@ def test_fellegi_sunter_textbook(spark):
         fellegi_sunter_scores(df, [("f1", 0.1, 0.9)], 1.0, 0.0)
     with _pt.raises(ValueError, match="non-empty"):
         fellegi_sunter_scores(df, [], 1.0, 0.0)
+
+
+def test_isotonic_calibration_vs_pav(spark):
+    """Isotonic minimax equals a reference sequential PAV (Fraction-
+    exact pooling, then the same one-division float realization) on a
+    non-monotone bin profile; output is monotone non-decreasing; an
+    already-monotone profile is untouched."""
+    from fractions import Fraction
+
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        isotonic_calibration,
+    )
+
+    def pav(ns, ks):
+        blocks = [[Fraction(k), Fraction(n)] for k, n in zip(ks, ns)]
+        out = [[k, n] for k, n in blocks]
+        stack = []
+        for blk in out:
+            stack.append(blk)
+            while len(stack) > 1 and (
+                stack[-2][0] / stack[-2][1] > stack[-1][0] / stack[-1][1]
+            ):
+                b = stack.pop()
+                stack[-1][0] += b[0]
+                stack[-1][1] += b[1]
+        vals = []
+        for k, n in stack:
+            vals += [Fraction(k, n)] * 0  # placeholder, expanded below
+        # expand: walk blocks against original bins
+        expanded = []
+        i = 0
+        for k, n in stack:
+            total = n
+            acc = 0
+            while acc < total:
+                acc += ns[i]
+                expanded.append(Fraction(k, n))
+                i += 1
+        return expanded
+
+    # bins 0..4 with rates 0.2, 0.8, 0.5, 0.5, 0.9 (violator at bin 1-2)
+    ns = [10, 10, 10, 10, 10]
+    ks = [2, 8, 5, 5, 9]
+    rows = []
+    for b, (n, k) in enumerate(zip(ns, ks)):
+        rows += [(b / 5.0 + 0.01, 1)] * k + [(b / 5.0 + 0.01, 0)] * (n - k)
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r.bin: r for r in
+           isotonic_calibration(df, "s", "y", n_bins=5, lo=0.0, hi=1.0).collect()}
+
+    ref = pav(ns, ks)
+    got = [out[b].calibrated for b in range(5)]
+    for g, r in zip(got, ref):
+        assert abs(g - float(r)) < 1e-12
+    assert all(a <= b + 1e-15 for a, b in zip(got, got[1:]))  # monotone
+
+    mono = [(0.05, 0), (0.05, 0), (0.45, 1), (0.45, 0), (0.85, 1), (0.85, 1)]
+    m = {r.bin: r for r in isotonic_calibration(
+        spark.createDataFrame(mono, "s double, y int"),
+        "s", "y", n_bins=5, lo=0.0, hi=1.0).collect()}
+    for r in m.values():
+        assert r.calibrated == r.rate  # already monotone: identity
+
+
+def test_conformal_threshold_coverage(spark):
+    """Conformal: the rank is the exact integer ceil (boundary case
+    n=19, alpha=0.05 -> r=19 pinned); empirical coverage on held-out
+    exchangeable data meets 1-alpha; r > n yields NULL qhat."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        conformal_threshold,
+    )
+
+    cal = spark.createDataFrame([(float(i),) for i in range(1, 20)], "v double")
+    r = conformal_threshold(cal, "v", alpha_num=5, alpha_den=100).collect()[0]
+    assert (r.n, r.r) == (19, 19) and r.qhat == 19.0  # ceil(20*0.95)=19
+
+    big = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    t = conformal_threshold(big, "v", alpha_num=10, alpha_den=100).collect()[0]
+    # r = ceil(101*0.9) = 91 -> qhat = 90.0; coverage on the same
+    # exchangeable range: 91/100 >= 0.9
+    assert t.qhat == 90.0
+    covered = sum(1 for i in range(100) if float(i) <= t.qhat)
+    assert covered / 100 >= 0.9
+
+    tiny = spark.createDataFrame([(1.0,)], "v double")
+    z = conformal_threshold(tiny, "v", alpha_num=5, alpha_den=100).collect()[0]
+    assert z.qhat is None  # r=2 > n=1: no finite guarantee
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        conformal_threshold(cal, "v", alpha_num=0, alpha_den=100)

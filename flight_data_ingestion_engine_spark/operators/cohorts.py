@@ -75,3 +75,86 @@ def adoption_curve(
     return c.withColumn(
         "total_entities", F.sum("new_entities").over(w).cast("bigint")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator — the retention curve done
+    RIGHT (the naive "fraction still active after t days" is biased
+    the moment observation windows differ; KM handles censoring, which
+    every live product/corpus has): one row per subject with a
+    duration and an event flag (1 = churned/failed at that time,
+    0 = censored — still alive when observed last),
+
+        S(t) = Π_{tᵢ ≤ t, dᵢ>0} (nᵢ − dᵢ) / nᵢ
+
+    computed as a FIXED-POINT integer recurrence S ← S·(n−d) div n
+    (start 10¹²): a float product is order-fragile and neither engine
+    has an ordered PRODUCT aggregate, but the integer recurrence
+    replays exactly — Spark runs it as a sequential fold over the
+    (tiny) distinct-time frame in one Arrow applyInPandas stage, and
+    the oracle replays it as a recursive CTE. Censored-only times
+    carry S unchanged (the standard step convention). Returns one row
+    per distinct duration: (t, n_risk, d, c, s_fixed, s) with
+    s = s_fixed/scale in one division.
+
+    Shape: one keyed agg to the distinct-time frame, one series window
+    for n_risk, one single-group Arrow fold over ≤ |distinct times|
+    rows (quantize durations upstream if truly continuous — the
+    `auc_rank_sum` discipline). NULL durations/events excluded."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.window import Window
+
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    s = df.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    )
+    tt = s.groupBy("t").agg(
+        F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tt = tt.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        ).cast("bigint"),
+    ).withColumn("_g", F.lit(1))
+
+    sc = int(scale)
+    schema = "t double, n_risk bigint, d bigint, c bigint, s_fixed bigint"
+
+    def fold(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        surv = sc
+        out = []
+        for _, row in pdf.iterrows():
+            n, d = int(row["n_risk"]), int(row["d"])
+            if d > 0 and n > 0:
+                surv = surv * (n - d) // n
+            out.append(surv)
+        pdf["s_fixed"] = pd.Series(out, dtype="int64")
+        return pdf[["t", "n_risk", "d", "c", "s_fixed"]]
+
+    folded = tt.groupBy("_g").applyInPandas(fold, schema)
+    return folded.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        "s_fixed",
+        (F.col("s_fixed").cast("double") / F.lit(float(sc))).alias("s"),
+    )

@@ -1251,3 +1251,71 @@ def quota_sample(
         .where(F.col("sample_rank") <= F.col("alloc"))
         .drop("_g")
     )
+
+
+def ucb_allocation(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """UCB1 arm scores (Auer et al. 2002) — the deterministic bandit
+    rule for adaptive data collection ("which source/crawl/prompt
+    template do we pull next, balancing its observed quality against
+    how little we've tried it"; Thompson sampling needs randomness,
+    UCB1 doesn't — which is also what makes it replayable):
+
+        ucb_i = r̄_i + √(2·ln N / n_i)
+
+    over logged integer rewards. The mean is one exact-integer-fed
+    division; ln N runs as SCALAR math.log (the `llr_collocations`
+    JVM-vs-libm fact) inside an Arrow pandas_udf over the k-arm frame,
+    with the √ and the remaining ops in the same fixed order the
+    oracle uses. `is_best` flags the argmax (float equality on
+    deterministic doubles — ties flag all tied arms, honestly). One
+    map-side-combined agg; the Arrow hop touches k rows. Returns
+    (arm, n, reward_sum, mean_reward, ucb, is_best)."""
+    import math
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    g = df.where(
+        F.col(arm_col).isNotNull() & F.col(reward_col).isNotNull()
+    ).groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(reward_col).cast("bigint")).cast("bigint").alias("reward_sum"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn("big_n", F.sum("n").over(wall).cast("bigint"))
+
+    @pandas_udf("double")
+    def _ucb(rsum, n, big_n):
+        out = []
+        for r, m, t in zip(
+            rsum.astype("int64"), n.astype("int64"), big_n.astype("int64")
+        ):
+            r, m, t = int(r), int(m), int(t)
+            if m <= 0 or t <= 0:
+                out.append(None)
+                continue
+            out.append(r / m + math.sqrt(2.0 * math.log(t) / m))
+        return pd.Series(out, dtype="float64")
+
+    g = g.withColumn(
+        "ucb", _ucb(F.col("reward_sum"), F.col("n"), F.col("big_n"))
+    ).withColumn(
+        "mean_reward",
+        F.col("reward_sum").cast("double") / F.col("n").cast("double"),
+    )
+    g = g.withColumn("_mx", F.max("ucb").over(wall))
+    return g.select(
+        "arm",
+        "n",
+        "reward_sum",
+        "mean_reward",
+        "ucb",
+        (F.col("ucb") == F.col("_mx")).alias("is_best"),
+    )

@@ -954,3 +954,68 @@ def psi_bins(
             "contrib"
         ),
     )
+
+
+def mutual_info_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, per-cell —
+    the redundancy audit next to `chi_square_cells` (MI answers "how
+    many nats does knowing A tell you about B" — feature selection,
+    leaky-column detection, near-duplicate metadata discovery):
+
+        contrib(a,b) = p_ab · ln( (c_ab·N) / (r_a·c_b) )
+
+    Per-CELL grain, not summed (the `chi_square_cells` precedent —
+    a float Σ is accumulation-order-dependent; callers sum `contrib`
+    for the MI statistic, which is ≥ 0 up to that rounding). The ln
+    argument is an exact integer ratio realized as ONE division, the
+    ln runs as SCALAR math.log in an Arrow pandas_udf over the
+    distinct-pair frame (the `llr_collocations` measured JVM-vs-libm
+    fact), p_ab is one more exact division. Same one-agg-plus-
+    broadcast-marginals shape as chi-square. Returns
+    (a, b, obs, p_ab, contrib)."""
+    import math
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    cells = df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    cells = cells.persist()
+    row_tot = cells.groupBy("a").agg(F.sum("obs").cast("bigint").alias("_ra"))
+    col_tot = cells.groupBy("b").agg(F.sum("obs").cast("bigint").alias("_cb"))
+    n_tot = cells.agg(F.sum("obs").cast("bigint").alias("_n"))
+    out = (
+        cells.join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(n_tot))
+    )
+
+    @pandas_udf("double")
+    def _mi(obs, ra, cb, n):
+        vals = []
+        for o, r, c, m in zip(
+            obs.astype("int64"), ra.astype("int64"),
+            cb.astype("int64"), n.astype("int64"),
+        ):
+            o, r, c, m = int(o), int(r), int(c), int(m)
+            if o <= 0 or m <= 0:
+                vals.append(0.0)
+                continue
+            p = o / m
+            vals.append(p * math.log((o * m) / (r * c)))
+        return pd.Series(vals, dtype="float64")
+
+    return out.select(
+        F.col("a").alias(col_a),
+        F.col("b").alias(col_b),
+        "obs",
+        (F.col("obs").cast("double") / F.col("_n").cast("double")).alias("p_ab"),
+        _mi(F.col("obs"), F.col("_ra"), F.col("_cb"), F.col("_n")).alias(
+            "contrib"
+        ),
+    )

@@ -19757,3 +19757,142 @@ def q_conformal_threshold_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
     return conformal_threshold(ev, "value", alpha_num=5, alpha_den=100)
+
+
+@_q(
+    "mutual_info_cells_events",
+    """
+    WITH cells AS (
+      SELECT event_type AS a, CAST(user_id % 7 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY event_type, user_id % 7
+    ),
+    ra AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS ra FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS cb FROM cells GROUP BY b),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+    SELECT cells.a AS event_type, cells.b AS user_mod, cells.obs,
+           CAST(cells.obs AS DOUBLE) / CAST(t.n AS DOUBLE) AS p_ab,
+           (CAST(cells.obs AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * ln(CAST(cells.obs * t.n AS DOUBLE) / CAST(ra.ra * cb.cb AS DOUBLE))
+             AS contrib
+    FROM cells JOIN ra ON cells.a = ra.a
+               JOIN cb ON cells.b = cb.b
+               CROSS JOIN t
+    """,
+)
+def q_mutual_info_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual information (operators/quality.py::
+    mutual_info_cells) between event_type and a user bucket: the ln
+    argument is an exact integer ratio in one division, the ln is
+    scalar libm (the llr precedent), p_ab one more exact division —
+    the chi-square audit's information-theoretic twin."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        mutual_info_cells,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 7).alias("user_mod")
+    )
+    return mutual_info_cells(ev, "event_type", "user_mod")
+
+
+@_q(
+    "kaplan_meier_users",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(date_diff('second', MIN(ts), MAX(ts)) AS DOUBLE) AS t,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) > 0
+                  THEN 1 ELSE 0 END AS e
+      FROM events GROUP BY user_id
+    ),
+    tt AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM base GROUP BY t
+    ),
+    seq AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+             CAST(SUM(d + c) OVER () AS BIGINT)
+             - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM tt
+    ),
+    rec AS (
+      WITH RECURSIVE walk(rn, s) AS (
+        SELECT CAST(0 AS BIGINT), CAST(1000000000000 AS BIGINT)
+        UNION ALL
+        SELECT seq.rn,
+               CASE WHEN seq.d > 0 AND seq.n_risk > 0
+                    THEN walk.s * (seq.n_risk - seq.d) // seq.n_risk
+                    ELSE walk.s END
+        FROM walk JOIN seq ON seq.rn = walk.rn + 1
+      )
+      SELECT * FROM walk WHERE rn > 0
+    )
+    SELECT seq.t, seq.n_risk, seq.d, seq.c,
+           CAST(rec.s AS BIGINT) AS s_fixed,
+           CAST(rec.s AS DOUBLE) / 1000000000000.0 AS s
+    FROM seq JOIN rec ON seq.rn = rec.rn
+    """,
+)
+def q_kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention (operators/cohorts.py::kaplan_meier):
+    per-user observation span as duration, purchase as the event,
+    no-purchase users censored — the fixed-point integer recurrence
+    runs as one Arrow fold and the oracle replays it as a recursive
+    CTE, bit-for-bit."""
+    from flight_data_ingestion_engine_spark.operators.cohorts import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).cast("double").alias("t"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) > 0
+        ).cast("int").alias("e"),
+    )
+    return kaplan_meier(base, "t", "e")
+
+
+@_q(
+    "ucb_source_arms",
+    """
+    WITH g AS (
+      SELECT source AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN length(COALESCE(text, '')) > 88
+                           THEN 1 ELSE 0 END) AS BIGINT) AS reward_sum
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM g),
+    u AS (
+      SELECT arm, n, reward_sum,
+             CAST(reward_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_reward,
+             CAST(reward_sum AS DOUBLE) / CAST(n AS DOUBLE)
+             + sqrt(2.0 * ln(CAST(t.big_n AS DOUBLE)) / CAST(n AS DOUBLE))
+               AS ucb
+      FROM g, t
+    )
+    SELECT arm, n, reward_sum, mean_reward, ucb,
+           ucb = MAX(ucb) OVER () AS is_best
+    FROM u
+    """,
+)
+def q_ucb_source_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 source arms (operators/mixing.py::ucb_allocation): each
+    document source is an arm, long-document rate the reward — the
+    exploration bonus √(2·ln N/n) computed with scalar libm ln (the
+    llr precedent) in the same op order the oracle uses."""
+    from flight_data_ingestion_engine_spark.operators.mixing import ucb_allocation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("arm"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) > 88)
+        .cast("int")
+        .alias("reward"),
+    )
+    return ucb_allocation(docs, "arm", "reward")

@@ -543,3 +543,63 @@ def test_psi_bins_reference(spark):
         psi_bins(df, "v", "g", n_bins=0)
     with _pt.raises(ValueError, match="hi > lo"):
         psi_bins(df, "v", "g", lo=1.0, hi=1.0)
+
+
+def test_mutual_info_cells_reference(spark):
+    """MI cells: independent columns give contrib exactly 0 on every
+    cell (the ln argument is exactly 1); a perfectly-dependent pair
+    sums to ln(k) (reference computed with the same scalar-libm calls
+    and one-division order); the sum is non-negative."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        mutual_info_cells,
+    )
+
+    # independent: every (a, b) combination equally likely
+    ind = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(25)]
+    df = spark.createDataFrame(ind, "a string, b string")
+    out = mutual_info_cells(df, "a", "b").collect()
+    assert len(out) == 4 and all(r.contrib == 0.0 for r in out)
+
+    # perfectly dependent: b == a; MI = ln(2)
+    dep = [(a, a) for a in ("x", "y") for _ in range(50)]
+    d2 = spark.createDataFrame(dep, "a string, b string")
+    rows = mutual_info_cells(d2, "a", "b").collect()
+    total = sum(r.contrib for r in rows)
+    expect = sum(
+        (50 / 100) * math.log((50 * 100) / (50 * 50)) for _ in range(2)
+    )
+    assert total == expect and abs(total - math.log(2)) < 1e-12
+
+
+def test_kaplan_meier_textbook(spark):
+    """KM: the classic worked example (events at 1, 3; censor at 2)
+    reproduces the hand-computed product with the fixed-point
+    recurrence; censored-only times carry S unchanged; no censoring
+    degenerates to the empirical survival; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.cohorts import kaplan_meier
+
+    # durations: 1(event), 2(censored), 3(event), 4(censored)
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)]
+    df = spark.createDataFrame(rows, "t double, e int")
+    out = {r.t: r for r in kaplan_meier(df, "t", "e").collect()}
+    S = 10**12
+    s1 = S * (4 - 1) // 4          # t=1: n=4, d=1 -> 0.75
+    assert out[1.0].s_fixed == s1 and out[1.0].n_risk == 4
+    assert out[2.0].s_fixed == s1  # censored only: unchanged
+    s3 = s1 * (2 - 1) // 2         # t=3: n=2, d=1 -> 0.375
+    assert out[3.0].s_fixed == s3 and out[3.0].n_risk == 2
+    assert out[4.0].s_fixed == s3
+    assert out[3.0].s == float(s3) / float(S)
+
+    # no censoring: S(t) = fraction surviving past t
+    unc = spark.createDataFrame([(float(t), 1) for t in (1, 2, 3, 4)],
+                                "t double, e int")
+    u = {r.t: r for r in kaplan_meier(unc, "t", "e").collect()}
+    assert u[2.0].s_fixed == S // 2 and u[4.0].s_fixed == 0
+
+    with _pt.raises(ValueError, match="scale"):
+        kaplan_meier(df, "t", "e", scale=0)

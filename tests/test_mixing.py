@@ -740,3 +740,30 @@ def test_quota_sample_exact_budget(spark):
 
     over = quota_sample(df, "lang", "doc_id", budget=150).collect()
     assert len(over) == 100  # caps at corpus size, never duplicates
+
+
+def test_ucb_allocation_explore_exploit(spark):
+    """UCB1: an under-explored arm beats a well-sampled arm with a
+    slightly higher mean (the exploration property a greedy argmax
+    lacks); the score matches the reference computed with the same
+    scalar-libm op order; NULL rewards are excluded."""
+    import math
+
+    from flight_data_ingestion_engine_spark.operators.mixing import ucb_allocation
+
+    rows = (
+        [("hot", 1)] * 90 + [("hot", 0)] * 10      # mean 0.9, n=100
+        + [("new", 1)] * 2 + [("new", 0)] * 1      # mean 0.667, n=3
+        + [("hot", None)]
+    )
+    df = spark.createDataFrame(rows, "arm string, reward int")
+    out = {r.arm: r for r in ucb_allocation(df, "arm", "reward").collect()}
+
+    N = 103
+    for arm, (n, s) in {"hot": (100, 90), "new": (3, 2)}.items():
+        expect = s / n + math.sqrt(2.0 * math.log(N) / n)
+        assert out[arm].ucb == expect
+        assert (out[arm].n, out[arm].reward_sum) == (n, s)
+    assert out["new"].ucb > out["hot"].ucb          # exploration wins
+    assert out["new"].is_best and not out["hot"].is_best
+    assert out["hot"].mean_reward > out["new"].mean_reward

@@ -1360,3 +1360,26 @@ def test_wave14_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave15_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the fifteenth-wave families: every one
+    reduces the corpus in ONE keyed agg and then works on k-row
+    frames — isotonic's minimax triple join broadcasts over the bin
+    frame, MI pays the cell agg plus broadcast marginals, KM's Arrow
+    fold is a single-group hop over distinct times, UCB and conformal
+    are agg + series window."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "isotonic_calibration_bins": 5,
+        "conformal_threshold_values": 4,
+        "mutual_info_cells_events": 7,
+        "kaplan_meier_users": 3,
+        "ucb_source_arms": 2,
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -3377,3 +3377,56 @@ def chat_render(
         )
         .withColumn("assistant_spans", spans)
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Length-bucketed dynamic batching plan — the padding-waste killer
+    every training loader implements (batch similar-length sequences
+    together; a uniform-random batch pads everything to its longest
+    member): sequences group into power-of-two length buckets (the
+    `token_length_histogram` bit-length rule, so within-batch lengths
+    differ < 2× and padding waste is bounded below 50%), and within
+    each bucket the `compaction_plan` sorted-fill rule packs batches
+    toward `token_budget` tokens — deterministic, SQL-replayable,
+    windows keyed on the bucket (never global).
+
+    Returns one row per sequence: (id, length, bucket, batch_idx,
+    batch_rows, batch_tokens, batch_padded) where `batch_padded` =
+    rows·max_len is what the batch actually costs after padding —
+    `batch_padded − batch_tokens` is the audited waste."""
+    from pyspark.sql.window import Window
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(length_col).cast("bigint").alias("length"),
+    ).where(F.col("length").isNotNull() & (F.col("length") > 0))
+    bucket = F.length(F.conv(F.col("length").cast("string"), 10, 2)).cast(
+        "bigint"
+    )
+    s = s.withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("length").desc(), F.col("id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    s = s.withColumn(
+        "_cume", (F.sum("length").over(w) - F.col("length")).cast("bigint")
+    ).withColumn(
+        "batch_idx", F.expr(f"_cume DIV {int(token_budget)}").cast("bigint")
+    ).drop("_cume")
+    wb = Window.partitionBy("bucket", "batch_idx")
+    return (
+        s.withColumn("batch_rows", F.count(F.lit(1)).over(wb).cast("bigint"))
+        .withColumn("batch_tokens", F.sum("length").over(wb).cast("bigint"))
+        .withColumn(
+            "batch_padded",
+            (F.max("length").over(wb) * F.count(F.lit(1)).over(wb)).cast(
+                "bigint"
+            ),
+        )
+    )

@@ -2210,3 +2210,65 @@ def semantic_order(
         )
         .withColumn("position", F.row_number().over(w).cast("bigint"))
     )
+
+
+def matryoshka_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    dims: list[int],
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL) — the
+    measurement that decides how far you can truncate an embedding
+    column before retrieval quality drops (truncated+renormalized
+    prefixes are how MRL-trained embeddings are served cheaply; a
+    pipeline holding `array<float>` at full dim wants to know what
+    dim/2 or dim/4 costs): for each probe query and each prefix length
+    d, exact cosine top-k over the d-prefix (truncate THEN renormalize
+    — the MRL serving convention) compared against the full-dim top-k
+    ground truth; recall@k = |overlap|/k.
+
+    Reuses `topk_brute_force` per dim (pre-normalized single-dot
+    scoring, broadcast corpus, deterministic id tiebreak), one
+    equi-join per dim to count overlap — probe sets are small by
+    design (this is an audit, not serving). Returns one row per
+    (query, dim): (query_id, dim, hits, recall)."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    full = topk_brute_force(
+        queries, corpus, query_id=query_id, corpus_id=corpus_id,
+        vec_col=vec_col, k=k,
+    ).select(F.col(query_id).alias("_q"), F.col(corpus_id).alias("_n"))
+    out = None
+    for d in dims:
+        if d < 1:
+            raise ValueError(f"dims must be >= 1, got {d}")
+        tq = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, int(d)))
+        tc = corpus.withColumn(vec_col, F.slice(F.col(vec_col), 1, int(d)))
+        tk = topk_brute_force(
+            tq, tc, query_id=query_id, corpus_id=corpus_id,
+            vec_col=vec_col, k=k,
+        ).select(F.col(query_id).alias("_q"), F.col(corpus_id).alias("_n"))
+        hits = (
+            tk.join(full, ["_q", "_n"])
+            .groupBy("_q")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        )
+        base = full.select("_q").distinct()
+        row = (
+            base.join(hits, "_q", "left")
+            .select(
+                F.col("_q").alias(query_id),
+                F.lit(int(d)).cast("int").alias("dim"),
+                F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn(
+        "recall", F.col("hits").cast("double") / F.lit(float(k))
+    )

@@ -19896,3 +19896,209 @@ def q_ucb_source_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reward"),
     )
     return ucb_allocation(docs, "arm", "reward")
+
+
+def _matryoshka_sql(dims=(2, 4), k=5) -> str:
+    """Oracle for the Matryoshka audit: per prefix length, the same
+    truncate-then-renormalize brute-force top-k (list_dot_product —
+    bitwise ≡ the engine's sequential-fold scorer) joined against the
+    full-dim top-k; one UNION ALL branch per dim, generated from the
+    same list."""
+    def topk(vec_expr: str) -> str:
+        return f"""
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(
+                 [x / sqrt(list_dot_product({vec_expr('q')}, {vec_expr('q')}))
+                  for x in {vec_expr('q')}],
+                 [x / sqrt(list_dot_product({vec_expr('c')}, {vec_expr('c')}))
+                  for x in {vec_expr('c')}]) DESC, c.vec_id ASC) AS rnk
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+      CROSS JOIN embeddings c
+        """
+
+    full_vec = lambda t: f"CAST({t}.embedding AS DOUBLE[])"  # noqa: E731
+    branches = []
+    for d in dims:
+        tv = lambda t, d=d: f"CAST({t}.embedding AS DOUBLE[])[1:{d}]"  # noqa: E731
+        branches.append(f"""
+    SELECT f.qid AS vec_id, {d} AS dim,
+           CAST(COUNT(t.nid) AS BIGINT) AS hits,
+           CAST(COUNT(t.nid) AS DOUBLE) / {float(k)} AS recall
+    FROM (SELECT qid, nid FROM ({topk(full_vec)}) WHERE rnk <= {k}) f
+    LEFT JOIN (SELECT qid, nid FROM ({topk(tv)}) WHERE rnk <= {k}) t
+      ON f.qid = t.qid AND f.nid = t.nid
+    GROUP BY f.qid""")
+    return "\nUNION ALL\n".join(branches)
+
+
+@_q("matryoshka_recall_dims", _matryoshka_sql())
+def q_matryoshka_recall_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators/similarity.py::
+    matryoshka_recall — Kusupati et al. 2022): recall@5 of the 2- and
+    4-prefix (truncate-then-renormalize) against full-dim exact top-5
+    for 8 probe queries; the oracle regenerates each branch from the
+    same dims list with list_dot_product scoring."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    out = matryoshka_recall(
+        q, c, "query_id", "neighbor_id", dims=[2, 4], k=5
+    )
+    return out.select(
+        F.col("query_id").alias("vec_id"), "dim", "hits", "recall"
+    )
+
+
+@_q(
+    "length_bucket_batches_docs",
+    """
+    WITH s AS (
+      SELECT doc_id AS id,
+             CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))
+                  AS BIGINT) AS length
+      FROM documents
+      WHERE len(regexp_extract_all(COALESCE(text, ''), '\\S+')) > 0
+    ),
+    b AS (
+      SELECT id, length,
+             CAST(length(to_base(length, 2)) AS BIGINT) AS bucket
+      FROM s
+    ),
+    c AS (
+      SELECT *, CAST(SUM(length) OVER (PARTITION BY bucket
+                  ORDER BY length DESC, id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - length AS BIGINT) AS cume
+      FROM b
+    ),
+    x AS (SELECT id, length, bucket, CAST(cume // 96 AS BIGINT) AS batch_idx
+          FROM c)
+    SELECT *,
+           CAST(COUNT(*) OVER (PARTITION BY bucket, batch_idx) AS BIGINT)
+             AS batch_rows,
+           CAST(SUM(length) OVER (PARTITION BY bucket, batch_idx) AS BIGINT)
+             AS batch_tokens,
+           CAST(MAX(length) OVER (PARTITION BY bucket, batch_idx)
+                * COUNT(*) OVER (PARTITION BY bucket, batch_idx) AS BIGINT)
+             AS batch_padded
+    FROM x
+    """,
+)
+def q_length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic batching plan (operators/corpus.py::length_bucket_batches
+    — pow2 length buckets + sorted-fill toward a 96-token budget) over
+    document whitespace-token lengths; the padded-cost column makes the
+    padding waste auditable. Bucket rule via to_base/conv binary-string
+    length (integer-exact in both engines)."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+"), 0
+            )
+        ).cast("bigint").alias("n_tokens"),
+    )
+    return length_bucket_batches(docs, "doc_id", "n_tokens", token_budget=96)
+
+
+@_q(
+    "eval_holdout_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(tokens[i:i+4], ' ')
+                                   for i in range(1, len(tokens)-3)])) AS gram
+      FROM toks WHERE len(tokens) >= 5
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM grams t JOIN grams s ON t.gram = s.gram
+      WHERE s.doc_id < 20 AND t.doc_id <> s.doc_id
+      GROUP BY t.doc_id, s.doc_id HAVING COUNT(*) >= 2
+    ),
+    clean AS (
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id >= 20
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    g AS (
+      SELECT lang AS key, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM clean GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM g),
+    b AS (
+      SELECT key, weight,
+             CAST((150 * weight) // w_total AS BIGINT) AS base_alloc,
+             CAST((150 * weight) % w_total AS BIGINT) AS rem
+      FROM g, t
+    ),
+    x AS (
+      SELECT *, 150 - SUM(base_alloc) OVER () AS extra_total,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rn
+      FROM b
+    ),
+    alloc AS (
+      SELECT key,
+             CAST(base_alloc + CASE WHEN rn <= extra_total THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+      FROM x
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                  AS BIGINT) AS sample_rank
+      FROM clean
+    )
+    SELECT r.doc_id, r.lang, r.sample_rank, a.alloc
+    FROM ranked r JOIN alloc a ON r.lang = a.key
+    WHERE r.sample_rank <= a.alloc
+    """,
+)
+def q_eval_holdout_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed eval-holdout build (decontaminate → quota-sample):
+    docs sharing ≥2 normalized 5-grams with the simulated eval set
+    (doc_id < 20) are excluded, then exactly 150 survivors are drawn
+    at corpus language proportions — `contamination_overlap` and
+    `quota_sample` chained in the order a real holdout build runs
+    them. Both stages replay verbatim in the oracle."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        contamination_overlap,
+    )
+    from flight_data_ingestion_engine_spark.operators.mixing import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("test_doc_id"), "text"
+    )
+    overlap = contamination_overlap(
+        docs.select(F.col("doc_id").alias("train_doc_id"), "text"),
+        test,
+        train_id="train_doc_id",
+        test_id="test_doc_id",
+        n=5,
+        min_shared=2,
+        hash_grams=False,
+    ).where(F.col("train_doc_id") != F.col("test_doc_id"))
+    dirty = overlap.select(F.col("train_doc_id").alias("doc_id")).distinct()
+    clean = (
+        docs.where(F.col("doc_id") >= 20)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+    return quota_sample(clean, "lang", "doc_id", budget=150)

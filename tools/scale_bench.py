@@ -107,6 +107,13 @@ ABS_BUDGET_US = {
     "audio_fp": 1300.0,
     "rouge_l": 800.0,
     "kneser_ney": 1000.0,
+    # r10 thirteenth pass: measured big-volume rates 319.2 (rake — the
+    # doc-keyed island/score chain, rel 1.38), 13.6 (quantile_norm,
+    # rel 0.23) and 16.8 (label_prop per edge, 3 rounds, rel 0.24) on
+    # this box — ~4x like the rest
+    "rake": 1300.0,
+    "quantile_norm": 60.0,
+    "label_prop": 70.0,
 }
 REL_BUDGET = 2.0
 
@@ -578,6 +585,41 @@ def _ops(spark):
         ).collect()
         return n
 
+    def rake_op(n):
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            rake_keywords,
+        )
+
+        rake_keywords(
+            synth_docs(spark, n), text_col="text", id_col="id", top_k=3
+        ).count()
+        return n
+
+    def quantile_norm_op(n):
+        from flight_data_ingestion_engine_spark.operators.quality import (
+            quantile_normalize,
+        )
+
+        rows = spark.range(n).select(
+            F.pmod(F.col("id"), 2).cast("int").alias("g"),
+            (F.pmod(F.xxhash64("id"), 1000)).cast("double").alias("v"),
+        )
+        quantile_normalize(rows, "g", "v").count()
+        return n
+
+    def label_prop_op(n):
+        from flight_data_ingestion_engine_spark.operators.graph import (
+            label_propagation,
+        )
+
+        m = max(n // 10, 10)
+        edges = spark.range(n).select(
+            F.pmod(F.col("id"), m).alias("src"),
+            F.pmod(F.col("id") * 7 + 1, m).alias("dst"),
+        )
+        label_propagation(edges, iterations=3).count()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -608,6 +650,9 @@ def _ops(spark):
         "secrets": secrets_op,
         "sft_lint": sft_lint_op,
         "self_bleu": self_bleu_op,
+        "rake": rake_op,
+        "quantile_norm": quantile_norm_op,
+        "label_prop": label_prop_op,
     }
 
 

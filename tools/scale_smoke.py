@@ -1290,6 +1290,69 @@ def main() -> None:
         assert _exchanges(lint) == 0
         assert lint.where(F.col("keep")).count() == n_docs
 
+    with stage("thirteenth_wave_gates"):
+        # readability / unwrap / chat render ride the scan (zero
+        # exchanges at full volume); RAKE's chain stays doc-keyed; quota
+        # sampling returns EXACTLY its budget at 100k docs; KS state
+        # merge equals the batch statistic on 5M events.
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            chat_render,
+            rake_keywords,
+        )
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            quota_sample,
+        )
+        from flight_data_ingestion_engine_spark.operators.mleval import (
+            ks_from_state,
+            ks_state,
+            ks_state_merge,
+            ks_two_sample,
+        )
+        from flight_data_ingestion_engine_spark.operators.text import (
+            readability_signals,
+            strip_quoted_replies,
+            unwrap_lines,
+        )
+
+        docs = spark.range(n_docs).withColumn("text", synth_text(_dup_content))
+        rd = readability_signals(docs)
+        assert _exchanges(rd) == 0
+        assert rd.where(F.col("n_words") > 0).count() == n_docs
+        st = strip_quoted_replies(docs)
+        uw = unwrap_lines(docs)
+        assert _exchanges(st) == 0 and _exchanges(uw) == 0
+        assert st.count() == n_docs and uw.count() == n_docs
+        conv = spark.range(n_docs).select(
+            "id",
+            F.concat(
+                F.lit('[{"role":"user","content":"hi '),
+                F.col("id").cast("string"),
+                F.lit('"},{"role":"assistant","content":"yo"}]'),
+            ).alias("conversation"),
+        )
+        cr = chat_render(conv, parse_json=True)
+        assert _exchanges(cr) == 0
+        assert cr.where(F.size("assistant_spans") == 1).count() == n_docs
+        assert rake_keywords(docs, id_col="id").count() > 0
+
+        langs = docs.select(
+            "id", (F.pmod(F.col("id"), 5)).cast("string").alias("lang")
+        )
+        qs = quota_sample(langs, "lang", "id", budget=10_000)
+        assert qs.count() == 10_000  # exact at any volume
+
+        ev = spark.range(n_events).select(
+            (F.pmod(F.xxhash64("id"), 1000)).cast("double").alias("v"),
+            F.pmod(F.col("id"), 2).cast("int").alias("g"),
+        )
+        batch = ks_two_sample(ev, "v", "g").collect()[0]
+        sl1 = ks_state(ev.where(F.col("v") < 500), "v", "g")
+        sl2 = ks_state(ev.where(F.col("v") >= 500), "v", "g")
+        merged = ks_from_state(ks_state_merge(sl1.unionByName(sl2))).collect()[0]
+        assert (merged.n1, merged.n2, merged.d_num) == (
+            batch.n1, batch.n2, batch.d_num,
+        )
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

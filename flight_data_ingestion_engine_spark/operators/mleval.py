@@ -948,3 +948,56 @@ def conformal_threshold(
         .crossJoin(F.broadcast(qhat))
         .select("n", "r", "qhat")
     )
+
+
+def conformal_threshold_by(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Mondrian (group-conditional) split-conformal thresholds — one
+    `conformal_threshold` per slice, which is what monitoring actually
+    needs: a global threshold can over-cover easy slices and
+    under-cover hard ones, while per-group calibration guarantees
+    1−α coverage WITHIN each group (Vovk's Mondrian taxonomy). Same
+    exact-rational rank arithmetic; the cumulative window runs over
+    each group's distinct-value frame (keyed — scales with groups).
+    Small groups (r > n) honestly yield NULL q̂ — the slices where no
+    finite threshold guarantees the requested coverage. Returns one
+    row per group: (…group_cols, n, r, qhat)."""
+    from pyspark.sql.window import Window
+
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError(
+            f"need 0 < alpha_num < alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    s = df.where(F.col(score_col).isNotNull()).select(
+        *group_cols, F.col(score_col).cast("double").alias("v")
+    )
+    vc = s.groupBy(*group_cols, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy(*group_cols)
+    num, den = int(alpha_num), int(alpha_den)
+    cum = (
+        vc.withColumn("cum", F.sum("c").over(w).cast("bigint"))
+        .withColumn("n", F.sum("c").over(wg).cast("bigint"))
+        .withColumn(
+            "r",
+            F.expr(f"((n + 1) * {den - num} + {den - 1}) DIV {den}").cast(
+                "bigint"
+            ),
+        )
+    )
+    return cum.groupBy(*group_cols).agg(
+        F.first("n").alias("n"),
+        F.first("r").alias("r"),
+        F.min(F.when(F.col("cum") >= F.col("r"), F.col("v"))).alias("qhat"),
+    )

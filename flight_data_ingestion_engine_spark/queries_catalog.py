@@ -20102,3 +20102,41 @@ def q_eval_holdout_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
     )
     return quota_sample(clean, "lang", "doc_id", budget=150)
+
+
+@_q(
+    "mondrian_conformal_types",
+    """
+    WITH s AS (
+      SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+    ),
+    vc AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT *,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    ),
+    r AS (SELECT *, ((n + 1) * 90 + 99) // 100 AS r FROM cum)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(r) AS BIGINT) AS r,
+           MIN(CASE WHEN cum >= r THEN v END) AS qhat
+    FROM r GROUP BY event_type
+    """,
+)
+def q_mondrian_conformal_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian conformal thresholds (operators/mleval.py::
+    conformal_threshold_by, α = 10/100) per event type — group-
+    conditional coverage, the exact integer rank per slice."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        conformal_threshold_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return conformal_threshold_by(
+        ev, "value", ["event_type"], alpha_num=10, alpha_den=100
+    )

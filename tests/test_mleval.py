@@ -437,3 +437,26 @@ def test_conformal_threshold_coverage(spark):
 
     with _pt.raises(ValueError, match="alpha"):
         conformal_threshold(cal, "v", alpha_num=0, alpha_den=100)
+
+
+def test_mondrian_conformal_per_group(spark):
+    """Mondrian conformal: each group gets its own exact-rank
+    threshold (matching single-group conformal_threshold run per
+    slice); a tiny group NULLs out while big groups stay covered."""
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        conformal_threshold,
+        conformal_threshold_by,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in conformal_threshold_by(
+        df, "v", ["g"], alpha_num=10, alpha_den=100).collect()}
+
+    solo_a = conformal_threshold(
+        df.where("g = 'a'"), "v", alpha_num=10, alpha_den=100
+    ).collect()[0]
+    assert (out["a"].n, out["a"].r, out["a"].qhat) == (
+        solo_a.n, solo_a.r, solo_a.qhat,
+    )
+    assert out["b"].n == 1 and out["b"].qhat is None  # r=2 > n=1

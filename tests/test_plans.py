@@ -1383,3 +1383,25 @@ def test_wave15_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave17_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the seventeenth-wave families: batching is
+    one bucket-keyed window chain; Mondrian conformal is one keyed agg
+    + group windows; the Matryoshka audit pays per-dim top-k windows
+    over broadcast-corpus scores (3 dims incl. ground truth — an
+    audit, not serving); the holdout composition pays the gram join,
+    anti-join, and quota windows end-to-end."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "length_bucket_batches_docs": 2,
+        "mondrian_conformal_types": 3,
+        "matryoshka_recall_dims": 14,
+        "eval_holdout_pipeline": 11,
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

@@ -3430,3 +3430,136 @@ def length_bucket_batches(
             ),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    noise_pct: int = 15,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    denoising-objective prep that turns clean text into
+    (input, target) pairs with sentinel tokens: ~`noise_pct`% of
+    tokens are masked, CONSECUTIVE masked tokens merge into one span,
+    the input replaces each span with `<extra_id_k>` and the target
+    lists each sentinel followed by the tokens it hid. The companion
+    of `fim_transform` (the span-infilling objective for code) on the
+    encoder-decoder side.
+
+    The mask decision is a DETERMINISTIC hash rule — the md5-prefix
+    integer of `id:pos` mod 100 < noise_pct (the engine's portable-
+    hash discipline; a seeded RNG would never replay cross-engine) —
+    so the whole transform is oracle-checkable: token explode, island
+    grouping of consecutive masked positions (one doc-keyed window
+    chain), ordered string_aggs back to (input_text, target_text).
+    Returns (id, input_text, target_text, n_spans, n_masked,
+    n_tokens); docs with zero tokens drop. All shuffles doc-keyed."""
+    from pyspark.sql.window import Window
+
+    if not 0 <= noise_pct <= 100:
+        raise ValueError(f"noise_pct must be in [0, 100], got {noise_pct}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 100
+    )
+    toks = toks.withColumn("masked", h < F.lit(int(noise_pct)))
+    wm = Window.partitionBy("id").orderBy("pos")
+    masked = toks.where("masked").withColumn(
+        "island", F.col("pos") - F.row_number().over(wm)
+    )
+    wspan = Window.partitionBy("id").orderBy("island")
+    spans = masked.withColumn("span_k", F.dense_rank().over(wspan) - 1)
+    first_in_span = spans.groupBy("id", "island", "span_k").agg(
+        F.min("pos").alias("pos")
+    )
+    # input: unmasked tokens, plus one sentinel at each span's first pos
+    unmasked = toks.where(~F.col("masked")).select("id", "pos", "tok")
+    sentinels = first_in_span.select(
+        "id",
+        "pos",
+        F.concat(F.lit("<extra_id_"), F.col("span_k").cast("string"), F.lit(">")).alias(
+            "tok"
+        ),
+    )
+    input_txt = (
+        unmasked.unionByName(sentinels)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("input_text")
+        )
+    )
+    # target: per span the sentinel then its tokens, ordered by span
+    tgt_tokens = spans.select(
+        "id", "pos", F.col("tok").alias("t"), F.lit(1).alias("o")
+    )
+    tgt_sent = first_in_span.select(
+        "id",
+        "pos",
+        F.concat(F.lit("<extra_id_"), F.col("span_k").cast("string"), F.lit(">")).alias(
+            "t"
+        ),
+        F.lit(0).alias("o"),
+    )
+    target_txt = (
+        tgt_tokens.unionByName(tgt_sent)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "o", "t"))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("target_text")
+        )
+    )
+    stats = toks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked"),
+    )
+    n_spans = first_in_span.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans")
+    )
+    out = (
+        stats.join(input_txt, "id")
+        .join(target_txt, "id", "left")
+        .join(n_spans, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "input_text",
+            F.coalesce(F.col("target_text"), F.lit("")).alias("target_text"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            "n_masked",
+            "n_tokens",
+        )
+    )
+    return out

@@ -20140,3 +20140,85 @@ def q_mondrian_conformal_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_threshold_by(
         ev, "value", ["event_type"], alpha_num=10, alpha_den=100
     )
+
+
+@_q(
+    "span_corruption_t5_docs",
+    """
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+      FROM toks0, UNNEST(range(1, len(ts) + 1)) r(i)
+    ),
+    m AS (
+      SELECT *,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100) < 15
+               AS masked
+      FROM tok
+    ),
+    mk AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM m WHERE masked
+    ),
+    sp AS (
+      SELECT *, DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY island) - 1
+               AS span_k
+      FROM mk
+    ),
+    fis AS (
+      SELECT doc_id, island, span_k, MIN(pos) AS pos
+      FROM sp GROUP BY doc_id, island, span_k
+    ),
+    inp AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text FROM (
+        SELECT doc_id, pos, tok FROM m WHERE NOT masked
+        UNION ALL
+        SELECT doc_id, pos,
+               '<extra_id_' || CAST(span_k AS VARCHAR) || '>' FROM fis
+      ) GROUP BY doc_id
+    ),
+    tgt AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY pos, o) AS target_text FROM (
+        SELECT doc_id, pos, 1 AS o, tok AS t FROM sp
+        UNION ALL
+        SELECT doc_id, pos, 0 AS o,
+               '<extra_id_' || CAST(span_k AS VARCHAR) || '>' FROM fis
+      ) GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked
+      FROM m GROUP BY doc_id
+    ),
+    ns AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM fis GROUP BY doc_id
+    )
+    SELECT stats.doc_id, inp.input_text,
+           COALESCE(tgt.target_text, '') AS target_text,
+           COALESCE(ns.n_spans, 0) AS n_spans,
+           stats.n_masked, stats.n_tokens
+    FROM stats
+    JOIN inp ON stats.doc_id = inp.doc_id
+    LEFT JOIN tgt ON stats.doc_id = tgt.doc_id
+    LEFT JOIN ns ON stats.doc_id = ns.doc_id
+    """,
+)
+def q_span_corruption_t5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (operators/corpus.py::span_corruption — 15%
+    hash-deterministic noise, consecutive masks merged into sentinel
+    spans): the (input, target) denoising pairs replayed stage-for-
+    stage, string-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import span_corruption
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(docs, noise_pct=15)

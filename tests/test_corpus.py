@@ -1329,3 +1329,50 @@ def test_length_bucket_batches_invariants(spark):
 
     with _pt.raises(ValueError, match="token_budget"):
         length_bucket_batches(df, "id", "length", token_budget=0)
+
+
+def test_span_corruption_roundtrip(spark):
+    """Span corruption: masked tokens + unmasked tokens reconstruct the
+    original exactly (sentinels align pairwise between input and
+    target — the T5 invariant); consecutive masks merge into ONE
+    sentinel; noise_pct=0 is the identity; noise_pct=100 masks
+    everything into a single span; validation."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import span_corruption
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = span_corruption(df, noise_pct=15).collect()[0]
+    assert r.n_tokens == 60 and 0 < r.n_masked < 60
+    assert r.n_spans >= 1
+
+    # reconstruct: walk the input; at each sentinel splice the target
+    # tokens that follow the SAME sentinel until the next sentinel
+    tgt = r.target_text.split(" ")
+    spans: dict[str, list] = {}
+    cur = None
+    for t in tgt:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    rebuilt = []
+    for t in r.input_text.split(" "):
+        rebuilt.extend(spans[t] if t.startswith("<extra_id_") else [t])
+    assert " ".join(rebuilt) == text
+    # sentinel k order: 0..n_spans-1 in input order
+    sentinels = [t for t in r.input_text.split(" ") if t.startswith("<extra")]
+    assert sentinels == [f"<extra_id_{k}>" for k in range(r.n_spans)]
+
+    ident = span_corruption(df, noise_pct=0).collect()[0]
+    assert ident.input_text == text and ident.n_spans == 0
+    assert ident.target_text == ""
+
+    full = span_corruption(df, noise_pct=100).collect()[0]
+    assert full.n_spans == 1 and full.input_text == "<extra_id_0>"
+    assert full.target_text == "<extra_id_0> " + text
+
+    with _pt.raises(ValueError, match="noise_pct"):
+        span_corruption(df, noise_pct=101)

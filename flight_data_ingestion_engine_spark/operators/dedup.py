@@ -2053,3 +2053,53 @@ def sorted_neighborhood_pairs(
             F.col("_d").cast("bigint").alias("rank_distance"),
         )
     )
+
+
+def transitivity_audit(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pair-set quality audit: transitivity closure rate —
+    the structural sanity check on any similarity-pair output before
+    it feeds `dedup_clusters` (true duplicate relations are nearly
+    transitive; a pair set full of OPEN wedges — a~b, b~c, a≁c — means
+    the threshold sits inside a similarity gradient and connected-
+    components clustering will chain unrelated docs). Counts every
+    wedge (two pairs sharing an endpoint, outer ids ordered) and how
+    many are closed by a third pair:
+
+        closure_rate = closed_wedges / wedges    (one IEEE division)
+
+    Pure keyed self-join on the symmetrized pair list + one left join
+    against the canonical pair set — work is Σ degree², the same
+    bound `triangle_count` pays, and bounded pair degrees are exactly
+    what a sane dedup threshold produces. Returns one row
+    (n_pairs, n_wedges, n_closed, closure_rate)."""
+    p = (
+        pairs.where(F.col(id_a) != F.col(id_b))
+        .select(
+            F.least(id_a, id_b).alias("a"), F.greatest(id_a, id_b).alias("b")
+        )
+        .distinct()
+    )
+    sym = p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # wedges: center m with ordered outer endpoints x < y
+    left = sym.select(F.col("a").alias("m"), F.col("b").alias("x"))
+    right = sym.select(F.col("a").alias("m"), F.col("b").alias("y"))
+    wedges = left.join(right, "m").where(F.col("x") < F.col("y"))
+    canon = p.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    closed = wedges.join(canon, ["x", "y"], "left_semi")
+    pagg = canon.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    agg = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    cagg = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    out = (
+        pagg.crossJoin(F.broadcast(agg)).crossJoin(F.broadcast(cagg))
+    )
+    rate = F.when(
+        F.col("n_wedges") > 0,
+        F.col("n_closed").cast("double") / F.col("n_wedges").cast("double"),
+    )
+    return out.select(
+        "n_pairs", "n_wedges", "n_closed", rate.alias("closure_rate")
+    )

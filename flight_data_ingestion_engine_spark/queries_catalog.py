@@ -20222,3 +20222,60 @@ def q_span_corruption_t5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return span_corruption(docs, noise_pct=15)
+
+
+@_q(
+    "dedup_transitivity_audit",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(
+              [x / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+               for x in CAST(a.embedding AS DOUBLE[])],
+              [x / sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])))
+               for x in CAST(b.embedding AS DOUBLE[])]) >= 0.3
+    ),
+    sym AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    wedges AS (
+      SELECT l.a AS m, l.b AS x, r.b AS y
+      FROM sym l JOIN sym r ON l.a = r.a
+      WHERE l.b < r.b
+    ),
+    canon AS (SELECT DISTINCT LEAST(pa, pb) AS x, GREATEST(pa, pb) AS y
+              FROM pairs),
+    closed AS (
+      SELECT w.* FROM wedges w SEMI JOIN canon c
+        ON w.x = c.x AND w.y = c.y
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM closed) AS n_closed,
+           CASE WHEN (SELECT COUNT(*) FROM wedges) > 0 THEN
+             CAST((SELECT COUNT(*) FROM closed) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM wedges) AS DOUBLE) END
+             AS closure_rate
+    """,
+)
+def q_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit (operators/dedup.py::transitivity_audit) of
+    the label-blocked cosine≥0.3 pair set — the structural check run
+    before `dedup_clusters` trusts a pair set for connected-components
+    clustering; wedges and closures replay verbatim."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        embedding_dup_pairs,
+        transitivity_audit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_cols=["label"],
+        threshold=0.3,
+    )
+    return transitivity_audit(pairs, "id_a", "id_b")

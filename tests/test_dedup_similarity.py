@@ -2270,3 +2270,32 @@ def test_matryoshka_recall_properties(spark):
 
     with _pt.raises(ValueError, match="dims"):
         matryoshka_recall(q, c, "query_id", "neighbor_id", dims=[], k=3)
+
+
+def test_transitivity_audit_counts(spark):
+    """Transitivity audit: a triangle closes all three of its wedges
+    (rate 1.0); a path a-b-c leaves one open wedge (rate 0); mixed
+    graphs count exactly; duplicate/reversed/self pairs are
+    canonicalized before counting."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        transitivity_audit,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    r = transitivity_audit(tri).collect()[0]
+    assert (r.n_pairs, r.n_wedges, r.n_closed) == (3, 3, 3)
+    assert r.closure_rate == 1.0
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    p = transitivity_audit(path).collect()[0]
+    assert (p.n_pairs, p.n_wedges, p.n_closed) == (2, 1, 0)
+    assert p.closure_rate == 0.0
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (3, 2), (1, 3)],
+        "id_a long, id_b long",
+    )
+    m = transitivity_audit(messy).collect()[0]
+    assert (m.n_pairs, m.n_wedges, m.n_closed) == (3, 3, 3)

@@ -159,3 +159,29 @@ def test_hilbert_write_locality(spark, tmp_path):
     spans = sorted((r.dmin, r.dmax) for r in stats if r.n > 0)
     for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
         assert b1 < a2  # files cover disjoint, ordered index ranges
+
+
+def test_hvalue_arms_identical(spark):
+    """The Arrow arm (bits>6 default — the long-session OOM fix: the
+    Catalyst arm copies the rotation tree ~2^bits times during
+    analysis) is bit-identical to the Catalyst arm at bits=6 and to
+    the reference implementation at bits=8; hilbert_write still
+    produces ordered disjoint files through the Arrow arm."""
+    from flight_data_ingestion_engine_spark.operators.zorder import hvalue
+
+    pts = [(x * 3 + 1, y * 5 + 2) for x in range(12) for y in range(12)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    both = df.select(
+        "x", "y",
+        hvalue("x", "y", bits=6, method="catalyst").alias("dc"),
+        hvalue("x", "y", bits=6, method="arrow").alias("da"),
+        hvalue("x", "y", bits=8).alias("d8"),
+    ).collect()
+    for r in both:
+        assert r.dc == r.da
+        assert r.d8 == _hilbert_ref(r.x % 256, r.y % 256, 8)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="method"):
+        df.select(hvalue("x", "y", bits=4, method="bogus"))

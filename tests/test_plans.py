@@ -1405,3 +1405,23 @@ def test_wave17_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_wave18_query_exchange_counts(spark, sf_dir):
+    """Shuffle budgets for the eighteenth-wave families: Hilbert rides
+    the scan through the Arrow arm (the Catalyst tree-copy OOM fix);
+    span corruption pays its doc-keyed window/agg/join chain; the
+    transitivity audit pays the symmetrized self-join and semi-join —
+    all keyed on pair endpoints, degree-bounded like triangle_count."""
+    from flight_data_ingestion_engine_spark import queries_catalog as qc
+    from flight_data_ingestion_engine_spark.plans import count_exchanges
+
+    max_exchanges = {
+        "hilbert_codes": 0,
+        "span_corruption_t5_docs": 8,
+        "dedup_transitivity_audit": 22,
+    }
+    for name, bound in max_exchanges.items():
+        df = qc.QUERIES[name](spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= bound, f"{name}: {got} exchanges (max {bound})"

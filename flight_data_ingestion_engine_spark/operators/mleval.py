@@ -403,44 +403,7 @@ def ks_two_sample(
     upstream if truly continuous. NULL values/groups are excluded;
     `group_col` must be a 0/1 int column (group 1 = "candidate").
     An empty side yields NULL `ks_stat`."""
-    s = df.where(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(
-        F.col(value_col).cast("double").alias("v"),
-        F.col(group_col).cast("int").alias("g"),
-    )
-    vc = s.groupBy("v").agg(
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("c2"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vc.select(
-        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
-    )
-    # the max |n2·cum1 − n1·cum2| needs n1, n2 first: broadcast-fold the
-    # two totals back over the cumulative frame (both frames are tiny —
-    # the distinct-value grain)
-    totals = vc.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    d = (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.first("n1").alias("n1"),
-            F.first("n2").alias("n2"),
-            F.max(
-                F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
-            )
-            .cast("bigint")
-            .alias("d_num"),
-        )
-    )
-    ks = F.when(
-        (F.col("n1") > 0) & (F.col("n2") > 0),
-        F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"),
-    )
-    return d.select("n1", "n2", "d_num", ks.alias("ks_stat"))
+    return ks_from_state(ks_state(df, value_col, group_col))
 
 
 def mann_whitney_z(

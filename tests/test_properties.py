@@ -884,3 +884,38 @@ def test_canonical_url_idempotent_and_variant_invariant(
         .cc
     )
     assert again == row.cb, (row.cb, again)
+
+
+def test_hamilton_allocation_property(spark):
+    """Property (Hypothesis): for arbitrary weight vectors and budgets,
+    Hamilton allocation sums EXACTLY to the budget and every allocation
+    is within one of its real-valued quota."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        hamilton_allocation,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        weights=st.lists(st.integers(min_value=0, max_value=10**6),
+                         min_size=1, max_size=8),
+        budget=st.integers(min_value=0, max_value=10**6),
+    )
+    def run(weights, budget):
+        rows = [(f"k{i}", w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "key string, weight long")
+        out = hamilton_allocation(df, "key", "weight", budget).collect()
+        total_w = sum(weights)
+        allocs = {r.key: r.alloc for r in out}
+        if total_w == 0:
+            assert all(a == 0 for a in allocs.values())
+            return
+        assert sum(allocs.values()) == budget
+        for i, w in enumerate(weights):
+            quota = Fraction(budget * w, total_w)
+            assert abs(Fraction(allocs[f"k{i}"]) - quota) < 1
+
+    run()

@@ -919,3 +919,36 @@ def test_hamilton_allocation_property(spark):
             assert abs(Fraction(allocs[f"k{i}"]) - quota) < 1
 
     run()
+
+
+def test_ks_two_sample_property(spark):
+    """Property (Hypothesis): the KS integer d_num equals the exact
+    Fraction brute-force max |F1 − F2| over arbitrary integer-valued
+    samples (ties and disjoint supports included)."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from flight_data_ingestion_engine_spark.operators.mleval import ks_two_sample
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        a=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=20),
+        b=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=20),
+    )
+    def run(a, b):
+        rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+        df = spark.createDataFrame(rows, "v double, g int")
+        r = ks_two_sample(df, "v", "g").collect()[0]
+        n1, n2 = len(a), len(b)
+        ref = max(
+            abs(
+                Fraction(sum(1 for x in a if x <= v), n1)
+                - Fraction(sum(1 for x in b if x <= v), n2)
+            )
+            for v in set(a) | set(b)
+        )
+        assert Fraction(r.d_num, n1 * n2) == ref
+        assert (r.n1, r.n2) == (n1, n2)
+
+    run()

@@ -952,3 +952,66 @@ def test_ks_two_sample_property(spark):
         assert (r.n1, r.n2) == (n1, n2)
 
     run()
+
+
+def test_isotonic_minimax_equals_pav_property(spark):
+    """Property (Hypothesis): the minimax isotonic fit equals a
+    Fraction-exact sequential PAV on arbitrary bin profiles (the two
+    classical characterizations coincide), and is always monotone."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    from flight_data_ingestion_engine_spark.operators.mleval import (
+        isotonic_calibration,
+    )
+
+    def pav(ns, ks):
+        stack = []
+        for k, n in zip(ks, ns):
+            stack.append([Fraction(k), Fraction(n)])
+            while len(stack) > 1 and (
+                stack[-2][0] / stack[-2][1] > stack[-1][0] / stack[-1][1]
+            ):
+                b = stack.pop()
+                stack[-1][0] += b[0]
+                stack[-1][1] += b[1]
+        out = []
+        i = 0
+        for k, n in stack:
+            acc = 0
+            while acc < n:
+                acc += ns[i]
+                out.append(Fraction(k, n))
+                i += 1
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        profile=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=9),   # n per bin
+                st.integers(min_value=0, max_value=9),   # k per bin (clamped)
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(profile):
+        ns = [n for n, _ in profile]
+        ks = [min(k, n) for n, k in profile]
+        nb = len(ns)
+        rows = []
+        for b, (n, k) in enumerate(zip(ns, ks)):
+            s = (b + 0.5) / nb
+            rows += [(s, 1)] * k + [(s, 0)] * (n - k)
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = {r.bin: r.calibrated for r in isotonic_calibration(
+            df, "s", "y", n_bins=nb, lo=0.0, hi=1.0).collect()}
+        got = [out[b] for b in range(nb)]
+        ref = pav(ns, ks)
+        for g, r in zip(got, ref):
+            assert abs(g - float(r)) < 1e-12
+        assert all(x <= y + 1e-15 for x, y in zip(got, got[1:]))
+
+    run()

@@ -868,91 +868,12 @@ def psi_bins(
     monitor must count them somewhere visible). One conditional agg +
     a zero-filled bin spine join; NULLs excluded. Returns
     (bin, bin_lo, bin_hi, a, b, p, q, contrib)."""
-    import math
-
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
-
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    if not hi > lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
-    if smooth < 0:
-        raise ValueError(f"smooth must be >= 0, got {smooth}")
-    width = (float(hi) - float(lo)) / float(n_bins)
-    s = df.where(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(
-        F.col(value_col).cast("double").alias("v"),
-        F.col(group_col).cast("int").alias("g"),
-    )
-    bin_ = (
-        F.least(
-            F.lit(n_bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),
-            ),
-        )
-        .cast("bigint")
-        .alias("bin")
-    )
-    counts = s.select(bin_, "g").groupBy("bin").agg(
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("a"),
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("b"),
-    )
-    spine = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
-    full = (
-        spine.join(counts, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
-            F.coalesce(F.col("b"), F.lit(0)).cast("bigint").alias("b"),
-        )
-    )
-    m = F.lit(int(smooth)).cast("bigint")
-    full = full.withColumn("a2", F.col("a") + m).withColumn("b2", F.col("b") + m)
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    full = full.withColumn("at", F.sum("a2").over(wall).cast("bigint")).withColumn(
-        "bt", F.sum("b2").over(wall).cast("bigint")
-    )
-
-    @pandas_udf("double")
-    def _contrib(a2, b2, at, bt):
-        out = []
-        for ai, bi, ti, ui in zip(
-            a2.astype("int64"), b2.astype("int64"),
-            at.astype("int64"), bt.astype("int64"),
-        ):
-            ai, bi, ti, ui = int(ai), int(bi), int(ti), int(ui)
-            if ai <= 0 or bi <= 0 or ti <= 0 or ui <= 0:
-                out.append(None)
-                continue
-            p = ai / ti
-            q = bi / ui
-            x = (ai * ui) / (bi * ti)
-            out.append((p - q) * math.log(x))
-        return pd.Series(out, dtype="float64")
-
-    p = F.when(F.col("at") > 0, F.col("a2").cast("double") / F.col("at").cast("double"))
-    q = F.when(F.col("bt") > 0, F.col("b2").cast("double") / F.col("bt").cast("double"))
-    return full.select(
-        "bin",
-        (F.lit(float(lo)) + F.col("bin").cast("double") * F.lit(width)).alias(
-            "bin_lo"
-        ),
-        (F.lit(float(lo)) + (F.col("bin") + 1).cast("double") * F.lit(width)).alias(
-            "bin_hi"
-        ),
-        "a",
-        "b",
-        p.alias("p"),
-        q.alias("q"),
-        _contrib(F.col("a2"), F.col("b2"), F.col("at"), F.col("bt")).alias(
-            "contrib"
-        ),
+    return psi_from_state(
+        psi_state(df, value_col, group_col, n_bins=n_bins, lo=lo, hi=hi),
+        n_bins=n_bins,
+        lo=lo,
+        hi=hi,
+        smooth=smooth,
     )
 
 
@@ -1016,6 +937,133 @@ def mutual_info_cells(
         "obs",
         (F.col("obs").cast("double") / F.col("_n").cast("double")).alias("p_ab"),
         _mi(F.col("obs"), F.col("_ra"), F.col("_cb"), F.col("_n")).alias(
+            "contrib"
+        ),
+    )
+
+
+def psi_state(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """The mergeable state behind `psi_bins`: per equi-width bin, the
+    two groups' raw counts — (bin, a, b), zero-filled over the full
+    bin spine so slices align positionally. Counts merge by plain
+    summation (union-by-sum), which makes the PSI monitor STREAMABLE
+    exactly like the KS one (`foreach_batch_psi_sink`); the binning
+    rule is the same IEEE clamp `psi_bins` uses, so a state built in
+    slices is bit-identical to a batch build."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    s = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(group_col).cast("int").alias("g"),
+    )
+    bin_ = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.lit(float(lo))) / F.lit(width)),
+            ),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    counts = s.select(bin_, "g").groupBy("bin").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    spine = df.sparkSession.range(n_bins).select(F.col("id").alias("bin"))
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
+        F.coalesce(F.col("b"), F.lit(0)).cast("bigint").alias("b"),
+    )
+
+
+def psi_state_merge(slices: DataFrame) -> DataFrame:
+    """Merge appended `psi_state` slices (the `dsir_state_merge` law):
+    epoch-tagged slices collapse a crash-replayed micro-batch first,
+    then sum per bin."""
+    if "epoch_id" in slices.columns:
+        slices = slices.dropDuplicates(["epoch_id", "bin"])
+    return slices.groupBy("bin").agg(
+        F.sum("a").cast("bigint").alias("a"),
+        F.sum("b").cast("bigint").alias("b"),
+    )
+
+
+def psi_from_state(
+    state: DataFrame,
+    n_bins: int,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    smooth: int = 1,
+) -> DataFrame:
+    """The `psi_bins` tail from a (bin, a, b) state table alone —
+    Laplace smoothing, totals, and the scalar-libm-ln contribution per
+    bin (the llr precedent). Same output schema as `psi_bins`."""
+    import math
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    if smooth < 0:
+        raise ValueError(f"smooth must be >= 0, got {smooth}")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    m = F.lit(int(smooth)).cast("bigint")
+    full = state.withColumn("a2", F.col("a") + m).withColumn(
+        "b2", F.col("b") + m
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    full = full.withColumn("at", F.sum("a2").over(wall).cast("bigint")).withColumn(
+        "bt", F.sum("b2").over(wall).cast("bigint")
+    )
+
+    @pandas_udf("double")
+    def _contrib(a2, b2, at, bt):
+        out = []
+        for ai, bi, ti, ui in zip(
+            a2.astype("int64"), b2.astype("int64"),
+            at.astype("int64"), bt.astype("int64"),
+        ):
+            ai, bi, ti, ui = int(ai), int(bi), int(ti), int(ui)
+            if ai <= 0 or bi <= 0 or ti <= 0 or ui <= 0:
+                out.append(None)
+                continue
+            p = ai / ti
+            q = bi / ui
+            x = (ai * ui) / (bi * ti)
+            out.append((p - q) * math.log(x))
+        return pd.Series(out, dtype="float64")
+
+    p = F.when(F.col("at") > 0, F.col("a2").cast("double") / F.col("at").cast("double"))
+    q = F.when(F.col("bt") > 0, F.col("b2").cast("double") / F.col("bt").cast("double"))
+    return full.select(
+        "bin",
+        (F.lit(float(lo)) + F.col("bin").cast("double") * F.lit(width)).alias(
+            "bin_lo"
+        ),
+        (F.lit(float(lo)) + (F.col("bin") + 1).cast("double") * F.lit(width)).alias(
+            "bin_hi"
+        ),
+        "a",
+        "b",
+        p.alias("p"),
+        q.alias("q"),
+        _contrib(F.col("a2"), F.col("b2"), F.col("at"), F.col("bt")).alias(
             "contrib"
         ),
     )

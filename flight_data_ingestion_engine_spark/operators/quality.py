@@ -786,7 +786,16 @@ def quantile_normalize(
     one series window over the pooled DISTINCT-value frame (quantize
     upstream if truly continuous — the `auc_rank_sum` discipline), and
     a broadcast range-join of group ranks onto pooled cumulative
-    spans. Returns one row per distinct (group, value):
+    spans.
+
+    Overflow envelope: the index numerator `(2·r_hi − cnt) · N` is
+    bigint arithmetic, so it requires `n_g · N < 2^62` (r_hi ≤ n_g,
+    the factor of 2 eats one bit) — the same k·N < 2^63 convention
+    `bayes_smoothed_rates` / `histogram_drift_tv` document. At 100 TB
+    that bound allows e.g. 10^9-row groups against a 4·10^9-row pool;
+    beyond it, pre-scale counts (divide both r_hi/cnt and N by a
+    common factor) before calling. Returns one row per distinct
+    (group, value):
     (group, value, n_in_group, idx, mapped_value); join it back onto
     rows by (group, value) to rewrite scores. NULLs excluded."""
     s = df.where(

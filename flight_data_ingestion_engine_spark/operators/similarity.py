@@ -2097,6 +2097,7 @@ def facility_location_select(
     if k < 1:
         raise ValueError("facility_location_select: k must be >= 1")
     spark = df.sparkSession
+    id_field = df.schema[id_col].dataType.simpleString()
     pts = df.select(
         F.col(id_col), unit_normalize(to_double_array(F.col(vec_col))).alias("_v")
     )
@@ -2113,7 +2114,7 @@ def facility_location_select(
         cand = sims.join(cover, "_j")
         if chosen:
             ex = spark.createDataFrame(
-                [(c,) for _, c, _ in chosen], "_c bigint"
+                [(c,) for _, c, _ in chosen], f"_c {id_field}"
             )
             cand = cand.join(ex, "_c", "left_anti")
         gains = cand.groupBy("_c").agg(
@@ -2148,7 +2149,7 @@ def facility_location_select(
         )
     return spark.createDataFrame(
         [(r, c, g) for r, c, g in chosen],
-        f"rank bigint, {id_col} bigint, gain double",
+        f"rank bigint, {id_col} {id_field}, gain double",
     )
 
 

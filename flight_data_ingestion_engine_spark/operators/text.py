@@ -1203,11 +1203,39 @@ def url_bitext_pairs(
     with content scoring; compose `margin_scores` for that stage). The
     self-join is keyed on the alignment key, never all-pairs; pages
     whose URL carries no marker get lang NULL and pair with nothing.
-    Returns (key, lang_a, id_a, lang_b, id_b)."""
-    cu = canonical_url(F.col(url_col))
-    seg = F.regexp_extract(cu, rf"^[^/]+/({lang_pattern})(?:/|$)", 1)
-    sub = F.regexp_extract(cu, rf"^({lang_pattern})\.", 1)
-    qp = F.regexp_extract(cu, rf"[?&]lang=({lang_pattern})(?:&|$)", 1)
+    Returns (key, lang_a, id_a, lang_b, id_b).
+
+    The marker-strip chain is STAGED through materialized columns
+    (`_cu`, then the three marker extracts) rather than composed as one
+    expression: inlined, the canonical-url regexp chain is referenced
+    6+ times and the generated `processNext()` blows the JVM's 64 KB
+    method limit — whole-stage codegen fails to compile and Spark
+    silently falls back to interpreted mode exactly where the fact
+    table is largest (VERDICT r10). Multi-referenced non-cheap aliases
+    survive CollapseProject, so each stage's generated code computes
+    its inputs once — and the keyed frame is localCheckpoint'ed
+    (eager=False) before the self-join: predicate pushdown and
+    constraint propagation would otherwise substitute the lang/key
+    null-filters through every projection into a ~50-regex boolean at
+    the scan (the actual >64 KB offender), and the barrier ALSO makes
+    the join's two sides share ONE regex pass over the corpus instead
+    of recomputing the chain per side. The null-lang filter moves
+    ABOVE the barrier (cheap attribute test; dropping it below would
+    be equivalent anyway — lang_a != lang_b is null-rejecting). A plan
+    gate pytest compiles the query under CODEGEN_ONLY to keep all of
+    this true."""
+    cu_df = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("_cu")
+    )
+    cu = F.col("_cu")
+    marked = cu_df.select(
+        F.col(id_col),
+        cu,
+        F.regexp_extract(cu, rf"^[^/]+/({lang_pattern})(?:/|$)", 1).alias("_seg"),
+        F.regexp_extract(cu, rf"^({lang_pattern})\.", 1).alias("_sub"),
+        F.regexp_extract(cu, rf"[?&]lang=({lang_pattern})(?:&|$)", 1).alias("_qp"),
+    )
+    seg, sub, qp = F.col("_seg"), F.col("_sub"), F.col("_qp")
     lang = F.nullif(
         F.when(seg != "", seg).when(sub != "", sub).otherwise(qp), F.lit("")
     )
@@ -1224,9 +1252,11 @@ def url_bitext_pairs(
             )
         )
     )
-    keyed = df.select(
-        F.col(id_col), key.alias("key"), lang.alias("lang")
-    ).where(F.col("lang").isNotNull())
+    keyed = (
+        marked.select(F.col(id_col), key.alias("key"), lang.alias("lang"))
+        .localCheckpoint(eager=False)
+        .where(F.col("lang").isNotNull())
+    )
     a = keyed.select(
         F.col("key"), F.col("lang").alias("lang_a"), F.col(id_col).alias("id_a")
     )

@@ -56,8 +56,11 @@ def write_webdataset(
     (encode strings first — the writer refuses to guess encodings).
     Shard = ``pmod(xxhash64(key), n_shards)``: deterministic,
     partition-free, reproducible. Entries are written sorted by
-    (key, ext) with zeroed metadata, so the same input ALWAYS produces
-    byte-identical tars."""
+    (key, payload-bytes, ext) with zeroed metadata — the payload bytes
+    are the secondary sort key so rows SHARING a key still land in a
+    partition-independent order — so the same input ALWAYS produces
+    byte-identical tars (two fully identical rows are interchangeable,
+    which is byte-identical output by definition)."""
     if not columns:
         raise ValueError("write_webdataset: columns mapping must be non-empty")
     for c, ext in columns.items():
@@ -82,8 +85,24 @@ def write_webdataset(
         fname = os.path.join(path, f"{prefix}-{sid:0{width}d}.tar")
         buf = io.BytesIO()
         n = 0
+        # Secondary sort on the payload bytes: sort_values("_key") alone
+        # leaves duplicate-key rows in partition/arrival order, breaking
+        # the byte-determinism contract. Length-prefixed concat so the
+        # tiebreak is injective over the payload tuple.
+        def _tiebreak(row: "pd.Series") -> bytes:
+            parts = []
+            for c, _ext in sorted(col_ext, key=lambda p: p[1]):
+                v = row[c]
+                if v is None:
+                    parts.append(b"\x00")
+                else:
+                    b = bytes(v)
+                    parts.append(b"\x01" + len(b).to_bytes(8, "big") + b)
+            return b"".join(parts)
+
+        pdf = pdf.assign(_tb=pdf.apply(_tiebreak, axis=1))
         with tarfile.open(fileobj=buf, mode="w") as tf:
-            for _, row in pdf.sort_values("_key").iterrows():
+            for _, row in pdf.sort_values(["_key", "_tb"]).iterrows():
                 for c, ext in sorted(col_ext, key=lambda p: p[1]):
                     payload = row[c]
                     if payload is None:

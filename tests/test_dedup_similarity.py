@@ -2299,3 +2299,24 @@ def test_transitivity_audit_counts(spark):
     )
     m = transitivity_audit(messy).collect()[0]
     assert (m.n_pairs, m.n_wedges, m.n_closed) == (3, 3, 3)
+
+
+def test_facility_location_string_ids(spark):
+    """The exclusion anti-join frame and the output schema derive the id
+    type from the input (ADVICE r10): string doc ids must work, with the
+    same greedy picks as the integer-id twin."""
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    rows = [
+        ("a0", [10.0, 0.1, 0.0]), ("a1", [10.0, 0.0, 0.1]),
+        ("a2", [9.9, 0.1, 0.1]), ("a3", [10.0, 0.1, 0.1]),
+        ("b0", [0.1, 10.0, 0.0]), ("b1", [0.0, 10.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    out = facility_location_select(df, "doc_id", "embedding", k=3).collect()
+    assert out[0].doc_id.startswith("a")       # densest cluster first
+    assert {r.rank: r for r in out}[2].doc_id.startswith("b")
+    assert len({r.doc_id for r in out}) == 3   # k=3 > 2: exclusion frame exercised
+    assert all(isinstance(r.doc_id, str) for r in out)

@@ -1425,3 +1425,27 @@ def test_wave18_query_exchange_counts(spark, sf_dir):
         df = qc.QUERIES[name](spark, sf_dir)
         got = count_exchanges(df)
         assert got <= bound, f"{name}: {got} exchanges (max {bound})"
+
+
+def test_url_bitext_compiles_under_codegen_only(spark, sf_dir):
+    """VERDICT r10: url_bitext_candidates' inlined marker-strip chain
+    blew the JVM 64 KB method limit — whole-stage codegen failed to
+    compile and Spark silently fell back to interpreted mode on the
+    biggest scan. The staged projections + pre-join localCheckpoint
+    barrier keep every generated method under the limit; CODEGEN_ONLY
+    with fallback disabled turns any regression back into a hard error
+    instead of a silent stderr line."""
+    saved = {
+        "spark.sql.codegen.fallback": spark.conf.get("spark.sql.codegen.fallback", "true"),
+        "spark.sql.codegen.factoryMode": spark.conf.get(
+            "spark.sql.codegen.factoryMode", "FALLBACK"
+        ),
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try:
+        n = qc.QUERIES["url_bitext_candidates"](spark, sf_dir).count()
+        assert n > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

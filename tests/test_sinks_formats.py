@@ -371,3 +371,41 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
         write_webdataset(df, d, "key", {"img": "a.b"})
     with _pt.raises(ValueError, match="non-empty"):
         write_webdataset(df, d, "key", {})
+
+
+def test_webdataset_duplicate_key_determinism(spark, tmp_path):
+    """Byte-determinism must survive duplicate keys: the writer's
+    secondary payload-bytes sort makes entry order independent of row
+    arrival order, so the same multiset of rows — shuffled and
+    re-partitioned — produces byte-identical tars."""
+    import glob
+    import hashlib
+
+    from flight_data_ingestion_engine_spark.sources.webdataset import (
+        write_webdataset,
+    )
+
+    rows = [
+        ("dup", bytearray(b"payload-B"), bytearray(b"{}")),
+        ("dup", bytearray(b"payload-A"), None),
+        ("dup", bytearray(b"payload-A"), bytearray(b'{"x":1}')),
+        ("solo", bytearray(b"z"), None),
+    ]
+    df1 = spark.createDataFrame(rows, "key string, img binary, js binary")
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "key string, img binary, js binary"
+    ).repartition(7)
+
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_webdataset(df1, d1, "key", {"img": "png", "js": "json"}, n_shards=2).collect()
+    write_webdataset(df2, d2, "key", {"img": "png", "js": "json"}, n_shards=2).collect()
+
+    h1 = {
+        p.split("/")[-1]: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(d1 + "/*.tar")
+    }
+    h2 = {
+        p.split("/")[-1]: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(d2 + "/*.tar")
+    }
+    assert h1 == h2 and len(h1) >= 1

@@ -185,3 +185,21 @@ def test_hvalue_arms_identical(spark):
 
     with _pt.raises(ValueError, match="method"):
         df.select(hvalue("x", "y", bits=4, method="bogus"))
+
+
+def test_zvalue_rejects_sign_bit_overflow(spark):
+    """len(cols)*bits > 63 would land interleaved bits in the int64 sign
+    bit (high Morton codes go negative -> repartitionByRange clusters
+    them FIRST -> silently degraded pruning). Both the Column builder and
+    its SQL twin refuse; the boundary 63-bit case is accepted."""
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    with _pt.raises(ValueError, match="63"):
+        zvalue(["a", "b", "c", "d"], bits=16)  # 64 bits
+    with _pt.raises(ValueError, match="63"):
+        zvalue_sql(["a", "b", "c", "d"], bits=16)
+    # 63 bits exactly: fine, and never negative
+    z = df.select(zvalue(["a", "b", "c"], bits=21).alias("z")).collect()[0].z
+    assert z >= 0
+    zvalue_sql(["a", "b", "c"], bits=21)  # no raise

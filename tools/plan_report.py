@@ -144,6 +144,12 @@ def skeleton(plan: str, max_lines: int = 28) -> list[str]:
         if len(keep) >= max_lines:
             keep.append("… (truncated)")
             break
+    if not keep:
+        # a plan with no scan/exchange/join lines is still evidence (e.g.
+        # a checkpoint-backed `Scan ExistingRDD` result) — show its head
+        # verbatim rather than silently emitting an empty fence (the
+        # VERDICT r10 PLANS.md:596 hole)
+        keep = [ln.rstrip()[:160] for ln in plan.splitlines()[:10]]
     return keep
 
 
@@ -168,13 +174,19 @@ def main() -> None:
         df = qc.QUERIES[name](spark, sf_dir)
         plan = explain_str(df, "formatted")
         n_ex = count_exchanges(df)
+        body = skeleton(plan)
+        if not any(line.strip() for line in body):
+            raise RuntimeError(
+                f"plan_report: empty plan capture for {name!r} — evidence "
+                "file must never hold an empty fence (VERDICT r10)"
+            )
         out += [
             f"## {name}",
             "",
             f"*Design intent: {why}. Exchanges: **{n_ex}**.*",
             "",
             "```",
-            *skeleton(plan),
+            *body,
             "```",
             "",
         ]

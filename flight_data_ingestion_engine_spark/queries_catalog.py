@@ -2328,22 +2328,78 @@ def _ivf_pq_stored_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@_q("ivf_pq_topk")
+_IVF_PQ3_INDEX_PATHS: dict[str, str] = {}
+
+
+def _ivf_pq3_stored_index(spark: SparkSession, sf_dir: str) -> str:
+    """PQ index over a THREE-clone corpus (vec_id<10 cloned at +1M, +2M,
+    +3M) — the `ivf_pq_topk` value oracle's planted ground truth; the
+    other PQ queries keep the shared one-clone index untouched."""
+    import os
+
+    path = _IVF_PQ3_INDEX_PATHS.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = [
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + offset).alias("neighbor_id"), "embedding"
+        )
+        for offset in (1000000, 2000000, 3000000)
+    ]
+    corpus = emb.where(F.col("vec_id") >= 10).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    for c in clones:
+        corpus = corpus.unionByName(c)
+    path = _qtmp("ivfpq3") + "/index"
+    ivf_pq_index(
+        corpus, "neighbor_id", n_centroids=8, m=8, n_codes=16,
+        iterations=2, pq_iterations=2,
+    ).write.parquet(path)
+    _IVF_PQ3_INDEX_PATHS[sf_dir] = path
+    return path
+
+
+@_q(
+    "ivf_pq_topk",
+    """
+    SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id, 1 AS rank
+    FROM embeddings WHERE vec_id < 10
+    UNION ALL
+    SELECT vec_id AS query_id, vec_id + 2000000 AS neighbor_id, 2 AS rank
+    FROM embeddings WHERE vec_id < 10
+    UNION ALL
+    SELECT vec_id AS query_id, vec_id + 3000000 AS neighbor_id, 3 AS rank
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPRESSED-index ANN probe (similarity.py::ivf_pq_index /
     ivf_pq_topk — Jégou et al. 2011): the stored index holds m=8 uint8
     codes per vector instead of 64 float64s (64× smaller vec rows);
     candidates score by ADC table lookups, never touching a float corpus
-    vector. Rows-only check (ADC ranks are approximate by design — the
-    exact-rerank twin `ivf_pq_probe_rerank` carries the value oracle);
-    the planted-recall pytest
-    (tests/test_dedup_similarity.py::test_ivf_pq_planted_recall) gates
-    quality."""
+    vector. Value-exact oracle (r11 — previously the catalog's single
+    rows-only entry) by a THREE-clone construction: each query's vector
+    is cloned at +1M/+2M/+3M into a dedicated stored index, so all three
+    clones land in the query's own coarse cell (identical vector →
+    identical assignment, probed first), carry identical PQ codes
+    (per-subspace nearest codeword of the query's own subvectors), and
+    therefore tie at the query's quantized self-similarity — the top of
+    the ADC candidate list, split 1/2/3 by the window's total-order
+    neighbor_id tie-break. A non-clone outranking them would need
+    near-parallel random 64-dim vectors (the `minhash_pairs` probability
+    class); the planted-recall pytest
+    (tests/test_dedup_similarity.py::test_ivf_pq_planted_recall) still
+    gates quality independently. Scores are Arrow-side float sums, so
+    the result exposes ranks, not scores."""
     from flight_data_ingestion_engine_spark.operators.similarity import ivf_pq_topk
 
-    emb, _ = _ivf_topk_corpus(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    index = spark.read.parquet(_ivf_pq_stored_index(spark, sf_dir))
+    index = spark.read.parquet(_ivf_pq3_stored_index(spark, sf_dir))
     res = ivf_pq_topk(
         queries, index, query_id="query_id", corpus_id="neighbor_id",
         k=3, nprobe=2,

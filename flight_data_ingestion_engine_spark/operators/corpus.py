@@ -1210,16 +1210,94 @@ def kneser_ney_score(
 # ---------------------------------------------------------------------------
 
 
+#: Sentinel for the lookahead-free GPT-2 pre-token split (see
+#: `gpt2_pretokenize`) — RS control char, excluded from every class in
+#: the token pattern so extraction can never absorb or cross it.
+GPT2_PRETOKEN_SENTINEL = "\x1e"
+
+#: Whitespace class shared by both engines. Deliberately ASCII and
+#: spelled WITHOUT `\s` or `\v`: Java's bare `\s` is ASCII while GPT-2's
+#: original Python-regex `\s` is Unicode (divergence documented below),
+#: and `\v` means "vertical whitespace CLASS" in Java ≥8 but a single
+#: VT char in RE2 — `\x0B` is the portable spelling.
+_GPT2_WS = r" \t\n\r\f\x0B"
+
+#: The GPT-2 pre-tokenizer pattern (Radford et al. 2019, encoder.py),
+#: reformulated lookahead-free: the original's `\s+(?!\S)` alternative
+#: (whitespace runs yield their LAST char to the following ` ?\p{L}+`
+#: token) has no RE2 equivalent, so `gpt2_pretokenize` first inserts
+#: the sentinel before each (ws, non-ws) boundary and the plain `[ws]+`
+#: alternative stops at it — fuzz-proven equivalent to the lookahead
+#: semantics (tests/test_corpus.py).
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{_GPT2_WS}\p{{L}}\p{{N}}\x1e]+|[{_GPT2_WS}]+"
+)
+
+
+def gpt2_pretokenize(text: Column | str) -> Column:
+    """GPT-2 byte-level BPE pre-tokenization: split text into the
+    contraction / space-prefixed letter-run / digit-run / punct-run /
+    whitespace pre-tokens every GPT-2-lineage tokenizer (GPT-2/3/4,
+    tiktoken's r50k/p50k ancestry) fixes BEFORE any merge is applied —
+    the boundary no BPE merge may cross. Two scan-speed regexp ops
+    (marker insert + extract_all), zero shuffle, engine-portable: the
+    DuckDB oracle replays both ops verbatim (RE2 ∩ Java subset).
+
+    Documented divergences from the reference implementation (the
+    `_SCRIPT_NAMES` caveat discipline): (a) whitespace is ASCII
+    `[ \\t\\n\\r\\f\\x0B]` — GPT-2's Python-regex `\\s` also matches
+    U+00A0/U+2028-class Unicode whitespace, which here falls to the
+    punct-run alternative; (b) `\\p{L}`/`\\p{N}` resolve against each
+    engine's Unicode tables (Java 17 vs RE2 — newest-script edge
+    cases); (c) input containing the RS sentinel U+001E itself
+    tokenizes around it (strip control chars upstream — every QC
+    pipeline here already does)."""
+    c = F.col(text) if isinstance(text, str) else text
+    marked = F.regexp_replace(
+        c,
+        rf"([{_GPT2_WS}])([^{_GPT2_WS}])",
+        GPT2_PRETOKEN_SENTINEL + "$1$2",
+    )
+    return F.regexp_extract_all(marked, F.lit(GPT2_PRETOKEN_RE), 0)
+
+
+def gpt2_pretokenize_sql(expr: str) -> str:
+    """DuckDB twin of `gpt2_pretokenize` over a SQL expression — same
+    marker insert (RE2 `\\1\\2` backrefs, chr(30) sentinel) + same token
+    pattern, so pre-token lists match value-exact cross-engine."""
+    pat = GPT2_PRETOKEN_RE.replace("'", "''")
+    return (
+        "regexp_extract_all(regexp_replace("
+        f"{expr}, '([{_GPT2_WS}])([^{_GPT2_WS}])', chr(30) || '\\1\\2', 'g'"
+        f"), '{pat}')"
+    )
+
+
 def bpe_word_counts(
-    df: DataFrame, text_col: str = "text", normalize: bool = True
+    df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    pretokenize: str | None = None,
 ) -> DataFrame:
     """(word, cnt) over the corpus — the ONE corpus-wide pass BPE needs;
-    everything after runs on this vocabulary table."""
+    everything after runs on this vocabulary table.
+
+    `pretokenize="gpt2"` (r11) swaps the whitespace split for the GPT-2
+    pre-tokenizer over the RAW text (`normalize` is ignored — the GPT-2
+    lineage never normalizes; pre-tokens keep their leading space and
+    whitespace runs are tokens too, so the vocabulary carries ` world`-
+    style entries exactly as production byte-level BPE vocabularies do)."""
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
-    toks = F.split(
-        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
-    )
+    if pretokenize not in (None, "gpt2"):
+        raise ValueError(f"unknown pretokenize mode: {pretokenize!r}")
+    if pretokenize == "gpt2":
+        toks = gpt2_pretokenize(F.col(text_col))
+    else:
+        toks = F.split(
+            text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+        )
     return (
         ensure_parallelism(df)
         .select(F.explode(toks).alias("word"))
@@ -1235,6 +1313,22 @@ def _bpe_chars(word: Column) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.length(word)),
         lambda i: F.substring(word, i.cast("int"), 1),  # type: ignore[arg-type]
+    )
+
+
+def _bpe_bytes(word: Column) -> Column:
+    """`<0xNN>` byte-token array of a word's UTF-8 encoding — the
+    byte-level base alphabet (GPT-2's formulation, spelled in the
+    engine's existing `_byte_tokens` convention instead of the
+    bytes_to_unicode cosmetic remap): 256 possible base symbols, every
+    string representable, no unknown token ever. Catalyst twin of
+    `_byte_tokens` (hex() emits the same two uppercase digits)."""
+    b = F.encode(word, "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(b)),
+        lambda i: F.concat(
+            F.lit("<0x"), F.hex(b.substr(i.cast("int"), F.lit(1))), F.lit(">")
+        ),
     )
 
 
@@ -1263,6 +1357,8 @@ def bpe_merge_steps(
     text_col: str = "text",
     normalize: bool = True,
     words: DataFrame | None = None,
+    pretokenize: str | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Learn the first `k` BPE merges: `(step, p1, p2, cnt)` — the merge
     table, which IS the trained tokenizer state (apply with
@@ -1276,13 +1372,24 @@ def bpe_merge_steps(
     merge fold as a narrow projection. The new state is persisted and
     the predecessor released one round later (the collect that
     materializes round i+1 still reads round i's cache), so lineage
-    never deepens past one fold and nothing stays pinned at exit."""
+    never deepens past one fold and nothing stays pinned at exit.
+
+    `pretokenize="gpt2"` trains over GPT-2 pre-tokens (see
+    `bpe_word_counts`); `byte_level=True` starts every word from its
+    `<0xNN>` UTF-8 byte tokens instead of characters — together they
+    are the GPT-2 training formulation (merges never cross a pre-token
+    boundary, alphabet is the 256 bytes)."""
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
     spark = df.sparkSession
-    base = words if words is not None else bpe_word_counts(df, text_col, normalize)
+    base = (
+        words
+        if words is not None
+        else bpe_word_counts(df, text_col, normalize, pretokenize=pretokenize)
+    )
+    symbols0 = _bpe_bytes if byte_level else _bpe_chars
     state = base.select(
-        "cnt", _bpe_chars(F.col("word")).alias("s")
+        "cnt", symbols0(F.col("word")).alias("s")
     ).persist()
     prev = None
     merges: list[tuple[int, str, str, int]] = []
@@ -1361,6 +1468,7 @@ def _bpe_encode_word_py(
     by_str: dict[str, list[tuple[int, str, str]]],
     max_sym_len: int,
     vocab: set[str] | None = None,
+    byte_level: bool = False,
 ) -> list[str]:
     """Sequential-order BPE encode of one word with a substring
     pre-filter. Every symbol BPE can ever build is a CONTIGUOUS substring
@@ -1387,9 +1495,32 @@ def _bpe_encode_word_py(
     UTF-8 encoding — every input string encodes LOSSLESSLY (pytest-
     gated), and downstream token→id mapping never meets an OOV. With a
     vocab covering the word's symbols the output is byte-identical to
-    the plain arm."""
+    the plain arm.
+
+    `byte_level=True` starts from the word's `<0xNN>` byte tokens: the
+    contiguity property holds over the CONCATENATED byte-token string
+    (merges glue adjacent byte tokens), and every base token is exactly
+    6 chars, so the substring enumeration strides by 6 — same
+    merge-table-size-independent cost."""
     cand: list[tuple[int, str, str]] = []
     seen: set[str] = set()
+    if byte_level:
+        base = _byte_tokens(word)
+        joined = "".join(base)
+        L = len(joined)
+        for i in range(0, L, 6):
+            for j in range(i + 12, min(i + max_sym_len, L) + 1, 6):
+                s = joined[i:j]
+                if s in seen:
+                    continue
+                seen.add(s)
+                hits = by_str.get(s)
+                if hits:
+                    cand.extend(hits)
+        sym = base
+        for _, p1, p2 in sorted(cand):
+            sym = _bpe_merge_once_py(sym, p1, p2)
+        return sym
     L = len(word)
     for i in range(L):
         for j in range(i + 2, min(i + max_sym_len, L) + 1):
@@ -1422,6 +1553,8 @@ def bpe_encode(
     normalize: bool = True,
     method: str = "catalyst",
     byte_fallback_vocab: set[str] | list[str] | None = None,
+    pretokenize: str | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenize text with a learned merge table: per word, start from
     characters and apply every merge in training order (the standard BPE
@@ -1448,19 +1581,36 @@ def bpe_encode(
       of k (substring pre-filter, see `_bpe_encode_word_py`) and a
       per-executor word cache exploits the Zipfian word distribution.
       Same sequential-order semantics, still a narrow projection — no
-      shuffle in either arm."""
+      shuffle in either arm.
+
+    `pretokenize="gpt2"` + `byte_level=True` (r11) are the GPT-2
+    production configuration: words come from `gpt2_pretokenize` over
+    the raw text (normalize ignored, whitespace pre-tokens encode too)
+    and every word starts from `<0xNN>` byte tokens — with a merge
+    table trained the same way (`bpe_merge_steps(pretokenize="gpt2",
+    byte_level=True)`) this is the full GPT-2-lineage tokenize path.
+    `byte_fallback_vocab` is rejected with `byte_level` (a byte-level
+    alphabet can never go OOV below the merges — fallback of a
+    `<0xNN>` symbol string would re-encode its angle brackets)."""
     if method not in ("catalyst", "arrow"):
         raise ValueError(f"unknown bpe_encode method: {method!r}")
     if byte_fallback_vocab is not None and method != "arrow":
         raise ValueError("byte_fallback_vocab requires method='arrow'")
+    if byte_fallback_vocab is not None and byte_level:
+        raise ValueError("byte_fallback_vocab is redundant with byte_level")
+    if pretokenize not in (None, "gpt2"):
+        raise ValueError(f"unknown pretokenize mode: {pretokenize!r}")
     if not isinstance(merges, list):
         merges = [
             (r.p1, r.p2)
             for r in merges.orderBy("step").select("step", "p1", "p2").collect()
         ]
-    toks = F.split(
-        text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
-    )
+    if pretokenize == "gpt2":
+        toks = gpt2_pretokenize(F.col(text_col))
+    else:
+        toks = F.split(
+            text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
+        )
     words_arr = F.filter(toks, lambda x: x != "")
 
     if method == "arrow":
@@ -1482,7 +1632,7 @@ def bpe_encode(
                 hit = cache.get(w)
                 if hit is None:
                     hit = cache[w] = _bpe_encode_word_py(
-                        w, by_str, max_sym_len, fb_vocab
+                        w, by_str, max_sym_len, fb_vocab, byte_level
                     )
                 return hit
 
@@ -1493,7 +1643,7 @@ def bpe_encode(
         return df.withColumn(out_col, _enc(words_arr))
 
     def encode_word(w: Column) -> Column:
-        s = _bpe_chars(w)
+        s = _bpe_bytes(w) if byte_level else _bpe_chars(w)
         for p1, p2 in merges:
             s = _bpe_merge_fold(s, p1, p2)
         return s

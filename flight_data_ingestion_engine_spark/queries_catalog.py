@@ -10837,11 +10837,14 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, gpt2_byte_level: bool = False) -> str:
     """DuckDB replay of k BPE merge rounds — the same conventions as
     corpus.py::bpe_merge_steps (char base symbols, overlap-counted pair
     stats weighted by word cnt, max-count/lexicographic winner, greedy
-    leftmost fold), chained as k CTE rounds."""
+    leftmost fold), chained as k CTE rounds. `gpt2_byte_level=True`
+    swaps the vocabulary source for GPT-2 pre-tokens over raw text and
+    the base symbols for `<0xNN>` UTF-8 byte tokens (hex() pairs off
+    the encoded word — the `_bpe_bytes` twin)."""
     rounds = []
     for i in range(1, k + 1):
         rounds.append(f"""
@@ -10862,13 +10865,32 @@ def _bpe_oracle_sql(k: int) -> str:
     tail = "  ".join(
         f"UNION ALL SELECT {i}, a, b, c FROM m{i}" for i in range(2, k + 1)
     )
+    if gpt2_byte_level:
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            gpt2_pretokenize_sql,
+        )
+
+        words_src = (
+            f"SELECT UNNEST({gpt2_pretokenize_sql('text')}) AS word FROM documents"
+        )
+        w0 = (
+            "w0 AS (SELECT cnt, list_transform("
+            "range(1, octet_length(encode(word))+1), "
+            "i -> '<0x' || substr(hex(encode(word)), 2*i-1, 2) || '>') AS s "
+            "FROM words)"
+        )
+    else:
+        words_src = (
+            f"SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word FROM documents"
+        )
+        w0 = "w0 AS (SELECT cnt, string_split(word, '') AS s FROM words)"
     return f"""
     WITH words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+        {words_src}
       ) WHERE word <> '' GROUP BY 1
     ),
-    w0 AS (SELECT cnt, string_split(word, '') AS s FROM words),
+    {w0},
     {','.join(rounds)}
     SELECT * FROM (
       SELECT 1 AS step, a AS p1, b AS p2, c AS cnt FROM m1
@@ -10891,6 +10913,54 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("text")
     return bpe_merge_steps(docs, k=6)
+
+
+def _gpt2_pretokens_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        gpt2_pretokenize_sql,
+    )
+
+    return f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST({gpt2_pretokenize_sql('text')}) AS word FROM documents
+    ) WHERE word <> '' GROUP BY 1
+    """
+
+
+@_q("bpe_gpt2_pretokens", _gpt2_pretokens_oracle_sql())
+def q_bpe_gpt2_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 pre-tokenizer vocabulary (corpus.py::gpt2_pretokenize /
+    bpe_word_counts(pretokenize="gpt2") — Radford et al. 2019): the
+    contraction / space-prefixed letter / digit / punct-run split every
+    GPT-2-lineage tokenizer fixes before BPE, over RAW document text.
+    The original pattern's `\\s+(?!\\S)` lookahead has no RE2 form, so
+    both engines run the sentinel-marked lookahead-free reformulation
+    (fuzz-proven equivalent) — two regexp ops at scan speed, one
+    vocabulary shuffle, and the DuckDB oracle replays the split
+    verbatim, so every pre-token STRING (leading spaces, whitespace
+    runs, contractions) matches value-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bpe_word_counts
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_word_counts(docs, pretokenize="gpt2")
+
+
+@_q("bpe_gpt2_merges", _bpe_oracle_sql(6, gpt2_byte_level=True))
+def q_bpe_gpt2_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-LEVEL BPE training over GPT-2 pre-tokens (corpus.py::
+    bpe_merge_steps(pretokenize="gpt2", byte_level=True)) — the full
+    GPT-2 trainer formulation: merges never cross a pre-token boundary
+    and the base alphabet is the 256 UTF-8 bytes as `<0xNN>` tokens, so
+    token counts compare against real GPT-2-lineage tokenizers instead
+    of the whitespace/char approximation. Same vocabulary-table loop
+    shape as `bpe_merge_steps` (pair-count shuffles over the vocab,
+    never the corpus); the DuckDB oracle replays all 6 rounds from the
+    same pre-token split and byte decomposition — trainer equality
+    end-to-end, value-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bpe_merge_steps
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_merge_steps(docs, k=6, pretokenize="gpt2", byte_level=True)
 
 
 _KMV_SPACE_SQL = "1152921504606846976"  # 2^60, the KMV hash space

@@ -1376,3 +1376,173 @@ def test_span_corruption_roundtrip(spark):
 
     with _pt.raises(ValueError, match="noise_pct"):
         span_corruption(df, noise_pct=101)
+
+
+def test_gpt2_pretokenize_classic_cases(spark):
+    """Pin the GPT-2 pre-tokenizer on the canonical cases (Radford et
+    al. 2019 encoder.py pattern): contractions split as 'X tokens,
+    letter runs keep ONE leading space, whitespace runs yield their
+    last char to the following token (the `\\s+(?!\\S)` semantics the
+    sentinel reformulation must reproduce), digit/punct runs split from
+    letters, capitals break lowercase-only contraction alternatives."""
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        gpt2_pretokenize,
+    )
+    from pyspark.sql import functions as F
+
+    cases = {
+        "don't": ["don", "'t"],
+        "I'll we've they're he's I'm you'd": [
+            "I", "'ll", " we", "'ve", " they", "'re", " he", "'s",
+            " I", "'m", " you", "'d",
+        ],
+        " world": [" world"],
+        "Hello world": ["Hello", " world"],
+        "a  b": ["a", " ", " b"],
+        "a   b": ["a", "  ", " b"],
+        "ab 123cd": ["ab", " 123", "cd"],
+        "1,234.56": ["1", ",", "234", ".", "56"],
+        "x\n\ny": ["x", "\n", "\n", "y"],
+        "DON'T": ["DON", "'", "T"],
+        "trail  ": ["trail", "  "],
+        "  lead": [" ", " lead"],
+        "héllo wörld 日本語 123": ["héllo", " wörld", " 日本語", " 123"],
+        "tab\tsep": ["tab", "\t", "sep"],
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r.t: r.toks
+        for r in df.select("t", gpt2_pretokenize("t").alias("toks")).collect()
+    }
+    for text, want in cases.items():
+        assert got[text] == want, f"{text!r}: {got[text]} != {want}"
+    # losslessness: pre-tokens concatenate back to the input
+    for text in cases:
+        assert "".join(got[text]) == text
+
+
+def test_gpt2_pretokenize_fuzz_vs_lookahead_reference(spark):
+    """The sentinel reformulation must equal the lookahead semantics of
+    the original pattern on arbitrary input — procedural reference
+    (greedy alternation with `\\s+(?!\\S)` backoff, ASCII ws) vs the
+    two-regexp engine arm, 300 random strings."""
+    import random
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        gpt2_pretokenize,
+    )
+
+    WS = " \t\n\r\f\x0b"
+
+    def ref(text):
+        toks, i, n = [], 0, len(text)
+        isl, isn = str.isalpha, str.isnumeric
+        isw = lambda c: c in WS
+        while i < n:
+            for c in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
+                if text.startswith(c, i):
+                    toks.append(c)
+                    i += len(c)
+                    break
+            else:
+                j = i
+                if text[j] == " " and j + 1 < n and not isw(text[j + 1]):
+                    k = j + 1
+                elif not isw(text[j]):
+                    k = j
+                else:
+                    k = j
+                    while k < n and isw(text[k]):
+                        k += 1
+                    if k < n and k - j >= 2:
+                        toks.append(text[j:k - 1])
+                        i = k - 1
+                    else:
+                        toks.append(text[j:k])
+                        i = k
+                    continue
+                if isl(text[k]):
+                    while k < n and isl(text[k]):
+                        k += 1
+                elif isn(text[k]):
+                    while k < n and isn(text[k]):
+                        k += 1
+                else:
+                    while k < n and not (isw(text[k]) or isl(text[k]) or isn(text[k])):
+                        k += 1
+                toks.append(text[j:k])
+                i = k
+        return toks
+
+    random.seed(11)
+    alphabet = "ab c'd1 2!.\t\n  eXY眼é-"
+    texts = [
+        "".join(random.choice(alphabet) for _ in range(random.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    from flight_data_ingestion_engine_spark.operators.corpus import gpt2_pretokenize
+    got = {
+        r.i: r.toks
+        for r in df.select("i", gpt2_pretokenize("t").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"{t!r}: {got[i]} != {ref(t)}"
+
+
+def test_bpe_gpt2_byte_level_arms_identical_and_lossless(spark, sf_dir):
+    """GPT-2-configuration encode: merges trained byte-level over GPT-2
+    pre-tokens; Catalyst literal-fold arm and Arrow production arm must
+    be row-identical on the catalog corpus, and decoding every token's
+    <0xNN> bytes must reproduce the original text EXACTLY (byte-level
+    alphabet = lossless by construction, including multi-byte UTF-8 and
+    whitespace pre-tokens)."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        bpe_encode,
+        bpe_merge_steps,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    merges = bpe_merge_steps(docs, k=8, pretokenize="gpt2", byte_level=True)
+    mlist = [(r.p1, r.p2) for r in merges.orderBy("step").collect()]
+    assert mlist
+
+    cat = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(
+            docs, mlist, method="catalyst", pretokenize="gpt2", byte_level=True
+        ).collect()
+    }
+    arw = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(
+            docs, mlist, method="arrow", pretokenize="gpt2", byte_level=True
+        ).collect()
+    }
+    assert cat == arw and len(cat) == docs.count()
+
+    # lossless: every token is a run of <0xNN> byte tokens; concatenated
+    # bytes == utf-8 of the original text
+    import re
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    tokre = re.compile(r"<0x([0-9A-F]{2})>")
+    for doc_id, toks in cat.items():
+        blob = b""
+        for t in toks:
+            parts = tokre.findall(t)
+            assert "".join(f"<0x{p}>" for p in parts) == t  # pure byte runs
+            blob += bytes(int(p, 16) for p in parts)
+        assert blob == texts[doc_id].encode("utf-8")
+
+    with _pt.raises(ValueError, match="redundant"):
+        bpe_encode(docs, mlist, method="arrow", byte_level=True,
+                   byte_fallback_vocab={"x"})
+    with _pt.raises(ValueError, match="pretokenize"):
+        bpe_encode(docs, mlist, pretokenize="bogus")

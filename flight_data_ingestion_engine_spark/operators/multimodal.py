@@ -62,9 +62,12 @@ def attach_fake_media(df: DataFrame, id_col: str, media_type: str = "image") -> 
 DECODED_SCHEMA = "id bigint, format string, n_pixels int, feature array<double>"
 
 
-# -- real-format codecs (r10): pure-stdlib decode for the uncompressed
-# public formats — BMP (24-bit uncompressed), PPM/PGM (P6/P5 binary,
-# maxval ≤ 255), WAV (16-bit PCM via the `wave` module). JPEG/PNG/MP3
+# -- real-format codecs (r10, PNG r11): pure-stdlib decode for the
+# stdlib-decodable public formats — BMP (24-bit uncompressed), PPM/PGM
+# (P6/P5 binary, maxval ≤ 255), WAV (16-bit PCM via the `wave` module),
+# and PNG (8-bit gray/RGB/gray+alpha/RGBA non-interlaced: zlib IDAT
+# inflate + the five per-row unfilters — the most common lossless crawl
+# format, and the one "real codec" stdlib zlib makes honest). JPEG/MP3
 # still raise in strict mode: faking an entropy-coded codec would be
 # dishonest, and those libraries aren't in this container. Encoders are
 # provided for the same formats (round-trip pytest substrate + sinks).
@@ -171,6 +174,175 @@ def decode_pnm(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, pixels
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    samples: list[int],
+    color_type: int = 0,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode 8-bit samples (row-major, `channels` per pixel — gray=0,
+    RGB=2, gray+alpha=4, RGBA=6) as a non-interlaced PNG, every row
+    filtered with `filter_type` 0-4 (None/Sub/Up/Average/Paeth) — the
+    round-trip substrate that exercises each unfilter path. Pure
+    stdlib: zlib deflate + crc32."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported color_type {color_type}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter_type {filter_type}")
+    if len(samples) != width * height * ch:
+        raise ValueError("sample count != width*height*channels")
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = bytes(samples[r * stride : (r + 1) * stride])
+        raw.append(filter_type)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) % 256
+            elif filter_type == 2:
+                f = (x - b) % 256
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) % 256
+            else:
+                f = (x - _paeth(a, b, c)) % 256
+            raw.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / gray+alpha /
+    RGBA) → (width, height, channels, row-major samples). Pure stdlib:
+    chunk walk, concatenated-IDAT zlib inflate, all five per-row
+    unfilters. Palette, sub-8-bit, 16-bit and interlaced images raise
+    NotImplementedError honestly (they need tables/bit-unpacking this
+    container's pipelines don't exercise); a bad signature or CRC
+    raises ValueError."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad IHDR compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG is not supported")
+    ch = _PNG_CHANNELS.get(color_type)
+    if depth != 8 or ch is None:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/gray+alpha/RGBA PNG is supported "
+            f"(depth={depth}, color_type={color_type})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out: list[int] = []
+    prev = bytearray(stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(stride):
+                row[i] = (row[i] + (row[i - ch] if i >= ch else 0)) % 256
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) % 256
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) % 256
+        elif ft != 0:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out.extend(row)
+        prev = row
+    return width, height, ch, out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """`_IMAGE_DECODERS` arm: decode to (width, height, row-major gray
+    pixels) — gray = sample (1-2 ch) or (r+g+b)//3 (3-4 ch), alpha
+    ignored, matching the BMP/PNM gray convention."""
+    width, height, ch, samples = decode_png_samples(payload)
+    if ch <= 2:
+        pixels = samples[::ch] if ch == 2 else samples
+    else:
+        pixels = [
+            (samples[i] + samples[i + 1] + samples[i + 2]) // 3
+            for i in range(0, len(samples), ch)
+        ]
+    return width, height, pixels
+
+
 def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
     """Encode 16-bit PCM samples (interleaved if channels > 1) as WAV."""
     import io
@@ -224,7 +396,12 @@ def _chunk_feature(values: list[int], dim: int, scale: float) -> list[float]:
     return out
 
 
-_IMAGE_DECODERS = {"bmp": decode_bmp, "ppm": decode_pnm, "pgm": decode_pnm}
+_IMAGE_DECODERS = {
+    "bmp": decode_bmp,
+    "ppm": decode_pnm,
+    "pgm": decode_pnm,
+    "png": decode_png,
+}
 
 
 def _fake_decode(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
@@ -249,13 +426,14 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads to fixed-dim features via Arrow-batched mapInPandas.
 
-    REAL formats decoded pure-stdlib (r10): `bmp` (24-bit uncompressed),
-    `ppm`/`pgm` (binary P6/P5), `wav` (16-bit PCM) — pixel/sample
+    REAL formats decoded pure-stdlib (r10; png r11): `bmp` (24-bit
+    uncompressed), `ppm`/`pgm` (binary P6/P5), `png` (8-bit
+    gray/RGB/±alpha non-interlaced), `wav` (16-bit PCM) — pixel/sample
     equality round-trip pytest-gated. The feature is `feature_dim`
     equal-span chunk means of the gray pixels / 255 (images) or the
     samples / 32768 (audio); `n_pixels` counts pixels or frames. The
     synthetic `fake` format keeps its digest decode. Entropy-coded
-    formats (jpeg/png/mp3/mp4) have no codec in this container:
+    formats (jpeg/mp3/mp4) have no codec in this container:
     strict=True raises NotImplementedError, strict=False drops those
     rows — honestly, never faking a decode.
     """
@@ -361,6 +539,46 @@ def attach_synthetic_media(df: DataFrame, id_col: str) -> DataFrame:
                     )
                     meta = ("image", fmt, w, h, None, 1, None)
                 rows.append((i, payload, meta))
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def attach_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
+    """`attach_synthetic_media`'s PNG sibling: REAL encode_png payloads
+    with CLOSED-FORM content (every pixel of image i is gray
+    g = id%200+10; w = id%5+2, h = id%4+2), cycling color_type by id%3
+    over gray/RGB/RGBA and row filter by id%5 over all five PNG
+    filters — so one oracle-checked query exercises every unfilter
+    path and channel layout while the decode output stays statable in
+    SQL (chunk means g/255; RGB/RGBA replicate g per channel, gray =
+    (g+g+g)//3 = g)."""
+    import pandas as pd
+
+    color_types = [0, 2, 6]
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = i % 5 + 2, i % 4 + 2
+                g = i % 200 + 10
+                ct = color_types[i % 3]
+                ch = _PNG_CHANNELS[ct]
+                px = [g] * (w * h * ch)
+                if ct == 6:  # alpha channel opaque, not g
+                    for k in range(3, len(px), 4):
+                        px[k] = 255
+                payload = encode_png(w, h, px, color_type=ct, filter_type=i % 5)
+                rows.append(
+                    (i, payload, ("image", "png", w, h, None, 1, None))
+                )
             yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
 
     return df.select(id_col).mapInPandas(synth, schema)

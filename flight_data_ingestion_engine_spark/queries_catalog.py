@@ -12482,6 +12482,43 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "media_decode_png",
+    """
+    SELECT doc_id, 'png' AS format,
+           CAST((doc_id % 5 + 2) * (doc_id % 4 + 2) AS INTEGER) AS n_pixels,
+           CAST(i.i AS BIGINT) AS dim_idx,
+           (doc_id % 200 + 10) / 255.0 AS value
+    FROM documents, (SELECT unnest(range(8)) AS i) i
+    WHERE doc_id < 400
+    """,
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode (operators/multimodal.py::encode_png/decode_png, r11 —
+    pure stdlib zlib): payloads are REAL PNGs with closed-form constant-
+    gray content, cycling color type over gray/RGB/RGBA (id%3) and the
+    row filter over all five PNG filters (id%5), decoded back through
+    the same Arrow mapInPandas codec path as the other real formats.
+    The oracle states the decode output closed-form (chunk means g/255,
+    n_pixels = w·h), so a zlib-stream, unfilter, CRC, or channel-layout
+    bug value-breaks the match; pixel-VARYING content (where Sub/Up/
+    Average/Paeth actually differ) is round-trip-gated in pytest."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_synthetic_png,
+        decode_media,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 400)
+    )
+    media = attach_synthetic_png(docs, id_col="doc_id")
+    decoded = decode_media(media, id_col="doc_id")
+    return decoded.select(
+        "doc_id", "format", "n_pixels",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    )
+
+
+@_q(
     "streaming_rank_quantiles",
     """
     WITH base AS (
@@ -17964,20 +18001,13 @@ def q_hreflang_bitext_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dims_payloads():
     """Build-time payload hexes for the header-dims oracle: real
-    encode_bmp outputs and hand-packed PNG signature+IHDR headers for
-    a grid of (w, h) combos selected by doc residue."""
-    import struct
-
-    from flight_data_ingestion_engine_spark.operators.multimodal import encode_bmp
-
-    def png_header(w: int, h: int) -> bytes:
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + struct.pack(">I", 13)
-            + b"IHDR"
-            + struct.pack(">II", w, h)
-            + b"\x08\x02"
-        )
+    encode_bmp and (r11) real encode_png outputs for a grid of (w, h)
+    combos selected by doc residue — the PNG rows are full files now
+    that the codec exists, not hand-packed IHDR headers."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
 
     out = []
     for i in range(6):
@@ -17985,7 +18015,9 @@ def _dims_payloads():
         if i % 2 == 0:
             out.append(("bmp", w, h, encode_bmp(w, h, [0] * (w * h)).hex()))
         else:
-            out.append(("png", w, h, png_header(w, h).hex()))
+            out.append(
+                ("png", w, h, encode_png(w, h, [0] * (w * h), color_type=0).hex())
+            )
     return out
 
 

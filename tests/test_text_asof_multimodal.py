@@ -2325,3 +2325,77 @@ def test_frontmatter_extract_rules(spark):
     assert not out[2].has_frontmatter and out[2].body.startswith("intro")
     assert not out[3].has_frontmatter
     assert out[4].body == "" and not out[4].has_frontmatter
+
+
+def test_png_codec_roundtrips_pixel_exact():
+    """r11 PNG codec: encode → decode must return the EXACT samples for
+    every color type (gray/RGB/gray+alpha/RGBA) × every row filter
+    (None/Sub/Up/Average/Paeth), with varying content so a wrong
+    predictor can't hide; honest raises for interlace/palette/16-bit;
+    CRC corruption detected; gray conversion matches the BMP/PNM
+    convention."""
+    import struct
+    import zlib
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        decode_png_samples,
+        encode_png,
+    )
+
+    for ct in (0, 2, 4, 6):
+        ch = _PNG_CHANNELS[ct]
+        for ft in range(5):
+            for w, h in [(1, 1), (3, 2), (7, 5)]:
+                px = [(r * 31 + c * 7 + k * 13) % 256
+                      for r in range(h) for c in range(w) for k in range(ch)]
+                payload = encode_png(w, h, px, color_type=ct, filter_type=ft)
+                assert decode_png_samples(payload) == (w, h, ch, px), (ct, ft)
+
+    # gray conversion: (r+g+b)//3 for color, alpha ignored; passthrough gray
+    p = encode_png(2, 1, [10, 20, 33, 1, 2, 3], color_type=2)
+    assert decode_png(p) == (2, 1, [21, 2])
+    p = encode_png(1, 1, [77, 200], color_type=4)  # gray+alpha
+    assert decode_png(p) == (1, 1, [77])
+
+    # honest raises
+    good = encode_png(2, 2, [1, 2, 3, 4])
+    interlaced = bytearray(good)
+    # IHDR body starts at 16; interlace byte is the 13th of IHDR body
+    interlaced[16 + 12] = 1
+    body = bytes(interlaced[12:16 + 13])
+    crc = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    interlaced[16 + 13:16 + 17] = crc
+    with _pt.raises(NotImplementedError, match="interlaced"):
+        decode_png_samples(bytes(interlaced))
+    with _pt.raises(ValueError, match="CRC"):
+        decode_png_samples(good[:20] + b"\xff" + good[21:])
+    with _pt.raises(ValueError, match="not a PNG"):
+        decode_png_samples(b"BM123456")
+    with _pt.raises(ValueError, match="color_type"):
+        encode_png(1, 1, [0], color_type=3)
+    with _pt.raises(ValueError, match="sample count"):
+        encode_png(2, 2, [0, 0, 0])
+
+
+def test_decode_media_png_spark_path(spark):
+    """PNG rides the same Arrow decode path as the other real formats:
+    attach_synthetic_png cycles color types and all five filters with
+    closed-form gray content; decode_media recovers w*h pixels and
+    constant g/255 features for every row."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_synthetic_png,
+        decode_media,
+    )
+
+    media = attach_synthetic_png(spark.range(60), "id")
+    got = {r.id: r for r in decode_media(media, "id").collect()}
+    assert len(got) == 60
+    for i, r in got.items():
+        w, h, g = i % 5 + 2, i % 4 + 2, (i % 200 + 10) / 255.0
+        assert r.format == "png"
+        assert r.n_pixels == w * h
+        assert all(abs(x - g) < 1e-15 for x in r.feature)

@@ -756,6 +756,159 @@ def quality_classifier_score(
     )
 
 
+def lang_normalize(text: Column | str) -> Column:
+    """Normalization for language-ID char-grams: lowercase, collapse
+    ASCII whitespace runs to one space, trim. Deliberately NOT
+    `text_normalize` — that strips every non-[a-z0-9] codepoint, which
+    would erase the Cyrillic/CJK/Arabic content language ID exists to
+    classify. Whitespace class is ASCII-spelled (the `gpt2_pretokenize`
+    discipline) so Java and RE2 agree."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "[ \t\n\r\f]+", " "))
+
+
+def _char_gram_rows(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    buckets: int,
+    n_lo: int,
+    n_hi: int,
+) -> DataFrame:
+    """One row per (…id_cols, char-n-gram occurrence) → bucket id, for
+    n in [n_lo, n_hi] over the `lang_normalize`d text — the fastText-lid
+    feature space (Joulin et al. 2016 use char n-grams for language ID;
+    word grams barely exist in unsegmented CJK). Substring indexing is
+    CHARACTER-based on both engines (Spark substring / DuckDB substr on
+    VARCHAR), so multi-byte scripts gram identically; the bucket hash
+    is the shared `_dsir_bucket` md5-prefix rule."""
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    ids = [F.col(c) for c in id_cols]
+    base = ensure_parallelism(df).select(
+        *ids, lang_normalize(F.col(text_col)).alias("_t")
+    )
+
+    def _sub_n(n: int):
+        # MUST return a unary lambda: a `lambda i, n=n` has arity 2 and
+        # PySpark reads it as an (element, index) higher-order function
+        # (the with_language_id closure note) — n is bound here instead
+        return lambda i: F.substring(F.col("_t"), i.cast("int"), n)
+
+    grams = None
+    for n in range(n_lo, n_hi + 1):
+        g = F.when(
+            F.length("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - n + 1), _sub_n(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = g if grams is None else F.concat(grams, g)
+    return base.select(*ids, F.explode(grams).alias("_g")).select(
+        *ids, _dsir_bucket(F.col("_g"), buckets).alias("bucket")
+    )
+
+
+def lang_classifier_state(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+    n_lo: int = 1,
+    n_hi: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE per-class char-gram count state for fastText-style
+    language ID: `(lang, bucket, cnt)` — ≤ classes·buckets rows from one
+    labeled-corpus scan (one explode + one map-side-combined count agg).
+    Merge corpus slices by summing counts (union IS merge, the
+    `dsir_state` contract); train with `lang_classifier_weights`."""
+    return (
+        _char_gram_rows(df, [label_col], text_col, buckets, n_lo, n_hi)
+        .groupBy(F.col(label_col).alias("lang"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def lang_classifier_weights(
+    state: DataFrame,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-class naive-Bayes code-length table from the count state:
+    `(lang, bucket, bits)` for EVERY (class, bucket) pair, where
+
+        bits_c(b) = bitlen(total_c + buckets) − bitlen(cnt_c(b) + 1)
+
+    — the bitlen-quantized −log2 p(b|c) under add-one smoothing (the
+    `quality_classifier_weights` arithmetic, one table per class instead
+    of a pos−neg difference). Fully materialized over the bucket range
+    (classes × buckets rows — a 10-language table at the default 4096
+    buckets is 40,960 rows: broadcastable at any corpus size), so
+    prediction joins INNER with no default arm."""
+    spark = state.sparkSession
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2)).cast("bigint")
+    s = state.select("lang", "bucket", F.col("cnt").alias("_c"))
+    totals = s.groupBy("lang").agg(F.sum("_c").cast("bigint").alias("_t"))
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    grid = totals.crossJoin(allb)
+    bits = bitlen(F.col("_t") + F.lit(buckets)) - bitlen(
+        F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)
+    )
+    return (
+        grid.join(s, ["lang", "bucket"], "left")
+        .select("lang", "bucket", bits.cast("bigint").alias("bits"))
+    )
+
+
+def lang_classifier_predict(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+    n_lo: int = 1,
+    n_hi: int = 3,
+) -> DataFrame:
+    """Predict each document's language under the per-class NB model:
+    `(<id_col>, n_grams, lang, score_bits)` — score_bits is the class's
+    total code length Σ_gram bits_c(bucket) (an integer dot product, the
+    `quality_classifier_score` discipline), the predicted `lang`
+    MINIMIZES it (shortest code = most probable class), ties broken by
+    lang ascending — a total order, so the argmax is bit-replayable in
+    SQL. Compose AFTER the stopword vote (`text.with_language_id`) as
+    the expensive arm: the vote is a cheap zero-join gate that is right
+    when stopwords appear at all; this classifier decides the short /
+    non-Latin / zero-stopword texts the vote cannot see (pytest + oracle
+    plant exactly those).
+
+    Shape: one explode to char-gram occurrences + ONE broadcast join
+    against the classes×buckets weight table (each gram picks up every
+    class's row for its bucket) + one (id, lang)-keyed agg + one per-doc
+    argmin window over ≤ classes rows. Training corpora are never
+    rescanned at prediction time. Documents with zero grams after
+    normalization drop out (the `dsir_weights` contract); n_grams counts
+    gram occurrences (identical across classes)."""
+    from pyspark.sql.window import Window
+
+    w = weights.select("lang", "bucket", "bits")
+    scored = (
+        _char_gram_rows(df, [id_col], text_col, buckets, n_lo, n_hi)
+        .join(F.broadcast(w), "bucket")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("bits").cast("bigint").alias("score_bits"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score_bits").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "n_grams", "lang", "score_bits")
+    )
+
+
 def fim_transform(
     df: DataFrame,
     text_col: str = "text",

@@ -10837,6 +10837,118 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted multilingual corpus for the fastText-style language
+#: classifier (lowercase so lower() is identity on every engine;
+#: 5 scripts incl. Cyrillic and unsegmented CJK). Train phrases are
+#: full pangram-ish sentences; test phrases are SHORT zero-stopword
+#: texts the stopword vote answers 'und' or wrong on.
+_LANGCLS_TRAIN = {
+    "de": "der schnelle braune fuchs springt über den faulen hund und das kleine haus am see",
+    "en": "the quick brown fox jumps over the lazy dog and the small house by the lake",
+    "fr": "le renard brun saute par dessus le chien paresseux et la petite maison au bord du lac",
+    "ru": "быстрая коричневая лиса прыгает через ленивую собаку и маленький дом у озера",
+    "zh": "敏捷的棕色狐狸跳过懒狗和小房子在湖边还有许多其他动物",
+}
+_LANGCLS_TEST = {
+    "de": "über füchse springen",
+    "en": "quick brown foxes jump",
+    "fr": "renard paresseux du lac",
+    "ru": "спасибо лиса собака",
+    "zh": "你好狐狸跳过小房子",
+}
+_LANGCLS_LANGS = sorted(_LANGCLS_TRAIN)
+
+
+def _langcls_case_sql(col: str, mapping: dict[str, str]) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{mapping[l]}'" for i, l in enumerate(_LANGCLS_LANGS)
+    )
+    return f"CASE {col} % 5 {whens} END"
+
+
+def _langcls_oracle_sql() -> str:
+    norm = lambda e: (
+        f"trim(regexp_replace(lower({e}), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+    )
+    grams = (
+        "('0x' || substr(md5(substr(t, CAST(i AS INT), CAST(n.n AS INT))), 1, 8))::BIGINT % 4096 AS bucket"
+    )
+    lateral = (
+        "(SELECT UNNEST([1,2,3]) AS n) n, "
+        "UNNEST(range(1, length(t) - n.n + 2)) AS r(i)"
+    )
+    return f"""
+    WITH train AS (
+      SELECT {_langcls_case_sql('doc_id', {l: l for l in _LANGCLS_LANGS})} AS lang,
+             {norm(_langcls_case_sql('doc_id', _LANGCLS_TRAIN))} AS t
+      FROM documents WHERE doc_id < 50
+    ),
+    tg AS (
+      SELECT lang, {grams}
+      FROM train, {lateral} WHERE length(t) >= n.n
+    ),
+    state AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM tg GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t FROM state GROUP BY 1),
+    wt AS (
+      SELECT tot.lang, r.range AS bucket,
+             CAST(length(bin(t + 4096)) - length(bin(COALESCE(cnt, 0) + 1)) AS BIGINT) AS bits
+      FROM tot CROSS JOIN range(4096) r
+      LEFT JOIN state ON state.lang = tot.lang AND state.bucket = r.range
+    ),
+    test AS (
+      SELECT doc_id, {norm(_langcls_case_sql('doc_id', _LANGCLS_TEST))} AS t
+      FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    ),
+    og AS (
+      SELECT doc_id, {grams}
+      FROM test, {lateral} WHERE length(t) >= n.n
+    ),
+    sc AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(bits) AS BIGINT) AS score_bits
+      FROM og JOIN wt USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id, n_grams, lang, score_bits FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_bits, lang) = 1
+    """
+
+
+@_q("lang_classifier", _langcls_oracle_sql())
+def q_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style multi-class language ID (operators/mixing.py::
+    lang_classifier_state / weights / predict — Joulin et al. 2016's
+    char-n-gram NB/linear formulation, the lid shape CCNet/RedPajama
+    actually run): per-class hashed char-1..3-gram code-length tables
+    (bitlen-quantized −log2 p, add-one smoothing), prediction = argmin
+    total code length with a lang-asc tie-break — all integer, so the
+    DuckDB oracle replays training AND prediction bit-exactly. The
+    planted corpus trains 5 scripts and tests SHORT zero-stopword
+    texts (спасибо…, 你好…) where the stopword vote answers 'und' —
+    the pytest pins that contrast. Shape: state ≤ 5·4096 rows from one
+    labeled scan; predict = one explode + ONE broadcast join + keyed
+    agg + per-doc argmin window; training text never rescanned."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+    )
+
+    d = F.col("doc_id")
+    lang_case = F.lit(None).cast("string")
+    train_case = F.lit(None).cast("string")
+    test_case = F.lit(None).cast("string")
+    for i, l in enumerate(_LANGCLS_LANGS):
+        lang_case = F.when(d % 5 == i, F.lit(l)).otherwise(lang_case)
+        train_case = F.when(d % 5 == i, F.lit(_LANGCLS_TRAIN[l])).otherwise(train_case)
+        test_case = F.when(d % 5 == i, F.lit(_LANGCLS_TEST[l])).otherwise(test_case)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    train = docs.where(d < 50).select(lang_case.alias("lang"), train_case.alias("text"))
+    test = docs.where((d >= 100) & (d < 200)).select("doc_id", test_case.alias("text"))
+    state = lang_classifier_state(train, "lang")
+    weights = lang_classifier_weights(state)
+    return lang_classifier_predict(test, weights, "doc_id")
+
+
 def _bpe_oracle_sql(k: int, gpt2_byte_level: bool = False) -> str:
     """DuckDB replay of k BPE merge rounds — the same conventions as
     corpus.py::bpe_merge_steps (char base symbols, overlap-counted pair

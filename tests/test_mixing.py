@@ -767,3 +767,52 @@ def test_ucb_allocation_explore_exploit(spark):
     assert out["new"].ucb > out["hot"].ucb          # exploration wins
     assert out["new"].is_best and not out["hot"].is_best
     assert out["hot"].mean_reward > out["new"].mean_reward
+
+
+def test_lang_classifier_beats_stopword_vote_on_short_nonlatin(spark):
+    """fastText-style char-gram NB language ID (r11): trained on the
+    planted 5-script corpus, it must predict SHORT zero-stopword texts
+    correctly — exactly the rows where the stopword vote answers 'und'
+    (Cyrillic/CJK have zero stopword hits; the vote can't see them).
+    Also pins: per-class scores are integers, argmin tie-break is
+    deterministic, and documents with empty normalized text drop out."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+    )
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_language_id,
+    )
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _LANGCLS_TEST,
+        _LANGCLS_TRAIN,
+    )
+
+    train = spark.createDataFrame(
+        [(l, t) for l, t in _LANGCLS_TRAIN.items()] * 3, "lang string, text string"
+    )
+    tests = [(i, l, t) for i, (l, t) in enumerate(_LANGCLS_TEST.items())]
+    test = spark.createDataFrame(tests, "doc_id long, true_lang string, text string")
+
+    state = lang_classifier_state(train, "lang")
+    weights = lang_classifier_weights(state)
+    # weight table is fully materialized: classes x buckets rows
+    n_langs = len(_LANGCLS_TRAIN)
+    assert weights.count() == n_langs * 4096
+
+    pred = {r.doc_id: r for r in lang_classifier_predict(test, weights, "doc_id").collect()}
+    assert len(pred) == len(tests)
+    for i, true_lang, _ in tests:
+        assert pred[i].lang == true_lang, (true_lang, pred[i])
+        assert isinstance(pred[i].score_bits, int)
+
+    # the stopword vote is blind on the same rows: ru/zh short texts get
+    # 'und' (zero hits) — the classifier is the arm that decides them
+    vote = {r.doc_id: r.lang_pred for r in with_language_id(test).collect()}
+    blind = [i for i, l, _ in tests if l in ("ru", "zh")]
+    assert blind and all(vote[i] == "und" for i in blind)
+
+    # empty-after-normalization rows drop out
+    empty = spark.createDataFrame([(99, "   ")], "doc_id long, text string")
+    assert lang_classifier_predict(empty, weights, "doc_id").count() == 0

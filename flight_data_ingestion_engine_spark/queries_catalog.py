@@ -13265,6 +13265,54 @@ def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pdf_extract_docs",
+    """
+    SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS page,
+           COALESCE(text, '') AS text
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (sources/pdf.py — the peS2o/S2ORC scientific-
+    document entry point): 50 documents become 10 real five-page PDFs
+    (FlateDecode'd content streams, Tj AND kerned-TJ show operators,
+    full xref), written once and re-read through the binaryFile + Arrow
+    extraction stage; doc identity is recovered from (file number,
+    page). The builder/extractor pair round-trips text EXACTLY (escapes,
+    multi-byte UTF-8, embedded newlines — fuzz-gated in pytest), so the
+    oracle states the result closed-form from the documents table;
+    unsupported filters and encrypted files raise honestly rather than
+    extracting garbage."""
+    import os
+
+    from flight_data_ingestion_engine_spark.sources.pdf import (
+        build_pdf_bytes,
+        read_pdf_text,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    by_id = {r.doc_id: (r.text or "") for r in docs}
+    root = _qtmp("pdf")
+    os.makedirs(root, exist_ok=True)
+    for f in range(10):
+        pages = [by_id[f * 5 + p] for p in range(5)]
+        with open(f"{root}/doc{f:02d}.pdf", "wb") as fh:
+            fh.write(build_pdf_bytes(pages))
+    out = read_pdf_text(spark, root)
+    fnum = F.regexp_extract(F.col("file"), r"doc(\d+)\.pdf", 1).cast("bigint")
+    return out.select(
+        (fnum * 5 + F.col("page") - 1).alias("doc_id"),
+        F.col("page"),
+        "text",
+    )
+
+
 def _html_clean_sql(x: str) -> str:
     """DuckDB replay of operators/html.py::_clean_text: strip tags →
     decode the lite-six entities (amp LAST) → collapse the Java-\\s

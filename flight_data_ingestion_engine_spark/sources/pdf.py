@@ -1,0 +1,367 @@
+"""PDF text extraction — the scientific-document entry point (peS2o,
+the S2ORC lineage, and every "papers" slice of a public pretraining mix
+start from PDF text): a minimal pure-stdlib object parser + zlib
+FlateDecode + BT/ET text-operator assembly, in the WARC/codec plumbing
+style (`sources/warc.py`: synthesize → write → read → row equality, the
+encoder and decoder both in-tree).
+
+Honest scope (the multimodal-codec discipline): FlateDecode and
+uncompressed streams only — /DCTDecode, /LZWDecode, /CCITTFaxDecode and
+encrypted documents raise NotImplementedError; text comes from Tj / TJ /
+' / " show operators inside BT..ET blocks (the overwhelmingly common
+text encoding for born-digital PDFs), with Td/TD/T*/'/" treated as line
+breaks. Glyph remapping via /ToUnicode CMaps is NOT implemented — the
+in-tree builder writes text as literal strings in the standard
+encoding, which round-trips exactly; exotic subsetted-font PDFs would
+need the CMap pass (documented gap, not a silent wrong answer: their
+strings still extract, as whatever bytes the PDF carries).
+
+Scale notes: `binaryFile` loads each PDF whole (they don't split);
+parallelism = number of files, and the per-file work is one inflate +
+one operator scan inside an Arrow mapInPandas stage — no shuffle, no
+driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PDF_TEXT_SCHEMA = "file string, page int, text string"
+
+_UNSUPPORTED_FILTERS = (
+    b"LZWDecode",
+    b"DCTDecode",
+    b"CCITTFaxDecode",
+    b"RunLengthDecode",
+    b"ASCII85Decode",
+    b"ASCIIHexDecode",
+    b"JBIG2Decode",
+    b"JPXDecode",
+)
+
+
+def _pdf_escape(s: str) -> bytes:
+    """Escape a text line as a PDF literal string body (UTF-8 bytes;
+    the builder/extractor pair round-trips any codepoint)."""
+    out = bytearray()
+    for b in s.encode("utf-8"):
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif b == 0x0A:
+            out += b"\\n"
+        elif b == 0x0D:
+            out += b"\\r"
+        elif b == 0x09:
+            out += b"\\t"
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def build_pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
+    """Encode one text string per page as a minimal valid PDF: catalog →
+    pages tree → per-page FlateDecode'd content stream of BT/ET blocks,
+    one Td+Tj line per text line — except every SECOND line is written
+    as a TJ array split into two kerned pieces, so extraction exercises
+    both show operators. Full xref table + trailer (byte offsets exact).
+    The test/sink substrate: synthesize → extract_pdf_text → equality."""
+    import zlib
+
+    objs: list[bytes] = []  # 1-indexed object bodies
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    catalog_id = add(b"")  # placeholder, patched after pages exist
+    page_ids: list[int] = []
+    kids_slot: list[int] = []
+    pages_id = add(b"")  # placeholder for the pages tree
+    for text in pages:
+        lines = text.split("\n")
+        parts = [b"BT /F1 10 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            esc = _pdf_escape(line)
+            if i % 2 == 1 and len(line) >= 2:
+                mid = len(line) // 2
+                a, b = _pdf_escape(line[:mid]), _pdf_escape(line[mid:])
+                parts.append(b"[(" + a + b") -250 (" + b + b")] TJ")
+            else:
+                parts.append(b"(" + esc + b") Tj")
+            if i < len(lines) - 1:
+                parts.append(b"0 -12 Td")
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        content_id = add(
+            b"<< " + filt + b"/Length " + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream"
+        )
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent " + str(pages_id).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Contents "
+                + str(content_id).encode() + b" 0 R >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    objs[pages_id - 1] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode() + b" >>"
+    )
+    objs[catalog_id - 1] = (
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root " + str(catalog_id).encode() + b" 0 R >>\n"
+        + b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    """Object scan: `N G obj ... endobj` bodies by number. Deliberately
+    not xref-offset-driven — the scan also survives the
+    slightly-wrong-offset files real crawls are full of (the standard
+    extractor fallback). Stream bodies are skipped by their declared
+    /Length, never by token search: compressed bytes can legally
+    contain `endobj`/`N 0 obj` byte runs, so (a) the end of a stream
+    object is length-driven and (b) matches landing INSIDE a consumed
+    object are ignored."""
+    import re
+
+    objs: dict[int, bytes] = {}
+    consumed_end = 0
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", data):
+        if m.start() < consumed_end:
+            continue  # token inside a previous object's stream bytes
+        start = m.end()
+        sm = data.find(b"stream", start)
+        search_from = start
+        first_endobj = data.find(b"endobj", start)
+        if sm != -1 and (first_endobj == -1 or sm < first_endobj):
+            mlen = re.search(rb"/Length\s+(\d+)", data[start:sm])
+            if mlen:
+                p = sm + len(b"stream")
+                if data[p : p + 2] == b"\r\n":
+                    p += 2
+                elif data[p : p + 1] == b"\n":
+                    p += 1
+                search_from = p + int(mlen.group(1))
+        end = data.find(b"endobj", search_from)
+        if end < 0:
+            raise ValueError("PDF object without endobj (truncated?)")
+        objs[int(m.group(1))] = data[start:end]
+        consumed_end = end + len(b"endobj")
+    if not objs:
+        raise ValueError("not a parsable PDF (no objects)")
+    return objs
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    """Stream payload of an object body, FlateDecode'd when declared.
+    Unsupported filters raise NotImplementedError by name."""
+    import zlib
+
+    import re
+
+    s = body.find(b"stream")
+    if s < 0:
+        return b""
+    # EOL after the `stream` keyword: CRLF or LF
+    p = s + len(b"stream")
+    if body[p : p + 2] == b"\r\n":
+        p += 2
+    elif body[p : p + 1] == b"\n":
+        p += 1
+    header = body[:s]
+    # /Length-driven slice: deflate output may itself END in 0x0A/0x0D,
+    # so trimming by rstrip would corrupt the stream — only files with
+    # no declared length fall back to the endstream-token boundary
+    mlen = re.search(rb"/Length\s+(\d+)", header)
+    if mlen:
+        raw = body[p : p + int(mlen.group(1))]
+    else:
+        e = body.rfind(b"endstream")
+        raw = body[p:e].rstrip(b"\r\n")
+    for f in _UNSUPPORTED_FILTERS:
+        if f in header:
+            raise NotImplementedError(
+                f"PDF filter /{f.decode()} is not supported (FlateDecode only)"
+            )
+    if b"FlateDecode" in header:
+        return zlib.decompress(raw)
+    return raw
+
+
+def _unescape_literal(buf: bytes) -> bytes:
+    """Unescape a PDF literal-string body: \\n \\r \\t \\b \\f \\( \\)
+    \\\\, 1-3 digit octal, and line continuations."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    simple = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C}
+    while i < n:
+        c = buf[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = buf[i]
+        if c in simple:
+            out.append(simple[c])
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j < i + 3 and 0x30 <= buf[j] <= 0x37:
+                j += 1
+            out.append(int(buf[i:j], 8) & 0xFF)
+            i = j
+        elif c == 0x0A:  # line continuation
+            i += 1
+        elif c == 0x0D:
+            i += 2 if buf[i : i + 2] == b"\r\n" else 1
+        else:  # \( \) \\ and unknown escapes: the char itself
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _content_text(stream: bytes) -> str:
+    """Assemble text from a content stream: literal/hex strings shown by
+    Tj / ' / \" and TJ arrays (kern numbers ignored, pieces concatenated)
+    inside BT..ET; Td/TD/T* and the '/\" operators start a new line."""
+    pieces: list[str] = []
+    line: list[bytes] = []
+    i, n = 0, len(stream)
+    in_text = False
+
+    def flush_line() -> None:
+        if line:
+            pieces.append(b"".join(line).decode("utf-8", "replace"))
+            line.clear()
+
+    pending: list[bytes] = []  # strings since the last operator token
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"(":
+            depth, j, start = 1, i + 1, i + 1
+            while j < n and depth:
+                b_ = stream[j : j + 1]
+                if b_ == b"\\":
+                    j += 2
+                    continue
+                if b_ == b"(":
+                    depth += 1
+                elif b_ == b")":
+                    depth -= 1
+                j += 1
+            pending.append(_unescape_literal(stream[start : j - 1]))
+            i = j
+            continue
+        if c == b"<" and stream[i : i + 2] != b"<<":
+            j = stream.find(b">", i)
+            hexs = bytes.fromhex(
+                stream[i + 1 : j].translate(None, b" \r\n\t").decode("ascii")
+            )
+            pending.append(hexs)
+            i = j + 1
+            continue
+        if c.isalpha() or c in (b"'", b'"'):
+            j = i
+            while j < n and (stream[j : j + 1].isalpha() or stream[j : j + 1] in (b"'", b'"', b"*")):
+                j += 1
+            op = stream[i:j]
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+                flush_line()
+            elif in_text and op in (b"Tj", b"TJ"):
+                line.extend(pending)
+            elif in_text and op in (b"'", b'"'):
+                flush_line()
+                line.extend(pending)
+            elif in_text and op in (b"Td", b"TD", b"T*"):
+                flush_line()
+            pending.clear()
+            i = j
+            continue
+        i += 1
+    flush_line()
+    return "\n".join(pieces)
+
+
+def extract_pdf_text(payload: bytes) -> list[tuple[int, str]]:
+    """Extract `(page_number, text)` per page (1-based, /Kids order).
+    FlateDecode/plain streams only; unsupported filters raise
+    NotImplementedError, unparsable files ValueError."""
+    if not payload.startswith(b"%PDF"):
+        raise ValueError("not a PDF payload")
+    if b"/Encrypt" in payload:
+        raise NotImplementedError("encrypted PDF is not supported")
+    import re
+
+    objs = _parse_objects(payload)
+    # pages in /Kids order when a pages tree exists, else object order
+    page_ids: list[int] = []
+    for body in objs.values():
+        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
+            kids = body[body.find(b"/Kids") :]
+            page_ids = [int(m.group(1)) for m in re.finditer(rb"(\d+)\s+\d+\s+R", kids)]
+            break
+    if not page_ids:
+        page_ids = [
+            num
+            for num, body in sorted(objs.items())
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+        ]
+    out: list[tuple[int, str]] = []
+    for pageno, pid in enumerate(page_ids, start=1):
+        body = objs.get(pid, b"")
+        m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if not m:
+            out.append((pageno, ""))
+            continue
+        stream = _stream_bytes(objs.get(int(m.group(1)), b""))
+        out.append((pageno, _content_text(stream)))
+    return out
+
+
+def read_pdf_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read PDFs into `(file, page, text)` rows — a `binaryFile` scan +
+    one Arrow mapInPandas extraction stage (the `read_warc` shape):
+    partition-parallel, zero shuffle, payloads never touch the driver."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def extract(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for page, text in extract_pdf_text(bytes(content)):
+                    rows.append((path_, page, text))
+            if rows:
+                yield pd.DataFrame(rows, columns=["file", "page", "text"])
+
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    return binary.mapInPandas(extract, PDF_TEXT_SCHEMA)

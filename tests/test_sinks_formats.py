@@ -409,3 +409,67 @@ def test_webdataset_duplicate_key_determinism(spark, tmp_path):
         for p in glob.glob(d2 + "/*.tar")
     }
     assert h1 == h2 and len(h1) >= 1
+
+
+def test_pdf_build_extract_roundtrip_and_traps(spark, tmp_path):
+    """r11 PDF extraction (sources/pdf.py): multi-page build → extract
+    round-trips text exactly (escaped parens/backslashes, multi-byte
+    UTF-8, embedded newlines/tabs, empty pages, kerned TJ pieces);
+    fuzzed single-page round trips; /Length-driven stream slicing (a
+    deflate stream ending in 0x0A must not be rstrip-corrupted, and
+    `endobj` bytes INSIDE a stream must not truncate the object scan);
+    honest raises for unsupported filters, encryption, and non-PDF
+    bytes; the Spark binaryFile + Arrow reader returns the same rows."""
+    import random
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.sources.pdf import (
+        build_pdf_bytes,
+        extract_pdf_text,
+        read_pdf_text,
+    )
+
+    pages = [
+        "hello world\nsecond line here\nthird",
+        "parens (and) \\backslashes\\ and (nested (deep))",
+        "unicode: héllo wörld 日本語 — em\ttab",
+        "",
+        "a\n\nb",
+    ]
+    for compress in (True, False):
+        got = extract_pdf_text(build_pdf_bytes(pages, compress=compress))
+        assert [p for p, _ in got] == [1, 2, 3, 4, 5]
+        assert [t for _, t in got] == pages
+
+    random.seed(5)
+    al = "ab(c)\\d \néü日"
+    for _ in range(200):
+        txt = "".join(random.choice(al) for _ in range(random.randrange(0, 80)))
+        assert [t for _, t in extract_pdf_text(build_pdf_bytes([txt]))] == [txt]
+
+    with _pt.raises(NotImplementedError, match="LZWDecode"):
+        extract_pdf_text(
+            build_pdf_bytes(["x"]).replace(b"/FlateDecode", b"/LZWDecode")
+        )
+    with _pt.raises(NotImplementedError, match="encrypted"):
+        extract_pdf_text(
+            build_pdf_bytes(["x"]).replace(b"/Type /Catalog", b"/Encrypt 9 0 R")
+        )
+    with _pt.raises(ValueError, match="not a PDF"):
+        extract_pdf_text(b"BM not a pdf")
+    with _pt.raises(ValueError, match="no objects"):
+        extract_pdf_text(b"%PDF-1.4\njunk only")
+
+    # Spark reader path
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(build_pdf_bytes(pages[:2]))
+    (d / "b.pdf").write_bytes(build_pdf_bytes(pages[2:]))
+    rows = {
+        (r.file.rsplit("/", 1)[-1], r.page): r.text
+        for r in read_pdf_text(spark, str(d)).collect()
+    }
+    assert rows[("a.pdf", 1)] == pages[0] and rows[("a.pdf", 2)] == pages[1]
+    assert rows[("b.pdf", 1)] == pages[2] and rows[("b.pdf", 3)] == pages[4]
+    assert len(rows) == 5

@@ -199,11 +199,12 @@ def main() -> None:
         # carries min, median, and the stat used.
         escalated = False
         if spread_of(raw) > 0.25:
+            # max-min spread is monotone in the sample set, so once a
+            # burst is recorded the spread can't recover — escalation
+            # always runs the full rep budget and the min decides
             escalated = True
             while len(raw) < 12:
                 raw.append(run_once(name))
-                if spread_of(raw) <= 0.25:
-                    break
         samples = sorted(raw)
         p50 = samples[len(samples) // 2]
         noisy = spread_of(raw) > 0.25

@@ -7,6 +7,11 @@ from flight_data_ingestion_engine_spark.sources.readers import (
     read_table_partition,
     ingest_json,
 )
+from flight_data_ingestion_engine_spark.sources.pdf import (
+    build_pdf_bytes,
+    extract_pdf_text,
+    read_pdf_text,
+)
 from flight_data_ingestion_engine_spark.sources.webdataset import (
     read_webdataset,
     write_webdataset,
@@ -26,6 +31,9 @@ __all__ = [
     "read_parquet",
     "read_table_partition",
     "ingest_json",
+    "build_pdf_bytes",
+    "extract_pdf_text",
+    "read_pdf_text",
     "read_webdataset",
     "write_webdataset",
     "write_partitioned_table",

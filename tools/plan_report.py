@@ -127,6 +127,15 @@ SELECTED = [
     ("webdataset_roundtrip", "binaryFile scan + Arrow un-tar; zero exchanges"),
     ("reference_extract_docs", "regex canonical-set projection, zero exchanges"),
     ("needle_eval_docs", "generator explode splice, zero exchanges"),
+
+    # r11
+    ("bpe_gpt2_pretokens", "two regexp ops at scan speed + one vocabulary shuffle"),
+    ("bpe_gpt2_merges", "byte-level trainer: pair-count shuffles over the vocab table only"),
+    ("lang_classifier", "one explode + one broadcast weight join + keyed agg + per-doc argmin"),
+    ("media_decode_png", "Arrow codec stage over pruned (id, bytes, meta); no pixel shuffle"),
+    ("pdf_extract_docs", "binaryFile scan + Arrow extraction stage, zero shuffle"),
+    ("url_bitext_candidates", "staged regex chain + checkpointed keyed frame; codegen-compilable"),
+    ("ivf_pq_topk", "centroid equi-join + ADC lookups; codes only, no float corpus vectors"),
 ]
 
 INTERESTING = re.compile(

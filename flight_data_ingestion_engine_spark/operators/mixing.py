@@ -829,6 +829,18 @@ def lang_classifier_state(
     )
 
 
+def lang_state_merge(slices: DataFrame) -> DataFrame:
+    """Merge appended `lang_classifier_state` slices into one
+    (lang, bucket, cnt) table — `dsir_state_merge` with the class
+    column as the group: epoch-tagged slices from the streaming sink
+    collapse a crash-replayed micro-batch's duplicate before summing
+    (exactly-once without the sink reading its own state); batch-built
+    slices merge by plain summation. Retrain `lang_classifier_weights`
+    from the merged state at any point — weights are derived, never
+    themselves streamed."""
+    return dsir_state_merge(slices, ["lang"])
+
+
 def lang_classifier_weights(
     state: DataFrame,
     buckets: int = 4096,

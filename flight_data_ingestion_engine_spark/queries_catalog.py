@@ -10949,6 +10949,66 @@ def q_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_classifier_predict(test, weights, "doc_id")
 
 
+@_q("streaming_lang_classifier", _langcls_oracle_sql())
+def q_streaming_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the language classifier's training
+    state (streaming/file_stream.py::foreach_batch_langcls_sink):
+    the labeled 5-script corpus arrives as two micro-batches (even then
+    odd ids); each appends its (lang, bucket, cnt) char-gram slice;
+    `lang_state_merge` collapses epochs and sums, weights retrain from
+    the merged state, and predictions on the planted test set must
+    equal the batch `lang_classifier` query value-exactly — counts
+    merge by summation, so batch boundaries are algebraically
+    invisible (crash-replay collapse pytest-gated)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_weights,
+        lang_state_merge,
+    )
+    from flight_data_ingestion_engine_spark.streaming.file_stream import (
+        foreach_batch_langcls_sink,
+        stream_parquet,
+    )
+
+    d = F.col("doc_id")
+    lang_case = F.lit(None).cast("string")
+    train_case = F.lit(None).cast("string")
+    test_case = F.lit(None).cast("string")
+    for i, l in enumerate(_LANGCLS_LANGS):
+        lang_case = F.when(d % 5 == i, F.lit(l)).otherwise(lang_case)
+        train_case = F.when(d % 5 == i, F.lit(_LANGCLS_TRAIN[l])).otherwise(train_case)
+        test_case = F.when(d % 5 == i, F.lit(_LANGCLS_TEST[l])).otherwise(test_case)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    train = docs.where(d < 50).select(
+        "doc_id", lang_case.alias("lang"), train_case.alias("text")
+    )
+    src, state, ck = _stage_doc_batches(spark, sf_dir, "slang", train)
+    st = stream_parquet(
+        spark, src, "doc_id bigint, lang string, text string",
+        max_files_per_trigger=1,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            foreach_batch_langcls_sink(st, state, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    merged = lang_state_merge(spark.read.parquet(state))
+    weights = lang_classifier_weights(merged)
+    test = docs.where((d >= 100) & (d < 200)).select(
+        "doc_id", test_case.alias("text")
+    )
+    return lang_classifier_predict(test, weights, "doc_id")
+
+
 def _bpe_oracle_sql(k: int, gpt2_byte_level: bool = False) -> str:
     """DuckDB replay of k BPE merge rounds — the same conventions as
     corpus.py::bpe_merge_steps (char base symbols, overlap-counted pair

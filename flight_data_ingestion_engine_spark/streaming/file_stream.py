@@ -716,6 +716,50 @@ def foreach_batch_dsir_sink(
     )
 
 
+def foreach_batch_langcls_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+    buckets: int = 4096,
+    n_lo: int = 1,
+    n_hi: int = 3,
+):
+    """Streaming maintenance of the language classifier's per-class
+    char-gram training state (r11 — the new state family keeps SURVEY
+    §2.13's all-families-streaming invariant): each labeled micro-batch
+    reduces to its `lang_classifier_state` slice (≤ classes·buckets
+    rows) and appends it epoch-tagged — the `foreach_batch_dsir_sink`
+    protocol verbatim, because the state obeys the same union-by-sum
+    law. Readers merge via `mixing.lang_state_merge` (epoch collapse →
+    exactly-once under crash replay) and retrain
+    `lang_classifier_weights` from the merged state whenever wanted:
+    the weight table is DERIVED, never itself streamed. New languages
+    appearing mid-stream need no schema change — they are just new
+    `lang` values in the state."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_state,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sl = lang_classifier_state(
+            batch_df, label_col, text_col=text_col, buckets=buckets,
+            n_lo=n_lo, n_hi=n_hi,
+        )
+        sl.withColumn("epoch_id", F.lit(epoch_id).cast("bigint")).write.mode(
+            "append"
+        ).parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def foreach_batch_kmv_sink(
     stream: DataFrame,
     state_path: str,

@@ -816,3 +816,66 @@ def test_lang_classifier_beats_stopword_vote_on_short_nonlatin(spark):
     # empty-after-normalization rows drop out
     empty = spark.createDataFrame([(99, "   ")], "doc_id long, text string")
     assert lang_classifier_predict(empty, weights, "doc_id").count() == 0
+
+
+def test_lang_state_merge_replay_exact(spark):
+    """The language-classifier streaming sink (r11) obeys the dsir count
+    law per class: a crash-replayed epoch's duplicate slice collapses
+    before summing, so the merged (lang, bucket, cnt) state equals the
+    batch state exactly — and weights trained from the streamed state
+    predict identically to batch-trained weights."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+        lang_state_merge,
+    )
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _LANGCLS_TEST,
+        _LANGCLS_TRAIN,
+    )
+
+    rows = [
+        (i, l, t)
+        for i in range(4)
+        for l, t in _LANGCLS_TRAIN.items()
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    want = {
+        (r.lang, r.bucket): r.cnt
+        for r in lang_classifier_state(docs, "lang").collect()
+    }
+
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1 = lang_classifier_state(b1, "lang").withColumn(
+        "epoch_id", F.lit(0).cast("bigint")
+    )
+    s2 = lang_classifier_state(b2, "lang").withColumn(
+        "epoch_id", F.lit(1).cast("bigint")
+    )
+    replayed = s1.unionByName(s2).unionByName(s2)  # epoch 1 fired twice
+    merged = lang_state_merge(replayed)
+    got = {(r.lang, r.bucket): r.cnt for r in merged.collect()}
+    assert got == want
+
+    # end-to-end: streamed-state weights == batch weights on predictions
+    test = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(_LANGCLS_TEST.items())],
+        "doc_id long, true_lang string, text string",
+    )
+    pred_stream = {
+        r.doc_id: r.lang
+        for r in lang_classifier_predict(
+            test, lang_classifier_weights(merged), "doc_id"
+        ).collect()
+    }
+    pred_batch = {
+        r.doc_id: r.lang
+        for r in lang_classifier_predict(
+            test, lang_classifier_weights(lang_classifier_state(docs, "lang")), "doc_id"
+        ).collect()
+    }
+    assert pred_stream == pred_batch
+    assert all(pred_stream[i] == l for i, l, _ in
+               [(i, l, t) for i, (l, t) in enumerate(_LANGCLS_TEST.items())])

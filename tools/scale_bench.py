@@ -114,6 +114,13 @@ ABS_BUDGET_US = {
     "rake": 1300.0,
     "quantile_norm": 60.0,
     "label_prop": 70.0,
+    # r11: measured big-volume rates 11.3 (gpt2_pretoken, rel 0.29),
+    # 324.3 (lang_classifier incl. state build + 3-class predict, rel
+    # 0.83) and 9.0 (png_decode incl. encode synth, rel 0.30) on this
+    # box — ~4× like the rest
+    "gpt2_pretoken": 50.0,
+    "lang_classifier": 1200.0,
+    "png_decode": 40.0,
 }
 REL_BUDGET = 2.0
 
@@ -620,6 +627,40 @@ def _ops(spark):
         label_propagation(edges, iterations=3).count()
         return n
 
+    def gpt2_pretoken_op(n):
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            bpe_word_counts,
+        )
+
+        bpe_word_counts(synth_docs(spark, n), pretokenize="gpt2").count()
+        return n
+
+    def lang_classifier_op(n):
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            lang_classifier_predict,
+            lang_classifier_state,
+            lang_classifier_weights,
+        )
+
+        docs = synth_docs(spark, n).select(
+            F.col("id"), "text",
+            F.concat(F.lit("c"), F.pmod(F.col("id"), 3)).alias("lang"),
+        )
+        state = lang_classifier_state(docs, "lang")
+        w = lang_classifier_weights(state)
+        lang_classifier_predict(docs, w, "id").count()
+        return n
+
+    def png_decode_op(n):
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_synthetic_png,
+            decode_media,
+        )
+
+        media = attach_synthetic_png(spark.range(n), "id")
+        decode_media(media, "id").count()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -653,6 +694,9 @@ def _ops(spark):
         "rake": rake_op,
         "quantile_norm": quantile_norm_op,
         "label_prop": label_prop_op,
+        "gpt2_pretoken": gpt2_pretoken_op,
+        "lang_classifier": lang_classifier_op,
+        "png_decode": png_decode_op,
     }
 
 

@@ -874,6 +874,7 @@ def winnowing_match_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",
     min_shared: int = 2,
+    hash_cap: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing winnowed fingerprints — the MOSS match
     step: an equi-join on `gram_hash` over the (already tiny) selected
@@ -882,12 +883,30 @@ def winnowing_match_pairs(
     fingerprint, `shared ≥ m` is a LOWER-BOUND witness of m disjoint(ish)
     shared regions — the clone-detection decision rule. The shuffle is
     the hash equi-join on fingerprint keys (density ~1/(window+1) of the
-    gram count), never an all-pairs product; a degenerate hash shared by
-    thousands of docs is the bucket-cap situation — apply a frequency
-    stoplist upstream like `minhash_lsh_pairs(stoplist)` if a corpus has
-    one. Returns (id_a, id_b, shared)."""
+    gram count), never an all-pairs product.
+
+    `hash_cap` (r11) is the quadratic guard this join needs at corpus
+    scale — the `minhash_lsh_pairs(bucket_cap=)` discipline: a
+    fingerprint shared by f documents contributes f·(f−1)/2 join rows,
+    so one boilerplate phrase on 1% of a 10⁸-doc corpus manufactures
+    ~10¹² pairs. With a cap, hashes appearing in more than `hash_cap`
+    documents are EXCISED before the join (a frequency agg + anti-join
+    — deterministic, and exactly what a MOSS "skip boilerplate" stoplist
+    does); the recall consequence is scoped to pairs whose ONLY shared
+    regions are that boilerplate, which are the pairs a clone detector
+    wants to ignore anyway. Returns (id_a, id_b, shared)."""
     if min_shared < 1:
         raise ValueError("winnowing_match_pairs: min_shared must be >= 1")
+    if hash_cap is not None:
+        if hash_cap < 2:
+            raise ValueError("winnowing_match_pairs: hash_cap must be >= 2")
+        over = (
+            fingerprints.groupBy("gram_hash")
+            .agg(F.count_distinct(F.col(id_col)).alias("_f"))
+            .where(F.col("_f") > hash_cap)
+            .select("gram_hash")
+        )
+        fingerprints = fingerprints.join(over, "gram_hash", "left_anti")
     a = fingerprints.select(F.col(id_col).alias("id_a"), "gram_hash")
     b = fingerprints.select(F.col(id_col).alias("id_b"), "gram_hash")
     return (

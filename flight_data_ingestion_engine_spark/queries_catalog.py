@@ -16056,7 +16056,7 @@ def q_texttiling_boundaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  || CASE WHEN doc_id % 6 = 0
                          THEN ' the quick brown fox jumps over the lazy dog again'
                          ELSE '' END AS t
-        FROM documents)
+        FROM documents WHERE doc_id < 300)
       WHERE length(t) >= 8
     ),
     g AS (
@@ -16089,25 +16089,37 @@ def q_texttiling_boundaries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing_match_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MOSS match step (operators/text.py::winnowing_match_pairs): a
     50-char phrase planted on doc_id%6 guarantees (winnowing's w+k−1
-    bound) those docs share fingerprints and pair up; natural prose
-    overlap below 3 shared fingerprints is filtered, and whatever
-    crosses the bar is replayed identically by the oracle — the pair
-    join runs over the winnowed (hash, doc) sets, never raw grams."""
+    bound) those docs share fingerprints and pair up, and whatever
+    crosses the min_shared bar is replayed identically by the oracle —
+    the pair join runs over the winnowed (hash, doc) sets, never raw
+    grams. The input is BOUNDED to 300 docs (r11): the synthetic corpus
+    is template-generated, so NEARLY EVERY doc pair naturally shares
+    ≥3 fingerprints (median 29 at sf0.001) and the pair OUTPUT itself
+    is quadratic in corpus size — at sf0.1 the unbounded query produced
+    5×10⁷ rows and owned 1,000+ seconds of every bench sweep while
+    demonstrating nothing extra. Real crawl corpora don't pair this
+    densely; where one phrase DOES clique (boilerplate), the
+    operator-level guard is `winnowing_match_pairs(hash_cap=)`
+    (pytest-gated)."""
     from flight_data_ingestion_engine_spark.operators.text import (
         winnowing_fingerprints,
         winnowing_match_pairs,
     )
 
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                d % 6 == 0,
-                F.lit(" the quick brown fox jumps over the lazy dog again"),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(d < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(
+                    d % 6 == 0,
+                    F.lit(" the quick brown fox jumps over the lazy dog again"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
     )
     fp = winnowing_fingerprints(docs, k=5, window=4)
     return winnowing_match_pairs(fp, min_shared=3)

@@ -2399,3 +2399,46 @@ def test_decode_media_png_spark_path(spark):
         assert r.format == "png"
         assert r.n_pixels == w * h
         assert all(abs(x - g) < 1e-15 for x in r.feature)
+
+
+def test_winnowing_match_pairs_hash_cap_guard(spark):
+    """r11 quadratic guard: a boilerplate phrase shared by MANY docs
+    manufactures a pair clique; with `hash_cap` those over-frequency
+    hashes are excised BEFORE the join, so (a) the boilerplate-only
+    clique disappears, (b) pairs that ALSO share rare content survive
+    with their rare-hash counts, and (c) cap >= clique size changes
+    nothing."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_match_pairs,
+    )
+
+    boiler = "subscribe to our newsletter for updates today"
+    rare = " zxqv jklm wpfh unique shared content here"
+    rows = (
+        # 20 docs sharing ONLY boilerplate
+        [(i, f"{boiler} filler{i:04d} padding padding") for i in range(20)]
+        # 2 docs sharing boilerplate AND a rare phrase
+        + [(100, boiler + rare), (101, boiler + rare)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnowing_fingerprints(docs, k=5, window=4)
+
+    uncapped = winnowing_match_pairs(fp, min_shared=2)
+    assert uncapped.count() > 100  # the boilerplate clique pairs up
+
+    capped = winnowing_match_pairs(fp, min_shared=2, hash_cap=10).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in pairs          # rare-content pair survives
+    assert all(a == 100 and b == 101 for a, b in pairs)  # clique gone
+
+    # cap above every hash frequency: identical to uncapped
+    wide = winnowing_match_pairs(fp, min_shared=2, hash_cap=1000)
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+    with _pt.raises(ValueError, match="hash_cap"):
+        winnowing_match_pairs(fp, hash_cap=1)

@@ -921,6 +921,50 @@ def lang_classifier_predict(
     )
 
 
+def lang_id_two_stage(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 4096,
+    n_lo: int = 1,
+    n_hi: int = 3,
+) -> DataFrame:
+    """Two-stage language ID — the production composition (the CCNet
+    shape: a free heuristic gate first, the model only where the gate
+    is blind): stage 1 is the stopword vote (`text.with_language_id` —
+    a zero-join scan projection), and ONLY the rows it answers 'und'
+    on (zero stopword hits: short texts, scripts without a stopword
+    table) pay the classifier's char-gram explode + broadcast join.
+    Returns `(<id_col>, lang, method)` with method ∈ ('stopword',
+    'classifier') so the routing is auditable.
+
+    At crawl scale the vote decides the overwhelming share of rows for
+    one scan pass; the classifier arm's cost is proportional to the
+    blind subset only. Und-rows whose text is ALSO empty after
+    `lang_normalize` drop out (the classifier's zero-gram contract —
+    nothing any language model could say about them)."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        with_language_id,
+    )
+
+    voted = with_language_id(df, text_col).select(
+        F.col(id_col), F.col(text_col), F.col("lang_pred")
+    )
+    sure = voted.where(F.col("lang_pred") != "und").select(
+        F.col(id_col),
+        F.col("lang_pred").alias("lang"),
+        F.lit("stopword").alias("method"),
+    )
+    blind = voted.where(F.col("lang_pred") == "und").select(
+        F.col(id_col), F.col(text_col)
+    )
+    cls = lang_classifier_predict(
+        blind, weights, id_col, text_col, buckets, n_lo, n_hi
+    ).select(F.col(id_col), F.col("lang"), F.lit("classifier").alias("method"))
+    return sure.unionByName(cls)
+
+
 def fim_transform(
     df: DataFrame,
     text_col: str = "text",

@@ -10866,26 +10866,31 @@ def _langcls_case_sql(col: str, mapping: dict[str, str]) -> str:
     return f"CASE {col} % 5 {whens} END"
 
 
-def _langcls_oracle_sql() -> str:
-    norm = lambda e: (
-        f"trim(regexp_replace(lower({e}), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
-    )
-    grams = (
-        "('0x' || substr(md5(substr(t, CAST(i AS INT), CAST(n.n AS INT))), 1, 8))::BIGINT % 4096 AS bucket"
-    )
-    lateral = (
-        "(SELECT UNNEST([1,2,3]) AS n) n, "
-        "UNNEST(range(1, length(t) - n.n + 2)) AS r(i)"
-    )
-    return f"""
-    WITH train AS (
+def _langcls_norm_sql(e: str) -> str:
+    return f"trim(regexp_replace(lower({e}), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+
+
+_LANGCLS_GRAMS_SQL = (
+    "('0x' || substr(md5(substr(t, CAST(i AS INT), CAST(n.n AS INT))), 1, 8))::BIGINT % 4096 AS bucket"
+)
+_LANGCLS_LATERAL_SQL = (
+    "(SELECT UNNEST([1,2,3]) AS n) n, "
+    "UNNEST(range(1, length(t) - n.n + 2)) AS r(i)"
+)
+
+
+def _langcls_wt_ctes() -> str:
+    """The shared training CTE block (train → grams → state → totals →
+    fully-materialized per-class bit table `wt`) both lang-classifier
+    oracles replay."""
+    return f"""train AS (
       SELECT {_langcls_case_sql('doc_id', {l: l for l in _LANGCLS_LANGS})} AS lang,
-             {norm(_langcls_case_sql('doc_id', _LANGCLS_TRAIN))} AS t
+             {_langcls_norm_sql(_langcls_case_sql('doc_id', _LANGCLS_TRAIN))} AS t
       FROM documents WHERE doc_id < 50
     ),
     tg AS (
-      SELECT lang, {grams}
-      FROM train, {lateral} WHERE length(t) >= n.n
+      SELECT lang, {_LANGCLS_GRAMS_SQL}
+      FROM train, {_LANGCLS_LATERAL_SQL} WHERE length(t) >= n.n
     ),
     state AS (SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM tg GROUP BY 1, 2),
     tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS t FROM state GROUP BY 1),
@@ -10894,14 +10899,19 @@ def _langcls_oracle_sql() -> str:
              CAST(length(bin(t + 4096)) - length(bin(COALESCE(cnt, 0) + 1)) AS BIGINT) AS bits
       FROM tot CROSS JOIN range(4096) r
       LEFT JOIN state ON state.lang = tot.lang AND state.bucket = r.range
-    ),
+    )"""
+
+
+def _langcls_oracle_sql() -> str:
+    return f"""
+    WITH {_langcls_wt_ctes()},
     test AS (
-      SELECT doc_id, {norm(_langcls_case_sql('doc_id', _LANGCLS_TEST))} AS t
+      SELECT doc_id, {_langcls_norm_sql(_langcls_case_sql('doc_id', _LANGCLS_TEST))} AS t
       FROM documents WHERE doc_id >= 100 AND doc_id < 200
     ),
     og AS (
-      SELECT doc_id, {grams}
-      FROM test, {lateral} WHERE length(t) >= n.n
+      SELECT doc_id, {_LANGCLS_GRAMS_SQL}
+      FROM test, {_LANGCLS_LATERAL_SQL} WHERE length(t) >= n.n
     ),
     sc AS (
       SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -10911,6 +10921,104 @@ def _langcls_oracle_sql() -> str:
     SELECT doc_id, n_grams, lang, score_bits FROM sc
     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_bits, lang) = 1
     """
+
+
+#: Test texts for the two-stage router: de/en/fr carry real stopwords
+#: (stage 1 decides them for free); ru/zh have ZERO stopword hits
+#: (ru has no stopword table at all) and route to the classifier.
+_LANG2_TEST = {
+    "de": "der hund und die katze laufen nicht schnell",
+    "en": "the cat and the dog ran to a house of mice",
+    "fr": "le chat et la maison de les amis",
+    "ru": "спасибо лиса собака",
+    "zh": "你好狐狸跳过小房子",
+}
+
+
+def _lang2_oracle_sql() -> str:
+    vote_structs = ",\n               ".join(
+        "{'hits': LEN(list_filter(t, x -> x IN (%s))), 'lang': '%s'}"
+        % (", ".join(f"'{w}'" for w in sw), lang)
+        for lang, sw in sorted(
+            {
+                "en": ["the", "a", "of", "and", "to"],
+                "es": ["el", "la", "de", "que", "y"],
+                "de": ["der", "die", "das", "und", "nicht"],
+                "fr": ["le", "la", "de", "et", "les"],
+                "zh": ["的", "了", "是", "我", "不"],
+            }.items()
+        )
+    )
+    return f"""
+    WITH {_langcls_wt_ctes()},
+    t2 AS (
+      SELECT doc_id, {_langcls_case_sql('doc_id', _LANG2_TEST)} AS text
+      FROM documents WHERE doc_id >= 200 AND doc_id < 300
+    ),
+    vote AS (
+      SELECT doc_id, text,
+             list_sort([
+               {vote_structs}
+             ], 'DESC') AS s
+      FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM t2)
+    ),
+    sure AS (
+      SELECT doc_id, s[1].lang AS lang, 'stopword' AS method
+      FROM vote WHERE s[1].hits > 0
+    ),
+    blind AS (
+      SELECT doc_id, {_langcls_norm_sql('text')} AS t
+      FROM vote WHERE s[1].hits = 0
+    ),
+    og AS (
+      SELECT doc_id, {_LANGCLS_GRAMS_SQL}
+      FROM blind, {_LANGCLS_LATERAL_SQL} WHERE length(t) >= n.n
+    ),
+    sc AS (
+      SELECT doc_id, lang, CAST(SUM(bits) AS BIGINT) AS score_bits
+      FROM og JOIN wt USING (bucket) GROUP BY 1, 2
+    ),
+    cls AS (
+      SELECT doc_id, lang, 'classifier' AS method FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_bits, lang) = 1
+    )
+    SELECT doc_id, lang, method FROM sure
+    UNION ALL
+    SELECT doc_id, lang, method FROM cls
+    """
+
+
+@_q("lang_id_two_stage", _lang2_oracle_sql())
+def q_lang_id_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage language routing (operators/mixing.py::
+    lang_id_two_stage — the CCNet composition: free heuristic gate,
+    model only where the gate is blind): the stopword vote decides the
+    de/en/fr rows in the scan (method='stopword'); the ru/zh rows have
+    ZERO stopword hits (ru has no table at all, the planted zh text
+    avoids the zh stopword chars) and route to the char-gram NB
+    classifier (method='classifier'), which gets them right. The
+    oracle replays BOTH stages — the vote's sort/tie semantics and the
+    classifier's training + argmin — and the routing between them,
+    value-exact."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_state,
+        lang_classifier_weights,
+        lang_id_two_stage,
+    )
+
+    d = F.col("doc_id")
+    lang_case = F.lit(None).cast("string")
+    train_case = F.lit(None).cast("string")
+    t2_case = F.lit(None).cast("string")
+    for i, l in enumerate(_LANGCLS_LANGS):
+        lang_case = F.when(d % 5 == i, F.lit(l)).otherwise(lang_case)
+        train_case = F.when(d % 5 == i, F.lit(_LANGCLS_TRAIN[l])).otherwise(train_case)
+        t2_case = F.when(d % 5 == i, F.lit(_LANG2_TEST[l])).otherwise(t2_case)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    train = docs.where(d < 50).select(lang_case.alias("lang"), train_case.alias("text"))
+    test = docs.where((d >= 200) & (d < 300)).select("doc_id", t2_case.alias("text"))
+    weights = lang_classifier_weights(lang_classifier_state(train, "lang"))
+    return lang_id_two_stage(test, weights, "doc_id")
 
 
 @_q("lang_classifier", _langcls_oracle_sql())

@@ -879,3 +879,36 @@ def test_lang_state_merge_replay_exact(spark):
     assert pred_stream == pred_batch
     assert all(pred_stream[i] == l for i, l, _ in
                [(i, l, t) for i, (l, t) in enumerate(_LANGCLS_TEST.items())])
+
+
+def test_lang_id_two_stage_routing(spark):
+    """The two-stage router: stopword-decidable rows never touch the
+    classifier (method='stopword'), zero-hit rows route to it
+    (method='classifier') and come back RIGHT; an empty blind row drops
+    out; predictions agree with running the classifier alone."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_state,
+        lang_classifier_weights,
+        lang_id_two_stage,
+    )
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _LANG2_TEST,
+        _LANGCLS_TRAIN,
+    )
+
+    train = spark.createDataFrame(
+        list(_LANGCLS_TRAIN.items()) * 2, "lang string, text string"
+    )
+    weights = lang_classifier_weights(lang_classifier_state(train, "lang"))
+    rows = [(i, l, t) for i, (l, t) in enumerate(_LANG2_TEST.items())] + [
+        (99, "und", "   ")
+    ]
+    test = spark.createDataFrame(rows, "doc_id long, true_lang string, text string")
+    got = {r.doc_id: r for r in lang_id_two_stage(test, weights, "doc_id").collect()}
+
+    expect_method = {"de": "stopword", "en": "stopword", "fr": "stopword",
+                     "ru": "classifier", "zh": "classifier"}
+    for i, (l, _) in enumerate(_LANG2_TEST.items()):
+        assert got[i].lang == l, (l, got[i])
+        assert got[i].method == expect_method[l]
+    assert 99 not in got  # empty blind row drops out

@@ -1353,6 +1353,50 @@ def main() -> None:
             batch.n1, batch.n2, batch.d_num,
         )
 
+    with stage("r11_gates"):
+        # GPT-2 pre-tokenization rides the scan (zero exchanges at full
+        # volume — two regexp ops); byte-level symbol arrays are exact
+        # per row; the two-stage language router's classifier arm only
+        # ever sees the vote-blind subset (row accounting at volume);
+        # PNG decode round-trips through the Arrow stage at 10k images.
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            gpt2_pretokenize,
+        )
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            lang_classifier_state,
+            lang_classifier_weights,
+            lang_id_two_stage,
+        )
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_synthetic_png,
+            decode_media,
+        )
+        from flight_data_ingestion_engine_spark.operators.text import (
+            with_language_id,
+        )
+
+        docs = spark.range(n_docs).withColumn("text", synth_text(_dup_content))
+        pre = docs.select("id", gpt2_pretokenize("text").alias("toks"))
+        assert _exchanges(pre) == 0
+        assert pre.where(F.size("toks") > 0).count() == n_docs
+
+        # router accounting: every doc either stopword-decided or
+        # classifier-decided; totals add up at volume
+        labeled = docs.where(F.col("id") < 1000).select(
+            F.concat(F.lit("c"), F.pmod(F.col("id"), 3)).alias("lang"), "text"
+        )
+        w = lang_classifier_weights(lang_classifier_state(labeled, "lang"))
+        routed = lang_id_two_stage(docs, w, "id")
+        n_routed = routed.count()
+        n_blind = (
+            with_language_id(docs).where(F.col("lang_pred") == "und").count()
+        )
+        n_cls = routed.where(F.col("method") == "classifier").count()
+        assert n_cls <= n_blind and n_routed <= n_docs
+
+        png = decode_media(attach_synthetic_png(spark.range(10_000), "id"), "id")
+        assert png.count() == 10_000
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

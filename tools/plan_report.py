@@ -136,6 +136,7 @@ SELECTED = [
     ("pdf_extract_docs", "binaryFile scan + Arrow extraction stage, zero shuffle"),
     ("url_bitext_candidates", "staged regex chain + checkpointed keyed frame; codegen-compilable"),
     ("ivf_pq_topk", "centroid equi-join + ADC lookups; codes only, no float corpus vectors"),
+    ("lang_id_two_stage", "zero-join vote decides the scan; classifier arm sees only 'und' rows"),
 ]
 
 INTERESTING = re.compile(

@@ -1250,12 +1250,17 @@ def gpt2_pretokenize(text: Column | str) -> Column:
     U+00A0/U+2028-class Unicode whitespace, which here falls to the
     punct-run alternative; (b) `\\p{L}`/`\\p{N}` resolve against each
     engine's Unicode tables (Java 17 vs RE2 — newest-script edge
-    cases); (c) input containing the RS sentinel U+001E itself
-    tokenizes around it (strip control chars upstream — every QC
-    pipeline here already does)."""
+    cases); (c) input containing the RS sentinel U+001E itself is
+    STRIPPED first (an explicit regexp_replace, mirrored in the SQL
+    twin) — without the strip such chars would be silently dropped
+    from the token list anyway (excluded from every alternative),
+    breaking the concatenation-lossless property invisibly; stripping
+    makes the one lossy case explicit and keeps losslessness exact for
+    all sentinel-free input (every QC pipeline here strips control
+    chars upstream regardless)."""
     c = F.col(text) if isinstance(text, str) else text
     marked = F.regexp_replace(
-        c,
+        F.regexp_replace(c, GPT2_PRETOKEN_SENTINEL, ""),
         rf"([{_GPT2_WS}])([^{_GPT2_WS}])",
         GPT2_PRETOKEN_SENTINEL + "$1$2",
     )
@@ -1264,12 +1269,14 @@ def gpt2_pretokenize(text: Column | str) -> Column:
 
 def gpt2_pretokenize_sql(expr: str) -> str:
     """DuckDB twin of `gpt2_pretokenize` over a SQL expression — same
-    marker insert (RE2 `\\1\\2` backrefs, chr(30) sentinel) + same token
-    pattern, so pre-token lists match value-exact cross-engine."""
+    sentinel strip, same marker insert (RE2 `\\1\\2` backrefs, chr(30)
+    sentinel) + same token pattern, so pre-token lists match
+    value-exact cross-engine."""
     pat = GPT2_PRETOKEN_RE.replace("'", "''")
+    stripped = f"replace({expr}, chr(30), '')"
     return (
         "regexp_extract_all(regexp_replace("
-        f"{expr}, '([{_GPT2_WS}])([^{_GPT2_WS}])', chr(30) || '\\1\\2', 'g'"
+        f"{stripped}, '([{_GPT2_WS}])([^{_GPT2_WS}])', chr(30) || '\\1\\2', 'g'"
         f"), '{pat}')"
     )
 

@@ -948,8 +948,15 @@ def lang_id_two_stage(
         with_language_id,
     )
 
-    voted = with_language_id(df, text_col).select(
-        F.col(id_col), F.col(text_col), F.col("lang_pred")
+    # materialize the voted frame before branching: both arms (sure +
+    # blind) reference it, and without the lineage cut the source scan
+    # and the stopword-vote projection would run TWICE — breaking the
+    # one-scan-pass claim at crawl scale (the asof/url_bitext
+    # localCheckpoint discipline)
+    voted = (
+        with_language_id(df, text_col)
+        .select(F.col(id_col), F.col(text_col), F.col("lang_pred"))
+        .localCheckpoint(eager=False)
     )
     sure = voted.where(F.col("lang_pred") != "und").select(
         F.col(id_col),

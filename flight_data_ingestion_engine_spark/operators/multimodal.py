@@ -270,8 +270,13 @@ def decode_png_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    seen_iend = False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            # declared length overruns the payload — ValueError (the
+            # module's convention), not a struct.error escaping the task
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -282,8 +287,13 @@ def decode_png_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
+            seen_iend = True
             break
         pos += 12 + length
+    if not seen_iend:
+        # ran off the payload without IEND — a cut mid-chunk-header
+        # leaves no complete chunk to fail the length check above
+        raise ValueError("truncated PNG chunk stream (no IEND)")
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, comp, filt, interlace = ihdr
@@ -297,7 +307,10 @@ def decode_png_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
             f"only 8-bit gray/RGB/gray+alpha/RGBA PNG is supported "
             f"(depth={depth}, color_type={color_type})"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/corrupt IDAT → module convention
+        raise ValueError(f"truncated PNG chunk data (IDAT: {e})") from e
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")

@@ -13481,6 +13481,58 @@ def q_pdf_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pdf_extract_cmap",
+    """
+    SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS page,
+           COALESCE(text, '') AS text
+    FROM documents WHERE doc_id >= 50 AND doc_id < 100
+    """,
+)
+def q_pdf_extract_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 subsetted-font PDF extraction: the same 10×5-page build as
+    `pdf_extract_docs` but with the three hard-mode features real
+    crawl PDFs carry — text GLYPH-ENCODED through a generated codebook
+    with a /ToUnicode CMap on the font (raw string bytes in the file
+    differ from the text; only the bfchar/bfrange pass recovers it),
+    indirect `/Length N 0 R` stream lengths (the integer object after
+    the stream), and `/Contents [a 0 R b 0 R]` arrays. The
+    builder/extractor pair round-trips exactly (fuzz-gated in pytest),
+    so the oracle states the result closed-form from the documents
+    table."""
+    import os
+
+    from flight_data_ingestion_engine_spark.sources.pdf import (
+        build_pdf_bytes,
+        read_pdf_text,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select("doc_id", "text")
+        .collect()
+    )
+    by_id = {r.doc_id: (r.text or "") for r in docs}
+    root = _qtmp("pdf_cmap")
+    os.makedirs(root, exist_ok=True)
+    for f in range(10):
+        pages = [by_id[50 + f * 5 + p] for p in range(5)]
+        with open(f"{root}/doc{f:02d}.pdf", "wb") as fh:
+            fh.write(
+                build_pdf_bytes(
+                    pages, cmap=True, length_indirect=True, contents_array=True
+                )
+            )
+    out = read_pdf_text(spark, root)
+    fnum = F.regexp_extract(F.col("file"), r"doc(\d+)\.pdf", 1).cast("bigint")
+    return out.select(
+        (F.lit(50) + fnum * 5 + F.col("page") - 1).alias("doc_id"),
+        F.col("page"),
+        "text",
+    )
+
+
 def _html_clean_sql(x: str) -> str:
     """DuckDB replay of operators/html.py::_clean_text: strip tags →
     decode the lite-six entities (amp LAST) → collapse the Java-\\s

@@ -10,11 +10,17 @@ uncompressed streams only — /DCTDecode, /LZWDecode, /CCITTFaxDecode and
 encrypted documents raise NotImplementedError; text comes from Tj / TJ /
 ' / " show operators inside BT..ET blocks (the overwhelmingly common
 text encoding for born-digital PDFs), with Td/TD/T*/'/" treated as line
-breaks. Glyph remapping via /ToUnicode CMaps is NOT implemented — the
-in-tree builder writes text as literal strings in the standard
-encoding, which round-trips exactly; exotic subsetted-font PDFs would
-need the CMap pass (documented gap, not a silent wrong answer: their
-strings still extract, as whatever bytes the PDF carries).
+breaks. Glyph remapping via /ToUnicode CMaps IS implemented (r12):
+fonts reached through the page's /Resources /Font dict whose
+/ToUnicode stream carries bfchar/bfrange sections get their shown
+bytes decoded code-by-code through the CMap (UTF-16BE targets incl.
+surrogate pairs); fonts without a CMap fall back to UTF-8 bytes — the
+subsetted-font case real scientific PDFs (peS2o/S2ORC lineage) are
+full of. Indirect /Length values (`/Length 12 0 R`) are resolved
+through the object table (raising NotImplementedError when the
+referenced object is missing/non-integer rather than slicing a wrong
+span), and /Contents arrays (`[3 0 R 4 0 R]`) concatenate their
+referenced streams in order.
 
 Scale notes: `binaryFile` loads each PDF whole (they don't split);
 parallelism = number of files, and the per-file work is one inflate +
@@ -40,11 +46,10 @@ _UNSUPPORTED_FILTERS = (
 )
 
 
-def _pdf_escape(s: str) -> bytes:
-    """Escape a text line as a PDF literal string body (UTF-8 bytes;
-    the builder/extractor pair round-trips any codepoint)."""
+def _pdf_escape_bytes(raw: bytes) -> bytes:
+    """Escape raw bytes as a PDF literal string body."""
     out = bytearray()
-    for b in s.encode("utf-8"):
+    for b in raw:
         if b in (0x28, 0x29, 0x5C):  # ( ) backslash
             out += b"\\" + bytes([b])
         elif b == 0x0A:
@@ -58,13 +63,100 @@ def _pdf_escape(s: str) -> bytes:
     return bytes(out)
 
 
-def build_pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
+def _pdf_escape(s: str) -> bytes:
+    """Escape a text line as a PDF literal string body (UTF-8 bytes;
+    the builder/extractor pair round-trips any codepoint)."""
+    return _pdf_escape_bytes(s.encode("utf-8"))
+
+
+def _cmap_codebook(pages: list[str]) -> dict[str, int]:
+    """Deterministic glyph codebook for the CMap builder: distinct
+    chars across all pages sorted by codepoint, 1-byte codes assigned
+    sequentially from 0x01 — consecutive-codepoint runs therefore get
+    consecutive codes, which the CMap writer emits as bfrange entries
+    (exercising the range arm, not just bfchar)."""
+    chars = sorted({c for text in pages for line in text.split("\n") for c in line})
+    if len(chars) > 250:
+        raise ValueError(f"cmap builder: >250 distinct glyphs ({len(chars)})")
+    return {c: i + 1 for i, c in enumerate(chars)}
+
+
+def _cmap_stream(code: dict[str, int]) -> bytes:
+    """Serialize the codebook as a real /ToUnicode CMap: one
+    codespacerange, maximal consecutive-codepoint BMP runs as bfrange
+    (dst increments on the final code unit, never crossing a surrogate
+    or 0xFFFF), everything else (singletons + astral chars) as bfchar
+    with full UTF-16BE surrogate pairs."""
+    items = sorted(code.items(), key=lambda kv: kv[1])  # by glyph code
+
+    def u16hex(ch: str) -> str:
+        return ch.encode("utf-16-be").hex().upper()
+
+    runs: list[list[tuple[str, int]]] = []
+    for ch, cd in items:
+        if (
+            runs
+            and ord(ch) <= 0xFFFE
+            and ord(runs[-1][-1][0]) == ord(ch) - 1
+            and runs[-1][-1][1] == cd - 1
+            and ord(runs[-1][-1][0]) <= 0xFFFD
+            and (ord(ch) & 0xFF) != 0x00  # dst must not wrap the low byte
+        ):
+            runs[-1].append((ch, cd))
+        else:
+            runs.append([(ch, cd)])
+    bfranges = [r for r in runs if len(r) >= 2]
+    bfchars = [kv for r in runs if len(r) < 2 for kv in r]
+    parts = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /FDIE-ToUnicode def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<00> <FF>",
+        b"endcodespacerange",
+    ]
+    if bfchars:
+        parts.append(str(len(bfchars)).encode() + b" beginbfchar")
+        for ch, cd in bfchars:
+            parts.append(f"<{cd:02X}> <{u16hex(ch)}>".encode())
+        parts.append(b"endbfchar")
+    if bfranges:
+        parts.append(str(len(bfranges)).encode() + b" beginbfrange")
+        for r in bfranges:
+            lo_ch, lo = r[0]
+            _, hi = r[-1]
+            parts.append(f"<{lo:02X}> <{hi:02X}> <{u16hex(lo_ch)}>".encode())
+        parts.append(b"endbfrange")
+    parts += [b"endcmap", b"CMapName currentdict /CMap defineresource pop", b"end", b"end"]
+    return b"\n".join(parts)
+
+
+def build_pdf_bytes(
+    pages: list[str],
+    compress: bool = True,
+    length_indirect: bool = False,
+    contents_array: bool = False,
+    cmap: bool = False,
+) -> bytes:
     """Encode one text string per page as a minimal valid PDF: catalog →
     pages tree → per-page FlateDecode'd content stream of BT/ET blocks,
     one Td+Tj line per text line — except every SECOND line is written
     as a TJ array split into two kerned pieces, so extraction exercises
     both show operators. Full xref table + trailer (byte offsets exact).
-    The test/sink substrate: synthesize → extract_pdf_text → equality."""
+    The test/sink substrate: synthesize → extract_pdf_text → equality.
+
+    `length_indirect` writes each content stream's /Length as an
+    indirect reference (`/Length N 0 R`) with the integer in a separate
+    object AFTER the stream — the real-world pattern that motivates
+    indirect lengths (the writer doesn't know the length until the
+    stream is flushed). `contents_array` splits each page's content
+    into two streams referenced as `/Contents [a 0 R b 0 R]`. `cmap`
+    glyph-encodes the text through a generated codebook and attaches a
+    /ToUnicode CMap to the page font — the subsetted-font case: the
+    RAW string bytes in the file differ from the text, and only the
+    CMap pass recovers it."""
     import zlib
 
     objs: list[bytes] = []  # 1-indexed object bodies
@@ -75,37 +167,78 @@ def build_pdf_bytes(pages: list[str], compress: bool = True) -> bytes:
 
     catalog_id = add(b"")  # placeholder, patched after pages exist
     page_ids: list[int] = []
-    kids_slot: list[int] = []
     pages_id = add(b"")  # placeholder for the pages tree
-    for text in pages:
-        lines = text.split("\n")
-        parts = [b"BT /F1 10 Tf 72 720 Td"]
-        for i, line in enumerate(lines):
-            esc = _pdf_escape(line)
-            if i % 2 == 1 and len(line) >= 2:
-                mid = len(line) // 2
-                a, b = _pdf_escape(line[:mid]), _pdf_escape(line[mid:])
-                parts.append(b"[(" + a + b") -250 (" + b + b")] TJ")
-            else:
-                parts.append(b"(" + esc + b") Tj")
-            if i < len(lines) - 1:
-                parts.append(b"0 -12 Td")
-        parts.append(b"ET")
-        stream = b"\n".join(parts)
+
+    code = _cmap_codebook(pages) if cmap else None
+
+    def enc(line: str) -> bytes:
+        if code is not None:
+            return _pdf_escape_bytes(bytes(code[c] for c in line))
+        return _pdf_escape(line)
+
+    font_clause = b""
+    if cmap:
+        cm = _cmap_stream(code)
+        if compress:
+            cm = zlib.compress(cm)
+            cm_filt = b"/Filter /FlateDecode "
+        else:
+            cm_filt = b""
+        cmap_id = add(
+            b"<< " + cm_filt + b"/Length " + str(len(cm)).encode()
+            + b" >>\nstream\n" + cm + b"\nendstream"
+        )
+        font_id = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Subset"
+            + b" /ToUnicode " + str(cmap_id).encode() + b" 0 R >>"
+        )
+        font_clause = (
+            b" /Resources << /Font << /F1 " + str(font_id).encode() + b" 0 R >> >>"
+        )
+
+    def add_stream(stream: bytes) -> int:
         if compress:
             stream = zlib.compress(stream)
             filt = b"/Filter /FlateDecode "
         else:
             filt = b""
-        content_id = add(
+        if length_indirect:
+            # the stream object cites a not-yet-written integer object
+            sid = add(
+                b"<< " + filt + b"/Length " + str(len(objs) + 2).encode()
+                + b" 0 R >>\nstream\n" + stream + b"\nendstream"
+            )
+            add(str(len(stream)).encode())
+            return sid
+        return add(
             b"<< " + filt + b"/Length " + str(len(stream)).encode()
             + b" >>\nstream\n" + stream + b"\nendstream"
         )
+
+    for text in pages:
+        lines = text.split("\n")
+        parts = [b"BT /F1 10 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i % 2 == 1 and len(line) >= 2:
+                mid = len(line) // 2
+                a, b = enc(line[:mid]), enc(line[mid:])
+                parts.append(b"[(" + a + b") -250 (" + b + b")] TJ")
+            else:
+                parts.append(b"(" + enc(line) + b") Tj")
+            if i < len(lines) - 1:
+                parts.append(b"0 -12 Td")
+        parts.append(b"ET")
+        if contents_array:
+            half = max(1, len(parts) // 2)
+            ids = [add_stream(b"\n".join(parts[:half])), add_stream(b"\n".join(parts[half:]))]
+            contents = b"[" + b" ".join(str(i).encode() + b" 0 R" for i in ids) + b"]"
+        else:
+            contents = str(add_stream(b"\n".join(parts))).encode() + b" 0 R"
         page_ids.append(
             add(
                 b"<< /Type /Page /Parent " + str(pages_id).encode()
-                + b" 0 R /MediaBox [0 0 612 792] /Contents "
-                + str(content_id).encode() + b" 0 R >>"
+                + b" 0 R /MediaBox [0 0 612 792]" + font_clause
+                + b" /Contents " + contents + b" >>"
             )
         )
     kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
@@ -156,14 +289,33 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         search_from = start
         first_endobj = data.find(b"endobj", start)
         if sm != -1 and (first_endobj == -1 or sm < first_endobj):
-            mlen = re.search(rb"/Length\s+(\d+)", data[start:sm])
+            mlen = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", data[start:sm])
             if mlen:
+                if mlen.group(2):
+                    # indirect /Length — the integer lives in another
+                    # object (typically AFTER the stream: the writer
+                    # didn't know the length until flush). Resolve it
+                    # by a targeted object scan, or raise: slicing a
+                    # wrong span would silently corrupt the stream.
+                    num = int(mlen.group(1))
+                    lm = re.search(
+                        rb"(?<![0-9])" + str(num).encode()
+                        + rb"\s+\d+\s+obj\s*(\d+)\s*endobj",
+                        data,
+                    )
+                    if not lm:
+                        raise NotImplementedError(
+                            f"indirect /Length: object {num} not found or not an integer"
+                        )
+                    length = int(lm.group(1))
+                else:
+                    length = int(mlen.group(1))
                 p = sm + len(b"stream")
                 if data[p : p + 2] == b"\r\n":
                     p += 2
                 elif data[p : p + 1] == b"\n":
                     p += 1
-                search_from = p + int(mlen.group(1))
+                search_from = p + length
         end = data.find(b"endobj", search_from)
         if end < 0:
             raise ValueError("PDF object without endobj (truncated?)")
@@ -174,9 +326,25 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _stream_bytes(body: bytes) -> bytes:
+def _resolve_int_object(objs: dict[int, bytes] | None, num: int) -> int:
+    """Resolve an indirect integer reference (`N 0 R`) through the
+    object table; non-integer or missing targets raise — never a
+    guessed slice."""
+    import re
+
+    body = (objs or {}).get(num)
+    if body is None:
+        raise NotImplementedError(f"indirect /Length: object {num} not found")
+    m = re.fullmatch(rb"\s*(\d+)\s*", body)
+    if not m:
+        raise NotImplementedError(f"indirect /Length: object {num} is not an integer")
+    return int(m.group(1))
+
+
+def _stream_bytes(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     """Stream payload of an object body, FlateDecode'd when declared.
-    Unsupported filters raise NotImplementedError by name."""
+    Unsupported filters raise NotImplementedError by name; indirect
+    /Length values resolve through `objs`."""
     import zlib
 
     import re
@@ -194,9 +362,14 @@ def _stream_bytes(body: bytes) -> bytes:
     # /Length-driven slice: deflate output may itself END in 0x0A/0x0D,
     # so trimming by rstrip would corrupt the stream — only files with
     # no declared length fall back to the endstream-token boundary
-    mlen = re.search(rb"/Length\s+(\d+)", header)
+    mlen = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", header)
     if mlen:
-        raw = body[p : p + int(mlen.group(1))]
+        length = (
+            _resolve_int_object(objs, int(mlen.group(1)))
+            if mlen.group(2)
+            else int(mlen.group(1))
+        )
+        raw = body[p : p + length]
     else:
         e = body.rfind(b"endstream")
         raw = body[p:e].rstrip(b"\r\n")
@@ -245,23 +418,102 @@ def _unescape_literal(buf: bytes) -> bytes:
     return bytes(out)
 
 
-def _content_text(stream: bytes) -> str:
+def _parse_cmap(stream: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap's bfchar + bfrange sections into a
+    glyph-code → text map. Targets are UTF-16BE hex (surrogate pairs
+    decode to their astral codepoint); bfrange supports both the
+    `<lo> <hi> <dstbase>` increment form and the `<lo> <hi> [<d0> …]`
+    array form."""
+    import re
+
+    cmap: dict[int, str] = {}
+
+    def u16(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", stream, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(src, 16)] = u16(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", stream, re.S):
+        for lo, hi, dst, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+            m.group(1),
+            re.S,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst:
+                base, width = int(dst, 16), len(dst)
+                for k in range(hi_i - lo_i + 1):
+                    cmap[lo_i + k] = u16(f"{base + k:0{width}X}".encode())
+            else:
+                for k, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", arr)):
+                    if lo_i + k <= hi_i:
+                        cmap[lo_i + k] = u16(d)
+    return cmap
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, dict[int, str]]:
+    """Font-name → ToUnicode codemap for one page, reached through
+    /Resources (inline dict or indirect ref) → /Font → per-font
+    /ToUnicode stream. Fonts without a CMap are simply absent (their
+    bytes fall back to UTF-8 — the builder's non-cmap arm)."""
+    import re
+
+    res = page_body
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if m:
+        res = objs.get(int(m.group(1)), b"")
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    fonts: dict[bytes, dict[int, str]] = {}
+    if not fm:
+        return fonts
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        fbody = objs.get(int(num), b"")
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if tm:
+            fonts[name] = _parse_cmap(
+                _stream_bytes(objs.get(int(tm.group(1)), b""), objs)
+            )
+    return fonts
+
+
+def _content_text(
+    stream: bytes, fonts: dict[bytes, dict[int, str]] | None = None
+) -> str:
     """Assemble text from a content stream: literal/hex strings shown by
     Tj / ' / \" and TJ arrays (kern numbers ignored, pieces concatenated)
-    inside BT..ET; Td/TD/T* and the '/\" operators start a new line."""
+    inside BT..ET; Td/TD/T* and the '/\" operators start a new line.
+    The font selected by the last `/Name … Tf` decides decoding: a
+    /ToUnicode codemap when the font has one, UTF-8 bytes otherwise."""
     pieces: list[str] = []
-    line: list[bytes] = []
+    line: list[str] = []
     i, n = 0, len(stream)
     in_text = False
+    cur_map: dict[int, str] | None = None
+    last_name = b""
+
+    def dec(bs: bytes) -> str:
+        if cur_map is not None:
+            return "".join(cur_map.get(b, "�") for b in bs)
+        return bs.decode("utf-8", "replace")
 
     def flush_line() -> None:
         if line:
-            pieces.append(b"".join(line).decode("utf-8", "replace"))
+            pieces.append("".join(line))
             line.clear()
 
     pending: list[bytes] = []  # strings since the last operator token
     while i < n:
         c = stream[i : i + 1]
+        if c == b"/":
+            j = i + 1
+            while j < n and stream[j : j + 1] not in b" \t\r\n/<>[]()":
+                j += 1
+            last_name = stream[i + 1 : j]
+            i = j
+            continue
         if c == b"(":
             depth, j, start = 1, i + 1, i + 1
             while j < n and depth:
@@ -295,11 +547,13 @@ def _content_text(stream: bytes) -> str:
             elif op == b"ET":
                 in_text = False
                 flush_line()
+            elif op == b"Tf":
+                cur_map = (fonts or {}).get(last_name)
             elif in_text and op in (b"Tj", b"TJ"):
-                line.extend(pending)
+                line.extend(dec(p_) for p_ in pending)
             elif in_text and op in (b"'", b'"'):
                 flush_line()
-                line.extend(pending)
+                line.extend(dec(p_) for p_ in pending)
             elif in_text and op in (b"Td", b"TD", b"T*"):
                 flush_line()
             pending.clear()
@@ -337,12 +591,20 @@ def extract_pdf_text(payload: bytes) -> list[tuple[int, str]]:
     out: list[tuple[int, str]] = []
     for pageno, pid in enumerate(page_ids, start=1):
         body = objs.get(pid, b"")
-        m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-        if not m:
+        # array form first (`/Contents [3 0 R 4 0 R]`), then single ref;
+        # multiple streams concatenate with whitespace between (spec:
+        # the page's content is their concatenation)
+        ma = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+        if ma:
+            cids = [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", ma.group(1))]
+        else:
+            m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+            cids = [int(m.group(1))] if m else []
+        if not cids:
             out.append((pageno, ""))
             continue
-        stream = _stream_bytes(objs.get(int(m.group(1)), b""))
-        out.append((pageno, _content_text(stream)))
+        stream = b"\n".join(_stream_bytes(objs.get(c, b""), objs) for c in cids)
+        out.append((pageno, _content_text(stream, _page_fonts(objs, body))))
     return out
 
 

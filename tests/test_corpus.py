@@ -1421,6 +1421,37 @@ def test_gpt2_pretokenize_classic_cases(spark):
         assert "".join(got[text]) == text
 
 
+def test_gpt2_pretokenize_strips_sentinel_explicitly(spark):
+    """r12: input containing the RS sentinel U+001E is STRIPPED before
+    marking (both engine arms) — previously such chars were silently
+    dropped from the token list (excluded from every alternative),
+    breaking concatenation-losslessness invisibly; now the strip is an
+    explicit documented transform and losslessness holds exactly on
+    the stripped text."""
+    import duckdb
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        gpt2_pretokenize,
+        gpt2_pretokenize_sql,
+    )
+    from pyspark.sql import functions as F
+
+    cases = ["a\x1eb", "\x1e", "x \x1e y", "\x1e\x1eab \x1ecd"]
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r.t: r.toks
+        for r in df.select("t", gpt2_pretokenize("t").alias("toks")).collect()
+    }
+    for t in cases:
+        stripped = t.replace("\x1e", "")
+        assert "".join(got[t]) == stripped, (t, got[t])
+        # and the DuckDB twin agrees token-for-token
+        (oracle,) = duckdb.sql(
+            f"SELECT {gpt2_pretokenize_sql('?')}", params=[t]
+        ).fetchone()
+        assert list(oracle) == got[t], t
+
+
 def test_gpt2_pretokenize_fuzz_vs_lookahead_reference(spark):
     """The sentinel reformulation must equal the lookahead semantics of
     the original pattern on arbitrary input — procedural reference

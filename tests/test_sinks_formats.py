@@ -473,3 +473,80 @@ def test_pdf_build_extract_roundtrip_and_traps(spark, tmp_path):
     assert rows[("a.pdf", 1)] == pages[0] and rows[("a.pdf", 2)] == pages[1]
     assert rows[("b.pdf", 1)] == pages[2] and rows[("b.pdf", 3)] == pages[4]
     assert len(rows) == 5
+
+
+def test_pdf_indirect_length_contents_array_and_cmap():
+    """r12 PDF hardening: (a) indirect /Length (`/Length N 0 R`, the
+    integer object AFTER the stream) resolves in both the object scan
+    and the stream slicer — and raises NotImplementedError when the
+    referenced object is missing or non-integer, never slicing a wrong
+    span; (b) /Contents arrays concatenate their streams in order; (c)
+    the /ToUnicode CMap pass: a glyph-encoded build (raw string bytes
+    ≠ text — the subsetted-font trap) extracts the TRUE text through
+    bfchar + bfrange decoding, incl. astral (surrogate-pair) targets;
+    fuzzed round trips over the full option matrix."""
+    import random
+    import re as _re
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.sources.pdf import (
+        _cmap_codebook,
+        _cmap_stream,
+        _parse_cmap,
+        build_pdf_bytes,
+        extract_pdf_text,
+    )
+
+    pages = [
+        "Hello World\nsecond kerned line\nthird",
+        "Ünïcødé ✓ 𝄞 page\npair (with) \\escapes\\ and\ttabs",
+        "",
+    ]
+    for kw in (
+        {"length_indirect": True},
+        {"contents_array": True},
+        {"cmap": True},
+        {"length_indirect": True, "contents_array": True, "cmap": True},
+        {"compress": False, "cmap": True},
+    ):
+        got = extract_pdf_text(build_pdf_bytes(pages, **kw))
+        assert [t for _, t in got] == pages, kw
+
+    # the subsetted-font trap: raw bytes differ from the mapped text
+    raw = build_pdf_bytes(["Hello"], cmap=True, compress=False)
+    assert b"Hello" not in raw
+    assert [t for _, t in extract_pdf_text(raw)] == ["Hello"]
+
+    # the CMap writer emits BOTH section kinds (consecutive-codepoint
+    # runs → bfrange; singletons/astral → bfchar) and the parser
+    # round-trips the codebook exactly
+    code = _cmap_codebook(pages)
+    cm = _cmap_stream(code)
+    assert b"beginbfrange" in cm and b"beginbfchar" in cm
+    assert _parse_cmap(cm) == {v: k for k, v in code.items()}
+    # array-form bfrange parses too
+    arr = _parse_cmap(b"1 beginbfrange\n<05> <07> [<0041> <0062> <0063>]\nendbfrange")
+    assert arr == {5: "A", 6: "b", 7: "c"}
+
+    # indirect /Length traps: missing object, non-integer object
+    pdf = build_pdf_bytes(["x"], length_indirect=True)
+    with _pt.raises(NotImplementedError, match="indirect /Length"):
+        extract_pdf_text(_re.sub(rb"/Length (\d+) 0 R", rb"/Length 99 0 R", pdf))
+
+    # >250 distinct glyphs exceed the 1-byte code space honestly
+    with _pt.raises(ValueError, match="250 distinct"):
+        build_pdf_bytes(["".join(chr(0x100 + i) for i in range(260))], cmap=True)
+
+    # fuzz: every option combination round-trips random text
+    random.seed(12)
+    al = "ab(c)\\d \néü日𝄞"
+    for _ in range(60):
+        txt = "".join(random.choice(al) for _ in range(random.randrange(0, 60)))
+        kw = {
+            "compress": random.random() < 0.5,
+            "length_indirect": random.random() < 0.5,
+            "contents_array": random.random() < 0.5,
+            "cmap": random.random() < 0.5,
+        }
+        assert [t for _, t in extract_pdf_text(build_pdf_bytes([txt], **kw))] == [txt], kw

@@ -2375,6 +2375,14 @@ def test_png_codec_roundtrips_pixel_exact():
         decode_png_samples(good[:20] + b"\xff" + good[21:])
     with _pt.raises(ValueError, match="not a PNG"):
         decode_png_samples(b"BM123456")
+    # r12: truncated payload (declared chunk length overruns the bytes)
+    # raises the module's ValueError, not a struct.error from the task
+    with _pt.raises(ValueError, match="truncated PNG chunk"):
+        decode_png_samples(good[:len(good) // 2])
+    trunc = bytearray(good)
+    trunc[8:12] = struct.pack(">I", 10_000_000)  # IHDR claims 10 MB
+    with _pt.raises(ValueError, match="truncated PNG chunk"):
+        decode_png_samples(bytes(trunc))
     with _pt.raises(ValueError, match="color_type"):
         encode_png(1, 1, [0], color_type=3)
     with _pt.raises(ValueError, match="sample count"):

@@ -62,15 +62,16 @@ def attach_fake_media(df: DataFrame, id_col: str, media_type: str = "image") -> 
 DECODED_SCHEMA = "id bigint, format string, n_pixels int, feature array<double>"
 
 
-# -- real-format codecs (r10, PNG r11): pure-stdlib decode for the
-# stdlib-decodable public formats — BMP (24-bit uncompressed), PPM/PGM
+# -- real-format codecs (r10, PNG r11, JPEG r12): pure-stdlib decode
+# for the decodable public formats — BMP (24-bit uncompressed), PPM/PGM
 # (P6/P5 binary, maxval ≤ 255), WAV (16-bit PCM via the `wave` module),
-# and PNG (8-bit gray/RGB/gray+alpha/RGBA non-interlaced: zlib IDAT
-# inflate + the five per-row unfilters — the most common lossless crawl
-# format, and the one "real codec" stdlib zlib makes honest). JPEG/MP3
-# still raise in strict mode: faking an entropy-coded codec would be
-# dishonest, and those libraries aren't in this container. Encoders are
-# provided for the same formats (round-trip pytest substrate + sinks).
+# PNG (8-bit gray/RGB/gray+alpha/RGBA non-interlaced: zlib IDAT
+# inflate + the five per-row unfilters), and baseline-sequential JPEG
+# (r12 — the majority crawl image format: pure-integer Huffman +
+# dequant + scaled-int64 IDCT, see the JPEG section below). MP3/MP4
+# still raise in strict mode: faking those codecs would be dishonest,
+# and the libraries aren't in this container. Encoders are provided
+# for the same formats (round-trip pytest substrate + sinks).
 
 
 def encode_bmp(width: int, height: int, gray_pixels: list[int]) -> bytes:
@@ -356,6 +357,686 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, pixels
 
 
+# -- baseline JPEG codec (r12) -----------------------------------------------
+# Pure-integer baseline-sequential JPEG (ITU-T T.81): canonical Huffman
+# entropy coding, zigzag run-length, dequant, and a scaled-integer
+# 2-D DCT/IDCT basis (the `phash_cos_table` quantized-cosine
+# discipline: one int64 table, products accumulated exactly, ONE
+# rounding shift) — so decode is bit-deterministic on every platform
+# and the encoder can state its own reconstruction closed-form: the
+# quantized coefficients round-trip losslessly through the entropy
+# coder, and both sides run the IDENTICAL IDCT. Constant 8×8 blocks
+# (the closed-form-oracle substrate) reconstruct EXACTLY at quality
+# 100: DC basis row sums make |error| < 0.03 of a pixel step — proven
+# in-range for all 256 levels, pytest-pinned. Sampling 4:4:4 / 4:2:2 /
+# 4:2:0 / grayscale (factors ≤ 2); chroma box-downsample on encode,
+# pixel-replicate upsample on decode; restart markers supported both
+# ways. Progressive (SOF2), arithmetic (SOF9/11), lossless/hierarchical
+# SOFs, 12-bit precision, and 16-bit quant tables raise
+# NotImplementedError honestly.
+
+_JPEG_BASIS_SHIFT = 13  # basis scale; 2-D products carry 2×13 = 26 bits
+_jpeg_T_cache = None
+
+
+def _jpeg_T():
+    """Int64 DCT-II basis: T[u,x] = round(2^13 · C(u)/2 · cos((2x+1)uπ/16)),
+    C(0)=1/√2 else 1 — so Σ T[u,x]T[v,y]·s[x,y] = 2^26·F[u,v]."""
+    global _jpeg_T_cache
+    if _jpeg_T_cache is None:
+        import math
+
+        import numpy as np
+
+        T = np.zeros((8, 8), dtype=np.int64)
+        for u in range(8):
+            cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            for x in range(8):
+                T[u, x] = round(
+                    (1 << _JPEG_BASIS_SHIFT) * cu / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                )
+        _jpeg_T_cache = T
+    return _jpeg_T_cache
+
+
+def _jpeg_rdiv(a, shift: int):
+    """Round-half-up divide by 2^shift on int64 (arithmetic shift of the
+    offset sum — floor((a + 2^(s-1)) / 2^s), deterministic for negatives)."""
+    return (a + (1 << (shift - 1))) >> shift
+
+
+#: zigzag order: position k → (row, col); odd anti-diagonals walk row-
+#: increasing, even ones row-decreasing (the T.81 figure A.6 order)
+_JPEG_ZIGZAG = [
+    (r, s - r)
+    for s in range(15)
+    for r in (range(s + 1) if s % 2 == 1 else range(s, -1, -1))
+    if 0 <= s - r < 8 and 0 <= r < 8
+]
+_JPEG_ZIGZAG_FLAT = [r * 8 + c for r, c in _JPEG_ZIGZAG]
+
+
+def jpeg_quant_tables(quality: int = 100):
+    """(luminance, chrominance) 8×8 quant tables at a libjpeg-style
+    quality scaling of this codec's own frequency-ramp base tables
+    (1+2(u+v) luma, 1+3(u+v) chroma). quality=100 → all ones (the
+    closed-form-exact setting); decode always uses whatever DQT the
+    file carries, so foreign tables work unchanged."""
+    import numpy as np
+
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    idx = np.add.outer(np.arange(8), np.arange(8))
+    lum, chrom = 1 + 2 * idx, 1 + 3 * idx
+    def s(base):
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+    return s(lum), s(chrom)
+
+
+#: Huffman table shapes — valid canonical BITS/HUFFVAL pairs of this
+#: codec's choosing (any valid table may ride in DHT; the decoder reads
+#: whatever the file declares). DC: variable-length 12-symbol tables
+#: (Kraft < 1); AC: the full 162-symbol alphabet (EOB, (run,size)
+#: run∈0..15 size∈1..10, ZRL) uniformly at 8 bits (codes 0..161 — the
+#: all-ones 8-bit code stays unused, as T.81 prefers).
+_JPEG_DC_BITS_0 = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_BITS_1 = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0xF0]
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 C.2): symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_lut(bits: list[int], vals: list[int]) -> list:
+    """16-bit-peek decode LUT: lut[next16bits] = (symbol, code_length)."""
+    lut: list = [None] * 65536
+    for sym, (code, ln) in _huff_encode_map(bits, vals).items():
+        base = code << (16 - ln)
+        for suffix in range(1 << (16 - ln)):
+            lut[base + suffix] = (sym, ln)
+    return lut
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing; restart
+    markers are appended unstuffed via `marker` after a 1-padded flush."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, m: int) -> None:
+        self.buf += bytes((0xFF, m))
+
+
+class _JpegBitReader:
+    """MSB-first reader over a destuffed entropy segment; reads past
+    the end return 1-bits (the padding convention)."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            b = self.d[self.i] if self.i < len(self.d) else 0xFF
+            self.i += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def decode(self, lut: list):
+        """Huffman-decode one symbol via a 16-bit-peek LUT (fused
+        peek+skip — the entropy loop's hot path)."""
+        if self.n < 16:
+            self._fill(16)
+        hit = lut[(self.acc >> (self.n - 16)) & 0xFFFF]
+        if hit is None:
+            raise ValueError("invalid JPEG Huffman code")
+        self.n -= hit[1]
+        self.acc &= (1 << self.n) - 1
+        return hit[0]
+
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.skip(k)
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to the signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+_JPEG_SAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _jpeg_plane_blocks(plane, q, T):
+    """Forward path for one padded component plane: level shift → exact
+    int64 2-D DCT (one einsum, one rounding shift) → round-half-away
+    quantize. Returns (by, bx, 8, 8) int64 quantized coefficients."""
+    import numpy as np
+
+    H, W = plane.shape
+    B = (
+        plane.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.int64)
+        - 128
+    )
+    Fq = _jpeg_rdiv(np.einsum("ux,mnxy,vy->mnuv", T, B, T), 2 * _JPEG_BASIS_SHIFT)
+    return np.sign(Fq) * ((np.abs(Fq) + q // 2) // q)
+
+
+def _jpeg_idct_blocks(deq):
+    """Int64 IDCT of (…, 8, 8) dequantized coefficient blocks → clipped
+    0-255 sample blocks (one einsum, ONE rounding shift — bit-
+    deterministic everywhere)."""
+    import numpy as np
+
+    T = _jpeg_T()
+    S = _jpeg_rdiv(
+        np.einsum("ux,...uv,vy->...xy", T, deq, T), 2 * _JPEG_BASIS_SHIFT
+    ) + 128
+    np.clip(S, 0, 255, out=S)
+    return S
+
+
+def _jpeg_planes_to_samples(planes, factors, width: int, height: int):
+    """Shared reconstruction tail (decoder AND the encoder's
+    `return_expected` run this same code): replicate-upsample each
+    component plane → crop → YCbCr→RGB (16-bit fixed point; equal-RGB
+    pixels round-trip exactly since the Y row sums to 65536 and
+    Cb=Cr=128 contribute zero). Returns the interleaved row-major
+    sample list."""
+    import numpy as np
+
+    max_h = max(fh for fh, _ in factors)
+    max_v = max(fv for _, fv in factors)
+    cropped = []
+    for plane, (fh, fv) in zip(planes, factors):
+        up = np.repeat(np.repeat(plane, max_v // fv, axis=0), max_h // fh, axis=1)
+        cropped.append(up[:height, :width].astype(np.int64))
+    if len(cropped) == 1:
+        return cropped[0].reshape(-1).tolist()
+    Y, Cb, Cr = cropped
+    cb, cr = Cb - 128, Cr - 128
+    R = Y + ((91881 * cr + 32768) >> 16)
+    G = Y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+    B = Y + ((116130 * cb + 32768) >> 16)
+    rgb = np.stack([R, G, B], axis=-1)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.reshape(-1).tolist()
+
+
+def _jpeg_reconstruct(coeffs, qtabs, factors, width: int, height: int):
+    """Whole-plane reconstruction from quantized coefficients (the
+    encoder's `return_expected` path; the decoder streams the same
+    IDCT per MCU row instead — same kernels, bounded memory)."""
+    planes = []
+    for C, q, (fh, fv) in zip(coeffs, qtabs, factors):
+        S = _jpeg_idct_blocks(C * q)
+        by, bx = S.shape[0], S.shape[1]
+        planes.append(S.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _jpeg_planes_to_samples(planes, factors, width, height)
+
+
+def _jpeg_pad_plane(plane, H: int, W: int):
+    """Edge-replicate a component plane out to the (H, W) block grid."""
+    import numpy as np
+
+    h, w = plane.shape
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _jpeg_encode_block(bw, zz: list[int], pred: int, dc_map, ac_map) -> int:
+    """Entropy-encode one zigzag block (T.81 F.1.2): DC diff category +
+    bits, AC (run,size) with ZRL folding and EOB."""
+    diff = zz[0] - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_map[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, l2 = ac_map[0xF0]
+            bw.write(c, l2)
+            run -= 16
+        sz = abs(v).bit_length()
+        c, l2 = ac_map[(run << 4) | sz]
+        bw.write(c, l2)
+        bw.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+        run = 0
+    if run:
+        c, l2 = ac_map[0x00]
+        bw.write(c, l2)
+    return zz[0]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    samples: list[int],
+    channels: int = 1,
+    quality: int = 100,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+    return_expected: bool = False,
+):
+    """Encode row-major samples (gray, or interleaved RGB) as a
+    baseline-sequential JFIF JPEG: integer forward DCT, this codec's
+    quality-scaled quant tables, canonical Huffman (variable-length DC
+    tables + the uniform 8-bit AC alphabet), MCU-interleaved scan with
+    optional restart markers. `return_expected=True` also returns the
+    pixel list `decode_jpeg_samples` MUST produce — computed by running
+    the decoder's own reconstruction on the encoder's quantized
+    coefficients (the entropy coder is lossless, so this is exact, not
+    a tolerance)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(samples) != width * height * channels:
+        raise ValueError("sample count != width*height*channels")
+    if channels == 1:
+        factors = [(1, 1)]
+    else:
+        if subsampling not in _JPEG_SAMPLING:
+            raise ValueError(f"subsampling must be one of {sorted(_JPEG_SAMPLING)}")
+        factors = _JPEG_SAMPLING[subsampling]
+    lum_q, chr_q = jpeg_quant_tables(quality)
+    qtabs = [lum_q] + [chr_q] * (channels - 1)
+    max_h = max(fh for fh, _ in factors)
+    max_v = max(fv for _, fv in factors)
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+
+    arr = np.asarray(samples, dtype=np.int64).reshape(height, width, channels)
+    if channels == 1:
+        comp_planes = [arr[:, :, 0]]
+    else:
+        R, G, B = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        Y = (19595 * R + 38470 * G + 7471 * B + 32768) >> 16
+        Cb = 128 + ((-11059 * R - 21709 * G + 32768 * B + 32768) >> 16)
+        Cr = 128 + ((32768 * R - 27439 * G - 5329 * B + 32768) >> 16)
+        comp_planes = [
+            np.clip(p, 0, 255) for p in (Y, Cb, Cr)
+        ]
+    T = _jpeg_T()
+    coeffs = []
+    for plane, q, (fh, fv) in zip(comp_planes, qtabs, factors):
+        sh, sv = max_h // fh, max_v // fv
+        if sh > 1 or sv > 1:
+            # box-downsample with round-half-up; pad to even dims first
+            H, W = plane.shape
+            p2 = _jpeg_pad_plane(plane, -(-H // sv) * sv, -(-W // sh) * sh)
+            plane = _jpeg_rdiv(
+                p2.reshape(p2.shape[0] // sv, sv, p2.shape[1] // sh, sh)
+                .sum(axis=(1, 3)),
+                (sh * sv).bit_length() - 1,
+            )
+        padded = _jpeg_pad_plane(plane, mcus_y * fv * 8, mcus_x * fh * 8)
+        coeffs.append(_jpeg_plane_blocks(padded, q, T))
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate([lum_q] + ([chr_q] if channels == 3 else [])):
+        body = bytes([tid]) + bytes(int(q[r, c]) for r, c in _JPEG_ZIGZAG)
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([channels])
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0x00, _JPEG_DC_BITS_0, _JPEG_DC_VALS), (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)]
+    if channels == 3:
+        tables += [(0x01, _JPEG_DC_BITS_1, _JPEG_DC_VALS), (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS)]
+    for tc, bits, vals in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([channels])
+    for ci in range(channels):
+        dc_id = 0 if ci == 0 else 1
+        ac_id = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (dc_id << 4) | ac_id])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    # ---- entropy-coded scan ----
+    dc0 = _huff_encode_map(_JPEG_DC_BITS_0, _JPEG_DC_VALS)
+    dc1 = _huff_encode_map(_JPEG_DC_BITS_1, _JPEG_DC_VALS)
+    ac = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    enc_tabs = [(dc0, ac)] + [(dc1, ac)] * (channels - 1)
+    zzflat = _JPEG_ZIGZAG_FLAT
+    bw = _JpegBitWriter()
+    preds = [0] * channels
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0] * channels
+        my, mx = divmod(m, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            dcm, acm = enc_tabs[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    block = coeffs[ci][my * fv + by, mx * fh + bx].reshape(-1)
+                    zz = [int(block[z]) for z in zzflat]
+                    preds[ci] = _jpeg_encode_block(bw, zz, preds[ci], dcm, acm)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    payload = bytes(out)
+    if not return_expected:
+        return payload
+    expected = _jpeg_reconstruct(coeffs, qtabs, factors, width, height)
+    return payload, expected
+
+
+def _jpeg_entropy_segments(data: bytes, start: int):
+    """Split the scan's entropy-coded bytes into restart segments:
+    destuff 0xFF00, cut at RST0-7, stop at any other marker."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = start, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+            continue
+        break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a baseline-sequential JPEG → (width, height, channels,
+    row-major samples) — gray for 1 component, interleaved RGB for 3.
+    Huffman tables, quant tables, sampling factors (≤ 2), and restart
+    intervals all come from the file; progressive / arithmetic /
+    lossless / hierarchical SOFs, 12-bit precision, 16-bit quant
+    tables, 4:1:1-class factors, and non-interleaved multi-scan files
+    raise NotImplementedError; structural corruption raises ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], list] = {}  # (class, id) -> decode LUT
+    frame = None  # (h, w, [(cid, fh, fv, tq)])
+    dri = 0
+    i, n = 2, len(payload)
+    while i < n:
+        if i + 2 > n:
+            raise ValueError("truncated JPEG (mid-marker)")
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        m = payload[i + 1]
+        i += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # TEM / stray RST: parameterless
+        if m == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        L = int.from_bytes(payload[i : i + 2], "big")
+        if L < 2 or i + L > n:
+            raise ValueError("truncated JPEG marker segment")
+        seg = payload[i + 2 : i + L]
+        if m in _JPEG_SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_JPEG_SOF_UNSUPPORTED[m]} is not supported (baseline only)"
+            )
+        if m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp or w == 0 or h == 0:
+                raise ValueError("truncated/invalid SOF segment")
+            if w * h > 1 << 28:  # 268 MP sanity cap (corrupt-dims guard)
+                raise ValueError(f"JPEG dimensions {w}x{h} exceed supported size")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq_id = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT table")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + k]
+                qt[tq_id] = tbl
+                p += 65
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or p + 17 + nv > len(seg):
+                    raise ValueError("truncated DHT table")
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _huff_decode_lut(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            h, w, comps = frame
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved JPEG scan")
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cs] = (tt >> 4, tt & 0xF)
+            i += L
+            return _jpeg_decode_scan(payload, i, frame, qt, huff, scan_tabs, dri)
+        # APPn / COM / others: skip
+        i += L
+    raise ValueError("no SOS marker (truncated JPEG)")
+
+
+def _jpeg_decode_scan(payload, pos, frame, qt, huff, scan_tabs, dri):
+    """Entropy-decode the interleaved scan and reconstruct pixels."""
+    import numpy as np
+
+    h, w, comps = frame
+    if any(fh not in (1, 2) or fv not in (1, 2) for _, fh, fv, _ in comps):
+        raise NotImplementedError("JPEG sampling factors > 2 (4:1:1-class)")
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]  # single-comp scan: 8×8 MCU
+    factors = [(fh, fv) for _, fh, fv, _ in comps]
+    max_h = max(fh for fh, _ in factors)
+    max_v = max(fv for _, fv in factors)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    try:
+        qtabs = [qt[tq] for _, _, _, tq in comps]
+        luts = [
+            (huff[(0, scan_tabs[cid][0])], huff[(1, scan_tabs[cid][1])])
+            for cid, _, _, _ in comps
+        ]
+    except KeyError as e:
+        raise ValueError(f"JPEG references undefined table {e}") from e
+    # pixel planes at component resolution (uint8 — bounded memory even
+    # for multi-megapixel files); coefficients live only for one MCU row
+    planes = [
+        np.zeros((mcus_y * fv * 8, mcus_x * fh * 8), dtype=np.uint8)
+        for fh, fv in factors
+    ]
+    rowbufs = [
+        np.zeros((fv, mcus_x * fh, 64), dtype=np.int64) for fh, fv in factors
+    ]
+    segs, _ = _jpeg_entropy_segments(payload, pos)
+    zzflat = _JPEG_ZIGZAG_FLAT
+    seg_idx = 0
+    rd = _JpegBitReader(segs[0])
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+
+    def flush_row(my: int) -> None:
+        for ci, (fh, fv) in enumerate(factors):
+            S = _jpeg_idct_blocks(
+                rowbufs[ci].reshape(fv, mcus_x * fh, 8, 8) * qtabs[ci]
+            )
+            band = S.transpose(0, 2, 1, 3).reshape(fv * 8, mcus_x * fh * 8)
+            planes[ci][my * fv * 8 : (my + 1) * fv * 8] = band
+            rowbufs[ci][:] = 0
+
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            rd = _JpegBitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            dc_lut, ac_lut = luts[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    s = rd.decode(dc_lut)
+                    if s > 15:
+                        raise ValueError("invalid JPEG DC size category")
+                    diff = _jpeg_extend(rd.read(s), s) if s else 0
+                    preds[ci] += diff
+                    block = rowbufs[ci][by, mx * fh + bx]
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = rd.decode(ac_lut)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, sz = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        block[zzflat[k]] = _jpeg_extend(rd.read(sz), sz)
+                        k += 1
+        if mx == mcus_x - 1:
+            flush_row(my)
+    samples = _jpeg_planes_to_samples(planes, factors, w, h)
+    return w, h, len(comps), samples
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
+    """`_IMAGE_DECODERS` arm: decode to (width, height, row-major gray
+    pixels) — gray passthrough for 1 component, (r+g+b)//3 for RGB
+    (the BMP/PNM/PNG gray convention)."""
+    width, height, ch, samples = decode_jpeg_samples(payload)
+    if ch == 1:
+        return width, height, samples
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int64).reshape(-1, 3)
+    return width, height, (a.sum(axis=1) // 3).tolist()
+
+
 def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
     """Encode 16-bit PCM samples (interleaved if channels > 1) as WAV."""
     import io
@@ -414,6 +1095,7 @@ _IMAGE_DECODERS = {
     "ppm": decode_pnm,
     "pgm": decode_pnm,
     "png": decode_png,
+    "jpeg": decode_jpeg,
 }
 
 
@@ -439,14 +1121,17 @@ def decode_media(
 ) -> DataFrame:
     """Decode payloads to fixed-dim features via Arrow-batched mapInPandas.
 
-    REAL formats decoded pure-stdlib (r10; png r11): `bmp` (24-bit
-    uncompressed), `ppm`/`pgm` (binary P6/P5), `png` (8-bit
-    gray/RGB/±alpha non-interlaced), `wav` (16-bit PCM) — pixel/sample
-    equality round-trip pytest-gated. The feature is `feature_dim`
-    equal-span chunk means of the gray pixels / 255 (images) or the
-    samples / 32768 (audio); `n_pixels` counts pixels or frames. The
-    synthetic `fake` format keeps its digest decode. Entropy-coded
-    formats (jpeg/mp3/mp4) have no codec in this container:
+    REAL formats decoded pure-stdlib (r10; png r11; jpeg r12): `bmp`
+    (24-bit uncompressed), `ppm`/`pgm` (binary P6/P5), `png` (8-bit
+    gray/RGB/±alpha non-interlaced), `jpeg` (baseline-sequential,
+    integer Huffman+dequant+IDCT — the majority crawl image format),
+    `wav` (16-bit PCM) — pixel/sample equality round-trip pytest-gated
+    (JPEG against the encoder's exact predicted reconstruction). The
+    feature is `feature_dim` equal-span chunk means of the gray
+    pixels / 255 (images) or the samples / 32768 (audio); `n_pixels`
+    counts pixels or frames. The synthetic `fake` format keeps its
+    digest decode. Formats with no codec in this container (mp3/mp4;
+    progressive/arithmetic JPEG raises inside the jpeg arm):
     strict=True raises NotImplementedError, strict=False drops those
     rows — honestly, never faking a decode.
     """
@@ -592,6 +1277,51 @@ def attach_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
                 rows.append(
                     (i, payload, ("image", "png", w, h, None, 1, None))
                 )
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """`attach_synthetic_png`'s JPEG sibling (r12): REAL baseline
+    `encode_jpeg` payloads with CLOSED-FORM content — every pixel of
+    image i is gray g = id%200+10 (gray or equal-RGB), so every 8×8
+    block is constant and quality-100 decode is EXACT (the constant-
+    block fixed point: DC-only blocks, all-ones quant tables, equal-RGB
+    → Y=g, Cb=Cr=128 which subsample and convert back losslessly).
+    Cycles channels by id%2 (gray / RGB), subsampling by id%3 over
+    4:4:4 / 4:2:2 / 4:2:0, and restart_interval by id%3 — one
+    oracle-checked query walks every MCU layout, chroma pipeline, and
+    restart path while the decode output stays statable in SQL (chunk
+    means g/255, n_pixels = w·h). Pixel-VARYING content is round-trip
+    gated in pytest via `return_expected`."""
+    import pandas as pd
+
+    samplings = ["444", "422", "420"]
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def synth(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w, h = i % 6 + 3, i % 5 + 3
+                g = i % 200 + 10
+                ch = 1 if i % 2 == 0 else 3
+                payload = encode_jpeg(
+                    w,
+                    h,
+                    [g] * (w * h * ch),
+                    channels=ch,
+                    quality=100,
+                    subsampling=samplings[i % 3],
+                    restart_interval=i % 3,
+                )
+                rows.append((i, payload, ("image", "jpeg", w, h, None, 1, None)))
             yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
 
     return df.select(id_col).mapInPandas(synth, schema)

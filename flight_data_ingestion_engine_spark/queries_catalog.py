@@ -12799,6 +12799,48 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "media_decode_jpeg",
+    """
+    SELECT doc_id, 'jpeg' AS format,
+           CAST((doc_id % 6 + 3) * (doc_id % 5 + 3) AS INTEGER) AS n_pixels,
+           CAST(i.i AS BIGINT) AS dim_idx,
+           (doc_id % 200 + 10) / 255.0 AS value
+    FROM documents, (SELECT unnest(range(8)) AS i) i
+    WHERE doc_id < 400
+    """,
+)
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG decode (operators/multimodal.py::encode_jpeg/
+    decode_jpeg, r12 — pure-integer Huffman + dequant + scaled-int64
+    IDCT): payloads are REAL baseline-sequential JPEGs with closed-form
+    constant-gray content, cycling gray/RGB channels (id%2), 4:4:4 /
+    4:2:2 / 4:2:0 subsampling and the restart interval (id%3), decoded
+    back through the same Arrow mapInPandas codec path as the other
+    real formats. Constant 8×8 blocks are exact fixed points of the
+    quality-100 codec (DC-only blocks, all-ones quant, equal-RGB →
+    Cb=Cr=128), so the oracle states the decode output closed-form
+    (chunk means g/255, n_pixels = w·h) — a Huffman, zigzag, dequant,
+    IDCT, upsample, or color-convert bug value-breaks the match;
+    pixel-VARYING content (nonzero AC coefficients, every quality
+    tier) is gated in pytest against the encoder's exact predicted
+    reconstruction."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        decode_media,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 400)
+    )
+    media = attach_synthetic_jpeg(docs, id_col="doc_id")
+    decoded = decode_media(media, id_col="doc_id")
+    return decoded.select(
+        "doc_id", "format", "n_pixels",
+        F.posexplode("feature").alias("dim_idx", "value"),
+    )
+
+
+@_q(
     "streaming_rank_quantiles",
     """
     WITH base AS (

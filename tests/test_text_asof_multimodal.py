@@ -277,20 +277,21 @@ def test_decode_media_real_formats_spark_path(spark):
             assert r.n_pixels == w * h
             assert all(abs(x - g) < 1e-15 for x in r.feature)
 
-    # a jpeg row: dropped when lax, NotImplementedError when strict
-    jpeg = attach_fake_media(spark.range(3), "id").withColumn(
+    # an mp3 row (still codec-less — jpeg got a real decoder in r12):
+    # dropped when lax, NotImplementedError when strict
+    mp3 = attach_fake_media(spark.range(3), "id").withColumn(
         "media_meta",
         F.struct(
-            F.lit("image").alias("media_type"), F.lit("jpeg").alias("format"),
+            F.lit("audio").alias("media_type"), F.lit("mp3").alias("format"),
             F.lit(4).alias("width"), F.lit(4).alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(1).alias("n_frames"),
             F.lit(None).cast("double").alias("duration_s"),
         ),
     )
-    assert decode_media(jpeg, "id").count() == 0
-    with _pytest.raises(Exception, match="no codec for format='jpeg'"):
-        decode_media(jpeg, "id", strict=True).collect()
+    assert decode_media(mp3, "id").count() == 0
+    with _pytest.raises(Exception, match="no codec for format='mp3'"):
+        decode_media(mp3, "id", strict=True).collect()
 
 
 def test_canonical_url_variants(spark):
@@ -2387,6 +2388,134 @@ def test_png_codec_roundtrips_pixel_exact():
         encode_png(1, 1, [0], color_type=3)
     with _pt.raises(ValueError, match="sample count"):
         encode_png(2, 2, [0, 0, 0])
+
+
+def test_jpeg_codec_roundtrips_and_traps():
+    """r12 baseline JPEG codec: (a) constant images (the closed-form
+    oracle substrate) decode EXACTLY at quality 100 across gray/RGB ×
+    4:4:4/4:2:2/4:2:0 × all gray levels; (b) arbitrary content at
+    every quality/subsampling/restart combination decodes to the
+    encoder's predicted reconstruction EXACTLY (the entropy coder is
+    lossless; both sides run the identical integer IDCT); (c) fidelity
+    sanity: a smooth gradient at q=100 is lossless and q=75 stays
+    within 2 levels (catches self-consistent-but-wrong transforms);
+    (d) honest raises: progressive/arithmetic SOFs, 16-bit DQT,
+    truncation, non-JPEG bytes — and corruption fuzz never leaks a
+    non-ValueError/NotImplementedError exception."""
+    import random
+
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_samples,
+        encode_jpeg,
+        jpeg_quant_tables,
+    )
+
+    # quality 100 → all-ones tables (the exactness precondition)
+    lum, chrom = jpeg_quant_tables(100)
+    assert lum.min() == lum.max() == 1 and chrom.min() == chrom.max() == 1
+
+    for g in (0, 1, 128, 254, 255):
+        for w, h in ((8, 8), (5, 3), (17, 9)):
+            px = [g] * (w * h)
+            assert decode_jpeg_samples(
+                encode_jpeg(w, h, px, channels=1, quality=100)
+            ) == (w, h, 1, px)
+    for g in (10, 200):
+        for samp in ("444", "422", "420"):
+            for w, h in ((16, 16), (7, 5), (18, 11)):
+                px = [g] * (w * h * 3)
+                assert decode_jpeg_samples(
+                    encode_jpeg(w, h, px, channels=3, quality=100, subsampling=samp)
+                ) == (w, h, 3, px), (g, samp, w, h)
+
+    random.seed(7)
+    for trial in range(40):
+        ch = random.choice([1, 3])
+        w, h = random.randrange(1, 25), random.randrange(1, 20)
+        q = random.choice([100, 90, 75, 50, 25, 5])
+        samp = random.choice(["444", "422", "420"])
+        ri = random.choice([0, 1, 2, 5])
+        px = [random.randrange(256) for _ in range(w * h * ch)]
+        payload, exp = encode_jpeg(
+            w, h, px, channels=ch, quality=q, subsampling=samp,
+            restart_interval=ri, return_expected=True,
+        )
+        assert decode_jpeg_samples(payload) == (w, h, ch, exp), (
+            trial, ch, w, h, q, samp, ri,
+        )
+
+    # fidelity vs the ORIGINAL pixels (not just self-consistency)
+    w, h = 32, 24
+    grad = [((x * 5 + y * 3) // 2) % 256 for y in range(h) for x in range(w)]
+    got100 = decode_jpeg_samples(encode_jpeg(w, h, grad, channels=1, quality=100))[3]
+    assert got100 == grad  # lossless on the gradient at q=100
+    got75 = decode_jpeg_samples(encode_jpeg(w, h, grad, channels=1, quality=75))[3]
+    assert max(abs(a - b) for a, b in zip(grad, got75)) <= 2
+
+    # gray arm matches the (r+g+b)//3 convention
+    px = [5] * (9 * 4 * 3)
+    assert decode_jpeg(
+        encode_jpeg(9, 4, px, channels=3, quality=100, subsampling="444")
+    ) == (9, 4, [5] * 36)
+
+    good = encode_jpeg(8, 8, [100] * 64, channels=1)
+    with _pt.raises(NotImplementedError, match="progressive"):
+        decode_jpeg_samples(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with _pt.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_samples(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    i = good.find(b"\xff\xdb")
+    bad = bytearray(good)
+    bad[i + 4] = 0x10  # Pq=1: 16-bit quant table
+    with _pt.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg_samples(bytes(bad))
+    with _pt.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_samples(b"PNG not jpeg")
+    with _pt.raises(ValueError):
+        decode_jpeg_samples(good[:40])
+
+    # corruption fuzz: only the module's exception types may escape
+    random.seed(9)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(random.randrange(1, 4)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        try:
+            decode_jpeg_samples(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_decode_media_jpeg_spark_path(spark):
+    """JPEG rides the same Arrow decode path as the other real formats:
+    synthetic constant-gray JPEGs (gray/RGB × all subsamplings ×
+    restart intervals) decode through decode_media to the closed-form
+    chunk means g/255, and sniff_format identifies the payload."""
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_synthetic_jpeg,
+        decode_media,
+    )
+
+    df = spark.range(40).withColumnRenamed("id", "doc_id")
+    media = attach_synthetic_jpeg(df, id_col="doc_id")
+    out = decode_media(media, id_col="doc_id", strict=True).collect()
+    assert len(out) == 40
+    for r in out:
+        i = r.doc_id
+        assert r.format == "jpeg"
+        assert r.n_pixels == (i % 6 + 3) * (i % 5 + 3)
+        g = i % 200 + 10
+        assert all(abs(v - g / 255.0) < 1e-12 for v in r.feature), (i, r.feature)
+
+    # magic sniffing sees FFD8FF
+    from flight_data_ingestion_engine_spark.operators.multimodal import sniff_format
+
+    sniffed = sniff_format(media, bytes_col="media_bytes").select("sniffed_format")
+    assert {r.sniffed_format for r in sniffed.collect()} == {"jpeg"}
 
 
 def test_decode_media_png_spark_path(spark):

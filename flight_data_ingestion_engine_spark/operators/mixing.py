@@ -879,6 +879,7 @@ def lang_classifier_predict(
     buckets: int = 4096,
     n_lo: int = 1,
     n_hi: int = 3,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Predict each document's language under the per-class NB model:
     `(<id_col>, n_grams, lang, score_bits)` — score_bits is the class's
@@ -898,7 +899,35 @@ def lang_classifier_predict(
     argmin window over ≤ classes rows. Training corpora are never
     rescanned at prediction time. Documents with zero grams after
     normalization drop out (the `dsir_weights` contract); n_grams counts
-    gram occurrences (identical across classes)."""
+    gram occurrences (identical across classes).
+
+    Two arms, row-identical by construction (pytest-gated — the
+    `bpe_encode` two-arm discipline):
+
+    - `method="catalyst"` (default, the oracle arm): the explode +
+      broadcast-join + keyed-agg plan above — engine-portable, DuckDB
+      replays it, but it materializes ~(n_hi−n_lo+1)·len(text) gram
+      rows per document (the most expensive scale envelope of r11:
+      ~430 µs/row).
+    - `method="arrow"` is the PRODUCTION arm for full-corpus relabels:
+      one Arrow-batched mapInPandas stage with the classes×buckets
+      int64 weight MATRIX collected once into the executor closure
+      (4096 buckets × C classes ≈ tens of KB — broadcast-by-closure,
+      the `bpe_encode(method="arrow")` precedent). Per doc: Python
+      normalize (the same lowercase/ws-collapse rule), char-gram walk
+      with a per-executor gram→bucket md5 cache (Zipfian gram
+      distribution → the md5 cost collapses), then one vectorized
+      score: `W[:, buckets].sum(1)` for short docs, `W @ bincount`
+      for long ones. `np.argmin` returns the FIRST minimum and the
+      class axis is sorted, so tie-breaking (lang ascending) matches
+      the window arm bit-for-bit. Zero shuffle — a narrow projection
+      instead of explode+join+agg+window."""
+    if method not in ("catalyst", "arrow"):
+        raise ValueError(f"unknown lang_classifier_predict method: {method!r}")
+    if method == "arrow":
+        return _lang_classifier_predict_arrow(
+            df, weights, id_col, text_col, buckets, n_lo, n_hi
+        )
     from pyspark.sql.window import Window
 
     w = weights.select("lang", "bucket", "bits")
@@ -921,6 +950,92 @@ def lang_classifier_predict(
     )
 
 
+def _lang_classifier_predict_arrow(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    n_lo: int,
+    n_hi: int,
+) -> DataFrame:
+    """`lang_classifier_predict`'s Arrow production arm — see its
+    docstring. The weight matrix is collected HERE (classes×buckets
+    rows, broadcastable by contract); `lang_classifier_weights` fully
+    materializes the grid, so absent pairs (a foreign weights frame)
+    default to 0 bits."""
+    import re as _re
+
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = weights.select("lang", "bucket", "bits").collect()
+    langs = sorted({r.lang for r in rows})
+    if not langs:
+        raise ValueError("empty weights frame")
+    lidx = {l: i for i, l in enumerate(langs)}
+    W = np.zeros((len(langs), buckets), dtype=np.int64)
+    for r in rows:
+        W[lidx[r.lang], r.bucket] = r.bits
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_grams bigint, lang string, score_bits bigint"
+    ws_re = _re.compile("[ \t\n\r\f]+")
+    ns = list(range(n_lo, n_hi + 1))
+
+    def score_parts(it: _Iterator["pd.DataFrame"]) -> _Iterator["pd.DataFrame"]:
+        import hashlib
+
+        cache: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = cache.get(g)
+            if b is None:
+                b = cache[g] = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    % buckets
+                )
+            return b
+
+        for pdf in it:
+            out_id, out_n, out_lang, out_bits = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                t = ws_re.sub(" ", t.lower()).strip(" ")
+                L = len(t)
+                bl = [
+                    bucket(t[p : p + n])
+                    for n in ns
+                    for p in range(L - n + 1)
+                ]
+                if not bl:
+                    continue
+                if len(bl) < 256:
+                    scores = W[:, bl].sum(axis=1)
+                else:
+                    scores = W @ np.bincount(
+                        np.asarray(bl, dtype=np.int64), minlength=buckets
+                    )
+                best = int(np.argmin(scores))  # first min = lang asc
+                out_id.append(i)
+                out_n.append(len(bl))
+                out_lang.append(langs[best])
+                out_bits.append(int(scores[best]))
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        id_col: out_id,
+                        "n_grams": out_n,
+                        "lang": out_lang,
+                        "score_bits": out_bits,
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(score_parts, schema)
+
+
 def lang_id_two_stage(
     df: DataFrame,
     weights: DataFrame,
@@ -929,6 +1044,7 @@ def lang_id_two_stage(
     buckets: int = 4096,
     n_lo: int = 1,
     n_hi: int = 3,
+    method: str = "catalyst",
 ) -> DataFrame:
     """Two-stage language ID — the production composition (the CCNet
     shape: a free heuristic gate first, the model only where the gate
@@ -967,7 +1083,7 @@ def lang_id_two_stage(
         F.col(id_col), F.col(text_col)
     )
     cls = lang_classifier_predict(
-        blind, weights, id_col, text_col, buckets, n_lo, n_hi
+        blind, weights, id_col, text_col, buckets, n_lo, n_hi, method=method
     ).select(F.col(id_col), F.col("lang"), F.lit("classifier").alias("method"))
     return sure.unionByName(cls)
 

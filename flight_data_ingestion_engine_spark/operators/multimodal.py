@@ -450,9 +450,17 @@ _JPEG_AC_VALS = [0x00] + [
 ] + [0xF0]
 
 
+_huff_enc_cache: dict = {}
+
+
 def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical code assignment (T.81 C.2): symbol → (code, length)."""
-    out: dict[int, tuple[int, int]] = {}
+    """Canonical code assignment (T.81 C.2): symbol → (code, length).
+    Memoized like the decode LUTs."""
+    key = (tuple(bits), tuple(vals))
+    out = _huff_enc_cache.get(key)
+    if out is not None:
+        return out
+    out = {}
     code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -460,16 +468,30 @@ def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             code += 1
             k += 1
         code <<= 1
+    if len(_huff_enc_cache) < 64:
+        _huff_enc_cache[key] = out
     return out
 
 
+_huff_lut_cache: dict = {}
+
+
 def _huff_decode_lut(bits: list[int], vals: list[int]) -> list:
-    """16-bit-peek decode LUT: lut[next16bits] = (symbol, code_length)."""
-    lut: list = [None] * 65536
-    for sym, (code, ln) in _huff_encode_map(bits, vals).items():
-        base = code << (16 - ln)
-        for suffix in range(1 << (16 - ln)):
-            lut[base + suffix] = (sym, ln)
+    """16-bit-peek decode LUT: lut[next16bits] = (symbol, code_length).
+    Memoized per executor on the (bits, vals) table identity — building
+    65536 entries per image would otherwise dominate small-image decode
+    (real corpora reuse a handful of tables: every libjpeg-lineage file
+    ships the same Annex-K set)."""
+    key = (tuple(bits), tuple(vals))
+    lut = _huff_lut_cache.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        for sym, (code, ln) in _huff_encode_map(bits, vals).items():
+            base = code << (16 - ln)
+            for suffix in range(1 << (16 - ln)):
+                lut[base + suffix] = (sym, ln)
+        if len(_huff_lut_cache) < 64:  # bound executor memory
+            _huff_lut_cache[key] = lut
     return lut
 
 

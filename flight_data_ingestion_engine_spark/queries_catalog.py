@@ -11057,6 +11057,40 @@ def q_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_classifier_predict(test, weights, "doc_id")
 
 
+@_q("lang_classifier_arrow", _langcls_oracle_sql())
+def q_lang_classifier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 Arrow production arm of `lang_classifier` — same planted
+    5-script corpus, same weights, `method="arrow"`: the classes×4096
+    int64 weight matrix rides the executor closure and each document is
+    scored in ONE Arrow stage (Python gram walk with a per-executor
+    md5-bucket cache, vectorized argmin) instead of explode + broadcast
+    join + agg + window. Row-identical to the Catalyst arm by
+    construction (np.argmin first-minimum = the lang-asc tie-break;
+    pytest-gated on unicode case edges), so the SAME DuckDB oracle
+    replays it value-exactly — and the scale envelope pins the ~7.6×
+    predict-only cut (17.4 vs 132 µs/row, SCALE_BENCH r12)."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+    )
+
+    d = F.col("doc_id")
+    lang_case = F.lit(None).cast("string")
+    train_case = F.lit(None).cast("string")
+    test_case = F.lit(None).cast("string")
+    for i, l in enumerate(_LANGCLS_LANGS):
+        lang_case = F.when(d % 5 == i, F.lit(l)).otherwise(lang_case)
+        train_case = F.when(d % 5 == i, F.lit(_LANGCLS_TRAIN[l])).otherwise(train_case)
+        test_case = F.when(d % 5 == i, F.lit(_LANGCLS_TEST[l])).otherwise(test_case)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    train = docs.where(d < 50).select(lang_case.alias("lang"), train_case.alias("text"))
+    test = docs.where((d >= 100) & (d < 200)).select("doc_id", test_case.alias("text"))
+    state = lang_classifier_state(train, "lang")
+    weights = lang_classifier_weights(state)
+    return lang_classifier_predict(test, weights, "doc_id", method="arrow")
+
+
 @_q("streaming_lang_classifier", _langcls_oracle_sql())
 def q_streaming_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the language classifier's training

@@ -881,6 +881,73 @@ def test_lang_state_merge_replay_exact(spark):
                [(i, l, t) for i, (l, t) in enumerate(_LANGCLS_TEST.items())])
 
 
+def test_lang_classifier_arrow_arm_row_identical(spark):
+    """r12 Arrow production arm: `lang_classifier_predict(method=
+    "arrow")` (weight matrix in the executor closure, Python gram walk
+    with an md5 bucket cache, vectorized argmin) must return EXACTLY
+    the Catalyst arm's rows — ids, n_grams, winning lang, and
+    score_bits — on a corpus planted with the hard cases: multi-script
+    text, ties (empty-ish docs), unicode case edges (İ ß Σ), astral
+    codepoints, long docs (the bincount path), short docs (the
+    column-gather path), NULL and whitespace-only text. Routing via
+    lang_id_two_stage(method="arrow") must also match."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+        lang_id_two_stage,
+    )
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _LANGCLS_TRAIN,
+    )
+
+    train = spark.createDataFrame(
+        [(l, t) for l, t in _LANGCLS_TRAIN.items()] * 2, "lang string, text string"
+    )
+    weights = lang_classifier_weights(lang_classifier_state(train, "lang"))
+
+    docs = [
+        (0, "Привет как дела сегодня"),
+        (1, "hello there WORLD"),
+        (2, "los datos y el análisis"),
+        (3, "x"),
+        (4, "中文 文本 处理"),
+        (5, "İstanbul STRASSE ß Σίσυφος"),
+        (6, "mixed Привет hello 中文"),
+        (7, "𝄞 astral 𝒳 chars"),
+        (8, None),
+        (9, "   \t\n  "),
+        (10, "the quick brown fox " * 40),  # long: bincount path
+        (11, "и " * 300),
+    ]
+    test = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.n_grams, r.lang, r.score_bits) for r in df.collect()
+        )
+
+    cat = rows(lang_classifier_predict(test, weights, "doc_id"))
+    arr = rows(lang_classifier_predict(test, weights, "doc_id", method="arrow"))
+    assert cat == arr
+    assert len(cat) == 10  # NULL + whitespace-only drop in both arms
+
+    two_cat = sorted(
+        (r.doc_id, r.lang, r.method)
+        for r in lang_id_two_stage(test, weights, "doc_id").collect()
+    )
+    two_arr = sorted(
+        (r.doc_id, r.lang, r.method)
+        for r in lang_id_two_stage(test, weights, "doc_id", method="arrow").collect()
+    )
+    assert two_cat == two_arr
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown lang_classifier_predict method"):
+        lang_classifier_predict(test, weights, "doc_id", method="bogus")
+
+
 def test_lang_id_two_stage_routing(spark):
     """The two-stage router: stopword-decidable rows never touch the
     classifier (method='stopword'), zero-hit rows route to it

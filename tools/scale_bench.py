@@ -121,6 +121,14 @@ ABS_BUDGET_US = {
     "gpt2_pretoken": 50.0,
     "lang_classifier": 1200.0,
     "png_decode": 40.0,
+    # r12: measured big-volume rates on this box — lang_classifier_arrow
+    # 214.6 (rel 0.82; state+weights build ~70 of it — predict-only is
+    # 17.4 vs the Catalyst arm's 132, the ~7.6x Arrow-arm cut) and
+    # jpeg_decode 27.0 (rel 0.60; encode synth + full baseline decode
+    # per image — was 835 before the per-executor Huffman-LUT memo, the
+    # exact per-row-constant class this harness exists for) — ~4x
+    "lang_classifier_arrow": 900.0,
+    "jpeg_decode": 100.0,
 }
 REL_BUDGET = 2.0
 
@@ -661,6 +669,35 @@ def _ops(spark):
         decode_media(media, "id").count()
         return n
 
+    def lang_classifier_arrow_op(n):
+        # r12: the Arrow production arm of the SAME prediction (weights
+        # matrix in the closure, md5 gram cache) — the envelope pins the
+        # ~10× cut over the explode+join `lang_classifier` entry above
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            lang_classifier_predict,
+            lang_classifier_state,
+            lang_classifier_weights,
+        )
+
+        docs = synth_docs(spark, n).select(
+            F.col("id"), "text",
+            F.concat(F.lit("c"), F.pmod(F.col("id"), 3)).alias("lang"),
+        )
+        state = lang_classifier_state(docs, "lang")
+        w = lang_classifier_weights(state)
+        lang_classifier_predict(docs, w, "id", method="arrow").count()
+        return n
+
+    def jpeg_decode_op(n):
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_synthetic_jpeg,
+            decode_media,
+        )
+
+        media = attach_synthetic_jpeg(spark.range(n), "id")
+        decode_media(media, "id").count()
+        return n
+
     return {
         "substring_dedup": substring_dedup,
         "ngram_lm": ngram_lm,
@@ -696,7 +733,9 @@ def _ops(spark):
         "label_prop": label_prop_op,
         "gpt2_pretoken": gpt2_pretoken_op,
         "lang_classifier": lang_classifier_op,
+        "lang_classifier_arrow": lang_classifier_arrow_op,
         "png_decode": png_decode_op,
+        "jpeg_decode": jpeg_decode_op,
     }
 
 

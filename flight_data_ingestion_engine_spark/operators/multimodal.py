@@ -2966,28 +2966,62 @@ def split_on_silence(
     )
 
 
+def aa_fir_taps(factor: int, half_width: int = 4) -> list[int]:
+    """Integer anti-alias FIR for `decimate_audio(anti_alias=True)`:
+    a Hamming-windowed sinc low-pass with cutoff π/factor, quantized to
+    Q15 (2^15) with the CENTER tap absorbing the quantization residue so
+    ΣH = 2^15 EXACTLY — DC gain is exactly 1 in fixed point, which is
+    what lets constant signals pass bit-unchanged and the catalog
+    oracle replay the convolution closed-form. 2·half_width·factor + 1
+    taps, symmetric by construction."""
+    import math
+
+    if factor < 1:
+        raise ValueError("aa_fir_taps: factor must be >= 1")
+    M = half_width * factor
+    taps: list[float] = []
+    for k in range(-M, M + 1):
+        if k == 0:
+            x = 1.0 / factor
+        else:
+            t = k / factor
+            x = math.sin(math.pi * t) / (math.pi * t) / factor
+        wnd = 0.54 + 0.46 * math.cos(math.pi * k / (M + 1))
+        taps.append(x * wnd)
+    q = [round(t * 32768) for t in taps]
+    q[M] += 32768 - sum(q)  # exact unity DC gain
+    return q
+
+
 def decimate_audio(
     df: DataFrame,
     id_col: str = "clip_id",
     bytes_col: str = "media_bytes",
     meta_col: str = "media_meta",
     factor: int = 2,
+    anti_alias: bool = False,
 ) -> DataFrame:
     """Integer audio decimation — the resampling step every ASR-prep
     pipeline runs to land on its model's rate (48k→16k, 16k→8k are
     integer-factor drops): keep every ``factor``-th sample and
-    re-encode the real 16-bit PCM WAV at ``rate // factor``. This is
-    PLAIN decimation (no anti-alias pre-filter — stated honestly: the
-    pipelines that need one run it as a separate convolution stage;
-    plain decimation is exactly reproducible and is what the oracle
-    can replay sample-for-sample). One Arrow stage; payloads never
-    reach the driver. Returns (id, media_bytes, media_meta) with
-    updated rate/frame metadata — feed it straight back to
-    `audio_spectrogram`/`audio_energy_gate`."""
+    re-encode the real 16-bit PCM WAV at ``rate // factor``.
+
+    ``anti_alias=False`` is PLAIN decimation (exactly reproducible,
+    the original oracle's sample-for-sample replay). ``anti_alias=
+    True`` (r12) first runs the `aa_fir_taps` windowed-sinc integer
+    low-pass — Q15 taps, replicate edges, round-half-up Q15 shift,
+    int16 clamp — killing the above-target-Nyquist content plain
+    decimation would fold into the passband (alias-tone suppression
+    pytest-gated; the convolution itself replays closed-form in the
+    `audio_decimate_aa` oracle over the inlined cosine corpus).
+    One Arrow stage; payloads never reach the driver. Returns
+    (id, media_bytes, media_meta) with updated rate/frame metadata —
+    feed it straight back to `audio_spectrogram`/`audio_energy_gate`."""
     import pandas as pd
 
     if factor < 1:
         raise ValueError("decimate_audio: factor must be >= 1")
+    fir = aa_fir_taps(factor) if anti_alias and factor > 1 else None
     schema = (
         f"{id_col} bigint, media_bytes binary, media_meta struct<"
         "media_type:string,format:string,width:int,height:int,"
@@ -3005,7 +3039,20 @@ def decimate_audio(
                 sub[id_col].astype("int64"), sub[bytes_col], sub[meta_col]
             ):
                 rate, _, samples = decode_wav(bytes(payload))
-                dec = samples[::factor]
+                if fir is not None and samples:
+                    import numpy as np
+
+                    H = np.asarray(fir, dtype=np.int64)
+                    M = len(H) // 2
+                    arr = np.asarray(samples, dtype=np.int64)
+                    padded = np.concatenate(
+                        [np.repeat(arr[:1], M), arr, np.repeat(arr[-1:], M)]
+                    )
+                    y = (np.convolve(padded, H, mode="valid") + 16384) >> 15
+                    np.clip(y, -32768, 32767, out=y)
+                    dec = y[::factor].tolist()
+                else:
+                    dec = samples[::factor]
                 new_rate = max(rate // factor, 1)
                 out = encode_wav(new_rate, dec)
                 m = (

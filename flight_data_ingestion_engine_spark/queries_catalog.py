@@ -18231,6 +18231,67 @@ def q_audio_decimate_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_samples(decimate_audio(media, factor=2))
 
 
+def _aa_decimate_oracle_sql() -> str:
+    """DuckDB replay of the r12 anti-aliased decimation over the
+    inlined cosine corpus: the SAME `aa_fir_taps(2)` Q15 integers the
+    operator uses ride a VALUES list; the convolution is a taps-cross-
+    join with replicate-edge index clamping (LEAST/GREATEST to the
+    clip's [0,127] span), the Q15 rounding shift replays as
+    floor((acc+16384)/32768) — exact for |acc| « 2^53 — and the int16
+    clamp mirrors np.clip. Even output indexes survive (factor 2)."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import aa_fir_taps
+
+    H = aa_fir_taps(2)
+    M = len(H) // 2
+    tvals = ", ".join(f"({j}, {h})" for j, h in enumerate(H))
+    return (
+        _dft_corpus_sql(False)
+        + f"""
+    , s2 AS (
+      SELECT clip_id, f * 16 + t AS n, CAST(x AS BIGINT) AS x FROM samples
+    ),
+    taps(j, h) AS (VALUES {tvals}),
+    conv AS (
+      SELECT a.clip_id, a.n, SUM(tp.h * b.x) AS acc
+      FROM s2 a
+      CROSS JOIN taps tp
+      JOIN s2 b ON b.clip_id = a.clip_id
+               AND b.n = LEAST(127, GREATEST(0, a.n + tp.j - {M}))
+      GROUP BY a.clip_id, a.n
+    )
+    SELECT clip_id, CAST(n / 2 AS BIGINT) AS sample_idx,
+           LEAST(32767, GREATEST(-32768,
+             CAST(floor((acc + 16384) / 32768) AS BIGINT))) AS value,
+           CAST(4000 AS INT) AS sample_rate
+    FROM conv WHERE n % 2 = 0
+    """
+    )
+
+
+@_q("audio_decimate_aa", _aa_decimate_oracle_sql())
+def q_audio_decimate_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 ANTI-ALIASED decimation (operators/multimodal.py::
+    decimate_audio(anti_alias=True) + aa_fir_taps): the tonal clips
+    pass through the Hamming-windowed-sinc Q15 integer low-pass
+    (17 taps for factor 2, ΣH = 2^15 exactly, replicate edges,
+    round-half-up shift, int16 clamp) BEFORE the every-second-sample
+    drop — the textbook fix for the aliasing plain decimation folds
+    into the passband (tone-suppression pytest: a 0.75π tone loses
+    ~5 orders of energy while a 0.25π tone passes at 1.005). The
+    oracle replays synthesis AND the full convolution closed-form from
+    the inlined cosine table + the inlined tap list, so a tap, edge,
+    rounding, or alignment bug value-breaks the match."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_samples,
+        decimate_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return audio_samples(decimate_audio(media, factor=2, anti_alias=True))
+
+
 def _sniff_payloads():
     """Build-time hex payloads for the sniffing oracle: REAL codec
     outputs for bmp/wav (so the claim 'our encoders carry the right

@@ -1992,6 +1992,68 @@ def test_decimate_audio_roundtrip(spark):
         decimate_audio(media, factor=0)
 
 
+def test_decimate_audio_anti_alias_suppression(spark):
+    """r12 anti-aliased decimation: (a) the Q15 windowed-sinc taps sum
+    to exactly 2^15 and are symmetric; constants pass bit-unchanged
+    (replicate edges + exact DC gain); (b) a planted tone ABOVE the
+    target Nyquist (0.75π at factor 2) that plain decimation folds
+    into the passband at full energy is suppressed by ≥4 orders of
+    magnitude through the AA path, while a 0.25π passband tone
+    survives within 2%; (c) the Spark Arrow stage equals the local
+    convolution sample-for-sample."""
+    import math
+
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        aa_fir_taps,
+        audio_samples,
+        decimate_audio,
+        encode_wav,
+    )
+
+    H = aa_fir_taps(2)
+    assert sum(H) == 32768 and H == H[::-1] and len(H) == 17
+
+    n = np.arange(512)
+    alias = np.round(20000 * np.sin(0.75 * math.pi * n)).astype(np.int64)
+    passb = np.round(20000 * np.sin(0.25 * math.pi * n + 0.3)).astype(np.int64)
+
+    def local_aa(x):
+        Ht = np.asarray(H, dtype=np.int64)
+        arr = np.asarray(x, dtype=np.int64)
+        padded = np.concatenate([np.repeat(arr[:1], 8), arr, np.repeat(arr[-1:], 8)])
+        y = (np.convolve(padded, Ht, mode="valid") + 16384) >> 15
+        return np.clip(y, -32768, 32767)[::2]
+
+    for c in (-32768, 0, 7, 32767):
+        assert local_aa([c] * 64).tolist() == [c] * 32
+
+    e = lambda v: float(np.mean(np.asarray(v[16:-16], dtype=np.float64) ** 2))
+    assert e(local_aa(alias)) < e(alias[::2]) / 1e4  # alias crushed
+    assert abs(e(local_aa(passb)) / e(passb) - 1.0) < 0.02  # passband kept
+
+    # Spark path equals the local convolution
+    rows = [
+        (0, encode_wav(8000, alias.tolist()), ("audio", "wav", None, None, 8000, 512, 0.064)),
+        (1, encode_wav(8000, passb.tolist()), ("audio", "wav", None, None, 8000, 512, 0.064)),
+    ]
+    schema = (
+        "clip_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {
+        (r.clip_id, r.sample_idx): (r.value, r.sample_rate)
+        for r in audio_samples(decimate_audio(media, factor=2, anti_alias=True)).collect()
+    }
+    for cid, x in ((0, alias), (1, passb)):
+        want = local_aa(x)
+        assert [got[(cid, j)][0] for j in range(len(want))] == want.tolist()
+        assert got[(cid, 0)][1] == 4000
+
+
 def test_sniff_format_magic_bytes(spark):
     """Sniffing: every table signature resolves; real codec outputs
     carry their magic; RIFF-not-WAVE is riff, not wav; truncated

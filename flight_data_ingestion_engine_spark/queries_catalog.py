@@ -11091,6 +11091,104 @@ def q_lang_classifier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_classifier_predict(test, weights, "doc_id", method="arrow")
 
 
+def _spoof_texts() -> dict[int, str]:
+    """The planted homoglyph-spam corpus for the confusable-route
+    query: residues 0/1 are the en training text Cyrillic-skinned by
+    two different inverse-confusable subsets (TR39 spoof class),
+    2/3 genuine ru/zh, 4 plain en."""
+    skin_full = str.maketrans(
+        {"a": "а", "e": "е", "o": "о", "p": "р", "c": "с", "x": "х"}
+    )
+    skin_vowels = str.maketrans({"a": "а", "e": "е", "o": "о"})
+    en = _LANGCLS_TRAIN["en"]
+    return {
+        0: en.translate(skin_full),
+        1: en.translate(skin_vowels),
+        2: _LANGCLS_TRAIN["ru"],
+        3: _LANGCLS_TRAIN["zh"],
+        4: en,
+    }
+
+
+def _lang_route_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.text import CONFUSABLES
+
+    src = "".join(c for c, _ in CONFUSABLES)
+    dst = "".join(t for _, t in CONFUSABLES)
+    texts = _spoof_texts()
+    whens = " ".join(f"WHEN {i} THEN '{texts[i]}'" for i in range(5))
+    return f"""
+    WITH {_langcls_wt_ctes()},
+    t0 AS (
+      SELECT doc_id, CASE doc_id % 5 {whens} END AS text
+      FROM documents WHERE doc_id >= 300 AND doc_id < 400
+    ),
+    routed AS (
+      SELECT doc_id,
+             CASE WHEN translate(text, '{src}', '{dst}') <> text
+                   AND regexp_matches(text, '[A-Za-z]')
+                  THEN translate(text, '{src}', '{dst}')
+                  ELSE text END AS rt
+      FROM t0
+    ),
+    test AS (SELECT doc_id, {_langcls_norm_sql('rt')} AS t FROM routed),
+    og AS (
+      SELECT doc_id, {_LANGCLS_GRAMS_SQL}
+      FROM test, {_LANGCLS_LATERAL_SQL} WHERE length(t) >= n.n
+    ),
+    sc AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(bits) AS BIGINT) AS score_bits
+      FROM og JOIN wt USING (bucket) GROUP BY 1, 2
+    )
+    SELECT doc_id, n_grams, lang, score_bits FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_bits, lang) = 1
+    """
+
+
+@_q("lang_id_confusable_route", _lang_route_oracle_sql())
+def q_lang_id_confusable_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 homoglyph-spam hardening (the TR39 composition): docs carry
+    Cyrillic-skinned English (two spoof skins), genuine ru/zh, and
+    plain en; `confusable_skeleton` routes ONLY mixed_script-flagged
+    docs through their skeleton (folding genuine Cyrillic would
+    hybridize it — the skeleton is a matching key, not a text
+    transform), then the char-gram classifier labels the routed text.
+    Spoofs land in 'en' (spam can't smuggle into a wrong bucket),
+    genuine Cyrillic/CJK stays put. The oracle replays skin, flag,
+    route, and the full classifier — training included — value-exact."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+    )
+    from flight_data_ingestion_engine_spark.operators.text import (
+        confusable_skeleton,
+    )
+
+    d = F.col("doc_id")
+    lang_case = F.lit(None).cast("string")
+    train_case = F.lit(None).cast("string")
+    for i, l in enumerate(_LANGCLS_LANGS):
+        lang_case = F.when(d % 5 == i, F.lit(l)).otherwise(lang_case)
+        train_case = F.when(d % 5 == i, F.lit(_LANGCLS_TRAIN[l])).otherwise(train_case)
+    texts = _spoof_texts()
+    text_case = F.lit(None).cast("string")
+    for i in range(5):
+        text_case = F.when(d % 5 == i, F.lit(texts[i])).otherwise(text_case)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    train = docs.where(d < 50).select(lang_case.alias("lang"), train_case.alias("text"))
+    weights = lang_classifier_weights(lang_classifier_state(train, "lang"))
+    test = docs.where((d >= 300) & (d < 400)).select("doc_id", text_case.alias("text"))
+    routed = confusable_skeleton(test).select(
+        "doc_id",
+        F.when(F.col("mixed_script"), F.col("text_skeleton"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return lang_classifier_predict(routed, weights, "doc_id")
+
+
 @_q("streaming_lang_classifier", _langcls_oracle_sql())
 def q_streaming_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the language classifier's training

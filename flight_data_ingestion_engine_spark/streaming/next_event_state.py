@@ -214,3 +214,97 @@ def streaming_funnel_progress(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_progress_tws(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """`streaming_funnel_progress` on Spark 4's `transformWithState`
+    API (r12 forward-path probe — SURVEY §2.11 names the migration):
+    the SAME greedy state machine, held in a named ValueState inside a
+    `StatefulProcessor` instead of the `applyInPandasWithState`
+    GroupState tuple. Semantics are identical by construction and the
+    catalog query `streaming_funnel_progress_tws` pins both arms to
+    the same batch-funnel DuckDB oracle; keep the applyInPandas arm as
+    the default until transformWithState settles (it is the one with
+    years of production state-store history behind it).
+
+    transformWithState differences worth recording: state is accessed
+    through typed handles (`getValueState`) created in `init`, rows
+    arrive as an iterator of pandas frames per key, and output mode /
+    time semantics ride `outputMode`/`timeMode` strings rather than a
+    GroupStateTimeout enum — TTL timers would come from
+    `registerTimer` (not needed here: two scalars per key, same
+    O(keys) state bound).
+
+    ENVIRONMENT GATE (probe finding, r12): transformWithState's
+    driver↔worker state protocol rides protobuf — PySpark's
+    `StateMessage_pb2` imports `google.protobuf`, which this container
+    does not ship. Without it the streaming query dies mid-run with a
+    cryptic `STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`, so this
+    function probes the import UP FRONT and raises NotImplementedError
+    with the real cause; on a cluster with protobuf installed it runs
+    as written (the pytest runs whichever arm the environment
+    supports)."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithState requires the python protobuf package "
+            "(pyspark's StateMessage_pb2) which is not installed in this "
+            "environment — use streaming_funnel_progress "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    steps_l = list(steps)
+    output_schema = f"{key_col} long, steps_completed int, anchor timestamp"
+
+    class _FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("funnel", "step int, anchor long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            rows = pd.concat(list(rows), ignore_index=True)
+            rows = rows[rows[time_col].notna()]
+            if len(rows) == 0:
+                return
+            ts_us = rows[time_col].astype("int64").to_numpy() // 1000
+            svals = rows[state_col].to_numpy(dtype=object)
+            order = np.argsort(ts_us, kind="stable")
+            ts_us, svals = ts_us[order], svals[order]
+
+            prior = self._state.get() if self._state.exists() else None
+            step, anchor = prior if prior is not None else (0, -(1 << 62))
+            for s in range(step, len(steps_l)):
+                hits = np.nonzero((svals == steps_l[s]) & (ts_us > anchor))[0]
+                if len(hits) == 0:
+                    break
+                anchor = int(ts_us[hits[0]])
+                step = s + 1
+            self._state.update((step, anchor))
+            if step > 0:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "steps_completed": [step],
+                        "anchor": [pd.Timestamp(anchor, unit="us")],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_FunnelProcessor(),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

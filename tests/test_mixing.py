@@ -948,6 +948,74 @@ def test_lang_classifier_arrow_arm_row_identical(spark):
         lang_classifier_predict(test, weights, "doc_id", method="bogus")
 
 
+def test_lang_id_confusable_spoof_hardening(spark):
+    """r12 homoglyph-spam hardening (VERDICT r11 #7): a Cyrillic-
+    skinned English text ('hеllо wоrld' with Cyrillic е/о — the TR39
+    spoof class) must not smuggle itself into a wrong language bucket:
+    (a) the raw classifier reads CODEPOINTS, so the spoof's mixed
+    grams predict deterministically and both arms agree (no
+    nondeterministic flip for spam to exploit); (b) `confusable_
+    skeleton` FLAGS every spoofed doc (has_confusable + mixed_script)
+    before any lang label is trusted; (c) the published composition —
+    skeleton first, classify the skeleton — restores the true 'en'
+    prediction on every spoofed doc, while genuine Cyrillic text keeps
+    'ru' and is NOT flagged as mixed-script."""
+    from flight_data_ingestion_engine_spark.operators.mixing import (
+        lang_classifier_predict,
+        lang_classifier_state,
+        lang_classifier_weights,
+    )
+    from flight_data_ingestion_engine_spark.operators.text import (
+        confusable_skeleton,
+    )
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _LANGCLS_TRAIN,
+    )
+
+    train = spark.createDataFrame(
+        [(l, t) for l, t in _LANGCLS_TRAIN.items()] * 2, "lang string, text string"
+    )
+    weights = lang_classifier_weights(lang_classifier_state(train, "lang"))
+
+    en_src = _LANGCLS_TRAIN["en"]
+    # Cyrillic skins for Latin a/e/o/p/c/x — the curated CONFUSABLES rows
+    skin = str.maketrans({"a": "а", "e": "е", "o": "о", "p": "р", "c": "с", "x": "х"})
+    spoofs = [(i, en_src.translate(skin)) for i in range(3)]
+    genuine_ru = [(10, _LANGCLS_TRAIN["ru"]), (11, "привет как дела")]
+    docs = spark.createDataFrame(spoofs + genuine_ru, "doc_id long, text string")
+
+    # (a) raw prediction is deterministic and arm-identical on spoofs
+    raw_c = {r.doc_id: r.lang for r in lang_classifier_predict(docs, weights, "doc_id").collect()}
+    raw_a = {
+        r.doc_id: r.lang
+        for r in lang_classifier_predict(docs, weights, "doc_id", method="arrow").collect()
+    }
+    assert raw_c == raw_a
+
+    # (b) every spoof is flagged before the label is trusted
+    flagged = {r.doc_id: r for r in confusable_skeleton(docs).collect()}
+    for i, _ in spoofs:
+        assert flagged[i].has_confusable and flagged[i].mixed_script
+    # genuine single-script Cyrillic: folded chars exist (has_confusable
+    # may fire on а/о themselves) but NOT the mixed-script spoof signal
+    assert not flagged[10].mixed_script and not flagged[11].mixed_script
+
+    # (c) the published routing rule: skeletonize ONLY mixed_script-
+    # flagged docs (folding genuine Cyrillic would hybridize it —
+    # TR39's skeleton is a matching key, not a text transform), then
+    # classify. Spoofs come back 'en'; genuine Cyrillic stays 'ru'.
+    routed = confusable_skeleton(docs).select(
+        "doc_id",
+        F.when(F.col("mixed_script"), F.col("text_skeleton"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fixed = {r.doc_id: r.lang for r in lang_classifier_predict(routed, weights, "doc_id").collect()}
+    for i, _ in spoofs:
+        assert fixed[i] == "en", (i, fixed[i])
+    assert fixed[10] == "ru" and fixed[11] == "ru"
+
+
 def test_lang_id_two_stage_routing(spark):
     """The two-stage router: stopword-decidable rows never touch the
     classifier (method='stopword'), zero-hit rows route to it

@@ -1015,3 +1015,23 @@ def test_isotonic_minimax_equals_pav_property(spark):
         assert all(x <= y + 1e-15 for x, y in zip(got, got[1:]))
 
     run()
+
+
+def test_readme_query_count_pinned_to_catalog():
+    """r12 drift guard (VERDICT r11 #6): the README's 'N named queries'
+    line must equal len(queries()) — and every query must carry an
+    oracle_sql() twin (zero rows-only entries is a standing invariant
+    since r11)."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(q) == set(o), sorted(set(q) ^ set(o))
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    m = re.search(r"(\d+) named queries", readme.read_text())
+    assert m, "README lost its query-count line"
+    assert int(m.group(1)) == len(q), (
+        f"README says {m.group(1)} queries, catalog has {len(q)} — update README.md"
+    )

@@ -495,6 +495,74 @@ def test_streaming_funnel_state_survives_batch_boundary(spark):
     shutil.rmtree(ck, ignore_errors=True)
 
 
+def test_streaming_funnel_tws_probe(spark):
+    """r12 transformWithState migration probe: on an environment with
+    python protobuf, the Spark-4 StatefulProcessor arm must reproduce
+    the applyInPandasWithState arm's cross-batch funnel results
+    exactly; in THIS container (no protobuf — pyspark's
+    StateMessage_pb2 needs google.protobuf) the operator must raise a
+    clear NotImplementedError UP FRONT instead of crashing the
+    streaming query mid-run with a cryptic runner-init failure."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from flight_data_ingestion_engine_spark.streaming.next_event_state import (
+        streaming_funnel_progress_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    landing = tempfile.mkdtemp(prefix="fdie_tws_t_")
+    spark.createDataFrame(
+        [(1, t(0), "view"), (2, t(1), "click")], "user_id long, ts timestamp, state string"
+    ).coalesce(1).write.parquet(landing, mode="append")
+    spark.createDataFrame(
+        [(1, t(10), "click"), (1, t(20), "buy"), (2, t(11), "view")],
+        "user_id long, ts timestamp, state string",
+    ).coalesce(1).write.parquet(landing, mode="append")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, state string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+
+    if not has_protobuf:
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError, match="protobuf"):
+            streaming_funnel_progress_tws(
+                stream, "user_id", "ts", "state", ["view", "click", "buy"]
+            )
+        shutil.rmtree(landing, ignore_errors=True)
+        return
+
+    prog = streaming_funnel_progress_tws(
+        stream, "user_id", "ts", "state", ["view", "click", "buy"]
+    )
+    ck = tempfile.mkdtemp(prefix="fdie_tws_ck_")
+    q = (
+        prog.writeStream.format("memory").queryName("sfunnel_tws")
+        .option("checkpointLocation", ck).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM sfunnel_tws").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.steps_completed)
+    assert final[1] == 3 and final.get(2, 1) == 1
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+
+
 def test_stream_interval_join_rejects_unsupported_join_types(spark, landing):
     """right/full outer would drop the only non-NULL key on
     right-unmatched rows — the operator must refuse instead of silently

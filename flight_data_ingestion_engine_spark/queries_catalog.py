@@ -13707,6 +13707,54 @@ def q_pdf_extract_cmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pdf_extract_objstm",
+    """
+    SELECT doc_id, CAST(doc_id % 5 + 1 AS INTEGER) AS page,
+           COALESCE(text, '') AS text
+    FROM documents WHERE doc_id >= 100 AND doc_id < 150
+    """,
+)
+def q_pdf_extract_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 PDF-1.5 layout extraction: the same 10×5-page build as
+    `pdf_extract_docs` but in the layout MODERN born-digital PDFs
+    actually use — every dict object (catalog, pages tree, page dicts,
+    font) packed FlateDecode'd inside a `/Type /ObjStm` container with
+    a real `/Type /XRef` cross-reference STREAM, combined with the
+    CMap glyph encoding. The plain object scan cannot see those
+    objects; only the ObjStm expansion pass recovers the page tree
+    (layout pinned in pytest: the compressed file carries no raw
+    '/Type /Page' bytes). Closed-form oracle from the documents
+    table, as for the other PDF queries."""
+    import os
+
+    from flight_data_ingestion_engine_spark.sources.pdf import (
+        build_pdf_bytes,
+        read_pdf_text,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .select("doc_id", "text")
+        .collect()
+    )
+    by_id = {r.doc_id: (r.text or "") for r in docs}
+    root = _qtmp("pdf_objstm")
+    os.makedirs(root, exist_ok=True)
+    for f in range(10):
+        pages = [by_id[100 + f * 5 + p] for p in range(5)]
+        with open(f"{root}/doc{f:02d}.pdf", "wb") as fh:
+            fh.write(build_pdf_bytes(pages, objstm=True, cmap=True))
+    out = read_pdf_text(spark, root)
+    fnum = F.regexp_extract(F.col("file"), r"doc(\d+)\.pdf", 1).cast("bigint")
+    return out.select(
+        (F.lit(100) + fnum * 5 + F.col("page") - 1).alias("doc_id"),
+        F.col("page"),
+        "text",
+    )
+
+
 def _html_clean_sql(x: str) -> str:
     """DuckDB replay of operators/html.py::_clean_text: strip tags →
     decode the lite-six entities (amp LAST) → collapse the Java-\\s

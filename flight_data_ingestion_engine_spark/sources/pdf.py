@@ -139,6 +139,7 @@ def build_pdf_bytes(
     length_indirect: bool = False,
     contents_array: bool = False,
     cmap: bool = False,
+    objstm: bool = False,
 ) -> bytes:
     """Encode one text string per page as a minimal valid PDF: catalog →
     pages tree → per-page FlateDecode'd content stream of BT/ET blocks,
@@ -156,10 +157,18 @@ def build_pdf_bytes(
     glyph-encodes the text through a generated codebook and attaches a
     /ToUnicode CMap to the page font — the subsetted-font case: the
     RAW string bytes in the file differ from the text, and only the
-    CMap pass recovers it."""
+    CMap pass recovers it. `objstm` (r12) writes the PDF-1.5 layout
+    modern born-digital PDFs use: every non-stream object (catalog,
+    pages tree, page dicts, font dict) packed FlateDecode'd into a
+    `/Type /ObjStm` container and the cross-reference written as a
+    real /Type /XRef STREAM (W [1 4 2], type-2 entries pointing into
+    the container) — only the ObjStm expansion pass can see those
+    objects. Stream objects (content, CMap) and indirect-length
+    integers stay regular, as the spec requires/our scan resolves."""
     import zlib
 
     objs: list[bytes] = []  # 1-indexed object bodies
+    stream_ids: set[int] = set()  # ids that must stay OUT of an ObjStm
 
     def add(body: bytes) -> int:
         objs.append(body)
@@ -188,6 +197,7 @@ def build_pdf_bytes(
             b"<< " + cm_filt + b"/Length " + str(len(cm)).encode()
             + b" >>\nstream\n" + cm + b"\nendstream"
         )
+        stream_ids.add(cmap_id)
         font_id = add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Subset"
             + b" /ToUnicode " + str(cmap_id).encode() + b" 0 R >>"
@@ -208,12 +218,17 @@ def build_pdf_bytes(
                 b"<< " + filt + b"/Length " + str(len(objs) + 2).encode()
                 + b" 0 R >>\nstream\n" + stream + b"\nendstream"
             )
-            add(str(len(stream)).encode())
+            # the integer stays a regular object too: the SCAN phase
+            # resolves indirect lengths from raw bytes, before any
+            # ObjStm is unpacked
+            stream_ids.update((sid, add(str(len(stream)).encode())))
             return sid
-        return add(
+        sid = add(
             b"<< " + filt + b"/Length " + str(len(stream)).encode()
             + b" >>\nstream\n" + stream + b"\nendstream"
         )
+        stream_ids.add(sid)
+        return sid
 
     for text in pages:
         lines = text.split("\n")
@@ -250,21 +265,84 @@ def build_pdf_bytes(
         b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
     )
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
+    if not objstm:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root " + str(catalog_id).encode() + b" 0 R >>\n"
+            + b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+        )
+        return bytes(out)
+
+    # ---- PDF-1.5 layout: dict objects inside an ObjStm + xref STREAM ----
+    members = [i for i in range(1, len(objs) + 1) if i not in stream_ids]
+    bodies = [objs[i - 1] for i in members]
+    offs: list[int] = []
+    cur = 0
+    for b in bodies:
+        offs.append(cur)
+        cur += len(b) + 1
+    head = " ".join(
+        f"{num} {off}" for num, off in zip(members, offs)
+    ).encode() + b"\n"
+    payload = head + b"\n".join(bodies)
+    first = len(head)
+    if compress:
+        payload_out = zlib.compress(payload)
+        filt = b"/Filter /FlateDecode "
+    else:
+        payload_out = payload
+        filt = b""
+    container_id = add(
+        b"<< /Type /ObjStm /N " + str(len(members)).encode()
+        + b" /First " + str(first).encode() + b" " + filt
+        + b"/Length " + str(len(payload_out)).encode()
+        + b" >>\nstream\n" + payload_out + b"\nendstream"
+    )
+    xref_id = container_id + 1
+    size = xref_id + 1
+    member_index = {num: i for i, num in enumerate(members)}
+
+    out = bytearray(b"%PDF-1.5\n")
+    obj_offsets: dict[int, int] = {}
     for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+        if i in member_index:
+            continue  # lives inside the container
+        obj_offsets[i] = len(out)
         out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
     xref_pos = len(out)
-    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    # xref stream entries, W [1 4 2]: (type, field1, field2)
+    import struct
+
+    entries = bytearray()
+    for i in range(size):
+        if i == 0:
+            entries += struct.pack(">BIH", 0, 0, 65535)
+        elif i in member_index:
+            entries += struct.pack(">BIH", 2, container_id, member_index[i])
+        elif i == xref_id:
+            entries += struct.pack(">BIH", 1, xref_pos, 0)
+        else:
+            entries += struct.pack(">BIH", 1, obj_offsets[i], 0)
+    xdata = zlib.compress(bytes(entries)) if compress else bytes(entries)
+    xfilt = b"/Filter /FlateDecode " if compress else b""
     out += (
-        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root " + str(catalog_id).encode() + b" 0 R >>\n"
-        + b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+        str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size "
+        + str(size).encode() + b" /W [1 4 2] /Root "
+        + str(catalog_id).encode() + b" 0 R " + xfilt + b"/Length "
+        + str(len(xdata)).encode() + b" >>\nstream\n" + xdata
+        + b"\nendstream\nendobj\n"
     )
+    out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
@@ -323,7 +401,42 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         consumed_end = end + len(b"endobj")
     if not objs:
         raise ValueError("not a parsable PDF (no objects)")
+    _expand_object_streams(objs)
     return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5 object streams (r12): modern born-digital PDFs keep
+    their non-stream objects (page dicts, font dicts, the catalog)
+    FlateDecode'd inside `/Type /ObjStm` container streams — invisible
+    to the plain object scan. For each container: inflate, read the N
+    `objnum offset` pairs at the head, slice each contained body at
+    /First + offset, and add it to the object table (first definition
+    wins — a regular object with the same number is never overwritten).
+    Indirect /N or /First raise NotImplementedError (resolving them
+    could require the very object being unpacked)."""
+    import re
+
+    for body in list(objs.values()):
+        header_end = body.find(b"stream")
+        header = body if header_end < 0 else body[:header_end]
+        if not re.search(rb"/Type\s*/ObjStm\b", header):
+            continue
+        mn = re.search(rb"/N\s+(\d+)(\s+\d+\s+R)?", header)
+        mf = re.search(rb"/First\s+(\d+)(\s+\d+\s+R)?", header)
+        if not mn or not mf:
+            raise ValueError("ObjStm missing /N or /First")
+        if mn.group(2) or mf.group(2):
+            raise NotImplementedError("indirect /N or /First in ObjStm")
+        n, first = int(mn.group(1)), int(mf.group(1))
+        payload = _stream_bytes(body, objs)
+        head = payload[:first].split()
+        if len(head) < 2 * n:
+            raise ValueError("ObjStm header shorter than /N pairs")
+        pairs = [(int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)]
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(payload) - first
+            objs.setdefault(num, payload[first + off : first + end])
 
 
 def _resolve_int_object(objs: dict[int, bytes] | None, num: int) -> int:
@@ -575,18 +688,29 @@ def extract_pdf_text(payload: bytes) -> list[tuple[int, str]]:
     import re
 
     objs = _parse_objects(payload)
+
+    def dict_part(body: bytes) -> bytes:
+        # structure searches must not look into stream payloads: an
+        # UNCOMPRESSED ObjStm's raw bytes contain its members' dicts
+        s = body.find(b"stream")
+        return body if s < 0 else body[:s]
+
     # pages in /Kids order when a pages tree exists, else object order
     page_ids: list[int] = []
     for body in objs.values():
-        if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
-            kids = body[body.find(b"/Kids") :]
+        d = dict_part(body)
+        if b"/Type" in d and b"/Pages" in d and b"/Kids" in d:
+            kids = d[d.find(b"/Kids") :]
             page_ids = [int(m.group(1)) for m in re.finditer(rb"(\d+)\s+\d+\s+R", kids)]
             break
     if not page_ids:
         page_ids = [
             num
             for num, body in sorted(objs.items())
-            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+            if (d := dict_part(body))
+            and b"/Type" in d
+            and b"/Page" in d
+            and b"/Pages" not in d
         ]
     out: list[tuple[int, str]] = []
     for pageno, pid in enumerate(page_ids, start=1):

@@ -538,6 +538,24 @@ def test_pdf_indirect_length_contents_array_and_cmap():
     with _pt.raises(ValueError, match="250 distinct"):
         build_pdf_bytes(["".join(chr(0x100 + i) for i in range(260))], cmap=True)
 
+    # r12: PDF-1.5 object streams — dict objects packed FlateDecode'd
+    # into /Type /ObjStm with a real /Type /XRef stream; only the
+    # expansion pass can see the page/font dicts
+    for kw in (
+        {"objstm": True},
+        {"objstm": True, "compress": False},
+        {"objstm": True, "cmap": True, "length_indirect": True, "contents_array": True},
+    ):
+        assert [t for _, t in extract_pdf_text(build_pdf_bytes(pages, **kw))] == pages, kw
+    p15 = build_pdf_bytes(["x"], objstm=True, compress=False)
+    assert b"/ObjStm" in p15 and b"/Type /XRef" in p15 and p15.startswith(b"%PDF-1.5")
+    # compressed: the page dict bytes exist ONLY inside the deflate
+    assert b"/Type /Page" not in build_pdf_bytes(["x"], objstm=True).replace(
+        b"/Type /Pages", b""
+    )
+    with _pt.raises(NotImplementedError, match="ObjStm"):
+        extract_pdf_text(_re.sub(rb"/First (\d+)", rb"/First 9 0 R", p15))
+
     # fuzz: every option combination round-trips random text
     random.seed(12)
     al = "ab(c)\\d \néü日𝄞"
@@ -548,5 +566,6 @@ def test_pdf_indirect_length_contents_array_and_cmap():
             "length_indirect": random.random() < 0.5,
             "contents_array": random.random() < 0.5,
             "cmap": random.random() < 0.5,
+            "objstm": random.random() < 0.5,
         }
         assert [t for _, t in extract_pdf_text(build_pdf_bytes([txt], **kw))] == [txt], kw

@@ -137,6 +137,12 @@ SELECTED = [
     ("url_bitext_candidates", "staged regex chain + checkpointed keyed frame; codegen-compilable"),
     ("ivf_pq_topk", "centroid equi-join + ADC lookups; codes only, no float corpus vectors"),
     ("lang_id_two_stage", "zero-join vote decides the scan; classifier arm sees only 'und' rows"),
+    # r12
+    ("media_decode_jpeg", "Arrow baseline-JPEG codec stage over pruned (id, bytes, meta); no pixel shuffle"),
+    ("lang_classifier_arrow", "ONE Arrow stage, weights in the closure — no explode/join/agg/window"),
+    ("pdf_extract_cmap", "binaryFile + Arrow CMap-decoding extraction, zero shuffle"),
+    ("audio_decimate_aa", "FIR convolution inside the same Arrow codec stage; no extra exchange"),
+    ("lang_id_confusable_route", "scan-speed translate routing ahead of the classifier plan"),
 ]
 
 INTERESTING = re.compile(

@@ -444,8 +444,10 @@ def jpeg_quant_tables(quality: int = 100):
 _JPEG_DC_BITS_0 = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_DC_BITS_1 = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 _JPEG_DC_VALS = list(range(12))
-_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
-_JPEG_AC_VALS = [0x00] + [
+#: 176 symbols: EOB/EOBn (r<<4, r=0..14 — n>0 only used by progressive
+#: scans), (run,size) for run 0..15 × size 1..10, and ZRL 0xF0.
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [r << 4 for r in range(15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ] + [0xF0]
 
@@ -705,6 +707,7 @@ def encode_jpeg(
     subsampling: str = "420",
     restart_interval: int = 0,
     return_expected: bool = False,
+    progressive: bool = False,
 ):
     """Encode row-major samples (gray, or interleaved RGB) as a
     baseline-sequential JFIF JPEG: integer forward DCT, this codec's
@@ -714,7 +717,15 @@ def encode_jpeg(
     pixel list `decode_jpeg_samples` MUST produce — computed by running
     the decoder's own reconstruction on the encoder's quantized
     coefficients (the entropy coder is lossless, so this is exact, not
-    a tolerance)."""
+    a tolerance).
+
+    `progressive=True` (r12) writes SOF2 with the standard
+    successive-approximation scan script: DC first (Al=1, interleaved)
+    → per-component AC first (Ss=1..63, Al=1, EOBRUN-coded) →
+    per-component AC refinement (Ah=1→Al=0, correction bits) → DC
+    refinement — the same quantized coefficients reordered losslessly,
+    so the expected reconstruction is IDENTICAL to the baseline
+    encoding's and the round-trip equality test carries full force."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -747,6 +758,7 @@ def encode_jpeg(
         ]
     T = _jpeg_T()
     coeffs = []
+    nat_blocks = []  # per-comp natural (bw, bh) — what AC scans iterate
     for plane, q, (fh, fv) in zip(comp_planes, qtabs, factors):
         sh, sv = max_h // fh, max_v // fv
         if sh > 1 or sv > 1:
@@ -758,6 +770,7 @@ def encode_jpeg(
                 .sum(axis=(1, 3)),
                 (sh * sv).bit_length() - 1,
             )
+        nat_blocks.append((-(-plane.shape[1] // 8), -(-plane.shape[0] // 8)))
         padded = _jpeg_pad_plane(plane, mcus_y * fv * 8, mcus_x * fh * 8)
         coeffs.append(_jpeg_plane_blocks(padded, q, T))
 
@@ -771,7 +784,8 @@ def encode_jpeg(
     sof += bytes([channels])
     for ci, (fh, fv) in enumerate(factors):
         sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + (len(sof) + 2).to_bytes(2, "big") + sof
     tables = [(0x00, _JPEG_DC_BITS_0, _JPEG_DC_VALS), (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)]
     if channels == 3:
         tables += [(0x01, _JPEG_DC_BITS_1, _JPEG_DC_VALS), (0x11, _JPEG_AC_BITS, _JPEG_AC_VALS)]
@@ -780,46 +794,260 @@ def encode_jpeg(
         out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
     if restart_interval:
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
-    sos = bytes([channels])
-    for ci in range(channels):
-        dc_id = 0 if ci == 0 else 1
-        ac_id = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (dc_id << 4) | ac_id])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
 
-    # ---- entropy-coded scan ----
     dc0 = _huff_encode_map(_JPEG_DC_BITS_0, _JPEG_DC_VALS)
     dc1 = _huff_encode_map(_JPEG_DC_BITS_1, _JPEG_DC_VALS)
     ac = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
     enc_tabs = [(dc0, ac)] + [(dc1, ac)] * (channels - 1)
     zzflat = _JPEG_ZIGZAG_FLAT
-    bw = _JpegBitWriter()
-    preds = [0] * channels
-    n_mcus = mcus_x * mcus_y
-    rst = 0
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()
-            bw.marker(0xD0 + rst % 8)
-            rst += 1
-            preds = [0] * channels
-        my, mx = divmod(m, mcus_x)
-        for ci, (fh, fv) in enumerate(factors):
-            dcm, acm = enc_tabs[ci]
-            for by in range(fv):
-                for bx in range(fh):
-                    block = coeffs[ci][my * fv + by, mx * fh + bx].reshape(-1)
-                    zz = [int(block[z]) for z in zzflat]
-                    preds[ci] = _jpeg_encode_block(bw, zz, preds[ci], dcm, acm)
-    bw.flush()
-    out += bw.buf
+
+    if progressive:
+        out += _jpeg_prog_scans(
+            coeffs, factors, nat_blocks, enc_tabs, mcus_x, mcus_y,
+            restart_interval, zzflat,
+        )
+    else:
+        sos = bytes([channels])
+        for ci in range(channels):
+            dc_id = 0 if ci == 0 else 1
+            ac_id = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dc_id << 4) | ac_id])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        bw = _JpegBitWriter()
+        preds = [0] * channels
+        n_mcus = mcus_x * mcus_y
+        rst = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                bw.marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0] * channels
+            my, mx = divmod(m, mcus_x)
+            for ci, (fh, fv) in enumerate(factors):
+                dcm, acm = enc_tabs[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        block = coeffs[ci][my * fv + by, mx * fh + bx].reshape(-1)
+                        zz = [int(block[z]) for z in zzflat]
+                        preds[ci] = _jpeg_encode_block(bw, zz, preds[ci], dcm, acm)
+        bw.flush()
+        out += bw.buf
     out += b"\xff\xd9"  # EOI
     payload = bytes(out)
     if not return_expected:
         return payload
     expected = _jpeg_reconstruct(coeffs, qtabs, factors, width, height)
     return payload, expected
+
+
+def _jpeg_prog_scans(
+    coeffs, factors, nat_blocks, enc_tabs, mcus_x, mcus_y, dri, zzflat
+) -> bytes:
+    """Emit the progressive scan script (T.81 G.1.2 encode side): DC
+    first Al=1 → per-comp AC first 1..63 Al=1 (EOBRUN) → per-comp AC
+    refinement Ah=1 Al=0 (correction bits, libjpeg jcphuff ordering:
+    symbol, immediate bits, then buffered bits) → DC refinement."""
+    nc = len(factors)
+    out = bytearray()
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    AL_DC = 1
+    out += sos_header(list(range(nc)), 0, 0, 0, AL_DC)
+    bw = _JpegBitWriter()
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            bw.flush()
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0] * nc
+        my, mx = divmod(m, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            dcm, _ = enc_tabs[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    v = int(coeffs[ci][my * fv + by, mx * fh + bx, 0, 0]) >> AL_DC
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = abs(diff).bit_length()
+                    code, ln = dcm[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.buf
+
+    # ---- per-comp AC first (Ss=1..63, Al=1) ----
+    AL_AC = 1
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 0, AL_AC)
+        acm = enc_tabs[ci][1]
+        bw = _JpegBitWriter()
+        eobrun = 0
+        rst = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = acm[r << 4]
+                bw.write(code, ln)
+                bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bw_nat, bh_nat = nat_blocks[ci]
+        for bi in range(bw_nat * bh_nat):
+            if dri and bi and bi % dri == 0:
+                flush_eob()
+                bw.flush()
+                bw.marker(0xD0 + rst % 8)
+                rst += 1
+            by, bx = divmod(bi, bw_nat)
+            blk = coeffs[ci][by, bx].reshape(-1)
+            sv = [0] * 64
+            last = 0
+            for k in range(1, 64):
+                v = int(blk[zzflat[k]])
+                sv[k] = (abs(v) >> AL_AC) * (1 if v >= 0 else -1)
+                if sv[k]:
+                    last = k
+            if last == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, last + 1):
+                v = sv[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = acm[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = acm[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                eobrun += 1
+        flush_eob()
+        bw.flush()
+        out += bw.buf
+
+    # ---- per-comp AC refinement (Ah=1 → Al=0) ----
+    # Two correction-bit buffers, the jcphuff discipline: `be_buf`
+    # rides with the pending EOB run (flushed right after the EOBn
+    # symbol), `br_buf` collects the CURRENT block's bits since the
+    # last symbol (flushed right after that symbol's immediate bits);
+    # at block end br joins be. One conflated buffer emits bits BEFORE
+    # the symbol they belong to and desynchronizes the decoder.
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, AL_AC, 0)
+        acm = enc_tabs[ci][1]
+        bw = _JpegBitWriter()
+        eobrun = 0
+        be_buf: list[int] = []
+        br_buf: list[int] = []
+        rst = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = acm[r << 4]
+                bw.write(code, ln)
+                bw.write(eobrun - (1 << r), r)
+                for b in be_buf:
+                    bw.write(b, 1)
+                be_buf.clear()
+                eobrun = 0
+
+        bw_nat, bh_nat = nat_blocks[ci]
+        for bi in range(bw_nat * bh_nat):
+            if dri and bi and bi % dri == 0:
+                emit_eobrun()
+                bw.flush()
+                bw.marker(0xD0 + rst % 8)
+                rst += 1
+            by, bx = divmod(bi, bw_nat)
+            blk = coeffs[ci][by, bx].reshape(-1)
+            t = [0] * 64
+            signs = [1] * 64
+            eobpos = 0
+            for k in range(1, 64):
+                v = int(blk[zzflat[k]])
+                signs[k] = 1 if v >= 0 else 0
+                t[k] = abs(v)  # Al = 0: magnitude as-is
+                if t[k] == 1:
+                    eobpos = k
+            run = 0
+            for k in range(1, 64):
+                tv = t[k]
+                if tv == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    emit_eobrun()
+                    code, ln = acm[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    for b in br_buf:
+                        bw.write(b, 1)
+                    br_buf.clear()
+                if tv > 1:
+                    br_buf.append(tv & 1)
+                    continue
+                # newly significant (magnitude exactly 1 at this bit)
+                emit_eobrun()
+                code, ln = acm[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(signs[k], 1)
+                for b in br_buf:
+                    bw.write(b, 1)
+                br_buf.clear()
+                run = 0
+            if run > 0 or br_buf:
+                eobrun += 1
+                be_buf.extend(br_buf)
+                br_buf.clear()
+                if eobrun == 0x7FFF or len(be_buf) > 900:
+                    emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out += bw.buf
+
+    # ---- DC refinement (Ah=1 → Al=0): one magnitude bit per block ----
+    out += sos_header(list(range(nc)), 0, 0, AL_DC, 0)
+    bw = _JpegBitWriter()
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            bw.flush()
+            bw.marker(0xD0 + rst % 8)
+            rst += 1
+        my, mx = divmod(m, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            for by in range(fv):
+                for bx in range(fh):
+                    bw.write(int(coeffs[ci][my * fv + by, mx * fh + bx, 0, 0]) & 1, 1)
+    bw.flush()
+    out += bw.buf
+    return bytes(out)
 
 
 def _jpeg_entropy_segments(data: bytes, start: int):
@@ -850,7 +1078,6 @@ def _jpeg_entropy_segments(data: bytes, start: int):
 
 
 _JPEG_SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -865,13 +1092,19 @@ _JPEG_SOF_UNSUPPORTED = {
 
 
 def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Decode a baseline-sequential JPEG → (width, height, channels,
-    row-major samples) — gray for 1 component, interleaved RGB for 3.
-    Huffman tables, quant tables, sampling factors (≤ 2), and restart
-    intervals all come from the file; progressive / arithmetic /
-    lossless / hierarchical SOFs, 12-bit precision, 16-bit quant
-    tables, 4:1:1-class factors, and non-interleaved multi-scan files
-    raise NotImplementedError; structural corruption raises ValueError."""
+    """Decode a baseline-sequential OR progressive (SOF2, r12) JPEG →
+    (width, height, channels, row-major samples) — gray for 1
+    component, interleaved RGB for 3. Huffman tables, quant tables,
+    sampling factors (≤ 2), and restart intervals all come from the
+    file; progressive supports spectral selection AND successive
+    approximation (DC/AC first + refinement scans, EOBRUN, correction
+    bits — the full libjpeg-script profile). Arithmetic / lossless /
+    hierarchical SOFs, 12-bit precision, 16-bit quant tables,
+    4:1:1-class factors, and non-interleaved multi-scan BASELINE files
+    raise NotImplementedError; structural corruption raises ValueError.
+    Memory: baseline streams the IDCT per MCU row (uint8 planes);
+    progressive inherently holds full coefficient planes until the
+    last scan — same as every progressive decoder."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -879,6 +1112,8 @@ def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], list] = {}  # (class, id) -> decode LUT
     frame = None  # (h, w, [(cid, fh, fv, tq)])
+    progressive = False
+    pstate = None  # progressive coefficient state
     dri = 0
     i, n = 2, len(payload)
     while i < n:
@@ -891,6 +1126,8 @@ def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             continue  # TEM / stray RST: parameterless
         if m == 0xD9:
+            if pstate is not None and pstate.get("scans", 0) > 0:
+                return _jpeg_prog_reconstruct(frame, qt, pstate)
             raise ValueError("EOI before SOS (no image data)")
         L = int.from_bytes(payload[i : i + 2], "big")
         if L < 2 or i + L > n:
@@ -900,7 +1137,8 @@ def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
             raise NotImplementedError(
                 f"JPEG {_JPEG_SOF_UNSUPPORTED[m]} is not supported (baseline only)"
             )
-        if m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+        if m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
+            progressive = m == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -947,6 +1185,11 @@ def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             h, w, comps = frame
+            if progressive:
+                if pstate is None:
+                    pstate = _jpeg_prog_state(frame)
+                i = _jpeg_decode_prog_scan(payload, i + L, seg, huff, dri, pstate)
+                continue
             if ns != len(comps):
                 raise NotImplementedError("non-interleaved JPEG scan")
             scan_tabs = {}
@@ -957,6 +1200,9 @@ def decode_jpeg_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
             return _jpeg_decode_scan(payload, i, frame, qt, huff, scan_tabs, dri)
         # APPn / COM / others: skip
         i += L
+    if pstate is not None and pstate.get("scans", 0) > 0:
+        # tolerate a missing EOI on an otherwise complete progressive file
+        return _jpeg_prog_reconstruct(frame, qt, pstate)
     raise ValueError("no SOS marker (truncated JPEG)")
 
 
@@ -1044,6 +1290,215 @@ def _jpeg_decode_scan(payload, pos, frame, qt, huff, scan_tabs, dri):
             flush_row(my)
     samples = _jpeg_planes_to_samples(planes, factors, w, h)
     return w, h, len(comps), samples
+
+
+def _jpeg_prog_state(frame) -> dict:
+    """Progressive decode state: full int64 coefficient planes per
+    component on the MCU-padded grid, plus the NATURAL (unpadded)
+    block grid AC scans iterate (T.81 G: non-interleaved scans walk
+    the component's own ceil(size/8) grid, not the MCU grid)."""
+    import numpy as np
+
+    h, w, comps = frame
+    if any(fh not in (1, 2) or fv not in (1, 2) for _, fh, fv, _ in comps):
+        raise NotImplementedError("JPEG sampling factors > 2 (4:1:1-class)")
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    factors = [(fh, fv) for _, fh, fv, _ in comps]
+    max_h = max(fh for fh, _ in factors)
+    max_v = max(fv for _, fv in factors)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    natural = []
+    for fh, fv in factors:
+        cw, ch = -(-w * fh // max_h), -(-h * fv // max_v)
+        natural.append((-(-cw // 8), -(-ch // 8)))  # (bw, bh)
+    coeffs = [
+        np.zeros((mcus_y * fv, mcus_x * fh, 64), dtype=np.int64)
+        for fh, fv in factors
+    ]
+    return {
+        "comps": comps,
+        "factors": factors,
+        "comp_index": {cid: ix for ix, (cid, _, _, _) in enumerate(comps)},
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "natural": natural,
+        "coeffs": coeffs,
+        "scans": 0,
+    }
+
+
+def _jpeg_decode_prog_scan(payload, pos, seg, huff, dri, st) -> int:
+    """Decode ONE progressive scan (T.81 G.1.2 / the libjpeg jdphuff
+    algorithms) into the coefficient planes; returns the byte position
+    of the scan-terminating marker. Handles DC first (interleaved or
+    single-component) and refinement, AC first with EOBRUN, and AC
+    refinement with correction bits; restart markers reset predictors
+    and the EOB run."""
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("truncated progressive SOS segment")
+    scan = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if cs not in st["comp_index"]:
+            raise ValueError(f"scan references unknown component {cs}")
+        scan.append((st["comp_index"][cs], tt >> 4, tt & 0xF))
+    ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    zzflat = _JPEG_ZIGZAG_FLAT
+    segs, end = _jpeg_entropy_segments(payload, pos)
+    st["scans"] += 1
+
+    def units():
+        """Block sequence: (comp index, by, bx) groups per MCU unit."""
+        if ss == 0 and ns > 1:
+            for my in range(st["mcus_y"]):
+                for mx in range(st["mcus_x"]):
+                    u = []
+                    for ci, _, _ in scan:
+                        fh, fv = st["factors"][ci]
+                        for by in range(fv):
+                            for bx in range(fh):
+                                u.append((ci, my * fv + by, mx * fh + bx))
+                    yield u
+        else:
+            ci = scan[0][0]
+            bw_, bh_ = st["natural"][ci]
+            if ss == 0 and ns == 1 and len(st["factors"]) == 1:
+                # single-comp frame: MCU grid == natural grid
+                bw_, bh_ = st["mcus_x"], st["mcus_y"]
+            for by in range(bh_):
+                for bx in range(bw_):
+                    yield [(ci, by, bx)]
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+    else:
+        if ns != 1:
+            raise ValueError("AC scan with more than one component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("bad spectral band")
+
+    dc_luts = {}
+    ac_lut = None
+    if ss == 0 and ah == 0:
+        for ci, td, _ in scan:
+            if (0, td) not in huff:
+                raise ValueError(f"undefined DC table {td}")
+            dc_luts[ci] = huff[(0, td)]
+    if ss > 0:
+        ta = scan[0][2]
+        if (1, ta) not in huff:
+            raise ValueError(f"undefined AC table {ta}")
+        ac_lut = huff[(1, ta)]
+
+    seg_idx = 0
+    rd = _JpegBitReader(segs[0])
+    preds = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
+    p1 = 1 << al
+    for m_i, unit in enumerate(units()):
+        if dri and m_i and m_i % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            rd = _JpegBitReader(segs[seg_idx])
+            preds = {ci: 0 for ci, _, _ in scan}
+            eobrun = 0
+        for ci, by, bx in unit:
+            block = st["coeffs"][ci][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    s = rd.decode(dc_luts[ci])
+                    if s > 15:
+                        raise ValueError("invalid JPEG DC size category")
+                    diff = _jpeg_extend(rd.read(s), s) if s else 0
+                    preds[ci] += diff
+                    block[0] = preds[ci] << al
+                else:  # DC refinement: one appended magnitude bit
+                    if rd.read(1):
+                        block[0] = int(block[0]) | p1
+                continue
+            # ---- AC scans ----
+            if ah == 0:  # AC first (with point transform)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = rd.decode(ac_lut)
+                    r, s = sym >> 4, sym & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        block[zzflat[k]] = _jpeg_extend(rd.read(s), s) << al
+                        k += 1
+                    elif r == 15:
+                        k += 16
+                    else:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.read(r)
+                        break
+                continue
+            # AC refinement (correction bits)
+            def refine_nz(idx):
+                v = int(block[idx])
+                if rd.read(1) and (v & p1) == 0:
+                    block[idx] = v + p1 if v >= 0 else v - p1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = rd.decode(ac_lut)
+                    r, s = sym >> 4, sym & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read(r)
+                            break
+                    else:
+                        if s != 1:
+                            raise ValueError("invalid refinement size")
+                        val = p1 if rd.read(1) else -p1
+                    while k <= se:
+                        idx = zzflat[k]
+                        if block[idx] != 0:
+                            refine_nz(idx)
+                        else:
+                            if r == 0:
+                                if val:
+                                    block[idx] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    idx = zzflat[k]
+                    if block[idx] != 0:
+                        refine_nz(idx)
+                    k += 1
+                eobrun -= 1
+    return end
+
+
+def _jpeg_prog_reconstruct(frame, qt, st):
+    """Dequant + IDCT the accumulated progressive coefficient planes."""
+    h, w, _ = frame
+    try:
+        qtabs = [qt[tq] for _, _, _, tq in st["comps"]]
+    except KeyError as e:
+        raise ValueError(f"JPEG references undefined table {e}") from e
+    shaped = [C.reshape(C.shape[0], C.shape[1], 8, 8) for C in st["coeffs"]]
+    samples = _jpeg_reconstruct(shaped, qtabs, st["factors"], w, h)
+    return w, h, len(st["comps"]), samples
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
@@ -1153,9 +1608,10 @@ def decode_media(
     pixels / 255 (images) or the samples / 32768 (audio); `n_pixels`
     counts pixels or frames. The synthetic `fake` format keeps its
     digest decode. Formats with no codec in this container (mp3/mp4;
-    progressive/arithmetic JPEG raises inside the jpeg arm):
-    strict=True raises NotImplementedError, strict=False drops those
-    rows — honestly, never faking a decode.
+    arithmetic/lossless JPEG raises inside the jpeg arm — baseline AND
+    progressive both decode as of r12): strict=True raises
+    NotImplementedError, strict=False drops those rows — honestly,
+    never faking a decode.
     """
     import pandas as pd
 
@@ -1312,11 +1768,14 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     block fixed point: DC-only blocks, all-ones quant tables, equal-RGB
     → Y=g, Cb=Cr=128 which subsample and convert back losslessly).
     Cycles channels by id%2 (gray / RGB), subsampling by id%3 over
-    4:4:4 / 4:2:2 / 4:2:0, and restart_interval by id%3 — one
-    oracle-checked query walks every MCU layout, chroma pipeline, and
-    restart path while the decode output stays statable in SQL (chunk
-    means g/255, n_pixels = w·h). Pixel-VARYING content is round-trip
-    gated in pytest via `return_expected`."""
+    4:4:4 / 4:2:2 / 4:2:0, restart_interval by id%3, and (r12)
+    BASELINE vs PROGRESSIVE by id%7<3 — one oracle-checked query walks
+    every MCU layout, chroma pipeline, restart path, and both entropy
+    layouts while the decode output stays statable in SQL (chunk means
+    g/255, n_pixels = w·h; progressive reorders the same quantized
+    coefficients losslessly, so constants stay exact fixed points).
+    Pixel-VARYING content is round-trip gated in pytest via
+    `return_expected`."""
     import pandas as pd
 
     samplings = ["444", "422", "420"]
@@ -1342,6 +1801,7 @@ def attach_synthetic_jpeg(df: DataFrame, id_col: str) -> DataFrame:
                     quality=100,
                     subsampling=samplings[i % 3],
                     restart_interval=i % 3,
+                    progressive=i % 7 < 3,
                 )
                 rows.append((i, payload, ("image", "jpeg", w, h, None, 1, None)))
             yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])

@@ -2524,10 +2524,10 @@ def test_jpeg_codec_roundtrips_and_traps():
     ) == (9, 4, [5] * 36)
 
     good = encode_jpeg(8, 8, [100] * 64, channels=1)
-    with _pt.raises(NotImplementedError, match="progressive"):
-        decode_jpeg_samples(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with _pt.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_samples(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    with _pt.raises(NotImplementedError, match="lossless"):
+        decode_jpeg_samples(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     i = good.find(b"\xff\xdb")
     bad = bytearray(good)
     bad[i + 4] = 0x10  # Pq=1: 16-bit quant table
@@ -2542,6 +2542,71 @@ def test_jpeg_codec_roundtrips_and_traps():
     random.seed(9)
     for _ in range(300):
         b = bytearray(good)
+        for _ in range(random.randrange(1, 4)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        try:
+            decode_jpeg_samples(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_jpeg_progressive_roundtrips():
+    """r12 progressive JPEG (SOF2, the full successive-approximation
+    script: DC first Al=1 → per-comp AC first with EOBRUN → per-comp
+    AC refinement with correction bits → DC refinement): progressive
+    coding reorders the SAME quantized coefficients losslessly, so
+    decode must EQUAL the baseline encoding's expected reconstruction
+    on every input — gray/RGB × subsampling × quality × restart
+    intervals, plus an EOBRUN-heavy smooth gradient and constant
+    fixed points; corruption fuzz leaks no foreign exception type.
+    (Conformance caveat, stated honestly: encoder and decoder are
+    in-tree siblings — with no external JPEG library in this
+    container, cross-implementation bit-conformance can't be machine-
+    checked here; the algorithms follow T.81 G.1.2 / the libjpeg
+    jdphuff/jcphuff structure, and any shared misreading would have
+    to survive the exact-equality gate against the independently
+    computed baseline reconstruction.)"""
+    import random
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_jpeg_samples,
+        encode_jpeg,
+    )
+
+    random.seed(7)
+    for _ in range(25):
+        ch = random.choice([1, 3])
+        w, h = random.randrange(1, 40), random.randrange(1, 30)
+        q = random.choice([100, 90, 75, 50, 25, 5])
+        samp = random.choice(["444", "422", "420"])
+        ri = random.choice([0, 1, 2, 5])
+        px = [random.randrange(256) for _ in range(w * h * ch)]
+        _, exp = encode_jpeg(
+            w, h, px, channels=ch, quality=q, subsampling=samp,
+            restart_interval=ri, return_expected=True,
+        )
+        pp = encode_jpeg(
+            w, h, px, channels=ch, quality=q, subsampling=samp,
+            restart_interval=ri, progressive=True,
+        )
+        assert decode_jpeg_samples(pp) == (w, h, ch, exp), (ch, w, h, q, samp, ri)
+
+    for g in (0, 128, 255):
+        pp = encode_jpeg(
+            12, 9, [g] * (12 * 9 * 3), channels=3, quality=100,
+            subsampling="420", progressive=True,
+        )
+        assert decode_jpeg_samples(pp)[3] == [g] * (12 * 9 * 3)
+
+    # EOBRUN-heavy: smooth gradient at low quality → long zero runs
+    px = [((x + y) // 4) % 256 for y in range(64) for x in range(48)]
+    _, exp = encode_jpeg(48, 64, px, channels=1, quality=25, return_expected=True)
+    pp = encode_jpeg(48, 64, px, channels=1, quality=25, progressive=True)
+    assert decode_jpeg_samples(pp) == (48, 64, 1, exp)
+
+    random.seed(11)
+    for _ in range(200):
+        b = bytearray(pp)
         for _ in range(random.randrange(1, 4)):
             b[random.randrange(len(b))] = random.randrange(256)
         try:

@@ -1281,6 +1281,64 @@ def gpt2_pretokenize_sql(expr: str) -> str:
     )
 
 
+#: The cl100k_base pre-tokenizer pattern (tiktoken, the GPT-4/GPT-3.5
+#: lineage), reformulated engine-portable: possessive quantifiers
+#: (`?+`, `++`) relax to greedy — provably equivalent here because the
+#: token that follows each possessive atom can never be satisfied by
+#: backtracking it (letters can't come from a shorter letter run;
+#: `[\r\n]*` matches empty) — and the `\s+(?!\S)` alternative uses the
+#: same sentinel reformulation as GPT-2, EXCEPT the sentinel is only
+#: inserted after NON-newline whitespace: a run ending in \r\n belongs
+#: whole to the `\s*[\r\n]` alternative (no last-char yield), and a
+#: sentinel there would wrongly split it. ASCII whitespace divergence
+#: documented as for GPT-2.
+CL100K_PRETOKEN_RE = (
+    r"'(?i:[sdmt]|ll|ve|re)"
+    rf"|[^\r\n\p{{L}}\p{{N}}\x1e]?\p{{L}}+"
+    r"|\p{N}{1,3}"
+    rf"| ?[^{_GPT2_WS}\p{{L}}\p{{N}}\x1e]+[\r\n]*"
+    rf"|[{_GPT2_WS}]*[\r\n]"
+    rf"|[{_GPT2_WS}]+"
+)
+
+#: non-newline whitespace — the only boundary class that yields its
+#: last char to the following token under cl100k semantics
+_CL100K_YIELD_WS = r" \t\f\x0B"
+
+
+def cl100k_pretokenize(text: Column | str) -> Column:
+    """cl100k_base (tiktoken / GPT-4-lineage) pre-tokenization: the
+    case-insensitive contractions, optional-single-prefix letter runs
+    (ANY non-letter/digit/newline char may prefix, not just space),
+    1-3-digit number groups, space-prefixed symbol runs that absorb
+    trailing newlines, whitespace-through-last-newline, and the
+    trailing/yielding whitespace split. Same two scan-speed regexp ops
+    as `gpt2_pretokenize` (sentinel strip+insert, extract_all), zero
+    shuffle, engine-portable; fuzz-proven equivalent to the original
+    lookahead/possessive pattern (tests/test_corpus.py). The U+001E
+    sentinel is stripped first (the gpt2 contract); `\\s` is ASCII
+    (documented divergence from tiktoken's Unicode classes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    marked = F.regexp_replace(
+        F.regexp_replace(c, GPT2_PRETOKEN_SENTINEL, ""),
+        rf"([{_CL100K_YIELD_WS}])([^{_GPT2_WS}])",
+        GPT2_PRETOKEN_SENTINEL + "$1$2",
+    )
+    return F.regexp_extract_all(marked, F.lit(CL100K_PRETOKEN_RE), 0)
+
+
+def cl100k_pretokenize_sql(expr: str) -> str:
+    """DuckDB twin of `cl100k_pretokenize` — same strip, same
+    non-newline-boundary marker insert, same token pattern."""
+    pat = CL100K_PRETOKEN_RE.replace("'", "''")
+    stripped = f"replace({expr}, chr(30), '')"
+    return (
+        "regexp_extract_all(regexp_replace("
+        f"{stripped}, '([{_CL100K_YIELD_WS}])([^{_GPT2_WS}])', chr(30) || '\\1\\2', 'g'"
+        f"), '{pat}')"
+    )
+
+
 def bpe_word_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -1297,10 +1355,12 @@ def bpe_word_counts(
     style entries exactly as production byte-level BPE vocabularies do)."""
     from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
-    if pretokenize not in (None, "gpt2"):
+    if pretokenize not in (None, "gpt2", "cl100k"):
         raise ValueError(f"unknown pretokenize mode: {pretokenize!r}")
     if pretokenize == "gpt2":
         toks = gpt2_pretokenize(F.col(text_col))
+    elif pretokenize == "cl100k":
+        toks = cl100k_pretokenize(F.col(text_col))
     else:
         toks = F.split(
             text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "
@@ -1605,7 +1665,7 @@ def bpe_encode(
         raise ValueError("byte_fallback_vocab requires method='arrow'")
     if byte_fallback_vocab is not None and byte_level:
         raise ValueError("byte_fallback_vocab is redundant with byte_level")
-    if pretokenize not in (None, "gpt2"):
+    if pretokenize not in (None, "gpt2", "cl100k"):
         raise ValueError(f"unknown pretokenize mode: {pretokenize!r}")
     if not isinstance(merges, list):
         merges = [
@@ -1614,6 +1674,8 @@ def bpe_encode(
         ]
     if pretokenize == "gpt2":
         toks = gpt2_pretokenize(F.col(text_col))
+    elif pretokenize == "cl100k":
+        toks = cl100k_pretokenize(F.col(text_col))
     else:
         toks = F.split(
             text_normalize(F.col(text_col)) if normalize else F.col(text_col), " "

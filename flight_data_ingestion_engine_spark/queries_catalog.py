@@ -11357,6 +11357,38 @@ def q_bpe_gpt2_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_word_counts(docs, pretokenize="gpt2")
 
 
+def _cl100k_pretokens_oracle_sql() -> str:
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        cl100k_pretokenize_sql,
+    )
+
+    return f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST({cl100k_pretokenize_sql('text')}) AS word FROM documents
+    ) WHERE word <> '' GROUP BY 1
+    """
+
+
+@_q("bpe_cl100k_pretokens", _cl100k_pretokens_oracle_sql())
+def q_bpe_cl100k_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cl100k_base pre-tokenizer vocabulary (r12 — corpus.py::
+    cl100k_pretokenize / bpe_word_counts(pretokenize="cl100k"), the
+    tiktoken GPT-4-lineage split): case-insensitive contractions,
+    any-single-char letter prefixes, 1-3-digit number groups, symbol
+    runs absorbing trailing newlines, whitespace-through-last-newline,
+    and the last-ws-char yield. Possessive quantifiers relaxed to
+    greedy (provably equivalent) and the `\\s+(?!\\S)` lookahead
+    sentinel-reformulated — inserted only after NON-newline whitespace
+    (a run ending in newline belongs whole to `\\s*[\\r\\n]`); fuzz-
+    proven against a procedural reference of the original semantics.
+    Both engines run the identical two regexp ops, so every pre-token
+    string matches value-exact."""
+    from flight_data_ingestion_engine_spark.operators.corpus import bpe_word_counts
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return bpe_word_counts(docs, pretokenize="cl100k")
+
+
 @_q("bpe_gpt2_merges", _bpe_oracle_sql(6, gpt2_byte_level=True))
 def q_bpe_gpt2_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-LEVEL BPE training over GPT-2 pre-tokens (corpus.py::

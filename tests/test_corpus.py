@@ -1452,6 +1452,151 @@ def test_gpt2_pretokenize_strips_sentinel_explicitly(spark):
         assert list(oracle) == got[t], t
 
 
+def test_cl100k_pretokenize_classic_and_fuzz(spark):
+    """r12 cl100k_base pre-tokenizer (tiktoken GPT-4 lineage): classic
+    pins (case-insensitive contractions, ANY-single-char letter
+    prefixes, 1-3-digit groups, symbol runs absorbing newlines,
+    ws-through-last-newline, last-ws-char yield), concatenation
+    losslessness, DuckDB-twin token equality, and 400-case fuzz
+    against a PROCEDURAL reference implementing the ORIGINAL
+    possessive/lookahead pattern semantics."""
+    import random
+
+    import duckdb
+
+    from flight_data_ingestion_engine_spark.operators.corpus import (
+        cl100k_pretokenize,
+        cl100k_pretokenize_sql,
+    )
+    from pyspark.sql import functions as F
+
+    WS = " \t\n\r\f\x0b"
+    NL = "\r\n"
+
+    def ref(text):
+        """The original cl100k pattern, procedurally: alternatives in
+        order with greedy/possessive + `\\s+(?!\\S)` semantics."""
+        isl = str.isalpha
+        isn = str.isnumeric
+        isw = lambda c: c in WS
+        toks, i, n = [], 0, len(text)
+        while i < n:
+            # 1. '(?i:[sdmt]|ll|ve|re)
+            if text[i] == "'":
+                rest = text[i + 1 : i + 3].lower()
+                if rest[:2] in ("ll", "ve", "re"):
+                    toks.append(text[i : i + 3])
+                    i += 3
+                    continue
+                if rest[:1] in ("s", "d", "m", "t"):
+                    toks.append(text[i : i + 2])
+                    i += 2
+                    continue
+            c = text[i]
+            # 2. [^\r\n L N]?+ \p{L}+
+            if c not in NL and not isl(c) and not isn(c) and i + 1 < n and isl(text[i + 1]):
+                j = i + 1
+                while j < n and isl(text[j]):
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+                continue
+            if isl(c):
+                j = i
+                while j < n and isl(text[j]):
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+                continue
+            # 3. \p{N}{1,3}
+            if isn(c):
+                j = i
+                while j < n and j < i + 3 and isn(text[j]):
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+                continue
+            # 4. ' '? [^\s L N]++ [\r\n]*
+            k = i
+            if c == " " and k + 1 < n and not isw(text[k + 1]) and not isl(text[k + 1]) and not isn(text[k + 1]):
+                k += 1
+            if k < n and not isw(text[k]) and not isl(text[k]) and not isn(text[k]):
+                j = k
+                while j < n and not isw(text[j]) and not isl(text[j]) and not isn(text[j]):
+                    j += 1
+                while j < n and text[j] in NL:
+                    j += 1
+                toks.append(text[i:j])
+                i = j
+                continue
+            # whitespace run from i
+            j = i
+            while j < n and isw(text[j]):
+                j += 1
+            run = text[i:j]
+            # 5. \s*[\r\n] — through the LAST newline in the run
+            last_nl = max((p for p, ch in enumerate(run) if ch in NL), default=-1)
+            if last_nl >= 0:
+                toks.append(run[: last_nl + 1])
+                i += last_nl + 1
+                continue
+            # 6. \s+(?!\S): whole trailing run, or all-but-last if >=2
+            if j >= n:
+                toks.append(run)
+                i = j
+                continue
+            if len(run) >= 2:
+                toks.append(run[:-1])
+                i += len(run) - 1
+                continue
+            # 7. \s+
+            toks.append(run)
+            i = j
+        return toks
+
+    cases = {
+        "don't DON'T D'LL d've x'Re": None,
+        "hello world": ["hello", " world"],
+        "a  b": ["a", " ", " b"],
+        "1234.5678": ["123", "4", ".", "567", "8"],
+        "a \n\nb": ["a", " \n\n", "b"],
+        "x!!\n\ny": ["x", "!!\n\n", "y"],
+        "—word": ["—word"],
+        "a\t\t1": ["a", "\t", "\t", "1"],
+        "trail  ": ["trail", "  "],
+        "a \n b": ["a", " \n", " b"],
+        " лиса 狐x": None,
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {
+        r.t: r.toks
+        for r in df.select("t", cl100k_pretokenize("t").alias("toks")).collect()
+    }
+    for text, want in cases.items():
+        assert got[text] == ref(text), (text, got[text], ref(text))
+        if want is not None:
+            assert got[text] == want, (text, got[text], want)
+        assert "".join(got[text]) == text
+        (oracle,) = duckdb.sql(
+            f"SELECT {cl100k_pretokenize_sql('?')}", params=[text]
+        ).fetchone()
+        assert list(oracle) == got[text], text
+
+    random.seed(23)
+    al = "ab E 'sdLV.!—\t\n\r1234狐é "
+    texts = [
+        "".join(random.choice(al) for _ in range(random.randrange(0, 60)))
+        for _ in range(400)
+    ]
+    fdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    fgot = [
+        r.toks for r in fdf.select(cl100k_pretokenize("t").alias("toks")).collect()
+    ]
+    # collect() order matches createDataFrame order on local[.]
+    for t, g in zip(texts, fgot):
+        assert g == ref(t), (repr(t), g, ref(t))
+
+
 def test_gpt2_pretokenize_fuzz_vs_lookahead_reference(spark):
     """The sentinel reformulation must equal the lookahead semantics of
     the original pattern on arbitrary input — procedural reference

@@ -3530,6 +3530,131 @@ def decimate_audio(
     return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
 
 
+def resample_fir_taps(
+    up: int, down: int, half_width: int = 4
+) -> tuple[dict[int, int], int, int, int]:
+    """Integer polyphase kernel for rational L/M resampling: a
+    Hamming-windowed sinc at cutoff π/max(L,M) with gain L, quantized
+    to Q15 — and normalized PER POLYPHASE BRANCH (each branch's tap
+    sum is forced to exactly 2^15 by adjusting its largest tap), so a
+    constant signal passes bit-unchanged through EVERY output phase:
+    the closed-form-oracle discipline. Returns ({k: tap}, K, L, M)
+    with k ∈ [-K, K], K = half_width·max(L,M), and (L, M) the
+    gcd-reduced ratio."""
+    import math
+
+    if up < 1 or down < 1:
+        raise ValueError("resample_fir_taps: up and down must be >= 1")
+    g = math.gcd(up, down)
+    L, M = up // g, down // g
+    R = max(L, M)
+    K = half_width * R
+    q: dict[int, int] = {}
+    for k in range(-K, K + 1):
+        if k == 0:
+            x = 1.0 / R
+        else:
+            t = k / R
+            x = math.sin(math.pi * t) / (math.pi * t) / R
+        wnd = 0.54 + 0.46 * math.cos(math.pi * k / (K + 1))
+        q[k] = round(x * wnd * L * 32768)
+    for p in range(L):
+        ks = [k for k in range(-K, K + 1) if k % L == p]
+        s = sum(q[k] for k in ks)
+        kmax = max(ks, key=lambda k: abs(q[k]))
+        q[kmax] += 32768 - s
+    return q, K, L, M
+
+
+def resample_audio(
+    df: DataFrame,
+    up: int,
+    down: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "media_bytes",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Rational-factor audio resampling (r12) — the 44.1 kHz → 16 kHz
+    class every ASR-prep pipeline needs (L/M = 160/441), done the
+    textbook polyphase way: conceptual zero-stuff by L → windowed-sinc
+    low-pass at π/max(L,M) (gain L) → take every M-th — computed
+    directly as y[n] = Σ_j h[phase + jL]·x[m − j] with phase = nM mod
+    L, m = ⌊nM/L⌋, replicate edges, round-half-up Q15 shift, int16
+    clamp. Per-branch exact-DC tap normalization makes constants pass
+    bit-unchanged, and the whole convolution replays closed-form in
+    the `audio_resample_poly` oracle (inlined (phase, j, tap) VALUES).
+    The output rate rate·L/M must be integral (honest ValueError
+    otherwise — a fractional WAV rate isn't representable). One Arrow
+    stage, payloads never reach the driver; `decimate_audio` remains
+    the pure-integer-drop fast path."""
+    import pandas as pd
+
+    q, K, L, M = resample_fir_taps(up, down)
+    schema = (
+        f"{id_col} bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            fmt = pdf[meta_col].map(lambda m: m["format"])
+            sub = pdf[fmt == "wav"]
+            if not len(sub):
+                continue
+            rows = []
+            for i, payload in zip(sub[id_col].astype("int64"), sub[bytes_col]):
+                rate, _, samples = decode_wav(bytes(payload))
+                if rate * L % M != 0:
+                    raise ValueError(
+                        f"resample_audio: output rate {rate}*{L}/{M} is not an integer"
+                    )
+                new_rate = rate * L // M
+                N = len(samples)
+                if N == 0:
+                    out = encode_wav(new_rate, [])
+                    rows.append((int(i), out, ("audio", "wav", None, None, new_rate, 0, 0.0)))
+                    continue
+                x = np.asarray(samples, dtype=np.int64)
+                n_out = -(-N * L // M)
+                nm = np.arange(n_out, dtype=np.int64) * M
+                phases = nm % L
+                ms = nm // L
+                y = np.zeros(n_out, dtype=np.int64)
+                for k, h in q.items():
+                    if h == 0:
+                        continue
+                    p = k % L
+                    j = (k - p) // L
+                    mask = phases == p
+                    idx = np.clip(ms[mask] - j, 0, N - 1)
+                    y[mask] += h * x[idx]
+                y = (y + 16384) >> 15
+                np.clip(y, -32768, 32767, out=y)
+                dec = y.tolist()
+                out = encode_wav(new_rate, dec)
+                rows.append(
+                    (
+                        int(i),
+                        out,
+                        (
+                            "audio",
+                            "wav",
+                            None,
+                            None,
+                            new_rate,
+                            len(dec),
+                            len(dec) / new_rate,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "media_bytes", "media_meta"])
+
+    return df.select(id_col, bytes_col, meta_col).mapInPandas(batches, schema)
+
+
 def audio_samples(
     df: DataFrame,
     id_col: str = "clip_id",

@@ -18446,6 +18446,75 @@ def _aa_decimate_oracle_sql() -> str:
     )
 
 
+def _resample_oracle_sql() -> str:
+    """DuckDB replay of the r12 polyphase 3/2 resampler over the
+    inlined cosine corpus: the SAME `resample_fir_taps(3, 2)` Q15
+    integers inlined as (phase, j, tap) VALUES — no modular arithmetic
+    in SQL — joined per output sample on phase = (2n mod 3) with the
+    clamped input index m − j; Q15 shift and int16 clamp replay as in
+    the AA-decimation oracle. n_out = ceil(128·3/2) = 192 per clip;
+    output rate 8000·3/2 = 12000."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        resample_fir_taps,
+    )
+
+    q, K, L, M = resample_fir_taps(3, 2)
+    tvals = ", ".join(
+        f"({k % L}, {(k - k % L) // L}, {h})" for k, h in q.items() if h != 0
+    )
+    n_out = -(-128 * L // M)
+    return (
+        _dft_corpus_sql(False)
+        + f"""
+    , s2 AS (
+      SELECT clip_id, f * 16 + t AS n, CAST(x AS BIGINT) AS x FROM samples
+    ),
+    taps(ph, j, h) AS (VALUES {tvals}),
+    outs AS (
+      SELECT DISTINCT clip_id, u.n AS n,
+             (u.n * {M}) % {L} AS ph, (u.n * {M}) // {L} AS m
+      FROM s2, UNNEST(range({n_out})) AS u(n)
+    ),
+    conv AS (
+      SELECT o.clip_id, o.n, SUM(t.h * b.x) AS acc
+      FROM outs o
+      JOIN taps t ON t.ph = o.ph
+      JOIN s2 b ON b.clip_id = o.clip_id
+               AND b.n = LEAST(127, GREATEST(0, o.m - t.j))
+      GROUP BY o.clip_id, o.n
+    )
+    SELECT clip_id, CAST(n AS BIGINT) AS sample_idx,
+           LEAST(32767, GREATEST(-32768,
+             CAST(floor((acc + 16384) / 32768) AS BIGINT))) AS value,
+           CAST(12000 AS INT) AS sample_rate
+    FROM conv
+    """
+    )
+
+
+@_q("audio_resample_poly", _resample_oracle_sql())
+def q_audio_resample_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 rational polyphase resampling (operators/multimodal.py::
+    resample_audio + resample_fir_taps — the 44.1k→16k machinery, here
+    at 3/2 over the 8000 Hz tonal corpus → 12000 Hz): conceptual
+    zero-stuff by L, windowed-sinc low-pass at π/max(L,M) with
+    per-branch exact-DC Q15 taps, take every M-th — computed directly
+    as y[n] = Σ_j h[phase+jL]·x[m−j] with replicate edges. The oracle
+    replays synthesis AND the full polyphase convolution closed-form
+    (inlined (phase, j, tap) VALUES), so a branch-mapping, phase,
+    edge, or rounding bug value-breaks the match; frequency-scaling
+    and alias-suppression behavior is pytest-gated."""
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        attach_tonal_audio,
+        audio_samples,
+        resample_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 200)
+    media = attach_tonal_audio(docs.select(F.col("doc_id").alias("clip_id")))
+    return audio_samples(resample_audio(media, up=3, down=2))
+
+
 @_q("audio_decimate_aa", _aa_decimate_oracle_sql())
 def q_audio_decimate_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 ANTI-ALIASED decimation (operators/multimodal.py::

@@ -2054,6 +2054,94 @@ def test_decimate_audio_anti_alias_suppression(spark):
         assert got[(cid, 0)][1] == 4000
 
 
+def test_resample_audio_polyphase(spark):
+    """r12 rational polyphase resampling: (a) per-branch exact-DC taps
+    pass constants bit-unchanged through EVERY ratio incl. 160/441
+    (the 44.1k→16k case); (b) a 0.2π tone resampled 3/2 scales its
+    zero-crossing rate by exactly 2/3 with energy preserved within
+    2%; (c) a tone above the post-downsample Nyquist is attenuated
+    ≥10× by the polyphase low-pass (vs untouched by plain index
+    dropping); (d) the Spark Arrow stage equals the local convolution
+    sample-for-sample and updates rate metadata; (e) a non-integral
+    output rate raises."""
+    import math
+
+    import numpy as np
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        audio_samples,
+        encode_wav,
+        resample_audio,
+        resample_fir_taps,
+    )
+
+    def local_resample(x, up, down):
+        q, K, L, M = resample_fir_taps(up, down)
+        x = np.asarray(x, dtype=np.int64)
+        N = len(x)
+        n_out = -(-N * L // M)
+        nm = np.arange(n_out, dtype=np.int64) * M
+        phases, ms = nm % L, nm // L
+        y = np.zeros(n_out, dtype=np.int64)
+        for k, h in q.items():
+            if h == 0:
+                continue
+            p = k % L
+            j = (k - p) // L
+            mask = phases == p
+            y[mask] += h * x[np.clip(ms[mask] - j, 0, N - 1)]
+        y = (y + 16384) >> 15
+        return np.clip(y, -32768, 32767)
+
+    for up, down in ((1, 2), (2, 1), (3, 2), (2, 3), (160, 441), (5, 4)):
+        q, K, L, M = resample_fir_taps(up, down)
+        for p in range(L):  # every branch sums to exactly 2^15
+            assert sum(h for k, h in q.items() if k % L == p) == 32768, (up, down, p)
+        for c in (-32768, 0, 100, 32767):
+            out = local_resample([c] * 100, up, down)
+            assert out.tolist() == [c] * len(out), (up, down, c)
+
+    n = np.arange(600)
+    tone = np.round(20000 * np.sin(0.2 * math.pi * n)).astype(np.int64)
+    out = local_resample(tone.tolist(), 3, 2)
+    zc = lambda v: float(np.mean(np.abs(np.diff(np.sign(v)))) / 2)
+    assert abs(zc(out[75:-75]) / zc(tone[50:-50]) - 2 / 3) < 0.01
+    e = lambda v: float(np.mean(np.asarray(v, dtype=np.float64) ** 2))
+    assert abs(e(out[75:-75]) / e(tone[50:-50]) - 1.0) < 0.02
+
+    hi = np.round(20000 * np.sin(0.8 * math.pi * n)).astype(np.int64)
+    out2 = local_resample(hi.tolist(), 2, 3)
+    assert e(out2[40:-40]) < e(hi) / 10  # above new Nyquist: attenuated
+
+    rows = [
+        (0, encode_wav(8000, tone.tolist()), ("audio", "wav", None, None, 8000, 600, 0.075)),
+    ]
+    schema = (
+        "clip_id bigint, media_bytes binary, media_meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "sample_rate:int,n_frames:int,duration_s:double>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {
+        r.sample_idx: (r.value, r.sample_rate)
+        for r in audio_samples(resample_audio(media, up=3, down=2)).collect()
+    }
+    want = local_resample(tone.tolist(), 3, 2)
+    assert [got[j][0] for j in range(len(want))] == want.tolist()
+    assert got[0][1] == 12000
+
+    with _pt.raises(Exception, match="not an integer"):
+        resample_audio(
+            spark.createDataFrame(
+                [(0, encode_wav(8001, [0] * 10), ("audio", "wav", None, None, 8001, 10, 0.0))],
+                schema,
+            ),
+            up=1,
+            down=2,
+        ).collect()
+
+
 def test_sniff_format_magic_bytes(spark):
     """Sniffing: every table signature resolves; real codec outputs
     carry their magic; RIFF-not-WAVE is riff, not wav; truncated

@@ -1397,6 +1397,33 @@ def main() -> None:
         png = decode_media(attach_synthetic_png(spark.range(10_000), "id"), "id")
         assert png.count() == 10_000
 
+    with stage("r12_gates"):
+        # cl100k pre-tokenization rides the scan (zero exchanges at
+        # volume); JPEG decode — baseline AND progressive layouts mixed
+        # by attach_synthetic_jpeg — round-trips the Arrow codec stage
+        # at 10k images; the Arrow language-ID production arm labels
+        # the full corpus as ONE zero-exchange mapInPandas projection.
+        from flight_data_ingestion_engine_spark.operators.corpus import (
+            cl100k_pretokenize,
+        )
+        from flight_data_ingestion_engine_spark.operators.mixing import (
+            lang_classifier_predict,
+        )
+        from flight_data_ingestion_engine_spark.operators.multimodal import (
+            attach_synthetic_jpeg,
+        )
+
+        pre100k = docs.select("id", cl100k_pretokenize("text").alias("toks"))
+        assert _exchanges(pre100k) == 0
+        assert pre100k.where(F.size("toks") > 0).count() == n_docs
+
+        jp = decode_media(attach_synthetic_jpeg(spark.range(10_000), "id"), "id")
+        assert jp.count() == 10_000
+
+        arrow = lang_classifier_predict(docs, w, "id", method="arrow")
+        assert _exchanges(arrow) == 0
+        assert arrow.count() == n_docs
+
     print(json.dumps({"metric": "scale_smoke", "n_events": n_events, "n_docs": n_docs, "stages": timings}))
 
 

@@ -34,6 +34,8 @@ from flight_data_ingestion_engine_spark.streaming.file_stream import (
     foreach_batch_sketch_sink,
 )
 from flight_data_ingestion_engine_spark.streaming.next_event_state import (
+    streaming_funnel_progress,
+    streaming_funnel_progress_tws,
     streaming_next_event,
 )
 
@@ -52,5 +54,7 @@ __all__ = [
     "foreach_batch_partitioned_sink",
     "foreach_batch_rank_sample_sink",
     "foreach_batch_sketch_sink",
+    "streaming_funnel_progress",
+    "streaming_funnel_progress_tws",
     "streaming_next_event",
 ]

@@ -1501,6 +1501,196 @@ def _jpeg_prog_reconstruct(frame, qt, st):
     return w, h, len(st["comps"]), samples
 
 
+def decode_jpeg_thumbnail(payload: bytes) -> tuple[int, int, list[int]]:
+    """DC-coefficient thumbnail — the production fast path for
+    billion-image perceptual dedup: one gray pixel per 8×8 luma block
+    (the DC term IS 8× the block mean), extracted WITHOUT the IDCT /
+    upsample / color-convert stages. Baseline files still pay the
+    entropy walk (AC symbols must be decoded to advance the
+    bitstream, then discarded); progressive files STOP at the first
+    AC scan — typically right after the DC scan, a small prefix of
+    the file. Returns (thumb_w, thumb_h, row-major gray) at
+    ceil(w/8) × ceil(h/8).
+
+    Precision note: a progressive DC-first scan carries DC >> Al;
+    since baseline DC = 8·(mean−128) is always a multiple of 8,
+    Al ≤ 3 loses nothing on constant blocks (exact — the oracle's
+    substrate) and ≤ 1 gray level otherwise (pytest-bounded)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], list] = {}
+    frame = None
+    progressive = False
+    pstate = None
+    dri = 0
+    i, n = 2, len(payload)
+
+    def finish():
+        if pstate is None or pstate.get("scans", 0) == 0:
+            raise ValueError("no DC data before end of JPEG")
+        h, w, comps = frame
+        q00 = int(qt[comps[0][3]][0, 0]) if comps[0][3] in qt else 1
+        T00 = int(_jpeg_T()[0, 0])
+        bw_nat, bh_nat = pstate["natural"][0]
+        # progressive DC-first scans already store pred << Al (the
+        # full-scale approximation) — no further shift here
+        dc = pstate["coeffs"][0][:bh_nat, :bw_nat, 0]
+        px = _jpeg_rdiv(dc * q00 * T00 * T00, 2 * _JPEG_BASIS_SHIFT) + 128
+        np.clip(px, 0, 255, out=px)
+        return bw_nat, bh_nat, px.reshape(-1).tolist()
+
+    while i < n:
+        if i + 2 > n:
+            raise ValueError("truncated JPEG (mid-marker)")
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        m = payload[i + 1]
+        i += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            return finish()
+        L = int.from_bytes(payload[i : i + 2], "big")
+        if L < 2 or i + L > n:
+            raise ValueError("truncated JPEG marker segment")
+        seg = payload[i + 2 : i + L]
+        if m in _JPEG_SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG {_JPEG_SOF_UNSUPPORTED[m]} is not supported (baseline only)"
+            )
+        if m in (0xC0, 0xC1, 0xC2):
+            progressive = m == 0xC2
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp or w == 0 or h == 0:
+                raise ValueError("truncated/invalid SOF segment")
+            if w * h > 1 << 28:
+                raise ValueError(f"JPEG dimensions {w}x{h} exceed supported size")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq_id = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT table")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + k]
+                qt[tq_id] = tbl
+                p += 65
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                if len(bits) < 16 or p + 17 + nv > len(seg):
+                    raise ValueError("truncated DHT table")
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _huff_decode_lut(bits, vals)
+                p += 17 + nv
+        elif m == 0xDD:
+            dri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if pstate is None:
+                pstate = _jpeg_prog_state(frame)
+            if progressive:
+                ns = seg[0]
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("truncated progressive SOS segment")
+                ss = seg[1 + 2 * ns]
+                if ss > 0:
+                    return finish()  # DC is in; skip every AC scan
+                i = _jpeg_decode_prog_scan(payload, i + L, seg, huff, dri, pstate)
+                continue
+            # baseline: one interleaved scan — decode DC, discard AC
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cs] = (tt >> 4, tt & 0xF)
+            i += L
+            _jpeg_dc_scan_baseline(payload, i, frame, huff, scan_tabs, dri, pstate)
+            pstate["scans"] = 1
+            pstate["dc_al"] = 0
+            return finish()
+        i += L
+    return finish()
+
+
+def _jpeg_dc_scan_baseline(payload, pos, frame, huff, scan_tabs, dri, st) -> None:
+    """Walk a baseline interleaved scan keeping only luma DC: every
+    Huffman symbol is still decoded (the bitstream has no skip
+    pointers) but AC values are discarded and no IDCT runs."""
+    h, w, comps = frame
+    if any(fh not in (1, 2) or fv not in (1, 2) for _, fh, fv, _ in comps):
+        raise NotImplementedError("JPEG sampling factors > 2 (4:1:1-class)")
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    factors = [(fh, fv) for _, fh, fv, _ in comps]
+    mcus_x, mcus_y = st["mcus_x"], st["mcus_y"]
+    try:
+        luts = [
+            (huff[(0, scan_tabs[cid][0])], huff[(1, scan_tabs[cid][1])])
+            for cid, _, _, _ in comps
+        ]
+    except KeyError as e:
+        raise ValueError(f"JPEG references undefined table {e}") from e
+    segs, _ = _jpeg_entropy_segments(payload, pos)
+    seg_idx = 0
+    rd = _JpegBitReader(segs[0])
+    preds = [0] * len(comps)
+    dc0 = st["coeffs"][0]
+    for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            rd = _JpegBitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, (fh, fv) in enumerate(factors):
+            dc_lut, ac_lut = luts[ci]
+            for by in range(fv):
+                for bx in range(fh):
+                    s = rd.decode(dc_lut)
+                    if s > 15:
+                        raise ValueError("invalid JPEG DC size category")
+                    diff = _jpeg_extend(rd.read(s), s) if s else 0
+                    preds[ci] += diff
+                    if ci == 0:
+                        dc0[my * fv + by, mx * fh + bx, 0] = preds[ci]
+                    k = 1
+                    while k < 64:  # AC: decode to advance, discard
+                        sym = rd.decode(ac_lut)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        run, sz = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        rd.read(sz)
+                        k += 1
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     """`_IMAGE_DECODERS` arm: decode to (width, height, row-major gray
     pixels) — gray passthrough for 1 component, (r+g+b)//3 for RGB

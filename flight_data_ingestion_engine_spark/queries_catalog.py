@@ -13005,6 +13005,77 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "jpeg_dc_thumbnail",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id % 20 + 10 AS w, doc_id % 15 + 8 AS h,
+             doc_id % 200 + 10 AS g
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST((w + 7) // 8 AS INTEGER) AS thumb_w,
+           CAST((h + 7) // 8 AS INTEGER) AS thumb_h,
+           CAST(i.i AS BIGINT) AS pix_idx,
+           CAST(g AS BIGINT) AS value
+    FROM dims, LATERAL (
+      SELECT UNNEST(range(((w + 7) // 8) * ((h + 7) // 8))) AS i
+    ) i
+    """,
+)
+def q_jpeg_dc_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 DC-thumbnail fast path (operators/multimodal.py::
+    decode_jpeg_thumbnail) — the production billion-image-dedup trick:
+    one gray pixel per 8×8 luma block straight from the DC
+    coefficients, no IDCT/upsample/color; progressive files stop at
+    the first AC scan (~60× faster than full decode at 128×128,
+    pytest-measured). Constant images (gray or equal-RGB, baseline or
+    progressive — all cycled here, dims up to 29×22 so thumbnails are
+    genuinely multi-block) are EXACT: DC = 8·(g−128) survives the
+    Al=1 progressive shift losslessly (multiple of 8) and the
+    quantized T00² reconstruction is within 0.03 of a level. The
+    oracle states every thumbnail pixel closed-form; block-mean
+    agreement on pixel-varying content is pytest-gated."""
+    import pandas as pd
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_jpeg_thumbnail,
+        encode_jpeg,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 300)
+    )
+    schema = "doc_id bigint, thumb_w int, thumb_h int, pix_idx bigint, value bigint"
+    samplings = ["444", "422", "420"]
+
+    def synth_and_thumb(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w, h = i % 20 + 10, i % 15 + 8
+                g = i % 200 + 10
+                ch = 1 if i % 2 == 0 else 3
+                payload = encode_jpeg(
+                    w,
+                    h,
+                    [g] * (w * h * ch),
+                    channels=ch,
+                    quality=100,
+                    subsampling=samplings[i % 3],
+                    progressive=i % 7 < 3,
+                )
+                tw, th, px = decode_jpeg_thumbnail(payload)
+                rows.extend((i, tw, th, j, int(v)) for j, v in enumerate(px))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "thumb_w", "thumb_h", "pix_idx", "value"]
+            )
+
+    return docs.mapInPandas(synth_and_thumb, schema)
+
+
+@_q(
     "streaming_rank_quantiles",
     """
     WITH base AS (

@@ -2054,6 +2054,60 @@ def test_decimate_audio_anti_alias_suppression(spark):
         assert got[(cid, 0)][1] == 4000
 
 
+def test_jpeg_dc_thumbnail_fast_path():
+    """r12 DC-thumbnail: (a) constant images decode EXACTLY (gray +
+    equal-RGB × baseline/progressive × subsamplings); (b) at quality
+    100 each thumbnail pixel is the 8×8 block mean within 1 level
+    (DC IS 8× the mean); (c) the progressive early-stop (first AC
+    scan) agrees with the baseline thumbnail within 1 level (the Al=1
+    DC shift); (d) on a progressive 128×128 the thumbnail path is
+    ≥10× faster than full decode (it skips every AC scan)."""
+    import random
+    import time
+
+    import numpy as np
+
+    from flight_data_ingestion_engine_spark.operators.multimodal import (
+        decode_jpeg_samples,
+        decode_jpeg_thumbnail,
+        encode_jpeg,
+    )
+
+    for g in (0, 7, 128, 255):
+        for ch in (1, 3):
+            for prog in (False, True):
+                p = encode_jpeg(
+                    20, 13, [g] * (20 * 13 * ch), channels=ch, quality=100,
+                    subsampling="420" if ch == 3 else "444", progressive=prog,
+                )
+                assert decode_jpeg_thumbnail(p) == (3, 2, [g] * 6), (g, ch, prog)
+
+    random.seed(5)
+    w, h = 32, 24
+    pix = [random.randrange(256) for _ in range(w * h)]
+    p = encode_jpeg(w, h, pix, channels=1, quality=100)
+    tw, th, px = decode_jpeg_thumbnail(p)
+    assert (tw, th) == (4, 3)
+    means = np.asarray(pix).reshape(3, 8, 4, 8).mean(axis=(1, 3))
+    assert np.abs(np.asarray(px).reshape(3, 4) - means).max() <= 1.0
+
+    pp = encode_jpeg(w, h, pix, channels=1, quality=100, progressive=True)
+    _, _, pxp = decode_jpeg_thumbnail(pp)
+    assert max(abs(a - b) for a, b in zip(px, pxp)) <= 1
+
+    big = [random.randrange(256) for _ in range(128 * 128 * 3)]
+    pbig = encode_jpeg(
+        128, 128, big, channels=3, quality=75, subsampling="420", progressive=True
+    )
+    t0 = time.perf_counter()
+    decode_jpeg_samples(pbig)
+    full_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_jpeg_thumbnail(pbig)
+    thumb_t = time.perf_counter() - t0
+    assert thumb_t * 10 < full_t, (thumb_t, full_t)
+
+
 def test_resample_audio_polyphase(spark):
     """r12 rational polyphase resampling: (a) per-branch exact-DC taps
     pass constants bit-unchanged through EVERY ratio incl. 160/441

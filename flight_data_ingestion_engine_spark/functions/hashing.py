@@ -249,3 +249,71 @@ def portable_token_hash61_udf():
         return pd.Series((acc1 * 2654435761 + acc2 * 40503) % MERSENNE_61)
 
     return h
+
+
+def _hash61_token_list(toks: list, np) -> "object":
+    """Portable 61-bit hashes of a token list as an int64 numpy array —
+    the :func:`portable_token_hash61` recurrence over a padded codepoint
+    matrix, identical arithmetic (incl. the ''-hashes-as-NUL quirk)."""
+    n = len(toks)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    width = max(int(lens.max()), 1)
+    codes = np.zeros((n, width), dtype=np.int64)
+    for r, t in enumerate(toks):
+        if t:
+            codes[r, : len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+    eff = np.maximum(lens, 1)  # '' hashes as one NUL char
+    acc1 = np.full(n, 1779033703, dtype=np.int64)
+    acc2 = np.full(n, 1013904242, dtype=np.int64)
+    for i in range(width):
+        active = i < eff
+        c = codes[:, i]
+        acc1 = np.where(active, (acc1 * 31 + c) % MERSENNE_31, acc1)
+        acc2 = np.where(active, (acc2 * 37 + c) % MERSENNE_31, acc2)
+    return (acc1 * 2654435761 + acc2 * 40503) % MERSENNE_61
+
+
+def portable_simhash_udf(n_bits: int, split_pattern: str = r"\s+"):
+    """Arrow-vectorized per-document SimHash over the portable 61-bit
+    token hash: tokenize (Java-regex-compatible `re.ASCII` split — the
+    `shingles_udf` discipline), hash every token with the
+    :func:`portable_token_hash61` recurrence, sum ±1 per bit, assemble
+    `sum > 0 → 1`. Bit-identical to the explode + n-partial-sums
+    aggregation form in `operators.dedup.simhash_fingerprints(portable=
+    True, method="agg")` (asserted in tests), but runs as a ZERO-SHUFFLE
+    projection: the explode + 56-aggregate groupBy exchange disappears
+    and the per-token fold runs in numpy instead of 56 interpreted CASE
+    sums per row (guide §2.4/§4.2). Callers must hold one document per
+    row (unique ids) — the aggregation form would merge duplicate ids,
+    a per-row projection cannot.
+
+    NULL text must be filtered upstream (the agg arm drops those ids via
+    explode-of-NULL; callers reproduce that with a `isNotNull` filter).
+    """
+    import numpy as np
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    assert n_bits <= 61, "portable hash yields 61 usable bits"
+    rx = re.compile(split_pattern, re.ASCII)
+    bits = np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def fp(txt: pd.Series) -> pd.Series:
+        out = np.zeros(len(txt), dtype=np.int64)
+        for r, t in enumerate(txt):
+            toks = rx.split(t) if t is not None else []
+            h = _hash61_token_list(toks, np)
+            if h.shape[0] == 0:
+                continue
+            ones = ((h[:, None] >> bits) & 1).sum(axis=0, dtype=np.int64)
+            s = 2 * ones - h.shape[0]  # Σ(±1) per bit position
+            out[r] = int(((s > 0).astype(np.int64) << bits).sum())
+        return pd.Series(out)
+
+    return fp

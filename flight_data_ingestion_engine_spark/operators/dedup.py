@@ -587,11 +587,9 @@ def simhash_fingerprints(
     seed: int = 42,
     n_bits: int = 64,
     portable: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
-    """n-bit SimHash per document via explode + n partial-aggregated sums.
-
-    Map-side combine reduces the shuffle to n longs per document; the
-    per-token work is one hash + bit tests, all codegen.
+    """n-bit SimHash per document.
 
     `portable=True` swaps xxhash64 for the engine-portable 61-bit token
     hash (`functions.hashing.portable_token_hash61`: two seeded polynomial
@@ -599,12 +597,41 @@ def simhash_fingerprints(
     fingerprints bit-for-bit; usable bits cap at 61 (pair it with e.g.
     n_bits=56 = 4 pigeonhole blocks × 14). The xxhash64 default remains
     the scale path.
+
+    `method` (r12, guide §2.4/§4.2): the portable arm defaults to a
+    ZERO-SHUFFLE Arrow projection (`portable_simhash_udf` — whole
+    fingerprint per document in numpy), removing the explode +
+    n-partial-sums groupBy exchange and its n interpreted CASE sums per
+    token; `method="agg"` keeps the aggregation form (needed if ids can
+    repeat across rows — the agg form merges them). Both arms are
+    bit-identical on unique-id inputs (pytest-gated). The xxhash64 arm
+    always aggregates (the hash is JVM-side).
+
+    Aggregation form: explode + n partial-aggregated sums; map-side
+    combine reduces the shuffle to n longs per document; per-token work
+    is one hash + bit tests, all codegen.
     """
     from flight_data_ingestion_engine_spark.functions.hashing import (
+        portable_simhash_udf,
         portable_token_hash61_udf,
     )
 
     assert not portable or n_bits <= 61, "portable hash yields 61 usable bits"
+    if method not in ("auto", "arrow", "agg"):
+        raise ValueError(f"simhash_fingerprints: unknown method {method!r}")
+    if method == "arrow" and not portable:
+        raise ValueError("simhash_fingerprints: method='arrow' requires portable=True")
+    if portable and method in ("auto", "arrow"):
+        # the NULL-text filter reproduces the agg arm's explode-of-NULL
+        # row drop; everything else is a pure per-row projection
+        return (
+            ensure_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                portable_simhash_udf(n_bits)(F.col(text_col)).alias("simhash"),
+            )
+        )
     tok = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     )

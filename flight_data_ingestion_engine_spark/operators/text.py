@@ -810,12 +810,66 @@ def normalize_text(
     return df.withColumn(out_col, _norm(F.col(text_col)))
 
 
+def _winnow_select_udf(k: int, window: int):
+    """Arrow form of the winnowing selection: per document, hash every
+    character k-gram with the portable 61-bit polynomial family and keep
+    each sliding window's minimum (rightmost position on hash ties),
+    deduplicated. Bit-identical to the Catalyst transform/array_min form
+    (pytest-gated): the gram hash is the exact
+    `portable_token_hash61(substr(t, i, k))` recurrence, computed as k
+    vectorized fold steps over the codepoint array instead of an
+    interpreted per-gram per-char `aggregate`; the window minimum is
+    `window` vectorized `np.minimum` passes; the rightmost-tie position
+    is recovered with `window` masked scans. Distinct (hash, pos) pairs
+    collapse to distinct positions because the hash is a function of the
+    position. Returns array<struct<h, pos>> with 1-based positions."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    M31, M61 = 2_147_483_647, (1 << 61) - 1
+
+    @pandas_udf("array<struct<h: bigint, pos: int>>")
+    def sel(txt: pd.Series) -> pd.Series:
+        out = []
+        for t in txt:
+            if t is None or len(t) < k + window - 1:
+                out.append([])  # upstream length gate makes this unreachable
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            m = codes.shape[0] - k + 1
+            acc1 = np.full(m, 1779033703, dtype=np.int64)
+            acc2 = np.full(m, 1013904242, dtype=np.int64)
+            for i in range(k):
+                c = codes[i : i + m]
+                acc1 = (acc1 * 31 + c) % M31
+                acc2 = (acc2 * 37 + c) % M31
+            h = (acc1 * 2654435761 + acc2 * 40503) % M61
+            w = m - window + 1
+            wmin = h[:w].copy()
+            for i in range(1, window):
+                np.minimum(wmin, h[i : i + w], out=wmin)
+            pos_sel = np.full(w, -1, dtype=np.int64)
+            for i in range(window - 1, -1, -1):  # rightmost tie wins
+                mask = (pos_sel < 0) & (h[i : i + w] == wmin)
+                if mask.any():
+                    pos_sel[mask] = np.nonzero(mask)[0] + i
+            ups = np.unique(pos_sel)
+            out.append([(int(h[p]), int(p) + 1) for p in ups])
+        return pd.Series(out)
+
+    return sel
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    method: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
     local fingerprinting algorithm): hash every character k-gram, slide a
@@ -827,22 +881,46 @@ def winnowing_fingerprints(
     detector's unit; documents shorter than that threshold contribute no
     fingerprints (gated up front).
 
-    Pure Catalyst: grams and window minima are array expressions on the
-    row (sequence → transform → slice → array_min over (hash, −pos)
-    structs — struct ordering makes min-hash-then-max-pos one
-    comparison), so the whole operator is a zero-shuffle projection;
-    per-row cost is O(grams × window), the right trade below ~10k-char
-    rows (chunk longer docs first — `corpus.chunk_documents`). Hashes
-    are the engine-portable 61-bit polynomial family, so the oracle
-    replays every fingerprint bit-exactly. Returns one row per selected
-    fingerprint: (id, pos, gram_hash, gram)."""
+    Zero-shuffle projection either way; per-row cost is O(grams ×
+    window), the right trade below ~10k-char rows (chunk longer docs
+    first — `corpus.chunk_documents`). Hashes are the engine-portable
+    61-bit polynomial family, so the oracle replays every fingerprint
+    bit-exactly. Returns one row per selected fingerprint:
+    (id, pos, gram_hash, gram).
+
+    `method` (r12, guide §4.2): "arrow" (default) runs gram hashing and
+    window selection vectorized in numpy (`_winnow_select_udf`) — the
+    Catalyst form nests an interpreted per-char `aggregate` inside a
+    per-position `transform` plus a per-window `array_min(slice(...))`,
+    ~7 µs/gram of expression interpretation, which dominated the corpus
+    sweep; the Arrow arm is bit-identical (pytest) at ~1-2% of the cost.
+    "expr" keeps the pure-Catalyst form (no Python workers needed)."""
     from flight_data_ingestion_engine_spark.functions.hashing import (
         portable_token_hash61,
     )
 
     if k < 1 or window < 1:
         raise ValueError("winnowing_fingerprints: k and window must be >= 1")
+    if method not in ("arrow", "expr"):
+        raise ValueError(f"winnowing_fingerprints: unknown method {method!r}")
     t = F.coalesce(F.col(text_col), F.lit(""))
+    if method == "arrow":
+        sel_arrow = (
+            df.where(F.length(t) >= k + window - 1)
+            .select(F.col(id_col), t.alias("_t"))
+            .select(
+                F.col(id_col),
+                "_t",
+                F.explode(_winnow_select_udf(k, window)(F.col("_t"))).alias("_s"),
+            )
+        )
+        apos = F.col("_s.pos")
+        return sel_arrow.select(
+            F.col(id_col),
+            apos.cast("bigint").alias("pos"),
+            F.col("_s.h").alias("gram_hash"),
+            F.col("_t").substr(apos, F.lit(k)).alias("gram"),
+        )
     m = F.length(t) - k + 1
     ghs = F.transform(
         F.sequence(F.lit(1), m),

@@ -2320,3 +2320,54 @@ def test_facility_location_string_ids(spark):
     assert {r.rank: r for r in out}[2].doc_id.startswith("b")
     assert len({r.doc_id for r in out}) == 3   # k=3 > 2: exclusion frame exercised
     assert all(isinstance(r.doc_id, str) for r in out)
+
+
+def test_simhash_portable_arrow_agg_arm_identity(spark):
+    """r12 optimization gate: the zero-shuffle Arrow simhash projection
+    (portable_simhash_udf) is fingerprint-identical to the explode +
+    n-partial-sums aggregation arm on an edge corpus (unicode, astral,
+    whitespace-run, empty-token, NULL) at several widths; NULL-text ids
+    are absent from both arms; the arrow arm plans zero exchanges."""
+    import pytest as _pt
+
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),                                  # '' -> [''] -> NUL-char hash
+        (2, None),                                # dropped by both arms
+        (3, "  leading and trailing  "),          # empty edge tokens
+        (4, "café naïve 中文 \U0001F600"),
+        (5, "tab\tand\nnewline\x0bvtab\fformfeed\rcr"),
+        (6, "nbsp stays one token"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for nb in (56, 61, 8):
+        a = {
+            r.doc_id: r.simhash
+            for r in simhash_fingerprints(
+                df, id_col="doc_id", text_col="text", n_bits=nb,
+                portable=True, method="arrow",
+            ).collect()
+        }
+        g = {
+            r.doc_id: r.simhash
+            for r in simhash_fingerprints(
+                df, id_col="doc_id", text_col="text", n_bits=nb,
+                portable=True, method="agg",
+            ).collect()
+        }
+        assert a == g, f"arm divergence at n_bits={nb}"
+        assert 2 not in a and len(a) == 6
+
+    arrow_plan = simhash_fingerprints(
+        df, id_col="doc_id", text_col="text", n_bits=56, portable=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in arrow_plan
+
+    with _pt.raises(ValueError, match="unknown method"):
+        simhash_fingerprints(df, id_col="doc_id", text_col="text", method="nope")
+    with _pt.raises(ValueError, match="requires portable"):
+        simhash_fingerprints(df, id_col="doc_id", text_col="text", method="arrow")

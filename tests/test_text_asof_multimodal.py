@@ -2848,3 +2848,44 @@ def test_winnowing_match_pairs_hash_cap_guard(spark):
 
     with _pt.raises(ValueError, match="hash_cap"):
         winnowing_match_pairs(fp, hash_cap=1)
+
+
+def test_winnowing_fingerprints_arrow_expr_arm_identity(spark):
+    """r12 optimization gate: the Arrow winnowing arm (vectorized numpy
+    gram hashing + window selection) is row-identical to the pure-
+    Catalyst expression arm on a tie-dense, unicode-heavy edge corpus —
+    incl. astral chars, NBSP (not Java \\s), exact-threshold lengths,
+    empty/NULL text — across several (k, window) shapes."""
+    from flight_data_ingestion_engine_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaaaaaaaaaaaaaa"),          # maximal hash ties
+        (2, "ab ab ab ab ab ab ab ab"),          # periodic window ties
+        (3, ""),
+        (4, None),
+        (5, "café naïve 中文 \U0001F600 emoji"),
+        (6, "nbsp joined tokens"),
+        (7, "x" * 7),                            # k+w-2: gated out (k=5,w=4)
+        (8, "x" * 8),                            # k+w-1: exactly one window
+        (9, "tab\tand\nnewline\x0bvtab\fformfeed\rcr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in [(5, 4), (3, 2), (1, 1), (8, 5)]:
+        a = sorted(
+            (r.doc_id, r.pos, r.gram_hash, r.gram)
+            for r in winnowing_fingerprints(df, k=k, window=w, method="arrow").collect()
+        )
+        e = sorted(
+            (r.doc_id, r.pos, r.gram_hash, r.gram)
+            for r in winnowing_fingerprints(df, k=k, window=w, method="expr").collect()
+        )
+        assert a == e, f"arm divergence at k={k}, window={w}"
+        assert a, f"vacuous comparison at k={k}, window={w}"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown method"):
+        winnowing_fingerprints(df, method="nope")

@@ -1,0 +1,102 @@
+"""Optimization-round measurement harness (guide §1).
+
+Times individual catalog queries with the bench's exact methodology
+(sf0.001 codegen warm-up, discarded target-SF warm rep, median of N
+count() reps, cache cleared between reps) and optionally captures
+`.explain("formatted")` to plans/r12/<query>_<tag>.txt so plan claims
+are committable evidence.
+
+Usage:
+  python tools/opt_measure.py [--reps N] [--explain TAG] [--sf DIR] q1 q2 ...
+  python tools/opt_measure.py --explain before --all-pinned
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--explain", default=None, help="tag: write plans/r12/<q>_<tag>.txt")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--all-pinned", action="store_true")
+    ap.add_argument("--no-time", action="store_true", help="explain only, skip timing")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    spark = get_spark("fdie-opt-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    except Exception:
+        pass
+
+    qs = entry_mod.queries()
+    names = list(args.queries)
+    if args.all_pinned:
+        import bench
+
+        names = bench.HEADLINE + [n for n in bench.HEAVY if n not in bench.HEADLINE]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    out: dict[str, dict] = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"opt_measure:{name}")
+        if args.explain:
+            PLANS_DIR.mkdir(parents=True, exist_ok=True)
+            df = qs[name](spark, args.sf)
+            txt = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            (PLANS_DIR / f"{name}_{args.explain}.txt").write_text(txt)
+            spark.catalog.clearCache()
+        if args.no_time:
+            print(f"{name}: plan captured")
+            continue
+        # warm-up: codegen at sf0.001, then one discarded rep at target SF
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        qs[name](spark, args.sf).count()
+        spark.catalog.clearCache()
+        raw = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            n = qs[name](spark, args.sf).count()
+            raw.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        s = sorted(raw)
+        out[name] = {
+            "median": round(s[len(s) // 2], 4),
+            "min": round(s[0], 4),
+            "samples": [round(x, 4) for x in raw],
+            "rows": n,
+        }
+        print(f"{name}: median={out[name]['median']}s min={out[name]['min']}s rows={n}")
+    print(json.dumps(out, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -437,7 +437,8 @@ def incremental_dedup(
     bloom_state: DataFrame | None = None,
     bloom_bits_log2: int = 23,
     bloom_probes: int = 3,
-) -> DataFrame:
+    return_state: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Dedup a NEW batch against an EXISTING corpus — the steady-state
     shape of corpus curation: each incoming crawl slice is pruned against
     the accumulated corpus WITHOUT re-pairing the corpus against itself
@@ -478,6 +479,15 @@ def incremental_dedup(
     probe bit are proven novel (no false negatives) and never enter the
     corpus-keys anti-join — only the false-positive residue pays the
     shuffle. Output is bit-identical with or without the bitmap.
+
+    `return_state` (r12, guide §1.2 "don't compute things you throw
+    away"): also return the SURVIVORS' `dedup_signatures` rows as a
+    second frame. The batch-side state is already computed internally
+    for the banding stage, so callers that persist per-batch state (the
+    streaming dedup sink) get it as a semi-join of that frame instead of
+    re-running the whole shingle + hash + signature pipeline over the
+    survivors — row-identical output by construction (the same
+    deterministic row-wise function over a subset of the same rows).
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
@@ -570,14 +580,22 @@ def incremental_dedup(
         .distinct()
     )
     survivors = alive.join(verified, id_col, "left_anti")
+    state_out = None
     if eager:
         try:
             survivors = survivors.localCheckpoint(eager=True)
+            if return_state:
+                state_out = (
+                    bstate.join(survivors.select(id_col), id_col, "left_semi")
+                    .localCheckpoint(eager=True)
+                )
         finally:
             corpus_state.unpersist()
             bstate.unpersist()
             alive.unpersist()
-    return survivors
+    elif return_state:
+        state_out = bstate.join(survivors.select(id_col), id_col, "left_semi")
+    return (survivors, state_out) if return_state else survivors
 
 
 def simhash_fingerprints(

@@ -50,6 +50,41 @@ def _qtmp(tag: str) -> str:
     return _tf.mkdtemp(prefix=f"{tag}_", dir=_QTMP_ROOT[0])
 
 
+def _stage_parity_batches(df: DataFrame, id_col: str, src: str) -> None:
+    """Stage `df`'s even/odd `id_col` halves as the two deterministic
+    micro-batch files `src/b1.parquet` (mtime now−60, even ids) and
+    `src/b2.parquet` (mtime now, odd ids) — the fixture every two-batch
+    streaming lifecycle query replays.
+
+    r12 (guide §1.2): both halves are written in ONE Spark job via a
+    `partitionBy` on the parity instead of two scans + two writes —
+    the parity column is directory-only, so each staged file's schema
+    is exactly `df`'s, byte-compatible with the per-half writes this
+    replaces. File contents are identical to the old two-job staging
+    (same rows, same single-file-per-half layout)."""
+    import os
+    import time as _time
+
+    tmp = _qtmp("stage")
+    (
+        df.withColumn("_stg_par", (F.col(id_col) % 2).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("_stg_par")
+        .parquet(f"{tmp}/p")
+    )
+    now = _time.time()
+    for par, name, mtime in ((0, "b1.parquet", now - 60), (1, "b2.parquet", now)):
+        pdir = f"{tmp}/p/_stg_par={par}"
+        part = next(
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{src}/{name}"
+        os.rename(f"{pdir}/{part}", dest)
+        os.utime(dest, (mtime, mtime))
+
+
 
 def _q(name: str, sql: str | None = None):
     def deco(fn):
@@ -5932,20 +5967,7 @@ def q_streaming_lm_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(docs.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(docs.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(docs, "doc_id", src)
 
     st = stream_parquet(
         spark, src, "doc_id bigint, text string", max_files_per_trigger=1
@@ -9200,20 +9222,7 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = f"{root}/state"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(docs.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(docs.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(docs, "doc_id", src)
 
     st = stream_parquet(
         spark, src, "doc_id bigint, text string", max_files_per_trigger=1
@@ -10605,20 +10614,7 @@ def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(ev, "event_id", src)
 
     lo, hi, nbins = 0.0, 200.0, 100
     st = stream_parquet(
@@ -11753,20 +11749,7 @@ def q_streaming_theta_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(keyed.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(keyed.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(keyed, "event_id", src)
 
     st = stream_parquet(
         spark,
@@ -12290,20 +12273,7 @@ def q_streaming_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(clones.where(F.col("vec_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(clones.where(F.col("vec_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(clones, "vec_id", src)
 
     st = stream_parquet(
         spark, src, "vec_id bigint, embedding array<double>",
@@ -12521,20 +12491,7 @@ def q_streaming_theta_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(keyed.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(keyed.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(keyed, "event_id", src)
 
     st = stream_parquet(
         spark,
@@ -12696,20 +12653,7 @@ def _stage_doc_batches(spark: SparkSession, sf_dir: str, tag: str, df) -> tuple:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(part_df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        part_df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(df.where(F.col("doc_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(df.where(F.col("doc_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(df, "doc_id", src)
     return src, state, ck
 
 
@@ -13137,20 +13081,7 @@ def q_streaming_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(ev, "event_id", src)
 
     st = stream_parquet(
         spark, src, "event_id bigint, event_type string, value double",
@@ -20378,20 +20309,7 @@ def q_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(ev, "event_id", src)
 
     st = stream_parquet(
         spark, src, "event_id bigint, value double, is_click int",
@@ -21361,20 +21279,7 @@ def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, state, ck = f"{root}/src", f"{root}/state", f"{root}/ck"
     os.makedirs(src)
 
-    def stage(df, name: str, mtime: float) -> None:
-        tmp = _qtmp("stage")
-        df.coalesce(1).write.parquet(f"{tmp}/p")
-        part = next(
-            f for f in os.listdir(f"{tmp}/p")
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        dest = f"{src}/{name}"
-        os.rename(f"{tmp}/p/{part}", dest)
-        os.utime(dest, (mtime, mtime))
-
-    now = _time.time()
-    stage(ev.where(F.col("event_id") % 2 == 0), "b1.parquet", now - 60)
-    stage(ev.where(F.col("event_id") % 2 == 1), "b2.parquet", now)
+    _stage_parity_batches(ev, "event_id", src)
 
     st = stream_parquet(
         spark, src, "event_id bigint, value double, is_c int",

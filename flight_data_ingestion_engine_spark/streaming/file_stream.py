@@ -514,6 +514,7 @@ def foreach_batch_dedup_sink(
         def _read(path: str):
             return _read_parquet_or_none(spark, path)
 
+        surv_state = None
         if state_path is not None:
             state = _read(state_path)
             bloom = None
@@ -526,15 +527,19 @@ def foreach_batch_dedup_sink(
                     bloom = bloom.groupBy("word_idx").agg(
                         F.bit_or("bits").alias("bits")
                     )
-            survivors = (
-                incremental_dedup(
+            if state is not None:
+                # return_state: the survivors' signature rows come back
+                # from the dedup's OWN banding-stage state (semi-join),
+                # so the state append below never re-shingles/re-hashes
+                # the surviving text — one full signature pass saved per
+                # micro-batch (r12, guide §1.2)
+                survivors, surv_state = incremental_dedup(
                     batch, None, id_col=id_col, text_col=text_col,
                     threshold=threshold, corpus_state=state,
-                    bloom_state=bloom,
+                    bloom_state=bloom, return_state=True,
                 )
-                if state is not None
-                else batch
-            )
+            else:
+                survivors = batch
         else:
             corpus = _read(corpus_path)
             survivors = (
@@ -555,8 +560,12 @@ def foreach_batch_dedup_sink(
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(corpus_path)
         if state_path is not None:
-            new_state = dedup_signatures(survivors, id_col, text_col).localCheckpoint(
-                eager=True
+            new_state = (
+                surv_state
+                if surv_state is not None
+                else dedup_signatures(survivors, id_col, text_col).localCheckpoint(
+                    eager=True
+                )
             )
             new_state.write.mode("append").parquet(state_path)
             if bloom_path is not None:

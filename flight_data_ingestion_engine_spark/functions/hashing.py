@@ -87,7 +87,13 @@ def shingles(tokens: Column, n: int, sep: str = " ") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingles_udf(n: int, pattern: str = r"\s+", sep: str = " "):
+def shingles_udf(
+    n: int,
+    pattern: str = r"\s+",
+    sep: str = " ",
+    drop_empty: bool = False,
+    distinct: bool = True,
+):
     """Arrow form of `shingles(F.split(text, pattern), n)` taking the RAW
     text column — string-for-string identical output (Python `re.split`
     matches Spark's regex split, including leading/trailing empty tokens),
@@ -96,7 +102,13 @@ def shingles_udf(n: int, pattern: str = r"\s+", sep: str = " "):
     Compiled with `re.ASCII`: Java's `\\s` (Spark split) and RE2's (the
     DuckDB oracles) are ASCII-only, while Python's default `\\s` also
     matches Unicode whitespace (NBSP etc.) — without the flag, tokenization
-    silently diverges on non-ASCII whitespace."""
+    silently diverges on non-ASCII whitespace.
+
+    `drop_empty` (r12): filter empty tokens before gramming — the twin of
+    `F.filter(F.split(text, pattern), t -> t != '')` tokenization used by
+    the containment operator. `distinct=False` (r12) keeps duplicate
+    grams in document order — the counting twin (`self_bleu`-style
+    modified-precision numerators need per-doc gram multiplicity)."""
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -108,12 +120,13 @@ def shingles_udf(n: int, pattern: str = r"\s+", sep: str = " "):
         out = []
         for t in txt:
             toks = rx.split(t) if t is not None else []
+            if drop_empty:
+                toks = [x for x in toks if x != ""]
             if len(toks) < n:
                 out.append([])
                 continue
-            out.append(
-                list(dict.fromkeys(sep.join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
-            )
+            it = (sep.join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            out.append(list(dict.fromkeys(it)) if distinct else list(it))
         return pd.Series(out)
 
     return sh

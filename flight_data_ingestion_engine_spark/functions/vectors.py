@@ -66,6 +66,62 @@ def unit_normalize(a: Column | str) -> Column:
     return F.transform(da, lambda x: x / n)
 
 
+def unit_normalize_udf():
+    """Arrow-vectorized unit normalization, BIT-IDENTICAL to
+    :func:`unit_normalize` (r12, guide §4.2).
+
+    The expression form is a `transform(v, x -> x / sqrt(fold(v, acc +
+    x*x)))` — and because Catalyst HOF lambdas get no common-
+    subexpression elimination, the dim-step norm fold re-evaluates for
+    EVERY output element: dim² interpreted expression calls per row
+    (~4,100 at dim 64; measured 0.8 s to normalize 2,000 vectors at
+    sf0.1). Here the norm accumulates column-by-column in numpy — the
+    exact `dot_udf` rounding discipline (sequential over dims,
+    vectorized over rows), one `np.sqrt` (IEEE-correctly-rounded, same
+    as Math.sqrt), one elementwise IEEE division — so every double is
+    bit-equal to the expression form (asserted in tests) at ~1-2% of
+    the cost. NULL vectors stay NULL; empty arrays stay empty; a
+    zero-norm row (all-zero, or all elements small enough that every
+    square underflows to 0) is all-NULL, reproducing Spark's
+    NULL-on-zero-divisor Divide. Out-of-contract caveat (pinned in
+    tests): a NaN INPUT element yields NULL here but NaN through the
+    expression arm — the pandas→Arrow list serializer maps NaN to null;
+    real vector columns contain no NaNs.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _unorm(a: pd.Series) -> pd.Series:
+        av = [None if x is None else np.asarray(x, dtype=np.float64) for x in a]
+        out: list = [None] * len(av)
+        dims: dict[int, list[int]] = {}
+        for i, x in enumerate(av):
+            if x is not None and x.ndim == 1:
+                dims.setdefault(x.shape[0], []).append(i)
+        for d, idxs in dims.items():
+            if d == 0:
+                for i in idxs:
+                    out[i] = []
+                continue
+            V = np.vstack([av[i] for i in idxs])
+            acc = np.zeros(len(idxs), dtype=np.float64)
+            for j in range(d):
+                acc = acc + V[:, j] * V[:, j]
+            norm = np.sqrt(acc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                N = V / norm[:, None]
+            for r, i in enumerate(idxs):
+                # Spark's Divide yields NULL on a zero divisor (non-ANSI),
+                # where IEEE gives ±Inf/NaN — reproduce it: a zero-norm row
+                # (all-zero or all-subnormal underflow) is all-NULL. NaN
+                # divisors (NaN elements) stay IEEE on both engines.
+                out[i] = [None] * d if norm[r] == 0.0 else N[r]
+        return pd.Series(out, dtype=object)
+
+    return _unorm
+
+
 def dot_udf():
     """Arrow-vectorized dot product, BIT-IDENTICAL to :func:`dot`.
 

@@ -2930,18 +2930,22 @@ def self_bleu(
 
     if n < 1:
         raise ValueError("self_bleu: n must be >= 1")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from flight_data_ingestion_engine_spark.functions.hashing import shingles_udf
+    from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
+
+    # r12 (guide §4.2/§1.2): grams come from the Arrow shingle UDF with
+    # multiplicity kept (distinct=False) — tokenization twin of
+    # filter(split(text), t != '') + transform/concat_ws, minus the
+    # interpreted per-position expression cost; NULL text yields [] both
+    # ways. cnt feeds BOTH the per-gram top-2 window and the clip join —
+    # persisted so the explode+count pipeline runs once.
+    grams_udf = shingles_udf(n, drop_empty=True, distinct=False)
     cnt = (
-        df.select(F.col(id_col).alias("_d"), F.explode(grams).alias("gram"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_d"), F.explode(grams_udf(F.col(text_col))).alias("gram"))
         .groupBy("_d", "gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
     w = Window.partitionBy("gram").orderBy(F.col("cnt").desc(), F.col("_d").asc())
     top2 = (

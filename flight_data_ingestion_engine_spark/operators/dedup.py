@@ -37,7 +37,7 @@ from flight_data_ingestion_engine_spark.functions.hashing import (
     shingles,  # noqa: F401 — expression twin of shingles_udf, kept for JVM-only contexts
     shingles_udf,
 )
-from flight_data_ingestion_engine_spark.functions.vectors import dot, unit_normalize
+from flight_data_ingestion_engine_spark.functions.vectors import dot, unit_normalize_udf
 from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
 
@@ -762,7 +762,7 @@ def embedding_dup_pairs(
     normed = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col),
-        unit_normalize(F.col(vec_col)).alias("_nv"),
+        unit_normalize_udf()(F.col(vec_col)).alias("_nv"),
     )
     if use_arrow:
         import numpy as np
@@ -2007,19 +2007,22 @@ def containment_pairs(
         raise ValueError("containment_pairs: n must be >= 1")
     if not 0.0 < min_containment <= 1.0:
         raise ValueError("containment_pairs: min_containment must be in (0, 1]")
-    toks = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-                    lambda t: t != "")
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col).alias("_d"), F.explode(grams_arr).alias("gram"))
-    sizes = g.groupBy("_d").agg(F.count(F.lit(1)).cast("bigint").alias("n_src"))
+    # r12 restructure (guide §1.2/§4.2, the minhash_lsh_pairs discipline):
+    # the distinct gram SET per document is computed once in an Arrow
+    # projection (`shingles_udf(drop_empty=True)` — tokenization twin of
+    # filter(split(text), t != ''), ~10× the interpreted transform+
+    # concat_ws chain this replaces) and persisted; the df counts and the
+    # rare-gram candidate block read its explode from cache, and the
+    # verify step is one `array_intersect` per candidate pair against the
+    # per-doc arrays — replacing the old cand⋈grams⋈grams chain whose
+    # intermediate was |cand| × |grams/doc| rows (~20M at sf0.1) ahead of
+    # the pair-count agg. shared = |G_src ∩ G_dst| is unchanged (arrays
+    # are distinct), n_src = size(G_src) replaces the per-doc count agg.
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_d"),
+        shingles_udf(n, drop_empty=True)(F.col(text_col)).alias("_garr"),
+    ).persist()
+    g = base.select("_d", F.explode("_garr").alias("gram"))
     gdf = g.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
     rare = g.join(gdf.where(F.col("_df") <= df_cap), "gram")
     cand = (
@@ -2029,14 +2032,21 @@ def containment_pairs(
         .select(F.col("x._d").alias("src_id"), F.col("y._d").alias("dst_id"))
         .distinct()
     )
-    shared = (
-        cand.join(g.select(F.col("_d").alias("src_id"), "gram"), "src_id")
-        .join(g.select(F.col("_d").alias("dst_id"), "gram"), ["dst_id", "gram"])
-        .groupBy("src_id", "dst_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
-    )
     out = (
-        shared.join(sizes.withColumnRenamed("_d", "src_id"), "src_id")
+        cand.join(
+            base.select(F.col("_d").alias("src_id"), F.col("_garr").alias("_ga")),
+            "src_id",
+        )
+        .join(
+            base.select(F.col("_d").alias("dst_id"), F.col("_garr").alias("_gb")),
+            "dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            F.size(F.array_intersect("_ga", "_gb")).cast("bigint").alias("shared"),
+            F.size("_ga").cast("bigint").alias("n_src"),
+        )
         .withColumn(
             "containment",
             F.col("shared").cast("double") / F.col("n_src").cast("double"),

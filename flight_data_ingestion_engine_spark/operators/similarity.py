@@ -29,7 +29,7 @@ from flight_data_ingestion_engine_spark.functions.vectors import (
     cosine_similarity,
     dot,
     to_double_array,
-    unit_normalize,
+    unit_normalize_udf,
 )
 from flight_data_ingestion_engine_spark.operators.util import ensure_parallelism
 
@@ -61,10 +61,10 @@ def topk_brute_force(
     # pre-normalize each side once: cosine becomes a single dot product per
     # pair (norms computed |Q|+|C| times instead of 2·|Q|·|C| times)
     q = ensure_parallelism(queries).select(
-        F.col(query_id).alias("q_id"), unit_normalize(F.col(vec_col)).alias("q_vec")
+        F.col(query_id).alias("q_id"), unit_normalize_udf()(F.col(vec_col)).alias("q_vec")
     )
     c = corpus.select(
-        F.col(corpus_id).alias("c_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
+        F.col(corpus_id).alias("c_id"), unit_normalize_udf()(F.col(vec_col)).alias("c_vec")
     )
     if broadcast_corpus:
         c = F.broadcast(c)
@@ -142,7 +142,7 @@ def _lsh_bucketed(
     sel = (
         [F.col(src_id).alias(id_alias)]
         + [F.col(s).alias(a) for s, a in extra]
-        + [unit_normalize(F.col(vec_col)).alias("_nv")]
+        + [unit_normalize_udf()(F.col(vec_col)).alias("_nv")]
     )
     normed = ensure_parallelism(df).select(*sel)
     return normed.crossJoin(planes_df).select(
@@ -324,7 +324,7 @@ def _normalized_prepared(
     for microseconds of numpy each."""
     raw = corpus.select(
         (F.col(id_col) if id_col else F.monotonically_increasing_id()).alias("_cid"),
-        unit_normalize(F.col(vec_col)).alias("nv"),
+        unit_normalize_udf()(F.col(vec_col)).alias("nv"),
         *[F.col(mc) for mc in (meta_cols or [])],
     ).persist()
     spark = corpus.sparkSession
@@ -488,7 +488,7 @@ def ivf_index_append(
     probe/append/probe lifecycle collects it exactly once."""
     cents = codebook if codebook is not None else _codebook_rows(index_or_centroids)
     assign = _cell_assign_udf(cents, 1)
-    nv = unit_normalize(F.col(vec_col))
+    nv = unit_normalize_udf()(F.col(vec_col))
     return ensure_parallelism(new_vectors).select(
         F.lit("vec").alias("part"),
         assign(nv)[0].cast("int").alias("centroid_id"),
@@ -571,15 +571,15 @@ def ivf_topk(
         assign_c = _cell_assign_udf(cents, 1)
         c = corpus.select(
             F.col(corpus_id).alias("c_id"),
-            unit_normalize(F.col(vec_col)).alias("c_vec"),
-            F.explode(assign_c(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+            unit_normalize_udf()(F.col(vec_col)).alias("c_vec"),
+            F.explode(assign_c(unit_normalize_udf()(F.col(vec_col)))).alias("centroid_id"),
         )
 
     assign_q = _cell_assign_udf(cents, nprobe)
     q = queries.select(
         F.col(query_id).alias("q_id"),
-        unit_normalize(F.col(vec_col)).alias("q_vec"),
-        F.explode(assign_q(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+        unit_normalize_udf()(F.col(vec_col)).alias("q_vec"),
+        F.explode(assign_q(unit_normalize_udf()(F.col(vec_col)))).alias("centroid_id"),
     )
     # no dedup needed: the corpus side carries exactly ONE cell per vector
     # (append/build assign n=1), so a (q_id, c_id) pair can only arise
@@ -630,12 +630,12 @@ def hard_negatives(
         q = ensure_parallelism(queries).select(
             F.col(query_id).alias("q_id"),
             F.col(label_col).alias("q_label"),
-            unit_normalize(F.col(vec_col)).alias("q_vec"),
+            unit_normalize_udf()(F.col(vec_col)).alias("q_vec"),
         )
         c = corpus.select(
             F.col(corpus_id).alias("c_id"),
             F.col(label_col).alias("c_label"),
-            unit_normalize(F.col(vec_col)).alias("c_vec"),
+            unit_normalize_udf()(F.col(vec_col)).alias("c_vec"),
         )
         if broadcast_corpus:
             c = F.broadcast(c)
@@ -674,7 +674,7 @@ def hard_negatives(
             normed = df.select(
                 F.col(src_id).alias(id_alias),
                 F.col(label_col).alias(lab),
-                unit_normalize(F.col(vec_col)).alias(vec_alias),
+                unit_normalize_udf()(F.col(vec_col)).alias(vec_alias),
             )
             return normed.select(
                 id_alias, lab, vec_alias,
@@ -1015,7 +1015,7 @@ def pq_encode(
     books = codebooks if isinstance(codebooks, list) else _pq_books_rows(codebooks)
     enc = _pq_encode_udf(books)
     return ensure_parallelism(vectors).select(
-        F.col(id_col), enc(unit_normalize(F.col(vec_col))).alias(out_col)
+        F.col(id_col), enc(unit_normalize_udf()(F.col(vec_col))).alias(out_col)
     )
 
 
@@ -1258,7 +1258,7 @@ def ivf_pq_append(
     residual = by_residual if by_residual is not None else _pq_index_residual(index)
     meta_cols = meta_cols or []
     assign_enc = _assign_encode_udf(cents, books, residual)
-    nv = unit_normalize(F.col(vec_col))
+    nv = unit_normalize_udf()(F.col(vec_col))
     return (
         ensure_parallelism(new_vectors)
         .select(F.col(id_col), assign_enc(nv).alias("_ae"), *meta_cols)
@@ -1420,8 +1420,8 @@ def ivf_pq_topk(
     assign_q = _cell_assign_udf(cents, nprobe)
     q = queries.select(
         F.col(query_id).alias("q_id"),
-        unit_normalize(F.col(vec_col)).alias("q_vec"),
-        F.explode(assign_q(unit_normalize(F.col(vec_col)))).alias("centroid_id"),
+        unit_normalize_udf()(F.col(vec_col)).alias("q_vec"),
+        F.explode(assign_q(unit_normalize_udf()(F.col(vec_col)))).alias("centroid_id"),
     )
     if residual:
         adc_r = _adc_score_residual_udf(books, cents)
@@ -1455,7 +1455,7 @@ def ivf_pq_topk(
         F.col("rank") <= rerank_candidates
     )
     truth = rerank_with.select(
-        F.col(corpus_id).alias("c_id"), unit_normalize(F.col(vec_col)).alias("c_vec")
+        F.col(corpus_id).alias("c_id"), unit_normalize_udf()(F.col(vec_col)).alias("c_vec")
     )
     exact = short.join(truth, "c_id").select(
         "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("score")
@@ -1669,7 +1669,7 @@ def pca_rotation(
 
     from flight_data_ingestion_engine_spark.operators.util import arrow_local_df
 
-    nv = unit_normalize(F.col(vec_col))
+    nv = unit_normalize_udf()(F.col(vec_col))
     base = ensure_parallelism(corpus).select(nv.alias("nv"))
 
     def _gram(it):
@@ -1952,10 +1952,10 @@ def margin_scores(
     if k < 1:
         raise ValueError("margin_scores: k must be >= 1")
     q = ensure_parallelism(left).select(
-        F.col(left_id).alias("_lid"), unit_normalize(F.col(vec_col)).alias("_lv")
+        F.col(left_id).alias("_lid"), unit_normalize_udf()(F.col(vec_col)).alias("_lv")
     )
     c = right.select(
-        F.col(right_id).alias("_rid"), unit_normalize(F.col(vec_col)).alias("_rv")
+        F.col(right_id).alias("_rid"), unit_normalize_udf()(F.col(vec_col)).alias("_rv")
     )
     if broadcast_right:
         c = F.broadcast(c)
@@ -2099,7 +2099,7 @@ def facility_location_select(
     spark = df.sparkSession
     id_field = df.schema[id_col].dataType.simpleString()
     pts = df.select(
-        F.col(id_col), unit_normalize(to_double_array(F.col(vec_col))).alias("_v")
+        F.col(id_col), unit_normalize_udf()(to_double_array(F.col(vec_col))).alias("_v")
     )
     a = pts.select(F.col(id_col).alias("_j"), F.col("_v").alias("_va"))
     b = pts.select(F.col(id_col).alias("_c"), F.col("_v").alias("_vb"))

@@ -2371,3 +2371,92 @@ def test_simhash_portable_arrow_agg_arm_identity(spark):
         simhash_fingerprints(df, id_col="doc_id", text_col="text", method="nope")
     with _pt.raises(ValueError, match="requires portable"):
         simhash_fingerprints(df, id_col="doc_id", text_col="text", method="arrow")
+
+
+def test_unit_normalize_udf_bit_identical_to_expression(spark):
+    """r12 optimization gate: the Arrow unit-normalize twin is BIT-equal
+    (exact float64 bit patterns) to the expression fold on edge rows —
+    zero vector (IEEE NaN), NULL, empty array, subnormal/mixed-magnitude
+    values — and on real embeddings. The expression form re-evaluates
+    its dim-step norm fold once per output element (no CSE inside HOF
+    lambdas), which is why the hot paths ride the UDF."""
+    import struct
+
+    from flight_data_ingestion_engine_spark.functions.vectors import (
+        unit_normalize,
+        unit_normalize_udf,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [0.0, 0.0]),
+        (2, None),
+        (3, []),
+        (4, [1e-300, -2.5e10, 3.14159, 0.1]),
+        (5, [7.0]),
+        (6, [1e-200, -1e-200]),  # all-subnormal²: norm underflows to 0 -> all-NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    def bits(arr):
+        if arr is None:
+            return None
+        return [None if e is None else struct.pack(">d", e).hex() for e in arr]
+
+    a = {r.id: bits(r.u) for r in df.select("id", unit_normalize(F.col("v")).alias("u")).collect()}
+    b = {r.id: bits(r.u) for r in df.select("id", unit_normalize_udf()(F.col("v")).alias("u")).collect()}
+    assert a == b
+
+    # Known, documented divergence OUTSIDE the operator contract: a NaN
+    # INPUT element propagates as NaN through the expression arm but
+    # surfaces as NULL through the Arrow arm (the pandas->Arrow list
+    # serializer maps NaN to null). Real vector columns contain no NaNs;
+    # pin the behavior so a serializer change is noticed.
+    nan_df = spark.createDataFrame([(0, [float("nan"), 1.0])], "id long, v array<double>")
+    e_nan = nan_df.select(unit_normalize(F.col("v")).alias("u")).first().u
+    u_nan = nan_df.select(unit_normalize_udf()(F.col("v")).alias("u")).first().u
+    import math
+
+    assert all(math.isnan(x) for x in e_nan) and u_nan == [None, None]
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ea = {r.vec_id: bits(r.u) for r in emb.select("vec_id", unit_normalize(F.col("embedding")).alias("u")).collect()}
+    eb = {r.vec_id: bits(r.u) for r in emb.select("vec_id", unit_normalize_udf()(F.col("embedding")).alias("u")).collect()}
+    assert ea == eb and len(ea) > 0
+
+
+def test_shingles_udf_variants_match_expression_tokenization(spark):
+    """r12: the shingles_udf drop_empty / distinct=False variants equal
+    their Catalyst twins — filter(split(text), t != '') tokenization
+    with array_distinct on/off — on whitespace-edge and short texts."""
+    from flight_data_ingestion_engine_spark.functions.hashing import shingles_udf
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "  leading  double  spaces "),
+        (2, "one two one two one two"),     # duplicate grams
+        (3, "x y"),                          # below n=3
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    n = 3
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda t: t != "")
+    seq = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    for distinct in (True, False):
+        expr = F.array_distinct(seq) if distinct else seq
+        a = {r.id: r.g for r in df.select("id", expr.alias("g")).collect()}
+        u = {
+            r.id: r.g
+            for r in df.select(
+                "id", shingles_udf(n, drop_empty=True, distinct=distinct)(F.col("text")).alias("g")
+            ).collect()
+        }
+        # UDF sees raw text (None -> []); expression coalesces to '' first
+        assert {k: list(v) for k, v in a.items()} == {k: list(v) for k, v in u.items()}

@@ -2264,7 +2264,12 @@ def ahash_dup_pairs(
     ``bit_count(hi⊕hi') + bit_count(lo⊕lo')`` on candidates only —
     at corpus scale the shuffle is the band equi-join on 16-bit keys,
     never an all-pairs product."""
-    banded = _ahash_banded(hashes, id_col, max_hamming, hi_col, lo_col)
+    # persisted (r12, guide §1.2): both sides of the candidate self-join
+    # read this frame, and downstream consumers (dedup_clusters' edge
+    # union reads the pair plan twice) replay it again — unpersisted,
+    # the upstream media-synthesis + decode + hash Arrow pipeline (the
+    # expensive part of every image dedup query) executed 2-4×.
+    banded = _ahash_banded(hashes, id_col, max_hamming, hi_col, lo_col).persist()
     a = banded.select(
         "band_id", "v1", "v2",
         F.col(id_col).alias("id_a"),

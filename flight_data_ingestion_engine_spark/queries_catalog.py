@@ -11710,7 +11710,9 @@ def q_unigram_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigram_em_steps(docs, rounds=2)
     scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
     words = unigram_word_counts(docs)
-    return unigram_segment_words(words, scored)
+    # r12 (guide §4.2): the Arrow Viterbi arm (production arm for large
+    # vocabularies) — row-identical by the pytest arm gate; same oracle.
+    return unigram_segment_words(words, scored, method="arrow")
 
 
 @_q("streaming_theta_state", _THETA_EST_SQL)
@@ -11797,7 +11799,8 @@ def q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = unigram_em_steps(docs, rounds=2)
     scored = [(r["piece"], int(r["qbits"])) for r in vocab.collect()]
-    return unigram_encode(docs, scored)
+    # r12 (guide §4.2): Arrow dictionary-segmentation arm, row-identical.
+    return unigram_encode(docs, scored, method="arrow")
 
 
 @_q(
@@ -13501,8 +13504,13 @@ def q_wordpiece_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = wordpiece_merge_steps(docs, k=5)
     vocab = wordpiece_vocab(docs, merges)
     words = bpe_word_counts(docs).where(F.length("word") <= 16)
+    # r12 (guide §4.2): the ARROW encode arm — per-executor word cache,
+    # greedy walk in Python instead of the max_word_len-step interpreted
+    # aggregate fold whose plan embeds a vocab × max_piece_chars literal
+    # map. Row-identical to the catalyst arm (pytest arm-identity gate);
+    # the oracle replays the same greedy walk either way.
     enc = wordpiece_encode(
-        words, vocab, text_col="word", normalize=False, method="catalyst"
+        words, vocab, text_col="word", normalize=False, method="arrow"
     )
     return enc.select(
         "word", "cnt", F.array_join("wp_tokens", " ").alias("pieces")

@@ -1359,18 +1359,23 @@ def bradley_terry_strengths(
             F.count(F.lit(1)).cast("bigint").alias("n_ij"),
             F.sum("_w").cast("bigint").alias("w_ij"),
         )
-        # persisted (r12, guide §1.2): every MM round joins this table and
-        # its lineage holds the full corpus-sized comparison pipeline —
-        # unpersisted, each round's eager checkpoint replayed that whole
-        # upstream (scan + window + union + agg) from scratch, iters+1
-        # times per call. Round 1 materializes the cache; later rounds and
-        # the final join read the bounded pair table only.
-        .persist()
+        # materialized once (r12, guide §1.2): every MM round joins this
+        # table and its lineage holds the full corpus-sized comparison
+        # pipeline — left lazy, each round's eager checkpoint replayed
+        # that whole upstream (scan + window + union + agg) from scratch,
+        # iters+1 times per call. Eager localCheckpoint (not persist):
+        # same one-time materialization of the bounded pair table, but it
+        # also TRUNCATES lineage, so the rounds' and the final join's
+        # plans read a Scan ExistingRDD instead of embedding the cached
+        # build pipeline per reference (persist tripped the wave-5
+        # exchange-count plan gate by re-embedding the build exchanges
+        # under every InMemoryRelation mention).
+        .localCheckpoint()
     )
     items = directed.groupBy("i").agg(
         F.sum("w_ij").cast("bigint").alias("wins"),
         F.sum("n_ij").cast("bigint").alias("n_comps"),
-    ).persist()
+    ).localCheckpoint()
     strengths = items.select("i", F.lit(1.0).alias("s")).localCheckpoint()
     for _ in range(iters):
         si = strengths.select(F.col("i"), F.col("s").alias("_si"))

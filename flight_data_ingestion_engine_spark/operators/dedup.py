@@ -616,14 +616,20 @@ def simhash_fingerprints(
     n_bits=56 = 4 pigeonhole blocks × 14). The xxhash64 default remains
     the scale path.
 
-    `method` (r12, guide §2.4/§4.2): the portable arm defaults to a
-    ZERO-SHUFFLE Arrow projection (`portable_simhash_udf` — whole
+    `method` (r12, guide §2.4/§4.2): `method="arrow"` (portable only) is
+    a ZERO-SHUFFLE Arrow projection (`portable_simhash_udf` — whole
     fingerprint per document in numpy), removing the explode +
     n-partial-sums groupBy exchange and its n interpreted CASE sums per
-    token; `method="agg"` keeps the aggregation form (needed if ids can
-    repeat across rows — the agg form merges them). Both arms are
-    bit-identical on unique-id inputs (pytest-gated). The xxhash64 arm
-    always aggregates (the hash is JVM-side).
+    token. It emits ONE fingerprint PER ROW, so it is only equivalent to
+    the aggregation form when `id_col` is unique; callers that know their
+    ids are unique opt in explicitly (as the catalog queries do).
+    `method="auto"` (the default) resolves to `"agg"` — the aggregation
+    form merges token multisets across rows sharing an id, which is the
+    only safe default for arbitrary inputs (r13, VERDICT r12 #6: "auto"
+    silently narrowing the input contract was a footgun). Both arms are
+    bit-identical on unique-id inputs (pytest-gated, including a
+    duplicate-id divergence pin). The xxhash64 arm always aggregates
+    (the hash is JVM-side).
 
     Aggregation form: explode + n partial-aggregated sums; map-side
     combine reduces the shuffle to n longs per document; per-token work
@@ -639,7 +645,7 @@ def simhash_fingerprints(
         raise ValueError(f"simhash_fingerprints: unknown method {method!r}")
     if method == "arrow" and not portable:
         raise ValueError("simhash_fingerprints: method='arrow' requires portable=True")
-    if portable and method in ("auto", "arrow"):
+    if portable and method == "arrow":
         # the NULL-text filter reproduces the agg arm's explode-of-NULL
         # row drop; everything else is a pure per-row projection
         return (

@@ -75,12 +75,26 @@ def _stage_parity_batches(df: DataFrame, id_col: str, src: str) -> None:
     now = _time.time()
     for par, name, mtime in ((0, "b1.parquet", now - 60), (1, "b2.parquet", now)):
         pdir = f"{tmp}/p/_stg_par={par}"
-        part = next(
-            f
-            for f in os.listdir(pdir)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
         dest = f"{src}/{name}"
+        # partitionBy writes NO directory for an absent partition value; the
+        # two-write staging this replaced produced an empty parquet file for
+        # an empty half, so reproduce that contract (schema = df's schema).
+        part = next(
+            (
+                f
+                for f in (os.listdir(pdir) if os.path.isdir(pdir) else [])
+                if f.endswith(".parquet") and not f.startswith(".")
+            ),
+            None,
+        )
+        if part is None:
+            df.limit(0).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/e{par}")
+            part = next(
+                f
+                for f in os.listdir(f"{tmp}/e{par}")
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            pdir = f"{tmp}/e{par}"
         os.rename(f"{pdir}/{part}", dest)
         os.utime(dest, (mtime, mtime))
 
@@ -1607,7 +1621,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs, id_col="doc_id", text_col="text", n_bits=56, portable=True)
+    # method="arrow": doc_id is unique in this corpus, so the zero-shuffle
+    # per-row projection is safe to opt into (the library default is the
+    # duplicate-id-safe "agg" arm — VERDICT r12 #6)
+    fp = simhash_fingerprints(
+        docs, id_col="doc_id", text_col="text", n_bits=56, portable=True,
+        method="arrow",
+    )
     pairs = simhash_near_pairs(fp, id_col="doc_id", max_hamming=3, n_bits=56)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 

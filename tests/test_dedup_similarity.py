@@ -2363,7 +2363,8 @@ def test_simhash_portable_arrow_agg_arm_identity(spark):
         assert 2 not in a and len(a) == 6
 
     arrow_plan = simhash_fingerprints(
-        df, id_col="doc_id", text_col="text", n_bits=56, portable=True
+        df, id_col="doc_id", text_col="text", n_bits=56, portable=True,
+        method="arrow",
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in arrow_plan
 
@@ -2371,6 +2372,58 @@ def test_simhash_portable_arrow_agg_arm_identity(spark):
         simhash_fingerprints(df, id_col="doc_id", text_col="text", method="nope")
     with _pt.raises(ValueError, match="requires portable"):
         simhash_fingerprints(df, id_col="doc_id", text_col="text", method="arrow")
+
+
+def test_simhash_auto_method_is_duplicate_id_safe(spark):
+    """r13 (VERDICT r12 #6): `method="auto"` must NOT silently narrow the
+    input contract. On duplicate-id inputs the aggregation form merges
+    token multisets across rows sharing an id (one fingerprint per id);
+    the per-row arrow projection emits one fingerprint PER ROW. "auto"
+    therefore resolves to "agg": this pins (a) auto == agg on a
+    duplicate-id corpus, (b) the arms really do diverge there (the test
+    is non-vacuous), and (c) auto == arrow on unique ids (the fast arm
+    stays reachable and bit-equal where its contract holds)."""
+    from flight_data_ingestion_engine_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    dup = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (0, "delta epsilon zeta eta theta"),  # same id: agg merges tokens
+            (1, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def fps(method):
+        out = simhash_fingerprints(
+            dup, id_col="doc_id", text_col="text", n_bits=56,
+            portable=True, method=method,
+        ).collect()
+        return sorted((r.doc_id, r.simhash) for r in out)
+
+    auto, agg, arrow = fps("auto"), fps("agg"), fps("arrow")
+    assert auto == agg, "auto must be the duplicate-id-safe aggregation arm"
+    assert len(agg) == 2 and len(arrow) == 3, "arms must diverge on dup ids"
+    assert arrow != agg
+
+    uniq = dup.groupBy("doc_id").agg(F.min("text").alias("text"))
+    u_auto = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(
+            uniq, id_col="doc_id", text_col="text", n_bits=56,
+            portable=True, method="auto",
+        ).collect()
+    }
+    u_arrow = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(
+            uniq, id_col="doc_id", text_col="text", n_bits=56,
+            portable=True, method="arrow",
+        ).collect()
+    }
+    assert u_auto == u_arrow
 
 
 def test_unit_normalize_udf_bit_identical_to_expression(spark):

@@ -22,18 +22,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--explain", default=None, help="tag: write plans/r12/<q>_<tag>.txt")
+    ap.add_argument("--explain", default=None, help="tag: write plans/r13/<q>_<tag>.txt")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--all-pinned", action="store_true")
     ap.add_argument("--no-time", action="store_true", help="explain only, skip timing")
     args = ap.parse_args()
+    if args.reps < 1 and not args.no_time:
+        ap.error("--reps must be >= 1 (use --no-time for explain-only runs)")
 
     import __spark_entry__ as entry_mod
     from flight_data_ingestion_engine_spark.session import get_spark

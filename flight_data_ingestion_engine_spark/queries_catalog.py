@@ -1981,8 +1981,23 @@ def _stream_events(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+_STATE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
 def _run_stream_to_memory(
-    df: DataFrame, output_mode: str, shuffle_partitions: int | None = None
+    df: DataFrame,
+    output_mode: str,
+    shuffle_partitions: int | None = None,
+    state_provider: str | None = "hdfs",
 ) -> DataFrame:
     """Drive a stream to completion into a memory sink.
 
@@ -1993,13 +2008,34 @@ def _run_stream_to_memory(
     micro-batch of pure overhead. The stream pins its partitioning at
     start (recorded in the checkpoint), so a scoped override is exactly
     the tuning knob Structured Streaming expects; batch queries running
-    later are unaffected (conf restored in the finally)."""
+    later are unaffected (conf restored in the finally).
+
+    `state_provider` (r13, guide §1.2 + VERDICT r12 #2) scopes the state
+    store provider the same way — it is a per-query conf captured at
+    stream start, so the engine session default (RocksDB, the right call
+    for unbounded production state: disk-spilling, changelog-checkpointed)
+    is untouched for every other stream. These catalog lifecycles drain a
+    BOUNDED availableNow replay (1-2 micro-batches, state = one fixture's
+    keys), where RocksDB's per-commit open/WAL/compaction machinery on
+    8 partitions × N stateful operators is pure overhead; the in-memory
+    HDFSBacked provider holds the same state in executor memory and
+    commits a delta file — results are provider-independent (state store
+    contents, not semantics). Set env SPARK_GRAFT_STREAM_STATE_PROVIDER
+    to "rocksdb"/"hdfs" to force either side for A/B runs; pass
+    state_provider=None to leave the session conf alone."""
+    import os as _os
     import tempfile
     import uuid
 
     spark = df.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    want = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER") or state_provider
+    prev_provider = None
+    if want:
+        prev_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, _STATE_PROVIDERS[want.lower()])
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -2024,6 +2060,11 @@ def _run_stream_to_memory(
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if want:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     return df.sparkSession.table(name)
 
 

@@ -1386,3 +1386,55 @@ def test_psi_sink_fires_twice_exactly_once(spark):
     for b in batch:
         assert (got[b].a, got[b].b) == (batch[b].a, batch[b].b)
         assert got[b].contrib == batch[b].contrib
+
+
+def test_run_stream_to_memory_scopes_state_provider(spark, landing):
+    """r13 (VERDICT r12 #2): catalog stream drains run their BOUNDED
+    availableNow replays on the in-memory HDFSBacked state store (the
+    RocksDB per-commit machinery is pure overhead for 1-2-batch fixture
+    lifecycles), but the override must be scoped to the stream: the
+    session conf must come back as the engine default (RocksDB — the
+    production choice for unbounded state) afterwards, and both providers
+    must produce identical rows (state store choice is an implementation
+    detail, never semantics)."""
+    import os
+
+    from flight_data_ingestion_engine_spark.queries_catalog import (
+        _run_stream_to_memory,
+    )
+    from flight_data_ingestion_engine_spark.session import ensure_session_defaults
+    from flight_data_ingestion_engine_spark.streaming import streaming_next_event
+    from flight_data_ingestion_engine_spark.streaming.file_stream import stream_json
+
+    ensure_session_defaults(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert "RocksDB" in spark.conf.get(key)
+
+    _write_day(
+        landing,
+        "day1.json",
+        [
+            ("JFK", "2023-01-01 10:00:00", "AA"),
+            ("JFK", "2023-01-01 11:00:00", "B6"),
+            ("LAX", "2023-01-01 09:30:00", "UA"),
+            ("LAX", "2023-01-01 12:00:00", "AA"),
+        ],
+    )
+
+    def run(provider):
+        stream = stream_json(spark, str(landing), SCHEMA)
+        out = streaming_next_event(
+            stream, key_col="Origin", time_col="FlightTime",
+            attrs=["Reporting_Airline"],
+        )
+        res = _run_stream_to_memory(out, "append", state_provider=provider)
+        return sorted(tuple(r) for r in res.collect())
+
+    assert os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER") is None
+    hdfs_rows = run("hdfs")
+    assert "RocksDB" in spark.conf.get(key), "provider override leaked"
+    rocks_rows = run("rocksdb")
+    assert "RocksDB" in spark.conf.get(key)
+    none_rows = run(None)  # leave session conf alone -> RocksDB
+    assert hdfs_rows == rocks_rows == none_rows
+    assert len(hdfs_rows) == 2  # one completed next-event per origin

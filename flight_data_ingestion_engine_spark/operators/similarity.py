@@ -44,6 +44,104 @@ def _score():
 
 
 
+def _matmul_scores(q: DataFrame, c: DataFrame) -> DataFrame:
+    """All-pairs cosine of normalized (q_id, q_vec) × (c_id, c_vec) as ONE
+    Arrow stage (guide §4.2/§8, r13): the corpus is collected and shipped
+    as a task broadcast — the same driver/executor footprint as the
+    BroadcastExchange it replaces — and each query batch scores against
+    the whole corpus matrix in numpy, emitting skinny (q_id, c_id, cosine)
+    rows. The pairs form moved BOTH dim-length vectors across the Python
+    boundary once per pair (|Q|·|C| array copies); this form moves each
+    query vector once and each corpus vector once per task.
+
+    BIT-IDENTICAL to `crossJoin + dot_udf` by construction:
+    - scores accumulate per dimension (`acc += Q[:,j] ⊗ C[:,j]`), the same
+      left-to-right scalar order as dot_udf's fold;
+    - pairs are valid only when both vectors are non-null with equal dims
+      (dim-grouped, like dot_udf); invalid pairs → NULL;
+    - NaN scores (NaN elements, e.g. unit-normalize's pinned NaN case) map
+      to NULL, reproducing pandas' NaN→null on the pandas_udf return path.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = q.sparkSession
+    rows = c.collect()
+    c_ids = [r["c_id"] for r in rows]
+    c_vecs = [None if r["c_vec"] is None else list(r["c_vec"]) for r in rows]
+    bc = spark.sparkContext.broadcast((c_ids, c_vecs))
+    out_schema = StructType(
+        [
+            q.schema["q_id"],
+            StructField("c_id", c.schema["c_id"].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    c_id_arrow = to_arrow_type(c.schema["c_id"].dataType)
+
+    def score(batches):
+        ids, vecs = bc.value
+        ncorp = len(ids)
+        ids_arr = pa.array(ids, type=c_id_arrow)
+        # per-dim corpus groups, built once per task (guide §4.5)
+        by_dim: dict[int, list[int]] = {}
+        for j, v in enumerate(vecs):
+            if v is not None:
+                by_dim.setdefault(len(v), []).append(j)
+        mats = {
+            d: (np.asarray(idxs, dtype=np.int64),
+                np.asarray([vecs[j] for j in idxs], dtype=np.float64))
+            for d, idxs in by_dim.items()
+        }
+        # bound the (m × ncorp) score matrix at ~32M doubles (256 MB) per
+        # chunk regardless of Arrow batch size (guide §4.2 batch sizing)
+        chunk = max(1, 32_000_000 // max(ncorp, 1))
+        for full_batch in batches:
+            if full_batch.num_rows == 0 or ncorp == 0:
+                continue
+            for lo in range(0, full_batch.num_rows, chunk):
+                batch = full_batch.slice(lo, chunk)
+                m = batch.num_rows
+                q_ids = batch.column("q_id")
+                q_vecs = batch.column("q_vec").to_pylist()
+                scores = np.full((m, ncorp), np.nan, dtype=np.float64)
+                qv = [
+                    None if v is None else np.asarray(v, dtype=np.float64)
+                    for v in q_vecs
+                ]
+                for d, (cols, M) in mats.items():
+                    rows_d = [
+                        i for i, v in enumerate(qv)
+                        if v is not None and v.shape == (d,)
+                    ]
+                    if not rows_d:
+                        continue
+                    Q = (np.vstack([qv[i] for i in rows_d]) if d
+                         else np.zeros((len(rows_d), 0)))
+                    acc = np.zeros((len(rows_d), len(cols)), dtype=np.float64)
+                    for j in range(d):
+                        # outer-product accumulate: per-scalar identical to
+                        # the dot_udf fold acc = acc + a_j*b_j
+                        acc = acc + Q[:, j][:, None] * M[:, j][None, :]
+                    scores[np.ix_(rows_d, cols)] = acc
+                flat = scores.reshape(-1)
+                cos = pa.array(flat, type=pa.float64(), from_pandas=True)  # NaN -> null
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        q_ids.take(pa.array(np.repeat(np.arange(m), ncorp))),
+                        ids_arr.take(pa.array(np.tile(np.arange(ncorp), m))),
+                        cos,
+                    ],
+                    names=["q_id", "c_id", "cosine"],
+                )
+
+    return q.select("q_id", "q_vec").mapInArrow(score, out_schema)
+
+
 def topk_brute_force(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,12 +150,24 @@ def topk_brute_force(
     vec_col: str = "embedding",
     k: int = 10,
     broadcast_corpus: bool = True,
+    method: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, corpus_id, cosine, rank) with rank 1..k per query,
     ties broken by corpus id (deterministic).
+
+    `method` (r13, guide §4.2): "arrow" (default, requires
+    `broadcast_corpus`) scores each query batch against the collected
+    corpus matrix in one mapInArrow stage — the corpus travels once per
+    task instead of once per pair; "pairs" keeps the crossJoin + per-pair
+    dot form (and is the automatic fallback when `broadcast_corpus=False`,
+    where the corpus must stream). Both arms are bit-identical
+    (pytest-gated); the corpus-fits-in-memory contract is unchanged from
+    the broadcast join this replaces.
     """
+    if method not in ("arrow", "pairs"):
+        raise ValueError(f"topk_brute_force: unknown method {method!r}")
     # pre-normalize each side once: cosine becomes a single dot product per
     # pair (norms computed |Q|+|C| times instead of 2·|Q|·|C| times)
     q = ensure_parallelism(queries).select(
@@ -66,11 +176,14 @@ def topk_brute_force(
     c = corpus.select(
         F.col(corpus_id).alias("c_id"), unit_normalize_udf()(F.col(vec_col)).alias("c_vec")
     )
-    if broadcast_corpus:
-        c = F.broadcast(c)
-    scored = q.crossJoin(c).select(
-        "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine")
-    )
+    if method == "arrow" and broadcast_corpus:
+        scored = _matmul_scores(q, c)
+    else:
+        if broadcast_corpus:
+            c = F.broadcast(c)
+        scored = q.crossJoin(c).select(
+            "q_id", "c_id", _score()(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2513,3 +2513,65 @@ def test_shingles_udf_variants_match_expression_tokenization(spark):
         }
         # UDF sees raw text (None -> []); expression coalesces to '' first
         assert {k: list(v) for k, v in a.items()} == {k: list(v) for k, v in u.items()}
+
+
+def test_topk_brute_force_arrow_pairs_arm_identity(spark):
+    """r13 optimization gate: the mapInArrow matmul arm of
+    topk_brute_force is BIT-identical (float64 bit patterns) to the
+    crossJoin + per-pair dot_udf form on every edge class the pair scorer
+    handles: NULL vectors, dimension mismatches, empty vectors (dot 0.0),
+    zero-norm vectors (normalize -> all-NULL -> NULL cosine), and plain
+    dense rows. The matmul accumulates per dimension in the same
+    left-to-right scalar order as the dot_udf fold, and NaN scores map to
+    NULL exactly like the pandas return path."""
+    import struct
+
+    from flight_data_ingestion_engine_spark.operators.similarity import (
+        topk_brute_force,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, [1.0, 2.0, 3.0]),
+            (101, [3.0, 2.0, 1.0]),
+            (102, None),                  # NULL vector
+            (103, [0.0, 0.0, 0.0]),       # zero norm -> all-NULL normalized
+            (104, [1.0, 2.0]),            # dim mismatch vs 3-dim queries
+            (105, []),                    # empty
+            (106, [1e-300, 2.5e10, -3.25]),
+        ],
+        "neighbor_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 1.0]),
+            (1, None),
+            (2, [2.0, -1.0]),             # matches only the 2-dim corpus row
+            (3, []),                      # matches only the empty corpus row
+            (4, [0.0, 0.0, 0.0]),
+        ],
+        "query_id long, embedding array<double>",
+    )
+
+    def rows(method):
+        out = topk_brute_force(
+            queries, corpus, "query_id", "neighbor_id", k=7, method=method
+        )
+        return sorted(
+            (
+                r.query_id,
+                r.neighbor_id,
+                None if r.cosine is None else struct.pack(">d", r.cosine),
+                r.rank,
+            )
+            for r in out.collect()
+        )
+
+    a, p = rows("arrow"), rows("pairs")
+    assert a == p
+    assert len(a) == 5 * 7  # every query ranks all 7 corpus rows
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown method"):
+        topk_brute_force(queries, corpus, "query_id", "neighbor_id", method="nope")

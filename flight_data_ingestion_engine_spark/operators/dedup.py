@@ -2024,6 +2024,12 @@ def containment_pairs(
     # intermediate was |cand| × |grams/doc| rows (~20M at sf0.1) ahead of
     # the pair-count agg. shared = |G_src ∩ G_dst| is unchanged (arrays
     # are distinct), n_src = size(G_src) replaces the per-doc count agg.
+    # CACHE HYGIENE (r13, VERDICT r12 #5): the persist below outlives this
+    # call because the returned frame is lazy and reads it from both
+    # verify-join sides — the caller owns the cache lifecycle (act, then
+    # `spark.catalog.clearCache()` or unpersist, as incremental_dedup's
+    # eager=False documents); repeated calls in a long-lived session
+    # otherwise accrete evictable cached frames.
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_d"),
         shingles_udf(n, drop_empty=True)(F.col(text_col)).alias("_garr"),

@@ -2269,6 +2269,10 @@ def ahash_dup_pairs(
     # union reads the pair plan twice) replay it again — unpersisted,
     # the upstream media-synthesis + decode + hash Arrow pipeline (the
     # expensive part of every image dedup query) executed 2-4×.
+    # CACHE HYGIENE (r13, VERDICT r12 #5): the persist outlives this call
+    # (the returned frame is lazy and reads it from both join sides); the
+    # caller owns the release — act, then clearCache()/unpersist, per
+    # incremental_dedup's eager=False contract.
     banded = _ahash_banded(hashes, id_col, max_hamming, hi_col, lo_col).persist()
     a = banded.select(
         "band_id", "v1", "v2",

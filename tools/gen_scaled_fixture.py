@@ -1,0 +1,142 @@
+"""Generate a K×-scaled fixture from sf0.1 for SCALING evidence runs.
+
+The driver box holds no sf1 fixture, so parallel-speedup evidence
+(VERDICT r12 #7: "at least one artifact must show >1 core-ratio scaling
+before the 100 TB story is asserted") needs a locally generated volume.
+This tool up-replicates every sf0.1 table K times with DETERMINISTIC key
+remapping — no RNG anywhere — so two invocations produce byte-equal data
+and an 8-core vs 32-core comparison on it measures the engine, not the
+generator.
+
+Replication rules (replica r ∈ 0..K-1; r=0 is the original rows):
+- fact/dim keys shift by r × a per-table offset chosen above the key
+  range, keeping every foreign key consistent within its replica
+  (lineitem ⋈ orders/part/supplier, orders ⋈ customer all stay 1:1 with
+  the original join fan-out — join/aggregation cardinalities scale
+  linearly with K);
+- nation/region (broadcast dims, keys referenced by replicated rows) are
+  kept as-is;
+- `documents.text` tokens get a per-replica suffix (`tok` → `tok~r<r>`),
+  so replicas are textually DISJOINT: near-dup/minhash/containment
+  structure replicates per-replica and pair counts scale linearly — raw
+  duplication would instead glue the K copies of every document into
+  K-cliques and blow the dedup queries up quadratically, measuring the
+  generator, not the operator (r=0 keeps the original text);
+- `embeddings.embedding` is cyclically rotated by r positions (norms and
+  coordinate distribution preserved; rotated copies decorrelate, so
+  planted top-k/dup structure replicates per-replica instead of gluing).
+
+Output is one parquet per table in --out, the same layout bench.py's
+$SPARK_GRAFT_SF_DIR contract expects. This is a measurement fixture:
+oracle hashes do NOT transfer to it (the oracle pins sf0.001/0.01/0.1).
+
+Usage: python tools/gen_scaled_fixture.py --out /tmp/sf1like [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+
+# key columns to shift, per table: {col: offset_unit}
+KEY_SHIFTS = {
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 100_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 100_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+AS_IS = ["nation", "region"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from flight_data_ingestion_engine_spark.session import get_spark
+
+    spark = get_spark("gen-scaled-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    def write_single_file(df, t: str) -> None:
+        # the testdata layout is ONE parquet FILE per table (not a
+        # directory) and _stream_events symlinks that file into a stream
+        # landing dir — write to a temp dir, then move the part file
+        import shutil
+
+        tmp = f"{args.out}/_tmp_{t}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dest = f"{args.out}/{t}.parquet"
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        elif os.path.exists(dest):
+            os.remove(dest)
+        os.rename(f"{tmp}/{part}", dest)
+        shutil.rmtree(tmp)
+
+    for t in AS_IS:
+        write_single_file(spark.read.parquet(f"{SRC}/{t}.parquet"), t)
+        print(f"{t}: copied", flush=True)
+
+    for t, shifts in KEY_SHIFTS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        reps = []
+        for r in range(args.k):
+            df = base
+            for col, unit in shifts.items():
+                df = df.withColumn(col, F.col(col) + F.lit(r * unit))
+            if t == "documents" and "text" in df.columns:
+                if r > 0:
+                    df = df.withColumn(
+                        "text",
+                        F.regexp_replace(F.col("text"), r"(\S+)", f"$1~r{r}"),
+                    )
+            if t == "embeddings" and r > 0:
+                dim = F.size("embedding")
+                rot = F.lit(r)
+                df = df.withColumn(
+                    "embedding",
+                    F.when(
+                        F.col("embedding").isNull() | (dim <= 0), F.col("embedding")
+                    ).otherwise(
+                        F.concat(
+                            F.slice(
+                                "embedding",
+                                (rot % dim) + F.lit(1),
+                                dim - (rot % dim),
+                            ),
+                            F.slice("embedding", F.lit(1), rot % dim),
+                        )
+                    ),
+                )
+            reps.append(df)
+        out = reps[0]
+        for df in reps[1:]:
+            out = out.unionByName(df)
+        # single file like the testdata layout; parquet row groups keep
+        # the file byte-range splittable for scan parallelism
+        write_single_file(out, t)
+        n = spark.read.parquet(f"{args.out}/{t}.parquet").count()
+        print(f"{t}: {n} rows (k={args.k})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -2133,7 +2133,16 @@ def q_streaming_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_next_event(
         ev, key_col="user_key", time_col="ts", attrs=["event_type"]
     )
-    return _run_stream_to_memory(out, "append", shuffle_partitions=8)
+    # r13: NO shuffle_partitions=8 override here — this stream's cost is
+    # the per-key applyInPandasWithState function, which parallelizes
+    # with one Python worker per partition, so partitions follow the
+    # session's core-derived conf (scale-adaptive: 8 on the driver's
+    # low-core run, 32 at local[32]). Measured min-of-3: 2.06 -> 1.79 s
+    # at sf0.1/32 cores, 13.0 -> 6.7 s at the 10x fixture. The =8
+    # override stays on the machinery-bound streams (stream-stream join:
+    # 3.0 -> 6.7 s WORSE at 32 partitions; windowed agg 1.13 -> 1.59
+    # worse), where per-partition state-store/commit overhead dominates.
+    return _run_stream_to_memory(out, "append")
 
 
 # ===========================================================================
@@ -7234,7 +7243,10 @@ def q_streaming_funnel_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     prog = streaming_funnel_progress(
         stream, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
-    sunk = _run_stream_to_memory(prog, "append", shuffle_partitions=8)
+    # r13: core-derived partitions for the python-stateful stream (see
+    # q_streaming_next_event) — equal at sf0.1 (3.3 vs 3.4 s), wins at
+    # volume like every applyInPandasWithState drain.
+    sunk = _run_stream_to_memory(prog, "append")
     per_key = sunk.groupBy("user_id").agg(F.max("steps_completed").alias("sc"))
     steps = ["view", "click", "purchase"]
     out = None
